@@ -1,0 +1,137 @@
+"""End-to-end collection lifecycle — the reference's own test scenarios
+(SURVEY.md §5): cosine_etl_test (embeddings.rs:588-669) on the real
+Tesla-review CSV, nearest_test (embeddings.rs:671-719) under the hash
+embedder with a numpy argmin-L2 oracle (FIXTURES.md F1/F2), plus catalog
+semantics (create/save/find/delete/list, view-name gates)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from valentinus_spark.collection import CollectionCatalog, EmbeddingCollection
+from valentinus_spark.embed import HashEmbedder
+from valentinus_spark.errors import NotFoundError, ViewNameError
+from valentinus_spark.sources.csv_ingest import read_review_csv
+
+from conftest import REFERENCE_CSV
+
+
+def test_cosine_etl_reference_scenario(spark, fresh_warehouse):
+    """Reference cosine_etl_test (embeddings.rs:588-669): CSV → collection →
+    save → filtered cosine top-10 → every row satisfies both predicates
+    (strictly stronger than the reference's first-row-only assert,
+    embeddings.rs:647-658) → unfiltered k=5 → delete."""
+    docs = read_review_csv(spark, REFERENCE_CSV)
+    assert docs.count() == 140  # 141 lines incl. header
+
+    col = EmbeddingCollection.from_dataframe(
+        spark, docs, "test_collection", embedder=HashEmbedder(dim=64)
+    )
+    col.save()
+
+    found = EmbeddingCollection.find(spark, view="view-test_collection")
+    res = found.cosine_query(
+        "Find the best reviews.",
+        num_results=10,
+        f_where=[{"Year": {"eq": 2017}}, {"Rating": {"gt": 3}}],
+    ).collect()
+    assert len(res) == 10  # embeddings.rs:640
+    for row in res:
+        assert int(row["metadata"]["Year"]) == 2017  # embeddings.rs:647-652
+        assert int(row["metadata"]["Rating"]) > 3  # embeddings.rs:653-658
+        assert row["similarity"] > 0  # embeddings.rs:366
+
+    unfiltered = found.cosine_query("Find the best reviews.", num_results=5)
+    assert unfiltered.count() == 5  # embeddings.rs:665
+
+    EmbeddingCollection.delete(spark, "view-test_collection")
+    assert EmbeddingCollection.fetch_collection_keys(spark, views=True) == []
+    with pytest.raises(NotFoundError):
+        EmbeddingCollection.find(spark, view="view-test_collection")
+
+
+def test_nearest_reference_scenario(spark, fresh_warehouse):
+    """Reference nearest_test (embeddings.rs:671-719) — 10 topic sentences.
+    Under the deterministic hash embedder the semantic assert becomes an
+    exact argmin-L2 oracle vs numpy (FIXTURES.md F2)."""
+    corpus = [
+        "The latest iPhone model comes with impressive features and a powerful camera.",
+        "Exploring the beautiful beaches and vibrant culture of Bali is a dream for many travelers.",
+        "Einstein's theory of relativity revolutionized our understanding of space and time.",
+        "Traditional Italian pizza is famous for its thin crust, fresh ingredients, and wood-fired ovens.",
+        "The American Revolution had a profound impact on the birth of the United States as a nation.",
+        "Regular exercise and a balanced diet are essential for maintaining good physical health.",
+        "Leonardo da Vinci's Mona Lisa is considered one of the most iconic paintings in art history.",
+        "Climate change poses a significant threat to the planet's ecosystems and biodiversity.",
+        "Startup companies often face challenges in securing funding and scaling their operations.",
+        "Beethoven's Symphony No. 9 is celebrated for its powerful choral finale, 'Ode to Joy.'",
+    ]
+    emb = HashEmbedder(dim=64)
+    col = EmbeddingCollection.new(
+        spark, corpus, None, None, "nearest_corpus", embedder=emb
+    ).save()
+
+    query = "Find me some delicious food!"
+    got = col.nearest_query(query)
+
+    qv = emb.embed_texts([query])[0]
+    mat = emb.embed_texts(corpus)
+    expect = int(np.argmin(np.linalg.norm(mat - qv, axis=1)))
+    assert got == f"id{expect}"
+
+
+def test_view_name_validation(spark, fresh_warehouse):
+    # regex gate (embeddings.rs:107-109, 248-254)
+    with pytest.raises(ViewNameError):
+        EmbeddingCollection.new(spark, ["x"], None, None, "bad name!")
+    # uniqueness gate (embeddings.rs:256-267)
+    EmbeddingCollection.new(spark, ["x"], None, None, "dup", embedder=HashEmbedder(dim=8)).save()
+    with pytest.raises(ViewNameError):
+        EmbeddingCollection.new(spark, ["y"], None, None, "dup", embedder=HashEmbedder(dim=8))
+
+
+def test_catalog_keys_views_and_find_by_key(spark, fresh_warehouse):
+    c = EmbeddingCollection.new(
+        spark, ["a", "b"], [{"k": 1}, {"k": 2}], ["i1", "i2"], "cat1",
+        embedder=HashEmbedder(dim=8),
+    ).save()
+    keys = EmbeddingCollection.fetch_collection_keys(spark)
+    views = EmbeddingCollection.fetch_collection_keys(spark, views=True)
+    assert keys == [c.key] and views == ["view-cat1"]
+    assert c.key.startswith("key-") and c.view == "view-cat1"  # embeddings.rs:269-271
+
+    # find by key wins over view (embeddings.rs:548-556)
+    by_key = EmbeddingCollection.find(spark, key=c.key)
+    assert by_key.view == "view-cat1"
+    assert sorted(by_key.get_ids()) == ["i1", "i2"]
+    assert by_key.get_metadata()[0]["k"] in {"1", "2"}
+
+
+def test_metadata_reference_shape_roundtrip(spark, fresh_warehouse):
+    """Reference metadata arrives as lists of single-key JSON strings
+    (embeddings.rs:610-613); canonicalized to one map."""
+    col = EmbeddingCollection.new(
+        spark,
+        ["doc"],
+        [['{"Year": 2017}', '{"Rating": 4}']],
+        ["id0"],
+        "meta_shape",
+        embedder=HashEmbedder(dim=8),
+    ).save()
+    m = col.get_metadata()[0]
+    assert m == {"Year": "2017", "Rating": "4"}
+
+
+def test_save_persists_embeddings(spark, fresh_warehouse):
+    col = EmbeddingCollection.new(
+        spark, ["alpha beta", "gamma"], None, None, "persist1",
+        embedder=HashEmbedder(dim=16),
+    ).save()
+    path = col.catalog.resolve("view-persist1")["path"]
+    assert os.path.exists(path)
+    re_read = spark.read.parquet(path)
+    assert "embedding" in re_read.columns
+    vecs = {r["id"]: r["embedding"] for r in re_read.collect()}
+    expect = HashEmbedder(dim=16).embed_texts(["alpha beta"])[0]
+    np.testing.assert_allclose(vecs["id0"], expect, rtol=1e-6)

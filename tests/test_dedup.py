@@ -1,0 +1,95 @@
+"""Dedup-operator tests on planted duplicates (operators/dedup.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from valentinus_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "spark engines shuffle data across partitions while queries aggregate rows into results"
+    rows = [
+        (0, base),
+        (1, base.upper() + "  "),  # exact dup after normalization
+        (2, base.replace("aggregate", "combine")),  # near dup (1 word)
+        (3, "completely different text about cooking pasta with tomatoes and basil in a pan"),
+        (4, "yet another unrelated document mentioning mountains rivers forests and hiking trails"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs).collect()
+    by_kept = {r["kept_id"]: r["dup_count"] for r in out}
+    assert by_kept[0] == 2  # 0 and 1 collapse
+    assert by_kept[2] == 1 and by_kept[3] == 1 and by_kept[4] == 1
+    assert len(out) == 4
+
+
+def test_ngram_jaccard(docs):
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 1)] == 1.0  # identical after normalize
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert all(a < b for (a, b) in pairs)
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    out = minhash_lsh_pairs(docs, n=3, threshold=0.5, num_hash_tables=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_simhash_pairs(docs):
+    from valentinus_spark.functions.text import (
+        normalize_text,
+        pack_simhash,
+        simhash_counts,
+        word_tokens,
+    )
+
+    # brute-force expectation from the raw hashes
+    hashed = (
+        docs.select("doc_id", word_tokens(normalize_text("text")).alias("_toks"))
+        .withColumn("_counts", simhash_counts("_toks"))
+        .select("doc_id", pack_simhash("_counts").alias("sh"))
+        .collect()
+    )
+    sh = {r["doc_id"]: r["sh"] for r in hashed}
+
+    def ham(a, b):
+        return bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1")
+
+    for budget in (3, 16):
+        expected = {
+            (a, b): ham(a, b)
+            for a in sh
+            for b in sh
+            if a < b and ham(a, b) <= budget
+        }
+        out = simhash_pairs(docs, max_hamming=budget).collect()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+        assert got == expected, f"budget={budget}"
+    assert ham(0, 1) == 0  # identical normalized text → same simhash
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_neardup_pairs(df, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+    assert out[0]["cosine"] > 0.99

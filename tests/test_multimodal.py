@@ -1,0 +1,49 @@
+"""Multimodal plumbing tests (multimodal.py): schema, determinism,
+fan-out shape, and the stub gate."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from valentinus_spark.multimodal import (
+    MEDIA_SCHEMA,
+    extract_media_features,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("m1", "image", b"\x89PNG fake bytes 1", {"w": "64", "h": "64"}),
+        ("m2", "image", b"\x89PNG fake bytes 2", {"w": "32", "h": "32"}),
+        ("m3", "audio", b"RIFF fake wav", {"sr": "16000"}),
+        ("m4", "video", b"\x00\x00ftyp fake mp4", None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_feature_extraction_shape_and_determinism(media):
+    out = extract_media_features(media, dim=32).collect()
+    assert len(out) == 4
+    by_id = {r["media_id"]: r for r in out}
+    assert all(len(r["features"]) == 32 for r in out)
+    assert by_id["m1"]["n_bytes"] == len(b"\x89PNG fake bytes 1")
+    # deterministic: same bytes → same features & sha
+    again = {r["media_id"]: r for r in extract_media_features(media, dim=32).collect()}
+    assert again["m1"]["features"] == by_id["m1"]["features"]
+    assert again["m1"]["content_sha"] == by_id["m1"]["content_sha"]
+    # distinct bytes → distinct features
+    assert by_id["m1"]["features"] != by_id["m2"]["features"]
+
+
+def test_video_frame_fanout(media):
+    vids = media.filter(F.col("modality") == "video")
+    frames = sample_video_frames(vids, every_n=10).collect()
+    assert [r["frame_no"] for r in frames] == [0, 10, 20]
+    assert all(len(r["features"]) == 32 for r in frames)
+
+
+def test_stub_gate_raises(media):
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        extract_media_features(media, decode_stub=False).collect()

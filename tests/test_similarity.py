@@ -1,0 +1,90 @@
+"""Similarity-search operator tests vs numpy oracles (operators/similarity.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from valentinus_spark.operators.query import cosine_topk, nearest_topk
+from valentinus_spark.operators.similarity import (
+    brute_force_knn_join,
+    bucketed_ann_topk,
+    lsh_ann_index,
+)
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((80, 16)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    return df, mat
+
+
+def np_topk(mat, q, k):
+    sims = (mat.astype(np.float64) @ q) / (
+        np.linalg.norm(mat.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    return [int(i) for i in np.argsort(-sims, kind="stable")[:k]]
+
+
+def test_cosine_topk_matches_numpy(embs):
+    df, mat = embs
+    q = np.array(mat[7], dtype=np.float64)
+    got = [r["id"] for r in cosine_topk(df, list(q), k=5).collect()]
+    assert got == np_topk(mat, q, 5)
+    assert got[0] == 7  # self is most similar
+
+
+def test_nearest_topk_matches_numpy(embs):
+    df, mat = embs
+    q = np.array(mat[11], dtype=np.float64)
+    got = [r["id"] for r in nearest_topk(df, list(q), k=3).collect()]
+    dists = np.linalg.norm(mat.astype(np.float64) - q, axis=1)
+    assert got == [int(i) for i in np.argsort(dists, kind="stable")[:3]]
+
+
+def test_brute_force_knn_join(embs):
+    df, mat = embs
+    queries = df.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = brute_force_knn_join(df, queries, k=4, corpus_id="id").collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["qid"], r["rank"])):
+        by_q.setdefault(r["qid"], []).append(r["id"])
+    for qid in range(3):
+        assert by_q[qid] == np_topk(mat, mat[qid].astype(np.float64), 4)
+
+
+def test_bucketed_ann_recall(embs):
+    df, mat = embs
+    centroids = [list(mat[i]) for i in (0, 20, 40, 60)]
+    queries = df.filter(F.col("id") < 5).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = bucketed_ann_topk(df, queries, centroids, k=5, nprobe=2, corpus_id="id")
+    rows = out.collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["id"])
+    # approximate: require decent overlap with exact top-5, and self found
+    for qid in range(5):
+        exact = set(np_topk(mat, mat[qid].astype(np.float64), 5))
+        assert qid in got[qid]
+        assert len(set(got[qid]) & exact) >= 2
+
+
+def test_lsh_index_and_query(embs):
+    df, mat = embs
+    model, hashed = lsh_ann_index(df, id_col="id", num_hash_tables=4)
+    assert hashed.count() == 80 and "_hashes" in hashed.columns
+    from pyspark.ml.functions import array_to_vector
+
+    key_df = df.filter(F.col("id") == 5).select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    key = key_df.first()["v"]
+    nn = model.approxNearestNeighbors(hashed, key, 3).collect()
+    assert nn[0]["id"] == 5  # exact self comes back first

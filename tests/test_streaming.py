@@ -1,0 +1,85 @@
+"""Structured Streaming tests (streaming/pipeline.py): the streaming
+windowed agg must equal its batch run (the batch expression IS the
+oracle), and incremental collection append embeds on the stream path."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from valentinus_spark.embed import HashEmbedder
+from valentinus_spark.streaming.pipeline import (
+    stream_collection_append,
+    stream_events_windowed,
+)
+
+
+def _write_events(spark, path, n=200):
+    rows = [
+        (
+            i,
+            # spread across ~4 hours, some late/duplicated timestamps
+            F.lit(None),
+        )
+        for i in range(n)
+    ]
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") * 67) % 14400
+        ).alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.concat(F.lit("type"), (F.col("id") % 3)).alias("event_type"),
+        (F.col("id") % 100 / 10.0).alias("value"),
+    )
+    df.write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_stream_windowed_equals_batch(spark, tmp_path):
+    path = str(tmp_path / "events")
+    _write_events(spark, path)
+    batch = spark.read.parquet(path)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in stream_events_windowed(batch).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    agg = stream_events_windowed(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    assert got == expected
+
+
+def test_stream_collection_append_embeds(spark, tmp_path):
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "collection")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(
+        [(f"id{i}", f"document number {i}") for i in range(20)],
+        "id string, document string",
+    )
+    docs.write.parquet(src)
+
+    emb = HashEmbedder(dim=16)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream_collection_append(stream, emb, out, ckpt)
+    q.awaitTermination(120)
+
+    result = spark.read.parquet(out)
+    assert result.count() == 20
+    row = result.filter(F.col("id") == "id3").first()
+    np.testing.assert_allclose(
+        np.array(row["embedding"]),
+        emb.embed_texts(["document number 3"])[0],
+        rtol=1e-6,
+    )

@@ -1,0 +1,100 @@
+"""Text-function unit tests (functions/text.py)."""
+
+from pyspark.sql import functions as F
+
+from valentinus_spark.functions.text import (
+    char_ngrams,
+    hamming64,
+    lang_id,
+    normalize_text,
+    pack_simhash,
+    rolling_fingerprint,
+    simhash_counts,
+    text_quality,
+    token_count,
+    word_shingles,
+    word_tokens,
+)
+
+
+def one(spark, text, expr):
+    return spark.createDataFrame([(text,)], "t string").select(expr.alias("v")).first()["v"]
+
+
+def test_normalize(spark):
+    assert one(spark, "  Hello   WORLD \n", normalize_text("t")) == "hello world"
+
+
+def test_word_tokens(spark):
+    assert one(spark, "a b  c", word_tokens("t")) == ["a", "b", "c"]
+    assert one(spark, "   ", word_tokens("t")) == []
+
+
+def test_token_count_bpe_ish(spark):
+    # letters run + digits run + symbols separately
+    assert one(spark, "abc123 def!", token_count("t")) == 4
+    assert one(spark, "", token_count("t")) == 0
+
+
+def test_char_ngrams(spark):
+    assert one(spark, "abcd", char_ngrams("t", 2)) == ["ab", "bc", "cd"]
+    assert one(spark, "ab", char_ngrams("t", 5)) == ["ab"]
+
+
+def test_word_shingles(spark):
+    assert one(spark, "a b c d", word_shingles("t", 3)) == ["a b c", "b c d"]
+    assert one(spark, "a b", word_shingles("t", 3)) == ["a b"]
+
+
+def test_text_quality_struct(spark):
+    v = one(spark, "The cat, the hat! 42", text_quality("t"))
+    assert v["n_words"] == 5
+    assert v["n_chars"] == 20
+    assert v["punct_ratio"] > 0 and v["digit_ratio"] > 0
+    assert 0 < v["stopword_ratio"] <= 1  # "The"/"the" are stopwords
+
+
+def test_lang_id(spark):
+    assert one(spark, "the cat and the dog is in it for a win", lang_id("t")) == "en"
+    assert one(spark, "el perro y la casa en un con los por que", lang_id("t")) == "es"
+    assert one(spark, "zzz qqq", lang_id("t")) == "und"
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),
+         ("the quick brown fox jumps over the lazy cat",),
+         ("completely different words entirely unrelated content here",)],
+        "t string",
+    )
+    hashed = (
+        df.select(word_tokens(normalize_text("t")).alias("_toks"), "t")
+        .withColumn("_counts", simhash_counts("_toks"))
+        .select("t", pack_simhash("_counts").alias("sh"))
+        .collect()
+    )
+    vals = [r["sh"] for r in hashed]
+    # deterministic
+    again = (
+        df.select(word_tokens(normalize_text("t")).alias("_toks"), "t")
+        .withColumn("_counts", simhash_counts("_toks"))
+        .select(pack_simhash("_counts").alias("sh"))
+        .collect()
+    )
+    assert [r["sh"] for r in again] == vals
+
+    ham = spark.createDataFrame([(vals[0], vals[1]), (vals[0], vals[2])], "a long, b long")
+    d_near, d_far = [r["d"] for r in ham.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert d_near < d_far  # one-word change ≪ different doc
+
+
+def test_rolling_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog and keeps running",),
+         ("the quick brown fox jumps over the lazy dog and keeps walking",)],
+        "t string",
+    )
+    fps = [r["f"] for r in df.select(rolling_fingerprint("t", n=8, keep=4).alias("f")).collect()]
+    assert len(fps[0]) == 4 and fps[0] == sorted(fps[0])
+    # near-identical docs share most min-hashes
+    assert len(set(fps[0]) & set(fps[1])) >= 2

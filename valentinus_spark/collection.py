@@ -1,0 +1,369 @@
+"""Collections: the reference's single data abstraction, Spark-first.
+
+Reference model (embeddings.rs:218-236): a collection is parallel arrays
+(documents, embeddings[n×dim], metadata JSON strings, ids) + a system key
+``key-{uuid4}`` and human view name ``view-{name}``, serialized as ONE
+bincode blob into LMDB chunks (embeddings.rs:285-306, database.rs:169-194);
+every query deserializes the whole blob (embeddings.rs:545-569).
+
+Here a collection is a Parquet table with schema::
+
+    id: string, document: string,
+    metadata: map<string,string>, embedding: array<float>
+
+which removes the positional-identity fragility (reference resolves a row's
+metadata by rposition on the document STRING, embeddings.rs:358) and gives
+us, for free: columnar pruning (a filter-only query never reads the
+embedding column), predicate pushdown, and partition-parallel scans. At the
+100 TB design point a collection is just a big Parquet/Delta table —
+row-group statistics prune metadata filters, and embedding scans
+parallelize across every executor instead of one thread
+(embeddings.rs:357-372).
+
+The catalog (reference ``KeyViewIndexer`` under LMDB keys "keys"/"views",
+embeddings.rs:128-142, database.rs:13-15) is a JSON manifest in the
+warehouse dir — catalog METADATA is driver-side by design (same as Delta's
+transaction log); the DATA plane never touches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from valentinus_spark.embed import Embedder, HashEmbedder, get_embedder
+from valentinus_spark.errors import NotFoundError, ViewNameError
+from valentinus_spark.filters import compile_filters
+from valentinus_spark.functions.vector import cosine_similarity, dot, l2_distance
+from valentinus_spark.session import warehouse_dir
+
+# reference view-name gate (embeddings.rs:107-109)
+VALID_NAME = re.compile(r"^[a-zA-Z0-9_]+$")
+
+COLLECTION_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("document", StringType(), True),
+        StructField("metadata", MapType(StringType(), StringType()), True),
+    ]
+)
+
+
+def _normalize_metadata(meta: Any) -> dict[str, str] | None:
+    """Accept the reference's metadata shape — a list of single-key JSON
+    object strings like ``['{"Year": 2017}', '{"Rating": 4}']``
+    (embeddings.rs:610-613) — or a plain dict; canonicalize to
+    map<string,string>."""
+    if meta is None:
+        return None
+    if isinstance(meta, dict):
+        return {str(k): str(v) for k, v in meta.items()}
+    out: dict[str, str] = {}
+    for entry in meta:
+        obj = json.loads(entry) if isinstance(entry, str) else entry
+        for k, v in obj.items():
+            out[str(k)] = str(v)
+    return out
+
+
+class CollectionCatalog:
+    """The keys/views catalog (reference KeyViewIndexer + kv index,
+    embeddings.rs:481-539, database.rs:13-15)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse or warehouse_dir(spark)
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._manifest_path = os.path.join(self.warehouse, "manifest.json")
+
+    def _read(self) -> dict[str, dict]:
+        if not os.path.exists(self._manifest_path):
+            return {}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write(self, manifest: dict[str, dict]) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, tmp[: -len(".tmp")])
+
+    # ≈ fetch_collection_keys(views=False/True) (embeddings.rs:312-324)
+    def list_keys(self) -> list[str]:
+        return [m["key"] for m in self._read().values()]
+
+    def list_views(self) -> list[str]:
+        return list(self._read().keys())
+
+    def resolve(self, view: str) -> dict:
+        m = self._read()
+        if view not in m:
+            raise NotFoundError(f"no collection with view {view!r}")
+        return m[view]
+
+    def by_key(self, key: str) -> dict:
+        for view, meta in self._read().items():
+            if meta["key"] == key:
+                return {**meta, "view": view}
+        raise NotFoundError(f"no collection with key {key!r}")
+
+    def add(self, view: str, entry: dict) -> None:
+        m = self._read()
+        m[view] = entry
+        self._write(m)
+
+    def remove(self, view: str) -> None:
+        m = self._read()
+        if view in m:
+            del m[view]
+            self._write(m)
+
+    def data_path(self, view: str) -> str:
+        return os.path.join(self.warehouse, "collections", view)
+
+
+@dataclass
+class EmbeddingCollection:
+    """A named collection of (id, document, metadata, embedding) rows.
+
+    Mirrors reference ``EmbeddingCollection`` (embeddings.rs:218-475); the
+    underlying DataFrame is exposed as ``.df`` so the full relational
+    surface (joins, aggs, SQL) composes with collection data — something
+    the reference cannot do at all (SURVEY.md §2.4)."""
+
+    spark: SparkSession
+    df: DataFrame
+    view: str
+    key: str
+    embedder: Embedder
+    catalog: CollectionCatalog
+
+    # ---------------- construction (S2, embeddings.rs:240-283) -----------
+
+    @classmethod
+    def new(
+        cls,
+        spark: SparkSession,
+        documents: Sequence[str],
+        metadata: Sequence[Any] | None,
+        ids: Sequence[str] | None,
+        name: str,
+        embedder: Embedder | str = "hash",
+        catalog: CollectionCatalog | None = None,
+        **embedder_kwargs,
+    ) -> "EmbeddingCollection":
+        """Driver-list constructor (reference signature, embeddings.rs:240).
+        For big data use :meth:`from_dataframe`."""
+        n = len(documents)
+        ids = list(ids) if ids is not None else [f"id{i}" for i in range(n)]  # embeddings.rs:615-618
+        metadata = list(metadata) if metadata is not None else [None] * n
+        if not (len(ids) == len(metadata) == n):
+            raise ViewNameError(
+                f"parallel inputs must align: {n} documents, {len(metadata)} metadata, {len(ids)} ids"
+            )
+        rows = [
+            (str(i), d, _normalize_metadata(m))
+            for i, d, m in zip(ids, documents, metadata)
+        ]
+        df = spark.createDataFrame(rows, COLLECTION_SCHEMA)
+        return cls.from_dataframe(spark, df, name, embedder, catalog, **embedder_kwargs)
+
+    @classmethod
+    def from_dataframe(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        name: str,
+        embedder: Embedder | str = "hash",
+        catalog: CollectionCatalog | None = None,
+        **embedder_kwargs,
+    ) -> "EmbeddingCollection":
+        """Spark-first constructor: any DataFrame with (id, document[,
+        metadata][, embedding]) columns becomes a collection."""
+        catalog = catalog or CollectionCatalog(spark)
+        # view-name regex gate (embeddings.rs:107-109, 248-254)
+        if not VALID_NAME.match(name):
+            raise ViewNameError(
+                f"invalid collection name {name!r} (must match ^[a-zA-Z0-9_]+$)"
+            )
+        view = f"view-{name}"  # embeddings.rs:271
+        # uniqueness check (embeddings.rs:256-267)
+        if view in catalog.list_views():
+            raise ViewNameError(f"collection view {view!r} already exists")
+        key = f"key-{uuid.uuid4()}"  # embeddings.rs:269-270
+        if isinstance(embedder, str):
+            embedder = get_embedder(embedder, **embedder_kwargs)
+        if "metadata" not in df.columns:
+            df = df.withColumn("metadata", F.lit(None).cast(MapType(StringType(), StringType())))
+        return cls(spark=spark, df=df, view=view, key=key, embedder=embedder, catalog=catalog)
+
+    # ---------------- save (S3, embeddings.rs:285-306) --------------------
+
+    def save(self) -> "EmbeddingCollection":
+        """Embed all documents lacking vectors and persist as Parquet.
+
+        Reference: compute embeddings for every doc, serialize whole struct,
+        chunk-write (embeddings.rs:285-306). Here the embedding UDF runs
+        partition-parallel on executors and Parquet handles layout; at
+        cluster scale the write shards across executors with zero driver
+        involvement."""
+        df = self.df
+        if "embedding" not in df.columns:
+            df = df.withColumn("embedding", self.embedder.embed_col("document"))
+        path = self.catalog.data_path(self.view)
+        df.write.mode("errorifexists").parquet(path)
+        persisted = self.spark.read.parquet(path)
+        self.catalog.add(
+            self.view,
+            {
+                "key": self.key,
+                "path": path,
+                "embedder": self.embedder.name,
+                "dim": self.embedder.dim,
+                "n_rows": persisted.count(),
+            },
+        )
+        self.df = persisted
+        return self
+
+    # ---------------- load (S4, find, embeddings.rs:545-569) --------------
+
+    @classmethod
+    def find(
+        cls,
+        spark: SparkSession,
+        key: str | None = None,
+        view: str | None = None,
+        catalog: CollectionCatalog | None = None,
+    ) -> "EmbeddingCollection":
+        """Load by key or view; key wins when both given (embeddings.rs:548-556)."""
+        catalog = catalog or CollectionCatalog(spark)
+        if key is not None:
+            entry = catalog.by_key(key)
+            view = entry["view"]
+        elif view is not None:
+            entry = catalog.resolve(view)
+        else:
+            raise NotFoundError("find() requires key or view")
+        df = spark.read.parquet(entry["path"])
+        embedder = get_embedder(entry.get("embedder", "hash"), dim=entry.get("dim", 384))
+        return cls(
+            spark=spark, df=df, view=view, key=entry["key"], embedder=embedder, catalog=catalog
+        )
+
+    # ---------------- catalog ops (S5/S6) ---------------------------------
+
+    @classmethod
+    def fetch_collection_keys(
+        cls, spark: SparkSession, views: bool = False, catalog: CollectionCatalog | None = None
+    ) -> list[str]:
+        """≈ reference fetch_collection_keys (embeddings.rs:312-324)."""
+        catalog = catalog or CollectionCatalog(spark)
+        return catalog.list_views() if views else catalog.list_keys()
+
+    @classmethod
+    def delete(
+        cls, spark: SparkSession, view_name: str, catalog: CollectionCatalog | None = None
+    ) -> None:
+        """Drop data + catalog entry (embeddings.rs:419-455)."""
+        catalog = catalog or CollectionCatalog(spark)
+        entry = catalog.resolve(view_name)  # raises NotFoundError if absent
+        if os.path.exists(entry["path"]):
+            shutil.rmtree(entry["path"])
+        catalog.remove(view_name)
+
+    # ---------------- accessors (embeddings.rs:457-475) -------------------
+
+    def get_documents(self) -> list[str]:
+        return [r[0] for r in self.df.select("document").collect()]
+
+    def get_metadata(self) -> list[dict | None]:
+        return [r[0] for r in self.df.select("metadata").collect()]
+
+    def get_ids(self) -> list[str]:
+        return [r[0] for r in self.df.select("id").collect()]
+
+    def get_key(self) -> str:
+        return self.key
+
+    def get_view(self) -> str:
+        return self.view
+
+    # ---------------- queries (T4-T7) -------------------------------------
+
+    def cosine_query(
+        self,
+        query_string: str,
+        num_results: int = 0,
+        f_where: Iterable[str | dict] | None = None,
+        metric: str = "cosine",
+        ordered: bool = True,
+    ) -> DataFrame:
+        """Metadata-filtered similarity scan (reference cosine_query,
+        embeddings.rs:334-382).
+
+        Plan: filter(metadata predicate) → project(similarity) →
+        filter(sim > 0) → TakeOrdered(k). Catalyst pushes the compiled
+        metadata predicate to the Parquet scan; the similarity expression is
+        whole-stage-codegen'd JVM code; TakeOrderedAndProject does a
+        per-partition top-k then a driver merge — no global sort shuffle.
+
+        - ``metric="cosine"`` (default) = true cosine; ``metric="dot"`` =
+          reference's raw dot (embeddings.rs:365; SURVEY.md §7.4.2).
+        - ``ordered=True`` (default) = real top-k by similarity desc;
+          ``ordered=False`` = reference compat: first-k in storage order,
+          never sorted (embeddings.rs:373-381; SURVEY.md §7.4.1).
+        - ``num_results=0`` → all matches (embeddings.rs:375).
+        """
+        qv = [float(x) for x in self.embedder.embed_texts([query_string])[0]]
+        sim = (
+            dot("embedding", qv) if metric == "dot" else cosine_similarity("embedding", qv)
+        )
+        out = (
+            self.df.filter(compile_filters(f_where))
+            .withColumn("similarity", sim)
+            .filter(F.col("similarity") > 0)  # dot>0 keep-rule (embeddings.rs:366)
+            .select("id", "document", "similarity", "metadata")
+        )
+        if ordered:
+            out = out.orderBy(F.desc("similarity"), F.asc("id"))
+        if num_results > 0:
+            out = out.limit(num_results)
+        return out
+
+    def nearest_query(self, query_string: str) -> str:
+        """Exact 1-NN by Euclidean distance; returns the row id.
+
+        Reference builds a KdTree over the whole collection per query and
+        returns a positional index (embeddings.rs:386-417). Brute-force
+        orderBy(L2).limit(1) gives the identical answer and parallelizes;
+        ids replace positional indexes (SURVEY.md §3.3)."""
+        row = self.nearest_query_df(query_string, k=1).first()
+        if row is None:
+            raise NotFoundError(f"collection {self.view!r} is empty")
+        return row["id"]
+
+    def nearest_query_df(self, query_string: str, k: int = 1) -> DataFrame:
+        qv = [float(x) for x in self.embedder.embed_texts([query_string])[0]]
+        return (
+            self.df.withColumn("distance", l2_distance("embedding", qv))
+            .orderBy(F.asc("distance"), F.asc("id"))
+            .select("id", "document", "distance", "metadata")
+            .limit(k)
+        )

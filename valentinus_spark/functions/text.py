@@ -1,0 +1,187 @@
+"""Text-analysis primitives as JVM-side Catalyst expressions.
+
+The reference has no text functions at all (its only text handling is
+passing documents to the tokenizer, onnx.rs:61-68) — this module is part of
+the north-star extension surface (BASELINE.json): the text-processing
+toolkit a large-scale training-data pipeline needs, built from
+``pyspark.sql.functions`` so everything stays inside whole-stage codegen.
+No Python UDFs anywhere in this module.
+
+Determinism note: hash-based functions use ``xxhash64`` (Spark built-in,
+stable across runs/versions) so fingerprints are reproducible cluster-wide.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the n-gram/stopword language
+# heuristic. Intentionally small: language ID at pipeline scale is a
+# heuristic pre-filter, not a classifier.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "por", "con"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"] + [
+    "on", "with", "as", "at", "by", "an", "be", "this", "are", "was",
+]
+
+_TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"  # BPE-ish: runs of letters / digits / single symbol
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), "\\s+", " "))
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty text → empty array)."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish token count: letter-runs + digit-runs + individual symbols."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(_TOKEN_REGEX), 0))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """All character n-grams (shingles) of a string, as array<string>.
+
+    JVM-side: ``transform(sequence(1, len-n+1), i -> substring(s, i, n))``.
+    Strings shorter than n yield a single truncated shingle (the whole
+    string) so short documents still participate in dedup.
+    """
+    s = _c(col)
+    return F.when(F.length(s) <= n, F.array(s)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - n + 1),
+            lambda i: F.substring(s, i, F.lit(n)),
+        )
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from normalized text, as array<string>."""
+    toks = word_tokens(normalize_text(col))
+    k = F.size(toks)
+    return F.when(k <= n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - n - 1 + 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def stopword_count(col_tokens: Column, stopwords: Sequence[str]) -> Column:
+    return F.size(F.filter(col_tokens, lambda t: t.isin(list(stopwords))))
+
+
+def text_quality(col: Column | str) -> Column:
+    """Quality-scoring features as a struct column (length, word stats,
+    punctuation/digit/stopword ratios). All ratios are double in [0,1],
+    null-safe for empty text."""
+    s = _c(col)
+    toks = word_tokens(s)
+    n_chars = F.length(s).cast("double")
+    n_words = F.size(toks).cast("double")
+    n_punct = F.size(F.regexp_extract_all(s, F.lit("[\\.,;:!\\?'\"]"), 0)).cast("double")
+    n_digit = F.size(F.regexp_extract_all(s, F.lit("[0-9]"), 0)).cast("double")
+    n_stop = stopword_count(toks, ENGLISH_STOPWORDS).cast("double")
+    safe_chars = F.when(n_chars > 0, n_chars)
+    safe_words = F.when(n_words > 0, n_words)
+    return F.struct(
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        (n_chars / safe_words).alias("avg_word_len"),
+        (n_punct / safe_chars).alias("punct_ratio"),
+        (n_digit / safe_chars).alias("digit_ratio"),
+        (n_stop / safe_words).alias("stopword_ratio"),
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language heuristic → lang code or 'und'.
+
+    Pure JVM expression: per language, count tokens in its stopword list;
+    argmax wins, zero votes → 'und'.
+    """
+    toks = word_tokens(normalize_text(col))
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_count(toks, words).alias("votes"), F.lit(lang).alias("lang")
+            )
+            for lang, words in LANG_STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scored)  # struct ordering: by votes, then lang
+    return F.when(best["votes"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def simhash_counts(tokens_col_name: str) -> Column:
+    """Per-bit SimHash vote sums (array<long> of 64) over a token-array
+    column, entirely JVM-side.
+
+    For each bit position b: sum over tokens of ±1 according to bit b of
+    xxhash64(token). Built as a SQL expression because Catalyst's
+    ShiftRight accepts a column shift amount while the Python wrapper only
+    takes an int; ``tokens_col_name`` must be a real column (materialize
+    the token array with withColumn first — this also keeps the expensive
+    aggregate from being duplicated by projection collapse)."""
+    return F.expr(
+        f"""
+        aggregate(
+          {tokens_col_name},
+          array_repeat(cast(0 as bigint), 64),
+          (acc, tok) -> zip_with(
+            acc,
+            transform(sequence(0, 63),
+                      i -> cast(shiftright(xxhash64(tok), i) & 1 as bigint) * 2 - 1),
+            (a, b) -> a + b))
+        """
+    )
+
+
+def pack_simhash(counts_col_name: str) -> Column:
+    """array<long> of 64 vote sums → packed signed 64-bit simhash
+    (bit b = 1 iff votes[b] > 0)."""
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            transform({counts_col_name},
+                      c -> case when c > 0 then cast(1 as bigint) else cast(0 as bigint) end),
+            sequence(0, 63),
+            (bit, i) -> shiftleft(bit, i)),
+          cast(0 as bigint),
+          (acc, x) -> acc | x)
+        """
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash64 values (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def rolling_fingerprint(col: Column | str, n: int = 8, keep: int = 4) -> Column:
+    """Document fingerprint: the ``keep`` smallest xxhash64 values over the
+    document's character n-grams (a winnowing-style min-sketch). Two
+    documents sharing most content share most fingerprint entries.
+    Returns array<long> of length ≤ keep, ascending."""
+    grams = char_ngrams(_c(col), n)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.slice(F.array_sort(hashes), 1, keep)

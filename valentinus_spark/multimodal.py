@@ -1,0 +1,147 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+North-star extension (BASELINE.json) — the reference is text-only. The
+Spark-side plumbing here is real (schema, batch shape, partitioning, UDF
+signatures, tested); the actual media DECODING is stubbed because the
+media libraries are not in this container: ``decode_stub=True`` (default)
+produces deterministic fake features from the bytes, ``decode_stub=False``
+raises NotImplementedError at the decode site, which is exactly where a
+real ``PIL.Image.open`` / ``soundfile.read`` call plugs in.
+
+Design for 100 TB of media:
+- binary payloads stay columnar (Parquet binary), never hit the driver;
+- feature extraction is ``mapInPandas`` so each Arrow batch flows
+  bytes→numpy→features without row-at-a-time Python;
+- outputs are fixed-dim array<float> ready for the similarity/dedup
+  operators in this package.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("content_sha", StringType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: expand a blake2 digest of
+    the bytes into `dim` floats in [-1, 1]. Same bytes → same features, so
+    dedup/similarity tests over media columns are meaningful."""
+    out = np.empty(dim, dtype=np.float32)
+    counter = 0
+    filled = 0
+    while filled < dim:
+        h = hashlib.blake2b(payload, digest_size=32, salt=counter.to_bytes(8, "little")).digest()
+        block = np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
+        take = min(dim - filled, block.size)
+        out[filled : filled + take] = block[:take]
+        filled += take
+        counter += 1
+    return out
+
+
+def extract_media_features(
+    df: DataFrame, dim: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """binary media column → fixed-dim feature vectors via mapInPandas.
+
+    Arrow batches of (media_id, modality, content) flow through Python once;
+    replace the ``decode`` closure with a real image/audio decoder when the
+    libraries exist (PIL / soundfile / av) — the signature is the contract.
+    """
+
+    def decode(payload: bytes, modality: str) -> np.ndarray:
+        if decode_stub:
+            return _fake_features(payload or b"", dim)
+        raise NotImplementedError(
+            f"real {modality} decoding requires media libraries not present "
+            "in this environment (PIL/soundfile/av); plug the decoder in here"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode(c, m)
+                for c, m in zip(pdf["content"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "content_sha": [
+                        hashlib.sha256(c or b"").hexdigest() for c in pdf["content"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return df.select("media_id", "modality", "content").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 10, decode_stub: bool = True
+) -> DataFrame:
+    """Frame-sampling plumbing: one input video row → multiple frame rows
+    (media_id, frame_no, features). Stub emits 3 deterministic frames; a
+    real implementation decodes with ``av`` and yields every Nth frame.
+    Demonstrates the fan-out batch shape (mapInPandas may emit more rows
+    than it receives)."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("frame_no", LongType(), False),
+            StructField("features", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_no": [], "features": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if not decode_stub:
+                    raise NotImplementedError("real video decode requires `av`")
+                for frame_no in range(0, 3 * every_n, every_n):
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(frame_no)
+                    rows["features"].append(
+                        _fake_features((content or b"") + frame_no.to_bytes(4, "little"), 32)
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(run, schema=schema)

@@ -1,0 +1,26 @@
+from valentinus_spark.operators.query import cosine_topk, nearest_topk
+from valentinus_spark.operators.similarity import (
+    brute_force_knn_join,
+    lsh_ann_index,
+    bucketed_ann_topk,
+)
+from valentinus_spark.operators.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    embedding_neardup_pairs,
+)
+
+__all__ = [
+    "cosine_topk",
+    "nearest_topk",
+    "brute_force_knn_join",
+    "lsh_ann_index",
+    "bucketed_ann_topk",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+]

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns: brute-force kNN join
+(correctness baseline) and LSH / bucketed variants (the 100 TB scale path).
+
+The reference's ANN story is a KdTree rebuilt per query over the fully
+materialized collection (embeddings.rs:402-408) — single node, no
+persistence. Spark-first replacements:
+
+- ``brute_force_knn_join``: broadcast the (small) query set against the
+  (huge) corpus; score JVM-side; per-query top-k via window. One scan of
+  the corpus regardless of query count; zero shuffle of the corpus side
+  (queries are broadcast, the window partitions by query id over the
+  k-candidate-bounded intermediate).
+- ``lsh_ann_index`` / MLlib ``BucketedRandomProjectionLSH``: fit once at
+  index-build time (≈ save), persist the hashed table; query via
+  ``approxNearestNeighbors`` or ``approxSimilarityJoin``.
+- ``bucketed_ann_topk``: IVF-style — assign every vector to its nearest of
+  C random centroids (JVM-side argmin over a broadcast centroid array),
+  partition the corpus by centroid, probe only ``nprobe`` centroids per
+  query. Recall/throughput knob without leaving DataFrame land.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from valentinus_spark.functions.vector import cosine_similarity, dot, literal_vector
+
+
+def brute_force_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k per query: broadcast-join queries × corpus, score, rank.
+
+    Scale shape: corpus (100 TB) is scanned once, partition-parallel;
+    queries (must fit in executor memory — thousands, not millions) are
+    broadcast. Result columns: (qid, id, similarity, rank)."""
+    q = F.broadcast(queries.select(query_id, query_vec))
+    score = (
+        dot(F.col(corpus_vec), F.col(query_vec))
+        if metric == "dot"
+        else cosine_similarity(F.col(corpus_vec), F.col(query_vec))
+    )
+    scored = (
+        corpus.crossJoin(q)
+        .withColumn("similarity", score)
+        .select(query_id, corpus_id, "similarity")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_ann_index(
+    corpus: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+):
+    """Fit a BucketedRandomProjectionLSH model (Euclidean LSH) over an
+    array<float> column; returns (model, hashed_df). Persisting hashed_df
+    is the save-time index build (SURVEY.md §7.2 step 6) — the structure
+    the reference rebuilds per query (embeddings.rs:402-404) becomes a
+    one-time batch job."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vecs)
+    return model, model.transform(vecs)
+
+
+def bucketed_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    k: int,
+    nprobe: int = 2,
+    corpus_id: str = "id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the nprobe closest centroid
+    buckets per query.
+
+    ``centroids`` is a small driver-side list (e.g. kmeans|| output or a
+    random sample); both corpus rows and queries are assigned buckets by
+    JVM-side argmax of cosine against the broadcast centroid literals, the
+    join is on bucket id, so the corpus side can be pre-partitioned /
+    bucketed by centroid for a shuffle-free probe at scale."""
+    cents = F.array(*[literal_vector(c) for c in centroids])
+
+    def best_buckets(vec_col_name: str, n: int):
+        scored = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                cosine_similarity(F.col(vec_col_name), c).alias("sim"),
+                i.alias("bucket"),
+            ),
+        )
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    corp = corpus.withColumn(
+        "_bucket", best_buckets(corpus_vec, 1)[0]["bucket"]
+    )
+    qrys = queries.withColumn(
+        "_probes",
+        F.transform(best_buckets(query_vec, nprobe), lambda s: s["bucket"]),
+    )
+    q = F.broadcast(qrys.select(query_id, query_vec, F.explode("_probes").alias("_bucket")))
+    scored = (
+        corp.join(q, on="_bucket")
+        .withColumn("similarity", cosine_similarity(F.col(corpus_vec), F.col(query_vec)))
+        .select(query_id, corpus_id, "similarity")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,73 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.4 — no watermarks/windows/
+state); streaming here is the forward-looking piece SURVEY.md §7.4.7
+planned: incremental collection append (stream of documents → embed →
+append to a collection table) and windowed event aggregation with
+watermarked late-data handling. Both are thin ``readStream → transform →
+writeStream`` compositions so the batch operators stay the single source
+of truth for semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from valentinus_spark.embed import Embedder
+
+
+def stream_events_windowed(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count/sum per key with a watermark for late data.
+
+    ``events`` may be a streaming OR batch DataFrame — the same expression
+    works for both (batch ignores the watermark), which is how the batch
+    oracle validates the streaming query (tests feed both paths).
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_collection_append(
+    docs_stream: DataFrame,
+    embedder: Embedder,
+    path: str,
+    checkpoint: str,
+    text_col: str = "document",
+):
+    """Incremental collection maintenance: stream of (id, document,
+    metadata) rows → embed (same pandas UDF as batch save) → append to the
+    collection's Parquet path. Returns the StreamingQuery.
+
+    At scale this is the continuous-ingest half of the engine: the LSH /
+    IVF index rebuild stays a periodic batch job over the appended table
+    (BASELINE.json: batch index build, not online ANN serving)."""
+    embedded = docs_stream.withColumn("embedding", embedder.embed_col(text_col))
+    return (
+        embedded.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
