@@ -33,7 +33,7 @@ from valentinus_spark.functions.vector import cosine_similarity, dot, l2_distanc
 from valentinus_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
-    minhash_lsh_pairs,
+    minhash_native_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -193,9 +193,11 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (rows-only check: LSH hash functions
-    are not reproducible in DuckDB). Ground truth = q_dedup_ngram_jaccard."""
-    out = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    """MinHash-LSH near-dup candidates, native Catalyst implementation
+    (rows-only check: LSH bucketing is not reproducible in DuckDB, but
+    candidate pairs are verified with EXACT Jaccard, so output ⊆
+    q_dedup_ngram_jaccard's oracle-checked result)."""
+    out = minhash_native_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

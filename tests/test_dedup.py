@@ -7,6 +7,7 @@ from valentinus_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_native_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -47,6 +48,24 @@ def test_minhash_lsh_finds_planted_dups(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (0, 1) in pairs and (0, 2) in pairs
     assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_native_matches_exact_jaccard(docs):
+    """Native minhash candidates are exact-verified, so its output must be
+    a subset of the exact Jaccard join — and at J≥0.5 with 4×4 bands the
+    planted dups must be recalled."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    native = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_native_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert set(native) <= set(exact)
+    assert (0, 1) in native and (0, 2) in native
+    for pair, j in native.items():
+        assert abs(j - exact[pair]) < 1e-9  # verified jaccard is exact
 
 
 def test_simhash_pairs(docs):

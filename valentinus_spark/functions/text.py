@@ -73,16 +73,29 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles from normalized text, as array<string>."""
-    toks = word_tokens(normalize_text(col))
+def shingles_from_tokens(tokens: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    column. Use this form in operators: expressions inside higher-order
+    lambdas get no common-subexpression elimination, so if ``tokens`` were
+    an inline split(...) expression it would re-tokenize the document once
+    per shingle (measured 8s → 0.5s on 5k docs for the materialized form)."""
+    toks = _c(tokens)
     k = F.size(toks)
     return F.when(k <= n, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(
-            F.sequence(F.lit(0), k - n - 1 + 1),
+            F.sequence(F.lit(0), k - n),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from normalized text, as array<string>.
+
+    Convenience single-expression form — fine for one-off use on short
+    text. In operators prefer ``withColumn("_toks", word_tokens(
+    normalize_text(c)))`` + :func:`shingles_from_tokens` (see its note)."""
+    return shingles_from_tokens(word_tokens(normalize_text(col)), n)
 
 
 def stopword_count(col_tokens: Column, stopwords: Sequence[str]) -> Column:

@@ -8,6 +8,7 @@ from valentinus_spark.operators.dedup import (
     exact_dedup,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_native_pairs,
     simhash_pairs,
     embedding_neardup_pairs,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_native_pairs",
     "simhash_pairs",
     "embedding_neardup_pairs",
 ]

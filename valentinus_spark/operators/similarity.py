@@ -26,6 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from valentinus_spark.functions.util import ensure_parallelism
 from valentinus_spark.functions.vector import cosine_similarity, dot, literal_vector
 
 
@@ -51,7 +52,8 @@ def brute_force_knn_join(
         else cosine_similarity(F.col(corpus_vec), F.col(query_vec))
     )
     scored = (
-        corpus.crossJoin(q)
+        ensure_parallelism(corpus)
+        .crossJoin(q)
         .withColumn("similarity", score)
         .select(query_id, corpus_id, "similarity")
     )
