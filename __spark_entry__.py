@@ -37,7 +37,10 @@ from valentinus_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from valentinus_spark.operators.dedup import deduplicate
 from valentinus_spark.operators.similarity import brute_force_knn_join
+from valentinus_spark.operators.text_search import bm25_topk
+from valentinus_spark.functions.text import lang_id
 from valentinus_spark.streaming.pipeline import stream_events_windowed
 
 # ---------------------------------------------------------------------------
@@ -310,6 +313,107 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus surviving exact dedup (semi-join against cluster winners)."""
+    return deduplicate(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "n_chars")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search top-10 for a fixed term bag."""
+    out = bm25_topk(
+        _t(spark, sf_dir, "documents"), terms=["data", "query", "stream"], k=10
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language heuristic per document."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
+
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events props column + aggregation."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over lineitem (grouping-set surface)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: big-spender custkeys ∩ BUILDING-segment custkeys."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("_spend"))
+        .filter(F.col("_spend") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return spenders.intersect(building)
+
+
+def q_customer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 customers by order spend per nation."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "spend", "rnk")
+    )
+
+
+def q_regional_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join: revenue by supplier nation within ASIA (Q5-shaped)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -338,6 +442,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": q_brand_revenue,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
+        "dedup_keep": q_dedup_keep,
+        "bm25_search": q_bm25,
+        "lang_id_heuristic": q_lang_id,
+        "props_json_agg": q_props_json,
+        "revenue_rollup": q_revenue_rollup,
+        "segment_intersect": q_segment_intersect,
+        "customer_rank_window": q_customer_rank,
+        "regional_supply": q_regional_supply,
     }
 
 
@@ -487,5 +599,112 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM gaps
             GROUP BY user_id
+        """,
+        "dedup_keep": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM documents
+                GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            )
+        """,
+        "bm25_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            lens AS (SELECT doc_id, len(w) AS dl FROM toks),
+            stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+            postings AS (
+                SELECT doc_id, unnest(w) AS term FROM toks
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM postings
+                WHERE term IN ('data', 'query', 'stream')
+                GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.doc_id,
+                       ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / stats.avgdl)) AS term_score
+                FROM tf
+                JOIN dfreq USING (term)
+                JOIN lens USING (doc_id)
+                CROSS JOIN stats
+            )
+            SELECT doc_id, ROUND(SUM(term_score), 4) AS score
+            FROM scored
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "lang_id_heuristic": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            votes AS (
+                SELECT doc_id,
+                       len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS v_en,
+                       len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','los','por','con'], x))) AS v_es,
+                       len(list_filter(w, x -> list_contains(['der','die','das','und','nicht','ist','ein','mit','zu','den'], x))) AS v_de,
+                       len(list_filter(w, x -> list_contains(['le','la','les','de','et','un','une','que','pour','dans'], x))) AS v_fr
+                FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(v_en, v_es, v_de, v_fr) = 0 THEN 'und'
+                        WHEN v_fr = greatest(v_en, v_es, v_de, v_fr) THEN 'fr'
+                        WHEN v_es = greatest(v_en, v_es, v_de, v_fr) THEN 'es'
+                        WHEN v_en = greatest(v_en, v_es, v_de, v_fr) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM votes
+        """,
+        "props_json_agg": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1
+        """,
+        "revenue_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_items,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "segment_intersect": """
+            SELECT o_custkey AS custkey FROM orders
+            GROUP BY o_custkey HAVING SUM(o_totalprice) > 300000
+            INTERSECT
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "customer_rank_window": """
+            WITH spend AS (
+                SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+                FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+                SELECT n_name, c_custkey, spend,
+                       ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey ASC) AS rnk
+                FROM spend
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT n_name, c_custkey, spend, rnk FROM ranked WHERE rnk <= 3
+        """,
+        "regional_supply": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
     }

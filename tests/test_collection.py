@@ -123,6 +123,41 @@ def test_metadata_reference_shape_roundtrip(spark, fresh_warehouse):
     assert m == {"Year": "2017", "Rating": "4"}
 
 
+def test_cosine_query_result_wrapper(spark, fresh_warehouse):
+    """Reference CosineQueryResult accessors (embeddings.rs:145-177)."""
+    col = EmbeddingCollection.new(
+        spark, ["alpha beta", "beta gamma", "delta"], [{"k": i} for i in range(3)],
+        None, "cqr", embedder=HashEmbedder(dim=16),
+    ).save()
+    res = col.cosine_query_result("alpha beta", num_results=2)
+    docs = res.get_docs()
+    sims = res.get_similarities()
+    metas = res.get_metadata()
+    assert len(docs) == len(sims) == len(metas) == 2
+    assert docs[0] == "alpha beta" and sims[0] > 0.99
+    assert metas[0] == {"k": "0"}
+
+
+def test_ann_index_lifecycle(spark, fresh_warehouse):
+    """build_ann_index persists model + hashed table; approx query finds
+    the exact NN (generous bucket length ⇒ single bucket on toy data)."""
+    # dim=128: at dim=16 the token buckets collide (e.g. "7" vs "16") and
+    # two docs end up with identical embeddings, making exact-NN ambiguous
+    corpus = [f"document about topic {i} with words {i}" for i in range(30)]
+    col = EmbeddingCollection.new(
+        spark, corpus, None, None, "annidx", embedder=HashEmbedder(dim=128)
+    ).save()
+    with pytest.raises(NotFoundError):
+        col.nearest_query_approx("anything")
+    col.build_ann_index(bucket_length=10.0, num_hash_tables=3)
+
+    # reload through the catalog — index must survive find()
+    found = EmbeddingCollection.find(spark, view="view-annidx")
+    exact = found.nearest_query("document about topic 7 with words 7")
+    approx = found.nearest_query_approx("document about topic 7 with words 7", k=1)
+    assert approx.first()["id"] == exact == "id7"
+
+
 def test_save_persists_embeddings(spark, fresh_warehouse):
     col = EmbeddingCollection.new(
         spark, ["alpha beta", "gamma"], None, None, "persist1",

@@ -34,6 +34,14 @@ def test_exact_dedup(docs):
     assert len(out) == 4
 
 
+def test_deduplicate_keeps_winners(docs):
+    from valentinus_spark.operators.dedup import deduplicate
+
+    kept = deduplicate(docs).collect()
+    assert {r["doc_id"] for r in kept} == {0, 2, 3, 4}  # 1 is the dup of 0
+    assert all(len(r) == 2 for r in kept)  # original columns preserved
+
+
 def test_ngram_jaccard(docs):
     out = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}

@@ -76,6 +76,25 @@ def test_bucketed_ann_recall(embs):
         assert len(set(got[qid]) & exact) >= 2
 
 
+def test_ivf_centroids_and_recall(embs):
+    from valentinus_spark.operators.similarity import ivf_centroids
+
+    df, mat = embs
+    cents = ivf_centroids(df, n_centroids=4)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    queries = df.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = bucketed_ann_topk(df, queries, cents, k=5, nprobe=2, corpus_id="id")
+    got = {}
+    for r in sorted(out.collect(), key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["id"])
+    for qid in range(3):
+        exact = set(np_topk(mat, mat[qid].astype(np.float64), 5))
+        assert qid in got[qid]
+        assert len(set(got[qid]) & exact) >= 3  # kmeans buckets beat random
+
+
 def test_lsh_index_and_query(embs):
     df, mat = embs
     model, hashed = lsh_ann_index(df, id_col="id", num_hash_tables=4)

@@ -56,6 +56,29 @@ from valentinus_spark.session import warehouse_dir
 # reference view-name gate (embeddings.rs:107-109)
 VALID_NAME = re.compile(r"^[a-zA-Z0-9_]+$")
 
+
+class CosineQueryResult:
+    """API-parity wrapper over a cosine_query result DataFrame (reference
+    CosineQueryResult, embeddings.rs:145-177). ``.df`` exposes the plan for
+    further relational composition; the getters collect (driver-side, like
+    the reference's Vec accessors — use .df for big results)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    @classmethod
+    def create(cls, df: DataFrame) -> "CosineQueryResult":  # embeddings.rs:154
+        return cls(df)
+
+    def get_docs(self) -> list[str]:  # embeddings.rs:160-163
+        return [r[0] for r in self.df.select("document").collect()]
+
+    def get_similarities(self) -> list[float]:  # embeddings.rs:165-168
+        return [r[0] for r in self.df.select("similarity").collect()]
+
+    def get_metadata(self) -> list[dict | None]:  # embeddings.rs:170-176
+        return [r[0] for r in self.df.select("metadata").collect()]
+
 COLLECTION_SCHEMA = StructType(
     [
         StructField("id", StringType(), False),
@@ -346,6 +369,73 @@ class EmbeddingCollection:
         if num_results > 0:
             out = out.limit(num_results)
         return out
+
+    def cosine_query_result(self, *args, **kwargs) -> CosineQueryResult:
+        """cosine_query returning the reference-shaped result container."""
+        return CosineQueryResult(self.cosine_query(*args, **kwargs))
+
+    # ---------------- ANN index lifecycle (SURVEY.md §7.2 step 6) ---------
+
+    def build_ann_index(
+        self, bucket_length: float = 2.0, num_hash_tables: int = 3
+    ) -> "EmbeddingCollection":
+        """Persist a BucketedRandomProjectionLSH index for this collection.
+
+        The structure the reference rebuilds on EVERY query
+        (embeddings.rs:402-404, KdTree) becomes a one-time batch job: the
+        fitted model and the hashed table are written next to the data, so
+        approximate queries load them instead of scanning raw vectors. At
+        cluster scale the hashed table is partition-parallel and the model
+        is a few random hyperplanes (KB-sized)."""
+        from valentinus_spark.operators.similarity import lsh_ann_index
+
+        if "embedding" not in self.df.columns:
+            raise NotFoundError("collection has no embeddings — save() first")
+        model, hashed = lsh_ann_index(
+            self.df,
+            id_col="id",
+            bucket_length=bucket_length,
+            num_hash_tables=num_hash_tables,
+        )
+        base = self.catalog.data_path(self.view)
+        model.write().overwrite().save(base + "_ann_model")
+        hashed.drop("_features").write.mode("overwrite").parquet(base + "_ann")
+        entry = self.catalog.resolve(self.view)
+        entry["ann_index"] = True
+        entry["ann_params"] = {
+            "bucket_length": bucket_length,
+            "num_hash_tables": num_hash_tables,
+        }
+        self.catalog.add(self.view, entry)
+        return self
+
+    def _load_ann(self):
+        from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+        from pyspark.ml.functions import array_to_vector
+
+        entry = self.catalog.resolve(self.view)
+        if not entry.get("ann_index"):
+            raise NotFoundError(
+                f"collection {self.view!r} has no ANN index — build_ann_index() first"
+            )
+        base = self.catalog.data_path(self.view)
+        model = BucketedRandomProjectionLSHModel.load(base + "_ann_model")
+        hashed = self.spark.read.parquet(base + "_ann").withColumn(
+            "_features", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        return model, hashed
+
+    def nearest_query_approx(self, query_string: str, k: int = 1) -> DataFrame:
+        """Approximate k-NN via the persisted LSH index (probes only the
+        query's hash buckets instead of scanning the collection)."""
+        from pyspark.ml.linalg import Vectors
+
+        model, hashed = self._load_ann()
+        qv = [float(x) for x in self.embedder.embed_texts([query_string])[0]]
+        nn = model.approxNearestNeighbors(hashed, Vectors.dense(qv), k)
+        return nn.select(
+            "id", "document", F.col("distCol").alias("distance"), "metadata"
+        )
 
     def nearest_query(self, query_string: str) -> str:
         """Exact 1-NN by Euclidean distance; returns the row id.

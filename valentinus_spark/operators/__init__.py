@@ -3,8 +3,11 @@ from valentinus_spark.operators.similarity import (
     brute_force_knn_join,
     lsh_ann_index,
     bucketed_ann_topk,
+    ivf_centroids,
 )
+from valentinus_spark.operators.text_search import bm25_topk
 from valentinus_spark.operators.dedup import (
+    deduplicate,
     exact_dedup,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
@@ -19,6 +22,9 @@ __all__ = [
     "brute_force_knn_join",
     "lsh_ann_index",
     "bucketed_ann_topk",
+    "ivf_centroids",
+    "bm25_topk",
+    "deduplicate",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

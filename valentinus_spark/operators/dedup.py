@@ -78,6 +78,20 @@ def exact_dedup(
     )
 
 
+def deduplicate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The corpus after exact dedup: keeps exactly the ``kept_id`` row of
+    every content cluster (all original columns preserved).
+
+    Plan: semi-join against the cluster winners — broadcast when the
+    winner set is small, shuffle-hash otherwise (AQE decides)."""
+    winners = exact_dedup(df, id_col, text_col).select(
+        F.col("kept_id").alias(id_col)
+    )
+    return df.join(winners, on=id_col, how="semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -92,6 +92,27 @@ def lsh_ann_index(
     return model, model.transform(vecs)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Learn IVF centroids with MLlib KMeans (kmeans|| init) — the batch
+    index-build step feeding :func:`bucketed_ann_topk`. Returns a small
+    driver-side list (C × dim floats) suitable for broadcasting as
+    literals; persist it next to the collection like the LSH model."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = ensure_parallelism(corpus).select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_features")
+    model = km.fit(vecs)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def bucketed_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
