@@ -414,6 +414,54 @@ def q_regional_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed-agg query executed through Structured Streaming for
+    real (readStream file source → watermark → window agg → memory sink,
+    availableNow), sharing events_windowed's oracle: stream results must
+    equal the batch run."""
+    import tempfile
+
+    batch = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = stream_events_windowed(stream)
+    name = "events_stream_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="vs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def q_media_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through mapInPandas: documents as opaque binary
+    media payloads → per-item byte stats + content digest (the decode step
+    itself is stubbed — BASELINE.json; features are exercised in tests).
+    sha/byte outputs are oracle-checkable."""
+    from valentinus_spark.multimodal import extract_media_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.lit("text").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+    feats = extract_media_features(media, dim=16)
+    return feats.select("media_id", "n_bytes", "content_sha")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -450,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersect": q_segment_intersect,
         "customer_rank_window": q_customer_rank,
         "regional_supply": q_regional_supply,
+        "events_windowed_stream": q_events_windowed_stream,
+        "media_content_stats": q_media_content_stats,
     }
 
 
@@ -706,5 +756,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "events_windowed_stream": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "media_content_stats": """
+            SELECT 'm' || doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS content_sha
+            FROM documents
         """,
     }

@@ -39,6 +39,15 @@ BENCH_QUERIES = [
     "brand_revenue",
     "events_windowed",
     "events_sessionize",
+    "bm25_search",
+    "dedup_keep",
+    "lang_id_heuristic",
+    "props_json_agg",
+    "revenue_rollup",
+    "customer_rank_window",
+    "regional_supply",
+    "events_windowed_stream",
+    "media_content_stats",
 ]
 
 

@@ -158,6 +158,32 @@ def test_ann_index_lifecycle(spark, fresh_warehouse):
     assert approx.first()["id"] == exact == "id7"
 
 
+def test_promoted_metadata_pushdown(spark, fresh_warehouse):
+    """save(promote_keys=...) writes md_<key> columns; filtered queries
+    target them and the predicate reaches the parquet scan."""
+    col = EmbeddingCollection.new(
+        spark,
+        [f"doc {i}" for i in range(20)],
+        [{"Year": 2015 + i % 4, "Rating": i % 5} for i in range(20)],
+        None,
+        "promoted",
+        embedder=HashEmbedder(dim=16),
+    ).save(promote_keys={"Year": "long"})
+
+    found = EmbeddingCollection.find(spark, view="view-promoted")
+    assert "md_Year" in found.df.columns
+    q = found.cosine_query("doc 3", f_where=[{"Year": {"eq": 2017}}])
+    rows = q.collect()
+    assert rows and all(int(r["metadata"]["Year"]) == 2017 for r in rows)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # typed promotion: the COMPARISON itself reaches the scan, not just
+    # IsNotNull (string-typed promotion only pushes the null check)
+    assert "EqualTo(md_Year,2017)" in plan
+    # same result through the map path (unpromoted key)
+    q2 = found.cosine_query("doc 3", f_where=[{"Rating": {"gte": 2}}])
+    assert all(int(r["metadata"]["Rating"]) >= 2 for r in q2.collect())
+
+
 def test_save_persists_embeddings(spark, fresh_warehouse):
     col = EmbeddingCollection.new(
         spark, ["alpha beta", "gamma"], None, None, "persist1",

@@ -238,17 +238,40 @@ class EmbeddingCollection:
 
     # ---------------- save (S3, embeddings.rs:285-306) --------------------
 
-    def save(self) -> "EmbeddingCollection":
+    def save(
+        self, promote_keys: Sequence[str] | dict[str, str] | None = None
+    ) -> "EmbeddingCollection":
         """Embed all documents lacking vectors and persist as Parquet.
 
         Reference: compute embeddings for every doc, serialize whole struct,
         chunk-write (embeddings.rs:285-306). Here the embedding UDF runs
         partition-parallel on executors and Parquet handles layout; at
         cluster scale the write shards across executors with zero driver
-        involvement."""
+        involvement.
+
+        ``promote_keys``: metadata keys to ALSO write as top-level
+        ``md_<key>`` columns — a list of keys (stored as string) or a
+        ``{key: spark_type}`` dict for typed promotion. Parquet cannot
+        push predicates into map elements, and a comparison on a string
+        column only pushes its IsNotNull; a TYPED promoted column pushes
+        the actual comparison and prunes row groups — promote the hot
+        filter keys of a 100 TB collection as their real types.
+        cosine_query uses promoted columns automatically."""
+        from valentinus_spark.filters import PROMOTED_PREFIX
+
         df = self.df
         if "embedding" not in df.columns:
             df = df.withColumn("embedding", self.embedder.embed_col("document"))
+        promote = (
+            promote_keys
+            if isinstance(promote_keys, dict)
+            else {k: "string" for k in promote_keys or []}
+        )
+        for key, dtype in promote.items():
+            df = df.withColumn(
+                PROMOTED_PREFIX + key,
+                F.element_at("metadata", key).try_cast(dtype),
+            )
         path = self.catalog.data_path(self.view)
         df.write.mode("errorifexists").parquet(path)
         persisted = self.spark.read.parquet(path)
@@ -359,7 +382,9 @@ class EmbeddingCollection:
             dot("embedding", qv) if metric == "dot" else cosine_similarity("embedding", qv)
         )
         out = (
-            self.df.filter(compile_filters(f_where))
+            self.df.filter(
+                compile_filters(f_where, promoted_columns=self.df.columns)
+            )
             .withColumn("similarity", sim)
             .filter(F.col("similarity") > 0)  # dot>0 keep-rule (embeddings.rs:366)
             .select("id", "document", "similarity", "metadata")

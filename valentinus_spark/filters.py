@@ -57,10 +57,26 @@ def _parse_spec(spec: str | dict[str, Any]) -> tuple[str, str, Any]:
     return key, op, value
 
 
+PROMOTED_PREFIX = "md_"
+
+
 def _compile_one(
-    key: str, op: str, value: Any, metadata_col: Column, strict: bool
+    key: str,
+    op: str,
+    value: Any,
+    metadata_col: Column,
+    strict: bool,
+    promoted_columns: set[str] | None = None,
 ) -> Column:
-    entry = F.element_at(metadata_col, key)
+    # promoted metadata keys are real top-level columns (md_<key>) written
+    # at save time — predicates on them reach the parquet scan as pushed
+    # filters and prune row groups, which map-element predicates cannot
+    # (collection.save(promote_keys=...))
+    promoted_name = PROMOTED_PREFIX + key
+    if promoted_columns is not None and promoted_name in promoted_columns:
+        entry = F.col(promoted_name)
+    else:
+        entry = F.element_at(metadata_col, key)
     is_string = isinstance(value, str) or (
         isinstance(value, (list, tuple)) and any(isinstance(v, str) for v in value)
     )
@@ -102,19 +118,27 @@ def compile_filters(
     specs: Iterable[str | dict[str, Any]] | None,
     metadata_col: Column | str = "metadata",
     strict: bool = True,
+    promoted_columns: Iterable[str] | None = None,
 ) -> Column:
     """Compile a list of filter specs into one conjunctive predicate.
 
     ``specs=None`` or empty → always-true (unfiltered query path,
-    embeddings.rs:334-341 with empty f_where).
-    """
+    embeddings.rs:334-341 with empty f_where). Pass ``promoted_columns=
+    df.columns`` to let predicates target promoted ``md_<key>`` columns
+    (parquet-pushable) when present."""
     if isinstance(metadata_col, str):
         metadata_col = F.col(metadata_col)
     specs = list(specs or [])
     if not specs:
         return F.lit(True)
+    promoted = set(promoted_columns) if promoted_columns is not None else None
     preds = [
-        _compile_one(*_parse_spec(s), metadata_col=metadata_col, strict=strict)
+        _compile_one(
+            *_parse_spec(s),
+            metadata_col=metadata_col,
+            strict=strict,
+            promoted_columns=promoted,
+        )
         for s in specs
     ]
     return reduce(lambda a, b: a & b, preds)

@@ -98,6 +98,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs (a < b, J ≥ threshold).
 
@@ -105,12 +106,26 @@ def ngram_jaccard_pairs(
     count intersections per pair → Jaccard from |A|,|B|,|A∩B|. The join
     key is the shingle, so candidate pairs are generated only where sets
     actually overlap; with a stopword-free shingle space the blow-up is
-    bounded by shingle document frequency (for heavy-tail shingles, cap df
-    upstream — at pipeline scale drop shingles with df > ~1000 as
-    non-discriminative, which also kills the skew)."""
+    bounded by shingle document frequency (``max_df`` caps it: shingles in
+    more than max_df docs are dropped as non-discriminative, which also
+    kills join skew — essential at corpus scale, off by default to keep
+    exact semantics).
+
+    The join runs on xxhash64(shingle) — an 8-byte key instead of a
+    ~20-byte string — which shrinks the shuffle and makes comparisons
+    cheap; a hash collision would need two distinct shingles in the same
+    corpus pair at ~2^-64, far below float-rounding noise."""
     shingled = _shingle_sets(df, id_col, text_col, n).select(
-        "_id", F.explode("_shingles").alias("shingle")
-    )
+        "_id", F.explode("_shingles").alias("_sh")
+    ).select("_id", F.xxhash64("_sh").alias("shingle"))
+    if max_df is not None:
+        keep = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(keep, "shingle", "semi")
     sizes = shingled.groupBy("_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = shingled.alias("a")
     b = shingled.alias("b")
