@@ -62,7 +62,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     which Spark reads as int64 nanos (spark.sql.legacy.parquet.nanosAsLong,
     session.py). Exposes ts (timestamp, µs) + ts_us (int64 µs — truncation
     matches DuckDB's ns→µs narrowing exactly, so session-gap math agrees
-    across engines)."""
+    across engines).
+
+    Both confs are (re)applied at runtime because the DRIVER builds its own
+    SparkSession without session.py's defaults: without nanosAsLong the
+    read throws PARQUET_TYPE_ILLEGAL, and with a non-UTC session timezone
+    the hour-window truncation of the converted (LTZ) timestamps would
+    disagree with DuckDB's wall-time date_trunc."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         return ev.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
