@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): the filter compiler against a pure
+Python evaluator, and JVM vector algebra against numpy — randomized
+inputs, exact semantics."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from valentinus_spark.filters import compile_filters
+from valentinus_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_distance,
+    l2_normalize,
+)
+
+# ---------------------------------------------------------------------------
+# filter compiler vs python oracle
+# ---------------------------------------------------------------------------
+
+KEYS = ["Year", "Rating", "Model"]
+OPS_NUM = ["eq", "gt", "gte", "lt", "lte"]
+
+spec_strategy = st.lists(
+    st.one_of(
+        st.tuples(
+            st.sampled_from(KEYS),
+            st.sampled_from(OPS_NUM),
+            st.integers(min_value=-5, max_value=15),
+        ),
+        st.tuples(
+            st.sampled_from(KEYS), st.just("eq"), st.sampled_from(["a", "b", "7"])
+        ),
+        st.tuples(
+            st.sampled_from(KEYS),
+            st.just("in"),
+            st.lists(st.integers(min_value=-5, max_value=15), min_size=1, max_size=4),
+        ),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+row_strategy = st.lists(
+    st.dictionaries(
+        st.sampled_from(KEYS),
+        st.one_of(
+            st.integers(min_value=-5, max_value=15).map(str), st.sampled_from(["a", "b"])
+        ),
+        max_size=3,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def py_eval(meta: dict, key: str, op: str, value) -> bool:
+    """Reference semantics of one compiled predicate, in python."""
+    if key not in meta:
+        return False
+    raw = meta[key]
+    if isinstance(value, str):
+        return op == "eq" and raw == value
+    try:
+        num = int(raw)
+    except ValueError:
+        return False  # try_cast → NULL → false
+    if op == "in":
+        return num in value
+    return {
+        "eq": num == value,
+        "gt": num > value,
+        "gte": num >= value,
+        "lt": num < value,
+        "lte": num <= value,
+    }[op]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(specs=spec_strategy, rows=row_strategy)
+def test_filter_compiler_matches_python(spark, specs, rows):
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(rows)], "id long, metadata map<string,string>"
+    )
+    json_specs = [{k: {op: v}} for k, op, v in specs]
+    got = {r["id"] for r in df.filter(compile_filters(json_specs)).collect()}
+    expect = {
+        i for i, m in enumerate(rows) if all(py_eval(m, k, op, v) for k, op, v in specs)
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# vector algebra vs numpy
+# ---------------------------------------------------------------------------
+
+vec_strategy = st.lists(
+    st.floats(
+        min_value=-100, max_value=100, allow_nan=False, allow_infinity=False, width=32
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=st.lists(st.tuples(vec_strategy, vec_strategy), min_size=1, max_size=5))
+def test_vector_algebra_matches_numpy(spark, pairs):
+    # pad to a common dim per example set
+    dim = max(len(a) for a, _ in pairs)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        rows.append((i, (a + [0.0] * dim)[:dim], (b + [0.0] * dim)[:dim]))
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    out = df.select(
+        "id",
+        dot(F.col("a"), F.col("b")).alias("dot"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+        l2_distance(F.col("a"), F.col("b")).alias("l2"),
+        l2_normalize(F.col("a")).alias("norm_a"),
+    ).collect()
+    for r in out:
+        a = np.array(rows[r["id"]][1], dtype=np.float32).astype(np.float64)
+        b = np.array(rows[r["id"]][2], dtype=np.float64)
+        assert math.isclose(r["dot"], float(a @ b), rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(r["l2"], float(np.linalg.norm(a - b)), rel_tol=1e-9, abs_tol=1e-9)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        expect_cos = float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+        assert math.isclose(r["cos"], expect_cos, rel_tol=1e-9, abs_tol=1e-9)
+        if na > 0:
+            np.testing.assert_allclose(np.array(r["norm_a"]), a / na, rtol=1e-9)
+            assert math.isclose(
+                float(np.linalg.norm(r["norm_a"])), 1.0, rel_tol=1e-9
+            )
