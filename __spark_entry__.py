@@ -470,6 +470,60 @@ def q_media_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "content_sha")
 
 
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event gets the most recent prior click of
+    the same user (operators/asof.py — union + running-last window, one
+    shuffle, no row multiplication)."""
+    from valentinus_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us", "value"
+    )
+    out = asof_join(
+        errors, clicks, key="user_id", ts="ts_us",
+        value_cols=["click_id", "value"], tie_break="click_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_click_id"), F.col("asof_value").alias("asof_click_value"),
+    )
+
+
+def q_collection_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full lifecycle inside the driver gate: documents
+    table → collection (hash embedder) → save → filtered cosine top-10 →
+    delete. Rows-only (hash embeddings aren't SQL-expressible); result is
+    deterministic via the seeded embedder."""
+    import tempfile
+
+    from valentinus_spark.collection import CollectionCatalog, EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    catalog = CollectionCatalog(spark, warehouse=tempfile.mkdtemp(prefix="vs_e2e_"))
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("id"), F.col("doc_id")).alias("id"),
+        F.col("text").alias("document"),
+        F.create_map(
+            F.lit("Lang"), F.col("lang"), F.lit("Chars"), F.col("n_chars").cast("string")
+        ).alias("metadata"),
+    )
+    col = EmbeddingCollection.from_dataframe(
+        spark, docs, "driver_e2e", embedder=HashEmbedder(dim=64), catalog=catalog
+    ).save()
+    found = EmbeddingCollection.find(spark, view="view-driver_e2e", catalog=catalog)
+    res = found.cosine_query(
+        "spark query data", num_results=10,
+        f_where=[{"Lang": {"eq": "en"}}, {"Chars": {"gte": 100}}],
+    ).select("id", F.round("similarity", 4).alias("similarity"))
+    rows = res.collect()  # materialize before delete
+    EmbeddingCollection.delete(spark, "view-driver_e2e", catalog=catalog)
+    return spark.createDataFrame(rows, res.schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -508,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supply": q_regional_supply,
         "events_windowed_stream": q_events_windowed_stream,
         "media_content_stats": q_media_content_stats,
+        "asof_join_clicks": q_asof_clicks,
+        "collection_e2e": q_collection_e2e,
     }
 
 
@@ -777,5 +833,29 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents
+        """,
+        "asof_join_clicks": """
+            WITH errors AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'error'
+            ),
+            clicks AS (
+                SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us, value
+                FROM events WHERE event_type = 'click'
+            ),
+            best AS (
+                SELECT e.event_id, c.click_id, c.value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY c.ts_us DESC, c.click_id DESC
+                       ) AS rn
+                FROM errors e
+                JOIN clicks c ON e.user_id = c.user_id AND c.ts_us <= e.ts_us
+            )
+            SELECT e.event_id, e.user_id,
+                   b.click_id AS asof_click_id,
+                   b.value AS asof_click_value
+            FROM errors e
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
         """,
     }

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "regional_supply",
     "events_windowed_stream",
     "media_content_stats",
+    "asof_join_clicks",
+    "collection_e2e",
 ]
 
 

@@ -1,0 +1,52 @@
+"""As-of join tests vs a pure-python oracle (operators/asof.py)."""
+
+from valentinus_spark.operators.asof import asof_join
+
+
+def py_asof(left, right):
+    out = {}
+    for lid, key, lts in left:
+        cands = [(rts, rid, val) for rid, rkey, rts, val in right if rkey == key and rts <= lts]
+        out[lid] = max(cands)[1:] if cands else (None, None)  # latest ts, largest id
+    return out
+
+
+def test_asof_join_matches_python(spark):
+    left = [(i, i % 3, 10 * (i + 1)) for i in range(12)]  # (event_id, user, ts)
+    right = [(100 + j, j % 3, 7 * j + 3, float(j)) for j in range(15)]  # (id, user, ts, value)
+    ldf = spark.createDataFrame(left, "event_id long, user_id long, ts long")
+    rdf = spark.createDataFrame(right, "rid long, user_id long, ts long, value double")
+    got = {
+        r["event_id"]: (r["asof_rid"], r["asof_value"])
+        for r in asof_join(
+            ldf, rdf, key="user_id", ts="ts", value_cols=["rid", "value"], tie_break="rid"
+        ).collect()
+    }
+    expect = py_asof(left, right)
+    for lid, (rid, _) in expect.items():
+        assert got[lid][0] == rid, f"event {lid}"
+        if rid is not None:
+            assert got[lid][1] == float(rid - 100)
+
+
+def test_asof_inclusive_and_ties(spark):
+    ldf = spark.createDataFrame([(1, 0, 100)], "event_id long, user_id long, ts long")
+    rdf = spark.createDataFrame(
+        [(10, 0, 100, 1.0), (11, 0, 100, 2.0), (12, 0, 101, 9.0)],
+        "rid long, user_id long, ts long, value double",
+    )
+    row = asof_join(
+        ldf, rdf, key="user_id", ts="ts", value_cols=["rid", "value"], tie_break="rid"
+    ).first()
+    # inclusive match at equal ts; largest tie-break among equals wins;
+    # the future row (ts=101) is invisible
+    assert row["asof_rid"] == 11 and row["asof_value"] == 2.0
+
+
+def test_asof_no_prior_row_is_null(spark):
+    ldf = spark.createDataFrame([(1, 0, 5)], "event_id long, user_id long, ts long")
+    rdf = spark.createDataFrame(
+        [(10, 0, 50, 1.0)], "rid long, user_id long, ts long, value double"
+    )
+    row = asof_join(ldf, rdf, key="user_id", ts="ts", value_cols=["rid"]).first()
+    assert row["asof_rid"] is None

@@ -60,6 +60,40 @@ def test_stream_windowed_equals_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stateful_user_totals_equals_batch(spark, tmp_path):
+    """applyInPandasWithState running totals must equal the batch groupBy
+    after consuming the whole stream."""
+    from valentinus_spark.streaming.stateful import stream_user_totals
+
+    path = str(tmp_path / "events_state")
+    _write_events(spark, path)
+    batch = spark.read.parquet(path)
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        stream_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest emitted row per user wins
+    got_rows = spark.sql("SELECT * FROM user_totals").collect()
+    got = {}
+    for r in got_rows:
+        got[r["user_id"]] = (r["n_events"], r["sum_value"])
+    assert got == expected
+
+
 def test_stream_collection_append_embeds(spark, tmp_path):
     src = str(tmp_path / "docs_in")
     out = str(tmp_path / "collection")
