@@ -524,6 +524,103 @@ def q_collection_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, res.schema)
 
 
+def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/range_join.py): purchases attributed to
+    10-minute error-incident windows of the same user — point-in-interval
+    as a bucketed equi-join, then per-purchase incident counts (left
+    semantics via join-back so zero-incident purchases survive)."""
+    from valentinus_spark.operators.range_join import range_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts_us").alias("i_start"),
+        (F.col("ts_us") + 600 * 1_000_000).alias("i_end"),
+    )
+    pairs = range_join(
+        purchases, incidents, key="user_id", point_ts="ts_us",
+        start="i_start", end="i_end", bucket_width=600 * 1_000_000,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_incidents")
+    )
+    return (
+        purchases.join(counts, on="event_id", how="left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_incidents", F.lit(0)).cast("long").alias("n_incidents"),
+        )
+    )
+
+
+def q_customers_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no order above 400k (left_anti — Spark
+    plans a broadcast/hash anti join, no row multiplication)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust["c_custkey"] == big["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations in
+    one pass (Expand + single shuffle, map-side partial agg)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+    )
+
+
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per event type (Spark `percentile` ≡
+    DuckDB `quantile_cont`). At 100 TB swap for approx_percentile — exact
+    percentile shuffles all values per group; the approx sketch is
+    mergeable map-side. Exact kept here because the oracle compares
+    values bit-for-bit (mod rounding)."""
+    ev = _events(spark, sf_dir)
+    q = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+    return ev.groupBy("event_type").agg(
+        F.round(q[0], 4).alias("p25"),
+        F.round(q[1], 4).alias("p50"),
+        F.round(q[2], 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (operators/similarity.py): kmeans|| centroids (batch
+    index build), corpus bucketed by nearest centroid, nprobe=2 probe —
+    the 100 TB ANN path (probes touch only matching buckets vs the brute
+    scan). Approximate ⇒ rows-only check; recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    from valentinus_spark.operators.similarity import bucketed_ann_topk, ivf_centroids
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = ivf_centroids(embs, n_centroids=8, vec_col="embedding")
+    out = bucketed_ann_topk(
+        embs, queries, cents, k=10, nprobe=2,
+        corpus_id="vec_id", corpus_vec="embedding",
+    )
+    return out.select(
+        "qid", "vec_id", F.round("similarity", 4).alias("similarity"), "rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -564,6 +661,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_content_stats": q_media_content_stats,
         "asof_join_clicks": q_asof_clicks,
         "collection_e2e": q_collection_e2e,
+        "range_join_incidents": q_range_join_incidents,
+        "customers_no_big_order": q_customers_no_big_order,
+        "order_cube": q_order_cube,
+        "event_value_quantiles": q_event_value_quantiles,
+        "ivf_ann_topk": q_ivf_ann,
     }
 
 
@@ -857,5 +959,49 @@ def oracle_sql() -> dict[str, str]:
                    b.value AS asof_click_value
             FROM errors e
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
+        """,
+        "range_join_incidents": """
+            WITH purchases AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'
+            ),
+            incidents AS (
+                SELECT user_id, epoch_us(ts) AS i_start,
+                       epoch_us(ts) + 600 * 1000000 AS i_end
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT p.event_id, p.user_id,
+                   count(i.i_start) AS n_incidents
+            FROM purchases p
+            LEFT JOIN incidents i
+              ON p.user_id = i.user_id
+             AND p.ts_us >= i.i_start AND p.ts_us <= i.i_end
+            GROUP BY p.event_id, p.user_id
+        """,
+        "customers_no_big_order": """
+            SELECT c_custkey, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+            )
+        """,
+        "order_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   GROUPING(o_orderstatus) AS g_status,
+                   GROUPING(o_orderpriority) AS g_priority
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "event_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75,
+                   count(*) AS n
+            FROM events
+            GROUP BY event_type
         """,
     }

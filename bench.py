@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "media_content_stats",
     "asof_join_clicks",
     "collection_e2e",
+    "range_join_incidents",
+    "customers_no_big_order",
+    "order_cube",
+    "event_value_quantiles",
+    "ivf_ann_topk",
 ]
 
 

@@ -117,3 +117,39 @@ def test_stream_collection_append_embeds(spark, tmp_path):
         emb.embed_texts(["document number 3"])[0],
         rtol=1e-6,
     )
+
+
+def test_stream_dedup_exact_equals_batch(spark, tmp_path):
+    """Streaming dedup must keep exactly one row per normalized text."""
+    from valentinus_spark.streaming.pipeline import stream_dedup_exact
+
+    path = str(tmp_path / "docs_dup")
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        # 20 distinct texts, each appearing 3 times (with case/space noise)
+        F.concat(
+            F.when(F.col("id") % 3 == 0, F.lit("  ")).otherwise(F.lit("")),
+            F.lit("document number "),
+            (F.col("id") % 20).cast("string"),
+        ).alias("document"),
+    )
+    docs.write.mode("overwrite").parquet(path)
+    batch = spark.read.parquet(path)
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        stream_dedup_exact(stream, ts_col="ts", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_stream")
+    assert got.count() == 20
+    assert got.columns == ["doc_id", "ts", "document"]
+    # batch path through the same operator agrees on the distinct count
+    assert stream_dedup_exact(batch).count() == 20

@@ -1,0 +1,49 @@
+"""Skew-mitigated equi-join via key salting.
+
+A hash join shuffles both sides on the join key; one hot key (a viral
+document, a null-ish default id, a mega-customer) lands its entire
+partition on one task and the stage runs at the speed of that straggler.
+AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`, on in
+session.py) fixes this at runtime for sort-merge joins; salting is the
+explicit, plan-level fix that also works where AQE can't see the skew
+(e.g. before an aggregation, or under `applyInPandas` groupings).
+
+    fact:  salt = pmod(hash(random-ish spread col), n)   (1 row, n ways)
+    dim:   explode salt = [0 .. n-1]                     (n replicas)
+    join on (key, salt)
+
+The dim side is replicated n×, so salting is for joins whose build side
+is small-ish but NOT broadcastable (if it fits in a broadcast, just
+broadcast — no shuffle, no skew). `salt_count` trades replication cost
+against straggler spread; 8-32 covers most real skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_count: int = 16,
+    how: str = "inner",
+    spread: Column | None = None,
+) -> DataFrame:
+    """Equi-join ``fact`` with ``dim`` on column ``on``, spreading each
+    fact key across ``salt_count`` shuffle partitions. ``spread`` is the
+    expression that distributes rows within a key (default: a hash of the
+    whole fact row via ``F.hash`` over all columns). Supports inner and
+    left joins (dim replicas never add rows: (key, salt) is unique)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    if salt_count < 1:
+        raise ValueError("salt_count must be >= 1")
+    spread = spread if spread is not None else F.hash(*[F.col(c) for c in fact.columns])
+    f_salted = fact.withColumn("_salt", F.pmod(spread, F.lit(salt_count)).cast("int"))
+    d_salted = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_count - 1)))
+    )
+    return f_salted.join(d_salted, on=[on, "_salt"], how=how).drop("_salt")

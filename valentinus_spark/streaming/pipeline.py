@@ -48,6 +48,33 @@ def stream_events_windowed(
     )
 
 
+def stream_dedup_exact(
+    docs_stream: DataFrame,
+    text_col: str = "document",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose normalized-text digest was
+    already seen. With a ``ts_col``, uses ``dropDuplicatesWithinWatermark``
+    so the digest state is EVICTED once the watermark passes — state stays
+    O(digests-per-watermark-window), not O(all digests ever), which is the
+    difference between a pipeline that runs for a year and one that OOMs.
+    Without a timestamp, falls back to unbounded ``dropDuplicates``
+    (batch-compatible; also the batch-oracle path in tests)."""
+    from valentinus_spark.functions.text import normalize_text
+
+    digested = docs_stream.withColumn(
+        "_digest", F.sha2(normalize_text(text_col), 256)
+    )
+    if ts_col is not None and digested.isStreaming:
+        deduped = digested.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_digest"]
+        )
+    else:
+        deduped = digested.dropDuplicates(["_digest"])
+    return deduped.drop("_digest")
+
+
 def stream_collection_append(
     docs_stream: DataFrame,
     embedder: Embedder,
