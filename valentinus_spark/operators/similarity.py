@@ -97,20 +97,53 @@ def ivf_centroids(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    method: str = "sample",
+    max_train: int = 100_000,
+    n_iter: int = 15,
 ) -> list[list[float]]:
-    """Learn IVF centroids with MLlib KMeans (kmeans|| init) — the batch
-    index-build step feeding :func:`bucketed_ann_topk`. Returns a small
-    driver-side list (C × dim floats) suitable for broadcasting as
-    literals; persist it next to the collection like the LSH model."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Learn IVF centroids — the batch index-build step feeding
+    :func:`bucketed_ann_topk`. Returns a small driver-side list
+    (C × dim floats) suitable for broadcasting as literals; persist it
+    next to the collection like the LSH model.
 
-    vecs = ensure_parallelism(corpus).select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
-    )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="_features")
-    model = km.fit(vecs)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    ``method="sample"`` (default): Lloyd's k-means on a bounded sample of
+    ``max_train`` vectors, driver-side numpy. Centroid quality needs a
+    representative sample, not the full corpus — at 100 TB a full
+    distributed fit for C centroids is wasted shuffle; this is the
+    standard IVF train-on-sample recipe, and the only driver-side data
+    is the capped sample itself. ``method="mllib"``: full kmeans|| fit
+    over the corpus for when the index build IS a batch job and maximum
+    centroid quality matters."""
+    if method == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = ensure_parallelism(corpus).select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+        )
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="_features")
+        model = km.fit(vecs)
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(max_train).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} vectors, got {len(X)}")
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=n_centroids, replace=False)]
+    for _ in range(n_iter):
+        # assign to nearest centroid by L2
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:  # re-seed empty cluster to the point farthest from its centroid
+                cents[c] = X[d2.min(axis=1).argmax()]
+    return [[float(x) for x in c] for c in cents]
 
 
 def bucketed_ann_topk(
