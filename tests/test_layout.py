@@ -1,0 +1,120 @@
+"""Storage-layout features: hive-partitioned collection save (partition
+pruning), compaction (small-files rewrite), bucketed tables (co-located
+shuffle-free joins)."""
+
+import contextlib
+import glob
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from valentinus_spark.collection import CollectionCatalog, EmbeddingCollection
+from valentinus_spark.embed import HashEmbedder
+from valentinus_spark.sources.tables import write_bucketed
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _docs_collection(spark, tmp_path, name, **save_kw):
+    cat = CollectionCatalog(spark, warehouse=str(tmp_path / "wh"))
+    col = EmbeddingCollection.new(
+        spark,
+        documents=[f"document body {i}" for i in range(40)],
+        metadata=[{"Lang": "en" if i % 2 else "de", "Year": 2000 + i % 5} for i in range(40)],
+        ids=None,
+        name=name,
+        embedder=HashEmbedder(dim=16),
+        catalog=cat,
+    )
+    return col.save(**save_kw), cat
+
+
+def test_partitioned_save_prunes_partitions(spark, tmp_path):
+    col, cat = _docs_collection(
+        spark, tmp_path, "parted",
+        promote_keys={"Lang": "string", "Year": "long"},
+        partition_by=["md_Lang"],
+    )
+    path = cat.resolve("view-parted")["path"]
+    assert os.path.isdir(os.path.join(path, "md_Lang=en"))
+    q = col.df.filter(F.col("md_Lang") == "en").select("id")
+    plan = plan_of(q)
+    # directory-level pruning: the partition filter appears as
+    # PartitionFilters, not a data filter
+    assert "PartitionFilters" in plan and "md_Lang" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert q.count() == 20
+    # query semantics unchanged through cosine_query
+    res = col.cosine_query("body", num_results=5, f_where=[{"Lang": {"eq": "de"}}])
+    assert res.count() == 5
+
+
+def test_sort_by_clusters_rowgroups(spark, tmp_path):
+    col, _ = _docs_collection(
+        spark, tmp_path, "sorted",
+        promote_keys={"Year": "long"}, sort_by=["md_Year"],
+    )
+    # data intact and sorted within each file
+    assert col.df.count() == 40
+    years = [r[0] for r in col.df.select("md_Year").collect()]
+    assert sorted(years) == sorted(years)  # presence check; per-file order below
+    import pyarrow.parquet as pq
+
+    files = [
+        f for f in glob.glob(
+            os.path.dirname(col.catalog.data_path("view-sorted")) + "/view-sorted/*.parquet"
+        )
+    ]
+    assert files
+    for f in files:
+        vals = pq.read_table(f, columns=["md_Year"]).column(0).to_pylist()
+        assert vals == sorted(vals)
+
+
+def test_compact_reduces_files_and_keeps_data(spark, tmp_path):
+    col, cat = _docs_collection(spark, tmp_path, "frag")
+    path = cat.resolve("view-frag")["path"]
+    # fragment: rewrite as many small files (via a staging dir — writing a
+    # lazy plan back over its own input would read deleted files)
+    import shutil
+
+    staged = str(tmp_path / "staged")
+    spark.read.parquet(path).repartition(16).write.parquet(staged)
+    shutil.rmtree(path)
+    os.rename(staged, path)
+    n_before = len(glob.glob(path + "/*.parquet"))
+    assert n_before >= 16
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+
+    col.compact(target_files=2)
+    n_after = len(glob.glob(path + "/*.parquet"))
+    assert n_after <= 2
+    assert {r["id"] for r in col.df.collect()} == before
+    assert not glob.glob(path + ".compact.*")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    fact = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("name"))
+    spark.sql("DROP TABLE IF EXISTS fact_b")
+    spark.sql("DROP TABLE IF EXISTS dim_b")
+    write_bucketed(fact, "fact_b", by="k", buckets=4, sort_by="k")
+    write_bucketed(dim, "dim_b", by="k", buckets=4, sort_by="k")
+    joined = (
+        spark.table("fact_b")
+        .hint("merge")  # force SMJ so broadcast doesn't mask bucketing
+        .join(spark.table("dim_b"), "k")
+    )
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: the shuffle was paid at write
+    assert joined.count() == 100
+    spark.sql("DROP TABLE fact_b")
+    spark.sql("DROP TABLE dim_b")

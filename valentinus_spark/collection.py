@@ -239,7 +239,10 @@ class EmbeddingCollection:
     # ---------------- save (S3, embeddings.rs:285-306) --------------------
 
     def save(
-        self, promote_keys: Sequence[str] | dict[str, str] | None = None
+        self,
+        promote_keys: Sequence[str] | dict[str, str] | None = None,
+        partition_by: Sequence[str] | None = None,
+        sort_by: Sequence[str] | None = None,
     ) -> "EmbeddingCollection":
         """Embed all documents lacking vectors and persist as Parquet.
 
@@ -256,7 +259,14 @@ class EmbeddingCollection:
         column only pushes its IsNotNull; a TYPED promoted column pushes
         the actual comparison and prunes row groups — promote the hot
         filter keys of a 100 TB collection as their real types.
-        cosine_query uses promoted columns automatically."""
+        cosine_query uses promoted columns automatically.
+
+        ``partition_by``: hive-partition the table on these columns (use a
+        LOW-cardinality promoted key, e.g. ``md_Lang``) — an equality
+        filter then prunes whole directories before any file is opened.
+        ``sort_by``: sortWithinPartitions before writing, clustering
+        row-group min/max stats so range predicates on those columns skip
+        row groups. Both are layout hints, invisible to query semantics."""
         from valentinus_spark.filters import PROMOTED_PREFIX
 
         df = self.df
@@ -272,8 +282,13 @@ class EmbeddingCollection:
                 PROMOTED_PREFIX + key,
                 F.element_at("metadata", key).try_cast(dtype),
             )
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         path = self.catalog.data_path(self.view)
-        df.write.mode("errorifexists").parquet(path)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         persisted = self.spark.read.parquet(path)
         self.catalog.add(
             self.view,
@@ -286,6 +301,30 @@ class EmbeddingCollection:
             },
         )
         self.df = persisted
+        return self
+
+    def compact(self, target_files: int | None = None) -> "EmbeddingCollection":
+        """Rewrite the collection's Parquet layout with ``target_files``
+        output files (default: session defaultParallelism).
+
+        The small-files problem is the storage-side skew of streaming
+        ingest: stream_collection_append writes a file per micro-batch
+        per partition, and a year of that makes every scan pay per-file
+        open/footer costs. Periodic compaction is the standard fix (what
+        Delta's OPTIMIZE does). Rewrites to a temp dir then swaps, so a
+        failed compaction never loses data."""
+        entry = self.catalog.resolve(self.view)
+        path = entry["path"]
+        n = target_files or self.spark.sparkContext.defaultParallelism
+        tmp = path + ".compact.tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self.spark.read.parquet(path).repartition(n).write.parquet(tmp)
+        old = path + ".compact.old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        self.df = self.spark.read.parquet(path)
         return self
 
     # ---------------- load (S4, find, embeddings.rs:545-569) --------------

@@ -1,3 +1,4 @@
 from valentinus_spark.sources.csv_ingest import read_review_csv
+from valentinus_spark.sources.tables import write_bucketed
 
-__all__ = ["read_review_csv"]
+__all__ = ["read_review_csv", "write_bucketed"]
