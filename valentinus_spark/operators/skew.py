@@ -47,3 +47,38 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_count - 1)))
     )
     return f_salted.join(d_salted, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt_count: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: aggregate on (keys + salt) first
+    — spreading a hot key over ``salt_count`` reducers — then merge the
+    partials on the true keys.
+
+    Ordinary groupBy already does map-side partial aggregation, which
+    handles MOST skew (the shuffle carries one row per key per mapper);
+    the explicit two-phase form matters when partials can't combine
+    map-side — high-cardinality secondary structures (collect_set,
+    approximate sketches) or `applyInPandas` per-group logic — or when
+    one reducer's merge work itself is the bottleneck.
+
+    ``aggs`` maps column → one of sum/count/min/max (the mergeable
+    subset; avg = sum/count at the call site)."""
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+    for a in aggs.values():
+        if a not in merge_fn:
+            raise ValueError(f"unsupported agg {a!r} (use sum/count/min/max)")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_count))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[first_fn[a](c).alias(f"_p_{c}_{a}") for c, a in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge_fn[a](f"_p_{c}_{a}").alias(f"{c}_{a}") for c, a in aggs.items()]
+    )

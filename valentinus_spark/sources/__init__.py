@@ -1,4 +1,5 @@
 from valentinus_spark.sources.csv_ingest import read_review_csv
+from valentinus_spark.sources.jsonl import read_documents_jsonl
 from valentinus_spark.sources.tables import write_bucketed
 
-__all__ = ["read_review_csv", "write_bucketed"]
+__all__ = ["read_review_csv", "read_documents_jsonl", "write_bucketed"]
