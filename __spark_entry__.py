@@ -621,6 +621,56 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_heavy_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (left_semi ≡ EXISTS): orders having at least one heavy
+    line item. Semi joins never multiply rows — the probe stops at first
+    match — so the output is bounded by |orders| regardless of fan-out."""
+    orders = _t(spark, sf_dir, "orders")
+    heavy = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(heavy, orders["o_orderkey"] == heavy["l_orderkey"], "left_semi")
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def q_customer_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame: per-customer 3-order moving spend (rows
+    between 2 preceding and current, ordered by date then key for a
+    deterministic frame). Decimal accumulation — float window sums are
+    association-order-dependent (DuckDB's segment-tree vs Spark's frame
+    re-scan disagree in the last ulp, which flips a .xx5 rounding)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    msum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(msum.cast("double"), 2).alias("moving_sum_3"),
+    )
+
+
+def q_brand_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group: how many distinct suppliers and orders
+    touch each part brand. Distinct-agg expands the shuffle key to
+    (brand, supplier)/(brand, order) internally — two Expand branches,
+    still one pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -666,6 +716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cube": q_order_cube,
         "event_value_quantiles": q_event_value_quantiles,
         "ivf_ann_topk": q_ivf_ann,
+        "orders_heavy_semi": q_orders_heavy_semi,
+        "customer_moving_sum": q_customer_moving_sum,
+        "brand_supplier_breadth": q_brand_supplier_breadth,
     }
 
 
@@ -1003,5 +1056,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events
             GROUP BY event_type
+        """,
+        "orders_heavy_semi": """
+            SELECT o_orderkey, o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+            )
+        """,
+        "customer_moving_sum": """
+            SELECT o_custkey, o_orderkey,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE), 2) AS moving_sum_3
+            FROM orders
+        """,
+        "brand_supplier_breadth": """
+            SELECT p_brand,
+                   count(DISTINCT l_suppkey) AS n_suppliers,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
     }

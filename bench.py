@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "order_cube",
     "event_value_quantiles",
     "ivf_ann_topk",
+    "orders_heavy_semi",
+    "customer_moving_sum",
+    "brand_supplier_breadth",
 ]
 
 
