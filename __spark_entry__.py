@@ -671,6 +671,18 @@ def q_brand_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clusters: n-gram Jaccard pairs → connected
+    components (iterative min-label propagation) → per-doc cluster id +
+    size. The oracle recomputes components with a recursive CTE — an
+    independent algorithm, same fixpoint."""
+    from valentinus_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -719,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_heavy_semi": q_orders_heavy_semi,
         "customer_moving_sum": q_customer_moving_sum,
         "brand_supplier_breadth": q_brand_supplier_breadth,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1082,5 +1095,55 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' '))
+                    END)) AS shingle
+                FROM words
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            -- transitive closure by recursive CTE: reach(a, b) = b reachable from a
+            reach AS (
+                SELECT src AS a, dst AS b FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ),
+            labels AS (
+                SELECT a AS id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a
+            ),
+            assigned AS (
+                SELECT d.doc_id,
+                       coalesce(l.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+            )
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM assigned
         """,
     }

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "orders_heavy_semi",
     "customer_moving_sum",
     "brand_supplier_breadth",
+    "dedup_clusters",
 ]
 
 

@@ -120,3 +120,30 @@ def test_embedding_neardup(spark):
     out = embedding_neardup_pairs(df, threshold=0.95).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
     assert out[0]["cosine"] > 0.99
+
+
+def test_connected_components_matches_python(spark):
+    from valentinus_spark.operators.dedup import connected_components
+
+    # two chains, one triangle, one isolated pair: {1,2,3,4} {10,11} {20,21,22}
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(pdf).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_includes_singletons(spark):
+    from valentinus_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
+    assert got[5] == (5, 2) and got[6] == (5, 2)
+    for single in (3, 4, 7):
+        assert got[single] == (single, 1)

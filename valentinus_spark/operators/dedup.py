@@ -368,3 +368,97 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list → (id, cluster_id)
+    with cluster_id = min member id. The step pairs→clusters is what turns
+    near-dup PAIRS into dedup GROUPS (transitivity: A~B, B~C ⇒ {A,B,C}
+    even though A,C never matched directly).
+
+    Iterative min-label propagation: each node takes the min label among
+    itself and its neighbors until fixpoint. Iterations = graph diameter,
+    which for dup clusters is tiny (chains longer than a handful of docs
+    are rare); each iteration is one join + one agg, partition-parallel,
+    with localCheckpoint to truncate lineage (otherwise the plan doubles
+    per iteration and the optimizer chokes long before the cluster does).
+
+    For adversarial diameters switch to large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), same join
+    primitives, O(log n) rounds.
+    """
+    # materialize `pairs` ONCE before anything reads it: the symmetrizing
+    # union scans it twice and every iteration re-joins the edges — if the
+    # upstream is an expensive pipeline (a similarity join), the naive plan
+    # recomputes it 2× here and again per round
+    pairs = pairs.select(id_a, id_b).localCheckpoint()
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    # labels only ever decrease, so the label sum is a monotone convergence
+    # witness: fixpoint ⇔ sum unchanged (one cheap agg per round instead of
+    # a join-based diff)
+    prev_sum = labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    ).first()[0]
+    for _ in range(max_iter):
+        # min label among each node's neighbors
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Assign every row of ``df`` its duplicate-cluster id: connected
+    components over ``pairs`` for matched rows, self-cluster for the rest.
+    Output: (id_col, cluster_id, cluster_size)."""
+    cc = connected_components(pairs, pair_a, pair_b)
+    out = (
+        df.select(F.col(id_col))
+        .join(cc, df[id_col] == cc["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
