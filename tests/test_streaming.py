@@ -153,3 +153,47 @@ def test_stream_dedup_exact_equals_batch(spark, tmp_path):
     assert got.columns == ["doc_id", "ts", "document"]
     # batch path through the same operator agrees on the distinct count
     assert stream_dedup_exact(batch).count() == 20
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream join must equal the same join on batch."""
+    from valentinus_spark.streaming.pipeline import stream_stream_join
+
+    lpath, rpath = str(tmp_path / "ss_left"), str(tmp_path / "ss_right")
+    base = 1704067200
+    left = spark.range(50).select(
+        F.col("id").alias("eid"),
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 120).alias("ts"),
+    )
+    right = spark.range(80).select(
+        F.col("id").alias("cid"),
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 77).alias("ts"),
+    )
+    left.write.parquet(lpath)
+    right.write.parquet(rpath)
+    lb, rb = spark.read.parquet(lpath), spark.read.parquet(rpath)
+    expected = {
+        (r["l_eid"], r["r_cid"])
+        for r in stream_stream_join(lb, rb, key="user_id", within="10 minutes").collect()
+    }
+    assert expected  # non-degenerate scenario
+
+    ls = spark.readStream.schema(lb.schema).parquet(lpath)
+    rs = spark.readStream.schema(rb.schema).parquet(rpath)
+    q = (
+        stream_stream_join(ls, rs, key="user_id", within="10 minutes")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_eid"], r["r_cid"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    assert got == expected

@@ -75,6 +75,44 @@ def stream_dedup_exact(
     return deduped.drop("_digest")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: match right rows to left rows with the
+    same ``key`` where ``right_ts ∈ [left_ts - within, left_ts]``.
+
+    Both sides carry watermarks and the join has a time-range condition —
+    the two things that let Spark EVICT buffered rows (state stays
+    O(rows per watermark+within window) instead of growing forever; an
+    unconstrained stream-stream join would have to buffer both streams
+    for all time). Works identically on batch DataFrames (no watermark),
+    which is how the test oracles it."""
+    l_pref, r_pref = left, right
+    if l_pref.isStreaming:
+        l_pref = l_pref.withWatermark(left_ts, watermark)
+    if r_pref.isStreaming:
+        r_pref = r_pref.withWatermark(right_ts, watermark)
+    lcols = [F.col(c).alias(f"l_{c}") for c in left.columns]
+    rcols = [F.col(c).alias(f"r_{c}") for c in right.columns]
+    lj = l_pref.select(*lcols)
+    rj = r_pref.select(*rcols)
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
+        & (
+            F.col(f"r_{right_ts}")
+            >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lj.join(rj, cond, "inner")
+
+
 def stream_collection_append(
     docs_stream: DataFrame,
     embedder: Embedder,
