@@ -42,12 +42,25 @@ from valentinus_spark.errors import ConfigError, ModelError
 DEFAULT_DIM = 384  # reference onnx.rs:20
 
 
+# token→(bucket, sign) memo: corpora are Zipfian, so most blake2b calls
+# repeat a token already hashed in this worker process; bound the memo so
+# an adversarial corpus of unique tokens can't grow it without limit
+_TOKEN_CACHE: dict[tuple[int, str], tuple[int, float]] = {}
+_TOKEN_CACHE_MAX = 1_000_000
+
+
 def _hash_token(token: str, seed: int) -> tuple[int, float]:
     """(bucket, sign) for one token — blake2b keyed by seed: stable across
     processes, Python versions, and cluster nodes (unlike builtin hash())."""
-    h = hashlib.blake2b(token.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "little")).digest()
-    v = int.from_bytes(h, "little")
-    return v >> 1, 1.0 if (v & 1) else -1.0
+    key = (seed, token)
+    got = _TOKEN_CACHE.get(key)
+    if got is None:
+        h = hashlib.blake2b(token.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "little")).digest()
+        v = int.from_bytes(h, "little")
+        got = (v >> 1, 1.0 if (v & 1) else -1.0)
+        if len(_TOKEN_CACHE) < _TOKEN_CACHE_MAX:
+            _TOKEN_CACHE[key] = got
+    return got
 
 
 class Embedder:
