@@ -136,3 +136,33 @@ def test_vector_algebra_matches_numpy(spark, pairs):
             assert math.isclose(
                 float(np.linalg.norm(r["norm_a"])), 1.0, rel_tol=1e-9
             )
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs python oracle (randomized)
+# ---------------------------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=events_strategy, right=events_strategy)
+def test_asof_join_matches_python_oracle(spark, left, right):
+    from valentinus_spark.operators.asof import asof_join
+
+    lrows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    rrows = [(100 + j, k, ts, float(j)) for j, (k, ts) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "eid long, k long, ts long")
+    rdf = spark.createDataFrame(rrows, "rid long, k long, ts long, v double")
+    got = {
+        r["eid"]: r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, key="k", ts="ts", value_cols=["rid", "v"], tie_break="rid"
+        ).collect()
+    }
+    for eid, k, ts in lrows:
+        cands = [(rts, rid) for rid, rk, rts, _ in rrows if rk == k and rts <= ts]
+        expect = max(cands)[1] if cands else None
+        assert got[eid] == expect, (eid, k, ts)
