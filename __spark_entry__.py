@@ -683,6 +683,66 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def q_user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState through a real stream (file source →
+    per-user state → update-mode memory sink, availableNow). The final
+    emitted row per user carries the complete totals, so the batch
+    groupBy is the oracle."""
+    import tempfile
+
+    from valentinus_spark.streaming.stateful import stream_user_totals
+
+    batch = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = "user_totals_stream_result"
+    q = (
+        stream_user_totals(stream.select("user_id", "value"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="vs_ckpt_state_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode appends a row per touched user per batch; the row with
+    # the max n_events per user is that user's final state
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 4).alias("sum_value"))
+    )
+
+
+def q_salted_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): lineitem × part revenue
+    per type WITHOUT broadcasting — the fact side spreads each part key
+    over 16 salts. Results are identical to the plain join, which is
+    exactly what the oracle checks."""
+    from valentinus_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = salted_join(
+        li.withColumnRenamed("l_partkey", "pk"),
+        part.withColumnRenamed("p_partkey", "pk"),
+        on="pk",
+        salt_count=16,
+    )
+    return joined.groupBy("p_type").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -732,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_moving_sum": q_customer_moving_sum,
         "brand_supplier_breadth": q_brand_supplier_breadth,
         "dedup_clusters": q_dedup_clusters,
+        "user_totals_stateful_stream": q_user_totals_stateful_stream,
+        "salted_part_join": q_salted_part_join,
     }
 
 
@@ -1145,5 +1207,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM assigned
+        """,
+        "user_totals_stateful_stream": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY user_id
+        """,
+        "salted_part_join": """
+            SELECT p_type,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
         """,
     }

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "customer_moving_sum",
     "brand_supplier_breadth",
     "dedup_clusters",
+    "salted_part_join",
 ]
 
 
