@@ -73,14 +73,21 @@ def main() -> None:
     # JVM/codegen warm-up outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # min of N reps per query: single runs at this scale are noise-bound
+    # (JIT, page cache, python-worker spin-up); min is the standard
+    # steady-state estimator and what a warmed cluster would see
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

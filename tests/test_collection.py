@@ -196,3 +196,23 @@ def test_save_persists_embeddings(spark, fresh_warehouse):
     vecs = {r["id"]: r["embedding"] for r in re_read.collect()}
     expect = HashEmbedder(dim=16).embed_texts(["alpha beta"])[0]
     np.testing.assert_allclose(vecs["id0"], expect, rtol=1e-6)
+
+
+def test_to_view_enables_sql(spark, fresh_warehouse):
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    col = EmbeddingCollection.new(
+        spark,
+        documents=["alpha doc", "beta doc", "gamma doc"],
+        metadata=[{"Year": y} for y in (2016, 2017, 2018)],
+        ids=None,
+        name="sqlable",
+        embedder=HashEmbedder(dim=16),
+    ).save(promote_keys={"Year": "long"})
+    view = col.to_view()
+    assert view == "sqlable"
+    got = spark.sql(
+        "SELECT id, md_Year FROM sqlable WHERE md_Year >= 2017 ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["md_Year"]) for r in got] == [("id1", 2017), ("id2", 2018)]

@@ -47,3 +47,29 @@ def test_video_frame_fanout(media):
 def test_stub_gate_raises(media):
     with pytest.raises(PythonException, match="NotImplementedError"):
         extract_media_features(media, decode_stub=False).collect()
+
+
+def test_resize_images_shape_and_meta(media):
+    from valentinus_spark.multimodal import resize_images
+
+    out = resize_images(media, width=8, height=8).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert len(r["content"]) == 8 * 8 * 3
+        assert r["meta"] == {"width": "8", "height": "8", "channels": "3"}
+
+
+def test_resize_images_deterministic(media):
+    from valentinus_spark.multimodal import resize_images
+
+    a = {r["media_id"]: bytes(r["content"]) for r in resize_images(media, 4, 4).collect()}
+    b = {r["media_id"]: bytes(r["content"]) for r in resize_images(media, 4, 4).collect()}
+    assert a == b
+
+
+def test_resize_images_stub_gate(media):
+    import pytest
+    from valentinus_spark.multimodal import resize_images
+
+    with pytest.raises(Exception):
+        resize_images(media, 4, 4, decode_stub=False).collect()

@@ -303,6 +303,18 @@ class EmbeddingCollection:
         self.df = persisted
         return self
 
+    def to_view(self, name: str | None = None) -> str:
+        """Register the collection as a temp view for spark.sql — the full
+        SQL surface (joins, window functions, CTEs) over collection data,
+        something the reference cannot offer at all (SURVEY.md §2.4).
+        Returns the view name (default: the collection name without the
+        ``view-`` prefix)."""
+        name = name or self.view.removeprefix("view-")
+        if not VALID_NAME.match(name):
+            raise ViewNameError(f"invalid SQL view name {name!r}")
+        self.df.createOrReplaceTempView(name)
+        return name
+
     def compact(self, target_files: int | None = None) -> "EmbeddingCollection":
         """Rewrite the collection's Parquet layout with ``target_files``
         output files (default: session defaultParallelism).

@@ -145,3 +145,43 @@ def sample_video_frames(
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True
+) -> DataFrame:
+    """Image-resize plumbing: (media_id, content) → (media_id, content,
+    meta) with the payload replaced by the resized encoding and meta
+    carrying the typed target dims. The stub transform is deterministic
+    (digest-stretched bytes sized w·h·3); a real implementation decodes
+    with PIL, resizes, re-encodes — at the marked site. Output stays a
+    binary column, so resized corpora feed straight back into
+    extract_media_features / dedup over content_sha."""
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("content", BinaryType(), True),
+            StructField("meta", MapType(StringType(), StringType()), True),
+        ]
+    )
+    n_out = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, metas = [], []
+            for payload in pdf["content"]:
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real image resize requires PIL; decode→resize→encode here"
+                    )
+                raw = _fake_features(payload or b"", min(n_out, 4096))
+                stretched = np.resize(
+                    ((raw + 1.0) * 127.5).astype(np.uint8), n_out
+                )
+                contents.append(stretched.tobytes())
+                metas.append({"width": str(width), "height": str(height), "channels": "3"})
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": contents, "meta": metas}
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=out_schema)
