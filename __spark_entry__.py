@@ -82,11 +82,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with the reference-shaped metadata map column — exercises
     the same MapType path the collection API uses."""
+    # create_map (not map_from_arrays): SimplifyExtractValueOps only
+    # rewrites getItem over CreateMap, which turns metadata-filter
+    # predicates into plain column predicates pushed to the parquet scan
     return _t(spark, sf_dir, "documents").withColumn(
         "metadata",
-        F.map_from_arrays(
-            F.array(F.lit("Lang"), F.lit("Source"), F.lit("Chars")),
-            F.array(F.col("lang"), F.col("source"), F.col("n_chars").cast("string")),
+        F.create_map(
+            F.lit("Lang"), F.col("lang"),
+            F.lit("Source"), F.col("source"),
+            F.lit("Chars"), F.col("n_chars").cast("string"),
         ),
     )
 

@@ -108,6 +108,21 @@ def test_exact_dedup_single_shuffle(spark):
     assert "partial_count" in plan
 
 
+def test_map_metadata_filter_pushes_through_create_map(spark):
+    """getItem over create_map collapses to the underlying column
+    (SimplifyExtractValueOps) — the metadata predicate must reach the
+    parquet scan as a pushed filter, not evaluate post-scan."""
+    from valentinus_spark.filters import compile_filters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "metadata",
+        F.create_map(F.lit("Lang"), F.col("lang")),
+    )
+    df = docs.filter(compile_filters([{"Lang": {"eq": "en"}}])).select("doc_id")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
 def test_metadata_filter_compiles_to_catalyst_predicate(spark):
     from valentinus_spark.filters import compile_filters
 

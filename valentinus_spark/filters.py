@@ -76,7 +76,13 @@ def _compile_one(
     if promoted_columns is not None and promoted_name in promoted_columns:
         entry = F.col(promoted_name)
     else:
-        entry = F.element_at(metadata_col, key)
+        # getItem (GetMapValue), NOT element_at: same NULL-on-missing-key
+        # semantics (ANSI-exempt since Spark 3.4), but SimplifyExtractValueOps
+        # can rewrite getItem(create_map(k₁,v₁,...), k) to the underlying
+        # column — so a filter over map metadata DERIVED from real columns
+        # collapses to a plain column predicate and pushes to parquet;
+        # element_at blocks that rule and evaluates post-scan
+        entry = metadata_col.getItem(key)
     is_string = isinstance(value, str) or (
         isinstance(value, (list, tuple)) and any(isinstance(v, str) for v in value)
     )
