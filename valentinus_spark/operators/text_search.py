@@ -43,19 +43,20 @@ def bm25_topk(
         word_tokens(normalize_text(text_col)).alias("_toks"),
     )
     lens = toks.select("_id", F.size("_toks").alias("_dl"))
+    # carry _dl through the postings so scoring needs no join back to lens
+    # (one fewer shuffle; _dl is constant per _id so grouping on it is free)
     postings = toks.select(
-        "_id", F.explode("_toks").alias("term")
+        "_id", F.size("_toks").alias("_dl"), F.explode("_toks").alias("term")
     ).filter(F.col("term").isin(list(terms)))
 
     stats = lens.agg(
         F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl")
     )
-    tf = postings.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = postings.groupBy("_id", "_dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(lens, "_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
