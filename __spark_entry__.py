@@ -747,6 +747,29 @@ def q_salted_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly rollup materialized
+    for events before Jan 15 (the "stored" partials), merged with a fresh
+    rollup of the raw tail — served result must equal aggregating all raw
+    rows, which the oracle computes directly. Cutoff is mid-bucket-
+    agnostic: partials merge per (bucket, key)."""
+    from valentinus_spark.operators.rollup import build_time_rollup, merged_rollup
+
+    ev = _events(spark, sf_dir)
+    cutoff = "2024-01-15 00:00:00"
+    stored = build_time_rollup(ev.filter(F.col("ts") < cutoff))
+    tail = ev.filter(F.col("ts") >= cutoff)
+    out = merged_rollup(stored, tail)
+    return out.select(
+        "bucket_start",
+        "key",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -798,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "user_totals_stateful_stream": q_user_totals_stateful_stream,
         "salted_part_join": q_salted_part_join,
+        "events_rollup_merge": q_events_rollup_merge,
     }
 
 
@@ -1225,5 +1249,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_type
+        """,
+        "events_rollup_merge": """
+            SELECT date_trunc('hour', ts) AS bucket_start,
+                   event_type AS key,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value
+            FROM events
+            GROUP BY 1, 2
         """,
     }

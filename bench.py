@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "brand_supplier_breadth",
     "dedup_clusters",
     "salted_part_join",
+    "events_rollup_merge",
 ]
 
 
