@@ -770,6 +770,64 @@ def q_events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped correlated aggregate: revenue from line items whose
+    quantity is below 20% of their part's average quantity. The
+    correlated scalar subquery becomes a window avg over l_partkey — one
+    shuffle, no join back."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: big-spender custkeys EXCEPT the BUILDING segment
+    (complements segment_intersect; Spark plans a left-anti aggregate)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("_spend"))
+        .filter(F.col("_spend") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return spenders.exceptAll(building)
+
+
+def q_nation_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null-aware agg: per nation, customers with and
+    without any URGENT order (the unmatched side survives as NULLs and is
+    counted explicitly)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    joined = cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left"
+    ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count("o_custkey").alias("n_with_urgent"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_without_urgent"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -822,6 +880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_totals_stateful_stream": q_user_totals_stateful_stream,
         "salted_part_join": q_salted_part_join,
         "events_rollup_merge": q_events_rollup_merge,
+        "small_qty_revenue": q_small_qty_revenue,
+        "segment_except": q_segment_except,
+        "nation_order_coverage": q_nation_order_coverage,
     }
 
 
@@ -1259,5 +1320,44 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 4) AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "small_qty_revenue": """
+            WITH flagged AS (
+                SELECT l_extendedprice, l_quantity,
+                       avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+                FROM lineitem
+            )
+            SELECT round(sum(l_extendedprice), 2) AS small_qty_revenue,
+                   count(*) AS n_lines
+            FROM flagged
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "segment_except": """
+            WITH spenders AS (
+                SELECT o_custkey AS custkey
+                FROM orders GROUP BY o_custkey
+                HAVING sum(o_totalprice) > 300000
+            ),
+            building AS (
+                SELECT c_custkey AS custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            )
+            SELECT custkey FROM spenders
+            EXCEPT ALL
+            SELECT custkey FROM building
+        """,
+        "nation_order_coverage": """
+            WITH urgent AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+            SELECT n_name,
+                   count(*) AS n_customers,
+                   count(u.o_custkey) AS n_with_urgent,
+                   sum(CASE WHEN u.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_without_urgent
+            FROM customer c
+            LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
         """,
     }

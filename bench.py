@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "salted_part_join",
     "events_rollup_merge",
+    "small_qty_revenue",
+    "segment_except",
+    "nation_order_coverage",
 ]
 
 
