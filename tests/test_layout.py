@@ -118,3 +118,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == 100
     spark.sql("DROP TABLE fact_b")
     spark.sql("DROP TABLE dim_b")
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from valentinus_spark.functions.vector import zorder_key
+
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 3)], "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key("x", "y", bits=2).alias("z")).collect()
+    }
+    # 2-bit morton: z = interleave(x1 y1 x0 y0)
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 2  # x0 lands in the higher of the lowest bit-pair
+    assert got[(0, 1)] == 1
+    assert got[(3, 3)] == 15
+
+
+def test_zorder_locality_beats_single_sort(spark):
+    """Morton order keeps 2-D neighborhoods contiguous: the max z-range
+    spanned by a small x-slice must be far below the full z range (with a
+    plain sort on y, an x-slice spans the entire file)."""
+    from valentinus_spark.functions.vector import zorder_key
+
+    n = 32
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", zorder_key("x", "y", bits=5).alias("z")
+    )
+    stats = (
+        df.filter(F.col("x") < 4)
+        .agg(F.max("z").alias("zmax"))
+        .first()
+    )
+    full = df.agg(F.max("z")).first()[0]
+    # x<4 zeroes x's top 3 bits; since x leads the interleave, the slice's
+    # z-max is 0b0101011111 = 351 of 1023 — under half the z-space (a
+    # plain y-sort would make the x-slice span the entire file)
+    assert stats["zmax"] < full / 2

@@ -71,3 +71,22 @@ def test_salted_agg_count(spark):
         for r in salted_agg(df, keys=["k"], aggs={"v": "count"}, salt_count=4).collect()
     }
     assert got == {0: 100, 1: 7}
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """The 100 TB substitutes for exact distinct/quantiles: HLL-based
+    approx_count_distinct and percentile_approx must land within their
+    documented error of the exact answers (both are mergeable sketches —
+    map-side combine applies, unlike exact percentile which shuffles
+    every value)."""
+    df = spark.range(20000).select(
+        (F.col("id") % 811).alias("k"), (F.col("id") % 1000 / 10.0).alias("v")
+    )
+    row = df.agg(
+        F.approx_count_distinct("k", rsd=0.02).alias("approx_k"),
+        F.countDistinct("k").alias("exact_k"),
+        F.percentile_approx("v", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(v, 0.5D)").alias("exact_p50"),
+    ).first()
+    assert abs(row["approx_k"] - row["exact_k"]) <= 0.05 * row["exact_k"]
+    assert abs(row["approx_p50"] - row["exact_p50"]) <= 1.0

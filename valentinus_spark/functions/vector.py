@@ -81,3 +81,24 @@ def l2_normalize(a: Column | str) -> Column:
     a = a.cast("array<double>")
     n = _norm(a)
     return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def zorder_key(*cols, bits: int = 16):
+    """Z-order (Morton) interleave of numeric columns — a single sort key
+    that clusters rows on BOTH dimensions at once, so range predicates on
+    either column skip row groups after ``save(sort_by=[zorder_key(...)])``
+    (single-column sort_by only prunes its own column; Delta's OPTIMIZE
+    ZORDER BY is this same trick as a service).
+
+    Columns are rank-normalized to [0, 2^bits) by the caller or passed as
+    already-bounded non-negative ints; interleaving is pure Catalyst bit
+    arithmetic (shiftleft/bitwise or), no UDF."""
+    from pyspark.sql import functions as F
+
+    out = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for i, c in enumerate(cols):
+            col = F.col(c) if isinstance(c, str) else c
+            src_bit = F.shiftright(col.cast("long"), bit).bitwiseAND(F.lit(1))
+            out = F.shiftleft(out, 1).bitwiseOR(src_bit)
+    return out
