@@ -828,6 +828,22 @@ def q_nation_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (stable_split: sha256-bucketed,
+    growth-stable, shuffle-free) — per-split, per-lang document counts.
+    The oracle reimplements the identical bucketing in DuckDB SQL, so
+    the check proves cross-engine reproducibility of the assignment."""
+    from valentinus_spark.functions.text import stable_split
+
+    docs = _t(spark, sf_dir, "documents")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    return (
+        docs.select("lang", stable_split(F.col("doc_id"), w).alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -883,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "segment_except": q_segment_except,
         "nation_order_coverage": q_nation_order_coverage,
+        "train_split_counts": q_train_split,
     }
 
 
@@ -1359,5 +1376,21 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n_name
+        """,
+        "train_split_counts": """
+            WITH assigned AS (
+                SELECT lang,
+                       CASE
+                           WHEN CAST(('0x' || substr(sha256('v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                < CAST(0.9 * 4294967296 AS BIGINT) THEN 'train'
+                           WHEN CAST(('0x' || substr(sha256('v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                < CAST(0.95 * 4294967296 AS BIGINT) THEN 'val'
+                           ELSE 'test'
+                       END AS split
+                FROM documents
+            )
+            SELECT split, lang, count(*) AS n_docs
+            FROM assigned
+            GROUP BY split, lang
         """,
     }

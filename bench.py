@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "small_qty_revenue",
     "segment_except",
     "nation_order_coverage",
+    "train_split_counts",
 ]
 
 

@@ -98,3 +98,41 @@ def test_rolling_fingerprint(spark):
     assert len(fps[0]) == 4 and fps[0] == sorted(fps[0])
     # near-identical docs share most min-hashes
     assert len(set(fps[0]) & set(fps[1])) >= 2
+
+
+def test_stable_split_deterministic_and_proportional(spark):
+    from valentinus_spark.functions.text import stable_split
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r["k"]: r["split"] for r in df.select("k", stable_split("k", w)).collect()}
+    b = {r["k"]: r["split"] for r in df.select("k", stable_split("k", w)).collect()}
+    assert a == b  # reproducible
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert abs(counts["train"] / 20000 - 0.9) < 0.01
+    assert abs(counts["val"] / 20000 - 0.05) < 0.005
+    # stability under growth: assignments of the first 20k unchanged
+    bigger = spark.range(40000).select(F.col("id").cast("string").alias("k"))
+    c = {r["k"]: r["split"] for r in bigger.select("k", stable_split("k", w)).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_stable_split_salt_changes_assignment(spark):
+    from valentinus_spark.functions.text import stable_split
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    w = {"train": 0.5, "test": 0.5}
+    a = {r["k"]: r["split"] for r in df.select("k", stable_split("k", w)).collect()}
+    b = {r["k"]: r["split"] for r in df.select("k", stable_split("k", w, salt="v2")).collect()}
+    flipped = sum(1 for k in a if a[k] != b[k])
+    assert flipped > 500  # ~half move under an independent draw
+
+
+def test_stable_split_bad_weights(spark):
+    import pytest
+    from valentinus_spark.functions.text import stable_split
+
+    with pytest.raises(ValueError):
+        stable_split("k", {"train": 0.5, "test": 0.4})

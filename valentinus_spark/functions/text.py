@@ -198,3 +198,33 @@ def rolling_fingerprint(col: Column | str, n: int = 8, keep: int = 4) -> Column:
     grams = char_ngrams(_c(col), n)
     hashes = F.transform(grams, lambda g: F.xxhash64(g))
     return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def stable_split(col: Column | str, weights: dict[str, float], salt: str = "v1") -> Column:
+    """Deterministic train/val/test assignment from a key column.
+
+    bucket = first 8 hex chars of sha256(salt || key) as an int in
+    [0, 2^32); thresholds carve it by the given weights. Properties a
+    training pipeline needs and random() cannot give: (a) reproducible
+    across runs/engines/partitionings, (b) stable under corpus growth —
+    a document's split never changes when others are added, (c) no
+    coordination: pure per-row expression, no shuffle, no state. Change
+    ``salt`` to draw a fresh independent split.
+    """
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(salt), _c(col).cast("string")), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    span = float(2**32)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = bucket < F.lit(int(acc * span))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)).alias("split")
