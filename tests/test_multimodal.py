@@ -73,3 +73,26 @@ def test_resize_images_stub_gate(media):
 
     with pytest.raises(Exception):
         resize_images(media, 4, 4, decode_stub=False).collect()
+
+
+def test_chunk_audio_windows_and_overlap(media):
+    from valentinus_spark.multimodal import chunk_audio
+
+    out = chunk_audio(media, window_ms=1000, hop_ms=500).collect()
+    assert out
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_id.items():
+        starts = sorted(r["start_ms"] for r in rows)
+        # hop of 500ms: consecutive windows advance by exactly the hop
+        assert all(b - a == 500 for a, b in zip(starts, starts[1:]))
+        assert all(len(r["features"]) == 32 for r in rows)
+
+
+def test_chunk_audio_deterministic(media):
+    from valentinus_spark.multimodal import chunk_audio
+
+    a = {(r["media_id"], r["chunk_no"]): r["start_ms"] for r in chunk_audio(media).collect()}
+    b = {(r["media_id"], r["chunk_no"]): r["start_ms"] for r in chunk_audio(media).collect()}
+    assert a == b

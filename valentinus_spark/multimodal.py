@@ -185,3 +185,50 @@ def resize_images(
             )
 
     return df.select("media_id", "content").mapInPandas(run, schema=out_schema)
+
+
+def chunk_audio(
+    df: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int | None = None,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Audio-windowing plumbing: one audio row → overlapping window rows
+    (media_id, chunk_no, start_ms, features) — the audio twin of
+    sample_video_frames. The stub derives a deterministic duration from
+    the payload digest and emits per-window fake features; a real
+    implementation decodes with soundfile and slices the waveform at the
+    marked site. hop_ms < window_ms gives overlapping windows (the usual
+    feature-extraction setup)."""
+    hop = hop_ms or window_ms
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("chunk_no", LongType(), False),
+            StructField("start_ms", LongType(), False),
+            StructField("features", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "chunk_no": [], "start_ms": [], "features": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if not decode_stub:
+                    raise NotImplementedError("real audio decode requires soundfile")
+                payload = content or b""
+                # deterministic fake duration: 2-5 windows' worth
+                dur_ms = window_ms * (2 + payload[:1][0] % 4 if payload else 2)
+                n, start = 0, 0
+                while start + window_ms <= dur_ms:
+                    rows["media_id"].append(mid)
+                    rows["chunk_no"].append(n)
+                    rows["start_ms"].append(start)
+                    rows["features"].append(
+                        _fake_features(payload + start.to_bytes(8, "little"), 32)
+                    )
+                    n += 1
+                    start += hop
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(run, schema=schema)
