@@ -939,10 +939,10 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "ann_brute_topk": f"""
-            WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
             scored AS (
                 SELECT q.qid, e.vec_id,
-                       ROUND(list_cosine_similarity(e.embedding, q.qvec), 4) AS similarity
+                       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 4) AS similarity
                 FROM embeddings e CROSS JOIN q
             ),
             ranked AS (
@@ -987,10 +987,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
         """,
         "neardup_embedding": """
+            -- DOUBLE[] cast: duckdb's list_cosine_similarity stays float32
+            -- on FLOAT[] inputs, which lands pairs near .xxxx5 rounding
+            -- boundaries ~1e-5 away from Spark's all-double fold
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         """,
         "text_stats": """
             SELECT doc_id,
