@@ -166,3 +166,41 @@ def test_asof_join_matches_python_oracle(spark, left, right):
         cands = [(rts, rid) for rid, rk, rts, _ in rrows if rk == k and rts <= ts]
         expect = max(cands)[1] if cands else None
         assert got[eid] == expect, (eid, k, ts)
+
+
+# ---------------------------------------------------------------------------
+# range join vs python oracle (randomized geometry × bucket width)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=20),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(0, 25)),
+        min_size=1,
+        max_size=15,
+    ),
+    bucket_width=st.sampled_from([1, 3, 16, 100]),
+)
+def test_range_join_matches_python_oracle(spark, points, intervals, bucket_width):
+    from valentinus_spark.operators.range_join import range_join
+
+    prows = [(i, k, ts) for i, (k, ts) in enumerate(points)]
+    irows = [(100 + j, k, s, s + dur) for j, (k, s, dur) in enumerate(intervals)]
+    pdf = spark.createDataFrame(prows, "pid long, k long, ts long")
+    idf = spark.createDataFrame(irows, "iid long, k long, s long, e long")
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pdf, idf, key="k", point_ts="ts", start="s", end="e",
+            bucket_width=bucket_width,
+        ).collect()
+    }
+    expect = {
+        (pid, iid)
+        for pid, pk, ts in prows
+        for iid, ik, s, e in irows
+        if pk == ik and s <= ts <= e
+    }
+    assert got == expect
