@@ -107,3 +107,50 @@ def test_lsh_index_and_query(embs):
     key = key_df.first()["v"]
     nn = model.approxNearestNeighbors(hashed, key, 3).collect()
     assert nn[0]["id"] == 5  # exact self comes back first
+
+
+def test_quantize_roundtrip_error_bounded(embs):
+    from valentinus_spark.functions.vector import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    embs, _ = embs
+    df = embs.select(
+        "id", "embedding", quantize_embedding("embedding").alias("qs")
+    ).withColumn("back", dequantize_embedding("qs"))
+    rows = df.select("embedding", "back").collect()
+    for r in rows:
+        orig, back = r["embedding"], r["back"]
+        mx = max(abs(x) for x in orig) or 1.0
+        step = mx / 127.0
+        assert all(abs(a - b) <= step * 0.51 for a, b in zip(orig, back))
+
+
+def test_quantized_cosine_preserves_topk(embs):
+    """Cosine over int8-quantized vectors must keep >= 8/10 of the float
+    top-10 (scale cancels in cosine; only rounding noise remains)."""
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.functions.vector import (
+        cosine_similarity,
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    embs, _ = embs
+    q = [r["embedding"] for r in embs.filter(F.col("id") == 0).collect()][0]
+    exact = [
+        r["id"]
+        for r in embs.withColumn("s", cosine_similarity("embedding", q))
+        .orderBy(F.desc("s"), F.asc("id")).limit(10).collect()
+    ]
+    quant = embs.select(
+        "id", dequantize_embedding(quantize_embedding("embedding")).alias("emb_q")
+    )
+    approx = [
+        r["id"]
+        for r in quant.withColumn("s", cosine_similarity("emb_q", q))
+        .orderBy(F.desc("s"), F.asc("id")).limit(10).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 8
