@@ -216,3 +216,48 @@ def test_to_view_enables_sql(spark, fresh_warehouse):
         "SELECT id, md_Year FROM sqlable WHERE md_Year >= 2017 ORDER BY id"
     ).collect()
     assert [(r["id"], r["md_Year"]) for r in got] == [("id1", 2017), ("id2", 2018)]
+
+
+def test_quantized_collection_lifecycle(spark, fresh_warehouse):
+    import glob
+    import os
+
+    from valentinus_spark.collection import CollectionCatalog, EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    docs = [f"document about topic {i % 5} number {i}" for i in range(60)]
+    meta = [{"Year": 2000 + i % 3} for i in range(60)]
+    colf = EmbeddingCollection.new(
+        spark, docs, meta, None, "floatcol", embedder=HashEmbedder(dim=64)
+    ).save()
+    colq = EmbeddingCollection.new(
+        spark, docs, meta, None, "quantcol", embedder=HashEmbedder(dim=64)
+    ).save(quantize=True)
+    assert "embedding_q" in colq.df.columns and "embedding" not in colq.df.columns
+
+    # quantized storage is materially smaller on DENSE vectors (the tiny
+    # hash-embedded corpus above is zero-sparse, so floats compress too;
+    # use the testdata's dense noise vectors for the size claim)
+    import tempfile
+
+    from valentinus_spark.functions.vector import quantize_embedding
+
+    dense = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    d = tempfile.mkdtemp(prefix="vs_qsize_")
+    dense.select("vec_id", "embedding").write.parquet(d + "/f")
+    dense.select(
+        "vec_id", quantize_embedding("embedding").alias("embedding_q")
+    ).write.parquet(d + "/q")
+
+    def dir_size(p):
+        return sum(os.path.getsize(f) for f in glob.glob(p + "/*.parquet"))
+
+    assert dir_size(d + "/q") < 0.5 * dir_size(d + "/f")
+
+    # ranking agrees with the float collection on top-5
+    top_f = [r["id"] for r in colf.cosine_query("topic 3", num_results=5).collect()]
+    top_q = [r["id"] for r in colq.cosine_query("topic 3", num_results=5).collect()]
+    assert len(set(top_f) & set(top_q)) >= 4
+    # filtered path + nearest also work through dequantize
+    assert colq.cosine_query("topic", num_results=3, f_where=[{"Year": {"eq": 2001}}]).count() == 3
+    assert colq.nearest_query("document about topic 1 number 1") in {f"id{i}" for i in range(60)}

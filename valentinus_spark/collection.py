@@ -243,6 +243,7 @@ class EmbeddingCollection:
         promote_keys: Sequence[str] | dict[str, str] | None = None,
         partition_by: Sequence[str] | None = None,
         sort_by: Sequence[str] | None = None,
+        quantize: bool = False,
     ) -> "EmbeddingCollection":
         """Embed all documents lacking vectors and persist as Parquet.
 
@@ -266,12 +267,22 @@ class EmbeddingCollection:
         filter then prunes whole directories before any file is opened.
         ``sort_by``: sortWithinPartitions before writing, clustering
         row-group min/max stats so range predicates on those columns skip
-        row groups. Both are layout hints, invisible to query semantics."""
+        row groups. Both are layout hints, invisible to query semantics.
+
+        ``quantize=True`` stores vectors int8-quantized (struct of
+        array<tinyint> + scale — 4x smaller on disk and in every later
+        shuffle); queries dequantize transparently, and cosine ranking
+        is scale-invariant so recall loss is rounding-noise only."""
         from valentinus_spark.filters import PROMOTED_PREFIX
+        from valentinus_spark.functions.vector import quantize_embedding
 
         df = self.df
-        if "embedding" not in df.columns:
+        if "embedding" not in df.columns and "embedding_q" not in df.columns:
             df = df.withColumn("embedding", self.embedder.embed_col("document"))
+        if quantize and "embedding" in df.columns:
+            df = df.withColumn("embedding_q", quantize_embedding("embedding")).drop(
+                "embedding"
+            )
         promote = (
             promote_keys
             if isinstance(promote_keys, dict)
@@ -404,6 +415,17 @@ class EmbeddingCollection:
 
     # ---------------- queries (T4-T7) -------------------------------------
 
+    def _vec(self):
+        """Vector expression: the float column, or transparent dequantize
+        of an int8-quantized collection (save(quantize=True))."""
+        from valentinus_spark.functions.vector import dequantize_embedding
+
+        if "embedding" in self.df.columns:
+            return F.col("embedding")
+        if "embedding_q" in self.df.columns:
+            return dequantize_embedding("embedding_q")
+        raise NotFoundError("collection has no embeddings — save() first")
+
     def cosine_query(
         self,
         query_string: str,
@@ -429,9 +451,8 @@ class EmbeddingCollection:
         - ``num_results=0`` → all matches (embeddings.rs:375).
         """
         qv = [float(x) for x in self.embedder.embed_texts([query_string])[0]]
-        sim = (
-            dot("embedding", qv) if metric == "dot" else cosine_similarity("embedding", qv)
-        )
+        vec = self._vec()
+        sim = dot(vec, qv) if metric == "dot" else cosine_similarity(vec, qv)
         out = (
             self.df.filter(
                 compile_filters(f_where, promoted_columns=self.df.columns)
@@ -465,10 +486,11 @@ class EmbeddingCollection:
         is a few random hyperplanes (KB-sized)."""
         from valentinus_spark.operators.similarity import lsh_ann_index
 
-        if "embedding" not in self.df.columns:
-            raise NotFoundError("collection has no embeddings — save() first")
+        df = self.df
+        if "embedding" not in df.columns:
+            df = df.withColumn("embedding", self._vec())
         model, hashed = lsh_ann_index(
-            self.df,
+            df,
             id_col="id",
             bucket_length=bucket_length,
             num_hash_tables=num_hash_tables,
@@ -528,7 +550,7 @@ class EmbeddingCollection:
     def nearest_query_df(self, query_string: str, k: int = 1) -> DataFrame:
         qv = [float(x) for x in self.embedder.embed_texts([query_string])[0]]
         return (
-            self.df.withColumn("distance", l2_distance("embedding", qv))
+            self.df.withColumn("distance", l2_distance(self._vec(), qv))
             .orderBy(F.asc("distance"), F.asc("id"))
             .select("id", "document", "distance", "metadata")
             .limit(k)
