@@ -154,3 +154,54 @@ def test_quantized_cosine_preserves_topk(embs):
         .orderBy(F.desc("s"), F.asc("id")).limit(10).collect()
     ]
     assert len(set(exact) & set(approx)) >= 8
+
+
+def test_mmr_rerank_matches_python_oracle(embs):
+    import numpy as np
+
+    from valentinus_spark.operators.similarity import brute_force_knn_join, mmr_rerank
+
+    df, mat = embs
+    queries = df.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands = brute_force_knn_join(df, queries, k=20, corpus_id="id").join(
+        df.select(F.col("id"), F.col("embedding")), "id"
+    )
+    got = {}
+    for r in mmr_rerank(cands, k=5, lam=0.7).collect():
+        got.setdefault(r["qid"], []).append(r["id"])
+
+    unit = mat.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    for qid in range(3):
+        rows = sorted(
+            [(r["id"], r["similarity"]) for r in cands.filter(F.col("qid") == qid).collect()]
+        )
+        ids = [i for i, _ in rows]
+        rel = np.array([s for _, s in rows])
+        picked, max_sim = [], np.full(len(ids), -1.0)
+        for _ in range(5):
+            mmr = 0.7 * rel - 0.3 * np.where(max_sim < 0, 0.0, max_sim)
+            for p in picked:
+                mmr[p] = -np.inf
+            best = int(mmr.argmax())
+            picked.append(best)
+            sims = unit[ids] @ unit[ids[best]]
+            max_sim = np.maximum(max_sim, sims)
+        assert got[qid] == [ids[p] for p in picked], f"query {qid}"
+
+
+def test_mmr_lambda_one_is_pure_relevance(embs):
+    from valentinus_spark.operators.similarity import brute_force_knn_join, mmr_rerank
+
+    df, _ = embs
+    queries = df.filter(F.col("id") == 0).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands = brute_force_knn_join(df, queries, k=10, corpus_id="id").join(
+        df.select("id", "embedding"), "id"
+    )
+    by_rel = [r["id"] for r in cands.orderBy(F.desc("similarity"), F.asc("id")).collect()][:5]
+    mmr = [r["id"] for r in mmr_rerank(cands, k=5, lam=1.0).orderBy("mmr_rank").collect()]
+    assert mmr == by_rel

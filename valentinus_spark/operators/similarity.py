@@ -192,3 +192,62 @@ def bucketed_ann_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_id: str = "qid",
+    corpus_id: str = "id",
+    vec_col: str = "embedding",
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank of per-query candidate sets:
+    greedily pick argmax λ·sim(q,d) − (1−λ)·max_cos(d, already picked).
+    Returns (query_id, corpus_id, mmr_rank, mmr_score).
+
+    Candidates are the OUTPUT of a top-N retrieval (brute/LSH/IVF), so
+    each query's group is small by construction — the inherently
+    sequential greedy loop runs per group in an Arrow-batched
+    applyInPandas, parallel ACROSS queries, never across the corpus.
+    λ=1 is pure relevance (input order); λ=0 pure diversity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dtypes = dict(candidates.dtypes)
+    out_schema = (
+        f"{query_id} {dtypes[query_id]}, {corpus_id} {dtypes[corpus_id]}, "
+        "mmr_rank int, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[sim_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        picked: list[int] = []
+        max_sim_to_picked = np.full(n, -1.0)
+        scores: list[float] = []
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1 - lam) * np.where(
+                max_sim_to_picked < 0, 0.0, max_sim_to_picked
+            )
+            mmr[picked] = -np.inf
+            best = int(mmr.argmax())
+            picked.append(best)
+            scores.append(float(mmr[best]))
+            max_sim_to_picked = np.maximum(max_sim_to_picked, unit @ unit[best])
+        return pd.DataFrame(
+            {
+                query_id: pdf[query_id].iloc[picked].to_numpy(),
+                corpus_id: pdf[corpus_id].iloc[picked].to_numpy(),
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "mmr_score": scores,
+            }
+        )
+
+    return candidates.groupBy(query_id).applyInPandas(rerank, schema=out_schema)
