@@ -844,6 +844,24 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (stratified_keep): cap 'en'
+    at 30% and 'de' at 60%, keep the rest — per-lang surviving doc ids'
+    count and checksum. The oracle recomputes the identical sha256
+    bucketing, so the exact kept-set (not just rates) must agree across
+    engines."""
+    from valentinus_spark.functions.text import stratified_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.filter(
+        stratified_keep("doc_id", "lang", {"en": 0.3, "de": 0.6})
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -900,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_except": q_segment_except,
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
+        "corpus_balance_sample": q_corpus_balance_sample,
     }
 
 
@@ -1395,5 +1414,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, lang, count(*) AS n_docs
             FROM assigned
             GROUP BY split, lang
+        """,
+        "corpus_balance_sample": """
+            WITH kept AS (
+                SELECT doc_id, lang
+                FROM documents
+                WHERE CAST(('0x' || substr(sha256('v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      < CAST((CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.6 ELSE 1.0 END) * 4294967296 AS BIGINT)
+            )
+            SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_checksum
+            FROM kept
+            GROUP BY lang
         """,
     }

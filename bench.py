@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "segment_except",
     "nation_order_coverage",
     "train_split_counts",
+    "corpus_balance_sample",
 ]
 
 

@@ -261,3 +261,38 @@ def test_quantized_collection_lifecycle(spark, fresh_warehouse):
     # filtered path + nearest also work through dequantize
     assert colq.cosine_query("topic", num_results=3, f_where=[{"Year": {"eq": 2001}}]).count() == 3
     assert colq.nearest_query("document about topic 1 number 1") in {f"id{i}" for i in range(60)}
+
+
+def test_batch_append(spark, fresh_warehouse):
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    col = EmbeddingCollection.new(
+        spark, ["first doc", "second doc"], [{"Year": 2020}, {"Year": 2021}],
+        None, "appendable", embedder=HashEmbedder(dim=16),
+    ).save()
+    more = spark.createDataFrame(
+        [("id2", "third doc", {"Year": "2022"})],
+        "id string, document string, metadata map<string,string>",
+    )
+    col.append(more)
+    assert col.df.count() == 3
+    assert col.catalog.resolve("view-appendable")["n_rows"] == 3
+    # appended row is embedded and queryable
+    res = col.cosine_query("third doc", num_results=1)
+    assert res.first()["id"] == "id2"
+
+
+def test_batch_append_quantized(spark, fresh_warehouse):
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    col = EmbeddingCollection.new(
+        spark, ["alpha beta", "gamma delta"], None, None, "qappend",
+        embedder=HashEmbedder(dim=16),
+    ).save(quantize=True)
+    col.append(spark.createDataFrame(
+        [("id2", "epsilon zeta")], "id string, document string"))
+    assert col.df.count() == 3
+    assert "embedding_q" in col.df.columns and "embedding" not in col.df.columns
+    assert col.cosine_query("epsilon zeta", num_results=1).first()["id"] == "id2"

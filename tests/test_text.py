@@ -136,3 +136,20 @@ def test_stable_split_bad_weights(spark):
 
     with pytest.raises(ValueError):
         stable_split("k", {"train": 0.5, "test": 0.4})
+
+
+def test_stratified_keep_rates_and_determinism(spark):
+    from valentinus_spark.functions.text import stratified_keep
+
+    df = spark.range(30000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("lang"), (F.col("id") % 3)).alias("lang"),
+    )
+    pred = stratified_keep("k", "lang", {"lang0": 0.1, "lang1": 0.5}, default_rate=1.0)
+    kept = df.filter(pred)
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["lang0"] / 10000 - 0.1) < 0.02
+    assert abs(counts["lang1"] / 10000 - 0.5) < 0.02
+    assert counts["lang2"] == 10000  # default rate keeps everything
+    # deterministic
+    assert kept.count() == df.filter(pred).count()

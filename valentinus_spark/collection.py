@@ -314,6 +314,38 @@ class EmbeddingCollection:
         self.df = persisted
         return self
 
+    def append(self, df: DataFrame) -> "EmbeddingCollection":
+        """Batch-append rows to a SAVED collection: embed documents that
+        lack vectors, append to the Parquet path, refresh the manifest
+        row count. The batch twin of stream_collection_append (same
+        append-only layout, so both can feed one collection; run
+        compact() periodically if appends are small). Quantized
+        collections quantize the new vectors the same way."""
+        from valentinus_spark.functions.vector import quantize_embedding
+
+        entry = self.catalog.resolve(self.view)  # raises if never saved
+        if "metadata" not in df.columns:
+            df = df.withColumn(
+                "metadata", F.lit(None).cast(MapType(StringType(), StringType()))
+            )
+        quantized = "embedding_q" in self.df.columns
+        if "embedding" not in df.columns and "embedding_q" not in df.columns:
+            df = df.withColumn("embedding", self.embedder.embed_col("document"))
+        if quantized and "embedding_q" not in df.columns:
+            df = df.withColumn("embedding_q", quantize_embedding("embedding")).drop(
+                "embedding"
+            )
+        for col_name in self.df.columns:
+            if col_name not in df.columns:
+                df = df.withColumn(
+                    col_name, F.lit(None).cast(dict(self.df.dtypes)[col_name])
+                )
+        df.select(self.df.columns).write.mode("append").parquet(entry["path"])
+        self.df = self.spark.read.parquet(entry["path"])
+        entry["n_rows"] = self.df.count()
+        self.catalog.add(self.view, entry)
+        return self
+
     def to_view(self, name: str | None = None) -> str:
         """Register the collection as a temp view for spark.sql — the full
         SQL surface (joins, window functions, CTEs) over collection data,

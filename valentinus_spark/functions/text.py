@@ -228,3 +228,29 @@ def stable_split(col: Column | str, weights: dict[str, float], salt: str = "v1")
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)).alias("split")
+
+
+def stratified_keep(
+    key_col: Column | str,
+    stratum_col: Column | str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "v1",
+) -> Column:
+    """Deterministic stratified downsampling predicate: keep a row iff
+    its sha256 bucket falls under its stratum's rate — corpus balancing
+    (e.g. cap over-represented languages) with the same guarantees as
+    [stable_split]: reproducible, growth-stable, shuffle-free, and
+    exactly re-computable by another engine (unlike `sampleBy`, whose
+    RNG is seed+partitioning dependent)."""
+    bucket = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(salt), _c(key_col).cast("string")), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    span = float(2**32)
+    stratum = _c(stratum_col)
+    rate = F.lit(float(default_rate))
+    for name, r in rates.items():
+        rate = F.when(stratum == name, F.lit(float(r))).otherwise(rate)
+    return bucket < (rate * span).cast("long")
