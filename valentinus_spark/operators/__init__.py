@@ -4,6 +4,7 @@ from valentinus_spark.operators.similarity import (
     lsh_ann_index,
     bucketed_ann_topk,
     ivf_centroids,
+    mmr_rerank,
 )
 from valentinus_spark.operators.text_search import bm25_topk
 from valentinus_spark.operators.dedup import (
@@ -14,7 +15,13 @@ from valentinus_spark.operators.dedup import (
     minhash_native_pairs,
     simhash_pairs,
     embedding_neardup_pairs,
+    connected_components,
+    dedup_clusters,
 )
+from valentinus_spark.operators.asof import asof_join
+from valentinus_spark.operators.range_join import range_join
+from valentinus_spark.operators.skew import salted_join, salted_agg
+from valentinus_spark.operators.rollup import build_time_rollup, merged_rollup
 
 __all__ = [
     "cosine_topk",
@@ -23,6 +30,7 @@ __all__ = [
     "lsh_ann_index",
     "bucketed_ann_topk",
     "ivf_centroids",
+    "mmr_rerank",
     "bm25_topk",
     "deduplicate",
     "exact_dedup",
@@ -31,4 +39,12 @@ __all__ = [
     "minhash_native_pairs",
     "simhash_pairs",
     "embedding_neardup_pairs",
+    "connected_components",
+    "dedup_clusters",
+    "asof_join",
+    "range_join",
+    "salted_join",
+    "salted_agg",
+    "build_time_rollup",
+    "merged_rollup",
 ]
