@@ -296,3 +296,16 @@ def test_batch_append_quantized(spark, fresh_warehouse):
     assert col.df.count() == 3
     assert "embedding_q" in col.df.columns and "embedding" not in col.df.columns
     assert col.cosine_query("epsilon zeta", num_results=1).first()["id"] == "id2"
+
+
+def test_find_quantized_collection_queries_work(spark, fresh_warehouse):
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    EmbeddingCollection.new(
+        spark, ["findable doc one", "findable doc two"], None, None,
+        "qfind", embedder=HashEmbedder(dim=16),
+    ).save(quantize=True)
+    found = EmbeddingCollection.find(spark, view="view-qfind")
+    assert found.cosine_query("findable doc two", num_results=1).first()["id"] == "id1"
+    assert found.nearest_query("findable doc one") == "id0"
