@@ -862,6 +862,24 @@ def q_corpus_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) window agg: 1-hour windows every 30 minutes —
+    each event lands in exactly 2 windows (Spark's window() generates
+    both assignments; the oracle unnests the same 2-element start list).
+    Same expression works streaming with a watermark."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes")["start"].alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -919,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
+        "events_sliding_window": q_events_sliding_window,
     }
 
 
@@ -1425,5 +1444,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_checksum
             FROM kept
             GROUP BY lang
+        """,
+        "events_sliding_window": """
+            WITH grid AS (
+                SELECT date_trunc('hour', ts)
+                       + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                              ELSE INTERVAL 0 MINUTE END AS g,
+                       event_type, value
+                FROM events
+            ),
+            assigned AS (
+                SELECT unnest([g - INTERVAL 30 MINUTE, g]) AS window_start,
+                       event_type, value
+                FROM grid
+            )
+            SELECT window_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM assigned
+            GROUP BY window_start, event_type
         """,
     }

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "nation_order_coverage",
     "train_split_counts",
     "corpus_balance_sample",
+    "events_sliding_window",
 ]
 
 
