@@ -880,6 +880,54 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread into one column per event type
+    (Spark's pivot operator with an explicit category list — never let
+    pivot infer categories at scale, that's an extra full scan + a
+    driver-side distinct)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "purchase", "error", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def q_part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt): part numeric attributes as
+    (p_partkey, attr, value) rows via the native unpivot operator —
+    the inverse shape of pivot, no Python and no explode-of-structs."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "attr", "value")
+
+
+def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)): two independent
+    one-dimension aggregates in ONE pass over orders (an Expand node
+    doubles rows into the two grouping branches — half the scans of
+    running the aggregations separately)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -938,6 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
         "events_sliding_window": q_events_sliding_window,
+        "user_event_pivot": q_user_event_pivot,
+        "part_unpivot": q_part_unpivot,
+        "order_grouping_sets": q_order_grouping_sets,
     }
 
 
@@ -1463,5 +1514,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM assigned
             GROUP BY window_start, event_type
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events
+            GROUP BY user_id
+        """,
+        "part_unpivot": """
+            SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice', p_retailprice FROM part
+        """,
+        "order_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """,
     }

@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "train_split_counts",
     "corpus_balance_sample",
     "events_sliding_window",
+    "user_event_pivot",
+    "part_unpivot",
+    "order_grouping_sets",
 ]
 
 
