@@ -928,6 +928,38 @@ def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral positional explode: first 3 tokens of each document with
+    their positions (posexplode ≡ unnest WITH ORDINALITY)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.slice(word_tokens(normalize_text("text")), 1, 3).alias("_t")
+    )
+    return toks.select(
+        "doc_id", F.posexplode("_t").alias("pos", "token")
+    ).withColumn("pos", F.col("pos") + 1)
+
+
+def q_embedding_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: per-vector element min/max/mean and
+    positive-element count via aggregate/filter lambdas — all JVM-side,
+    no explode (the row count never changes, so no shuffle either)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return embs.select(
+        "vec_id",
+        F.round(F.array_min(arr), 4).alias("el_min"),
+        F.round(F.array_max(arr), 4).alias("el_max"),
+        # + 0.0 normalizes IEEE -0.0 (a tiny negative mean rounded to 4dp)
+        # to 0.0 — DuckDB prints -0, Spark prints 0, and the value hash sees
+        # different strings
+        (F.round(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr), 4
+        ) + F.lit(0.0)).alias("el_mean"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -989,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_pivot": q_user_event_pivot,
         "part_unpivot": q_part_unpivot,
         "order_grouping_sets": q_order_grouping_sets,
+        "token_positions": q_token_positions,
+        "embedding_element_stats": q_embedding_element_stats,
     }
 
 
@@ -1536,5 +1570,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        "token_positions": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1:3] AS t
+                FROM documents
+                WHERE trim(text) != ''
+            )
+            SELECT doc_id, u.pos, t[u.pos] AS token
+            FROM toks, unnest(generate_series(1, len(t))) AS u(pos)
+        """,
+        "embedding_element_stats": """
+            SELECT vec_id,
+                   round(list_min(embedding::DOUBLE[]), 4) AS el_min,
+                   round(list_max(embedding::DOUBLE[]), 4) AS el_max,
+                   round(list_sum(embedding::DOUBLE[]) / len(embedding), 4) + 0.0 AS el_mean,
+                   len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive
+            FROM embeddings
         """,
     }

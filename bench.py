@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "user_event_pivot",
     "part_unpivot",
     "order_grouping_sets",
+    "token_positions",
+    "embedding_element_stats",
 ]
 
 
