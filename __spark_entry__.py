@@ -960,6 +960,21 @@ def q_embedding_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String fuzzy match by edit distance: 10 part names closest to a
+    probe (levenshtein is JVM-side codegen; at corpus scale prefilter
+    with a cheap length/prefix band before paying O(len²) per pair)."""
+    part = _t(spark, sf_dir, "part")
+    probe = "steel wheat cornflower"
+    return (
+        part.select(
+            "p_partkey", F.levenshtein(F.col("p_name"), F.lit(probe)).alias("edit_dist")
+        )
+        .orderBy(F.asc("edit_dist"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1023,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_grouping_sets": q_order_grouping_sets,
         "token_positions": q_token_positions,
         "embedding_element_stats": q_embedding_element_stats,
+        "name_edit_distance": q_name_edit_distance,
     }
 
 
@@ -1588,5 +1604,12 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(embedding::DOUBLE[]) / len(embedding), 4) + 0.0 AS el_mean,
                    len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive
             FROM embeddings
+        """,
+        "name_edit_distance": """
+            SELECT p_partkey,
+                   levenshtein(p_name, 'steel wheat cornflower') AS edit_dist
+            FROM part
+            ORDER BY edit_dist ASC, p_partkey ASC
+            LIMIT 10
         """,
     }

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "order_grouping_sets",
     "token_positions",
     "embedding_element_stats",
+    "name_edit_distance",
 ]
 
 
