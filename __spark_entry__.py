@@ -975,6 +975,39 @@ def q_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quarterly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic + window: quarterly order revenue with
+    quarter-over-quarter delta (lag window over the date-truncated agg)."""
+    orders = _t(spark, sf_dir, "orders")
+    q = orders.groupBy(
+        F.date_trunc("quarter", "o_orderdate").alias("quarter")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("quarter")
+    return q.select(
+        "quarter",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("qoq_delta"),
+    )
+
+
+def q_customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking: customers bucketed into spend deciles + per-decile
+    totals (the segmentation primitive behind 'top 10% of customers')."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("decile_spend"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1039,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_positions": q_token_positions,
         "embedding_element_stats": q_embedding_element_stats,
         "name_edit_distance": q_name_edit_distance,
+        "quarterly_revenue_trend": q_quarterly_revenue_trend,
+        "customer_value_tiles": q_customer_value_tiles,
     }
 
 
@@ -1611,5 +1646,31 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             ORDER BY edit_dist ASC, p_partkey ASC
             LIMIT 10
+        """,
+        "quarterly_revenue_trend": """
+            WITH q AS (
+                SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders
+                GROUP BY 1
+            )
+            SELECT quarter, revenue,
+                   round(revenue - lag(revenue) OVER (ORDER BY quarter), 2) AS qoq_delta
+            FROM q
+        """,
+        "customer_value_tiles": """
+            WITH spend AS (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+                FROM orders GROUP BY o_custkey
+            ),
+            tiled AS (
+                SELECT spend,
+                       ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+                FROM spend
+            )
+            SELECT decile, count(*) AS n_customers,
+                   round(sum(spend), 2) AS decile_spend
+            FROM tiled
+            GROUP BY decile
         """,
     }

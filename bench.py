@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "token_positions",
     "embedding_element_stats",
     "name_edit_distance",
+    "quarterly_revenue_trend",
+    "customer_value_tiles",
 ]
 
 
