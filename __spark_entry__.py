@@ -1008,6 +1008,19 @@ def q_customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: Pearson correlation of
+    quantity vs gross price, sample stddev, variance — one pass,
+    map-side-combinable moments."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("discount_var"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1074,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_edit_distance": q_name_edit_distance,
         "quarterly_revenue_trend": q_quarterly_revenue_trend,
         "customer_value_tiles": q_customer_value_tiles,
+        "lineitem_stats": q_lineitem_stats,
     }
 
 
@@ -1672,5 +1686,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(spend), 2) AS decile_spend
             FROM tiled
             GROUP BY decile
+        """,
+        "lineitem_stats": """
+            SELECT l_returnflag,
+                   round(corr(l_extendedprice, l_quantity), 4) AS qty_price_corr,
+                   round(stddev_samp(l_quantity), 4) AS qty_stddev,
+                   round(var_samp(l_discount), 6) AS discount_var,
+                   count(*) AS n_lines
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
     }

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "name_edit_distance",
     "quarterly_revenue_trend",
     "customer_value_tiles",
+    "lineitem_stats",
 ]
 
 

@@ -136,3 +136,30 @@ def test_metadata_filter_compiles_to_catalyst_predicate(spark):
     # pure Catalyst expressions — no Python evaluation node
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert df.count() == 1
+
+
+def test_pivot_is_single_aggregate_pass(spark):
+    import __spark_entry__ as entry
+
+    import re
+
+    plan = plan_of(entry.q_user_event_pivot(spark, SF_DIR))
+    # explicit category list → no join and no second scan for category
+    # inference; Spark plans pivot as a double aggregation ((user, type)
+    # counts, then per-user pivot-combine) = exactly two hash shuffles
+    # (formatted mode lists each node twice: tree + detail header)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    required = [ln for ln in plan.splitlines() if "ENSURE_REQUIREMENTS" in ln]
+    assert len(required) == 2
+    assert "Join" not in plan
+
+
+def test_grouping_sets_uses_expand(spark):
+    import __spark_entry__ as entry
+
+    import re
+
+    plan = plan_of(entry.q_order_grouping_sets(spark, SF_DIR))
+    # both grouping branches come from one Expand over one scan
+    assert "Expand" in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
