@@ -309,3 +309,24 @@ def test_find_quantized_collection_queries_work(spark, fresh_warehouse):
     found = EmbeddingCollection.find(spark, view="view-qfind")
     assert found.cosine_query("findable doc two", num_results=1).first()["id"] == "id1"
     assert found.nearest_query("findable doc one") == "id0"
+
+
+def test_collections_in_one_warehouse_are_isolated(spark, fresh_warehouse):
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    a = EmbeddingCollection.new(
+        spark, ["apple doc"], [{"K": 1}], None, "col_a", embedder=HashEmbedder(dim=8)
+    ).save()
+    b = EmbeddingCollection.new(
+        spark, ["banana doc", "cherry doc"], None, None, "col_b",
+        embedder=HashEmbedder(dim=8),
+    ).save()
+    assert a.df.count() == 1 and b.df.count() == 2
+    views = set(EmbeddingCollection.fetch_collection_keys(spark, views=True))
+    assert {"view-col_a", "view-col_b"} <= views
+    # deleting one leaves the other intact and queryable
+    EmbeddingCollection.delete(spark, "view-col_a")
+    assert "view-col_a" not in set(EmbeddingCollection.fetch_collection_keys(spark, views=True))
+    found = EmbeddingCollection.find(spark, view="view-col_b")
+    assert found.cosine_query("banana", num_results=1).count() == 1

@@ -197,3 +197,24 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ss_join").collect()
     }
     assert got == expected
+
+
+def test_checkpoint_makes_rerun_idempotent(spark, tmp_path):
+    """Re-running an availableNow stream with the SAME checkpoint must
+    process nothing new — the exactly-once guarantee a restarted ingest
+    pipeline depends on."""
+    from valentinus_spark.embed import HashEmbedder
+    from valentinus_spark.streaming.pipeline import stream_collection_append
+
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    docs = spark.range(25).select(
+        F.concat(F.lit("id"), F.col("id")).alias("id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("document"),
+    )
+    docs.write.parquet(src)
+    emb = HashEmbedder(dim=8)
+    for _ in range(2):  # second run: same checkpoint, no new source files
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = stream_collection_append(stream, emb, out, ckpt)
+        q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 25  # not 50
