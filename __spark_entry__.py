@@ -1021,6 +1021,26 @@ def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-count): per customer,
+    total spend in the trailing 30 days of each order — a ROWS frame
+    can't express this (orders per window vary). Decimal accumulation
+    for cross-engine float parity."""
+    orders = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, 0)
+    )
+    rolling = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(rolling.cast("double"), 2).alias("spend_30d"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1088,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarterly_revenue_trend": q_quarterly_revenue_trend,
         "customer_value_tiles": q_customer_value_tiles,
         "lineitem_stats": q_lineitem_stats,
+        "customer_rolling_30d": q_customer_rolling_30d,
     }
 
 
@@ -1695,5 +1716,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lines
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "customer_rolling_30d": """
+            SELECT o_custkey, o_orderkey,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE), 2) AS spend_30d
+            FROM orders
         """,
     }

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "quarterly_revenue_trend",
     "customer_value_tiles",
     "lineitem_stats",
+    "customer_rolling_30d",
 ]
 
 
