@@ -222,9 +222,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash min-sketch fingerprints (rows-only: xxhash64)."""
+    """Rolling-hash min-sketch fingerprints (rows-only: xxhash64).
+
+    The array column is serialized to a comma-joined string so the
+    harness canonicalizer (pandas sort_values) can hash it — raw
+    array<long> cells are unhashable in pandas and crash the check.
+    """
+    fp = rolling_fingerprint("text", n=8, keep=4)
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", rolling_fingerprint("text", n=8, keep=4).alias("fingerprint")
+        "doc_id",
+        F.array_join(F.transform(fp, lambda x: x.cast("string")), ",").alias(
+            "fingerprint"
+        ),
     )
 
 
@@ -1214,7 +1223,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_profile": """
-            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
         "pricing_summary": """
@@ -1257,7 +1266,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id,
-                   SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+                   CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM gaps
             GROUP BY user_id
@@ -1583,7 +1592,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name,
                    count(*) AS n_customers,
                    count(u.o_custkey) AS n_with_urgent,
-                   sum(CASE WHEN u.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_without_urgent
+                   CAST(sum(CASE WHEN u.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_urgent
             FROM customer c
             LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1612,7 +1621,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE CAST(('0x' || substr(sha256('v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                       < CAST((CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.6 ELSE 1.0 END) * 4294967296 AS BIGINT)
             )
-            SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_checksum
+            SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
             FROM kept
             GROUP BY lang
         """,
