@@ -43,6 +43,23 @@ def test_asof_inclusive_and_ties(spark):
     assert row["asof_rid"] == 11 and row["asof_value"] == 2.0
 
 
+def test_asof_null_value_in_latest_right_row_stays_together(spark):
+    """Regression: per-column last(ignorenulls) used to mix columns from
+    DIFFERENT right rows when the latest match has NULL in one value column.
+    All asof_* outputs must come from the single latest right row."""
+    ldf = spark.createDataFrame([(1, 0, 100)], "event_id long, user_id long, ts long")
+    rdf = spark.createDataFrame(
+        [(10, 0, 50, 7.0), (11, 0, 90, None)],
+        "rid long, user_id long, ts long, value double",
+    )
+    row = asof_join(
+        ldf, rdf, key="user_id", ts="ts", value_cols=["rid", "value"], tie_break="rid"
+    ).first()
+    # latest right row is rid=11 (value NULL) — value must be NULL, not 7.0
+    # carried over from the older rid=10 row
+    assert row["asof_rid"] == 11 and row["asof_value"] is None
+
+
 def test_asof_no_prior_row_is_null(spark):
     ldf = spark.createDataFrame([(1, 0, 5)], "event_id long, user_id long, ts long")
     rdf = spark.createDataFrame(

@@ -311,6 +311,85 @@ def test_find_quantized_collection_queries_work(spark, fresh_warehouse):
     assert found.nearest_query("findable doc one") == "id0"
 
 
+def test_find_restores_embedder_config(spark, fresh_warehouse):
+    """Regression: find() used to rebuild the embedder from name+dim only,
+    so a non-default HashEmbedder seed silently produced a DIFFERENT vector
+    space for query strings after reload."""
+    col = EmbeddingCollection.new(
+        spark, ["alpha beta", "gamma delta", "epsilon"], None, None,
+        "seeded", embedder=HashEmbedder(dim=32, seed=7),
+    ).save()
+    found = EmbeddingCollection.find(spark, view="view-seeded")
+    assert found.embedder.seed == 7 and found.embedder.dim == 32
+    # query embedding matches the saved space: exact self-match at cosine 1
+    top = found.cosine_query("alpha beta", num_results=1).first()
+    assert top["id"] == "id0" and top["similarity"] > 0.999
+
+
+def test_partitioned_append_preserves_layout(spark, fresh_warehouse):
+    """Regression: append() on a partition_by collection used to write flat
+    files at the table root, corrupting the Hive layout."""
+    import glob
+
+    col = EmbeddingCollection.new(
+        spark,
+        [f"doc {i}" for i in range(8)],
+        [{"Lang": "en" if i % 2 else "de"} for i in range(8)],
+        None,
+        "parted",
+        embedder=HashEmbedder(dim=8),
+    ).save(promote_keys=["Lang"], partition_by=["md_Lang"])
+    path = col.catalog.resolve("view-parted")["path"]
+    col.append(spark.createDataFrame(
+        [("id8", "doc 8", {"Lang": "fr"})],
+        "id string, document string, metadata map<string,string>",
+    ))
+    # no data files at the root — everything lives under md_Lang=... dirs
+    assert glob.glob(os.path.join(path, "*.parquet")) == []
+    assert any("md_Lang=fr" in d for d in os.listdir(path))
+    assert col.df.count() == 9
+    # partition pruning still works after the append
+    pruned = col.df.filter("md_Lang = 'fr'")
+    assert pruned.count() == 1
+    # compact() keeps the layout too
+    col.compact(target_files=2)
+    assert glob.glob(os.path.join(path, "*.parquet")) == []
+    assert col.df.count() == 9
+
+
+def test_ann_staleness_lifecycle(spark, fresh_warehouse):
+    """save → build index → query ok → append → stale (query refuses) →
+    rebuild → query ok again."""
+    from valentinus_spark.errors import DatabaseError
+
+    corpus = [f"topic {i} words {i}" for i in range(20)]
+    col = EmbeddingCollection.new(
+        spark, corpus, None, None, "stale1", embedder=HashEmbedder(dim=64)
+    ).save()
+    col.build_ann_index(bucket_length=10.0, num_hash_tables=3)
+    assert col.nearest_query_approx("topic 3 words 3", k=1).first() is not None
+    col.append(spark.createDataFrame(
+        [("id20", "topic 20 words 20")], "id string, document string"))
+    with pytest.raises(DatabaseError, match="stale"):
+        col.nearest_query_approx("topic 3 words 3", k=1)
+    col.rebuild_ann_index()
+    got = col.nearest_query_approx("topic 20 words 20", k=1).first()
+    assert got["id"] == "id20"
+
+
+def test_delete_removes_ann_sidecars(spark, fresh_warehouse):
+    col = EmbeddingCollection.new(
+        spark, [f"t {i}" for i in range(10)], None, None, "sidecars",
+        embedder=HashEmbedder(dim=16),
+    ).save()
+    col.build_ann_index()
+    path = col.catalog.resolve("view-sidecars")["path"]
+    assert os.path.exists(path + "_ann") and os.path.exists(path + "_ann_model")
+    EmbeddingCollection.delete(spark, "view-sidecars")
+    for p in (path, path + "_ann", path + "_ann_model"):
+        assert not os.path.exists(p)
+
+
 def test_collections_in_one_warehouse_are_isolated(spark, fresh_warehouse):
     from valentinus_spark.collection import EmbeddingCollection
     from valentinus_spark.embed import HashEmbedder

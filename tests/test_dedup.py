@@ -134,6 +134,22 @@ def test_connected_components_matches_python(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_string_ids_deep_chain(spark):
+    """Regression: string ids (the collection API's own 'id{i}' format) used
+    to break the numeric-cast convergence witness — ANSI throws, non-ANSI
+    NULLs the sum and stops after one round, wrong for diameter >= 2."""
+    from valentinus_spark.operators.dedup import connected_components
+
+    pairs = [("id0", "id1"), ("id1", "id2"), ("id2", "id3"), ("id3", "id4"),
+             ("id7", "id8")]
+    pdf = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pdf).collect()}
+    assert got == {
+        "id0": "id0", "id1": "id0", "id2": "id0", "id3": "id0", "id4": "id0",
+        "id7": "id7", "id8": "id7",
+    }
+
+
 def test_dedup_clusters_includes_singletons(spark):
     from valentinus_spark.operators.dedup import dedup_clusters
 

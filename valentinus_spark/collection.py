@@ -48,7 +48,7 @@ from pyspark.sql.types import (
 )
 
 from valentinus_spark.embed import Embedder, HashEmbedder, get_embedder
-from valentinus_spark.errors import NotFoundError, ViewNameError
+from valentinus_spark.errors import DatabaseError, NotFoundError, ViewNameError
 from valentinus_spark.filters import compile_filters
 from valentinus_spark.functions.vector import cosine_similarity, dot, l2_distance
 from valentinus_spark.session import warehouse_dir
@@ -307,7 +307,17 @@ class EmbeddingCollection:
                 "key": self.key,
                 "path": path,
                 "embedder": self.embedder.name,
+                # full recreate-config: find() must restore the SAME vector
+                # space (seed, model_path, ...), not just name+dim
+                "embedder_conf": self.embedder.config(),
                 "dim": self.embedder.dim,
+                # promotion spec: append() re-derives md_<key> columns for
+                # new rows (they'd otherwise arrive NULL and both filters
+                # and partitioning on the promoted column would miss them)
+                "promoted": promote,
+                # layout spec: append()/compact() re-apply it so the
+                # Hive-partitioned directory structure survives rewrites
+                "partition_by": list(partition_by) if partition_by else [],
                 "n_rows": persisted.count(),
             },
         )
@@ -335,14 +345,31 @@ class EmbeddingCollection:
             df = df.withColumn("embedding_q", quantize_embedding("embedding")).drop(
                 "embedding"
             )
+        from valentinus_spark.filters import PROMOTED_PREFIX
+
+        for pkey, ptype in (entry.get("promoted") or {}).items():
+            pcol = PROMOTED_PREFIX + pkey
+            if pcol not in df.columns:
+                df = df.withColumn(
+                    pcol, F.element_at("metadata", pkey).try_cast(ptype)
+                )
         for col_name in self.df.columns:
             if col_name not in df.columns:
                 df = df.withColumn(
                     col_name, F.lit(None).cast(dict(self.df.dtypes)[col_name])
                 )
-        df.select(self.df.columns).write.mode("append").parquet(entry["path"])
+        writer = df.select(self.df.columns).write.mode("append")
+        if entry.get("partition_by"):
+            # preserve the Hive-partitioned layout — an unpartitioned append
+            # would drop files at the table root and break partition pruning
+            writer = writer.partitionBy(*entry["partition_by"])
+        writer.parquet(entry["path"])
         self.df = self.spark.read.parquet(entry["path"])
         entry["n_rows"] = self.df.count()
+        if entry.get("ann_index"):
+            # new rows are not in the persisted LSH table — mark it stale so
+            # approximate queries refuse until rebuild_ann_index()
+            entry["ann_index"] = "stale"
         self.catalog.add(self.view, entry)
         return self
 
@@ -374,7 +401,12 @@ class EmbeddingCollection:
         tmp = path + ".compact.tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        self.spark.read.parquet(path).repartition(n).write.parquet(tmp)
+        writer = self.spark.read.parquet(path).repartition(n).write
+        if entry.get("partition_by"):
+            # re-apply the layout spec — a flat rewrite would silently drop
+            # partition pruning for every subsequent read
+            writer = writer.partitionBy(*entry["partition_by"])
+        writer.parquet(tmp)
         old = path + ".compact.old"
         os.rename(path, old)
         os.rename(tmp, path)
@@ -402,7 +434,10 @@ class EmbeddingCollection:
         else:
             raise NotFoundError("find() requires key or view")
         df = spark.read.parquet(entry["path"])
-        embedder = get_embedder(entry.get("embedder", "hash"), dim=entry.get("dim", 384))
+        conf = entry.get("embedder_conf")
+        if conf is None:  # legacy entry: only name+dim were recorded
+            conf = {"dim": entry.get("dim", 384)}
+        embedder = get_embedder(entry.get("embedder", "hash"), **conf)
         return cls(
             spark=spark, df=df, view=view, key=entry["key"], embedder=embedder, catalog=catalog
         )
@@ -424,8 +459,11 @@ class EmbeddingCollection:
         """Drop data + catalog entry (embeddings.rs:419-455)."""
         catalog = catalog or CollectionCatalog(spark)
         entry = catalog.resolve(view_name)  # raises NotFoundError if absent
-        if os.path.exists(entry["path"]):
-            shutil.rmtree(entry["path"])
+        # data + the ANN sidecars build_ann_index wrote next to it —
+        # otherwise deleted collections orphan their index artifacts
+        for p in (entry["path"], entry["path"] + "_ann", entry["path"] + "_ann_model"):
+            if os.path.exists(p):
+                shutil.rmtree(p)
         catalog.remove(view_name)
 
     # ---------------- accessors (embeddings.rs:457-475) -------------------
@@ -539,6 +577,32 @@ class EmbeddingCollection:
         self.catalog.add(self.view, entry)
         return self
 
+    def rebuild_ann_index(self) -> "EmbeddingCollection":
+        """Rebuild a stale LSH index (after append/stream append) with the
+        parameters recorded at build time. At scale this is the periodic
+        batch half of continuous ingest: stream appends rows, a scheduled
+        job re-hashes the table (BASELINE.json: batch index build, not
+        online index maintenance)."""
+        entry = self.catalog.resolve(self.view)
+        params = entry.get("ann_params") or {}
+        return self.build_ann_index(**params)
+
+    def stream_append(self, docs_stream: DataFrame, checkpoint: str,
+                      text_col: str = "document"):
+        """Streaming twin of append(): embed + append micro-batches to this
+        SAVED collection's path (streaming/pipeline.py does the plumbing).
+        Marks any built ANN index stale up front — appended rows are not in
+        the persisted hash table. Returns the StreamingQuery."""
+        from valentinus_spark.streaming.pipeline import stream_collection_append
+
+        entry = self.catalog.resolve(self.view)
+        if entry.get("ann_index"):
+            entry["ann_index"] = "stale"
+            self.catalog.add(self.view, entry)
+        return stream_collection_append(
+            docs_stream, self.embedder, entry["path"], checkpoint, text_col
+        )
+
     def _load_ann(self):
         from pyspark.ml.feature import BucketedRandomProjectionLSHModel
         from pyspark.ml.functions import array_to_vector
@@ -547,6 +611,12 @@ class EmbeddingCollection:
         if not entry.get("ann_index"):
             raise NotFoundError(
                 f"collection {self.view!r} has no ANN index — build_ann_index() first"
+            )
+        if entry.get("ann_index") == "stale":
+            raise DatabaseError(
+                f"ANN index of {self.view!r} is stale (rows were appended "
+                "after it was built) — rebuild_ann_index() first, or use the "
+                "exact nearest_query_df()"
             )
         base = self.catalog.data_path(self.view)
         model = BucketedRandomProjectionLSHModel.load(base + "_ann_model")

@@ -72,6 +72,14 @@ class Embedder:
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:  # [n, dim] float32
         raise NotImplementedError
 
+    def config(self) -> dict:
+        """Constructor kwargs that recreate this embedder via
+        ``get_embedder(self.name, **config)`` — persisted in the collection
+        catalog so find() restores the SAME vector space (a HashEmbedder
+        with a non-default seed, or an OnnxEmbedder's model_path, would
+        otherwise be lost and query embeddings would silently diverge)."""
+        return {"dim": self.dim}
+
     def udf(self):
         """Arrow-batched pandas UDF: string column → array<float> column."""
         embed = self.embed_texts
@@ -103,6 +111,9 @@ class HashEmbedder(Embedder):
             raise ConfigError(f"embedding dim must be positive, got {dim}")
         self.dim = dim
         self.seed = seed
+
+    def config(self) -> dict:
+        return {"dim": self.dim, "seed": self.seed}
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
@@ -165,6 +176,13 @@ class OnnxEmbedder(Embedder):
         # VALENTINUS_CUSTOM_DIM override (onnx.rs:23,103-106)
         self.dim = dim or int(os.environ.get("VALENTINUS_CUSTOM_DIM", DEFAULT_DIM))
         self.batch_size = batch_size  # reference BATCH_SIZE=100 (onnx.rs:17)
+
+    def config(self) -> dict:
+        return {
+            "model_path": self.model_path,
+            "dim": self.dim,
+            "batch_size": self.batch_size,
+        }
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         try:

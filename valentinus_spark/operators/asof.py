@@ -42,15 +42,21 @@ def asof_join(
     (NULL when no prior right row exists). ``tie_break`` orders right rows
     within an equal (key, ts) — the largest wins."""
     tb = tie_break or value_cols[0]
-    l_tagged = left.withColumn("_side", F.lit(1))
-    for c in value_cols + [tb]:
-        if f"_r_{c}" not in l_tagged.columns:
-            l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    rcols = list(dict.fromkeys(list(value_cols) + [tb]))
+    # carry ALL right values as ONE struct: last(struct, ignorenulls) then
+    # picks every output column from the SAME (latest) right row. Per-column
+    # last() would mix rows whenever the latest right row has NULL in some
+    # value column (ignorenulls skips back to an older row for that column
+    # only — not as-of semantics).
     r_tagged = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in dict.fromkeys(list(value_cols) + [tb])],
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"),
+    )
+    struct_type = r_tagged.schema["_r"].dataType
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(struct_type)
     )
     # align schemas for unionByName
     l_cols = l_tagged.columns
@@ -62,13 +68,19 @@ def asof_join(
 
     # right rows sort BEFORE left rows at equal ts (inclusive match);
     # among equal right rows the largest tie_break lands last → wins
+    # (the tie key only orders within _side = 0: left rows always sort
+    # after right rows at equal ts regardless of their NULL tie field)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col(f"_r_{tb}").asc_nulls_first())
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("_side").asc(),
+            F.col("_r").getField(tb).asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = combined
-    for c in dict.fromkeys(list(value_cols) + [tb]):
-        out = out.withColumn(f"{prefix}{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
-    keep = [c for c in left.columns] + [f"{prefix}{c}" for c in value_cols]
+    out = combined.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+    keep = [F.col(c) for c in left.columns] + [
+        F.col("_last_r").getField(c).alias(f"{prefix}{c}") for c in value_cols
+    ]
     return out.filter(F.col("_side") == 1).select(*keep)

@@ -409,12 +409,10 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint()
     )
-    # labels only ever decrease, so the label sum is a monotone convergence
-    # witness: fixpoint ⇔ sum unchanged (one cheap agg per round instead of
-    # a join-based diff)
-    prev_sum = labels.agg(
-        F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-    ).first()[0]
+    # convergence witness: exact count of labels that changed this round.
+    # Type-agnostic on purpose — a numeric cast of the id (the previous
+    # witness) throws CAST_INVALID_INPUT for string ids under ANSI mode
+    # and NULLs out silently with ANSI off, breaking diameter>=2 graphs.
     for _ in range(max_iter):
         # min label among each node's neighbors
         neighbor_min = (
@@ -422,22 +420,21 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("_nmin"))
         )
-        labels = (
+        updated = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
+                F.col("cluster_id").alias("_prev"),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-        ).first()[0]
-        if cur_sum == prev_sum:
+        n_changed = updated.filter(F.col("cluster_id") != F.col("_prev")).count()
+        labels = updated.drop("_prev")
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     return labels
 
 
