@@ -198,7 +198,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    out = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8, max_df=None
+    )  # exact set semantics to match the DuckDB oracle
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -692,7 +694,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from valentinus_spark.operators.dedup import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=None).select(
+        "id_a", "id_b"
+    )  # exact semantics: oracle recomputes Jaccard via recursive CTE
     return dedup_clusters(docs, pairs)
 
 

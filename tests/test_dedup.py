@@ -51,6 +51,20 @@ def test_ngram_jaccard(docs):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_ngram_max_df_drops_boilerplate_shingles(spark):
+    """A boilerplate shingle shared by d docs alone generates d(d-1)/2 join
+    rows; max_df (default ON) drops it. Docs that only share boilerplate
+    must produce NO pair under the cap, while exact mode (max_df=None)
+    still scores them."""
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"{boiler} unique{i} body{i} text{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_df=10).collect()
+    assert capped == []  # every shared shingle is boilerplate → dropped
+    exact = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_df=None).collect()
+    assert len(exact) == 40 * 39 / 2  # boilerplate alone clears J >= 0.1
+
+
 def test_minhash_lsh_finds_planted_dups(docs):
     out = minhash_lsh_pairs(docs, n=3, threshold=0.5, num_hash_tables=5)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}

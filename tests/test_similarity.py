@@ -95,6 +95,30 @@ def test_ivf_centroids_and_recall(embs):
         assert len(set(got[qid]) & exact) >= 3  # kmeans buckets beat random
 
 
+def test_ivf_centroids_unbiased_on_sorted_corpus(spark):
+    """Regression: the training slice used to be limit(max_train) = the
+    FIRST rows in storage order. On a corpus sorted by topic/language that
+    trains all centroids inside the first topic. With seeded random
+    sampling every topic is represented: the 4 true cluster means must map
+    to 4 DISTINCT learned centroids."""
+    from valentinus_spark.operators.similarity import ivf_centroids
+
+    rng = np.random.default_rng(11)
+    means = np.eye(4, 16) * 10.0  # 4 well-separated cluster centers
+    rows = []
+    for c in range(4):  # sorted by cluster — the adversarial layout
+        pts = means[c] + 0.1 * rng.standard_normal((500, 16))
+        rows += [(c * 500 + i, [float(x) for x in pts[i]]) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "id long, embedding array<float>"
+    ).coalesce(1)  # single partition preserves the sorted order end-to-end
+    cents = np.array(ivf_centroids(df, n_centroids=4, max_train=400, seed=5))
+    nearest = {
+        int(((cents - means[c]) ** 2).sum(axis=1).argmin()) for c in range(4)
+    }
+    assert len(nearest) == 4  # one centroid per true cluster
+
+
 def test_lsh_index_and_query(embs):
     df, mat = embs
     model, hashed = lsh_ann_index(df, id_col="id", num_hash_tables=4)

@@ -98,7 +98,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs (a < b, J ≥ threshold).
 
@@ -106,10 +106,13 @@ def ngram_jaccard_pairs(
     count intersections per pair → Jaccard from |A|,|B|,|A∩B|. The join
     key is the shingle, so candidate pairs are generated only where sets
     actually overlap; with a stopword-free shingle space the blow-up is
-    bounded by shingle document frequency (``max_df`` caps it: shingles in
-    more than max_df docs are dropped as non-discriminative, which also
-    kills join skew — essential at corpus scale, off by default to keep
-    exact semantics).
+    bounded by shingle document frequency: ``max_df`` drops shingles in
+    more than max_df docs as non-discriminative, which also kills join
+    skew. A single boilerplate shingle shared by d documents alone
+    contributes d·(d−1)/2 join rows — at corpus scale that is THE
+    bottleneck, so the cap defaults ON (a shingle in >100k docs carries
+    ~no Jaccard signal). Pass ``max_df=None`` for exact set semantics
+    (oracle comparisons at test scale).
 
     The join runs on xxhash64(shingle) — an 8-byte key instead of a
     ~20-byte string — which shrinks the shuffle and makes comparisons

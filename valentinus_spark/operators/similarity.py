@@ -127,7 +127,17 @@ def ivf_centroids(
 
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(max_train).collect()
+    # the training slice must be a RANDOM sample: limit() alone takes the
+    # first rows in storage order, and a corpus sorted/partitioned by
+    # topic or language would then train centroids on a biased slice and
+    # crater recall for everything else. Bernoulli-sample at exactly the
+    # target fraction (expected size = max_train); the limit stays only as
+    # a memory guard against sampling variance.
+    src = corpus.select(vec_col)
+    n_total = src.count()
+    if n_total > max_train:
+        src = src.sample(fraction=max_train / n_total, seed=seed)
+    rows = src.limit(int(max_train * 1.05) + 1).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     if len(X) < n_centroids:
         raise ValueError(f"need >= {n_centroids} vectors, got {len(X)}")
