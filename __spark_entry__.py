@@ -32,6 +32,7 @@ from valentinus_spark.functions.text import (
 from valentinus_spark.functions.vector import cosine_similarity, dot, l2_distance
 from valentinus_spark.operators.dedup import (
     embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
     exact_dedup,
     minhash_native_pairs,
     ngram_jaccard_pairs,
@@ -207,6 +208,44 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-path embedding near-dup: LSH-bucketed candidate generation +
+    exact within-candidate cosine verify (operators/dedup.py
+    embedding_neardup_pairs_lsh). Because every surviving pair is
+    exact-verified with the same dot expression as the O(n²) baseline, the
+    query shares the exact oracle — a hash-match proves the banded path
+    loses nothing at this scale while candidate generation stays an
+    equi-join (the plan the 100 TB corpus actually runs)."""
+    out = embedding_neardup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35,
+        bucket_length=8.0, num_hash_tables=12,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-LSH ANN probe (the engine under collection
+    .nearest_query_approx, collection.py): build the hashed table once,
+    probe the query's buckets via approxNearestNeighbors instead of
+    scanning the corpus — the batch-index replacement for the reference's
+    per-query KdTree (embeddings.rs:402-408). Generous bucket length makes
+    recall 1 at this scale, so the exact nearest_l2 oracle applies;
+    recall@10 >= 0.9 under tight buckets is asserted in
+    tests/test_similarity.py."""
+    from pyspark.ml.linalg import Vectors
+
+    from valentinus_spark.operators.similarity import lsh_ann_index
+
+    embs = _t(spark, sf_dir, "embeddings")
+    model, hashed = lsh_ann_index(
+        embs, id_col="vec_id", bucket_length=4.0, num_hash_tables=8
+    )
+    nn = model.approxNearestNeighbors(hashed, Vectors.dense(QUERY_VEC), 10)
+    return nn.select(
+        "vec_id", F.round(F.col("distCol"), 4).alias("distance")
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,6 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "neardup_embedding": q_neardup_embedding,
+        "neardup_embedding_lsh": q_neardup_embedding_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1216,6 +1257,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        # the LSH-banded scale path exact-verifies every candidate with the
+        # same dot, so the O(n²) exact oracle applies verbatim: hash-match
+        # proves zero recall loss at this scale
+        "neardup_embedding_lsh": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        # generous bucket length ⇒ every true neighbor shares a bucket at
+        # this scale, so the probe returns the exact L2 top-10
+        "ann_lsh_topk": f"""
+            SELECT vec_id, ROUND(list_distance(embedding, {qv}), 4) AS distance
+            FROM embeddings
+            ORDER BY distance ASC, vec_id ASC
+            LIMIT 10
         """,
         "text_stats": """
             SELECT doc_id,

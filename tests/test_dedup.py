@@ -136,6 +136,28 @@ def test_embedding_neardup(spark):
     assert out[0]["cosine"] > 0.99
 
 
+def test_embedding_neardup_lsh_matches_exact(spark):
+    """Scale path (LSH candidates + exact verify) returns the identical
+    pair set and scores as the O(n²) exact baseline on real testdata."""
+    from valentinus_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 4)
+        for r in embedding_neardup_pairs(df, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 4)
+        for r in embedding_neardup_pairs_lsh(
+            df, threshold=0.35, bucket_length=8.0, num_hash_tables=12
+        ).collect()
+    }
+    assert exact and lsh == exact
+
+
 def test_connected_components_matches_python(spark):
     from valentinus_spark.operators.dedup import connected_components
 

@@ -133,6 +133,31 @@ def test_lsh_index_and_query(embs):
     assert nn[0]["id"] == 5  # exact self comes back first
 
 
+def test_lsh_ann_recall_at_10(spark):
+    """Persisted-LSH probe recall@10 vs exact L2 top-10 at sf0.1 (2000
+    vectors) under TIGHT buckets — the configuration that actually prunes
+    candidates at scale must still find >= 9 of the true 10."""
+    from pyspark.ml.linalg import Vectors
+
+    df = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    mat = np.array(
+        [r["embedding"] for r in df.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal(64)
+    q /= np.linalg.norm(q)
+    exact = set(np.argsort(np.linalg.norm(mat - q, axis=1), kind="stable")[:10])
+
+    model, hashed = lsh_ann_index(
+        df, id_col="vec_id", bucket_length=1.0, num_hash_tables=6
+    )
+    got = {
+        r["vec_id"]
+        for r in model.approxNearestNeighbors(hashed, Vectors.dense(q), 10).collect()
+    }
+    assert len(got & exact) >= 9
+
+
 def test_quantize_roundtrip_error_bounded(embs):
     from valentinus_spark.functions.vector import (
         dequantize_embedding,

@@ -15,6 +15,7 @@ from valentinus_spark.operators.dedup import (
     minhash_native_pairs,
     simhash_pairs,
     embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
     connected_components,
     dedup_clusters,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "minhash_native_pairs",
     "simhash_pairs",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_lsh",
     "connected_components",
     "dedup_clusters",
     "asof_join",

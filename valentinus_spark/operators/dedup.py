@@ -373,6 +373,69 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_length: float = 4.0,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold — the SCALE path.
+
+    Replaces :func:`embedding_neardup_pairs`' O(n²) crossJoin with
+    LSH-restricted candidates + exact within-candidate verify:
+
+    1. unit-normalize, so cosine ≥ t  ⇔  L2 distance ≤ sqrt(2 − 2t);
+    2. BucketedRandomProjectionLSH ``approxSimilarityJoin`` at that
+       distance — candidate generation is a banded EQUI-join on (table,
+       bucket), shuffling only (id, vector, bucket) rows, never n²;
+    3. exact cosine filter on the candidates with the SAME dot expression
+       as the exact operator, so surviving pairs carry identical scores
+       (which is what lets the driver query share the exact oracle).
+
+    Misses are pairs sharing no bucket in any table: per-table collision
+    for distance d is ≈ 1 − d·sqrt(2/π)/bucket_length, so the miss rate is
+    its complement ^ num_hash_tables — with the defaults and d ≈ 1.14
+    (t = 0.35) that is ~1e-5 per pair; raise num_hash_tables / bucket_length
+    for more recall, lower bucket_length for fewer candidates. The
+    reference's pair-mining equivalent is the per-query KdTree rebuild
+    (embeddings.rs:402-408) — single-node, no persistence, no batch path."""
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from valentinus_spark.functions.vector import dot, l2_normalize
+
+    normed = ensure_parallelism(df).select(
+        F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_nvec")
+    )
+    vecs = normed.withColumn("_features", array_to_vector(F.col("_nvec")))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vecs)
+    # + eps: the join compares Euclidean doubles, the verify compares the
+    # dot — keep borderline pairs in the candidate set, let the exact
+    # cosine filter decide
+    dist = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-6
+    cand = model.approxSimilarityJoin(vecs, vecs, dist, distCol="_dist")
+    return (
+        cand.select(
+            F.col("datasetA._nid").alias("id_a"),
+            F.col("datasetB._nid").alias("id_b"),
+            dot(F.col("datasetA._nvec"), F.col("datasetB._nvec")).alias("cosine"),
+        )
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("cosine") >= threshold))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
