@@ -55,6 +55,77 @@ def test_udf_matches_driver_path(spark):
     np.testing.assert_allclose(np.array([r["e"] for r in rows]), mat, rtol=1e-6)
 
 
+class _FakeEncoding:
+    def __init__(self, ids):
+        self.ids = ids
+        self.attention_mask = [1] * len(ids)
+
+
+class _FakeTokenizer:
+    """Whitespace vocab: token -> stable small id (duck-types
+    tokenizers.Tokenizer.encode_batch)."""
+
+    def encode_batch(self, texts):
+        return [
+            _FakeEncoding([(hash(w) % 997) + 1 for w in t.split()] or [0])
+            for t in texts
+        ]
+
+
+class _FakeSession:
+    """Duck-types onnxruntime.InferenceSession.run: returns
+    [token_embeddings, pooled] like all-MiniLM, where pooled row i is a
+    deterministic function of the MASKED ids of row i only — any padding
+    leak, row mix-up, or batch off-by-one changes the output."""
+
+    def __init__(self, dim):
+        self.dim = dim
+        self.calls = []
+
+    def run(self, _out_names, feeds):
+        ids, mask = feeds["input_ids"], feeds["attention_mask"]
+        self.calls.append(ids.shape)
+        n, L = ids.shape
+        token_emb = np.zeros((n, L, self.dim), dtype=np.float32)  # outputs[0]
+        pooled = np.zeros((n, self.dim), dtype=np.float32)
+        for i in range(n):
+            for j in range(L):
+                if mask[i, j]:
+                    pooled[i, (ids[i, j] * 31) % self.dim] += 1.0 + 0.001 * ids[i, j]
+        return [token_emb, pooled]
+
+
+def test_onnx_embedder_pipeline_with_fake_runtime(monkeypatch):
+    """Executes OnnxEmbedder.embed_texts end-to-end — batch split, padded
+    id/mask assembly, session feed, outputs[1] pooled slice — with only
+    onnxruntime/tokenizers themselves replaced by deterministic fakes
+    (the libraries are absent from this container; the reference gates
+    its CI on the same model download, README.md:37-48)."""
+    import valentinus_spark.embed as embed_mod
+    from valentinus_spark.embed import OnnxEmbedder
+
+    fake = _FakeSession(dim=16)
+    monkeypatch.setattr(embed_mod, "_onnx_session", lambda path: fake)
+    monkeypatch.setattr(embed_mod, "_onnx_tokenizer", lambda path: _FakeTokenizer())
+
+    texts = [f"doc number {i} pad" * (1 + i % 3) for i in range(7)]
+    emb = OnnxEmbedder(model_path="/nonexistent", dim=16, batch_size=3)
+    out = emb.embed_texts(texts)
+    assert out.shape == (7, 16) and out.dtype == np.float32
+    assert fake.calls and all(s[0] <= 3 for s in fake.calls)  # batch split ran
+    # every row non-zero: no batch-boundary drop (reference onnx.rs:114)
+    assert (np.abs(out).sum(axis=1) > 0).all()
+    # batch invariance: same rows whether batched 3-at-a-time or singly
+    solo = OnnxEmbedder(model_path="/x", dim=16, batch_size=1)
+    np.testing.assert_array_equal(out, solo.embed_texts(texts))
+    # per-row correctness vs a direct computation (padding must not leak)
+    expect = _FakeSession(dim=16)
+    enc = _FakeTokenizer().encode_batch([texts[5]])
+    ids = np.array([enc[0].ids], dtype=np.int64)
+    mask = np.ones_like(ids)
+    np.testing.assert_array_equal(out[5], expect.run(None, {"input_ids": ids, "attention_mask": mask})[1][0])
+
+
 def test_registry():
     assert get_embedder("hash", dim=12).dim == 12
     with pytest.raises(ConfigError):
