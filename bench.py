@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
     "neardup_embedding",
+    "neardup_embedding_lsh",
+    "ann_lsh_topk",
     "text_stats",
     "pricing_summary",
     "top_revenue_orders",
