@@ -914,6 +914,115 @@ def q_corpus_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions/text.py pii_counts/redact_pii):
+    deterministic PII is planted on a doc_id schedule so the cross-engine
+    check exercises real matches, then counted and scrubbed — pure
+    Catalyst regexps, zero Python, one scan at any scale. The oracle
+    re-runs the identical patterns in DuckDB (both engines are RE2-safe:
+    no lookarounds/backrefs in PII_PATTERNS)."""
+    from valentinus_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call +1-555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" from 192.168.0.1")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    c = pii_counts("text")
+    return injected.select(
+        "doc_id",
+        c["email"].alias("n_email"),
+        c["phone"].alias("n_phone"),
+        c["ipv4"].alias("n_ipv4"),
+        F.length(redact_pii("text")).cast("long").alias("redacted_len"),
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (functions/text.py
+    chunks_from_tokens): size 32, stride 24 — the context-splitting step
+    ahead of embedding/training. JVM-side transform/slice over a
+    materialized token array; exploding multiplies rows, never bytes per
+    executor."""
+    from valentinus_spark.functions.text import chunks_from_tokens, word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_toks", word_tokens("text"))
+        .select(
+            "doc_id",
+            F.explode(chunks_from_tokens("_toks", size=32, stride=24)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen (operators/contamination.py):
+    every 50th document plays the eval set; the rest of the corpus is
+    scored by 3-gram overlap against its broadcast shingle set. The
+    corpus never shuffles its text — only (doc_id, matched-shingle)
+    hits."""
+    from valentinus_spark.operators.contamination import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    out = benchmark_contamination(corpus, bench, n=3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round("contamination", 4).alias("contamination"),
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py): corpus
+    concatenated in doc_id order, cut every 512 tokens; per doc its global
+    token span and pack span. Two-level parallel prefix sum — the only
+    globally-ordered window runs over the per-bucket totals (#buckets
+    rows), everything else is partition-parallel."""
+    from valentinus_spark.operators.packing import pack_assignments
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return pack_assignments(
+        toks, id_col="doc_id", token_col="n_tokens", budget=512, bucket_size=100
+    )
+
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap): the
+    streaming-capable sessionization operator — the same expression runs
+    under readStream with a watermark, where state is bounded per open
+    session (vs events_sessionize's window-function formulation, which is
+    batch-only). Oracle: gap-islands SQL."""
+    from valentinus_spark.streaming.pipeline import stream_events_sessionized
+
+    return stream_events_sessionized(_events(spark, sf_dir), gap="30 minutes")
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (overlapping) window agg: 1-hour windows every 30 minutes —
     each event lands in exactly 2 windows (Spark's window() generates
@@ -1152,6 +1261,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
+        "pii_scrub_stats": q_pii_scrub_stats,
+        "doc_chunks": q_doc_chunks,
+        "benchmark_contamination": q_benchmark_contamination,
+        "sequence_packing": q_sequence_packing,
+        "events_session_window": q_events_session_window,
         "events_sliding_window": q_events_sliding_window,
         "user_event_pivot": q_user_event_pivot,
         "part_unpivot": q_part_unpivot,
@@ -1686,6 +1800,118 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
             FROM kept
             GROUP BY lang
+        """,
+        "pii_scrub_stats": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-123-4567' ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.0.1' ELSE '' END
+                       AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                   CAST(length(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                             '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g'),
+                         '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')
+                   ) AS BIGINT) AS redacted_len
+            FROM injected
+        """,
+        "doc_chunks": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+') END AS w
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, w,
+                       CASE WHEN len(w) <= 32 THEN 1
+                            ELSE CAST(ceil((len(w) - 32) / 24.0) AS INT) + 1 END AS nc
+                FROM toks
+            ),
+            ex AS (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM n)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   array_to_string(w[i*24+1 : i*24+32], ' ') AS chunk
+            FROM ex
+        """,
+        "benchmark_contamination": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' '))
+                    END)) AS shingle
+                FROM words
+            ),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+            hits AS (
+                SELECT c.doc_id, count(*) AS n_contaminated
+                FROM corpus c JOIN bench USING (shingle)
+                GROUP BY c.doc_id
+            )
+            SELECT s.doc_id, s.n_shingles,
+                   COALESCE(h.n_contaminated, 0) AS n_contaminated,
+                   ROUND(COALESCE(h.n_contaminated, 0) * 1.0 / s.n_shingles, 4) AS contamination
+            FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "sequence_packing": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(e - n_tokens AS BIGINT) AS token_start,
+                   CAST(e AS BIGINT) AS token_end,
+                   CAST(FLOOR((e - n_tokens) / 512) AS BIGINT) AS pack_first,
+                   CAST(GREATEST(FLOOR((e - 1) / 512), FLOOR((e - n_tokens) / 512)) AS BIGINT) AS pack_last
+            FROM c
+        """,
+        "events_session_window": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                            OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM sess
+            GROUP BY user_id, sid
         """,
         "events_sliding_window": """
             WITH grid AS (

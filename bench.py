@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "nation_order_coverage",
     "train_split_counts",
     "corpus_balance_sample",
+    "pii_scrub_stats",
+    "doc_chunks",
+    "benchmark_contamination",
+    "sequence_packing",
+    "events_session_window",
     "events_sliding_window",
     "user_event_pivot",
     "part_unpivot",

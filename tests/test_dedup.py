@@ -199,3 +199,63 @@ def test_dedup_clusters_includes_singletons(spark):
     assert got[5] == (5, 2) and got[6] == (5, 2)
     for single in (3, 4, 7):
         assert got[single] == (single, 1)
+
+
+def test_benchmark_contamination(spark):
+    from valentinus_spark.operators.contamination import benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),  # fully inside bench doc
+            (1, "quick brown fox somewhere else entirely today"),  # partial overlap
+            (2, "completely unrelated text about cooking pasta"),  # zero overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix words the quick brown fox jumps over the lazy dog suffix")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"], r["contamination"])
+        for r in benchmark_contamination(corpus, bench, n=3).collect()
+    }
+    assert got[0][0] == 7 and got[0][1] == 7 and got[0][2] == 1.0  # all 3-grams hit
+    assert got[1][1] == 1  # only "quick brown fox"
+    assert got[2] == (4, 0, 0.0)  # zero-hit doc still reported (6 words -> 4 3-grams)
+
+
+def test_pack_assignments_matches_python(spark):
+    from valentinus_spark.operators.packing import pack_assignments
+
+    toks = [(i, (i * 37) % 90 + (10 if i % 5 else 0)) for i in range(200)]
+    df = spark.createDataFrame(toks, "doc_id long, n_tokens long")
+    # bucket_size=16 → 13 buckets: exercises the two-level prefix sum
+    got = {
+        r["doc_id"]: (r["token_start"], r["token_end"], r["pack_first"], r["pack_last"])
+        for r in pack_assignments(df, budget=100, bucket_size=16).collect()
+    }
+    cum = 0
+    for i, n in toks:
+        start, end = cum, cum + n
+        cum = end
+        expect = (start, end, start // 100, max((end - 1) // 100, start // 100))
+        assert got[i] == expect, f"doc {i}"
+    # some doc must actually span a pack boundary for the test to mean much
+    assert any(a != b for (_, _, a, b) in got.values())
+
+
+def test_pack_assignments_zero_token_doc(spark):
+    from valentinus_spark.operators.packing import pack_assignments
+
+    df = spark.createDataFrame(
+        [(0, 100), (1, 0), (2, 50)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: (r["token_start"], r["token_end"], r["pack_first"], r["pack_last"])
+        for r in pack_assignments(df, budget=100, bucket_size=10).collect()
+    }
+    # doc 1 is empty and sits exactly on the boundary: it belongs to pack 1
+    # (where it would start), not pack 0
+    assert got[1] == (100, 100, 1, 1)
+    assert got[2] == (100, 150, 1, 1)

@@ -218,3 +218,39 @@ def test_checkpoint_makes_rerun_idempotent(spark, tmp_path):
         q = stream_collection_append(stream, emb, out, ckpt)
         q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 25  # not 50
+
+
+def test_stream_sessionized_equals_batch(spark, tmp_path):
+    from valentinus_spark.streaming.pipeline import stream_events_sessionized
+
+    path = str(tmp_path / "events_sess")
+    _write_events(spark, path)
+    batch = spark.read.parquet(path)
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in stream_events_sessionized(batch, gap="10 minutes").collect()
+    }
+    assert expected  # sessions exist
+    assert any(v[0] > 1 for v in expected.values())  # some sessions merge events
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        stream_events_sessionized(stream, gap="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM sess_agg").collect()
+    }
+    assert got == expected

@@ -153,3 +153,48 @@ def test_stratified_keep_rates_and_determinism(spark):
     assert counts["lang2"] == 10000  # default rate keeps everything
     # deterministic
     assert kept.count() == df.filter(pred).count()
+
+
+def test_pii_counts_and_redaction(spark):
+    from valentinus_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (0, "mail me at alice.smith+spam@corp.example.org today"),
+        (1, "server 10.0.255.3 and ssn 123-45-6789 and +44-207-946-0958"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: (r["c"], r["red"])
+        for r in df.select(
+            "i", pii_counts("text").alias("c"), redact_pii("text").alias("red")
+        ).collect()
+    }
+    assert got[0][0]["email"] == 1 and got[0][0]["phone"] == 0
+    assert got[0][1] == "mail me at <EMAIL> today"
+    c1 = got[1][0]
+    assert (c1["ipv4"], c1["ssn"], c1["phone"], c1["email"]) == (1, 1, 1, 0)
+    assert got[1][1] == "server <IPV4> and ssn <SSN> and <PHONE>"
+    assert got[2][0]["email"] == 0 and got[2][1] == "no pii here at all"
+
+
+def test_chunks_from_tokens(spark):
+    import pytest
+
+    from valentinus_spark.functions.text import chunks_from_tokens, word_tokens
+
+    rows = [(0, " ".join(f"t{i}" for i in range(10))), (1, "a b"), (2, "")]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = (
+        df.withColumn("_toks", word_tokens("text"))
+        .select("i", chunks_from_tokens("_toks", size=4, stride=3).alias("ch"))
+        .collect()
+    )
+    ch = {r["i"]: [(c["chunk_id"], c["chunk"]) for c in r["ch"]] for r in out}
+    # 10 tokens, size 4 stride 3 → ceil((10-4)/3)+1 = 3 chunks; windows
+    # [0:4) [3:7) [6:10) — every token covered, overlap = 1
+    assert ch[0] == [(0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"), (2, "t6 t7 t8 t9")]
+    assert ch[1] == [(0, "a b")]  # short doc: one whole-doc chunk
+    assert ch[2] == [(0, "")]  # empty doc: one empty chunk
+    with pytest.raises(ValueError):
+        chunks_from_tokens("_toks", size=4, stride=5)  # stride > size

@@ -254,3 +254,74 @@ def stratified_keep(
     for name, r in rates.items():
         rate = F.when(stratum == name, F.lit(float(r))).otherwise(rate)
     return bucket < (rate * span).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax both Java regex (Spark) and RE2 (DuckDB,
+# the oracle engine) support identically: no lookarounds, no backrefs.
+# Order matters for redaction: ssn before phone (a bare 3-2-4 digit group
+# must become <SSN>, not a phone fragment), email before ipv4 (domains
+# can contain dotted digits).
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn": "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone": "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b",
+}
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Per-kind PII match counts as a struct (email/ssn/ipv4/phone → long).
+    Pure Catalyst (``regexp_extract_all``), so scrubbing 100 TB is a
+    single scan with zero Python."""
+    s = _c(col)
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(s, F.lit(p), 0)).cast("long").alias(k)
+            for k, p in PII_PATTERNS.items()
+        ]
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with ``<KIND>`` (e.g. ``<EMAIL>``), applying
+    the patterns in PII_PATTERNS order — the standard scrub step before a
+    corpus enters training."""
+    s = _c(col)
+    for kind, pattern in PII_PATTERNS.items():
+        s = F.regexp_replace(s, pattern, f"<{kind.upper()}>")
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (context splitting for embedding / training)
+# ---------------------------------------------------------------------------
+
+
+def chunks_from_tokens(tokens: Column | str, size: int = 128, stride: int = 96) -> Column:
+    """Overlapping token windows over an ALREADY-MATERIALIZED token-array
+    column (see shingles_from_tokens for why the array must be
+    materialized) → ``array<struct<chunk_id int, chunk string>>``.
+
+    Window i covers tokens [i*stride, i*stride + size); the last window
+    starts at the final stride position that still adds tokens, so every
+    token appears in ≥ 1 chunk and chunks overlap by ``size - stride``.
+    Explode the result for a (doc_id, chunk_id, chunk) table — the shape
+    embedding pipelines feed to the encoder. JVM-side end to end."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    toks = _c(tokens)
+    k = F.size(toks)
+    n_chunks = F.when(k <= size, F.lit(1)).otherwise(
+        F.ceil((k - F.lit(size)).cast("double") / F.lit(stride)).cast("int") + 1
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(F.slice(toks, i * stride + 1, size), " ").alias("chunk"),
+        ),
+    )

@@ -19,6 +19,8 @@ from valentinus_spark.operators.dedup import (
     connected_components,
     dedup_clusters,
 )
+from valentinus_spark.operators.contamination import benchmark_contamination
+from valentinus_spark.operators.packing import pack_assignments
 from valentinus_spark.operators.asof import asof_join
 from valentinus_spark.operators.range_join import range_join
 from valentinus_spark.operators.skew import salted_join, salted_agg
@@ -43,6 +45,8 @@ __all__ = [
     "embedding_neardup_pairs_lsh",
     "connected_components",
     "dedup_clusters",
+    "benchmark_contamination",
+    "pack_assignments",
     "asof_join",
     "range_join",
     "salted_join",

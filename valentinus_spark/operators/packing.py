@@ -1,0 +1,83 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (GPT-style packing — documents are concatenated in a
+deterministic order and cut every ``budget`` tokens, so a document can
+span a pack boundary). The pipeline step between a tokenized corpus and a
+training dataloader.
+
+No reference equivalent (training-pipeline extension surface).
+
+Scale shape: a global running token offset is a prefix sum, which a naive
+``Window.orderBy(id)`` computes on ONE partition — a non-starter at
+100 TB. This implements the standard two-level parallel scan instead:
+
+1. bucket rows by the order key (``floor(id / bucket_size)``);
+2. per-bucket token totals → cumulative offsets (a window over the tiny
+   bucket-count-sized table only);
+3. broadcast the offsets back and run the intra-bucket running sum as a
+   window PARTITIONED by bucket — every partition-sized window runs in
+   parallel, and nothing bigger than #buckets rows is ever serialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_assignments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """For each document: its global token span and the training packs it
+    lands in when the corpus is concatenated in ``id_col`` order and cut
+    every ``budget`` tokens. Returns (id_col, token_start, token_end,
+    pack_first, pack_last) — ``pack_first != pack_last`` means the doc
+    crosses a pack boundary."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    bucketed = df.select(
+        id_col,
+        F.col(token_col).cast("long").alias("_tok"),
+        F.floor(F.col(id_col) / bucket_size).alias("_bucket"),
+    )
+    # tiny table: one row per bucket — the only globally-ordered window
+    bucket_offsets = (
+        bucketed.groupBy("_bucket")
+        .agg(F.sum("_tok").alias("_btot"))
+        .withColumn(
+            "_boff",
+            F.coalesce(
+                F.sum("_btot").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bucket", "_boff")
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(F.broadcast(bucket_offsets), "_bucket")
+        .withColumn("_end", F.col("_boff") + F.sum("_tok").over(w))
+        .select(
+            id_col,
+            (F.col("_end") - F.col("_tok")).alias("token_start"),
+            F.col("_end").alias("token_end"),
+            F.floor((F.col("_end") - F.col("_tok")) / budget).alias("pack_first"),
+            # greatest(): a zero-token doc has end == start, and end-1 would
+            # point into the previous pack
+            F.greatest(
+                F.floor((F.col("_end") - 1) / budget),
+                F.floor((F.col("_end") - F.col("_tok")) / budget),
+            ).alias("pack_last"),
+        )
+    )

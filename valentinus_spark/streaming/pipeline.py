@@ -48,6 +48,40 @@ def stream_events_windowed(
     )
 
 
+def stream_events_sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session-window count/sum per key: windows merge while events arrive
+    within ``gap`` of the session's end. Streaming state is bounded per
+    OPEN session (closed sessions emit and evict once the watermark passes
+    their end) — the stateful sessionization the batch window-function
+    formulation (events_sessionize) cannot run incrementally.
+
+    Batch or streaming input, same expression — the batch run is the
+    oracle for the streaming one."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup_exact(
     docs_stream: DataFrame,
     text_col: str = "document",
