@@ -1023,6 +1023,39 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_sessionized(_events(spark, sf_dir), gap="30 minutes")
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats (operators/quality.py): most-common
+    token / n-gram fractions and duplicated-5-gram fraction, computed
+    ROW-LOCALLY (array_sort + run-length fold — zero shuffles, zero
+    Python at any corpus size). Ratios are exact small-int divisions, so
+    both engines produce bit-identical doubles; rounded to 4 anyway."""
+    from valentinus_spark.operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    s = repetition_stats(docs, top_ngram_ns=(2, 3), dup_ngram_n=5)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_token_ratio", 4).alias("distinct_token_ratio"),
+        F.round("top_token_frac", 4).alias("top_token_frac"),
+        F.round("top_2gram_frac", 4).alias("top_2gram_frac"),
+        F.round("top_3gram_frac", 4).alias("top_3gram_frac"),
+        F.round("dup_5gram_frac", 4).alias("dup_5gram_frac"),
+    )
+
+
+def q_quality_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher gate applied (operators/quality.py quality_filter with
+    DEFAULT_QUALITY_GATES): corpus rows whose repetition profile passes
+    every bound — the semi-join shape a real cleaning pipeline runs. The
+    gate decisions compare UNROUNDED doubles, identical in both engines
+    because every ratio is a division of the same two ints."""
+    from valentinus_spark.operators.quality import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs).select("doc_id", "lang", "source")
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (overlapping) window agg: 1-hour windows every 30 minutes —
     each event lands in exactly 2 windows (Spark's window() generates
@@ -1266,6 +1299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": q_benchmark_contamination,
         "sequence_packing": q_sequence_packing,
         "events_session_window": q_events_session_window,
+        "repetition_profile": q_repetition_profile,
+        "quality_kept": q_quality_kept,
         "events_sliding_window": q_events_sliding_window,
         "user_event_pivot": q_user_event_pivot,
         "part_unpivot": q_part_unpivot,
@@ -1278,6 +1313,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_stats": q_lineitem_stats,
         "customer_rolling_30d": q_customer_rolling_30d,
     }
+
+
+# Shared DuckDB formulation of operators/quality.py repetition_stats
+# (unnest + GROUP BY replaces the Spark side's row-local sorted fold — the
+# oracle mirrors semantics, not implementation). n-gram slices follow
+# shingles_from_tokens: docs with <= n tokens yield ONE whole-doc shingle.
+_REPETITION_STATS_CTE = """
+    toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                    THEN []::VARCHAR[]
+                    ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               END AS w
+        FROM documents
+    ),
+    base AS (SELECT doc_id, w, len(w) AS n FROM toks),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM base),
+    tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+    tok_stats AS (
+        SELECT doc_id, max(c) AS max_tok, count(*) AS n_distinct FROM tc GROUP BY 1
+    ),
+    gram2 AS (
+        SELECT doc_id, unnest(
+            CASE WHEN n <= 2 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(1, n), i -> array_to_string(w[i:i+1], ' '))
+            END) AS g
+        FROM base WHERE n > 0
+    ),
+    g2c AS (SELECT doc_id, g, count(*) AS c FROM gram2 GROUP BY 1, 2),
+    g2s AS (SELECT doc_id, max(c) AS max_g, sum(c) AS tot FROM g2c GROUP BY 1),
+    gram3 AS (
+        SELECT doc_id, unnest(
+            CASE WHEN n <= 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(1, n - 1), i -> array_to_string(w[i:i+2], ' '))
+            END) AS g
+        FROM base WHERE n > 0
+    ),
+    g3c AS (SELECT doc_id, g, count(*) AS c FROM gram3 GROUP BY 1, 2),
+    g3s AS (SELECT doc_id, max(c) AS max_g, sum(c) AS tot FROM g3c GROUP BY 1),
+    gram5 AS (
+        SELECT doc_id, unnest(
+            CASE WHEN n <= 5 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(1, n - 3), i -> array_to_string(w[i:i+4], ' '))
+            END) AS g
+        FROM base WHERE n > 0
+    ),
+    g5c AS (SELECT doc_id, g, count(*) AS c FROM gram5 GROUP BY 1, 2),
+    g5s AS (
+        SELECT doc_id,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+               sum(c) AS tot
+        FROM g5c GROUP BY 1
+    ),
+    rep_stats AS (
+        SELECT b.doc_id,
+               CAST(b.n AS BIGINT) AS n_tokens,
+               CASE WHEN b.n > 0 THEN ts.n_distinct * 1.0 / b.n ELSE 0.0 END AS distinct_token_ratio,
+               CASE WHEN b.n > 0 THEN ts.max_tok * 1.0 / b.n ELSE 0.0 END AS top_token_frac,
+               CASE WHEN b.n > 0 THEN g2s.max_g * 1.0 / g2s.tot ELSE 0.0 END AS top_2gram_frac,
+               CASE WHEN b.n > 0 THEN g3s.max_g * 1.0 / g3s.tot ELSE 0.0 END AS top_3gram_frac,
+               CASE WHEN b.n > 0 THEN g5s.dup * 1.0 / g5s.tot ELSE 0.0 END AS dup_5gram_frac
+        FROM base b
+        LEFT JOIN tok_stats ts USING (doc_id)
+        LEFT JOIN g2s USING (doc_id)
+        LEFT JOIN g3s USING (doc_id)
+        LEFT JOIN g5s USING (doc_id)
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1912,6 +2015,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 4) AS sum_value
             FROM sess
             GROUP BY user_id, sid
+        """,
+        "repetition_profile": f"""
+            WITH {_REPETITION_STATS_CTE}
+            SELECT doc_id, n_tokens,
+                   ROUND(distinct_token_ratio, 4) AS distinct_token_ratio,
+                   ROUND(top_token_frac, 4) AS top_token_frac,
+                   ROUND(top_2gram_frac, 4) AS top_2gram_frac,
+                   ROUND(top_3gram_frac, 4) AS top_3gram_frac,
+                   ROUND(dup_5gram_frac, 4) AS dup_5gram_frac
+            FROM rep_stats
+        """,
+        "quality_kept": f"""
+            WITH {_REPETITION_STATS_CTE}
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN rep_stats s USING (doc_id)
+            WHERE s.n_tokens BETWEEN 5 AND 100000
+              AND s.distinct_token_ratio >= 0.1
+              AND s.top_token_frac <= 0.20
+              AND s.top_2gram_frac <= 0.20
+              AND s.top_3gram_frac <= 0.18
+              AND s.dup_5gram_frac <= 0.30
         """,
         "events_sliding_window": """
             WITH grid AS (

@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "benchmark_contamination",
     "sequence_packing",
     "events_session_window",
+    "repetition_profile",
+    "quality_kept",
     "events_sliding_window",
     "user_event_pivot",
     "part_unpivot",

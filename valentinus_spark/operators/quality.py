@@ -1,0 +1,170 @@
+"""Repetition-based quality filtering (Gopher-style, Rae et al. 2021
+§A1.1): excessive within-document repetition is the single strongest
+low-quality signal in web corpora, so training pipelines gate on the
+fraction of a document covered by its most common word / n-gram and by
+duplicated longer n-grams.
+
+The reference engine has no text analysis at all (SURVEY.md §2) — this is
+training-pipeline extension surface alongside functions/text.py.
+
+Scale shape: every statistic here is computed ROW-LOCALLY — sort the
+document's own n-gram array and fold over the runs (``aggregate`` over
+``array_sort``), so the whole repetition profile of a 100 TB corpus is one
+scan with ZERO shuffles and zero Python. The obvious alternative (explode
+to (doc_id, ngram), groupBy count, re-aggregate per doc) shuffles
+|tokens| rows per document twice; the fold touches nothing outside the
+row. Per-row cost is O(G log G) for the sort, G = n-grams per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from valentinus_spark.functions.text import (
+    normalize_text,
+    shingles_from_tokens,
+    word_tokens,
+)
+from valentinus_spark.functions.util import ensure_parallelism
+
+
+def _run_stats(array_col_name: str) -> Column:
+    """Fold over a SORTED copy of an array column → struct(max_run,
+    dup_total): the multiplicity of the most frequent element and the
+    total count of elements whose value occurs more than once.
+
+    Equal values are adjacent after array_sort, so one pass tracking the
+    current run length suffices. SQL-expr form because the accumulator is
+    a named_struct the Python lambda API can't build as cleanly;
+    ``array_col_name`` must be a materialized column (see
+    shingles_from_tokens for why — no CSE inside higher-order lambdas)."""
+    return F.expr(
+        f"""
+        aggregate(
+          array_sort({array_col_name}),
+          named_struct('prev', cast(null as string),
+                       'run', cast(0 as bigint),
+                       'max_run', cast(0 as bigint),
+                       'dup', cast(0 as bigint)),
+          (acc, x) -> case
+            when acc.prev is null then
+              named_struct('prev', x, 'run', cast(1 as bigint),
+                           'max_run', acc.max_run, 'dup', acc.dup)
+            when x = acc.prev then
+              named_struct('prev', x, 'run', acc.run + 1,
+                           'max_run', acc.max_run, 'dup', acc.dup)
+            else
+              named_struct('prev', x, 'run', cast(1 as bigint),
+                           'max_run', greatest(acc.max_run, acc.run),
+                           'dup', acc.dup + if(acc.run > 1, acc.run, cast(0 as bigint)))
+          end,
+          acc -> named_struct(
+              'max_run', greatest(acc.max_run, acc.run),
+              'dup', acc.dup + if(acc.run > 1, acc.run, cast(0 as bigint))))
+        """
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ngram_ns: tuple[int, ...] = (2, 3),
+    dup_ngram_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition profile:
+
+    - ``n_tokens``: normalized token count;
+    - ``distinct_token_ratio``: |distinct tokens| / |tokens| (low ⇒
+      repetitive vocabulary);
+    - ``top_token_frac``: fraction of tokens that are the single most
+      common token (Gopher gates "most common word covers > 20 %");
+    - ``top_{n}gram_frac`` for n in ``top_ngram_ns``: fraction of word
+      n-grams equal to the most frequent n-gram;
+    - ``dup_{dup_ngram_n}gram_frac``: fraction of n-grams whose value
+      occurs more than once (Gopher's duplicated-5..10-gram gate).
+
+    All ratios are 0.0 for empty documents (never null, never a divide
+    error under ANSI mode)."""
+    out = ensure_parallelism(df).withColumn(
+        "_toks", word_tokens(normalize_text(text_col))
+    )
+    n_tok = F.size("_toks").cast("long")
+    safe_n = F.when(n_tok > 0, n_tok.cast("double"))
+    cols: list[Column] = [
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.coalesce(
+            F.size(F.array_distinct("_toks")) / safe_n, F.lit(0.0)
+        ).alias("distinct_token_ratio"),
+    ]
+    out = out.withColumn("_tok_stats", _run_stats("_toks"))
+    cols.append(
+        F.coalesce(F.col("_tok_stats.max_run") / safe_n, F.lit(0.0)).alias(
+            "top_token_frac"
+        )
+    )
+    for n in top_ngram_ns:
+        g = f"_g{n}"
+        out = out.withColumn(g, shingles_from_tokens("_toks", n)).withColumn(
+            g + "_stats", _run_stats(g)
+        )
+        n_grams = F.size(g).cast("double")
+        # gate on n_tokens too: an empty doc still yields one empty-string
+        # shingle (shingles_from_tokens's short-doc rule)
+        cols.append(
+            F.coalesce(
+                F.col(f"{g}_stats.max_run")
+                / F.when((n_tok > 0) & (n_grams > 0), n_grams),
+                F.lit(0.0),
+            ).alias(f"top_{n}gram_frac")
+        )
+    gd = f"_g{dup_ngram_n}d"
+    out = out.withColumn(
+        gd, shingles_from_tokens("_toks", dup_ngram_n)
+    ).withColumn(gd + "_stats", _run_stats(gd))
+    nd = F.size(gd).cast("double")
+    cols.append(
+        F.coalesce(
+            F.col(f"{gd}_stats.dup") / F.when((n_tok > 0) & (nd > 0), nd),
+            F.lit(0.0),
+        ).alias(f"dup_{dup_ngram_n}gram_frac")
+    )
+    return out.select(*cols)
+
+
+# Gopher-style default gates (Rae et al. 2021 table A1, adapted to token
+# fractions): documents outside any bound are dropped.
+DEFAULT_QUALITY_GATES: dict[str, tuple[float | None, float | None]] = {
+    # stat: (min allowed, max allowed); None = unbounded on that side
+    "n_tokens": (5, 100_000),
+    "distinct_token_ratio": (0.1, None),
+    "top_token_frac": (None, 0.20),
+    "top_2gram_frac": (None, 0.20),
+    "top_3gram_frac": (None, 0.18),
+    "dup_5gram_frac": (None, 0.30),
+}
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gates: dict[str, tuple[float | None, float | None]] | None = None,
+) -> DataFrame:
+    """Filter a corpus by the repetition gates: returns the rows of ``df``
+    whose repetition profile passes every (min, max) bound. One extra
+    profile scan + a key-join back to the corpus (the join is on the id,
+    so at scale AQE turns it into a shuffle join keyed the same way any
+    dedup step already keys)."""
+    gates = DEFAULT_QUALITY_GATES if gates is None else gates
+    stats = repetition_stats(df, id_col=id_col, text_col=text_col)
+    pred = F.lit(True)
+    for stat, (lo, hi) in gates.items():
+        if lo is not None:
+            pred = pred & (F.col(stat) >= lo)
+        if hi is not None:
+            pred = pred & (F.col(stat) <= hi)
+    keep = stats.filter(pred).select(id_col)
+    return df.join(keep, id_col, "left_semi")
