@@ -1056,6 +1056,17 @@ def q_quality_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs).select("doc_id", "lang", "source")
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (operators/text_search.py): top-3
+    characteristic terms per document. Ranking on the ROUNDED score (tie
+    term asc) keeps the top-k boundary engine-independent — see the
+    operator docstring."""
+    from valentinus_spark.operators.text_search import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=3)
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (overlapping) window agg: 1-hour windows every 30 minutes —
     each event lands in exactly 2 windows (Spark's window() generates
@@ -1301,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": q_events_session_window,
         "repetition_profile": q_repetition_profile,
         "quality_kept": q_quality_kept,
+        "tfidf_keywords": q_tfidf_keywords,
         "events_sliding_window": q_events_sliding_window,
         "user_event_pivot": q_user_event_pivot,
         "part_unpivot": q_part_unpivot,
@@ -2036,6 +2048,34 @@ def oracle_sql() -> dict[str, str]:
               AND s.top_2gram_frac <= 0.20
               AND s.top_3gram_frac <= 0.18
               AND s.dup_5gram_frac <= 0.30
+        """,
+        "tfidf_keywords": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
+                GROUP BY doc_id, dl, term
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            stats AS (SELECT COUNT(*) AS n_docs FROM toks),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       ROUND((tf.tf * 1.0 / tf.dl)
+                             * ln((stats.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+            ),
+            ranked AS (
+                SELECT doc_id, term, tfidf,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, CAST(rank AS INT) AS rank, tfidf
+            FROM ranked WHERE rank <= 3
         """,
         "events_sliding_window": """
             WITH grid AS (

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "events_session_window",
     "repetition_profile",
     "quality_kept",
+    "tfidf_keywords",
     "events_sliding_window",
     "user_event_pivot",
     "part_unpivot",

@@ -48,3 +48,46 @@ def test_bm25_topk_cut(spark):
         (r["doc_id"] for r in out),
         key=lambda i: -dict((x["doc_id"], x["score"]) for x in out)[i],
     )
+
+
+def test_tfidf_keywords_against_python(spark):
+    import math
+    from collections import Counter
+
+    from valentinus_spark.operators.text_search import tfidf_keywords
+
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana durian"),
+        (2, "cherry durian elderberry elderberry elderberry"),
+        (3, ""),  # dropped: empty docs don't participate
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in tfidf_keywords(df, k=2).collect()
+    }
+
+    texts = {i: t.split() for i, t in docs if t}
+    n = len(texts)
+    dfreq = Counter(t for toks in texts.values() for t in set(toks))
+    for i, toks in texts.items():
+        tf = Counter(toks)
+        scores = {
+            t: round(c / len(toks) * math.log((n + 1) / (dfreq[t] + 1)), 6)
+            for t, c in tf.items()
+        }
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for rank, (term, s) in enumerate(want, 1):
+            assert got[(i, rank)] == (term, s), f"doc {i} rank {rank}"
+    assert not any(d == 3 for d, _ in got)  # empty doc absent
+
+
+def test_tfidf_rank_is_dense_per_doc(spark):
+    from valentinus_spark.operators.text_search import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(i, "w%d common" % i) for i in range(20)], "doc_id long, text string"
+    )
+    out = tfidf_keywords(df, k=5).groupBy("doc_id").count().collect()
+    assert all(r["count"] == 2 for r in out)  # only 2 distinct terms per doc

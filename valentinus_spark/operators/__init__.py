@@ -6,7 +6,7 @@ from valentinus_spark.operators.similarity import (
     ivf_centroids,
     mmr_rerank,
 )
-from valentinus_spark.operators.text_search import bm25_topk
+from valentinus_spark.operators.text_search import bm25_topk, tfidf_keywords
 from valentinus_spark.operators.dedup import (
     deduplicate,
     exact_dedup,
@@ -21,6 +21,7 @@ from valentinus_spark.operators.dedup import (
 )
 from valentinus_spark.operators.contamination import benchmark_contamination
 from valentinus_spark.operators.packing import pack_assignments
+from valentinus_spark.operators.quality import quality_filter, repetition_stats
 from valentinus_spark.operators.asof import asof_join
 from valentinus_spark.operators.range_join import range_join
 from valentinus_spark.operators.skew import salted_join, salted_agg
@@ -35,6 +36,7 @@ __all__ = [
     "ivf_centroids",
     "mmr_rerank",
     "bm25_topk",
+    "tfidf_keywords",
     "deduplicate",
     "exact_dedup",
     "ngram_jaccard_pairs",
@@ -47,6 +49,8 @@ __all__ = [
     "dedup_clusters",
     "benchmark_contamination",
     "pack_assignments",
+    "quality_filter",
+    "repetition_stats",
     "asof_join",
     "range_join",
     "salted_join",

@@ -78,3 +78,64 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the keyword
+    extraction / topic-labelling step of a corpus analysis pipeline.
+
+    tf(t, d) = count(t in d) / |d|;  idf(t) = ln((N + 1)/(df(t) + 1))
+    (the +1s keep corpus-wide terms at a small positive idf instead of a
+    mass tie at zero).
+
+    Plan shape: explode to (doc, term) postings → per-doc term counts
+    (one shuffle keyed on the doc — the same key the tokenize scan
+    already carries), document frequencies (an agg whose output is
+    |vocab| rows, broadcast back), then a per-doc window for the top-k.
+    The window partitions by doc id, so it is partition-parallel; no
+    global sort, no driver collect, corpus scanned once.
+
+    Ranking uses the score rounded to 6 decimals (ties broken by term
+    asc) so results are reproducible across engines — ln() differs in
+    the last ulp between libm implementations, and an unrounded
+    order-by would make the top-k boundary engine-dependent.
+
+    Returns (id_col, term, rank, tfidf) with rank 1..k."""
+    from pyspark.sql import Window
+
+    toks = ensure_parallelism(df.filter(F.trim(F.col(text_col)) != "")).select(
+        F.col(id_col).alias("_id"),
+        word_tokens(normalize_text(text_col)).alias("_toks"),
+    )
+    tf = (
+        toks.select(
+            "_id", F.size("_toks").alias("_dl"), F.explode("_toks").alias("term")
+        )
+        .groupBy("_id", "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).alias("_n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("_tf") / F.col("_dl"))
+                * F.log((F.col("_n_docs") + 1.0) / (F.col("_df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "term", "rank", "tfidf")
+    )
