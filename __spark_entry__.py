@@ -1246,6 +1246,54 @@ def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup (operators/dedup.py
+    incremental_dedup): sources src5.. are the 'incoming crawl', src0-src4
+    the existing corpus; survivors are incoming rows whose normalized text
+    digest is new to both the corpus and the batch (min-id wins in-batch).
+    Anti-join on digests only — the corpus contributes 16 bytes/row."""
+    from valentinus_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("source") >= "src5")
+    corpus = docs.filter(F.col("source") < "src5")
+    return incremental_dedup(incoming, corpus).select("doc_id", "lang", "source")
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage (operators/dedup.py
+    duplicated_span_stats, Lee et al. 2021 style): per doc, the fraction
+    of its distinct 5-gram spans occurring in ≥1 other document. Catches
+    boilerplate/template contamination below the doc-level dedup radar.
+    max_df=None here for exact-count oracle parity; the operator defaults
+    the cap ON for corpus scale."""
+    from valentinus_spark.operators.dedup import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, n=5, max_df=None)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy vs the corpus unigram LM (operators/quality.py
+    unigram_logprob) — the shuffle-free cousin of CCNet's LM-perplexity
+    quality ranking. Vocab built with one map-side-combined aggregate;
+    scoring joins occurrences to the vocab-sized table."""
+    from valentinus_spark.operators.quality import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus token distribution
+    (operators/quality.py source_token_kl): the corpus-drift monitor. One
+    token scan, two vocab-sized aggregates, one row per source."""
+    from valentinus_spark.operators.quality import source_token_kl
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_token_kl(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -1324,6 +1372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_value_tiles": q_customer_value_tiles,
         "lineitem_stats": q_lineitem_stats,
         "customer_rolling_30d": q_customer_rolling_30d,
+        "incremental_dedup": q_incremental_dedup,
+        "dup_span_coverage": q_dup_span_coverage,
+        "unigram_logprob": q_unigram_logprob,
+        "source_token_kl": q_source_token_kl,
     }
 
 
@@ -2118,7 +2170,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """,
-        "token_positions": """
+        "token_positions": r"""
             WITH toks AS (
                 SELECT doc_id,
                        string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1:3] AS t
@@ -2186,5 +2238,73 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
                    ) AS DOUBLE), 2) AS spend_30d
             FROM orders
+        """,
+        "incremental_dedup": """
+            WITH inc AS (
+                SELECT doc_id, lang, source,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS d
+                FROM documents WHERE source >= 'src5'
+            ),
+            corp AS (
+                SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS d
+                FROM documents WHERE source < 'src5'
+            ),
+            fresh AS (
+                SELECT * FROM inc WHERE d NOT IN (SELECT d FROM corp)
+            ),
+            winners AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY d)
+            SELECT doc_id, lang, source FROM fresh
+            WHERE doc_id IN (SELECT doc_id FROM winners)
+        """,
+        "dup_span_coverage": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) != ''
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 5 + 2), i -> array_to_string(w[i:i+4], ' '))
+                    END)) AS shingle
+                FROM words
+            ),
+            dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_spans,
+                   ROUND(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS shared_frac
+            FROM sh JOIN dfc USING (shingle)
+            GROUP BY doc_id
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents WHERE trim(text) != ''
+            ),
+            vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(-avg(log2(c::DOUBLE / t::DOUBLE)), 4) AS unigram_ce
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "source_token_kl": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents WHERE trim(text) != ''
+            ),
+            gc AS (SELECT source, tok, COUNT(*) AS gcnt FROM toks GROUP BY 1, 2),
+            cc AS (SELECT tok, COUNT(*) AS ccnt FROM toks GROUP BY 1),
+            gt AS (SELECT source, CAST(SUM(gcnt) AS BIGINT) AS gtot FROM gc GROUP BY 1),
+            ct AS (SELECT CAST(SUM(ccnt) AS BIGINT) AS ctot FROM cc)
+            SELECT gc.source,
+                   CAST(MAX(gtot) AS BIGINT) AS n_tokens,
+                   ROUND(SUM((gcnt::DOUBLE / gtot) * log2((gcnt::DOUBLE / gtot) / (ccnt::DOUBLE / ctot))), 4) AS kl_bits
+            FROM gc JOIN cc USING (tok) JOIN gt USING (source) CROSS JOIN ct
+            GROUP BY gc.source
         """,
     }

@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     "customer_value_tiles",
     "lineitem_stats",
     "customer_rolling_30d",
+    "incremental_dedup",
+    "dup_span_coverage",
+    "unigram_logprob",
+    "source_token_kl",
 ]
 
 

@@ -259,3 +259,81 @@ def test_pack_assignments_zero_token_doc(spark):
     # (where it would start), not pack 0
     assert got[1] == (100, 100, 1, 1)
     assert got[2] == (100, 150, 1, 1)
+
+
+def test_incremental_dedup_anti_join_and_in_batch(spark):
+    from valentinus_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "existing corpus document")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "THE  quick brown fox"),  # dup of corpus doc 0 after normalize
+            (11, "a genuinely new document"),
+            (12, "a genuinely NEW document"),  # in-batch dup of 11; 11 wins
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in incremental_dedup(incoming, corpus).collect()
+    )
+    assert got == [11, 13]
+
+
+def test_incremental_dedup_preserves_columns(spark):
+    from valentinus_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame([(0, "x", "en")], "doc_id long, text string, lang string")
+    incoming = spark.createDataFrame([(1, "y", "fr")], "doc_id long, text string, lang string")
+    rows = incremental_dedup(incoming, corpus).collect()
+    assert [tuple(r) for r in rows] == [(1, "y", "fr")]
+
+
+def test_duplicated_span_stats_exact_counts(spark):
+    from valentinus_spark.operators.dedup import duplicated_span_stats
+
+    # 7 tokens -> 3 distinct 5-gram spans per doc; docs 0 and 1 share their
+    # first 6 tokens -> spans 1..2 shared, span 3 unique to each
+    base = "alpha beta gamma delta epsilon zeta"
+    d0 = base + " omega"
+    d1 = base + " sigma"
+    d2 = "totally different words in this one here"
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["shared_spans"], r["shared_frac"])
+        for r in duplicated_span_stats(df, n=5, max_df=None).collect()
+    }
+    assert got[0] == (3, 2, round(2 / 3, 4))
+    assert got[1] == (3, 2, round(2 / 3, 4))
+    assert got[2] == (3, 0, 0.0)
+
+
+def test_duplicated_span_stats_short_doc_rule(spark):
+    from valentinus_spark.operators.dedup import duplicated_span_stats
+
+    # <= n tokens: the whole doc is ONE span; identical short docs share it
+    df = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny doc"), (2, "other")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["shared_spans"])
+        for r in duplicated_span_stats(df, n=5, max_df=None).collect()
+    }
+    assert got[0] == (1, 1) and got[1] == (1, 1) and got[2] == (1, 0)
+
+
+def test_duplicated_span_stats_max_df_cap_keeps_shared_flag(spark):
+    from valentinus_spark.operators.dedup import duplicated_span_stats
+
+    # boilerplate span in every doc: capping df must still mark it shared
+    df = spark.createDataFrame(
+        [(i, "same boilerplate line everywhere") for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = duplicated_span_stats(df, n=5, max_df=3).collect()
+    assert all(r["shared_spans"] == r["n_spans"] for r in got)

@@ -82,3 +82,85 @@ def test_quality_filter_custom_gates_and_bounds(spark):
 def test_default_gates_are_sane():
     for stat, (lo, hi) in DEFAULT_QUALITY_GATES.items():
         assert lo is not None or hi is not None, stat
+
+
+def test_unigram_logprob_matches_python_oracle(spark):
+    import math
+    from collections import Counter
+
+    from valentinus_spark.operators.quality import unigram_logprob
+
+    docs = [(0, "a b a c"), (1, "a a a"), (2, "b c d d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = Counter()
+    for _, t in docs:
+        corpus.update(t.split())
+    total = sum(corpus.values())
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["unigram_ce"])
+        for r in unigram_logprob(df).collect()
+    }
+    for i, t in docs:
+        toks = t.split()
+        ce = -sum(math.log2(corpus[w] / total) for w in toks) / len(toks)
+        assert got[i][0] == len(toks)
+        assert got[i][1] == pytest.approx(round(ce, 4), abs=1e-9), f"doc {i}"
+
+
+def test_unigram_logprob_top_v_oov_fallback(spark):
+    from valentinus_spark.operators.quality import unigram_logprob
+
+    # vocab capped to the single most frequent token; everything else
+    # scores at the OOV floor
+    df = spark.createDataFrame(
+        [(0, "common common rare")], "doc_id long, text string"
+    )
+    row = unigram_logprob(df, top_v=1, oov_logprob=-20.0).collect()[0]
+    import math
+
+    # top_v keeps only 'common' (count 2, capped total 2 -> logprob 0);
+    # 'rare' is OOV: doc ce = -(0 + 0 + (-20)) / 3
+    assert row["unigram_ce"] == pytest.approx(round(20.0 / 3, 4))
+
+
+def test_source_token_kl_matches_python_oracle(spark):
+    import math
+    from collections import Counter
+
+    from valentinus_spark.operators.quality import source_token_kl
+
+    docs = [
+        ("s0", "a a b c"),
+        ("s0", "a b"),
+        ("s1", "d d d e"),
+        ("s1", "a e"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    corpus = Counter()
+    groups: dict[str, Counter] = {}
+    for s, t in docs:
+        corpus.update(t.split())
+        groups.setdefault(s, Counter()).update(t.split())
+    ct = sum(corpus.values())
+    got = {
+        r["source"]: (r["n_tokens"], r["kl_bits"])
+        for r in source_token_kl(df).collect()
+    }
+    for s, cnt in groups.items():
+        gt = sum(cnt.values())
+        kl = sum(
+            (c / gt) * math.log2((c / gt) / (corpus[w] / ct)) for w, c in cnt.items()
+        )
+        assert got[s][0] == gt
+        assert got[s][1] == pytest.approx(round(kl, 4), abs=1e-9), f"group {s}"
+
+
+def test_source_token_kl_identical_groups_zero(spark):
+    from valentinus_spark.operators.quality import source_token_kl
+
+    # both groups have the same token distribution as the corpus -> KL 0
+    df = spark.createDataFrame(
+        [("s0", "x y"), ("s1", "x y")], "source string, text string"
+    )
+    got = {r["source"]: r["kl_bits"] for r in source_token_kl(df).collect()}
+    assert got == {"s0": 0.0, "s1": 0.0}

@@ -2,7 +2,8 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _GENERATE_RULE = (
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
@@ -26,6 +27,34 @@ def disable_generate_filter_inference(spark: SparkSession) -> None:
     if _GENERATE_RULE not in rules:
         rules.append(_GENERATE_RULE)
         spark.conf.set(key, ",".join(rules))
+
+
+def no_pushdown(pred: Column) -> Column:
+    """Pin a filter predicate where it is written — Catalyst must not push
+    it down the plan.
+
+    PushDownPredicates moves deterministic predicates through
+    Project/Repartition with their defining expressions INLINED. When the
+    predicate is built from expensive computed columns (a full repetition
+    profile, a shingle pipeline), pushdown re-evaluates all of it at the
+    scan — on the scan's partitioning, which for a small parquet input is
+    ONE partition, serializing the whole computation onto a single core
+    (quality_filter measured 70.8 s → 1.7 s at sf0.1 from this wrapper
+    alone). Wrapping in a nondeterministic-but-constant guard
+    (``rand(7) < 2`` is always true) makes the predicate ineligible for
+    every pushdown rule while changing no semantics. At genuine scale the
+    scan is many-partitioned and the un-pushed filter simply runs fused
+    with the projection above the (no-op) repartition — nothing is lost.
+
+    Construction notes (both verified on pyspark 4.1.2): the guard must be
+    the CASE *condition* — ``guard AND pred`` gets conjunct-split and the
+    deterministic half pushed anyway — and it must not be a rand()
+    comparison, which Spark 4 now folds to a literal. A CASE on
+    ``monotonically_increasing_id() >= 0`` (nondeterministic, trivially
+    true, unfoldable) survives."""
+    return F.when(F.monotonically_increasing_id() >= 0, pred).otherwise(
+        F.lit(False)
+    )
 
 
 def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:

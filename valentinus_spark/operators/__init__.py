@@ -16,12 +16,19 @@ from valentinus_spark.operators.dedup import (
     simhash_pairs,
     embedding_neardup_pairs,
     embedding_neardup_pairs_lsh,
+    incremental_dedup,
+    duplicated_span_stats,
     connected_components,
     dedup_clusters,
 )
 from valentinus_spark.operators.contamination import benchmark_contamination
 from valentinus_spark.operators.packing import pack_assignments
-from valentinus_spark.operators.quality import quality_filter, repetition_stats
+from valentinus_spark.operators.quality import (
+    quality_filter,
+    repetition_stats,
+    unigram_logprob,
+    source_token_kl,
+)
 from valentinus_spark.operators.asof import asof_join
 from valentinus_spark.operators.range_join import range_join
 from valentinus_spark.operators.skew import salted_join, salted_agg
@@ -45,12 +52,16 @@ __all__ = [
     "simhash_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_lsh",
+    "incremental_dedup",
+    "duplicated_span_stats",
     "connected_components",
     "dedup_clusters",
     "benchmark_contamination",
     "pack_assignments",
     "quality_filter",
     "repetition_stats",
+    "unigram_logprob",
+    "source_token_kl",
     "asof_join",
     "range_join",
     "salted_join",

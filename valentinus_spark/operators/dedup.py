@@ -436,6 +436,79 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def incremental_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus: rows of ``incoming``
+    whose normalized content digest appears neither in ``corpus`` nor
+    earlier (lower id) in the batch itself. The shape every append-only
+    training-data pipeline runs per crawl/snapshot — dedup the delta, not
+    the world.
+
+    Plan: digest both sides → left_anti equi-join on the digest (only the
+    digests shuffle — 16 bytes/row, never the text) → min-id winner per
+    surviving digest for intra-batch dups. At 100 TB the corpus side is
+    the big one, but it contributes ONLY its digest column to the shuffle
+    (column pruning reaches the scan), and in a real deployment the corpus
+    digests are a pre-materialized bucketed table so the anti-join is
+    co-located with zero corpus re-shuffle per batch."""
+    inc = ensure_parallelism(incoming).withColumn(
+        "_digest", F.md5(normalize_text(text_col))
+    )
+    seen = corpus.select(F.md5(normalize_text(text_col)).alias("_digest")).distinct()
+    fresh = inc.join(seen, "_digest", "left_anti")
+    winners = fresh.groupBy("_digest").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return fresh.drop("_digest").join(winners, id_col, "semi")
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_df: int | None = 100_000,
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-span coverage (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a document's distinct word ``n``-gram spans that also occur
+    in at least one OTHER document. High shared_frac with no full-doc
+    near-dup match means boilerplate / template contamination — the signal
+    fuzzy doc-level dedup misses.
+
+    Output: (id_col, n_spans, shared_spans, shared_frac).
+
+    Plan: row-local distinct shingles → explode to (id, xxhash64(span)) —
+    8-byte keys, never span text — → span document-frequency via one
+    hash-aggregate (map-side combine) → join back → per-doc re-aggregate.
+    Two shuffles total, both on the hashed span key. ``max_df`` caps the
+    DF table the same way ngram_jaccard_pairs does: a span in >max_df docs
+    is boilerplate by definition and counts as shared without needing its
+    exact count."""
+    spans = (
+        _shingle_sets(df, id_col, text_col, n)
+        .select("_id", F.explode("_shingles").alias("_sh"))
+        .select("_id", F.xxhash64("_sh").alias("_span"))
+    )
+    df_counts = spans.groupBy("_span").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        df_counts = df_counts.withColumn("_df", F.least(F.col("_df"), F.lit(max_df)))
+    return (
+        spans.join(df_counts, "_span")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_df") > 1).cast("long")).alias("shared_spans"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.round(F.col("shared_spans") / F.col("n_spans"), 4),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -147,6 +147,105 @@ DEFAULT_QUALITY_GATES: dict[str, tuple[float | None, float | None]] = {
 }
 
 
+def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id_col, _tok) — one row per token occurrence after
+    normalize+tokenize, empty docs dropped at the scan."""
+    return (
+        ensure_parallelism(df.filter(F.trim(F.col(text_col)) != ""))
+        .select(id_col, word_tokens(normalize_text(text_col)).alias("_toks"))
+        .select(id_col, F.explode("_toks").alias("_tok"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int | None = None,
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """Per-document cross-entropy against the corpus's own unigram language
+    model: score = -avg(log2 p(w)) over the document's tokens, p(w) =
+    corpus count / corpus total. The classic cheap fluency/quality signal
+    (CCNet, Wenzek et al. 2020 rank by LM perplexity; unigram is the
+    degenerate-but-shuffle-free version): gibberish and boilerplate sit at
+    the distribution's tails.
+
+    Output: (id_col, n_tokens, unigram_ce) — unigram_ce in bits/token,
+    rounded to 4 (both engines compute the same int/int divisions, and the
+    avg's float error is ~1e-12, far inside the rounding).
+
+    Plan: token counts via ONE hash-aggregate over the exploded tokens
+    (map-side combine → vocab-sized table, not corpus-sized), then score by
+    joining token occurrences to the vocab. The vocab join is a broadcast
+    when the vocab fits (``top_v`` caps it explicitly — the LM then
+    renormalizes over the kept vocab's mass, and out-of-vocab tokens fall
+    back to ``oov_logprob``); with an uncapped vocab AQE picks a shuffle
+    join keyed on the token, which is the same key the count aggregate
+    already used."""
+    toks = _token_rows(df, id_col, text_col)
+    counts = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    if top_v is not None:
+        counts = counts.orderBy(F.desc("_c"), "_tok").limit(top_v)
+    total = counts.agg(F.sum("_c").alias("_total"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "_tok", F.log2(F.col("_c") / F.col("_total")).alias("_lp")
+    )
+    how = "inner" if top_v is None else "left"
+    scored = toks.join(
+        F.broadcast(vocab) if top_v is not None else vocab, "_tok", how
+    )
+    return (
+        scored.groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.coalesce("_lp", F.lit(oov_logprob))), 4).alias(
+                "unigram_ce"
+            ),
+        )
+    )
+
+
+def source_token_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group KL divergence of the group's token distribution from the
+    whole-corpus distribution: KL(p_g ‖ p) = Σ_w p_g(w) · log2(p_g(w)/p(w)).
+    The standard corpus-drift / source-skew monitor — a source whose
+    language diverges from the mixture shows up immediately, before any
+    model ever trains on it.
+
+    Output: (group_col, n_tokens, kl_bits), kl rounded to 4.
+
+    Plan: one exploded-token scan feeding two hash-aggregates — counts by
+    (group, token) and by token (both map-side combined down to vocab-sized
+    tables) — then an equi-join on the token and a final tiny aggregate to
+    one row per group. Every token in a group is in the corpus by
+    construction, so the KL is always finite; no smoothing needed."""
+    toks = _token_rows(df, group_col, text_col)
+    g_counts = toks.groupBy(group_col, "_tok").agg(F.count(F.lit(1)).alias("_gc"))
+    c_counts = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cc"))
+    c_total = c_counts.agg(F.sum("_cc").alias("_ct"))
+    g_totals = g_counts.groupBy(group_col).agg(F.sum("_gc").alias("_gt"))
+    joined = (
+        g_counts.join(c_counts, "_tok")
+        .join(F.broadcast(g_totals), group_col)
+        .crossJoin(F.broadcast(c_total))
+    )
+    term = (F.col("_gc") / F.col("_gt")) * F.log2(
+        (F.col("_gc") / F.col("_gt")) / (F.col("_cc") / F.col("_ct"))
+    )
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.max("_gt").alias("n_tokens"),
+            F.round(F.sum(term), 4).alias("kl_bits"),
+        )
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -158,6 +257,8 @@ def quality_filter(
     profile scan + a key-join back to the corpus (the join is on the id,
     so at scale AQE turns it into a shuffle join keyed the same way any
     dedup step already keys)."""
+    from valentinus_spark.functions.util import no_pushdown
+
     gates = DEFAULT_QUALITY_GATES if gates is None else gates
     stats = repetition_stats(df, id_col=id_col, text_col=text_col)
     pred = F.lit(True)
@@ -166,5 +267,18 @@ def quality_filter(
             pred = pred & (F.col(stat) >= lo)
         if hi is not None:
             pred = pred & (F.col(stat) <= hi)
-    keep = stats.filter(pred).select(id_col)
+    # Two-part plan barrier, both parts load-bearing (measured at sf0.1):
+    # - no_pushdown stops the gate predicate passing the exchange (pushed
+    #   to the scan it runs on the scan's partitioning: 70.8 s);
+    # - repartition(id_col) stops PushDownPredicates walking the gate
+    #   through the profile's Project chain, which would INLINE the whole
+    #   tokenize/sort/fold pipeline once per gate term — no CSE inside
+    #   higher-order lambdas, so ~7× recompute (8.9 s). With both: 1.0 s.
+    # The exchange carries only (id, 7 doubles) — ~1% of the text it
+    # profiles — and pre-keys the semi-join on the same id.
+    keep = (
+        stats.repartition(id_col)
+        .filter(no_pushdown(pred))
+        .select(id_col)
+    )
     return df.join(keep, id_col, "left_semi")
