@@ -1246,6 +1246,60 @@ def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment run through Structured Streaming for real
+    (streaming/pipeline.py stream_static_enrich): events readStream joined
+    per-micro-batch to the static customer dim (broadcast, zero join
+    state), hourly window × market segment rollup, memory sink. Shares the
+    batch oracle — stream results must equal the batch join+agg."""
+    import tempfile
+
+    from valentinus_spark.streaming.pipeline import stream_static_enrich
+
+    _events(spark, sf_dir)  # applies the nanosAsLong + UTC confs the stream read needs
+    stream = (
+        spark.readStream.schema(_t(spark, sf_dir, "events").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    customer = _t(spark, sf_dir, "customer")
+    agg = stream_static_enrich(stream, customer)
+    name = "events_enriched_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="vs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def q_rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN (operators/similarity.py rp_ann_topk):
+    64→16-d JL prefilter scores the whole corpus cheaply, top k·mult
+    candidates re-ranked with the exact cosine. Approximate ⇒ rows-only
+    check; recall on clustered data is asserted in
+    tests/test_similarity.py."""
+    from valentinus_spark.operators.similarity import rp_ann_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = rp_ann_topk(
+        embs, queries, k=10, out_dim=16, mult=4,
+        corpus_id="vec_id", corpus_vec="embedding", in_dim=64,
+    )
+    return out.select(
+        "qid", "vec_id", F.round("similarity", 4).alias("similarity"), "rank"
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus incremental dedup (operators/dedup.py
     incremental_dedup): sources src5.. are the 'incoming crawl', src0-src4
@@ -1376,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_coverage": q_dup_span_coverage,
         "unigram_logprob": q_unigram_logprob,
         "source_token_kl": q_source_token_kl,
+        "rp_ann_topk": q_rp_ann_topk,
+        "events_stream_enriched": q_events_stream_enriched,
     }
 
 
@@ -2290,6 +2346,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-avg(log2(c::DOUBLE / t::DOUBLE)), 4) AS unigram_ce
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "events_stream_enriched": """
+            SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(e.value), 4) AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
         """,
         "source_token_kl": """
             WITH toks AS (

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "dup_span_coverage",
     "unigram_logprob",
     "source_token_kl",
+    "rp_ann_topk",
+    "events_stream_enriched",
 ]
 
 

@@ -254,3 +254,59 @@ def test_mmr_lambda_one_is_pure_relevance(embs):
     by_rel = [r["id"] for r in cands.orderBy(F.desc("similarity"), F.asc("id")).collect()][:5]
     mmr = [r["id"] for r in mmr_rerank(cands, k=5, lam=1.0).orderBy("mmr_rank").collect()]
     assert mmr == by_rel
+
+
+def test_random_projection_shape_and_determinism(spark):
+    from valentinus_spark.operators.similarity import random_projection
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = random_projection(df, vec_col="embedding", out_dim=16, seed=1)
+    rows = {r["vec_id"]: r["rp_vec"] for r in out.collect()}
+    assert all(len(v) == 16 for v in rows.values())
+    # same seed -> identical projection; different seed -> different
+    rows2 = {
+        r["vec_id"]: r["rp_vec"]
+        for r in random_projection(df, out_dim=16, seed=1).collect()
+    }
+    assert rows == rows2
+    rows3 = {
+        r["vec_id"]: r["rp_vec"]
+        for r in random_projection(df, out_dim=16, seed=2).collect()
+    }
+    assert rows != rows3
+
+
+def test_rp_ann_recall_on_clustered_corpus(spark):
+    """JL prefilter recall on a corpus with real neighborhood structure:
+    10 planted neighbors at cosine ~0.9 among 2000 random 64-d vectors.
+    (On an unstructured corpus — e.g. the synthetic testdata embeddings,
+    where the exact 'top-10' sit a hair above background noise — NO
+    prefilter preserves the top-k; that isn't the ANN regime.)"""
+    import numpy as np
+
+    from valentinus_spark.operators.similarity import rp_ann_topk
+
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal(64)
+    q /= np.linalg.norm(q)
+    noise = rng.standard_normal((2000, 64))
+    noise /= np.linalg.norm(noise, axis=1)[:, None]
+    # rows 0..9: q + perturbation (cosine ~0.9); rest: random
+    mat = noise.copy()
+    mat[:10] = q + 0.5 * noise[:10]
+    mat /= np.linalg.norm(mat, axis=1)[:, None]
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(2000)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in q])], "qid long, qvec array<double>"
+    )
+    got = {
+        r["vec_id"]
+        for r in rp_ann_topk(
+            corpus, queries, k=10, corpus_id="vec_id", out_dim=16, mult=4
+        ).collect()
+    }
+    assert len(got) == 10
+    assert len(got & set(range(10))) >= 9

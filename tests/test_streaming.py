@@ -254,3 +254,46 @@ def test_stream_sessionized_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_agg").collect()
     }
     assert got == expected
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment + windowed rollup must equal the
+    same join+agg on batch."""
+    from valentinus_spark.streaming.pipeline import stream_static_enrich
+
+    epath = str(tmp_path / "enrich_events")
+    base = 1704067200
+    events = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 97).alias("ts"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    dim = spark.range(7).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("seg"), (F.col("id") % 3)).alias("c_mktsegment"),
+    )
+    events.write.parquet(epath)
+    eb = spark.read.parquet(epath)
+    expected = {
+        (r["window_start"], r["c_mktsegment"], r["n_events"], r["sum_value"])
+        for r in stream_static_enrich(eb, dim).collect()
+    }
+    assert len(expected) > 1
+
+    es = spark.readStream.schema(eb.schema).parquet(epath)
+    q = (
+        stream_static_enrich(es, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_result")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["c_mktsegment"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM enrich_result").collect()
+    }
+    assert got == expected

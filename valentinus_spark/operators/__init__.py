@@ -5,6 +5,8 @@ from valentinus_spark.operators.similarity import (
     bucketed_ann_topk,
     ivf_centroids,
     mmr_rerank,
+    random_projection,
+    rp_ann_topk,
 )
 from valentinus_spark.operators.text_search import bm25_topk, tfidf_keywords
 from valentinus_spark.operators.dedup import (
@@ -42,6 +44,8 @@ __all__ = [
     "bucketed_ann_topk",
     "ivf_centroids",
     "mmr_rerank",
+    "random_projection",
+    "rp_ann_topk",
     "bm25_topk",
     "tfidf_keywords",
     "deduplicate",

@@ -204,6 +204,111 @@ def bucketed_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 42,
+    out_col: str = "rp_vec",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Seeded Gaussian random projection of an ``array<float>`` column to
+    ``out_dim`` dims (Johnson–Lindenstrauss): Y = X·R/√out_dim with R
+    drawn N(0,1) from ``seed``. Pairwise inner products are preserved in
+    expectation, so a 64→16 projection keeps cosine neighborhoods while
+    cutting vector bytes (and any downstream scoring cost) 4×.
+
+    Arrow-batched pandas_udf — one numpy matmul per batch, the projection
+    matrix built once per executor from the seed (nothing is shipped).
+    This is the storage/prefilter companion to quantize_embedding
+    (functions/vector.py): quantization shrinks bytes per dim, projection
+    shrinks dims."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if in_dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("cannot infer in_dim from an empty DataFrame")
+        in_dim = int(probe["d"])
+    d_in, d_out = int(in_dim), int(out_dim)
+
+    # no type hints: PEP-563 stringized annotations (this module's
+    # `from __future__ import annotations`) break pandas_udf inference;
+    # hint-less defaults to SCALAR, which is what this is
+    @pandas_udf("array<double>")
+    def project(batch):
+        rng = np.random.default_rng(seed)
+        r = rng.standard_normal((d_in, d_out)) / np.sqrt(d_out)
+        x = np.vstack([np.asarray(v, dtype=np.float64) for v in batch])
+        y = x @ r
+        return pd.Series(list(y))
+
+    return df.withColumn(out_col, project(F.col(vec_col)))
+
+
+def rp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    out_dim: int = 16,
+    mult: int = 4,
+    seed: int = 42,
+    corpus_id: str = "id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via random-projection prefilter + exact re-rank:
+    score every corpus row against every query in the CHEAP ``out_dim``-d
+    projected space, keep the top ``k·mult`` candidates per query, then
+    re-rank only those with the exact full-dimension cosine. Returns
+    (query_id, corpus_id, similarity, rank) — similarities are exact.
+
+    Scale shape: identical to brute_force_knn_join (one corpus scan,
+    queries broadcast, per-query window over a bounded candidate set) but
+    the n·q scoring loop runs at out_dim/dim of the cost, and only
+    k·mult rows per query carry the full vector into the re-rank.
+    Recall follows the JL lens: the projection separates neighbors whose
+    cosine gap over background exceeds the ~1/√out_dim distortion — i.e.
+    genuine near-neighbors (near-dups, cluster cores), the ANN regime.
+    Test-asserted ≥0.9 recall@10 for planted cosine-0.9 neighbors @
+    64→16, mult=4; on a corpus whose "top-k" is statistically
+    indistinguishable from noise, no prefilter (RP, LSH, or IVF)
+    preserves it — use brute_force_knn_join there."""
+    if in_dim is None:
+        probe = corpus.select(F.size(F.col(corpus_vec)).alias("d")).first()
+        if probe is None:
+            raise ValueError("cannot infer in_dim from an empty corpus")
+        in_dim = int(probe["d"])
+    corp = random_projection(
+        ensure_parallelism(corpus), corpus_vec, out_dim, seed, "_rp_c", in_dim
+    )
+    qrys = random_projection(queries, query_vec, out_dim, seed, "_rp_q", in_dim)
+    q = F.broadcast(qrys.select(query_id, query_vec, "_rp_q"))
+    w_pre = Window.partitionBy(query_id).orderBy(
+        F.desc("_rp_sim"), F.asc(corpus_id)
+    )
+    cands = (
+        corp.crossJoin(q)
+        .withColumn("_rp_sim", cosine_similarity(F.col("_rp_c"), F.col("_rp_q")))
+        .select(query_id, corpus_id, corpus_vec, query_vec, "_rp_sim")
+        .withColumn("_rp_rank", F.row_number().over(w_pre))
+        .filter(F.col("_rp_rank") <= k * mult)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return (
+        cands.withColumn(
+            "similarity", cosine_similarity(F.col(corpus_vec), F.col(query_vec))
+        )
+        .select(query_id, corpus_id, "similarity")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     k: int,

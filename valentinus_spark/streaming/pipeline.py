@@ -147,6 +147,46 @@ def stream_stream_join(
     return lj.join(rj, cond, "inner")
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str] = ("user_id", "c_custkey"),
+    attr: str = "c_mktsegment",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a dimension
+    table, then windowed count/sum rolled up by a dim attribute — the
+    canonical "enrich the clickstream with the customer segment" job.
+
+    The static side is joined fresh each micro-batch with NO streaming
+    state (stream-static joins buffer nothing, unlike stream-stream), and
+    the broadcast hint keeps the stream side unshuffled: at scale the only
+    stateful operator is the windowed aggregate, whose state the watermark
+    bounds. Batch or streaming input, same expression — the batch run is
+    the oracle for the streaming one."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    ekey, dkey = on
+    d = dim.select(F.col(dkey).alias("_dim_key"), F.col(attr))
+    joined = src.join(F.broadcast(d), F.col(ekey) == F.col("_dim_key"), "inner")
+    return (
+        joined.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(attr))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            attr,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_collection_append(
     docs_stream: DataFrame,
     embedder: Embedder,
