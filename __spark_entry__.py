@@ -1246,6 +1246,49 @@ def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators/range_join.py
+    interval_overlap_join): per-(user, day) activity spans vs per-(type,
+    day) activity spans, paired where they intersect in time. Bucketed
+    equi-join on (day, hour-bucket) with single-emission at the overlap's
+    start bucket — no BroadcastNestedLoopJoin, no dropDuplicates."""
+    from valentinus_spark.operators.range_join import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    # integer division, NOT double-div + cast: DuckDB rounds double→BIGINT
+    # casts while Spark truncates — `div`/`//` agree exactly
+    day = F.expr("ts_us div 86400000000").alias("day")
+    user_spans = ev.groupBy(day, "user_id").agg(
+        F.min("ts_us").alias("u_start"), F.max("ts_us").alias("u_end")
+    )
+    type_spans = ev.groupBy(day, "event_type").agg(
+        F.min("ts_us").alias("t_start"), F.max("ts_us").alias("t_end")
+    )
+    out = interval_overlap_join(
+        user_spans, type_spans, key="day",
+        left_start="u_start", left_end="u_end",
+        right_start="t_start", right_end="t_end",
+        bucket_width=3_600_000_000,
+    )
+    return out.select(
+        "day", "user_id", "event_type",
+        (
+            F.least("u_end", "t_end") - F.greatest("u_start", "t_start")
+        ).alias("overlap_us"),
+    )
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-export write planning (operators/packing.py
+    shard_manifest): deterministic sha256-bucket shard per doc, one
+    map-side-combined aggregate → per-shard row/byte totals. The same
+    expression drives repartition(n, shard) at write time."""
+    from valentinus_spark.operators.packing import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=16)
+
+
 def q_events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment run through Structured Streaming for real
     (streaming/pipeline.py stream_static_enrich): events readStream joined
@@ -1432,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_kl": q_source_token_kl,
         "rp_ann_topk": q_rp_ann_topk,
         "events_stream_enriched": q_events_stream_enriched,
+        "interval_overlap": q_interval_overlap,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -2346,6 +2391,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-avg(log2(c::DOUBLE / t::DOUBLE)), 4) AS unigram_ce
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "interval_overlap": """
+            WITH ev AS (
+                SELECT epoch_us(ts) AS ts_us, user_id, event_type,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            user_spans AS (
+                SELECT day, user_id, MIN(ts_us) AS u_start, MAX(ts_us) AS u_end
+                FROM ev GROUP BY 1, 2
+            ),
+            type_spans AS (
+                SELECT day, event_type, MIN(ts_us) AS t_start, MAX(ts_us) AS t_end
+                FROM ev GROUP BY 1, 2
+            )
+            SELECT u.day, u.user_id, t.event_type,
+                   LEAST(u.u_end, t.t_end) - GREATEST(u.u_start, t.t_start) AS overlap_us
+            FROM user_spans u
+            JOIN type_spans t
+              ON u.day = t.day
+             AND u.u_start <= t.t_end AND t.t_start <= u.u_end
+        """,
+        "shard_manifest": """
+            SELECT CAST(CAST(('0x' || substr(sha256('v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS BIGINT) AS shard,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_n_chars
+            FROM documents
+            GROUP BY 1
         """,
         "events_stream_enriched": """
             SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,

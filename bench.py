@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "source_token_kl",
     "rp_ann_topk",
     "events_stream_enriched",
+    "interval_overlap",
+    "shard_manifest",
 ]
 
 

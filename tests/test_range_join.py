@@ -82,3 +82,87 @@ def test_salted_join_spreads_hot_key(spark):
         .select("_salt").distinct().count()
     )
     assert spread > 1
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    from valentinus_spark.operators.range_join import interval_overlap_join
+
+    rng_rows_l = [
+        # (key, id, start, end)
+        (0, 0, 100, 200),
+        (0, 1, 150, 300),
+        (0, 2, 500, 600),
+        (1, 3, 100, 200),
+    ]
+    rng_rows_r = [
+        (0, 10, 180, 250),   # overlaps l0 (tail) and l1
+        (0, 11, 601, 700),   # adjacent to l2 but disjoint
+        (0, 12, 90, 100),    # touches l0 exactly at the boundary
+        (1, 13, 250, 400),   # disjoint from l3
+    ]
+    left = spark.createDataFrame(rng_rows_l, "k long, lid long, s long, e long")
+    right = spark.createDataFrame(rng_rows_r, "k long, rid long, s long, e long")
+    # right-side s/e collide with left names -> r_ prefix applies to the
+    # OUTPUT; the operator params take the ORIGINAL right column names
+    out = interval_overlap_join(
+        left, right, key="k",
+        left_start="s", left_end="e",
+        right_start="s", right_end="e",
+        bucket_width=50,
+    )
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    expected = set()
+    for k1, lid, s1, e1 in rng_rows_l:
+        for k2, rid, s2, e2 in rng_rows_r:
+            if k1 == k2 and s1 <= e2 and s2 <= e1:
+                expected.add((lid, rid))
+    assert got == expected
+    # each overlapping pair appears exactly once even when it spans
+    # multiple buckets (l1 x r10 share buckets 3..5 at width 50)
+    assert out.count() == len(expected)
+
+
+def test_interval_overlap_join_bucket_width_invariance(spark):
+    from valentinus_spark.operators.range_join import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(0, i, i * 37, i * 37 + 120) for i in range(40)], "k long, lid long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(0, i, i * 53, i * 53 + 80) for i in range(30)], "k long, rid long, s long, e long"
+    )
+    pairs = None
+    for width in (10, 100, 1000):
+        out = interval_overlap_join(
+            left, right, key="k",
+            left_start="s", left_end="e",
+            right_start="s", right_end="e",
+            bucket_width=width,
+        )
+        got = sorted((r["lid"], r["rid"]) for r in out.collect())
+        assert pairs is None or got == pairs
+        pairs = got
+
+
+def test_shard_assignment_deterministic_and_balanced(spark):
+    from valentinus_spark.operators.packing import shard_assignment, shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(2000)], "doc_id long, n_chars long"
+    )
+    m = {r["shard"]: r["n_rows"] for r in shard_manifest(df, n_shards=16).collect()}
+    assert set(m) == set(range(16))  # no empty writers
+    assert max(m.values()) < 2 * min(m.values())  # roughly balanced
+    # stability: a doc's shard never changes when the corpus grows
+    small = df.filter(F.col("doc_id") < 100).select(
+        "doc_id", shard_assignment("doc_id", 16)
+    )
+    big = df.select("doc_id", shard_assignment("doc_id", 16))
+    sm = {r["doc_id"]: r["shard"] for r in small.collect()}
+    bg = {r["doc_id"]: r["shard"] for r in big.collect()}
+    assert all(bg[k] == v for k, v in sm.items())
+    # totals in the manifest add up
+    mm = shard_manifest(df, n_shards=16).agg(
+        F.sum("n_rows").alias("r"), F.sum("total_n_chars").alias("c")
+    ).collect()[0]
+    assert mm["r"] == 2000 and mm["c"] == sum(i * 10 for i in range(2000))

@@ -24,7 +24,11 @@ from valentinus_spark.operators.dedup import (
     dedup_clusters,
 )
 from valentinus_spark.operators.contamination import benchmark_contamination
-from valentinus_spark.operators.packing import pack_assignments
+from valentinus_spark.operators.packing import (
+    pack_assignments,
+    shard_assignment,
+    shard_manifest,
+)
 from valentinus_spark.operators.quality import (
     quality_filter,
     repetition_stats,
@@ -32,7 +36,7 @@ from valentinus_spark.operators.quality import (
     source_token_kl,
 )
 from valentinus_spark.operators.asof import asof_join
-from valentinus_spark.operators.range_join import range_join
+from valentinus_spark.operators.range_join import range_join, interval_overlap_join
 from valentinus_spark.operators.skew import salted_join, salted_agg
 from valentinus_spark.operators.rollup import build_time_rollup, merged_rollup
 
@@ -62,12 +66,15 @@ __all__ = [
     "dedup_clusters",
     "benchmark_contamination",
     "pack_assignments",
+    "shard_assignment",
+    "shard_manifest",
     "quality_filter",
     "repetition_stats",
     "unigram_logprob",
     "source_token_kl",
     "asof_join",
     "range_join",
+    "interval_overlap_join",
     "salted_join",
     "salted_agg",
     "build_time_rollup",

@@ -20,7 +20,7 @@ Scale shape: a global running token offset is a prefix sum, which a naive
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,4 +80,48 @@ def pack_assignments(
                 F.floor((F.col("_end") - F.col("_tok")) / budget),
             ).alias("pack_last"),
         )
+    )
+
+
+def shard_assignment(
+    id_col: Column | str, n_shards: int, salt: str = "v1"
+) -> Column:
+    """Deterministic output-shard id in [0, n_shards) from a key column:
+    first 8 hex chars of sha256(salt || key) mod n_shards. Same contract
+    as stable_split (functions/text.py): reproducible across runs/engines/
+    partitionings, stable under corpus growth, pure per-row expression —
+    the assignment half of write planning for sharded training data.
+    Change ``salt`` for an independent re-shard."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(salt), col.cast("string")), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(bucket, F.lit(n_shards)).alias("shard")
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    size_cols: tuple[str, ...] = ("n_chars",),
+    salt: str = "v1",
+) -> DataFrame:
+    """Write-planning manifest: per output shard, row count and summed
+    sizes — what a sharded-export job checks BEFORE writing 100 TB (shard
+    balance, no empty writers, bytes per file target). One map-side-
+    combined aggregate on the shard id; at write time the same
+    ``shard_assignment`` expression feeds ``repartition(n, shard)`` →
+    one writer task per shard, so the manifest predicts the files
+    exactly."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).cast("long")).alias(f"total_{c}") for c in size_cols
+    ]
+    return (
+        df.withColumn("shard", shard_assignment(id_col, n_shards, salt))
+        .groupBy("shard")
+        .agg(*aggs)
     )

@@ -69,3 +69,70 @@ def range_join(
         (F.col(point_ts) >= F.col(s_col)) & (F.col(point_ts) <= F.col(e_col))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval × interval overlap join: pairs with the same ``key`` whose
+    [start, end] ranges intersect. The interval twin of :func:`range_join`
+    (point-in-interval) — the primitive behind downtime attribution,
+    concurrent-session analysis, and any "which windows coincided" query.
+
+    Same equi-join rewrite: both sides explode to time buckets, the join
+    runs on (key, bucket), the exact overlap predicate filters candidates.
+    A pair overlapping across several buckets would surface once per
+    shared bucket, so each pair is EMITTED exactly once — at the bucket
+    containing the overlap's start (``greatest(starts)/width``) — which
+    replaces a dropDuplicates (a second full shuffle) with a free scalar
+    comparison. Right-side columns colliding with left names come back
+    ``r_``-prefixed."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    l = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(left_start) / bucket_width).cast("long"),
+                (F.col(left_end) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    r = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(right_start) / bucket_width).cast("long"),
+                (F.col(right_end) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    overlap = [c for c in r.columns if c in l.columns and c not in (key, "_bucket")]
+    r = r.select(
+        [F.col(key), F.col("_bucket")]
+        + [
+            F.col(c).alias(f"r_{c}") if c in overlap else F.col(c)
+            for c in r.columns
+            if c not in (key, "_bucket")
+        ]
+    )
+    rs = f"r_{right_start}" if right_start in overlap else right_start
+    re_ = f"r_{right_end}" if right_end in overlap else right_end
+    joined = (
+        l.join(r, on=[key, "_bucket"], how="inner")
+        .filter(
+            (F.col(left_start) <= F.col(re_)) & (F.col(rs) <= F.col(left_end))
+        )
+        .filter(
+            F.col("_bucket")
+            == (F.greatest(F.col(left_start), F.col(rs)) / bucket_width).cast("long")
+        )
+    )
+    return joined.drop("_bucket")
