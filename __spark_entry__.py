@@ -739,6 +739,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via large-star/small-star connected components
+    (operators/dedup.py connected_components_star) — O(log n) rounds vs
+    min-label's O(diameter), the variant that survives adversarial dup
+    chains. Exact algorithm, so it shares dedup_clusters' recursive-CTE
+    oracle verbatim."""
+    from valentinus_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=None).select(
+        "id_a", "id_b"
+    )
+    return dedup_clusters(docs, pairs, method="star")
+
+
 def q_user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState through a real stream (file source →
     per-user state → update-mode memory sink, availableNow). The final
@@ -1442,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_moving_sum": q_customer_moving_sum,
         "brand_supplier_breadth": q_brand_supplier_breadth,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "user_totals_stateful_stream": q_user_totals_stateful_stream,
         "salted_part_join": q_salted_part_join,
         "events_rollup_merge": q_events_rollup_merge,
@@ -1550,7 +1566,7 @@ _REPETITION_STATS_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
-    return {
+    sql = {
         "flagship_filtered_cosine_topk": f"""
             SELECT doc_id, lang, n_chars,
                    ROUND(list_cosine_similarity(e.embedding, {qv}), 4) AS similarity
@@ -2444,3 +2460,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY gc.source
         """,
     }
+    # star CC is an exact algorithm for the same fixpoint — identical oracle
+    sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    return sql

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "customer_moving_sum",
     "brand_supplier_breadth",
     "dedup_clusters",
+    "dedup_clusters_star",
     "salted_part_join",
     "events_rollup_merge",
     "small_qty_revenue",

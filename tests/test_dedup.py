@@ -337,3 +337,73 @@ def test_duplicated_span_stats_max_df_cap_keeps_shared_flag(spark):
     )
     got = duplicated_span_stats(df, n=5, max_df=3).collect()
     assert all(r["shared_spans"] == r["n_spans"] for r in got)
+
+
+def _cc_oracle(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_cc_long_chain(spark):
+    """A 200-link chain needs 200 min-label iterations but only O(log n)
+    star rounds — the adversarial-diameter case the star variant exists
+    for."""
+    from valentinus_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(df, max_iter=15).collect()
+    }
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_star_cc_matches_union_find_random(spark):
+    import random
+
+    from valentinus_spark.operators.dedup import connected_components_star
+
+    rnd = random.Random(42)
+    pairs = [(rnd.randrange(300), rnd.randrange(300)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components_star(df).collect()
+    }
+    assert got == _cc_oracle(pairs)
+
+
+def test_star_cc_string_ids(spark):
+    from valentinus_spark.operators.dedup import connected_components_star
+
+    pairs = [("d", "c"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components_star(df).collect()
+    }
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+
+
+def test_star_cc_agrees_with_min_label(spark):
+    from valentinus_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    a = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    b = {r["id"]: r["cluster_id"] for r in connected_components_star(df).collect()}
+    assert a == b

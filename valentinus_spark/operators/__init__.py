@@ -21,6 +21,7 @@ from valentinus_spark.operators.dedup import (
     incremental_dedup,
     duplicated_span_stats,
     connected_components,
+    connected_components_star,
     dedup_clusters,
 )
 from valentinus_spark.operators.contamination import benchmark_contamination
@@ -63,6 +64,7 @@ __all__ = [
     "incremental_dedup",
     "duplicated_span_stats",
     "connected_components",
+    "connected_components_star",
     "dedup_clusters",
     "benchmark_contamination",
     "pack_assignments",

@@ -577,17 +577,123 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same contract as :func:`connected_components` ((id, cluster_id),
+    cluster_id = min member id) but converging in O(log n) rounds instead
+    of O(diameter) iterations. Use this when duplicate chains can be LONG
+    (crawl mirrors of mirrors, quote-chains): min-label propagation needs
+    diameter-many join rounds, which a 200-link chain already pushes past
+    any sane max_iter, while the star rounds collapse it in a handful.
+
+    Each round is two groupBy-join passes over the edge list, shuffling
+    (node, neighbor) pairs only:
+
+    - large-star: every node connects its LARGER neighbors to the minimum
+      of its neighborhood (incl. itself);
+    - small-star: every node connects its smaller-or-equal neighbors to
+      that minimum.
+
+    The edge set converges to stars whose centers are the component
+    minima; convergence is witnessed by the edge multiset hash, checked
+    exactly (count + xor of per-edge hashes — order-insensitive, no
+    driver-side edge materialization)."""
+    pairs = pairs.select(id_a, id_b).localCheckpoint()
+    # drop self-loops, orient arbitrarily; nodes list remembered for output
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _edge_sig(e: DataFrame):
+        # order-insensitive exact multiset witness: (count, xor of hashes)
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                # bit_xor over a canonicalized (min,max) pair hash
+                F.expr(
+                    "bit_xor(xxhash64(least(u, v), greatest(u, v)))"
+                ),
+                F.lit(0),
+            ).alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    def _neighborhoods(e: DataFrame) -> DataFrame:
+        # symmetrized adjacency: for each node, its neighbor multiset
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    sig = None
+    for _ in range(max_iter):
+        # ---- large-star: (v, m) for v in N(u), v > u; m = min(N(u) + u)
+        adj = _neighborhoods(edges)
+        mins = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star on the large-star output: orient u > v, group,
+        # connect all smaller neighbors (and u) to the minimum
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        edges = (
+            small.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        )
+        new_sig = _edge_sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # stars: every edge now points node -> component min
+    labels = (
+        _neighborhoods(edges)
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
+    )
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    method: str = "minlabel",
 ) -> DataFrame:
     """Assign every row of ``df`` its duplicate-cluster id: connected
     components over ``pairs`` for matched rows, self-cluster for the rest.
-    Output: (id_col, cluster_id, cluster_size)."""
-    cc = connected_components(pairs, pair_a, pair_b)
+    Output: (id_col, cluster_id, cluster_size). ``method``: "minlabel"
+    (O(diameter) rounds — fine for typical shallow dup clusters) or
+    "star" (O(log n) rounds — safe for adversarial chain depths)."""
+    algo = connected_components_star if method == "star" else connected_components
+    cc = algo(pairs, pair_a, pair_b)
     out = (
         df.select(F.col(id_col))
         .join(cc, df[id_col] == cc["id"], "left")
