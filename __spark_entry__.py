@@ -1261,6 +1261,30 @@ def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative outlier trimming (operators/quality.py
+    relative_outlier_filter): keep docs inside the [5%, 95%] n_chars
+    percentile band WITHIN their language. percent_rank is an exact
+    rational, so both engines draw the identical band."""
+    from valentinus_spark.operators.quality import relative_outlier_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return relative_outlier_filter(docs).select("doc_id", "lang", "n_chars")
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff by content digest (operators/dedup.py corpus_diff):
+    sources src0..src7 as the old crawl, src2..src9 as the new one —
+    the overlap is unchanged, the edges added/removed. Digest-only
+    full-outer join; the text never enters the shuffle."""
+    from valentinus_spark.operators.dedup import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("source") < "src8")
+    new = docs.filter(F.col("source") >= "src2")
+    return corpus_diff(old, new)
+
+
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval × interval overlap join (operators/range_join.py
     interval_overlap_join): per-(user, day) activity spans vs per-(type,
@@ -1493,6 +1517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_enriched": q_events_stream_enriched,
         "interval_overlap": q_interval_overlap,
         "shard_manifest": q_shard_manifest,
+        "length_trimmed": q_length_trimmed,
+        "corpus_diff": q_corpus_diff,
     }
 
 
@@ -2407,6 +2433,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-avg(log2(c::DOUBLE / t::DOUBLE)), 4) AS unigram_ce
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "length_trimmed": """
+            WITH ranked AS (
+                SELECT doc_id, lang, n_chars,
+                       PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+                FROM documents
+            )
+            SELECT doc_id, lang, n_chars
+            FROM ranked
+            WHERE pr >= 0.05 AND pr <= 0.95
+        """,
+        "corpus_diff": """
+            WITH o AS (
+                SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS od
+                FROM documents WHERE source < 'src8'
+            ),
+            n AS (
+                SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nd
+                FROM documents WHERE source >= 'src2'
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.od IS NULL THEN 'added'
+                        WHEN n.nd IS NULL THEN 'removed'
+                        WHEN o.od = n.nd THEN 'unchanged'
+                        ELSE 'modified'
+                   END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         """,
         "interval_overlap": """
             WITH ev AS (

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "events_stream_enriched",
     "interval_overlap",
     "shard_manifest",
+    "length_trimmed",
+    "corpus_diff",
 ]
 
 

@@ -407,3 +407,19 @@ def test_star_cc_agrees_with_min_label(spark):
     a = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
     b = {r["id"]: r["cluster_id"] for r in connected_components_star(df).collect()}
     assert a == b
+
+
+def test_corpus_diff_statuses(spark):
+    from valentinus_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(0, "same text"), (1, "will change"), (2, "to be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(0, "SAME   text"), (1, "changed now"), (3, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # normalize_text makes doc 0 identical despite case/whitespace
+    assert got == {0: "unchanged", 1: "modified", 2: "removed", 3: "added"}

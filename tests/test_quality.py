@@ -164,3 +164,30 @@ def test_source_token_kl_identical_groups_zero(spark):
     )
     got = {r["source"]: r["kl_bits"] for r in source_token_kl(df).collect()}
     assert got == {"s0": 0.0, "s1": 0.0}
+
+
+def test_relative_outlier_filter_band(spark):
+    from valentinus_spark.operators.quality import relative_outlier_filter
+
+    # 21 rows, values 0..20: percent_rank = i/20; [0.05, 0.95] keeps 1..19
+    df = spark.createDataFrame(
+        [(i, "en", i) for i in range(21)], "doc_id long, lang string, n_chars long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in relative_outlier_filter(df).collect()
+    )
+    assert kept == list(range(1, 20))
+
+
+def test_relative_outlier_filter_per_group_and_singleton(spark):
+    from valentinus_spark.operators.quality import relative_outlier_filter
+
+    rows = [(i, "en", i) for i in range(21)] + [(100, "fr", 7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    kept = {r["doc_id"] for r in relative_outlier_filter(df).collect()}
+    # fr's singleton has percent_rank 0 and survives lo=0.05? no: 0 < 0.05
+    assert 100 not in kept
+    kept0 = {
+        r["doc_id"] for r in relative_outlier_filter(df, lo=0.0).collect()
+    }
+    assert 100 in kept0

@@ -20,6 +20,7 @@ from valentinus_spark.operators.dedup import (
     embedding_neardup_pairs_lsh,
     incremental_dedup,
     duplicated_span_stats,
+    corpus_diff,
     connected_components,
     connected_components_star,
     dedup_clusters,
@@ -35,6 +36,7 @@ from valentinus_spark.operators.quality import (
     repetition_stats,
     unigram_logprob,
     source_token_kl,
+    relative_outlier_filter,
 )
 from valentinus_spark.operators.asof import asof_join
 from valentinus_spark.operators.range_join import range_join, interval_overlap_join
@@ -63,6 +65,7 @@ __all__ = [
     "embedding_neardup_pairs_lsh",
     "incremental_dedup",
     "duplicated_span_stats",
+    "corpus_diff",
     "connected_components",
     "connected_components_star",
     "dedup_clusters",
@@ -74,6 +77,7 @@ __all__ = [
     "repetition_stats",
     "unigram_logprob",
     "source_token_kl",
+    "relative_outlier_filter",
     "asof_join",
     "range_join",
     "interval_overlap_join",

@@ -577,6 +577,37 @@ def connected_components(
     return labels
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by content digest:
+    (id_col, status) with status ∈ added | removed | modified | unchanged.
+    The audit step between two crawls/exports — what changed, what needs
+    re-embedding, what downstream caches to invalidate.
+
+    Plan: digest-project both sides (16 bytes/row into the join, never the
+    text), full-outer equi-join on the id. One shuffle keyed on the id —
+    or zero, when both snapshots are stored bucketed by id, which is how
+    the collection layout writes them."""
+    o = old.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("_od")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("_nd")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+        .alias("status"),
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

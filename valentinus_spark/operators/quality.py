@@ -246,6 +246,38 @@ def source_token_kl(
     )
 
 
+def relative_outlier_filter(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` sits inside the [lo, hi] percentile
+    band WITHIN their group — relative outlier trimming (drop the shortest
+    and longest 5 % per language) instead of absolute thresholds, which
+    never fit every language/source at once.
+
+    Exactness: percent_rank = (rank−1)/(n−1) is a pure rational of row
+    counts — no interpolation, so any engine computes the identical band
+    (ties share a rank in SQL semantics everywhere). A single-row group
+    has percent_rank 0 and is kept whenever lo ≤ 0.
+
+    Scale shape: one hash-partition-by-group + in-partition sort (the
+    standard window shuffle); groups are languages/sources, so cardinality
+    is tiny but rows per group are huge — for skewed groups prefer
+    pre-aggregating exact thresholds via groupBy(value).count() when the
+    value domain is small, or approxQuantile when ±ε is acceptable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter((F.col("_pr") >= lo) & (F.col("_pr") <= hi))
+        .drop("_pr")
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str = "doc_id",
