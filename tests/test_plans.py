@@ -163,3 +163,64 @@ def test_grouping_sets_uses_expand(spark):
     # both grouping branches come from one Expand over one scan
     assert "Expand" in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_interval_overlap_join_is_equi_join(spark):
+    from valentinus_spark.operators.range_join import interval_overlap_join
+
+    l = spark.createDataFrame([(0, 1, 0, 10)], "k long, lid long, s long, e long")
+    r = spark.createDataFrame([(0, 2, 5, 15)], "k long, rid long, s long, e long")
+    plan = plan_of(
+        interval_overlap_join(
+            l, r, key="k", left_start="s", left_end="e",
+            right_start="s", right_end="e", bucket_width=4,
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_gate_not_pushed_to_scan(spark):
+    """The repetition-gate predicate must NOT land in the parquet scan:
+    pushed down it re-runs the whole profile on the scan's partitioning
+    (the 70.8s -> 1.0s pathology in SCALE.md pitfall #6)."""
+    from valentinus_spark.operators.quality import quality_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(quality_filter(docs))
+    scans = [
+        ln for ln in plan.splitlines() if "Scan parquet" in ln or "DataFilters" in ln
+    ]
+    # the expensive fold ('aggregate(array_sort') must appear in no scan
+    for ln in scans:
+        assert "array_sort" not in ln
+    # and the gate itself survives somewhere above, guarded
+    assert "monotonically_increasing_id" in plan
+
+
+def test_rp_ann_prefilter_prunes_map_side(spark):
+    """The projected-space top-k must compile to WindowGroupLimit (partial
+    map-side pruning before the per-query shuffle) and the projection UDF
+    must run below the join (once per row, not per pair)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_rp_ann_topk(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    # ArrowEvalPython below the BroadcastNestedLoopJoin: the UDF node
+    # appears in the child subtree of the join in the formatted plan
+    assert plan.index("ArrowEvalPython") > plan.index("BroadcastNestedLoopJoin")
+
+
+def test_incremental_dedup_prunes_corpus_columns(spark):
+    """The corpus side of the anti-join must read only the text column
+    (digest input) — not id/lang/source."""
+    from valentinus_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    inc = docs.filter(F.col("source") >= "src5")
+    corp = docs.filter(F.col("source") < "src5")
+    plan = plan_of(incremental_dedup(inc, corp))
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any(
+        "text" in ln and "lang" not in ln and "n_chars" not in ln for ln in schemas
+    )
