@@ -50,9 +50,23 @@ def main() -> None:
     deduped = gated.join(keep, "doc_id", "left_semi")
     n2 = deduped.count()
 
+    # 2b. corpus-level quality: Gopher repetition gates, then trim length
+    # outliers per language and plan the sharded export
+    from valentinus_spark.operators.packing import shard_manifest
+    from valentinus_spark.operators.quality import (
+        quality_filter,
+        relative_outlier_filter,
+    )
+
+    cleaned = relative_outlier_filter(
+        quality_filter(deduped), group_col="lang", value_col="n_chars"
+    )
+    n3 = cleaned.count()
+    shards = shard_manifest(cleaned, n_shards=8).orderBy("shard")
+
     # 3. embed + save as a collection with typed promoted keys
     catalog = CollectionCatalog(spark, warehouse=tempfile.mkdtemp(prefix="vs_pipe_"))
-    docs = deduped.select(
+    docs = cleaned.select(
         F.concat(F.lit("id"), F.col("doc_id")).alias("id"),
         F.col("text").alias("document"),
         F.create_map(
@@ -72,7 +86,8 @@ def main() -> None:
     col.build_ann_index()
     nn = col.nearest_query_approx("distributed data processing", k=3)
 
-    print(f"corpus {n0} -> gated {n1} -> deduped {n2}")
+    print(f"corpus {n0} -> gated {n1} -> deduped {n2} -> cleaned {n3}")
+    shards.show()
     top.select("id", F.round("similarity", 4).alias("sim")).show(truncate=60)
     nn.select("id", F.round("distance", 4).alias("dist")).show(truncate=60)
     EmbeddingCollection.delete(spark, "view-training_corpus", catalog=catalog)

@@ -66,3 +66,69 @@ def test_empty_collection_lifecycle(spark, tmp_path):
         catalog=cat,
     ).save()
     assert col.cosine_query("q", num_results=5).count() == 0
+
+
+def test_round2_operators_empty_inputs(spark):
+    from valentinus_spark.operators.dedup import (
+        connected_components_star,
+        corpus_diff,
+        duplicated_span_stats,
+        incremental_dedup,
+    )
+    from valentinus_spark.operators.quality import (
+        relative_outlier_filter,
+        source_token_kl,
+        unigram_logprob,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+
+    # empty corpus -> everything incoming survives; empty incoming -> nothing
+    assert incremental_dedup(docs, empty_docs).count() == 1
+    assert incremental_dedup(empty_docs, docs).count() == 0
+    assert duplicated_span_stats(empty_docs).count() == 0
+    assert unigram_logprob(empty_docs).count() == 0
+    assert connected_components_star(
+        spark.createDataFrame([], "id_a long, id_b long")
+    ).count() == 0
+    # diff against an empty snapshot classifies everything one-sided
+    assert {
+        r["status"] for r in corpus_diff(empty_docs, docs).collect()
+    } == {"added"}
+    assert {
+        r["status"] for r in corpus_diff(docs, empty_docs).collect()
+    } == {"removed"}
+    empty_kl = spark.createDataFrame([], "source string, text string")
+    assert source_token_kl(empty_kl).count() == 0
+    empty_len = spark.createDataFrame([], "doc_id long, lang string, n_chars long")
+    assert relative_outlier_filter(empty_len).count() == 0
+
+
+def test_interval_overlap_degenerate_intervals(spark):
+    from valentinus_spark.operators.range_join import interval_overlap_join
+
+    # zero-width intervals: [5,5] overlaps [5,5] and [0,10], not [6,8]
+    l = spark.createDataFrame([(0, 1, 5, 5)], "k long, lid long, s long, e long")
+    r = spark.createDataFrame(
+        [(0, 10, 5, 5), (0, 11, 0, 10), (0, 12, 6, 8)],
+        "k long, rid long, s long, e long",
+    )
+    got = {
+        r_["rid"]
+        for r_ in interval_overlap_join(
+            l, r, key="k", left_start="s", left_end="e",
+            right_start="s", right_end="e", bucket_width=3,
+        ).collect()
+    }
+    assert got == {10, 11}
+
+
+def test_shard_manifest_single_shard_and_empty(spark):
+    from valentinus_spark.operators.packing import shard_manifest
+
+    df = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, n_chars long")
+    rows = shard_manifest(df, n_shards=1).collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 2 and rows[0]["total_n_chars"] == 12
+    empty = spark.createDataFrame([], "doc_id long, n_chars long")
+    assert shard_manifest(empty, n_shards=4).count() == 0
