@@ -1261,6 +1261,30 @@ def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-weighting (functions/text.py
+    mixture_repeat_count): src0 upsampled 2.5x (every doc twice, a
+    sha-stable half a third time), src1 downsampled to 0.5, the rest
+    kept — the 'epochs per source' step of a pretraining recipe,
+    reproducible row-for-row by both engines. Factors use binary-exact
+    fractions so the bucket threshold is identical across engines."""
+    from valentinus_spark.functions.text import mixture_repeat_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = mixture_repeat_count("doc_id", "source", {"src0": 2.5, "src1": 0.5})
+    return (
+        docs.withColumn("n_repeat", n)
+        .filter(F.col("n_repeat") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_repeat"))
+            ).alias("epoch"),
+        )
+    )
+
+
 def q_length_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative outlier trimming (operators/quality.py
     relative_outlier_filter): keep docs inside the [5%, 95%] n_chars
@@ -1519,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "length_trimmed": q_length_trimmed,
         "corpus_diff": q_corpus_diff,
+        "mixture_resample": q_mixture_resample,
     }
 
 
@@ -2433,6 +2458,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-avg(log2(c::DOUBLE / t::DOUBLE)), 4) AS unigram_ce
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "mixture_resample": """
+            WITH f AS (
+                SELECT doc_id, source,
+                       CASE WHEN source = 'src0' THEN 2.5
+                            WHEN source = 'src1' THEN 0.5
+                            ELSE 1.0 END AS factor,
+                       CAST(('0x' || substr(sha256('v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, source,
+                       CAST(FLOOR(factor) AS BIGINT)
+                       + CASE WHEN bucket < CAST((factor - FLOOR(factor)) * 4294967296 AS BIGINT)
+                              THEN 1 ELSE 0 END AS n_repeat
+                FROM f
+            )
+            SELECT doc_id, source, CAST(u.epoch AS BIGINT) AS epoch
+            FROM n, unnest(generate_series(1, n_repeat)) AS u(epoch)
+            WHERE n_repeat >= 1
         """,
         "length_trimmed": """
             WITH ranked AS (

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "shard_manifest",
     "length_trimmed",
     "corpus_diff",
+    "mixture_resample",
 ]
 
 

@@ -198,3 +198,47 @@ def test_chunks_from_tokens(spark):
     assert ch[2] == [(0, "")]  # empty doc: one empty chunk
     with pytest.raises(ValueError):
         chunks_from_tokens("_toks", size=4, stride=5)  # stride > size
+
+
+def test_mixture_repeat_count_semantics(spark):
+    import hashlib
+
+    from valentinus_spark.functions.text import mixture_repeat_count
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    n = mixture_repeat_count("doc_id", "source", {"a": 2.5, "b": 0.0})
+    got = {r["doc_id"]: r["n_repeat"] for r in df.select("doc_id", n).collect()}
+
+    def bucket(k):
+        return int(hashlib.sha256(f"v1{k}".encode()).hexdigest()[:8], 16)
+
+    for i, s in rows:
+        if s == "b":
+            assert got[i] == 0
+        else:
+            expect = 2 + (1 if bucket(i) < int(0.5 * 2**32) else 0)
+            assert got[i] == expect, f"doc {i}"
+    # the fractional half really splits (not all-or-nothing)
+    a_counts = [v for (i, s), v in zip(rows, [got[i] for i, _ in rows]) if s == "a"]
+    assert 2 in a_counts and 3 in a_counts
+
+
+def test_mixture_repeat_growth_stable(spark):
+    from valentinus_spark.functions.text import mixture_repeat_count
+
+    small = spark.createDataFrame([(i, "a") for i in range(50)], "doc_id long, source string")
+    big = spark.createDataFrame([(i, "a") for i in range(500)], "doc_id long, source string")
+    n = mixture_repeat_count("doc_id", "source", {"a": 1.5})
+    s = {r["doc_id"]: r["n_repeat"] for r in small.select("doc_id", n).collect()}
+    b = {r["doc_id"]: r["n_repeat"] for r in big.select("doc_id", n).collect()}
+    assert all(b[k] == v for k, v in s.items())
+
+
+def test_mixture_repeat_rejects_negative(spark):
+    import pytest as _pytest
+
+    from valentinus_spark.functions.text import mixture_repeat_count
+
+    with _pytest.raises(ValueError):
+        mixture_repeat_count("doc_id", "source", {"a": -0.5})

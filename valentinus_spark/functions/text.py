@@ -256,6 +256,42 @@ def stratified_keep(
     return bucket < (rate * span).cast("long")
 
 
+def mixture_repeat_count(
+    key_col: Column | str,
+    stratum_col: Column | str,
+    factors: dict[str, float],
+    default_factor: float = 1.0,
+    salt: str = "v1",
+) -> Column:
+    """Deterministic per-row repeat count for mixture re-weighting: a row
+    in stratum s with factor f appears ``floor(f)`` times plus one more
+    iff its sha256 bucket falls under ``frac(f)`` — so a source with
+    factor 2.5 contributes every doc twice and half the docs (a stable,
+    growth-invariant half) a third time. The up/down-sampling step of a
+    pretraining data recipe ("3 epochs of wiki, 0.3 of crawl") with the
+    same engine-reproducible guarantees as [stable_split]: no RNG, no
+    shuffle, recomputable row-for-row by any engine. Factor 0 drops the
+    stratum. Pair with ``F.explode(F.sequence(1, n))`` to materialize
+    the repeats."""
+    for name, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for {name!r} must be >= 0, got {f}")
+    bucket = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(salt), _c(key_col).cast("string")), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    span = float(2**32)
+    stratum = _c(stratum_col)
+    factor = F.lit(float(default_factor))
+    for name, f in factors.items():
+        factor = F.when(stratum == name, F.lit(float(f))).otherwise(factor)
+    base = F.floor(factor).cast("long")
+    frac = factor - base
+    extra = (bucket < (frac * span).cast("long")).cast("long")
+    return (base + extra).alias("n_repeat")
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction (training-data scrubbing)
 # ---------------------------------------------------------------------------
