@@ -1261,6 +1261,18 @@ def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix (operators/dedup.py
+    source_overlap, unit='span'): distinct 5-gram spans shared by each
+    source pair — the partial-copy/boilerplate signal that exists long
+    before whole-document mirrors do (this corpus has none of the
+    latter: dedup_exact shows 500/500 unique digests)."""
+    from valentinus_spark.operators.dedup import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_overlap(docs, unit="span", n=5)
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture re-weighting (functions/text.py
     mixture_repeat_count): src0 upsampled 2.5x (every doc twice, a
@@ -1544,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_trimmed": q_length_trimmed,
         "corpus_diff": q_corpus_diff,
         "mixture_resample": q_mixture_resample,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -2458,6 +2471,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-avg(log2(c::DOUBLE / t::DOUBLE)), 4) AS unigram_ce
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "source_overlap": """
+            WITH words AS (
+                SELECT source,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) != ''
+            ),
+            d AS (
+                SELECT DISTINCT source AS g, unnest(list_distinct(
+                    CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 5 + 2), i -> array_to_string(w[i:i+4], ' '))
+                    END)) AS dg
+                FROM words
+            )
+            SELECT a.g AS group_a, b.g AS group_b, COUNT(*) AS shared
+            FROM d a JOIN d b ON a.dg = b.dg AND a.g < b.g
+            GROUP BY 1, 2
         """,
         "mixture_resample": """
             WITH f AS (

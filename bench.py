@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "length_trimmed",
     "corpus_diff",
     "mixture_resample",
+    "source_overlap",
 ]
 
 

@@ -423,3 +423,39 @@ def test_corpus_diff_statuses(spark):
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     # normalize_text makes doc 0 identical despite case/whitespace
     assert got == {0: "unchanged", 1: "modified", 2: "removed", 3: "added"}
+
+
+def test_source_overlap_counts(spark):
+    from valentinus_spark.operators.dedup import source_overlap
+
+    rows = [
+        (0, "sa", "shared one"),
+        (1, "sb", "SHARED   one"),   # same digest as 0 after normalize
+        (2, "sa", "also shared"),
+        (3, "sc", "also shared"),
+        (4, "sb", "also shared"),
+        (5, "sa", "unique to a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["group_a"], r["group_b"]): r["shared"]
+        for r in source_overlap(df).collect()
+    }
+    assert got == {("sa", "sb"): 2, ("sa", "sc"): 1, ("sb", "sc"): 1}
+
+
+def test_source_overlap_span_mode(spark):
+    from valentinus_spark.operators.dedup import source_overlap
+
+    rows = [
+        (0, "sa", "alpha beta gamma delta epsilon zeta"),
+        (1, "sb", "alpha beta gamma delta epsilon eta"),  # shares 2 of 2 5-grams? no:
+        # sa spans: 'a b g d e', 'b g d e z'; sb: 'a b g d e', 'b g d e eta' -> 1 shared
+        (2, "sc", "completely different words here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["group_a"], r["group_b"]): r["shared"]
+        for r in source_overlap(df, unit="span", n=5).collect()
+    }
+    assert got == {("sa", "sb"): 1}

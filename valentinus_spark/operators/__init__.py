@@ -21,6 +21,7 @@ from valentinus_spark.operators.dedup import (
     incremental_dedup,
     duplicated_span_stats,
     corpus_diff,
+    source_overlap,
     connected_components,
     connected_components_star,
     dedup_clusters,
@@ -66,6 +67,7 @@ __all__ = [
     "incremental_dedup",
     "duplicated_span_stats",
     "corpus_diff",
+    "source_overlap",
     "connected_components",
     "connected_components_star",
     "dedup_clusters",

@@ -577,6 +577,52 @@ def connected_components(
     return labels
 
 
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    unit: str = "digest",
+    n: int = 5,
+) -> DataFrame:
+    """Pairwise duplicate-content overlap between groups: for each group
+    pair (a < b), how many distinct content units appear in BOTH — the
+    "which sources mirror each other" matrix that decides dedup ordering
+    and source pruning in a multi-crawl corpus. ``unit="digest"`` counts
+    whole-document duplicates (strict mirroring); ``unit="span"`` counts
+    shared word ``n``-gram spans (boilerplate/partial copying — the
+    signal that exists long before full-document mirrors do).
+
+    Output: (group_a, group_b, shared). Plan: distinct (group, unit)
+    projection (one map-side-combined aggregate), self-equi-join on the
+    unit — only co-occurring units materialize pairs, bounded by
+    units × groups-per-unit², with groups numbering in the dozens."""
+    if unit == "span":
+        d = (
+            _shingle_sets(df, group_col, text_col, n)
+            .select(F.col("_id").alias("_g"), F.explode("_shingles").alias("_dg"))
+            .distinct()
+        )
+    elif unit == "digest":
+        d = (
+            ensure_parallelism(df)
+            .select(
+                F.col(group_col).alias("_g"),
+                F.md5(normalize_text(text_col)).alias("_dg"),
+            )
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unit must be 'digest' or 'span', got {unit!r}")
+    a = d.select(F.col("_g").alias("group_a"), "_dg")
+    b = d.select(F.col("_g").alias("group_b"), "_dg")
+    return (
+        a.join(b, "_dg")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,
