@@ -1261,6 +1261,16 @@ def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc conditional bigram cross-entropy vs the corpus's own
+    bigram LM (operators/quality.py bigram_logprob) — the word-order-
+    aware fluency score unigram_logprob can't give."""
+    from valentinus_spark.operators.quality import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source content-overlap matrix (operators/dedup.py
     source_overlap, unit='span'): distinct 5-gram spans shared by each
@@ -1557,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "mixture_resample": q_mixture_resample,
         "source_overlap": q_source_overlap,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -2470,6 +2481,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_tokens,
                    ROUND(-avg(log2(c::DOUBLE / t::DOUBLE)), 4) AS unigram_ce
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "bigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+                WHERE trim(text) != ''
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+                FROM toks WHERE len(w) >= 2
+            ),
+            c2 AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+            c1 AS (
+                SELECT split_part(b, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS cc
+                FROM c2 GROUP BY 1
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(-avg(log2(c::DOUBLE / cc::DOUBLE)), 4) AS bigram_ce
+            FROM bg
+            JOIN c2 USING (b)
+            JOIN c1 ON split_part(b, ' ', 1) = c1.w1
             GROUP BY doc_id
         """,
         "source_overlap": """

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "corpus_diff",
     "mixture_resample",
     "source_overlap",
+    "bigram_logprob",
 ]
 
 

@@ -191,3 +191,53 @@ def test_relative_outlier_filter_per_group_and_singleton(spark):
         r["doc_id"] for r in relative_outlier_filter(df, lo=0.0).collect()
     }
     assert 100 in kept0
+
+
+def test_bigram_logprob_matches_python_oracle(spark):
+    import math
+    from collections import Counter
+
+    from valentinus_spark.operators.quality import bigram_logprob
+
+    docs = [(0, "a b a b c"), (1, "a b"), (2, "c a b a"), (3, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    for _, t in docs:
+        w = t.split()
+        for i in range(len(w) - 1):
+            c2[(w[i], w[i + 1])] += 1
+            c1[w[i]] += 1
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_ce"])
+        for r in bigram_logprob(df).collect()
+    }
+    assert 3 not in got  # 1-token doc has no bigrams
+    for i, t in docs:
+        w = t.split()
+        if len(w) < 2:
+            continue
+        lps = [
+            math.log2(c2[(w[j], w[j + 1])] / c1[w[j]]) for j in range(len(w) - 1)
+        ]
+        ce = -sum(lps) / len(lps)
+        assert got[i][0] == len(w) - 1
+        assert got[i][1] == pytest.approx(round(ce, 4), abs=1e-9), f"doc {i}"
+
+
+def test_bigram_beats_unigram_on_shuffled_text(spark):
+    """A bag of common words in a nonsense order must look WORSE to the
+    bigram model than to the unigram model, relative to fluent text."""
+    from valentinus_spark.operators.quality import bigram_logprob
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat the and rug cat the on sat the"
+    filler = [
+        (10 + i, f"the cat sat on the mat again and again number {i}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(0, fluent), (1, shuffled)] + filler, "doc_id long, text string"
+    )
+    ce = {r["doc_id"]: r["bigram_ce"] for r in bigram_logprob(df).collect()}
+    assert ce[1] > ce[0]

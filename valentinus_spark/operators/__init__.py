@@ -36,6 +36,7 @@ from valentinus_spark.operators.quality import (
     quality_filter,
     repetition_stats,
     unigram_logprob,
+    bigram_logprob,
     source_token_kl,
     relative_outlier_filter,
 )
@@ -78,6 +79,7 @@ __all__ = [
     "quality_filter",
     "repetition_stats",
     "unigram_logprob",
+    "bigram_logprob",
     "source_token_kl",
     "relative_outlier_filter",
     "asof_join",

@@ -206,6 +206,66 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document conditional cross-entropy against the corpus's own
+    bigram language model: score = -avg(log2 p(w_i | w_{i-1})) with
+    p(w2|w1) = c(w1 w2) / c(w1 ·). One step up the LM ladder from
+    :func:`unigram_logprob` — word-order-blind repetition scores well on
+    a unigram model but a shuffled bag of common words scores terribly
+    here, which is exactly the fluency distinction CCNet-style filters
+    use perplexity for. No smoothing needed: the corpus is scored against
+    itself, so every bigram has a count.
+
+    Output: (id_col, n_bigrams, bigram_ce), docs with ≥ 2 tokens only
+    (a 1-token doc has no bigrams to score).
+
+    Plan: row-local bigram extraction (transform over the token array —
+    no shuffle), ONE hash-aggregate to bigram counts (map-side combined,
+    vocab²-bounded but in practice ~corpus-distinct-bigrams), context
+    counts DERIVED from the checkpointed bigram table (vocab-sized
+    re-aggregate, no second corpus scan), scoring join keyed on the
+    bigram."""
+    toks = (
+        ensure_parallelism(df.filter(F.trim(F.col(text_col)) != ""))
+        .select(id_col, word_tokens(normalize_text(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+    )
+    # tokens are \S+ so a space join is unambiguous
+    bg = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("_toks", i + 1).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at("_toks", i + 1), F.element_at("_toks", i + 2)
+                    ).alias("b"),
+                ),
+            )
+        ).alias("_p"),
+    ).select(id_col, F.col("_p.w1").alias("_w1"), F.col("_p.b").alias("_b"))
+    c2 = (
+        bg.groupBy("_w1", "_b").agg(F.count(F.lit(1)).alias("_c2")).localCheckpoint()
+    )
+    c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
+    probs = c2.join(c1, "_w1").select(
+        "_b", F.log2(F.col("_c2") / F.col("_c1")).alias("_lp")
+    )
+    return (
+        bg.join(probs, "_b")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("_lp"), 4).alias("bigram_ce"),
+        )
+    )
+
+
 def source_token_kl(
     df: DataFrame,
     group_col: str = "source",
