@@ -204,3 +204,80 @@ def test_range_join_matches_python_oracle(spark, points, intervals, bucket_width
         if pk == ik and s <= ts <= e
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join vs python oracle (randomized geometry × bucket width)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(0, 25)),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(0, 25)),
+        min_size=1,
+        max_size=15,
+    ),
+    bucket_width=st.sampled_from([1, 3, 16, 100]),
+)
+def test_interval_overlap_matches_python_oracle(spark, left, right, bucket_width):
+    from valentinus_spark.operators.range_join import interval_overlap_join
+
+    lrows = [(i, k, s, s + d) for i, (k, s, d) in enumerate(left)]
+    rrows = [(100 + j, k, s, s + d) for j, (k, s, d) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, s long, e long")
+    rdf = spark.createDataFrame(rrows, "rid long, k long, s long, e long")
+    out = interval_overlap_join(
+        ldf, rdf, key="k", left_start="s", left_end="e",
+        right_start="s", right_end="e", bucket_width=bucket_width,
+    ).collect()
+    got = [(r["lid"], r["rid"]) for r in out]
+    expect = {
+        (lid, rid)
+        for lid, lk, ls, le in lrows
+        for rid, rk, rs, re_ in rrows
+        if lk == rk and ls <= re_ and rs <= le
+    }
+    assert set(got) == expect
+    assert len(got) == len(expect)  # single emission per pair, any width
+
+
+# ---------------------------------------------------------------------------
+# mixture repeat counts: expectation and determinism under random factors
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    factor=st.sampled_from([0.0, 0.25, 0.5, 1.0, 1.75, 2.0, 3.5]),
+    n_rows=st.integers(50, 200),
+)
+def test_mixture_repeat_expectation(spark, factor, n_rows):
+    import hashlib
+
+    from valentinus_spark.functions.text import mixture_repeat_count
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(n_rows)], "doc_id long, source string"
+    )
+    got = {
+        r["doc_id"]: r["n_repeat"]
+        for r in df.select(
+            "doc_id", mixture_repeat_count("doc_id", "source", {"g": factor})
+        ).collect()
+    }
+
+    def bucket(k):
+        return int(hashlib.sha256(f"v1{k}".encode()).hexdigest()[:8], 16)
+
+    import math
+
+    base, frac = int(math.floor(factor)), factor - math.floor(factor)
+    thr = int(frac * 2**32)
+    for i in range(n_rows):
+        assert got[i] == base + (1 if bucket(i) < thr else 0), i
