@@ -297,3 +297,35 @@ def test_stream_static_enrich_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enrich_result").collect()
     }
     assert got == expected
+
+
+def test_stream_incremental_dedup_grows_corpus_without_dups(spark, tmp_path):
+    """Each micro-batch dedups against everything earlier batches
+    admitted; restart-with-new-data continues from the corpus table."""
+    from valentinus_spark.streaming.pipeline import stream_incremental_dedup
+
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(0, "first document"), (1, "second document"), (2, "FIRST   document")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_incremental_dedup(stream, corpus, ckpt)
+    q.awaitTermination(120)
+    got1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    # doc 2 is an exact dup of doc 0 after normalization
+    assert got1 == {0, 1}
+
+    # second wave: one dup of the admitted corpus, one genuinely new
+    spark.createDataFrame(
+        [(10, "second DOCUMENT"), (11, "a third one")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = stream_incremental_dedup(stream2, corpus, ckpt)
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {0, 1, 11}

@@ -187,6 +187,44 @@ def stream_static_enrich(
     )
 
 
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuously dedup an incoming document stream against a growing
+    corpus table: each micro-batch anti-joins on content digests vs the
+    CURRENT corpus (operators/dedup.py incremental_dedup — digests only
+    in the shuffle), and survivors are appended to the corpus itself, so
+    later batches dedup against everything earlier ones admitted. The
+    streaming face of the per-crawl incremental-dedup shape; exactly-once
+    via the foreachBatch checkpoint. Returns the StreamingQuery.
+
+    State lives in the corpus parquet, not in streaming state — restarts
+    resume from the table; no watermark needed because the dedup horizon
+    is the whole corpus by design (vs stream_dedup_exact's bounded
+    within-watermark horizon)."""
+    from valentinus_spark.operators.dedup import incremental_dedup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            corpus = spark.read.parquet(corpus_path)
+        except Exception:
+            corpus = spark.createDataFrame([], batch_df.schema)
+        fresh = incremental_dedup(batch_df, corpus, id_col=id_col, text_col=text_col)
+        fresh.write.mode("append").parquet(corpus_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_collection_append(
     docs_stream: DataFrame,
     embedder: Embedder,
