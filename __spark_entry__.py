@@ -1261,6 +1261,21 @@ def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy batch-vs-corpus dedup (operators/dedup.py
+    incremental_neardup): incoming docs (src5..) with no corpus doc
+    (src0-src4) at 3-gram Jaccard >= 0.8 — the re-crawl near-dup that
+    exact digest dedup misses. max_df=None for exact oracle parity."""
+    from valentinus_spark.operators.dedup import incremental_neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("source") >= "src5")
+    corpus = docs.filter(F.col("source") < "src5")
+    return incremental_neardup(incoming, corpus, max_df=None).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc conditional bigram cross-entropy vs the corpus's own
     bigram LM (operators/quality.py bigram_logprob) — the word-order-
@@ -1568,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": q_mixture_resample,
         "source_overlap": q_source_overlap,
         "bigram_logprob": q_bigram_logprob,
+        "incremental_neardup": q_incremental_neardup,
     }
 
 
@@ -2482,6 +2498,37 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-avg(log2(c::DOUBLE / t::DOUBLE)), 4) AS unigram_ce
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "incremental_neardup": """
+            WITH words AS (
+                SELECT doc_id, source,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) != ''
+            ),
+            sh AS (
+                SELECT doc_id, source, unnest(list_distinct(
+                    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' '))
+                    END)) AS shingle
+                FROM words
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS iid, b.doc_id AS cid, COUNT(*) AS i
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.source >= 'src5' AND b.source < 'src5'
+                GROUP BY 1, 2
+            ),
+            matched AS (
+                SELECT DISTINCT iid
+                FROM inter
+                JOIN sizes sa ON iid = sa.doc_id
+                JOIN sizes sb ON cid = sb.doc_id
+                WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+            )
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE source >= 'src5' AND doc_id NOT IN (SELECT iid FROM matched)
         """,
         "bigram_logprob": """
             WITH toks AS (

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "mixture_resample",
     "source_overlap",
     "bigram_logprob",
+    "incremental_neardup",
 ]
 
 

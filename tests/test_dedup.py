@@ -459,3 +459,38 @@ def test_source_overlap_span_mode(spark):
         for r in source_overlap(df, unit="span", n=5).collect()
     }
     assert got == {("sa", "sb"): 1}
+
+
+def test_incremental_neardup_fuzzy_match(spark):
+    from valentinus_spark.operators.dedup import incremental_neardup
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 0: one word changed at the end
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            # unrelated
+            (11, "completely different content about spark pipelines here"),
+            # exact dup of corpus (also a near-dup at J=1.0)
+            (12, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_neardup(
+            incoming, corpus, threshold=0.6, max_df=None
+        ).collect()
+    )
+    assert got == [11]
+    # a stricter threshold lets the near-dup (but not the exact dup) through
+    strict = sorted(
+        r["doc_id"]
+        for r in incremental_neardup(
+            incoming, corpus, threshold=0.99, max_df=None
+        ).collect()
+    )
+    assert strict == [10, 11]

@@ -19,6 +19,7 @@ from valentinus_spark.operators.dedup import (
     embedding_neardup_pairs,
     embedding_neardup_pairs_lsh,
     incremental_dedup,
+    incremental_neardup,
     duplicated_span_stats,
     corpus_diff,
     source_overlap,
@@ -66,6 +67,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_lsh",
     "incremental_dedup",
+    "incremental_neardup",
     "duplicated_span_stats",
     "corpus_diff",
     "source_overlap",

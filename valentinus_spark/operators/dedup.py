@@ -577,6 +577,71 @@ def connected_components(
     return labels
 
 
+def incremental_neardup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 100_000,
+) -> DataFrame:
+    """Fuzzy batch-vs-corpus dedup: rows of ``incoming`` with NO corpus
+    document at word-``n``-gram Jaccard ≥ ``threshold``. The companion to
+    :func:`incremental_dedup` (exact digests) — a re-crawled page with a
+    changed timestamp sails through exact dedup and is exactly what this
+    catches. In-batch near-dups are a separate concern (run
+    ngram_jaccard_pairs/dedup_clusters within the batch).
+
+    Plan: shingle-explode BOTH sides → equi-join incoming-shingles to
+    corpus-shingles on xxhash64(shingle) — only co-shingled cross pairs
+    materialize, never |incoming| × |corpus| — → exact Jaccard per
+    candidate pair → anti-join matched ids. The corpus side ships (8-byte
+    shingle hash, id) rows; in production its shingle table is a
+    pre-materialized bucketed artifact maintained alongside the corpus,
+    so per-crawl cost is the incoming side + one co-located join.
+    ``max_df`` caps shingle document frequency ACROSS both sides (the
+    boilerplate/skew guard, exactly as in ngram_jaccard_pairs)."""
+    inc_sh = (
+        _shingle_sets(incoming, id_col, text_col, n)
+        .select("_id", F.explode("_shingles").alias("_s"))
+        .select(F.col("_id").alias("_iid"), F.xxhash64("_s").alias("shingle"))
+    )
+    cor_sh = (
+        _shingle_sets(corpus, id_col, text_col, n)
+        .select("_id", F.explode("_shingles").alias("_s"))
+        .select(F.col("_id").alias("_cid"), F.xxhash64("_s").alias("shingle"))
+    )
+    if max_df is not None:
+        df_counts = (
+            inc_sh.select("shingle")
+            .union(cor_sh.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        inc_sh = inc_sh.join(df_counts, "shingle", "semi")
+        cor_sh = cor_sh.join(df_counts, "shingle", "semi")
+    inc_sizes = inc_sh.groupBy("_iid").agg(F.count(F.lit(1)).alias("_isz"))
+    cor_sizes = cor_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_csz"))
+    inter = (
+        inc_sh.join(cor_sh, "shingle")
+        .groupBy("_iid", "_cid")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    matched = (
+        inter.join(inc_sizes, "_iid")
+        .join(cor_sizes, "_cid")
+        .filter(
+            F.col("_i") / (F.col("_isz") + F.col("_csz") - F.col("_i")) >= threshold
+        )
+        .select(F.col("_iid").alias(id_col))
+        .distinct()
+    )
+    return incoming.join(matched, id_col, "left_anti")
+
+
 def source_overlap(
     df: DataFrame,
     group_col: str = "source",
