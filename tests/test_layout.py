@@ -156,3 +156,45 @@ def test_zorder_locality_beats_single_sort(spark):
     # z-max is 0b0101011111 = 351 of 1023 — under half the z-space (a
     # plain y-sort would make the x-slice span the entire file)
     assert stats["zmax"] < full / 2
+
+
+def test_digest_table_saves_corpus_side_shuffle(spark, tmp_path):
+    """The per-crawl anti-join against the bucketed digest artifact must
+    need strictly fewer hash exchanges than the same dedup against the
+    raw corpus (the corpus-side shuffle was paid once at build time), and
+    the artifact must actually be read bucketed."""
+    from valentinus_spark.operators.dedup import build_digest_table, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(100, "corpus document number 7"), (101, "a brand new document")],
+        "doc_id long, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS corpus_digests_t")
+    build_digest_table(corpus, "corpus_digests_t", buckets=4)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force shuffle joins: broadcast would mask the bucketing at toy scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = incremental_dedup(
+            incoming, corpus_digests=spark.table("corpus_digests_t")
+        )
+        raw = incremental_dedup(incoming, corpus)
+        # plans BEFORE execution: the static planner's choice is the
+        # scale-relevant fact — after collect(), AQE re-plans for toy-scale
+        # parallelism and re-shuffles the 4-bucket side, masking bucketing.
+        # Count only the DIGEST-keyed shuffles (the anti-join's key);
+        # downstream doc_id exchanges are identical in both plans.
+        p_b, p_r = plan_of(bucketed, mode="simple"), plan_of(raw, mode="simple")
+        assert [r["doc_id"] for r in bucketed.collect()] == [101]
+        assert "SelectedBucketsCount: 4 out of 4" in p_b
+        n_b = p_b.count("Exchange hashpartitioning(_digest")
+        n_r = p_r.count("Exchange hashpartitioning(_digest")
+        # bucketed: incoming side only; raw: incoming + corpus distinct
+        assert n_b < n_r, (n_b, n_r)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE corpus_digests_t")

@@ -436,29 +436,66 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+DIGEST_COL = "content_digest"
+
+
+def build_digest_table(
+    corpus: DataFrame,
+    table: str,
+    text_col: str = "text",
+    buckets: int = 64,
+    mode: str = "errorifexists",
+) -> None:
+    """Materialize the corpus content-digest artifact as a table BUCKETED
+    on the digest — the one-time shuffle that makes every later
+    per-crawl :func:`incremental_dedup` anti-join co-located on the
+    corpus side (its scan needs no Exchange; only the small incoming
+    batch shuffles to the bucket layout). Maintain it by appending the
+    survivors' digests after each batch."""
+    from valentinus_spark.sources.tables import write_bucketed
+
+    d = corpus.select(
+        F.md5(normalize_text(text_col)).alias(DIGEST_COL)
+    ).distinct()
+    # bucket-sorted so a sort-merge anti-join also skips its corpus-side sort
+    write_bucketed(
+        d, table, by=DIGEST_COL, buckets=buckets, sort_by=DIGEST_COL, mode=mode
+    )
+
+
 def incremental_dedup(
     incoming: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus: rows of ``incoming``
-    whose normalized content digest appears neither in ``corpus`` nor
+    whose normalized content digest appears neither in the corpus nor
     earlier (lower id) in the batch itself. The shape every append-only
     training-data pipeline runs per crawl/snapshot — dedup the delta, not
-    the world.
+    the world. Pass raw ``corpus`` documents, or ``corpus_digests`` (a
+    ``content_digest`` relation, ideally the bucketed artifact from
+    :func:`build_digest_table`) to skip re-digesting the world per batch.
 
     Plan: digest both sides → left_anti equi-join on the digest (only the
     digests shuffle — 16 bytes/row, never the text) → min-id winner per
     surviving digest for intra-batch dups. At 100 TB the corpus side is
     the big one, but it contributes ONLY its digest column to the shuffle
-    (column pruning reaches the scan), and in a real deployment the corpus
-    digests are a pre-materialized bucketed table so the anti-join is
-    co-located with zero corpus re-shuffle per batch."""
+    (column pruning reaches the scan) — and with the bucketed digest
+    artifact its scan needs no Exchange at all (asserted in
+    test_layout.py): per-crawl cost is the incoming batch alone."""
+    if (corpus is None) == (corpus_digests is None):
+        raise ValueError("pass exactly one of corpus / corpus_digests")
     inc = ensure_parallelism(incoming).withColumn(
         "_digest", F.md5(normalize_text(text_col))
     )
-    seen = corpus.select(F.md5(normalize_text(text_col)).alias("_digest")).distinct()
+    if corpus_digests is not None:
+        seen = corpus_digests.select(F.col(DIGEST_COL).alias("_digest"))
+    else:
+        seen = corpus.select(
+            F.md5(normalize_text(text_col)).alias("_digest")
+        ).distinct()
     fresh = inc.join(seen, "_digest", "left_anti")
     winners = fresh.groupBy("_digest").agg(F.min(id_col).alias(id_col)).select(id_col)
     return fresh.drop("_digest").join(winners, id_col, "semi")
