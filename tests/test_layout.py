@@ -198,3 +198,33 @@ def test_digest_table_saves_corpus_side_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE corpus_digests_t")
+
+
+def test_shingle_table_artifact_matches_raw_path(spark, tmp_path):
+    """incremental_neardup against the bucketed shingle artifact must
+    return exactly the raw-corpus result, and the artifact scan must be
+    bucketed on the join key."""
+    from valentinus_spark.operators.dedup import build_shingle_table, incremental_neardup
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "an entirely different corpus document about engines")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),
+         (11, "fresh unrelated content with novel words")],
+        "doc_id long, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS corpus_shingles_t")
+    build_shingle_table(corpus, "corpus_shingles_t", n=3, buckets=4)
+    art = incremental_neardup(
+        incoming, corpus_shingles=spark.table("corpus_shingles_t"),
+        threshold=0.6, max_df=None,
+    )
+    raw = incremental_neardup(incoming, corpus, threshold=0.6, max_df=None)
+    assert sorted(r["doc_id"] for r in art.collect()) == sorted(
+        r["doc_id"] for r in raw.collect()
+    ) == [11]
+    assert "SelectedBucketsCount" in plan_of(art, mode="simple")
+    spark.sql("DROP TABLE corpus_shingles_t")

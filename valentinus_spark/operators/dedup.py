@@ -614,14 +614,45 @@ def connected_components(
     return labels
 
 
+SHINGLE_COLS = ("doc_id", "shingle", "set_size")
+
+
+def build_shingle_table(
+    corpus: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    buckets: int = 64,
+    mode: str = "errorifexists",
+) -> None:
+    """Materialize the corpus shingle artifact for
+    :func:`incremental_neardup`: (doc_id, xxhash64 shingle, per-doc set
+    size) BUCKETED on the shingle — the join key — so every later
+    per-crawl candidate join reads the corpus side with no Exchange.
+    Maintain it by appending the survivors' shingles after each batch."""
+    from valentinus_spark.sources.tables import write_bucketed
+
+    sh = (
+        _shingle_sets(corpus, id_col, text_col, n)
+        .select("_id", F.explode("_shingles").alias("_s"))
+        .select(F.col("_id").alias("doc_id"), F.xxhash64("_s").alias("shingle"))
+    )
+    sized = sh.join(
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size")), "doc_id"
+    ).select(*SHINGLE_COLS)
+    write_bucketed(sized, table, by="shingle", buckets=buckets, mode=mode)
+
+
 def incremental_neardup(
     incoming: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = 100_000,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy batch-vs-corpus dedup: rows of ``incoming`` with NO corpus
     document at word-``n``-gram Jaccard ≥ ``threshold``. The companion to
@@ -638,17 +669,32 @@ def incremental_neardup(
     pre-materialized bucketed artifact maintained alongside the corpus,
     so per-crawl cost is the incoming side + one co-located join.
     ``max_df`` caps shingle document frequency ACROSS both sides (the
-    boilerplate/skew guard, exactly as in ngram_jaccard_pairs)."""
+    boilerplate/skew guard, exactly as in ngram_jaccard_pairs). Pass
+    ``corpus_shingles`` (the bucketed artifact from
+    :func:`build_shingle_table`) instead of ``corpus`` to skip
+    re-shingling the world per batch — with the artifact, ``max_df``
+    prunes candidate generation only (the stored per-doc set sizes stay
+    exact)."""
+    if (corpus is None) == (corpus_shingles is None):
+        raise ValueError("pass exactly one of corpus / corpus_shingles")
     inc_sh = (
         _shingle_sets(incoming, id_col, text_col, n)
         .select("_id", F.explode("_shingles").alias("_s"))
         .select(F.col("_id").alias("_iid"), F.xxhash64("_s").alias("shingle"))
     )
-    cor_sh = (
-        _shingle_sets(corpus, id_col, text_col, n)
-        .select("_id", F.explode("_shingles").alias("_s"))
-        .select(F.col("_id").alias("_cid"), F.xxhash64("_s").alias("shingle"))
-    )
+    if corpus_shingles is not None:
+        cor_sh = corpus_shingles.select(
+            F.col("doc_id").alias("_cid"), "shingle", F.col("set_size").alias("_csz")
+        )
+        cor_sizes = cor_sh.select("_cid", "_csz").distinct()
+        cor_sh = cor_sh.select("_cid", "shingle")
+    else:
+        cor_sh = (
+            _shingle_sets(corpus, id_col, text_col, n)
+            .select("_id", F.explode("_shingles").alias("_s"))
+            .select(F.col("_id").alias("_cid"), F.xxhash64("_s").alias("shingle"))
+        )
+        cor_sizes = None
     if max_df is not None:
         df_counts = (
             inc_sh.select("shingle")
@@ -661,7 +707,8 @@ def incremental_neardup(
         inc_sh = inc_sh.join(df_counts, "shingle", "semi")
         cor_sh = cor_sh.join(df_counts, "shingle", "semi")
     inc_sizes = inc_sh.groupBy("_iid").agg(F.count(F.lit(1)).alias("_isz"))
-    cor_sizes = cor_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_csz"))
+    if cor_sizes is None:
+        cor_sizes = cor_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_csz"))
     inter = (
         inc_sh.join(cor_sh, "shingle")
         .groupBy("_iid", "_cid")
