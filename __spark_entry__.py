@@ -1261,6 +1261,27 @@ def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase
+    (operators/funnel.py funnel_counts): users who did each step strictly
+    after their first occurrence of the previous step. Every shuffle in
+    the chain keys on user_id."""
+    from valentinus_spark.operators.funnel import funnel_counts
+
+    ev = _events(spark, sf_dir)
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/funnel.py cohort_retention):
+    users bucketed by first active day, counted per return-day offset.
+    Integer-division day indexes so both engines agree exactly."""
+    from valentinus_spark.operators.funnel import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev)
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy batch-vs-corpus dedup (operators/dedup.py
     incremental_neardup): incoming docs (src5..) with no corpus doc
@@ -1584,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "bigram_logprob": q_bigram_logprob,
         "incremental_neardup": q_incremental_neardup,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -2498,6 +2521,42 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-avg(log2(c::DOUBLE / t::DOUBLE)), 4) AS unigram_ce
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS t
+                FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+                GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+                GROUP BY 1
+            )
+            SELECT 1 AS step_no, 'view' AS step, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+        """,
+        "cohort_retention": """
+            WITH days AS (
+                SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            first AS (
+                SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+            )
+            SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+                   COUNT(*) AS n_users
+            FROM days d JOIN first f USING (user_id)
+            GROUP BY 1, 2
         """,
         "incremental_neardup": """
             WITH words AS (

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "source_overlap",
     "bigram_logprob",
     "incremental_neardup",
+    "event_funnel",
+    "cohort_retention",
 ]
 
 

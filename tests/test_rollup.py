@@ -50,3 +50,43 @@ def test_rollup_cutoff_inside_bucket_merges_partials(spark):
     rollup = build_time_rollup(ev.filter(F.col("ts") < cutoff))
     merged = merged_rollup(rollup, ev.filter(F.col("ts") >= cutoff))
     assert _as_dict(merged) == _as_dict(build_time_rollup(ev))
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    from valentinus_spark.operators.funnel import funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: click BEFORE first view -> stops at view
+        (2, "click", 5), (2, "view", 10),
+        # user 3: view then purchase (no click) -> stops at view
+        (3, "view", 10), (3, "purchase", 20),
+        # user 4: view, click, but purchase before click -> stops at click
+        (4, "view", 10), (4, "purchase", 15), (4, "click", 20),
+        # user 5: second view before click counts from FIRST view
+        (5, "view", 10), (5, "view", 50), (5, "click", 30), (5, "purchase", 40),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    got = {
+        r["step_no"]: (r["step"], r["n_users"])
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: ("view", 5), 2: ("click", 3), 3: ("purchase", 2)}
+
+
+def test_cohort_retention_offsets(spark):
+    from valentinus_spark.operators.funnel import cohort_retention
+
+    day = 86_400_000_000
+    rows = [
+        (1, 0 * day), (1, 1 * day), (1, 1 * day + 5),  # day 1 twice: one row
+        (2, 0 * day), (2, 2 * day),
+        (3, 1 * day),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
