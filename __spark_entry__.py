@@ -1261,6 +1261,17 @@ def q_customer_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cluster tightness (operators/similarity.py
+    label_cluster_stats): members' cosine to their own label centroid via
+    posexplode + aggregation — element-wise vector math as pure SQL, the
+    embedding-drift monitor."""
+    from valentinus_spark.operators.similarity import label_cluster_stats
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return label_cluster_stats(embs)
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase
     (operators/funnel.py funnel_counts): users who did each step strictly
@@ -1607,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
+        "label_cluster_stats": q_label_cluster_stats,
     }
 
 
@@ -2521,6 +2533,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-avg(log2(c::DOUBLE / t::DOUBLE)), 4) AS unigram_ce
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "label_cluster_stats": """
+            WITH pos AS (
+                SELECT vec_id, label, u.val, u.pos
+                FROM embeddings,
+                     unnest(embedding::DOUBLE[]) WITH ORDINALITY AS u(val, pos)
+            ),
+            cent AS (
+                SELECT label, pos, AVG(val) AS c FROM pos GROUP BY 1, 2
+            ),
+            per_vec AS (
+                SELECT p.vec_id, p.label,
+                       SUM(p.val * c.c) / (sqrt(SUM(p.val * p.val)) * sqrt(SUM(c.c * c.c))) AS cos
+                FROM pos p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+                GROUP BY 1, 2
+            )
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   ROUND(AVG(cos), 4) AS avg_cos,
+                   ROUND(MIN(cos), 4) AS min_cos
+            FROM per_vec
+            GROUP BY label
         """,
         "event_funnel": """
             WITH s1 AS (

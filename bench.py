@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "incremental_neardup",
     "event_funnel",
     "cohort_retention",
+    "label_cluster_stats",
 ]
 
 

@@ -310,3 +310,33 @@ def test_rp_ann_recall_on_clustered_corpus(spark):
     }
     assert len(got) == 10
     assert len(got & set(range(10))) >= 9
+
+
+def test_label_cluster_stats_matches_numpy(spark):
+    import numpy as np
+
+    from valentinus_spark.operators.similarity import label_cluster_stats
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for lbl in (0, 1):
+        base = rng.standard_normal(8)
+        for i in range(20):
+            v = base + 0.3 * rng.standard_normal(8)
+            rows.append((lbl * 100 + i, lbl, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {
+        r["label"]: (r["n_vecs"], r["avg_cos"], r["min_cos"])
+        for r in label_cluster_stats(df).collect()
+    }
+    for lbl in (0, 1):
+        mat = np.array([v for (_, l, v) in rows if l == lbl])
+        cent = mat.mean(axis=0)
+        cos = (mat @ cent) / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(cent)
+        )
+        assert got[lbl][0] == 20
+        assert got[lbl][1] == pytest.approx(round(float(cos.mean()), 4), abs=1e-9)
+        assert got[lbl][2] == pytest.approx(round(float(cos.min()), 4), abs=1e-9)
+    # tight clusters around distinct bases: members should hug the centroid
+    assert got[0][1] > 0.7 and got[1][1] > 0.7

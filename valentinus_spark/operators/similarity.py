@@ -309,6 +309,50 @@ def rp_ann_topk(
     )
 
 
+def label_cluster_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding cluster quality: each label's centroid (element-
+    wise mean) and how tightly its members sit around it — (label, n_vecs,
+    avg_cos, min_cos), cosines of members to their own centroid, rounded
+    to 4. The embedding-drift monitor: a label whose min_cos collapses has
+    mislabeled or shifted members; run per snapshot and diff.
+
+    Plan: posexplode to (label, pos, val) — the one reshape that makes
+    element-wise vector math pure SQL aggregation — centroid via a
+    (label × dim)-sized hash-aggregate (map-side combined), broadcast-join
+    the tiny centroid table back, per-vector dot/norm re-aggregate, final
+    per-label rollup. Zero Python, zero UDFs, works on any array<float>
+    column at any corpus size."""
+    pos = ensure_parallelism(df).select(
+        F.col(id_col).alias("_vid"),
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_pos", "_val"),
+    )
+    cent = pos.groupBy("_lbl", "_pos").agg(F.avg("_val").alias("_c"))
+    per_vec = (
+        pos.join(F.broadcast(cent), ["_lbl", "_pos"])
+        .groupBy("_vid", "_lbl")
+        .agg(
+            F.sum(F.col("_val") * F.col("_c")).alias("_dot"),
+            F.sqrt(F.sum(F.col("_val") * F.col("_val"))).alias("_nv"),
+            F.sqrt(F.sum(F.col("_c") * F.col("_c"))).alias("_nc"),
+        )
+        .withColumn("_cos", F.col("_dot") / (F.col("_nv") * F.col("_nc")))
+    )
+    return (
+        per_vec.groupBy(F.col("_lbl").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_cos"), 4).alias("avg_cos"),
+            F.round(F.min("_cos"), 4).alias("min_cos"),
+        )
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     k: int,
