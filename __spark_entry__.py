@@ -1071,6 +1071,24 @@ def q_quality_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs).select("doc_id", "lang", "source")
 
 
+def q_quality_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators/quality.py
+    linear_quality_score): sigmoid(bias + w · text_quality features) —
+    the inference step of a fastText/CCNet-style quality classifier as
+    ONE Catalyst projection (zero shuffle, zero Python). Score rounded
+    to 4; the keep decision compares the unrounded double against 0.5
+    (both engines compute the identical float64 expression)."""
+    from valentinus_spark.operators.quality import linear_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = linear_quality_score(docs)
+    return scored.select(
+        "doc_id",
+        F.round("quality_score", 4).alias("quality_score"),
+        "kept",
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (operators/text_search.py): top-3
     characteristic terms per document. Ranking on the ROUNDED score (tie
@@ -1590,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": q_events_session_window,
         "repetition_profile": q_repetition_profile,
         "quality_kept": q_quality_kept,
+        "quality_score_linear": q_quality_score_linear,
         "tfidf_keywords": q_tfidf_keywords,
         "events_sliding_window": q_events_sliding_window,
         "user_event_pivot": q_user_event_pivot,
@@ -1621,6 +1640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_cluster_stats": q_label_cluster_stats,
     }
 
+
+# DuckDB list literal of functions/text.py::ENGLISH_STOPWORDS — the
+# quality_score_linear oracle must count the exact same stopword set.
+from valentinus_spark.functions.text import ENGLISH_STOPWORDS as _EN_STOP
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOP) + "]"
 
 # Shared DuckDB formulation of operators/quality.py repetition_stats
 # (unnest + GROUP BY replaces the Spark side's row-local sorted fold — the
@@ -2343,6 +2368,38 @@ def oracle_sql() -> dict[str, str]:
               AND s.top_2gram_frac <= 0.20
               AND s.top_3gram_frac <= 0.18
               AND s.dup_5gram_frac <= 0.30
+        """,
+        # Same features as functions/text.py::text_quality, same weights as
+        # operators/quality.py::DEFAULT_SCORE_WEIGHTS. Stopword list inlined
+        # from ENGLISH_STOPWORDS at module import (single source of truth).
+        "quality_score_linear": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0.0
+                            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                       END AS n_words,
+                       CAST(len(regexp_extract_all(text, '[.,;:!?''"]')) AS DOUBLE) AS n_punct,
+                       CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+                       CASE WHEN trim(text) = '' THEN 0.0
+                            ELSE CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE)
+                       END AS n_stop
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       -2.0
+                       + 0.30 * COALESCE(n_chars / NULLIF(n_words, 0), 0.0)
+                       - 8.0  * COALESCE(n_punct / NULLIF(n_chars, 0), 0.0)
+                       - 10.0 * COALESCE(n_digit / NULLIF(n_chars, 0), 0.0)
+                       + 4.0  * COALESCE(n_stop / NULLIF(n_words, 0), 0.0)
+                       + 0.35 * ln(1.0 + n_words) AS z
+                FROM f
+            )
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+                   (1.0 / (1.0 + exp(-z))) >= 0.5 AS kept
+            FROM z
         """,
         "tfidf_keywords": """
             WITH toks AS (

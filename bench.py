@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "events_session_window",
     "repetition_profile",
     "quality_kept",
+    "quality_score_linear",
     "tfidf_keywords",
     "events_sliding_window",
     "user_event_pivot",

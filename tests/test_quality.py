@@ -241,3 +241,76 @@ def test_bigram_beats_unigram_on_shuffled_text(spark):
     )
     ce = {r["doc_id"]: r["bigram_ce"] for r in bigram_logprob(df).collect()}
     assert ce[1] > ce[0]
+
+
+def test_linear_quality_score_matches_python(spark):
+    import math
+    import re
+
+    from valentinus_spark.functions.text import ENGLISH_STOPWORDS
+    from valentinus_spark.operators.quality import (
+        DEFAULT_SCORE_BIAS,
+        DEFAULT_SCORE_WEIGHTS,
+        linear_quality_score,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat and it was good for the dog"),
+        (1, "1234 5678 90 42 7 3.14159 0000"),
+        (2, "!!! ??? ,,, ;;; :::"),
+        (3, ""),
+        (4, "   "),
+        (5, "supercalifragilistic expialidocious antidisestablishmentarianism"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in linear_quality_score(df, return_features=True).collect()
+    }
+
+    def expect(text):
+        toks = text.strip().split() if text.strip() else []
+        n_chars = len(text)
+        n_words = len(toks)
+        n_punct = len(re.findall(r"[.,;:!?'\"]", text))
+        n_digit = len(re.findall(r"[0-9]", text))
+        n_stop = sum(1 for t in toks if t in ENGLISH_STOPWORDS)
+        f = {
+            "avg_word_len": n_chars / n_words if n_words else 0.0,
+            "punct_ratio": n_punct / n_chars if n_chars else 0.0,
+            "digit_ratio": n_digit / n_chars if n_chars else 0.0,
+            "stopword_ratio": n_stop / n_words if n_words else 0.0,
+            "log_words": math.log1p(n_words),
+        }
+        z = DEFAULT_SCORE_BIAS + sum(
+            w * f[k] for k, w in DEFAULT_SCORE_WEIGHTS.items()
+        )
+        return f, 1.0 / (1.0 + math.exp(-z))
+
+    for doc_id, text in docs:
+        f, score = expect(text)
+        row = got[doc_id]
+        for k, v in f.items():
+            assert row[k] == pytest.approx(v, abs=1e-12), (doc_id, k)
+        assert row["quality_score"] == pytest.approx(score, abs=1e-12)
+        assert row["kept"] == (score >= 0.5)
+    # prose-with-stopwords must outrank digit/punct soup
+    assert got[0]["quality_score"] > got[1]["quality_score"]
+    assert got[0]["quality_score"] > got[2]["quality_score"]
+
+
+def test_linear_quality_score_custom_weights_and_unknown_raise(spark):
+    from valentinus_spark.operators.quality import linear_quality_score
+
+    df = spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
+    row = linear_quality_score(
+        df, weights={"log_words": 1.0}, bias=0.0, threshold=0.9
+    ).collect()[0]
+    import math
+
+    assert row["quality_score"] == pytest.approx(
+        1.0 / (1.0 + math.exp(-math.log1p(2))), abs=1e-12
+    )
+    assert row["kept"] == (row["quality_score"] >= 0.9)
+    with pytest.raises(ValueError, match="unknown feature"):
+        linear_quality_score(df, weights={"nope": 1.0})

@@ -383,3 +383,73 @@ def quality_filter(
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (fastText / CCNet-style)
+# ---------------------------------------------------------------------------
+
+#: Hand-set weights over the text_quality features (a stand-in for a
+#: trained fastText/logreg quality model, whose inference is exactly this
+#: dot product).  Signs follow the usual web-corpus heuristics: prose-like
+#: word length and stopword density up-weight; punctuation/digit soup
+#: down-weights; log document length gives longer docs a mild boost.
+DEFAULT_SCORE_WEIGHTS: dict[str, float] = {
+    "avg_word_len": 0.30,
+    "punct_ratio": -8.0,
+    "digit_ratio": -10.0,
+    "stopword_ratio": 4.0,
+    "log_words": 0.35,
+}
+DEFAULT_SCORE_BIAS = -2.0
+
+
+def linear_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    bias: float = DEFAULT_SCORE_BIAS,
+    threshold: float = 0.5,
+    return_features: bool = False,
+) -> DataFrame:
+    """Model-based quality scoring: ``sigmoid(bias + w · features)`` per
+    document, the inference step of a fastText/logistic-regression quality
+    classifier (CCNet, Wenzek et al. 2019 §4.3 use exactly this shape to
+    rank Common Crawl against Wikipedia).
+
+    The reference engine has no quality scoring (SURVEY.md §2); this is
+    training-pipeline extension surface.  The feature vector is the
+    Catalyst-native :func:`text_quality` struct plus ``log(1+n_words)``,
+    so the whole classifier is ONE projection in a single corpus scan —
+    zero shuffles, zero Python, fully whole-stage-codegen — and at 100 TB
+    it fuses into whatever scan the pipeline is already doing.  Swapping
+    in real trained weights is a dict argument, not a code change.
+
+    Returns ``id_col, quality_score, kept`` (+ the feature columns when
+    ``return_features``).  Null-safe: empty documents have all-zero
+    features and score ``sigmoid(bias)``.
+    """
+    from valentinus_spark.functions.text import text_quality, word_tokens
+
+    w = DEFAULT_SCORE_WEIGHTS if weights is None else weights
+    q = text_quality(text_col)
+    feats: dict[str, Column] = {
+        "avg_word_len": F.coalesce(q["avg_word_len"], F.lit(0.0)),
+        "punct_ratio": F.coalesce(q["punct_ratio"], F.lit(0.0)),
+        "digit_ratio": F.coalesce(q["digit_ratio"], F.lit(0.0)),
+        "stopword_ratio": F.coalesce(q["stopword_ratio"], F.lit(0.0)),
+        "log_words": F.log1p(F.size(word_tokens(text_col)).cast("double")),
+    }
+    unknown = set(w) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown feature(s) in weights: {sorted(unknown)}")
+    z = F.lit(float(bias))
+    for name, weight in w.items():
+        z = z + F.lit(float(weight)) * feats[name]
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    cols = [F.col(id_col)]
+    if return_features:
+        cols += [c.alias(n) for n, c in feats.items()]
+    cols += [score.alias("quality_score"), (score >= F.lit(threshold)).alias("kept")]
+    return df.select(*cols)
