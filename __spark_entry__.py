@@ -1089,6 +1089,17 @@ def q_quality_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-training iteration (operators/tokenizer.py): top-20
+    corpus-weighted adjacent character pairs. The corpus-sized step is
+    ONE word-count shuffle; the pair explode runs over the distinct-word
+    vocab only. Total order (count desc, pair asc) pins the top-20
+    boundary in both engines."""
+    from valentinus_spark.operators.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (operators/text_search.py): top-3
     characteristic terms per document. Ranking on the ROUNDED score (tie
@@ -1609,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "quality_kept": q_quality_kept,
         "quality_score_linear": q_quality_score_linear,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "tfidf_keywords": q_tfidf_keywords,
         "events_sliding_window": q_events_sliding_window,
         "user_event_pivot": q_user_event_pivot,
@@ -2400,6 +2412,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
                    (1.0 / (1.0 + exp(-z))) >= 0.5 AS kept
             FROM z
+        """,
+        "bpe_pair_counts": """
+            WITH words AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-zA-Z]+')) AS word
+                FROM documents
+            ), vocab AS (
+                SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+            ), sym AS (
+                SELECT freq, regexp_extract_all(word, '.') AS chars
+                FROM vocab WHERE length(word) >= 2
+            ), pairs AS (
+                SELECT freq,
+                       unnest(list_zip(chars[1:len(chars)-1], chars[2:len(chars)])) AS p
+                FROM sym
+            )
+            SELECT p[1] AS left_sym, p[2] AS right_sym,
+                   CAST(SUM(freq) AS BIGINT) AS pair_count
+            FROM pairs
+            GROUP BY 1, 2
+            ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+            LIMIT 20
         """,
         "tfidf_keywords": """
             WITH toks AS (

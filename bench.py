@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "repetition_profile",
     "quality_kept",
     "quality_score_linear",
+    "bpe_pair_counts",
     "tfidf_keywords",
     "events_sliding_window",
     "user_event_pivot",

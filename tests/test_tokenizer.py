@@ -1,0 +1,103 @@
+"""BPE tokenizer training (operators/tokenizer.py)."""
+
+import re
+from collections import Counter
+
+from valentinus_spark.operators.tokenizer import (
+    bpe_pair_counts,
+    learn_bpe,
+    word_frequencies,
+)
+
+
+def _py_vocab(texts):
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(r"[a-zA-Z]+", t.lower()))
+    return words
+
+
+def _py_pair_counts(texts):
+    counts = Counter()
+    for word, freq in _py_vocab(texts).items():
+        for a, b in zip(word, word[1:]):
+            counts[(a, b)] += freq
+    return counts
+
+
+def _py_learn_bpe(texts, n_merges):
+    vocab = {tuple(w): f for w, f in _py_vocab(texts).items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for symbols, freq in vocab.items():
+            for pair in zip(symbols, symbols[1:]):
+                counts[pair] += freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = {}
+        for symbols, freq in vocab.items():
+            out, i = [], 0
+            while i < len(symbols):
+                if i + 1 < len(symbols) and (symbols[i], symbols[i + 1]) == best:
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the thin thief thought thoroughly",
+    "low lower lowest newer newest widest wide",
+    "aaa aaa aab abb",
+    "",
+    "12345 !!! only-symbols 999",
+]
+
+
+def test_word_frequencies_matches_python(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    got = {r["word"]: r["freq"] for r in word_frequencies(df).collect()}
+    assert got == dict(_py_vocab(TEXTS))
+
+
+def test_bpe_pair_counts_matches_python(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    got = {
+        (r["left_sym"], r["right_sym"]): r["pair_count"]
+        for r in bpe_pair_counts(df, k=None).collect()
+    }
+    assert got == dict(_py_pair_counts(TEXTS))
+
+
+def test_bpe_pair_counts_topk_deterministic_order(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    rows = bpe_pair_counts(df, k=5).collect()
+    expected = sorted(
+        _py_pair_counts(TEXTS).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:5]
+    assert [((r["left_sym"], r["right_sym"]), r["pair_count"]) for r in rows] == expected
+
+
+def test_learn_bpe_matches_reference_loop(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    got = learn_bpe(df, n_merges=8)
+    assert got == _py_learn_bpe(TEXTS, 8)
+    # first merge must be the argmax pair of the distributed counter
+    top = bpe_pair_counts(df, k=1).collect()[0]
+    assert got[0] == (top["left_sym"], top["right_sym"])
+
+
+def test_learn_bpe_exhausts_gracefully(spark):
+    df = spark.createDataFrame([(0, "ab ab"), (1, "ab")], "doc_id long, text string")
+    merges = learn_bpe(df, n_merges=10)
+    # 'ab' collapses after one merge; single-symbol words have no pairs left
+    assert merges == [("a", "b")]

@@ -1,0 +1,149 @@
+"""BPE tokenizer training over a distributed corpus.
+
+The reference engine tokenizes only for embedding inference (SURVEY.md §2,
+`/root/reference/src/onnx.rs` loads a prebuilt tokenizer.json); it has no
+tokenizer TRAINING. Training one is a canonical large-corpus job, and its
+scale shape is well understood (Sennrich et al. 2016; the HuggingFace
+tokenizers trainer does the same split):
+
+1. **Word counting is the corpus-sized step** — one scan + one shuffle on
+   the word with map-side combine. At 100 TB this is the only part that
+   touches every byte, and it is exactly a `groupBy(word).count()`.
+2. **Pair counting / merge learning runs over the VOCABULARY** — millions
+   of distinct words with frequencies, not billions of tokens. Adjacent
+   symbol pairs are generated per distinct word and weighted by the word's
+   corpus frequency, so the explode is vocab-sized.
+
+`bpe_pair_counts` keeps step 2 distributed too (a row-local zip of each
+word's symbol array with its own tail, then one weighted groupBy) — this
+is the oracle-checkable first BPE iteration. `learn_bpe` collects the
+frequency-truncated vocab to the driver and runs the merge loop locally,
+which is how production trainers work: after step 1 the vocab table is
+KB-to-GB, not TB, and the merge loop is inherently sequential (merge i+1
+depends on merge i), so distributing it buys nothing and costs a shuffle
+per merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from valentinus_spark.functions.text import _TOKEN_REGEX
+
+
+def word_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    letters_only: bool = True,
+) -> DataFrame:
+    """Distributed word count: ``word, freq``. The one corpus-sized
+    shuffle of BPE training; partial aggregation makes the shuffle rows
+    |vocab|-per-partition, not |tokens|.
+
+    ``letters_only`` restricts to alphabetic tokens (digits/punctuation
+    train degenerate merges); the full `_TOKEN_REGEX` is used otherwise.
+    """
+    s = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    pattern = "[a-zA-Z]+" if letters_only else _TOKEN_REGEX
+    toks = F.regexp_extract_all(s, F.lit(pattern), 0)
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int | None = 20,
+    lowercase: bool = True,
+) -> DataFrame:
+    """First BPE iteration, fully distributed: corpus-weighted counts of
+    adjacent CHARACTER pairs within words → ``left_sym, right_sym,
+    pair_count``, the merge candidates ranked ``pair_count desc,
+    left_sym asc, right_sym asc`` (SQL-keyword-safe column names).
+
+    Plan shape: word-count shuffle (corpus-sized, map-side combined) →
+    row-local `arrays_zip(chars, tail(chars))` over the distinct-word
+    table → weighted groupBy on the pair (vocab-sized shuffle) → global
+    top-k (`TakeOrderedAndProject`, no full sort). Nothing after the
+    word count is proportional to corpus size.
+    """
+    vocab = word_frequencies(df, text_col=text_col, lowercase=lowercase)
+    chars = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    pairs = F.arrays_zip(
+        F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))).alias("left"),
+        F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))).alias("right"),
+    )
+    counted = (
+        vocab.filter(F.length("word") >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p")["left"].alias("left_sym"),
+            F.col("p")["right"].alias("right_sym"),
+        )
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    if k is not None:
+        counted = counted.orderBy(
+            F.col("pair_count").desc(),
+            F.col("left_sym").asc(),
+            F.col("right_sym").asc(),
+        ).limit(k)
+    return counted
+
+
+def learn_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+    max_vocab: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges. Distributed word count, then the
+    inherently-sequential merge loop runs locally over the collected
+    vocab (frequency-truncated to ``max_vocab`` distinct words — the
+    driver holds words+freqs, never documents). Ties break like
+    `bpe_pair_counts`: count desc, then pair lexicographic asc, so the
+    learned merge table is deterministic for a given corpus.
+    """
+    rows = (
+        word_frequencies(df, text_col=text_col, lowercase=lowercase)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {tuple(r["word"]): r["freq"] for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for symbols, freq in vocab.items():
+            for a, b in zip(symbols, symbols[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for symbols, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(symbols):
+                if (
+                    i + 1 < len(symbols)
+                    and symbols[i] == best[0]
+                    and symbols[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
