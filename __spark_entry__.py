@@ -59,11 +59,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts normalized: the testdata writes TIMESTAMP(NANOS),
-    which Spark reads as int64 nanos (spark.sql.legacy.parquet.nanosAsLong,
-    session.py). Exposes ts (timestamp, µs) + ts_us (int64 µs — truncation
-    matches DuckDB's ns→µs narrowing exactly, so session-gap math agrees
-    across engines).
+    """events with ts normalized across testdata generations: the driver
+    has written ts as TIMESTAMP(NANOS) (read as int64 nanos via
+    spark.sql.legacy.parquet.nanosAsLong), as µs-without-UTC-adjustment
+    (read as TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ), and as
+    plain TIMESTAMP. All three normalize to ts (timestamp, µs, UTC
+    session) + ts_us (int64 µs) so session-gap math agrees with DuckDB.
 
     Both confs are (re)applied at runtime because the DRIVER builds its own
     SparkSession without session.py's defaults: without nanosAsLong the
@@ -73,11 +74,34 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         return ev.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts", F.timestamp_micros(F.col("ts_us"))
         )
+    if ts_type == "timestamp_ntz":
+        # µs-parquet without UTC-adjustment metadata reads as NTZ under
+        # Spark 4's inferTimestampNTZ; with the session tz pinned to UTC
+        # the cast to LTZ is wall-clock-identity, matching DuckDB.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev.withColumn("ts_us", F.unix_micros("ts"))
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ts normalization
+    as _events — watermarks require TIMESTAMP (not NTZ, not int64)."""
+    _events(spark, sf_dir)  # applies nanosAsLong + UTC confs for the read
+    stream = (
+        spark.readStream.schema(_t(spark, sf_dir, "events").schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,16 +507,7 @@ def q_events_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the batch run."""
     import tempfile
 
-    batch = _t(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    stream = _events_stream(spark, sf_dir)
     agg = stream_events_windowed(stream)
     name = "events_stream_result"
     q = (
@@ -763,12 +778,7 @@ def q_user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from valentinus_spark.streaming.stateful import stream_user_totals
 
-    batch = _t(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     name = "user_totals_stream_result"
     q = (
         stream_user_totals(stream.select("user_id", "value"))
@@ -1460,14 +1470,7 @@ def q_events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from valentinus_spark.streaming.pipeline import stream_static_enrich
 
-    _events(spark, sf_dir)  # applies the nanosAsLong + UTC confs the stream read needs
-    stream = (
-        spark.readStream.schema(_t(spark, sf_dir, "events").schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     customer = _t(spark, sf_dir, "customer")
     agg = stream_static_enrich(stream, customer)
     name = "events_enriched_result"
@@ -2626,9 +2629,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_cluster_stats": """
             WITH pos AS (
-                SELECT vec_id, label, u.val, u.pos
-                FROM embeddings,
-                     unnest(embedding::DOUBLE[]) WITH ORDINALITY AS u(val, pos)
+                -- unnest + generate_subscripts zip in lockstep (DuckDB has
+                -- no WITH ORDINALITY)
+                SELECT vec_id, label,
+                       unnest(embedding::DOUBLE[]) AS val,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings
             ),
             cent AS (
                 SELECT label, pos, AVG(val) AS c FROM pos GROUP BY 1, 2

@@ -361,3 +361,39 @@ def chunks_from_tokens(tokens: Column | str, size: int = 128, stride: int = 96) 
             F.array_join(F.slice(toks, i * stride + 1, size), " ").alias("chunk"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis order sampling, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_key(
+    key_col: Column | str, weight_col: Column | str, salt: str = "v1"
+) -> Column:
+    """Efraimidis-Spirakis order-sampling key: the k rows with the LARGEST
+    keys form an exact weighted sample without replacement (P[i in sample]
+    proportional to weight_i, Efraimidis & Spirakis 2006).
+
+    key = ln(u) / w  with u = (sha_bucket + 1) / 2^32  in (0, 1]
+
+    (log-space form of the usual u^(1/w); same ordering, no overflow for
+    tiny weights). Deterministic like [stable_split]: the sha256-derived u
+    is reproducible across runs, engines, and partitionings, so the
+    sample is auditable and re-computable — unlike rand()-based sampling.
+    Selecting via ``orderBy(key, desc).limit(k)`` compiles to
+    TakeOrderedAndProject: per-partition top-k heaps + a k-row driver
+    merge, no global sort, no full shuffle — the scale path for "pick the
+    best-weighted 1M docs out of 10B".
+
+    Weights must be > 0; ANSI-safe here via a NULL (not an error) on
+    non-positive weights so callers can filter first.
+    """
+    bucket = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(salt), _c(key_col).cast("string")), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (bucket + F.lit(1).cast("long")).cast("double") / F.lit(float(2**32))
+    w = _c(weight_col).cast("double")
+    return F.when(w > 0, F.log(u) / w).otherwise(F.lit(None).cast("double"))
