@@ -751,7 +751,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=None).select(
         "id_a", "id_b"
     )  # exact semantics: oracle recomputes Jaccard via recursive CTE
-    return dedup_clusters(docs, pairs)
+    return dedup_clusters(docs, pairs, method="minlabel")
 
 
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,6 +936,32 @@ def q_corpus_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (sequential PPS,
+    Efraimidis & Spirakis 2006): top-100 documents by the E-S order key
+    with weight = n_chars. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heaps, k-row driver merge — no
+    global sort at any scale). The oracle recomputes ln(u)/w from the
+    identical sha256 bucketing in DuckDB, proving the sample is exactly
+    reproducible cross-engine — the property rand()-based sampling can't
+    give."""
+    from valentinus_spark.functions.text import weighted_sample_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("n_chars") > 0)  # oracle filters too: NULL keys
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                weighted_sample_key("doc_id", F.col("n_chars")), 8
+            ).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(100)
     )
 
 
@@ -1615,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
+        "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
         "doc_chunks": q_doc_chunks,
         "benchmark_contamination": q_benchmark_contamination,
@@ -2250,6 +2277,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
             FROM kept
             GROUP BY lang
+        """,
+        "weighted_sample_topk": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       lang,
+                       ROUND(
+                           ln((CAST(('0x' || substr(sha256('ws-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                              / 4294967296.0)
+                           / n_chars,
+                           8
+                       ) AS sample_key
+                FROM documents
+                WHERE n_chars > 0
+            )
+            SELECT doc_id, lang, sample_key
+            FROM keyed
+            ORDER BY sample_key DESC, doc_id
+            LIMIT 100
         """,
         "pii_scrub_stats": """
             WITH injected AS (

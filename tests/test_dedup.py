@@ -186,6 +186,49 @@ def test_connected_components_string_ids_deep_chain(spark):
     }
 
 
+def test_connected_components_distributed_path(spark):
+    """Force the distributed min-label rounds (driver_threshold=0) — the
+    100 TB path must stay green even while small graphs take the
+    driver union-find fast path."""
+    from valentinus_spark.operators.dedup import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pdf, driver_threshold=0).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_distributed_string_deep_chain(spark):
+    from valentinus_spark.operators.dedup import connected_components
+
+    pairs = [("id0", "id1"), ("id1", "id2"), ("id2", "id3"), ("id3", "id4"),
+             ("id7", "id8")]
+    pdf = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pdf, driver_threshold=0).collect()
+    }
+    assert got == {
+        "id0": "id0", "id1": "id0", "id2": "id0", "id3": "id0", "id4": "id0",
+        "id7": "id7", "id8": "id7",
+    }
+
+
+def test_connected_components_star_distributed_path(spark):
+    from valentinus_spark.operators.dedup import connected_components_star
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(pdf, driver_threshold=0).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_dedup_clusters_includes_singletons(spark):
     from valentinus_spark.operators.dedup import dedup_clusters
 
@@ -365,7 +408,7 @@ def test_star_cc_long_chain(spark):
     df = spark.createDataFrame(chain, "id_a long, id_b long")
     got = {
         r["id"]: r["cluster_id"]
-        for r in connected_components_star(df, max_iter=15).collect()
+        for r in connected_components_star(df, max_iter=15, driver_threshold=0).collect()
     }
     assert got == {i: 0 for i in range(201)}
 
@@ -380,7 +423,8 @@ def test_star_cc_matches_union_find_random(spark):
     pairs = [(a, b) for a, b in pairs if a != b]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {
-        r["id"]: r["cluster_id"] for r in connected_components_star(df).collect()
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(df, driver_threshold=0).collect()
     }
     assert got == _cc_oracle(pairs)
 
@@ -391,7 +435,8 @@ def test_star_cc_string_ids(spark):
     pairs = [("d", "c"), ("b", "c"), ("x", "y")]
     df = spark.createDataFrame(pairs, "id_a string, id_b string")
     got = {
-        r["id"]: r["cluster_id"] for r in connected_components_star(df).collect()
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(df, driver_threshold=0).collect()
     }
     assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
 

@@ -105,7 +105,9 @@ def test_onnx_embedder_pipeline_with_fake_runtime(monkeypatch):
     from valentinus_spark.embed import OnnxEmbedder
 
     fake = _FakeSession(dim=16)
-    monkeypatch.setattr(embed_mod, "_onnx_session", lambda path: fake)
+    monkeypatch.setattr(
+        embed_mod, "_onnx_session", lambda path, providers=None: fake
+    )
     monkeypatch.setattr(embed_mod, "_onnx_tokenizer", lambda path: _FakeTokenizer())
 
     texts = [f"doc number {i} pad" * (1 + i % 3) for i in range(7)]
@@ -124,6 +126,50 @@ def test_onnx_embedder_pipeline_with_fake_runtime(monkeypatch):
     ids = np.array([enc[0].ids], dtype=np.int64)
     mask = np.ones_like(ids)
     np.testing.assert_array_equal(out[5], expect.run(None, {"input_ids": ids, "attention_mask": mask})[1][0])
+
+
+def test_onnx_execution_providers_passed_through(monkeypatch):
+    """The providers knob must reach ort.InferenceSession verbatim — the
+    reference registers the CUDA EP ahead of CPU (onnx.rs:45-49); here the
+    same registration is a constructor argument. Fake onnxruntime module
+    records the construction arguments."""
+    import sys
+    import types
+
+    import valentinus_spark.embed as embed_mod
+
+    captured = {}
+
+    class _FakeInferenceSession:
+        def __init__(self, path, sess_options=None, providers=None):
+            captured["path"] = path
+            captured["providers"] = providers
+
+    class _FakeSessionOptions:
+        intra_op_num_threads = 0
+
+    fake_ort = types.ModuleType("onnxruntime")
+    fake_ort.InferenceSession = _FakeInferenceSession
+    fake_ort.SessionOptions = _FakeSessionOptions
+    monkeypatch.setitem(sys.modules, "onnxruntime", fake_ort)
+    monkeypatch.setattr(embed_mod, "_ONNX_CACHE", {})
+
+    eps = ["CUDAExecutionProvider", "CPUExecutionProvider"]
+    embed_mod._onnx_session("/models/minilm", providers=eps)
+    assert captured["providers"] == eps
+    assert captured["path"].endswith("model.onnx")
+
+    # default (None) keeps onnxruntime's own provider resolution: the
+    # constructor must NOT receive a providers kwarg at all
+    captured.clear()
+    embed_mod._onnx_session("/models/minilm")
+    assert captured["providers"] is None
+
+    # the knob is part of the embedder's config surface
+    from valentinus_spark.embed import OnnxEmbedder
+
+    emb = OnnxEmbedder(model_path="/models/minilm", dim=8, providers=eps)
+    assert emb.config()["providers"] == eps
 
 
 def test_registry():

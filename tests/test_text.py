@@ -242,3 +242,68 @@ def test_mixture_repeat_rejects_negative(spark):
 
     with _pytest.raises(ValueError):
         mixture_repeat_count("doc_id", "source", {"a": -0.5})
+
+
+def test_weighted_sample_key_matches_python_oracle(spark):
+    """E-S order key ln(u)/w recomputed row-for-row in Python from the
+    same sha256 bucketing — and the induced top-k must agree."""
+    import hashlib
+    import math
+
+    from valentinus_spark.functions.text import weighted_sample_key
+
+    rows = [(i, float(10 + 7 * (i % 13))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", weighted_sample_key("doc_id", "w").alias("k")
+        ).collect()
+    }
+
+    def oracle(key, w):
+        b = int(hashlib.sha256(f"ws-v1{key}".encode()).hexdigest()[:8], 16)
+        return math.log((b + 1) / 2**32) / w
+
+    for i, w in rows:
+        assert abs(got[i] - oracle(i, w)) < 1e-12, f"doc {i}"
+    top_got = sorted(got, key=lambda i: -got[i])[:20]
+    top_exp = sorted(
+        (i for i, _ in rows), key=lambda i: -oracle(i, dict(rows)[i])
+    )[:20]
+    assert top_got == top_exp
+
+
+def test_weighted_sample_key_nonpositive_weight_null(spark):
+    from valentinus_spark.functions.text import weighted_sample_key
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "doc_id long, w double"
+    )
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", weighted_sample_key("doc_id", "w").alias("k")
+        ).collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] is not None
+
+
+def test_weighted_sample_key_salt_decorrelated_from_split(spark):
+    """Regression for the round-2 advice: the default salt must differ
+    from stable_split's so sampling within a split is unbiased — with a
+    shared salt, u would be conditioned to the split's sub-interval."""
+    from valentinus_spark.functions.text import stable_split, weighted_sample_key
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(2000)], "doc_id long, w double")
+    out = df.select(
+        "doc_id",
+        stable_split("doc_id", {"train": 0.9, "val": 0.1}).alias("split"),
+        weighted_sample_key("doc_id", "w").alias("k"),
+    ).collect()
+    # with w=1, k = ln(u): u > 0.9 (k > ln(0.9)) must appear in BOTH
+    # splits — under a shared salt every val row would have u >= 0.9
+    import math
+
+    hi = {r["split"] for r in out if r["k"] > math.log(0.9)}
+    assert hi == {"train", "val"}

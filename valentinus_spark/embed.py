@@ -132,8 +132,9 @@ class HashEmbedder(Embedder):
 _ONNX_CACHE: dict[str, object] = {}
 
 
-def _onnx_session(model_path: str):
-    if model_path not in _ONNX_CACHE:
+def _onnx_session(model_path: str, providers: list[str] | None = None):
+    key = model_path if not providers else model_path + "#" + ",".join(providers)
+    if key not in _ONNX_CACHE:
         import onnxruntime as ort  # noqa: gated import
 
         threads = int(os.environ.get("ONNX_PARALLEL_THREADS", "1"))  # onnx.rs:26
@@ -141,10 +142,16 @@ def _onnx_session(model_path: str):
         # 1 intra-op thread per Spark task: partition parallelism already
         # saturates cores; ONNX threading would oversubscribe (SURVEY.md §4).
         opts.intra_op_num_threads = threads
-        _ONNX_CACHE[model_path] = ort.InferenceSession(
-            os.path.join(model_path, "model.onnx"), sess_options=opts
+        kwargs: dict = {"sess_options": opts}
+        # Execution-provider pass-through ≈ the reference registering the
+        # CUDA EP ahead of CPU (onnx.rs:45-49, `CUDAExecutionProvider`).
+        # None → onnxruntime's default provider order for the build.
+        if providers is not None:
+            kwargs["providers"] = list(providers)
+        _ONNX_CACHE[key] = ort.InferenceSession(
+            os.path.join(model_path, "model.onnx"), **kwargs
         )
-    return _ONNX_CACHE[model_path]
+    return _ONNX_CACHE[key]
 
 
 def _onnx_tokenizer(model_path: str):
@@ -171,22 +178,32 @@ class OnnxEmbedder(Embedder):
 
     name = "onnx"
 
-    def __init__(self, model_path: str, dim: int | None = None, batch_size: int = 100):
+    def __init__(
+        self,
+        model_path: str,
+        dim: int | None = None,
+        batch_size: int = 100,
+        providers: list[str] | None = None,
+    ):
         self.model_path = model_path
         # VALENTINUS_CUSTOM_DIM override (onnx.rs:23,103-106)
         self.dim = dim or int(os.environ.get("VALENTINUS_CUSTOM_DIM", DEFAULT_DIM))
         self.batch_size = batch_size  # reference BATCH_SIZE=100 (onnx.rs:17)
+        # e.g. ["CUDAExecutionProvider", "CPUExecutionProvider"] — the
+        # reference's CUDA-then-CPU registration order (onnx.rs:45-49)
+        self.providers = providers
 
     def config(self) -> dict:
         return {
             "model_path": self.model_path,
             "dim": self.dim,
             "batch_size": self.batch_size,
+            "providers": self.providers,
         }
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         try:
-            session = _onnx_session(self.model_path)
+            session = _onnx_session(self.model_path, self.providers)
             tokenizer = _onnx_tokenizer(self.model_path)
         except ImportError as e:
             raise ModelError(

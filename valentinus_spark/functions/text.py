@@ -369,11 +369,12 @@ def chunks_from_tokens(tokens: Column | str, size: int = 128, stride: int = 96) 
 
 
 def weighted_sample_key(
-    key_col: Column | str, weight_col: Column | str, salt: str = "v1"
+    key_col: Column | str, weight_col: Column | str, salt: str = "ws-v1"
 ) -> Column:
-    """Efraimidis-Spirakis order-sampling key: the k rows with the LARGEST
-    keys form an exact weighted sample without replacement (P[i in sample]
-    proportional to weight_i, Efraimidis & Spirakis 2006).
+    """Weighted sample without replacement (sequential PPS order sampling,
+    Efraimidis & Spirakis 2006): the k rows with the LARGEST keys form
+    the sample. Inclusion probability is exactly proportional to weight
+    for k=1 and approximately so (sequential PPS) for general top-k.
 
     key = ln(u) / w  with u = (sha_bucket + 1) / 2^32  in (0, 1]
 
@@ -385,6 +386,14 @@ def weighted_sample_key(
     TakeOrderedAndProject: per-partition top-k heaps + a k-row driver
     merge, no global sort, no full shuffle — the scale path for "pick the
     best-weighted 1M docs out of 10B".
+
+    The default salt is function-specific ON PURPOSE: u is derived from
+    the same sha256(salt || key) bucket family as [stable_split] /
+    [stratified_keep] / [mixture_repeat_count]; sharing a salt with any
+    of those on the same key column makes u perfectly correlated with
+    the split/keep assignment (sampling within a split would condition u
+    to a sub-interval and silently bias the sample). Keep the salt
+    distinct from every other bucketing applied to the same key.
 
     Weights must be > 0; ANSI-safe here via a NULL (not an error) on
     non-positive weights so callers can filter first.

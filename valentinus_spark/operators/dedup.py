@@ -18,7 +18,9 @@ Five strategies, all DataFrame-native and shuffle-conscious:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from valentinus_spark.functions.text import (
@@ -129,20 +131,25 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         shingled = shingled.join(keep, "shingle", "semi")
-    sizes = shingled.groupBy("_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    inter = (
+    # set size rides each shingle row via a window over the doc id — one
+    # shuffle keyed on _id, and the per-pair sizes fall out of the join
+    # aggregate below for free. (The alternative — a separate sizes
+    # branch joined back twice post-aggregation — costs two more joins.)
+    sized = shingled.withColumn(
+        "set_size", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
         a.join(b, on="shingle")
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("intersection"),
+            # constant within the group: set_size is a per-doc scalar
+            F.first("a.set_size").alias("size_a"),
+            F.first("b.set_size").alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("intersection")
@@ -546,11 +553,90 @@ def duplicated_span_stats(
     )
 
 
+# edges per post-shuffle partition for the CC iterations. The iterative
+# joins run over the (tiny, relative to the corpus) EDGE list, not the
+# corpus: partitioning for them must track |E|, not the session default
+# sized for corpus scans — 32 partitions over 500 edges is two orders of
+# magnitude more scheduling than data.
+_EDGES_PER_PARTITION = 2_000_000
+
+
+def _cc_parallelism(spark, n_pairs: int) -> int:
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(cap, (2 * n_pairs) // _EDGES_PER_PARTITION + 1))
+
+
+@contextmanager
+def _iteration_confs(spark, nparts: int):
+    """Pin shuffle width to the edge-list size and disable AQE for the
+    duration of an iterative driver-synchronized loop.
+
+    AQE costs a re-optimization round-trip per shuffle stage; on the
+    per-iteration jobs here (joins over an already-materialized edge list
+    whose size we KNOW — we counted it) that adaptivity buys nothing and
+    measured ~2x on small graphs. At scale ``nparts`` grows with |E| and
+    the static width is the right one by construction. Restores both
+    confs on exit; confs are plan-time, so only queries PLANNED inside
+    the block are affected."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+# below this many pairs the edge list is driver-resident by definition
+# (~16 B/edge → ~16 MB at the default): run union-find on the driver and
+# broadcast the labels back — the same small-side decision AQE makes when
+# it broadcasts a join side. Dup-pair lists are SPARSE relative to the
+# corpus (they only contain matched docs), so even 100 TB corpora often
+# produce pair lists under this; the distributed rounds below are the
+# guaranteed path when they don't.
+_DRIVER_CC_THRESHOLD = 1_000_000
+
+
+def _driver_components(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Union-find over a collected pair list → (id, cluster_id=min member).
+    Bounded by ``_DRIVER_CC_THRESHOLD`` rows at the call sites."""
+    rows = pairs.select(id_a, id_b).collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the min member id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(x, find(x)) for x in parent]
+    id_type = pairs.schema[id_a].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type, False), StructField("cluster_id", id_type, False)]
+    )
+    return pairs.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = _DRIVER_CC_THRESHOLD,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (id, cluster_id)
     with cluster_id = min member id. The step pairs→clusters is what turns
@@ -558,59 +644,74 @@ def connected_components(
     even though A,C never matched directly).
 
     Iterative min-label propagation: each node takes the min label among
-    itself and its neighbors until fixpoint. Iterations = graph diameter,
+    itself and its neighbors until fixpoint. Pair lists at or below
+    ``driver_threshold`` rows take a driver union-find fast path (see
+    ``_DRIVER_CC_THRESHOLD``); above it, iterations = graph diameter,
     which for dup clusters is tiny (chains longer than a handful of docs
-    are rare); each iteration is one join + one agg, partition-parallel,
-    with localCheckpoint to truncate lineage (otherwise the plan doubles
-    per iteration and the optimizer chokes long before the cluster does).
+    are rare); each iteration is ONE job: join + agg + join, materialized
+    by localCheckpoint (truncating lineage — otherwise the plan doubles
+    per iteration and the optimizer chokes long before the cluster does)
+    with the convergence witness folded into the same pass via
+    ``Observation`` — no separate count job per round.
+
+    The convergence witness (count of labels that strictly decreased) is
+    type-agnostic on purpose — a numeric cast of the id (an earlier
+    witness) throws CAST_INVALID_INPUT for string ids under ANSI mode and
+    NULLs out silently with ANSI off, breaking diameter>=2 graphs.
 
     For adversarial diameters switch to large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce"), same join
-    primitives, O(log n) rounds.
+    primitives, O(log n) rounds: :func:`connected_components_star`.
     """
     # materialize `pairs` ONCE before anything reads it: the symmetrizing
     # union scans it twice and every iteration re-joins the edges — if the
     # upstream is an expensive pipeline (a similarity join), the naive plan
     # recomputes it 2× here and again per round
     pairs = pairs.select(id_a, id_b).localCheckpoint()
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint()
-    )
-    # convergence witness: exact count of labels that changed this round.
-    # Type-agnostic on purpose — a numeric cast of the id (the previous
-    # witness) throws CAST_INVALID_INPUT for string ids under ANSI mode
-    # and NULLs out silently with ANSI off, breaking diameter>=2 graphs.
-    for _ in range(max_iter):
-        # min label among each node's neighbors
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("_nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.col("cluster_id").alias("_prev"),
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
+    spark = pairs.sparkSession
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        return _driver_components(pairs, id_a, id_b)
+    nparts = _cc_parallelism(spark, n_pairs)
+    with _iteration_confs(spark, nparts):
+        edges = (
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+            .distinct()  # planned at nparts-wide shuffle inside the block
             .localCheckpoint()
         )
-        n_changed = updated.filter(F.col("cluster_id") != F.col("_prev")).count()
-        labels = updated.drop("_prev")
-        if n_changed == 0:
-            break
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("cluster_id", F.col("id"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iter):
+            # min label among each node's neighbors
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("_nmin"))
+            )
+            obs = Observation()
+            updated = (
+                labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("_nmin"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                    (F.coalesce(F.col("_nmin"), F.col("cluster_id")) < F.col("cluster_id"))
+                    .cast("long")
+                    .alias("_chg"),
+                )
+                .observe(obs, F.sum("_chg").alias("n_changed"))
+                .localCheckpoint()
+            )
+            labels = updated.drop("_chg")
+            if not obs.get["n_changed"]:
+                break
     return labels
 
 
@@ -808,6 +909,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_threshold: int = _DRIVER_CC_THRESHOLD,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -829,80 +931,88 @@ def connected_components_star(
     The edge set converges to stars whose centers are the component
     minima; convergence is witnessed by the edge multiset hash, checked
     exactly (count + xor of per-edge hashes — order-insensitive, no
-    driver-side edge materialization)."""
+    driver-side edge materialization). Pair lists at or below
+    ``driver_threshold`` take the same driver union-find fast path as
+    :func:`connected_components`. The witness rides the same job
+    that materializes each round's edge set (``Observation`` on the
+    localCheckpoint pass), so a round costs exactly one job."""
     pairs = pairs.select(id_a, id_b).localCheckpoint()
-    # drop self-loops, orient arbitrarily; nodes list remembered for output
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .localCheckpoint()
-    )
-    nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .union(pairs.select(F.col(id_b).alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
-
-    def _edge_sig(e: DataFrame):
-        # order-insensitive exact multiset witness: (count, xor of hashes)
-        row = e.select(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                # bit_xor over a canonicalized (min,max) pair hash
-                F.expr(
-                    "bit_xor(xxhash64(least(u, v), greatest(u, v)))"
-                ),
-                F.lit(0),
-            ).alias("x"),
-        ).collect()[0]
-        return (row["n"], row["x"])
+    spark = pairs.sparkSession
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        return _driver_components(pairs, id_a, id_b)
+    nparts = _cc_parallelism(spark, n_pairs)
 
     def _neighborhoods(e: DataFrame) -> DataFrame:
         # symmetrized adjacency: for each node, its neighbor multiset
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    sig = None
-    for _ in range(max_iter):
-        # ---- large-star: (v, m) for v in N(u), v > u; m = min(N(u) + u)
-        adj = _neighborhoods(edges)
-        mins = adj.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        large = (
-            adj.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # ---- small-star on the large-star output: orient u > v, group,
-        # connect all smaller neighbors (and u) to the minimum
-        oriented = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            oriented.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
-        )
+    with _iteration_confs(spark, nparts):
+        # drop self-loops, orient arbitrarily; node list remembered for output
         edges = (
-            small.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+            pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .localCheckpoint()
         )
-        new_sig = _edge_sig(edges)
-        if new_sig == sig:
-            break
-        sig = new_sig
-    # stars: every edge now points node -> component min
-    labels = (
-        _neighborhoods(edges)
-        .groupBy(F.col("u").alias("id"))
-        .agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
-    )
-    return nodes.join(labels, "id", "left").select(
-        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
-    )
+        nodes = (
+            pairs.select(F.col(id_a).alias("id"))
+            .union(pairs.select(F.col(id_b).alias("id")))
+            .distinct()
+            .localCheckpoint()
+        )
+
+        sig = None
+        for _ in range(max_iter):
+            # ---- large-star: (v, m) for v in N(u), v > u; m = min(N(u) + u)
+            adj = _neighborhoods(edges)
+            mins = adj.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            large = (
+                adj.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # ---- small-star on the large-star output: orient u > v, group,
+            # connect all smaller neighbors (and u) to the minimum
+            oriented = large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                oriented.join(mins2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            )
+            obs = Observation()
+            edges = (
+                small.filter(F.col("u") != F.col("v"))
+                .distinct()
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr(
+                        "bit_xor(xxhash64(least(u, v), greatest(u, v)))"
+                    ).alias("x"),
+                )
+                .localCheckpoint()
+            )
+            new_sig = (obs.get["n"], obs.get["x"])
+            if new_sig == sig:
+                break
+            sig = new_sig
+        # stars: every edge now points node -> component min
+        labels = (
+            _neighborhoods(edges)
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
+        )
+        out = nodes.join(labels, "id", "left").select(
+            "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+        ).localCheckpoint()
+    return out
 
 
 def dedup_clusters(
@@ -911,13 +1021,15 @@ def dedup_clusters(
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
-    method: str = "minlabel",
+    method: str = "star",
 ) -> DataFrame:
     """Assign every row of ``df`` its duplicate-cluster id: connected
     components over ``pairs`` for matched rows, self-cluster for the rest.
-    Output: (id_col, cluster_id, cluster_size). ``method``: "minlabel"
-    (O(diameter) rounds — fine for typical shallow dup clusters) or
-    "star" (O(log n) rounds — safe for adversarial chain depths)."""
+    Output: (id_col, cluster_id, cluster_size). ``method``: "star"
+    (default — O(log n) rounds, safe for adversarial chain depths) or
+    "minlabel" (O(diameter) rounds — equivalent on typical shallow dup
+    clusters). Both share the driver union-find fast path for small pair
+    lists, so the choice only matters above ``_DRIVER_CC_THRESHOLD``."""
     algo = connected_components_star if method == "star" else connected_components
     cc = algo(pairs, pair_a, pair_b)
     out = (
@@ -928,5 +1040,10 @@ def dedup_clusters(
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         )
     )
-    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return out.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
+    # cluster_size via a window — one shuffle on cluster_id instead of a
+    # groupBy branch plus a join back
+    return out.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    )
