@@ -113,31 +113,42 @@ def ngram_jaccard_pairs(
     skew. A single boilerplate shingle shared by d documents alone
     contributes d·(d−1)/2 join rows — at corpus scale that is THE
     bottleneck, so the cap defaults ON (a shingle in >100k docs carries
-    ~no Jaccard signal). Pass ``max_df=None`` for exact set semantics
-    (oracle comparisons at test scale).
+    ~no Jaccard signal). The cap prunes CANDIDATE GENERATION only: set
+    sizes (the Jaccard denominator) are computed before it, so surviving
+    pairs score against their true set sizes — the same contract as
+    :func:`incremental_neardup` with a pre-built shingle artifact. Pass
+    ``max_df=None`` for exact all-pairs semantics (oracle comparisons at
+    test scale).
 
     The join runs on xxhash64(shingle) — an 8-byte key instead of a
     ~20-byte string — which shrinks the shuffle and makes comparisons
     cheap; a hash collision would need two distinct shingles in the same
     corpus pair at ~2^-64, far below float-rounding noise."""
-    shingled = _shingle_sets(df, id_col, text_col, n).select(
-        "_id", F.explode("_shingles").alias("_sh")
-    ).select("_id", F.xxhash64("_sh").alias("shingle"))
+    # set size = |distinct shingles| is known BEFORE the explode — a free
+    # per-row scalar, not a window. (An earlier version windowed over _id
+    # post-explode: one whole extra shuffle keyed on _id for a number the
+    # pre-explode array already carries.)
+    sized = (
+        _shingle_sets(df, id_col, text_col, n)
+        .select(
+            "_id",
+            F.size("_shingles").alias("set_size"),
+            F.explode("_shingles").alias("_sh"),
+        )
+        .select("_id", "set_size", F.xxhash64("_sh").alias("shingle"))
+    )
     if max_df is not None:
         keep = (
-            shingled.groupBy("shingle")
+            sized.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_df)
             .select("shingle")
         )
-        shingled = shingled.join(keep, "shingle", "semi")
-    # set size rides each shingle row via a window over the doc id — one
-    # shuffle keyed on _id, and the per-pair sizes fall out of the join
-    # aggregate below for free. (The alternative — a separate sizes
-    # branch joined back twice post-aggregation — costs two more joins.)
-    sized = shingled.withColumn(
-        "set_size", F.count(F.lit(1)).over(Window.partitionBy("_id"))
-    )
+        # NOTE: set_size stays the FULL distinct-shingle count (computed
+        # pre-filter), so max_df prunes candidate generation only — the
+        # Jaccard denominator is exact, matching build_shingle_table's
+        # stored sizes.
+        sized = sized.join(keep, "shingle", "semi")
     a = sized.alias("a")
     b = sized.alias("b")
     return (
