@@ -273,27 +273,38 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates, native Catalyst implementation
-    (rows-only check: LSH bucketing is not reproducible in DuckDB, but
-    candidate pairs are verified with EXACT Jaccard, so output ⊆
-    q_dedup_ngram_jaccard's oracle-checked result)."""
-    out = minhash_native_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    """MinHash-LSH near-dup pairs with the portable sha256-derived 60-bit
+    hash (functions/text.py sha_hash60): signatures, band keys, candidate
+    generation, est-prune and exact-Jaccard verify are ALL reproduced in
+    the DuckDB oracle, so the whole LSH pipeline is hash-checked — not
+    rows-only. Production default stays hash_fn="xxhash64" (cheaper per
+    call); the banding/verify plan is identical."""
+    out = minhash_native_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8, hash_fn="sha256"
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: xxhash64 not available in DuckDB)."""
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup pairs with the portable 60-bit hash: token hashes,
+    per-bit votes, packing, pigeonhole banding and exact Hamming verify
+    all reproduced in the DuckDB oracle (rows-only until round 3;
+    production default stays the 64-bit xxhash64 variant)."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, hash_fn="sha256"
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash min-sketch fingerprints (rows-only: xxhash64).
+    """Rolling-hash min-sketch fingerprints with the portable 60-bit hash
+    — char-8-gram hashes, min-4 sketch, all reproduced in the DuckDB
+    oracle (production default stays xxhash64).
 
     The array column is serialized to a comma-joined string so the
     harness canonicalizer (pandas sort_values) can hash it — raw
     array<long> cells are unhashable in pandas and crash the check.
     """
-    fp = rolling_fingerprint("text", n=8, keep=4)
+    fp = rolling_fingerprint("text", n=8, keep=4, hash_fn="sha256")
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_join(F.transform(fp, lambda x: x.cast("string")), ",").alias(
@@ -1839,6 +1850,117 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON id_a = sa.doc_id
             JOIN sizes sb ON id_b = sb.doc_id
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+        """,
+        # full LSH pipeline replica: same sha256-derived 60-bit hash
+        # (('0x'||15 hex)::UBIGINT == Spark conv(substring(sha2,1,15),16,10)),
+        # same 16 signatures / 4 bands / est-prune / exact-Jaccard verify
+        "dedup_minhash": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' '))
+                    END)) AS shingle
+                FROM words
+            ),
+            sigs AS (
+                SELECT doc_id, i,
+                       MIN(('0x' || substr(sha256(i::VARCHAR || ':' || shingle), 1, 15))::UBIGINT::BIGINT) AS sig
+                FROM sh CROSS JOIN range(16) t(i)
+                GROUP BY doc_id, i
+            ),
+            sigarr AS (SELECT doc_id, list(sig ORDER BY i) AS mh FROM sigs GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, mh, b,
+                       array_to_string(list_slice(mh, b*4 + 1, b*4 + 4), ',') AS bh
+                FROM sigarr CROSS JOIN range(4) tb(b)
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                                a.mh AS mha, b.mh AS mhb
+                FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+                WHERE a.doc_id < b.doc_id
+            ),
+            est AS (
+                SELECT id_a, id_b FROM cands
+                WHERE len(list_filter(range(1, 17), i -> mha[i] = mhb[i])) / 16.0 >= 0.4
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT e.id_a, e.id_b, COUNT(*) AS i
+                FROM est e
+                JOIN sh a ON a.doc_id = e.id_a
+                JOIN sh b ON b.doc_id = e.id_b AND a.shingle = b.shingle
+                GROUP BY 1, 2
+            )
+            SELECT i2.id_a, i2.id_b,
+                   ROUND(i2.i * 1.0 / (sa.sz + sb.sz - i2.i), 4) AS jaccard
+            FROM inter i2
+            JOIN sizes sa ON i2.id_a = sa.doc_id
+            JOIN sizes sb ON i2.id_b = sb.doc_id
+            WHERE i2.i * 1.0 / (sa.sz + sb.sz - i2.i) >= 0.8
+        """,
+        # 60-bit simhash replica: per-token portable hash, ±1 votes per
+        # bit, bit-pack, 4×15-bit pigeonhole bands, exact Hamming verify
+        "dedup_simhash": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
+            th AS (
+                SELECT doc_id,
+                       ('0x' || substr(sha256(tok), 1, 15))::UBIGINT::BIGINT AS h
+                FROM toks
+            ),
+            votes AS (
+                SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS v
+                FROM th CROSS JOIN range(60) t(b)
+                GROUP BY doc_id, b
+            ),
+            sh2 AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+                FROM votes GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, simhash, b,
+                       (simhash >> (b * 15)) & 32767 AS val
+                FROM sh2 CROSS JOIN range(4) t(b)
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                                a.simhash AS sa, b.simhash AS sb
+                FROM bands a JOIN bands b ON a.b = b.b AND a.val = b.val
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+            FROM cands
+            WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        # min-4 sketch over char-8-gram portable hashes; short docs (<=8
+        # chars) fall back to one whole-string gram exactly like Spark's
+        # char_ngrams
+        "doc_fingerprint": """
+            WITH grams AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) <= 8 THEN [text]
+                            ELSE list_transform(range(1, length(text) - 8 + 2), i -> substr(text, i, 8))
+                       END AS gs
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_slice(
+                           list_sort(list_transform(gs, g -> ('0x' || substr(sha256(g), 1, 15))::UBIGINT::BIGINT)),
+                           1, 4),
+                       ',') AS fingerprint
+            FROM grams
         """,
         "neardup_embedding": """
             -- DOUBLE[] cast: duckdb's list_cosine_similarity stays float32

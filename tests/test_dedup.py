@@ -123,6 +123,68 @@ def test_simhash_pairs(docs):
     assert ham(0, 1) == 0  # identical normalized text → same simhash
 
 
+def test_sha_hash60_matches_hashlib(spark):
+    """The portable 60-bit hash must equal int(sha256-hex[:15], 16) — the
+    exact contract the DuckDB oracle SQL relies on
+    (('0x'||substr(sha256(x),1,15))::UBIGINT)."""
+    import hashlib
+
+    from valentinus_spark.functions.text import sha_hash60
+
+    vals = ["abc", "0:shingle text here", "üñïçødé"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", sha_hash60("s").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+
+
+def test_minhash_sha256_variant_matches_exact_jaccard(docs):
+    """hash_fn="sha256" (the oracle-reproducible path) must behave like
+    the default: exact-verified subset of the all-pairs Jaccard join with
+    the planted dups recalled."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # 8 bands of 2 rows: recall 1-(1-J^2)^8 ≈ 0.94 at the J≈0.55 planted
+    # near-dup (4×4's ≈0.32 recalls it only on hash luck — the xxhash64
+    # default happens to, the sha variant happens not to; both correct)
+    native = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_native_pairs(
+            docs, n=3, threshold=0.5, hash_fn="sha256", num_hashes=16, bands=8
+        ).collect()
+    }
+    assert set(native) <= set(exact)
+    assert (0, 1) in native and (0, 2) in native
+    for pair, j in native.items():
+        assert abs(j - exact[pair]) < 1e-9
+
+
+def test_simhash_sha256_variant(docs):
+    """60-bit portable simhash: identical-after-normalization docs are a
+    Hamming-0 pair, every emitted pair is within budget, and hashes fit in
+    60 bits (the BIGINT-safe range both engines share)."""
+    from valentinus_spark.functions.text import (
+        normalize_text,
+        pack_simhash,
+        simhash_counts,
+        word_tokens,
+    )
+
+    hashed = (
+        docs.select("doc_id", word_tokens(normalize_text("text")).alias("_toks"))
+        .withColumn("_counts", simhash_counts("_toks", bits=60, hash_fn="sha256"))
+        .select("doc_id", pack_simhash("_counts", bits=60).alias("sh"))
+        .collect()
+    )
+    assert all(0 <= r["sh"] < 2**60 for r in hashed)
+    out = simhash_pairs(docs, max_hamming=3, hash_fn="sha256").collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs[(0, 1)] == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
 def test_embedding_neardup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

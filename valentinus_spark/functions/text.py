@@ -144,32 +144,62 @@ def lang_id(col: Column | str) -> Column:
     return F.when(best["votes"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def simhash_counts(tokens_col_name: str) -> Column:
-    """Per-bit SimHash vote sums (array<long> of 64) over a token-array
-    column, entirely JVM-side.
+# Engine-portable 60-bit hash: the leading 15 hex chars of sha256, parsed
+# as an integer. 60 bits keeps the value strictly inside BIGINT range in
+# every engine (no unsigned/overflow divergence); the identical value is
+# computable in DuckDB as ('0x'||substr(sha256(x),1,15))::UBIGINT::BIGINT,
+# which is what lets sha256-variant sketches (minhash/simhash/fingerprint)
+# be verified by the SQL oracle rather than rows-only. xxhash64 stays the
+# default hash everywhere hot — sha256 costs a few× more per call — this
+# is the reproducibility knob, not the fast path.
+_SHA60_SQL = "cast(conv(substring(sha2({x}, 256), 1, 15), 16, 10) as bigint)"
+
+
+def sha_hash60(col: Column | str) -> Column:
+    """Portable 60-bit content hash (see ``_SHA60_SQL``): identical in
+    Spark and DuckDB, so anything derived from it is oracle-checkable."""
+    return (
+        F.conv(F.substring(F.sha2(_c(col), 256), 1, 15), 16, 10).cast("long")
+    )
+
+
+def simhash_counts(
+    tokens_col_name: str, bits: int = 64, hash_fn: str = "xxhash64"
+) -> Column:
+    """Per-bit SimHash vote sums (array<long> of ``bits``) over a
+    token-array column, entirely JVM-side.
 
     For each bit position b: sum over tokens of ±1 according to bit b of
-    xxhash64(token). Built as a SQL expression because Catalyst's
-    ShiftRight accepts a column shift amount while the Python wrapper only
-    takes an int; ``tokens_col_name`` must be a real column (materialize
-    the token array with withColumn first — this also keeps the expensive
-    aggregate from being duplicated by projection collapse)."""
+    hash(token). The token hashes are materialized FIRST (one hash per
+    token) and the per-bit votes fan out from the hash array — lambdas get
+    no common-subexpression elimination, so hashing inside the per-bit
+    transform would recompute the hash ``bits`` times per token. Built as
+    a SQL expression because Catalyst's ShiftRight accepts a column shift
+    amount while the Python wrapper only takes an int; ``tokens_col_name``
+    must be a real column (materialize the token array with withColumn
+    first — this also keeps the expensive aggregate from being duplicated
+    by projection collapse).
+
+    ``hash_fn``: "xxhash64" (default, fast) or "sha256" (the 60-bit
+    portable hash — use with ``bits=60`` — whose DuckDB twin makes the
+    whole simhash pipeline oracle-verifiable)."""
+    h = "xxhash64(t)" if hash_fn == "xxhash64" else _SHA60_SQL.format(x="t")
     return F.expr(
         f"""
         aggregate(
-          {tokens_col_name},
-          array_repeat(cast(0 as bigint), 64),
-          (acc, tok) -> zip_with(
+          transform({tokens_col_name}, t -> {h}),
+          array_repeat(cast(0 as bigint), {bits}),
+          (acc, hv) -> zip_with(
             acc,
-            transform(sequence(0, 63),
-                      i -> cast(shiftright(xxhash64(tok), i) & 1 as bigint) * 2 - 1),
+            transform(sequence(0, {bits - 1}),
+                      i -> cast(shiftright(hv, i) & 1 as bigint) * 2 - 1),
             (a, b) -> a + b))
         """
     )
 
 
-def pack_simhash(counts_col_name: str) -> Column:
-    """array<long> of 64 vote sums → packed signed 64-bit simhash
+def pack_simhash(counts_col_name: str, bits: int = 64) -> Column:
+    """array<long> of ``bits`` vote sums → packed signed 64-bit simhash
     (bit b = 1 iff votes[b] > 0)."""
     return F.expr(
         f"""
@@ -177,7 +207,7 @@ def pack_simhash(counts_col_name: str) -> Column:
           zip_with(
             transform({counts_col_name},
                       c -> case when c > 0 then cast(1 as bigint) else cast(0 as bigint) end),
-            sequence(0, 63),
+            sequence(0, {bits - 1}),
             (bit, i) -> shiftleft(bit, i)),
           cast(0 as bigint),
           (acc, x) -> acc | x)
@@ -190,13 +220,20 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def rolling_fingerprint(col: Column | str, n: int = 8, keep: int = 4) -> Column:
-    """Document fingerprint: the ``keep`` smallest xxhash64 values over the
+def rolling_fingerprint(
+    col: Column | str, n: int = 8, keep: int = 4, hash_fn: str = "xxhash64"
+) -> Column:
+    """Document fingerprint: the ``keep`` smallest hash values over the
     document's character n-grams (a winnowing-style min-sketch). Two
     documents sharing most content share most fingerprint entries.
-    Returns array<long> of length ≤ keep, ascending."""
+    Returns array<long> of length ≤ keep, ascending.
+
+    ``hash_fn="sha256"`` switches to the portable 60-bit hash
+    (:func:`sha_hash60`) so the sketch is reproducible in the DuckDB
+    oracle; xxhash64 stays the corpus-scale default."""
     grams = char_ngrams(_c(col), n)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    hasher = F.xxhash64 if hash_fn == "xxhash64" else sha_hash60
+    hashes = F.transform(grams, lambda g: hasher(g))
     return F.slice(F.array_sort(hashes), 1, keep)
 
 

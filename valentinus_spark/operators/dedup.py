@@ -219,35 +219,58 @@ def minhash_native_pairs(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash LSH near-dup pairs, pure Catalyst expressions end-to-end.
 
     Per row: ``num_hashes`` minhash signatures, signature i =
-    min(xxhash64(i, shingle)) over the doc's distinct word n-gram shingles
+    min(hash(i, shingle)) over the doc's distinct word n-gram shingles
     — whole-stage-codegen'd, no MLlib vector objects, no Scala UDF in the
     candidate loop (unlike MinHashLSH.approxSimilarityJoin). Banding:
     ``bands`` bands of ``num_hashes/bands`` rows; pairs agreeing on ≥1
     band become candidates (equi-join on band hash, so only co-bucketed
     pairs materialize). Candidates are verified with EXACT Jaccard via
     array_intersect, so precision is 1.0 and recall is the standard LSH
-    s-curve (~0.999 for J≥0.8 at 4×4).
+    s-curve 1-(1-J^r)^b of the chosen banding.
+
+    ``hash_fn``: "xxhash64" (default — the corpus-scale fast path) or
+    "sha256" (the portable 60-bit hash, functions/text.py sha_hash60):
+    same pipeline, but every stage — signatures, band keys, candidates —
+    is reproducible in DuckDB SQL, so the ENTIRE LSH pipeline is
+    oracle-verifiable, not just the exact-Jaccard verify.
 
     Scale shape: one shuffle keyed on (band, band_hash); skewed buckets
     (boilerplate docs) can be salted upstream by capping shingle document
     frequency."""
+    from valentinus_spark.functions.text import sha_hash60
+
     r = num_hashes // bands
     shingled = _shingle_sets(df, id_col, text_col, n)
+    if hash_fn == "sha256":
+        def _hash_i(i):
+            return lambda s: sha_hash60(F.concat(F.lit(f"{i}:"), s))
+    else:
+        def _hash_i(i):
+            return lambda s: F.xxhash64(F.lit(i), s)
     sig = shingled.select(
         "_id",
         F.array(
             *[
-                F.array_min(
-                    F.transform("_shingles", lambda s, i=i: F.xxhash64(F.lit(i), s))
-                )
+                F.array_min(F.transform("_shingles", _hash_i(i)))
                 for i in range(num_hashes)
             ]
         ).alias("_mh"),
     )
+
+    # band key: xxhash64 over the band's signature slice for the fast path;
+    # for the portable variant the slice itself (comma-joined) IS the key —
+    # no second hash function for the oracle to reproduce
+    def _band_key(b):
+        elems = [F.element_at("_mh", b * r + j + 1) for j in range(r)]
+        if hash_fn == "sha256":
+            return F.concat_ws(",", *[e.cast("string") for e in elems])
+        return F.xxhash64(*elems)
+
     # candidate generation carries ONLY (id, 16-long signature) through the
     # band join — never the shingle arrays (cheap shuffle rows)
     banded = sig.select(
@@ -257,10 +280,7 @@ def minhash_native_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("_mh", b * r + j + 1) for j in range(r)]
-                        ).alias("bh"),
+                        F.lit(b).alias("band"), _band_key(b).alias("bh")
                     )
                     for b in range(bands)
                 ]
@@ -302,33 +322,40 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash with Hamming distance ≤ max_hamming.
+    """Near-dup pairs by SimHash with Hamming distance ≤ max_hamming.
 
-    Banding: split the 64-bit hash into ``max_hamming + 1`` bands; by
+    Banding: split the hash into ``max_hamming + 1`` bands; by
     pigeonhole, any pair within the Hamming budget agrees exactly on at
     least one band, so the self-join runs on (band_index, band_value) —
     candidates only, never n². Exact Hamming then verifies candidates, so
     recall is 100% within the budget. More bands (higher budget) → shorter
-    bands → more candidates; keep the budget small at corpus scale."""
-    # three stages so the O(64·tokens) vote aggregate runs exactly once per
-    # row (projection collapse would otherwise duplicate it per reference)
+    bands → more candidates; keep the budget small at corpus scale.
+
+    ``hash_fn``: "xxhash64" → 64-bit simhash (default fast path);
+    "sha256" → 60-bit simhash from the portable hash
+    (functions/text.py sha_hash60), end-to-end reproducible in the DuckDB
+    oracle (token hashes, per-bit votes, packing, banding, Hamming)."""
+    nbits = 64 if hash_fn == "xxhash64" else 60
+    # three stages so the O(bits·tokens) vote aggregate runs exactly once
+    # per row (projection collapse would otherwise duplicate it per ref)
     hashed = (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
             word_tokens(normalize_text(text_col)).alias("_toks"),
         )
-        .withColumn("_counts", simhash_counts("_toks"))
-        .select("_id", pack_simhash("_counts").alias("simhash"))
+        .withColumn("_counts", simhash_counts("_toks", bits=nbits, hash_fn=hash_fn))
+        .select("_id", pack_simhash("_counts", bits=nbits).alias("simhash"))
     )
     n_bands = max_hamming + 1
-    width = 64 // n_bands
+    width = nbits // n_bands
     bands = []
     for i in range(n_bands):
         start = i * width
         # last band absorbs the remainder bits
-        w = 64 - start if i == n_bands - 1 else width
+        w = nbits - start if i == n_bands - 1 else width
         mask = (1 << w) - 1
         bands.append(
             F.struct(
