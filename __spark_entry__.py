@@ -701,6 +701,43 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall gate: vec_ids 1..10 are rewritten to QUERY_VEC + 0.35 ×
+    their original embedding (cosine ≈ 0.94 to the query, far above the
+    ~0.45 background max of random 64-d vectors), the IVF index is built
+    on the planted corpus, and the query's top-10 must be EXACTLY ids
+    1..10. The oracle pins that literal id set, so a recall collapse in
+    the bucketed probe (wrong centroid assignment, mis-probe) is a driver
+    hash FAILURE — unlike q_ivf_ann's rows-only check, which a recall
+    collapse would sail through. Deterministic: planted vectors derive
+    from the parquet data + the module's fixed QUERY_VEC literal;
+    scale-invariant margin, so the same gate holds at every sf."""
+    from valentinus_spark.operators.similarity import bucketed_ann_topk, ivf_centroids
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(v) for v in QUERY_VEC])
+    planted = embs.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id").between(1, 10),
+            F.zip_with(
+                qlit,
+                F.col("embedding").cast("array<double>"),
+                lambda q, e: q + F.lit(0.35) * e,
+            ).cast("array<float>"),
+        ).otherwise(F.col("embedding")),
+    )
+    queries = spark.range(1).select(
+        F.lit(0).cast("long").alias("qid"), qlit.alias("qvec")
+    )
+    cents = ivf_centroids(planted, n_centroids=8, vec_col="embedding")
+    out = bucketed_ann_topk(
+        planted, queries, cents, k=10, nprobe=2,
+        corpus_id="vec_id", corpus_vec="embedding",
+    )
+    return out.select("qid", "vec_id")
+
+
 def q_orders_heavy_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join (left_semi ≡ EXISTS): orders having at least one heavy
     line item. Semi joins never multiply rows — the probe stops at first
@@ -1639,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cube": q_order_cube,
         "event_value_quantiles": q_event_value_quantiles,
         "ivf_ann_topk": q_ivf_ann,
+        "ivf_ann_planted": q_ivf_ann_planted,
         "orders_heavy_semi": q_orders_heavy_semi,
         "customer_moving_sum": q_customer_moving_sum,
         "brand_supplier_breadth": q_brand_supplier_breadth,
@@ -1987,6 +2025,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY distance ASC, vec_id ASC
             LIMIT 10
+        """,
+        # recall gate, not a recomputation: the query plants ids 1..10 at
+        # cosine ≈ 0.94 (background max ≈ 0.45), so the correct top-10 is
+        # this literal set at every sf — any IVF mis-probe hash-fails
+        "ivf_ann_planted": """
+            SELECT 0::BIGINT AS qid, (i + 1)::BIGINT AS vec_id
+            FROM range(10) t(i)
         """,
         "text_stats": """
             SELECT doc_id,
