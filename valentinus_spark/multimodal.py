@@ -2,11 +2,15 @@
 
 North-star extension (BASELINE.json) — the reference is text-only. The
 Spark-side plumbing here is real (schema, batch shape, partitioning, UDF
-signatures, tested); the actual media DECODING is stubbed because the
-media libraries are not in this container: ``decode_stub=True`` (default)
+signatures, tested). Decoding: PNG images decode FOR REAL via the
+pure-stdlib codec in :mod:`valentinus_spark.imaging` (zlib + struct — no
+PIL needed), covering features and resize end-to-end; audio/video and
+non-PNG image formats remain stubbed because their libraries (soundfile /
+av / PIL) are not in this container: ``decode_stub=True`` (default)
 produces deterministic fake features from the bytes, ``decode_stub=False``
-raises NotImplementedError at the decode site, which is exactly where a
-real ``PIL.Image.open`` / ``soundfile.read`` call plugs in.
+decodes PNG payloads and raises NotImplementedError at the other decode
+sites, which is exactly where a real ``soundfile.read`` / ``av.open``
+call plugs in.
 
 Design for 100 TB of media:
 - binary payloads stay columnar (Parquet binary), never hit the driver;
@@ -86,9 +90,14 @@ def extract_media_features(
     def decode(payload: bytes, modality: str) -> np.ndarray:
         if decode_stub:
             return _fake_features(payload or b"", dim)
+        from valentinus_spark.imaging import decode_png, image_features, is_png
+
+        if modality == "image" and is_png(payload):
+            return image_features(decode_png(payload), dim)
         raise NotImplementedError(
-            f"real {modality} decoding requires media libraries not present "
-            "in this environment (PIL/soundfile/av); plug the decoder in here"
+            f"real {modality} decoding beyond PNG requires media libraries "
+            "not present in this environment (PIL/soundfile/av); plug the "
+            "decoder in here"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,9 +161,11 @@ def resize_images(
 ) -> DataFrame:
     """Image-resize plumbing: (media_id, content) → (media_id, content,
     meta) with the payload replaced by the resized encoding and meta
-    carrying the typed target dims. The stub transform is deterministic
-    (digest-stretched bytes sized w·h·3); a real implementation decodes
-    with PIL, resizes, re-encodes — at the marked site. Output stays a
+    carrying the typed target dims. With ``decode_stub=False``, PNG
+    payloads are REALLY decoded, nearest-neighbor resized and re-encoded
+    via the stdlib codec (valentinus_spark/imaging.py); non-PNG payloads
+    raise at the marked site (PIL plugs in there). The stub transform is
+    deterministic (digest-stretched bytes sized w·h·3). Output stays a
     binary column, so resized corpora feed straight back into
     extract_media_features / dedup over content_sha."""
     out_schema = StructType(
@@ -167,13 +178,32 @@ def resize_images(
     n_out = width * height * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from valentinus_spark.imaging import (
+            decode_png,
+            encode_png,
+            is_png,
+            resize_nearest,
+        )
+
         for pdf in batches:
             contents, metas = [], []
             for payload in pdf["content"]:
                 if not decode_stub:
-                    raise NotImplementedError(
-                        "real image resize requires PIL; decode→resize→encode here"
+                    if not is_png(payload):
+                        raise NotImplementedError(
+                            "real non-PNG image resize requires PIL; "
+                            "decode→resize→encode here"
+                        )
+                    arr = resize_nearest(decode_png(payload), width, height)
+                    contents.append(encode_png(arr))
+                    metas.append(
+                        {
+                            "width": str(width),
+                            "height": str(height),
+                            "channels": str(arr.shape[2]),
+                        }
                     )
+                    continue
                 raw = _fake_features(payload or b"", min(n_out, 4096))
                 stretched = np.resize(
                     ((raw + 1.0) * 127.5).astype(np.uint8), n_out
