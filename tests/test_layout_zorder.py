@@ -1,0 +1,84 @@
+"""Z-order layout tests (operators/layout.py): Morton key math, locality
+of the clustered layout, and the write path's physical plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from valentinus_spark.operators.layout import (
+    rank_scale,
+    write_zordered,
+    zorder_bucket_stats,
+    zorder_frame,
+    zorder_value,
+)
+
+
+def test_zorder_value_known_bits(spark):
+    # x=0b11, y=0b01 at 2 bits: out bit layout y1 x1 y0 x0 → 0b0111 = 7
+    df = spark.createDataFrame([(3, 1)], "x long, y long")
+    assert df.select(zorder_value(["x", "y"], bits=2).alias("z")).first()["z"] == 7
+    # single column degenerates to the identity on the low bits
+    assert (
+        df.select(zorder_value(["x"], bits=2).alias("z")).first()["z"] == 3
+    )
+
+
+def test_zorder_value_width_guard():
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_value(["a", "b", "c", "d"], bits=16)
+
+
+def test_rank_scale_range_and_monotone(spark):
+    df = spark.createDataFrame([(v,) for v in [5, 1000, 7, 99, 5]], "v long")
+    out = {r["v"]: r["v_scaled"] for r in rank_scale(df, "v", bits=8).collect()}
+    assert all(0 <= s < 256 for s in out.values())
+    assert out[5] < out[7] < out[99] < out[1000]
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    """The point of z-ordering: bucket bounding boxes stay small on BOTH
+    dims. Sorting by x alone gives each bucket the FULL y range; the
+    Morton layout must cut the mean y-extent by a large factor."""
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zstats = zorder_bucket_stats(grid, ["x", "y"], bits=6, n_buckets=16).collect()
+
+    def mean_extent(rows, c):
+        return sum(r[f"max_{c}"] - r[f"min_{c}"] for r in rows) / len(rows)
+
+    # x-sorted baseline: bucket = ntile over x ordering
+    from pyspark.sql import Window
+
+    xsorted = (
+        grid.withColumn("bucket", F.ntile(16).over(Window.orderBy("x", "y")))
+        .groupBy("bucket")
+        .agg(F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+        .collect()
+    )
+    assert mean_extent(zstats, "y") < 0.5 * mean_extent(xsorted, "y")
+    # and the z layout still bounds x: each of 16 buckets ≪ full 0..63
+    assert mean_extent(zstats, "x") < 32
+
+
+def test_write_zordered_files_and_pruning_stats(spark, tmp_path):
+    grid = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zorded")
+    write_zordered(grid, path, ["x", "y"], bits=5, n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 1024
+    assert set(back.columns) == {"x", "y"}
+
+
+def test_zorder_frame_plan_has_range_partitioning(spark):
+    grid = spark.range(100).select(
+        (F.col("id") % 10).alias("x"), (F.col("id") / 10).cast("long").alias("y")
+    )
+    plan = (
+        zorder_frame(grid, ["x", "y"], bits=4, n_partitions=4)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()

@@ -1,0 +1,62 @@
+"""KMV distinct-count sketch tests (operators/sketches.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from valentinus_spark.operators.sketches import (
+    kmv_distinct,
+    kmv_hashes,
+    kmv_merge_estimate,
+)
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # group "big": 5000 distinct values written twice (dups must not bias
+    # the estimate); group "small": 10 distinct (< k → exact)
+    rows = [("big", f"v{i % 5000}") for i in range(10000)] + [
+        ("small", f"s{i}") for i in range(10)
+    ]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_kmv_small_group_exact(vals):
+    out = {r["g"]: r for r in kmv_distinct(vals, "v", ["g"], k=64).collect()}
+    assert out["small"]["n_seen"] == 10
+    assert out["small"]["est_distinct"] == 10.0
+
+
+def test_kmv_estimate_within_error(vals):
+    # k=256 → expected relative error ~1/sqrt(254) ≈ 6.3%; allow 4 sigma
+    out = {r["g"]: r for r in kmv_distinct(vals, "v", ["g"], k=256).collect()}
+    est = out["big"]["est_distinct"]
+    assert out["big"]["n_seen"] == 256
+    assert abs(est - 5000) / 5000 < 0.25, est
+
+
+def test_kmv_deterministic(vals):
+    a = sorted(map(tuple, kmv_distinct(vals, "v", ["g"], k=64).collect()))
+    b = sorted(map(tuple, kmv_distinct(vals, "v", ["g"], k=64).collect()))
+    assert a == b
+
+
+def test_kmv_global_no_groups(spark):
+    df = spark.createDataFrame([(f"x{i}",) for i in range(30)], "v string")
+    row = kmv_distinct(df, "v", k=64).first()
+    assert row["n_seen"] == 30 and row["est_distinct"] == 30.0
+
+
+def test_kmv_merge_matches_union(spark):
+    """Merging two shards' sketches must equal sketching the union — the
+    mergeability contract that makes the sketch incrementally
+    maintainable."""
+    left = spark.createDataFrame([("g", f"a{i}") for i in range(500)], "g string, v string")
+    right = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(250, 750)], "g string, v string"
+    )
+    merged = kmv_merge_estimate(
+        kmv_hashes(left, "v", ["g"], k=64), kmv_hashes(right, "v", ["g"], k=64), k=64
+    ).first()
+    direct = kmv_distinct(left.union(right), "v", ["g"], k=64).first()
+    assert merged["est_distinct"] == direct["est_distinct"]
+    assert merged["n_seen"] == direct["n_seen"] == 64

@@ -1,0 +1,111 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+At 100 TB the scan cost of a query with predicates on TWO columns is set
+by data LAYOUT, not plan shape: files sorted by col A alone cannot skip
+for a predicate on col B. Interleaving the bits of both columns into one
+Morton key and range-partitioning + sorting by it gives every file a
+small bounding box in (A, B) space, so parquet min/max stats prune files
+for predicates on EITHER column — the same technique Delta/Iceberg expose
+as OPTIMIZE ZORDER BY.
+
+Everything here is plain Catalyst bit arithmetic (shifts, masks, ORs) —
+no UDF — so the z-value computation is whole-stage-codegen'd AND
+reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton key: interleave the low ``bits`` bits of each column
+    (column i contributes bit b to output position b*n_cols + i).
+    Columns must be non-negative integers already scaled to ``bits``
+    width (use :func:`rank_scale` for arbitrary/skewed data);
+    ``n_cols * bits`` must fit in 63 bits.
+
+    Built as an O(bits·n_cols) OR-fold of shift/mask expressions —
+    constant-folded per row inside codegen, no Python anywhere."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a signed 64-bit key")
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        cc = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for b in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(cc, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return out
+
+
+def rank_scale(df: DataFrame, col: str, bits: int = 16) -> DataFrame:
+    """Add ``<col>_scaled``: the column's dense percent_rank mapped onto
+    [0, 2^bits): rank-based scaling makes z-ordering robust to skew and
+    arbitrary ranges (a heavy-hitter value occupies one slot, not a whole
+    prefix of the key space). One global sort-shuffle per column — run it
+    in the same job as the final range partitioning."""
+    w = F.percent_rank().over(Window.orderBy(F.col(col)))
+    scaled = F.least(
+        F.floor(w * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+    )
+    return df.withColumn(f"{col}_scaled", scaled)
+
+
+def zorder_frame(
+    df: DataFrame, cols: list[str], bits: int = 16, n_partitions: int | None = None
+) -> DataFrame:
+    """The clustering transform itself: add ``_zval`` and range-partition +
+    sort by it. Writing the result to parquet yields files whose (cols…)
+    bounding boxes are small — min/max pruning then works for predicates
+    on ANY of the z-ordered columns.
+
+    Plan: one RangePartitioning Exchange on the Morton key (sampled range
+    bounds — no skew pileup) + in-partition sort; the write stays a plain
+    parquet append. At 100 TB this is the standard compaction job shape:
+    scan → exchange → sorted write, no driver involvement."""
+    out = df.withColumn("_zval", zorder_value(list(cols), bits))
+    if n_partitions:
+        out = out.repartitionByRange(n_partitions, "_zval")
+    else:
+        out = out.repartitionByRange("_zval")
+    return out.sortWithinPartitions("_zval")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 64,
+) -> None:
+    """Compact ``df`` into ``n_files`` z-ordered parquet files at ``path``.
+    Each output file covers a contiguous Morton range ⇒ a tight bounding
+    box in the z-ordered columns ⇒ parquet footer min/max stats prune
+    whole files for predicates on any clustered column."""
+    zorder_frame(df, cols, bits, n_partitions=n_files).drop("_zval").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def zorder_bucket_stats(
+    df: DataFrame, cols: list[str], bits: int = 8, n_buckets: int = 32
+) -> DataFrame:
+    """Layout-quality diagnostic: split the Morton key space into
+    ``n_buckets`` equal-count buckets (ntile) and report each bucket's
+    per-column min/max bounding box + row count. Tight per-bucket ranges
+    on EVERY column are exactly the property that makes file-level
+    min/max pruning effective; the same numbers double as the oracle
+    surface (ntile + min/max are plain SQL)."""
+    z = df.select(
+        *[F.col(c) for c in cols], zorder_value(list(cols), bits).alias("_zval")
+    )
+    bucketed = z.withColumn(
+        "bucket", F.ntile(n_buckets).over(Window.orderBy("_zval", *cols))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return bucketed.groupBy("bucket").agg(*aggs)
