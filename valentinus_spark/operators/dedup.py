@@ -242,25 +242,32 @@ def minhash_native_pairs(
     Scale shape: one shuffle keyed on (band, band_hash); skewed buckets
     (boilerplate docs) can be salted upstream by capping shingle document
     frequency."""
-    from valentinus_spark.functions.text import sha_hash60
-
     r = num_hashes // bands
     shingled = _shingle_sets(df, id_col, text_col, n)
+    # Signatures via explode → groupBy(min × num_hashes) rather than a
+    # per-row higher-order aggregate: HOF lambdas run INTERPRETED (no
+    # whole-stage codegen, no common-subexpression elimination), while
+    # the explode/hash-aggregate shape is fully codegen'd with map-side
+    # partial mins — the shuffle carries one num_hashes-wide row per doc
+    # per mapper, never the shingles.
+    exploded = shingled.select("_id", F.explode("_shingles").alias("_s"))
     if hash_fn == "sha256":
-        def _hash_i(i):
-            return lambda s: sha_hash60(F.concat(F.lit(f"{i}:"), s))
+        # one sha256 = 64 hex chars = FOUR independent 60-bit values, so
+        # hash i is slice (i % 4) of sha256((i//4) || ':' || shingle) —
+        # 4× fewer digests than a salt per hash (codegen CSE shares each
+        # digest across its four slice expressions)
+        def _h(i):
+            digest = F.sha2(F.concat(F.lit(f"{i // 4}:"), F.col("_s")), 256)
+            return F.conv(F.substring(digest, 1 + 15 * (i % 4), 15), 16, 10).cast(
+                "long"
+            )
     else:
-        def _hash_i(i):
-            return lambda s: F.xxhash64(F.lit(i), s)
-    sig = shingled.select(
-        "_id",
-        F.array(
-            *[
-                F.array_min(F.transform("_shingles", _hash_i(i)))
-                for i in range(num_hashes)
-            ]
-        ).alias("_mh"),
-    )
+        def _h(i):
+            return F.xxhash64(F.lit(i), F.col("_s"))
+
+    sig = exploded.groupBy("_id").agg(
+        *[F.min(_h(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    ).select("_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_mh"))
 
     # band key: xxhash64 over the band's signature slice for the fast path;
     # for the portable variant the slice itself (comma-joined) IS the key —
