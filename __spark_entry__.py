@@ -771,6 +771,36 @@ def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_bucket_stats(li, ["l_partkey", "l_suppkey"], bits=16, n_buckets=32)
 
 
+def q_rp_ann_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the random-projection ANN path — q_ivf_ann_planted's
+    twin (same planted ids 1..10 at cosine ≈ 0.94, same literal oracle):
+    the JL prefilter at 64→16 must preserve a margin this wide, so a
+    projection bug or re-rank regression is a driver hash FAILURE."""
+    from valentinus_spark.operators.similarity import rp_ann_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(v) for v in QUERY_VEC])
+    planted = embs.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id").between(1, 10),
+            F.zip_with(
+                qlit,
+                F.col("embedding").cast("array<double>"),
+                lambda q, e: q + F.lit(0.35) * e,
+            ).cast("array<float>"),
+        ).otherwise(F.col("embedding")),
+    )
+    queries = spark.range(1).select(
+        F.lit(0).cast("long").alias("qid"), qlit.alias("qvec")
+    )
+    out = rp_ann_topk(
+        planted, queries, k=10, out_dim=16, mult=4, corpus_id="vec_id",
+        corpus_vec="embedding",
+    )
+    return out.select("qid", "vec_id")
+
+
 def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension merge (operators/scd.py): the customer table as a
     versioned dimension (all rows open since 2024-01-01) receives an
@@ -1776,7 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_coverage": q_dup_span_coverage,
         "unigram_logprob": q_unigram_logprob,
         "source_token_kl": q_source_token_kl,
-        "rp_ann_topk": q_rp_ann_topk,
+        "rp_ann_planted": q_rp_ann_planted,
         "events_stream_enriched": q_events_stream_enriched,
         "interval_overlap": q_interval_overlap,
         "shard_manifest": q_shard_manifest,
@@ -1798,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # label_cluster_stats (python-oracle test + local gate).
         "label_cluster_stats": q_label_cluster_stats,
         "media_content_stats": q_media_content_stats,
+        "rp_ann_topk": q_rp_ann_topk,  # superseded in-window by rp_ann_planted
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -2233,6 +2264,10 @@ def oracle_sql() -> dict[str, str]:
         # cosine ≈ 0.94 (background max ≈ 0.45), so the correct top-10 is
         # this literal set at every sf — any IVF mis-probe hash-fails
         "ivf_ann_planted": """
+            SELECT 0::BIGINT AS qid, (i + 1)::BIGINT AS vec_id
+            FROM range(10) t(i)
+        """,
+        "rp_ann_planted": """
             SELECT 0::BIGINT AS qid, (i + 1)::BIGINT AS vec_id
             FROM range(10) t(i)
         """,

@@ -224,3 +224,56 @@ def test_incremental_dedup_prunes_corpus_columns(spark):
     assert any(
         "text" in ln and "lang" not in ln and "n_chars" not in ln for ln in schemas
     )
+
+
+def test_kmv_sketch_single_shuffle_then_reused_exchange(spark):
+    """The KMV sketch must shuffle ONCE (the per-group distinct on the
+    hash) and feed the window + final aggregate from that partitioning —
+    a second corpus-sized Exchange would double the job at scale."""
+    from valentinus_spark.operators.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(kmv_distinct(ev, "user_id", ["event_type"], k=64))
+    # exactly two exchanges: (group, hash) distinct — corpus-sized,
+    # map-side combined — then group re-key for the window, whose input
+    # the partial WindowGroupLimit below the Exchange prunes to ≤ k rows
+    # per group per partition (the thing that keeps shuffle #2 tiny)
+    import re
+
+    exch_ids = [int(s) for s in re.findall(r"\+- Exchange \((\d+)\)", plan)]
+    wgl_ids = [int(s) for s in re.findall(r"\+- WindowGroupLimit \((\d+)\)", plan)]
+    assert len(exch_ids) == 2, plan
+    assert any(w < max(exch_ids) for w in wgl_ids), plan  # partial prune below the group exchange
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_value_is_pure_codegen(spark):
+    """The Morton interleave must stay inside whole-stage codegen — no
+    Python nodes, no expensive expressions in the scan."""
+    from valentinus_spark.operators.layout import zorder_value
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.select(zorder_value(["l_partkey", "l_suppkey"], bits=16).alias("z"))
+    plan = plan_of(df)
+    # formatted mode marks codegen stages with a leading '*'
+    assert "* Project" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_apply_closed_history_untouched(spark):
+    """SCD2's closed-history branch must be a bare scan+filter union leg —
+    no join, no shuffle touches the (at scale, enormous) closed history."""
+    from valentinus_spark.operators.scd import scd2_apply
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    current = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").alias("effective_from"),
+        F.lit(None).cast("string").alias("effective_to"),
+    )
+    updates = cust.select("c_custkey", F.lit("X").alias("segment"))
+    out = scd2_apply(current, updates, "c_custkey", ["segment"], "2025-06-01")
+    plan = plan_of(out)
+    assert out.count() == 2 * cust.count()  # every key closes + reopens
+    assert "BatchEvalPython" not in plan
