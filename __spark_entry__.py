@@ -771,6 +771,20 @@ def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_bucket_stats(li, ["l_partkey", "l_suppkey"], bits=16, n_buckets=32)
 
 
+def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/sketches.py): per-user event
+    counts estimated from a 4×1024 sketch probed for user_ids 0..49 —
+    depth/width chosen so real collisions occur and the oracle must
+    reproduce the sketch EXACTLY (same portable hashes, same buckets,
+    same min-read), not just the true counts."""
+    from valentinus_spark.operators.sketches import count_min_estimate, count_min_sketch
+
+    ev = _events(spark, sf_dir)
+    sketch = count_min_sketch(ev, "user_id", depth=4, width=1024)
+    probes = spark.range(50).select(F.col("id").alias("user_id"))
+    return count_min_estimate(sketch, probes, "user_id", depth=4, width=1024)
+
+
 def q_rp_ann_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for the random-projection ANN path — q_ivf_ann_planted's
     twin (same planted ids 1..10 at cosine ≈ 0.94, same literal oracle):
@@ -1776,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
+        "count_min_freq": q_count_min_freq,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2174,6 +2189,28 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY distance ASC, vec_id ASC
             LIMIT 10
+        """,
+        # the sketch itself, cell for cell: hash row j = sha slice j of
+        # the user id, modulo the 1024-wide counter array, min over rows
+        "count_min_freq": """
+            WITH sketch AS (
+                SELECT j AS row,
+                       (('0x' || substr(sha256((j // 4)::VARCHAR || ':' || user_id::VARCHAR),
+                                        (1 + 15 * (j % 4))::INT, 15))::UBIGINT::BIGINT) % 1024 AS bucket,
+                       COUNT(*) AS cnt
+                FROM events CROSS JOIN range(4) t(j)
+                GROUP BY 1, 2
+            ),
+            probed AS (
+                SELECT i AS user_id, j,
+                       (('0x' || substr(sha256((j // 4)::VARCHAR || ':' || i::VARCHAR),
+                                        (1 + 15 * (j % 4))::INT, 15))::UBIGINT::BIGINT) % 1024 AS bucket
+                FROM range(50) p(i) CROSS JOIN range(4) t(j)
+            )
+            SELECT pr.user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+            FROM probed pr
+            LEFT JOIN sketch s ON s.row = pr.j AND s.bucket = pr.bucket
+            GROUP BY pr.user_id
         """,
         # SCD2 recomputed relationally: changed keys close + reopen,
         # unchanged carry verbatim (customer segments never equal the

@@ -60,3 +60,46 @@ def test_kmv_merge_matches_union(spark):
     direct = kmv_distinct(left.union(right), "v", ["g"], k=64).first()
     assert merged["est_distinct"] == direct["est_distinct"]
     assert merged["n_seen"] == direct["n_seen"] == 64
+
+
+def test_count_min_exact_at_wide_width(spark):
+    """With width >> distinct values, no collisions: estimate == exact."""
+    from valentinus_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    rows = [(f"k{i % 20}",) for i in range(200)]  # k0..k19, 10 each
+    df = spark.createDataFrame(rows, "v string")
+    sk = count_min_sketch(df, "v", depth=4, width=1 << 20)
+    probes = spark.createDataFrame([(f"k{i}",) for i in range(20)], "v string")
+    out = {r["v"]: r["est_count"] for r in count_min_estimate(sk, probes, "v", depth=4, width=1 << 20).collect()}
+    assert out == {f"k{i}": 10 for i in range(20)}
+
+
+def test_count_min_upper_bound_at_narrow_width(spark):
+    """Collisions only ever INFLATE an estimate — never undercount."""
+    from valentinus_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    rows = [(f"k{i % 100}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = count_min_sketch(df, "v", depth=4, width=64)  # heavy collisions
+    probes = spark.createDataFrame([(f"k{i}",) for i in range(100)], "v string")
+    out = count_min_estimate(sk, probes, "v", depth=4, width=64).collect()
+    assert all(r["est_count"] >= 10 for r in out)
+
+
+def test_count_min_weighted(spark):
+    from valentinus_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([("a", 5), ("a", 7), ("b", 1)], "v string, w int")
+    sk = count_min_sketch(df, "v", depth=2, width=1 << 16, weight_col="w")
+    probes = spark.createDataFrame([("a",), ("b",), ("zz",)], "v string")
+    out = {r["v"]: r["est_count"] for r in count_min_estimate(sk, probes, "v", depth=2, width=1 << 16).collect()}
+    assert out["a"] == 12 and out["b"] == 1 and out["zz"] == 0

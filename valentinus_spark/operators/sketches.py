@@ -100,6 +100,83 @@ def kmv_merge_estimate(
     return agg.select(*groups, "n_seen", F.round(est, 4).alias("est_distinct"))
 
 
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1 << 12,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) of the
+    value column's frequency distribution: ``depth`` hash rows ×
+    ``width`` counters. Returns (row, bucket, cnt) — depth·width cells at
+    most, independent of corpus size.
+
+    Plan: one projection fanning each input row into ``depth`` (row,
+    bucket) cells (an inline explode of a depth-sized literal array —
+    cheap), then ONE shuffle keyed on the cell with map-side combine: the
+    shuffle carries at most depth·width rows per mapper, a constant.
+    Row j's hash = slice j of the portable sha256 hash, so the sketch —
+    and every estimate read from it — is bit-for-bit reproducible in the
+    DuckDB oracle.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (_sha_slice(value_col, j) % width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    return (
+        df.select(F.explode(cells).alias("c"), w.alias("_w"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1 << 12,
+) -> DataFrame:
+    """Point-frequency estimates from a Count-Min sketch: for each probe
+    value, min over the depth rows of its counter — an upper bound on the
+    true count (error ≤ e·N/width with prob 1-e^-depth). The sketch side
+    is depth·width rows, so the probe join broadcasts it: estimates cost
+    one map-side pass regardless of corpus size. ``depth``/``width`` must
+    match the build call."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (_sha_slice(value_col, j) % width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    probed = probes.select(
+        F.col(value_col), F.explode(cells).alias("c")
+    ).select(value_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    joined = probed.join(F.broadcast(sketch), ["row", "bucket"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    return joined.groupBy(value_col).agg(F.min("cnt").alias("est_count"))
+
+
+def _sha_slice(col: str, j: int) -> Column:
+    """Hash row j for the CM sketch: 15-hex slice (j%4) of
+    sha256((j//4) || ':' || value) — four independent 60-bit hashes per
+    digest (the minhash sha-variant scheme), salted past depth 4; codegen
+    CSE shares each digest across its slices."""
+    digest = F.sha2(F.concat(F.lit(f"{j // 4}:"), F.col(col).cast("string")), 256)
+    return F.conv(F.substring(digest, 1 + 15 * (j % 4), 15), 16, 10).cast("long")
+
+
 def kmv_hashes(
     df: DataFrame,
     value_col: str,
