@@ -771,6 +771,17 @@ def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_bucket_stats(li, ["l_partkey", "l_suppkey"], bits=16, n_buckets=32)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search by posting-list intersection
+    (operators/text_search.py): documents containing the contiguous
+    phrase 'table hash' with match counts. Distinct-word phrase, so
+    occurrences can't self-overlap and the positional-join count is
+    exactly the oracle's adjacency-join count."""
+    from valentinus_spark.operators.text_search import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), "table hash")
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch (operators/sketches.py): per-user event
     counts estimated from a 4×1024 sketch probed for user_ids 0..49 —
@@ -1791,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
         "count_min_freq": q_count_min_freq,
+        "phrase_search": q_phrase_search,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2189,6 +2201,24 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY distance ASC, vec_id ASC
             LIMIT 10
+        """,
+        # token-adjacency joins on 1-based positions — the posting-list
+        # intersection recomputed relationally
+        "phrase_search": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(w) AS tok, unnest(range(1, len(w) + 1)) AS pos
+                FROM words
+            )
+            SELECT a.doc_id, COUNT(*) AS n_matches
+            FROM toks a
+            JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = 'hash'
+            WHERE a.tok = 'table'
+            GROUP BY a.doc_id
         """,
         # the sketch itself, cell for cell: hash row j = sha slice j of
         # the user id, modulo the 1024-wide counter array, min over rows

@@ -91,3 +91,48 @@ def test_tfidf_rank_is_dense_per_doc(spark):
     )
     out = tfidf_keywords(df, k=5).groupBy("doc_id").count().collect()
     assert all(r["count"] == 2 for r in out)  # only 2 distinct terms per doc
+
+
+def test_phrase_search_counts_and_positions(spark):
+    from valentinus_spark.operators.text_search import (
+        build_inverted_index,
+        phrase_search,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the quick brown dog"),
+        (2, "quick brown"),
+        (3, "brown quick"),          # reversed — no match
+        (4, "quick fox brown"),      # not contiguous — no match
+        (5, "QUICK   Brown things"), # case/whitespace normalize → match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_matches"] for r in phrase_search(df, "quick brown").collect()}
+    assert out == {1: 2, 2: 1, 5: 1}
+
+    # precomputed index path gives identical results
+    idx = build_inverted_index(df)
+    out2 = {r["doc_id"]: r["n_matches"] for r in phrase_search(df, "quick brown", index=idx).collect()}
+    assert out2 == out
+
+
+def test_phrase_search_three_words_and_empty(spark):
+    import pytest
+
+    from valentinus_spark.operators.text_search import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "c b a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_matches"] for r in phrase_search(df, "a b c").collect()}
+    assert out == {1: 2}
+    with pytest.raises(ValueError, match="empty"):
+        phrase_search(df, "   ")
+
+
+def test_inverted_index_positions_one_based(spark):
+    from valentinus_spark.operators.text_search import build_inverted_index
+
+    df = spark.createDataFrame([(7, "alpha beta alpha")], "doc_id long, text string")
+    rows = {(r["term"], r["pos"]) for r in build_inverted_index(df).collect()}
+    assert rows == {("alpha", 1), ("beta", 2), ("alpha", 3)}

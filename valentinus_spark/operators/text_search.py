@@ -139,3 +139,53 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(F.col("_id").alias(id_col), "term", "rank", "tfidf")
     )
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: (term, doc_id, pos) with 1-based token
+    positions — the structure behind phrase and proximity queries.
+
+    At corpus scale, persist this bucketed/partitioned BY TERM
+    (sources/tables.py write_bucketed): a phrase query then reads only
+    its terms' posting partitions (partition pruning on the term filter)
+    instead of re-tokenizing the corpus per query."""
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_tokens(normalize_text(text_col))).alias("pos0", "term"),
+        )
+        .select("term", "doc_id", (F.col("pos0") + 1).alias("pos"))
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-phrase match via posting-list intersection: docs where the
+    phrase's tokens appear CONTIGUOUSLY, with match counts.
+    Returns (doc_id, n_matches).
+
+    Plan: filter the positional index to the phrase's k terms (pushed to
+    the scan — with a term-partitioned index this prunes to k posting
+    lists), then k-1 equi-joins on (doc_id, pos ± offset). Join keys are
+    (doc, position) pairs, so candidate rows are bounded by the rarest
+    term's posting list — the classic intersect-from-rarest shape AQE
+    realizes by broadcasting the smaller sides."""
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("empty phrase")
+    idx = index if index is not None else build_inverted_index(df, id_col, text_col)
+    base = idx.filter(F.col("term") == words[0]).select("doc_id", "pos")
+    for off, w in enumerate(words[1:], start=1):
+        nxt = idx.filter(F.col("term") == w).select(
+            "doc_id", (F.col("pos") - off).alias("pos")
+        )
+        base = base.join(nxt, ["doc_id", "pos"])
+    return base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matches"))
