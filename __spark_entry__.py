@@ -782,6 +782,36 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_t(spark, sf_dir, "documents"), "table hash")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semantic_dedup) on the planted
+    corpus: ids 1..10 rewritten to QUERY_VEC + 0.35×orig are mutually
+    cosine ≈ 0.89, far above the ≈0.45 background max — so the operator
+    must drop exactly 2..10 (min-id representative survives) and keep
+    every other row. The oracle pins that id set, making cluster
+    assignment, within-cluster scoring AND the components step a driver
+    hash check."""
+    from valentinus_spark.operators.similarity import semantic_dedup
+
+    embs = _t(spark, sf_dir, "embeddings")
+    # element-wise expressions instead of zip_with: lambda-bearing columns
+    # break Catalyst attribute binding under the operator's self-join
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on ArrayAggregate rebind)
+    planted_vec = F.array(
+        *[
+            (F.lit(QUERY_VEC[i]) + F.lit(0.35) * F.col("embedding")[i]).cast("float")
+            for i in range(len(QUERY_VEC))
+        ]
+    )
+    planted = embs.withColumn(
+        "embedding",
+        F.when(F.col("vec_id").between(1, 10), planted_vec).otherwise(
+            F.col("embedding")
+        ),
+    )
+    kept = semantic_dedup(planted, n_centroids=8, threshold=0.85)
+    return kept.select("vec_id")
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch (operators/sketches.py): per-user event
     counts estimated from a 4×1024 sketch probed for user_ids 0..49 —
@@ -1803,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "count_min_freq": q_count_min_freq,
         "phrase_search": q_phrase_search,
+        "semantic_dedup": q_semantic_dedup,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2337,6 +2368,12 @@ def oracle_sql() -> dict[str, str]:
         "rp_ann_planted": """
             SELECT 0::BIGINT AS qid, (i + 1)::BIGINT AS vec_id
             FROM range(10) t(i)
+        """,
+        # recall/precision gate: the planted group must collapse to its
+        # min id and NOTHING else may be dropped (background max cosine
+        # ≈ 0.45 ≪ 0.85 threshold)
+        "semantic_dedup": """
+            SELECT vec_id FROM embeddings WHERE vec_id NOT BETWEEN 2 AND 10
         """,
         "text_stats": """
             SELECT doc_id,

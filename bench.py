@@ -98,6 +98,13 @@ BENCH_QUERIES = [
     "incremental_neardup",
     "quality_kept",
     "sequence_packing",
+    # round-3 operators (stream_stream_join benched separately — its
+    # micro-batch setup dominates at this sf and would double wall-clock)
+    "approx_distinct_kmv",
+    "count_min_freq",
+    "phrase_search",
+    "zorder_bucket_stats",
+    "scd2_apply",
 ]
 
 
@@ -161,6 +168,10 @@ def main() -> None:
         best, n = float("inf"), 0
         try:
             for _ in range(reps):
+                # drain garbage BEFORE each timed rep — rep 1's garbage
+                # (localCheckpoint blocks, shuffle buffers) otherwise
+                # bills rep 2 and min-of-N never sees a clean heap
+                spark.sparkContext._jvm.System.gc()
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 n = len(df.collect())

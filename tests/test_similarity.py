@@ -340,3 +340,43 @@ def test_label_cluster_stats_matches_numpy(spark):
         assert got[lbl][2] == pytest.approx(round(float(cos.min()), 4), abs=1e-9)
     # tight clusters around distinct bases: members should hug the centroid
     assert got[0][1] > 0.7 and got[1][1] > 0.7
+
+
+def test_semantic_dedup_drops_planted_group(spark):
+    """10 planted near-identical embeddings collapse to their min id; the
+    unrelated background corpus survives intact."""
+    import numpy as np
+
+    from valentinus_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(32)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(10):  # ids 0..9: tight near-dup group around `base`
+        # 0.03·N(0,1)^32 ⇒ perturbation norm ≈ 0.17, mutual cosine ≈ 0.97
+        v = base + 0.03 * rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    for i in range(10, 210):  # ids 10..209: random unit background
+        v = rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r["vec_id"] for r in semantic_dedup(df, n_centroids=4, threshold=0.9).collect()}
+    assert kept == {0} | set(range(10, 210))
+
+
+def test_semantic_dedup_transitive_chain(spark):
+    """A~B and B~C but A~C below threshold must still collapse to one
+    representative (the connected-components step, not pairwise-only)."""
+    from valentinus_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9397, 0.342, 0.0]),   # ~20° from 0
+        (2, [0.766, 0.6428, 0.0]),   # ~40° from 0, ~20° from 1
+        (3, [0.0, 0.0, 1.0]),        # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cos(20°)=0.94 ≥ 0.93 links 0-1 and 1-2; cos(40°)=0.766 does not
+    kept = {r["vec_id"] for r in semantic_dedup(df, n_centroids=2, threshold=0.93).collect()}
+    assert kept == {0, 3}

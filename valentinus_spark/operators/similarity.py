@@ -410,3 +410,58 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_id).applyInPandas(rerank, schema=out_schema)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Sequence[Sequence[float]] | None = None,
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
+    that are SEMANTICALLY redundant — embedding cosine ≥ ``threshold`` —
+    keeping one representative (min id) per near-duplicate group.
+    Returns the kept corpus rows with all columns.
+
+    Plan: k-means clusters (broadcast centroid literals, JVM-side argmax
+    assignment) → exact pairwise cosine WITHIN clusters only (self-join
+    on cluster id: Σ|c|² work instead of n²) → connected components over
+    the pair list (transitive groups) → anti-join the non-representative
+    members. At 100 TB, n_centroids scales as n/target_cluster_size so
+    per-cluster work stays bounded, the pair list is sparse (only actual
+    near-dups), and the CC step runs the driver union-find fast path
+    below 1M pairs / O(log n) star rounds above it."""
+    from valentinus_spark.operators.dedup import connected_components
+
+    cents = centroids if centroids is not None else ivf_centroids(
+        corpus, n_centroids, vec_col
+    )
+    cents_arr = F.array(*[literal_vector(c) for c in cents])
+    scored = F.transform(
+        cents_arr,
+        lambda c, i: F.struct(
+            cosine_similarity(F.col(vec_col), c).alias("sim"), i.alias("bucket")
+        ),
+    )
+    assigned = ensure_parallelism(corpus).withColumn(
+        "_bucket", F.reverse(F.array_sort(scored))[0]["bucket"]
+    )
+    a = assigned.select(
+        F.col("_bucket"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col("_bucket"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, "_bucket")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    dropped = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(dropped, id_col, "anti")
