@@ -782,6 +782,21 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_t(spark, sf_dir, "documents"), "table hash")
 
 
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the part co-purchase graph
+    (symmetric edges between parts sharing an order), 8 fixed rounds.
+    The oracle recomputes the identical iteration with a DuckDB
+    RECURSIVE CTE — per-round 9-decimal rounding pins the double
+    accumulation order on both engines."""
+    from valentinus_spark.operators.graph import copurchase_edges, pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    ranks = pagerank(copurchase_edges(li), iterations=8)
+    return ranks.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py semantic_dedup) on the planted
     corpus: ids 1..10 rewritten to QUERY_VEC + 0.35×orig are mutually
@@ -1834,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_freq": q_count_min_freq,
         "phrase_search": q_phrase_search,
         "semantic_dedup": q_semantic_dedup,
+        "pagerank_copurchase": q_pagerank_copurchase,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2368,6 +2384,35 @@ def oracle_sql() -> dict[str, str]:
         "rp_ann_planted": """
             SELECT 0::BIGINT AS qid, (i + 1)::BIGINT AS vec_id
             FROM range(10) t(i)
+        """,
+        # identical fixed-round power iteration via RECURSIVE CTE; the
+        # co-purchase graph is symmetric so every node has in+out edges
+        # (no dangling-mass term on either side)
+        "pagerank_copurchase": """
+            WITH RECURSIVE
+            edges AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a
+                JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey <> b.l_partkey
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            pr AS (
+                SELECT 0 AS it, node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+                UNION ALL
+                SELECT p.it + 1, e.dst AS node,
+                       ROUND(0.15 / (SELECT n FROM nn)
+                             + 0.85 * SUM(p.rank / dg.d), 9) AS rank
+                FROM pr p
+                JOIN edges e ON e.src = p.node
+                JOIN deg dg ON dg.src = p.node
+                WHERE p.it < 8
+                GROUP BY p.it, e.dst
+            )
+            SELECT node AS part, ROUND(rank, 6) AS rank
+            FROM pr WHERE it = 8
         """,
         # recall/precision gate: the planted group must collapse to its
         # min id and NOTHING else may be dropped (background max cosine

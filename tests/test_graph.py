@@ -1,0 +1,65 @@
+"""PageRank tests (operators/graph.py) against a numpy power-iteration
+oracle with the same fixed-round, per-round-rounded semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from valentinus_spark.operators.graph import (
+    copurchase_edges,
+    pagerank,
+    symmetric_edges,
+)
+
+
+def _np_pagerank(edge_list, iterations=8, damping=0.85):
+    nodes = sorted({x for e in edge_list for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for s, _ in edge_list:
+        out[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for s, d in edge_list:
+            nxt[idx[d]] += damping * r[idx[s]] / out[s]
+        r = np.round(nxt, 9)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_symmetric_edges_dedup_and_no_self_loops(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 1), (2, 2), (2, 3)], "src int, dst int")
+    got = {(r["src"], r["dst"]) for r in symmetric_edges(pairs).collect()}
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    rng = np.random.default_rng(9)
+    raw = {(int(a), int(b)) for a, b in rng.integers(0, 30, size=(120, 2)) if a != b}
+    sym = list(raw | {(b, a) for a, b in raw})
+    df = spark.createDataFrame(sym, "src int, dst int")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    exp = _np_pagerank(sym, iterations=8)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-8, v
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star graph: center 0 linked with every leaf (symmetric)
+    pairs = spark.createDataFrame([(0, i) for i in range(1, 8)], "src int, dst int")
+    ranks = {r["node"]: r["rank"] for r in pagerank(symmetric_edges(pairs)).collect()}
+    assert ranks[0] == max(ranks.values())
+    leaf_vals = {v for k, v in ranks.items() if k != 0}
+    assert len(leaf_vals) == 1  # symmetric leaves tie exactly
+
+
+def test_copurchase_edges_within_order_only(spark):
+    li = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 2), (200, 2), (200, 3), (300, 9)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r["src"], r["dst"]) for r in copurchase_edges(li).collect()}
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}  # 9 is alone in its order
