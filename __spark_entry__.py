@@ -782,6 +782,21 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_t(spark, sf_dir, "documents"), "table hash")
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter (operators/sketches.py): filter built over
+    purchasing users' ids, probed for user_ids 0..99. The oracle rebuilds
+    the identical filter bit-for-bit (same sha-slice hashes, same m/k),
+    so both the no-false-negative guarantee AND the exact false-positive
+    pattern are hash-checked."""
+    from valentinus_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    ev = _events(spark, sf_dir)
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    bloom = bloom_build(buyers, "user_id", k=4, m=1 << 16)
+    probes = spark.range(100).select(F.col("id").alias("user_id"))
+    return bloom_might_contain(probes, bloom, "user_id", k=4, m=1 << 16)
+
+
 def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py) over the part co-purchase graph
     (symmetric edges between parts sharing an order), 8 fixed rounds.
@@ -1850,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "semantic_dedup": q_semantic_dedup,
         "pagerank_copurchase": q_pagerank_copurchase,
+        "bloom_membership": q_bloom_membership,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2384,6 +2400,30 @@ def oracle_sql() -> dict[str, str]:
         "rp_ann_planted": """
             SELECT 0::BIGINT AS qid, (i + 1)::BIGINT AS vec_id
             FROM range(10) t(i)
+        """,
+        # the same filter bit-for-bit: sha-slice hashes mod 2^16, probe =
+        # all 4 positions set
+        "bloom_membership": """
+            WITH vals AS (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            ),
+            bits AS (
+                SELECT DISTINCT
+                       (('0x' || substr(sha256((j // 4)::VARCHAR || ':' || user_id::VARCHAR),
+                                        (1 + 15 * (j % 4))::INT, 15))::UBIGINT::BIGINT) % 65536 AS bit
+                FROM vals CROSS JOIN range(4) t(j)
+            ),
+            probes AS (SELECT i AS user_id FROM range(100) p(i)),
+            ph AS (
+                SELECT user_id, j,
+                       (('0x' || substr(sha256((j // 4)::VARCHAR || ':' || user_id::VARCHAR),
+                                        (1 + 15 * (j % 4))::INT, 15))::UBIGINT::BIGINT) % 65536 AS bit
+                FROM probes CROSS JOIN range(4) t(j)
+            )
+            SELECT ph.user_id,
+                   (SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4) AS might_contain
+            FROM ph LEFT JOIN bits b USING (bit)
+            GROUP BY ph.user_id
         """,
         # identical fixed-round power iteration via RECURSIVE CTE; the
         # co-purchase graph is symmetric so every node has in+out edges

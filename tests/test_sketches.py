@@ -103,3 +103,29 @@ def test_count_min_weighted(spark):
     probes = spark.createDataFrame([("a",), ("b",), ("zz",)], "v string")
     out = {r["v"]: r["est_count"] for r in count_min_estimate(sk, probes, "v", depth=2, width=1 << 16).collect()}
     assert out["a"] == 12 and out["b"] == 1 and out["zz"] == 0
+
+
+def test_bloom_no_false_negatives_and_absent_rejected(spark):
+    from valentinus_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    corpus = spark.createDataFrame([(f"doc{i}",) for i in range(500)], "v string")
+    bloom = bloom_build(corpus, "v", k=4, m=1 << 20)
+    probes = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(0, 500, 50)] + [(f"absent{i}",) for i in range(10)],
+        "v string",
+    )
+    out = {r["v"]: r["might_contain"] for r in bloom_might_contain(probes, bloom, "v", k=4, m=1 << 20).collect()}
+    for i in range(0, 500, 50):
+        assert out[f"doc{i}"] is True  # Bloom guarantee: no false negatives
+    # at m=2^20, n=500: FP rate ~ (kn/m)^k ≈ 1e-11 — all absents reject
+    assert all(out[f"absent{i}"] is False for i in range(10))
+
+
+def test_bloom_bits_bounded_by_m(spark):
+    from valentinus_spark.operators.sketches import bloom_build
+
+    corpus = spark.createDataFrame([(f"x{i}",) for i in range(1000)], "v string")
+    bits = bloom_build(corpus, "v", k=4, m=64)
+    n = bits.count()
+    assert n <= 64
+    assert bits.agg({"bit": "max"}).first()[0] < 64

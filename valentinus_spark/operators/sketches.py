@@ -168,6 +168,52 @@ def count_min_estimate(
     return joined.groupBy(value_col).agg(F.min("cnt").alias("est_count"))
 
 
+def bloom_build(
+    df: DataFrame, value_col: str, k: int = 4, m: int = 1 << 20
+) -> DataFrame:
+    """Columnar Bloom filter: the DISTINCT set bit positions of a k-hash,
+    m-bit filter over the value column — one row per set bit (≤ m rows
+    total, independent of corpus size). Hash j = portable sha slice j
+    mod m, so unlike Spark's builtin bloom_filter_agg the filter is
+    reproducible in DuckDB and portable across engines/restarts.
+
+    Plan: fan each value into k positions (inline array explode), one
+    DISTINCT shuffle bounded by m. Persist the result next to a corpus
+    digest table: the membership probe then prefilters a batch-vs-corpus
+    anti-join to rows whose k positions are all present — at 100 TB the
+    probe touches an ≤ m-row broadcast table instead of the corpus."""
+    cells = F.array(*[(_sha_slice(value_col, j) % m) for j in range(k)])
+    return (
+        df.select(F.explode(cells).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    probes: DataFrame, bloom: DataFrame, value_col: str, k: int = 4, m: int = 1 << 20
+) -> DataFrame:
+    """Membership probe: adds ``might_contain`` (true ⇔ ALL k bit
+    positions are set — no false negatives, false-positive rate
+    ≈ (1-e^(-kn/m))^k). The filter side broadcasts; the probe is one
+    map-side semi-join + count compare, no corpus access."""
+    cells = F.array(*[(_sha_slice(value_col, j) % m) for j in range(k)])
+    exploded = probes.select(
+        F.col(value_col), F.explode(cells).alias("bit")
+    )
+    hits = (
+        exploded.join(F.broadcast(bloom), "bit", "semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        probes.join(hits, value_col, "left")
+        .select(
+            value_col,
+            (F.coalesce("_hits", F.lit(0)) == k).alias("might_contain"),
+        )
+    )
+
+
 def _sha_slice(col: str, j: int) -> Column:
     """Hash row j for the CM sketch: 15-hex slice (j%4) of
     sha256((j//4) || ':' || value) — four independent 60-bit hashes per
