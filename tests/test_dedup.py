@@ -601,3 +601,29 @@ def test_incremental_neardup_fuzzy_match(spark):
         ).collect()
     )
     assert strict == [10, 11]
+
+
+def test_minhash_signatures_are_distinct_hash_families(spark):
+    """Regression pin for the two-parameter-lambda footgun: PySpark binds
+    a second lambda parameter to the ARRAY INDEX, so a captured per-hash
+    salt (`lambda s, i=i: xxhash64(lit(i), s)`) silently collapses all
+    signatures to one hash family — banding degenerates to a single
+    band. The 16 signature values of a multi-shingle doc must not be
+    (near-)identical."""
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.operators.dedup import _shingle_sets
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten eleven twelve")],
+        "doc_id long, text string",
+    )
+    sh = _shingle_sets(df, "doc_id", "text", 3)
+    ex = sh.select("_id", F.explode("_shingles").alias("_s"))
+    sig = ex.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"h{i}") for i in range(16)]
+    ).first()
+    values = [sig[f"h{i}"] for i in range(16)]
+    # 16 mins over 10 shingles from independent families: collisions of
+    # ALL values would need identical families; require near-all distinct
+    assert len(set(values)) >= 12, values

@@ -250,6 +250,15 @@ def minhash_native_pairs(
     # the explode/hash-aggregate shape is fully codegen'd with map-side
     # partial mins — the shuffle carries one num_hashes-wide row per doc
     # per mapper, never the shingles.
+    #
+    # CAUTION (regression-pinned in test_minhash_signatures_are_distinct
+    # _hash_families): an earlier form used
+    # F.transform(shingles, lambda s, i=i: xxhash64(lit(i), s)) — PySpark
+    # treats ANY two-parameter lambda as (element, array_index), so the
+    # captured default i was silently shadowed by the index column and
+    # all 16 "independent" signatures collapsed to one hash family
+    # (banding degenerated; recall rode on the exact-verify stage). Keep
+    # per-hash salts OUTSIDE lambda parameter lists.
     exploded = shingled.select("_id", F.explode("_shingles").alias("_s"))
     if hash_fn == "sha256":
         # one sha256 = 64 hex chars = FOUR independent 60-bit values, so
