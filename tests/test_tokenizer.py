@@ -101,3 +101,57 @@ def test_learn_bpe_exhausts_gracefully(spark):
     merges = learn_bpe(df, n_merges=10)
     # 'ab' collapses after one merge; single-symbol words have no pairs left
     assert merges == [("a", "b")]
+
+
+def test_bpe_encode_matches_training_vocab_state(spark):
+    """Encoding the training corpus with the learned merges must produce
+    exactly the symbol sequences learn_bpe's vocab holds after its last
+    merge — the sequential-replay ≡ greedy-rank-encode equivalence."""
+    from valentinus_spark.operators.tokenizer import bpe_encode, learn_bpe
+
+    rows = [
+        (1, "lower lower lowest low low low"),
+        (2, "newer newest new new lower"),
+        (3, "widest wider wide low new"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = learn_bpe(df, n_merges=8)
+    assert len(merges) == 8
+
+    # python reference: replay the merges sequentially per word
+    def replay(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()}
+    for doc_id, text in rows:
+        expect = []
+        for w in text.split():
+            expect.extend(replay(w))
+        assert got[doc_id] == expect, doc_id
+
+
+def test_bpe_encode_roundtrip_and_empty(spark):
+    from valentinus_spark.operators.tokenizer import bpe_encode, learn_bpe
+
+    df = spark.createDataFrame(
+        [(1, "abab abab cdcd"), (2, ""), (3, "xyz")], "doc_id long, text string"
+    )
+    merges = learn_bpe(df, n_merges=3)
+    out = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()}
+    # concatenating a word's subwords reconstructs it (BPE is lossless)
+    assert "".join(t for t in out[1]) == "ababababcdcd"
+    assert out[2] == []
+    assert "".join(out[3]) == "xyz"
+    # the planted repetition actually merged: fewer tokens than chars
+    assert len(out[1]) < len("ababababcdcd")

@@ -147,3 +147,75 @@ def learn_bpe(
             new_vocab[key] = new_vocab.get(key, 0) + freq
         vocab = new_vocab
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+    letters_only: bool = True,
+) -> DataFrame:
+    """Apply a learned merge table: ``out_col`` = array<string> of subword
+    tokens per document (greedy lowest-rank-first, the standard BPE
+    encode — provably identical to replaying the merges in training
+    order, since a merge can never re-create an earlier merge's pair).
+
+    Scale shape: embarrassingly parallel — the merge table (a few 10k
+    string pairs) ships once per executor inside the Arrow-batched UDF
+    closure; a per-batch word cache collapses the Zipfian word
+    distribution, so the merge loop runs once per DISTINCT word per
+    batch, not once per token. No shuffle at all; tokenization cost is
+    the same map-side pass the embedding UDF makes.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pairs = [tuple(p) for p in merges]
+    pattern = "[a-zA-Z]+" if letters_only else _TOKEN_REGEX
+
+    @pandas_udf("array<string>")
+    def encode(texts):
+        rx = _re.compile(pattern)
+        cache: dict = {}
+
+        def enc_word(w):
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            while len(syms) > 1:
+                best = None
+                for a, b in zip(syms, syms[1:]):
+                    r = ranks.get((a, b))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                a, b = pairs[best]
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        result = []
+        for t in texts:
+            t = "" if t is None else (t.lower() if lowercase else t)
+            toks: list = []
+            for w in rx.findall(t):
+                toks.extend(enc_word(w))
+            result.append(toks)
+        return pd.Series(result)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))
