@@ -782,6 +782,44 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_t(spark, sf_dir, "documents"), "table hash")
 
 
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (operators/validate.py): row-level rules
+    in ONE scan (conditional-sum aggregates), uniqueness via null-safe
+    count-distinct, referential integrity via anti-join — the
+    dbt-test/Great-Expectations shape. The synthetic tables are clean on
+    the FK/uniqueness rules and deliberately dirty on the tight value
+    bounds, so the report has non-zero rows to hash."""
+    from valentinus_spark.operators.validate import (
+        check_expectations,
+        fk_violations,
+        uniqueness_violations,
+        validation_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    return validation_report(
+        [
+            check_expectations(
+                orders,
+                [
+                    ("o_totalprice_positive", F.col("o_totalprice") > 0),
+                    ("o_orderdate_not_null", F.col("o_orderdate").isNotNull()),
+                    ("o_totalprice_under_100k", F.col("o_totalprice") < 100_000),
+                ],
+            ),
+            check_expectations(
+                lineitem,
+                [("l_quantity_1_to_40", F.col("l_quantity").between(1, 40))],
+            ),
+            uniqueness_violations(orders, ["o_orderkey"]),
+            fk_violations(orders, customer, "o_custkey", "c_custkey"),
+            fk_violations(lineitem, orders, "l_orderkey", "o_orderkey"),
+        ]
+    )
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-corpus pipeline, one oracle: Gopher quality
     gate (operators/quality.py) → exact dedup keeping min-id winners
@@ -1890,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase": q_pagerank_copurchase,
         "bloom_membership": q_bloom_membership,
         "corpus_pipeline": q_corpus_pipeline,
+        "data_expectations": q_data_expectations,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2431,6 +2470,37 @@ def oracle_sql() -> dict[str, str]:
         "rp_ann_planted": """
             SELECT 0::BIGINT AS qid, (i + 1)::BIGINT AS vec_id
             FROM range(10) t(i)
+        """,
+        # each family recomputed relationally (NULL predicates count as
+        # violations; uniqueness counts NULL keys; FK orphans = NOT IN)
+        "data_expectations": """
+            SELECT 'o_totalprice_positive' AS check,
+                   COUNT(*) FILTER (WHERE o_totalprice > 0 IS NOT TRUE)::BIGINT AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate_not_null',
+                   COUNT(*) FILTER (WHERE o_orderdate IS NULL)::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice_under_100k',
+                   COUNT(*) FILTER (WHERE o_totalprice < 100000 IS NOT TRUE)::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'l_quantity_1_to_40',
+                   COUNT(*) FILTER (WHERE l_quantity BETWEEN 1 AND 40 IS NOT TRUE)::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique(o_orderkey)',
+                   (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'fk(o_custkey->c_custkey)',
+                   COUNT(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'fk(l_orderkey->o_orderkey)',
+                   COUNT(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+            FROM lineitem
         """,
         # the composed pipeline: gate (shared rep_stats CTE + the same
         # DEFAULT_QUALITY_GATES bounds as quality_kept) → min-id winners

@@ -1,0 +1,93 @@
+"""Data-quality expectations: declarative validation over DataFrames.
+
+The observability piece of a production pipeline: before a 100 TB corpus
+feeds training, assert the invariants (non-null keys, value ranges,
+uniqueness, referential integrity) and get a per-rule violation count —
+the Great-Expectations / dbt-test shape, expressed as Spark aggregates.
+
+Scale shapes:
+- :func:`check_expectations` — ALL row-level rules in ONE scan: each
+  rule compiles to a conditional-sum aggregate, so 20 rules cost the
+  same single pass as one (no per-rule jobs). The result is rule-count
+  rows, unpivoted JVM-side.
+- :func:`uniqueness_violations` — one count-distinct aggregate (map-side
+  partial) per key set.
+- :func:`fk_violations` — anti-join child→parent on the key: broadcast
+  when the parent is dimension-sized, shuffle-hash otherwise (AQE
+  decides); returns orphaned-row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_expectations(
+    df: DataFrame, checks: list[tuple[str, Column]]
+) -> DataFrame:
+    """Evaluate row-level expectations in a single scan.
+
+    ``checks`` = [(rule_name, boolean Column that should hold per row)].
+    Returns (check, n_violations) — rows where the predicate is FALSE or
+    NULL count as violations (an unexpected NULL is a failure, not a
+    pass; wrap with ``.isNull() | cond`` to allow NULLs explicitly)."""
+    if not checks:
+        raise ValueError("no checks given")
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(cond.cast("boolean"), F.lit(False)), 0).otherwise(1)
+        )
+        .cast("long")
+        .alias(name)
+        for name, cond in checks
+    ]
+    wide = df.agg(*aggs)
+    names = [name for name, _ in checks]
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) as (check, n_violations)"
+    )
+
+
+def uniqueness_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(check, n_violations) where violations = rows beyond the first per
+    key tuple (0 ⇔ the key set is unique)."""
+    name = "unique(" + ",".join(key_cols) + ")"
+    # struct wrapper: bare count_distinct(a, b) silently DROPS rows where
+    # any key column is NULL (two (3, NULL) rows would pass as unique);
+    # a struct is never NULL even when its fields are, so NULL keys
+    # participate in uniqueness like any other value
+    agg = df.agg(
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct(*[F.col(c) for c in key_cols]))
+        )
+        .cast("long")
+        .alias("n_violations")
+    )
+    return agg.select(F.lit(name).alias("check"), "n_violations")
+
+
+def fk_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """(check, n_violations): child rows whose key has no parent row
+    (NULL child keys are orphans too — declare nullable FKs explicitly
+    by filtering first)."""
+    name = f"fk({child_key}->{parent_key})"
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="anti",
+    )
+    agg = orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    return agg.select(F.lit(name).alias("check"), "n_violations")
+
+
+def validation_report(parts: list[DataFrame]) -> DataFrame:
+    """Union per-family reports into one (check, n_violations) table."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
