@@ -581,6 +581,26 @@ def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py direction="forward"): each
+    error event gets the user's NEXT click at-or-after it — the
+    time-mirrored window, same one-shuffle plan."""
+    from valentinus_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
+    )
+    out = asof_join(
+        errors, clicks, key="user_id", ts="ts_us",
+        value_cols=["click_id"], direction="forward",
+    )
+    return out.select("event_id", "user_id", F.col("asof_click_id").alias("next_click_id"))
+
+
 def q_collection_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full lifecycle inside the driver gate: documents
     table → collection (hash embedder) → save → filtered cosine top-10 →
@@ -2021,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supply": q_regional_supply,
         "events_windowed_stream": q_events_windowed_stream,
         "asof_join_clicks": q_asof_clicks,
+        "asof_next_click": q_asof_next_click,
         "collection_e2e": q_collection_e2e,
         "range_join_incidents": q_range_join_incidents,
         "customers_no_big_order": q_customers_no_big_order,
@@ -2470,6 +2491,15 @@ def oracle_sql() -> dict[str, str]:
         "rp_ann_planted": """
             SELECT 0::BIGINT AS qid, (i + 1)::BIGINT AS vec_id
             FROM range(10) t(i)
+        """,
+        # forward as-of: min future ts per user, largest click_id at ties
+        "asof_next_click": """
+            SELECT e.event_id, e.user_id,
+                   (SELECT c.event_id FROM events c
+                    WHERE c.event_type = 'click' AND c.user_id = e.user_id
+                      AND c.ts >= e.ts
+                    ORDER BY c.ts ASC, c.event_id DESC LIMIT 1) AS next_click_id
+            FROM events e WHERE e.event_type = 'error'
         """,
         # each family recomputed relationally (NULL predicates count as
         # violations; uniqueness counts NULL keys; FK orphans = NOT IN)

@@ -67,3 +67,37 @@ def test_asof_no_prior_row_is_null(spark):
     )
     row = asof_join(ldf, rdf, key="user_id", ts="ts", value_cols=["rid"]).first()
     assert row["asof_rid"] is None
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: the EARLIEST right row at-or-after each left ts."""
+    import pytest
+
+    from valentinus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10, "l1"), ("k", 25, "l2"), ("k", 99, "l3")],
+        "key string, ts long, name string",
+    )
+    right = spark.createDataFrame(
+        [("k", 5, "r_early"), ("k", 10, "r_at10"), ("k", 30, "r_at30")],
+        "key string, ts long, v string",
+    )
+    out = {
+        r["name"]: r["asof_v"]
+        for r in asof_join(left, right, key="key", ts="ts", value_cols=["v"], direction="forward").collect()
+    }
+    assert out == {"l1": "r_at10", "l2": "r_at30", "l3": None}
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, key="key", ts="ts", value_cols=["v"], direction="nearest")
+
+
+def test_asof_forward_tie_break_largest_wins(spark):
+    from valentinus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "key string, ts long")
+    right = spark.createDataFrame(
+        [("k", 10, 1), ("k", 10, 7), ("k", 12, 3)], "key string, ts long, v int"
+    )
+    row = asof_join(left, right, key="key", ts="ts", value_cols=["v"], direction="forward").first()
+    assert row["asof_v"] == 7  # inclusive match at equal ts; largest tie wins

@@ -36,11 +36,19 @@ def asof_join(
     value_cols: Sequence[str],
     tie_break: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row: the latest right row with same ``key`` and
-    ``right.ts <= left.ts``. Right columns come back as ``{prefix}{col}``
-    (NULL when no prior right row exists). ``tie_break`` orders right rows
-    within an equal (key, ts) — the largest wins."""
+    ``right.ts <= left.ts`` (``direction="backward"``, default), or the
+    EARLIEST right row with ``right.ts >= left.ts``
+    (``direction="forward"`` — pandas merge_asof's forward mode: "the
+    next event after this one"). Right columns come back as
+    ``{prefix}{col}`` (NULL when no matching right row exists).
+    ``tie_break`` orders right rows within an equal (key, ts) — the
+    largest wins. Forward mode is the time-mirrored window (ts ordered
+    descending) — same single shuffle, no row multiplication."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     tb = tie_break or value_cols[0]
     rcols = list(dict.fromkeys(list(value_cols) + [tb]))
     # carry ALL right values as ONE struct: last(struct, ignorenulls) then
@@ -70,10 +78,11 @@ def asof_join(
     # among equal right rows the largest tie_break lands last → wins
     # (the tie key only orders within _side = 0: left rows always sort
     # after right rows at equal ts regardless of their NULL tie field)
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
         .orderBy(
-            F.col(ts).asc(),
+            ts_order,
             F.col("_side").asc(),
             F.col("_r").getField(tb).asc_nulls_first(),
         )
