@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     "phrase_search",
     "zorder_bucket_stats",
     "scd2_apply",
+    "bloom_membership",
+    "semantic_dedup",
+    "pagerank_copurchase",
+    "corpus_pipeline",
+    "data_expectations",
 ]
 
 

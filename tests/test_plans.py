@@ -277,3 +277,26 @@ def test_scd2_apply_closed_history_untouched(spark):
     plan = plan_of(out)
     assert out.count() == 2 * cust.count()  # every key closes + reopens
     assert "BatchEvalPython" not in plan
+
+
+def test_check_expectations_is_single_scan(spark):
+    """N row-level rules must compile to ONE table scan (conditional-sum
+    aggregates in a single pass), not a job per rule."""
+    from valentinus_spark.operators.validate import check_expectations
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    import re
+
+    plan = plan_of(
+        check_expectations(
+            orders,
+            [
+                ("a", F.col("o_totalprice") > 0),
+                ("b", F.col("o_orderdate").isNotNull()),
+                ("c", F.col("o_orderkey") > 0),
+            ],
+        )
+    )
+    # formatted mode lists each node twice (tree + detail header)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
