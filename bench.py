@@ -207,11 +207,14 @@ def main() -> None:
     line = emit(timings)
     # guard the driver's stdout-tail contract: the line must survive a
     # 2000-char tail capture intact — degrade per-query precision, then
-    # per-query detail, before ever overflowing
+    # shrink to the oldest comparable subset (never to zero detail)
     if len(line) >= 1900:
         line = emit({k: round(v, 1) for k, v in timings.items()})
-    if len(line) >= 1900:
-        line = emit({})
+    while len(line) >= 1900 and len(timings) > 10:
+        # drop newest-added queries first: BENCH_QUERIES is ordered
+        # r1-comparable set first, later rounds appended
+        timings = {k: round(v, 1) for k, v in list(timings.items())[:-5]}
+        line = emit(timings)
     print(line)
 
 

@@ -83,14 +83,14 @@ def decode_png(data: bytes) -> np.ndarray:
         elif filt == 1:  # Sub
             cur = line
             for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
         elif filt == 2:  # Up
             cur = (line + prev) & 0xFF
         elif filt == 3:  # Average
             cur = line
             for i in range(stride):
                 left = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
         elif filt == 4:  # Paeth
             cur = line
             for i in range(stride):
@@ -100,7 +100,7 @@ def decode_png(data: bytes) -> np.ndarray:
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+                cur[i] = (int(cur[i]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter byte {filt}")
         out[y] = cur
