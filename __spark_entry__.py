@@ -779,6 +779,22 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "n_seen", "est_distinct")
 
 
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (operators/sketches.py):
+    approximate distinct users per event type at p=4 (m=16 registers).
+    Unlike approx_count_distinct (HLL++, engine-private registers), the
+    registers and the harmonic-sum estimate are built on the portable
+    sha hash with EXACT integer arithmetic, so the DuckDB oracle
+    recomputes the identical estimate — and p=4 makes the driver's
+    sf0.01 (150 users/type) exercise the raw-harmonic branch while
+    sf0.001 (15 users/type) exercises the linear-counting branch."""
+    from valentinus_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(
+        _events(spark, sf_dir), "user_id", ["event_type"], p=4
+    ).select("event_type", "m_seen", "est_distinct")
+
+
 def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout diagnostic (operators/layout.py): Morton-interleave
     lineitem (l_partkey, l_suppkey), split the key space into 32
@@ -1939,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) round-3 additions / materially changed in round 3
         "ivf_ann_planted": q_ivf_ann_planted,
         "approx_distinct_kmv": q_approx_distinct_kmv,
+        "approx_distinct_hll": q_approx_distinct_hll,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
@@ -2480,6 +2497,43 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 63.0 / ((hk + 1) / 1152921504606846976.0)
                          END, 4) AS est_distinct
             FROM k
+        """,
+        # same HLL sketch bit-for-bit (p=4, m=16): registers from the
+        # portable hash (idx = top 4 bits, rho via length(bin(rest)) —
+        # bin prints identically in both engines), harmonic sum in EXACT
+        # integer arithmetic scaled by 2^57, one double division; the
+        # linear-counting branch's ln() is libm-level identical under
+        # ROUND(…, 4). The numer literal is computed by the SAME Python
+        # expression the operator uses (((alpha*m)*m)*2^57).
+        "approx_distinct_hll": f"""
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(sha256(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+                FROM events
+            ),
+            r AS (
+                SELECT event_type, h >> 56 AS idx,
+                       MAX(CASE WHEN (h & ((1::BIGINT << 56) - 1)) = 0 THEN 57
+                                ELSE 57 - length(bin(h & ((1::BIGINT << 56) - 1)))
+                           END) AS rho
+                FROM h GROUP BY 1, 2
+            ),
+            a AS (
+                SELECT event_type, COUNT(*) AS m_seen,
+                       SUM(1::BIGINT << (57 - rho)) AS s
+                FROM r GROUP BY 1
+            ),
+            e AS (
+                SELECT event_type, m_seen, 16 - m_seen AS v,
+                       {float(0.673 * 16 * 16 * (1 << 57))!r} /
+                           (s + (16 - m_seen) * (1::BIGINT << 57))::DOUBLE AS raw
+                FROM a
+            )
+            SELECT event_type, m_seen,
+                   ROUND(CASE WHEN raw <= 40.0 AND v > 0
+                              THEN 16.0 * ln(16.0 / v)
+                              ELSE raw END, 4) AS est_distinct
+            FROM e
         """,
         # recall gate, not a recomputation: the query plants ids 1..10 at
         # cosine ≈ 0.94 (background max ≈ 0.45), so the correct top-10 is

@@ -129,3 +129,57 @@ def test_bloom_bits_bounded_by_m(spark):
     n = bits.count()
     assert n <= 64
     assert bits.agg({"bit": "max"}).first()[0] < 64
+
+
+# ---------------------------------------------------------------- HLL
+
+
+from valentinus_spark.operators.sketches import (  # noqa: E402
+    hll_distinct,
+    hll_estimate,
+    hll_merge_estimate,
+    hll_registers,
+)
+
+
+def test_hll_estimate_within_error(vals):
+    # p=12 → m=4096, relative error ~1.04/64 ≈ 1.6%; allow 4 sigma
+    out = {r["g"]: r for r in hll_distinct(vals, "v", ["g"], p=12).collect()}
+    assert abs(out["big"]["est_distinct"] - 5000) / 5000 < 0.07
+    assert abs(out["small"]["est_distinct"] - 10) / 10 < 0.35
+
+
+def test_hll_duplicate_insensitive(vals):
+    # HLL registers are a pure max over per-value rhos: feeding the
+    # corpus twice must give the IDENTICAL estimate (no distinct pre-pass)
+    once = sorted(map(tuple, hll_distinct(vals, "v", ["g"], p=10).collect()))
+    twice = sorted(
+        map(tuple, hll_distinct(vals.union(vals), "v", ["g"], p=10).collect())
+    )
+    assert once == twice
+
+
+def test_hll_merge_equals_union(spark):
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(500)], "g string, v string")
+    b = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(250, 750)], "g string, v string"
+    )
+    merged = hll_merge_estimate(
+        hll_registers(a, "v", ["g"], p=10),
+        hll_registers(b, "v", ["g"], p=10),
+        p=10,
+        group_cols=["g"],
+    ).collect()
+    direct = hll_distinct(a.union(b), "v", ["g"], p=10).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, direct))
+
+
+def test_hll_register_bounds(vals):
+    regs = hll_registers(vals, "v", ["g"], p=6).collect()
+    assert all(0 <= r["idx"] < 64 for r in regs)
+    assert all(1 <= r["rho"] <= 55 for r in regs)
+    # at most m registers per group
+    import collections
+
+    per_group = collections.Counter(r["g"] for r in regs)
+    assert all(c <= 64 for c in per_group.values())

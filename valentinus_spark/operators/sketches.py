@@ -246,3 +246,117 @@ def kmv_hashes(
         .filter(F.col("_rn") <= k)
         .select(*groups, "_h")
     )
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant from Flajolet et al. 2007 (HyperLogLog:
+    the analysis of a near-optimal cardinality estimation algorithm)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog registers (Flajolet et al. 2007) over the
+    engine-portable 60-bit sha hash: register index = top ``p`` hash
+    bits, register value = max leading-zero rank rho of the remaining
+    ``60-p`` bits. Returns (group cols…, idx, rho) — at most ``2**p``
+    rows per group, the persistable/mergeable sketch state.
+
+    Scale shape: unlike KMV this needs NO distinct pre-pass — rho is a
+    pure function of the value, so duplicate inputs collapse in the
+    max-aggregate. ONE shuffle keyed on (groups, idx) with map-side
+    combine; the shuffle carries at most ``2**p`` rows per mapper per
+    group, a constant independent of corpus size.
+
+    Portability: rho is computed from the bit length of the residual
+    hash via ``length(bin(x))`` — ``bin`` prints the minimal binary
+    string identically in Spark and DuckDB, so the oracle rebuilds the
+    registers bit-for-bit.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    groups = group_cols or []
+    w = 60 - p
+    h = sha_hash60(F.col(value_col).cast("string"))
+    idx = F.shiftright(h, w)
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(*groups, idx.alias("idx"), rho.alias("rho"))
+        .groupBy(*groups, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, p: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Cardinality estimate from HLL registers: the harmonic-mean raw
+    estimator with the standard small-range linear-counting correction
+    (raw <= 2.5m with empty registers -> m*ln(m/V)).
+
+    Cross-engine determinism: the harmonic sum Σ 2^-rho is computed in
+    EXACT integer arithmetic, scaled by 2^(w+1) — every term
+    ``1 << (w+1-rho)`` is an integer and the total is < 2^61, so the
+    one double division at the end (IEEE, order-free) is bit-for-bit
+    reproducible in the DuckDB oracle; only the ln() in the small-range
+    branch leans on libm agreement, absorbed by ROUND(…, 4).
+    """
+    groups = group_cols or []
+    m = 1 << p
+    w = 60 - p
+    scale = 1 << (w + 1)  # term for an empty register (rho = 0)
+    numer = float(_hll_alpha(m) * m * m * scale)
+    agg = registers.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("m_seen"),
+        F.sum(F.expr(f"shiftleft(1L, {w + 1} - rho)")).alias("_s"),
+    )
+    s_total = F.col("_s") + (F.lit(m) - F.col("m_seen")) * F.lit(scale).cast("long")
+    raw = F.lit(numer) / s_total.cast("double")
+    v = F.lit(m) - F.col("m_seen")  # empty-register count
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*groups, "m_seen", F.round(est, 4).alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Convenience: registers + estimate in one call. Relative error
+    ≈ 1.04/sqrt(2^p) (p=12 → ~1.6%). Prefer this over
+    ``approx_count_distinct`` when the estimate must be reproducible
+    outside Spark (HLL++ register layout is engine-private)."""
+    return hll_estimate(hll_registers(df, value_col, group_cols, p), p, group_cols)
+
+
+def hll_merge_estimate(
+    regs_a: DataFrame, regs_b: DataFrame, p: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge two register sets (max per register — the HLL union is
+    lossless: merged registers EQUAL the registers of the unioned
+    inputs) and re-estimate. Persist per-shard/per-day registers, merge
+    on read, never rescan history."""
+    groups = group_cols or []
+    merged = (
+        regs_a.union(regs_b)
+        .groupBy(*groups, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_estimate(merged, p, groups)
