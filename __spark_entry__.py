@@ -795,6 +795,31 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "m_seen", "est_distinct")
 
 
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/cleaning.py, Raffel et
+    al. 2020 §2.2). The synthetic docs are single-line word soup, so the
+    query first SYNTHESIZES line structure deterministically (newline
+    every 5 words via regexp_replace — replicated verbatim in the
+    oracle), then applies the line rules: >= 5 words, line blocklist
+    'slow', doc blocklist 'lorem', >= 2 surviving lines. The cleaned
+    TEXT itself is part of the hashed result, so re-join order and rule
+    semantics are value-checked, not just counted."""
+    from valentinus_spark.operators.cleaning import clean_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lined = docs.withColumn(
+        "text", F.regexp_replace("text", r"((\w+ ){4}\w+) ", "$1\n")
+    )
+    return clean_lines(
+        lined,
+        min_words=5,
+        require_terminal_punct=False,
+        drop_line_patterns=["slow"],
+        drop_doc_patterns=["lorem"],
+        min_kept_lines=2,
+    ).select("doc_id", "text", "n_lines", "n_kept", "n_chars_clean")
+
+
 def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout diagnostic (operators/layout.py): Morton-interleave
     lineitem (l_partkey, l_suppkey), split the key space into 32
@@ -1956,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_planted": q_ivf_ann_planted,
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "approx_distinct_hll": q_approx_distinct_hll,
+        "c4_line_clean": q_c4_line_clean,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
@@ -2534,6 +2560,37 @@ def oracle_sql() -> dict[str, str]:
                               THEN 16.0 * ln(16.0 / v)
                               ELSE raw END, 4) AS est_distinct
             FROM e
+        """,
+        # line synthesis + every line/doc rule replicated: word count =
+        # single-space split of the whitespace-normalized trim (both
+        # engines), blocklists = lowercase contains; doc blocklist at
+        # line granularity equals whole-text contains (pattern has no
+        # newline). Cleaned text hashed verbatim.
+        "c4_line_clean": r"""
+            WITH lined AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((\w+ ){4}\w+) ', '\1' || chr(10), 'g') AS text
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, string_split(text, chr(10)) AS lines
+                FROM lined
+                WHERE NOT contains(lower(text), 'lorem')
+            ),
+            f AS (
+                SELECT doc_id, len(lines) AS n_lines,
+                       list_filter(lines, x ->
+                           (CASE WHEN trim(regexp_replace(x, '\s+', ' ', 'g')) = '' THEN 0
+                                 ELSE len(string_split(trim(regexp_replace(x, '\s+', ' ', 'g')), ' '))
+                            END) >= 5
+                           AND NOT contains(lower(x), 'slow')) AS kept
+                FROM s
+            )
+            SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+                   n_lines, len(kept) AS n_kept,
+                   length(array_to_string(kept, chr(10))) AS n_chars_clean
+            FROM f
+            WHERE len(kept) >= 2
         """,
         # recall gate, not a recomputation: the query plants ids 1..10 at
         # cosine ≈ 0.94 (background max ≈ 0.45), so the correct top-10 is
