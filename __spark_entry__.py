@@ -820,6 +820,43 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text", "n_lines", "n_kept", "n_chars_clean")
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log apply (operators/scd.py::apply_cdc): MERGE
+    semantics — latest-sequence-wins upsert/delete — against an orders
+    snapshot, with the change batch synthesized deterministically from
+    the same table (mod-7 op assignment, two sequence generations so
+    latest-wins is value-checked; mod-5 snapshot gap so genuine inserts
+    occur). Arithmetic is +1.0 / *2.0 only — exact in IEEE doubles, no
+    rounding-boundary risk."""
+    from valentinus_spark.operators.scd import apply_cdc
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    snapshot = orders.filter(F.col("o_orderkey") % 5 != 4)
+    base = orders.filter(F.col("o_orderkey") % 7 < 3)
+    c1 = base.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("I"))
+        .when(F.col("o_orderkey") % 7 == 1, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.lit(1).alias("seq"),
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit("X").alias("o_orderstatus"),
+    )
+    c2 = base.filter(F.col("o_orderkey") % 7 == 2).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+        "o_custkey",
+        (F.col("o_totalprice") * F.lit(2.0)).alias("o_totalprice"),
+        F.lit("Y").alias("o_orderstatus"),
+    )
+    return apply_cdc(snapshot, c1.union(c2), "o_orderkey")
+
+
 def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout diagnostic (operators/layout.py): Morton-interleave
     lineitem (l_partkey, l_suppkey), split the key space into 32
@@ -1982,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "approx_distinct_hll": q_approx_distinct_hll,
         "c4_line_clean": q_c4_line_clean,
+        "cdc_apply": q_cdc_apply,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
@@ -2591,6 +2629,42 @@ def oracle_sql() -> dict[str, str]:
                    length(array_to_string(kept, chr(10))) AS n_chars_clean
             FROM f
             WHERE len(kept) >= 2
+        """,
+        # the same net-effect algebra: per-key latest (seq, op) via
+        # QUALIFY row_number, D drops the key, I/U upserts, anti-join
+        # passthrough for untouched keys
+        "cdc_apply": """
+            WITH snapshot AS (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 5 != 4
+            ),
+            base AS (
+                SELECT o_orderkey, o_custkey, o_totalprice
+                FROM orders WHERE o_orderkey % 7 < 3
+            ),
+            changes AS (
+                SELECT o_orderkey,
+                       CASE o_orderkey % 7 WHEN 0 THEN 'I' WHEN 1 THEN 'D'
+                            ELSE 'U' END AS op,
+                       1 AS seq, o_custkey,
+                       o_totalprice + 1.0 AS o_totalprice,
+                       'X' AS o_orderstatus
+                FROM base
+                UNION ALL
+                SELECT o_orderkey, 'U', 2, o_custkey, o_totalprice * 2.0, 'Y'
+                FROM base WHERE o_orderkey % 7 = 2
+            ),
+            net AS (
+                SELECT * FROM changes
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) = 1
+            )
+            SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, s.o_orderstatus
+            FROM snapshot s
+            WHERE NOT EXISTS (SELECT 1 FROM net n WHERE n.o_orderkey = s.o_orderkey)
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM net WHERE op != 'D'
         """,
         # recall gate, not a recomputation: the query plants ids 1..10 at
         # cosine ≈ 0.94 (background max ≈ 0.45), so the correct top-10 is

@@ -85,3 +85,65 @@ def test_scd2_snapshot_at(dim):
     # boundary: effective_from inclusive, effective_to exclusive
     mar = {r["tier"] for r in scd2_snapshot_at(dim, "2024-03-01").filter("k = 1").collect()}
     assert mar == {"platinum"}
+
+
+# ---------------------------------------------------------------- CDC
+
+
+from valentinus_spark.operators.scd import apply_cdc  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def cdc_snapshot(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, name string, v int"
+    )
+
+
+def test_apply_cdc_upsert_insert_delete(spark, cdc_snapshot):
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 1, "b2", 21),   # update existing
+            (3, "D", 1, None, None),  # delete existing
+            (4, "I", 1, "d", 40),    # insert new
+        ],
+        "k int, op string, seq int, name string, v int",
+    )
+    out = sorted(
+        map(tuple, apply_cdc(cdc_snapshot, changes, "k").collect())
+    )
+    assert out == [(1, "a", 10), (2, "b2", 21), (4, "d", 40)]
+
+
+def test_apply_cdc_latest_seq_wins(spark, cdc_snapshot):
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 1, "first", 1),
+            (2, "U", 3, "last", 3),
+            (2, "U", 2, "middle", 2),
+            (1, "D", 1, None, None),
+            (1, "I", 2, "revived", 99),  # later insert overrides the delete
+        ],
+        "k int, op string, seq int, name string, v int",
+    )
+    out = {r["k"]: r for r in apply_cdc(cdc_snapshot, changes, "k").collect()}
+    assert out[2]["name"] == "last" and out[2]["v"] == 3
+    assert out[1]["name"] == "revived"
+
+
+def test_apply_cdc_same_seq_tiebreak(spark, cdc_snapshot):
+    # same seq: op desc — U beats I beats D (documented lexicographic)
+    changes = spark.createDataFrame(
+        [(2, "D", 5, None, None), (2, "U", 5, "won", 7)],
+        "k int, op string, seq int, name string, v int",
+    )
+    out = {r["k"]: r for r in apply_cdc(cdc_snapshot, changes, "k").collect()}
+    assert out[2]["name"] == "won"
+
+
+def test_apply_cdc_empty_changes_identity(spark, cdc_snapshot):
+    changes = spark.createDataFrame(
+        [], "k int, op string, seq int, name string, v int"
+    )
+    out = sorted(map(tuple, apply_cdc(cdc_snapshot, changes, "k").collect()))
+    assert out == sorted(map(tuple, cdc_snapshot.collect()))

@@ -108,3 +108,49 @@ def scd2_snapshot_at(
         (F.col(effective_from) <= at_col)
         & (F.col(effective_to).isNull() | (F.col(effective_to) > at_col))
     )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC change log (Debezium/Delta-CDF shape) to a snapshot:
+    MERGE semantics without a transactional table format.
+
+    ``changes`` carries one row per change event: ``key``, a sequence
+    column (LSN / commit timestamp), an op column with ``'I'`` (insert),
+    ``'U'`` (update) or ``'D'`` (delete), and the snapshot's attribute
+    columns. Per key the NET effect is the event with the highest
+    ``(seq, op)`` — the deterministic lexicographic tiebreak means a
+    same-seq U beats an I beats a D; feed unique sequence numbers if the
+    source distinguishes them. Then:
+
+    - net I/U → the key's row becomes the change's attributes (upsert);
+    - net D   → the key disappears;
+    - untouched keys pass through verbatim.
+
+    Plan: ONE shuffle keyed on ``key`` for the per-key latest-event
+    window (map-side combinable in principle via max-struct, window keeps
+    it simple and the change batch is the small side), then an anti-join
+    of the snapshot against changed keys (broadcastable — daily change
+    batches ≪ snapshot at warehouse scale) plus a union. Closed nothing:
+    the snapshot is read once, history untouched.
+    """
+    from pyspark.sql import Window
+
+    attrs = [c for c in snapshot.columns if c != key]
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    net = (
+        changes.select(key, op_col, seq_col, *attrs)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    changed_keys = net.select(key)
+    upserts = net.filter(F.col(op_col) != "D").select(key, *attrs)
+    survivors = snapshot.join(changed_keys, key, "anti").select(key, *attrs)
+    return survivors.union(upserts)
