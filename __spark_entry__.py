@@ -857,6 +857,32 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc(snapshot, c1.union(c2), "o_orderkey")
 
 
+def q_corpus_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling
+    (operators/packing.py::group_sample_k): exactly 3 docs per
+    (lang, source) cell by smallest sha256('gsk-v1'||doc_id) — the
+    fixed-quota counterpart to the rate-based corpus_balance_sample.
+    The oracle recomputes the identical kept set, so hash-rank ordering
+    and tie-break are value-checked."""
+    from valentinus_spark.operators.packing import group_sample_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return group_sample_k(docs, ["lang", "source"], "doc_id", k=3)
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (operators/validate.py): one-row
+    summary of quasi-identifier (c_mktsegment, c_nationkey) group sizes
+    at k=8 — rows at re-identification risk, violating groups, actual
+    anonymity level. Exact integer aggregates, scale-meaningful at every
+    sf (the violating counts shrink as groups grow)."""
+    from valentinus_spark.operators.validate import k_anonymity_stats
+
+    return k_anonymity_stats(
+        _t(spark, sf_dir, "customer"), ["c_mktsegment", "c_nationkey"], k=8
+    )
+
+
 def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout diagnostic (operators/layout.py): Morton-interleave
     lineitem (l_partkey, l_suppkey), split the key space into 32
@@ -2020,6 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_hll": q_approx_distinct_hll,
         "c4_line_clean": q_c4_line_clean,
         "cdc_apply": q_cdc_apply,
+        "corpus_sample_quota": q_corpus_sample_quota,
+        "k_anonymity_audit": q_k_anonymity_audit,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
@@ -2665,6 +2693,30 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
             FROM net WHERE op != 'D'
+        """,
+        # identical hash-rank sample: 32-bit sha bucket + key tiebreak
+        "corpus_sample_quota": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY ('0x' || substr(sha256('gsk-v1' || doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT,
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+        """,
+        "k_anonymity_audit": """
+            WITH g AS (
+                SELECT c_mktsegment, c_nationkey, count(*) AS group_size
+                FROM customer GROUP BY 1, 2
+            )
+            SELECT SUM(group_size) AS n_rows,
+                   COUNT(*) AS n_groups,
+                   SUM(CASE WHEN group_size < 8 THEN 1 ELSE 0 END) AS violating_groups,
+                   SUM(CASE WHEN group_size < 8 THEN group_size ELSE 0 END) AS rows_at_risk,
+                   MIN(group_size) AS min_group_size
+            FROM g
         """,
         # recall gate, not a recomputation: the query plants ids 1..10 at
         # cosine ≈ 0.94 (background max ≈ 0.45), so the correct top-10 is

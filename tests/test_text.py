@@ -307,3 +307,50 @@ def test_weighted_sample_key_salt_decorrelated_from_split(spark):
 
     hi = {r["split"] for r in out if r["k"] > math.log(0.9)}
     assert hi == {"train", "val"}
+
+
+# ------------------------------------------- deterministic quota sampling
+
+
+def test_group_sample_k_quota_and_determinism(spark):
+    from valentinus_spark.operators.packing import group_sample_k
+
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(2)]
+    df = spark.createDataFrame(rows, "g string, k int")
+    out = group_sample_k(df, ["g"], "k", k=5).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["k"])
+    assert len(by_g["a"]) == 5          # exact quota
+    assert sorted(by_g["b"]) == [0, 1]  # min(k, group size)
+    again = group_sample_k(df.repartition(7), ["g"], "k", k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_group_sample_k_matches_python_oracle(spark):
+    import hashlib
+
+    from valentinus_spark.operators.packing import group_sample_k
+
+    rows = [("g", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, k int")
+    out = sorted(r["k"] for r in group_sample_k(df, ["g"], "k", k=7).collect())
+
+    def h(i):
+        return int(hashlib.sha256(f"gsk-v1{i}".encode()).hexdigest()[:8], 16)
+
+    expected = sorted(sorted(range(50), key=lambda i: (h(i), i))[:7])
+    assert out == expected
+
+
+def test_group_sample_k_append_stability(spark):
+    from valentinus_spark.operators.packing import group_sample_k
+
+    base = spark.createDataFrame([("g", i) for i in range(30)], "g string, k int")
+    more = spark.createDataFrame([("g", i) for i in range(30, 40)], "g string, k int")
+    s1 = {r["k"] for r in group_sample_k(base, ["g"], "k", k=10).collect()}
+    s2 = {r["k"] for r in group_sample_k(base.union(more), ["g"], "k", k=10).collect()}
+    # hash-rank sampling: appended rows only EVICT — survivors of the
+    # bigger corpus that existed before are exactly the old sample's
+    # lowest-ranked members (s2's old part ⊆ s1)
+    assert (s2 & set(range(30))) <= s1

@@ -74,3 +74,51 @@ def test_fk_violations_and_report(spark, tbl):
         ]
     ).collect()
     assert {r["check"] for r in report} == {"amount_positive", "unique(id)", "fk(id->pid)"}
+
+
+# ------------------------------------------------------- k-anonymity
+
+
+from valentinus_spark.operators.validate import (  # noqa: E402
+    k_anonymity_stats,
+    k_anonymity_violations,
+)
+
+
+@pytest.fixture(scope="module")
+def quasi_df(spark):
+    rows = (
+        [("NY", 1980, i) for i in range(5)]
+        + [("NY", 1990, 100)]            # singleton
+        + [("LA", 1980, 200), ("LA", 1980, 201)]  # pair
+        + [(None, 1980, 300), (None, 1980, 301), (None, 1980, 302)]
+    )
+    return spark.createDataFrame(rows, "city string, birth_year int, pid int")
+
+
+def test_k_anonymity_violations(quasi_df):
+    out = sorted(
+        [
+            (r["city"], r["birth_year"], r["group_size"])
+            for r in k_anonymity_violations(
+                quasi_df, ["city", "birth_year"], k=3
+            ).collect()
+        ],
+        key=str,
+    )
+    assert out == [("LA", 1980, 2), ("NY", 1990, 1)]
+
+
+def test_k_anonymity_nulls_group_together(quasi_df):
+    out = k_anonymity_violations(quasi_df, ["city", "birth_year"], k=4).collect()
+    # the three NULL-city rows form one group of 3 (< 4)
+    assert any(r["city"] is None and r["group_size"] == 3 for r in out)
+
+
+def test_k_anonymity_stats(quasi_df):
+    row = k_anonymity_stats(quasi_df, ["city", "birth_year"], k=3).collect()[0]
+    assert row["n_rows"] == 11
+    assert row["n_groups"] == 4
+    assert row["violating_groups"] == 2
+    assert row["rows_at_risk"] == 3
+    assert row["min_group_size"] == 1

@@ -125,3 +125,46 @@ def shard_manifest(
         .groupBy("shard")
         .agg(*aggs)
     )
+
+
+def group_sample_k(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "gsk-v1",
+) -> DataFrame:
+    """Deterministic k-per-group sample: the k rows with the smallest
+    sha256(salt || key) within each group (exactly min(k, group size)
+    rows per group — the fixed-quota counterpart to the rate-based
+    [functions.text.stratified_keep]).
+
+    Properties a corpus-curation pipeline needs and df.sampleBy cannot
+    give: reproducible across runs/partitionings/engines (the DuckDB
+    oracle recomputes the exact kept set), stable under corpus append
+    (a new row evicts at most one old sample member per group), and
+    exact quotas rather than binomial rates.
+
+    Plan: ONE shuffle keyed on the group columns for the row_number
+    window; ties in the 32-bit hash bucket break on the key itself, so
+    the sample is total-order deterministic even on hash collisions.
+
+    The default salt is function-specific on purpose — sharing a salt
+    with stable_split/stratified_keep on the same key would correlate
+    the sample with split assignment (see weighted_sample_key's note).
+    """
+    from valentinus_spark.functions.text import _c  # local: avoid cycle at import
+
+    bucket = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(salt), _c(key_col).cast("string")), 256), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(*group_cols).orderBy(bucket, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

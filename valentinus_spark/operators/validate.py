@@ -91,3 +91,41 @@ def validation_report(parts: list[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Groups of quasi-identifier values shared by FEWER than ``k`` rows
+    — the re-identification risk surface of a release (Sweeney 2002,
+    k-anonymity). Returns (quasi cols…, group_size) for each violating
+    combination. NULL quasi-values group together (standard groupBy
+    semantics — a null birthdate is itself an identifying pattern).
+
+    ONE shuffle keyed on the quasi-identifier columns, map-side
+    combined; output is bounded by the number of rare combinations."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )
+
+
+def k_anonymity_stats(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
+    """One-row k-anonymity audit summary: total rows/groups, violating
+    groups, rows at re-identification risk (members of groups smaller
+    than ``k``), and the smallest group size (the dataset's actual
+    anonymity level). Same single-shuffle group-count, then a 1-row
+    aggregate — the release gate a privacy review reads."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("group_size"))
+    return groups.agg(
+        F.sum("group_size").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("group_size") < k, 1).otherwise(0)).alias(
+            "violating_groups"
+        ),
+        F.sum(
+            F.when(F.col("group_size") < k, F.col("group_size")).otherwise(0)
+        ).alias("rows_at_risk"),
+        F.min("group_size").alias("min_group_size"),
+    )
