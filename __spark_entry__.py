@@ -883,6 +883,35 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minmax_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping round trip (operators/layout.py): z-order lineitem
+    into 16 files, build the per-file min/max manifest, PRUNE the file
+    list for l_partkey ∈ [50, 150], read only surviving files, and
+    aggregate. The oracle computes the same aggregate from the FULL
+    table — hash-match proves pruning lost no rows (the data-skipping
+    correctness contract). Pruning effectiveness itself is pinned in
+    tests/test_layout_zorder.py."""
+    import tempfile
+
+    from valentinus_spark.operators.layout import (
+        file_minmax_manifest,
+        pruned_read,
+        write_zordered,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="vs_minmax_")
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], bits=16, n_files=16)
+    man = file_minmax_manifest(spark, path, ["l_partkey", "l_suppkey"])
+    pr = pruned_read(spark, path, man, "l_partkey", 50, 150)
+    return pr.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
 def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout diagnostic (operators/layout.py): Morton-interleave
     lineitem (l_partkey, l_suppkey), split the key space into 32
@@ -2048,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "corpus_sample_quota": q_corpus_sample_quota,
         "k_anonymity_audit": q_k_anonymity_audit,
+        "minmax_pruned_agg": q_minmax_pruned_agg,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
@@ -2693,6 +2723,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
             FROM net WHERE op != 'D'
+        """,
+        # full-scan twin of the pruned read: equality proves the file
+        # skip was lossless (l_quantity is integer-valued → double sums
+        # are exact regardless of accumulation order)
+        "minmax_pruned_agg": """
+            SELECT l_partkey, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_partkey BETWEEN 50 AND 150
+            GROUP BY 1
         """,
         # identical hash-rank sample: 32-bit sha bucket + key tiebreak
         "corpus_sample_quota": """

@@ -82,3 +82,59 @@ def test_zorder_frame_plan_has_range_partitioning(spark):
         .toString()
     )
     assert "rangepartitioning" in plan.lower()
+
+
+# ----------------------------------------------- min/max file skipping
+
+
+from valentinus_spark.operators.layout import (  # noqa: E402
+    file_minmax_manifest,
+    prune_files,
+    pruned_read,
+    write_zordered,
+)
+
+
+@pytest.fixture(scope="module")
+def zordered_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zord"))
+    rows = [(i, i % 100, (i * 7) % 100, float(i % 50)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, v double")
+    write_zordered(df, path, ["a", "b"], bits=8, n_files=16)
+    return path
+
+
+def test_manifest_covers_all_files_and_rows(spark, zordered_dir):
+    man = file_minmax_manifest(spark, zordered_dir, ["a", "b"])
+    rows = man.collect()
+    assert len(rows) == 16
+    assert sum(r["n_rows"] for r in rows) == 5000
+    assert all(r["min_a"] <= r["max_a"] for r in rows)
+
+
+def test_prune_files_skips_most_files(spark, zordered_dir):
+    man = file_minmax_manifest(spark, zordered_dir, ["a", "b"])
+    cand = prune_files(man, "a", 10, 19)
+    # z-ordered layout: a 10%-wide range on one clustered column must
+    # not touch every file (bounding boxes are tight on both columns)
+    assert 0 < len(cand) < 16
+
+
+def test_pruned_read_exact_vs_full_scan(spark, zordered_dir):
+    man = file_minmax_manifest(spark, zordered_dir, ["a", "b"])
+    pruned = sorted(
+        map(tuple, pruned_read(spark, zordered_dir, man, "a", 10, 19).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            spark.read.parquet(zordered_dir).filter(F.col("a").between(10, 19)).collect(),
+        )
+    )
+    assert pruned == full and len(full) == 500
+
+
+def test_pruned_read_empty_range(spark, zordered_dir):
+    man = file_minmax_manifest(spark, zordered_dir, ["a", "b"])
+    assert prune_files(man, "a", 1000, 2000) == []
+    assert pruned_read(spark, zordered_dir, man, "a", 1000, 2000).count() == 0

@@ -109,3 +109,59 @@ def zorder_bucket_stats(
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return bucketed.groupBy("bucket").agg(*aggs)
+
+
+def file_minmax_manifest(
+    spark, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-FILE min/max + row-count manifest of a parquet directory —
+    the Delta data-skipping / Iceberg manifest-file shape, as a plain
+    DataFrame: (file, n_rows, min_<c>, max_<c> …).
+
+    At 100 TB the win is that pruning consults this (#files)-row table
+    instead of opening parquet footers across object storage: persist
+    the manifest next to the table after each compaction/z-order pass
+    and the planner-side prune becomes a millisecond scan. One
+    aggregation keyed on the file name (alignment with files makes the
+    shuffle trivially combinable)."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.select(F.input_file_name().alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def prune_files(manifest: DataFrame, col: str, lo, hi) -> list[str]:
+    """File names whose [min_col, max_col] range intersects [lo, hi] —
+    the candidate set a range predicate must read. The manifest is
+    files-sized, so the collect is a planner-side lookup, not a data
+    scan. Null-stat files (all-null column) are kept: skipping them
+    would need null-count stats (correctness first)."""
+    keep = manifest.filter(
+        (F.col(f"min_{col}").isNull())
+        | ((F.col(f"min_{col}") <= F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo)))
+    )
+    return [r["file"] for r in keep.select("file").collect()]
+
+
+def pruned_read(spark, path: str, manifest: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Read only the files that can contain ``col BETWEEN lo AND hi``
+    (per :func:`prune_files`) and re-apply the exact predicate — file
+    skipping is a superset prefilter, the residual filter keeps
+    semantics exact. On a z-ordered table (write_zordered) the file set
+    shrinks to the bounding-box hits, which is the whole point of the
+    layout."""
+    files = prune_files(manifest, col, lo, hi)
+    if not files:
+        return (
+            spark.read.parquet(path)
+            .filter(F.col(col).between(lo, hi))
+            .limit(0)
+        )
+    return (
+        spark.read.parquet(*files).filter(F.col(col).between(lo, hi))
+    )
