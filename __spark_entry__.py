@@ -912,6 +912,77 @@ def q_minmax_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (operators/profile.py): one scan,
+    long format, exact per-column n/nulls/ndv/min/max over lineitem's
+    numeric columns."""
+    from valentinus_spark.operators.profile import column_profile
+
+    return column_profile(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_quantity", "l_discount"],
+    )
+
+
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-rank sample quantiles
+    (operators/profile.py::hash_sample_quantiles): per-event-type
+    p25/p50/p90 of value from the 256-row smallest-sha(event_id) sample.
+    Unlike percentile_approx the sample — and therefore the estimate —
+    replays bit-for-bit in the oracle."""
+    from valentinus_spark.operators.profile import hash_sample_quantiles
+
+    return hash_sample_quantiles(
+        _events(spark, sf_dir).select("event_type", "event_id", "value"),
+        "value",
+        "event_id",
+        qs=[0.25, 0.5, 0.9],
+        k=256,
+        group_cols=["event_type"],
+    )
+
+
+def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented exact triangle count (operators/graph.py,
+    compact-forward orientation bounding the wedge stage by O(m^1.5))
+    over the part co-purchase graph. Orientation-invariant count, so the
+    oracle uses the naive a<b<c three-way join."""
+    from valentinus_spark.operators.graph import copurchase_edges, triangle_count
+
+    return triangle_count(copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap debounce (operators/funnel.py::debounce_events):
+    per (user, event type), keep only events >5 minutes after their
+    predecessor — the retry-storm suppressor. Exact µs arithmetic on
+    ts_us; per-user counts returned so the result stays small at every
+    sf while still value-checking which events survived."""
+    from valentinus_spark.operators.funnel import debounce_events
+
+    ev = _events(spark, sf_dir)
+    kept = debounce_events(
+        ev, ["user_id", "event_type"], "ts_us", gap=300_000_000,
+        order_cols=["event_id"],
+    )
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("ts_us").alias("ts_sum"),
+    )
+
+
+def q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset release manifest (operators/packing.py::release_manifest):
+    per-shard row count, content chars, and the order-independent
+    bit_xor content checksum over documents — the integrity block of a
+    dataset card, reproduced exactly by the oracle."""
+    from valentinus_spark.operators.packing import release_manifest
+
+    return release_manifest(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_shards=8
+    )
+
+
 def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout diagnostic (operators/layout.py): Morton-interleave
     lineitem (l_partkey, l_suppkey), split the key space into 32
@@ -2078,6 +2149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_quota": q_corpus_sample_quota,
         "k_anonymity_audit": q_k_anonymity_audit,
         "minmax_pruned_agg": q_minmax_pruned_agg,
+        "table_profile": q_table_profile,
+        "sample_quantiles": q_sample_quantiles,
+        "triangle_copurchase": q_triangle_copurchase,
+        "events_debounce": q_events_debounce,
+        "release_manifest": q_release_manifest,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
@@ -2731,6 +2807,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
             FROM lineitem
             WHERE l_partkey BETWEEN 50 AND 150
+            GROUP BY 1
+        """,
+        "table_profile": """
+            SELECT 'l_orderkey' AS "column", COUNT(*) AS n,
+                   SUM(CASE WHEN try_cast(l_orderkey AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   COUNT(DISTINCT try_cast(l_orderkey AS DOUBLE)) AS n_distinct,
+                   MIN(try_cast(l_orderkey AS DOUBLE)) AS min_v,
+                   MAX(try_cast(l_orderkey AS DOUBLE)) AS max_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', COUNT(*),
+                   SUM(CASE WHEN try_cast(l_partkey AS DOUBLE) IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT try_cast(l_partkey AS DOUBLE)),
+                   MIN(try_cast(l_partkey AS DOUBLE)), MAX(try_cast(l_partkey AS DOUBLE))
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', COUNT(*),
+                   SUM(CASE WHEN try_cast(l_quantity AS DOUBLE) IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT try_cast(l_quantity AS DOUBLE)),
+                   MIN(try_cast(l_quantity AS DOUBLE)), MAX(try_cast(l_quantity AS DOUBLE))
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', COUNT(*),
+                   SUM(CASE WHEN try_cast(l_discount AS DOUBLE) IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT try_cast(l_discount AS DOUBLE)),
+                   MIN(try_cast(l_discount AS DOUBLE)), MAX(try_cast(l_discount AS DOUBLE))
+            FROM lineitem
+        """,
+        # the exact hash-rank sample replayed: same salt, same (hash, id)
+        # sample order, same (value, id) rank order, same floor index
+        "sample_quantiles": """
+            WITH s AS (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY ('0x' || substr(sha256('hsq-v1' || event_id::VARCHAR), 1, 8))::UBIGINT::BIGINT,
+                                    event_id) AS hrn
+                FROM events
+            ),
+            k AS (SELECT event_type, event_id, value FROM s WHERE hrn <= 256),
+            r AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS i,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM k
+            )
+            SELECT event_type, q, value AS quantile_value
+            FROM r CROSS JOIN (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS q) qs
+            WHERE i = CAST(floor(q * (n - 1)) AS INT)
+        """,
+        # orientation-invariant count via the naive a<b<c join (the
+        # Spark side's degree orientation changes the PLAN, not the set)
+        "triangle_copurchase": """
+            WITH raw AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ),
+            e AS (
+                SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+                FROM raw x JOIN raw y ON x.o = y.o AND x.p != y.p
+            ),
+            v AS (
+                SELECT COUNT(*) AS n_vertices
+                FROM (SELECT a AS w FROM e UNION SELECT b FROM e)
+            ),
+            m AS (SELECT COUNT(*) AS n_edges FROM e),
+            t AS (
+                SELECT COUNT(*) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT n_vertices, n_edges, n_triangles FROM v, m, t
+        """,
+        "events_debounce": """
+            WITH g AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id) AS prev
+                FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_kept, SUM(ts_us) AS ts_sum
+            FROM g
+            WHERE prev IS NULL OR ts_us - prev > 300000000
+            GROUP BY user_id
+        """,
+        # same shard hash, same (id || 0x1f || content) row hash, XOR'd
+        "release_manifest": """
+            SELECT ('0x' || substr(sha256('v1' || doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 8 AS shard,
+                   COUNT(*) AS n_rows,
+                   SUM(length(text)) AS n_chars,
+                   bit_xor(('0x' || substr(sha256(doc_id::VARCHAR || chr(31) || text), 1, 15))::UBIGINT::BIGINT) AS content_xor
+            FROM documents
             GROUP BY 1
         """,
         # identical hash-rank sample: 32-bit sha bucket + key tiebreak

@@ -63,3 +63,43 @@ def test_copurchase_edges_within_order_only(spark):
     )
     got = {(r["src"], r["dst"]) for r in copurchase_edges(li).collect()}
     assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}  # 9 is alone in its order
+
+
+# ------------------------------------------------------ triangle count
+
+
+from valentinus_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles) + a pendant edge + an isolated pair
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges += [(4, 5), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_edges"] == 8  # 6 in K4 + 2 extra
+    assert row["n_vertices"] == 7
+
+
+def test_triangle_count_matches_naive_python(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    es = {tuple(sorted(rng.sample(range(30), 2))) for _ in range(120)}
+    df = spark.createDataFrame([(a, b) for a, b in es], "src long, dst long")
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(range(30), 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    assert triangle_count(df).collect()[0]["n_triangles"] == expected
+
+
+def test_triangle_count_direction_and_dup_insensitive(spark):
+    tri = [(1, 2), (2, 3), (3, 1)]
+    noisy = tri + [(b, a) for a, b in tri] + tri  # reversed + duplicated
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row["n_triangles"], row["n_edges"]) == (1, 3)

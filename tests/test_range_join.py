@@ -166,3 +166,37 @@ def test_shard_assignment_deterministic_and_balanced(spark):
         F.sum("n_rows").alias("r"), F.sum("total_n_chars").alias("c")
     ).collect()[0]
     assert mm["r"] == 2000 and mm["c"] == sum(i * 10 for i in range(2000))
+
+
+# ---------------------------------------------------- release manifest
+
+
+def test_release_manifest_checksum_semantics(spark):
+    from valentinus_spark.operators.packing import release_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"content-{i}") for i in range(100)], "doc_id int, text string"
+    )
+    base = {
+        r["shard"]: r for r in release_manifest(df, "doc_id", "text", 4).collect()
+    }
+    assert sum(r["n_rows"] for r in base.values()) == 100
+    # partitioning-independent
+    again = {
+        r["shard"]: r
+        for r in release_manifest(df.repartition(11), "doc_id", "text", 4).collect()
+    }
+    assert {k: tuple(v) for k, v in base.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+    # altering one row flips exactly that shard's checksum
+    tampered = df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit("TAMPERED")).otherwise(F.col("text")),
+    )
+    t = {r["shard"]: r for r in release_manifest(tampered, "doc_id", "text", 4).collect()}
+    diffs = [s for s in base if t[s]["content_xor"] != base[s]["content_xor"]]
+    assert len(diffs) == 1
+    # duplicate rows do NOT cancel: union doubles counts, changes checksum...
+    doubled = release_manifest(df.union(df), "doc_id", "text", 4).collect()
+    assert sum(r["n_rows"] for r in doubled) == 200

@@ -90,3 +90,33 @@ def test_cohort_retention_offsets(spark):
         for r in cohort_retention(df).collect()
     }
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+
+
+# ----------------------------------------------------------- debounce
+
+
+from valentinus_spark.operators.funnel import debounce_events  # noqa: E402
+
+
+def test_debounce_keeps_island_starts(spark):
+    rows = [
+        (1, 0), (1, 5), (1, 9),      # island 1 (gaps <= 10)
+        (1, 100), (1, 105),          # island 2
+        (2, 0), (2, 50),             # user 2: two islands at gap 10
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_us long")
+    out = sorted(
+        (r["user_id"], r["ts_us"])
+        for r in debounce_events(df, ["user_id"], "ts_us", gap=10).collect()
+    )
+    assert out == [(1, 0), (1, 100), (2, 0), (2, 50)]
+
+
+def test_debounce_chain_semantics(spark):
+    # consecutive events each 8 apart with gap=10: only the first
+    # survives (session semantics), even though e3 is 16 from e1
+    df = spark.createDataFrame(
+        [(1, 0), (1, 8), (1, 16), (1, 24)], "user_id int, ts_us long"
+    )
+    out = debounce_events(df, ["user_id"], "ts_us", gap=10).collect()
+    assert [(r["ts_us"]) for r in out] == [0]

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from valentinus_spark.functions.util import ensure_parallelism
@@ -98,4 +98,34 @@ def cohort_retention(
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def debounce_events(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Session-gap debounce: keep only events that START a gap-island —
+    rows whose predecessor (same key, ordered by ``ts_col`` then
+    ``order_cols``) is more than ``gap`` time units away, plus each
+    key's first event. The standard duplicate-click / retry-storm
+    suppressor for event pipelines; equivalently, the first event of
+    every session at this gap.
+
+    ``ts_col`` should be an integer time column (e.g. the µs ``ts_us``
+    from the events normalizer) so the gap arithmetic is exact. ONE
+    shuffle keyed on the event key; the lag window reuses that
+    partitioning."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    return (
+        df.withColumn("_prev_ts", prev)
+        .filter(
+            F.col("_prev_ts").isNull() | (F.col(ts_col) - F.col("_prev_ts") > gap)
+        )
+        .drop("_prev_ts")
     )

@@ -168,3 +168,42 @@ def group_sample_k(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def release_manifest(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n_shards: int = 16,
+    salt: str = "v1",
+) -> DataFrame:
+    """Reproducible-dataset release manifest: per shard (the same
+    :func:`shard_assignment` scheme shard_manifest plans with) the row
+    count, total content chars, and an ORDER-INDEPENDENT content
+    checksum — bit_xor of the portable 60-bit hash of (id, content).
+    XOR commutes, so the checksum is stable under any partitioning/
+    retry order, and hashing the (id, content) PAIR keeps duplicate
+    documents from cancelling each other out of the checksum.
+
+    This is the integrity block of a dataset card: a consumer re-runs
+    the same manifest over the delivered shards and diffs — any
+    dropped, duplicated, or altered row flips the shard's checksum.
+    ONE shuffle keyed on the shard id, fully map-side combinable."""
+    from valentinus_spark.functions.text import sha_hash60
+
+    row_h = sha_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit("\x1f"), F.col(content_col))
+    )
+    return (
+        df.select(
+            shard_assignment(id_col, n_shards, salt),
+            F.length(content_col).alias("_len"),
+            row_h.alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_len").alias("n_chars"),
+            F.expr("bit_xor(_h)").alias("content_xor"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Table statistics and deterministic sampling-based estimators.
+
+The ANALYZE-TABLE half of an engine: column profiles for planning and
+data-quality review, and quantile estimation from a deterministic
+hash-rank sample (the replayable alternative to reservoir sampling and
+to engines' private t-digest/GK sketches — the estimate is bit-for-bit
+reproducible anywhere the hash is, including the DuckDB oracle).
+
+No reference equivalent (/root/reference is a vector store with no
+statistics surface); extension per the training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format numeric column profile: one row per column with
+    ``(column, n, n_null, n_distinct, min_v, max_v)``, values coerced to
+    double (``try_cast`` — non-numeric strings profile as null under
+    ANSI mode instead of throwing).
+
+    ONE scan: per-column aggregates computed in a single agg (Spark
+    plans multi-distinct aggregates with one Expand — acceptable for
+    profile-sized column lists; at very wide tables run in column
+    batches), then unpivoted driver-free via an inline stack. n_distinct
+    counts non-null distinct values (exact — swap in hll_distinct per
+    column when 2% error is acceptable at corpus scale)."""
+    aggs = []
+    for c in cols:
+        v = F.col(c).try_cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.count_distinct(v).alias(f"{c}__nd"),
+            F.min(v).alias(f"{c}__min"),
+            F.max(v).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"{c}__n").alias("n"),
+                    F.col(f"{c}__nn").alias("n_null"),
+                    F.col(f"{c}__nd").alias("n_distinct"),
+                    F.col(f"{c}__min").alias("min_v"),
+                    F.col(f"{c}__max").alias("max_v"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return wide.select(stack.alias("p")).select("p.*")
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    qs: list[float],
+    k: int = 1024,
+    group_cols: list[str] | None = None,
+    salt: str = "hsq-v1",
+) -> DataFrame:
+    """Approximate quantiles of ``value_col`` from a DETERMINISTIC
+    uniform row sample: the ``k`` rows with the smallest
+    sha256(salt || id) per group (the id hash is independent of the
+    value, so the sample is uniform over rows — unlike KMV's
+    distinct-value sample). Quantile rule over the sorted sample of
+    size n: element at index floor(q * (n-1)) — a plain order statistic,
+    no interpolation, so the result is an actual data value and the
+    DuckDB oracle reproduces it exactly.
+
+    Sampling error ~ O(1/sqrt(k)) in rank space. Versus
+    percentile_approx: reproducible across engines/runs/partitionings
+    (auditable pipelines can replay the exact sample), mergeable by
+    re-ranking the unioned samples on the same hash.
+
+    Plan: one group-keyed shuffle for the sample window, then a
+    group-sized sort of k rows per group — nothing corpus-sized moves.
+    Returns (group cols…, q, quantile_value)."""
+    groups = group_cols or []
+    bucket = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(salt), F.col(id_col).cast("string")), 256), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        Window.partitionBy(*groups).orderBy(bucket, F.col(id_col))
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy(bucket, F.col(id_col))
+    )
+    sample = (
+        df.select(*groups, F.col(id_col), F.col(value_col))
+        .withColumn("_hrn", F.row_number().over(w))
+        .filter(F.col("_hrn") <= k)
+    )
+    vw = (
+        Window.partitionBy(*groups).orderBy(F.col(value_col), F.col(id_col))
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy(F.col(value_col), F.col(id_col))
+    )
+    ranked = sample.select(
+        *groups,
+        F.col(value_col),
+        (F.row_number().over(vw) - 1).alias("_i"),
+        F.count(F.lit(1)).over(Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))).alias("_n"),
+    )
+    # one pass for every requested quantile: explode the q list against
+    # the ranked sample and keep rows sitting at their target index —
+    # the sample window is computed once, not once per q
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        ranked.select(
+            *groups, F.col(value_col), "_i", "_n", F.explode(qarr).alias("q")
+        )
+        .filter(F.col("_i") == F.floor(F.col("q") * (F.col("_n") - 1)).cast("int"))
+        .select(*groups, "q", F.col(value_col).alias("quantile_value"))
+    )
