@@ -2142,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_balance_sample": q_corpus_balance_sample,
         # -- (b) round-3 additions / materially changed in round 3
         "ivf_ann_planted": q_ivf_ann_planted,
+        "rp_ann_planted": q_rp_ann_planted,
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "approx_distinct_hll": q_approx_distinct_hll,
         "c4_line_clean": q_c4_line_clean,
@@ -2194,7 +2195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_coverage": q_dup_span_coverage,
         "unigram_logprob": q_unigram_logprob,
         "source_token_kl": q_source_token_kl,
-        "rp_ann_planted": q_rp_ann_planted,
         "events_stream_enriched": q_events_stream_enriched,
         "interval_overlap": q_interval_overlap,
         "shard_manifest": q_shard_manifest,
@@ -2208,13 +2208,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         # ---- stable core (entry 51+): every row below passed the driver
         # gate in r2 (or the local dev_compare gate at sf0.001/0.01/0.1
-        # every round since) and carries standing tests. With 100+
+        # every round since) and carries standing tests. With 115+
         # queries and a 50-entry window, rounds-2-and-3 additions no
-        # longer all fit: the 14 round-3 queries (never driver-checked,
-        # newest code) took the slots of five round-2 queries that have
-        # been locally green for two rounds (bigram_logprob,
-        # incremental_neardup, event_funnel, cohort_retention,
-        # label_cluster_stats) — newest-first is the risk ordering.
+        # longer all fit: the round-3 queries (never driver-checked,
+        # newest code — every one in the (b) block above) take the first
+        # slots, round-2 additions fill the rest, and round-2 veterans
+        # that have been locally green at three scale factors for two
+        # rounds (lineitem_stats, customer_rolling_30d,
+        # incremental_dedup, dup_span_coverage, unigram_logprob,
+        # source_token_kl, events_stream_enriched, interval_overlap,
+        # shard_manifest, length_trimmed, corpus_diff, mixture_resample,
+        # source_overlap, bigram_logprob, incremental_neardup,
+        # event_funnel, cohort_retention, label_cluster_stats) sit just
+        # past the window — newest-first is the risk ordering.
         # Other deliberate demotions: media_content_stats (driver query
         # runs the unchanged stub path), dedup_ngram_jaccard /
         # dedup_clusters / dedup_clusters_star (r2-green; the round-3
