@@ -2120,6 +2120,107 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_token_kl(docs)
 
 
+def q_entity_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution (operators/linkage.py): near-identical
+    document "titles" (40-char text prefix) found via two-pass blocking
+    (first-token and last-token schemes + length band) and within-block
+    Levenshtein ≤ 10. Only blocked candidates pay the O(len²) distance
+    (JVM codegen, bit-identical to DuckDB's levenshtein); the corpus
+    never sees an all-pairs comparison."""
+    from valentinus_spark.operators.linkage import linkage_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("title")
+    )
+    return linkage_pairs(docs, "doc_id", "title", max_dist=10)
+
+
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip (operators/layout.py::
+    compact_small_files): documents sprayed into 64 tiny files, compacted
+    to exactly 4; the row reports measured file counts from the scans'
+    hidden file-name column plus an order-independent content checksum.
+    The oracle pins the file counts as literals and recomputes the
+    checksum from the source table — a hash match proves the OPTIMIZE
+    pass rewrote the layout without losing, duplicating, or altering a
+    single row."""
+    import tempfile
+
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.operators.layout import compact_small_files, file_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="vs_smallfiles_")
+    dst = tempfile.mkdtemp(prefix="vs_compacted_")
+    docs.repartition(64).write.mode("overwrite").parquet(src)
+    compacted = compact_small_files(spark, src, dst, target_files=4)
+    n_small = file_stats(spark, src).count()
+    n_big = file_stats(spark, dst).count()
+    row_h = sha_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit("\x1f"), F.col("text"))
+    )
+    return compacted.select(row_h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_small).cast("long").alias("files_before"),
+        F.lit(n_big).cast("long").alias("files_after"),
+        F.expr("bit_xor(_h)").alias("content_xor"),
+    )
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/skew.py::key_skew_profile):
+    the 10 heaviest l_partkey values with row share and hotness (ratio
+    vs a uniform key) — the measurement that decides between plain join,
+    AQE skew split, and salted_join. One map-side-combinable count per
+    key + a tiny top-n."""
+    from valentinus_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "lineitem"), "l_partkey", top_n=10)
+
+
+def q_late_window_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark finalization frontier: the events stream replayed as two
+    deterministic micro-batches (even event_ids, then odd — streaming/
+    pipeline.py::write_ordered_batches pins the file order), windowed-
+    aggregated in APPEND mode. Append emits a window only once the
+    watermark passes its end, so the result is exactly the batch
+    aggregate RESTRICTED to windows finalized at the final watermark
+    max(ts) - 2h — the tail windows are withheld as still-open. The
+    oracle replays that frontier rule in SQL; a hash match pins the
+    emit-once completeness contract that downstream incremental
+    consumers (foreachBatch appends, rollup merges) rely on."""
+    import tempfile
+
+    from valentinus_spark.streaming.pipeline import (
+        stream_events_windowed,
+        write_ordered_batches,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    feed = tempfile.mkdtemp(prefix="vs_latefeed_")
+    write_ordered_batches(
+        ev, [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1], feed
+    )
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    agg = stream_events_windowed(stream, window="1 hour", watermark="2 hours")
+    name = "late_finalize_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="vs_ckpt_late_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2141,6 +2242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
         # -- (b) round-3 additions / materially changed in round 3
+        "entity_linkage": q_entity_linkage,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "key_skew_profile": q_key_skew_profile,
+        "late_window_finalize": q_late_window_finalize,
         "ivf_ann_planted": q_ivf_ann_planted,
         "rp_ann_planted": q_rp_ann_planted,
         "approx_distinct_kmv": q_approx_distinct_kmv,
@@ -2357,6 +2462,76 @@ _REPETITION_STATS_CTE = """
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
+        # mirror of operators/linkage.py: two-pass blocking (first/last
+        # token + length-4 band) -> distinct candidate pairs -> levenshtein
+        "entity_linkage": r"""
+            WITH n AS (
+                SELECT doc_id AS id,
+                       regexp_replace(lower(trim(substr(text, 1, 40))), '\s+', ' ', 'g') AS nm
+                FROM documents
+            ),
+            ex AS (
+                SELECT id, s.scheme, s.bkey FROM n, LATERAL (
+                    SELECT 0 AS scheme,
+                           string_split(nm, ' ')[1] || '#' || CAST(length(nm)//4 AS VARCHAR) AS bkey
+                    UNION ALL
+                    SELECT 1,
+                           string_split(nm, ' ')[-1] || '#' || CAST(length(nm)//4 AS VARCHAR)
+                ) s
+                WHERE length(s.bkey) > 1
+            ),
+            keptb AS (
+                SELECT * FROM ex
+                QUALIFY count(*) OVER (PARTITION BY scheme, bkey) <= 2000
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM keptb a
+                JOIN keptb b ON a.scheme = b.scheme AND a.bkey = b.bkey AND a.id < b.id
+            )
+            SELECT c.id_a, c.id_b,
+                   levenshtein(na.nm, nb.nm) AS edit_dist,
+                   round(1.0 - levenshtein(na.nm, nb.nm)::DOUBLE
+                             / greatest(length(na.nm), length(nb.nm)), 4) AS name_sim
+            FROM cand c
+            JOIN n na ON c.id_a = na.id
+            JOIN n nb ON c.id_b = nb.id
+            WHERE levenshtein(na.nm, nb.nm) <= 10
+        """,
+        # file counts are the compaction contract (64 -> 4), pinned as
+        # literals; the checksum re-derives from the source table, so a
+        # match proves the rewrite was lossless
+        "compaction_roundtrip": """
+            SELECT count(*) AS n_rows,
+                   64 AS files_before,
+                   4 AS files_after,
+                   bit_xor(('0x' || substr(sha256(doc_id::VARCHAR || chr(31) || text), 1, 15))::UBIGINT::BIGINT) AS content_xor
+            FROM documents
+        """,
+        "key_skew_profile": """
+            WITH per_key AS (
+                SELECT l_partkey AS key, count(*) AS n_rows
+                FROM lineitem GROUP BY 1
+            )
+            SELECT key, n_rows,
+                   round(n_rows / sum(n_rows) OVER (), 6) AS share,
+                   round(n_rows * count(*) OVER () / sum(n_rows) OVER (), 4) AS hotness
+            FROM per_key
+            ORDER BY n_rows DESC, key ASC
+            LIMIT 10
+        """,
+        # append-mode frontier: batch aggregate restricted to windows
+        # whose end the final watermark (max ts - 2h) has passed
+        "late_window_finalize": """
+            WITH wmf AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+            agg AS (
+                SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       count(*) AS n_events, round(sum(value), 4) AS sum_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT agg.* FROM agg, wmf
+            WHERE window_start + INTERVAL 1 HOUR <= wmf.w
+        """,
         "flagship_filtered_cosine_topk": f"""
             SELECT doc_id, lang, n_chars,
                    ROUND(list_cosine_similarity(e.embedding, {qv}), 4) AS similarity

@@ -165,3 +165,48 @@ def pruned_read(spark, path: str, manifest: DataFrame, col: str, lo, hi) -> Data
     return (
         spark.read.parquet(*files).filter(F.col(col).between(lo, hi))
     )
+
+
+def file_stats(spark, path: str) -> DataFrame:
+    """One row per parquet file under ``path``: (file, n_rows). Computed
+    distributedly from the scan's hidden file-name column, so it works
+    unchanged on object storage — no driver-side directory walk."""
+    return (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rewrite a parquet directory into exactly ``target_files`` files
+    (the OPTIMIZE / small-file-compaction maintenance op every table
+    format grows: Delta OPTIMIZE, Iceberg rewrite_data_files).
+
+    Why it matters at 100 TB: a streaming or per-task writer leaves
+    thousands of KB-sized files per partition; every later scan then
+    pays one object-store round-trip + footer parse per file, and the
+    scheduler drowns in single-row splits. Compaction is a single
+    round-robin `repartition(n)` — an Exchange whose width you choose —
+    followed by one write; with ``sort_cols`` it instead range-
+    partitions and sorts within files, restoring clustering (and
+    min/max skippability, see `file_minmax_manifest`) at the same cost.
+
+    Returns the compacted DataFrame reader rooted at ``dst_path``.
+    Pick ``target_files`` ≈ total_bytes / 128 MB in production; it is
+    explicit here so the result (and its oracle) is deterministic."""
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        shaped = df.repartitionByRange(target_files, *sort_cols)
+        shaped = shaped.sortWithinPartitions(*sort_cols)
+    else:
+        shaped = df.repartition(target_files)
+    shaped.write.mode("overwrite").parquet(dst_path)
+    return spark.read.parquet(dst_path)

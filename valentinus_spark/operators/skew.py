@@ -82,3 +82,44 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[merge_fn[a](f"_p_{c}_{a}").alias(f"{c}_{a}") for c, a in aggs.items()]
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: the ``top_n`` heaviest keys with
+    their row count, share of the table, and the ratio to a perfectly
+    uniform key ("hotness"). This is the measurement you run BEFORE
+    choosing between plain join / AQE skew split / salted_join — a key
+    with hotness ≫ 1 is the straggler-to-be.
+
+    One aggregation (map-side combinable count per key) + one tiny
+    top-n sort; the global count and distinct-key count ride the same
+    aggregate via a grand-total window over the (distinct-keys)-sized
+    intermediate, so the input is scanned once."""
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy()
+    enriched = per_key.select(
+        "key",
+        "n_rows",
+        F.sum("n_rows").over(w).alias("_total"),
+        F.count(F.lit(1)).over(w).alias("_nkeys"),
+    )
+    return (
+        enriched.select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_nkeys") / F.col("_total"), 4
+            ).alias("hotness"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_n)
+    )

@@ -248,3 +248,36 @@ def stream_collection_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_ordered_batches(df: DataFrame, preds: list, path: str) -> list[str]:
+    """Materialize ``df`` as one parquet file per predicate under
+    ``path``, with file modification times strictly increasing in list
+    order — so a file-source stream with ``maxFilesPerTrigger=1``
+    replays them as deterministic micro-batches b0, b1, … in exactly
+    this order.
+
+    This is the reproducible-replay harness for event-time semantics:
+    the watermark after batch i is ``max(event time in b0..bi) - delay``,
+    so which later rows count as "too late" is a pure function of the
+    split predicates — replayable both in tests and in a SQL oracle.
+    (In production the file source's mtime ordering is whatever the
+    upstream writer produced; this helper exists to pin it.)"""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    os.makedirs(path, exist_ok=True)
+    out: list[str] = []
+    base = 1_600_000_000  # any fixed epoch; only relative order matters
+    for i, pred in enumerate(preds):
+        aux = tempfile.mkdtemp(prefix="vs_batchwrite_")
+        df.filter(pred).coalesce(1).write.mode("overwrite").parquet(aux)
+        part = glob.glob(os.path.join(aux, "part-*.parquet"))[0]
+        dst = os.path.join(path, f"batch{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base + 100 * i, base + 100 * i))
+        shutil.rmtree(aux, ignore_errors=True)
+        out.append(dst)
+    return out
