@@ -2221,6 +2221,32 @@ def q_late_window_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs set-similarity join via PPJoin-style prefix
+    filtering (operators/setsim.py): trigram-shingle Jaccard ≥ 0.8 over
+    documents. Spark indexes only each doc's rare-token prefix (lossless
+    by the prefix-filter theorem) and verifies candidates exactly; the
+    oracle brute-forces the full shingle equi-join — the hash match IS
+    the losslessness proof. Same set semantics as dedup_ngram_jaccard,
+    but candidates shrink by global-frequency ordering instead of a
+    max_df cap (no coverage cliff on frequent shingles)."""
+    from valentinus_spark.operators.setsim import set_similarity_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return set_similarity_join(docs, "doc_id", "text", threshold=0.8, shingle_n=3)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram of events.value in 8 bins
+    (operators/profile.py::equi_width_histogram) — the ANALYZE /
+    selectivity-estimation shape. Bin edges are pure double arithmetic
+    in a pinned association order so the SQL oracle reproduces them
+    bit-for-bit."""
+    from valentinus_spark.operators.profile import equi_width_histogram
+
+    return equi_width_histogram(_t(spark, sf_dir, "events"), "value", n_bins=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2242,6 +2268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
         # -- (b) round-3 additions / materially changed in round 3
+        "setsim_join": q_setsim_join,
+        "value_histogram": q_value_histogram,
         "entity_linkage": q_entity_linkage,
         "compaction_roundtrip": q_compaction_roundtrip,
         "key_skew_profile": q_key_skew_profile,
@@ -2462,6 +2490,54 @@ _REPETITION_STATS_CTE = """
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
+        # brute-force shingle equi-join twin of the prefix-filtered join:
+        # a hash match proves prefix filtering lost no qualifying pair
+        "setsim_join": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+                WHERE trim(text) != ''
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' '))
+                    END)) AS token
+                FROM words
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b USING (token)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+        """,
+        # bin formula evaluated in the same association order as Spark:
+        # (v - min) * 8.0 / (max - min), floored, max folded into bin 7
+        "value_histogram": """
+            WITH b AS (SELECT min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM events),
+            binned AS (
+                SELECT CASE WHEN b.mx = b.mn THEN 0
+                            ELSE least(7, floor((value::DOUBLE - b.mn) * 8.0 / (b.mx - b.mn)))::BIGINT
+                       END AS bin,
+                       b.mn AS mn, b.mx AS mx
+                FROM events, b
+                WHERE value IS NOT NULL
+            )
+            SELECT bin,
+                   round(mn + bin * ((mx - mn) / 8.0), 6) AS lo,
+                   round(mn + (bin + 1) * ((mx - mn) / 8.0), 6) AS hi,
+                   count(*) AS n_rows
+            FROM binned
+            GROUP BY bin, mn, mx
+            ORDER BY bin
+        """,
         # mirror of operators/linkage.py: two-pass blocking (first/last
         # token + length-4 band) -> distinct candidate pairs -> levenshtein
         "entity_linkage": r"""

@@ -1,0 +1,89 @@
+"""Prefix-filtered set-similarity join (operators/setsim.py) and
+equi-width histogram (operators/profile.py::equi_width_histogram)."""
+
+import itertools
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from valentinus_spark.operators.setsim import set_similarity_join
+
+
+def _brute_jaccard_pairs(rows, threshold):
+    """Driver-side oracle: all-pairs Jaccard over distinct word tokens."""
+    sets = {r.did: set(r.body.lower().split()) for r in rows if r.body.strip()}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= threshold:
+            out[(a, b)] = round(inter / union, 4)
+    return out
+
+
+def test_prefix_filter_is_lossless_vs_brute_force(spark):
+    rows = [
+        Row(did=1, body="the quick brown fox jumps over the lazy dog"),
+        Row(did=2, body="the quick brown fox jumps over a lazy dog"),  # ~0.8
+        Row(did=3, body="quick brown fox jumps over the lazy dog the"),  # ==1
+        Row(did=4, body="completely unrelated words appear here tonight"),
+        Row(did=5, body="unrelated words appear here tonight completely"),  # ==4
+        Row(did=6, body="half related the quick brown stone cold words"),
+        Row(did=7, body=""),
+    ]
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in set_similarity_join(
+                spark.createDataFrame(rows), "did", "body", threshold=t
+            ).collect()
+        }
+        assert got == _brute_jaccard_pairs(rows, t), f"t={t}"
+
+
+def test_setsim_shingle_mode_requires_contiguity(spark):
+    # same token SET, different order: token-mode Jaccard = 1.0, but
+    # 3-shingle sets differ, so shingle mode scores them apart
+    rows = [
+        Row(did=1, body="a b c d e f g h"),
+        Row(did=2, body="h g f e d c b a"),
+    ]
+    df = spark.createDataFrame(rows)
+    tok = set_similarity_join(df, "did", "body", threshold=0.99).collect()
+    assert len(tok) == 1 and tok[0]["jaccard"] == 1.0
+    sh = set_similarity_join(df, "did", "body", threshold=0.5, shingle_n=3).collect()
+    assert sh == []
+
+
+def test_setsim_threshold_validation(spark):
+    df = spark.createDataFrame([Row(did=1, body="x")])
+    with pytest.raises(ValueError):
+        set_similarity_join(df, "did", "body", threshold=0.0)
+    with pytest.raises(ValueError):
+        set_similarity_join(df, "did", "body", threshold=1.5)
+
+
+def test_equi_width_histogram_exact_bins(spark):
+    from valentinus_spark.operators.profile import equi_width_histogram
+
+    # values 0..99: min=0 max=99, 10 bins of width 9.9
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    h = equi_width_histogram(df, "v", n_bins=10).collect()
+    assert [r["bin"] for r in h] == list(range(10))
+    assert sum(r["n_rows"] for r in h) == 100
+    assert h[0]["lo"] == 0.0 and h[-1]["hi"] == 99.0
+    # v=99 (the max) folds into the last bin, not an 11th
+    assert h[-1]["n_rows"] >= 1
+
+
+def test_equi_width_histogram_degenerate_and_nulls(spark):
+    from valentinus_spark.operators.profile import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [Row(v=5.0), Row(v=5.0), Row(v=None)], "v double"
+    )
+    h = equi_width_histogram(df, "v", n_bins=4).collect()
+    assert len(h) == 1
+    assert h[0]["bin"] == 0 and h[0]["n_rows"] == 2
+    assert h[0]["lo"] == 5.0 and h[0]["hi"] == 5.0

@@ -123,3 +123,63 @@ def hash_sample_quantiles(
         .filter(F.col("_i") == F.floor(F.col("q") * (F.col("_n") - 1)).cast("int"))
         .select(*groups, "q", F.col(value_col).alias("quantile_value"))
     )
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Exact equi-width histogram of a numeric column: ``n_bins`` rows of
+    (bin, lo, hi, n_rows), bins spanning [min, max] with the max value
+    folded into the last bin (the ANALYZE-statistics / optimizer-
+    selectivity shape).
+
+    Two scans by necessity (bounds, then binning) but both are
+    map-side-combinable aggregates; the bounds row is a broadcast-sized
+    crossJoin, so the second pass stays a single shuffle of n_bins
+    groups. Bin assignment is pure double arithmetic evaluated in one
+    fixed association order — ``(v - min) * n_bins / (max - min)`` —
+    which is what lets a SQL oracle reproduce bin edges bit-for-bit
+    (IEEE doubles are deterministic; the FORMULA, not the engine, is
+    the contract). Degenerate min==max collapses to one bin."""
+    bounds = df.agg(
+        F.min(col).cast("double").alias("_mn"),
+        F.max(col).cast("double").alias("_mx"),
+    )
+    binned = (
+        df.select(F.col(col).cast("double").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col("_v") - F.col("_mn"))
+                        * F.lit(float(n_bins))
+                        / (F.col("_mx") - F.col("_mn"))
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("bin"),
+            F.col("_mn"),
+            F.col("_mx"),
+        )
+    )
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(n_bins))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("_mn").alias("_mn"),
+            F.first("_mx").alias("_mx"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("_mn") + F.col("bin") * width, 6).alias("lo"),
+            F.round(F.col("_mn") + (F.col("bin") + 1) * width, 6).alias("hi"),
+            "n_rows",
+        )
+        .orderBy("bin")
+    )
