@@ -300,3 +300,38 @@ def test_check_expectations_is_single_scan(spark):
     # formatted mode lists each node twice (tree + detail header)
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_setsim_join_no_cartesian_product(spark):
+    """Prefix filtering must compile to equi-joins on the token column —
+    never a cartesian/nested-loop pairing of documents."""
+    from valentinus_spark.operators.setsim import set_similarity_join
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(set_similarity_join(df, "doc_id", "text", threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_linkage_candidates_are_equi_joined(spark):
+    """Blocked linkage pairs come from an equi-join on (scheme, block
+    key); the O(len^2) levenshtein must sit above equi-joins only."""
+    from valentinus_spark.operators.linkage import linkage_pairs
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, 40).alias("title")
+    )
+    plan = plan_of(linkage_pairs(df, "doc_id", "title", max_dist=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_bounds_join_is_broadcast(spark):
+    """The bounds row joins the data pass via broadcast — the second
+    scan must not shuffle the fact side against a 1-row table."""
+    from valentinus_spark.operators.profile import equi_width_histogram
+
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(equi_width_histogram(df, "value", n_bins=8))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
