@@ -40,7 +40,14 @@ def copurchase_edges(
     in the same order. Self-equi-join on the order key — candidates only
     materialize within an order, so the blow-up is bounded by
     max-items-per-order², the usual market-basket shape."""
-    a = lineitem.select(F.col(order_col).alias("_o"), F.col(item_col).alias("src"))
+    # the build side broadcasts (AQE: a per-order item list is small),
+    # which would leave the probe side — and the whole k²-per-order
+    # fan-out plus the partial distinct above it — running on the SCAN's
+    # file-count partitions. ensure_parallelism re-spreads the probe
+    # side first so the expansion uses the full executor width.
+    a = ensure_parallelism(
+        lineitem.select(F.col(order_col).alias("_o"), F.col(item_col).alias("src"))
+    )
     b = lineitem.select(F.col(order_col).alias("_o"), F.col(item_col).alias("dst"))
     return (
         a.join(b, "_o")
@@ -67,18 +74,34 @@ def pagerank(
     e = ensure_parallelism(edges.select(src, dst)).localCheckpoint()
     nodes = e.select(F.col(src).alias("node")).distinct().localCheckpoint()
     n = nodes.count()
+    # out-degree is loop-invariant: attach it to the edge list ONCE so
+    # each round pays a single (ranks ⋈ edges) join instead of two —
+    # the contribution stays rank/_d (not rank * (1/_d)) so the float
+    # accumulation order, and with it the oracle's 9-dp hash, is
+    # unchanged. The weighted edge list is checkpointed: at scale this
+    # is the structure you'd co-partition by src once and reuse for
+    # every round's join.
     deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
+    e_w = e.join(deg, src).localCheckpoint()
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # When the rank/contrib tables (n rows each) are broadcast-sized,
+    # hint them explicitly: the checkpointed edge list then never
+    # shuffles or sorts inside the loop — each round is two map-side
+    # joins plus one combinable aggregation whose shuffle carries at
+    # most (#partitions × #nodes) partial rows. Above the threshold
+    # (rank table too big to ship) the joins fall back to co-partitioned
+    # shuffle joins, which is the correct plan at that size.
+    small = n <= 2_000_000
+    hint = F.broadcast if small else (lambda df: df)
     for _ in range(iterations):
         contrib = (
-            ranks.join(e, ranks["node"] == e[src])
-            .join(deg, src)
+            hint(ranks).join(e_w, ranks["node"] == e_w[src])
             .groupBy(F.col(dst).alias("node"))
             .agg(F.sum(F.col("rank") / F.col("_d")).alias("_c"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(hint(contrib), "node", "left")
             .select(
                 "node",
                 F.round(
