@@ -448,16 +448,23 @@ def semantic_dedup(
     assigned = ensure_parallelism(corpus).withColumn(
         "_bucket", F.reverse(F.array_sort(scored))[0]["bucket"]
     )
-    a = assigned.select(
-        F.col("_bucket"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    # normalize ONCE per row (n × dim work) so each of the Σ|c|²
+    # within-cluster pairs pays a single dot product instead of
+    # dot + two norms — the same row-side prep embedding_neardup_pairs
+    # uses. The join itself stays an equi-join on the cluster id.
+    from valentinus_spark.functions.vector import l2_normalize
+
+    normed = assigned.withColumn("_nvec", l2_normalize(vec_col))
+    a = normed.select(
+        F.col("_bucket"), F.col(id_col).alias("_ida"), F.col("_nvec").alias("_va")
     )
-    b = assigned.select(
-        F.col("_bucket"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    b = normed.select(
+        F.col("_bucket"), F.col(id_col).alias("_idb"), F.col("_nvec").alias("_vb")
     )
     pairs = (
         a.join(b, "_bucket")
         .filter(F.col("_ida") < F.col("_idb"))
-        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .filter(dot(F.col("_va"), F.col("_vb")) >= threshold)
         .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
     )
     cc = connected_components(pairs, "id_a", "id_b")
