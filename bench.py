@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "pagerank_copurchase",
     "corpus_pipeline",
     "data_expectations",
+    "setsim_join",
+    "entity_linkage",
 ]
 
 

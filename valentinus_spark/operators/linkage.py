@@ -75,8 +75,12 @@ def candidate_pairs(
     are purged before the join (a block of size m contributes m²/2
     pairs; unbounded hot blocks are exactly the skew that kills the
     stage at scale)."""
+    from valentinus_spark.functions.util import ensure_parallelism
+
     keys = blocking_keys(name_col, band)
-    exploded = df.select(
+    # single-file inputs otherwise derive blocks — and pay the
+    # downstream levenshtein — on one core; spread first
+    exploded = ensure_parallelism(df).select(
         F.col(id_col).alias("_bid"),
         F.posexplode(F.array(*keys)).alias("_scheme", "_bkey"),
     ).where(F.length("_bkey") > 1)
