@@ -2247,6 +2247,34 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_width_histogram(_t(spark, sf_dir, "events"), "value", n_bins=8)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange (sources/formats.py): documents written as 4
+    zstd ORC files range-sorted by doc_id, read back with an explicit
+    schema, and checksummed. The oracle recomputes counts + XOR content
+    checksum from the source table — a hash match proves the non-parquet
+    format path is lossless, and the pushdown predicate on the re-read
+    exercises ORC's stripe-level filtering."""
+    import tempfile
+
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.sources.formats import read_orc, write_orc
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_orc_")
+    write_orc(docs, path, n_files=4, sort_cols=["doc_id"])
+    back = read_orc(spark, path, schema=docs.schema)
+    row_h = sha_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit("\x1f"), F.col("text"))
+    )
+    return back.where(F.col("n_chars") >= 0).select(
+        row_h.alias("_h"), F.col("n_chars")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.expr("bit_xor(_h)").alias("content_xor"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2270,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) round-3 additions / materially changed in round 3
         "setsim_join": q_setsim_join,
         "value_histogram": q_value_histogram,
+        "orc_roundtrip": q_orc_roundtrip,
         "entity_linkage": q_entity_linkage,
         "compaction_roundtrip": q_compaction_roundtrip,
         "key_skew_profile": q_key_skew_profile,
@@ -2490,6 +2519,12 @@ _REPETITION_STATS_CTE = """
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
+        "orc_roundtrip": """
+            SELECT count(*) AS n_rows,
+                   sum(n_chars) AS n_chars_total,
+                   bit_xor(('0x' || substr(sha256(doc_id::VARCHAR || chr(31) || text), 1, 15))::UBIGINT::BIGINT) AS content_xor
+            FROM documents
+        """,
         # brute-force shingle equi-join twin of the prefix-filtered join:
         # a hash match proves prefix filtering lost no qualifying pair
         "setsim_join": r"""

@@ -90,3 +90,36 @@ def test_approx_sketches_within_tolerance(spark):
     ).first()
     assert abs(row["approx_k"] - row["exact_k"]) <= 0.05 * row["exact_k"]
     assert abs(row["approx_p50"] - row["exact_p50"]) <= 1.0
+
+
+def test_orc_roundtrip_lossless_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.sources.formats import read_orc, write_orc
+
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 7).alias("v"),
+        F.concat(F.lit("t"), F.col("id")).alias("s"),
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, n_files=3, sort_cols=["id"])
+    back = read_orc(spark, path, schema=df.schema)
+    assert back.count() == 300
+    assert sorted(r["id"] for r in back.collect()) == list(range(300))
+    # explicit schema respected (nullability widens on read, as for any
+    # file source), predicate answers correctly over stripes
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert back.filter(F.col("id") < 50).count() == 50
+
+
+def test_orc_unsorted_write_defaults(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.sources.formats import read_orc, write_orc
+
+    df = spark.range(0, 64).select(F.col("id"))
+    path = str(tmp_path / "orc2")
+    write_orc(df, path, n_files=2)
+    assert read_orc(spark, path).count() == 64
