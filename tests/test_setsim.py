@@ -87,3 +87,28 @@ def test_equi_width_histogram_degenerate_and_nulls(spark):
     assert len(h) == 1
     assert h[0]["bin"] == 0 and h[0]["n_rows"] == 2
     assert h[0]["lo"] == 5.0 and h[0]["hi"] == 5.0
+
+
+def test_prefix_length_float_boundary_lossless(spark):
+    """t*k landing a hair above an integer in doubles (0.8*10 =
+    8.000000000000002) must not shorten the prefix below the lossless
+    bound: two 10-token sets sharing 9 tokens (J = 9/11 >= 0.8) have to
+    be found, and the subset pair (8 of 10, J = 0.8 exactly, which
+    double-compares BELOW the 0.8 literal) must match the brute-force
+    decision on both sides."""
+    toks = [f"w{i:02d}" for i in range(12)]
+    rows = [
+        Row(did=1, body=" ".join(toks[0:10])),       # w00..w09
+        Row(did=2, body=" ".join(toks[1:11])),       # w01..w10 (shares 9)
+        Row(did=3, body=" ".join(toks[0:8])),        # subset of did=1 (8/10)
+        Row(did=4, body=" ".join(reversed(toks[0:10]))),  # same set as 1
+    ]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_join(
+            spark.createDataFrame(rows), "did", "body", threshold=0.8
+        ).collect()
+    }
+    want = set(_brute_jaccard_pairs(rows, 0.8))
+    assert got == want
+    assert (1, 2) in got and (1, 4) in got

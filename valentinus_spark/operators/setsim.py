@@ -94,9 +94,16 @@ def set_similarity_join(
         F.row_number().over(w).alias("_rn"),
         F.count(F.lit(1)).over(Window.partitionBy("_sid")).alias("_sz"),
     )
+    # epsilon guard on the ceil: in doubles 0.8*10 = 8.000000000000002,
+    # whose ceil (9) would SHORTEN the prefix below the lossless bound
+    # and silently drop boundary pairs. Subtracting 1 ulp-scale epsilon
+    # can only lengthen the prefix — extra candidates, never lost ones;
+    # the exact verify below still decides membership.
     prefix = sized.where(
         F.col("_rn")
-        <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        <= F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+        + 1
     )
     a = prefix.select(
         F.col("_tok"), F.col("_sid").alias("id_a"), F.col("_sz").alias("_sza")
@@ -107,10 +114,12 @@ def set_similarity_join(
     cands = (
         a.join(b, "_tok")
         .where(F.col("id_a") < F.col("id_b"))
-        # size filter: Jaccard >= t forces t*max(sz) <= min(sz)
+        # size filter: Jaccard >= t forces t*max(sz) <= min(sz); the
+        # same epsilon keeps an exact-boundary pair (e.g. an 8-subset
+        # of a 10-set at t=0.8) from being excluded by one ulp
         .where(
             F.greatest("_sza", "_szb") * F.lit(threshold)
-            <= F.least("_sza", "_szb")
+            <= F.least("_sza", "_szb") + F.lit(1e-9)
         )
         .select("id_a", "id_b")
         .distinct()
