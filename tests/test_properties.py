@@ -281,3 +281,58 @@ def test_mixture_repeat_expectation(spark, factor, n_rows):
     thr = int(frac * 2**32)
     for i in range(n_rows):
         assert got[i] == base + (1 if bucket(i) < thr else 0), i
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join vs python brute force
+# ---------------------------------------------------------------------------
+
+VOCAB = [f"t{i}" for i in range(12)]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=8),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=corpus_strategy, t=st.sampled_from([0.3, 0.5, 0.8, 0.9, 1.0]))
+def test_setsim_matches_brute_force_on_random_corpora(spark, docs, t):
+    from valentinus_spark.operators.setsim import set_similarity_join
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "did long, body string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_join(df, "did", "body", threshold=t).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= t:
+                    want[(a, b)] = round(inter / union, 4)
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=40
+    ),
+    nbins=st.sampled_from([1, 4, 8]),
+)
+def test_histogram_partitions_all_rows_into_covering_bins(spark, vals, nbins):
+    from valentinus_spark.operators.profile import equi_width_histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    h = equi_width_histogram(df, "v", n_bins=nbins).collect()
+    assert sum(r["n_rows"] for r in h) == len(vals)
+    assert all(0 <= r["bin"] < nbins for r in h)
+    lo, hi = min(vals), max(vals)
+    assert h[0]["lo"] == pytest.approx(round(lo, 6))
+    assert h[-1]["hi"] == pytest.approx(round(hi, 6))
