@@ -2589,7 +2589,7 @@ def oracle_sql() -> dict[str, str]:
                     SELECT 1,
                            string_split(nm, ' ')[-1] || '#' || CAST(length(nm)//4 AS VARCHAR)
                 ) s
-                WHERE length(s.bkey) > 1
+                WHERE length(nm) > 0 AND length(s.bkey) > 1
             ),
             keptb AS (
                 SELECT * FROM ex

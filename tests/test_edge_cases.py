@@ -132,3 +132,42 @@ def test_shard_manifest_single_shard_and_empty(spark):
     assert len(rows) == 1 and rows[0]["n_rows"] == 2 and rows[0]["total_n_chars"] == 12
     empty = spark.createDataFrame([], "doc_id long, n_chars long")
     assert shard_manifest(empty, n_shards=4).count() == 0
+
+
+def test_setsim_empty_and_single_doc(spark):
+    from valentinus_spark.operators.setsim import set_similarity_join
+
+    empty = spark.createDataFrame([], "did long, body string")
+    assert set_similarity_join(empty, "did", "body", threshold=0.5).count() == 0
+    one = spark.createDataFrame([(1, "only doc here")], "did long, body string")
+    assert set_similarity_join(one, "did", "body", threshold=0.5).count() == 0
+
+
+def test_linkage_empty_and_all_blank_names(spark):
+    from valentinus_spark.operators.linkage import linkage_pairs
+
+    empty = spark.createDataFrame([], "pid long, name string")
+    assert linkage_pairs(empty, "pid", "name").count() == 0
+    blanks = spark.createDataFrame(
+        [(1, ""), (2, "  "), (3, "")], "pid long, name string"
+    )
+    # blank names produce no usable block keys -> no pairs, no crash
+    assert linkage_pairs(blanks, "pid", "name").count() == 0
+
+
+def test_histogram_empty_and_all_null(spark):
+    from valentinus_spark.operators.profile import equi_width_histogram
+
+    empty = spark.createDataFrame([], "v double")
+    assert equi_width_histogram(empty, "v", n_bins=4).count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert equi_width_histogram(nulls, "v", n_bins=4).count() == 0
+
+
+def test_key_skew_profile_single_key(spark):
+    from valentinus_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame([("k",)] * 5, "k string")
+    prof = key_skew_profile(df, "k", top_n=3).collect()
+    assert len(prof) == 1
+    assert prof[0]["share"] == 1.0 and prof[0]["hotness"] == 1.0

@@ -79,11 +79,19 @@ def candidate_pairs(
 
     keys = blocking_keys(name_col, band)
     # single-file inputs otherwise derive blocks — and pay the
-    # downstream levenshtein — on one core; spread first
-    exploded = ensure_parallelism(df).select(
-        F.col(id_col).alias("_bid"),
-        F.posexplode(F.array(*keys)).alias("_scheme", "_bkey"),
-    ).where(F.length("_bkey") > 1)
+    # downstream levenshtein — on one core; spread first. Records whose
+    # normalized name is empty are purged: missing data all shares the
+    # degenerate block key (and a 0-distance "match"), which is noise,
+    # not linkage — the standard ER missing-value rule.
+    exploded = (
+        ensure_parallelism(df)
+        .where(F.length(_norm(name_col)) > 0)
+        .select(
+            F.col(id_col).alias("_bid"),
+            F.posexplode(F.array(*keys)).alias("_scheme", "_bkey"),
+        )
+        .where(F.length("_bkey") > 1)
+    )
     counts = exploded.groupBy("_scheme", "_bkey").agg(
         F.count(F.lit(1)).alias("_bn")
     )
