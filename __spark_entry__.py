@@ -2275,6 +2275,40 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel (sources/versioned.py): v1 =
+    overwrite with the full documents table, v2 = append the English
+    slice re-keyed (+10M ids). Reading each PINNED version after both
+    commits and checksumming proves snapshot isolation: v1's result is
+    byte-identical to the pre-append table even though the directory
+    has since grown. The oracle recomputes both snapshots from the
+    source table (XOR checksums compose, so v2 = xor(v1, appended))."""
+    import tempfile
+
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.sources.versioned import commit_version, read_version
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="vs_versioned_")
+    v1 = commit_version(spark, path, docs, mode="overwrite")
+    appended = docs.filter(F.col("lang") == "en").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    v2 = commit_version(spark, path, appended, mode="append")
+    row_h = sha_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit("\x1f"), F.col("text"))
+    )
+
+    def snap(v: int) -> DataFrame:
+        return read_version(spark, path, v).select(row_h.alias("_h")).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("content_xor"),
+        )
+
+    return snap(v1).unionAll(snap(v2))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2299,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_join": q_setsim_join,
         "value_histogram": q_value_histogram,
         "orc_roundtrip": q_orc_roundtrip,
+        "time_travel": q_time_travel,
         "entity_linkage": q_entity_linkage,
         "compaction_roundtrip": q_compaction_roundtrip,
         "key_skew_profile": q_key_skew_profile,
@@ -2519,6 +2554,24 @@ _REPETITION_STATS_CTE = """
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
+        # snapshot checksums recomputed from the source table; XOR of
+        # disjoint row sets composes, so v2 = xor(v1, appended slice)
+        "time_travel": """
+            WITH h AS (
+                SELECT ('0x' || substr(sha256(doc_id::VARCHAR || chr(31) || text), 1, 15))::UBIGINT::BIGINT AS hh
+                FROM documents
+            ),
+            ha AS (
+                SELECT ('0x' || substr(sha256((doc_id + 10000000)::VARCHAR || chr(31) || text), 1, 15))::UBIGINT::BIGINT AS hh
+                FROM documents WHERE lang = 'en'
+            )
+            SELECT 1 AS version, (SELECT count(*) FROM h) AS n_rows,
+                   (SELECT bit_xor(hh) FROM h) AS content_xor
+            UNION ALL
+            SELECT 2,
+                   (SELECT count(*) FROM h) + (SELECT count(*) FROM ha),
+                   xor((SELECT bit_xor(hh) FROM h), (SELECT bit_xor(hh) FROM ha))
+        """,
         "orc_roundtrip": """
             SELECT count(*) AS n_rows,
                    sum(n_chars) AS n_chars_total,

@@ -1,0 +1,92 @@
+"""Versioned parquet tables (sources/versioned.py): commit/append/
+overwrite semantics, pinned-reader isolation, history, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from valentinus_spark.sources.versioned import (
+    commit_version,
+    latest_version,
+    list_versions,
+    read_version,
+    table_history,
+    vacuum,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.concat(F.lit("row-"), F.col("id")).alias("s")
+    )
+
+
+def test_commit_append_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = commit_version(spark, path, _df(spark, 0, 100), mode="overwrite")
+    v2 = commit_version(spark, path, _df(spark, 100, 150), mode="append")
+    assert (v1, v2) == (1, 2)
+    assert read_version(spark, path, 1).count() == 100
+    assert read_version(spark, path, 2).count() == 150
+    assert read_version(spark, path).count() == 150  # latest default
+    assert list_versions(path) == [1, 2]
+
+
+def test_overwrite_starts_fresh_but_keeps_old_readable(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    commit_version(spark, path, _df(spark, 0, 60), mode="overwrite")
+    commit_version(spark, path, _df(spark, 500, 510), mode="overwrite")
+    assert read_version(spark, path, 2).count() == 10
+    # time travel back across the overwrite
+    assert read_version(spark, path, 1).count() == 60
+
+
+def test_pinned_reader_isolated_from_later_commits(spark, tmp_path):
+    path = str(tmp_path / "tbl3")
+    commit_version(spark, path, _df(spark, 0, 40), mode="overwrite")
+    pinned = read_version(spark, path, 1)
+    commit_version(spark, path, _df(spark, 40, 80), mode="append")
+    # the pinned plan resolves the SAME files regardless of new commits
+    assert pinned.count() == 40
+    assert sorted(r["id"] for r in pinned.collect()) == list(range(40))
+
+
+def test_history_shape(spark, tmp_path):
+    path = str(tmp_path / "tbl4")
+    commit_version(spark, path, _df(spark, 0, 30), mode="overwrite")
+    commit_version(spark, path, _df(spark, 30, 40), mode="append")
+    hist = {r["version"]: r for r in table_history(spark, path).collect()}
+    assert hist[1]["commit_rows"] == 30 and hist[1]["mode"] == "overwrite"
+    assert hist[2]["commit_rows"] == 10 and hist[2]["mode"] == "append"
+    assert hist[2]["n_files"] > hist[2]["commit_files"] or hist[1]["n_files"] == hist[1]["commit_files"]
+
+
+def test_vacuum_reclaims_only_unreferenced_files(spark, tmp_path):
+    path = str(tmp_path / "tbl5")
+    commit_version(spark, path, _df(spark, 0, 50), mode="overwrite")
+    commit_version(spark, path, _df(spark, 0, 5), mode="overwrite")
+    removed = vacuum(path, keep_last=1)
+    assert removed  # v1's files were unreferenced by v2
+    assert all(os.path.basename(os.path.dirname(f)) == "commit-000001" for f in removed)
+    # current version unaffected; old version gone
+    assert read_version(spark, path, 2).count() == 5
+    assert list_versions(path) == [2]
+    with pytest.raises(ValueError):
+        read_version(spark, path, 1)
+
+
+def test_vacuum_keeps_append_chain_files(spark, tmp_path):
+    path = str(tmp_path / "tbl6")
+    commit_version(spark, path, _df(spark, 0, 20), mode="overwrite")
+    commit_version(spark, path, _df(spark, 20, 30), mode="append")
+    # v2 references v1's files too: nothing is reclaimable
+    assert vacuum(path, keep_last=1) == []
+    assert read_version(spark, path, 2).count() == 30
+
+
+def test_commit_mode_validation(spark, tmp_path):
+    with pytest.raises(ValueError):
+        commit_version(spark, str(tmp_path / "x"), _df(spark, 0, 1), mode="merge")
+    with pytest.raises(ValueError):
+        read_version(spark, str(tmp_path / "empty"))

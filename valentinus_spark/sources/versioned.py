@@ -1,0 +1,158 @@
+"""Versioned parquet tables: commit manifests, time travel, vacuum.
+
+The minimal transaction-log pattern every lakehouse format (Delta,
+Iceberg, Hudi) is built on, reduced to its load-bearing parts:
+
+  - data files are IMMUTABLE — a commit only ever adds new files under
+    ``<table>/data/commit-<n>/``;
+  - a version is a MANIFEST (``<table>/_versions/v<n>.json``) listing
+    exactly the live files; append commits extend the previous list,
+    overwrite commits start a new one;
+  - readers resolve a manifest first, then read only its files — a
+    reader pinned to v3 is untouched by later commits (snapshot
+    isolation for free, since nothing it references is ever mutated);
+  - ``vacuum`` deletes files referenced by NO retained manifest — the
+    only destructive operation, and it never touches the current
+    version's files.
+
+Why this matters at 100 TB: overwrite-in-place on object storage is a
+correctness hazard (readers see partial state) and a lost-history
+hazard (no rollback, no reproducible "train on the corpus as of v12").
+The manifest layer costs one tiny JSON per commit and turns both into
+metadata operations. This module assumes a SINGLE WRITER (manifest
+publish is an atomic local rename); multi-writer coordination is what
+the real formats add on top (Delta: conditional put on the log entry;
+Iceberg: catalog compare-and-swap) and is out of scope here.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSIONS = "_versions"
+_DATA = "data"
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, _VERSIONS)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_versions_dir(path), f"v{version:06d}.json")
+
+
+def list_versions(path: str) -> list[int]:
+    """All committed version numbers, ascending."""
+    pat = os.path.join(_versions_dir(path), "v*.json")
+    return sorted(int(os.path.basename(p)[1:-5]) for p in glob.glob(pat))
+
+
+def latest_version(path: str) -> int | None:
+    vs = list_versions(path)
+    return vs[-1] if vs else None
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    mp = _manifest_path(path, version)
+    if not os.path.exists(mp):
+        raise ValueError(f"version {version} does not exist at {path}")
+    with open(mp) as f:
+        return json.load(f)
+
+
+def commit_version(
+    spark: SparkSession, path: str, df: DataFrame, mode: str = "append"
+) -> int:
+    """Write ``df`` as a new immutable commit and publish the next
+    version's manifest. ``mode='append'`` keeps the previous version's
+    files and adds the new ones; ``mode='overwrite'`` starts the file
+    list fresh (the old files stay on disk for time travel until
+    ``vacuum``). Returns the new version number.
+
+    The data write happens FIRST, the manifest publish LAST (atomic
+    rename) — a crash in between leaves orphan data files that no
+    reader can see and the next vacuum reclaims, never a half-visible
+    version."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be 'append' or 'overwrite'")
+    prev = latest_version(path)
+    version = (prev if prev is not None else 0) + 1
+    commit_dir = os.path.join(path, _DATA, f"commit-{version:06d}")
+    df.write.mode("error").parquet(commit_dir)
+    new_files = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+    files: list[str] = []
+    if mode == "append" and prev is not None:
+        files.extend(_load_manifest(path, prev)["files"])
+    files.extend(new_files)
+    n_rows = spark.read.parquet(commit_dir).count()
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "files": files,
+        "commit_files": len(new_files),
+        "commit_rows": n_rows,
+    }
+    os.makedirs(_versions_dir(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=_versions_dir(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(path, version))
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of ``version`` (default: latest). Resolving the
+    manifest is a metadata lookup; the scan touches exactly that
+    version's files, so a pinned reader is isolated from every later
+    commit."""
+    v = version if version is not None else latest_version(path)
+    if v is None:
+        raise ValueError(f"no versions committed at {path}")
+    man = _load_manifest(path, v)
+    if not man["files"]:
+        raise ValueError(f"version {v} at {path} lists no files")
+    return spark.read.parquet(*man["files"])
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """(version, mode, n_files, commit_files, commit_rows) per version —
+    the DESCRIBE HISTORY shape."""
+    rows = []
+    for v in list_versions(path):
+        m = _load_manifest(path, v)
+        rows.append(
+            (m["version"], m["mode"], len(m["files"]), m["commit_files"], m["commit_rows"])
+        )
+    return spark.createDataFrame(
+        rows, "version int, mode string, n_files int, commit_files int, commit_rows long"
+    )
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced by none of the last ``keep_last``
+    manifests (older manifests are dropped too — their versions are no
+    longer readable). Never touches a retained version's files. Returns
+    the deleted file paths."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = list_versions(path)
+    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_load_manifest(path, v)["files"])
+    removed = []
+    all_files = glob.glob(os.path.join(path, _DATA, "commit-*", "part-*.parquet"))
+    for f in all_files:
+        if f not in live:
+            os.remove(f)
+            removed.append(f)
+    for v in drop:
+        os.remove(_manifest_path(path, v))
+    return sorted(removed)
