@@ -90,3 +90,28 @@ def test_commit_mode_validation(spark, tmp_path):
         commit_version(spark, str(tmp_path / "x"), _df(spark, 0, 1), mode="merge")
     with pytest.raises(ValueError):
         read_version(spark, str(tmp_path / "empty"))
+
+
+def test_compact_commit_rewrites_losslessly(spark, tmp_path):
+    from valentinus_spark.sources.versioned import compact_commit
+
+    path = str(tmp_path / "tbl7")
+    commit_version(
+        spark, path, _df(spark, 0, 200).repartition(16), mode="overwrite"
+    )
+    commit_version(spark, path, _df(spark, 200, 210).repartition(4), mode="append")
+    v3 = compact_commit(spark, path, target_files=2, sort_cols=["id"])
+    assert v3 == 3
+    hist = {r["version"]: r for r in table_history(spark, path).collect()}
+    assert hist[3]["n_files"] == 2 and hist[3]["commit_rows"] == 210
+    assert sorted(r["id"] for r in read_version(spark, path, 3).collect()) == list(
+        range(210)
+    )
+    # pre-compaction version unchanged and still readable
+    assert read_version(spark, path, 2).count() == 210
+    # after vacuum only the 2 compacted files remain on disk
+    vacuum(path, keep_last=1)
+    import glob as _g
+
+    left = _g.glob(os.path.join(path, "data", "commit-*", "part-*.parquet"))
+    assert len(left) == 2

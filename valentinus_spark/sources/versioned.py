@@ -135,6 +135,31 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def compact_commit(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE as a commit: rewrite the LATEST version's rows into
+    ``target_files`` files (round-robin, or range+sorted to restore
+    clustering) and publish that as a new version whose manifest lists
+    only the rewritten files. Readers of the old version still see the
+    old small files (immutability holds); ``vacuum`` reclaims them once
+    the old version ages out. Content is bit-identical by construction
+    — the rewrite is a repartition of the same rows."""
+    prev = latest_version(path)
+    if prev is None:
+        raise ValueError(f"no versions committed at {path}")
+    df = read_version(spark, path, prev)
+    if sort_cols:
+        shaped = df.repartitionByRange(target_files, *sort_cols)
+        shaped = shaped.sortWithinPartitions(*sort_cols)
+    else:
+        shaped = df.repartition(target_files)
+    return commit_version(spark, path, shaped, mode="overwrite")
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Delete data files referenced by none of the last ``keep_last``
     manifests (older manifests are dropped too — their versions are no
