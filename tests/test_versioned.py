@@ -115,3 +115,39 @@ def test_compact_commit_rewrites_losslessly(spark, tmp_path):
 
     left = _g.glob(os.path.join(path, "data", "commit-*", "part-*.parquet"))
     assert len(left) == 2
+
+
+def test_batch_id_makes_commits_idempotent(spark, tmp_path):
+    path = str(tmp_path / "tbl8")
+    v1 = commit_version(spark, path, _df(spark, 0, 10), mode="append", batch_id=0)
+    v_replay = commit_version(spark, path, _df(spark, 0, 10), mode="append", batch_id=0)
+    assert v_replay == v1  # replayed micro-batch: no new version
+    assert read_version(spark, path).count() == 10
+    v2 = commit_version(spark, path, _df(spark, 10, 15), mode="append", batch_id=1)
+    assert v2 == v1 + 1
+    assert read_version(spark, path).count() == 15
+
+
+def test_stream_commit_versions_one_version_per_batch(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from valentinus_spark.streaming.pipeline import (
+        stream_commit_versions,
+        write_ordered_batches,
+    )
+
+    src = _df(spark, 0, 90)
+    feed = str(tmp_path / "feed")
+    write_ordered_batches(src, [F2.col("id") < 50, F2.col("id") >= 50], feed)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    path = str(tmp_path / "tbl9")
+    q = stream_commit_versions(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert read_version(spark, path).count() == 90
+    hist = table_history(spark, path).collect()
+    assert len(hist) == 2  # one commit per micro-batch
+    assert {r["commit_rows"] for r in hist} == {50, 40}

@@ -66,7 +66,11 @@ def _load_manifest(path: str, version: int) -> dict:
 
 
 def commit_version(
-    spark: SparkSession, path: str, df: DataFrame, mode: str = "append"
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    mode: str = "append",
+    batch_id: int | None = None,
 ) -> int:
     """Write ``df`` as a new immutable commit and publish the next
     version's manifest. ``mode='append'`` keeps the previous version's
@@ -77,10 +81,22 @@ def commit_version(
     The data write happens FIRST, the manifest publish LAST (atomic
     rename) — a crash in between leaves orphan data files that no
     reader can see and the next vacuum reclaims, never a half-visible
-    version."""
+    version.
+
+    ``batch_id`` makes the commit IDEMPOTENT for streaming foreachBatch
+    sinks: Structured Streaming re-runs a micro-batch after a crash
+    with the SAME batch id, so a commit whose batch_id is already
+    recorded in the latest manifest chain is skipped (returning the
+    version that holds it) instead of double-appending — the standard
+    exactly-once transactional-sink recipe."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     prev = latest_version(path)
+    if batch_id is not None and prev is not None:
+        for v in reversed(list_versions(path)):
+            m = _load_manifest(path, v)
+            if m.get("batch_id") == batch_id:
+                return v
     version = (prev if prev is not None else 0) + 1
     commit_dir = os.path.join(path, _DATA, f"commit-{version:06d}")
     df.write.mode("error").parquet(commit_dir)
@@ -97,6 +113,8 @@ def commit_version(
         "commit_files": len(new_files),
         "commit_rows": n_rows,
     }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     os.makedirs(_versions_dir(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=_versions_dir(path), suffix=".tmp")
     with os.fdopen(fd, "w") as f:

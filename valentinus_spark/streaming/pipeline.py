@@ -281,3 +281,34 @@ def write_ordered_batches(df: DataFrame, preds: list, path: str) -> list[str]:
         shutil.rmtree(aux, ignore_errors=True)
         out.append(dst)
     return out
+
+
+def stream_commit_versions(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+):
+    """Continuous ingestion into a versioned table
+    (sources/versioned.py): each micro-batch becomes one append commit,
+    tagged with its batch id so a post-crash replay of the same batch
+    is a no-op instead of a double append — foreachBatch is
+    at-least-once, and the (batch_id → version) record in the manifest
+    chain is what upgrades it to exactly-once, the same recipe as
+    Delta's txn/idempotent-writes table.
+
+    Downstream consumers get snapshot isolation for free: a training
+    job pins `read_version(path, v)` and is untouched by commits that
+    land mid-run. Returns the StreamingQuery."""
+    from valentinus_spark.sources.versioned import commit_version
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        commit_version(
+            batch_df.sparkSession, path, batch_df, mode="append", batch_id=batch_id
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
