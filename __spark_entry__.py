@@ -2309,6 +2309,32 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap(v1).unionAll(snap(v2))
 
 
+def q_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-containment join (operators/setsim.py::
+    set_containment_join): 15-token probes (every 25th doc's prefix)
+    against the full corpus at trigram-shingle containment ≥ 0.8 — the
+    contamination measure where Jaccard fails (a short test item buried
+    in a long page has tiny Jaccard but containment 1.0). Only the
+    probe side is prefix-pruned (by corpus document frequency); the
+    corpus side is a full inverted index. The oracle brute-forces the
+    complete shingle join — the hash match proves the asymmetric prefix
+    filter lost nothing."""
+    from valentinus_spark.functions.text import normalize_text, word_tokens
+    from valentinus_spark.operators.setsim import set_containment_join
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(
+            F.slice(word_tokens(normalize_text("text")), 1, 15), " "
+        ).alias("qtext"),
+    )
+    return set_containment_join(
+        probes, docs, "qid", "qtext", "doc_id", "text",
+        threshold=0.8, shingle_n=3,
+    ).withColumnRenamed("doc_id_c", "cid_c")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2334,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "orc_roundtrip": q_orc_roundtrip,
         "time_travel": q_time_travel,
+        "containment_probe": q_containment_probe,
         "entity_linkage": q_entity_linkage,
         "compaction_roundtrip": q_compaction_roundtrip,
         "key_skew_profile": q_key_skew_profile,
@@ -2554,6 +2581,42 @@ _REPETITION_STATS_CTE = """
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
+        # complete shingle equi-join twin of the asymmetric prefix filter
+        "containment_probe": r"""
+            WITH qsrc AS (
+                SELECT doc_id AS id,
+                       array_to_string((string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))[1:15], ' ') AS nm
+                FROM documents WHERE doc_id % 25 = 0
+            ),
+            csrc AS (
+                SELECT doc_id AS id,
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
+                FROM documents
+            ),
+            qtok AS (
+                SELECT id, unnest(list_distinct(
+                    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' '))
+                    END)) AS token
+                FROM (SELECT id, string_split(nm, ' ') AS w FROM qsrc WHERE nm != '')
+            ),
+            ctok AS (
+                SELECT id, unnest(list_distinct(
+                    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' '))
+                    END)) AS token
+                FROM (SELECT id, string_split(nm, ' ') AS w FROM csrc WHERE nm != '')
+            ),
+            qsz AS (SELECT id AS qid, count(*) AS sz FROM qtok GROUP BY 1),
+            inter AS (
+                SELECT q.id AS qid, c.id AS cid, count(*) AS i
+                FROM qtok q JOIN ctok c USING (token) GROUP BY 1, 2
+            )
+            SELECT inter.qid AS qid_q, inter.cid AS cid_c,
+                   round(i * 1.0 / sz, 4) AS containment
+            FROM inter JOIN qsz USING (qid)
+            WHERE i * 1.0 / sz >= 0.8
+        """,
         # snapshot checksums recomputed from the source table; XOR of
         # disjoint row sets composes, so v2 = xor(v1, appended slice)
         "time_travel": """

@@ -112,3 +112,55 @@ def test_prefix_length_float_boundary_lossless(spark):
     want = set(_brute_jaccard_pairs(rows, 0.8))
     assert got == want
     assert (1, 2) in got and (1, 4) in got
+
+
+def test_containment_finds_buried_query(spark):
+    from valentinus_spark.operators.setsim import set_containment_join
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally different content with other words entirely here"),
+        ],
+        "cid long, body string",
+    )
+    queries = spark.createDataFrame(
+        [
+            (10, "gamma delta epsilon"),      # fully inside corpus doc 1
+            (11, "gamma delta missingword"),  # 2/3 inside doc 1
+            (12, "nothing matches anywhere"),
+        ],
+        "qid long, q string",
+    )
+    got = {
+        (r["qid_q"], r["cid_c"]): r["containment"]
+        for r in set_containment_join(
+            queries, corpus, "qid", "q", "cid", "body", threshold=0.9
+        ).collect()
+    }
+    assert got == {(10, 1): 1.0}
+    # lower threshold admits the partial containment
+    got2 = {
+        (r["qid_q"], r["cid_c"]): r["containment"]
+        for r in set_containment_join(
+            queries, corpus, "qid", "q", "cid", "body", threshold=0.6
+        ).collect()
+    }
+    assert (11, 1) in got2 and got2[(11, 1)] == round(2 / 3, 4)
+    assert (12, 1) not in got2 and (12, 2) not in got2
+
+
+def test_containment_asymmetry_vs_jaccard(spark):
+    """A short query inside a long doc: containment 1.0 while Jaccard is
+    far below any useful threshold — the reason contamination checks
+    need the asymmetric measure."""
+    from valentinus_spark.operators.setsim import set_containment_join
+
+    long_body = " ".join(f"w{i}" for i in range(100)) 
+    corpus = spark.createDataFrame([(1, long_body)], "cid long, body string")
+    queries = spark.createDataFrame([(5, "w10 w20 w30")], "qid long, q string")
+    got = set_containment_join(
+        queries, corpus, "qid", "q", "cid", "body", threshold=0.99
+    ).collect()
+    assert len(got) == 1 and got[0]["containment"] == 1.0
+    # jaccard for the same pair would be 3/100

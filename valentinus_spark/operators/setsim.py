@@ -145,3 +145,78 @@ def set_similarity_join(
     return verified.select(
         "id_a", "id_b", F.round("_jac", 4).alias("jaccard")
     )
+
+
+def set_containment_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_text: str,
+    corpus_id: str,
+    corpus_text: str,
+    threshold: float = 0.8,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment join: pairs where at least ``threshold``
+    of the QUERY's token set appears in the corpus document —
+    ``|q ∩ c| / |q| ≥ t``. This, not symmetric Jaccard, is the right
+    measure for benchmark contamination (a 100-token test item buried
+    in a 10k-token crawl page has Jaccard ≈ 0.01 but containment 1.0).
+
+    Prefix filtering adapts asymmetrically: only the QUERY side can be
+    prefix-pruned (containment bounds the overlap relative to |q|
+    alone, so a qualifying pair must hit one of q's
+    ``|q| - ceil(t·|q|) + 1`` rarest tokens — rarest by CORPUS
+    document frequency, the side being probed); the corpus side indexes
+    every token, like an inverted index. No size filter exists — a
+    10k-token page may contain any query. Returns
+    ``(query_id, corpus_id, containment)`` rounded to 4 places; every
+    candidate is verified exactly, so the prefix step cannot change
+    results, only cost."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    qtok = _doc_tokens(queries, query_id, query_text, shingle_n)
+    ctok = _doc_tokens(corpus, corpus_id, corpus_text, shingle_n)
+    # rank query tokens by how often they appear across CORPUS docs
+    # (absent-from-corpus tokens rank rarest of all: df 0)
+    cdf = ctok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    ranked = qtok.join(cdf, "_tok", "left").withColumn(
+        "_tf", F.coalesce("_tf", F.lit(0))
+    )
+    w = Window.partitionBy("_sid").orderBy(F.asc("_tf"), F.asc("_tok"))
+    sized = ranked.select(
+        "_sid",
+        "_tok",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_sid")).alias("_sz"),
+    )
+    prefix = sized.where(
+        F.col("_rn")
+        <= F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+        + 1
+    )
+    cands = (
+        prefix.select(F.col("_tok"), F.col("_sid").alias("qid"))
+        .join(ctok.select(F.col("_tok"), F.col("_sid").alias("cid")), "_tok")
+        .select("qid", "cid")
+        .distinct()
+    )
+    qsets = qtok.groupBy("_sid").agg(
+        F.array_sort(F.collect_set("_tok")).alias("_qset")
+    )
+    csets = ctok.groupBy("_sid").agg(
+        F.array_sort(F.collect_set("_tok")).alias("_cset")
+    )
+    verified = (
+        cands.join(qsets.withColumnRenamed("_sid", "qid"), "qid")
+        .join(csets.withColumnRenamed("_sid", "cid"), "cid")
+        .withColumn("_inter", F.size(F.array_intersect("_qset", "_cset")))
+        .withColumn("_cont", F.col("_inter") / F.size("_qset"))
+        .where(F.col("_cont") >= threshold)
+    )
+    return verified.select(
+        F.col("qid").alias(query_id + "_q"),
+        F.col("cid").alias(corpus_id + "_c"),
+        F.round("_cont", 4).alias("containment"),
+    )
