@@ -151,3 +151,32 @@ def test_stream_commit_versions_one_version_per_batch(spark, tmp_path):
     hist = table_history(spark, path).collect()
     assert len(hist) == 2  # one commit per micro-batch
     assert {r["commit_rows"] for r in hist} == {50, 40}
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    path = str(tmp_path / "tbl10")
+    commit_version(spark, path, _df(spark, 0, 20), mode="overwrite")
+    evolved = _df(spark, 20, 30).withColumn("score", F.col("id") * 2.0)
+    # unsanctioned evolution fails loudly
+    with pytest.raises(ValueError, match="allow_schema_change"):
+        commit_version(spark, path, evolved, mode="append")
+    commit_version(
+        spark, path, evolved, mode="append", allow_schema_change=True
+    )
+    snap = read_version(spark, path)
+    assert snap.count() == 30 and "score" in snap.columns
+    by_id = {r["id"]: r["score"] for r in snap.collect()}
+    assert by_id[5] is None          # pre-evolution rows read null
+    assert by_id[25] == 50.0
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    path = str(tmp_path / "tbl11")
+    commit_version(spark, path, _df(spark, 0, 5), mode="overwrite")
+    retyped = spark.range(5, 8).select(
+        F.col("id").cast("string").alias("id"), F.lit("x").alias("s")
+    )
+    with pytest.raises(ValueError, match="type change"):
+        commit_version(
+            spark, path, retyped, mode="append", allow_schema_change=True
+        )

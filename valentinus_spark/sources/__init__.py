@@ -1,5 +1,28 @@
 from valentinus_spark.sources.csv_ingest import read_review_csv
+from valentinus_spark.sources.formats import read_orc, write_orc
 from valentinus_spark.sources.jsonl import read_documents_jsonl
 from valentinus_spark.sources.tables import write_bucketed
+from valentinus_spark.sources.versioned import (
+    commit_version,
+    compact_commit,
+    latest_version,
+    list_versions,
+    read_version,
+    table_history,
+    vacuum,
+)
 
-__all__ = ["read_review_csv", "read_documents_jsonl", "write_bucketed"]
+__all__ = [
+    "read_review_csv",
+    "read_documents_jsonl",
+    "write_bucketed",
+    "read_orc",
+    "write_orc",
+    "commit_version",
+    "compact_commit",
+    "latest_version",
+    "list_versions",
+    "read_version",
+    "table_history",
+    "vacuum",
+]

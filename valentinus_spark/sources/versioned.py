@@ -71,6 +71,7 @@ def commit_version(
     df: DataFrame,
     mode: str = "append",
     batch_id: int | None = None,
+    allow_schema_change: bool = False,
 ) -> int:
     """Write ``df`` as a new immutable commit and publish the next
     version's manifest. ``mode='append'`` keeps the previous version's
@@ -88,7 +89,16 @@ def commit_version(
     with the SAME batch id, so a commit whose batch_id is already
     recorded in the latest manifest chain is skipped (returning the
     version that holds it) instead of double-appending — the standard
-    exactly-once transactional-sink recipe."""
+    exactly-once transactional-sink recipe.
+
+    Schema evolution: appends may ADD columns (old rows read as null in
+    them) or drop columns (merged back from the old files) — the
+    parquet-mergeable cases. A column whose TYPE changes is rejected at
+    commit time (``allow_schema_change`` does not override that —
+    merge-on-read cannot reconcile it); any widening/narrowing of the
+    column SET requires ``allow_schema_change=True`` so a pipeline bug
+    (renamed field upstream) fails loudly instead of silently forking
+    the schema."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     prev = latest_version(path)
@@ -97,6 +107,29 @@ def commit_version(
             m = _load_manifest(path, v)
             if m.get("batch_id") == batch_id:
                 return v
+    new_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    mixed = False
+    if mode == "append" and prev is not None:
+        prev_man = _load_manifest(path, prev)
+        prev_fields = prev_man.get("fields", new_fields)
+        conflicts = [
+            n for n, t in new_fields.items()
+            if n in prev_fields and prev_fields[n] != t
+        ]
+        if conflicts:
+            raise ValueError(
+                f"type change on column(s) {conflicts} cannot be merged-on-read"
+            )
+        if set(new_fields) != set(prev_fields) and not allow_schema_change:
+            raise ValueError(
+                "append changes the column set "
+                f"({sorted(set(new_fields) ^ set(prev_fields))}); pass "
+                "allow_schema_change=True to evolve the schema"
+            )
+        mixed = prev_man.get("mixed_schema", False) or set(new_fields) != set(
+            prev_fields
+        )
+        new_fields = {**prev_fields, **new_fields}
     version = (prev if prev is not None else 0) + 1
     commit_dir = os.path.join(path, _DATA, f"commit-{version:06d}")
     df.write.mode("error").parquet(commit_dir)
@@ -115,6 +148,8 @@ def commit_version(
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
+    manifest["fields"] = new_fields
+    manifest["mixed_schema"] = mixed
     os.makedirs(_versions_dir(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=_versions_dir(path), suffix=".tmp")
     with os.fdopen(fd, "w") as f:
@@ -136,7 +171,12 @@ def read_version(
     man = _load_manifest(path, v)
     if not man["files"]:
         raise ValueError(f"version {v} at {path} lists no files")
-    return spark.read.parquet(*man["files"])
+    reader = spark.read
+    if man.get("mixed_schema"):
+        # commits in this chain differ in column set: union the parquet
+        # footers so added columns read as null on pre-evolution files
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*man["files"])
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:
