@@ -159,3 +159,81 @@ def test_spark_non_png_still_raises(spark):
     )
     with pytest.raises(PythonException, match="NotImplementedError"):
         extract_media_features(media, decode_stub=False).collect()
+
+
+# --------------------------------------------------------------------------
+# BMP codec
+# --------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_rgb():
+    from valentinus_spark.imaging import decode_bmp, encode_bmp, is_bmp
+
+    img = _rand_img(7, 5, 3, seed=11)
+    data = encode_bmp(img)
+    assert is_bmp(data) and not is_png(data)
+    assert np.array_equal(decode_bmp(data), img)
+
+
+def test_bmp_row_padding_and_inputs():
+    from valentinus_spark.imaging import decode_bmp, encode_bmp
+
+    # width 3 * 3 bytes = 9 -> padded to 12: exercises stride handling
+    img = _rand_img(4, 3, 3, seed=12)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    gray = _rand_img(4, 4, 1, seed=13)[:, :, 0]
+    assert decode_bmp(encode_bmp(gray)).shape == (4, 4, 3)
+    rgba = _rand_img(2, 2, 4, seed=14)
+    assert np.array_equal(decode_bmp(encode_bmp(rgba)), rgba[:, :, :3])
+
+
+def test_bmp_top_down_and_32bit_decode():
+    import struct as _s
+
+    from valentinus_spark.imaging import decode_bmp
+
+    # hand-build a 2x2 top-down 32-bit BGRA BMP
+    px = [
+        (10, 20, 30, 255), (40, 50, 60, 255),   # row 0 (top)
+        (70, 80, 90, 255), (100, 110, 120, 255),
+    ]
+    body = b"".join(bytes([b, g, r, a]) for (r, g, b, a) in px)
+    hdr = _s.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = _s.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(body), 0, 0, 0, 0)
+    out = decode_bmp(hdr + dib + body)
+    assert out.shape == (2, 2, 4)
+    assert tuple(out[0, 0]) == (10, 20, 30, 255)
+    assert tuple(out[1, 1]) == (100, 110, 120, 255)
+
+
+def test_bmp_rejects_garbage_and_compressed():
+    import struct as _s
+
+    from valentinus_spark.imaging import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"nope")
+    hdr = _s.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    dib = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 1, 0, 0, 0, 0, 0)  # RLE
+    with pytest.raises(NotImplementedError):
+        decode_bmp(hdr + dib + b"\x00" * 8)
+
+
+def test_spark_real_bmp_features_and_resize(spark):
+    from valentinus_spark.imaging import decode_bmp, encode_bmp, resize_nearest
+    from valentinus_spark.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        resize_images,
+    )
+
+    img = _rand_img(8, 6, 3, seed=15)
+    media = spark.createDataFrame(
+        [("b1", "image", encode_bmp(img), None)], MEDIA_SCHEMA
+    )
+    row = extract_media_features(media, dim=16, decode_stub=False).first()
+    expected = image_features(decode_bmp(encode_bmp(img)), 16)
+    assert np.allclose(row["features"], expected, atol=1e-6)
+    rrow = resize_images(media, width=4, height=4, decode_stub=False).first()
+    back = decode_png(rrow["content"])  # resize re-encodes as PNG
+    assert np.array_equal(back, resize_nearest(img, 4, 4))

@@ -170,3 +170,81 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     rows = np.minimum((np.arange(height) * h) // height, h - 1)
     cols = np.minimum((np.arange(width) * w) // width, w - 1)
     return arr[rows[:, None], cols[None, :]]
+
+
+# --------------------------------------------------------------------------
+# BMP (windows bitmap): the second real codec. Uncompressed BI_RGB only —
+# which is essentially all of BMP in the wild — 24-bit BGR and 32-bit BGRA,
+# bottom-up (positive height, the default) or top-down rows.
+# --------------------------------------------------------------------------
+
+_BMP_SIG = b"BM"
+
+
+def is_bmp(data: bytes | None) -> bool:
+    return bool(data) and data[:2] == _BMP_SIG
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → uint8 array of shape (h, w, 3|4) in RGB(A) order."""
+    if not is_bmp(data):
+        raise ValueError("not a BMP payload (bad signature)")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bit depth {bpp} (24/32 supported)")
+    top_down = height < 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3  # rows pad to 4 bytes
+    need = pix_off + stride * height
+    if len(data) < need:
+        raise ValueError("BMP data length mismatch")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * height, offset=pix_off
+    ).reshape(height, stride)[:, : width * nch]
+    img = rows.reshape(height, width, nch)
+    if not top_down:
+        img = img[::-1]
+    # BGR(A) → RGB(A)
+    if nch == 3:
+        img = img[:, :, ::-1]
+    else:
+        img = img[:, :, [2, 1, 0, 3]]
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 1|3|4) array → 24-bit bottom-up BMP bytes (alpha and
+    grayscale are expanded/dropped to BGR — BMP's lingua franca)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if nch == 1:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif nch == 4:
+        rgb = arr[:, :, :3]
+    else:
+        rgb = arr
+    bgr = rgb[:, :, ::-1]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bgr[y].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    pix_off = 14 + 40
+    file_size = pix_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header + dib + body)

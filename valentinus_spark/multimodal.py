@@ -2,15 +2,15 @@
 
 North-star extension (BASELINE.json) — the reference is text-only. The
 Spark-side plumbing here is real (schema, batch shape, partitioning, UDF
-signatures, tested). Decoding: PNG images decode FOR REAL via the
-pure-stdlib codec in :mod:`valentinus_spark.imaging` (zlib + struct — no
+signatures, tested). Decoding: PNG and BMP images decode FOR REAL via the
+pure-stdlib codecs in :mod:`valentinus_spark.imaging` (zlib + struct — no
 PIL needed), covering features and resize end-to-end; audio/video and
-non-PNG image formats remain stubbed because their libraries (soundfile /
+other image formats remain stubbed because their libraries (soundfile /
 av / PIL) are not in this container: ``decode_stub=True`` (default)
 produces deterministic fake features from the bytes, ``decode_stub=False``
-decodes PNG payloads and raises NotImplementedError at the other decode
-sites, which is exactly where a real ``soundfile.read`` / ``av.open``
-call plugs in.
+decodes PNG/BMP payloads and raises NotImplementedError at the other
+decode sites, which is exactly where a real ``soundfile.read`` /
+``av.open`` call plugs in.
 
 Design for 100 TB of media:
 - binary payloads stay columnar (Parquet binary), never hit the driver;
@@ -90,14 +90,22 @@ def extract_media_features(
     def decode(payload: bytes, modality: str) -> np.ndarray:
         if decode_stub:
             return _fake_features(payload or b"", dim)
-        from valentinus_spark.imaging import decode_png, image_features, is_png
+        from valentinus_spark.imaging import (
+            decode_bmp,
+            decode_png,
+            image_features,
+            is_bmp,
+            is_png,
+        )
 
         if modality == "image" and is_png(payload):
             return image_features(decode_png(payload), dim)
+        if modality == "image" and is_bmp(payload):
+            return image_features(decode_bmp(payload), dim)
         raise NotImplementedError(
-            f"real {modality} decoding beyond PNG requires media libraries "
-            "not present in this environment (PIL/soundfile/av); plug the "
-            "decoder in here"
+            f"real {modality} decoding beyond PNG/BMP requires media "
+            "libraries not present in this environment (PIL/soundfile/av); "
+            "plug the decoder in here"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -179,8 +187,10 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from valentinus_spark.imaging import (
+            decode_bmp,
             decode_png,
             encode_png,
+            is_bmp,
             is_png,
             resize_nearest,
         )
@@ -189,12 +199,16 @@ def resize_images(
             contents, metas = [], []
             for payload in pdf["content"]:
                 if not decode_stub:
-                    if not is_png(payload):
+                    if is_png(payload):
+                        src = decode_png(payload)
+                    elif is_bmp(payload):
+                        src = decode_bmp(payload)
+                    else:
                         raise NotImplementedError(
-                            "real non-PNG image resize requires PIL; "
+                            "real non-PNG/BMP image resize requires PIL; "
                             "decode→resize→encode here"
                         )
-                    arr = resize_nearest(decode_png(payload), width, height)
+                    arr = resize_nearest(src, width, height)
                     contents.append(encode_png(arr))
                     metas.append(
                         {
