@@ -8,7 +8,7 @@ PIL needed), covering features and resize end-to-end; audio/video and
 other image formats remain stubbed because their libraries (soundfile /
 av / PIL) are not in this container: ``decode_stub=True`` (default)
 produces deterministic fake features from the bytes, ``decode_stub=False``
-decodes PNG/BMP payloads and raises NotImplementedError at the other
+decodes PNG/BMP images and WAV audio and raises NotImplementedError at the other
 decode sites, which is exactly where a real ``soundfile.read`` /
 ``av.open`` call plugs in.
 
@@ -102,8 +102,13 @@ def extract_media_features(
             return image_features(decode_png(payload), dim)
         if modality == "image" and is_bmp(payload):
             return image_features(decode_bmp(payload), dim)
+        from valentinus_spark.audio import audio_features, decode_wav, is_wav
+
+        if modality == "audio" and is_wav(payload):
+            samples, rate = decode_wav(payload)
+            return audio_features(samples, rate, dim)
         raise NotImplementedError(
-            f"real {modality} decoding beyond PNG/BMP requires media "
+            f"real {modality} decoding beyond PNG/BMP/WAV requires media "
             "libraries not present in this environment (PIL/soundfile/av); "
             "plug the decoder in here"
         )
@@ -239,11 +244,13 @@ def chunk_audio(
 ) -> DataFrame:
     """Audio-windowing plumbing: one audio row → overlapping window rows
     (media_id, chunk_no, start_ms, features) — the audio twin of
-    sample_video_frames. The stub derives a deterministic duration from
-    the payload digest and emits per-window fake features; a real
-    implementation decodes with soundfile and slices the waveform at the
-    marked site. hop_ms < window_ms gives overlapping windows (the usual
-    feature-extraction setup)."""
+    sample_video_frames. With ``decode_stub=False`` WAV payloads are
+    REALLY decoded (valentinus_spark/audio.py) and the waveform is
+    sliced into windows of ``window_ms`` with real per-window features;
+    non-WAV payloads raise at the marked site (soundfile plugs in
+    there). The stub derives a deterministic duration from the payload
+    digest and emits fake features. hop_ms < window_ms gives
+    overlapping windows (the usual feature-extraction setup)."""
     hop = hop_ms or window_ms
     schema = StructType(
         [
@@ -255,12 +262,31 @@ def chunk_audio(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from valentinus_spark.audio import audio_features, decode_wav, is_wav
+
         for pdf in batches:
             rows = {"media_id": [], "chunk_no": [], "start_ms": [], "features": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if not decode_stub:
-                    raise NotImplementedError("real audio decode requires soundfile")
                 payload = content or b""
+                if not decode_stub:
+                    if not is_wav(payload):
+                        raise NotImplementedError(
+                            "real non-WAV audio decode requires soundfile"
+                        )
+                    samples, rate = decode_wav(payload)
+                    win = int(rate * window_ms / 1000)
+                    hop_n = int(rate * hop / 1000)
+                    n, start = 0, 0
+                    while start + win <= samples.size and win > 0:
+                        rows["media_id"].append(mid)
+                        rows["chunk_no"].append(n)
+                        rows["start_ms"].append(start * 1000 // rate)
+                        rows["features"].append(
+                            audio_features(samples[start : start + win], rate, 32)
+                        )
+                        n += 1
+                        start += hop_n
+                    continue
                 # deterministic fake duration: 2-5 windows' worth
                 dur_ms = window_ms * (2 + payload[:1][0] % 4 if payload else 2)
                 n, start = 0, 0
