@@ -8,7 +8,7 @@ PIL needed), covering features and resize end-to-end; audio/video and
 other image formats remain stubbed because their libraries (soundfile /
 av / PIL) are not in this container: ``decode_stub=True`` (default)
 produces deterministic fake features from the bytes, ``decode_stub=False``
-decodes PNG/BMP images and WAV audio and raises NotImplementedError at the other
+decodes PNG/BMP images, WAV audio and Y4M video and raises NotImplementedError at the other
 decode sites, which is exactly where a real ``soundfile.read`` /
 ``av.open`` call plugs in.
 
@@ -140,10 +140,12 @@ def sample_video_frames(
     df: DataFrame, every_n: int = 10, decode_stub: bool = True
 ) -> DataFrame:
     """Frame-sampling plumbing: one input video row → multiple frame rows
-    (media_id, frame_no, features). Stub emits 3 deterministic frames; a
-    real implementation decodes with ``av`` and yields every Nth frame.
-    Demonstrates the fan-out batch shape (mapInPandas may emit more rows
-    than it receives)."""
+    (media_id, frame_no, features). With ``decode_stub=False``, Y4M
+    payloads are REALLY decoded (valentinus_spark/video.py) and every
+    ``every_n``-th luma frame yields real image features; other
+    containers raise at the marked site (``av`` plugs in there). The
+    stub emits 3 deterministic frames. Demonstrates the fan-out batch
+    shape (mapInPandas may emit more rows than it receives)."""
     schema = StructType(
         [
             StructField("media_id", StringType(), False),
@@ -153,11 +155,25 @@ def sample_video_frames(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from valentinus_spark.imaging import image_features
+        from valentinus_spark.video import decode_y4m, is_y4m
+
         for pdf in batches:
             rows = {"media_id": [], "frame_no": [], "features": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if not decode_stub:
-                    raise NotImplementedError("real video decode requires `av`")
+                    if not is_y4m(content or b""):
+                        raise NotImplementedError(
+                            "real non-Y4M video decode requires `av`"
+                        )
+                    frames, _fps = decode_y4m(content)
+                    for frame_no in range(0, len(frames), every_n):
+                        rows["media_id"].append(mid)
+                        rows["frame_no"].append(frame_no)
+                        rows["features"].append(
+                            image_features(frames[frame_no][:, :, None], 32)
+                        )
+                    continue
                 for frame_no in range(0, 3 * every_n, every_n):
                     rows["media_id"].append(mid)
                     rows["frame_no"].append(frame_no)
