@@ -2,15 +2,16 @@
 
 North-star extension (BASELINE.json) — the reference is text-only. The
 Spark-side plumbing here is real (schema, batch shape, partitioning, UDF
-signatures, tested). Decoding: PNG and BMP images decode FOR REAL via the
-pure-stdlib codecs in :mod:`valentinus_spark.imaging` (zlib + struct — no
-PIL needed), covering features and resize end-to-end; audio/video and
-other image formats remain stubbed because their libraries (soundfile /
-av / PIL) are not in this container: ``decode_stub=True`` (default)
-produces deterministic fake features from the bytes, ``decode_stub=False``
-decodes PNG/BMP images, WAV audio and Y4M video and raises NotImplementedError at the other
-decode sites, which is exactly where a real ``soundfile.read`` /
-``av.open`` call plugs in.
+signatures, tested), and every modality has a REAL pure-stdlib decode
+path: PNG/BMP images (:mod:`valentinus_spark.imaging` — zlib + struct,
+no PIL), WAV audio (:mod:`valentinus_spark.audio`), and Y4M video
+(:mod:`valentinus_spark.video`), covering features, resize, audio
+windowing and frame sampling end-to-end. Compressed formats (JPEG, MP3,
+H.264, …) need libraries absent from this container (PIL / soundfile /
+av): ``decode_stub=True`` (default) produces deterministic fake features
+from the bytes, ``decode_stub=False`` decodes the stdlib formats and
+raises NotImplementedError at the remaining sites — exactly where a real
+``PIL.Image.open`` / ``soundfile.read`` / ``av.open`` call plugs in.
 
 Design for 100 TB of media:
 - binary payloads stay columnar (Parquet binary), never hit the driver;
