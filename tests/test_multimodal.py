@@ -96,3 +96,46 @@ def test_chunk_audio_deterministic(media):
     a = {(r["media_id"], r["chunk_no"]): r["start_ms"] for r in chunk_audio(media).collect()}
     b = {(r["media_id"], r["chunk_no"]): r["start_ms"] for r in chunk_audio(media).collect()}
     assert a == b
+
+
+def test_decode_error_null_mode_quarantines_bad_rows(spark):
+    from valentinus_spark.imaging import encode_png
+    from valentinus_spark.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    import numpy as np
+
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [
+            ("ok", "image", good, None),
+            ("bad", "image", b"\x89PNG\r\n\x1a\ntruncated", None),
+            ("jpeg", "image", b"\xff\xd8\xff unsupported", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {
+        r["media_id"]: r
+        for r in extract_media_features(
+            media, dim=8, decode_stub=False, on_error="null"
+        ).collect()
+    }
+    assert out["ok"]["decode_error"] is None and out["ok"]["features"] is not None
+    assert out["bad"]["features"] is None and "ValueError" in out["bad"]["decode_error"]
+    assert out["jpeg"]["features"] is None
+    assert "NotImplementedError" in out["jpeg"]["decode_error"]
+    # raise mode still fails fast on the same input
+    import pytest as _pt
+    from pyspark.sql.utils import PythonException
+
+    with _pt.raises(PythonException):
+        extract_media_features(media, dim=8, decode_stub=False).collect()
+
+
+def test_on_error_validation(spark):
+    import pytest as _pt
+
+    from valentinus_spark.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    media = spark.createDataFrame([("x", "image", b"", None)], MEDIA_SCHEMA)
+    with _pt.raises(ValueError):
+        extract_media_features(media, on_error="skip")

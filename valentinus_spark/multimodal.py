@@ -57,6 +57,7 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), True),
         StructField("content_sha", StringType(), True),
         StructField("features", ArrayType(FloatType()), True),
+        StructField("decode_error", StringType(), True),
     ]
 )
 
@@ -79,14 +80,25 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
 
 
 def extract_media_features(
-    df: DataFrame, dim: int = 64, decode_stub: bool = True
+    df: DataFrame, dim: int = 64, decode_stub: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """binary media column → fixed-dim feature vectors via mapInPandas.
 
     Arrow batches of (media_id, modality, content) flow through Python once;
     replace the ``decode`` closure with a real image/audio decoder when the
     libraries exist (PIL / soundfile / av) — the signature is the contract.
-    """
+
+    ``on_error`` decides what a corrupt or unsupported payload does:
+    ``"raise"`` (default — fail fast, right for curated inputs) or
+    ``"null"`` — the row survives with ``features = NULL`` and the
+    exception text in ``decode_error``. At crawl scale ``"null"`` is the
+    only viable setting: a 100 TB media corpus WILL contain truncated
+    and mislabeled files, and one bad byte string must cost one row, not
+    the job; the ``decode_error`` column doubles as the quarantine
+    filter (``WHERE decode_error IS NOT NULL`` → dead-letter table)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
 
     def decode(payload: bytes, modality: str) -> np.ndarray:
         if decode_stub:
@@ -116,10 +128,16 @@ def extract_media_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode(c, m)
-                for c, m in zip(pdf["content"], pdf["modality"])
-            ]
+            feats, errs = [], []
+            for c, m in zip(pdf["content"], pdf["modality"]):
+                try:
+                    feats.append(decode(c, m))
+                    errs.append(None)
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise
+                    feats.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -129,6 +147,7 @@ def extract_media_features(
                         hashlib.sha256(c or b"").hexdigest() for c in pdf["content"]
                     ],
                     "features": feats,
+                    "decode_error": errs,
                 }
             )
 
