@@ -237,3 +237,74 @@ def test_spark_real_bmp_features_and_resize(spark):
     rrow = resize_images(media, width=4, height=4, decode_stub=False).first()
     back = decode_png(rrow["content"])  # resize re-encodes as PNG
     assert np.array_equal(back, resize_nearest(img, 4, 4))
+
+
+# --------------------------------------------------------------------------
+# GIF codec
+# --------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_grayscale_palette():
+    from valentinus_spark.imaging import decode_gif, encode_gif, is_gif
+
+    rng = np.random.default_rng(31)
+    idx = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+    data = encode_gif(idx)
+    assert is_gif(data) and not is_png(data)
+    out = decode_gif(data)
+    assert out.shape == (11, 7, 4)
+    assert np.array_equal(out[:, :, 0], idx)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])  # gray palette
+    assert (out[:, :, 3] == 255).all()
+
+
+def test_gif_interlaced_decode():
+    from valentinus_spark.imaging import decode_gif, encode_gif
+
+    rng = np.random.default_rng(32)
+    idx = rng.integers(0, 256, (10, 4), dtype=np.uint8)
+    h = idx.shape[0]
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    # store rows in interlace order, then flip the interlace flag
+    data = bytearray(encode_gif(idx[np.array(order)]))
+    img_desc = data.index(0x2C, 13 + 768)  # after header + palette
+    data[img_desc + 9] |= 0x40
+    out = decode_gif(bytes(data))
+    assert np.array_equal(out[:, :, 0], idx)
+
+
+def test_gif_transparency_index():
+    from valentinus_spark.imaging import decode_gif, encode_gif
+
+    idx = np.array([[0, 5], [5, 0]], dtype=np.uint8)
+    data = encode_gif(idx)
+    # splice in an 89a graphic-control extension marking index 5 transparent
+    gce = b"\x21\xf9\x04\x01\x00\x00\x05\x00"
+    img_desc = data.index(b"\x2c", 13 + 768)
+    data = b"GIF89a" + data[6:img_desc] + gce + data[img_desc:]
+    out = decode_gif(data)
+    assert out[0, 0, 3] == 255 and out[0, 1, 3] == 0
+    assert out[1, 0, 3] == 0 and out[1, 1, 3] == 255
+
+
+def test_gif_rejects_garbage():
+    from valentinus_spark.imaging import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"JIF89a nope")
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)
+
+
+def test_spark_real_gif_features(spark):
+    from valentinus_spark.imaging import decode_gif, encode_gif
+    from valentinus_spark.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    idx = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    gif = encode_gif(idx)
+    media = spark.createDataFrame([("g1", "image", gif, None)], MEDIA_SCHEMA)
+    row = extract_media_features(media, dim=16, decode_stub=False).first()
+    expected = image_features(decode_gif(gif), 16)
+    assert np.allclose(row["features"], expected, atol=1e-6)

@@ -248,3 +248,183 @@ def encode_bmp(arr: np.ndarray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return bytes(header + dib + body)
+
+
+# --------------------------------------------------------------------------
+# GIF: third image codec. GIF87a/89a, global & local color tables, LZW
+# decompression, interlacing, transparency index; animated GIFs decode
+# their FIRST frame (the "image" semantics downstream features expect).
+# --------------------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def is_gif(data: bytes | None) -> bool:
+    return bool(data) and data[:6] in _GIF_SIGS
+
+
+def _lzw_decode(mcs: int, data: bytes, n_expected: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at mcs+1, CLEAR and
+    END control codes, dictionary capped at 4096 entries."""
+    clear = 1 << mcs
+    end = clear + 1
+    out = bytearray()
+    # bit reader, LSB-first
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = mcs + 1
+    dict_: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while pos < len(data) or nbits >= width:
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dict_ = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = dict_[code]
+        elif code < len(dict_):
+            entry = dict_[code]
+            if len(dict_) < 4096:
+                dict_.append(prev + entry[:1])
+        elif code == len(dict_):
+            entry = prev + prev[:1]
+            if len(dict_) < 4096:
+                dict_.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        prev = entry
+        if len(dict_) >= (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_expected:
+            break
+    if len(out) < n_expected:
+        raise ValueError("truncated GIF LZW data")
+    return bytes(out[:n_expected])
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → uint8 (h, w, 4) RGBA of the first frame (alpha 0 only
+    at the 89a transparency index, else 255)."""
+    if not is_gif(data):
+        raise ValueError("not a GIF payload (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    transparent = -1
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                flags, _delay, tindex = struct.unpack_from("<BHB", data, pos + 1)
+                if flags & 1:
+                    transparent = tindex
+            while data[pos] != 0:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                data, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame without a color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            size = data[pos]
+            lzw += data[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(mcs, bytes(lzw), w * h), dtype=np.uint8)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            order = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                order.extend(range(start, h, step))
+            rows = idx.reshape(h, w)
+            deinter = np.empty_like(rows)
+            deinter[np.array(order)] = rows
+            idx = deinter.reshape(-1)
+        idx = np.minimum(idx, len(table) - 1)
+        rgba = np.empty((h, w, 4), dtype=np.uint8)
+        rgba[:, :, :3] = table[idx].reshape(h, w, 3)
+        rgba[:, :, 3] = 255
+        if transparent >= 0:
+            rgba[:, :, 3][idx.reshape(h, w) == transparent] = 0
+        # first frame only; compose onto the logical screen if offset
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            screen = np.zeros((sh, sw, 4), dtype=np.uint8)
+            screen[top : top + h, left : left + w] = rgba
+            return screen
+        return rgba
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) palette-index array + implicit grayscale palette →
+    uncompressed-style GIF87a bytes (LZW with immediate CLEARs — valid,
+    just not compact). Exists so the decoder is testable hermetically;
+    use PNG for real output."""
+    if arr.ndim != 2:
+        raise ValueError("encode_gif takes a (h, w) uint8 index array")
+    h, w = arr.shape
+    header = b"GIF87a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    mcs = 8
+    clear, end = 256, 257
+    # emit each pixel as a 9-bit literal with CLEAR before every 254
+    # codes so the dictionary never grows past 9-bit width
+    codes: list[int] = [clear]
+    for i, px in enumerate(arr.reshape(-1).tolist()):
+        if i and i % 250 == 0:
+            codes.append(clear)
+        codes.append(px)
+    codes.append(end)
+    acc = nbits = 0
+    payload = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        payload.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([mcs]) + bytes(blocks) + b"\x00"
+    return header + palette + img + b"\x3b"

@@ -3,7 +3,7 @@
 North-star extension (BASELINE.json) — the reference is text-only. The
 Spark-side plumbing here is real (schema, batch shape, partitioning, UDF
 signatures, tested), and every modality has a REAL pure-stdlib decode
-path: PNG/BMP images (:mod:`valentinus_spark.imaging` — zlib + struct,
+path: PNG/BMP/GIF images (:mod:`valentinus_spark.imaging` — zlib + struct + LZW,
 no PIL), WAV audio (:mod:`valentinus_spark.audio`), and Y4M video
 (:mod:`valentinus_spark.video`), covering features, resize, audio
 windowing and frame sampling end-to-end. Compressed formats (JPEG, MP3,
@@ -105,9 +105,11 @@ def extract_media_features(
             return _fake_features(payload or b"", dim)
         from valentinus_spark.imaging import (
             decode_bmp,
+            decode_gif,
             decode_png,
             image_features,
             is_bmp,
+            is_gif,
             is_png,
         )
 
@@ -115,13 +117,15 @@ def extract_media_features(
             return image_features(decode_png(payload), dim)
         if modality == "image" and is_bmp(payload):
             return image_features(decode_bmp(payload), dim)
+        if modality == "image" and is_gif(payload):
+            return image_features(decode_gif(payload), dim)
         from valentinus_spark.audio import audio_features, decode_wav, is_wav
 
         if modality == "audio" and is_wav(payload):
             samples, rate = decode_wav(payload)
             return audio_features(samples, rate, dim)
         raise NotImplementedError(
-            f"real {modality} decoding beyond PNG/BMP/WAV requires media "
+            f"real {modality} decoding beyond PNG/BMP/GIF/WAV requires media "
             "libraries not present in this environment (PIL/soundfile/av); "
             "plug the decoder in here"
         )
