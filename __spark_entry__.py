@@ -2335,6 +2335,49 @@ def q_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("doc_id_c", "cid_c")
 
 
+def q_versioned_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion into a versioned table
+    (streaming/pipeline.py::stream_commit_versions): the events stream
+    replayed as two pinned micro-batches (even event_ids, then odd),
+    each becoming one append commit tagged with its batch id. The
+    result reads BOTH versions back after ingestion finishes: v1 must
+    equal the even slice exactly (snapshot isolation — the later commit
+    didn't touch it) and v2 the full table (append), proven by XOR
+    content checksums the oracle recomputes from the source rows."""
+    import tempfile
+
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.sources.versioned import read_version
+    from valentinus_spark.streaming.pipeline import (
+        stream_commit_versions,
+        write_ordered_batches,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    feed = tempfile.mkdtemp(prefix="vs_vstream_feed_")
+    write_ordered_batches(
+        ev, [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1], feed
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    table = tempfile.mkdtemp(prefix="vs_vstream_tbl_")
+    q = stream_commit_versions(stream, table, tempfile.mkdtemp(prefix="vs_vs_ckpt_"))
+    q.awaitTermination(300)
+    row_h = sha_hash60(F.col("event_id").cast("string"))
+
+    def snap(v: int) -> DataFrame:
+        return read_version(spark, table, v).select(row_h.alias("_h")).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("content_xor"),
+        )
+
+    return snap(1).unionAll(snap(2))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship(spark, "/root/testdata/sf0.001")
@@ -2361,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "time_travel": q_time_travel,
         "containment_probe": q_containment_probe,
+        "versioned_stream_ingest": q_versioned_stream_ingest,
         "entity_linkage": q_entity_linkage,
         "compaction_roundtrip": q_compaction_roundtrip,
         "key_skew_profile": q_key_skew_profile,
@@ -2581,6 +2625,17 @@ _REPETITION_STATS_CTE = """
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
+        # v1 = even-id micro-batch snapshot, v2 = both batches; XOR
+        # checksums recomputed from the source rows
+        "versioned_stream_ingest": """
+            SELECT 1 AS version, count(*) AS n_rows,
+                   bit_xor(('0x' || substr(sha256(event_id::VARCHAR), 1, 15))::UBIGINT::BIGINT) AS content_xor
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT 2, count(*),
+                   bit_xor(('0x' || substr(sha256(event_id::VARCHAR), 1, 15))::UBIGINT::BIGINT)
+            FROM events
+        """,
         # complete shingle equi-join twin of the asymmetric prefix filter
         "containment_probe": r"""
             WITH qsrc AS (

@@ -139,3 +139,25 @@ def test_on_error_validation(spark):
     media = spark.createDataFrame([("x", "image", b"", None)], MEDIA_SCHEMA)
     with _pt.raises(ValueError):
         extract_media_features(media, on_error="skip")
+
+
+def test_resize_on_error_null_quarantines(spark):
+    import numpy as np
+
+    from valentinus_spark.imaging import encode_png
+    from valentinus_spark.multimodal import MEDIA_SCHEMA, resize_images
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [("ok", "image", good, None), ("bad", "image", b"\x89PNG\r\n\x1a\nxx", None)],
+        MEDIA_SCHEMA,
+    )
+    out = {
+        r["media_id"]: r
+        for r in resize_images(
+            media, width=2, height=2, decode_stub=False, on_error="null"
+        ).collect()
+    }
+    assert out["ok"]["content"] is not None and "decode_error" not in out["ok"]["meta"]
+    assert out["bad"]["content"] is None
+    assert "ValueError" in out["bad"]["meta"]["decode_error"]

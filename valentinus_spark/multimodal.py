@@ -210,17 +210,24 @@ def sample_video_frames(
 
 
 def resize_images(
-    df: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True
+    df: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Image-resize plumbing: (media_id, content) → (media_id, content,
     meta) with the payload replaced by the resized encoding and meta
-    carrying the typed target dims. With ``decode_stub=False``, PNG
+    carrying the typed target dims. With ``decode_stub=False``, PNG/BMP
     payloads are REALLY decoded, nearest-neighbor resized and re-encoded
-    via the stdlib codec (valentinus_spark/imaging.py); non-PNG payloads
+    via the stdlib codecs (valentinus_spark/imaging.py); other formats
     raise at the marked site (PIL plugs in there). The stub transform is
     deterministic (digest-stretched bytes sized w·h·3). Output stays a
     binary column, so resized corpora feed straight back into
-    extract_media_features / dedup over content_sha."""
+    extract_media_features / dedup over content_sha.
+
+    ``on_error="null"`` quarantines corrupt/unsupported payloads per row
+    (content NULL + the exception text under meta["decode_error"])
+    instead of failing the job — see extract_media_features."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
     out_schema = StructType(
         [
             StructField("media_id", StringType(), False),
@@ -244,16 +251,25 @@ def resize_images(
             contents, metas = [], []
             for payload in pdf["content"]:
                 if not decode_stub:
-                    if is_png(payload):
-                        src = decode_png(payload)
-                    elif is_bmp(payload):
-                        src = decode_bmp(payload)
-                    else:
-                        raise NotImplementedError(
-                            "real non-PNG/BMP image resize requires PIL; "
-                            "decode→resize→encode here"
+                    try:
+                        if is_png(payload):
+                            src = decode_png(payload)
+                        elif is_bmp(payload):
+                            src = decode_bmp(payload)
+                        else:
+                            raise NotImplementedError(
+                                "real non-PNG/BMP image resize requires PIL; "
+                                "decode→resize→encode here"
+                            )
+                        arr = resize_nearest(src, width, height)
+                    except Exception as exc:
+                        if on_error == "raise":
+                            raise
+                        contents.append(None)
+                        metas.append(
+                            {"decode_error": f"{type(exc).__name__}: {exc}"[:200]}
                         )
-                    arr = resize_nearest(src, width, height)
+                        continue
                     contents.append(encode_png(arr))
                     metas.append(
                         {
