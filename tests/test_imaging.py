@@ -155,7 +155,7 @@ def test_spark_non_png_still_raises(spark):
     from valentinus_spark.multimodal import MEDIA_SCHEMA, extract_media_features
 
     media = spark.createDataFrame(
-        [("j1", "image", b"\xff\xd8\xff jpeg bytes", None)], MEDIA_SCHEMA
+        [("w1", "image", b"RIFF....WEBPVP8 unsupported", None)], MEDIA_SCHEMA
     )
     with pytest.raises(PythonException, match="NotImplementedError"):
         extract_media_features(media, decode_stub=False).collect()

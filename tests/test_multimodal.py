@@ -109,7 +109,7 @@ def test_decode_error_null_mode_quarantines_bad_rows(spark):
         [
             ("ok", "image", good, None),
             ("bad", "image", b"\x89PNG\r\n\x1a\ntruncated", None),
-            ("jpeg", "image", b"\xff\xd8\xff unsupported", None),
+            ("webp", "image", b"RIFF....WEBPVP8 unsupported", None),
         ],
         MEDIA_SCHEMA,
     )
@@ -121,8 +121,8 @@ def test_decode_error_null_mode_quarantines_bad_rows(spark):
     }
     assert out["ok"]["decode_error"] is None and out["ok"]["features"] is not None
     assert out["bad"]["features"] is None and "ValueError" in out["bad"]["decode_error"]
-    assert out["jpeg"]["features"] is None
-    assert "NotImplementedError" in out["jpeg"]["decode_error"]
+    assert out["webp"]["features"] is None
+    assert "NotImplementedError" in out["webp"]["decode_error"]
     # raise mode still fails fast on the same input
     import pytest as _pt
     from pyspark.sql.utils import PythonException

@@ -3,11 +3,12 @@
 North-star extension (BASELINE.json) — the reference is text-only. The
 Spark-side plumbing here is real (schema, batch shape, partitioning, UDF
 signatures, tested), and every modality has a REAL pure-stdlib decode
-path: PNG/BMP/GIF images (:mod:`valentinus_spark.imaging` — zlib + struct + LZW,
-no PIL), WAV audio (:mod:`valentinus_spark.audio`), and Y4M video
+path: PNG/BMP/GIF images (:mod:`valentinus_spark.imaging` — zlib + struct +
+LZW, no PIL), baseline JPEG (:mod:`valentinus_spark.jpeg` — Huffman +
+numpy DCT, the format web crawls are mostly made of), WAV audio (:mod:`valentinus_spark.audio`), and Y4M video
 (:mod:`valentinus_spark.video`), covering features, resize, audio
-windowing and frame sampling end-to-end. Compressed formats (JPEG, MP3,
-H.264, …) need libraries absent from this container (PIL / soundfile /
+windowing and frame sampling end-to-end. Remaining formats (WebP, MP3,
+H.264, progressive JPEG, …) need libraries absent from this container (PIL / soundfile /
 av): ``decode_stub=True`` (default) produces deterministic fake features
 from the bytes, ``decode_stub=False`` decodes the stdlib formats and
 raises NotImplementedError at the remaining sites — exactly where a real
@@ -119,13 +120,17 @@ def extract_media_features(
             return image_features(decode_bmp(payload), dim)
         if modality == "image" and is_gif(payload):
             return image_features(decode_gif(payload), dim)
+        from valentinus_spark.jpeg import decode_jpeg, is_jpeg
+
+        if modality == "image" and is_jpeg(payload):
+            return image_features(decode_jpeg(payload), dim)
         from valentinus_spark.audio import audio_features, decode_wav, is_wav
 
         if modality == "audio" and is_wav(payload):
             samples, rate = decode_wav(payload)
             return audio_features(samples, rate, dim)
         raise NotImplementedError(
-            f"real {modality} decoding beyond PNG/BMP/GIF/WAV requires media "
+            f"real {modality} decoding beyond PNG/BMP/GIF/JPEG/WAV requires media "
             "libraries not present in this environment (PIL/soundfile/av); "
             "plug the decoder in here"
         )
@@ -252,10 +257,14 @@ def resize_images(
             for payload in pdf["content"]:
                 if not decode_stub:
                     try:
+                        from valentinus_spark.jpeg import decode_jpeg, is_jpeg
+
                         if is_png(payload):
                             src = decode_png(payload)
                         elif is_bmp(payload):
                             src = decode_bmp(payload)
+                        elif is_jpeg(payload):
+                            src = decode_jpeg(payload)
                         else:
                             raise NotImplementedError(
                                 "real non-PNG/BMP image resize requires PIL; "
