@@ -1,0 +1,125 @@
+"""Perceptual image dedup (operators/media_dedup.py): dHash kernel,
+decode dispatch, banded Hamming join."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from valentinus_spark.operators.media_dedup import (
+    dhash_bits,
+    dhash_near_pairs,
+    image_dhash,
+)
+
+
+def _photo(seed=50, h=32, w=32):
+    """Smooth 'photo-like' image: random low-frequency gradients."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        a, b, ph = rng.uniform(0.5, 2, 3)
+        img[:, :, c] = 128 + 100 * np.sin(a * xx / w * 3 + ph) * np.cos(b * yy / h * 3)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _hamming(a, b):
+    return bin(a ^ b).count("1")
+
+
+def test_dhash_stable_across_reencoding_and_resize():
+    from valentinus_spark.imaging import resize_nearest
+    from valentinus_spark.jpeg import decode_jpeg, encode_jpeg
+
+    img = _photo()
+    base = dhash_bits(img)
+    # jpeg round trip (lossy!) must barely move the hash
+    jpeg_rt = dhash_bits(decode_jpeg(encode_jpeg(img)))
+    assert _hamming(base, jpeg_rt) <= 4
+    # 2x downscale keeps the structure
+    small = dhash_bits(resize_nearest(img, 16, 16))
+    assert _hamming(base, small) <= 8
+    # a different photo is far away
+    other = dhash_bits(_photo(seed=51))
+    assert _hamming(base, other) > 12
+
+
+def test_image_dhash_decodes_all_containers(spark):
+    from valentinus_spark.imaging import encode_bmp, encode_gif, encode_png
+    from valentinus_spark.jpeg import encode_jpeg
+
+    img = _photo(seed=52)
+    gray_idx = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]).astype(np.uint8)
+    rows = [
+        ("png", bytearray(encode_png(img))),
+        ("bmp", bytearray(encode_bmp(img))),
+        ("jpg", bytearray(encode_jpeg(img))),
+        ("gif", bytearray(encode_gif(gray_idx))),
+        ("bad", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {r["media_id"]: r for r in image_dhash(df).collect()}
+    # lossless containers agree exactly; jpeg within a few bits
+    assert out["png"]["dhash"] == out["bmp"]["dhash"]
+    assert _hamming(out["png"]["dhash"], out["jpg"]["dhash"]) <= 4
+    # gif carries the gray-luma version of the same photo: still close
+    assert _hamming(out["png"]["dhash"], out["gif"]["dhash"]) <= 10
+    assert out["bad"]["dhash"] is None and "NotImplementedError" in out["bad"]["decode_error"]
+
+
+def test_dhash_near_pairs_banded_matches_brute_force(spark):
+    rng = np.random.default_rng(53)
+    base = int(rng.integers(0, 1 << 62))
+
+    def flip(h, bits):
+        for b in bits:
+            h ^= 1 << b
+        return h
+
+    rows = [
+        Row(media_id="a", dhash=base),
+        Row(media_id="b", dhash=flip(base, [3])),          # 1 bit
+        Row(media_id="c", dhash=flip(base, [10, 40, 55])),  # 3 bits
+        Row(media_id="d", dhash=flip(base, list(range(0, 60, 4)))),  # 15 bits
+        Row(media_id="e", dhash=None),  # quarantined row: ignored
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_pairs(df, max_bits=6, n_bands=8).collect()
+    }
+    hs = {r.media_id: r.dhash for r in rows if r.dhash is not None}
+    want = {}
+    for x in sorted(hs):
+        for y in sorted(hs):
+            if x < y and _hamming(hs[x], hs[y]) <= 6:
+                want[(x, y)] = _hamming(hs[x], hs[y])
+    assert got == want
+    assert ("a", "b") in got and got[("a", "b")] == 1
+    assert ("a", "c") in got and got[("a", "c")] == 3
+    assert not any("d" in p or "e" in p for p in got)
+
+
+def test_dhash_near_pairs_validates_pigeonhole(spark):
+    df = spark.createDataFrame([Row(media_id="x", dhash=1)])
+    with pytest.raises(ValueError):
+        dhash_near_pairs(df, max_bits=8, n_bands=8)
+
+
+def test_end_to_end_image_neardup(spark):
+    """Full pipeline: encode variants -> dhash -> banded join finds the
+    re-encoded pair and not the unrelated image."""
+    from valentinus_spark.imaging import encode_png
+    from valentinus_spark.jpeg import encode_jpeg
+
+    img = _photo(seed=54)
+    rows = [
+        ("orig", bytearray(encode_png(img))),
+        ("reenc", bytearray(encode_jpeg(img))),
+        ("other", bytearray(encode_png(_photo(seed=55)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    pairs = dhash_near_pairs(image_dhash(df), max_bits=6, n_bands=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("orig", "reenc") in found
+    assert not any("other" in p for p in found)
