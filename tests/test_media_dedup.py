@@ -123,3 +123,54 @@ def test_end_to_end_image_neardup(spark):
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert ("orig", "reenc") in found
     assert not any("other" in p for p in found)
+
+
+def _tone_mix(seed=60, rate=8000, secs=0.5):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(rate * secs)) / rate
+    x = np.zeros_like(t)
+    for f, a in zip(rng.uniform(100, 3000, 4), rng.uniform(0.1, 0.3, 4)):
+        x += a * np.sin(2 * np.pi * f * t)
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+def test_audio_fingerprint_robust_to_gain_and_requant():
+    from valentinus_spark.audio import decode_wav, encode_wav
+    from valentinus_spark.operators.media_dedup import audio_fingerprint_bits
+
+    x = _tone_mix()
+    base = audio_fingerprint_bits(x, 8000)
+    # 16-bit encode/decode round trip: hash must survive
+    rt, rate = decode_wav(encode_wav(x, 8000))
+    assert _hamming(base, audio_fingerprint_bits(rt, rate)) <= 2
+    # half the volume: comparisons are scale-free
+    assert _hamming(base, audio_fingerprint_bits(x * 0.5, 8000)) <= 2
+    # different content is far
+    other = audio_fingerprint_bits(_tone_mix(seed=61), 8000)
+    assert _hamming(base, other) > 8
+
+
+def test_audio_fingerprint_spark_pipeline(spark):
+    from valentinus_spark.audio import encode_wav
+    from valentinus_spark.operators.media_dedup import (
+        audio_fingerprint,
+        dhash_near_pairs,
+    )
+
+    x = _tone_mix(seed=62)
+    rows = [
+        ("orig", bytearray(encode_wav(x, 8000))),
+        ("quiet", bytearray(encode_wav(x * 0.4, 8000))),
+        ("other", bytearray(encode_wav(_tone_mix(seed=63), 8000))),
+        ("bad", bytearray(b"mp3-ish junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    hashed = audio_fingerprint(df)
+    out = {r["media_id"]: r for r in hashed.collect()}
+    assert out["bad"]["ahash"] is None
+    pairs = dhash_near_pairs(
+        hashed, max_bits=4, n_bands=8, hash_col="ahash"
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("orig", "quiet") in found
+    assert not any("other" in p or "bad" in p for p in found)

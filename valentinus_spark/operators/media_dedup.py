@@ -171,3 +171,72 @@ def dhash_near_pairs(
         .where(F.col("hamming") <= max_bits)
         .select("id_a", "id_b", "hamming")
     )
+
+
+_AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("ahash", LongType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def audio_fingerprint_bits(samples: np.ndarray, sample_rate: int) -> int:
+    """Chromaprint-style coarse fingerprint: 16 time windows × 4
+    frequency bands; bit = this window's band energy exceeds the
+    previous window's (the same neighbor-difference trick as dHash, in
+    the time-frequency plane). Robust to gain changes (comparisons, not
+    levels) and to re-encoding; 63 usable bits packed into a BIGINT."""
+    n_win, n_bands = 16, 4
+    if samples.size < n_win * 2:
+        samples = np.pad(samples.astype(np.float64), (0, n_win * 2 - samples.size))
+    windows = np.array_split(samples.astype(np.float64), n_win)
+    energies = np.zeros((n_win, n_bands))
+    nyq = sample_rate / 2.0
+    edges = np.array([0.0, 0.1, 0.25, 0.5, 1.0]) * nyq
+    for i, w in enumerate(windows):
+        mag = np.abs(np.fft.rfft(w)) ** 2
+        freqs = np.fft.rfftfreq(w.size, d=1.0 / sample_rate)
+        for b in range(n_bands):
+            sel = (freqs >= edges[b]) & (freqs < edges[b + 1])
+            energies[i, b] = mag[sel].sum() if sel.any() else 0.0
+    bits = (energies[1:] > energies[:-1]).reshape(-1)  # 15*4 = 60 bits
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out & 0x7FFFFFFFFFFFFFFF
+
+
+def audio_fingerprint(df: DataFrame, on_error: str = "null") -> DataFrame:
+    """(media_id, content) → (media_id, ahash, decode_error): one
+    Arrow-batched WAV decode + fingerprint pass. Near-dup pairs come
+    from :func:`dhash_near_pairs` on the ``ahash`` column — the banded
+    Hamming join is hash-agnostic."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from valentinus_spark.audio import decode_wav, is_wav
+
+        for pdf in batches:
+            hashes, errs = [], []
+            for payload in pdf["content"]:
+                try:
+                    if not is_wav(payload):
+                        raise NotImplementedError(
+                            "unsupported audio container for fingerprint"
+                        )
+                    samples, rate = decode_wav(payload)
+                    hashes.append(audio_fingerprint_bits(samples, rate))
+                    errs.append(None)
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise
+                    hashes.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": hashes, "decode_error": errs}
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=_AHASH_SCHEMA)
