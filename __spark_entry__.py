@@ -558,6 +558,160 @@ def q_media_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "content_sha")
 
 
+def _planted_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Deterministic planted-duplicate media corpus driven by doc_id:
+    base = doc_id % 20 picks the underlying content, variant = doc_id // 20
+    re-encodes it through a different container / gain. Same-base items
+    are perceptual near-dups BY CONSTRUCTION, cross-base items are far
+    (measured margins: image hamming ≤4 vs ≥19, audio ≤1 vs ≥19), so the
+    expected near-dup pair set is SQL-derivable from doc_id arithmetic
+    alone while the Spark side exercises the real decode→hash→banded-join
+    pipeline (imaging.py/jpeg.py/audio.py codecs, operators/media_dedup.py)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 60)
+        .repartition(8)  # single-file scan → 1 partition; spread the encode/decode
+    )
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("content", BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from valentinus_spark.audio import encode_wav
+        from valentinus_spark.imaging import encode_bmp, encode_png
+        from valentinus_spark.jpeg import encode_jpeg
+
+        def image_payload(doc_id: int) -> bytes:
+            base, var = doc_id % 20, doc_id // 20
+            rng = np.random.default_rng(1000 + base)
+            coarse = rng.integers(35, 220, size=(8, 8, 3), dtype=np.int32)
+            img = np.repeat(np.repeat(coarse, 4, 0), 4, 1)
+            # uniform brightness shift per variant: dHash compares
+            # neighboring cells, so the shift cancels (clip-safe range)
+            img = np.clip(img + 4 * var, 0, 255).astype(np.uint8)
+            return (encode_png, encode_bmp, encode_jpeg)[var](img)
+
+        def audio_payload(doc_id: int) -> bytes:
+            base, var = doc_id % 20, doc_id // 20
+            rng = np.random.default_rng(2000 + base)
+            rate = 8000
+            t = np.arange(rate // 2) / rate
+            x = sum(
+                a * np.sin(2 * np.pi * f * t)
+                for a, f in zip(
+                    rng.uniform(0.2, 0.5, 4), rng.uniform(100, 3500, 4)
+                )
+            )
+            # gain change per variant: the fingerprint compares band
+            # energies ACROSS windows, so gain cancels
+            return encode_wav((1.0, 0.7, 0.45)[var] * x / 4.0, rate)
+
+        payload = image_payload if kind == "image" else audio_payload
+        prefix = "m" if kind == "image" else "a"
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                ids.append(f"{prefix}{int(doc_id):03d}")
+                blobs.append(payload(int(doc_id)))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.mapInPandas(gen, schema=schema)
+
+
+def q_media_dhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end with a planted oracle: 60 images
+    (20 scenes × {PNG, BMP, JPEG} re-encodes with a brightness shift) →
+    real stdlib decode → dHash → banded Hamming ≤6 join. The pair set
+    must be exactly the same-scene pairs (oracle = doc_id % 20 self-join);
+    a decoder, hash, or band-join regression breaks the match."""
+    from valentinus_spark.operators.media_dedup import dhash_near_pairs, image_dhash
+
+    media = _planted_media(spark, sf_dir, "image")
+    hashed = image_dhash(media, on_error="raise")
+    return dhash_near_pairs(hashed, max_bits=6, n_bands=8).select("id_a", "id_b")
+
+
+def q_audio_fp_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup through the SAME banded Hamming join: 60 WAV clips
+    (20 tone mixes × 3 gains) → real WAV decode → spectral fingerprint →
+    Hamming ≤6 pairs; expected pair set = same-mix pairs (gain-invariant
+    by construction, measured margin 1 vs 19 bits)."""
+    from valentinus_spark.operators.media_dedup import (
+        audio_fingerprint,
+        dhash_near_pairs,
+    )
+
+    media = _planted_media(spark, sf_dir, "audio")
+    hashed = audio_fingerprint(media, on_error="raise")
+    return dhash_near_pairs(
+        hashed, max_bits=6, n_bands=8, hash_col="ahash"
+    ).select("id_a", "id_b")
+
+
+def q_video_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling against a real container: 40 Y4M clips with
+    doc_id-determined frame counts (4 + doc_id % 5) → real Y4M decode →
+    every-2nd-frame sample. The (media_id, frame_no) manifest is pure
+    arithmetic for the oracle, but the Spark side only gets the frame
+    count by actually parsing the stream (video.py)."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from valentinus_spark.multimodal import sample_video_frames
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 40)
+        .repartition(8)
+    )
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("content", BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from valentinus_spark.video import encode_y4m
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rng = np.random.default_rng(3000 + doc_id)
+                n_frames = 4 + doc_id % 5
+                frames = [
+                    rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+                    for _ in range(n_frames)
+                ]
+                ids.append(f"v{doc_id:03d}")
+                blobs.append(encode_y4m(frames))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(gen, schema=schema)
+    frames = sample_video_frames(media, every_n=2, decode_stub=False)
+    return frames.select("media_id", "frame_no")
+
+
 def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each error event gets the most recent prior click of
     the same user (operators/asof.py — union + running-last window, one
@@ -2436,6 +2590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
+        "media_dhash_planted": q_media_dhash_planted,
+        "audio_fp_planted": q_audio_fp_planted,
+        "video_frame_manifest": q_video_frame_manifest,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -2625,6 +2782,35 @@ _REPETITION_STATS_CTE = """
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
+        # planted perceptual dedup: near-dup pairs == same-base pairs by
+        # construction (base = doc_id % 20, variants are re-encodes the
+        # hash is invariant to); the Spark side must recover exactly this
+        # set through real codec decode + banded Hamming join
+        "media_dhash_planted": """
+            WITH m AS (
+                SELECT 'm' || lpad(doc_id::VARCHAR, 3, '0') AS mid,
+                       doc_id % 20 AS base
+                FROM documents WHERE doc_id < 60
+            )
+            SELECT a.mid AS id_a, b.mid AS id_b
+            FROM m a JOIN m b ON a.base = b.base AND a.mid < b.mid
+        """,
+        "audio_fp_planted": """
+            WITH m AS (
+                SELECT 'a' || lpad(doc_id::VARCHAR, 3, '0') AS mid,
+                       doc_id % 20 AS base
+                FROM documents WHERE doc_id < 60
+            )
+            SELECT a.mid AS id_a, b.mid AS id_b
+            FROM m a JOIN m b ON a.base = b.base AND a.mid < b.mid
+        """,
+        # frame manifest arithmetic: every 2nd frame of 4 + doc_id % 5
+        # frames; Spark only learns the count by parsing the Y4M stream
+        "video_frame_manifest": """
+            SELECT 'v' || lpad(doc_id::VARCHAR, 3, '0') AS media_id,
+                   unnest(range(0, 4 + doc_id % 5, 2)) AS frame_no
+            FROM documents WHERE doc_id < 40
+        """,
         # v1 = even-id micro-batch snapshot, v2 = both batches; XOR
         # checksums recomputed from the source rows
         "versioned_stream_ingest": """

@@ -174,3 +174,42 @@ def test_audio_fingerprint_spark_pipeline(spark):
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert ("orig", "quiet") in found
     assert not any("other" in p or "bad" in p for p in found)
+
+
+def test_planted_media_queries_recover_exact_pair_sets(spark):
+    """The driver-gate planted queries (registry: media_dhash_planted,
+    audio_fp_planted, video_frame_manifest) must recover exactly the
+    doc_id-arithmetic ground truth at the default SF — standing pytest
+    twin of the DuckDB oracle so codec/hash regressions fail locally."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    img = {
+        tuple(r)
+        for r in entry.q_media_dhash_planted(spark, SF_DIR).collect()
+    }
+    aud = {
+        tuple(r) for r in entry.q_audio_fp_planted(spark, SF_DIR).collect()
+    }
+    expected_img = {
+        (f"m{i:03d}", f"m{j:03d}")
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if i % 20 == j % 20
+    }
+    assert img == expected_img
+    assert aud == {
+        (f"a{i:03d}", f"a{j:03d}")
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if i % 20 == j % 20
+    }
+    frames = {
+        tuple(r) for r in entry.q_video_frame_manifest(spark, SF_DIR).collect()
+    }
+    expected_frames = {
+        (f"v{d:03d}", fn)
+        for d in range(40)
+        for fn in range(0, 4 + d % 5, 2)
+    }
+    assert frames == expected_frames
