@@ -949,6 +949,38 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "m_seen", "est_distinct")
 
 
+def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGABILITY, the property that matters at 100 TB:
+    per-day HLL registers (p=6) estimate daily distinct users, and the
+    whole-range 'ALL' row is produced by MERGING the persisted daily
+    registers (operators/sketches.py::hll_merge_estimate — max per
+    register, lossless union) rather than rescanning history. The DuckDB
+    oracle recomputes the daily estimates register-for-register and
+    derives the ALL row directly from the full input — equal output IS
+    the losslessness proof for the merge path."""
+    from valentinus_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge_estimate,
+        hll_registers,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    regs = hll_registers(ev, "user_id", ["day"], p=6)
+    # persist once: daily estimates AND the merged rollup both read the
+    # register table, never the raw events again
+    regs = regs.localCheckpoint()
+    daily = hll_estimate(regs, p=6, group_cols=["day"])
+    cut = "2024-01-15"
+    first = regs.where(F.col("day") <= cut).select("idx", "rho")
+    rest = regs.where(F.col("day") > cut).select("idx", "rho")
+    merged = hll_merge_estimate(first, rest, p=6).select(
+        F.lit("ALL").alias("day"), "m_seen", "est_distinct"
+    )
+    return daily.unionByName(merged)
+
+
 def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning (operators/cleaning.py, Raffel et
     al. 2020 §2.2). The synthetic docs are single-line word soup, so the
@@ -1938,6 +1970,47 @@ def q_embedding_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding compression round-trip in the driver gate
+    (functions/vector.py::quantize_embedding / dequantize_embedding —
+    the storage format collection.save(quantize=True) uses, 4x smaller
+    than float32 at 100 TB): per-vector max-abs reconstruction error and
+    original-vs-reconstructed cosine. The oracle replays the exact
+    max-abs-scale/round/tinyint/float-scale arithmetic in SQL, so a
+    drift in any quantization step (scale choice, rounding mode, the
+    float32 narrowing of the stored scale) breaks the hash match."""
+    from valentinus_spark.functions.vector import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qs = embs.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        quantize_embedding("embedding").alias("qemb"),
+    )
+    recon = qs.select(
+        "vec_id",
+        "e",
+        dequantize_embedding("qemb").cast("array<double>").alias("r"),
+    )
+    err = F.aggregate(
+        F.zip_with("e", "r", lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    dot_er = F.aggregate(F.zip_with("e", "r", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return recon.select(
+        "vec_id",
+        F.round(err, 6).alias("max_abs_err"),
+        F.round(dot_er / (norm(F.col("e")) * norm(F.col("r"))), 4).alias("cos_recon"),
+    )
+
+
 def q_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String fuzzy match by edit distance: 10 part names closest to a
     probe (levenshtein is JVM-side codegen; at corpus scale prefilter
@@ -2429,6 +2502,46 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange (sources/jsonl.py) — the training-corpus lingua
+    franca: documents written as 4 gzip JSONL shards range-sharded by
+    doc_id, read back through read_documents_jsonl with an explicit
+    schema (no inference scan) into (id, document, metadata) shape, then
+    checksummed including a metadata value. Hash match = the JSON
+    escape/encode/decode chain and the metadata fold are lossless."""
+    import tempfile
+
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.sources.jsonl import read_documents_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="vs_jsonl_")
+    write_jsonl(docs, path, n_files=4, sort_cols=["id"])
+    back = read_documents_jsonl(
+        spark,
+        path,
+        text_field="text",
+        id_field="id",
+        meta_fields=["lang", "n_chars"],
+        schema="id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+    )
+    row_h = sha_hash60(
+        F.concat_ws(
+            "\x1f",
+            F.col("id"),
+            F.col("document"),
+            F.col("metadata")["lang"],
+            F.col("metadata")["n_chars"],
+        )
+    )
+    return back.select(row_h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("content_xor"),
+    )
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-table time travel (sources/versioned.py): v1 =
     overwrite with the full documents table, v2 = append the English
@@ -2593,6 +2706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_planted": q_media_dhash_planted,
         "audio_fp_planted": q_audio_fp_planted,
         "video_frame_manifest": q_video_frame_manifest,
+        "hll_daily_rollup": q_hll_daily_rollup,
+        "embedding_quantize_stats": q_embedding_quantize_stats,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -2782,6 +2898,84 @@ _REPETITION_STATS_CTE = """
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
+        # JSONL write->read checksum recomputed from the source rows
+        # (concat_ws with US separator, metadata values as strings)
+        "jsonl_roundtrip": """
+            SELECT count(*) AS n_rows,
+                   bit_xor(('0x' || substr(sha256(
+                       doc_id::VARCHAR || chr(31) || text || chr(31) ||
+                       lang || chr(31) || n_chars::VARCHAR), 1, 15))::UBIGINT::BIGINT) AS content_xor
+            FROM documents
+        """,
+        # exact SQL replay of the int8 quantization chain: max-abs scale
+        # in double, round-half-away, tinyint, float32-narrowed stored
+        # scale, float32 reconstruction — element-exact, so max_abs_err
+        # compares equal at 6dp; only the cosine's summation order leans
+        # on the 4dp round
+        "embedding_quantize_stats": """
+            WITH s AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+                FROM embeddings
+            ),
+            sc AS (
+                SELECT vec_id, e,
+                       CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS scale_d
+                FROM s
+            ),
+            r AS (
+                SELECT vec_id, e,
+                       list_transform(
+                           e, x -> (round(x / scale_d)::TINYINT::DOUBLE
+                                    * (scale_d::FLOAT)::DOUBLE)::FLOAT::DOUBLE
+                       ) AS rv
+                FROM sc
+            )
+            SELECT vec_id,
+                   ROUND(list_max(list_transform(
+                       range(1, len(e) + 1), i -> abs(e[i] - rv[i]))), 6) AS max_abs_err,
+                   ROUND(list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * rv[i]))
+                         / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                            * sqrt(list_sum(list_transform(rv, x -> x * x)))), 4) AS cos_recon
+            FROM r
+        """,
+        # per-day HLL registers (p=6, portable 60-bit sha hash) exactly as
+        # the Spark side builds them; the ALL row comes from the union'd
+        # registers — equality with Spark's merge-of-persisted-registers
+        # path proves the HLL union is lossless
+        "hll_daily_rollup": """
+            WITH h AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       ('0x' || substr(sha256(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+                FROM events
+            ),
+            r AS (
+                SELECT day, h >> 54 AS idx,
+                       MAX(CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+                                ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1)))
+                           END) AS rho
+                FROM h GROUP BY 1, 2
+            ),
+            r_all AS (SELECT idx, MAX(rho) AS rho FROM r GROUP BY 1),
+            a AS (
+                SELECT day, COUNT(*) AS m_seen,
+                       SUM(1::BIGINT << (55 - rho)) AS s
+                FROM r GROUP BY 1
+                UNION ALL
+                SELECT 'ALL', COUNT(*), SUM(1::BIGINT << (55 - rho)) FROM r_all
+            ),
+            e AS (
+                SELECT day, m_seen, 64 - m_seen AS v,
+                       1.0462993238608057e+20 /
+                           (s + (64 - m_seen) * (1::BIGINT << 55))::DOUBLE AS raw
+                FROM a
+            )
+            SELECT day, m_seen,
+                   ROUND(CASE WHEN raw <= 160.0 AND v > 0
+                              THEN 64.0 * ln(64.0 / v)
+                              ELSE raw END, 4) AS est_distinct
+            FROM e
+        """,
         # planted perceptual dedup: near-dup pairs == same-base pairs by
         # construction (base = doc_id % 20, variants are re-encodes the
         # hash is invariant to); the Spark side must recover exactly this

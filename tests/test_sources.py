@@ -123,3 +123,42 @@ def test_orc_unsorted_write_defaults(spark, tmp_path):
     path = str(tmp_path / "orc2")
     write_orc(df, path, n_files=2)
     assert read_orc(spark, path).count() == 64
+
+
+def test_write_jsonl_roundtrip_sharded_sorted(spark, tmp_path):
+    """write_jsonl range-shards + sorts: 3 gzip files, each a contiguous
+    id range, and read_documents_jsonl recovers every row losslessly
+    (including JSON-escaping-hostile text)."""
+    import os
+
+    from valentinus_spark.sources.jsonl import write_jsonl
+
+    rows = [
+        (i, 'tricky "quotes" \\ and\nnewlines é%d' % i, "en")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    path = str(tmp_path / "shards")
+    write_jsonl(df, path, n_files=3, sort_cols=["id"])
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".gz")
+    )
+    assert len(parts) == 3
+    # each shard covers a contiguous id range (range partitioning)
+    spans = []
+    for p in parts:
+        ids = [
+            json.loads(ln)["id"]
+            for ln in gzip.open(os.path.join(path, p), "rt")
+        ]
+        assert ids == sorted(ids)
+        if ids:
+            spans.append((ids[0], ids[-1]))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+    back = read_documents_jsonl(
+        spark, path, id_field="id", schema="id long, text string, lang string"
+    )
+    got = {int(r["id"]): r["document"] for r in back.collect()}
+    assert got == {i: t for i, t, _ in rows}

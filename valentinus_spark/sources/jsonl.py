@@ -14,6 +14,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import MapType, StringType
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_files: int | None = None,
+    compression: str | None = "gzip",
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write a DataFrame as JSONL shards (optionally gzip per shard —
+    self-contained files any downstream tokenizer/trainer can stream).
+
+    ``n_files`` bounds the shard count via repartition; ``sort_cols``
+    range-partitions + sorts within shards so each file covers a
+    contiguous key range (stream a shard = stream a key range, and
+    gzip compresses sorted runs better). At scale prefer a shard count
+    that yields 100 MB–1 GB per compressed file: small-file floods are
+    the #1 JSONL-corpus pathology (see operators/compaction.py)."""
+    if n_files is not None:
+        if sort_cols:
+            df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        else:
+            df = df.repartition(n_files)
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def read_documents_jsonl(
     spark: SparkSession,
     path: str,
