@@ -1970,6 +1970,70 @@ def q_embedding_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed, training-shaped merge table for the bpe_encode gate query: each
+# merge's components are single characters or outputs of EARLIER merges
+# and outputs are distinct — exactly the invariant learned merge tables
+# satisfy, under which greedy lowest-rank-first encoding (what
+# operators/tokenizer.py::bpe_encode implements) equals replaying the
+# merges once each in training order (what the SQL oracle's replace
+# chain does). Verified equivalent on 500 randomized texts.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("o", "r"), ("e", "s"), ("t", "i"), ("ti", "on"),
+]
+
+
+def _bpe_oracle_sql() -> str:
+    """SQL replay of bpe_encode with _BPE_MERGES: every symbol is wrapped
+    as US+sym+US (so a pattern can never match a mid-token substring —
+    single-delimiter schemes can, e.g. 'er'+'e' matching 'r','e'), words
+    are joined with RS (blocks cross-word merges), and each merge is one
+    leftmost-nonoverlap replace() in training order."""
+    seq = "array_to_string(toks, chr(30))"
+    for a, b in _BPE_MERGES:
+        pat = f"chr(31) || '{a}' || chr(31) || chr(31) || '{b}' || chr(31)"
+        rep = f"chr(31) || '{a}{b}' || chr(31)"
+        seq = f"replace({seq}, {pat}, {rep})"
+    return f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(lower(text), '[a-z]+'),
+                           w -> regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+                       ) AS toks
+                FROM documents
+            ),
+            s AS (SELECT doc_id, replace({seq}, chr(30), '') AS seq FROM w)
+            SELECT doc_id,
+                   (length(seq) - length(replace(seq, chr(31), ''))) // 2 AS n_tokens,
+                   ('0x' || substr(sha256(
+                       replace(trim(seq, chr(31)), chr(31) || chr(31), ' ')
+                   ), 1, 15))::UBIGINT::BIGINT AS toks_h
+            FROM s
+    """
+
+
+def q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE in the driver gate (operators/tokenizer.py::bpe_encode
+    — the apply side of tokenizer training, previously only train-side
+    covered via bpe_pair_counts): every document tokenized with the
+    fixed training-shaped merge table, checked as (n_tokens, token-
+    sequence hash) against an independent SQL replay of the merges.
+    Tests the greedy rank loop, the word regex and the per-batch word
+    cache end-to-end."""
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.operators.tokenizer import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(16)
+    enc = bpe_encode(docs, _BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_tokens"),
+        sha_hash60(F.array_join("bpe_tokens", " ")).alias("toks_h"),
+    )
+
+
 def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding compression round-trip in the driver gate
     (functions/vector.py::quantize_embedding / dequantize_embedding —
@@ -2709,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily_rollup": q_hll_daily_rollup,
         "embedding_quantize_stats": q_embedding_quantize_stats,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "bpe_encode_fixed": q_bpe_encode_fixed,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -2898,6 +2963,7 @@ _REPETITION_STATS_CTE = """
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
+        "bpe_encode_fixed": _bpe_oracle_sql(),
         # JSONL write->read checksum recomputed from the source rows
         # (concat_ws with US separator, metadata values as strings)
         "jsonl_roundtrip": """
