@@ -1970,6 +1970,55 @@ def q_embedding_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_normalize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/web.py — crawl-corpus keying) with
+    a planted SEMANTIC oracle: each doc_id < 350 yields one messy variant
+    (var = doc_id % 7: canonical / SHOUTING scheme+host / explicit :443 /
+    utm params / fragment / trailing slash / http:80 + all of it) of a
+    canonical URL determined by base = doc_id % 50. The variant is BUILT
+    in Catalyst, normalized by normalize_url, and the oracle computes the
+    expected canonical form from doc_id arithmetic alone — it shares no
+    normalization code with the implementation, so only correct
+    semantics (not regex-dialect parity) make the hash match."""
+    from valentinus_spark.functions.web import normalize_url, url_host
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 350)
+    )
+    b = F.col("doc_id") % 50
+    var = F.col("doc_id") % 7
+    host = F.concat(F.lit("site"), b, F.lit(".example.com"))
+    path = F.concat(F.lit("/p/"), b)
+    raw = (
+        F.when(var == 0, F.concat(F.lit("https://"), host, path))
+        .when(var == 1, F.concat(F.lit("HTTPS://"), F.upper(host), path))
+        .when(var == 2, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+        .when(
+            var == 3,
+            F.concat(
+                F.lit("https://"), host, path,
+                F.lit("?utm_source=feed&utm_campaign=c1"),
+            ),
+        )
+        .when(var == 4, F.concat(F.lit("https://"), host, path, F.lit("#sec-2")))
+        .when(var == 5, F.concat(F.lit("https://"), host, path, F.lit("/")))
+        .otherwise(
+            F.concat(
+                F.lit("HTTP://"), F.upper(host), F.lit(":80"), path,
+                F.lit("/?utm_medium=m#frag"),
+            )
+        )
+    )
+    urls = docs.select("doc_id", raw.alias("raw_url"))
+    return urls.select(
+        "doc_id",
+        normalize_url("raw_url").alias("norm_url"),
+        url_host("raw_url").alias("host"),
+    )
+
+
 # Fixed, training-shaped merge table for the bpe_encode gate query: each
 # merge's components are single characters or outputs of EARLIER merges
 # and outputs are distinct — exactly the invariant learned merge tables
@@ -2774,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_stats": q_embedding_quantize_stats,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "bpe_encode_fixed": q_bpe_encode_fixed,
+        "url_normalize_planted": q_url_normalize_planted,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -2964,6 +3014,16 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # the EXPECTED canonical URL from doc_id arithmetic — no shared
+        # normalization logic with the Spark side
+        "url_normalize_planted": """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 7 = 6 THEN 'http' ELSE 'https' END)
+                       || '://site' || (doc_id % 50)::VARCHAR
+                       || '.example.com/p/' || (doc_id % 50)::VARCHAR AS norm_url,
+                   'site' || (doc_id % 50)::VARCHAR || '.example.com' AS host
+            FROM documents WHERE doc_id < 350
+        """,
         # JSONL write->read checksum recomputed from the source rows
         # (concat_ws with US separator, metadata values as strings)
         "jsonl_roundtrip": """

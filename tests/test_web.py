@@ -1,0 +1,70 @@
+"""URL canonicalization tests (functions/web.py)."""
+
+from pyspark.sql import functions as F
+
+from valentinus_spark.functions.web import normalize_url, url_host
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select("u", normalize_url("u").alias("n")).collect()
+    return {r["u"]: r["n"] for r in rows}
+
+
+def test_normalize_url_rules(spark):
+    got = _norm(
+        spark,
+        [
+            "https://Site.Example.com/Path/UPPER",  # path case preserved
+            "HTTPS://HOST.COM:443/a",
+            "http://host.com:80/a",
+            "http://host.com:8080/a",  # non-default port kept
+            "https://host.com/a?utm_source=x&keep=1&utm_campaign=y#frag",
+            "https://host.com/a/",
+            "https://host.com/",  # bare root slash kept
+            "  https://host.com/a  ",  # surrounding whitespace
+            "not a url at all",  # total function: passthrough
+        ],
+    )
+    assert got["https://Site.Example.com/Path/UPPER"] == "https://site.example.com/Path/UPPER"
+    assert got["HTTPS://HOST.COM:443/a"] == "https://host.com/a"
+    assert got["http://host.com:80/a"] == "http://host.com/a"
+    assert got["http://host.com:8080/a"] == "http://host.com:8080/a"
+    assert (
+        got["https://host.com/a?utm_source=x&keep=1&utm_campaign=y#frag"]
+        == "https://host.com/a?keep=1"
+    )
+    assert got["https://host.com/a/"] == "https://host.com/a"
+    assert got["https://host.com/"] == "https://host.com/"
+    assert got["  https://host.com/a  "] == "https://host.com/a"
+    assert got["not a url at all"] == "not a url at all"
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://WWW.Example.com:8443/x",),
+            ("http://user:pw@www.inner.example.org/p",),
+            ("https://example.com/",),
+        ],
+        "u string",
+    )
+    rows = df.select(
+        url_host("u").alias("h"), url_host("u", strip_www=False).alias("hw")
+    ).collect()
+    assert [r["h"] for r in rows] == ["example.com", "inner.example.org", "example.com"]
+    assert rows[0]["hw"] == "www.example.com"
+
+
+def test_normalize_url_idempotent(spark):
+    """Normalizing twice must be a no-op — the canonical form is a fixed
+    point, so the column is safe to re-normalize in incremental loads."""
+    urls = [
+        "HTTPS://A.B:443/p/1/?utm_source=s#f",
+        "http://x.y:80/",
+        "https://h/p?keep=1&utm_id=9",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(normalize_url("u").alias("n"))
+    twice = once.select(F.col("n").alias("u")).select(normalize_url("u").alias("n"))
+    assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]

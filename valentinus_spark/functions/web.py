@@ -1,0 +1,93 @@
+"""URL canonicalization for crawl-scale corpora — pure Catalyst.
+
+A web-crawl corpus keys almost everything on the URL (dedup, host-level
+quality priors, robots/blocklist joins, refetch scheduling), and raw
+crawl URLs are noisy: case-insensitive scheme/host written in any case,
+explicit default ports, tracking query parameters, fragments that never
+reach the server, decorative trailing slashes. Canonicalizing BEFORE
+the URL becomes a join/group key collapses those spurious distinctions
+once, instead of leaking them into every downstream shuffle.
+
+Everything here is built from `pyspark.sql.functions` regexp/string
+expressions — no Python UDF — so URL normalization of 100 TB of crawl
+metadata stays inside whole-stage codegen and the normalized column is
+usable as a partition/bucket key with zero Python cost.
+
+The reference engine has no web layer (it ingests CSV reviews —
+/root/reference/examples/cosine_query_example.rs:14-43); this module is
+part of the training-data-pipeline surface built on top of its query
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# query parameters that identify a CLICK, not a resource — the standard
+# strip-list (Google Analytics utm_*, Google/Facebook click ids)
+_TRACKING_PARAM = r"(?:utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL form, applied as a fixed rule chain:
+
+    1. trim surrounding whitespace;
+    2. lowercase the scheme and authority (RFC 3986 §6.2.2.1 — they are
+       case-insensitive; the path/query are NOT touched);
+    3. drop the fragment (never sent to the server);
+    4. remove tracking query parameters (``utm_*``, ``gclid``,
+       ``fbclid``, ``msclkid``), then tidy dangling ``?``/``&``;
+    5. strip an explicit default port (``:80`` for http, ``:443`` for
+       https);
+    6. drop a single decorative trailing slash (but keep a bare-root
+       ``/`` — ``https://h/`` and ``https://h/p/`` normalize to
+       ``https://h/`` and ``https://h/p``).
+
+    Non-URL strings pass through steps that don't match them unchanged —
+    the function is total, never raising, so it is safe directly over a
+    dirty crawl column.
+    """
+    u = F.trim(_c(col))
+    scheme = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1)
+    # steps 3+4: `rest` already excludes the fragment; strip tracking
+    # params wherever they sit in the query, then tidy separators
+    rest = F.regexp_replace(rest, r"(?<=[?&])" + _TRACKING_PARAM + r"=[^&]*&?", "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    # step 5: default ports (the authority is already lowercased below,
+    # but match case-insensitively to keep the rule order-independent)
+    scheme_l = F.lower(scheme)
+    auth_l = F.lower(authority)
+    auth_l = F.when(
+        (scheme_l == "http") & auth_l.endswith(":80"),
+        F.substring(auth_l, 1, F.length(auth_l) - 3),
+    ).when(
+        (scheme_l == "https") & auth_l.endswith(":443"),
+        F.substring(auth_l, 1, F.length(auth_l) - 4),
+    ).otherwise(auth_l)
+    # step 6: one decorative trailing slash on a non-root path
+    rest = F.regexp_replace(rest, r"^(/.+?)/$", "$1")
+    return F.when(
+        scheme == "", u  # not scheme://… — pass through untouched
+    ).otherwise(F.concat(scheme_l, F.lit("://"), auth_l, rest))
+
+
+def url_host(col: Column | str, strip_www: bool = True) -> Column:
+    """Lowercased host of a URL (no port, no userinfo); with
+    ``strip_www`` a leading ``www.`` label is removed — the usual key
+    for host-level aggregation (per-site quality priors, crawl budgets,
+    domain blocklists)."""
+    auth = F.lower(
+        F.regexp_extract(_c(col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(auth, r"^[^@]*@", "")  # userinfo
+    host = F.regexp_replace(host, r":\d+$", "")  # port
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
