@@ -2019,6 +2019,36 @@ def q_url_normalize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-text extraction (functions/web.py::html_to_text) with a
+    planted semantic oracle: each document's text is wrapped in a full
+    HTML page built in Catalyst — script block whose body contains a
+    bare '<' (must die as a BLOCK before tag stripping), style block,
+    comment, heading, and a paragraph of entity torture including the
+    double-escape '&amp;lt;i&amp;gt;' (must decode exactly ONE level)
+    and '&lt;tag&gt;' (must survive as literal '<tag>', proving entity
+    decode runs after tag stripping). The oracle writes the expected
+    extracted text directly from doc_id + text — no shared extraction
+    logic — and the full text is part of the hashed result."""
+    from valentinus_spark.functions.web import html_to_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 400
+    )
+    title = F.concat(F.lit("Doc "), F.col("doc_id"))
+    html = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit('</title><script type="text/javascript">var x = 1 < 2;'
+              "</script><style>p { color: red; }</style></head>"
+              "<body><!-- boilerplate --><h1>"), title,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><p>a &amp; b &amp;lt;i&amp;gt; &lt;tag&gt;&nbsp;x</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text(html).alias("extracted")
+    )
+
+
 # Fixed, training-shaped merge table for the bpe_encode gate query: each
 # merge's components are single characters or outputs of EARLIER merges
 # and outputs are distinct — exactly the invariant learned merge tables
@@ -2824,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
+        "html_extract_planted": q_html_extract_planted,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3014,6 +3045,16 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # expected extraction written straight from doc_id + text: title
+        # twice (from <title> and <h1>), body text, then the entity
+        # plateau decoded exactly one level
+        "html_extract_planted": """
+            SELECT doc_id,
+                   'Doc ' || doc_id::VARCHAR || ' Doc ' || doc_id::VARCHAR || ' '
+                       || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                       || ' a & b &lt;i&gt; <tag> x' AS extracted
+            FROM documents WHERE doc_id < 400
+        """,
         # the EXPECTED canonical URL from doc_id arithmetic — no shared
         # normalization logic with the Spark side
         "url_normalize_planted": """

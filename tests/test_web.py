@@ -68,3 +68,24 @@ def test_normalize_url_idempotent(spark):
     once = df.select(normalize_url("u").alias("n"))
     twice = once.select(F.col("n").alias("u")).select(normalize_url("u").alias("n"))
     assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]
+
+
+def test_html_to_text_order_sensitive_cases(spark):
+    from valentinus_spark.functions.web import html_to_text
+
+    cases = [
+        # script body contains '<' — must die as a block, not leak 'var x'
+        ("<p>a</p><script>if (x < 2) alert('<b>')</script><p>b</p>", "a b"),
+        ("<style>p><b { x: '<'; }</style>text", "text"),
+        ("<!-- <p>hidden</p> -->shown", "shown"),
+        # entity decode AFTER tag strip: escaped markup survives literally
+        ("&lt;script&gt;evil&lt;/script&gt;", "<script>evil</script>"),
+        # exactly one decode level
+        ("&amp;lt;", "&lt;"),
+        ("a<br>b<BR/>c", "a b c"),
+        ("x &nbsp; y &quot;q&quot; &#39;s&#39;", "x y \"q\" 's'"),
+        ("  lots\n\nof\twhitespace  ", "lots of whitespace"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [r["t"] for r in df.select(html_to_text("h").alias("t")).collect()]
+    assert got == [want for _, want in cases]

@@ -78,6 +78,38 @@ def normalize_url(col: Column | str) -> Column:
     ).otherwise(F.concat(scheme_l, F.lit("://"), auth_l, rest))
 
 
+def html_to_text(col: Column | str) -> Column:
+    """Main-text extraction from raw HTML — the first transform a crawl
+    corpus goes through, kept as a fixed Catalyst regexp chain (no
+    Python in the per-byte hot path):
+
+    1. drop ``<script>``/``<style>`` blocks WITH their contents
+       (case-insensitive, dotall — code/CSS is never prose);
+    2. drop ``<!-- comments -->``;
+    3. replace every remaining tag with a space (tags are word
+       boundaries: ``a<br>b`` is two words);
+    4. decode the basic entities (``&nbsp; &lt; &gt; &quot; &#39;``,
+       and ``&amp;`` LAST so double-escaped text decodes exactly one
+       level, e.g. ``&amp;lt;`` → ``&lt;``);
+    5. collapse whitespace runs to single spaces and trim.
+
+    Entity decoding runs AFTER tag stripping, so escaped markup in the
+    text (``&lt;tag&gt;``) survives as literal ``<tag>`` instead of
+    being eaten by the tag regex. This is a boilerplate-agnostic
+    extractor (everything outside script/style/comments is kept);
+    line-level quality pruning is operators/cleaning.py::clean_lines."""
+    s = _c(col)
+    s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]+>", " ")
+    for ent, ch in [
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ]:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
 def url_host(col: Column | str, strip_www: bool = True) -> Column:
     """Lowercased host of a URL (no port, no userinfo); with
     ``strip_www`` a leading ``www.`` label is removed — the usual key
