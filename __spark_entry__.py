@@ -1479,6 +1479,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs, method="minlabel")
 
 
+def q_dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER clustering that production dedup actually ships:
+    per near-dup cluster, keep the best copy (longest text, doc_id
+    tiebreak) and point every member at it
+    (operators/dedup.py::cluster_canonical — one window pass on the
+    existing cluster partitioning, no join-back). Oracle = the
+    dedup_clusters recursive-CTE components with the same preference
+    order expressed as a SQL window."""
+    from valentinus_spark.operators.dedup import cluster_canonical, dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=None).select(
+        "id_a", "id_b"
+    )
+    clustered = dedup_clusters(docs, pairs, method="star").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    out = cluster_canonical(
+        clustered, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    return out.select("doc_id", "cluster_id", "canonical_id", "is_canonical")
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via large-star/small-star connected components
     (operators/dedup.py connected_components_star) — O(log n) rounds vs
@@ -2855,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
+        "dedup_canonical_keep": q_dedup_canonical_keep,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -5117,4 +5141,17 @@ def oracle_sql() -> dict[str, str]:
     }
     # star CC is an exact algorithm for the same fixpoint — identical oracle
     sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    # canonical keep: same components, final select swaps cluster_size
+    # for a window argmax by (n_chars desc, doc_id asc)
+    sql["dedup_canonical_keep"] = (
+        sql["dedup_clusters"].rsplit("SELECT doc_id, cluster_id,", 1)[0]
+        + """SELECT a.doc_id, a.cluster_id,
+                   first_value(a.doc_id) OVER w AS canonical_id,
+                   a.doc_id = first_value(a.doc_id) OVER w AS is_canonical
+            FROM assigned a JOIN documents d ON a.doc_id = d.doc_id
+            WINDOW w AS (PARTITION BY a.cluster_id
+                         ORDER BY d.n_chars DESC, a.doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """
+    )
     return sql

@@ -627,3 +627,30 @@ def test_minhash_signatures_are_distinct_hash_families(spark):
     # 16 mins over 10 shingles from independent families: collisions of
     # ALL values would need identical families; require near-all distinct
     assert len(set(values)) >= 12, values
+
+
+def test_cluster_canonical_prefers_quality_then_id(spark):
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.operators.dedup import cluster_canonical
+
+    rows = [
+        # cluster 0: doc 2 longest -> canonical; 0 and 1 point at it
+        (0, 0, 10), (1, 0, 20), (2, 0, 30),
+        # cluster 5: tie on quality -> lowest doc_id wins
+        (5, 5, 7), (6, 5, 7),
+        # singleton
+        (9, 9, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long, n_chars long")
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in cluster_canonical(
+            df, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+        ).collect()
+    }
+    assert out == {
+        0: (2, False), 1: (2, False), 2: (2, True),
+        5: (5, True), 6: (5, False),
+        9: (9, True),
+    }

@@ -1101,3 +1101,36 @@ def dedup_clusters(
         "cluster_id",
         F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
     )
+
+
+def cluster_canonical(
+    clustered: DataFrame,
+    order_by: list,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pick each duplicate cluster's CANONICAL row — what a production
+    dedup actually ships (near-dup dedup keeps the best copy, not an
+    arbitrary one; cf. dedup_exact's keep="first" policy for identical
+    rows). ``order_by`` is the preference order (e.g. ``[F.col("quality")
+    .desc(), F.col("doc_id")]`` — most valuable first, unique tiebreak
+    last so the choice is deterministic).
+
+    Adds ``canonical_id`` (the chosen row's id) and ``is_canonical``.
+    Single window pass over the existing cluster partitioning — ONE
+    shuffle on cluster_col and no join-back; at 100 TB the dup-cluster
+    skew is bounded because near-dup clusters are small by construction
+    (banded candidate generation caps pair fan-in), so no salting is
+    needed on this window.
+    """
+    w = (
+        Window.partitionBy(cluster_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    canonical = F.first(F.col(id_col)).over(w)
+    return clustered.select(
+        "*",
+        canonical.alias("canonical_id"),
+        (F.col(id_col) == canonical).alias("is_canonical"),
+    )
