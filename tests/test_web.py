@@ -89,3 +89,18 @@ def test_html_to_text_order_sensitive_cases(spark):
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = [r["t"] for r in df.select(html_to_text("h").alias("t")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_web_functions_stay_jvm_side(spark):
+    """normalize_url/html_to_text compile to pure Catalyst expressions —
+    no Python evaluation node may appear in the crawl hot path."""
+    from tests.test_plans import plan_of
+    from valentinus_spark.functions.web import html_to_text, normalize_url, url_host
+
+    df = spark.createDataFrame([("https://A.b:443/x#f", "<p>t</p>")], "u string, h string")
+    plan = plan_of(
+        df.select(
+            normalize_url("u"), url_host("u"), html_to_text("h")
+        )
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
