@@ -1128,6 +1128,22 @@ def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles of l_extendedprice by two-phase distributed
+    ranking (operators/profile.py::exact_quantiles — one range exchange
+    of the pruned value column, intra-partition index from
+    monotonically_increasing_id above the partition sort, broadcast
+    prefix offsets). The exact complement to the sampled
+    sample_quantiles: no buffering a column into one aggregation state,
+    no single-partition window. Oracle = the same lower-rank convention
+    via a SQL window."""
+    from valentinus_spark.operators.profile import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = exact_quantiles(li, "l_extendedprice", [0.01, 0.25, 0.5, 0.9, 0.99])
+    return out.select("q", F.round("value", 2).alias("value"))
+
+
 def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented exact triangle count (operators/graph.py,
     compact-forward orientation bounding the wedge stage by O(m^1.5))
@@ -2848,7 +2864,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_hll": q_approx_distinct_hll,
         "c4_line_clean": q_c4_line_clean,
         "cdc_apply": q_cdc_apply,
-        "corpus_sample_quota": q_corpus_sample_quota,
         "k_anonymity_audit": q_k_anonymity_audit,
         "minmax_pruned_agg": q_minmax_pruned_agg,
         "table_profile": q_table_profile,
@@ -2879,6 +2894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
         "dedup_canonical_keep": q_dedup_canonical_keep,
+        "exact_quantiles": q_exact_quantiles,
+        # demoted from the r3 block: its sha-rank sampling machinery is
+        # window-covered by corpus_balance_sample (r1 trio)
+        "corpus_sample_quota": q_corpus_sample_quota,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3069,6 +3088,19 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # same lower-rank ("disc") convention: smallest value whose
+        # cumulative count >= ceil(q*n), ties collapsed by equal value
+        "exact_quantiles": """
+            WITH o AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                       count(*) OVER () AS n
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT q::DOUBLE AS q, ROUND(v, 2) AS value
+            FROM o JOIN (VALUES (0.01), (0.25), (0.5), (0.9), (0.99)) t(q)
+                 ON rn = greatest(1, ceil(q::DOUBLE * n)::BIGINT)
+        """,
         # expected extraction written straight from doc_id + text: title
         # twice (from <title> and <h1>), body text, then the entity
         # plateau decoded exactly one level

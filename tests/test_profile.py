@@ -86,3 +86,36 @@ def test_hash_sample_quantiles_grouped_and_deterministic(spark):
     # group b's median must come from group b's value range
     med_b = dict((r[0], r[2]) for r in r1)["b"]
     assert 1000 <= med_b < 1050
+
+
+def test_exact_quantiles_matches_sorted_truth_with_ties(spark):
+    import math
+
+    from valentinus_spark.operators.profile import exact_quantiles
+
+    # heavy ties + nulls: rank-at-value must stay deterministic
+    data = [(float(i % 7),) for i in range(999)] + [(None,)] * 5
+    df = spark.createDataFrame(data, "v double")
+    qs = [0.001, 0.25, 0.5, 0.75, 1.0]
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", qs, n_ranges=8).collect()}
+    vals = sorted(x for (x,) in data if x is not None)
+    want = {q: vals[max(1, math.ceil(q * len(vals))) - 1] for q in qs}
+    assert got == want
+
+
+def test_exact_quantiles_single_data_exchange(spark):
+    """Plan shape: ONE range exchange carries the values; ranking adds
+    no further data shuffle (offsets are a broadcast)."""
+    import re
+
+    from tests.test_plans import plan_of
+    from valentinus_spark.operators.profile import exact_quantiles
+
+    df = spark.range(1000).selectExpr("cast(id as double) v")
+    plan = plan_of(exact_quantiles(df, "v", [0.5]))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # every Exchange on the value side is the single rangepartitioning;
+    # hashpartitioning exchanges may appear only under the tiny offsets
+    # aggregation, never carrying _v
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_v" not in m.group(1)

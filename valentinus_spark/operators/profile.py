@@ -183,3 +183,79 @@ def equi_width_histogram(
         )
         .orderBy("bin")
     )
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, qs: list[float], n_ranges: int = 64
+) -> DataFrame:
+    """EXACT global quantiles via two-phase distributed ranking — the
+    order-statistics shape that works when `percentile()` (which buffers
+    every value in one aggregation state) and a single-partition global
+    window cannot:
+
+    1. range-repartition the (pruned, single-column) values into
+       ``n_ranges`` sorted, non-overlapping partitions — the ONLY
+       exchange that carries data;
+    2. intra-partition index for free from
+       ``monotonically_increasing_id`` evaluated ABOVE the partition
+       sort (its contract: partition_id·2^33 + row-index-within-
+       partition, both recoverable by bit ops — no window, no second
+       shuffle);
+    3. per-partition counts → prefix offsets, a ``n_ranges``-row table
+       broadcast back (sketch-sized, not data-sized); global rank =
+       offset + local index;
+    4. keep only rows whose rank equals a target ``ceil(q*n)`` (the
+       lower-rank / "disc" convention: smallest value with cumulative
+       count ≥ q·n).
+
+    Ties are harmless: equal values occupy adjacent ranks, so the value
+    AT a rank is deterministic regardless of their internal order.
+    Returns ``(q, value)``.
+    """
+    vals = (
+        df.select(F.col(value_col).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .repartitionByRange(n_ranges, F.col("_v"))
+        .sortWithinPartitions("_v")
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn(
+            "_rn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)
+        )
+    )
+    # partition counts are tiny; broadcast their running offsets back
+    offsets = (
+        vals.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_n", F.sum("_cnt").over(Window.partitionBy()))
+    )
+    ranked = vals.join(
+        F.broadcast(offsets.select("_pid", "_offset", "_n")), "_pid"
+    ).withColumn("_rank", F.col("_offset") + F.col("_rn"))
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.greatest(
+                    F.lit(1).cast("long"), F.ceil(F.lit(float(q)) * F.col("_n"))
+                ).alias("r"),
+            )
+            for q in qs
+        ]
+    )
+    return (
+        ranked.select("_v", "_rank", F.explode(targets).alias("_t"))
+        .where(F.col("_rank") == F.col("_t.r"))
+        .select(F.col("_t.q").alias("q"), F.col("_v").alias("value"))
+    )
