@@ -1144,6 +1144,36 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q", F.round("value", 2).alias("value"))
 
 
+def q_group_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware (leakage-safe) train/val/test split: the split key is
+    the USER, not the event, so all of a user's events land in one split
+    — the invariant that keeps eval honest when near-identical rows
+    cluster within an entity (same reasoning as splitting dedup clusters,
+    WebText-style, by source). Pure per-row expression on the group key
+    (stable_split on user_id — no user table materialization, no
+    shuffle for the assignment itself), then per-split user/event
+    counts plus the audited leak count: users seen in >1 split, exactly
+    0 by construction, but the oracle RE-DERIVES it rather than
+    asserting it."""
+    from valentinus_spark.functions.text import stable_split
+
+    ev = _events(spark, sf_dir)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    assigned = ev.select(
+        "user_id", stable_split(F.col("user_id"), w, salt="gs-v1").alias("split")
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    leaked = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .agg(F.count(F.when(F.col("_ns") > 1, 1)).alias("leaked_users"))
+    )
+    return per_split.crossJoin(F.broadcast(leaked))
+
+
 def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented exact triangle count (operators/graph.py,
     compact-forward orientation bounding the wedge stage by O(m^1.5))
@@ -2869,7 +2899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "sample_quantiles": q_sample_quantiles,
         "triangle_copurchase": q_triangle_copurchase,
-        "events_debounce": q_events_debounce,
         "release_manifest": q_release_manifest,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
@@ -2895,9 +2924,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_planted": q_html_extract_planted,
         "dedup_canonical_keep": q_dedup_canonical_keep,
         "exact_quantiles": q_exact_quantiles,
-        # demoted from the r3 block: its sha-rank sampling machinery is
-        # window-covered by corpus_balance_sample (r1 trio)
+        "group_split_leakage": q_group_split_leakage,
+        # demoted from the r3 block: machinery window-covered elsewhere
+        # (sha-rank sampling by corpus_balance_sample; lag-window
+        # debounce by events_sessionize/customer_moving_sum)
         "corpus_sample_quota": q_corpus_sample_quota,
+        "events_debounce": q_events_debounce,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3088,6 +3120,31 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # group-keyed split re-derived per event row; leak audit counts
+        # users whose events map to >1 split (0 for a pure key function,
+        # but COMPUTED, not assumed)
+        "group_split_leakage": """
+            WITH assigned AS (
+                SELECT user_id,
+                       CASE
+                           WHEN CAST(('0x' || substr(sha256('gs-v1' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+                           WHEN CAST(('0x' || substr(sha256('gs-v1' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+                           ELSE 'test'
+                       END AS split
+                FROM events
+            ),
+            leak AS (
+                SELECT count(*) FILTER (ns > 1) AS leaked_users
+                FROM (SELECT user_id, count(DISTINCT split) AS ns
+                      FROM assigned GROUP BY user_id)
+            )
+            SELECT split, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users, leaked_users
+            FROM assigned CROSS JOIN leak
+            GROUP BY split, leaked_users
+        """,
         # same lower-rank ("disc") convention: smallest value whose
         # cumulative count >= ceil(q*n), ties collapsed by equal value
         "exact_quantiles": """
