@@ -2039,23 +2039,11 @@ def q_embedding_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_url_normalize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization (functions/web.py — crawl-corpus keying) with
-    a planted SEMANTIC oracle: each doc_id < 350 yields one messy variant
-    (var = doc_id % 7: canonical / SHOUTING scheme+host / explicit :443 /
-    utm params / fragment / trailing slash / http:80 + all of it) of a
-    canonical URL determined by base = doc_id % 50. The variant is BUILT
-    in Catalyst, normalized by normalize_url, and the oracle computes the
-    expected canonical form from doc_id arithmetic alone — it shares no
-    normalization code with the implementation, so only correct
-    semantics (not regex-dialect parity) make the hash match."""
-    from valentinus_spark.functions.web import normalize_url, url_host
-
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").cast("long").alias("doc_id"))
-        .where(F.col("doc_id") < 350)
-    )
+def _planted_urls(docs: DataFrame):
+    """(raw_url Column, host-base Column) for the crawl gates: base =
+    doc_id % 50 names the canonical URL, var = doc_id % 7 picks the mess
+    (canonical / SHOUTING / :443 / utm / fragment / trailing slash /
+    http:80 + everything)."""
     b = F.col("doc_id") % 50
     var = F.col("doc_id") % 7
     host = F.concat(F.lit("site"), b, F.lit(".example.com"))
@@ -2080,6 +2068,69 @@ def q_url_normalize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return raw, b
+
+
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl composite — the ops COMPOSED, not just solo:
+    messy planted URLs → normalize_url/url_host → broadcast ANTI-join
+    against a host blocklist (every base ≡ 3 mod 10) → html_to_text on
+    generated pages whose extracted body is identical across a host's 7
+    re-encodes → exact content dedup keeps one page per host → per-host
+    (n_raw, n_kept) rollup. The oracle derives every number from the
+    planting arithmetic alone: surviving hosts are exactly base % 10 ≠ 3
+    with n_raw = 7 and n_kept = 1 — a regression anywhere in the chain
+    (normalization collapsing too much/little, blocklist missing, dedup
+    over/under-merging) breaks the row set."""
+    from valentinus_spark.functions.web import html_to_text, normalize_url, url_host
+    from valentinus_spark.operators.dedup import deduplicate
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 350)
+    )
+    raw, b = _planted_urls(docs)
+    html = F.concat(
+        F.lit("<html><body><script>if(1<2){}</script><p>page "), b,
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        normalize_url(raw).alias("norm_url"),
+        url_host(raw).alias("host"),
+        html_to_text(html).alias("extracted"),
+    )
+    blocklist = (
+        spark.range(0, 50)
+        .where(F.col("id") % 10 == 3)
+        .select(F.concat(F.lit("site"), "id", F.lit(".example.com")).alias("host"))
+    )
+    fetched = pages.join(F.broadcast(blocklist), "host", "left_anti")
+    kept = deduplicate(fetched, id_col="doc_id", text_col="extracted")
+    n_raw = fetched.groupBy("host").agg(F.count(F.lit(1)).alias("n_raw"))
+    n_kept = kept.groupBy("host").agg(F.count(F.lit(1)).alias("n_kept"))
+    return n_raw.join(n_kept, "host")
+
+
+def q_url_normalize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/web.py — crawl-corpus keying) with
+    a planted SEMANTIC oracle: each doc_id < 350 yields one messy variant
+    (var = doc_id % 7: canonical / SHOUTING scheme+host / explicit :443 /
+    utm params / fragment / trailing slash / http:80 + all of it) of a
+    canonical URL determined by base = doc_id % 50. The variant is BUILT
+    in Catalyst, normalized by normalize_url, and the oracle computes the
+    expected canonical form from doc_id arithmetic alone — it shares no
+    normalization code with the implementation, so only correct
+    semantics (not regex-dialect parity) make the hash match."""
+    from valentinus_spark.functions.web import normalize_url, url_host
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 350)
+    )
+    raw, _b = _planted_urls(docs)
     urls = docs.select("doc_id", raw.alias("raw_url"))
     return urls.select(
         "doc_id",
@@ -2896,7 +2947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "k_anonymity_audit": q_k_anonymity_audit,
         "minmax_pruned_agg": q_minmax_pruned_agg,
-        "table_profile": q_table_profile,
         "sample_quantiles": q_sample_quantiles,
         "triangle_copurchase": q_triangle_copurchase,
         "release_manifest": q_release_manifest,
@@ -2925,11 +2975,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_keep": q_dedup_canonical_keep,
         "exact_quantiles": q_exact_quantiles,
         "group_split_leakage": q_group_split_leakage,
+        "crawl_pipeline": q_crawl_pipeline,
         # demoted from the r3 block: machinery window-covered elsewhere
         # (sha-rank sampling by corpus_balance_sample; lag-window
         # debounce by events_sessionize/customer_moving_sum)
         "corpus_sample_quota": q_corpus_sample_quota,
         "events_debounce": q_events_debounce,
+        "table_profile": q_table_profile,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3120,6 +3172,15 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # every number from the planting arithmetic: 50 hosts minus the
+        # 5 blocklisted (base % 10 = 3), 7 fetched pages each, 1 kept
+        "crawl_pipeline": """
+            SELECT 'site' || b::VARCHAR || '.example.com' AS host,
+                   7::BIGINT AS n_raw, 1::BIGINT AS n_kept
+            FROM (SELECT DISTINCT doc_id % 50 AS b
+                  FROM documents WHERE doc_id < 350)
+            WHERE b % 10 != 3
+        """,
         # group-keyed split re-derived per event row; leak audit counts
         # users whose events map to >1 split (0 for a pure key function,
         # but COMPUTED, not assumed)
