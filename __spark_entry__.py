@@ -1144,6 +1144,17 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q", F.round("value", 2).alias("value"))
 
 
+def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus power-law health check (operators/profile.py::zipf_profile):
+    least-squares slope/intercept of ln(freq) over ln(rank) for the top
+    100 words. One vocab-sized shuffle + TakeOrderedAndProject + a
+    closed-form regression over 100 rows — no iteration. Oracle = the
+    identical sums in SQL with the same deterministic rank tiebreak."""
+    from valentinus_spark.operators.profile import zipf_profile
+
+    return zipf_profile(_t(spark, sf_dir, "documents"), "text", k=100)
+
+
 def q_group_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-aware (leakage-safe) train/val/test split: the split key is
     the USER, not the event, so all of a user's events land in one split
@@ -2949,7 +2960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_pruned_agg": q_minmax_pruned_agg,
         "sample_quantiles": q_sample_quantiles,
         "triangle_copurchase": q_triangle_copurchase,
-        "release_manifest": q_release_manifest,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
@@ -2976,12 +2986,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "group_split_leakage": q_group_split_leakage,
         "crawl_pipeline": q_crawl_pipeline,
+        "zipf_profile": q_zipf_profile,
         # demoted from the r3 block: machinery window-covered elsewhere
         # (sha-rank sampling by corpus_balance_sample; lag-window
         # debounce by events_sessionize/customer_moving_sum)
         "corpus_sample_quota": q_corpus_sample_quota,
         "events_debounce": q_events_debounce,
         "table_profile": q_table_profile,
+        "release_manifest": q_release_manifest,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3172,6 +3184,31 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # identical closed-form least-squares sums over the same
+        # deterministically-ranked top-100; 4dp round absorbs the
+        # unordered-sum association difference (~1e-13 on these sums)
+        "zipf_profile": """
+            WITH words AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-zA-Z]+')) AS word
+                FROM documents
+            ),
+            vocab AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+            top AS (
+                SELECT freq,
+                       row_number() OVER (ORDER BY freq DESC, word ASC) AS rank
+                FROM vocab ORDER BY freq DESC, word ASC LIMIT 100
+            ),
+            pts AS (SELECT ln(rank::DOUBLE) AS x, ln(freq::DOUBLE) AS y FROM top),
+            s AS (
+                SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(x * y) AS sxy
+                FROM pts
+            )
+            SELECT n::BIGINT AS n_top,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+                   ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
+            FROM s
+        """,
         # every number from the planting arithmetic: 50 hosts minus the
         # 5 blocklisted (base % 10 = 3), 7 fetched pages each, 1 kept
         "crawl_pipeline": """

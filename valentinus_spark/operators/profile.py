@@ -259,3 +259,50 @@ def exact_quantiles(
         .where(F.col("_rank") == F.col("_t.r"))
         .select(F.col("_t.q").alias("q"), F.col("_v").alias("value"))
     )
+
+
+def zipf_profile(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Power-law fit of the corpus word distribution: least-squares
+    slope/intercept of ln(freq) over ln(rank) for the top-``k`` words —
+    the one-row corpus health check (natural text: slope ≈ −1; templated
+    or deduplicated-to-death corpora drift shallower or cliff at the
+    template vocabulary).
+
+    Scale shape: the word count is the single corpus-sized shuffle
+    (map-side combined, |vocab| rows); the top-k is a
+    TakeOrderedAndProject; the regression runs over k rows with the
+    closed-form sums — no iteration, no driver math. Deterministic
+    tiebreak (freq desc, word asc) so rank — and therefore the fit — is
+    reproducible cross-engine. Returns (n_top, slope, intercept).
+    """
+    from valentinus_spark.operators.tokenizer import word_frequencies
+
+    top = (
+        word_frequencies(df, text_col=text_col)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(k)
+    )
+    pts = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), F.col("word").asc()))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        F.col("n").alias("n_top"),
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )
