@@ -2600,6 +2600,21 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_stats(docs, n=5, max_df=None)
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators/dedup.py::
+    remove_duplicated_spans — the acting half of Lee et al. 2021, where
+    dup_span_coverage only measures): every corpus-duplicated 5-gram
+    keeps its min-(doc, pos) occurrence, other occurrences' positions
+    are deleted, text rebuilt from survivors. The CLEANED TEXT itself is
+    hashed against the oracle's independent SQL replay (window
+    row_number keeper election + position anti-join), so keeper choice,
+    overlap-union semantics and rebuild order are all value-checked."""
+    from valentinus_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, n=5)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc cross-entropy vs the corpus unigram LM (operators/quality.py
     unigram_logprob) — the shuffle-free cousin of CCNet's LM-perplexity
@@ -2958,7 +2973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "k_anonymity_audit": q_k_anonymity_audit,
         "minmax_pruned_agg": q_minmax_pruned_agg,
-        "sample_quantiles": q_sample_quantiles,
         "triangle_copurchase": q_triangle_copurchase,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
@@ -2987,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split_leakage": q_group_split_leakage,
         "crawl_pipeline": q_crawl_pipeline,
         "zipf_profile": q_zipf_profile,
+        "dedup_span_removal": q_dedup_span_removal,
         # demoted from the r3 block: machinery window-covered elsewhere
         # (sha-rank sampling by corpus_balance_sample; lag-window
         # debounce by events_sessionize/customer_moving_sum)
@@ -2994,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_debounce": q_events_debounce,
         "table_profile": q_table_profile,
         "release_manifest": q_release_manifest,
+        "sample_quantiles": q_sample_quantiles,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3184,6 +3200,55 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # independent replay of the span-removal rule: positional 5-gram
+        # occurrences, keeper = row_number 1 by (doc, pos), non-keepers
+        # delete their position range, text rebuilt in position order
+        "dedup_span_removal": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) != ''
+            ),
+            tok AS (
+                SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS word
+                FROM words
+            ),
+            spans AS (
+                SELECT doc_id,
+                       unnest(range(0, len(w) - 4)) AS pos,
+                       unnest(list_transform(range(1, len(w) - 3),
+                                             i -> array_to_string(w[i:i+4], ' '))) AS span
+                FROM words WHERE len(w) >= 5
+            ),
+            marked AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+                       count(*) OVER (PARTITION BY span) AS occ
+                FROM spans
+            ),
+            covered AS (
+                SELECT DISTINCT doc_id, pos + d AS cpos
+                FROM marked CROSS JOIN (SELECT unnest(range(0, 5)) AS d)
+                WHERE occ > 1 AND rn > 1
+            ),
+            kept AS (
+                SELECT t.doc_id, t.pos, t.word
+                FROM tok t ANTI JOIN covered c
+                     ON t.doc_id = c.doc_id AND t.pos = c.cpos
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       array_to_string(list(word ORDER BY pos), ' ') AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(wd.n_toks, 0)::BIGINT AS n_tokens,
+                   coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, len(w) AS n_toks FROM words) wd USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
+        """,
         # identical closed-form least-squares sums over the same
         # deterministically-ranked top-100; 4dp round absorbs the
         # unordered-sum association difference (~1e-13 on these sums)

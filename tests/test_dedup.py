@@ -654,3 +654,53 @@ def test_cluster_canonical_prefers_quality_then_id(spark):
         5: (5, True), 6: (5, False),
         9: (9, True),
     }
+
+
+def test_remove_duplicated_spans_matches_python_reference(spark):
+    """Span removal vs a direct Python implementation of the rule: every
+    duplicated n-gram keeps only its min-(id, pos) occurrence; other
+    occurrences delete the union of their positions. Includes overlap,
+    within-doc repetition, a fully-deleted doc, and a blank doc."""
+    import re as _re
+
+    from valentinus_spark.operators.dedup import remove_duplicated_spans
+
+    n = 3
+    rows = [
+        (0, "a b c d e f"),            # keeper of 'a b c' etc.
+        (1, "a b c d x y z"),          # overlaps doc 0's spans
+        (2, "a b c d e f"),            # fully duplicated -> everything dies
+        (3, "q q q q q q q q"),        # within-doc repetition of 'q q q'
+        (4, "unique words only here"),
+        (5, "   "),                    # blank
+    ]
+
+    def norm_tokens(t):
+        t = _re.sub(r"\s+", " ", t.lower()).strip()
+        return t.split(" ") if t else []
+
+    toks = {i: norm_tokens(t) for i, t in rows}
+    occs = {}
+    for i, ws in toks.items():
+        for p in range(len(ws) - n + 1):
+            occs.setdefault(tuple(ws[p : p + n]), []).append((i, p))
+    dead = {i: set() for i in toks}
+    for span, where in occs.items():
+        if len(where) > 1:
+            keeper = min(where)
+            for i, p in where:
+                if (i, p) != keeper:
+                    dead[i].update(range(p, p + n))
+    expect = {}
+    for i, ws in toks.items():
+        keptw = [w for p, w in enumerate(ws) if p not in dead[i]]
+        expect[i] = (len(ws), len(keptw), " ".join(keptw))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_text"])
+        for r in remove_duplicated_spans(df, n=n).collect()
+    }
+    assert got == expect
+    assert got[2][1] == 0          # fully-deleted doc survives as a row
+    assert got[5] == (0, 0, "")    # blank doc passes through

@@ -1134,3 +1134,81 @@ def cluster_canonical(
         canonical.alias("canonical_id"),
         (F.col(id_col) == canonical).alias("is_canonical"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Duplicated-span REMOVAL (the acting half of Lee et al. 2021 —
+    `duplicated_span_stats` measures, this edits): every word ``n``-gram
+    occurring more than once in the corpus keeps exactly its FIRST
+    occurrence (min (id, position) — deterministic, growth-stable for
+    sorted ids) and every other occurrence's positions are deleted; the
+    cleaned text is rebuilt from the surviving words. Overlapping
+    duplicate occurrences delete the union of their positions — the
+    simple closed-form rule, stated here because overlap semantics are
+    where span-dedup implementations silently diverge.
+
+    Output: (id_col, n_tokens, n_kept, clean_text) — empty/blank docs
+    pass through with clean_text = ''.
+
+    Plan: positional spans hash to 8-byte keys row-locally (token array
+    materialized FIRST — the no-CSE pitfall); keeper election is one
+    map-side-combinable min-aggregate on the span hash; non-keeper
+    occurrences explode to covered positions (n rows per occurrence,
+    span text never shuffles); surviving words re-aggregate per doc via
+    sort-in-place collect. Everything is keyed on span hash or doc id —
+    no all-pairs stage anywhere.
+    """
+    # repartition BEFORE tokenizing (pitfall #5: a projection under the
+    # exchange runs on the scan's single file partition)
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        word_tokens(normalize_text(text_col)).alias("_toks"),
+    ).withColumn("_len", F.size("_toks"))
+    words = base.select(
+        "_id", "_len", F.posexplode("_toks").alias("_pos", "_word")
+    )
+    spans = base.where(F.col("_len") >= n).select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, _len - {n}), i -> "
+                f"struct(i as pos, xxhash64(concat_ws(' ', slice(_toks, i + 1, {n}))) as h))"
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.pos").alias("_pos"), F.col("_s.h").alias("_h"))
+    keepers = spans.groupBy("_h").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_k"),
+        F.count(F.lit(1)).alias("_occ"),
+    )
+    covered = (
+        spans.join(keepers.where(F.col("_occ") > 1), "_h")
+        .where((F.col("_id") != F.col("_k._id")) | (F.col("_pos") != F.col("_k._pos")))
+        .select(
+            "_id", F.explode(F.sequence(F.col("_pos"), F.col("_pos") + n - 1)).alias("_pos")
+        )
+        .distinct()
+    )
+    kept = words.join(covered, ["_id", "_pos"], "left_anti")
+    agg = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_word"))),
+                lambda s: s["_word"],
+            ),
+        ).alias("clean_text"),
+    )
+    # left join from the full doc set: blank docs AND fully-deleted docs
+    # (every position covered) must still appear, with clean_text = ''
+    return base.select("_id", "_len").join(agg, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("_len").cast("long").alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
