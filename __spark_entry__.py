@@ -981,6 +981,46 @@ def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.unionByName(merged)
 
 
+def q_hll_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance (streaming/pipeline.py::
+    stream_hll_registers): the events stream replayed as two pinned
+    micro-batches, each merging its HLL registers into a persisted
+    register table (union+max in foreachBatch — associative, commutative,
+    idempotent). The final estimate must be IDENTICAL to the one-shot
+    batch sketch — it shares approx_distinct_hll's oracle verbatim —
+    proving the maintained state is independent of micro-batching.
+    Bounded state (≤ 2^p rows per group) is what makes distinct-count
+    state safe in streaming at all."""
+    import tempfile
+
+    from valentinus_spark.operators.sketches import hll_estimate
+    from valentinus_spark.streaming.pipeline import (
+        stream_hll_registers,
+        write_ordered_batches,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    feed = tempfile.mkdtemp(prefix="vs_hllstream_feed_")
+    write_ordered_batches(
+        ev, [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1], feed
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    state = tempfile.mkdtemp(prefix="vs_hllstream_state_") + "/regs"
+    q = stream_hll_registers(
+        stream, state, tempfile.mkdtemp(prefix="vs_hllstream_ckpt_"),
+        value_col="user_id", group_cols=["event_type"], p=4,
+    )
+    q.awaitTermination(300)
+    regs = spark.read.parquet(state)
+    return hll_estimate(regs, p=4, group_cols=["event_type"]).select(
+        "event_type", "m_seen", "est_distinct"
+    )
+
+
 def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning (operators/cleaning.py, Raffel et
     al. 2020 §2.2). The synthetic docs are single-line word soup, so the
@@ -2972,7 +3012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_clean": q_c4_line_clean,
         "cdc_apply": q_cdc_apply,
         "k_anonymity_audit": q_k_anonymity_audit,
-        "minmax_pruned_agg": q_minmax_pruned_agg,
         "triangle_copurchase": q_triangle_copurchase,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
@@ -3002,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pipeline": q_crawl_pipeline,
         "zipf_profile": q_zipf_profile,
         "dedup_span_removal": q_dedup_span_removal,
+        "hll_users_stream": q_hll_users_stream,
         # demoted from the r3 block: machinery window-covered elsewhere
         # (sha-rank sampling by corpus_balance_sample; lag-window
         # debounce by events_sessionize/customer_moving_sum)
@@ -3010,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "release_manifest": q_release_manifest,
         "sample_quantiles": q_sample_quantiles,
+        "minmax_pruned_agg": q_minmax_pruned_agg,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -5393,6 +5434,9 @@ def oracle_sql() -> dict[str, str]:
     }
     # star CC is an exact algorithm for the same fixpoint — identical oracle
     sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    # streamed register maintenance is provably micro-batch-independent
+    # (union+max merge), so it shares the one-shot batch sketch's oracle
+    sql["hll_users_stream"] = sql["approx_distinct_hll"]
     # canonical keep: same components, final select swaps cluster_size
     # for a window argmax by (n_chars desc, doc_id asc)
     sql["dedup_canonical_keep"] = (

@@ -312,3 +312,51 @@ def stream_commit_versions(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hll_registers(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    value_col: str = "user_id",
+    group_cols: list[str] | None = None,
+    p: int = 4,
+):
+    """Continuously maintain a distinct-count sketch over a stream: each
+    micro-batch's HLL registers (operators/sketches.py) MERGE into a
+    persisted register table (union + max — associative, commutative,
+    idempotent), so the maintained state is provably IDENTICAL to the
+    batch registers over all data seen, regardless of how the stream was
+    micro-batched. That's the property that makes sketch state safe in
+    streaming where exact distinct state is unbounded: the state is
+    ≤ 2^p rows per group forever, restarts resume from the table, and a
+    replayed batch is a no-op by idempotence of max.
+
+    Returns the StreamingQuery; read ``state_path`` and
+    ``hll_estimate`` it for the live count."""
+    from valentinus_spark.operators.sketches import hll_registers
+
+    groups = group_cols or []
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, value_col, groups, p=p)
+        try:
+            prev = spark.read.parquet(state_path)
+            regs = prev.unionByName(regs)
+        except Exception:
+            pass
+        merged = (
+            regs.groupBy(*groups, "idx").agg(F.max("rho").alias("rho"))
+        )
+        # tiny table: single file avoids small-file creep per batch
+        merged.coalesce(1).write.mode("overwrite").parquet(state_path + "_next")
+        next_df = spark.read.parquet(state_path + "_next")
+        next_df.coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
