@@ -981,6 +981,20 @@ def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.unionByName(merged)
 
 
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching prep (operators/packing.py::length_bucket_batches):
+    documents grouped into embedding batches of similar length
+    (bucket = n_chars // 64, 16 docs per batch in (len, id) order) with
+    the per-batch padding waste the bucketing saves. One window shuffle;
+    oracle replays the identical bucket/batch arithmetic."""
+    from valentinus_spark.operators.packing import length_bucket_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_bucket_batches(
+        docs, "n_chars", "doc_id", bucket_width=64, batch_size=16
+    )
+
+
 def q_hll_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sketch maintenance (streaming/pipeline.py::
     stream_hll_registers): the events stream replayed as two pinned
@@ -3010,7 +3024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "approx_distinct_hll": q_approx_distinct_hll,
         "c4_line_clean": q_c4_line_clean,
-        "cdc_apply": q_cdc_apply,
         "k_anonymity_audit": q_k_anonymity_audit,
         "triangle_copurchase": q_triangle_copurchase,
         "zorder_bucket_stats": q_zorder_bucket_stats,
@@ -3042,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_profile": q_zipf_profile,
         "dedup_span_removal": q_dedup_span_removal,
         "hll_users_stream": q_hll_users_stream,
+        "length_bucket_batches": q_length_bucket_batches,
         # demoted from the r3 block: machinery window-covered elsewhere
         # (sha-rank sampling by corpus_balance_sample; lag-window
         # debounce by events_sessionize/customer_moving_sum)
@@ -3051,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "release_manifest": q_release_manifest,
         "sample_quantiles": q_sample_quantiles,
         "minmax_pruned_agg": q_minmax_pruned_agg,
+        "cdc_apply": q_cdc_apply,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3241,6 +3256,20 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # identical bucket/batch arithmetic: bucket = n_chars // 64,
+        # batches of 16 in (len, id) order within bucket
+        "length_bucket_batches": """
+            WITH r AS (
+                SELECT doc_id, n_chars, n_chars // 64 AS bucket,
+                       (row_number() OVER (PARTITION BY n_chars // 64
+                                           ORDER BY n_chars, doc_id) - 1) // 16 AS batch_no
+                FROM documents
+            )
+            SELECT bucket, batch_no, count(*) AS n_rows,
+                   max(n_chars) AS max_len,
+                   count(*) * max(n_chars) - sum(n_chars) AS padding_waste
+            FROM r GROUP BY bucket, batch_no
+        """,
         # independent replay of the span-removal rule: positional 5-gram
         # occurrences, keeper = row_number 1 by (doc, pos), non-keepers
         # delete their position range, text rebuilt in position order
