@@ -1394,6 +1394,21 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (operators/similarity.py::
+    contrastive_triplets): positives = n-gram Jaccard near-dup pairs,
+    negatives = deterministic stride over the dense doc_id space with
+    collision bumps — fully replayable, no rand(). Oracle re-derives
+    the pair list (recursive-Jaccard SQL) and the stride arithmetic."""
+    from valentinus_spark.operators.similarity import contrastive_triplets
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=None).select(
+        "id_a", "id_b"
+    )
+    return contrastive_triplets(pairs, n_ids=docs.count())
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py semantic_dedup) on the planted
     corpus: ids 1..10 rewritten to QUERY_VEC + 0.35×orig are mutually
@@ -3024,7 +3039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "approx_distinct_hll": q_approx_distinct_hll,
         "c4_line_clean": q_c4_line_clean,
-        "k_anonymity_audit": q_k_anonymity_audit,
         "triangle_copurchase": q_triangle_copurchase,
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
@@ -3056,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": q_dedup_span_removal,
         "hll_users_stream": q_hll_users_stream,
         "length_bucket_batches": q_length_bucket_batches,
+        "contrastive_triplets": q_contrastive_triplets,
         # demoted from the r3 block: machinery window-covered elsewhere
         # (sha-rank sampling by corpus_balance_sample; lag-window
         # debounce by events_sessionize/customer_moving_sum)
@@ -3066,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quantiles": q_sample_quantiles,
         "minmax_pruned_agg": q_minmax_pruned_agg,
         "cdc_apply": q_cdc_apply,
+        "k_anonymity_audit": q_k_anonymity_audit,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -5466,6 +5482,25 @@ def oracle_sql() -> dict[str, str]:
     # streamed register maintenance is provably micro-batch-independent
     # (union+max merge), so it shares the one-shot batch sketch's oracle
     sql["hll_users_stream"] = sql["approx_distinct_hll"]
+    # triplets: the dedup_clusters oracle's Jaccard-pair CTEs + the
+    # stride/bump arithmetic re-derived independently
+    sql["contrastive_triplets"] = (
+        sql["dedup_clusters"].split("edges AS")[0].rstrip().rstrip(",")
+        + """,
+            nn AS (SELECT count(*) AS n, count(*) // 2 + 1 AS s FROM documents),
+            t0 AS (
+                SELECT id_a AS anchor, id_b AS positive,
+                       (id_a + s) % n AS neg, n FROM pairs CROSS JOIN nn
+            ),
+            t1 AS (SELECT anchor, positive,
+                          CASE WHEN neg = positive THEN (neg + 1) % n ELSE neg END AS neg, n FROM t0),
+            t2 AS (SELECT anchor, positive,
+                          CASE WHEN neg = anchor THEN (neg + 1) % n ELSE neg END AS neg, n FROM t1)
+            SELECT anchor, positive,
+                   CASE WHEN neg = positive THEN (neg + 1) % n ELSE neg END AS negative
+            FROM t2
+        """
+    )
     # canonical keep: same components, final select swaps cluster_size
     # for a window argmax by (n_chars desc, doc_id asc)
     sql["dedup_canonical_keep"] = (

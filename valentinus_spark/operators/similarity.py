@@ -472,3 +472,48 @@ def semantic_dedup(
         F.col("id").alias(id_col)
     )
     return corpus.join(dropped, id_col, "anti")
+
+
+def contrastive_triplets(
+    pairs: DataFrame,
+    n_ids: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    stride: int | None = None,
+) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive embedding
+    training: positives come from a near-dup pair list (MinHash / n-gram
+    Jaccard / SemDeDup output — pairs the model should map close),
+    negatives from a deterministic stride over the DENSE id space
+    [0, n_ids): negative = (anchor + stride) mod n_ids, bumped once if
+    it collides with the positive. Deterministic end to end — the
+    triplet set replays bit-for-bit across runs and engines, unlike
+    rand()-based negative sampling (and a stride near n/2 is as
+    uncorrelated with content as a hash for ids assigned independently
+    of content).
+
+    Non-dense ids: assign dense surrogates first with the two-phase
+    ranking in profile.exact_quantiles (range-repartition +
+    monotonically_increasing_id) — the stride trick needs only
+    0..n-1, not contiguity of the original keys.
+
+    Pure per-row arithmetic over the pair list — no shuffle, no join;
+    composes with any pair generator. Returns (anchor, positive,
+    negative)."""
+    if n_ids < 3:
+        raise ValueError("need at least 3 ids for a non-degenerate triplet")
+    s = stride if stride is not None else n_ids // 2 + 1
+    if not 0 < s < n_ids:
+        raise ValueError(f"stride must be in (0, n_ids), got {s}")
+    neg = (F.col(id_a) + F.lit(s)) % F.lit(n_ids)
+    neg = F.when(neg == F.col(id_b), (neg + 1) % F.lit(n_ids)).otherwise(neg)
+    # the +1 bump can only land on the anchor itself if stride ±1 wraps
+    # exactly — bump once more in that case (n_ids >= 3 ends the chain:
+    # anchor, positive and the two bumped slots can't all coincide)
+    neg = F.when(neg == F.col(id_a), (neg + 1) % F.lit(n_ids)).otherwise(neg)
+    neg = F.when(neg == F.col(id_b), (neg + 1) % F.lit(n_ids)).otherwise(neg)
+    return pairs.select(
+        F.col(id_a).alias("anchor"),
+        F.col(id_b).alias("positive"),
+        neg.alias("negative"),
+    )
