@@ -3071,9 +3071,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_stream": q_hll_users_stream,
         "length_bucket_batches": q_length_bucket_batches,
         "contrastive_triplets": q_contrastive_triplets,
-        # demoted from the r3 block: machinery window-covered elsewhere
-        # (sha-rank sampling by corpus_balance_sample; lag-window
-        # debounce by events_sessionize/customer_moving_sum)
+        # demoted from the r3 block to make room for newer, never-checked
+        # queries: each one's machinery is window-covered by a sibling
+        # (sha-rank sampling → corpus_balance_sample; lag windows →
+        # events_sessionize/customer_moving_sum; simple/window aggregates
+        # → group_split_leakage/zipf_profile; merge-style upserts →
+        # scd2_apply; layout stats → zorder_bucket_stats/
+        # compaction_roundtrip) and all stayed green in the full local
+        # dev_compare sweeps at sf0.001/0.01/0.1 this round
         "corpus_sample_quota": q_corpus_sample_quota,
         "events_debounce": q_events_debounce,
         "table_profile": q_table_profile,
