@@ -336,3 +336,76 @@ def test_histogram_partitions_all_rows_into_covering_bins(spark, vals, nbins):
     lo, hi = min(vals), max(vals)
     assert h[0]["lo"] == pytest.approx(round(lo, 6))
     assert h[-1]["hi"] == pytest.approx(round(hi, 6))
+
+
+# ---------------------------------------------------------------------------
+# URL normalization: idempotence + canonical-class collapse on random URLs
+# ---------------------------------------------------------------------------
+
+_host_label = st.from_regex(r"[a-z][a-z0-9]{0,6}", fullmatch=True)
+_path_seg = st.from_regex(r"[A-Za-z0-9._~-]{1,6}", fullmatch=True)
+
+
+@st.composite
+def _url(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "hTtPs"]))
+    host = ".".join(draw(st.lists(_host_label, min_size=1, max_size=3)))
+    if draw(st.booleans()):
+        host = host.upper()
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = "".join("/" + draw(_path_seg) for _ in range(draw(st.integers(0, 3))))
+    trail = draw(st.sampled_from(["", "/"])) if path else ""
+    q = draw(
+        st.sampled_from(
+            ["", "?keep=1", "?utm_source=x", "?utm_source=x&keep=1", "?a=1&utm_id=2&b=3"]
+        )
+    )
+    frag = draw(st.sampled_from(["", "#f", "#sec-2"]))
+    return f"{scheme}://{host}{port}{path}{trail}{q}{frag}"
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_url(), min_size=1, max_size=24))
+def test_normalize_url_idempotent_on_random_urls(spark, urls):
+    from valentinus_spark.functions.web import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = [r["n"] for r in df.select(normalize_url("u").alias("n")).collect()]
+    df2 = spark.createDataFrame([(n,) for n in once], "u string")
+    twice = [r["n"] for r in df2.select(normalize_url("u").alias("n")).collect()]
+    assert once == twice
+    # normalized form never keeps a fragment, tracking param, or
+    # explicit default port
+    for n in once:
+        assert "#" not in n and "utm_" not in n
+        assert ":80/" not in n + "/" or n.startswith("https")
+        assert ":443/" not in n + "/" or n.startswith("http://")
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles vs sorted-list oracle on random multisets
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=300
+    ),
+    st.lists(
+        st.sampled_from([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_exact_quantiles_matches_sorted_oracle(spark, values, qs):
+    from valentinus_spark.operators.profile import exact_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    got = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, "v", qs, n_ranges=7).collect()
+    }
+    s = sorted(float(v) for v in values)
+    want = {q: s[max(1, math.ceil(q * len(s))) - 1] for q in qs}
+    assert got == want
