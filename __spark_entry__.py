@@ -1453,6 +1453,30 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_estimate(sketch, probes, "user_id", depth=4, width=1024)
 
 
+def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation (operators/sketches.py::
+    cm_join_size — the AMS/Count-Min inner product a planner uses to
+    pick broadcast-vs-shuffle without running the join): |events ⋈
+    orders on user key| estimated from two 4×1024 sketches next to the
+    exact join count. The estimate is deterministic (portable sha
+    hashes), so the oracle must reproduce BOTH numbers — sketch
+    arithmetic and truth — exactly."""
+    from valentinus_spark.operators.sketches import cm_join_size, count_min_sketch
+
+    ev = _events(spark, sf_dir).select("user_id")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+    est = cm_join_size(
+        count_min_sketch(ev, "user_id", depth=4, width=1024),
+        count_min_sketch(orders, "user_id", depth=4, width=1024),
+    )
+    exact = ev.join(orders, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_join_size")
+    )
+    return est.crossJoin(exact)
+
+
 def q_rp_ann_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for the random-projection ANN path — q_ivf_ann_planted's
     twin (same planted ids 1..10 at cosine ≈ 0.94, same literal oracle):
@@ -3036,7 +3060,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_window_finalize": q_late_window_finalize,
         "ivf_ann_planted": q_ivf_ann_planted,
         "rp_ann_planted": q_rp_ann_planted,
-        "approx_distinct_kmv": q_approx_distinct_kmv,
         "approx_distinct_hll": q_approx_distinct_hll,
         "c4_line_clean": q_c4_line_clean,
         "triangle_copurchase": q_triangle_copurchase,
@@ -3071,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_stream": q_hll_users_stream,
         "length_bucket_batches": q_length_bucket_batches,
         "contrastive_triplets": q_contrastive_triplets,
+        "cm_join_size": q_cm_join_size,
         # demoted from the r3 block to make room for newer, never-checked
         # queries: each one's machinery is window-covered by a sibling
         # (sha-rank sampling → corpus_balance_sample; lag windows →
@@ -3087,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_pruned_agg": q_minmax_pruned_agg,
         "cdc_apply": q_cdc_apply,
         "k_anonymity_audit": q_k_anonymity_audit,
+        "approx_distinct_kmv": q_approx_distinct_kmv,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3277,6 +3302,35 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # both sketches rebuilt cell-for-cell with the portable sha
+        # slices; est = min over rows of the bucket inner product
+        "cm_join_size": """
+            WITH sa AS (
+                SELECT j AS row,
+                       (('0x' || substr(sha256((j // 4)::VARCHAR || ':' || user_id::VARCHAR),
+                                        (1 + 15 * (j % 4))::INT, 15))::UBIGINT::BIGINT) % 1024 AS bucket,
+                       COUNT(*) AS cnt
+                FROM events CROSS JOIN range(4) t(j)
+                GROUP BY 1, 2
+            ),
+            sb AS (
+                SELECT j AS row,
+                       (('0x' || substr(sha256((j // 4)::VARCHAR || ':' || o_custkey::VARCHAR),
+                                        (1 + 15 * (j % 4))::INT, 15))::UBIGINT::BIGINT) % 1024 AS bucket,
+                       COUNT(*) AS cnt
+                FROM orders CROSS JOIN range(4) t(j)
+                GROUP BY 1, 2
+            ),
+            prod AS (
+                SELECT a.row, SUM(a.cnt * b.cnt) AS p
+                FROM sa a JOIN sb b USING (row, bucket)
+                GROUP BY a.row
+            )
+            SELECT (SELECT MIN(COALESCE(p, 0))
+                    FROM range(4) r(j) LEFT JOIN prod ON j = prod.row) AS est_join_size,
+                   (SELECT COUNT(*) FROM events e JOIN orders o
+                    ON e.user_id = o.o_custkey) AS exact_join_size
+        """,
         # identical bucket/batch arithmetic: bucket = n_chars // 64,
         # batches of 16 in (len, id) order within bucket
         "length_bucket_batches": """

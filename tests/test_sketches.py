@@ -183,3 +183,28 @@ def test_hll_register_bounds(vals):
 
     per_group = collections.Counter(r["g"] for r in regs)
     assert all(c <= 64 for c in per_group.values())
+
+
+def test_cm_join_size_upper_bounds_and_approximates_truth(spark):
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.operators.sketches import cm_join_size, count_min_sketch
+
+    # skewed multiplicities on both sides
+    a = spark.createDataFrame([(i % 37,) for i in range(3000)], "k long")
+    b = spark.createDataFrame([(i % 53,) for i in range(2000)], "k long")
+    exact = a.join(b, "k").count()
+    est = cm_join_size(
+        count_min_sketch(a, "k", depth=4, width=1024),
+        count_min_sketch(b, "k", depth=4, width=1024),
+    ).collect()[0]["est_join_size"]
+    assert est >= exact  # CM inner product is an upper bound
+    assert est <= exact * 1.2  # and tight at this width
+
+    # disjoint domains -> estimate collapses to (near) zero
+    c = spark.createDataFrame([(i + 10_000,) for i in range(100)], "k long")
+    est0 = cm_join_size(
+        count_min_sketch(a, "k", depth=4, width=1024),
+        count_min_sketch(c, "k", depth=4, width=1024),
+    ).collect()[0]["est_join_size"]
+    assert est0 <= exact * 0.01

@@ -360,3 +360,34 @@ def hll_merge_estimate(
         .agg(F.max("rho").alias("rho"))
     )
     return hll_estimate(merged, p, groups)
+
+
+def cm_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two Count-Min sketches (the AMS-style
+    inner product, Cormode & Muthukrishnan 2005 §4.2): |A ⋈ B| on the
+    sketched key ≈ min over hash rows j of Σ_bucket cntA[j]·cntB[j] — an
+    upper bound, within e·N_A·N_B/width of truth with prob 1−e^−depth.
+
+    THE cardinality-estimation primitive a planner wants at 100 TB:
+    both sides compress to depth·width cells (constant, shuffle-free to
+    combine), so join-size forecasting — pick broadcast vs shuffle,
+    pre-size shuffle partitions, veto a runaway join — costs two sketch
+    scans instead of running the join. Sketches must share depth/width
+    (and this module's portable sha hashing makes the estimate
+    reproducible anywhere, including the DuckDB oracle).
+
+    Returns one row: (est_join_size). Inner product per row via one
+    broadcast-sized join of the two cell tables; rows with zero bucket
+    overlap contribute 0 (left join from the row ids, not dropped)."""
+    prod = (
+        sketch_a.alias("a")
+        .join(sketch_b.alias("b"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("_p"))
+    )
+    rows = sketch_a.select("row").distinct()
+    return (
+        rows.join(prod, "row", "left")
+        .select(F.coalesce("_p", F.lit(0)).alias("_p"))
+        .agg(F.min("_p").alias("est_join_size"))
+    )
