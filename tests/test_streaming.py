@@ -329,3 +329,35 @@ def test_stream_incremental_dedup_grows_corpus_without_dups(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert got2 == {0, 1, 11}
+
+
+def test_hll_state_merge_is_idempotent_and_batching_independent(spark, tmp_path):
+    """The streaming sketch state equals the batch sketch regardless of
+    micro-batching, and replaying a batch (foreachBatch at-least-once
+    delivery) changes nothing — union+max is idempotent."""
+    from valentinus_spark.operators.sketches import hll_registers
+    from valentinus_spark.streaming.pipeline import merge_hll_state
+
+    df = spark.createDataFrame(
+        [(i % 97, "t%d" % (i % 3)) for i in range(500)], "user_id long, et string"
+    )
+    state = str(tmp_path / "regs")
+
+    def snap():
+        return {
+            (r["et"], r["idx"]): r["rho"]
+            for r in spark.read.parquet(state).collect()
+        }
+
+    b1 = df.where("user_id % 2 = 0")
+    b2 = df.where("user_id % 2 = 1")
+    merge_hll_state(b1, state, "user_id", ["et"], 4)
+    merge_hll_state(b2, state, "user_id", ["et"], 4)
+    streamed = snap()
+    merge_hll_state(b2, state, "user_id", ["et"], 4)  # replay: no-op
+    assert snap() == streamed
+    batch = {
+        (r["et"], r["idx"]): r["rho"]
+        for r in hll_registers(df, "user_id", ["et"], p=4).collect()
+    }
+    assert streamed == batch

@@ -334,25 +334,10 @@ def stream_hll_registers(
 
     Returns the StreamingQuery; read ``state_path`` and
     ``hll_estimate`` it for the live count."""
-    from valentinus_spark.operators.sketches import hll_registers
-
     groups = group_cols or []
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        regs = hll_registers(batch_df, value_col, groups, p=p)
-        try:
-            prev = spark.read.parquet(state_path)
-            regs = prev.unionByName(regs)
-        except Exception:
-            pass
-        merged = (
-            regs.groupBy(*groups, "idx").agg(F.max("rho").alias("rho"))
-        )
-        # tiny table: single file avoids small-file creep per batch
-        merged.coalesce(1).write.mode("overwrite").parquet(state_path + "_next")
-        next_df = spark.read.parquet(state_path + "_next")
-        next_df.coalesce(1).write.mode("overwrite").parquet(state_path)
+        merge_hll_state(batch_df, state_path, value_col, groups, p)
 
     return (
         events_stream.writeStream.foreachBatch(_merge)
@@ -360,3 +345,30 @@ def stream_hll_registers(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_hll_state(
+    batch_df: DataFrame,
+    state_path: str,
+    value_col: str,
+    groups: list[str],
+    p: int,
+) -> None:
+    """One micro-batch step of :func:`stream_hll_registers`, exposed so
+    the idempotence contract (a replayed batch is a no-op: union + max
+    is idempotent) is directly unit-testable outside a StreamingQuery."""
+    from valentinus_spark.operators.sketches import hll_registers
+
+    spark = batch_df.sparkSession
+    regs = hll_registers(batch_df, value_col, groups, p=p)
+    try:
+        prev = spark.read.parquet(state_path)
+        regs = prev.unionByName(regs)
+    except Exception:
+        pass
+    merged = regs.groupBy(*groups, "idx").agg(F.max("rho").alias("rho"))
+    # tiny table: single file avoids small-file creep per batch; write
+    # aside then swap so a reader never sees a half-written state
+    merged.coalesce(1).write.mode("overwrite").parquet(state_path + "_next")
+    next_df = spark.read.parquet(state_path + "_next")
+    next_df.coalesce(1).write.mode("overwrite").parquet(state_path)
