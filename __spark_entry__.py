@@ -1453,6 +1453,31 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_estimate(sketch, probes, "user_id", depth=4, width=1024)
 
 
+def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from sketches (operators/sketches.py::
+    kmv_overlap, theta-sketch style): distinct union / intersection /
+    Jaccard of clicking vs purchasing users estimated from two 64-row
+    KMV sketches — never joining the raw sets — next to the exact
+    intersection. Every number is deterministic via the portable hash,
+    so the oracle replays the threshold, the survivor marking and the
+    estimates bit-for-bit."""
+    from valentinus_spark.operators.sketches import kmv_hashes, kmv_overlap
+
+    ev = _events(spark, sf_dir)
+    clicks = kmv_hashes(ev.where(F.col("event_type") == "click"), "user_id", k=64)
+    buys = kmv_hashes(ev.where(F.col("event_type") == "purchase"), "user_id", k=64)
+    est = kmv_overlap(clicks, buys, k=64)
+    exact = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.where(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return est.crossJoin(exact)
+
+
 def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join-size estimation (operators/sketches.py::
     cm_join_size — the AMS/Count-Min inner product a planner uses to
@@ -3066,7 +3091,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
-        "count_min_freq": q_count_min_freq,
         "phrase_search": q_phrase_search,
         "semantic_dedup": q_semantic_dedup,
         "pagerank_copurchase": q_pagerank_copurchase,
@@ -3095,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_batches": q_length_bucket_batches,
         "contrastive_triplets": q_contrastive_triplets,
         "cm_join_size": q_cm_join_size,
+        "kmv_audience_overlap": q_kmv_audience_overlap,
         # demoted from the r3 block to make room for newer, never-checked
         # queries: each one's machinery is window-covered by a sibling
         # (sha-rank sampling → corpus_balance_sample; lag windows →
@@ -3112,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "k_anonymity_audit": q_k_anonymity_audit,
         "approx_distinct_kmv": q_approx_distinct_kmv,
+        "count_min_freq": q_count_min_freq,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3302,6 +3328,50 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # theta-overlap replay: both 64-hash sketches rebuilt, combined
+        # threshold, survivors marked per side, same estimator constants
+        "kmv_audience_overlap": """
+            WITH ha AS (
+                SELECT DISTINCT ('0x' || substr(sha256(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+                FROM events WHERE event_type = 'click'
+            ),
+            ha_k AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+            hb AS (
+                SELECT DISTINCT ('0x' || substr(sha256(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+                FROM events WHERE event_type = 'purchase'
+            ),
+            hb_k AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+            u AS (SELECT DISTINCT h FROM (SELECT h FROM ha_k UNION ALL SELECT h FROM hb_k)),
+            surv AS (
+                SELECT h, row_number() OVER (ORDER BY h) AS rn
+                FROM u QUALIFY rn <= 64
+            ),
+            agg AS (
+                SELECT count(*) AS n_union_seen,
+                       max(CASE WHEN rn = 64 THEN h END) AS hk,
+                       sum(CASE WHEN h IN (SELECT h FROM ha_k)
+                                 AND h IN (SELECT h FROM hb_k)
+                                THEN 1 ELSE 0 END) AS nboth
+                FROM surv
+            ),
+            e AS (
+                SELECT n_union_seen,
+                       CASE WHEN n_union_seen < 64 THEN n_union_seen::DOUBLE
+                            ELSE 63.0 / ((hk + 1) / 1152921504606846976.0) END AS est_union,
+                       nboth::DOUBLE / (CASE WHEN n_union_seen < 64
+                                             THEN n_union_seen ELSE 64 END)::DOUBLE AS frac
+                FROM agg
+            )
+            SELECT n_union_seen, ROUND(est_union, 4) AS est_union,
+                   ROUND(est_union * frac, 4) AS est_intersection,
+                   ROUND(frac, 4) AS est_jaccard,
+                   (SELECT count(*) FROM (
+                        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                        INTERSECT
+                        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+                   )) AS exact_intersection
+            FROM e
+        """,
         # both sketches rebuilt cell-for-cell with the portable sha
         # slices; est = min over rows of the bucket inner product
         "cm_join_size": """

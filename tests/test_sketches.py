@@ -208,3 +208,27 @@ def test_cm_join_size_upper_bounds_and_approximates_truth(spark):
         count_min_sketch(c, "k", depth=4, width=1024),
     ).collect()[0]["est_join_size"]
     assert est0 <= exact * 0.01
+
+
+def test_kmv_overlap_exact_mode_and_estimation_mode(spark):
+    from valentinus_spark.operators.sketches import kmv_hashes, kmv_overlap
+
+    # exact mode: union < k -> every number exact
+    a = spark.createDataFrame([(i,) for i in range(20)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(10, 30)], "v long")
+    row = kmv_overlap(
+        kmv_hashes(a, "v", k=64), kmv_hashes(b, "v", k=64), k=64
+    ).collect()[0]
+    assert row["n_union_seen"] == 30
+    assert row["est_union"] == 30.0
+    assert row["est_intersection"] == 10.0
+    assert abs(row["est_jaccard"] - 10 / 30) < 1e-3
+
+    # estimation mode: big overlapping sets, estimates near truth
+    a2 = spark.createDataFrame([(i,) for i in range(3000)], "v long")
+    b2 = spark.createDataFrame([(i,) for i in range(1500, 4500)], "v long")
+    row2 = kmv_overlap(
+        kmv_hashes(a2, "v", k=256), kmv_hashes(b2, "v", k=256), k=256
+    ).collect()[0]
+    assert abs(row2["est_union"] - 4500) / 4500 < 0.2
+    assert abs(row2["est_intersection"] - 1500) / 1500 < 0.35

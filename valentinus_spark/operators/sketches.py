@@ -391,3 +391,51 @@ def cm_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         .select(F.coalesce("_p", F.lit(0)).alias("_p"))
         .agg(F.min("_p").alias("est_join_size"))
     )
+
+
+def kmv_overlap(
+    hashes_a: DataFrame, hashes_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Set-algebra estimates from two UNGROUPED raw KMV sketches
+    (:func:`kmv_hashes` outputs, column ``_h``): distinct union,
+    distinct intersection and Jaccard — the theta-sketch trick
+    (Dasgupta et al. 2016): threshold θ = the k-th smallest hash of the
+    COMBINED sketch; below θ every survivor is an unbiased uniform
+    sample of the union, so |A∩B| ≈ union_est · (survivors in both) / k
+    and J ≈ (survivors in both) / k.
+
+    Audience-overlap analytics at 100 TB without a join of the raw
+    sets: both inputs are ≤ k rows, everything here is sketch-sized.
+    Degenerates to EXACT when the union has < k distinct hashes (the
+    survivor set is then the whole union). Deterministic given the
+    portable hash, so a SQL oracle reproduces every number. Returns one
+    row: (n_union_seen, est_union, est_intersection, est_jaccard)."""
+    a = hashes_a.select(F.col("_h").alias("_h"))
+    b = hashes_b.select(F.col("_h").alias("_h"))
+    both = a.unionByName(b).distinct()
+    w = Window.partitionBy(F.lit(1)).orderBy("_h")
+    surv = both.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    marked = (
+        surv.join(a.withColumn("_ina", F.lit(1)), "_h", "left")
+        .join(b.withColumn("_inb", F.lit(1)), "_h", "left")
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("n_union_seen"),
+        F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
+        F.sum(
+            (F.col("_ina").isNotNull() & F.col("_inb").isNotNull()).cast("long")
+        ).alias("_nboth"),
+    )
+    exact_mode = F.col("n_union_seen") < k
+    est_union = F.when(
+        exact_mode, F.col("n_union_seen").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / ((F.col("_hk") + F.lit(1)) / F.lit(_SPACE)))
+    frac_both = F.col("_nboth").cast("double") / F.when(
+        exact_mode, F.col("n_union_seen")
+    ).otherwise(F.lit(k)).cast("double")
+    return agg.select(
+        "n_union_seen",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(est_union * frac_both, 4).alias("est_intersection"),
+        F.round(frac_both, 4).alias("est_jaccard"),
+    )
