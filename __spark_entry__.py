@@ -1209,6 +1209,26 @@ def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_profile(_t(spark, sf_dir, "documents"), "text", k=100)
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (operators/profile.py::quantile_discretize
+    over exact cut points — the ML feature-discretization shape) of
+    l_extendedprice into 10 bins, summarized per bin. Ties fall to the
+    lower bin, so bin ids are deterministic; the oracle re-derives the
+    cut points with the same lower-rank convention and counts the same
+    strict comparisons."""
+    from valentinus_spark.operators.profile import quantile_discretize
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice").where(
+        F.col("l_extendedprice").isNotNull()
+    )
+    binned = quantile_discretize(li, "l_extendedprice", n_bins=10)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
 def q_group_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-aware (leakage-safe) train/val/test split: the split key is
     the USER, not the event, so all of a user's events land in one split
@@ -3088,7 +3108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_hll": q_approx_distinct_hll,
         "c4_line_clean": q_c4_line_clean,
         "triangle_copurchase": q_triangle_copurchase,
-        "zorder_bucket_stats": q_zorder_bucket_stats,
         "scd2_apply": q_scd2_apply,
         "stream_stream_join": q_stream_stream_join,
         "phrase_search": q_phrase_search,
@@ -3120,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triplets": q_contrastive_triplets,
         "cm_join_size": q_cm_join_size,
         "kmv_audience_overlap": q_kmv_audience_overlap,
+        "quantile_bins": q_quantile_bins,
         # demoted from the r3 block to make room for newer, never-checked
         # queries: each one's machinery is window-covered by a sibling
         # (sha-rank sampling → corpus_balance_sample; lag windows →
@@ -3138,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_audit": q_k_anonymity_audit,
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "count_min_freq": q_count_min_freq,
+        "zorder_bucket_stats": q_zorder_bucket_stats,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3497,6 +3518,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id % 50 AS b
                   FROM documents WHERE doc_id < 350)
             WHERE b % 10 != 3
+        """,
+        # same lower-rank cut points, same strict-comparison bin rule
+        "quantile_bins": """
+            WITH o AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                       count(*) OVER () AS n
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            cuts AS (
+                SELECT v AS c
+                FROM o JOIN (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                                            0.6, 0.7, 0.8, 0.9]) AS q) t
+                     ON rn = greatest(1, ceil(q * n)::BIGINT)
+            ),
+            binned AS (
+                SELECT v, (SELECT count(*) FROM cuts WHERE v > c) AS bin
+                FROM (SELECT l_extendedprice AS v FROM lineitem
+                      WHERE l_extendedprice IS NOT NULL)
+            )
+            SELECT bin, count(*) AS n_rows,
+                   ROUND(min(v), 2) AS lo, ROUND(max(v), 2) AS hi
+            FROM binned GROUP BY bin
         """,
         # group-keyed split re-derived per event row; leak audit counts
         # users whose events map to >1 split (0 for a pure key function,

@@ -119,3 +119,30 @@ def test_exact_quantiles_single_data_exchange(spark):
     # aggregation, never carrying _v
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "_v" not in m.group(1)
+
+
+def test_quantile_discretize_equal_frequency_and_ties(spark):
+    from valentinus_spark.operators.profile import quantile_discretize
+
+    # distinct values -> bins within one row of equal frequency
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    sizes = {
+        r["bin"]: r["n"]
+        for r in quantile_discretize(df, "v", n_bins=4)
+        .groupBy("bin")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(24 <= n <= 26 for n in sizes.values())
+
+    # heavy ties: one dominant value -> ties all land in ONE bin
+    tied = spark.createDataFrame(
+        [(5.0,)] * 90 + [(float(i),) for i in range(10)], "v double"
+    )
+    # all three cut points equal 5.0, and 5 > 5 is false -> the tied
+    # mass sits in bin 0 (bins 1-2 empty), deterministically
+    out = quantile_discretize(tied, "v", n_bins=4).where("v = 5.0").select("bin")
+    assert {r["bin"] for r in out.collect()} == {0}
+    above = quantile_discretize(tied, "v", n_bins=4).where("v > 5.0").select("bin")
+    assert {r["bin"] for r in above.collect()} == {3}

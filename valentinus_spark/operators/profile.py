@@ -306,3 +306,33 @@ def zipf_profile(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFra
         F.round(slope, 4).alias("slope"),
         F.round(intercept, 4).alias("intercept"),
     )
+
+
+def quantile_discretize(
+    df: DataFrame, value_col: str, n_bins: int = 10, out_col: str = "bin"
+) -> DataFrame:
+    """Equal-frequency feature binning (the ML QuantileDiscretizer shape,
+    built on EXACT cut points instead of approxQuantile's engine-private
+    sketch): cut points are :func:`exact_quantiles` at i/n_bins for
+    i = 1..n_bins-1; a row's bin = number of cut points strictly below
+    its value (ties fall to the LOWER bin, so the rule — and therefore
+    every bin id — is deterministic and engine-reproducible).
+
+    The n_bins-1 cuts collapse to a sorted array broadcast onto one
+    map-side pass over the data: beyond the quantile computation's own
+    single range exchange, binning adds NO shuffle. Heavy ties simply
+    produce empty bins (equal cut points) rather than nondeterministic
+    splits."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = (
+        exact_quantiles(df, value_col, qs)
+        .agg(F.sort_array(F.collect_list("value")).alias("_cuts"))
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            out_col, F.size(F.filter("_cuts", lambda c: v > c)).cast("long")
+        )
+        .drop("_cuts")
+    )
