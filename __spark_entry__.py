@@ -2262,6 +2262,39 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_raw.join(n_kept, "host")
 
 
+def q_robots_rules_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style longest-match URL gating (functions/web.py::
+    apply_url_rules) over the planted crawl: hosts with base % 5 == 0
+    carry 'disallow /p'; base % 5 == 1 carry BOTH 'disallow /p' AND the
+    more specific 'allow /p/<b>' (longest match must win, flipping the
+    verdict); other hosts have no rules (default allow). Expected
+    verdicts are pure base arithmetic — a prefix-length tiebreak or
+    host-canonicalization bug flips rows."""
+    from valentinus_spark.functions.web import apply_url_rules
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 350)
+    )
+    raw, _b = _planted_urls(docs)
+    urls = docs.select("doc_id", raw.alias("url"))
+    base = spark.range(0, 50).select(
+        F.col("id").alias("b"),
+        F.concat(F.lit("site"), "id", F.lit(".example.com")).alias("host"),
+    )
+    deny = base.where(F.col("b") % 5 < 2).select(
+        "host", F.lit("/p").alias("path_prefix"), F.lit(False).alias("allow")
+    )
+    carve = base.where(F.col("b") % 5 == 1).select(
+        "host",
+        F.concat(F.lit("/p/"), "b").alias("path_prefix"),
+        F.lit(True).alias("allow"),
+    )
+    out = apply_url_rules(urls, deny.unionByName(carve), url_col="url")
+    return out.select("doc_id", "allow")
+
+
 def q_url_normalize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/web.py — crawl-corpus keying) with
     a planted SEMANTIC oracle: each doc_id < 350 yields one messy variant
@@ -3109,7 +3142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_clean": q_c4_line_clean,
         "triangle_copurchase": q_triangle_copurchase,
         "scd2_apply": q_scd2_apply,
-        "stream_stream_join": q_stream_stream_join,
         "phrase_search": q_phrase_search,
         "semantic_dedup": q_semantic_dedup,
         "pagerank_copurchase": q_pagerank_copurchase,
@@ -3140,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_join_size": q_cm_join_size,
         "kmv_audience_overlap": q_kmv_audience_overlap,
         "quantile_bins": q_quantile_bins,
+        "robots_rules_planted": q_robots_rules_planted,
         # demoted from the r3 block to make room for newer, never-checked
         # queries: each one's machinery is window-covered by a sibling
         # (sha-rank sampling → corpus_balance_sample; lag windows →
@@ -3159,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "count_min_freq": q_count_min_freq,
         "zorder_bucket_stats": q_zorder_bucket_stats,
+        "stream_stream_join": q_stream_stream_join,
         # -- (b) round-2 additions never yet inside the driver window
         "weighted_sample_topk": q_weighted_sample_topk,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -3518,6 +3552,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id % 50 AS b
                   FROM documents WHERE doc_id < 350)
             WHERE b % 10 != 3
+        """,
+        # expected verdict from base arithmetic: base%5==0 denied (only
+        # 'disallow /p' matches), base%5==1 allowed (the longer
+        # 'allow /p/<b>' carve-out wins), everyone else default-allowed
+        "robots_rules_planted": """
+            SELECT doc_id, (doc_id % 50) % 5 != 0 AS allow
+            FROM documents WHERE doc_id < 350
         """,
         # same lower-rank cut points, same strict-comparison bin rule
         "quantile_bins": """

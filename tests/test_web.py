@@ -104,3 +104,31 @@ def test_web_functions_stay_jvm_side(spark):
         )
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_apply_url_rules_longest_match_and_tiebreak(spark):
+    from valentinus_spark.functions.web import apply_url_rules
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://A.example.com/p/deep/page"),  # carve-out wins
+            (2, "https://a.example.com/p/other"),      # only disallow matches
+            (3, "https://a.example.com/q"),            # no rule path match
+            (4, "https://norules.com/x"),              # host unknown
+            (5, "https://tie.com/t"),                  # equal length: allow wins
+        ],
+        "id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.example.com", "/p", False),
+            ("a.example.com", "/p/deep", True),
+            ("tie.com", "/t", False),
+            ("tie.com", "/t", True),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    got = {
+        r["id"]: r["allow"] for r in apply_url_rules(urls, rules).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: True}

@@ -123,3 +123,58 @@ def url_host(col: Column | str, strip_www: bool = True) -> Column:
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     return host
+
+
+def apply_url_rules(
+    urls,
+    rules,
+    url_col: str = "url",
+    default_allow: bool = True,
+):
+    """Robots-style URL gating with LONGEST-MATCH semantics (RFC 9309
+    §2.2.2: the most specific matching rule wins, allow beats disallow
+    on equal length): ``rules`` is (host, path_prefix, allow); each URL
+    takes the matching rule with the longest path_prefix for its host,
+    or ``default_allow`` when none matches. Returns ``urls`` plus an
+    ``allow`` boolean.
+
+    Plan: rules tables are small by nature (a crawl's robots corpus is
+    per-host, not per-page) — broadcast equi-join on the canonical
+    host, prefix test per candidate rule, then ONE row-id-keyed
+    aggregate picking max(struct(prefix_len, allow)); the struct
+    ordering makes allow win length ties. That single shuffle carries
+    each URL row once per matching-host rule (a handful), never a
+    corpus×rules blow-up.
+    """
+    from pyspark.sql import functions as F
+
+    u = F.col(url_col)
+    host = url_host(u)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    tagged = urls.select(
+        "*",
+        host.alias("_host"),
+        path.alias("_path"),
+        F.monotonically_increasing_id().alias("_rid"),
+    )
+    r = rules.select(
+        F.col("host").alias("_host"),
+        F.col("path_prefix").alias("_pfx"),
+        F.col("allow").alias("_allow"),
+    )
+    joined = tagged.join(F.broadcast(r), "_host", "left")
+    hit = F.col("_pfx").isNotNull() & F.col("_path").startswith(F.col("_pfx"))
+    best = F.max(
+        F.when(hit, F.struct(F.length("_pfx").alias("l"), F.col("_allow").alias("a")))
+    ).alias("_best")
+    keep_cols = [c for c in urls.columns]
+    out = (
+        joined.groupBy("_rid")
+        .agg(*[F.first(c).alias(c) for c in keep_cols], best)
+        .select(
+            *keep_cols,
+            F.coalesce(F.col("_best.a"), F.lit(default_allow)).alias("allow"),
+        )
+    )
+    return out
