@@ -3452,7 +3452,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY a.row
             )
             SELECT (SELECT MIN(COALESCE(p, 0))
-                    FROM range(4) r(j) LEFT JOIN prod ON j = prod.row) AS est_join_size,
+                    FROM range(4) r(j) LEFT JOIN prod ON j = prod.row)::BIGINT AS est_join_size,
                    (SELECT COUNT(*) FROM events e JOIN orders o
                     ON e.user_id = o.o_custkey) AS exact_join_size
         """,
@@ -3467,7 +3467,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bucket, batch_no, count(*) AS n_rows,
                    max(n_chars) AS max_len,
-                   count(*) * max(n_chars) - sum(n_chars) AS padding_waste
+                   (count(*) * max(n_chars) - sum(n_chars))::BIGINT AS padding_waste
             FROM r GROUP BY bucket, batch_no
         """,
         # independent replay of the span-removal rule: positional 5-gram
@@ -3815,7 +3815,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT count(*) AS n_rows,
-                   sum(n_chars) AS n_chars_total,
+                   sum(n_chars)::BIGINT AS n_chars_total,
                    bit_xor(('0x' || substr(sha256(doc_id::VARCHAR || chr(31) || text), 1, 15))::UBIGINT::BIGINT) AS content_xor
             FROM documents
         """,
@@ -4397,26 +4397,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_profile": """
             SELECT 'l_orderkey' AS "column", COUNT(*) AS n,
-                   SUM(CASE WHEN try_cast(l_orderkey AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   SUM(CASE WHEN try_cast(l_orderkey AS DOUBLE) IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
                    COUNT(DISTINCT try_cast(l_orderkey AS DOUBLE)) AS n_distinct,
                    MIN(try_cast(l_orderkey AS DOUBLE)) AS min_v,
                    MAX(try_cast(l_orderkey AS DOUBLE)) AS max_v
             FROM lineitem
             UNION ALL
             SELECT 'l_partkey', COUNT(*),
-                   SUM(CASE WHEN try_cast(l_partkey AS DOUBLE) IS NULL THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN try_cast(l_partkey AS DOUBLE) IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    COUNT(DISTINCT try_cast(l_partkey AS DOUBLE)),
                    MIN(try_cast(l_partkey AS DOUBLE)), MAX(try_cast(l_partkey AS DOUBLE))
             FROM lineitem
             UNION ALL
             SELECT 'l_quantity', COUNT(*),
-                   SUM(CASE WHEN try_cast(l_quantity AS DOUBLE) IS NULL THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN try_cast(l_quantity AS DOUBLE) IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    COUNT(DISTINCT try_cast(l_quantity AS DOUBLE)),
                    MIN(try_cast(l_quantity AS DOUBLE)), MAX(try_cast(l_quantity AS DOUBLE))
             FROM lineitem
             UNION ALL
             SELECT 'l_discount', COUNT(*),
-                   SUM(CASE WHEN try_cast(l_discount AS DOUBLE) IS NULL THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN try_cast(l_discount AS DOUBLE) IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    COUNT(DISTINCT try_cast(l_discount AS DOUBLE)),
                    MIN(try_cast(l_discount AS DOUBLE)), MAX(try_cast(l_discount AS DOUBLE))
             FROM lineitem
@@ -4473,7 +4473,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY epoch_us(ts), event_id) AS prev
                 FROM events
             )
-            SELECT user_id, COUNT(*) AS n_kept, SUM(ts_us) AS ts_sum
+            SELECT user_id, COUNT(*) AS n_kept, SUM(ts_us)::BIGINT AS ts_sum
             FROM g
             WHERE prev IS NULL OR ts_us - prev > 300000000
             GROUP BY user_id
@@ -4482,7 +4482,7 @@ def oracle_sql() -> dict[str, str]:
         "release_manifest": """
             SELECT ('0x' || substr(sha256('v1' || doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT % 8 AS shard,
                    COUNT(*) AS n_rows,
-                   SUM(length(text)) AS n_chars,
+                   SUM(length(text))::BIGINT AS n_chars,
                    bit_xor(('0x' || substr(sha256(doc_id::VARCHAR || chr(31) || text), 1, 15))::UBIGINT::BIGINT) AS content_xor
             FROM documents
             GROUP BY 1
@@ -4504,10 +4504,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_mktsegment, c_nationkey, count(*) AS group_size
                 FROM customer GROUP BY 1, 2
             )
-            SELECT SUM(group_size) AS n_rows,
+            SELECT SUM(group_size)::BIGINT AS n_rows,
                    COUNT(*) AS n_groups,
-                   SUM(CASE WHEN group_size < 8 THEN 1 ELSE 0 END) AS violating_groups,
-                   SUM(CASE WHEN group_size < 8 THEN group_size ELSE 0 END) AS rows_at_risk,
+                   SUM(CASE WHEN group_size < 8 THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+                   SUM(CASE WHEN group_size < 8 THEN group_size ELSE 0 END)::BIGINT AS rows_at_risk,
                    MIN(group_size) AS min_group_size
             FROM g
         """,

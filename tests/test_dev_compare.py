@@ -1,0 +1,96 @@
+"""Regression tests for the local correctness gate's type-drift detector.
+
+Round 2 and round 3 each shipped driver hash-only FAILs (7 queries total)
+caused by DuckDB ``SUM(BIGINT) -> HUGEINT`` oracles whose Python values
+stringify identically to Spark's BIGINT — ``tools/dev_compare.py``'s
+``canon()`` therefore said green while the driver's width-aware hash said
+red (VERDICT r3, "What's wrong" item 4).  ``type_drift_problems`` turns
+that class into a local failure; these tests pin the contract:
+
+* a planted SUM-without-cast oracle MUST be flagged,
+* the int-width drift the driver provably tolerates MUST NOT be flagged
+  (entity_linkage / dedup_simhash / time_travel were hash-green in r3
+  with INTEGER/TINYINT oracles vs bigint Spark columns),
+* every committed oracle in ``__spark_entry__.py`` is HUGEINT/DECIMAL
+  clean (static bind check — no data read, so it is cheap enough to run
+  in every pytest sweep).
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from dev_compare import type_drift_problems  # noqa: E402
+
+
+def _duck_types(sql, **views):
+    con = duckdb.connect()
+    for name, create in views.items():
+        con.execute(f"CREATE VIEW {name} AS {create}")
+    rel = con.sql(sql)
+    return {c: str(t) for c, t in zip(rel.columns, rel.types)}
+
+
+def test_planted_uncast_sum_fails():
+    # the exact shape that shipped broken three times: SUM over BIGINT
+    dtypes = _duck_types(
+        "SELECT sum(x) AS total FROM t",
+        t="SELECT range::BIGINT AS x FROM range(5)",
+    )
+    assert dtypes["total"] == "HUGEINT"
+    problems = type_drift_problems({"total": "bigint"}, dtypes)
+    assert len(problems) == 1 and "HUGEINT" in problems[0]
+
+
+def test_cast_sum_passes():
+    dtypes = _duck_types(
+        "SELECT sum(x)::BIGINT AS total FROM t",
+        t="SELECT range::BIGINT AS x FROM range(5)",
+    )
+    assert type_drift_problems({"total": "bigint"}, dtypes) == []
+
+
+def test_tolerated_int_width_drift_not_flagged():
+    # driver-hash-green in r3: INTEGER and TINYINT oracles vs int Spark cols
+    assert type_drift_problems({"v": "int"}, {"v": "INTEGER"}) == []
+    assert type_drift_problems({"v": "int"}, {"v": "TINYINT"}) == []
+    assert type_drift_problems({"v": "int"}, {"v": "BIGINT"}) == []
+
+
+def test_decimal_and_float32_flagged():
+    assert type_drift_problems({"v": "double"}, {"v": "DECIMAL(18,2)"})
+    assert type_drift_problems({"v": "double"}, {"v": "FLOAT"})
+    # spark decimal vs duck decimal is fine (both fixed-point)
+    assert type_drift_problems({"v": "decimal(18,2)"}, {"v": "DECIMAL(18,2)"}) == []
+
+
+@pytest.mark.parametrize("sf_dir", [os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")])
+def test_all_committed_oracles_bind_clean(sf_dir):
+    """Bind (don't execute) every oracle and assert no HUGEINT/DECIMAL column.
+
+    Binding against the real parquet views resolves aggregate result types
+    without scanning data, so this sweeps all ~150 oracles in seconds.
+    """
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    dirty = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+        ]
+        if bad:
+            dirty[name] = bad
+    assert not dirty, f"uncast oracle columns (cast to BIGINT/DOUBLE): {dirty}"

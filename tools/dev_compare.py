@@ -26,6 +26,34 @@ def canon(v):
     return str(v)
 
 
+def type_drift_problems(spark_types, duck_types):
+    """Flag engine-side column-type drift that the driver's value-hash
+    distinguishes but canon() cannot: DuckDB HUGEINT/DECIMAL (int128 /
+    fixed-point, no Spark twin) and float32 vs Spark double. Evidence:
+    r2+r3 shipped 7 hash-only driver FAILs from uncast SUM() -> HUGEINT
+    while this gate said green (VERDICT r3 item 3). Int *width* drift
+    (INTEGER/TINYINT vs bigint) is provably tolerated by the driver hash
+    (entity_linkage, dedup_simhash, time_travel all hash-green r3), so
+    only the lossy classes fail here.
+
+    spark_types/duck_types: {col: type_string} with engine-native names.
+    """
+    problems = []
+    for col, dt in sorted(duck_types.items()):
+        d = dt.upper()
+        st = spark_types.get(col, "")
+        if "HUGEINT" in d:
+            problems.append(
+                f"type drift {col}: duck {dt} vs spark {st} — cast the oracle to BIGINT")
+        elif "DECIMAL" in d and "decimal" not in st:
+            problems.append(
+                f"type drift {col}: duck {dt} vs spark {st} — cast the oracle to DOUBLE/BIGINT")
+        elif "FLOAT" in d and "double" in st:
+            problems.append(
+                f"type drift {col}: duck {dt} vs spark {st} — cast the oracle to DOUBLE")
+    return problems
+
+
 def rows_to_set(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -59,6 +87,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
             srows = sdf.collect()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -69,14 +98,15 @@ def main():
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{dt:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        problems = []
+        problems = type_drift_problems(stypes, dtypes)
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
