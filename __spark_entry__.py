@@ -3121,14 +3121,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query, insert it BEFORE the stable-core marker below and demote the
     # oldest unchanged entries past it.
     return {
-        # -- (a) previously-failed (r1), keep under standing driver watch
+        # ==== DRIVER WINDOW (first 50) — r4 rotation ====
+        # (a) the three r3 hash-FAILs, oracles recast to BIGINT this
+        # round — driver re-check is the done-criterion for the fix
+        "orc_roundtrip": q_orc_roundtrip,
+        "length_bucket_batches": q_length_bucket_batches,
+        "cm_join_size": q_cm_join_size,
+        # (b) 47 of the 52 queries that have NEVER had a driver row
+        # (r2/r3 additions that sat past the 50-entry window; verified
+        # locally by dev_compare at sf0.001/0.01/0.1 but never hashed
+        # by the driver). Five deferred to the r5 window, each with its
+        # machinery covered by an in-window sibling: rp_ann_topk
+        # (rows-only; rp_ann_planted gates recall), bigram_logprob
+        # (unigram_logprob), incremental_neardup (incremental_dedup),
+        # name_edit_distance (entity_linkage levenshtein, r3-green),
+        # events_sliding_window (events_session_window + r2-green
+        # events_windowed).
+        "corpus_sample_quota": q_corpus_sample_quota,
+        "events_debounce": q_events_debounce,
+        "table_profile": q_table_profile,
+        "release_manifest": q_release_manifest,
+        "sample_quantiles": q_sample_quantiles,
+        "minmax_pruned_agg": q_minmax_pruned_agg,
+        "cdc_apply": q_cdc_apply,
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "approx_distinct_kmv": q_approx_distinct_kmv,
+        "count_min_freq": q_count_min_freq,
+        "zorder_bucket_stats": q_zorder_bucket_stats,
+        "stream_stream_join": q_stream_stream_join,
+        "weighted_sample_topk": q_weighted_sample_topk,
+        "pii_scrub_stats": q_pii_scrub_stats,
+        "doc_chunks": q_doc_chunks,
+        "benchmark_contamination": q_benchmark_contamination,
+        "sequence_packing": q_sequence_packing,
+        "events_session_window": q_events_session_window,
+        "repetition_profile": q_repetition_profile,
+        "quality_kept": q_quality_kept,
+        "quality_score_linear": q_quality_score_linear,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "tfidf_keywords": q_tfidf_keywords,
+        "user_event_pivot": q_user_event_pivot,
+        "part_unpivot": q_part_unpivot,
+        "order_grouping_sets": q_order_grouping_sets,
+        "token_positions": q_token_positions,
+        "embedding_element_stats": q_embedding_element_stats,
+        "quarterly_revenue_trend": q_quarterly_revenue_trend,
+        "customer_value_tiles": q_customer_value_tiles,
+        "lineitem_stats": q_lineitem_stats,
+        "customer_rolling_30d": q_customer_rolling_30d,
+        "incremental_dedup": q_incremental_dedup,
+        "dup_span_coverage": q_dup_span_coverage,
+        "unigram_logprob": q_unigram_logprob,
+        "source_token_kl": q_source_token_kl,
+        "events_stream_enriched": q_events_stream_enriched,
+        "interval_overlap": q_interval_overlap,
+        "shard_manifest": q_shard_manifest,
+        "length_trimmed": q_length_trimmed,
+        "corpus_diff": q_corpus_diff,
+        "mixture_resample": q_mixture_resample,
+        "source_overlap": q_source_overlap,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "label_cluster_stats": q_label_cluster_stats,
+        "asof_next_click": q_asof_next_click,
+        # ==== past the window: r1-r3 driver-green queries and the
+        # stable core. Every entry below has a driver-green row in
+        # CORRECTNESS_r0{1,2,3}.json (see COVERAGE.md ledger) or is a
+        # deliberate deferral documented above; all stay in the full
+        # local dev_compare sweep every round. r5 window plan: the five
+        # deferrals + anything added in r4.
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
-        # -- (b) round-3 additions / materially changed in round 3
         "setsim_join": q_setsim_join,
         "value_histogram": q_value_histogram,
-        "orc_roundtrip": q_orc_roundtrip,
         "time_travel": q_time_travel,
         "containment_probe": q_containment_probe,
         "versioned_stream_ingest": q_versioned_stream_ingest,
@@ -3167,94 +3233,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_profile": q_zipf_profile,
         "dedup_span_removal": q_dedup_span_removal,
         "hll_users_stream": q_hll_users_stream,
-        "length_bucket_batches": q_length_bucket_batches,
         "contrastive_triplets": q_contrastive_triplets,
-        "cm_join_size": q_cm_join_size,
         "kmv_audience_overlap": q_kmv_audience_overlap,
         "quantile_bins": q_quantile_bins,
         "robots_rules_planted": q_robots_rules_planted,
-        # demoted from the r3 block to make room for newer, never-checked
-        # queries: each one's machinery is window-covered by a sibling
-        # (sha-rank sampling → corpus_balance_sample; lag windows →
-        # events_sessionize/customer_moving_sum; simple/window aggregates
-        # → group_split_leakage/zipf_profile; merge-style upserts →
-        # scd2_apply; layout stats → zorder_bucket_stats/
-        # compaction_roundtrip) and all stayed green in the full local
-        # dev_compare sweeps at sf0.001/0.01/0.1 this round
-        "corpus_sample_quota": q_corpus_sample_quota,
-        "events_debounce": q_events_debounce,
-        "table_profile": q_table_profile,
-        "release_manifest": q_release_manifest,
-        "sample_quantiles": q_sample_quantiles,
-        "minmax_pruned_agg": q_minmax_pruned_agg,
-        "cdc_apply": q_cdc_apply,
-        "k_anonymity_audit": q_k_anonymity_audit,
-        "approx_distinct_kmv": q_approx_distinct_kmv,
-        "count_min_freq": q_count_min_freq,
-        "zorder_bucket_stats": q_zorder_bucket_stats,
-        "stream_stream_join": q_stream_stream_join,
-        # -- (b) round-2 additions never yet inside the driver window
-        "weighted_sample_topk": q_weighted_sample_topk,
-        "pii_scrub_stats": q_pii_scrub_stats,
-        "doc_chunks": q_doc_chunks,
-        "benchmark_contamination": q_benchmark_contamination,
-        "sequence_packing": q_sequence_packing,
-        "events_session_window": q_events_session_window,
-        "repetition_profile": q_repetition_profile,
-        "quality_kept": q_quality_kept,
-        "quality_score_linear": q_quality_score_linear,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "tfidf_keywords": q_tfidf_keywords,
         "events_sliding_window": q_events_sliding_window,
-        "user_event_pivot": q_user_event_pivot,
-        "part_unpivot": q_part_unpivot,
-        "order_grouping_sets": q_order_grouping_sets,
-        "token_positions": q_token_positions,
-        "embedding_element_stats": q_embedding_element_stats,
         "name_edit_distance": q_name_edit_distance,
-        "quarterly_revenue_trend": q_quarterly_revenue_trend,
-        "customer_value_tiles": q_customer_value_tiles,
-        "lineitem_stats": q_lineitem_stats,
-        "customer_rolling_30d": q_customer_rolling_30d,
-        "incremental_dedup": q_incremental_dedup,
-        "dup_span_coverage": q_dup_span_coverage,
-        "unigram_logprob": q_unigram_logprob,
-        "source_token_kl": q_source_token_kl,
-        "events_stream_enriched": q_events_stream_enriched,
-        "interval_overlap": q_interval_overlap,
-        "shard_manifest": q_shard_manifest,
-        "length_trimmed": q_length_trimmed,
-        "corpus_diff": q_corpus_diff,
-        "mixture_resample": q_mixture_resample,
-        "source_overlap": q_source_overlap,
         "bigram_logprob": q_bigram_logprob,
         "incremental_neardup": q_incremental_neardup,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        # ---- stable core (entry 51+): every row below passed the driver
-        # gate in r2 (or the local dev_compare gate at sf0.001/0.01/0.1
-        # every round since) and carries standing tests. With 115+
-        # queries and a 50-entry window, rounds-2-and-3 additions no
-        # longer all fit: the round-3 queries (never driver-checked,
-        # newest code — every one in the (b) block above) take the first
-        # slots, round-2 additions fill the rest, and round-2 veterans
-        # that have been locally green at three scale factors for two
-        # rounds (lineitem_stats, customer_rolling_30d,
-        # incremental_dedup, dup_span_coverage, unigram_logprob,
-        # source_token_kl, events_stream_enriched, interval_overlap,
-        # shard_manifest, length_trimmed, corpus_diff, mixture_resample,
-        # source_overlap, bigram_logprob, incremental_neardup,
-        # event_funnel, cohort_retention, label_cluster_stats) sit just
-        # past the window — newest-first is the risk ordering.
-        # Other deliberate demotions: media_content_stats (driver query
-        # runs the unchanged stub path), dedup_ngram_jaccard /
-        # dedup_clusters / dedup_clusters_star (r2-green; the round-3
-        # set_size change is re-verified locally at three scale
-        # factors), rp_ann_topk (rows-only; superseded in-window by the
-        # oracle-backed rp_ann_planted gate).
-        "label_cluster_stats": q_label_cluster_stats,
         "media_content_stats": q_media_content_stats,
-        "rp_ann_topk": q_rp_ann_topk,  # superseded in-window by rp_ann_planted
+        "rp_ann_topk": q_rp_ann_topk,  # rows-only; in-window twin rp_ann_planted is the oracle gate
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -3287,7 +3275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supply": q_regional_supply,
         "events_windowed_stream": q_events_windowed_stream,
         "asof_join_clicks": q_asof_clicks,
-        "asof_next_click": q_asof_next_click,
         "collection_e2e": q_collection_e2e,
         "range_join_incidents": q_range_join_incidents,
         "customers_no_big_order": q_customers_no_big_order,
