@@ -81,6 +81,32 @@ def test_jpeg_byte_stuffing_survives():
     assert out.shape == (16, 16, 3)
 
 
+def test_jpeg_fill_bytes_before_markers():
+    # T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    # code; crawl JPEGs use them as padding. Decode of a padded stream
+    # must equal decode of the original (ADVICE r3).
+    img = _gradient(16, 16)
+    data = encode_jpeg(img)
+    base = decode_jpeg(data)
+    padded = bytearray()
+    padded += data[:2]  # SOI
+    pos = 2
+    # inject fill bytes before every marker in the header region (up to
+    # SOS, whose entropy-coded payload must not be touched)
+    while pos + 4 <= len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        padded += b"\xff\xff\xff"  # fill bytes, then the real 0xFF+code
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            padded += data[pos:]
+            break
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        padded += data[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    out = decode_jpeg(bytes(padded))
+    assert np.array_equal(out, base)
+
+
 def test_spark_real_jpeg_features_and_resize(spark):
     from valentinus_spark.imaging import decode_png, image_features
     from valentinus_spark.multimodal import (

@@ -2,7 +2,10 @@
 windowed agg must equal its batch run (the batch expression IS the
 oracle), and incremental collection append embeds on the stream path."""
 
+import os
+
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from valentinus_spark.embed import HashEmbedder
@@ -361,3 +364,48 @@ def test_hll_state_merge_is_idempotent_and_batching_independent(spark, tmp_path)
         for r in hll_registers(df, "user_id", ["et"], p=4).collect()
     }
     assert streamed == batch
+
+
+def test_hll_state_merge_crash_recovery_and_cleanup(spark, tmp_path):
+    """Crash-safety contract of merge_hll_state (ADVICE r3): the _next
+    write-aside is cleaned up after a successful swap, a crash that
+    deleted state_path mid-swap recovers from _next with zero loss, and
+    a corrupt (non-parquet-readable-but-present) state raises instead of
+    silently resetting the sketch to an undercount."""
+    import shutil
+
+    from valentinus_spark.streaming.pipeline import merge_hll_state
+
+    df = spark.createDataFrame(
+        [(i % 53, "t%d" % (i % 2)) for i in range(300)], "user_id long, et string"
+    )
+    state = str(tmp_path / "regs")
+
+    def snap():
+        return {
+            (r["et"], r["idx"]): r["rho"]
+            for r in spark.read.parquet(state).collect()
+        }
+
+    b1 = df.where("user_id % 2 = 0")
+    b2 = df.where("user_id % 2 = 1")
+    merge_hll_state(b1, state, "user_id", ["et"], 4)
+    assert not os.path.exists(state + "_next"), "_next must be cleaned after swap"
+    merge_hll_state(b2, state, "user_id", ["et"], 4)
+    full = snap()
+
+    # simulate a crash between "state_path deleted" and "state_path
+    # rewritten": the recovery copy _next exists, state_path does not
+    shutil.copytree(state, state + "_next")
+    shutil.rmtree(state)
+    merge_hll_state(b2, state, "user_id", ["et"], 4)  # replayed batch
+    assert snap() == full, "recovery from _next must lose nothing"
+    assert not os.path.exists(state + "_next")
+
+    # a present-but-corrupt state must raise, not silently reset
+    shutil.rmtree(state)
+    os.makedirs(state)
+    with open(os.path.join(state, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        merge_hll_state(b1, state, "user_id", ["et"], 4)

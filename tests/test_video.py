@@ -34,6 +34,24 @@ def test_y4m_rejects_garbage_and_odd_dims():
         decode_y4m(data[:-5])
 
 
+def test_y4m_odd_dim_c420_decode():
+    # odd-dimension C420: writers size chroma ceil(w/2)*ceil(h/2)
+    # (ADVICE r3 — flooring desynchronized the frame walk). Hand-build a
+    # 3x5 two-frame stream the way ffmpeg/mjpegtools would.
+    h, w = 3, 5
+    f0 = np.arange(15, dtype=np.uint8).reshape(h, w)
+    f1 = (f0 + 100).astype(np.uint8)
+    chroma = b"\x80" * (((w + 1) // 2) * ((h + 1) // 2) * 2)  # 2*3*2=12
+    data = (
+        b"YUV4MPEG2 W5 H3 F25:1 C420\n"
+        + b"FRAME\n" + f0.tobytes() + chroma
+        + b"FRAME\n" + f1.tobytes() + chroma
+    )
+    frames, _ = decode_y4m(data)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], f0) and np.array_equal(frames[1], f1)
+
+
 def test_y4m_c444_decode():
     # hand-build a C444 single-frame stream
     h, w = 2, 2

@@ -132,3 +132,30 @@ def test_apply_url_rules_longest_match_and_tiebreak(spark):
         r["id"]: r["allow"] for r in apply_url_rules(urls, rules).collect()
     }
     assert got == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+
+def test_apply_url_rules_column_collisions_raise_and_out_col(spark):
+    # ADVICE r3: a urls table that already has 'allow' (or an internal
+    # tag name) must raise up front, not silently mis-aggregate; a
+    # caller-settable output column sidesteps the clash
+    import pytest
+
+    from valentinus_spark.functions.web import apply_url_rules
+
+    rules = spark.createDataFrame(
+        [("x.com", "/p", False)], "host string, path_prefix string, allow boolean"
+    )
+    for bad_schema in (
+        "id long, url string, allow boolean",
+        "id long, url string, _host string",
+        "id long, url string, _rid long",
+    ):
+        urls = spark.createDataFrame([(1, "https://x.com/p", None)], bad_schema)
+        with pytest.raises(ValueError, match="apply_url_rules"):
+            apply_url_rules(urls, rules)
+    urls = spark.createDataFrame(
+        [(1, "https://x.com/p/a", True)], "id long, url string, allow boolean"
+    )
+    out = apply_url_rules(urls, rules, out_col="crawl_ok")
+    row = out.collect()[0]
+    assert row["crawl_ok"] is False and row["allow"] is True  # input col intact

@@ -130,13 +130,16 @@ def apply_url_rules(
     rules,
     url_col: str = "url",
     default_allow: bool = True,
+    out_col: str = "allow",
 ):
     """Robots-style URL gating with LONGEST-MATCH semantics (RFC 9309
     §2.2.2: the most specific matching rule wins, allow beats disallow
     on equal length): ``rules`` is (host, path_prefix, allow); each URL
     takes the matching rule with the longest path_prefix for its host,
     or ``default_allow`` when none matches. Returns ``urls`` plus an
-    ``allow`` boolean.
+    ``out_col`` boolean (default ``allow``); input columns that collide
+    with the output or the internal tag columns raise up front instead
+    of silently mis-aggregating.
 
     Plan: rules tables are small by nature (a crawl's robots corpus is
     per-host, not per-page) — broadcast equi-join on the canonical
@@ -147,6 +150,14 @@ def apply_url_rules(
     corpus×rules blow-up.
     """
     from pyspark.sql import functions as F
+
+    clashes = {"_host", "_path", "_rid", out_col} & set(urls.columns)
+    if clashes:
+        raise ValueError(
+            f"apply_url_rules: input already has column(s) {sorted(clashes)}; "
+            f"rename them or pass a different out_col (internal columns "
+            f"_host/_path/_rid and the output column must be free)"
+        )
 
     u = F.col(url_col)
     host = url_host(u)
@@ -174,7 +185,7 @@ def apply_url_rules(
         .agg(*[F.first(c).alias(c) for c in keep_cols], best)
         .select(
             *keep_cols,
-            F.coalesce(F.col("_best.a"), F.lit(default_allow)).alias("allow"),
+            F.coalesce(F.col("_best.a"), F.lit(default_allow)).alias(out_col),
         )
     )
     return out

@@ -356,19 +356,43 @@ def merge_hll_state(
 ) -> None:
     """One micro-batch step of :func:`stream_hll_registers`, exposed so
     the idempotence contract (a replayed batch is a no-op: union + max
-    is idempotent) is directly unit-testable outside a StreamingQuery."""
+    is idempotent) is directly unit-testable outside a StreamingQuery.
+
+    Crash-safety: the merged registers are written to ``state_path +
+    "_next"`` FIRST and that directory is only removed after
+    ``state_path`` has been fully rewritten from it, so at every instant
+    at least one complete copy of the state exists on disk — a crash
+    between the delete and the rewrite of ``state_path`` is recovered on
+    the next batch by falling back to ``_next``. Only a
+    missing/half-written state triggers the fallback; any other read
+    error propagates (a silently swallowed read error here would reset
+    the sketch and make the maintained count silently undercount)."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
     from valentinus_spark.operators.sketches import hll_registers
 
     spark = batch_df.sparkSession
     regs = hll_registers(batch_df, value_col, groups, p=p)
+    next_path = state_path + "_next"
     try:
         prev = spark.read.parquet(state_path)
+    except AnalysisException:
+        # state absent or unreadable-as-parquet: either a fresh start or
+        # a crash after state_path was deleted but before its rewrite
+        # finished — in the latter case _next holds the complete merge
+        # through the previous batch
+        try:
+            prev = spark.read.parquet(next_path)
+        except AnalysisException:
+            prev = None
+    if prev is not None:
         regs = prev.unionByName(regs)
-    except Exception:
-        pass
     merged = regs.groupBy(*groups, "idx").agg(F.max("rho").alias("rho"))
-    # tiny table: single file avoids small-file creep per batch; write
-    # aside then swap so a reader never sees a half-written state
-    merged.coalesce(1).write.mode("overwrite").parquet(state_path + "_next")
-    next_df = spark.read.parquet(state_path + "_next")
-    next_df.coalesce(1).write.mode("overwrite").parquet(state_path)
+    # tiny table (≤ 2^p rows per group): single file avoids small-file
+    # creep per batch; write aside then swap so a reader never sees a
+    # half-written state
+    merged.coalesce(1).write.mode("overwrite").parquet(next_path)
+    spark.read.parquet(next_path).coalesce(1).write.mode("overwrite").parquet(state_path)
+    shutil.rmtree(next_path, ignore_errors=True)

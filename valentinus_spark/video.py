@@ -51,7 +51,10 @@ def decode_y4m(data: bytes) -> tuple[list[np.ndarray], tuple[int, int]]:
     if width is None or height is None:
         raise ValueError("Y4M header missing W or H")
     if chroma.startswith("420"):
-        chroma_bytes = (width // 2) * (height // 2) * 2
+        # ceil-division: Y4M writers size odd-dimension C420 chroma
+        # planes as ceil(w/2)*ceil(h/2); flooring desynchronizes the
+        # frame walk on odd dims (ADVICE r3)
+        chroma_bytes = ((width + 1) // 2) * ((height + 1) // 2) * 2
     elif chroma == "444":
         chroma_bytes = width * height * 2
     else:
