@@ -704,3 +704,87 @@ def test_remove_duplicated_spans_matches_python_reference(spark):
     assert got == expect
     assert got[2][1] == 0          # fully-deleted doc survives as a row
     assert got[5] == (0, 0, "")    # blank doc passes through
+
+
+def test_minhash_hot_shingle_skew_does_not_cobucket(spark):
+    """Adversarial skew (VERDICT r3 item 6): 20% of docs open with the
+    SAME boilerplate trigram but are otherwise unique. A hot shingle
+    must not co-bucket its carriers — the band key hashes an r=4
+    signature slice and one shared shingle wins a single min with
+    probability ~1/|set| — so the largest (band, key) bucket stays at
+    the true duplicate-class size (planted: 2) and the verified output
+    is exactly the planted pairs."""
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.operators.dedup import (
+        _minhash_banded,
+        _shingle_sets,
+        minhash_native_pairs,
+    )
+
+    rows = []
+    for i in range(1500):
+        uniq = " ".join(f"u{i}x{j}" for j in range(12))
+        if i < 300:  # 20% carry the hot boilerplate trigram
+            rows.append((i, "common boiler plate " + uniq))
+        else:
+            rows.append((i, uniq))
+    for k in range(10):  # planted exact dups (pair ids 2000+k <-> k)
+        rows.append((2000 + k, rows[k][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    shingled = _shingle_sets(df, "doc_id", "text", 3)
+    banded = _minhash_banded(shingled, 16, 4, "xxhash64")
+    top = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert top <= 4, f"hot shingle co-bucketed {top} docs in one band bucket"
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_native_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    assert got == {(k, 2000 + k) for k in range(10)}
+
+
+def test_connected_components_star_hot_hub_distributed(spark):
+    """Skew through the distributed CC path (driver_threshold=0 forces
+    the star rounds even for a small fixture): one hub carries 20% of
+    all edges (a star), plus a 60-link chain and disjoint pairs. The
+    alternating large-star/small-star rounds must produce exactly the
+    union-find components — hub skew concentrates one groupBy key but
+    cannot break correctness, and the chain proves O(log n) round
+    convergence handles long diameters."""
+    from valentinus_spark.operators.dedup import connected_components_star
+
+    edges = []
+    edges += [(0, i) for i in range(100, 400)]  # hot hub: 300 edges at node 0
+    edges += [(1000 + i, 1001 + i) for i in range(60)]  # 60-link chain
+    edges += [(5000 + 2 * i, 5001 + 2 * i) for i in range(200)]  # disjoint pairs
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    # expected components via plain union-find in the test
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(df, driver_threshold=0).collect()
+    }
+    assert got == expected
+    assert got[399] == 0 and got[1060] == 1000 and got[5399] == 5398

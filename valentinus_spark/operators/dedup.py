@@ -211,6 +211,79 @@ def minhash_lsh_pairs(
     )
 
 
+def _minhash_banded(shingled, num_hashes: int, bands: int, hash_fn: str):
+    """Signature + banding stage of :func:`minhash_native_pairs`:
+    (_id, _shingles) → one (_id, _mh, band, bh) row per band. Extracted
+    so the skew stress test (test_dedup.py) can measure band-bucket
+    occupancy directly: a hot shingle shared by 20% of the corpus must
+    NOT co-bucket those docs — the band key hashes an r-wide signature
+    slice, and a single shared shingle only wins one signature's min
+    with probability ~1/|set| — so the shuffle's largest (band, key)
+    bucket tracks the true duplicate-class size, not the hot-token
+    class size.
+
+    Signatures via explode → groupBy(min × num_hashes) rather than a
+    per-row higher-order aggregate: HOF lambdas run INTERPRETED (no
+    whole-stage codegen, no common-subexpression elimination), while
+    the explode/hash-aggregate shape is fully codegen'd with map-side
+    partial mins — the shuffle carries one num_hashes-wide row per doc
+    per mapper, never the shingles.
+
+    CAUTION (regression-pinned in test_minhash_signatures_are_distinct
+    _hash_families): an earlier form used
+    F.transform(shingles, lambda s, i=i: xxhash64(lit(i), s)) — PySpark
+    treats ANY two-parameter lambda as (element, array_index), so the
+    captured default i was silently shadowed by the index column and
+    all 16 "independent" signatures collapsed to one hash family
+    (banding degenerated; recall rode on the exact-verify stage). Keep
+    per-hash salts OUTSIDE lambda parameter lists."""
+    r = num_hashes // bands
+    exploded = shingled.select("_id", F.explode("_shingles").alias("_s"))
+    if hash_fn == "sha256":
+        # one sha256 = 64 hex chars = FOUR independent 60-bit values, so
+        # hash i is slice (i % 4) of sha256((i//4) || ':' || shingle) —
+        # 4× fewer digests than a salt per hash (codegen CSE shares each
+        # digest across its four slice expressions)
+        def _h(i):
+            digest = F.sha2(F.concat(F.lit(f"{i // 4}:"), F.col("_s")), 256)
+            return F.conv(F.substring(digest, 1 + 15 * (i % 4), 15), 16, 10).cast(
+                "long"
+            )
+    else:
+        def _h(i):
+            return F.xxhash64(F.lit(i), F.col("_s"))
+
+    sig = exploded.groupBy("_id").agg(
+        *[F.min(_h(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    ).select("_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_mh"))
+
+    # band key: xxhash64 over the band's signature slice for the fast path;
+    # for the portable variant the slice itself (comma-joined) IS the key —
+    # no second hash function for the oracle to reproduce
+    def _band_key(b):
+        elems = [F.element_at("_mh", b * r + j + 1) for j in range(r)]
+        if hash_fn == "sha256":
+            return F.concat_ws(",", *[e.cast("string") for e in elems])
+        return F.xxhash64(*elems)
+
+    # candidate generation carries ONLY (id, 16-long signature) through the
+    # band join — never the shingle arrays (cheap shuffle rows)
+    return sig.select(
+        "_id",
+        "_mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _band_key(b).alias("bh")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_mh", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+
+
 def minhash_native_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -242,67 +315,8 @@ def minhash_native_pairs(
     Scale shape: one shuffle keyed on (band, band_hash); skewed buckets
     (boilerplate docs) can be salted upstream by capping shingle document
     frequency."""
-    r = num_hashes // bands
     shingled = _shingle_sets(df, id_col, text_col, n)
-    # Signatures via explode → groupBy(min × num_hashes) rather than a
-    # per-row higher-order aggregate: HOF lambdas run INTERPRETED (no
-    # whole-stage codegen, no common-subexpression elimination), while
-    # the explode/hash-aggregate shape is fully codegen'd with map-side
-    # partial mins — the shuffle carries one num_hashes-wide row per doc
-    # per mapper, never the shingles.
-    #
-    # CAUTION (regression-pinned in test_minhash_signatures_are_distinct
-    # _hash_families): an earlier form used
-    # F.transform(shingles, lambda s, i=i: xxhash64(lit(i), s)) — PySpark
-    # treats ANY two-parameter lambda as (element, array_index), so the
-    # captured default i was silently shadowed by the index column and
-    # all 16 "independent" signatures collapsed to one hash family
-    # (banding degenerated; recall rode on the exact-verify stage). Keep
-    # per-hash salts OUTSIDE lambda parameter lists.
-    exploded = shingled.select("_id", F.explode("_shingles").alias("_s"))
-    if hash_fn == "sha256":
-        # one sha256 = 64 hex chars = FOUR independent 60-bit values, so
-        # hash i is slice (i % 4) of sha256((i//4) || ':' || shingle) —
-        # 4× fewer digests than a salt per hash (codegen CSE shares each
-        # digest across its four slice expressions)
-        def _h(i):
-            digest = F.sha2(F.concat(F.lit(f"{i // 4}:"), F.col("_s")), 256)
-            return F.conv(F.substring(digest, 1 + 15 * (i % 4), 15), 16, 10).cast(
-                "long"
-            )
-    else:
-        def _h(i):
-            return F.xxhash64(F.lit(i), F.col("_s"))
-
-    sig = exploded.groupBy("_id").agg(
-        *[F.min(_h(i)).alias(f"_h{i}") for i in range(num_hashes)]
-    ).select("_id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("_mh"))
-
-    # band key: xxhash64 over the band's signature slice for the fast path;
-    # for the portable variant the slice itself (comma-joined) IS the key —
-    # no second hash function for the oracle to reproduce
-    def _band_key(b):
-        elems = [F.element_at("_mh", b * r + j + 1) for j in range(r)]
-        if hash_fn == "sha256":
-            return F.concat_ws(",", *[e.cast("string") for e in elems])
-        return F.xxhash64(*elems)
-
-    # candidate generation carries ONLY (id, 16-long signature) through the
-    # band join — never the shingle arrays (cheap shuffle rows)
-    banded = sig.select(
-        "_id",
-        "_mh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), _band_key(b).alias("bh")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_id", "_mh", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    banded = _minhash_banded(shingled, num_hashes, bands, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     # estimated Jaccard from signature agreement prunes false candidates

@@ -70,6 +70,36 @@ def _doc_tokens(
     )
 
 
+def _prefix_tokens(tok, threshold: float):
+    """PPJoin prefix stage: per set, the (sz - ceil(t*sz) + 1) globally
+    RAREST tokens (ties by token value). Extracted so the skew stress
+    test (test_setsim.py) can assert the candidate-generation property
+    directly: a corpus-dominating hot token sorts LAST in every set's
+    frequency order and therefore never enters a prefix of any set with
+    more than prefix-length tokens — the f²/2 hot-token blowup is
+    structurally excluded, not merely verified away."""
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    ranked = tok.join(freq, "_tok")
+    w = Window.partitionBy("_sid").orderBy(F.asc("_tf"), F.asc("_tok"))
+    sized = ranked.select(
+        "_sid",
+        "_tok",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_sid")).alias("_sz"),
+    )
+    # epsilon guard on the ceil: in doubles 0.8*10 = 8.000000000000002,
+    # whose ceil (9) would SHORTEN the prefix below the lossless bound
+    # and silently drop boundary pairs. Subtracting 1 ulp-scale epsilon
+    # can only lengthen the prefix — extra candidates, never lost ones;
+    # the exact verify below still decides membership.
+    return sized.where(
+        F.col("_rn")
+        <= F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+        + 1
+    )
+
+
 def set_similarity_join(
     df: DataFrame,
     id_col: str,
@@ -85,26 +115,7 @@ def set_similarity_join(
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
     tok = _doc_tokens(df, id_col, text_col, shingle_n)
-    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
-    ranked = tok.join(freq, "_tok")
-    w = Window.partitionBy("_sid").orderBy(F.asc("_tf"), F.asc("_tok"))
-    sized = ranked.select(
-        "_sid",
-        "_tok",
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("_sid")).alias("_sz"),
-    )
-    # epsilon guard on the ceil: in doubles 0.8*10 = 8.000000000000002,
-    # whose ceil (9) would SHORTEN the prefix below the lossless bound
-    # and silently drop boundary pairs. Subtracting 1 ulp-scale epsilon
-    # can only lengthen the prefix — extra candidates, never lost ones;
-    # the exact verify below still decides membership.
-    prefix = sized.where(
-        F.col("_rn")
-        <= F.col("_sz")
-        - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
-        + 1
-    )
+    prefix = _prefix_tokens(tok, threshold)
     a = prefix.select(
         F.col("_tok"), F.col("_sid").alias("id_a"), F.col("_sz").alias("_sza")
     )
