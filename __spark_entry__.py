@@ -2962,6 +2962,46 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive roundtrip (sources/warc.py): documents become
+    HTTP-response records (url derived from doc_id, body = text bytes),
+    re-sharded as member-gzipped WARC via the distributed writer, parsed
+    back through the mapInPandas reader, and checksummed per host. Hash
+    match proves the WARC header/Content-Length walk, member-gzip
+    framing, HTTP unwrapping, and byte-exact payload recovery — the
+    oracle recomputes the same stats from the url/body construction
+    arithmetic alone, never touching WARC bytes."""
+    import tempfile
+
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/d"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    path = tempfile.mkdtemp(prefix="vs_warc_")
+    write_warc(docs, path, n_files=4, compression="member")
+    back = read_warc(spark, path, record_types=["response"])
+    body = F.decode("payload", "UTF-8")
+    return (
+        back.select(
+            F.regexp_extract("url", r"^http://([^/]+)/", 1).alias("host"),
+            F.col("payload_len"),
+            sha_hash60(F.concat_ws("\x1f", F.col("url"), body)).alias("_h"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("payload_len").alias("n_bytes"),
+            F.expr("bit_xor(_h)").alias("content_xor"),
+        )
+    )
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL interchange (sources/jsonl.py) — the training-corpus lingua
     franca: documents written as 4 gzip JSONL shards range-sharded by
@@ -3223,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily_rollup": q_hll_daily_rollup,
         "embedding_quantize_stats": q_embedding_quantize_stats,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "warc_ingest": q_warc_ingest,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -3630,6 +3671,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # JSONL write->read checksum recomputed from the source rows
         # (concat_ws with US separator, metadata values as strings)
+        # same url/body construction arithmetic, zero WARC machinery: the
+        # Spark side must recover byte-exact payloads through member-gzip
+        # + HTTP unwrapping for the xor to match
+        "warc_ingest": """
+            SELECT 's' || (doc_id % 7)::VARCHAR || '.example' AS host,
+                   count(*) AS n_records,
+                   sum(strlen(text))::BIGINT AS n_bytes,
+                   bit_xor(('0x' || substr(sha256(
+                       'http://s' || (doc_id % 7)::VARCHAR || '.example/d' ||
+                       doc_id::VARCHAR || chr(31) || text), 1, 15))::UBIGINT::BIGINT) AS content_xor
+            FROM documents
+            GROUP BY 1
+        """,
         "jsonl_roundtrip": """
             SELECT count(*) AS n_rows,
                    bit_xor(('0x' || substr(sha256(

@@ -1,0 +1,87 @@
+"""sf0.1 -> sf1 scaling probe (VERDICT r3 item 7).
+
+Runs the top-cost registry queries at sf0.1 and at a 10x synthetic sf1
+slice (see the builder notes in SCALE.md "Round-4 sf1 probe"), recording
+min-of-2 wall seconds and total shuffle-write bytes per query (diffed
+from the local Spark UI REST stage metrics, which is the same number a
+cluster history server reports). Prints one row per (query, sf) plus the
+log10 scaling exponent: exponent 1.0 = linear in rows; anything
+materially super-linear is a plan bug at 100 TB.
+
+Usage: python tools/scale_probe.py [sf1_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, ".")
+
+PROBE_QUERIES = [
+    "pagerank_copurchase",
+    "entity_linkage",
+    "setsim_join",
+    "corpus_pipeline",
+    "semantic_dedup",
+]
+
+
+def shuffle_write_bytes(ui: str) -> int:
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete")
+    )
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from valentinus_spark.session import get_spark
+
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else ".sf1probe"
+    names = sys.argv[2:] or PROBE_QUERIES
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    spark.range(1000).selectExpr("sum(id)").collect()  # codegen warmup
+
+    qs = entrymod.queries()
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+        results[name] = {}
+        for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)):
+            best, sh = float("inf"), 0
+            for _ in range(2):
+                spark.sparkContext._jvm.System.gc()
+                sh0 = shuffle_write_bytes(ui)
+                t0 = time.time()
+                n = len(fn(spark, sf_dir).collect())
+                dt = time.time() - t0
+                if dt < best:
+                    best, sh = dt, shuffle_write_bytes(ui) - sh0
+            results[name][label] = (best, sh, n)
+            print(
+                f"# {name} {label}: {best:.2f}s shuffleWrite={sh/1e6:.1f}MB rows={n}",
+                file=sys.stderr,
+            )
+    print("| query | sf0.1 s | sf1 s | exponent | sf0.1 shuffle | sf1 shuffle | rows sf0.1→sf1 |")
+    print("|---|---|---|---|---|---|---|")
+    import math
+
+    for name, r in results.items():
+        a, b = r["sf0.1"], r["sf1"]
+        exp = math.log10(b[0] / a[0]) if a[0] > 0 else float("nan")
+        print(
+            f"| {name} | {a[0]:.2f} | {b[0]:.2f} | {exp:.2f} | "
+            f"{a[1]/1e6:.1f} MB | {b[1]/1e6:.1f} MB | {a[2]}→{b[2]} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
