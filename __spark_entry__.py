@@ -2962,6 +2962,55 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle (operators/packing.py
+    epoch_shuffle): every doc gets a (shard, position) that differs per
+    epoch but is reproducible anywhere the hash is. The oracle replays
+    the full permutation — shard pmod, within-shard (hash, id) rank —
+    and the checksum folds position WITH id, so a single transposed
+    pair anywhere in the permutation hash-fails."""
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.operators.packing import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    shuffled = epoch_shuffle(docs, "doc_id", epoch=3, n_shards=8)
+    return (
+        shuffled.select(
+            "shard",
+            "position",
+            sha_hash60(
+                F.concat_ws("\x1f", F.col("position"), F.col("doc_id"))
+            ).alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("position").alias("max_position"),
+            F.expr("bit_xor(_h)").alias("perm_xor"),
+        )
+    )
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture plan with a binding share cap
+    (operators/mixture.py): four named sources plus a 'rest' stratum
+    holding ~80% of corpus mass; τ=2 square-roots the shares and the
+    0.3 cap binds on 'rest', redistributing its excess across the named
+    sources. The oracle replays the aggregate → pow → normalize →
+    waterfill chain in SQL at 6 decimals."""
+    from valentinus_spark.operators.mixture import temperature_mixture_weights
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "stratum",
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3"), F.col("source")
+        ).otherwise(F.lit("rest")),
+    )
+    return temperature_mixture_weights(
+        docs, "stratum", "n_chars", tau=2.0, cap=0.3
+    )
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC crawl-archive roundtrip (sources/warc.py): documents become
     HTTP-response records (url derived from doc_id, body = text bytes),
@@ -3264,6 +3313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_stats": q_embedding_quantize_stats,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "warc_ingest": q_warc_ingest,  # added r4 — r5 window candidate
+        "epoch_shuffle_manifest": q_epoch_shuffle,  # added r4 — r5 window candidate
+        "mixture_weights_plan": q_mixture_weights,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -3671,6 +3722,55 @@ def oracle_sql() -> dict[str, str]:
         """,
         # JSONL write->read checksum recomputed from the source rows
         # (concat_ws with US separator, metadata values as strings)
+        # full permutation replay: same 60-bit hash, same pmod shard,
+        # same (hash, id) within-shard rank
+        "epoch_shuffle_manifest": """
+            WITH h AS (
+                SELECT doc_id,
+                       ('0x' || substr(sha256('ep-v1:3:' || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS eh
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, eh % 8 AS shard,
+                       row_number() OVER (PARTITION BY eh % 8 ORDER BY eh, doc_id) - 1 AS position
+                FROM h
+            )
+            SELECT shard, count(*) AS n_rows,
+                   max(position)::BIGINT AS max_position,
+                   bit_xor(('0x' || substr(sha256(position::VARCHAR || chr(31) || doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT) AS perm_xor
+            FROM p GROUP BY shard
+        """,
+        # aggregate -> pow(1/tau) -> normalize -> single-tier cap
+        # waterfill, all in SQL at 6dp
+        "mixture_weights_plan": """
+            WITH s AS (
+                SELECT CASE WHEN source IN ('src0','src1','src2','src3')
+                            THEN source ELSE 'rest' END AS stratum,
+                       count(*) AS n_rows,
+                       sum(n_chars)::BIGINT AS n_size
+                FROM documents GROUP BY 1
+            ),
+            praw AS (
+                SELECT *, n_size::DOUBLE / sum(n_size) OVER () AS p_raw FROM s
+            ),
+            pt AS (
+                SELECT *, pow(p_raw, 0.5) / sum(pow(p_raw, 0.5)) OVER () AS p_t
+                FROM praw
+            ),
+            capped AS (
+                SELECT *,
+                       CASE WHEN p_t > 0.3 THEN 0.3
+                            ELSE p_t * (1 - coalesce(sum(CASE WHEN p_t > 0.3 THEN 0.3 END) OVER (), 0))
+                                     / sum(CASE WHEN p_t <= 0.3 THEN p_t END) OVER ()
+                       END AS p_fin
+                FROM pt
+            )
+            SELECT stratum, n_rows, n_size,
+                   round(p_raw, 6) AS p_raw,
+                   round(p_fin, 6) AS p_target,
+                   round(p_fin / p_raw, 6) AS repeat_factor
+            FROM capped
+        """,
         # same url/body construction arithmetic, zero WARC machinery: the
         # Spark side must recover byte-exact payloads through member-gzip
         # + HTTP unwrapping for the xor to match

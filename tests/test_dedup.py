@@ -788,3 +788,74 @@ def test_connected_components_star_hot_hub_distributed(spark):
     }
     assert got == expected
     assert got[399] == 0 and got[1060] == 1000 and got[5399] == 5398
+
+
+def test_epoch_shuffle_permutation_properties(spark):
+    """epoch_shuffle: positions form 0..n_s-1 per shard, the permutation
+    is reproducible, differs across epochs, and is stable per row under
+    corpus growth (a doc's (shard, position-hash-key) never depends on
+    other rows' presence — only its rank does)."""
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.operators.packing import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    e0 = epoch_shuffle(df, "doc_id", epoch=0, n_shards=4)
+    rows = e0.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert sum(len(v) for v in by_shard.values()) == 500
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+    # reproducible
+    again = {(r["doc_id"], r["shard"], r["position"]) for r in e0.collect()}
+    assert again == {(r["doc_id"], r["shard"], r["position"]) for r in rows}
+    # epoch changes the permutation
+    e1 = {(r["doc_id"]): (r["shard"], r["position"]) for r in
+          epoch_shuffle(df, "doc_id", epoch=1, n_shards=4).collect()}
+    moved = sum(1 for r in rows if e1[r["doc_id"]] != (r["shard"], r["position"]))
+    assert moved > 400
+    # validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, "doc_id", n_shards=0)
+
+
+def test_temperature_mixture_weights_math_and_cap(spark):
+    """temperature_mixture_weights: tau=1 is identity (repeat 1.0
+    everywhere), tau=2 square-roots shares, a binding cap pins the heavy
+    stratum and renormalizes the rest to sum 1."""
+    import math
+
+    from valentinus_spark.operators.mixture import temperature_mixture_weights
+
+    rows = [(i, "big" if i < 800 else ("mid" if i < 950 else "small"), 10)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, source string, n_chars long")
+
+    t1 = {r["source"]: r for r in
+          temperature_mixture_weights(df, "source", "n_chars", tau=1.0).collect()}
+    for r in t1.values():
+        assert abs(r["repeat_factor"] - 1.0) < 1e-6
+    assert abs(t1["big"]["p_raw"] - 0.8) < 1e-6
+
+    t2 = {r["source"]: r for r in
+          temperature_mixture_weights(df, "source", "n_chars", tau=2.0).collect()}
+    z = math.sqrt(0.8) + math.sqrt(0.15) + math.sqrt(0.05)
+    assert abs(t2["big"]["p_target"] - math.sqrt(0.8) / z) < 1e-5
+    assert abs(sum(r["p_target"] for r in t2.values()) - 1.0) < 1e-5
+
+    t2c = {r["source"]: r for r in
+           temperature_mixture_weights(df, "source", "n_chars", tau=2.0, cap=0.5).collect()}
+    assert t2c["big"]["p_target"] == 0.5
+    assert abs(sum(r["p_target"] for r in t2c.values()) - 1.0) < 1e-5
+    # uncapped strata keep their relative proportions
+    ratio = t2c["mid"]["p_target"] / t2c["small"]["p_target"]
+    assert abs(ratio - math.sqrt(0.15) / math.sqrt(0.05)) < 1e-4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_mixture_weights(df, "source", tau=0.5)
+    with _pytest.raises(ValueError):
+        temperature_mixture_weights(df, "source", cap=0.0)

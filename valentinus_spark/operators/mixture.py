@@ -1,0 +1,84 @@
+"""Corpus mixture planning: per-source sampling weights for pretraining.
+
+The step BEFORE ``mixture_repeat_count`` (functions/text.py): given the
+measured corpus composition, compute what each source's share of the
+training stream should be, then hand the implied repeat factors to the
+deterministic resampler. Two published policies:
+
+- **Temperature scaling** (multilingual pretraining à la XLM-R:
+  p_s ∝ (n_s / N)^(1/τ)): τ=1 keeps natural proportions, τ→∞ approaches
+  uniform; the standard knob for keeping long-tail sources from drowning.
+- **Budgeted cap**: a hard ceiling on any source's share after scaling
+  (the "no more than X% from one crawl" rule), re-normalizing the rest.
+
+No reference equivalent (training-pipeline extension surface).
+
+Scale shape: one map-side-combined aggregate to source granularity
+(thousands of rows at most), then driver-free arithmetic on that tiny
+frame — no second pass over the corpus. The output is source-level, so
+downstream joins broadcast it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    stratum_col: str = "source",
+    size_col: str | None = "n_chars",
+    tau: float = 2.0,
+    cap: float | None = None,
+) -> DataFrame:
+    """Per-stratum mixture plan: measured share, temperature-scaled
+    target share, and the repeat factor that realizes it.
+
+    Columns: ``{stratum_col}``, ``n_rows``, ``n_size`` (summed
+    ``size_col``, or row count when None), ``p_raw`` (natural share by
+    size), ``p_target`` (∝ p_raw^(1/τ), optionally capped at ``cap``
+    with the excess redistributed proportionally among uncapped strata
+    — one waterfilling pass, exact for a single binding cap tier),
+    ``repeat_factor`` (= p_target / p_raw; feed to
+    ``mixture_repeat_count`` to materialize the plan). All shares are
+    rounded to 6 decimals for cross-engine comparability.
+
+    τ must be ≥ 1 (τ<1 would sharpen skew, never wanted here); cap in
+    (0, 1]."""
+    if tau < 1.0:
+        raise ValueError(f"tau must be >= 1, got {tau}")
+    if cap is not None and not (0.0 < cap <= 1.0):
+        raise ValueError(f"cap must be in (0, 1], got {cap}")
+    size = F.col(size_col).cast("double") if size_col else F.lit(1.0)
+    agg = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(size).cast("bigint").alias("n_size"),
+    )
+    everything = Window.partitionBy()
+    p_raw = F.col("n_size") / F.sum("n_size").over(everything)
+    scaled = F.pow(p_raw, F.lit(1.0 / tau))
+    p_t = scaled / F.sum(scaled).over(everything)
+    out = agg.withColumn("_praw", p_raw).withColumn("_pt", p_t)
+    if cap is not None:
+        # waterfill once: capped strata pin at cap; the freed mass
+        # spreads proportionally over the rest
+        capped = F.col("_pt") > F.lit(cap)
+        cap_mass = F.sum(F.when(capped, F.lit(cap))).over(everything)
+        free_mass = F.sum(F.when(~capped, F.col("_pt"))).over(everything)
+        out = out.withColumn(
+            "_pt",
+            F.when(capped, F.lit(cap)).otherwise(
+                F.col("_pt")
+                * (F.lit(1.0) - F.coalesce(cap_mass, F.lit(0.0)))
+                / free_mass
+            ),
+        )
+    return out.select(
+        stratum_col,
+        "n_rows",
+        "n_size",
+        F.round("_praw", 6).alias("p_raw"),
+        F.round("_pt", 6).alias("p_target"),
+        F.round(F.col("_pt") / F.col("_praw"), 6).alias("repeat_factor"),
+    )

@@ -103,6 +103,57 @@ def shard_assignment(
     return F.pmod(bucket, F.lit(n_shards)).alias("shard")
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 16,
+    salt: str = "ep-v1",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle: every row gets a
+    ``(shard, position)`` that is (a) reproducible across runs, engines
+    and partitionings, (b) a DIFFERENT permutation each epoch (the epoch
+    number is folded into the hash), (c) computed with exactly one
+    shuffle — the repartition-by-shard that a sharded write needs
+    anyway. This is the data-order contract LLM training wants:
+    dataloaders on different hosts agree on the order without
+    coordination, and restarts mid-epoch re-derive it instead of
+    checkpointing an RNG state.
+
+    shard = sha-bucket of (salt, epoch, id) mod n_shards; position =
+    rank of the same hash within the shard (ties broken by id, so the
+    permutation is total even under hash collisions). The rank window
+    partitions by shard — parallel across shards, never a global sort.
+
+    At 100 TB: the window sorts one shard per task; pick n_shards so a
+    shard fits a task's spill budget (shard_manifest predicts sizes
+    from the same hash)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    col = F.col(id_col)
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(f"{salt}:{epoch}:"), col.cast("string")
+                ),
+                256,
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    with_h = df.withColumn("_eh", h).withColumn(
+        "shard", F.pmod(F.col("_eh"), F.lit(n_shards))
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("_eh"), F.asc(col))
+    return with_h.withColumn(
+        "position", (F.row_number().over(w) - 1).cast("long")
+    ).drop("_eh")
+
+
 def shard_manifest(
     df: DataFrame,
     id_col: str = "doc_id",
