@@ -1473,6 +1473,50 @@ def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_estimate(sketch, probes, "user_id", depth=4, width=1024)
 
 
+def q_cm_freq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance (streaming/pipeline.py::
+    stream_cm_registers): the events stream replayed as two pinned
+    micro-batches, each ADDING its sketch cells into a versioned
+    register table with batch_id-stamped exactly-once commits (additive
+    state cannot ride on idempotence the way the HLL union+max state
+    does — see merge_cm_state). The final estimates share
+    count_min_freq's oracle shape verbatim: the maintained state must
+    equal the one-shot batch sketch cell-for-cell."""
+    import tempfile
+
+    from valentinus_spark.operators.sketches import count_min_estimate
+    from valentinus_spark.sources.versioned import read_version
+    from valentinus_spark.streaming.pipeline import (
+        stream_cm_registers,
+        write_ordered_batches,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    feed = tempfile.mkdtemp(prefix="vs_cmstream_feed_")
+    write_ordered_batches(
+        ev, [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1], feed
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    state = tempfile.mkdtemp(prefix="vs_cmstream_state_")
+    q = stream_cm_registers(
+        stream,
+        state,
+        tempfile.mkdtemp(prefix="vs_cmstream_ckpt_"),
+        "user_id",
+        depth=4,
+        width=1024,
+    )
+    q.awaitTermination(180)
+    probes = spark.range(50).select(F.col("id").alias("user_id"))
+    return count_min_estimate(
+        read_version(spark, state), probes, "user_id", depth=4, width=1024
+    )
+
+
 def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap from sketches (operators/sketches.py::
     kmv_overlap, theta-sketch style): distinct union / intersection /
@@ -3315,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,  # added r4 — r5 window candidate
         "epoch_shuffle_manifest": q_epoch_shuffle,  # added r4 — r5 window candidate
         "mixture_weights_plan": q_mixture_weights,  # added r4 — r5 window candidate
+        "cm_freq_stream": q_cm_freq_stream,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -4318,6 +4363,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the sketch itself, cell for cell: hash row j = sha slice j of
         # the user id, modulo the 1024-wide counter array, min over rows
+        # micro-batched CM state must equal the one-shot sketch:
+        # shares count_min_freq's replay verbatim
+        "cm_freq_stream": """
+            WITH sketch AS (
+                SELECT j AS row,
+                       (('0x' || substr(sha256((j // 4)::VARCHAR || ':' || user_id::VARCHAR),
+                                        (1 + 15 * (j % 4))::INT, 15))::UBIGINT::BIGINT) % 1024 AS bucket,
+                       COUNT(*) AS cnt
+                FROM events CROSS JOIN range(4) t(j)
+                GROUP BY 1, 2
+            ),
+            probed AS (
+                SELECT i AS user_id, j,
+                       (('0x' || substr(sha256((j // 4)::VARCHAR || ':' || i::VARCHAR),
+                                        (1 + 15 * (j % 4))::INT, 15))::UBIGINT::BIGINT) % 1024 AS bucket
+                FROM range(50) p(i) CROSS JOIN range(4) t(j)
+            )
+            SELECT pr.user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+            FROM probed pr
+            LEFT JOIN sketch s ON s.row = pr.j AND s.bucket = pr.bucket
+            GROUP BY pr.user_id
+        """,
         "count_min_freq": """
             WITH sketch AS (
                 SELECT j AS row,

@@ -112,6 +112,10 @@ BENCH_QUERIES = [
     "data_expectations",
     "setsim_join",
     "entity_linkage",
+    # round-4 operators
+    "warc_ingest",
+    "epoch_shuffle_manifest",
+    "mixture_weights_plan",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -172,6 +176,7 @@ BENCH_FAMILIES = {
     ],
     "graph": ["pagerank_copurchase"],
     "media": ["media_content_stats"],
+    "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan"],
 }
 _fam_all = [q for qs in BENCH_FAMILIES.values() for q in qs]
 assert sorted(_fam_all) == sorted(BENCH_QUERIES), (

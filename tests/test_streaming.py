@@ -409,3 +409,97 @@ def test_hll_state_merge_crash_recovery_and_cleanup(spark, tmp_path):
         f.write(b"not a parquet file")
     with pytest.raises(Exception):
         merge_hll_state(b1, state, "user_id", ["et"], 4)
+
+
+def test_cm_state_merge_exactly_once_and_batching_independent(spark, tmp_path):
+    """Count-Min streaming state: additive merge (NOT idempotent like
+    HLL's union+max) made exactly-once by batch_id-stamped versioned
+    commits — a replayed batch is a committed no-op, the final registers
+    equal the one-shot batch sketch regardless of micro-batching, and
+    each batch's snapshot is time-travelable."""
+    from valentinus_spark.operators.sketches import count_min_sketch
+    from valentinus_spark.sources.versioned import list_versions, read_version
+    from valentinus_spark.streaming.pipeline import merge_cm_state
+
+    df = spark.createDataFrame(
+        [(i, "t%d" % (i % 5)) for i in range(400)], "event_id long, event_type string"
+    )
+    state = str(tmp_path / "cmregs")
+    b1 = df.where("event_id % 2 = 0")
+    b2 = df.where("event_id % 2 = 1")
+
+    merge_cm_state(b1, state, "event_type", batch_id=0, depth=4, width=64)
+    merge_cm_state(b2, state, "event_type", batch_id=1, depth=4, width=64)
+
+    def snap():
+        return {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in read_version(spark, state).collect()
+        }
+
+    streamed = snap()
+    # replay batch 1 (at-least-once delivery): additive state would
+    # double-count; the versioned commit makes it a no-op
+    merge_cm_state(b2, state, "event_type", batch_id=1, depth=4, width=64)
+    assert snap() == streamed
+    assert len(list_versions(state)) == 2  # no third commit from the replay
+
+    batch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(df, "event_type", depth=4, width=64).collect()
+    }
+    assert streamed == batch
+    # time travel: the first committed version is exactly batch 1's sketch
+    first_v = list_versions(state)[0]
+    v0 = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in read_version(spark, state, first_v).collect()
+    }
+    assert v0 == {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(b1, "event_type", depth=4, width=64).collect()
+    }
+
+
+def test_stream_cm_registers_end_to_end(spark, tmp_path):
+    """The actual StreamingQuery path: two pinned micro-batches through
+    stream_cm_registers; final estimates equal batch CM estimates."""
+    from valentinus_spark.operators.sketches import count_min_estimate, count_min_sketch
+    from valentinus_spark.sources.versioned import read_version
+    from valentinus_spark.streaming.pipeline import (
+        stream_cm_registers,
+        write_ordered_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "t%d" % (i % 3)) for i in range(300)], "event_id long, event_type string"
+    )
+    feed = str(tmp_path / "feed")
+    write_ordered_batches(
+        df, [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1], feed
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    state = str(tmp_path / "cmstate")
+    q = stream_cm_registers(
+        stream, state, str(tmp_path / "ckpt"), "event_type", depth=4, width=64
+    )
+    q.awaitTermination(120)
+    probes = df.select("event_type").distinct()
+    got = {
+        r["event_type"]: r["est_count"]
+        for r in count_min_estimate(
+            read_version(spark, state), probes, "event_type", depth=4, width=64
+        ).collect()
+    }
+    expect = {
+        r["event_type"]: r["est_count"]
+        for r in count_min_estimate(
+            count_min_sketch(df, "event_type", depth=4, width=64),
+            probes, "event_type", depth=4, width=64,
+        ).collect()
+    }
+    assert got == expect and sum(got.values()) >= 300

@@ -396,3 +396,80 @@ def merge_hll_state(
     merged.coalesce(1).write.mode("overwrite").parquet(next_path)
     spark.read.parquet(next_path).coalesce(1).write.mode("overwrite").parquet(state_path)
     shutil.rmtree(next_path, ignore_errors=True)
+
+
+def merge_cm_state(
+    batch_df: DataFrame,
+    state_path: str,
+    value_col: str,
+    batch_id: int,
+    depth: int = 4,
+    width: int = 1 << 12,
+) -> None:
+    """One micro-batch step of :func:`stream_cm_registers`.
+
+    Count-Min merge is ADDITIVE (cell-wise sum), so unlike the HLL
+    union+max state it is NOT idempotent — an at-least-once replay would
+    double-count. Exactly-once comes from composing with the versioned
+    table's transactional commit (sources/versioned.py): each batch
+    commits merged registers as a new version stamped with the
+    Structured Streaming ``batch_id``; a replayed batch finds its
+    batch_id already committed and is a no-op. State stays ≤ depth·width
+    rows per version; time travel over versions gives count snapshots
+    per batch for free."""
+    from valentinus_spark.operators.sketches import count_min_sketch
+    from valentinus_spark.sources.versioned import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    spark = batch_df.sparkSession
+    regs = count_min_sketch(batch_df, value_col, depth=depth, width=width)
+    if latest_version(state_path) is not None:
+        # replay check BEFORE the merge compute: commit_version would
+        # catch it anyway, but skipping early avoids re-running the
+        # sketch aggregation for a batch that is already committed
+        from valentinus_spark.sources.versioned import _load_manifest, list_versions
+
+        for v in reversed(list_versions(state_path)):
+            if _load_manifest(state_path, v).get("batch_id") == batch_id:
+                return
+        prev = read_version(spark, state_path)
+        regs = (
+            prev.unionByName(regs)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    commit_version(
+        spark, state_path, regs.coalesce(1), mode="overwrite", batch_id=batch_id
+    )
+
+
+def stream_cm_registers(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    value_col: str = "event_type",
+    depth: int = 4,
+    width: int = 1 << 12,
+):
+    """Continuously maintain a Count-Min frequency sketch over a stream
+    (the heavy-hitters / frequency-estimate state): each micro-batch's
+    cells ADD into a versioned register table with exactly-once
+    batch_id commits (see :func:`merge_cm_state` for why additive state
+    needs the transactional sink where the HLL state only needed
+    idempotence). Read the latest version and
+    ``count_min_estimate`` it for live frequency queries.
+
+    Returns the StreamingQuery."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cm_state(batch_df, state_path, value_col, batch_id, depth, width)
+
+    return (
+        events_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
