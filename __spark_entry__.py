@@ -1517,6 +1517,45 @@ def q_cm_freq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mojibake_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact health profile (functions/text.py::
+    encoding_artifacts): artifacts planted from doc_id arithmetic (every
+    10th doc gets mojibake + U+FFFD, every 10th-offset-7 gets C0
+    controls), counted per kind, rolled up per lang. The oracle replays
+    the injection and the pattern counts in RE2 — a false positive on
+    clean real text or a miscount on the planted rows hash-fails."""
+    from valentinus_spark.functions.text import encoding_artifacts
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_t",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" caf\u00C3\u00A9 \uFFFD q\u00E2\u0080\u0099q")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 7,
+            F.concat(F.col("text"), F.lit("x\u0001y\u0007z")),
+        )
+        .otherwise(F.col("text")),
+    )
+    a = encoding_artifacts("_t")
+    return (
+        docs.select("lang", a.alias("_a"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (
+                    (F.col("_a.replacement") + F.col("_a.mojibake") + F.col("_a.control")) > 0
+                ).cast("long")
+            ).alias("n_suspect"),
+            F.sum("_a.replacement").alias("n_replacement"),
+            F.sum("_a.mojibake").alias("n_mojibake"),
+            F.sum("_a.control").alias("n_control"),
+        )
+    )
+
+
 def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap from sketches (operators/sketches.py::
     kmv_overlap, theta-sketch style): distinct union / intersection /
@@ -3360,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_manifest": q_epoch_shuffle,  # added r4 — r5 window candidate
         "mixture_weights_plan": q_mixture_weights,  # added r4 — r5 window candidate
         "cm_freq_stream": q_cm_freq_stream,  # added r4 — r5 window candidate
+        "mojibake_profile": q_mojibake_profile,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -4363,6 +4403,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the sketch itself, cell for cell: hash row j = sha slice j of
         # the user id, modulo the 1024-wide counter array, min over rows
+        # injection + RE2 pattern counts replayed; chr() builds the same
+        # artifact codepoints the Spark side plants
+        "mojibake_profile": r"""
+            WITH t AS (
+                SELECT lang,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN text || ' caf' || chr(195) || chr(169) || ' ' || chr(65533) || ' q' || chr(226) || chr(128) || chr(153) || 'q'
+                            WHEN doc_id % 10 = 7
+                            THEN text || 'x' || chr(1) || 'y' || chr(7) || 'z'
+                            ELSE text END AS tt
+                FROM documents
+            ),
+            c AS (
+                SELECT lang,
+                       len(regexp_extract_all(tt, '\x{FFFD}')) AS r,
+                       len(regexp_extract_all(tt, '\x{C3}[\x{80}-\x{BF}\x{A9}\x{A8}]|\x{E2}\x{80}[\x{98}\x{99}\x{9C}\x{9D}\x{93}\x{94}\x{A6}]|\x{C2}[\x{A0}\x{A9}\x{AE}]')) AS m,
+                       len(regexp_extract_all(tt, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]')) AS ctl
+                FROM t
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(CASE WHEN r + m + ctl > 0 THEN 1 ELSE 0 END)::BIGINT AS n_suspect,
+                   sum(r)::BIGINT AS n_replacement,
+                   sum(m)::BIGINT AS n_mojibake,
+                   sum(ctl)::BIGINT AS n_control
+            FROM c GROUP BY lang
+        """,
         # micro-batched CM state must equal the one-shot sketch:
         # shares count_min_freq's replay verbatim
         "cm_freq_stream": """

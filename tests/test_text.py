@@ -354,3 +354,30 @@ def test_group_sample_k_append_stability(spark):
     # bigger corpus that existed before are exactly the old sample's
     # lowest-ranked members (s2's old part ⊆ s1)
     assert (s2 & set(range(30))) <= s1
+
+
+def test_encoding_artifacts_counts(spark):
+    """encoding_artifacts: the three corpus-health counters — U+FFFD,
+    UTF-8-as-Latin-1 mojibake sequences, stray C0 controls — counted
+    per kind; clean text scores zero everywhere."""
+    from valentinus_spark.functions.text import encoding_artifacts
+
+    rows = [
+        (0, "perfectly clean ascii text."),
+        (1, "decoder gave up here \uFFFD and here \uFFFD"),
+        (2, "caf\u00C3\u00A9 says \u00E2\u0080\u0099hi\u00E2\u0080\u0099"),  # mojibake e-acute + two curly quotes
+        (3, "nbsp artifact\u00C2\u00A0and copyright \u00C2\u00A9"),
+        (4, "binary junk\u0001here\ttab and newline\nare fine\u0007"),
+        (5, "unicode that is FINE: caf\u00E9 na\u00EFve \u2014 \u2019curly\u2019"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["a"]["replacement"], r["a"]["mojibake"], r["a"]["control"])
+        for r in df.select("id", encoding_artifacts("text").alias("a")).collect()
+    }
+    assert got[0] == (0, 0, 0)
+    assert got[1] == (2, 0, 0)
+    assert got[2] == (0, 3, 0)
+    assert got[3] == (0, 2, 0)
+    assert got[4] == (0, 0, 2)  # \t and \n are NOT artifacts
+    assert got[5] == (0, 0, 0)  # real non-ASCII text must not false-positive

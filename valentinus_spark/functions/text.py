@@ -346,6 +346,34 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+# UTF-8-decoded-as-Latin-1/Windows-1252 artifact sequences (the classic
+# double-encoding mojibake: a UTF-8 multibyte lead byte rendered as
+# 'Ã'/'â'/'Â' followed by a continuation-byte character), plus the
+# replacement character U+FFFD and stray C0 controls. Patterns are plain
+# char classes so Java regex (Spark) and RE2 (DuckDB oracle) agree.
+ENCODING_ARTIFACT_PATTERNS = {
+    "replacement": "\uFFFD",
+    "mojibake": "\u00C3[\u0080-\u00BF\u00A9\u00A8]|\u00E2\u0080[\u0098\u0099\u009C\u009D\u0093\u0094\u00A6]|\u00C2[\u00A0\u00A9\u00AE]",
+    "control": "[\u0000-\u0008\u000B\u000C\u000E-\u001F]",
+}
+
+
+def encoding_artifacts(col: Column | str) -> Column:
+    """Per-kind encoding-artifact counts as a struct (replacement /
+    mojibake / control -> long) — the ftfy-style corpus health signal:
+    U+FFFD means a decoder already gave up, 'Ã©'/'â€™'-class sequences
+    mean UTF-8 bytes were decoded as Latin-1 somewhere upstream, and
+    stray C0 controls mean binary contamination. Pure Catalyst
+    (``regexp_extract_all``): scanning 100 TB is one pass, zero Python."""
+    s = _c(col)
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(s, F.lit(p), 0)).cast("long").alias(k)
+            for k, p in ENCODING_ARTIFACT_PATTERNS.items()
+        ]
+    )
+
+
 def pii_counts(col: Column | str) -> Column:
     """Per-kind PII match counts as a struct (email/ssn/ipv4/phone → long).
     Pure Catalyst (``regexp_extract_all``), so scrubbing 100 TB is a
