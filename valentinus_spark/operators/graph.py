@@ -134,12 +134,20 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     join) → wedge self-join keyed on the low endpoint → semi-join probe
     of the closing edge. Returns one row: (n_vertices, n_edges,
     n_triangles)."""
+    # e feeds three consumers (degree agg, orientation join, edge count)
+    # and oriented feeds three (both wedge sides, the closing-edge probe):
+    # without lineage truncation each reference replays the whole
+    # upstream subtree (76 pre-AQE Exchanges at sf0.1; AQE reuse saves
+    # only what lands in one stage). Two localCheckpoints make the plan
+    # read each O(m) table once — the plan you'd want at 100 TB, not the
+    # one the optimizer happens to rescue.
     e = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -157,7 +165,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(ra < rb, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(ra < rb, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(ra < rb, rb).otherwise(ra).alias("rv"),
-    )
+    ).localCheckpoint()
     wedges = (
         oriented.alias("x")
         .join(oriented.alias("y"), "u")
