@@ -1123,6 +1123,25 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit (operators/validate.py::
+    l_diversity_stats): the homogeneity-attack complement to
+    k_anonymity_audit — quasi-identifier groups (c_mktsegment,
+    c_nationkey) must carry >= 3 distinct account-balance bands. Exact
+    integer aggregates; the two-level distinct rollup never ships group
+    members to the driver."""
+    from valentinus_spark.operators.validate import l_diversity_stats
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        # floor, not int-cast: Spark's cast truncates toward zero while
+        # DuckDB's rounds half-away — floor is identical in both engines
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("int")
+    )
+    return l_diversity_stats(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_band", l=3
+    )
+
+
 def q_minmax_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-skipping round trip (operators/layout.py): z-order lineitem
     into 16 files, build the per-file min/max manifest, PRUNE the file
@@ -3400,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights_plan": q_mixture_weights,  # added r4 — r5 window candidate
         "cm_freq_stream": q_cm_freq_stream,  # added r4 — r5 window candidate
         "mojibake_profile": q_mojibake_profile,  # added r4 — r5 window candidate
+        "l_diversity_audit": q_l_diversity_audit,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -4772,6 +4792,25 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 3
+        """,
+        "l_diversity_audit": """
+            WITH b AS (
+                SELECT c_mktsegment, c_nationkey,
+                       CAST(floor(c_acctbal / 1000) AS INT) AS bal_band
+                FROM customer
+            ),
+            g AS (
+                SELECT c_mktsegment, c_nationkey,
+                       count(*) AS group_size,
+                       count(DISTINCT bal_band) AS n_sensitive
+                FROM b GROUP BY 1, 2
+            )
+            SELECT sum(group_size)::BIGINT AS n_rows,
+                   count(*) AS n_groups,
+                   sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+                   sum(CASE WHEN n_sensitive < 3 THEN group_size ELSE 0 END)::BIGINT AS rows_at_risk,
+                   min(n_sensitive)::BIGINT AS min_diversity
+            FROM g
         """,
         "k_anonymity_audit": """
             WITH g AS (

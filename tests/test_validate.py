@@ -122,3 +122,22 @@ def test_k_anonymity_stats(quasi_df):
     assert row["violating_groups"] == 2
     assert row["rows_at_risk"] == 3
     assert row["min_group_size"] == 1
+
+
+def test_l_diversity_stats_planted(spark):
+    """Planted homogeneity: group A has one sensitive value for all its
+    rows (classic homogeneity attack), group B has two, group C has
+    three — at l=3 exactly A and B violate and their rows are at risk."""
+    from valentinus_spark.operators import l_diversity_stats
+
+    rows = (
+        [("A", 1, "flu")] * 10
+        + [("B", 1, "flu")] * 4 + [("B", 1, "cold")] * 4
+        + [("C", 2, "flu")] * 3 + [("C", 2, "cold")] * 2 + [("C", 2, "covid")] * 1
+    )
+    df = spark.createDataFrame(rows, "seg string, nat int, dx string")
+    r = l_diversity_stats(df, ["seg", "nat"], "dx", l=3).collect()[0]
+    assert r["n_rows"] == 24 and r["n_groups"] == 3
+    assert r["violating_groups"] == 2
+    assert r["rows_at_risk"] == 18
+    assert r["min_diversity"] == 1

@@ -129,3 +129,42 @@ def k_anonymity_stats(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame
         ).alias("rows_at_risk"),
         F.min("group_size").alias("min_group_size"),
     )
+
+def l_diversity_stats(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """One-row l-diversity audit (Machanavajjhala et al. 2007): a
+    k-anonymous release still leaks when everyone in a quasi-identifier
+    group shares the sensitive value — homogeneity attack — so each
+    group must carry at least ``l`` DISTINCT sensitive values. Reports
+    total rows/groups, groups below ``l`` distinct sensitive values,
+    rows inside them, and the dataset's actual diversity level
+    (min distinct per group).
+
+    Plan: one shuffle to (quasi, sensitive) granularity with map-side
+    combine, a second map-side-combinable rollup to quasi granularity,
+    then a 1-row aggregate — group cardinality never reaches the
+    driver, so it audits a 100 TB release the same as a test table."""
+    per_value = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    groups = per_value.groupBy(*quasi_cols).agg(
+        F.sum("_n").alias("group_size"),
+        F.count(F.lit(1)).alias("n_sensitive"),
+    )
+    return groups.agg(
+        F.sum("group_size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_sensitive") < l, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_groups"),
+        F.sum(
+            F.when(F.col("n_sensitive") < l, F.col("group_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+    )
