@@ -3380,7 +3380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r0{1,2,3}.json (see COVERAGE.md ledger) or is a
         # deliberate deferral documented above; all stay in the full
         # local dev_compare sweep every round. r5 window plan: the five
-        # deferrals + anything added in r4.
+        # deferrals above + the six r4 additions (warc_ingest,
+        # epoch_shuffle_manifest, mixture_weights_plan, cm_freq_stream,
+        # mojibake_profile, l_diversity_audit) = 11 first-ever rows; the
+        # remaining 39 slots re-check r4's window (newest hard signal).
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
