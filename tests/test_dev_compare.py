@@ -94,3 +94,25 @@ def test_all_committed_oracles_bind_clean(sf_dir):
         if bad:
             dirty[name] = bad
     assert not dirty, f"uncast oracle columns (cast to BIGINT/DOUBLE): {dirty}"
+
+
+def test_driver_window_composition():
+    """Pin the registry's window contract (the r2 judge found failures
+    had slid OUT of the driver's 50-entry window unnoticed): every
+    window entry must be oracle-backed, the r3 hash-fail trio must sit
+    inside for its re-check, and rows-only queries must never occupy a
+    window slot their oracle-backed siblings could use."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    qs = list(entrymod.queries().keys())
+    oracles = entrymod.oracle_sql()
+    window = qs[:50]
+    assert len(qs) == len(set(qs)), "duplicate registry keys"
+    missing = [q for q in window if q not in oracles]
+    assert not missing, f"window entries without oracles: {missing}"
+    for q in ("orc_roundtrip", "length_bucket_batches", "cm_join_size"):
+        assert q in window, f"recast r3 failure {q} slid out of the window"
+    # every oracle key corresponds to a registered query
+    orphans = [k for k in oracles if k not in set(qs)]
+    assert not orphans, f"oracles without queries: {orphans}"
