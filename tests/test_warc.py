@@ -107,3 +107,40 @@ def test_spark_write_warc_reshard_roundtrip(spark, tmp_path):
     back = read_warc(spark, str(out), record_types=["response"])
     got = {r["url"]: bytes(r["payload"]) for r in back.collect()}
     assert got == {r["url"]: r["payload"] for r in recs}
+
+
+# ---- property fuzz: encode -> parse is lossless for ANY payload ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_rec_strategy = st.lists(
+    st.fixed_dictionaries(
+        {
+            "url": st.from_regex(r"http://[a-z]{1,8}\.example/[a-zA-Z0-9_/\-]{0,20}", fullmatch=True),
+            "payload": st.binary(min_size=0, max_size=400),
+            "http_status": st.sampled_from([200, 301, 404, 500]),
+            "record_type": st.sampled_from(["response", "metadata", "request"]),
+        }
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(recs=_rec_strategy, compression=st.sampled_from([None, "member"]))
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_fuzz(recs, compression):
+    """Any byte payload — including ones embedding WARC headers, CRLF
+    runs, gzip magic, or HTTP status lines — must survive encode→parse
+    byte-exactly: the parser walks Content-Length offsets and must never
+    resynchronize on payload content."""
+    blob = encode_warc(recs, compression=compression)
+    got = list(parse_warc_bytes(blob))
+    assert len(got) == len(recs)
+    for g, r in zip(got, recs):
+        assert g["url"] == r["url"]
+        assert g["record_type"] == r["record_type"]
+        assert g["payload"] == r["payload"]
+        if r["record_type"] == "response":
+            assert g["http_status"] == r["http_status"]
