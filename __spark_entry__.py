@@ -883,6 +883,45 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_ann_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall gate (operators/similarity.py::pq_codebooks/pq_encode/
+    pq_ann_topk): same planted-neighbor construction as ivf_ann_planted
+    (ids 1..10 at cosine ≈ 0.94 to QUERY_VEC, background ≈ 0.45), but
+    the corpus is REPLACED by 8-nibble PQ codes and ranked by
+    asymmetric distance — the top-10 must survive quantization exactly.
+    Deterministic: seeded sample + seeded k-means on fixed parquet."""
+    from valentinus_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(v) for v in QUERY_VEC])
+    planted = embs.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id").between(1, 10),
+            F.zip_with(
+                qlit,
+                F.col("embedding").cast("array<double>"),
+                lambda q, e: q + F.lit(0.35) * e,
+            ).cast("array<float>"),
+        ).otherwise(F.col("embedding")),
+    )
+    books = pq_codebooks(planted, m=8, k=16, seed=11)
+    codes = pq_encode(planted, books).select(
+        F.col("vec_id").alias("id"), "pq_code"
+    )
+    queries = spark.range(1).select(
+        F.lit(0).cast("long").alias("qid"), qlit.alias("qvec")
+    )
+    out = pq_ann_topk(codes, queries, books, k=10)
+    return out.select(
+        F.col("qid"), F.col("id").alias("vec_id")
+    ).orderBy("vec_id")
+
+
 def q_ivf_ann_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall gate: vec_ids 1..10 are rewritten to QUERY_VEC + 0.35 ×
     their original embedding (cosine ≈ 0.94 to the query, far above the
@@ -3423,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_freq_stream": q_cm_freq_stream,  # added r4 — r5 window candidate
         "mojibake_profile": q_mojibake_profile,  # added r4 — r5 window candidate
         "l_diversity_audit": q_l_diversity_audit,  # added r4 — r5 window candidate
+        "pq_ann_planted": q_pq_ann_planted,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -4835,6 +4875,10 @@ def oracle_sql() -> dict[str, str]:
             FROM range(10) t(i)
         """,
         "rp_ann_planted": """
+            SELECT 0::BIGINT AS qid, (i + 1)::BIGINT AS vec_id
+            FROM range(10) t(i)
+        """,
+        "pq_ann_planted": """
             SELECT 0::BIGINT AS qid, (i + 1)::BIGINT AS vec_id
             FROM range(10) t(i)
         """,

@@ -380,3 +380,54 @@ def test_semantic_dedup_transitive_chain(spark):
     # cos(20°)=0.94 ≥ 0.93 links 0-1 and 1-2; cos(40°)=0.766 does not
     kept = {r["vec_id"] for r in semantic_dedup(df, n_centroids=2, threshold=0.93).collect()}
     assert kept == {0, 3}
+
+
+def test_pq_encode_and_adc_recall(spark):
+    """PQ end-to-end: codebook shapes, encode determinism and
+    nearest-centroid correctness vs numpy, and ADC top-k recall on a
+    planted cluster (10 vectors near the query, background far) — the
+    planted set must be exactly the ADC top-10 despite quantization."""
+    import numpy as np
+
+    from valentinus_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n = 32, 400
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    qv = rng.standard_normal(dim).astype(np.float32)
+    base[:10] = qv + 0.05 * rng.standard_normal((10, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "id long, embedding array<float>",
+    )
+    books = pq_codebooks(df, m=4, k=16, seed=3)
+    assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == 8
+
+    enc = pq_encode(df, books)
+    rows = {r["id"]: r["pq_code"] for r in enc.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in rows.values())
+    # numpy oracle for the assignment of one row
+    cb = [np.array(b) for b in books]
+    for probe in (0, 57, 399):
+        v = base[probe].astype(np.float64)
+        expect = [
+            int(((cb[j] - v[j * 8 : (j + 1) * 8]) ** 2).sum(axis=1).argmin())
+            for j in range(4)
+        ]
+        assert rows[probe] == expect, probe
+
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in qv])], "qid long, qvec array<float>"
+    )
+    top = pq_ann_topk(enc, queries, books, k=10)
+    got = {r["id"] for r in top.collect()}
+    assert got == set(range(10))
+
+    # m must divide dim
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pq_codebooks(df, m=5, k=8)

@@ -309,6 +309,147 @@ def rp_ann_topk(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_train: int = 100_000,
+    n_iter: int = 15,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector is split into
+    ``m`` subspaces and each gets its own ``k``-centroid k-means
+    codebook, so a dim-d float vector compresses to m small codes
+    (m=8, k=16 → 8 nibbles for a 64-d vector, a 64× shrink) while
+    asymmetric distances stay computable from the codes alone.
+
+    Same train-on-bounded-sample recipe as :func:`ivf_centroids` — the
+    returned m × k × (dim/m) list is tiny and broadcasts as literals.
+    Completes the ANN family: LSH (hash buckets), IVF (coarse
+    partition), RP (dim shrink), PQ (byte shrink + table distances)."""
+    import numpy as np
+
+    src = corpus.select(vec_col)
+    n_total = src.count()
+    if n_total > max_train:
+        src = src.sample(fraction=max_train / n_total, seed=seed)
+    rows = src.limit(int(max_train * 1.05) + 1).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if len(X) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(X)}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        cents = S[rng.choice(len(S), size=k, replace=False)]
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:
+                    cents[c] = S[d2.min(axis=1).argmax()]
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _sq_l2(a, b):
+    """Squared L2 between two array columns — zip_with + aggregate, all
+    codegen'd JVM expressions."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Assign each vector its m-code PQ representation (per subspace,
+    the index of the nearest codebook centroid; ties to the lowest
+    index). Pure Catalyst — per subspace an array_min over k
+    (distance, index) structs — so encoding 100 TB is one scan with
+    zero Python; the codes column is what a PQ-compressed corpus
+    persists instead of raw floats."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for j in range(m):
+        svec = F.slice(v, j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_l2(svec, F.array(*[F.lit(x) for x in codebooks[j][c]])).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(k)
+            ]
+        )
+        codes.append(F.array_min(cands)["c"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_ann_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int,
+    corpus_id: str = "id",
+    code_col: str = "pq_code",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the
+    query stays exact, each corpus row's distance is the sum over
+    subspaces of sqdist(query subvector, centroid named by the row's
+    code) — the corpus is never decoded and the scan reads only the
+    m-byte codes, which is the whole point at 100 TB (the shuffle/scan
+    carries codes, not vectors). Queries broadcast; one window per
+    query for the top-k.
+
+    Returns (query_id, corpus_id, adc_dist, rank); approximate by
+    construction — recall is gated by the planted oracle, and exact
+    re-ranking of the returned candidates (join the raw vectors back
+    for just these rows) is the standard refinement step."""
+    mm = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = F.col(query_vec).cast("array<double>")
+    dist = F.lit(0.0)
+    for j in range(mm):
+        qsub = F.slice(q, j * sub + 1, sub)
+        cb_j = F.array(
+            *[
+                F.array(*[F.lit(x) for x in cent])
+                for cent in codebooks[j]
+            ]
+        )
+        cent_for_code = F.element_at(cb_j, F.element_at(F.col(code_col), j + 1) + 1)
+        dist = dist + _sq_l2(qsub, cent_for_code)
+    scored = (
+        corpus_codes.join(F.broadcast(queries.select(query_id, query_vec)))
+        .withColumn("adc_dist", dist)
+        .select(query_id, corpus_id, "adc_dist")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def label_cluster_stats(
     df: DataFrame,
     id_col: str = "vec_id",
