@@ -3419,10 +3419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r0{1,2,3}.json (see COVERAGE.md ledger) or is a
         # deliberate deferral documented above; all stay in the full
         # local dev_compare sweep every round. r5 window plan: the five
-        # deferrals above + the six r4 additions (warc_ingest,
+        # deferrals above + the seven r4 additions (warc_ingest,
         # epoch_shuffle_manifest, mixture_weights_plan, cm_freq_stream,
-        # mojibake_profile, l_diversity_audit) = 11 first-ever rows; the
-        # remaining 39 slots re-check r4's window (newest hard signal).
+        # mojibake_profile, l_diversity_audit, pq_ann_planted) = 12
+        # first-ever rows; the remaining 38 slots re-check r4's window
+        # (newest hard signal).
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,

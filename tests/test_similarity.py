@@ -431,3 +431,44 @@ def test_pq_encode_and_adc_recall(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pq_codebooks(df, m=5, k=8)
+
+
+def test_pq_refined_matches_brute_force(spark):
+    """ADC shortlist + exact re-rank must return the TRUE cosine top-k
+    on smooth data (the shortlist is wide enough that quantization
+    cannot evict a true neighbor) — refinement turns an approximate
+    ranking into exact results at shortlist cost."""
+    import numpy as np
+
+    from valentinus_spark.operators.similarity import (
+        brute_force_knn_join,
+        pq_ann_topk_refined,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n = 32, 300
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "id long, embedding array<float>",
+    )
+    qv = [float(x) for x in rng.standard_normal(dim)]
+    queries = spark.createDataFrame([(0, qv)], "qid long, qvec array<float>")
+
+    books = pq_codebooks(df, m=4, k=16, seed=5)
+    corpus = pq_encode(df, books)
+    refined = pq_ann_topk_refined(
+        corpus, queries, books, k=5, shortlist_factor=12
+    )
+    got = [(r["id"], round(r["similarity"], 6)) for r in refined.orderBy("rank").collect()]
+    brute = brute_force_knn_join(
+        df, queries, k=5, corpus_id="id", corpus_vec="embedding",
+        query_id="qid", query_vec="qvec",
+    )
+    expect = [
+        (r["id"], round(r["similarity"], 6))
+        for r in brute.orderBy(F.desc("similarity"), F.asc("id")).collect()
+    ]
+    assert got == expect

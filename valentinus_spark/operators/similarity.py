@@ -450,6 +450,54 @@ def pq_ann_topk(
     )
 
 
+def pq_ann_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int,
+    shortlist_factor: int = 4,
+    corpus_id: str = "id",
+    corpus_vec: str = "embedding",
+    code_col: str = "pq_code",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank — the standard PQ refinement
+    (Jégou et al. §V): rank the whole corpus by code-only asymmetric
+    distance, keep ``k·shortlist_factor`` candidates per query, then
+    join the raw vectors back FOR JUST THOSE ROWS and re-rank by exact
+    cosine. The expensive exact math touches k·factor rows per query
+    instead of the corpus; the corpus-wide pass reads only codes.
+    ``corpus`` must carry both ``corpus_vec`` and ``code_col``
+    (pq_encode output). Returns (query_id, corpus_id, similarity, rank)
+    with exact scores."""
+    shortlist = pq_ann_topk(
+        corpus.select(corpus_id, code_col),
+        queries,
+        codebooks,
+        k=k * shortlist_factor,
+        corpus_id=corpus_id,
+        code_col=code_col,
+        query_id=query_id,
+        query_vec=query_vec,
+    ).select(query_id, corpus_id)
+    exact = (
+        shortlist.join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn(
+            "similarity",
+            cosine_similarity(F.col(corpus_vec), F.col(query_vec)),
+        )
+        .select(query_id, corpus_id, "similarity")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("similarity"), F.asc(corpus_id)
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def label_cluster_stats(
     df: DataFrame,
     id_col: str = "vec_id",
