@@ -3192,6 +3192,54 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_into_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on a versioned table (sources/versioned.py::
+    merge_into): customers committed as v1, then one merge carrying
+    updates (custkey%7=0 rebands balance), deletes (custkey%11=0) and
+    inserts (new keys for custkey%13=0) — the general-purpose upsert
+    face of scd2_apply/apply_cdc. Per-segment counts + a row checksum
+    over the merged table; the oracle replays the merge relationally."""
+    import tempfile
+
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.sources.versioned import commit_version, merge_into, read_version
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.floor(F.col("c_acctbal")).cast("long").alias("bal")
+    )
+    path = tempfile.mkdtemp(prefix="vs_merge_")
+    commit_version(spark, path, cust, mode="overwrite")
+    updates = (
+        cust.where("c_custkey % 7 = 0 OR c_custkey % 11 = 0")
+        .select(
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.when(F.col("c_custkey") % 11 != 0, F.col("bal") + 100).alias("bal"),
+            (F.col("c_custkey") % 11 == 0).alias("is_delete"),
+        )
+        .unionByName(
+            cust.where("c_custkey % 13 = 0").select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0).cast("long").alias("bal"),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+    )
+    v = merge_into(spark, path, updates, on=["c_custkey"], delete_col="is_delete")
+    merged = read_version(spark, path, v)
+    return (
+        merged.select(
+            "c_mktsegment",
+            sha_hash60(
+                F.concat_ws("\x1f", F.col("c_custkey"), F.col("c_mktsegment"), F.col("bal"))
+            ).alias("_h"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(_h)").alias("content_xor"))
+    )
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL interchange (sources/jsonl.py) — the training-corpus lingua
     franca: documents written as 4 gzip JSONL shards range-sharded by
@@ -3421,9 +3469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local dev_compare sweep every round. r5 window plan: the five
         # deferrals above + the seven r4 additions (warc_ingest,
         # epoch_shuffle_manifest, mixture_weights_plan, cm_freq_stream,
-        # mojibake_profile, l_diversity_audit, pq_ann_planted) = 12
-        # first-ever rows; the remaining 38 slots re-check r4's window
-        # (newest hard signal).
+        # mojibake_profile, l_diversity_audit, pq_ann_planted,
+        # merge_into_versioned) = 13 first-ever rows; the remaining 37
+        # slots re-check r4's window (newest hard signal).
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
@@ -3464,6 +3512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_profile": q_mojibake_profile,  # added r4 — r5 window candidate
         "l_diversity_audit": q_l_diversity_audit,  # added r4 — r5 window candidate
         "pq_ann_planted": q_pq_ann_planted,  # added r4 — r5 window candidate
+        "merge_into_versioned": q_merge_into_versioned,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -3932,6 +3981,28 @@ def oracle_sql() -> dict[str, str]:
                        doc_id::VARCHAR || chr(31) || text), 1, 15))::UBIGINT::BIGINT) AS content_xor
             FROM documents
             GROUP BY 1
+        """,
+        # relational replay of the merge: deletes drop, updates reband
+        # with NULL-keeps-current, inserts append
+        "merge_into_versioned": """
+            WITH base AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(floor(c_acctbal) AS BIGINT) AS bal
+                FROM customer
+            ),
+            merged AS (
+                SELECT c_custkey, c_mktsegment,
+                       CASE WHEN c_custkey % 7 = 0 THEN bal + 100 ELSE bal END AS bal
+                FROM base WHERE c_custkey % 11 != 0
+                UNION ALL
+                SELECT c_custkey + 1000000, 'NEWSEG', 0::BIGINT
+                FROM base WHERE c_custkey % 13 = 0
+            )
+            SELECT c_mktsegment, count(*) AS n_rows,
+                   bit_xor(('0x' || substr(sha256(
+                       c_custkey::VARCHAR || chr(31) || c_mktsegment || chr(31) || bal::VARCHAR
+                   ), 1, 15))::UBIGINT::BIGINT) AS content_xor
+            FROM merged GROUP BY 1
         """,
         "jsonl_roundtrip": """
             SELECT count(*) AS n_rows,

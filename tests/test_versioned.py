@@ -180,3 +180,55 @@ def test_schema_evolution_rejects_type_change(spark, tmp_path):
         commit_version(
             spark, path, retyped, mode="append", allow_schema_change=True
         )
+
+
+def test_merge_into_upsert_delete_and_isolation(spark, tmp_path):
+    """MERGE INTO on a versioned table: update + insert + delete in one
+    commit, pre-merge readers keep their snapshot, when_matched/
+    when_not_matched knobs behave, and duplicate merge keys are
+    rejected (Delta's cardinality check)."""
+    import pytest as _pytest
+
+    from valentinus_spark.sources.versioned import (
+        commit_version,
+        merge_into,
+        read_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    v1 = commit_version(spark, path, base, mode="overwrite")
+    pre = read_version(spark, path, v1)
+
+    updates = spark.createDataFrame(
+        [(2, "B", 99, False), (3, None, None, True), (4, "d", 40, False)],
+        "id long, name string, v long, is_delete boolean",
+    ).select("id", "name", "v", "is_delete")
+    v2 = merge_into(
+        spark, path, updates, on=["id"], delete_col="is_delete"
+    )
+    got = {r["id"]: (r["name"], r["v"]) for r in read_version(spark, path, v2).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 99), 4: ("d", 40)}  # 3 deleted
+    # snapshot isolation: the pinned pre-merge reader still sees v1
+    assert {r["id"] for r in pre.collect()} == {1, 2, 3}
+
+    # when_matched=ignore keeps current values; when_not_matched=ignore drops inserts
+    upd2 = spark.createDataFrame(
+        [(2, "ZZZ", 0, False), (9, "x", 1, False)],
+        "id long, name string, v long, is_delete boolean",
+    )
+    v3 = merge_into(
+        spark, path, upd2, on=["id"],
+        when_matched="ignore", when_not_matched="ignore", delete_col="is_delete",
+    )
+    got3 = {r["id"]: (r["name"], r["v"]) for r in read_version(spark, path, v3).collect()}
+    assert got3 == got  # nothing changed
+
+    dup = spark.createDataFrame(
+        [(5, "p", 1, False), (5, "q", 2, False)],
+        "id long, name string, v long, is_delete boolean",
+    )
+    with _pytest.raises(ValueError, match="duplicate merge key"):
+        merge_into(spark, path, dup, on=["id"], delete_col="is_delete")

@@ -179,6 +179,86 @@ def read_version(
     return reader.parquet(*man["files"])
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    delete_col: str | None = None,
+) -> int:
+    """Delta-style MERGE INTO against a versioned table: join ``updates``
+    to the latest version on the ``on`` key columns and commit the merged
+    result as a new version (copy-on-write). Semantics:
+
+    - matched rows: ``when_matched="update"`` takes the update row's
+      values, with NULL update values keeping the current ones
+      (partial-update semantics — an explicit NULL-out is expressed by
+      deleting and re-inserting); ``"ignore"`` keeps the current row.
+      With
+      ``delete_col`` set, update rows where that boolean column is true
+      DELETE their match instead.
+    - unmatched update rows: ``when_not_matched="insert"`` appends them;
+      ``"ignore"`` drops them.
+
+    Returns the new version number.
+
+    Plan shape: ONE outer join keyed on ``on`` (broadcast when updates
+    are small — the common CDC case), then a single commit. Readers are
+    snapshot-isolated throughout (they hold the old manifest); time
+    travel keeps the pre-merge table. This is the general-purpose face
+    of the specialized applies (operators/scd.py scd2_apply keeps
+    history rows; apply_cdc replays op logs) — same machinery, simpler
+    contract. Duplicate keys in ``updates`` are rejected (a MERGE with
+    ambiguous sources is a pipeline bug, matching Delta's
+    MERGE-cardinality check)."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "ignore"):
+        raise ValueError("when_matched must be 'update' or 'ignore'")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError("when_not_matched must be 'insert' or 'ignore'")
+    current = read_version(spark, path)
+    data_cols = [c for c in current.columns]
+    if delete_col is not None and delete_col not in updates.columns:
+        raise ValueError(f"delete_col {delete_col!r} not in updates")
+    dup = updates.groupBy(*on).count().filter("count > 1").limit(1).collect()
+    if dup:
+        key = {k: dup[0][k] for k in on}
+        raise ValueError(f"updates carry duplicate merge key {key}")
+
+    upd = updates
+    u_cols = {c: f"_u_{c}" for c in upd.columns}
+    upd = upd.select(*[F.col(c).alias(a) for c, a in u_cols.items()])
+    joined = current.join(
+        upd,
+        on=[F.col(c).eqNullSafe(F.col(u_cols[c])) for c in on],
+        how="full_outer",
+    )
+    matched = F.col(u_cols[on[0]]).isNotNull() & F.col(on[0]).isNotNull()
+    update_only = F.col(on[0]).isNull()  # no current match
+    deleting = (
+        F.col(u_cols[delete_col]) if delete_col is not None else F.lit(False)
+    )
+
+    out_cols = []
+    for c in data_cols:
+        u = F.col(u_cols[c]) if c in u_cols else F.lit(None)
+        if when_matched == "update":
+            val = F.when(matched & ~deleting, F.coalesce(u, F.col(c))).otherwise(F.col(c))
+        else:
+            val = F.col(c)
+        if when_not_matched == "insert":
+            val = F.when(update_only, u).otherwise(val)
+        out_cols.append(val.alias(c))
+    keep = ~(matched & deleting)
+    if when_not_matched == "ignore":
+        keep = keep & ~update_only
+    merged = joined.filter(keep).select(*out_cols)
+    return commit_version(spark, path, merged, mode="overwrite")
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """(version, mode, n_files, commit_files, commit_rows) per version —
     the DESCRIBE HISTORY shape."""
