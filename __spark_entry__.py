@@ -1718,6 +1718,63 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(current, updates, "c_custkey", ["segment"], "2025-06-01")
 
 
+def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join run for real (streaming/pipeline.py
+    stream_stream_join how="left_outer"): purchases keep their row even
+    with no click in the preceding 30 minutes — the NULL row emits only
+    once the watermark proves no match can arrive, so the deterministic
+    comparison region is purchases with ts < terminal watermark
+    (min of both streams' max ts, - 30 min), the same finalized-region construction as
+    late_window_finalize. Oracle = batch left range-join restricted to
+    that region."""
+    import tempfile
+
+    from valentinus_spark.streaming.pipeline import stream_stream_join
+
+    stream = _events_stream(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = stream_stream_join(
+        purchases, clicks, key="user_id", within="30 minutes",
+        watermark="30 minutes", how="left_outer",
+    ).select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_ts").alias("p_ts"),
+    )
+    name = "stream_left_outer_join_result"
+    qy = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="vs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(300)
+    # the query's global watermark is the MIN over both inputs' (max
+    # event time - delay), so the finalized region is bounded by the
+    # slower stream, not just the click side
+    ev = _events(spark, sf_dir)
+    cutoff = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m").alias("mm"))
+        .select(F.col("mm") - F.expr("INTERVAL 30 minutes"))
+        .collect()[0][0]
+    )
+    # STRICT inequality: at p_ts == watermark a future click with
+    # ts == watermark is still admissible, so the NULL row for an
+    # unmatched purchase exactly at the cutoff is legitimately unemitted
+    return (
+        spark.table(name)
+        .where(F.col("p_ts") < F.lit(cutoff))
+        .select("purchase_id", "click_id", "user_id")
+    )
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join run through Structured Streaming for real
     (streaming/pipeline.py stream_stream_join): purchases joined to the
@@ -3470,8 +3527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deferrals above + the seven r4 additions (warc_ingest,
         # epoch_shuffle_manifest, mixture_weights_plan, cm_freq_stream,
         # mojibake_profile, l_diversity_audit, pq_ann_planted,
-        # merge_into_versioned) = 13 first-ever rows; the remaining 37
-        # slots re-check r4's window (newest hard signal).
+        # merge_into_versioned, stream_left_outer_join) = 14 first-ever
+        # rows; the remaining 36 slots re-check r4's window (newest
+        # hard signal).
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
@@ -3513,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_audit": q_l_diversity_audit,  # added r4 — r5 window candidate
         "pq_ann_planted": q_pq_ann_planted,  # added r4 — r5 window candidate
         "merge_into_versioned": q_merge_into_versioned,  # added r4 — r5 window candidate
+        "stream_left_outer_join": q_stream_left_outer_join,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -4638,6 +4697,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the streaming join's batch twin: same key equality + 30-minute
         # time-range condition
+        # batch left range-join restricted to the watermark-finalized
+        # region (p.ts <= max click ts - 30 min): beyond it the stream
+        # legitimately never emits the NULL row
+        "stream_left_outer_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE
+            WHERE p.ts < (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                           - INTERVAL 30 MINUTE)
+        """,
         "stream_stream_join": """
             SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
             FROM events p

@@ -503,3 +503,64 @@ def test_stream_cm_registers_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert got == expect and sum(got.values()) >= 300
+
+
+def test_stream_stream_left_outer_join_finalized_region(spark, tmp_path):
+    """Left-outer stream-stream join: within the watermark-FINALIZED
+    region (left_ts <= terminal watermark) the streamed result must
+    equal the batch left join — matched rows identical AND unmatched
+    lefts present with NULL right columns. Rows past the finalized
+    region are allowed to be missing their NULL row (the watermark
+    never passes them) but must never produce a WRONG row."""
+    from valentinus_spark.streaming.pipeline import stream_stream_join
+
+    base = 1704067200
+    lpath, rpath = str(tmp_path / "lo_left"), str(tmp_path / "lo_right")
+    # odd users get no clicks at all -> guaranteed unmatched lefts
+    left = spark.range(60).select(
+        F.col("id").alias("eid"),
+        (F.col("id") % 6).alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 120).alias("ts"),
+    )
+    right = spark.range(90).select(
+        F.col("id").alias("cid"),
+        ((F.col("id") % 3) * 2).alias("user_id"),  # users 0,2,4 only
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 77).alias("ts"),
+    )
+    left.write.parquet(lpath)
+    right.write.parquet(rpath)
+    lb, rb = spark.read.parquet(lpath), spark.read.parquet(rpath)
+
+    wm, within = "10 minutes", "10 minutes"
+    batch = stream_stream_join(lb, rb, key="user_id", within=within, how="left_outer")
+    max_rts = rb.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = max_rts - datetime.timedelta(minutes=10)
+    expected = {
+        (r["l_eid"], r["r_cid"])
+        for r in batch.collect()
+        if r["l_ts"] <= cutoff
+    }
+    assert any(c is None for _, c in expected), "fixture lacks unmatched lefts"
+
+    ls = spark.readStream.schema(lb.schema).parquet(lpath)
+    rs = spark.readStream.schema(rb.schema).parquet(rpath)
+    q = (
+        stream_stream_join(ls, rs, key="user_id", within=within, watermark=wm, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("lo_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_rows = spark.sql("SELECT * FROM lo_join").collect()
+    got_final = {
+        (r["l_eid"], r["r_cid"]) for r in got_rows if r["l_ts"] <= cutoff
+    }
+    assert got_final == expected
+    # nothing outside the batch result ever appears (no wrong rows)
+    batch_all = {(r["l_eid"], r["r_cid"]) for r in batch.collect()}
+    assert {(r["l_eid"], r["r_cid"]) for r in got_rows} <= batch_all

@@ -117,16 +117,27 @@ def stream_stream_join(
     right_ts: str = "ts",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: match right rows to left rows with the
-    same ``key`` where ``right_ts ∈ [left_ts - within, left_ts]``.
+    """Stream-stream join: match right rows to left rows with the same
+    ``key`` where ``right_ts ∈ [left_ts - within, left_ts]``.
 
     Both sides carry watermarks and the join has a time-range condition —
     the two things that let Spark EVICT buffered rows (state stays
     O(rows per watermark+within window) instead of growing forever; an
     unconstrained stream-stream join would have to buffer both streams
     for all time). Works identically on batch DataFrames (no watermark),
-    which is how the test oracles it."""
+    which is how the test oracles it.
+
+    ``how="left_outer"``: unmatched left rows emit with NULL right
+    columns — but only once the watermark has passed the point where a
+    match could still arrive, so rows near the stream's end may never
+    emit their NULL row (the stream doesn't know the stream is over).
+    The deterministic oracle is therefore the batch left join
+    RESTRICTED to left rows finalized by the terminal watermark —
+    left_ts < min(max(left_ts), max(right_ts)) - watermark, since the
+    query's global watermark is the min over both inputs — the same
+    finalized-region construction as the late_window_finalize gate."""
     l_pref, r_pref = left, right
     if l_pref.isStreaming:
         l_pref = l_pref.withWatermark(left_ts, watermark)
@@ -144,7 +155,7 @@ def stream_stream_join(
             >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {within}")
         )
     )
-    return lj.join(rj, cond, "inner")
+    return lj.join(rj, cond, how)
 
 
 def stream_static_enrich(
