@@ -1457,6 +1457,37 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_might_contain(probes, bloom, "user_id", k=4, m=1 << 16)
 
 
+def q_kcore_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core recall gate (operators/graph.py::k_core): an 8-clique is
+    planted among node ids 1..8 on top of background structure built
+    from the events table — short chains (components of <= 5 path
+    nodes, exercising the iterative fixpoint: their ends peel first,
+    middles only in later rounds) and event->user stars (leaves peel in
+    round one). The 3-core of trees and paths is empty, so the output
+    must be EXACTLY the clique at degree 7 — the oracle pins that
+    literal — at every sf."""
+    from valentinus_spark.operators.graph import k_core
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    nums = spark.range(1, 9)
+    clique = (
+        nums.alias("a")
+        .crossJoin(nums.alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    chains = ev.where(F.col("event_id") % 5 != 4).select(
+        (F.col("event_id") + 10000).alias("src"),
+        (F.col("event_id") + 10001).alias("dst"),
+    )
+    stars = ev.select(
+        (F.col("user_id") + 5000).alias("src"),
+        (F.col("event_id") + 500000).alias("dst"),
+    )
+    edges = clique.unionByName(chains).unionByName(stars)
+    return k_core(edges, k=3).orderBy("id")
+
+
 def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py) over the part co-purchase graph
     (symmetric edges between parts sharing an order), 8 fixed rounds.
@@ -3527,9 +3558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deferrals above + the seven r4 additions (warc_ingest,
         # epoch_shuffle_manifest, mixture_weights_plan, cm_freq_stream,
         # mojibake_profile, l_diversity_audit, pq_ann_planted,
-        # merge_into_versioned, stream_left_outer_join) = 14 first-ever
-        # rows; the remaining 36 slots re-check r4's window (newest
-        # hard signal).
+        # merge_into_versioned, stream_left_outer_join, kcore_planted)
+        # = 15 first-ever rows; the remaining 35 slots re-check r4's
+        # window (newest hard signal).
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
@@ -3572,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_planted": q_pq_ann_planted,  # added r4 — r5 window candidate
         "merge_into_versioned": q_merge_into_versioned,  # added r4 — r5 window candidate
         "stream_left_outer_join": q_stream_left_outer_join,  # added r4 — r5 window candidate
+        "kcore_planted": q_kcore_planted,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -4700,6 +4732,11 @@ def oracle_sql() -> dict[str, str]:
         # batch left range-join restricted to the watermark-finalized
         # region (p.ts <= max click ts - 30 min): beyond it the stream
         # legitimately never emits the NULL row
+        # the 3-core of chains and stars is empty; only the planted
+        # clique survives, every member at degree 7
+        "kcore_planted": """
+            SELECT i AS id, 7::BIGINT AS degree FROM range(1, 9) t(i)
+        """,
         "stream_left_outer_join": """
             WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
                  c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')

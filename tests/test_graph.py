@@ -103,3 +103,34 @@ def test_triangle_count_direction_and_dup_insensitive(spark):
     df = spark.createDataFrame(noisy, "src long, dst long")
     row = triangle_count(df).collect()[0]
     assert (row["n_triangles"], row["n_edges"]) == (1, 3)
+
+
+def test_k_core_peels_to_planted_clique(spark):
+    """Planted structure: a 6-clique (every vertex degree 5), a long
+    path and pendant trees hanging off it. The 3-core must be exactly
+    the clique (degree 5 inside), everything else peeled — including
+    path vertices whose initial degree was >= 3 only via peeled
+    neighbors (the fixpoint matters, not one pass)."""
+    from valentinus_spark.operators.graph import k_core
+
+    edges = []
+    clique = list(range(6))
+    for i in clique:
+        for j in clique:
+            if i < j:
+                edges.append((i, j))
+    # a path 100..110 attached to clique vertex 0
+    edges.append((0, 100))
+    edges += [(100 + i, 101 + i) for i in range(10)]
+    # stars around path vertices (initial degree of 103 is 2+3=5, still peels)
+    edges += [(103, 200 + i) for i in range(3)]
+    edges += [(105, 300 + i) for i in range(4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    got = {r["id"]: r["degree"] for r in k_core(df, k=3).collect()}
+    assert got == {i: 5 for i in range(6)}
+    # 2-core of a clique+trees: still just the clique (trees have leaves)
+    got2 = {r["id"] for r in k_core(df, k=2).collect()}
+    assert got2 == set(range(6))
+    # k larger than any degree -> empty
+    assert k_core(df, k=6).count() == 0

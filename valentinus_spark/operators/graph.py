@@ -183,3 +183,57 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
         .select("n_vertices", "n_edges", "n_triangles")
     )
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Vertices of the k-core — the (unique) maximal subgraph in which
+    every vertex has degree >= k — by iterative peeling: drop all
+    vertices with current degree < k, restrict the edge set, repeat to
+    fixpoint. The standard coreness building block for graph-based
+    corpus curation (dense duplicate neighborhoods, citation/link spam
+    cores).
+
+    Each round is one degree aggregate + one semi-join restriction over
+    the surviving edges, with localCheckpoint truncating lineage per
+    round (the pagerank/CC loop discipline); rounds <= the peeling
+    depth, which is tiny for real degree distributions. Deterministic —
+    the k-core is unique, so the result is order- and partitioning-
+    independent (what makes the planted driver oracle exact). Returns
+    (id, degree) with the degree INSIDE the core."""
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = e.count()
+    for _ in range(max_iter):
+        if n_prev == 0:
+            break
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        e = (
+            e.join(keep, on="u", how="semi")
+            .join(keep.select(F.col("u").alias("v")), on="v", how="semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_now = e.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("u").alias("id"), "degree")
+    )
+
