@@ -409,3 +409,41 @@ def test_collections_in_one_warehouse_are_isolated(spark, fresh_warehouse):
     assert "view-col_a" not in set(EmbeddingCollection.fetch_collection_keys(spark, views=True))
     found = EmbeddingCollection.find(spark, view="view-col_b")
     assert found.cosine_query("banana", num_results=1).count() == 1
+
+
+def test_pq_index_lifecycle(spark, fresh_warehouse):
+    """PQ index on a collection: build persists codes + codebooks, the
+    approximate query returns the exact 1-NN on a planted near-dup (the
+    refined re-rank is exact over the shortlist), append marks the
+    index stale and the query refuses until rebuild."""
+    import pytest as _pytest
+
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+    from valentinus_spark.errors import DatabaseError
+
+    emb = HashEmbedder(dim=32)
+    docs = [f"document about topic number {i} with words {i * 7}" for i in range(60)]
+    metas = [{"Year": 2000 + (i % 5)} for i in range(60)]
+    col = EmbeddingCollection.new(
+        spark, docs, metas, None, "pqcoll", embedder=emb
+    ).save()
+    col = col.build_pq_index(m=4, k=16)
+
+    probe = docs[17]
+    got = col.nearest_query_pq(probe, k=1).first()
+    assert got["id"] == "id17" and got["similarity"] > 0.999
+
+    # top-3 must match the exact brute-force ranking
+    exact = [r["id"] for r in col.nearest_query_df(probe, k=3).collect()]
+    approx = [r["id"] for r in col.nearest_query_pq(probe, k=3).collect()]
+    assert approx == exact
+
+    extra = spark.createDataFrame(
+        [("idX", "a brand new appended document")], "id string, document string"
+    )
+    col.append(extra)
+    with _pytest.raises(DatabaseError, match="stale"):
+        col.nearest_query_pq(probe)
+    col.build_pq_index(m=4, k=16)
+    assert col.nearest_query_pq(probe, k=1).first()["id"] == "id17"

@@ -370,6 +370,8 @@ class EmbeddingCollection:
             # new rows are not in the persisted LSH table — mark it stale so
             # approximate queries refuse until rebuild_ann_index()
             entry["ann_index"] = "stale"
+        if entry.get("pq_index"):
+            entry["pq_index"] = "stale"  # codes table misses the new rows
         self.catalog.add(self.view, entry)
         return self
 
@@ -586,6 +588,77 @@ class EmbeddingCollection:
         entry = self.catalog.resolve(self.view)
         params = entry.get("ann_params") or {}
         return self.build_ann_index(**params)
+
+    def build_pq_index(
+        self, m: int = 8, k: int = 16, seed: int = 42
+    ) -> "EmbeddingCollection":
+        """Persist a product-quantization index: per-subspace codebooks
+        (operators/similarity.py::pq_codebooks, trained on a seeded
+        bounded sample) plus the m-code table for every row. Approximate
+        queries then rank by asymmetric distance over the codes — the
+        scan reads m nibbles per row instead of the float vectors — and
+        re-rank the shortlist exactly. The byte-budget companion to the
+        LSH index (bucket pruning); both go stale on append."""
+        import json as _json
+
+        from valentinus_spark.operators.similarity import pq_codebooks, pq_encode
+
+        df = self.df
+        if "embedding" not in df.columns:
+            df = df.withColumn("embedding", self._vec())
+        books = pq_codebooks(df, vec_col="embedding", m=m, k=k, seed=seed)
+        codes = pq_encode(df, books, vec_col="embedding").select("id", "pq_code")
+        base = self.catalog.data_path(self.view)
+        codes.write.mode("overwrite").parquet(base + "_pq")
+        with open(base + "_pq_books.json", "w") as f:
+            _json.dump(books, f)
+        entry = self.catalog.resolve(self.view)
+        entry["pq_index"] = True
+        entry["pq_params"] = {"m": m, "k": k, "seed": seed}
+        self.catalog.add(self.view, entry)
+        return self
+
+    def nearest_query_pq(
+        self, query_string: str, k: int = 1, shortlist_factor: int = 8
+    ) -> DataFrame:
+        """Approximate k-NN via the persisted PQ index: ADC shortlist
+        over the codes table, exact cosine re-rank of just the
+        shortlist (operators/similarity.py::pq_ann_topk_refined).
+        Returns (id, document, similarity, metadata)."""
+        import json as _json
+
+        from valentinus_spark.operators.similarity import pq_ann_topk_refined
+
+        entry = self.catalog.resolve(self.view)
+        if not entry.get("pq_index"):
+            raise NotFoundError(
+                f"collection {self.view!r} has no PQ index — build_pq_index() first"
+            )
+        if entry.get("pq_index") == "stale":
+            raise DatabaseError(
+                f"PQ index of {self.view!r} is stale (rows were appended "
+                "after it was built) — build_pq_index() again, or use the "
+                "exact nearest_query_df()"
+            )
+        base = self.catalog.data_path(self.view)
+        with open(base + "_pq_books.json") as f:
+            books = _json.load(f)
+        codes = self.spark.read.parquet(base + "_pq")
+        df = self.df
+        if "embedding" not in df.columns:
+            df = df.withColumn("embedding", self._vec())
+        corpus = df.join(codes, "id")
+        qv = [float(x) for x in self.embedder.embed_texts([query_string])[0]]
+        queries = self.spark.createDataFrame([(0, qv)], "qid long, qvec array<double>")
+        out = pq_ann_topk_refined(
+            corpus, queries, books, k=k, shortlist_factor=shortlist_factor,
+            corpus_id="id", corpus_vec="embedding",
+        )
+        return (
+            out.join(df.select("id", "document", "metadata"), "id")
+            .select("id", "document", "similarity", "metadata")
+            .orderBy(F.desc("similarity"), F.asc("id"))
+        )
 
     def stream_append(self, docs_stream: DataFrame, checkpoint: str,
                       text_col: str = "document"):
