@@ -3152,6 +3152,19 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(docs, "doc_id", "text", threshold=0.8, shingle_n=3)
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (operators/profile.py::
+    histogram_quantiles): linear interpolation inside a 64-bin exact
+    equi-width histogram of events.value — the additive-state quantile
+    path (histograms of shards SUM; GK/t-digest merges are heuristic).
+    The oracle replays bounds, bin formula, cumulative ranks and the
+    interpolation in the same pinned double arithmetic."""
+    from valentinus_spark.operators.profile import histogram_quantiles
+
+    ev = _events(spark, sf_dir)
+    return histogram_quantiles(ev, "value", [0.1, 0.5, 0.9, 0.99], n_bins=64)
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact equi-width histogram of events.value in 8 bins
     (operators/profile.py::equi_width_histogram) — the ANALYZE /
@@ -3558,9 +3571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deferrals above + the seven r4 additions (warc_ingest,
         # epoch_shuffle_manifest, mixture_weights_plan, cm_freq_stream,
         # mojibake_profile, l_diversity_audit, pq_ann_planted,
-        # merge_into_versioned, stream_left_outer_join, kcore_planted)
-        # = 15 first-ever rows; the remaining 35 slots re-check r4's
-        # window (newest hard signal).
+        # merge_into_versioned, stream_left_outer_join, kcore_planted,
+        # histogram_quantiles) = 16 first-ever rows; the remaining 34
+        # slots re-check r4's window (newest hard signal).
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
@@ -3604,6 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into_versioned": q_merge_into_versioned,  # added r4 — r5 window candidate
         "stream_left_outer_join": q_stream_left_outer_join,  # added r4 — r5 window candidate
         "kcore_planted": q_kcore_planted,  # added r4 — r5 window candidate
+        "histogram_quantiles": q_histogram_quantiles,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -4301,6 +4315,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bin formula evaluated in the same association order as Spark:
         # (v - min) * 8.0 / (max - min), floored, max folded into bin 7
+        # same bounds, bin formula, 6dp bin edges, zero-based target
+        # rank q*(n-1), uniform-within-bin interpolation
+        "histogram_quantiles": """
+            WITH b AS (SELECT min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM events),
+            binned AS (
+                SELECT CASE WHEN b.mx = b.mn THEN 0
+                            ELSE least(63, floor((value::DOUBLE - b.mn) * 64.0 / (b.mx - b.mn)))::BIGINT
+                       END AS bin, b.mn AS mn, b.mx AS mx
+                FROM events, b WHERE value IS NOT NULL
+            ),
+            hist AS (
+                SELECT bin,
+                       round(mn + bin * ((mx - mn) / 64.0), 6) AS lo,
+                       round(mn + (bin + 1) * ((mx - mn) / 64.0), 6) AS hi,
+                       count(*) AS n_rows
+                FROM binned GROUP BY bin, mn, mx
+            ),
+            cum AS (
+                SELECT bin, lo, hi, n_rows,
+                       coalesce(sum(n_rows) OVER (ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+                       sum(n_rows) OVER () AS total
+                FROM hist
+            ),
+            probe AS (SELECT unnest([0.1::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+            hit AS (
+                SELECT q, lo, hi, n_rows, below,
+                       q * (total - 1) AS target
+                FROM cum CROSS JOIN probe
+                WHERE (q * (total - 1) >= below AND q * (total - 1) < below + n_rows)
+                   OR (q = 1.0 AND below + n_rows = total)
+            ),
+            est AS (
+                SELECT q,
+                       round(lo + (hi - lo) * ((target - below) / n_rows), 6) AS quantile_est,
+                       row_number() OVER (PARTITION BY q ORDER BY round(lo + (hi - lo) * ((target - below) / n_rows), 6)) AS rn
+                FROM hit
+            )
+            SELECT q, quantile_est FROM est WHERE rn = 1 ORDER BY q
+        """,
         "value_histogram": """
             WITH b AS (SELECT min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM events),
             binned AS (

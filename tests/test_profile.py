@@ -146,3 +146,43 @@ def test_quantile_discretize_equal_frequency_and_ties(spark):
     assert {r["bin"] for r in out.collect()} == {0}
     above = quantile_discretize(tied, "v", n_bins=4).where("v > 5.0").select("bin")
     assert {r["bin"] for r in above.collect()} == {3}
+
+
+def test_histogram_quantiles_bounded_error_and_merge_equivalence(spark):
+    """histogram_quantiles: every estimate within one bin width of the
+    exact quantile; the histogram's cell-wise additivity means two
+    half-corpus histograms (same bounds) sum to the full one — the
+    mergeability that GK/t-digest style summaries only approximate."""
+    from valentinus_spark.operators.profile import (
+        equi_width_histogram,
+        histogram_quantiles,
+    )
+
+    n, bins = 5000, 100
+    df = spark.range(n).select(((F.col("id") * 37) % 9973).cast("double").alias("v"))
+    qs = [0.1, 0.5, 0.9, 1.0]
+    got = {r["q"]: r["quantile_est"] for r in histogram_quantiles(df, "v", qs, n_bins=bins).collect()}
+    vals = sorted(r["v"] for r in df.collect())
+    bin_w = (vals[-1] - vals[0]) / bins
+    for q in qs:
+        exact = vals[int(q * (n - 1))]
+        assert abs(got[q] - exact) <= bin_w + 1e-6, (q, got[q], exact)
+
+    # additivity: histograms of the two halves sum cell-wise to the whole
+    h_all = {r["bin"]: r["n_rows"] for r in equi_width_histogram(df, "v", 16).collect()}
+    lo, hi = vals[0], vals[-1]
+    halves = []
+    for pred in ("id % 2 = 0", "id % 2 = 1"):
+        part = spark.range(n).where(pred).select(((F.col("id") * 37) % 9973).cast("double").alias("v"))
+        # pin the shared bounds by unioning two sentinel rows at min/max
+        pinned = part.union(spark.createDataFrame([(lo,), (hi,)], "v double"))
+        halves.append({r["bin"]: r["n_rows"] for r in equi_width_histogram(pinned, "v", 16).collect()})
+    merged = {b: halves[0].get(b, 0) + halves[1].get(b, 0) for b in set(halves[0]) | set(halves[1])}
+    # subtract the 4 sentinel rows (one min + one max per half)
+    merged[min(merged)] -= 2
+    merged[max(merged)] -= 2
+    assert {b: v for b, v in merged.items() if v} == h_all
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "v", [1.5])

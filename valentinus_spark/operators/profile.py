@@ -185,6 +185,77 @@ def equi_width_histogram(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame, col: str, qs: list[float], n_bins: int = 256
+) -> DataFrame:
+    """Approximate quantiles from the exact equi-width histogram:
+    linear interpolation inside the bin holding each target rank. The
+    MERGEABLE approximate-quantile path the sketch family was missing —
+    equi-width histograms over fixed [min, max] bounds add cell-wise
+    (partitions, micro-batches, shards), unlike GK/t-digest summaries
+    whose merges are heuristic — with deterministic error bounded by one
+    bin width (range/n_bins), and every step plain double arithmetic a
+    SQL oracle replays bit-for-bit.
+
+    Rank convention: target rank q·(n-1) (the same zero-based convention
+    as exact_quantiles); the answer interpolates within the bin as if
+    its mass were uniform. Two scans (bounds, then binning) and
+    n_bins-sized state — at 100 TB the histogram is the only shuffled
+    object. Returns (q, quantile_est) rounded to 6 decimals."""
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    hist = equi_width_histogram(df, col, n_bins=n_bins)
+    # cumulative mass per bin boundary — n_bins rows, one tiny window
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bin",
+        "lo",
+        "hi",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("below"),
+        F.sum("n_rows").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    probes = F.array(*[F.lit(float(q)) for q in qs])
+    out = (
+        cum.select(
+            "*", F.explode(probes).alias("q")
+        )
+        .withColumn("target", F.col("q") * (F.col("total") - 1))
+        .where(
+            (F.col("target") >= F.col("below"))
+            & (F.col("target") < F.col("below") + F.col("n_rows"))
+            | (
+                # q == 1 boundary: the final bin owns target == total-1
+                (F.col("q") == 1.0)
+                & (F.col("below") + F.col("n_rows") == F.col("total"))
+            )
+        )
+        .withColumn(
+            "frac",
+            (F.col("target") - F.col("below")) / F.col("n_rows"),
+        )
+        .select(
+            "q",
+            F.round(
+                F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("frac"), 6
+            ).alias("quantile_est"),
+        )
+    )
+    # a target can satisfy two bins at the exact boundary; keep the first
+    wq = Window.partitionBy("q").orderBy("quantile_est")
+    return (
+        out.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("q")
+    )
+
+
 def exact_quantiles(
     df: DataFrame, value_col: str, qs: list[float], n_ranges: int = 64
 ) -> DataFrame:
