@@ -1548,6 +1548,29 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass Misra-Gries heavy hitters (operators/sketches.py::
+    heavy_hitters) over event user_ids at phi=2%: per-batch MG
+    summaries bound pass-1 state, an exact candidate-only second pass
+    makes the output deterministic. The oracle is the plain exact
+    threshold count — equality proves the candidate stage lost no true
+    heavy hitter under whatever partitioning the driver ran with."""
+    from valentinus_spark.operators.sketches import heavy_hitters
+
+    ev = _events(spark, sf_dir).select(
+        # sf-invariant skew: a third of events concentrate on 5 hot keys
+        # (~6.7% each), the rest are near-unique tail — so the threshold
+        # bites identically at every scale factor
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("hot"), (F.col("user_id") % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("u"), F.col("event_id").cast("string")))
+        .alias("k")
+    )
+    return heavy_hitters(ev, "k", phi=0.02)
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch (operators/sketches.py): per-user event
     counts estimated from a 4×1024 sketch probed for user_ids 0..49 —
@@ -3572,8 +3595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # epoch_shuffle_manifest, mixture_weights_plan, cm_freq_stream,
         # mojibake_profile, l_diversity_audit, pq_ann_planted,
         # merge_into_versioned, stream_left_outer_join, kcore_planted,
-        # histogram_quantiles) = 16 first-ever rows; the remaining 34
-        # slots re-check r4's window (newest hard signal).
+        # histogram_quantiles, heavy_hitters) = 17 first-ever rows; the
+        # remaining 33 slots re-check r4's window (newest hard signal).
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
@@ -3618,6 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_left_outer_join": q_stream_left_outer_join,  # added r4 — r5 window candidate
         "kcore_planted": q_kcore_planted,  # added r4 — r5 window candidate
         "histogram_quantiles": q_histogram_quantiles,  # added r4 — r5 window candidate
+        "heavy_hitters": q_heavy_hitters,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -4730,6 +4754,22 @@ def oracle_sql() -> dict[str, str]:
             FROM probed pr
             LEFT JOIN sketch s ON s.row = pr.j AND s.bucket = pr.bucket
             GROUP BY pr.user_id
+        """,
+        # the exact threshold answer — candidate-stage soundness means
+        # the two-pass result must EQUAL it
+        "heavy_hitters": """
+            WITH k AS (
+                SELECT CASE WHEN event_id % 3 = 0
+                            THEN 'hot' || (user_id % 5)::VARCHAR
+                            ELSE 'u' || event_id::VARCHAR END AS value
+                FROM events
+            ),
+            t AS (SELECT count(*) AS n FROM k)
+            SELECT value, count(*) AS n,
+                   round(count(*) / (SELECT n::DOUBLE FROM t), 6) AS freq
+            FROM k
+            GROUP BY value
+            HAVING count(*) > 0.02 * (SELECT n FROM t)
         """,
         "count_min_freq": """
             WITH sketch AS (

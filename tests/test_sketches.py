@@ -232,3 +232,34 @@ def test_kmv_overlap_exact_mode_and_estimation_mode(spark):
     ).collect()[0]
     assert abs(row2["est_union"] - 4500) / 4500 < 0.2
     assert abs(row2["est_intersection"] - 1500) / 1500 < 0.35
+
+
+def test_heavy_hitters_exact_output_and_partition_invariance(spark):
+    """Two-pass MG heavy hitters: output equals the exact
+    frequency-threshold answer (values, counts, freqs) regardless of
+    partition layout — candidates vary with batching, the verified
+    output must not. Background: 5000 near-unique keys; planted: three
+    items above the 2% threshold and one decoy just below it."""
+    from valentinus_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"u{i}",) for i in range(5000)]          # unique tail
+    rows += [("hot_a",)] * 400 + [("hot_b",)] * 250 + [("hot_c",)] * 150
+    rows += [("decoy",)] * 100                        # just under 2% of ~5900
+    df = spark.createDataFrame(rows, "k string")
+    n = len(rows)
+
+    expected = {"hot_a": 400, "hot_b": 250, "hot_c": 150}
+    assert all(v > 0.02 * n for v in expected.values()) and 100 <= 0.02 * n
+
+    for parts in (1, 7, 32):
+        got = {
+            r["value"]: (r["n"], r["freq"])
+            for r in heavy_hitters(df.repartition(parts), "k", phi=0.02).collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == expected, parts
+        for k, (c, f) in got.items():
+            assert abs(f - c / n) < 1e-6
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "k", phi=1.5)

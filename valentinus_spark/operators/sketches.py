@@ -439,3 +439,74 @@ def kmv_overlap(
         F.round(est_union * frac_both, 4).alias("est_intersection"),
         F.round(frac_both, 4).alias("est_jaccard"),
     )
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    phi: float = 0.01,
+    slack: int = 4,
+) -> DataFrame:
+    """Exact phi-heavy-hitters via the two-pass Misra-Gries recipe
+    (Misra & Gries 1982; the MapReduce adaptation in Berinde et al.):
+    pass 1 runs an MG(k) summary PER ARROW BATCH (k = slack/phi
+    counters), pass 2 exactly counts only the surviving candidates.
+
+    Soundness by pigeonhole: an item with global frequency > phi·n must
+    exceed (batch_n)·phi/slack… more precisely exceed batch_n/k in at
+    least one batch (if it stayed ≤ n_b/k in every batch, summing gives
+    ≤ n/k = phi·n/slack < phi·n), so the union of per-batch summaries
+    contains every true heavy hitter and the exact second pass makes
+    the OUTPUT deterministic — candidates vary with partitioning, the
+    returned (value, n, freq) rows never do.
+
+    Scale shape: the full-cardinality groupBy a naive count needs never
+    happens — pass 1 shuffles at most k rows per batch (map-side
+    summaries), pass 2 shuffles only rows matching the candidate set
+    (broadcast semi-join). This is the distinct-key-explosion escape
+    hatch: frequency of the top talkers over 10^11 mostly-unique keys
+    with bounded state everywhere."""
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    k = max(2, int(slack / phi))
+
+    def _mg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counters: dict = {}
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in dead:
+                        del counters[key]
+                    for key in list(counters):
+                        counters[key] -= 1
+            yield pd.DataFrame({"candidate": list(counters.keys())})
+
+    cand = (
+        df.select(value_col)
+        .mapInPandas(_mg, f"candidate {dict(df.dtypes)[value_col]}")
+        .distinct()
+    )
+    total = df.where(F.col(value_col).isNotNull()).count()
+    exact = (
+        df.join(
+            F.broadcast(cand), F.col(value_col) == F.col("candidate"), "leftsemi"
+        )
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > phi * total)
+        .select(
+            F.col(value_col).alias("value"),
+            "n",
+            F.round(F.col("n") / F.lit(float(total)), 6).alias("freq"),
+        )
+    )
+    return exact
+
