@@ -2647,6 +2647,36 @@ def _bpe_oracle_sql() -> str:
     """
 
 
+def q_unigram_encode_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi encode gate (operators/tokenizer.py::
+    unigram_encode): each doc contributes a word CONSTRUCTED from three
+    vocab pieces chosen by doc_id arithmetic (pieces at logprob -1,
+    single-char fallback at -10, so the construction is the unique
+    optimum by a margin no tie-break can disturb) plus a word ending in
+    an unknown character to exercise the unk fallback. The oracle
+    derives the expected token string from the same arithmetic — any
+    dp/tie-break/fallback defect hash-fails."""
+    from valentinus_spark.operators.tokenizer import unigram_encode
+
+    pieces = ["foo", "bar", "baz"]
+    vocab = {p: -1.0 for p in pieces}
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.element_at(F.array(*[F.lit(p) for p in pieces]), ((F.col("doc_id") % 3) + 1).cast("int")),
+            F.element_at(F.array(*[F.lit(p) for p in pieces]), (((F.col("doc_id") / 3).cast("long") % 3) + 1).cast("int")),
+            F.element_at(F.array(*[F.lit(p) for p in pieces]), (((F.col("doc_id") / 9).cast("long") % 3) + 1).cast("int")),
+            F.lit(" "),
+            F.element_at(F.array(*[F.lit(p) for p in pieces]), ((F.col("doc_id") % 3) + 1).cast("int")),
+            F.lit("q"),
+        ).alias("text"),
+    )
+    out = unigram_encode(docs, vocab, unk_logprob=-10.0)
+    return out.select(
+        "doc_id", F.concat_ws("|", F.col("unigram_tokens")).alias("tokens")
+    )
+
+
 def q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE in the driver gate (operators/tokenizer.py::bpe_encode
     — the apply side of tokenizer training, previously only train-side
@@ -3595,8 +3625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # epoch_shuffle_manifest, mixture_weights_plan, cm_freq_stream,
         # mojibake_profile, l_diversity_audit, pq_ann_planted,
         # merge_into_versioned, stream_left_outer_join, kcore_planted,
-        # histogram_quantiles, heavy_hitters) = 17 first-ever rows; the
-        # remaining 33 slots re-check r4's window (newest hard signal).
+        # histogram_quantiles, heavy_hitters, unigram_encode_planted) =
+        # 18 first-ever rows; the remaining 32 slots re-check r4's
+        # window (newest hard signal).
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
@@ -3642,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_planted": q_kcore_planted,  # added r4 — r5 window candidate
         "histogram_quantiles": q_histogram_quantiles,  # added r4 — r5 window candidate
         "heavy_hitters": q_heavy_hitters,  # added r4 — r5 window candidate
+        "unigram_encode_planted": q_unigram_encode_planted,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -4757,6 +4789,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the exact threshold answer — candidate-stage soundness means
         # the two-pass result must EQUAL it
+        # expected token string from the same piece arithmetic: the word
+        # p1 p2 p3 segments to [p1,p2,p3], "p1q" to [p1,'q']
+        "unigram_encode_planted": """
+            WITH p AS (SELECT ['foo','bar','baz'] AS ps)
+            SELECT doc_id,
+                   ps[(doc_id % 3) + 1] || '|' ||
+                   ps[((doc_id // 3) % 3) + 1] || '|' ||
+                   ps[((doc_id // 9) % 3) + 1] || '|' ||
+                   ps[(doc_id % 3) + 1] || '|q' AS tokens
+            FROM documents CROSS JOIN p
+        """,
         "heavy_hitters": """
             WITH k AS (
                 SELECT CASE WHEN event_id % 3 = 0

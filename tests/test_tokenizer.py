@@ -155,3 +155,63 @@ def test_bpe_encode_roundtrip_and_empty(spark):
     assert "".join(out[3]) == "xyz"
     # the planted repetition actually merged: fewer tokens than chars
     assert len(out[1]) < len("ababababcdcd")
+
+
+def test_unigram_encode_matches_python_viterbi(spark):
+    """unigram_encode vs an independent brute-force enumeration of ALL
+    segmentations: on an ambiguous vocab the Viterbi pick must be the
+    max-likelihood segmentation with the documented tie-breaks (fewer
+    pieces, then lexicographic), and unknown characters fall back to
+    unk pieces so every word segments."""
+    import itertools
+    import math
+
+    from valentinus_spark.operators.tokenizer import unigram_encode
+
+    vocab = {
+        "un": -2.0, "related": -3.0, "unrelated": -4.5,
+        "re": -1.5, "lated": -3.1, "l": -4.0, "ated": -3.5,
+        "a": -2.5, "b": -2.5, "ab": -5.0,  # tie: 'a'+'b' == 'ab' -> fewer pieces wins
+        "x": -3.0,
+    }
+    UNK = -100.0
+
+    def brute(w):
+        best = None
+        n = len(w)
+        for cuts in itertools.product([0, 1], repeat=n - 1) if n > 1 else [()]:
+            pieces, start = [], 0
+            for i, c in enumerate(cuts, 1):
+                if c:
+                    pieces.append(w[start:i]); start = i
+            pieces.append(w[start:])
+            score = 0.0
+            ok = True
+            for p in pieces:
+                if p in vocab:
+                    score += vocab[p]
+                elif len(p) == 1:
+                    score += UNK
+                else:
+                    ok = False; break
+            if not ok:
+                continue
+            key = (score, -len(pieces), [p for p in pieces])
+            if best is None or (key[0], key[1]) > (best[0], best[1]) or (
+                (key[0], key[1]) == (best[0], best[1]) and key[2] < best[2]
+            ):
+                best = key
+        return best[2]
+
+    words = ["unrelated", "ab", "xx", "qq", "relatedx"]
+    df = spark.createDataFrame([(w,) for w in words], "text string")
+    got = {
+        r["text"]: r["unigram_tokens"]
+        for r in unigram_encode(df, vocab, unk_logprob=UNK).collect()
+    }
+    for w in words:
+        assert got[w] == brute(w), (w, got[w], brute(w))
+    # sanity on the planted cases
+    assert got["unrelated"] == ["unrelated"]  # -4.5 beats un+related -5.0
+    assert got["ab"] == ["ab"]  # tie on score: fewer pieces wins
+    assert got["qq"] == ["q", "q"]  # pure-unk fallback

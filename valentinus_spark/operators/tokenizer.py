@@ -219,3 +219,89 @@ def bpe_encode(
         return pd.Series(result)
 
     return df.withColumn(out_col, encode(F.col(text_col)))
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: dict[str, float],
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+    unk_logprob: float = -100.0,
+    lowercase: bool = True,
+    letters_only: bool = True,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) encoding: per word, the Viterbi
+    segmentation maximizing the sum of piece log-probabilities over the
+    given ``vocab`` (Kudo 2018). Pieces absent from the vocab fall back
+    to single characters at ``unk_logprob``, so every word segments.
+    The OTHER standard subword scheme next to BPE (operators/tokenizer
+    bpe_encode): probabilities instead of merge ranks.
+
+    Determinism contract (what makes the planted driver oracle exact):
+    ties in total log-probability break toward the segmentation with
+    FEWER pieces, then lexicographically smaller piece sequence — the
+    dp carries (score, -n_pieces) and compares piece strings on equal
+    scores, so two engines agree bit-for-bit.
+
+    Scale shape: identical to bpe_encode — vocab ships once per
+    executor in the Arrow UDF closure, a per-batch word cache collapses
+    the Zipfian distribution, zero shuffle."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pattern = "[a-zA-Z]+" if letters_only else _TOKEN_REGEX
+    max_piece = max((len(p) for p in vocab), default=1)
+
+    @pandas_udf("array<string>")
+    def encode(texts):
+        rx = _re.compile(pattern)
+        cache: dict = {}
+
+        def enc_word(w):
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            n = len(w)
+            # dp[i] = (score, neg_pieces, pieces_tuple) best for w[:i]
+            NEG = float("-inf")
+            dp = [(NEG, 0, ())] * (n + 1)
+            dp[0] = (0.0, 0, ())
+            for i in range(1, n + 1):
+                best = (NEG, 0, ())
+                for j in range(max(0, i - max_piece), i):
+                    if dp[j][0] == NEG:
+                        continue
+                    piece = w[j:i]
+                    lp = vocab.get(piece)
+                    if lp is None:
+                        if i - j != 1:
+                            continue
+                        lp = unk_logprob
+                    cand = (
+                        dp[j][0] + lp,
+                        dp[j][1] - 1,
+                        dp[j][2] + (piece,),
+                    )
+                    if best[0] == NEG or cand[:2] > best[:2] or (
+                        cand[:2] == best[:2] and cand[2] < best[2]
+                    ):
+                        best = cand
+                dp[i] = best
+            out = list(dp[n][2])
+            cache[w] = out
+            return out
+
+        rows = []
+        for t in texts:
+            toks = []
+            src_text = (t or "")
+            if lowercase:
+                src_text = src_text.lower()
+            for w in rx.findall(src_text):
+                toks.extend(enc_word(w))
+            rows.append(toks)
+        return pd.Series(rows)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))
+
