@@ -447,3 +447,33 @@ def test_pq_index_lifecycle(spark, fresh_warehouse):
         col.nearest_query_pq(probe)
     col.build_pq_index(m=4, k=16)
     assert col.nearest_query_pq(probe, k=1).first()["id"] == "id17"
+
+
+def test_cosine_query_many_matches_single_queries(spark, fresh_warehouse):
+    """Batched multi-query scan must return, per qid, exactly the
+    single-query cosine_query top-k (ids AND similarities), with the
+    metadata filter applied identically."""
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    emb = HashEmbedder(dim=24)
+    docs = [f"topic {i % 7} document number {i}" for i in range(40)]
+    metas = [{"Year": 2000 + (i % 4)} for i in range(40)]
+    col = EmbeddingCollection.new(spark, docs, metas, None, "manycoll", embedder=emb).save()
+
+    probes = ["topic 3 document", "topic 5 document number 12", "unrelated words"]
+    fw = [{"Year": {"gte": 2001}}]
+    batched = col.cosine_query_many(probes, num_results=5, f_where=fw)
+    by_qid = {}
+    for r in batched.collect():
+        by_qid.setdefault(r["qid"], []).append((r["id"], round(r["similarity"], 9)))
+    for i, p in enumerate(probes):
+        single = [
+            (r["id"], round(r["similarity"], 9))
+            for r in col.cosine_query(p, num_results=5, f_where=fw).collect()
+        ]
+        assert by_qid.get(i, []) == single, i
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        col.cosine_query_many([])

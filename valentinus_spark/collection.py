@@ -36,7 +36,7 @@ import uuid
 from dataclasses import dataclass
 from typing import Any, Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -538,6 +538,51 @@ class EmbeddingCollection:
         if num_results > 0:
             out = out.limit(num_results)
         return out
+
+    def cosine_query_many(
+        self,
+        query_strings: Sequence[str],
+        num_results: int = 10,
+        f_where: Iterable[str | dict] | None = None,
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """Batched cosine_query: one pass over the collection answers
+        MANY queries (qid = position in ``query_strings``). The single-
+        query API scans the table per call; a pipeline scoring hundreds
+        of probes wants one scan with the query vectors broadcast and a
+        per-qid window top-k (WindowGroupLimit: partial top-k map-side,
+        no global sort). Same metadata filter and dot>0 keep-rule as
+        cosine_query; returns (qid, id, document, similarity, metadata)
+        ranked per qid."""
+        if not query_strings:
+            raise ValueError("query_strings must be non-empty")
+        qvs = self.embedder.embed_texts(list(query_strings))
+        queries = self.spark.createDataFrame(
+            [(i, [float(x) for x in qvs[i]]) for i in range(len(qvs))],
+            "qid int, qvec array<double>",
+        )
+        vec = self._vec()
+        sim = (
+            dot(vec, F.col("qvec"))
+            if metric == "dot"
+            else cosine_similarity(vec, F.col("qvec"))
+        )
+        base = self.df.filter(
+            compile_filters(f_where, promoted_columns=self.df.columns)
+        )
+        scored = (
+            base.crossJoin(F.broadcast(queries))
+            .withColumn("similarity", sim)
+            .filter(F.col("similarity") > 0)
+            .select("qid", "id", "document", "similarity", "metadata")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= num_results)
+            .drop("rank")
+            .orderBy("qid", F.desc("similarity"), F.asc("id"))
+        )
 
     def cosine_query_result(self, *args, **kwargs) -> CosineQueryResult:
         """cosine_query returning the reference-shaped result container."""
