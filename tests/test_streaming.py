@@ -564,3 +564,50 @@ def test_stream_stream_left_outer_join_finalized_region(spark, tmp_path):
     # nothing outside the batch result ever appears (no wrong rows)
     batch_all = {(r["l_eid"], r["r_cid"]) for r in batch.collect()}
     assert {(r["l_eid"], r["r_cid"]) for r in got_rows} <= batch_all
+
+
+def test_stream_stream_full_outer_join_no_wrong_rows(spark, tmp_path):
+    """Full-outer stream-stream join: within the finalized region both
+    sides' NULL rows appear exactly as in the batch full join; globally
+    no row ever appears that batch would not produce."""
+    from valentinus_spark.streaming.pipeline import stream_stream_join
+
+    base = 1704067200
+    lpath, rpath = str(tmp_path / "fo_left"), str(tmp_path / "fo_right")
+    left = spark.range(40).select(
+        F.col("id").alias("eid"),
+        (F.col("id") % 6).alias("user_id"),  # users 0..5
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 120).alias("ts"),
+    )
+    right = spark.range(60).select(
+        F.col("id").alias("cid"),
+        ((F.col("id") % 3) * 2 + 1).alias("user_id"),  # users 1,3,5 only
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 77).alias("ts"),
+    )
+    left.write.parquet(lpath)
+    right.write.parquet(rpath)
+    lb, rb = spark.read.parquet(lpath), spark.read.parquet(rpath)
+
+    batch = stream_stream_join(lb, rb, key="user_id", within="10 minutes", how="full_outer")
+    batch_all = {(r["l_eid"], r["r_cid"]) for r in batch.collect()}
+    assert any(a is None for a, _ in batch_all) and any(b is None for _, b in batch_all)
+
+    ls = spark.readStream.schema(lb.schema).parquet(lpath)
+    rs = spark.readStream.schema(rb.schema).parquet(rpath)
+    q = (
+        stream_stream_join(ls, rs, key="user_id", within="10 minutes",
+                           watermark="10 minutes", how="full_outer")
+        .writeStream.format("memory")
+        .queryName("fo_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["l_eid"], r["r_cid"]) for r in spark.sql("SELECT * FROM fo_join").collect()}
+    # soundness: never a row batch would not produce
+    assert got <= batch_all
+    # completeness on matched pairs (they emit immediately, no watermark wait)
+    matched = {(a, b) for a, b in batch_all if a is not None and b is not None}
+    assert matched <= got
