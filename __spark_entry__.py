@@ -3373,7 +3373,11 @@ def q_merge_into_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             cust.where("c_custkey % 13 = 0").select(
-                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                # sf-proof insert-key offset: TPC-H has 150k customers per
+                # sf, so a 1e6 offset collides with real custkeys at
+                # sf>=7 (r4 ADVICE); 1e9 is beyond custkey range for any
+                # sf this engine targets per-table
+                (F.col("c_custkey") + 1000000000).alias("c_custkey"),
                 F.lit("NEWSEG").alias("c_mktsegment"),
                 F.lit(0).cast("long").alias("bal"),
                 F.lit(False).alias("is_delete"),
@@ -3547,28 +3551,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries, so the dict is insertion-ordered by audit
     # priority, not by theme (the r2 judge found the three r1 failures
     # had slid out of the window when new queries were prepended).
-    # Window composition: (a) every query that has EVER failed a round,
-    # (b) everything added or materially changed in the two most recent
-    # rounds, (c) stable veterans fill the remainder. When adding a
-    # query, insert it BEFORE the stable-core marker below and demote the
-    # oldest unchanged entries past it.
+    # Window composition: (a) every query that has never had a driver
+    # row, newest work first; (b) longest-unchecked veterans fill the
+    # remainder. When adding a query, insert it BEFORE the stable-core
+    # marker below and demote the oldest unchanged entries past it.
     return {
-        # ==== DRIVER WINDOW (first 50) — r4 rotation ====
-        # (a) the three r3 hash-FAILs, oracles recast to BIGINT this
-        # round — driver re-check is the done-criterion for the fix
+        # ==== DRIVER WINDOW (first 50) — r5 rotation ====
+        # (a) the 18-query backlog named in VERDICT r4 "What's missing"
+        # #1: the 13 r4 additions plus the 5 r4 deferrals — every one
+        # dev_compare-green at sf0.001/0.01/0.1 but never driver-hashed.
+        # rp_ann_topk stays rows-only by design (non-deterministic
+        # projection basis); its planted twin rp_ann_planted is the gate.
+        "warc_ingest": q_warc_ingest,
+        "epoch_shuffle_manifest": q_epoch_shuffle,
+        "mixture_weights_plan": q_mixture_weights,
+        "cm_freq_stream": q_cm_freq_stream,
+        "mojibake_profile": q_mojibake_profile,
+        "l_diversity_audit": q_l_diversity_audit,
+        "pq_ann_planted": q_pq_ann_planted,
+        "merge_into_versioned": q_merge_into_versioned,
+        "stream_left_outer_join": q_stream_left_outer_join,
+        "kcore_planted": q_kcore_planted,
+        "histogram_quantiles": q_histogram_quantiles,
+        "heavy_hitters": q_heavy_hitters,
+        "unigram_encode_planted": q_unigram_encode_planted,
+        "events_sliding_window": q_events_sliding_window,
+        "name_edit_distance": q_name_edit_distance,
+        "bigram_logprob": q_bigram_logprob,
+        "incremental_neardup": q_incremental_neardup,
+        "rp_ann_topk": q_rp_ann_topk,
+        # (b) 32 longest-unchecked veterans — all last driver-checked in
+        # round 2 (oldest hard signal in the ledger). Includes the four
+        # bench-drift suspects (pricing_summary, brand_revenue,
+        # customer_rank_window, events_sessionize — VERDICT r4 perf #5)
+        # and collection_e2e, upgraded this round from no_oracle to a
+        # full hash oracle (deterministic hash embedder).
+        "media_content_stats": q_media_content_stats,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "flagship_filtered_cosine_topk": q_flagship,
+        "metadata_filter_eq": q_filter_eq,
+        "metadata_filter_range": q_filter_range,
+        "metadata_filter_in": q_filter_in,
+        "cosine_topk": q_cosine_topk,
+        "dot_topk_compat": q_dot_topk_compat,
+        "nearest_l2": q_nearest_l2,
+        "ann_brute_topk": q_ann_topk,
+        "dedup_exact": q_dedup_exact,
+        "neardup_embedding": q_neardup_embedding,
+        "neardup_embedding_lsh": q_neardup_embedding_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_stats": q_text_stats,
+        "lang_profile": q_lang_profile,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "brand_revenue": q_brand_revenue,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "dedup_keep": q_dedup_keep,
+        "bm25_search": q_bm25,
+        "lang_id_heuristic": q_lang_id,
+        "props_json_agg": q_props_json,
+        "revenue_rollup": q_revenue_rollup,
+        "segment_intersect": q_segment_intersect,
+        "customer_rank_window": q_customer_rank,
+        "regional_supply": q_regional_supply,
+        "collection_e2e": q_collection_e2e,
+        # ==== past the window: driver-green queries (see COVERAGE.md
+        # ledger for each one's last-checked round); all stay in the
+        # full local dev_compare sweep every round. r6 window plan:
+        # any new r5 additions first, then the remaining round-2/3
+        # veterans not re-checked above (events_sessionize cohort).
         "orc_roundtrip": q_orc_roundtrip,
         "length_bucket_batches": q_length_bucket_batches,
         "cm_join_size": q_cm_join_size,
-        # (b) 47 of the 52 queries that have NEVER had a driver row
-        # (r2/r3 additions that sat past the 50-entry window; verified
-        # locally by dev_compare at sf0.001/0.01/0.1 but never hashed
-        # by the driver). Five deferred to the r5 window, each with its
-        # machinery covered by an in-window sibling: rp_ann_topk
-        # (rows-only; rp_ann_planted gates recall), bigram_logprob
-        # (unigram_logprob), incremental_neardup (incremental_dedup),
-        # name_edit_distance (entity_linkage levenshtein, r3-green),
-        # events_sliding_window (events_session_window + r2-green
-        # events_windowed).
         "corpus_sample_quota": q_corpus_sample_quota,
         "events_debounce": q_events_debounce,
         "table_profile": q_table_profile,
@@ -3616,18 +3673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "label_cluster_stats": q_label_cluster_stats,
         "asof_next_click": q_asof_next_click,
-        # ==== past the window: r1-r3 driver-green queries and the
-        # stable core. Every entry below has a driver-green row in
-        # CORRECTNESS_r0{1,2,3}.json (see COVERAGE.md ledger) or is a
-        # deliberate deferral documented above; all stay in the full
-        # local dev_compare sweep every round. r5 window plan: the five
-        # deferrals above + the seven r4 additions (warc_ingest,
-        # epoch_shuffle_manifest, mixture_weights_plan, cm_freq_stream,
-        # mojibake_profile, l_diversity_audit, pq_ann_planted,
-        # merge_into_versioned, stream_left_outer_join, kcore_planted,
-        # histogram_quantiles, heavy_hitters, unigram_encode_planted) =
-        # 18 first-ever rows; the remaining 32 slots re-check r4's
-        # window (newest hard signal).
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
@@ -3661,19 +3706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily_rollup": q_hll_daily_rollup,
         "embedding_quantize_stats": q_embedding_quantize_stats,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        "warc_ingest": q_warc_ingest,  # added r4 — r5 window candidate
-        "epoch_shuffle_manifest": q_epoch_shuffle,  # added r4 — r5 window candidate
-        "mixture_weights_plan": q_mixture_weights,  # added r4 — r5 window candidate
-        "cm_freq_stream": q_cm_freq_stream,  # added r4 — r5 window candidate
-        "mojibake_profile": q_mojibake_profile,  # added r4 — r5 window candidate
-        "l_diversity_audit": q_l_diversity_audit,  # added r4 — r5 window candidate
-        "pq_ann_planted": q_pq_ann_planted,  # added r4 — r5 window candidate
-        "merge_into_versioned": q_merge_into_versioned,  # added r4 — r5 window candidate
-        "stream_left_outer_join": q_stream_left_outer_join,  # added r4 — r5 window candidate
-        "kcore_planted": q_kcore_planted,  # added r4 — r5 window candidate
-        "histogram_quantiles": q_histogram_quantiles,  # added r4 — r5 window candidate
-        "heavy_hitters": q_heavy_hitters,  # added r4 — r5 window candidate
-        "unigram_encode_planted": q_unigram_encode_planted,  # added r4 — r5 window candidate
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "url_normalize_planted": q_url_normalize_planted,
         "html_extract_planted": q_html_extract_planted,
@@ -3688,45 +3720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_audience_overlap": q_kmv_audience_overlap,
         "quantile_bins": q_quantile_bins,
         "robots_rules_planted": q_robots_rules_planted,
-        "events_sliding_window": q_events_sliding_window,
-        "name_edit_distance": q_name_edit_distance,
-        "bigram_logprob": q_bigram_logprob,
-        "incremental_neardup": q_incremental_neardup,
-        "media_content_stats": q_media_content_stats,
-        "rp_ann_topk": q_rp_ann_topk,  # rows-only; in-window twin rp_ann_planted is the oracle gate
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "flagship_filtered_cosine_topk": q_flagship,
-        "metadata_filter_eq": q_filter_eq,
-        "metadata_filter_range": q_filter_range,
-        "metadata_filter_in": q_filter_in,
-        "cosine_topk": q_cosine_topk,
-        "dot_topk_compat": q_dot_topk_compat,
-        "nearest_l2": q_nearest_l2,
-        "ann_brute_topk": q_ann_topk,
-        "dedup_exact": q_dedup_exact,
-        "neardup_embedding": q_neardup_embedding,
-        "neardup_embedding_lsh": q_neardup_embedding_lsh,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "text_stats": q_text_stats,
-        "lang_profile": q_lang_profile,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "brand_revenue": q_brand_revenue,
-        "events_windowed": q_events_windowed,
-        "events_sessionize": q_events_sessionize,
-        "dedup_keep": q_dedup_keep,
-        "bm25_search": q_bm25,
-        "lang_id_heuristic": q_lang_id,
-        "props_json_agg": q_props_json,
-        "revenue_rollup": q_revenue_rollup,
-        "segment_intersect": q_segment_intersect,
-        "customer_rank_window": q_customer_rank,
-        "regional_supply": q_regional_supply,
         "events_windowed_stream": q_events_windowed_stream,
         "asof_join_clicks": q_asof_clicks,
-        "collection_e2e": q_collection_e2e,
         "range_join_incidents": q_range_join_incidents,
         "customers_no_big_order": q_customers_no_big_order,
         "order_cube": q_order_cube,
@@ -4156,7 +4151,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN c_custkey % 7 = 0 THEN bal + 100 ELSE bal END AS bal
                 FROM base WHERE c_custkey % 11 != 0
                 UNION ALL
-                SELECT c_custkey + 1000000, 'NEWSEG', 0::BIGINT
+                SELECT c_custkey + 1000000000, 'NEWSEG', 0::BIGINT
                 FROM base WHERE c_custkey % 13 = 0
             )
             SELECT c_mktsegment, count(*) AS n_rows,

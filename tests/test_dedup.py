@@ -859,3 +859,24 @@ def test_temperature_mixture_weights_math_and_cap(spark):
         temperature_mixture_weights(df, "source", tau=0.5)
     with _pytest.raises(ValueError):
         temperature_mixture_weights(df, "source", cap=0.0)
+
+
+def test_temperature_mixture_infeasible_cap_raises(spark):
+    """cap * n_strata < 1 admits NO distribution summing to 1; the old
+    code silently pinned every stratum at cap (targets summing to
+    n*cap) with NULL-poisoned repeat factors (r4 ADVICE, mixture.py:66).
+    The in-plan assert_true guard must raise at evaluation, and a
+    boundary-feasible cap (= 1/n) must still work."""
+    import pytest as _pytest
+
+    from valentinus_spark.operators.mixture import temperature_mixture_weights
+
+    rows = [(i, "s%d" % (i % 4), 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, source string, n_chars long")
+
+    with _pytest.raises(Exception, match="infeasible mixture cap"):
+        temperature_mixture_weights(df, "source", "n_chars", tau=2.0, cap=0.2).collect()
+
+    # cap exactly 1/n is feasible: uniform pinning sums to 1
+    ok = temperature_mixture_weights(df, "source", "n_chars", tau=2.0, cap=0.25).collect()
+    assert abs(sum(r["p_target"] for r in ok) - 1.0) < 1e-5

@@ -232,3 +232,41 @@ def test_merge_into_upsert_delete_and_isolation(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="duplicate merge key"):
         merge_into(spark, path, dup, on=["id"], delete_col="is_delete")
+
+
+def test_merge_into_null_key_matches_null_key(spark, tmp_path):
+    """NULL merge keys (r4 ADVICE, versioned.py:239): the join uses
+    eqNullSafe, so a NULL-keyed current row MATCHES a NULL-keyed update
+    row. Presence must come from marker columns, not key-NULL checks —
+    the old formulation read the match as insert-only and silently
+    deleted the current row under when_not_matched='ignore' (and
+    replaced it wholesale, bypassing partial-update, under 'insert')."""
+    from valentinus_spark.sources.versioned import (
+        commit_version,
+        merge_into,
+        read_version,
+    )
+
+    path = str(tmp_path / "nulltbl")
+    base = spark.createDataFrame(
+        [(None, "nullrow", 1), (1, "a", 10)], "id long, name string, v long"
+    )
+    commit_version(spark, path, base, mode="overwrite")
+
+    # partial update of the NULL-keyed row: NULL name keeps current
+    upd = spark.createDataFrame([(None, None, 99)], "id long, name string, v long")
+    v2 = merge_into(spark, path, upd, on=["id"], when_not_matched="ignore")
+    got = {r["name"]: (r["id"], r["v"]) for r in read_version(spark, path, v2).collect()}
+    assert got == {"nullrow": (None, 99), "a": (1, 10)}, (
+        "NULL-keyed match must UPDATE (name preserved via coalesce), "
+        "not delete or wholesale-replace"
+    )
+
+    # and under when_not_matched='insert' it must still be a match
+    # (1 row out, not 2), with partial-update semantics intact
+    upd2 = spark.createDataFrame([(None, None, 7)], "id long, name string, v long")
+    v3 = merge_into(spark, path, upd2, on=["id"], when_not_matched="insert")
+    rows = read_version(spark, path, v3).collect()
+    assert len(rows) == 2
+    got3 = {r["name"]: r["v"] for r in rows}
+    assert got3 == {"nullrow": 7, "a": 10}

@@ -94,6 +94,23 @@ def test_spark_read_warc_and_quarantine(spark, tmp_path):
         read_warc(spark, str(tmp_path), on_error="raise").collect()
 
 
+def test_spark_read_warc_quarantines_corrupt_gzip(spark, tmp_path):
+    """A truncated/corrupt gzip member raises zlib.error (not
+    ValueError) out of _gunzip_members; the quarantine must catch it too
+    — one bad shard byte-range must not kill the whole task (r4 ADVICE,
+    warc.py:218)."""
+    recs = _recs(4)
+    (tmp_path / "good.warc").write_bytes(encode_warc(recs))
+    blob = encode_warc(recs, compression="member")
+    # valid gzip magic so the member-gzip path engages, then garbage
+    (tmp_path / "trunc.warc.gz").write_bytes(blob[: len(blob) // 2] + b"\x00garbage")
+    rows = read_warc(spark, str(tmp_path), record_types=["response"]).collect()
+    ok = [r for r in rows if r["parse_error"] is None]
+    bad = [r for r in rows if r["parse_error"] is not None]
+    assert len(ok) == 4, "good shard must survive the corrupt sibling"
+    assert len(bad) == 1 and bad[0]["source_file"].endswith("trunc.warc.gz")
+
+
 def test_spark_write_warc_reshard_roundtrip(spark, tmp_path):
     recs = _recs(12)
     src = tmp_path / "src"

@@ -61,17 +61,37 @@ def temperature_mixture_weights(
     p_t = scaled / F.sum(scaled).over(everything)
     out = agg.withColumn("_praw", p_raw).withColumn("_pt", p_t)
     if cap is not None:
+        # Feasibility gate, in-plan so laziness is preserved: targets can
+        # only sum to 1 when cap * n_strata >= 1. Below that every
+        # stratum pins at cap, free_mass is NULL, and the plan would
+        # silently emit targets summing to n*cap (r4 ADVICE,
+        # mixture.py:66). assert_true raises at evaluation time and
+        # returns NULL when the plan is feasible, so the when() below is
+        # a pass-through on the happy path.
+        feasible = F.lit(cap) * F.count(F.lit(1)).over(everything) >= F.lit(1.0 - 1e-9)
+        guard = F.assert_true(
+            feasible,
+            F.lit(
+                f"infeasible mixture cap {cap}: cap * n_strata < 1, "
+                "no target distribution can sum to 1"
+            ),
+        )
         # waterfill once: capped strata pin at cap; the freed mass
-        # spreads proportionally over the rest
+        # spreads proportionally over the rest (free_mass cannot be NULL
+        # once the guard holds: all-capped with sum(_pt)=1 would need
+        # 1 > n*cap, exactly the rejected case)
         capped = F.col("_pt") > F.lit(cap)
         cap_mass = F.sum(F.when(capped, F.lit(cap))).over(everything)
         free_mass = F.sum(F.when(~capped, F.col("_pt"))).over(everything)
         out = out.withColumn(
             "_pt",
-            F.when(capped, F.lit(cap)).otherwise(
-                F.col("_pt")
-                * (F.lit(1.0) - F.coalesce(cap_mass, F.lit(0.0)))
-                / free_mass
+            F.when(
+                guard.isNull(),
+                F.when(capped, F.lit(cap)).otherwise(
+                    F.col("_pt")
+                    * (F.lit(1.0) - F.coalesce(cap_mass, F.lit(0.0)))
+                    / free_mass
+                ),
             ),
         )
     return out.select(

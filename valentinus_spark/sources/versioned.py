@@ -231,13 +231,20 @@ def merge_into(
     upd = updates
     u_cols = {c: f"_u_{c}" for c in upd.columns}
     upd = upd.select(*[F.col(c).alias(a) for c, a in u_cols.items()])
-    joined = current.join(
+    # Join-side presence is detected via literal marker columns, NOT via
+    # isNull on the key columns: the join uses eqNullSafe, so a NULL-keyed
+    # current row can legitimately match a NULL-keyed update row — key-NULL
+    # checks would misread that as "insert-only" and drop/replace the
+    # current row (r4 ADVICE, versioned.py:239).
+    cur = current.withColumn("_vm_cur", F.lit(True))
+    upd = upd.withColumn("_vm_upd", F.lit(True))
+    joined = cur.join(
         upd,
         on=[F.col(c).eqNullSafe(F.col(u_cols[c])) for c in on],
         how="full_outer",
     )
-    matched = F.col(u_cols[on[0]]).isNotNull() & F.col(on[0]).isNotNull()
-    update_only = F.col(on[0]).isNull()  # no current match
+    matched = F.col("_vm_cur").isNotNull() & F.col("_vm_upd").isNotNull()
+    update_only = F.col("_vm_cur").isNull()  # no current match
     deleting = (
         F.col(u_cols[delete_col]) if delete_col is not None else F.lit(False)
     )

@@ -215,7 +215,12 @@ def read_warc(
                                 "parse_error": None,
                             }
                         )
-                except ValueError as e:
+                except (ValueError, zlib.error, EOFError, OSError) as e:
+                    # zlib.error / EOFError / OSError (BadGzipFile) escape
+                    # _gunzip_members on a truncated or corrupt gzip member;
+                    # the quarantine posture is "one bad record must not
+                    # kill a 1 GB shard task", so they quarantine alongside
+                    # structural ValueErrors (r4 ADVICE, warc.py:218).
                     if on_error == "raise":
                         raise
                     rows.append(

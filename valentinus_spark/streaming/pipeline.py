@@ -393,9 +393,17 @@ def merge_hll_state(
         # state absent or unreadable-as-parquet: either a fresh start or
         # a crash after state_path was deleted but before its rewrite
         # finished — in the latter case _next holds the complete merge
-        # through the previous batch
+        # through the previous batch. Restore state_path from _next
+        # EAGERLY before the merge below: the merged plan is lazy, and
+        # writing it back to next_path while it still reads from
+        # next_path would hit Spark's overwrite-a-read-path guard (r4
+        # ADVICE, pipeline.py:407) — exactly in the crash scenario the
+        # fallback exists for.
         try:
-            prev = spark.read.parquet(next_path)
+            spark.read.parquet(next_path).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(state_path)
+            prev = spark.read.parquet(state_path)
         except AnalysisException:
             prev = None
     if prev is not None:
