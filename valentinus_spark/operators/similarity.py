@@ -601,32 +601,42 @@ def mmr_rerank(
     return candidates.groupBy(query_id).applyInPandas(rerank, schema=out_schema)
 
 
-def semantic_dedup(
+def semantic_dedup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: Sequence[Sequence[float]] | None = None,
     n_centroids: int = 8,
     threshold: float = 0.95,
+    target_cluster_size: int = 2000,
+    max_cluster: int | None = 8000,
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
-    that are SEMANTICALLY redundant — embedding cosine ≥ ``threshold`` —
-    keeping one representative (min id) per near-duplicate group.
-    Returns the kept corpus rows with all columns.
+    """The candidate-pair stage of :func:`semantic_dedup` (exposed so
+    the skew stress test can pin the pair-count bound directly):
+    ``(id_a, id_b)`` pairs with within-cluster cosine ≥ ``threshold``.
 
-    Plan: k-means clusters (broadcast centroid literals, JVM-side argmax
-    assignment) → exact pairwise cosine WITHIN clusters only (self-join
-    on cluster id: Σ|c|² work instead of n²) → connected components over
-    the pair list (transitive groups) → anti-join the non-representative
-    members. At 100 TB, n_centroids scales as n/target_cluster_size so
-    per-cluster work stays bounded, the pair list is sparse (only actual
-    near-dups), and the CC step runs the driver union-find fast path
-    below 1M pairs / O(log n) star rounds above it."""
-    from valentinus_spark.operators.dedup import connected_components
+    Work bounding — the two knobs that keep the within-cluster self-join
+    off the n² cliff on skewed embedding spaces (the normal case for web
+    corpora, where one hot centroid can absorb most of the corpus):
 
-    cents = centroids if centroids is not None else ivf_centroids(
-        corpus, n_centroids, vec_col
-    )
+    - ``n_centroids`` auto-sizes to ``max(n_centroids,
+      ceil(n / target_cluster_size))`` from a cheap column-pruned count
+      when no explicit ``centroids`` are passed, so average cluster work
+      tracks the corpus instead of a fixed default.
+    - clusters still larger than ``max_cluster`` after assignment are
+    sub-split deterministically (``pmod(xxhash64(id), ceil(size /
+      max_cluster))``), mirroring ``linkage.candidate_pairs``'s
+      ``max_block`` bounding. Pairs straddling sub-buckets are lost —
+      the documented SemDeDup approximation traded for the hard
+      guarantee that total pair work is ≤ ``max_cluster · n / 2``
+      regardless of skew. ``max_cluster=None`` disables the cap.
+    """
+    if centroids is None:
+        n = corpus.count()
+        n_centroids = max(n_centroids, -(-n // max(target_cluster_size, 1)))
+        cents = ivf_centroids(corpus, n_centroids, vec_col)
+    else:
+        cents = centroids
     cents_arr = F.array(*[literal_vector(c) for c in cents])
     scored = F.transform(
         cents_arr,
@@ -635,8 +645,26 @@ def semantic_dedup(
         ),
     )
     assigned = ensure_parallelism(corpus).withColumn(
-        "_bucket", F.reverse(F.array_sort(scored))[0]["bucket"]
+        "_bucket", F.reverse(F.array_sort(scored))[0]["bucket"].cast("string")
     )
+    if max_cluster is not None:
+        # hot-cluster salting: the per-bucket size table is tiny
+        # (n_centroids rows) so the size lookup broadcasts; the salt is
+        # a deterministic id hash, so reruns and engines agree
+        sizes = assigned.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        nsub = F.ceil(F.col("_bn") / F.lit(float(max_cluster))).cast("bigint")
+        assigned = (
+            assigned.join(F.broadcast(sizes), "_bucket")
+            .withColumn(
+                "_bucket",
+                F.concat_ws(
+                    "#",
+                    F.col("_bucket"),
+                    F.pmod(F.xxhash64(F.col(id_col)), nsub).cast("string"),
+                ),
+            )
+            .drop("_bn")
+        )
     # normalize ONCE per row (n × dim work) so each of the Σ|c|²
     # within-cluster pairs pays a single dot product instead of
     # dot + two norms — the same row-side prep embedding_neardup_pairs
@@ -650,11 +678,52 @@ def semantic_dedup(
     b = normed.select(
         F.col("_bucket"), F.col(id_col).alias("_idb"), F.col("_nvec").alias("_vb")
     )
-    pairs = (
+    return (
         a.join(b, "_bucket")
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(dot(F.col("_va"), F.col("_vb")) >= threshold)
         .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Sequence[Sequence[float]] | None = None,
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    target_cluster_size: int = 2000,
+    max_cluster: int | None = 8000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
+    that are SEMANTICALLY redundant — embedding cosine ≥ ``threshold`` —
+    keeping one representative (min id) per near-duplicate group.
+    Returns the kept corpus rows with all columns.
+
+    Plan: k-means clusters (broadcast centroid literals, JVM-side argmax
+    assignment) → exact pairwise cosine WITHIN clusters only (self-join
+    on cluster id: Σ|c|² work instead of n²) → connected components over
+    the pair list (transitive groups) → anti-join the non-representative
+    members. Per-cluster work is hard-bounded against embedding-space
+    skew: ``n_centroids`` auto-sizes as n / ``target_cluster_size`` and
+    clusters above ``max_cluster`` are deterministically sub-split (see
+    :func:`semantic_dedup_pairs` for the exact contract), so total pair
+    work stays ≤ ``max_cluster·n/2`` even when one hot centroid absorbs
+    the corpus. The pair list is sparse (only actual near-dups), and the
+    CC step runs the driver union-find fast path below 1M pairs /
+    O(log n) star rounds above it."""
+    from valentinus_spark.operators.dedup import connected_components
+
+    pairs = semantic_dedup_pairs(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        n_centroids=n_centroids,
+        threshold=threshold,
+        target_cluster_size=target_cluster_size,
+        max_cluster=max_cluster,
     )
     cc = connected_components(pairs, "id_a", "id_b")
     dropped = cc.filter(F.col("id") != F.col("cluster_id")).select(
