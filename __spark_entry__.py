@@ -758,8 +758,11 @@ def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_collection_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full lifecycle inside the driver gate: documents
     table → collection (hash embedder) → save → filtered cosine top-10 →
-    delete. Rows-only (hash embeddings aren't SQL-expressible); result is
-    deterministic via the seeded embedder."""
+    delete. Fully hash-oracled since r5: the embedder's token hash is
+    sha256-based (embed.py::_hash_token), so DuckDB replays the whole
+    chain — tokenize → bucket/sign → float32 normalize → double cosine —
+    bit-exactly (element parity verified in
+    tests/test_embed.py::test_hash_embedder_sql_replica_parity)."""
     import tempfile
 
     from valentinus_spark.collection import CollectionCatalog, EmbeddingCollection
@@ -3816,6 +3819,70 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        # full hash-embedder lifecycle replay (r4 VERDICT "Next round"
+        # #4): metadata filter, sha256 token bucket/sign sums, float32
+        # normalization (CAST ... AS FLOAT narrows exactly like numpy's
+        # float32 ops — double-rounding divergence is ~2^-29/element),
+        # double-precision cosine, dot>0 keep rule, (sim desc, id) top-10
+        "collection_e2e": """
+            WITH filt AS (
+                SELECT 'id' || doc_id::VARCHAR AS id, text
+                FROM documents WHERE lang = 'en' AND n_chars >= 100
+            ),
+            toks AS (
+                SELECT id,
+                       unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+                FROM filt
+            ),
+            h AS (
+                SELECT id,
+                       (('0x' || substr(sha256('42' || chr(31) || t), 1, 15))::UBIGINT)::BIGINT AS v
+                FROM toks WHERE t != ''
+            ),
+            sums AS (
+                SELECT id, ((v >> 1) % 64)::INT AS bucket,
+                       sum(CASE WHEN (v & 1) = 1 THEN 1.0 ELSE -1.0 END)::DOUBLE AS val
+                FROM h GROUP BY 1, 2
+            ),
+            docvec AS (
+                SELECT id, bucket,
+                       CAST(val / CAST(sqrt(sum(val * val) OVER (PARTITION BY id)) AS FLOAT) AS FLOAT) AS el
+                FROM sums
+            ),
+            qtok AS (SELECT unnest(['spark', 'query', 'data']) AS t),
+            qh AS (
+                SELECT (('0x' || substr(sha256('42' || chr(31) || t), 1, 15))::UBIGINT)::BIGINT AS v
+                FROM qtok
+            ),
+            qsums AS (
+                SELECT ((v >> 1) % 64)::INT AS bucket,
+                       sum(CASE WHEN (v & 1) = 1 THEN 1.0 ELSE -1.0 END)::DOUBLE AS val
+                FROM qh GROUP BY 1
+            ),
+            qvec AS (
+                SELECT bucket,
+                       CAST(val / CAST(sqrt(sum(val * val) OVER ()) AS FLOAT) AS FLOAT) AS el
+                FROM qsums
+            ),
+            norms AS (
+                SELECT id, sqrt(sum(el::DOUBLE * el::DOUBLE)) AS na FROM docvec GROUP BY 1
+            ),
+            qnorm AS (SELECT sqrt(sum(el::DOUBLE * el::DOUBLE)) AS nq FROM qvec),
+            dots AS (
+                SELECT d.id, sum(d.el::DOUBLE * q.el::DOUBLE) AS dp
+                FROM docvec d JOIN qvec q USING (bucket) GROUP BY 1
+            ),
+            sims AS (
+                SELECT n.id,
+                       CASE WHEN n.na * (SELECT nq FROM qnorm) > 0
+                            THEN COALESCE(dp, 0.0) / (n.na * (SELECT nq FROM qnorm))
+                            ELSE 0.0 END AS sim
+                FROM norms n LEFT JOIN dots USING (id)
+            )
+            SELECT id, ROUND(sim, 4) AS similarity
+            FROM sims WHERE sim > 0
+            ORDER BY sim DESC, id ASC LIMIT 10
+        """,
         # theta-overlap replay: both 64-hash sketches rebuilt, combined
         # threshold, survivors marked per side, same estimator constants
         "kmv_audience_overlap": """

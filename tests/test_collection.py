@@ -141,8 +141,9 @@ def test_cosine_query_result_wrapper(spark, fresh_warehouse):
 def test_ann_index_lifecycle(spark, fresh_warehouse):
     """build_ann_index persists model + hashed table; approx query finds
     the exact NN (generous bucket length ⇒ single bucket on toy data)."""
-    # dim=128: at dim=16 the token buckets collide (e.g. "7" vs "16") and
-    # two docs end up with identical embeddings, making exact-NN ambiguous
+    # topic token must hash to its own (bucket, sign) at this dim, or two
+    # docs share an embedding and the exact NN is tie-ambiguous (under
+    # the sha256 token hash, "7"/"23" and "1"/"15" collide at dim=128)
     corpus = [f"document about topic {i} with words {i}" for i in range(30)]
     col = EmbeddingCollection.new(
         spark, corpus, None, None, "annidx", embedder=HashEmbedder(dim=128)
@@ -153,9 +154,9 @@ def test_ann_index_lifecycle(spark, fresh_warehouse):
 
     # reload through the catalog — index must survive find()
     found = EmbeddingCollection.find(spark, view="view-annidx")
-    exact = found.nearest_query("document about topic 7 with words 7")
-    approx = found.nearest_query_approx("document about topic 7 with words 7", k=1)
-    assert approx.first()["id"] == exact == "id7"
+    exact = found.nearest_query("document about topic 9 with words 9")
+    approx = found.nearest_query_approx("document about topic 9 with words 9", k=1)
+    assert approx.first()["id"] == exact == "id9"
 
 
 def test_promoted_metadata_pushdown(spark, fresh_warehouse):

@@ -304,3 +304,47 @@ def test_registry():
     assert get_embedder("AllMiniLmL6V2", model_path="/tmp/m").name == "onnx"
     with pytest.raises(ConfigError):
         HashEmbedder(dim=0)
+
+
+def test_hash_embedder_sql_replica_parity():
+    """The collection_e2e oracle replays the hash embedder in DuckDB
+    (sha256 bucket/sign -> float32 normalize); pin BIT-EXACT element
+    parity on texts covering collisions, unicode, repeats, and sign
+    cancellation so embedder drift can't silently rot the oracle."""
+    import duckdb
+    import numpy as np
+
+    e = HashEmbedder(dim=64, seed=42)
+    texts = [
+        "the quick brown fox jumps over the lazy dog the end",
+        "spark query data",
+        "a a a a b b c",
+        "wörld café naïve",
+        "single",
+    ]
+    vecs = e.embed_texts(texts)
+    con = duckdb.connect()
+    for text, vec in zip(texts, vecs):
+        rows = con.execute(
+            """
+            WITH toks AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(?), '\\s+', ' ', 'g')), ' ')) AS t
+            ),
+            h AS (
+                SELECT (('0x' || substr(sha256('42' || chr(31) || t), 1, 15))::UBIGINT)::BIGINT AS v
+                FROM toks WHERE t != ''
+            ),
+            sums AS (
+                SELECT ((v >> 1) % 64)::INT AS bucket,
+                       sum(CASE WHEN (v & 1) = 1 THEN 1.0 ELSE -1.0 END)::DOUBLE AS val
+                FROM h GROUP BY 1
+            )
+            SELECT bucket, CAST(val / CAST(sqrt(sum(val * val) OVER ()) AS FLOAT) AS FLOAT) AS el
+            FROM sums
+            """,
+            [text],
+        ).fetchall()
+        got = np.zeros(64, dtype=np.float32)
+        for bkt, el in rows:
+            got[bkt] = el
+        assert np.array_equal(got, vec), f"element drift for {text!r}"

@@ -42,7 +42,7 @@ from valentinus_spark.errors import ConfigError, ModelError
 DEFAULT_DIM = 384  # reference onnx.rs:20
 
 
-# token→(bucket, sign) memo: corpora are Zipfian, so most blake2b calls
+# token→(bucket, sign) memo: corpora are Zipfian, so most sha256 calls
 # repeat a token already hashed in this worker process; bound the memo so
 # an adversarial corpus of unique tokens can't grow it without limit
 _TOKEN_CACHE: dict[tuple[int, str], tuple[int, float]] = {}
@@ -50,13 +50,18 @@ _TOKEN_CACHE_MAX = 1_000_000
 
 
 def _hash_token(token: str, seed: int) -> tuple[int, float]:
-    """(bucket, sign) for one token — blake2b keyed by seed: stable across
-    processes, Python versions, and cluster nodes (unlike builtin hash())."""
+    """(bucket, sign) for one token — sha256 domain-separated by seed:
+    stable across processes, Python versions, and cluster nodes (unlike
+    builtin hash()), and replicable in ANSI-ish SQL — 60 bits =
+    ``('0x' || substr(sha256(seed || chr(31) || token), 1, 15))::UBIGINT``
+    in DuckDB — which is what lets the driver's collection_e2e query
+    carry a full hash oracle over the lifecycle output instead of a
+    rows-only check."""
     key = (seed, token)
     got = _TOKEN_CACHE.get(key)
     if got is None:
-        h = hashlib.blake2b(token.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "little")).digest()
-        v = int.from_bytes(h, "little")
+        h = hashlib.sha256(f"{seed}\x1f".encode("utf-8") + token.encode("utf-8")).hexdigest()
+        v = int(h[:15], 16)
         got = (v >> 1, 1.0 if (v & 1) else -1.0)
         if len(_TOKEN_CACHE) < _TOKEN_CACHE_MAX:
             _TOKEN_CACHE[key] = got
