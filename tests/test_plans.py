@@ -335,3 +335,31 @@ def test_histogram_bounds_join_is_broadcast(spark):
     plan = plan_of(equi_width_histogram(df, "value", n_bins=8))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_drifted_headline_queries_plan_fingerprint(spark):
+    """r4 bench drift suspects (brand_revenue +35%, customer_rank_window
+    +29%, events_sessionize +24%, pricing_summary +23% vs r3 — all
+    attributed to single-JVM suite pressure, not plan change). Pin each
+    plan's shuffle/broadcast Exchange fingerprint so a real plan
+    regression is distinguishable from timing noise next time (VERDICT
+    r4 perf item 5)."""
+    import __spark_entry__ as entry
+
+    expected = {
+        # name: (shuffle exchanges, broadcast exchanges)
+        "brand_revenue": (2, 2),
+        "customer_rank_window": (4, 4),
+        "events_sessionize": (2, 0),
+        "pricing_summary": (2, 0),
+    }
+    for name, (want_shuffle, want_bcast) in expected.items():
+        plan = plan_of(entry.queries()[name](spark, SF_DIR))
+        n_total = plan.count("Exchange")
+        n_bcast = plan.count("BroadcastExchange")
+        got = (n_total - n_bcast, n_bcast)
+        assert got == (want_shuffle, want_bcast), (
+            f"{name}: plan fingerprint drifted to shuffle/broadcast={got}, "
+            f"expected {(want_shuffle, want_bcast)} — investigate before "
+            "blaming suite pressure"
+        )
