@@ -1,0 +1,131 @@
+"""Round-5 curation operators: PMI collocations, robust z-scores,
+calibration curves, hard-negative mining, label propagation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from valentinus_spark.operators import (
+    calibration_curve,
+    hard_negatives,
+    label_propagation,
+    pmi_collocations,
+    robust_zscore,
+)
+
+
+def test_pmi_collocations_hand_counts(spark):
+    """Hand-countable corpus: only (a,b) reaches min_count=2; its PMI is
+    log2((3/6) / ((3/9)*(3/9))) = log2(4.5)."""
+    docs = spark.createDataFrame(
+        [("a b a b",), ("a b c",), ("c c",)], "text string"
+    )
+    got = pmi_collocations(docs, min_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["token_a"], r["token_b"]) == ("a", "b")
+    assert r["pair_count"] == 3 and r["count_a"] == 3 and r["count_b"] == 3
+    assert abs(r["pmi"] - math.log2(4.5)) < 1e-9
+
+
+def test_pmi_collocations_apriori_prune(spark):
+    """A pair of infrequent tokens can never qualify (downward closure):
+    'x y' repeats 3 times but x,y each appear only 3 < min_count=4."""
+    docs = spark.createDataFrame(
+        [("x y",), ("x y",), ("x y",), ("a a a a a",)], "text string"
+    )
+    got = pmi_collocations(docs, min_count=4).collect()
+    assert [(r["token_a"], r["token_b"]) for r in got] == [("a", "a")]
+
+
+def test_robust_zscore_median_mad(spark):
+    """[1,2,3,4,100]: median 3, MAD 1 — the outlier does not drag the
+    scale estimate (the whole point vs mean/stddev)."""
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4, 100]], "v double")
+    got = {r["v"]: r for r in robust_zscore(df, "v").collect()}
+    assert abs(got[100]["robust_z"] - 0.6745 * 97) < 1e-9
+    assert got[100]["is_outlier"]
+    assert abs(got[1]["robust_z"] + 0.6745 * 2) < 1e-9
+    assert not got[1]["is_outlier"]
+    assert got[3]["robust_z"] == 0.0
+
+
+def test_robust_zscore_grouped_and_constant_group(spark):
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 100]] + [("b", 7.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = robust_zscore(df, "v", group_col="g").collect()
+    b_rows = [r for r in got if r["g"] == "b"]
+    assert all(r["robust_z"] == 0.0 and not r["is_outlier"] for r in b_rows)
+    a_out = [r for r in got if r["g"] == "a" and r["is_outlier"]]
+    assert [r["v"] for r in a_out] == [100.0]
+
+
+def test_calibration_curve_bins_and_edge(spark):
+    """Two rows in bin 0 with rate 0.5; score 1.0 closes into bin 9."""
+    rows = [(0.05, True), (0.05, False), (1.0, True)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {r["bin"]: r for r in calibration_curve(df, "score", "label").collect()}
+    assert set(got) == {0, 9}
+    b0 = got[0]
+    assert b0["n_rows"] == 2
+    assert abs(b0["mean_score"] - 0.05) < 1e-12
+    assert abs(b0["positive_rate"] - 0.5) < 1e-12
+    assert abs(b0["abs_gap"] - 0.45) < 1e-12
+    assert got[9]["n_rows"] == 1 and got[9]["positive_rate"] == 1.0
+    with pytest.raises(ValueError):
+        calibration_curve(df, "score", "label", n_bins=1)
+
+
+def test_hard_negatives_excludes_positives_and_ranks(spark):
+    """Anchor 0 at e0; candidates at known cosines: 1 (0.999..., but a
+    positive -> excluded), 2 (0.98), 3 (0.9), 4 (orthogonal). Top-2
+    negatives must be [2, 3]."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.98, 0.2, 0.0]),
+        (3, [0.9, 0.43, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    anchors = spark.createDataFrame([(0,)], "anchor_id long")
+    positives = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    got = hard_negatives(corpus, anchors, positives, k=2).collect()
+    assert [(r["anchor_id"], r["negative_id"], r["rank"]) for r in got] == [
+        (0, 2, 1),
+        (0, 3, 2),
+    ]
+    # reversed positive orientation excludes too
+    rev = spark.createDataFrame([(1, 0)], "id_a long, id_b long")
+    got2 = hard_negatives(corpus, anchors, rev, k=2).collect()
+    assert [r["negative_id"] for r in got2] == [2, 3]
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two triangles joined by one bridge edge: LPA must keep them as
+    TWO communities (min-label CC would merge them across the bridge),
+    each labeled by its min member."""
+    from valentinus_spark.operators import symmetric_edges
+
+    pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    edges = symmetric_edges(
+        spark.createDataFrame(pairs, "src long, dst long")
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, rounds=4).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 10
+
+
+def test_label_propagation_deterministic_across_runs(spark):
+    import random
+
+    rnd = random.Random(7)
+    pairs = list({(rnd.randrange(40), rnd.randrange(40)) for _ in range(120)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    from valentinus_spark.operators import symmetric_edges
+
+    edges = symmetric_edges(spark.createDataFrame(pairs, "src long, dst long"))
+    a = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    assert a == b

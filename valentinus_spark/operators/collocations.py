@@ -1,0 +1,122 @@
+"""Collocation mining: PMI-scored adjacent token pairs with a-priori
+support pruning.
+
+The classic corpus-linguistics primitive (Church & Hanks 1990, "Word
+Association Norms, Mutual Information, and Lexicography") that training
+pipelines use to pick multi-word vocabulary entries, detect boilerplate
+phrases, and seed tokenizer merges. No reference equivalent
+(training-pipeline extension surface).
+
+Scale shape (the a-priori property is the whole design):
+
+- Pass 1 aggregates token unigram counts — map-side combinable, output
+  bounded by vocabulary size (Zipfian corpora: ≪ corpus rows).
+- The frequent-vocabulary set (count ≥ min_count) is an a-priori bound:
+  a pair can only reach min_count if BOTH members do, so pruning
+  unigrams first loses no qualifying pair (Agrawal & Srikant 1994's
+  downward closure, applied to bigrams).
+- Pass 2 counts only ADJACENT pairs (positions i, i+1) — linear in
+  corpus tokens, never a within-document self-join — and keeps a pair
+  only when both members are frequent. The candidate space is bounded
+  by min(corpus tokens, |V_freq|²).
+- PMI arithmetic runs on the tiny aggregate with the corpus totals
+  broadcast (single-row frame), so nothing after pass 2 touches the
+  corpus again.
+
+At 100 TB both passes are single scans with partial aggregation; the
+only shuffles key on token / (token, token) — high-cardinality, evenly
+spread, no skew pattern (the hottest English bigram is ~1% of tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from valentinus_spark.functions.text import normalize_text, word_tokens
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 0,
+) -> DataFrame:
+    """Adjacent-pair collocations scored by pointwise mutual information.
+
+    PMI(a,b) = log2( p(a,b) / (p(a)·p(b)) ) with p(a,b) = pair_count /
+    total_pairs and p(x) = token_count / total_tokens. Pairs and both
+    member tokens must each occur ≥ ``min_count`` times. Returns
+    (token_a, token_b, pair_count, count_a, count_b, pmi) ordered by
+    (pmi desc, token_a, token_b); ``top_n > 0`` truncates after the
+    (deterministic) ordering.
+
+    High PMI + low count is the classic noise regime — min_count is the
+    significance gate, not an optimization knob; raise it with corpus
+    size.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = docs.select(word_tokens(normalize_text(text_col)).alias("w")).where(
+        F.size("w") > 0
+    )
+    tok = toks.select(F.explode("w").alias("t"))
+    unigrams = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total_tokens = unigrams.agg(F.sum("cnt").alias("total_tokens"))
+
+    freq = unigrams.where(F.col("cnt") >= min_count)
+
+    # adjacent pairs: zip the token array with its tail, row-locally —
+    # no join, one row per token position (minus one per doc)
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("ta"), b.alias("tb")),
+            )
+        ).alias("p")
+    ).select(F.col("p.ta").alias("token_a"), F.col("p.tb").alias("token_b"))
+    total_pairs = pairs.agg(F.count(F.lit(1)).alias("total_pairs"))
+
+    pair_counts = (
+        pairs.groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    # a-priori prune via broadcast of the frequent vocab (bounded by
+    # |V_freq|; for web-scale corpora still far under executor memory —
+    # a 10M-entry vocab of 16-byte tokens is ~160 MB; shrink with
+    # min_count, which is what significance wants anyway)
+    scored = (
+        pair_counts.join(
+            F.broadcast(freq.select(F.col("t").alias("token_a"), F.col("cnt").alias("count_a"))),
+            "token_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("t").alias("token_b"), F.col("cnt").alias("count_b"))),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(total_tokens))
+        .crossJoin(F.broadcast(total_pairs))
+        .select(
+            "token_a",
+            "token_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            (
+                F.log2(
+                    (F.col("pair_count") / F.col("total_pairs"))
+                    / (
+                        (F.col("count_a") / F.col("total_tokens"))
+                        * (F.col("count_b") / F.col("total_tokens"))
+                    )
+                )
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("token_a"), F.asc("token_b"))
+    )
+    if top_n > 0:
+        scored = scored.limit(top_n)
+    return scored

@@ -237,3 +237,55 @@ def k_core(
         .select(F.col("u").alias("id"), "degree")
     )
 
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    SYMMETRIC edge list, with the two determinism fixes that make the
+    result engine-replayable:
+
+    - every node casts ONE self-vote alongside its neighbors' votes
+      (breaks the bipartite oscillation synchronous LPA is known for),
+    - the per-node winner is (max vote count, then MIN label) — no
+      random tie-break, so a fixed round count yields a fixed labeling.
+
+    Returns (node, label) after exactly ``rounds`` rounds (labels start
+    as node ids). Communities are nodes sharing a label — the cheap
+    modularity-free alternative to connected components when near-dup
+    clusters are linked by spurious bridges CC would merge across.
+
+    Scale shape: per round ONE (labels ⋈ edges) join + ONE two-level
+    aggregation, both keyed on node id — identical cost model to
+    :func:`pagerank` (rounds × (join + agg), co-partitionable), lineage
+    truncated per round by localCheckpoint. The vote table is bounded by
+    the edge count; no per-node state beyond the single current label.
+    """
+    e = ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    labels = (
+        e.select(F.col(src).alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        neighbor_votes = (
+            e.join(labels, e[src] == labels["node"])
+            .select(F.col(dst).alias("node"), "label")
+        )
+        votes = neighbor_votes.unionByName(labels.select("node", "label"))
+        counts = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+                ).alias("_w")
+            )
+            .select("node", F.col("_w.l").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

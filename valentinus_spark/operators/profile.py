@@ -407,3 +407,54 @@ def quantile_discretize(
         )
         .drop("_cuts")
     )
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-row robust z-scores via median/MAD — the outlier detector that
+    survives the outliers it is hunting (mean/stddev get dragged by the
+    exact heavy tail a crawl exhibits; Iglewicz & Hoaglin 1993's modified
+    z-score = 0.6745·(x−median)/MAD does not).
+
+    Adds ``robust_z`` (0.0 when the group's MAD is 0 — a constant group
+    has no outliers by this test) and ``is_outlier`` (|z| > threshold).
+
+    Complements :func:`valentinus_spark.operators.quality.
+    relative_outlier_filter`: that trims fixed percentile BANDS, this
+    SCORES each row so downstream curation can rank, audit, or
+    soft-weight instead of hard-dropping.
+
+    Scale shape: two exact-percentile aggregates to group granularity
+    (groups are languages/sources — tiny output), each a single
+    map-side-combinable pass, then the per-group stats broadcast back.
+    No window over the raw rows, so a hot group costs a scan, not a
+    single-partition sort. Exact medians keep the score engine-portable
+    (both Spark ``percentile`` and standard SQL ``quantile_cont``
+    interpolate the same way); switch to approx quantiles only if the
+    ±ε is acceptable to the audit consuming the flags."""
+    keys = [group_col] if group_col else []
+    med = df.groupBy(*keys).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    joined = df.join(F.broadcast(med), on=keys) if keys else df.crossJoin(
+        F.broadcast(med)
+    )
+    mad = joined.groupBy(*keys).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    scored = joined.join(F.broadcast(mad), on=keys) if keys else joined.crossJoin(
+        F.broadcast(mad)
+    )
+    z = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad"),
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.withColumn("robust_z", z)
+        .withColumn("is_outlier", F.abs(F.col("robust_z")) > F.lit(threshold))
+        .drop("_med", "_mad")
+    )

@@ -453,3 +453,52 @@ def linear_quality_score(
         cols += [c.alias(n) for n, c in feats.items()]
     cols += [score.alias("quality_score"), (score >= F.lit(threshold)).alias("kept")]
     return df.select(*cols)
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a [0,1]-scored quality classifier: rows
+    bin by equal-width score intervals; each bin reports its empirical
+    positive rate against its mean predicted score. The per-bin gap
+    (and its count-weighted sum, the Expected Calibration Error) is what
+    decides whether a quality score can be THRESHOLDED at a target
+    precision or must be recalibrated first — the standard gate before a
+    classifier-filtered pretraining corpus (Guo et al. 2017, "On
+    Calibration of Modern Neural Networks").
+
+    Returns one row per non-empty bin: (bin, bin_lo, bin_hi, n_rows,
+    mean_score, positive_rate, abs_gap). ECE = Σ n_rows/N · abs_gap over
+    the result — left to the caller, who often wants per-source ECE via
+    a groupBy on this output.
+
+    Scale shape: ONE map-side-combinable aggregate over (bin) — no
+    window, no join; score 1.0 closes into the top bin (least(floor, n-1))
+    so the domain edge doesn't create a phantom bin."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.withColumn("_bin", b)
+        .groupBy("_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg(F.col(score_col)).alias("mean_score"),
+            F.avg(F.col(label_col).cast("double")).alias("positive_rate"),
+        )
+        .select(
+            F.col("_bin").alias("bin"),
+            (F.col("_bin") / n_bins).alias("bin_lo"),
+            ((F.col("_bin") + 1) / n_bins).alias("bin_hi"),
+            "n_rows",
+            "mean_score",
+            "positive_rate",
+            F.abs(F.col("mean_score") - F.col("positive_rate")).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )

@@ -775,3 +775,82 @@ def contrastive_triplets(
         F.col(id_b).alias("positive"),
         neg.alias("negative"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id: str = "anchor_id",
+    pos_a: str = "id_a",
+    pos_b: str = "id_b",
+    sim_decimals: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor, the ``k`` most-similar corpus rows that are NOT the anchor
+    itself and NOT linked to it in the ``positives`` pair list (dup/
+    near-dup clusters — exactly what MinHash/SemDeDup emit). The mined
+    rows are the negatives a contrastive loss learns the most from
+    (Robinson et al. 2021, "Contrastive Learning with Hard Negative
+    Samples"): near the anchor, but known-distinct.
+
+    ``anchors`` carries ``anchor_id`` rows resolved against the corpus
+    (anchor vectors come from the corpus itself — the training-set
+    mining setup, vs. :func:`brute_force_topk`'s external queries).
+    Returns (anchor_id, negative_id, similarity, rank) with rank 1 = the
+    hardest negative; ordering ties break on negative_id so the mined
+    set replays deterministically.
+
+    Plan: anchors resolve vectors via one broadcast semi-join against
+    the corpus; the scored scan is ONE corpus pass with the (few)
+    anchor vectors broadcast; exclusions apply as a broadcast anti-join
+    on (anchor, candidate) BEFORE the per-anchor window top-k
+    (WindowGroupLimit keeps the heap map-side). For web-scale corpora
+    swap the scored scan for bucketed_ann_topk's IVF probe and keep the
+    exclusion/rank stages unchanged — the anti-join composes with any
+    candidate generator."""
+    from valentinus_spark.functions.vector import cosine_similarity
+
+    a_vecs = anchors.join(
+        corpus.select(
+            F.col(id_col).alias(anchor_id), F.col(vec_col).alias("_avec")
+        ),
+        anchor_id,
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("negative_id"), F.col(vec_col).alias("_cvec"))
+        .crossJoin(F.broadcast(a_vecs.select(anchor_id, "_avec")))
+        .where(F.col("negative_id") != F.col(anchor_id))
+        .withColumn("similarity", cosine_similarity(F.col("_cvec"), F.col("_avec")))
+    )
+    if sim_decimals is not None:
+        # rank on ROUNDED similarity: double fold order differs across
+        # engines at ~1e-16, so an exact-similarity ranking is not
+        # replayable — rounding inside the ranking (the cosine_topk
+        # oracle trick) plus the id tie-break makes the mined set
+        # deterministic cross-engine
+        scored = scored.withColumn(
+            "similarity", F.round("similarity", sim_decimals)
+        )
+    # positive pairs are undirected: exclude both orientations
+    excl = positives.select(
+        F.col(pos_a).alias(anchor_id), F.col(pos_b).alias("negative_id")
+    ).unionByName(
+        positives.select(
+            F.col(pos_b).alias(anchor_id), F.col(pos_a).alias("negative_id")
+        )
+    )
+    kept = scored.join(
+        F.broadcast(excl), [anchor_id, "negative_id"], "left_anti"
+    )
+    w = Window.partitionBy(anchor_id).orderBy(
+        F.desc("similarity"), F.asc("negative_id")
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(anchor_id, "negative_id", "similarity", "rank")
+    )
