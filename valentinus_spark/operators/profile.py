@@ -414,6 +414,7 @@ def robust_zscore(
     value_col: str,
     group_col: str | None = None,
     threshold: float = 3.5,
+    approx: bool = False,
 ) -> DataFrame:
     """Per-row robust z-scores via median/MAD — the outlier detector that
     survives the outliers it is hunting (mean/stddev get dragged by the
@@ -428,23 +429,29 @@ def robust_zscore(
     SCORES each row so downstream curation can rank, audit, or
     soft-weight instead of hard-dropping.
 
-    Scale shape: two exact-percentile aggregates to group granularity
-    (groups are languages/sources — tiny output), each a single
-    map-side-combinable pass, then the per-group stats broadcast back.
-    No window over the raw rows, so a hot group costs a scan, not a
-    single-partition sort. Exact medians keep the score engine-portable
-    (both Spark ``percentile`` and standard SQL ``quantile_cont``
-    interpolate the same way); switch to approx quantiles only if the
-    ±ε is acceptable to the audit consuming the flags."""
+    Scale shape: two percentile aggregates to group granularity (groups
+    are languages/sources — tiny output), then the per-group stats
+    broadcast back. No window over the raw rows, so a hot group costs a
+    scan, not a single-partition sort. Exact ``percentile`` keeps the
+    score engine-portable (Spark and standard SQL ``quantile_cont``
+    interpolate identically) but buffers each group's values in the
+    aggregation state — fine to ~10⁸ rows/group; at 100 TB pass
+    ``approx=True`` for ``percentile_approx`` (bounded GK-sketch state,
+    map-side combinable) and accept ±ε on the cut, or feed
+    :func:`histogram_quantiles` thresholds instead."""
     keys = [group_col] if group_col else []
-    med = df.groupBy(*keys).agg(
-        F.percentile(value_col, F.lit(0.5)).alias("_med")
-    )
+
+    def med_of(col):
+        if approx:
+            return F.percentile_approx(col, F.lit(0.5), F.lit(10000))
+        return F.percentile(col, F.lit(0.5))
+
+    med = df.groupBy(*keys).agg(med_of(F.col(value_col)).alias("_med"))
     joined = df.join(F.broadcast(med), on=keys) if keys else df.crossJoin(
         F.broadcast(med)
     )
     mad = joined.groupBy(*keys).agg(
-        F.percentile(F.abs(F.col(value_col) - F.col("_med")), F.lit(0.5)).alias("_mad")
+        med_of(F.abs(F.col(value_col) - F.col("_med"))).alias("_mad")
     )
     scored = joined.join(F.broadcast(mad), on=keys) if keys else joined.crossJoin(
         F.broadcast(mad)
