@@ -116,6 +116,12 @@ BENCH_QUERIES = [
     "warc_ingest",
     "epoch_shuffle_manifest",
     "mixture_weights_plan",
+    # round-5 operators
+    "pmi_collocations",
+    "robust_outliers",
+    "quality_calibration",
+    "hard_negatives",
+    "lpa_communities",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -140,7 +146,7 @@ BENCH_FAMILIES = {
         "flagship_filtered_cosine_topk", "cosine_topk", "nearest_l2",
         "ann_brute_topk", "neardup_embedding", "neardup_embedding_lsh",
         "ann_lsh_topk", "ivf_ann_topk", "collection_e2e",
-        "embedding_element_stats",
+        "embedding_element_stats", "hard_negatives",
     ],
     "dedup": [
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
@@ -153,7 +159,7 @@ BENCH_FAMILIES = {
         "text_stats", "bm25_search", "lang_id_heuristic", "quality_kept",
         "phrase_search", "token_positions", "corpus_pipeline",
         "sequence_packing", "data_expectations", "corpus_balance_sample",
-        "train_split_counts",
+        "train_split_counts", "pmi_collocations", "quality_calibration",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -172,9 +178,9 @@ BENCH_FAMILIES = {
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
-        "zorder_bucket_stats", "scd2_apply",
+        "zorder_bucket_stats", "scd2_apply", "robust_outliers",
     ],
-    "graph": ["pagerank_copurchase"],
+    "graph": ["pagerank_copurchase", "lpa_communities"],
     "media": ["media_content_stats"],
     "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan"],
 }
