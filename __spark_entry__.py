@@ -3677,6 +3677,114 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(copurchase_edges(li), rounds=3).orderBy("node")
 
 
+
+def q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-merge clustering (operators/dedup.py::incremental_
+    components): an existing labeling (CC over arithmetic-planted
+    "historical" pairs) absorbs a delta batch that merges two old
+    clusters, extends one, and plants a brand-new one. The oracle is the
+    INVARIANT, not the algorithm: a recursive-CTE transitive closure
+    over (old ∪ delta) — so the incremental path must land exactly where
+    a full recompute would."""
+    from valentinus_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where("doc_id < 300")
+    old = (
+        d.where("doc_id % 20 = 0")
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 2).alias("id_b"))
+        .unionByName(
+            d.where("doc_id % 40 = 0").select(
+                (F.col("doc_id") + 2).alias("id_a"), (F.col("doc_id") + 4).alias("id_b")
+            )
+        )
+    )
+    delta = (
+        d.where("doc_id % 80 = 0")
+        .select((F.col("doc_id") + 4).alias("id_a"), (F.col("doc_id") + 24).alias("id_b"))
+        .unionByName(
+            d.where("doc_id % 40 = 20").select(
+                (F.col("doc_id") + 2).alias("id_a"), (F.col("doc_id") + 3).alias("id_b")
+            )
+        )
+        .unionByName(
+            d.where("doc_id % 160 = 0").select(
+                (F.col("doc_id") + 9).alias("id_a"), (F.col("doc_id") + 13).alias("id_b")
+            )
+        )
+    )
+    labeling = connected_components(old, "id_a", "id_b")
+    return incremental_components(labeling, delta).orderBy("id")
+
+
+def q_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media probe (multimodal.py::media_header_probe): six
+    containers synthesized per doc_id with arithmetic-derived dimensions
+    — the real struct/marker parsers must recover exactly the planted
+    (container, width, height, depth) without decoding a single pixel.
+    Oracle = the same doc_id arithmetic in CASE expressions."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+    from valentinus_spark.multimodal import media_header_probe
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where("doc_id < 90")
+        .repartition(8)
+    )
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("content", BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from valentinus_spark.audio import encode_wav
+        from valentinus_spark.imaging import encode_bmp, encode_gif, encode_png
+        from valentinus_spark.jpeg import encode_jpeg
+        from valentinus_spark.video import encode_y4m
+
+        def payload(doc_id: int) -> bytes:
+            w = 4 + doc_id % 9
+            h = 3 + doc_id % 7
+            kind = doc_id % 6
+            img = np.full((h, w, 3), (doc_id * 37) % 256, dtype=np.uint8)
+            if kind == 0:
+                return encode_png(img)
+            if kind == 1:
+                return encode_bmp(img)
+            if kind == 2:
+                return encode_gif(img[:, :, 0])
+            if kind == 3:
+                return encode_jpeg(img)
+            if kind == 4:
+                return encode_wav(
+                    np.zeros(64, dtype=np.float64), sample_rate=8000 + 10 * (doc_id % 4)
+                )
+            # C420 chroma subsampling needs even dimensions
+            we, he = w + w % 2, h + h % 2
+            return encode_y4m([np.full((he, we), (doc_id * 37) % 256, dtype=np.uint8)])
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                ids.append(f"h{int(doc_id):03d}")
+                blobs.append(payload(int(doc_id)))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(gen, schema=schema)
+    return media_header_probe(media, on_error="raise").select(
+        "media_id", "container", "width", "height", "depth"
+    ).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -3755,6 +3863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any new r5 additions first, then the remaining round-2/3
         # veterans not re-checked above (events_sessionize cohort).
         "pmi_collocations": q_pmi_collocations,  # added r5 — r6 window candidate
+        "incremental_components": q_incremental_components,  # added r5 — r6 window candidate
+        "media_headers": q_media_headers,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -3953,6 +4063,55 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        # the delta-merge INVARIANT as SQL: transitive closure over
+        # (old ∪ delta) pairs derived from the same doc_id arithmetic —
+        # algorithm-independent, so it pins incremental == full recompute
+        "incremental_components": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id FROM documents WHERE doc_id < 300
+            ),
+            allp AS (
+                SELECT doc_id AS id_a, doc_id + 2 AS id_b FROM d WHERE doc_id % 20 = 0
+                UNION ALL
+                SELECT doc_id + 2, doc_id + 4 FROM d WHERE doc_id % 40 = 0
+                UNION ALL
+                SELECT doc_id + 4, doc_id + 24 FROM d WHERE doc_id % 80 = 0
+                UNION ALL
+                SELECT doc_id + 2, doc_id + 3 FROM d WHERE doc_id % 40 = 20
+                UNION ALL
+                SELECT doc_id + 9, doc_id + 13 FROM d WHERE doc_id % 160 = 0
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM allp
+                UNION SELECT id_b, id_a FROM allp
+            ),
+            reach AS (
+                SELECT src AS a, dst AS b FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            )
+            SELECT a AS id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY id
+        """,
+        # same doc_id arithmetic the payload builder used — the probe
+        # must recover it from container headers alone
+        "media_headers": """
+            SELECT 'h' || lpad(doc_id::VARCHAR, 3, '0') AS media_id,
+                   CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                        WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg'
+                        WHEN 4 THEN 'wav' ELSE 'y4m' END AS container,
+                   (CASE WHEN doc_id % 6 = 4 THEN 8000 + 10 * (doc_id % 4)
+                         WHEN doc_id % 6 = 5 THEN (4 + doc_id % 9) + (4 + doc_id % 9) % 2
+                         ELSE 4 + doc_id % 9 END)::INT AS width,
+                   (CASE WHEN doc_id % 6 = 4 THEN 1
+                         WHEN doc_id % 6 = 5 THEN (3 + doc_id % 7) + (3 + doc_id % 7) % 2
+                         ELSE 3 + doc_id % 7 END)::INT AS height,
+                   (CASE doc_id % 6 WHEN 0 THEN 8 WHEN 1 THEN 24
+                        WHEN 2 THEN 8 WHEN 3 THEN 24
+                        WHEN 4 THEN 16 ELSE -1 END)::INT AS depth
+            FROM documents WHERE doc_id < 90
+            ORDER BY media_id
+        """,
         # exact arithmetic-shape mirror of pmi_collocations: same
         # ratio-of-ratios inside log2, so equal counts are bit-identical
         # doubles and the LIMIT 40 boundary cannot flip cross-engine

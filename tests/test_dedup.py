@@ -880,3 +880,58 @@ def test_temperature_mixture_infeasible_cap_raises(spark):
     # cap exactly 1/n is feasible: uniform pinning sums to 1
     ok = temperature_mixture_weights(df, "source", "n_chars", tau=2.0, cap=0.25).collect()
     assert abs(sum(r["p_target"] for r in ok) - 1.0) < 1e-5
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """The delta-merge invariant: incremental_components(labeling(old),
+    delta) == connected_components(old ∪ delta), across the four delta
+    shapes — merge two old clusters, extend one, brand-new cluster,
+    untouched clusters pass through."""
+    from valentinus_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    old = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31), (40, 41)]
+    new = [
+        (3, 10),    # merges {1,2,3} with {10,11}
+        (21, 22),   # extends {20,21}
+        (50, 51),   # brand-new component
+    ]
+    old_df = spark.createDataFrame(old, "id_a long, id_b long")
+    new_df = spark.createDataFrame(new, "id_a long, id_b long")
+
+    labeling = connected_components(old_df, "id_a", "id_b")
+    inc = {
+        (r["id"], r["cluster_id"])
+        for r in incremental_components(labeling, new_df).collect()
+    }
+    full = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(
+            old_df.unionByName(new_df), "id_a", "id_b"
+        ).collect()
+    }
+    assert inc == full
+    got = dict(inc)
+    assert got[11] == 1 and got[22] == 20 and got[51] == 50
+    assert got[30] == 30 and got[40] == 40  # untouched pass-through
+
+
+def test_incremental_components_seed_absent_from_labeling(spark):
+    """A delta pair touching an id the labeling has never seen treats it
+    as an implicit singleton."""
+    from valentinus_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    labeling = connected_components(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"), "id_a", "id_b"
+    )
+    new_df = spark.createDataFrame([(99, 2)], "id_a long, id_b long")
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in incremental_components(labeling, new_df).collect()
+    }
+    assert got == {(1, 1), (2, 1), (99, 1)}

@@ -161,3 +161,57 @@ def test_resize_on_error_null_quarantines(spark):
     assert out["ok"]["content"] is not None and "decode_error" not in out["ok"]["meta"]
     assert out["bad"]["content"] is None
     assert "ValueError" in out["bad"]["meta"]["decode_error"]
+
+
+def test_probe_media_header_all_containers():
+    """Header probe agrees with the real encoders for every stdlib
+    container, without decoding pixels/samples."""
+    import numpy as np
+
+    from valentinus_spark.audio import encode_wav
+    from valentinus_spark.imaging import encode_bmp, encode_gif, encode_png
+    from valentinus_spark.jpeg import encode_jpeg
+    from valentinus_spark.multimodal import probe_media_header
+    from valentinus_spark.video import encode_y4m
+
+    img = np.arange(12 * 10 * 3, dtype=np.uint8).reshape(12, 10, 3) % 255
+    assert probe_media_header(encode_png(img)) == {
+        "container": "png", "width": 10, "height": 12, "depth": 8,
+    }
+    bmp = probe_media_header(encode_bmp(img))
+    assert (bmp["container"], bmp["width"], bmp["height"]) == ("bmp", 10, 12)
+    gif = probe_media_header(encode_gif(img[:, :, 0]))
+    assert (gif["container"], gif["width"], gif["height"]) == ("gif", 10, 12)
+    jp = probe_media_header(encode_jpeg(img))
+    assert (jp["container"], jp["width"], jp["height"]) == ("jpeg", 10, 12)
+
+    wav = encode_wav(np.zeros(100, dtype=np.int16), sample_rate=8000)
+    assert probe_media_header(wav) == {
+        "container": "wav", "width": 8000, "height": 1, "depth": 16,
+    }
+    frames = [np.zeros((8, 6), dtype=np.uint8) for _ in range(2)]
+    y4m = probe_media_header(encode_y4m(frames))
+    assert (y4m["container"], y4m["width"], y4m["height"]) == ("y4m", 6, 8)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        probe_media_header(b"not media at all")
+    with _pytest.raises(ValueError):
+        probe_media_header(b"\x89PNG\r\n\x1a\nXXXXIDAT")  # IHDR missing
+
+
+def test_media_header_probe_spark_quarantine(spark):
+    import numpy as np
+
+    from valentinus_spark.imaging import encode_png
+    from valentinus_spark.multimodal import media_header_probe
+
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    rows = [
+        ("ok", bytearray(encode_png(img))),
+        ("bad", bytearray(b"garbage bytes here")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    got = {r["media_id"]: r for r in media_header_probe(df).collect()}
+    assert got["ok"]["container"] == "png" and got["ok"]["width"] == 5
+    assert got["bad"]["container"] is None and got["bad"]["probe_error"]

@@ -367,3 +367,135 @@ def chunk_audio(
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+def probe_media_header(payload: bytes) -> dict:
+    """Header-only probe of a media payload — container + dimensions
+    from the first bytes, NO pixel/sample decode (the cheap first pass a
+    100 TB media pipeline runs to route, partition, and size-filter
+    before paying for full decodes). Pure stdlib/struct parsing of the
+    same containers the real decoders accept.
+
+    Returns {container, width, height, depth}; for WAV the triple is
+    (sample_rate, n_channels, bits_per_sample), for Y4M (width, height,
+    frame_count_unknown → depth = -1). Raises ValueError on anything it
+    cannot identify or whose header is truncated/corrupt."""
+    import struct
+
+    if payload is None or len(payload) < 10:
+        raise ValueError("payload too short for any known header")
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) < 29 or b[12:16] != b"IHDR":
+            raise ValueError("PNG: missing IHDR")
+        w, h = struct.unpack(">II", b[16:24])
+        return {"container": "png", "width": w, "height": h, "depth": b[24]}
+    if b[:2] == b"BM":
+        if len(b) < 30:
+            raise ValueError("BMP: truncated header")
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        return {"container": "bmp", "width": w, "height": abs(h), "depth": bpp}
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"container": "gif", "width": w, "height": h, "depth": 8}
+    if b[:2] == b"\xff\xd8":  # JPEG: walk markers to the first SOF
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                raise ValueError("JPEG: marker desync")
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2):
+                if i + 9 > len(b):
+                    raise ValueError("JPEG: truncated SOF")
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return {
+                    "container": "jpeg", "width": w, "height": h,
+                    "depth": b[i + 9] * 8,
+                }
+            i += 2 + seg_len
+        raise ValueError("JPEG: no SOF marker before EOF")
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt ":
+                if i + 24 > len(b):
+                    raise ValueError("WAV: truncated fmt chunk")
+                ch, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+                bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+                return {
+                    "container": "wav", "width": rate, "height": ch,
+                    "depth": bits,
+                }
+            i += 8 + clen + (clen & 1)
+        raise ValueError("WAV: no fmt chunk")
+    if b[:10] == b"YUV4MPEG2 ":
+        end = b.find(b"\n")
+        if end < 0:
+            raise ValueError("Y4M: unterminated header")
+        w = h = None
+        for tok in b[10:end].split(b" "):
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+        if w is None or h is None:
+            raise ValueError("Y4M: missing W/H params")
+        return {"container": "y4m", "width": w, "height": h, "depth": -1}
+    raise ValueError("unrecognized container signature")
+
+
+_HEADER_SCHEMA = (
+    "media_id string, container string, width int, height int, depth int, "
+    "probe_error string"
+)
+
+
+def media_header_probe(df: DataFrame, on_error: str = "null") -> DataFrame:
+    """(media_id, content) → header-only metadata via one Arrow-batched
+    pass (:func:`probe_media_header` per row, per-record quarantine like
+    every other media operator). The scan reads ONLY the payload column
+    and touches ~30 bytes per record, so it runs at I/O speed — use it
+    to partition a mixed-media lake by container/size BEFORE the full
+    decodes, and to quarantine corrupt headers early."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    d = probe_media_header(payload)
+                    rows.append(
+                        {
+                            "media_id": mid, "container": d["container"],
+                            "width": d["width"], "height": d["height"],
+                            "depth": d["depth"], "probe_error": None,
+                        }
+                    )
+                except ValueError as exc:
+                    if on_error == "raise":
+                        raise
+                    rows.append(
+                        {
+                            "media_id": mid, "container": None, "width": None,
+                            "height": None, "depth": None,
+                            "probe_error": str(exc)[:200],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height", "depth",
+                    "probe_error",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=_HEADER_SCHEMA)

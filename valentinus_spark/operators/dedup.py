@@ -1226,3 +1226,75 @@ def remove_duplicated_spans(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def incremental_components(
+    labeling: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Merge a NEW pair batch into an existing (id, cluster_id) labeling
+    without recomputing components over history — the clustering
+    counterpart of :func:`incremental_dedup` for the append-only corpus
+    loop (per-crawl near-dup pairs arrive forever; the accumulated
+    labeling is the state).
+
+    Only components TOUCHED by the delta are recomputed:
+
+    1. seed ids = both endpoints of ``new_pairs``;
+    2. affected clusters = the seeds' current labels (ids unseen by the
+       labeling are their own implicit singleton clusters);
+    3. the affected subgraph = every labeling row in an affected cluster,
+       re-expressed as (id — cluster) edges, plus the new pairs;
+    4. :func:`connected_components` over that subgraph (star edges keep
+       each old component connected, so transitive merges ACROSS old
+       clusters resolve correctly);
+    5. untouched labeling rows pass through unchanged.
+
+    Result invariant (pinned by tests and the driver oracle): identical
+    to a full `connected_components` over (all historical pairs ∪
+    new_pairs), because a component's min-id label is independent of
+    which spanning structure represents it — the star edges of an old
+    cluster span exactly its member set.
+
+    Scale shape: the delta cost is |new_pairs| + Σ|touched components|,
+    NOT |corpus|. The labeling joins are equi-joins on cluster_id /
+    id; at 100 TB keep the labeling bucketed by cluster_id so step 3
+    is a bucket-local semi-join, and the untouched pass-through is an
+    anti-join that never shuffles the big side (broadcast the affected
+    cluster-id set — it is delta-sized)."""
+    pairs = new_pairs.select(
+        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+    ).localCheckpoint()
+    seeds = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # seeds' current clusters (seeds absent from the labeling are
+    # singletons — their "cluster" is themselves and contributes no
+    # additional members)
+    seed_clusters = (
+        seeds.join(labeling, id_col, "left")
+        .select(F.coalesce(cluster_col, F.col(id_col)).alias(cluster_col))
+        .distinct()
+    )
+    affected = labeling.join(
+        F.broadcast(seed_clusters), cluster_col, "leftsemi"
+    )
+    # star edges (member — cluster label) span each affected component
+    star = affected.select(
+        F.col(id_col).alias("id_a"), F.col(cluster_col).alias("id_b")
+    ).where(F.col("id_a") != F.col("id_b"))
+    merged = connected_components(star.unionByName(pairs), "id_a", "id_b")
+    untouched = labeling.join(
+        F.broadcast(seed_clusters), cluster_col, "left_anti"
+    )
+    return untouched.select(id_col, cluster_col).unionByName(
+        merged.select(
+            F.col("id").alias(id_col), F.col("cluster_id").alias(cluster_col)
+        )
+    )
