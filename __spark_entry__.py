@@ -3785,6 +3785,30 @@ def q_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (operators/dedup.py::
+    dedup_paragraphs) over planted boilerplate: every doc is [shared P
+    paragraph (10 variants), shared Q paragraph (7 variants), unique U
+    paragraph], so each shared variant survives only in its min-doc_id
+    first occurrence while every U survives. The oracle replays the
+    SEMANTICS (split → trim-digest classes → min (id,pos) keeper →
+    ordered rebuild) in SQL over the same constructed texts."""
+    from valentinus_spark.operators.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where("doc_id < 500")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.concat(F.lit("P"), (F.col("doc_id") % 10).cast("string"), F.lit(" shared")),
+            F.concat(F.lit("Q"), (F.col("doc_id") % 7).cast("string"), F.lit(" shared")),
+            F.concat(F.lit("U"), F.col("doc_id").cast("string"), F.lit(" unique")),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(planted).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -3865,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,  # added r5 — r6 window candidate
         "incremental_components": q_incremental_components,  # added r5 — r6 window candidate
         "media_headers": q_media_headers,  # added r5 — r6 window candidate
+        "dedup_paragraphs": q_dedup_paragraphs,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4063,6 +4088,35 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        # semantic replay: same constructed texts, split -> trimmed
+        # equivalence classes -> min (id,pos) keeper -> ordered rebuild
+        "dedup_paragraphs": """
+            WITH planted AS (
+                SELECT doc_id,
+                       'P' || (doc_id % 10)::VARCHAR || ' shared' AS p0,
+                       'Q' || (doc_id % 7)::VARCHAR || ' shared' AS p1,
+                       'U' || doc_id::VARCHAR || ' unique' AS p2
+                FROM documents WHERE doc_id < 500
+            ),
+            paras AS (
+                SELECT doc_id, 0 AS pos, p0 AS para FROM planted
+                UNION ALL SELECT doc_id, 1, p1 FROM planted
+                UNION ALL SELECT doc_id, 2, p2 FROM planted
+            ),
+            keep AS (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (
+                           PARTITION BY trim(para) ORDER BY doc_id, pos
+                       ) = 1 AS kept
+                FROM paras
+            )
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN kept THEN para END,
+                                       chr(10) || chr(10) ORDER BY pos), '') AS clean_text
+            FROM keep GROUP BY doc_id ORDER BY doc_id
+        """,
         # the delta-merge INVARIANT as SQL: transitive closure over
         # (old ∪ delta) pairs derived from the same doc_id arithmetic —
         # algorithm-independent, so it pins incremental == full recompute

@@ -935,3 +935,36 @@ def test_incremental_components_seed_absent_from_labeling(spark):
         for r in incremental_components(labeling, new_df).collect()
     }
     assert got == {(1, 1), (2, 1), (99, 1)}
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """Corpus-wide paragraph dedup: keeper = min (id, pos); later
+    occurrences (whitespace-insensitive) are deleted and docs rebuilt in
+    original order."""
+    from valentinus_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "A\n\nB\n\nC"),
+        (2, "B \n\nD"),   # B duplicates doc1's (trim-normalized)
+        (3, "A"),          # fully redundant
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert got[1]["clean_text"] == "A\n\nB\n\nC"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 3)
+    assert got[2]["clean_text"] == "D"
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
+    assert got[3]["clean_text"] == ""
+    assert (got[3]["n_paras"], got[3]["n_kept"]) == (1, 0)
+
+
+def test_dedup_paragraphs_within_doc_repeat(spark):
+    """A paragraph repeated inside ONE doc keeps only its first copy."""
+    from valentinus_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(7, "X\n\nY\n\nX\n\nZ")], "doc_id long, text string"
+    )
+    r = dedup_paragraphs(df).collect()[0]
+    assert r["clean_text"] == "X\n\nY\n\nZ"
+    assert (r["n_paras"], r["n_kept"]) == (4, 3)

@@ -1298,3 +1298,69 @@ def incremental_components(
             F.col("id").alias(id_col), F.col("cluster_id").alias(cluster_col)
         )
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_regex: str = "\\n\\s*\\n",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup — the boilerplate-removal pass between
+    document dedup (whole-doc digests miss shared nav/footer text) and
+    span dedup (:func:`remove_duplicated_spans` hunts n-grams; this
+    hunts STRUCTURAL units, which is what web boilerplate actually is).
+    Every distinct normalized paragraph keeps exactly its first
+    occurrence — keeper = min (id, position), deterministic and
+    growth-stable for sorted ids — and later occurrences anywhere in the
+    corpus are deleted; documents are rebuilt from surviving paragraphs
+    in original order.
+
+    Output: (id_col, n_paras, n_kept, clean_text); paragraph-less docs
+    pass through intact.
+
+    Plan: posexplode paragraphs (row-local split), keeper election is
+    ONE map-side-combinable min-aggregate on the paragraph digest
+    (16-byte key, corpus-boilerplate skew lands on the combiner), then a
+    digest-keyed join back and a per-doc rebuild via sort_array over
+    collected (pos, text) structs — shuffles key on digest then id,
+    both well-spread. Nothing quadratic: a paragraph repeated 10⁸
+    times is one combiner cell, not a join blow-up."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), sep_regex)
+        ).alias("pos", "para"),
+    ).withColumn("_dg", F.sha2(F.trim(F.col("para")), 256))
+    keepers = paras.groupBy("_dg").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("_k")
+    )
+    marked = paras.join(keepers, "_dg").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_k.i")) & (F.col("pos") == F.col("_k.p")),
+    )
+    rebuilt = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                join_sep,
+            ).alias("clean_text"),
+        )
+    )
+    # docs whose text had no split matches still produce one paragraph
+    # row (split returns the whole text), so every input id is present
+    return rebuilt
