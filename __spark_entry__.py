@@ -3809,6 +3809,45 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(planted).orderBy("doc_id")
 
 
+
+def q_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cluster maintenance for real (streaming/pipeline.py::
+    stream_components): arithmetic-planted pair batches written as two
+    parquet files, streamed through foreachBatch + incremental_
+    components into a crash-safe state table; the returned final state
+    must equal the transitive closure over ALL pairs (the oracle's
+    recursive CTE) — micro-batch boundaries must not show."""
+    import tempfile
+
+    from valentinus_spark.streaming.pipeline import stream_components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where("doc_id < 300")
+    b1 = d.where("doc_id % 20 = 0").select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 2).alias("id_b")
+    )
+    b2 = (
+        d.where("doc_id % 40 = 0")
+        .select((F.col("doc_id") + 2).alias("id_a"), (F.col("doc_id") + 4).alias("id_b"))
+        .unionByName(
+            d.where("doc_id % 80 = 0").select(
+                (F.col("doc_id") + 4).alias("id_a"),
+                (F.col("doc_id") + 24).alias("id_b"),
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="vs_ccstream_")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{root}/in/f1.parquet")
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{root}/in/f2.parquet")
+    stream = (
+        spark.readStream.schema("id_a long, id_b long")
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{root}/in")
+    )
+    q = stream_components(stream, f"{root}/state", f"{root}/ckpt")
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{root}/state").orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -3890,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_components": q_incremental_components,  # added r5 — r6 window candidate
         "media_headers": q_media_headers,  # added r5 — r6 window candidate
         "dedup_paragraphs": q_dedup_paragraphs,  # added r5 — r6 window candidate
+        "stream_components": q_stream_components,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4088,6 +4128,31 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        # batch-equivalence oracle for the streaming state: closure over
+        # ALL planted pairs, blind to micro-batch boundaries
+        "stream_components": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id FROM documents WHERE doc_id < 300
+            ),
+            allp AS (
+                SELECT doc_id AS id_a, doc_id + 2 AS id_b FROM d WHERE doc_id % 20 = 0
+                UNION ALL
+                SELECT doc_id + 2, doc_id + 4 FROM d WHERE doc_id % 40 = 0
+                UNION ALL
+                SELECT doc_id + 4, doc_id + 24 FROM d WHERE doc_id % 80 = 0
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM allp
+                UNION SELECT id_b, id_a FROM allp
+            ),
+            reach AS (
+                SELECT src AS a, dst AS b FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            )
+            SELECT a AS id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY id
+        """,
         # semantic replay: same constructed texts, split -> trimmed
         # equivalence classes -> min (id,pos) keeper -> ordered rebuild
         "dedup_paragraphs": """

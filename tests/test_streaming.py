@@ -611,3 +611,73 @@ def test_stream_stream_full_outer_join_no_wrong_rows(spark, tmp_path):
     # completeness on matched pairs (they emit immediately, no watermark wait)
     matched = {(a, b) for a, b in batch_all if a is not None and b is not None}
     assert matched <= got
+
+
+def test_components_state_batching_independent_and_replay_safe(spark, tmp_path):
+    """merge_components_state: folding pair batches one at a time ends at
+    the SAME labeling as one-shot CC over all pairs (the maintained-state
+    invariant), and replaying a batch is a no-op (label = f(edge set),
+    idempotent under re-union)."""
+    from valentinus_spark.operators.dedup import connected_components
+    from valentinus_spark.streaming.pipeline import merge_components_state
+
+    all_pairs = [(1, 2), (2, 3), (10, 11), (3, 10), (20, 21), (30, 31)]
+    b1 = spark.createDataFrame(all_pairs[:3], "id_a long, id_b long")
+    b2 = spark.createDataFrame(all_pairs[3:], "id_a long, id_b long")
+    state = str(tmp_path / "cc_state")
+
+    merge_components_state(b1, state)
+    merge_components_state(b2, state)
+    merge_components_state(b2, state)  # at-least-once replay
+
+    got = {
+        (r["id"], r["cluster_id"]) for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(
+            spark.createDataFrame(all_pairs, "id_a long, id_b long"),
+            "id_a", "id_b",
+        ).collect()
+    }
+    assert got == want
+    assert dict(got)[11] == 1  # cross-batch transitive merge resolved
+
+
+def test_stream_components_end_to_end(spark, tmp_path):
+    """stream_components through a real StreamingQuery (file source,
+    availableNow): final state equals batch CC over every pair file."""
+    from valentinus_spark.operators.dedup import connected_components
+    from valentinus_spark.streaming.pipeline import stream_components
+
+    src_dir = tmp_path / "pairs"
+    src_dir.mkdir()
+    spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src_dir / "f1.parquet"))
+    spark.createDataFrame([(2, 3)], "id_a long, id_b long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema("id_a long, id_b long")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    state = str(tmp_path / "state")
+    q = stream_components(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (r["id"], r["cluster_id"]) for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(
+            spark.createDataFrame(
+                [(1, 2), (3, 4), (2, 3)], "id_a long, id_b long"
+            ),
+            "id_a", "id_b",
+        ).collect()
+    }
+    assert got == want == {(1, 1), (2, 1), (3, 1), (4, 1)}

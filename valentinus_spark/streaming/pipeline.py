@@ -492,3 +492,84 @@ def stream_cm_registers(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_components_state(
+    pairs_df: DataFrame,
+    state_path: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> None:
+    """One micro-batch step of :func:`stream_components`: fold a pair
+    batch into the persisted (id, cluster_id) labeling via
+    ``incremental_components`` — only components the batch touches are
+    recomputed, so per-batch work tracks the DELTA, not the corpus.
+
+    Replay safety WITHOUT batch-id bookkeeping: merging the same pairs
+    twice is a no-op because a component's min-id label is a function of
+    the accumulated edge SET (idempotent under re-union), the same
+    argument that makes the HLL max-merge replay-safe. State is written
+    with the same crash-safe write-aside/swap as
+    :func:`merge_hll_state` (state restored from ``_next`` eagerly on
+    fallback — never overwrite a path the lazy plan still reads)."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    from valentinus_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    spark = pairs_df.sparkSession
+    next_path = state_path + "_next"
+    try:
+        prev = spark.read.parquet(state_path)
+    except AnalysisException:
+        try:
+            spark.read.parquet(next_path).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(state_path)
+            prev = spark.read.parquet(state_path)
+        except AnalysisException:
+            prev = None
+    if prev is None:
+        merged = connected_components(pairs_df, id_a, id_b).select(
+            "id", "cluster_id"
+        )
+    else:
+        merged = incremental_components(
+            prev, pairs_df, id_a=id_a, id_b=id_b
+        )
+    # unlike the ≤2^p-row sketch states, the labeling is corpus-sized —
+    # keep its natural partitioning (at scale: bucket by cluster_id so
+    # the next batch's touched-cluster semi-join is bucket-local)
+    merged.write.mode("overwrite").parquet(next_path)
+    spark.read.parquet(next_path).write.mode("overwrite").parquet(state_path)
+    shutil.rmtree(next_path, ignore_errors=True)
+
+
+def stream_components(
+    pairs_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+):
+    """Continuously maintain near-dup cluster labels over a stream of
+    pair batches (the online face of the dedup pipeline: MinHash/banded
+    joins emit pairs per crawl; this keeps (id, cluster_id) current
+    without ever re-clustering history). The maintained labeling is
+    provably identical to batch CC over all pairs seen — pinned by the
+    batching-independence test and the driver oracle's transitive-
+    closure replay. Returns the StreamingQuery."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_components_state(batch_df, state_path, id_a, id_b)
+
+    return (
+        pairs_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
