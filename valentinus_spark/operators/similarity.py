@@ -143,9 +143,14 @@ def ivf_centroids(
         raise ValueError(f"need >= {n_centroids} vectors, got {len(X)}")
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=n_centroids, replace=False)]
+    x_sq = (X**2).sum(axis=1)
     for _ in range(n_iter):
-        # assign to nearest centroid by L2
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # assign to nearest centroid by L2, via ||x||²+||c||²-2x·c — the
+        # (n, C) Gram form. The naive (n, C, dim) difference tensor is
+        # 15 GB at n=1e5, C=50, dim=384 and turned centroid training
+        # into the sf1 bottleneck (r5 probe: semantic_dedup exponent
+        # 1.00 until this line); the matmul peaks at n·C doubles.
+        d2 = x_sq[:, None] + (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
         assign = d2.argmin(axis=1)
         for c in range(n_centroids):
             members = X[assign == c]
@@ -348,8 +353,11 @@ def pq_codebooks(
     for j in range(m):
         S = X[:, j * sub : (j + 1) * sub]
         cents = S[rng.choice(len(S), size=k, replace=False)]
+        s_sq = (S**2).sum(axis=1)
         for _ in range(n_iter):
-            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # same Gram-form distances as ivf_centroids (no (n, k, sub)
+            # tensor)
+            d2 = s_sq[:, None] + (cents**2).sum(axis=1)[None, :] - 2.0 * (S @ cents.T)
             assign = d2.argmin(axis=1)
             for c in range(k):
                 members = S[assign == c]
@@ -644,17 +652,33 @@ def semantic_dedup_pairs(
             cosine_similarity(F.col(vec_col), c).alias("sim"), i.alias("bucket")
         ),
     )
-    assigned = ensure_parallelism(corpus).withColumn(
-        "_bucket", F.reverse(F.array_sort(scored))[0]["bucket"].cast("string")
+    from valentinus_spark.functions.vector import l2_normalize
+
+    # ONE projection computes the centroid argmax AND the normalized
+    # vector, then localCheckpoint materializes it: the lambda-bearing
+    # expressions (centroid transform, l2_normalize's ArrayAggregate)
+    # must never sit under the self-join below or get collapsed into a
+    # later project — Catalyst's HOF rebind breaks there
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). The checkpointed (id,
+    # bucket, nvec) table is also what a 100 TB run persists bucketed by
+    # cluster id, and it makes the normalize run once, not per side.
+    prep = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col),
+            F.reverse(F.array_sort(scored))[0]["bucket"].cast("string").alias("_bucket"),
+            l2_normalize(vec_col).alias("_nvec"),
+        )
+        .localCheckpoint()
     )
     if max_cluster is not None:
         # hot-cluster salting: the per-bucket size table is tiny
         # (n_centroids rows) so the size lookup broadcasts; the salt is
         # a deterministic id hash, so reruns and engines agree
-        sizes = assigned.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        sizes = prep.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bn"))
         nsub = F.ceil(F.col("_bn") / F.lit(float(max_cluster))).cast("bigint")
-        assigned = (
-            assigned.join(F.broadcast(sizes), "_bucket")
+        prep = (
+            prep.join(F.broadcast(sizes), "_bucket")
             .withColumn(
                 "_bucket",
                 F.concat_ws(
@@ -665,21 +689,47 @@ def semantic_dedup_pairs(
             )
             .drop("_bn")
         )
-    # normalize ONCE per row (n × dim work) so each of the Σ|c|²
-    # within-cluster pairs pays a single dot product instead of
-    # dot + two norms — the same row-side prep embedding_neardup_pairs
-    # uses. The join itself stays an equi-join on the cluster id.
-    from valentinus_spark.functions.vector import l2_normalize
+    # Fragment-replicate salt: the self-join key has only ~n_centroids
+    # distinct values, so when C < cores the shuffle join caps its
+    # parallelism at C tasks (measured: the sf1 pair stage ran 9-wide
+    # on local[32] and dominated the wall clock). Each side replicates
+    # S-fold onto composite keys (_bucket, block_a, block_b) — every
+    # pair still meets exactly once (a explodes its partner's block, b
+    # its own), pair WORK is unchanged, and the key space grows to
+    # C·S². S shrinks to 1 as C reaches cluster width, so the 100 TB
+    # case (thousands of centroids) pays no replication.
+    import math as _math
 
-    normed = assigned.withColumn("_nvec", l2_normalize(vec_col))
-    a = normed.select(
-        F.col("_bucket"), F.col(id_col).alias("_ida"), F.col("_nvec").alias("_va")
-    )
-    b = normed.select(
-        F.col("_bucket"), F.col(id_col).alias("_idb"), F.col("_nvec").alias("_vb")
-    )
+    n_cents = len(cents)
+    par = prep.sparkSession.sparkContext.defaultParallelism
+    S = int(max(1, _math.ceil((4.0 * par / max(n_cents, 1)) ** 0.5)))
+    if S > 1:
+        blocks = F.array(*[F.lit(i) for i in range(S)])
+        a = prep.select(
+            F.col("_bucket"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(S)).alias("_ba"),
+            F.explode(blocks).alias("_bb"),
+            F.col(id_col).alias("_ida"),
+            F.col("_nvec").alias("_va"),
+        )
+        b = prep.select(
+            F.col("_bucket"),
+            F.explode(blocks).alias("_ba"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(S)).alias("_bb"),
+            F.col(id_col).alias("_idb"),
+            F.col("_nvec").alias("_vb"),
+        )
+        join_keys = ["_bucket", "_ba", "_bb"]
+    else:
+        a = prep.select(
+            F.col("_bucket"), F.col(id_col).alias("_ida"), F.col("_nvec").alias("_va")
+        )
+        b = prep.select(
+            F.col("_bucket"), F.col(id_col).alias("_idb"), F.col("_nvec").alias("_vb")
+        )
+        join_keys = ["_bucket"]
     return (
-        a.join(b, "_bucket")
+        a.join(b, join_keys)
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(dot(F.col("_va"), F.col("_vb")) >= threshold)
         .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
