@@ -3848,6 +3848,84 @@ def q_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{root}/state").orderBy("id")
 
 
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/collocations.py::
+    association_rules) over order baskets (l_orderkey x l_partkey,
+    partkeys % 5 for bounded candidates): support/confidence/lift with
+    the identical ratio arithmetic mirrored in the oracle, so the lift
+    ordering and LIMIT boundary agree bit-for-bit."""
+    from valentinus_spark.operators.collocations import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").where("l_partkey % 5 = 0")
+    out = association_rules(li, "l_orderkey", "l_partkey", min_support_count=2)
+    # round INSIDE the ranking (cosine_topk trick): mathematically-equal
+    # lifts computed via different intermediates ((2/27)/(30/N) vs
+    # (2/30)/(27/N)) land on different last ulps, and the raw-double
+    # order at the LIMIT boundary is then engine-noise — the 4-dp round
+    # + id tie-break makes the cut deterministic
+    return (
+        out.select(
+            "antecedent", "consequent", "pair_baskets", "baskets_a", "baskets_b",
+            F.round("support", 6).alias("support"),
+            F.round("confidence", 4).alias("confidence"),
+            F.round("lift", 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(50)
+    )
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (operators/funnel.py::
+    markov_transitions): per-user timelines ordered by (ts_us,
+    event_id) — the deterministic-sequence contract — then row-
+    normalized transition probabilities. Oracle = the same lag window
+    in SQL."""
+    from valentinus_spark.operators.funnel import markov_transitions
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id")
+    out = markov_transitions(ev)
+    return out.select(
+        "prev_state", "state", "n_transitions", F.round("p", 4).alias("p")
+    )
+
+
+def q_pca_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA recall gate (operators/similarity.py::
+    embedding_pca): element 0 of every embedding scaled 10x plants a
+    dominant variance axis; the MLlib Gram/eigen path must recover it
+    (|PC1·e0| > 0.99, top ratio > 0.5, unit norm). Planted-oracle
+    pattern: the oracle pins the expected gate booleans, derived from
+    the construction — not from PCA."""
+    import math
+
+    from valentinus_spark.operators.similarity import embedding_pca
+
+    embs = _t(spark, sf_dir, "embeddings")
+    dim = len(QUERY_VEC)
+    planted = embs.select(
+        "vec_id",
+        F.concat(
+            F.array((F.col("embedding")[0] * 10).cast("float")),
+            F.slice(F.col("embedding"), 2, dim - 1),
+        ).alias("embedding"),
+    )
+    comps, ratios = embedding_pca(planted, k=2)
+    pc1 = comps[0]
+    norm = math.sqrt(sum(x * x for x in pc1))
+    return spark.createDataFrame(
+        [
+            (
+                abs(pc1[0]) > 0.99,
+                ratios[0] > 0.5,
+                bool(abs(norm - 1.0) < 1e-6),
+            )
+        ],
+        "axis_aligned boolean, variance_dominant boolean, unit_norm boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -3930,6 +4008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_headers": q_media_headers,  # added r5 — r6 window candidate
         "dedup_paragraphs": q_dedup_paragraphs,  # added r5 — r6 window candidate
         "stream_components": q_stream_components,  # added r5 — r6 window candidate
+        "association_rules": q_association_rules,  # added r5 — r6 window candidate
+        "markov_transitions": q_markov_transitions,  # added r5 — r6 window candidate
+        "pca_planted": q_pca_planted,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4128,6 +4209,61 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        # identical ratio arithmetic: counts exact, doubles same shape
+        "association_rules": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem WHERE l_partkey % 5 = 0
+            ),
+            ic AS (SELECT it, count(*) AS cnt FROM b GROUP BY 1),
+            nb AS (SELECT count(DISTINCT bk) AS total_baskets FROM b),
+            pc AS (
+                SELECT a.it AS antecedent, c.it AS consequent, count(*) AS pair_baskets
+                FROM b a JOIN b c ON a.bk = c.bk AND a.it != c.it
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            scored AS (
+                SELECT p.antecedent, p.consequent, p.pair_baskets,
+                       ia.cnt AS baskets_a, ib.cnt AS baskets_b,
+                       p.pair_baskets / nb.total_baskets AS support,
+                       p.pair_baskets / ia.cnt AS confidence,
+                       (p.pair_baskets / ia.cnt) / (ib.cnt / nb.total_baskets) AS lift
+                FROM pc p
+                JOIN ic ia ON p.antecedent = ia.it AND ia.cnt >= 2
+                JOIN ic ib ON p.consequent = ib.it AND ib.cnt >= 2
+                CROSS JOIN nb
+            )
+            SELECT antecedent, consequent, pair_baskets, baskets_a, baskets_b,
+                   ROUND(support, 6) AS support,
+                   ROUND(confidence, 4) AS confidence,
+                   ROUND(lift, 4) AS lift
+            FROM scored
+            ORDER BY ROUND(lift, 4) DESC, antecedent ASC, consequent ASC
+            LIMIT 50
+        """,
+        "markov_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ) AS prev_state
+                FROM events
+            ),
+            c AS (
+                SELECT prev_state, event_type AS state, count(*) AS n_transitions
+                FROM seq WHERE prev_state IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT prev_state, state, n_transitions,
+                   ROUND(n_transitions / sum(n_transitions) OVER (PARTITION BY prev_state), 4) AS p
+            FROM c ORDER BY prev_state, state
+        """,
+        # planted gate: the expected booleans follow from the 10x axis
+        # construction, never from running PCA
+        "pca_planted": """
+            SELECT true AS axis_aligned, true AS variance_dominant,
+                   true AS unit_norm
+        """,
         # batch-equivalence oracle for the streaming state: closure over
         # ALL planted pairs, blind to micro-batch boundaries
         "stream_components": """

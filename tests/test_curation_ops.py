@@ -129,3 +129,86 @@ def test_label_propagation_deterministic_across_runs(spark):
     a = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
     b = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
     assert a == b
+
+
+def test_association_rules_hand_counts(spark):
+    """4 baskets: {a,b}, {a,b}, {a,c}, {b}. With min_support=2 the only
+    qualifying pair is (a,b): support 0.5, conf(a->b) = 2/3,
+    conf(b->a) = 2/3, lift = (2/3)/(3/4) = 8/9."""
+    from valentinus_spark.operators import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "basket", "item", min_support_count=2).collect()
+    }
+    assert set(got) == {("a", "b"), ("b", "a")}
+    ab = got[("a", "b")]
+    assert ab["pair_baskets"] == 2 and ab["baskets_a"] == 3 and ab["baskets_b"] == 3
+    assert abs(ab["support"] - 0.5) < 1e-12
+    assert abs(ab["confidence"] - 2 / 3) < 1e-12
+    assert abs(ab["lift"] - 8 / 9) < 1e-12
+    # duplicate (basket, item) rows must not double-count
+    dup = df.union(df)
+    got2 = association_rules(dup, "basket", "item", min_support_count=2).collect()
+    assert {(r["antecedent"], r["consequent"]) for r in got2} == {("a", "b"), ("b", "a")}
+
+
+def test_markov_transitions_counts_and_rows(spark):
+    """user 1: a->b->a; user 2: b->b. Transition counts: a->b 1, b->a 1,
+    b->b 1; p normalizes per source row."""
+    from valentinus_spark.operators import markov_transitions
+
+    rows = [
+        (1, "a", 10, 100), (1, "b", 20, 101), (1, "a", 30, 102),
+        (2, "b", 10, 200), (2, "b", 20, 201),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long, event_id long")
+    got = {
+        (r["prev_state"], r["state"]): (r["n_transitions"], r["p"])
+        for r in markov_transitions(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 1.0),
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+    }
+
+
+def test_markov_transitions_same_ts_tiebreak(spark):
+    """Equal timestamps sequence by the tiebreak column, deterministically."""
+    from valentinus_spark.operators import markov_transitions
+
+    rows = [(1, "x", 10, 2), (1, "y", 10, 1)]  # y precedes x by event_id
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long, event_id long")
+    got = [(r["prev_state"], r["state"]) for r in markov_transitions(df).collect()]
+    assert got == [("y", "x")]
+
+
+def test_embedding_pca_recovers_planted_direction(spark):
+    """Anisotropic corpus: variance concentrated on e0 (scale 10) with
+    unit noise elsewhere — PC1 must align with e0 and dominate the
+    explained variance."""
+    import numpy as np
+
+    from valentinus_spark.operators import embedding_pca
+
+    rng = np.random.default_rng(3)
+    dim, n = 16, 400
+    X = rng.standard_normal((n, dim))
+    X[:, 0] *= 10.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, ratios = embedding_pca(df, k=2)
+    pc1 = np.array(comps[0])
+    assert abs(abs(pc1[0]) - 1.0) < 0.05, "PC1 not aligned with planted axis"
+    assert ratios[0] > 0.75
+    assert abs(np.linalg.norm(pc1) - 1.0) < 1e-6

@@ -120,3 +120,81 @@ def pmi_collocations(
     if top_n > 0:
         scored = scored.limit(top_n)
     return scored
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_count: int = 5,
+    top_n: int = 0,
+) -> DataFrame:
+    """Pairwise association rules over (basket, item) rows — the
+    market-basket face of :func:`pmi_collocations` (Agrawal & Srikant
+    1994): for every ordered pair (a → b) co-occurring in ≥
+    ``min_support_count`` baskets, emit support / confidence / lift.
+
+    Columns: antecedent, consequent, pair_baskets, baskets_a, baskets_b,
+    support, confidence, lift; ordered by (lift desc, antecedent,
+    consequent), truncated to ``top_n`` when > 0. Both directions of a
+    pair appear (confidence is asymmetric).
+
+    Scale shape: item→basket-count aggregate (map-side combinable,
+    catalog-bounded) gates candidates a priori (downward closure —
+    a pair needs both members frequent); pair counting self-joins
+    WITHIN a basket only (blow-up bounded by max-basket-size², the
+    market-basket norm), then distinct-per-basket count. Ratios run on
+    the pair aggregate with the basket total broadcast. Same
+    EXACT-arithmetic-shape contract as pmi_collocations: both engines
+    compute the identical double expressions, so orderings agree."""
+    if min_support_count < 1:
+        raise ValueError(f"min_support_count must be >= 1, got {min_support_count}")
+    b = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    item_counts = b.groupBy("_i").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = item_counts.where(F.col("cnt") >= min_support_count)
+    n_baskets = b.select("_b").distinct().select(
+        F.count(F.lit(1)).alias("total_baskets")
+    )
+    lhs = b.select(F.col("_b"), F.col("_i").alias("antecedent"))
+    rhs = b.select(F.col("_b"), F.col("_i").alias("consequent"))
+    pairs = (
+        lhs.join(rhs, "_b")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("pair_baskets"))
+        .where(F.col("pair_baskets") >= min_support_count)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                freq.select(F.col("_i").alias("antecedent"), F.col("cnt").alias("baskets_a"))
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                freq.select(F.col("_i").alias("consequent"), F.col("cnt").alias("baskets_b"))
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_baskets",
+            "baskets_a",
+            "baskets_b",
+            (F.col("pair_baskets") / F.col("total_baskets")).alias("support"),
+            (F.col("pair_baskets") / F.col("baskets_a")).alias("confidence"),
+            (
+                (F.col("pair_baskets") / F.col("baskets_a"))
+                / (F.col("baskets_b") / F.col("total_baskets"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+    )
+    if top_n > 0:
+        out = out.limit(top_n)
+    return out

@@ -129,3 +129,50 @@ def debounce_events(
         )
         .drop("_prev_ts")
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts_us",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: count (prev_state → state) steps across every key's
+    timeline and normalize per source state — the behavioral-model
+    summary funnels/sessionization feed on (what follows a click?), and
+    the standard feature for next-event prediction baselines.
+
+    Ordering is (ts, tiebreak) so same-timestamp events sequence
+    deterministically — without the tiebreak the lag() result is
+    partitioner-dependent and no oracle can replay it. Each key's FIRST
+    event has no predecessor and contributes no transition.
+
+    Columns: prev_state, state, n_transitions, p (row-normalized
+    probability), ordered by (prev_state, state).
+
+    Scale shape: ONE window shuffle keyed on ``key_col`` (the same
+    partitioning sessionization uses — high-cardinality user keys, no
+    single-partition window), then a map-side-combinable count to the
+    |states|² aggregate and a tiny per-source normalization. p is a
+    pure count ratio, so engine parity needs only the 4-dp round at the
+    query edge."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    steps = (
+        events.select(key_col, state_col, ts_col, tiebreak_col)
+        .withColumn("_prev", F.lag(state_col).over(w))
+        .where(F.col("_prev").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col("_prev").alias("prev_state"), F.col(state_col).alias("state")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    totals = Window.partitionBy("prev_state")
+    return (
+        counts.withColumn(
+            "p", F.col("n_transitions") / F.sum("n_transitions").over(totals)
+        )
+        .orderBy("prev_state", "state")
+    )

@@ -904,3 +904,38 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select(anchor_id, "negative_id", "similarity", "rank")
     )
+
+
+def embedding_pca(
+    corpus: DataFrame,
+    k: int = 2,
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """Top-k principal components of an embedding column, distributed:
+    MLlib PCA (JVM-side Gram accumulation via treeAggregate — one corpus
+    scan, dim×dim driver state, never n×n) with explained-variance
+    ratios. The building block for embedding-space hygiene in training
+    pipelines: mean-centering + dominant-direction removal ("all but
+    the top", Mu & Viswanath 2018) measurably improves similarity
+    search over anisotropic embedding spaces, and the top component's
+    explained variance is the standard anisotropy diagnostic.
+
+    Returns (components, explained_variance_ratio): k rows of dim
+    floats (unit vectors, sign NOT canonicalized — MLlib's choice; take
+    abs of projections when comparing across engines) and k ratios.
+
+    Scale: the only driver-side object is the dim×dim Gram summary
+    (384² doubles = 1.2 MB); everything row-wise stays in the JVM.
+    Project with :func:`dot` against the returned components as
+    literals — broadcast-friendly, no MLlib runtime needed downstream.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = ensure_parallelism(corpus).select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+    )
+    model = PCA(k=k, inputCol="_features", outputCol="_pc").fit(vecs)
+    comps = model.pc.toArray()  # dim × k
+    ratios = [float(r) for r in model.explainedVariance]
+    return [[float(comps[i][j]) for i in range(comps.shape[0])] for j in range(k)], ratios
