@@ -3926,6 +3926,24 @@ def q_pca_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/rollup.py::resample_ffill):
+    every 50th user's event values resampled to a 6-hour grid with
+    interval-last + forward-fill — pandas resample().last().ffill()
+    semantics, declared as one window pass. Oracle replays the grid
+    construction and the ignore-nulls running last in SQL."""
+    from valentinus_spark.operators.rollup import resample_ffill
+
+    ev = _events(spark, sf_dir).where("user_id % 50 = 0").select(
+        "user_id", "ts_us", "value"
+    )
+    out = resample_ffill(ev, "user_id", "ts_us", "value", 6 * 3600 * 1_000_000)
+    return out.select(
+        "user_id", "tick_us", F.round("value", 4).alias("value")
+    ).orderBy("user_id", "tick_us")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4011,6 +4029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,  # added r5 — r6 window candidate
         "markov_transitions": q_markov_transitions,  # added r5 — r6 window candidate
         "pca_planted": q_pca_planted,  # added r5 — r6 window candidate
+        "resample_ffill": q_resample_ffill,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4209,6 +4228,39 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        "resample_ffill": """
+            WITH obs AS (
+                SELECT user_id AS k, epoch_us(ts) AS ts, value AS v
+                FROM events WHERE user_id % 50 = 0
+            ),
+            iv AS (SELECT 21600000000::BIGINT AS i),
+            spans AS (
+                SELECT k, (min(ts) // (SELECT i FROM iv)) AS t0,
+                       (max(ts) // (SELECT i FROM iv)) AS t1
+                FROM obs GROUP BY 1
+            ),
+            grid AS (
+                SELECT k, unnest(range(t0, t1 + 1)) AS tick FROM spans
+            ),
+            merged AS (
+                SELECT k, NULL::BIGINT AS tick, ts AS sort_ts, v, 0 AS is_grid FROM obs
+                UNION ALL
+                SELECT k, tick, (tick + 1) * (SELECT i FROM iv), NULL, 1 FROM grid
+            ),
+            filled AS (
+                SELECT k, tick, is_grid,
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY k
+                           ORDER BY sort_ts, is_grid DESC, v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS fv
+                FROM merged
+            )
+            SELECT k AS user_id, tick * (SELECT i FROM iv) AS tick_us,
+                   ROUND(fv, 4) AS value
+            FROM filled WHERE is_grid = 1
+            ORDER BY user_id, tick_us
+        """,
         # identical ratio arithmetic: counts exact, doubles same shape
         "association_rules": """
             WITH b AS (

@@ -120,3 +120,41 @@ def test_debounce_chain_semantics(spark):
     )
     out = debounce_events(df, ["user_id"], "ts_us", gap=10).collect()
     assert [(r["ts_us"]) for r in out] == [0]
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    """Key 1: samples at t=105 (v=1.0) and t=430 (v=7.0) on a 100-tick
+    grid -> ticks 100..400; tick 100 carries the in-interval sample
+    (105), ticks 200/300 forward-fill it, and tick 400's interval
+    [400,500) contains the 430 sample. Key 2: single sample, single
+    tick."""
+    from valentinus_spark.operators.rollup import resample_ffill
+
+    rows = [(1, 105, 1.0), (1, 430, 7.0), (2, 250, 5.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    got = {
+        (r["k"], r["tick_us"]): r["value"]
+        for r in resample_ffill(df, "k", "ts", "v", 100).collect()
+    }
+    assert got == {
+        (1, 100): 1.0,
+        (1, 200): 1.0,
+        (1, 300): 1.0,
+        (1, 400): 7.0,
+        (2, 200): 5.0,
+    }
+
+
+def test_resample_ffill_on_tick_sample_fills_its_tick(spark):
+    """A sample exactly on a tick boundary belongs to THAT tick's
+    interval; within-interval the last (and on equal ts the larger)
+    value wins."""
+    from valentinus_spark.operators.rollup import resample_ffill
+
+    rows = [(1, 200, 3.0), (1, 250, 4.0), (1, 250, 9.0), (1, 310, 6.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    got = {
+        r["tick_us"]: r["value"]
+        for r in resample_ffill(df, "k", "ts", "v", 100).collect()
+    }
+    assert got == {200: 9.0, 300: 6.0}

@@ -72,3 +72,76 @@ def merged_rollup(
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval_us: int,
+) -> DataFrame:
+    """Regularize an irregular per-key time series: one row per key per
+    ``interval_us`` tick between the key's first and last observation,
+    carrying the last observed value at-or-before the tick
+    (forward-fill). The resample+ffill step every downstream window
+    model (moving averages, per-tick diffs, grid joins across series)
+    assumes, done once as a declared transform instead of per-consumer.
+
+    Ticks are aligned to the global epoch grid (floor(ts/interval)), so
+    different keys' grids line up — joining two resampled series needs
+    no further alignment. Within a tick the LAST observation wins, ties
+    on equal ts resolved by the larger value for determinism.
+
+    Output: (key_col, tick_us, value) with tick_us the grid timestamp.
+
+    Scale shape: per-key span agg (combinable) → row-local sequence()
+    explode materializes each key's grid (output-sized, bounded by
+    span/interval — the consumer's own output; no cross-key blowup) →
+    ONE window shuffle on key (grid rows + observations union-sorted,
+    running last via ignoreNulls). Sparse-then-long-silent keys cost
+    grid rows, which is inherent to the contract — pick interval_us per
+    use, don't resample a years-idle key at millisecond grain."""
+    from pyspark.sql import Window
+
+    obs = events.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).alias("_v"),
+    )
+    spans = obs.groupBy("_k").agg(
+        F.floor(F.min("_ts") / interval_us).alias("_t0"),
+        F.floor(F.max("_ts") / interval_us).alias("_t1"),
+    )
+    # each grid row SORTS at its interval's end ((tick+1)·interval) and
+    # BEFORE any observation at that exact instant, so the running last
+    # picks up everything inside [tick, tick+interval) — pandas
+    # resample().last().ffill() semantics
+    grid = spans.select(
+        "_k",
+        F.explode(F.sequence(F.col("_t0"), F.col("_t1"))).alias("_tick"),
+    ).select(
+        "_k",
+        F.col("_tick").alias("_tick"),
+        ((F.col("_tick") + 1) * interval_us).alias("_sort_ts"),
+        F.lit(None).cast(obs.schema["_v"].dataType).alias("_v"),
+        F.lit(1).alias("_is_grid"),
+    )
+    merged = obs.select(
+        "_k",
+        F.lit(None).cast("long").alias("_tick"),
+        F.col("_ts").alias("_sort_ts"),
+        "_v",
+        F.lit(0).alias("_is_grid"),
+    ).unionByName(grid)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_sort_ts", F.desc("_is_grid"), "_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.withColumn("_fv", F.last("_v", ignorenulls=True).over(w))
+    return filled.where(F.col("_is_grid") == 1).select(
+        F.col("_k").alias(key_col),
+        (F.col("_tick") * interval_us).alias("tick_us"),
+        F.col("_fv").alias("value"),
+    )
