@@ -363,3 +363,27 @@ def test_drifted_headline_queries_plan_fingerprint(spark):
             f"expected {(want_shuffle, want_bcast)} — investigate before "
             "blaming suite pressure"
         )
+
+
+def test_r5_curation_ops_plan_shapes(spark):
+    """r5 operator plan pins: hard_negatives keeps the per-anchor top-k
+    map-side (WindowGroupLimit) and no new operator introduces a
+    cartesian product — the pair/rule joins must stay keyed (bucket /
+    basket / token equi-joins). BroadcastNestedLoopJoins are only the
+    documented single-row totals pattern."""
+    import __spark_entry__ as entry
+
+    hn = plan_of(entry.queries()["hard_negatives"](spark, SF_DIR))
+    assert "WindowGroupLimit" in hn, "top-k heap not pushed map-side"
+
+    for name in (
+        "hard_negatives",
+        "pmi_collocations",
+        "association_rules",
+        "markov_transitions",
+        "lpa_communities",
+        "dedup_paragraphs",
+        "resample_ffill",
+    ):
+        plan = plan_of(entry.queries()[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
