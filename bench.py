@@ -122,6 +122,14 @@ BENCH_QUERIES = [
     "quality_calibration",
     "hard_negatives",
     "lpa_communities",
+    "incremental_components",
+    "media_headers",
+    "dedup_paragraphs",
+    "stream_components",
+    "association_rules",
+    "markov_transitions",
+    "pca_planted",
+    "resample_ffill",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -146,14 +154,14 @@ BENCH_FAMILIES = {
         "flagship_filtered_cosine_topk", "cosine_topk", "nearest_l2",
         "ann_brute_topk", "neardup_embedding", "neardup_embedding_lsh",
         "ann_lsh_topk", "ivf_ann_topk", "collection_e2e",
-        "embedding_element_stats", "hard_negatives",
+        "embedding_element_stats", "hard_negatives", "pca_planted",
     ],
     "dedup": [
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "dedup_keep", "dedup_clusters",
         "dedup_clusters_star", "incremental_dedup", "incremental_neardup",
         "semantic_dedup", "setsim_join", "entity_linkage",
-        "name_edit_distance",
+        "name_edit_distance", "dedup_paragraphs", "incremental_components",
     ],
     "text": [
         "text_stats", "bm25_search", "lang_id_heuristic", "quality_kept",
@@ -170,18 +178,19 @@ BENCH_FAMILIES = {
         "small_qty_revenue", "segment_except", "nation_order_coverage",
         "user_event_pivot", "part_unpivot", "order_grouping_sets",
         "quarterly_revenue_trend", "customer_value_tiles", "lineitem_stats",
-        "customer_rolling_30d", "asof_join_clicks",
+        "customer_rolling_30d", "asof_join_clicks", "association_rules",
+        "markov_transitions", "resample_ffill",
     ],
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",
-        "events_rollup_merge", "events_sliding_window",
+        "events_rollup_merge", "events_sliding_window", "stream_components",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
         "zorder_bucket_stats", "scd2_apply", "robust_outliers",
     ],
     "graph": ["pagerank_copurchase", "lpa_communities"],
-    "media": ["media_content_stats"],
+    "media": ["media_content_stats", "media_headers"],
     "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan"],
 }
 _fam_all = [q for qs in BENCH_FAMILIES.values() for q in qs]
