@@ -3944,6 +3944,30 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "tick_us")
 
 
+
+def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization (operators/profile.py::winsorize) of
+    document lengths at [p05, p95], summarized per group: both engines
+    interpolate percentiles identically (percentile == quantile_cont),
+    and the clamp + sum is the same rational pipeline, so 4-dp rounding
+    seals the hash."""
+    from valentinus_spark.operators.profile import winsorize
+
+    docs = _t(spark, sf_dir, "documents").select("lang", F.col("n_chars").cast("double").alias("n_chars"))
+    w = winsorize(docs, "n_chars", group_col="lang", lo=0.05, hi=0.95)
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_chars_wins") != F.col("n_chars"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.sum("n_chars_wins"), 4).alias("sum_wins"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4030,6 +4054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,  # added r5 — r6 window candidate
         "pca_planted": q_pca_planted,  # added r5 — r6 window candidate
         "resample_ffill": q_resample_ffill,  # added r5 — r6 window candidate
+        "winsorize_stats": q_winsorize_stats,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4228,6 +4253,23 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        "winsorize_stats": """
+            WITH b AS (
+                SELECT lang,
+                       quantile_cont(n_chars::DOUBLE, 0.05) AS plo,
+                       quantile_cont(n_chars::DOUBLE, 0.95) AS phi
+                FROM documents GROUP BY 1
+            ),
+            w AS (
+                SELECT d.lang, d.n_chars::DOUBLE AS v,
+                       least(greatest(d.n_chars::DOUBLE, b.plo), b.phi) AS vw
+                FROM documents d JOIN b USING (lang)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(CASE WHEN vw != v THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+                   ROUND(sum(vw), 4) AS sum_wins
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
         "resample_ffill": """
             WITH obs AS (
                 SELECT user_id AS k, epoch_us(ts) AS ts, value AS v

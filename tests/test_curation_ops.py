@@ -212,3 +212,36 @@ def test_embedding_pca_recovers_planted_direction(spark):
     assert abs(abs(pc1[0]) - 1.0) < 0.05, "PC1 not aligned with planted axis"
     assert ratios[0] > 0.75
     assert abs(np.linalg.norm(pc1) - 1.0) < 1e-6
+
+
+def test_winsorize_clips_to_band(spark):
+    """Values clamp to the exact [0.25, 0.75] interpolated percentiles;
+    row count is preserved (the contrast with relative_outlier_filter)."""
+    from valentinus_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 10, 20, 30, 1000]], "v double"
+    )
+    # quantile_cont on [0,10,20,30,1000]: p25 = 10, p75 = 30
+    got = sorted(
+        r["v_wins"] for r in winsorize(df, "v", lo=0.25, hi=0.75).collect()
+    )
+    assert got == [10.0, 10.0, 20.0, 30.0, 30.0]
+    assert winsorize(df, "v").count() == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        winsorize(df, "v", lo=0.9, hi=0.1)
+
+
+def test_winsorize_grouped(spark):
+    from valentinus_spark.operators.profile import winsorize
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["v"]): r["v_wins"]
+        for r in winsorize(df, "v", group_col="g", lo=0.0, hi=0.5).collect()
+    }
+    # per-group medians: a -> 2.0, b -> 5.5
+    assert got[("a", 100.0)] == 2.0 and got[("a", 1.0)] == 1.0
+    assert got[("b", 6.0)] == 5.5

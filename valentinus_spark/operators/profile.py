@@ -465,3 +465,45 @@ def robust_zscore(
         .withColumn("is_outlier", F.abs(F.col("robust_z")) > F.lit(threshold))
         .drop("_med", "_mad")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Clip ``value_col`` to its group's [lo, hi] percentile band — the
+    soft companion to :func:`valentinus_spark.operators.quality.
+    relative_outlier_filter` (that DROPS band-outliers; this CAPS them,
+    preserving row count for aggregates that must stay unbiased in
+    coverage, e.g. per-source token budgets where dropping the tail
+    would undercount a source).
+
+    Adds ``out_col`` (default ``{value_col}_wins``). Same scale shape as
+    :func:`robust_zscore`: percentile aggregates to group granularity,
+    broadcast join-back, row-local clamp — no window over raw rows;
+    ``approx=True`` swaps in percentile_approx for unbounded groups."""
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    out = out_col or f"{value_col}_wins"
+    keys = [group_col] if group_col else []
+
+    def pct(q):
+        if approx:
+            return F.percentile_approx(F.col(value_col), F.lit(q), F.lit(10000))
+        return F.percentile(F.col(value_col), F.lit(q))
+
+    bounds = df.groupBy(*keys).agg(
+        pct(lo).alias("_plo"), pct(hi).alias("_phi")
+    )
+    joined = df.join(F.broadcast(bounds), on=keys) if keys else df.crossJoin(
+        F.broadcast(bounds)
+    )
+    return joined.withColumn(
+        out,
+        F.least(F.greatest(F.col(value_col), F.col("_plo")), F.col("_phi")),
+    ).drop("_plo", "_phi")
