@@ -66,9 +66,23 @@ def _probe_pq_ann_embeddings(spark, sf_dir):
     return pq_ann_topk(codes, queries, books, k=10, corpus_id="vec_id")
 
 
+def _probe_dedup_paragraphs_full(spark, sf_dir):
+    """dedup_paragraphs over the WHOLE scaled documents table (the
+    registry query caps doc_id for its planted oracle, so it carries no
+    scale signal)."""
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = dedup_paragraphs(docs, sep_regex="\\. ", join_sep=". ")
+    return out.select(F.sum("n_kept").alias("k"), F.sum("n_paras").alias("n"))
+
+
 EXTRA_PROBES = {
     "kcore_copurchase": _probe_kcore_copurchase,
     "pq_ann_embeddings": _probe_pq_ann_embeddings,
+    "dedup_paragraphs_full": _probe_dedup_paragraphs_full,
 }
 
 
