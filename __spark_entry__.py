@@ -3968,6 +3968,27 @@ def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift panel (operators/profile.py::embedding_drift)
+    between the even- and odd-id halves of the embeddings table — two
+    same-distribution samples, so the panel should sit near (cos≈1,
+    gap≈0, ratio≈1) but every number is exactly replayable: the oracle
+    recomputes the identical per-dimension moment sums in SQL."""
+    from valentinus_spark.operators.profile import embedding_drift
+
+    embs = _t(spark, sf_dir, "embeddings")
+    out = embedding_drift(
+        embs.where("vec_id % 2 = 0"), embs.where("vec_id % 2 = 1")
+    )
+    return out.select(
+        "n_a", "n_b",
+        F.round("mean_cosine", 4).alias("mean_cosine"),
+        F.round("mean_l2_gap", 4).alias("mean_l2_gap"),
+        F.round("var_ratio_mean", 4).alias("var_ratio_mean"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4055,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_planted": q_pca_planted,  # added r5 — r6 window candidate
         "resample_ffill": q_resample_ffill,  # added r5 — r6 window candidate
         "winsorize_stats": q_winsorize_stats,  # added r5 — r6 window candidate
+        "embedding_drift": q_embedding_drift,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4253,6 +4275,45 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        # per-dimension moment replay; list_zip(list, range(...)) is the
+        # DuckDB positional-lambda workaround
+        "embedding_drift": """
+            WITH xa AS (
+                SELECT unnest(list_zip(embedding::DOUBLE[],
+                                       range(1, len(embedding) + 1))) AS z
+                FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            xb AS (
+                SELECT unnest(list_zip(embedding::DOUBLE[],
+                                       range(1, len(embedding) + 1))) AS z
+                FROM embeddings WHERE vec_id % 2 = 1
+            ),
+            ma AS (
+                SELECT (z)[2] AS i, count(*) AS n_a,
+                       sum((z)[1]) AS s_a,
+                       sum((z)[1] * (z)[1]) AS q_a
+                FROM xa GROUP BY 1
+            ),
+            mb AS (
+                SELECT (z)[2] AS i, count(*) AS n_b,
+                       sum((z)[1]) AS s_b,
+                       sum((z)[1] * (z)[1]) AS q_b
+                FROM xb GROUP BY 1
+            ),
+            pd AS (
+                SELECT ma.i, s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+                       q_a / n_a - (s_a / n_a) * (s_a / n_a) AS va,
+                       q_b / n_b - (s_b / n_b) * (s_b / n_b) AS vb,
+                       n_a, n_b
+                FROM ma JOIN mb USING (i)
+            )
+            SELECT max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+                   ROUND(sum(mean_a * mean_b) /
+                         (sqrt(sum(mean_a * mean_a)) * sqrt(sum(mean_b * mean_b))), 4) AS mean_cosine,
+                   ROUND(sqrt(sum((mean_a - mean_b) * (mean_a - mean_b))), 4) AS mean_l2_gap,
+                   ROUND(avg(CASE WHEN va > 0 THEN vb / va END), 4) AS var_ratio_mean
+            FROM pd
+        """,
         "winsorize_stats": """
             WITH b AS (
                 SELECT lang,

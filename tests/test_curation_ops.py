@@ -245,3 +245,33 @@ def test_winsorize_grouped(spark):
     # per-group medians: a -> 2.0, b -> 5.5
     assert got[("a", 100.0)] == 2.0 and got[("a", 1.0)] == 1.0
     assert got[("b", 6.0)] == 5.5
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    """Identical corpora: cosine 1, gap 0, var ratio 1. A mean-shifted,
+    variance-doubled copy moves every panel number the expected way."""
+    import numpy as np
+
+    from valentinus_spark.operators.profile import embedding_drift
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((300, 8)) + 5.0  # nonzero mean for cosine
+    a = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    same = embedding_drift(a, a).collect()[0]
+    assert same["n_a"] == same["n_b"] == 300
+    assert abs(same["mean_cosine"] - 1.0) < 1e-12
+    assert same["mean_l2_gap"] < 1e-12
+    assert abs(same["var_ratio_mean"] - 1.0) < 1e-12
+
+    Y = (X - 5.0) * np.sqrt(2.0) + 7.0  # shift mean 5->7, double variance
+    b = spark.createDataFrame(
+        [(i, [float(x) for x in Y[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    moved = embedding_drift(a, b).collect()[0]
+    assert moved["mean_l2_gap"] > 4.0  # ~sqrt(8 * 2^2) = 5.66 expected
+    assert 1.7 < moved["var_ratio_mean"] < 2.3
+    assert moved["mean_cosine"] > 0.97  # direction roughly preserved

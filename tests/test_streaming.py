@@ -681,3 +681,30 @@ def test_stream_components_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert got == want == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_components_state_crash_recovery(spark, tmp_path):
+    """merge_components_state inherits merge_hll_state's crash contract:
+    _next cleaned after a successful swap; a crash between state delete
+    and rewrite recovers from _next with zero loss (and the recovery
+    batch is itself a replay no-op)."""
+    import shutil
+
+    from valentinus_spark.streaming.pipeline import merge_components_state
+
+    b1 = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    b2 = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    state = str(tmp_path / "st")
+
+    merge_components_state(b1, state)
+    assert not os.path.exists(state + "_next"), "_next must be cleaned"
+    merge_components_state(b2, state)
+    full = {(r["id"], r["cluster_id"]) for r in spark.read.parquet(state).collect()}
+
+    # crash simulation: state gone, only the write-aside copy remains
+    shutil.copytree(state, state + "_next")
+    shutil.rmtree(state)
+    merge_components_state(b2, state)  # replayed batch during recovery
+    got = {(r["id"], r["cluster_id"]) for r in spark.read.parquet(state).collect()}
+    assert got == full == {(1, 1), (2, 1), (3, 1), (4, 1)}
+    assert not os.path.exists(state + "_next")

@@ -507,3 +507,65 @@ def winsorize(
         out,
         F.least(F.greatest(F.col(value_col), F.col("_plo")), F.col("_phi")),
     ).drop("_plo", "_phi")
+
+
+def embedding_drift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distribution-shift summary between two embedding corpora (model
+    upgrade, new crawl snapshot, domain mix change): per-dimension means
+    and variances of both sides, their mean-vector cosine, the L2 gap
+    between mean vectors, and the mean per-dimension variance ratio —
+    the cheap first-order drift panel run before trusting an index or a
+    semantic-dedup threshold across snapshots (full MMD needs kernels;
+    in practice mean/variance drift catches model swaps and domain
+    shifts, cf. Rabanser et al. 2019, "Failing Loudly").
+
+    Returns ONE row: (n_a, n_b, mean_cosine, mean_l2_gap,
+    var_ratio_mean). Moments accumulate as element-wise array
+    aggregates — two single-scan, map-side-combinable passes (one per
+    corpus) producing dim-sized rows; all comparison arithmetic runs on
+    those two tiny rows. Nothing about this operator depends on n."""
+    # element-wise sums via explode+posexplode keeps everything
+    # combinable without driver-side arrays
+    def dim_moments(df: DataFrame, tag: str):
+        v = F.col(vec_col).cast("array<double>")
+        return (
+            df.select(F.posexplode(v).alias("i", "x"))
+            .groupBy("i")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum("x").alias(f"s_{tag}"),
+                F.sum(F.col("x") * F.col("x")).alias(f"q_{tag}"),
+            )
+        )
+
+    a = dim_moments(corpus_a, "a")
+    b = dim_moments(corpus_b, "b")
+    j = a.join(b, "i")
+    per_dim = j.select(
+        "i",
+        (F.col("s_a") / F.col("n_a")).alias("ma"),
+        (F.col("s_b") / F.col("n_b")).alias("mb"),
+        (F.col("q_a") / F.col("n_a") - (F.col("s_a") / F.col("n_a")) ** 2).alias("va"),
+        (F.col("q_b") / F.col("n_b") - (F.col("s_b") / F.col("n_b")) ** 2).alias("vb"),
+        "n_a",
+        "n_b",
+    )
+    return per_dim.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        (
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            )
+        ).alias("mean_cosine"),
+        F.sqrt(F.sum((F.col("ma") - F.col("mb")) ** 2)).alias("mean_l2_gap"),
+        F.avg(
+            F.when(F.col("va") > 0, F.col("vb") / F.col("va"))
+        ).alias("var_ratio_mean"),
+    )
