@@ -3989,6 +3989,28 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_kcenter_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset gate (operators/similarity.py::
+    kcenter_coreset): embeddings 0..256 rewritten onto a 1-D axis, where
+    farthest-point traversal from the min id is ANALYTICALLY the binary
+    subdivision 0, 256, 128, then per tier the odd multiples in min-id
+    order (64, 192; 32, 96, 160, 224) with min_dist = the tier width.
+    The oracle pins that literal sequence — derived from the
+    construction, never from running the algorithm."""
+    from valentinus_spark.operators.similarity import kcenter_coreset
+
+    embs = _t(spark, sf_dir, "embeddings").where("vec_id <= 256")
+    axis = embs.select(
+        "vec_id",
+        F.array(F.col("vec_id").cast("float"), F.lit(0.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    out = kcenter_coreset(axis, k=9)
+    return out.select("rank", "vec_id", F.round("min_dist", 4).alias("min_dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4077,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,  # added r5 — r6 window candidate
         "winsorize_stats": q_winsorize_stats,  # added r5 — r6 window candidate
         "embedding_drift": q_embedding_drift,  # added r5 — r6 window candidate
+        "kcenter_planted": q_kcenter_planted,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4275,6 +4298,25 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        # binary-subdivision derivation: after {0, 256}, each tier t
+        # adds width·odd offsets (width = 256 / 2^t), min-dist ties
+        # resolving in ascending id — so tier order is 128 | 64, 192 |
+        # 32, 96, 160, 224, with min_dist = the tier width
+        "kcenter_planted": """
+            SELECT rank::INT AS rank, vec_id::BIGINT AS vec_id,
+                   min_dist::DOUBLE AS min_dist
+            FROM (VALUES
+                (1, 0,   0.0),
+                (2, 256, 256.0),
+                (3, 128, 128.0),
+                (4, 64,  64.0),
+                (5, 192, 64.0),
+                (6, 32,  32.0),
+                (7, 96,  32.0),
+                (8, 160, 32.0),
+                (9, 224, 32.0)
+            ) AS t(rank, vec_id, min_dist)
+        """,
         # per-dimension moment replay; list_zip(list, range(...)) is the
         # DuckDB positional-lambda workaround
         "embedding_drift": """

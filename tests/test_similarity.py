@@ -517,3 +517,24 @@ def test_semantic_dedup_hot_cluster_pair_bound(spark):
         df, centroids=one_centroid, threshold=0.5, max_cluster=None
     )
     assert kept_exact.count() == 1
+
+
+def test_kcenter_coreset_farthest_point_traversal(spark):
+    """1-D points 0..16 embedded on an axis: greedy from min id picks
+    0, 16, 8, then the (min-dist 4) tier with min-id tie-break -> 4,
+    12. min_dist decreases monotonically after rank 2."""
+    from valentinus_spark.operators.similarity import kcenter_coreset
+
+    rows = [(i, [float(i), 0.0]) for i in range(17)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kcenter_coreset(df, k=5).collect()
+    assert [(r["rank"], r["vec_id"]) for r in got] == [
+        (1, 0), (2, 16), (3, 8), (4, 4), (5, 12),
+    ]
+    dists = [r["min_dist"] for r in got]
+    assert dists[0] == 0.0 and dists[1] == 16.0 and dists[2] == 8.0
+    assert dists[3] == dists[4] == 4.0
+
+    # k larger than corpus: selection exhausts without error
+    tiny = spark.createDataFrame(rows[:3], "vec_id long, embedding array<float>")
+    assert kcenter_coreset(tiny, k=10).count() == 3

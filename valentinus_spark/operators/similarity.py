@@ -939,3 +939,64 @@ def embedding_pca(
     comps = model.pc.toArray()  # dim × k
     ratios = [float(r) for r in model.explainedVariance]
     return [[float(comps[i][j]) for i in range(comps.shape[0])] for j in range(k)], ratios
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985's 2-approximation,
+    the farthest-point traversal behind diversity-first data selection /
+    facility-location coresets): start from the min-id row, then k−1
+    times add the point FARTHEST from the current selection (L2 to its
+    nearest selected center; ties break to the smaller id, so the
+    selection replays deterministically).
+
+    Returns (rank, id_col, min_dist) — rank = selection order, min_dist
+    = the point's distance to the previously-selected set at pick time
+    (rank 1 ⇒ 0.0 by convention). min_dist of the LAST pick upper-bounds
+    the corpus coverage radius (every unselected point is within that
+    distance of some center — the 2-approx certificate).
+
+    Scale shape: k driver-synchronized rounds, each ONE corpus scan —
+    the running nearest-selected-center distance column updates against
+    the single newly-picked center (broadcast literal vector) and the
+    argmax is a TakeOrdered(1), no shuffle beyond the top-1 reduce;
+    lineage truncates per round (localCheckpoint), so the cost model is
+    exactly k × scan. Use on a representative SAMPLE when k·corpus
+    scans is too dear — the greedy guarantee degrades gracefully with
+    sampling (standard coreset practice)."""
+    from valentinus_spark.functions.vector import l2_distance
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pts = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .localCheckpoint()
+    )
+    first = pts.orderBy(id_col).limit(1).collect()[0]
+    selected = [(1, first[id_col], 0.0)]
+    cur_vec = list(first["_v"])
+    remaining = pts.where(F.col(id_col) != first[id_col]).withColumn(
+        "_d", F.lit(float("inf"))
+    )
+    for rank in range(2, k + 1):
+        remaining = remaining.withColumn(
+            "_d", F.least(F.col("_d"), l2_distance(F.col("_v"), cur_vec))
+        ).localCheckpoint()
+        top = (
+            remaining.orderBy(F.desc("_d"), F.asc(id_col)).limit(1).collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        selected.append((rank, row[id_col], float(row["_d"])))
+        cur_vec = list(row["_v"])
+        remaining = remaining.where(F.col(id_col) != row[id_col])
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        selected, f"rank int, {id_col} long, min_dist double"
+    )
