@@ -4011,6 +4011,43 @@ def q_kcenter_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "vec_id", F.round("min_dist", 4).alias("min_dist"))
 
 
+
+def q_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE on a versioned table (sources/versioned.py::delete_where):
+    customers committed as v1, negative balances and one segment deleted
+    copy-on-write as v2; per-segment count + row checksum over v2 while
+    the query also asserts v1 stays readable (snapshot isolation). The
+    oracle is the relational filter replay."""
+    import tempfile
+
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.sources.versioned import (
+        commit_version,
+        delete_where,
+        read_version,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal")).cast("long").alias("bal"),
+    )
+    path = tempfile.mkdtemp(prefix="vs_del_")
+    v1 = commit_version(spark, path, cust, mode="overwrite")
+    v2 = delete_where(spark, path, "bal < 0 OR c_mktsegment = 'BUILDING'")
+    assert read_version(spark, path, v1).count() == cust.count()
+    after = read_version(spark, path, v2)
+    return (
+        after.select(
+            "c_mktsegment",
+            sha_hash60(
+                F.concat_ws("\x1f", F.col("c_custkey"), F.col("c_mktsegment"), F.col("bal"))
+            ).alias("_h"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(_h)").alias("content_xor"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4100,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_stats": q_winsorize_stats,  # added r5 — r6 window candidate
         "embedding_drift": q_embedding_drift,  # added r5 — r6 window candidate
         "kcenter_planted": q_kcenter_planted,  # added r5 — r6 window candidate
+        "versioned_delete": q_versioned_delete,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4298,6 +4336,22 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        "versioned_delete": """
+            WITH base AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(floor(c_acctbal) AS BIGINT) AS bal
+                FROM customer
+            ),
+            kept AS (
+                SELECT * FROM base
+                WHERE NOT (bal < 0 OR c_mktsegment = 'BUILDING')
+            )
+            SELECT c_mktsegment, count(*) AS n_rows,
+                   bit_xor(('0x' || substr(sha256(
+                       c_custkey::VARCHAR || chr(31) || c_mktsegment || chr(31) || bal::VARCHAR
+                   ), 1, 15))::UBIGINT::BIGINT) AS content_xor
+            FROM kept GROUP BY 1
+        """,
         # binary-subdivision derivation: after {0, 256}, each tier t
         # adds width·odd offsets (width = 256 / 2^t), min-dist ties
         # resolving in ascending id — so tier order is 128 | 64, 192 |

@@ -270,3 +270,32 @@ def test_merge_into_null_key_matches_null_key(spark, tmp_path):
     assert len(rows) == 2
     got3 = {r["name"]: r["v"] for r in rows}
     assert got3 == {"nullrow": 7, "a": 10}
+
+
+def test_delete_where_copy_on_write_and_vacuum_erasure(spark, tmp_path):
+    """delete_where drops matching rows in a NEW version (NULL predicate
+    rows are kept — SQL DELETE semantics), old versions stay readable
+    until vacuum reclaims them (the logical-then-physical contract)."""
+    from valentinus_spark.sources.versioned import (
+        commit_version,
+        delete_where,
+        read_version,
+        vacuum,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30)], "id long, name string, v long"
+    )
+    v1 = commit_version(spark, path, base, mode="overwrite")
+    v2 = delete_where(spark, path, "v > 15")
+    got = {r["id"] for r in read_version(spark, path, v2).collect()}
+    assert got == {1, 2}, "NULL-predicate row must survive a DELETE"
+    # pre-delete snapshot intact
+    assert {r["id"] for r in read_version(spark, path, v1).collect()} == {1, 2, 3}
+    # physical erasure once the old version ages out
+    vacuum(path, keep_last=1)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        read_version(spark, path, v1).collect()
+    assert {r["id"] for r in read_version(spark, path, v2).collect()} == {1, 2}

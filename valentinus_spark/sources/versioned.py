@@ -326,3 +326,26 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     for v in drop:
         os.remove(_manifest_path(path, v))
     return sorted(removed)
+
+
+def delete_where(spark: SparkSession, path: str, predicate) -> int:
+    """DELETE FROM the latest version — copy-on-write: rows matching
+    ``predicate`` (a Column or SQL string) are dropped and the remainder
+    commits as a new version. Completes the DML triad next to
+    :func:`merge_into` (upsert) and apply_cdc (log replay); the
+    GDPR/right-to-be-forgotten face of the versioned table.
+
+    Returns the new version number. Time travel still reads the
+    pre-delete versions — a REAL erasure requires :func:`vacuum` down
+    to the post-delete version once retention allows, which is exactly
+    the two-step contract lakehouse deletes have everywhere (delete =
+    logical now, physical at vacuum).
+
+    Plan: one scan + anti-filter + commit; no join, no shuffle beyond
+    the write."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    current = read_version(spark, path)
+    remaining = current.filter(~cond | cond.isNull())
+    return commit_version(spark, path, remaining, mode="overwrite")
