@@ -4048,6 +4048,52 @@ def q_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed between versions (sources/versioned.py::
+    table_changes): customer v1 vs an arithmetically-mutated v2
+    (custkey%11 deleted, %7 rebanded, %13 inserted at the sf-proof 1e9
+    offset) — the CDF must classify exactly those rows as delete /
+    update pre+post / insert. Oracle derives every class from the same
+    arithmetic, never from a diff."""
+    import tempfile
+
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.sources.versioned import commit_version, table_changes
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.floor(F.col("c_acctbal")).cast("long").alias("bal")
+    )
+    path = tempfile.mkdtemp(prefix="vs_cdf_")
+    v1 = commit_version(spark, path, cust, mode="overwrite")
+    v2_df = (
+        cust.where("c_custkey % 11 != 0")
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("bal") + 100)
+            .otherwise(F.col("bal"))
+            .alias("bal"),
+        )
+        .unionByName(
+            cust.where("c_custkey % 13 = 0").select(
+                (F.col("c_custkey") + 1000000000).alias("c_custkey"),
+                F.lit(0).cast("long").alias("bal"),
+            )
+        )
+    )
+    v2 = commit_version(spark, path, v2_df, mode="overwrite")
+    cdf = table_changes(spark, path, v1, v2, keys=["c_custkey"])
+    return (
+        cdf.select(
+            "_change_type",
+            sha_hash60(F.concat_ws("\x1f", F.col("c_custkey"), F.col("bal"))).alias("_h"),
+        )
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.expr("bit_xor(_h)").alias("content_xor"))
+        .orderBy("_change_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4138,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,  # added r5 — r6 window candidate
         "kcenter_planted": q_kcenter_planted,  # added r5 — r6 window candidate
         "versioned_delete": q_versioned_delete,  # added r5 — r6 window candidate
+        "table_changes_cdf": q_table_changes_cdf,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4336,6 +4383,31 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        # every CDF class re-derived from the mutation arithmetic
+        "table_changes_cdf": """
+            WITH base AS (
+                SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) AS bal
+                FROM customer
+            ),
+            rows_out AS (
+                SELECT 'delete' AS _change_type, c_custkey, bal
+                FROM base WHERE c_custkey % 11 = 0
+                UNION ALL
+                SELECT 'update_preimage', c_custkey, bal
+                FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 11 != 0
+                UNION ALL
+                SELECT 'update_postimage', c_custkey, bal + 100
+                FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 11 != 0
+                UNION ALL
+                SELECT 'insert', c_custkey + 1000000000, 0::BIGINT
+                FROM base WHERE c_custkey % 13 = 0
+            )
+            SELECT _change_type, count(*) AS n_rows,
+                   bit_xor(('0x' || substr(sha256(
+                       c_custkey::VARCHAR || chr(31) || bal::VARCHAR
+                   ), 1, 15))::UBIGINT::BIGINT) AS content_xor
+            FROM rows_out GROUP BY 1 ORDER BY 1
+        """,
         "versioned_delete": """
             WITH base AS (
                 SELECT c_custkey, c_mktsegment,

@@ -299,3 +299,43 @@ def test_delete_where_copy_on_write_and_vacuum_erasure(spark, tmp_path):
     with _pytest.raises(Exception):
         read_version(spark, path, v1).collect()
     assert {r["id"] for r in read_version(spark, path, v2).collect()} == {1, 2}
+
+
+def test_table_changes_cdf_classification(spark, tmp_path):
+    """CDF between snapshots: insert / delete / update pre+post images,
+    NULL keys matched null-safely, NULL-to-value data changes detected."""
+    from valentinus_spark.sources.versioned import (
+        commit_version,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = commit_version(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", None), (None, "n", 5)],
+            "id long, name string, v long",
+        ),
+        mode="overwrite",
+    )
+    v2 = commit_version(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 99), (None, "n2", 5), (4, "d", 1)],
+            "id long, name string, v long",
+        ),
+        mode="overwrite",
+    )
+    rows = table_changes(spark, path, v1, v2, keys=["id"]).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append((r["id"], r["name"], r["v"]))
+    assert by_type["insert"] == [(4, "d", 1)]
+    assert "delete" not in by_type
+    pre = set(by_type["update_preimage"])
+    post = set(by_type["update_postimage"])
+    assert (2, "b", None) in pre and (2, "b", 99) in post  # NULL -> value
+    assert (None, "n", 5) in pre and (None, "n2", 5) in post  # NULL key matched
+    assert len(rows) == 1 + 2 * 2
