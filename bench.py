@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     "markov_transitions",
     "pca_planted",
     "resample_ffill",
+    "winsorize_stats",
+    "embedding_drift",
+    "kcenter_planted",
+    "versioned_delete",
+    "table_changes_cdf",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -155,6 +160,7 @@ BENCH_FAMILIES = {
         "ann_brute_topk", "neardup_embedding", "neardup_embedding_lsh",
         "ann_lsh_topk", "ivf_ann_topk", "collection_e2e",
         "embedding_element_stats", "hard_negatives", "pca_planted",
+        "embedding_drift", "kcenter_planted",
     ],
     "dedup": [
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
@@ -188,10 +194,12 @@ BENCH_FAMILIES = {
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
         "zorder_bucket_stats", "scd2_apply", "robust_outliers",
+        "winsorize_stats",
     ],
     "graph": ["pagerank_copurchase", "lpa_communities"],
     "media": ["media_content_stats", "media_headers"],
-    "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan"],
+    "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan",
+            "versioned_delete", "table_changes_cdf"],
 }
 _fam_all = [q for qs in BENCH_FAMILIES.values() for q in qs]
 assert sorted(_fam_all) == sorted(BENCH_QUERIES), (
