@@ -409,3 +409,75 @@ def test_exact_quantiles_matches_sorted_oracle(spark, values, qs):
     s = sorted(float(v) for v in values)
     want = {q: s[max(1, math.ceil(q * len(s))) - 1] for q in qs}
     assert got == want
+
+
+# ---- r5 operators: fuzzed invariants ----
+
+_pair_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old=_pair_strategy, delta=_pair_strategy)
+def test_incremental_components_fuzz_equals_full(spark, old, delta):
+    """For ANY split of a random pair set into (history, delta), merging
+    the delta into CC(history) must equal CC(history ∪ delta)."""
+    from valentinus_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_df = spark.createDataFrame(old, "id_a long, id_b long")
+    delta_df = spark.createDataFrame(delta, "id_a long, id_b long")
+    labeling = connected_components(old_df, "id_a", "id_b")
+    inc = {
+        (r["id"], r["cluster_id"])
+        for r in incremental_components(labeling, delta_df).collect()
+    }
+    full = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(
+            old_df.unionByName(delta_df), "id_a", "id_b"
+        ).collect()
+    }
+    assert inc == full
+
+
+_para_doc_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee "]), min_size=1, max_size=5),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_para_doc_strategy)
+def test_dedup_paragraphs_fuzz_invariants(spark, docs):
+    """Random paragraph lists: after dedup (a) every doc keeps a subset
+    of its paragraphs in order, (b) each distinct trimmed paragraph
+    survives exactly once corpus-wide, (c) the survivor is the min
+    (doc, pos) occurrence."""
+    from valentinus_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+
+    # python oracle
+    first_seen = {}
+    for i, paras in enumerate(docs):
+        for pos, p in enumerate(paras):
+            key = p.strip()
+            if key not in first_seen:
+                first_seen[key] = (i, pos)
+    for i, paras in enumerate(docs):
+        expect = [
+            p for pos, p in enumerate(paras) if first_seen[p.strip()] == (i, pos)
+        ]
+        r = got[i]
+        assert r["n_paras"] == len(paras)
+        assert r["n_kept"] == len(expect)
+        assert r["clean_text"] == "\n\n".join(expect)
