@@ -4094,6 +4094,33 @@ def q_table_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget subset cut (operators/mixture.py::
+    token_budget_sample): per-language budgets = 30% of that language's
+    total chars; the kept set is the maximal sha-order prefix within
+    budget. Oracle replays the same hash order and inclusive cumsum —
+    counts and sums must land exactly."""
+    from valentinus_spark.operators.mixture import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    budgets = docs.groupBy("lang").agg(
+        F.floor(F.sum("n_chars") * 0.3).cast("long").alias("budget_tokens")
+    )
+    kept = token_budget_sample(
+        docs, budgets, stratum_col="lang", tokens_col="n_chars"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_tokens"),
+            F.expr("bit_xor(doc_id)").alias("id_xor"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4185,6 +4212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_planted": q_kcenter_planted,  # added r5 — r6 window candidate
         "versioned_delete": q_versioned_delete,  # added r5 — r6 window candidate
         "table_changes_cdf": q_table_changes_cdf,  # added r5 — r6 window candidate
+        "token_budget_sample": q_token_budget_sample,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4383,6 +4411,28 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        "token_budget_sample": """
+            WITH b AS (
+                SELECT lang,
+                       CAST(floor(sum(n_chars) * 0.3) AS BIGINT) AS budget
+                FROM documents GROUP BY 1
+            ),
+            ranked AS (
+                SELECT d.doc_id, d.lang, d.n_chars,
+                       sum(d.n_chars) OVER (
+                           PARTITION BY d.lang
+                           ORDER BY sha256('v1' || chr(31) || d.doc_id::VARCHAR)
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum,
+                       b.budget
+                FROM documents d JOIN b USING (lang)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_tokens,
+                   bit_xor(doc_id) AS id_xor
+            FROM ranked WHERE cum <= budget
+            GROUP BY 1 ORDER BY 1
+        """,
         # every CDF class re-derived from the mutation arithmetic
         "table_changes_cdf": """
             WITH base AS (

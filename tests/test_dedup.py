@@ -968,3 +968,35 @@ def test_dedup_paragraphs_within_doc_repeat(spark):
     r = dedup_paragraphs(df).collect()[0]
     assert r["clean_text"] == "X\n\nY\n\nZ"
     assert (r["n_paras"], r["n_kept"]) == (4, 3)
+
+
+def test_token_budget_sample_exact_prefix(spark):
+    """Per-stratum hash-order prefix whose inclusive token sum fits the
+    budget; deterministic across runs; over-budget docs drop whole."""
+    import hashlib
+
+    from valentinus_spark.operators.mixture import token_budget_sample
+
+    rows = [(i, "a" if i < 8 else "b", 10) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    budgets = spark.createDataFrame(
+        [("a", 35), ("b", 1000)], "source string, budget_tokens long"
+    )
+    got = token_budget_sample(docs, budgets).collect()
+    a_ids = sorted(r["doc_id"] for r in got if r["source"] == "a")
+    b_ids = sorted(r["doc_id"] for r in got if r["source"] == "b")
+    assert b_ids == [8, 9, 10, 11]  # budget ample: all of b
+    assert len(a_ids) == 3  # 3 * 10 <= 35 < 4 * 10
+
+    # python oracle: the same sha order picks the same prefix
+    def h(i):
+        return hashlib.sha256(f"v1\x1f{i}".encode()).hexdigest()
+
+    expect = sorted(sorted(range(8), key=h)[:3])
+    assert a_ids == expect
+
+    again = sorted(
+        r["doc_id"] for r in token_budget_sample(docs, budgets).collect()
+        if r["source"] == "a"
+    )
+    assert again == a_ids

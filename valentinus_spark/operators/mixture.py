@@ -102,3 +102,48 @@ def temperature_mixture_weights(
         F.round("_pt", 6).alias("p_target"),
         F.round(F.col("_pt") / F.col("_praw"), 6).alias("repeat_factor"),
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: DataFrame,
+    stratum_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Cut an EXACT-budget training subset: per stratum, take documents
+    in deterministic pseudo-random order (sha256 of salt+id — the
+    stable_split trick, content-independent and replayable) until the
+    stratum's token budget is met. The materialization step after
+    :func:`temperature_mixture_weights` decides the proportions: weights
+    say 30% code / 70% web, this turns that into an actual row set
+    summing to the budgeted tokens.
+
+    ``budgets``: (stratum_col, budget_tokens) — tiny, broadcast. A row
+    is kept while its INCLUSIVE running token sum ≤ budget, so the
+    selected set is the maximal hash-order prefix within budget
+    (deterministic; the first over-budget doc is dropped, not split —
+    document-level sampling never splits).
+
+    Scale shape: ONE window (cumulative sum ordered by the hash) keyed
+    on the stratum — the same partitioning every per-source pass uses;
+    skewed strata pay an in-partition sort, which is inherent to an
+    exact sequential budget (approximate alternative: Bernoulli-sample
+    at budget/total and accept ±√n tokens; this operator is the exact
+    path)."""
+    from pyspark.sql import Window
+
+    h = F.sha2(F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string")), 256)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return (
+        docs.join(F.broadcast(budgets), stratum_col)
+        .withColumn("_cum", cum)
+        .where(F.col("_cum") <= F.col("budget_tokens"))
+        .drop("_cum", "budget_tokens")
+    )
