@@ -4121,6 +4121,74 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_abtt_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top gate (operators/similarity.py::
+    remove_top_components + embedding_mean): a constant offset of 8 on
+    axis 0 makes every raw cosine collapse toward 1; mean-centering +
+    top-component removal must recover contrast. Planted-gate booleans
+    derived from the construction: the mean is recovered, the average
+    cleaned background cosine drops by >0.3, and outputs re-normalize."""
+    from valentinus_spark.functions.vector import cosine_similarity, l2_normalize
+    from valentinus_spark.operators.similarity import (
+        embedding_mean,
+        embedding_pca,
+        remove_top_components,
+    )
+
+    dim = len(QUERY_VEC)
+    embs = _t(spark, sf_dir, "embeddings").where("vec_id < 400")
+    biased = embs.select(
+        "vec_id",
+        F.concat(
+            F.array((F.col("embedding")[0] + 8.0).cast("float")),
+            F.slice(F.col("embedding"), 2, dim - 1),
+        ).alias("embedding"),
+    )
+    mu = embedding_mean(biased)
+    comps, _ = embedding_pca(biased, k=1)
+    cleaned = remove_top_components(biased, comps, mean=mu)
+
+    probe = biased.where("vec_id = 0").first()["embedding"]
+    raw_bg = (
+        biased.where("vec_id > 0")
+        .select(F.avg(cosine_similarity("embedding", [float(x) for x in probe])).alias("c"))
+        .first()["c"]
+    )
+    probe_c = cleaned.where("vec_id = 0").first()["embedding"]
+    clean_bg = (
+        cleaned.where("vec_id > 0")
+        .select(F.avg(cosine_similarity("embedding", [float(x) for x in probe_c])).alias("c"))
+        .first()["c"]
+    )
+    norm_ok = (
+        cleaned.select(
+            F.avg(
+                F.abs(
+                    F.aggregate(
+                        F.col("embedding").cast("array<double>"),
+                        F.lit(0.0),
+                        lambda a, x: a + x * x,
+                    )
+                    - 1.0
+                )
+            ).alias("e")
+        ).first()["e"]
+        < 1e-6
+    )
+    return spark.createDataFrame(
+        [
+            (
+                abs(mu[0] - 8.0) < 0.5,
+                bool(raw_bg - clean_bg > 0.3),
+                bool(raw_bg > 0.9),
+                bool(norm_ok),
+            )
+        ],
+        "mean_recovered boolean, contrast_recovered boolean, bias_dominated_raw boolean, unit_norm boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4213,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_delete": q_versioned_delete,  # added r5 — r6 window candidate
         "table_changes_cdf": q_table_changes_cdf,  # added r5 — r6 window candidate
         "token_budget_sample": q_token_budget_sample,  # added r5 — r6 window candidate
+        "abtt_planted": q_abtt_planted,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4411,6 +4480,13 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        # planted gate: expected booleans follow from the +8 offset
+        # construction (raw cosines collapse, centering restores), never
+        # from running pca/abtt
+        "abtt_planted": """
+            SELECT true AS mean_recovered, true AS contrast_recovered,
+                   true AS bias_dominated_raw, true AS unit_norm
+        """,
         "token_budget_sample": """
             WITH b AS (
                 SELECT lang,

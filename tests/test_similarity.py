@@ -538,3 +538,53 @@ def test_kcenter_coreset_farthest_point_traversal(spark):
     # k larger than corpus: selection exhausts without error
     tiny = spark.createDataFrame(rows[:3], "vec_id long, embedding array<float>")
     assert kcenter_coreset(tiny, k=10).count() == 3
+
+
+def test_remove_top_components_abtt(spark):
+    """A shared bias direction dominates every vector; after pca + abtt
+    the residual signal separates again: planted near-pairs' cosine
+    margin over background recovers."""
+    import numpy as np
+
+    from valentinus_spark.operators.similarity import (
+        embedding_pca,
+        remove_top_components,
+    )
+    from valentinus_spark.functions.vector import cosine_similarity
+
+    rng = np.random.default_rng(9)
+    dim, n = 16, 200
+    bias = np.zeros(dim); bias[0] = 1.0
+    X = 0.15 * rng.standard_normal((n, dim)) + 5.0 * bias  # bias swamps signal
+    X[1] = X[0] + 0.01 * rng.standard_normal(dim)  # planted near-pair
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    from valentinus_spark.operators.similarity import embedding_mean
+
+    mu = embedding_mean(df)
+    assert abs(mu[0] - 5.0) < 0.1  # the planted offset
+    comps, ratios = embedding_pca(df, k=1)
+    cleaned = remove_top_components(df, comps, mean=mu)
+    # unit norm restored
+    row = cleaned.where("vec_id = 5").first()
+    assert abs(sum(x * x for x in row["embedding"]) - 1.0) < 1e-9
+    # determinism + shape preserved
+    assert cleaned.count() == n and len(row["embedding"]) == dim
+
+    # before: EVERY pair looks similar (bias-dominated cosine ~1)
+    def pairwise_cos(frame, a, b):
+        va = frame.where(f"vec_id = {a}").first()["embedding"]
+        return float(
+            frame.where(f"vec_id = {b}")
+            .select(cosine_similarity("embedding", [float(x) for x in va]).alias("c"))
+            .first()["c"]
+        )
+
+    raw_bg = pairwise_cos(df, 0, 7)
+    assert raw_bg > 0.95, "bias must dominate the raw space"
+    clean_pair = pairwise_cos(cleaned, 0, 1)
+    clean_bg = pairwise_cos(cleaned, 0, 7)
+    assert clean_pair > 0.95
+    assert clean_bg < 0.6, "abtt must break the bias-induced similarity"

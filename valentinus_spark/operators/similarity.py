@@ -1000,3 +1000,65 @@ def kcenter_coreset(
     return spark.createDataFrame(
         selected, f"rank int, {id_col} long, min_dist double"
     )
+
+
+def embedding_mean(corpus: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension mean vector (one combinable posexplode aggregate) —
+    the µ of ABTT's Algorithm 1; tiny, returned driver-side for use as a
+    broadcast literal."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("i")
+        .collect()
+    )
+    return [float(r["m"]) for r in rows]
+
+
+def remove_top_components(
+    corpus: DataFrame,
+    components: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    renormalize: bool = True,
+    mean: Sequence[float] | None = None,
+) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath 2018,
+    Algorithm 1): subtract the common mean (``mean``, from
+    :func:`embedding_mean` — the dominant source of anisotropy; a
+    constant offset makes EVERY cosine look high), then subtract each
+    vector's projection onto the given dominant principal components
+    (from :func:`embedding_pca`, which analyzes the centered space), and
+    optionally re-normalize. Run the mean → pca → abtt chain whenever
+    :func:`embedding_pca`'s top ratio or :func:`embedding_drift`'s
+    mean-cosine panel says the space is skewed.
+
+    Pure Catalyst: mean and components enter as broadcast literals; the
+    projection is dot + scaled subtraction via zip_with — one scan, no
+    Python, composable with every downstream vector operator."""
+    out = out_col or vec_col
+    if mean is not None:
+        mu = literal_vector(mean)
+        corpus = corpus.withColumn(
+            out,
+            F.zip_with(F.col(vec_col).cast("array<double>"), mu, lambda x, y: x - y),
+        )
+        vec_col = out
+    for i, comp in enumerate(components):
+        c = literal_vector(comp)
+        cur = (
+            F.col(vec_col).cast("array<double>")
+            if i == 0
+            else F.col(out).cast("array<double>")
+        )
+        # projection scalar materializes ONCE per component (a dot
+        # inside the zip_with lambda would re-fold dim times per row)
+        corpus = corpus.withColumn("_proj", dot(cur, c)).withColumn(
+            out, F.zip_with(cur, c, lambda x, y: x - F.col("_proj") * y)
+        ).drop("_proj")
+    if renormalize:
+        from valentinus_spark.functions.vector import l2_normalize
+
+        corpus = corpus.withColumn(out, l2_normalize(out))
+    return corpus
