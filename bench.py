@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "kcenter_planted",
     "versioned_delete",
     "table_changes_cdf",
+    "token_budget_sample",
+    "abtt_planted",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -160,7 +162,7 @@ BENCH_FAMILIES = {
         "ann_brute_topk", "neardup_embedding", "neardup_embedding_lsh",
         "ann_lsh_topk", "ivf_ann_topk", "collection_e2e",
         "embedding_element_stats", "hard_negatives", "pca_planted",
-        "embedding_drift", "kcenter_planted",
+        "embedding_drift", "kcenter_planted", "abtt_planted",
     ],
     "dedup": [
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
@@ -174,6 +176,7 @@ BENCH_FAMILIES = {
         "phrase_search", "token_positions", "corpus_pipeline",
         "sequence_packing", "data_expectations", "corpus_balance_sample",
         "train_split_counts", "pmi_collocations", "quality_calibration",
+        "token_budget_sample",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
