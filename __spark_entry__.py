@@ -4189,6 +4189,32 @@ def q_abtt_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/mixture.py::dsir_importance_weights
+    + gumbel_sample_key; Xie et al., NeurIPS 2023): hashed unigram+bigram
+    bucket models for target (lang='en') vs raw corpus, per-doc importance
+    log-weight = Σ count·(ln p_t − ln p_r) summed in DECIMAL over
+    6dp-rounded bucket ratios (accumulation-order-free), then Gumbel-max
+    resampling of the top 200 (∝ exp(logw), sha-derived noise —
+    deterministic). Oracle replays the identical sha256 bucket hashing,
+    smoothing, decimal sum, and Gumbel key in DuckDB."""
+    from valentinus_spark.operators.mixture import (
+        dsir_importance_weights,
+        gumbel_sample_key,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_importance_weights(docs, F.col("lang") == "en", n_buckets=256)
+    keyed = w.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "dsir_logw",
+        gumbel_sample_key("dsir_logw", "doc_id").alias("sample_key"),
+    )
+    return keyed.orderBy(F.desc("sample_key"), "doc_id").limit(200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4282,6 +4308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_changes_cdf": q_table_changes_cdf,  # added r5 — r6 window candidate
         "token_budget_sample": q_token_budget_sample,  # added r5 — r6 window candidate
         "abtt_planted": q_abtt_planted,  # added r5 — r6 window candidate
+        "dsir_selection": q_dsir_selection,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4486,6 +4513,52 @@ def oracle_sql() -> dict[str, str]:
         "abtt_planted": """
             SELECT true AS mean_recovered, true AS contrast_recovered,
                    true AS bias_dominated_raw, true AS unit_norm
+        """,
+        # full DSIR replica: same tokenization, sha256 bucket hashing,
+        # add-1 smoothing, 6dp-decimal ratio sum, and Gumbel key
+        "dsir_selection": """
+            WITH base AS (
+                SELECT doc_id, lang,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+                WHERE trim(text) <> ''
+            ),
+            grams AS (
+                SELECT doc_id, (lang = 'en') AS is_t,
+                       unnest(w || list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+                FROM base
+            ),
+            feats AS (
+                SELECT doc_id, is_t,
+                       ('0x' || substr(sha256('dsir-v1:' || g), 1, 15))::UBIGINT % 256 AS b,
+                       count(*) AS c
+                FROM grams GROUP BY 1, 2, 3
+            ),
+            models AS (
+                SELECT b, sum(c) AS rc, sum(CASE WHEN is_t THEN c ELSE 0 END) AS tc
+                FROM feats GROUP BY b
+            ),
+            tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM models),
+            ratio AS (
+                SELECT b,
+                       ROUND(ln((tc + 1.0) / (tt + 256.0))
+                             - ln((rc + 1.0) / (rt + 256.0)), 6)::DECIMAL(18,6) AS lr
+                FROM models CROSS JOIN tot
+            ),
+            logw AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_grams,
+                       ROUND(CAST(sum(c * lr) AS DOUBLE), 4) AS dsir_logw
+                FROM feats JOIN ratio USING (b) GROUP BY doc_id
+            )
+            SELECT l.doc_id, d.lang, l.n_grams, l.dsir_logw,
+                   ROUND(l.dsir_logw
+                         - ln(-ln((('0x' || substr(sha256('dsir-g1' || l.doc_id::VARCHAR), 1, 8))::UBIGINT + 0.5)
+                                  / 4294967296.0)),
+                         4) AS sample_key
+            FROM logw l JOIN documents d USING (doc_id)
+            ORDER BY sample_key DESC, l.doc_id
+            LIMIT 200
         """,
         "token_budget_sample": """
             WITH b AS (

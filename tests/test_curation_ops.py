@@ -275,3 +275,55 @@ def test_embedding_drift_identical_and_shifted(spark):
     assert moved["mean_l2_gap"] > 4.0  # ~sqrt(8 * 2^2) = 5.66 expected
     assert 1.7 < moved["var_ratio_mean"] < 2.3
     assert moved["mean_cosine"] > 0.97  # direction roughly preserved
+
+
+def test_dsir_weights_favor_target_vocabulary(spark):
+    """DSIR log-weights rank target-vocabulary docs above off-target ones:
+    with target docs speaking {alpha, beta} and raw background speaking
+    {gamma, delta}, an unlabeled alpha-doc must outscore an unlabeled
+    gamma-doc, and weights must be invariant to partitioning (the decimal
+    ratio sum is accumulation-order-free)."""
+    from valentinus_spark.operators.mixture import dsir_importance_weights
+
+    rows = (
+        [(i, "alpha beta alpha beta", True) for i in range(10)]
+        + [(100 + i, "gamma delta gamma delta", False) for i in range(10)]
+        + [(900, "alpha beta alpha", False), (901, "gamma delta gamma", False)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    w = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_importance_weights(docs, F.col("is_t")).collect()
+    }
+    assert w[900] > w[901]
+    assert all(w[i] > w[100 + j] for i in range(10) for j in range(10))
+    w2 = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_importance_weights(docs.repartition(13), F.col("is_t")).collect()
+    }
+    assert w == w2
+
+
+def test_gumbel_sample_key_replays_sha_arithmetic(spark):
+    """gumbel_sample_key is exactly logw - ln(-ln(u)) with u derived from
+    sha256 — replayed here in pure Python, proving cross-engine
+    reproducibility doesn't depend on Spark internals."""
+    import hashlib
+
+    from valentinus_spark.operators.mixture import gumbel_sample_key
+
+    df = spark.createDataFrame(
+        [(7, 1.25), (42, -3.5)], "doc_id long, logw double"
+    )
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", gumbel_sample_key("logw", "doc_id").alias("k")
+        ).collect()
+    }
+    for doc_id, logw in [(7, 1.25), (42, -3.5)]:
+        h32 = int(
+            hashlib.sha256(f"dsir-g1{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (h32 + 0.5) / 4294967296.0
+        assert got[doc_id] == round(logw - math.log(-math.log(u)), 4)

@@ -21,8 +21,11 @@ downstream joins broadcast it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from valentinus_spark.functions.text import normalize_text, word_tokens
+from valentinus_spark.functions.util import ensure_parallelism
 
 
 def temperature_mixture_weights(
@@ -147,3 +150,126 @@ def token_budget_sample(
         .where(F.col("_cum") <= F.col("budget_tokens"))
         .drop("_cum", "budget_tokens")
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (DSIR, Xie et
+    al., NeurIPS 2023): score every document by how much more likely its
+    hashed unigram+bigram bag is under the TARGET distribution than under
+    the RAW corpus distribution —
+    ``logw(d) = Σ_b count_d[b] · (ln p_target[b] − ln p_raw[b])`` with
+    add-1-smoothed bucket unigram models. Selecting high-``logw`` docs
+    tilts a crawl toward the target domain without training a classifier;
+    ``is_target`` marks the in-corpus exemplar rows (a trusted subset, a
+    language, a curated source).
+
+    Output: (``id_col``, ``n_grams``, ``dsir_logw``) for every doc with
+    ≥1 token. ``dsir_logw`` is rounded to 4 decimals; the per-bucket log
+    ratios are rounded to 6 and summed in DECIMAL so the score is
+    accumulation-order-free and bit-identical cross-engine.
+
+    Plan: one corpus scan (tokenize + bigram transform, row-local) →
+    explode to hashed buckets → ONE hash-aggregate to (doc, bucket,
+    count) rows (≤ n_docs × n_buckets, map-side combined), checkpointed
+    because both the two n_buckets-sized model aggregates and the scoring
+    join consume it. The bucket-model table is n_buckets rows → broadcast
+    into the scoring join; no shuffle touches raw text twice. The target
+    flag rides the aggregate key (functionally dependent on the doc id —
+    zero extra groups), so target and raw models come from the SAME pass,
+    not a second scan or an id join."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    toks = (
+        ensure_parallelism(docs.filter(F.trim(F.col(text_col)) != ""))
+        .select(
+            id_col,
+            is_target.alias("_t"),
+            word_tokens(normalize_text(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= 1)
+    )
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_toks", i + 1), F.element_at("_toks", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        id_col, "_t", F.explode(F.concat("_toks", bigrams)).alias("_g")
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit(f"{salt}:"), F.col("_g")), 256), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    feats = (
+        grams.select(id_col, "_t", bucket.alias("_b"))
+        .groupBy(id_col, "_t", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
+    models = feats.groupBy("_b").agg(
+        F.sum("_c").alias("_rc"),
+        F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_tc"),
+    )
+    everything = Window.partitionBy()
+    b = float(n_buckets)
+    ratio = models.select(
+        "_b",
+        F.round(
+            F.log((F.col("_tc") + 1.0) / (F.sum("_tc").over(everything) + b))
+            - F.log((F.col("_rc") + 1.0) / (F.sum("_rc").over(everything) + b)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("_lr"),
+    )
+    return (
+        feats.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.round(F.sum(F.col("_c") * F.col("_lr")).cast("double"), 4).alias(
+                "dsir_logw"
+            ),
+        )
+    )
+
+
+def gumbel_sample_key(
+    logw_col: Column | str,
+    id_col: Column | str,
+    salt: str = "dsir-g1",
+) -> Column:
+    """Gumbel-max resampling key: ``logw + Gumbel(0,1)`` with the noise
+    derived from sha256 of the row id, so ``orderBy(key desc).limit(k)``
+    draws k docs with probability ∝ exp(logw) — the resampling half of
+    DSIR (top-k-by-weight alone collapses onto near-duplicate maximal
+    docs; Gumbel keeps diversity) — while staying deterministic and
+    replayable like [weighted_sample_key]. u uses the (h+0.5)/2³² form so
+    it is strictly inside (0,1): the +1 form's u=1 endpoint would make
+    ``-ln(-ln(u))`` infinite. Rounded to 4 decimals so both engines rank
+    the same doubles; compiles to TakeOrderedAndProject under
+    orderBy+limit (per-partition heaps, no global sort)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    lw = F.col(logw_col) if isinstance(logw_col, str) else logw_col
+    h32 = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    return F.round(lw - F.log(-F.log(u)), 4)
