@@ -4215,6 +4215,27 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(F.desc("sample_key"), "doc_id").limit(200)
 
 
+def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/graph.py::adamic_adar) on
+    the Brand#11–15 co-purchase subgraph: top-100 non-adjacent part pairs
+    by hub-discounted common-neighbor score, centers capped at degree 50
+    (the hub cut that bounds the wedge join's Σdeg² fan-out). The part
+    dimension broadcasts into the lineitem scan; per-wedge 1/ln(deg)
+    terms are 6dp-rounded and decimal-summed, so the oracle's SQL replay
+    ranks bit-identically."""
+    from valentinus_spark.operators.graph import adamic_adar, copurchase_edges
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").startswith("Brand#1"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return adamic_adar(copurchase_edges(li), k=100, max_degree=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4309,6 +4330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,  # added r5 — r6 window candidate
         "abtt_planted": q_abtt_planted,  # added r5 — r6 window candidate
         "dsir_selection": q_dsir_selection,  # added r5 — r6 window candidate
+        "link_prediction_aa": q_link_prediction_aa,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4513,6 +4535,40 @@ def oracle_sql() -> dict[str, str]:
         "abtt_planted": """
             SELECT true AS mean_recovered, true AS contrast_recovered,
                    true AS bias_dominated_raw, true AS unit_norm
+        """,
+        # same brand-restricted co-purchase edges, hub cut, 6dp-decimal
+        # AA terms, and non-adjacency exclusion
+        "link_prediction_aa": """
+            WITH pb AS (
+                SELECT p_partkey FROM part WHERE p_brand LIKE 'Brand#1%'
+            ),
+            raw AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem JOIN pb ON l_partkey = p_partkey
+            ),
+            e AS (
+                SELECT DISTINCT x.p AS a, y.p AS b
+                FROM raw x JOIN raw y ON x.o = y.o AND x.p != y.p
+            ),
+            deg AS (SELECT b AS z, count(*) AS d FROM e GROUP BY 1),
+            star AS (
+                SELECT e.a AS n, e.b AS z,
+                       ROUND(1.0 / ln(d), 6)::DECIMAL(18,6) AS term
+                FROM e JOIN deg ON e.b = deg.z
+                WHERE d BETWEEN 2 AND 50
+            ),
+            w AS (
+                SELECT s1.n AS a, s2.n AS b,
+                       count(*) AS common_neighbors,
+                       ROUND(CAST(sum(s1.term) AS DOUBLE), 4) AS aa_score
+                FROM star s1 JOIN star s2 ON s1.z = s2.z AND s1.n < s2.n
+                GROUP BY 1, 2
+            )
+            SELECT a AS node_a, b AS node_b, common_neighbors, aa_score
+            FROM w
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b)
+            ORDER BY aa_score DESC, node_a, node_b
+            LIMIT 100
         """,
         # full DSIR replica: same tokenization, sha256 bucket hashing,
         # add-1 smoothing, 6dp-decimal ratio sum, and Gumbel key

@@ -134,3 +134,34 @@ def test_k_core_peels_to_planted_clique(spark):
     assert got2 == set(range(6))
     # k larger than any degree -> empty
     assert k_core(df, k=6).count() == 0
+
+
+def test_adamic_adar_path_and_adjacency_exclusion(spark):
+    """Path 1-2-3 plus edge 3-4: AA(1,3) would score via center 2 but 1-3
+    is NOT an edge → predicted; adjacent pairs are excluded; the score is
+    exactly round(1/ln(deg(center)), 4)."""
+    import math
+
+    from valentinus_spark.operators.graph import adamic_adar, symmetric_edges
+
+    e = symmetric_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    )
+    got = {(r["node_a"], r["node_b"]): r for r in adamic_adar(e, k=10).collect()}
+    # centers: deg(2)=2, deg(3)=2 → term 1/ln(2)
+    assert set(got) == {(1, 3), (2, 4)}
+    assert got[(1, 3)]["common_neighbors"] == 1
+    assert got[(1, 3)]["aa_score"] == round(round(1.0 / math.log(2.0), 6), 4)
+
+
+def test_adamic_adar_hub_cut_drops_high_degree_centers(spark):
+    """Star: hub 0 connected to 1..5. Every leaf pair shares only the hub;
+    with max_degree below the hub's degree nothing is predicted, without
+    the cap all 10 leaf pairs are."""
+    from valentinus_spark.operators.graph import adamic_adar, symmetric_edges
+
+    e = symmetric_edges(
+        spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    )
+    assert adamic_adar(e, k=100, max_degree=3).count() == 0
+    assert adamic_adar(e, k=100).count() == 10
