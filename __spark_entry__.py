@@ -4215,6 +4215,18 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(F.desc("sample_key"), "doc_id").limit(200)
 
 
+def q_vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage panel (operators/tokenizer.py::vocab_coverage):
+    per-language OOV rate against the corpus-global top-200 vocabulary.
+    The vocab cut is a total order (count desc, token asc) so the rank
+    boundary is deterministic; all counts stay integer until the final
+    rounded ratio."""
+    from valentinus_spark.operators.tokenizer import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=200).orderBy("lang")
+
+
 def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction (operators/graph.py::adamic_adar) on
     the Brand#11–15 co-purchase subgraph: top-100 non-adjacent part pairs
@@ -4331,6 +4343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abtt_planted": q_abtt_planted,  # added r5 — r6 window candidate
         "dsir_selection": q_dsir_selection,  # added r5 — r6 window candidate
         "link_prediction_aa": q_link_prediction_aa,  # added r5 — r6 window candidate
+        "vocab_oov_rates": q_vocab_oov_rates,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4535,6 +4548,30 @@ def oracle_sql() -> dict[str, str]:
         "abtt_planted": """
             SELECT true AS mean_recovered, true AS contrast_recovered,
                    true AS bias_dominated_raw, true AS unit_norm
+        """,
+        "vocab_oov_rates": """
+            WITH toks AS (
+                SELECT lang,
+                       unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents
+                WHERE trim(text) <> ''
+            ),
+            gc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            vocab AS (
+                SELECT tok FROM gc GROUP BY tok
+                ORDER BY sum(c) DESC, tok
+                LIMIT 200
+            )
+            SELECT lang,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   CAST(sum(CASE WHEN v.tok IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS covered_tokens,
+                   CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_types,
+                   ROUND(1.0 - sum(CASE WHEN v.tok IS NOT NULL THEN c ELSE 0 END)
+                             / CAST(sum(c) AS DOUBLE), 4) AS oov_rate
+            FROM gc LEFT JOIN vocab v USING (tok)
+            GROUP BY lang
+            ORDER BY lang
         """,
         # same brand-restricted co-purchase edges, hub cut, 6dp-decimal
         # AA terms, and non-adjacency exclusion

@@ -215,3 +215,26 @@ def test_unigram_encode_matches_python_viterbi(spark):
     assert got["unrelated"] == ["unrelated"]  # -4.5 beats un+related -5.0
     assert got["ab"] == ["ab"]  # tie on score: fewer pieces wins
     assert got["qq"] == ["q", "q"]  # pure-unk fallback
+
+
+def test_vocab_coverage_hand_counts(spark):
+    """Two groups, vocab_size=2 → vocab = {a, b} (counts 4 and 3). Group
+    g1 is fully covered; g2's 'zz zz yy' has 3 OOV occurrences of 2 OOV
+    types against 1 covered 'a'."""
+    from valentinus_spark.operators.tokenizer import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            ("g1", "a a b b"),
+            ("g1", "a b"),
+            ("g2", "a zz zz yy"),
+        ],
+        "lang string, text string",
+    )
+    got = {r["lang"]: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    g1, g2 = got["g1"], got["g2"]
+    assert g1["n_tokens"] == 6 and g1["covered_tokens"] == 6
+    assert g1["oov_types"] == 0 and g1["oov_rate"] == 0.0
+    assert g2["n_tokens"] == 4 and g2["covered_tokens"] == 1
+    assert g2["n_types"] == 3 and g2["oov_types"] == 2
+    assert g2["oov_rate"] == 0.75

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from valentinus_spark.functions.text import _TOKEN_REGEX
+from valentinus_spark.functions.text import _TOKEN_REGEX, normalize_text, word_tokens
+from valentinus_spark.functions.util import ensure_parallelism
 
 
 def word_frequencies(
@@ -305,3 +306,66 @@ def unigram_encode(
 
     return df.withColumn(out_col, encode(F.col(text_col)))
 
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 200,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-coverage panel: what fraction of each group's running
+    text a top-``vocab_size`` corpus vocabulary covers, and how much is
+    out-of-vocabulary. The go/no-go check before fixing a tokenizer
+    vocab for a multilingual corpus — a group with a high ``oov_rate``
+    will fragment into bytes/unknowns and train poorly.
+
+    Output per group: ``n_tokens`` (occurrences), ``n_types`` (distinct
+    tokens), ``covered_tokens`` (occurrences of in-vocab tokens),
+    ``oov_types`` (distinct OOV tokens), ``oov_rate`` (occurrence-level,
+    rounded to 4). The vocabulary is the corpus-global top-V by
+    (count desc, token asc) — a total order, so the rank-V boundary is
+    deterministic cross-engine.
+
+    Plan: ONE tokenize+explode scan aggregated to (group, token) counts
+    (map-side combined, vocab-bounded per group) and checkpointed — the
+    global vocab, the per-group totals, and the coverage join all derive
+    from that table, never from the corpus again. Vocab selection is
+    orderBy+limit → TakeOrderedAndProject; the V-row vocab broadcasts
+    into the coverage join. No shuffle exceeds |groups × vocab|."""
+    toks = ensure_parallelism(docs.filter(F.trim(F.col(text_col)) != "")).select(
+        group_col,
+        F.explode(word_tokens(normalize_text(text_col))).alias("_tok"),
+    )
+    g_counts = (
+        toks.groupBy(group_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
+    vocab = (
+        g_counts.groupBy("_tok")
+        .agg(F.sum("_c").alias("_cc"))
+        .orderBy(F.desc("_cc"), "_tok")
+        .limit(vocab_size)
+        .select("_tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        g_counts.join(F.broadcast(vocab), "_tok", "left")
+        .groupBy(group_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("_in_vocab"), F.col("_c")).otherwise(F.lit(0))).alias(
+                "covered_tokens"
+            ),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+                "oov_types"
+            ),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                1.0 - F.col("covered_tokens") / F.col("n_tokens").cast("double"), 4
+            ),
+        )
+    )
