@@ -4215,6 +4215,47 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(F.desc("sample_key"), "doc_id").limit(200)
 
 
+_TAX_LEXICON = {
+    "storage": ["table", "column", "row", "partition"],
+    "execution": ["scan", "join", "merge", "sort", "hash", "agg"],
+    "streaming": ["stream", "window", "batch"],
+    "queryops": ["query", "filter", "group", "order"],
+}
+
+
+def q_taxonomy_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer topic tagging (operators/text_search.py::taxonomy_tags):
+    a 4-topic keyword lexicon broadcast against the token stream, then
+    each doc's dominant topic (max hits, ties to the lexicographically
+    first topic) rolled up per language. Integer counts end to end; the
+    oracle replays the lexicon as a VALUES table and the argmax as a
+    window rank."""
+    from valentinus_spark.operators.text_search import taxonomy_tags
+
+    docs = _t(spark, sf_dir, "documents")
+    tags = taxonomy_tags(docs, _TAX_LEXICON)
+    top = (
+        tags.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_hits")).alias("nh"), F.col("topic").alias("t")
+                )
+            ).alias("_w")
+        )
+        .select("doc_id", F.col("_w.t").alias("top_topic"), (-F.col("_w.nh")).alias("n_hits"))
+    )
+    return (
+        top.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "top_topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_hits").alias("sum_hits"),
+        )
+        .orderBy("lang", "top_topic")
+    )
+
+
 def q_vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage panel (operators/tokenizer.py::vocab_coverage):
     per-language OOV rate against the corpus-global top-200 vocabulary.
@@ -4344,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": q_dsir_selection,  # added r5 — r6 window candidate
         "link_prediction_aa": q_link_prediction_aa,  # added r5 — r6 window candidate
         "vocab_oov_rates": q_vocab_oov_rates,  # added r5 — r6 window candidate
+        "taxonomy_tagging": q_taxonomy_tagging,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4548,6 +4590,40 @@ def oracle_sql() -> dict[str, str]:
         "abtt_planted": """
             SELECT true AS mean_recovered, true AS contrast_recovered,
                    true AS bias_dominated_raw, true AS unit_norm
+        """,
+        "taxonomy_tagging": """
+            WITH lex(tok, topic) AS (VALUES
+                ('table','storage'), ('column','storage'), ('row','storage'), ('partition','storage'),
+                ('scan','execution'), ('join','execution'), ('merge','execution'),
+                ('sort','execution'), ('hash','execution'), ('agg','execution'),
+                ('stream','streaming'), ('window','streaming'), ('batch','streaming'),
+                ('query','queryops'), ('filter','queryops'), ('group','queryops'), ('order','queryops')
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents
+                WHERE trim(text) <> ''
+            ),
+            tags AS (
+                SELECT doc_id, topic, count(*) AS n_hits
+                FROM toks JOIN lex USING (tok)
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT doc_id, topic AS top_topic, n_hits,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY n_hits DESC, topic
+                       ) AS rk
+                FROM tags
+            )
+            SELECT d.lang, t.top_topic,
+                   count(*) AS n_docs,
+                   CAST(sum(t.n_hits) AS BIGINT) AS sum_hits
+            FROM top t JOIN documents d USING (doc_id)
+            WHERE t.rk = 1
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "vocab_oov_rates": """
             WITH toks AS (

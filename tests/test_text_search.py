@@ -136,3 +136,29 @@ def test_inverted_index_positions_one_based(spark):
     df = spark.createDataFrame([(7, "alpha beta alpha")], "doc_id long, text string")
     rows = {(r["term"], r["pos"]) for r in build_inverted_index(df).collect()}
     assert rows == {("alpha", 1), ("beta", 2), ("alpha", 3)}
+
+
+def test_taxonomy_tags_counts_and_multi_topic(spark):
+    """'join' hits execution only; 'window' hits streaming; a keyword in
+    two topics tags both; docs with zero hits emit no rows."""
+    from valentinus_spark.operators.text_search import taxonomy_tags
+
+    docs = spark.createDataFrame(
+        [(1, "join the window join"), (2, "nothing here"), (3, "Apple APPLE pie")],
+        "doc_id long, text string",
+    )
+    lex = {
+        "execution": ["join"],
+        "streaming": ["window"],
+        "fruit": ["apple", "pie"],
+        "tech": ["apple"],
+    }
+    got = {
+        (r["doc_id"], r["topic"]): (r["n_hits"], r["n_keywords"])
+        for r in taxonomy_tags(docs, lex).collect()
+    }
+    assert got[(1, "execution")] == (2, 1)
+    assert got[(1, "streaming")] == (1, 1)
+    assert got[(3, "fruit")] == (3, 2)  # lowercased matching
+    assert got[(3, "tech")] == (2, 1)
+    assert not any(d == 2 for d, _ in got)

@@ -189,3 +189,43 @@ def phrase_search(
         )
         base = base.join(nxt, ["doc_id", "pos"])
     return base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def taxonomy_tags(
+    df: DataFrame,
+    lexicon: dict[str, Sequence[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dictionary-based topic tagging: count each document's hits against
+    a keyword→topic lexicon (the classic curation pass for routing docs
+    into domain buckets — code, legal, medical — before mixture planning;
+    gazetteer tagging in IE terms). A keyword may belong to several
+    topics; matching is exact on lowercased word tokens, so multi-word
+    expressions belong in :func:`phrase_search`, not here.
+
+    Returns (``id_col``, ``topic``, ``n_hits``, ``n_keywords``) — total
+    keyword occurrences and distinct keywords matched, one row per
+    (doc, topic) with ≥1 hit.
+
+    Plan: the lexicon (hundreds of rows, driver-local by definition)
+    broadcasts into an equi-join against the exploded token stream —
+    tagging is a map-side hash lookup, no shuffle until the (doc, topic)
+    aggregate, whose key space is ≤ docs × topics. One corpus scan."""
+    rows = [
+        (kw.lower(), topic) for topic, kws in sorted(lexicon.items()) for kw in kws
+    ]
+    if not rows:
+        raise ValueError("empty lexicon")
+    lex = df.sparkSession.createDataFrame(rows, "_tok string, topic string")
+    toks = ensure_parallelism(df.filter(F.trim(F.col(text_col)) != "")).select(
+        id_col, F.explode(word_tokens(normalize_text(text_col))).alias("_tok")
+    )
+    return (
+        toks.join(F.broadcast(lex), "_tok")
+        .groupBy(id_col, "topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("_tok").alias("n_keywords"),
+        )
+    )
