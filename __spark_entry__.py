@@ -4215,6 +4215,23 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(F.desc("sample_key"), "doc_id").limit(200)
 
 
+def q_trailing_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection (operators/rollup.py::
+    trailing_anomaly): each event z-scored against its user's previous
+    20 values (rows frame, min 5 observations); anomalous rows only.
+    Window sums run in DECIMAL so both engines see identical variance
+    doubles; the oracle replays the frame and the pinned z expression."""
+    from valentinus_spark.operators.rollup import trailing_anomaly
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return (
+        trailing_anomaly(ev, window=20, min_obs=5, threshold=3.0)
+        .filter(F.col("is_anomaly"))
+        .select("event_id", "user_id", "n_obs", "trail_z")
+        .orderBy("event_id")
+    )
+
+
 _TAX_LEXICON = {
     "storage": ["table", "column", "row", "partition"],
     "execution": ["scan", "join", "merge", "sort", "hash", "agg"],
@@ -4386,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_aa": q_link_prediction_aa,  # added r5 — r6 window candidate
         "vocab_oov_rates": q_vocab_oov_rates,  # added r5 — r6 window candidate
         "taxonomy_tagging": q_taxonomy_tagging,  # added r5 — r6 window candidate
+        "trailing_anomaly": q_trailing_anomaly,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4590,6 +4608,37 @@ def oracle_sql() -> dict[str, str]:
         "abtt_planted": """
             SELECT true AS mean_recovered, true AS contrast_recovered,
                    true AS bias_dominated_raw, true AS unit_norm
+        """,
+        # identical rows frame (20 PRECEDING..1 PRECEDING), DECIMAL sums,
+        # and pinned variance/z double expression
+        "trailing_anomaly": """
+            WITH scored AS (
+                SELECT event_id, user_id,
+                       count(v) OVER w AS n_obs,
+                       CAST(value AS DECIMAL(18,6)) AS x,
+                       CAST(sum(v) OVER w AS DOUBLE) AS s,
+                       CAST(sum(v * v) OVER w AS DOUBLE) AS s2,
+                       CAST(count(v) OVER w AS DOUBLE) AS nd
+                FROM (SELECT event_id, user_id, ts, value,
+                             CAST(value AS DECIMAL(18,6)) AS v
+                      FROM events)
+                WINDOW w AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+                )
+            ),
+            z AS (
+                SELECT event_id, user_id, n_obs,
+                       CASE WHEN n_obs >= 5
+                                 AND (s2 - s * s / nd) / (nd - 1) > 1e-9
+                            THEN ROUND((CAST(x AS DOUBLE) - s / nd)
+                                       / sqrt((s2 - s * s / nd) / (nd - 1)), 4)
+                            ELSE 0.0 END AS trail_z
+                FROM scored
+            )
+            SELECT event_id, user_id, n_obs, trail_z
+            FROM z WHERE abs(trail_z) > 3.0
+            ORDER BY event_id
         """,
         "taxonomy_tagging": """
             WITH lex(tok, topic) AS (VALUES

@@ -158,3 +158,37 @@ def test_resample_ffill_on_tick_sample_fills_its_tick(spark):
         for r in resample_ffill(df, "k", "ts", "v", 100).collect()
     }
     assert got == {200: 9.0, 300: 6.0}
+
+
+def test_trailing_anomaly_flags_spike_not_baseline(spark):
+    """Stable series then a spike: the spike's z against its trailing
+    window is huge; the stable rows and the warm-up rows (< min_obs) stay
+    unflagged; the row AFTER the spike is judged against a window that
+    now contains the spike (contaminated variance) — still unflagged."""
+    from valentinus_spark.operators.rollup import trailing_anomaly
+
+    rows = [(i, 1, f"2024-01-01 00:{i:02d}:00", float(10 + (i % 2))) for i in range(10)]
+    rows.append((10, 1, "2024-01-01 00:10:00", 100.0))
+    rows.append((11, 1, "2024-01-01 00:11:00", 10.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_id"]: r for r in trailing_anomaly(ev, window=20).collect()}
+    assert got[10]["is_anomaly"] and got[10]["trail_z"] > 3.0
+    assert not any(got[i]["is_anomaly"] for i in range(10))
+    assert not got[11]["is_anomaly"]
+    # warm-up rows below min_obs score exactly 0
+    assert got[1]["trail_z"] == 0.0 and got[4]["n_obs"] == 4
+
+
+def test_trailing_anomaly_constant_series_never_divides_by_zero(spark):
+    """A constant series has zero trailing variance at every row — the
+    guard must return z=0 everywhere instead of raising under ANSI."""
+    from valentinus_spark.operators.rollup import trailing_anomaly
+
+    ev = spark.createDataFrame(
+        [(i, 1, f"2024-01-01 00:{i:02d}:00", 5.0) for i in range(8)],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = trailing_anomaly(ev).collect()
+    assert all(r["trail_z"] == 0.0 and not r["is_anomaly"] for r in out)

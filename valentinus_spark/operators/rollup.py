@@ -145,3 +145,67 @@ def resample_ffill(
         (F.col("_tick") * interval_us).alias("tick_us"),
         F.col("_fv").alias("value"),
     )
+
+
+def trailing_anomaly(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    window: int = 20,
+    min_obs: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window anomaly scores: each observation's z-score against
+    the mean/std of its key's PREVIOUS ``window`` observations (the
+    current row never sees itself — no self-masking). The streaming-shaped
+    outlier monitor for metrics pipelines: "this user's value is 3σ off
+    their own recent behavior", robust to global drift because every key
+    is its own baseline.
+
+    Adds ``n_obs`` (trailing count), ``trail_z`` (0.0 until ``min_obs``
+    observations exist or when the trailing variance is ~0), and
+    ``is_anomaly`` (|z| > threshold).
+
+    Cross-engine determinism: values are cast to DECIMAL(18,6) before
+    the window sums (window aggregation associativity differs between
+    engines in the last ulp — the segment-tree vs re-scan problem), so
+    sum and sum-of-squares are exact; the variance/z arithmetic then runs
+    in one pinned double expression, rounded to 4.
+
+    Scale shape: ONE window pass partitioned by key and ordered by
+    (ts, tiebreak) — a single shuffle on the key, per-partition sort,
+    O(1) state per row (rows-frame running sums). Hot keys pay an
+    in-partition sort, the inherent cost of per-key ordered scans."""
+    from pyspark.sql import Window
+
+    if min_obs < 2:
+        raise ValueError(f"min_obs must be >= 2 (variance needs it), got {min_obs}")
+    v = F.col(value_col).cast("decimal(18,6)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean_d = s.cast("double") / n
+    var_d = (s2.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1)
+    z = F.round(
+        (F.col(value_col).cast("decimal(18,6)").cast("double") - mean_d)
+        / F.sqrt(var_d),
+        4,
+    )
+    # nested whens, NOT a single `&`: CASE branches evaluate lazily, so
+    # var_d's (n-1) divisor and z's sqrt divisor are only reached when
+    # their guards hold (ANSI mode errors on divide-by-zero otherwise)
+    z_guarded = F.when(
+        n >= min_obs, F.when(var_d > 1e-9, z).otherwise(F.lit(0.0))
+    ).otherwise(F.lit(0.0))
+    return (
+        events.withColumn("n_obs", n)
+        .withColumn("trail_z", z_guarded)
+        .withColumn("is_anomaly", F.abs(F.col("trail_z")) > F.lit(threshold))
+    )
