@@ -2620,6 +2620,42 @@ _BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def _poisson_boot_oracle_sql() -> str:
+    """Oracle twin of q_bootstrap_ci_orders: the Poisson(1) CDF
+    thresholds are interpolated from the SAME Python tuple the Spark
+    operator uses (repr round-trips doubles exactly), so both engines
+    invert the identical step function."""
+    from valentinus_spark.operators.profile import POISSON1_CDF
+
+    w_expr = " + ".join(
+        f"(CASE WHEN u > {c!r} THEN 1 ELSE 0 END)" for c in POISSON1_CDF
+    )
+    return f"""
+        WITH seeded AS (
+            SELECT o_orderpriority AS g, t.rep,
+                   CAST(o_totalprice AS DECIMAL(18,6)) AS v,
+                   ((('0x' || substr(sha256('boot-v1' || t.rep::VARCHAR || ':' || o_orderkey::VARCHAR), 1, 8))::UBIGINT + 0.5)
+                    / 4294967296.0) AS u
+            FROM orders CROSS JOIN range(32) t(rep)
+        ),
+        weighted AS (
+            SELECT g, rep, v, ({w_expr}) AS w FROM seeded
+        ),
+        partials AS (
+            SELECT g, rep,
+                   ROUND(CAST(sum(w * v) AS DOUBLE) / sum(w), 6) AS m
+            FROM weighted GROUP BY 1, 2
+            HAVING sum(w) > 0
+        )
+        SELECT g AS o_orderpriority,
+               count(*) AS n_replicas,
+               ROUND(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS boot_mean,
+               ROUND(quantile_cont(m, 0.025), 4) AS ci_lo,
+               ROUND(quantile_cont(m, 0.975), 4) AS ci_hi
+        FROM partials GROUP BY 1 ORDER BY 1
+    """
+
+
 def _lpa_oracle_sql(rounds: int = 3) -> str:
     """Unrolled label-propagation replay: each round is (neighbor votes
     UNION ALL one self-vote) -> per-node argmax by (count desc, label
@@ -4215,6 +4251,25 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(F.desc("sample_key"), "doc_id").limit(200)
 
 
+def q_bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI (operators/profile.py::poisson_bootstrap_ci,
+    Chamandy et al. 2012) for mean order value per priority: 32
+    deterministic sha-seeded Poisson(1)-weighted replicas, decimal
+    accumulation, exact percentile interval over the replica means. The
+    oracle replays the identical CDF-threshold weights (constants
+    interpolated from the SAME Python tuple) and interval math."""
+    from valentinus_spark.operators.profile import poisson_bootstrap_ci
+
+    orders = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        orders,
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        group_col="o_orderpriority",
+        replicas=32,
+    ).orderBy("o_orderpriority")
+
+
 def q_trailing_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection (operators/rollup.py::
     trailing_anomaly): each event z-scored against its user's previous
@@ -4404,6 +4459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov_rates": q_vocab_oov_rates,  # added r5 — r6 window candidate
         "taxonomy_tagging": q_taxonomy_tagging,  # added r5 — r6 window candidate
         "trailing_anomaly": q_trailing_anomaly,  # added r5 — r6 window candidate
+        "bootstrap_ci_orders": q_bootstrap_ci_orders,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4602,6 +4658,7 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "lpa_communities": _lpa_oracle_sql(rounds=3),
+        "bootstrap_ci_orders": _poisson_boot_oracle_sql(),
         # planted gate: expected booleans follow from the +8 offset
         # construction (raw cosines collapse, centering restores), never
         # from running pca/abtt

@@ -186,3 +186,41 @@ def test_histogram_quantiles_bounded_error_and_merge_equivalence(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         histogram_quantiles(df, "v", [1.5])
+
+
+def test_poisson_bootstrap_ci_brackets_true_mean(spark):
+    """The bootstrap CI of the mean must bracket the sample mean for a
+    well-behaved sample, narrow with more data, and have ci_lo <= mean <=
+    ci_hi by construction; weights replay deterministically (same result
+    twice)."""
+    from valentinus_spark.operators.profile import poisson_bootstrap_ci
+
+    rows = [(i, "g", float(100 + (i % 21) - 10)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    r = poisson_bootstrap_ci(
+        df, value_col="v", id_col="id", group_col="g", replicas=32
+    ).collect()[0]
+    assert r["n_replicas"] == 32
+    assert r["ci_lo"] <= r["boot_mean"] <= r["ci_hi"]
+    assert abs(r["boot_mean"] - 100.0) < 1.0  # true mean ~100
+    assert r["ci_hi"] - r["ci_lo"] < 4.0  # tight at n=500
+    r2 = poisson_bootstrap_ci(
+        df, value_col="v", id_col="id", group_col="g", replicas=32
+    ).collect()[0]
+    assert (r["boot_mean"], r["ci_lo"], r["ci_hi"]) == (
+        r2["boot_mean"],
+        r2["ci_lo"],
+        r2["ci_hi"],
+    )
+
+
+def test_poisson_cdf_constants_are_the_poisson1_cdf(spark):
+    """Sanity-pin the shared constants: cdf_0 = e^-1, increments are
+    e^-1/k!, the tail beyond k=7 is ~1e-5."""
+    import math
+
+    from valentinus_spark.operators.profile import POISSON1_CDF
+
+    assert abs(POISSON1_CDF[0] - math.exp(-1)) < 1e-15
+    assert abs((POISSON1_CDF[2] - POISSON1_CDF[1]) - math.exp(-1) / 2) < 1e-15
+    assert 1.0 - POISSON1_CDF[-1] < 1.1e-5

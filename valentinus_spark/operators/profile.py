@@ -12,6 +12,9 @@ statistics surface); extension per the training-pipeline mandate.
 
 from __future__ import annotations
 
+import math
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -568,4 +571,103 @@ def embedding_drift(
         F.avg(
             F.when(F.col("va") > 0, F.col("vb") / F.col("va"))
         ).alias("var_ratio_mean"),
+    )
+
+
+# cumulative Poisson(1) CDF for k = 0..7, computed ONCE here so the Spark
+# literals and the DuckDB oracle replay share bit-identical thresholds
+# (the oracle builder interpolates repr() of these into its SQL)
+POISSON1_CDF: tuple[float, ...] = tuple(
+    sum(math.exp(-1.0) / math.factorial(j) for j in range(k + 1))
+    for k in range(8)
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    replicas: int = 32,
+    alpha: float = 0.05,
+    salt: str = "boot-v1",
+) -> DataFrame:
+    """Bootstrap confidence interval for the per-group MEAN via the
+    Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty for
+    massive data streams") — THE bootstrap that distributes: instead of
+    resampling n rows with replacement (which needs global coordination),
+    every row independently receives a Poisson(1) replication weight per
+    replica, which converges to multinomial resampling for large n and
+    needs only one streaming pass.
+
+    Weights are deterministic — u = sha256(salt‖replica‖id)-derived
+    uniform, inverted through the Poisson(1) CDF (capped at 8, truncating the top
+    ~1e-5 quantile) — so the "random" resample is exactly replayable
+    cross-engine and across runs. Values accumulate in DECIMAL; each
+    replica mean is rounded to 6, the interval endpoints to 4.
+
+    Output per group: ``n_replicas``, ``boot_mean`` (decimal-averaged
+    replica means), ``ci_lo`` / ``ci_hi`` (exact percentile at α/2 and
+    1−α/2 across replica means — replicas are few, so the percentile
+    state is tiny).
+
+    Scale shape: one explode (×replicas fan-out in the map stage, no
+    extra scan), ONE shuffle to (group × replica) partial sums — hot
+    groups spread across replica sub-keys — then a groups-sized final
+    aggregate. No driver collect, no global sort."""
+    if replicas < 2:
+        raise ValueError(f"replicas must be >= 2, got {replicas}")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    keys = [group_col] if group_col else []
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("_rep")
+    base = df.select(*keys, F.col(id_col).alias("_id"),
+                     F.col(value_col).cast("decimal(18,6)").alias("_v"), rep)
+    h32 = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(salt),
+                    F.col("_rep").cast("string"),
+                    F.lit(":"),
+                    F.col("_id").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    w = reduce(
+        lambda a, c: a + F.when(u > F.lit(c), 1).otherwise(0),
+        POISSON1_CDF,
+        F.lit(0),
+    )
+    partials = (
+        base.withColumn("_w", w)
+        .groupBy(*keys, "_rep")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).alias("_swv"),
+            F.sum("_w").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .withColumn(
+            "_mean",
+            F.round(F.col("_swv").cast("double") / F.col("_sw"), 6),
+        )
+    )
+    return partials.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.round(
+            F.sum(F.col("_mean").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("boot_mean"),
+        F.round(F.percentile(F.col("_mean"), F.lit(alpha / 2.0)), 4).alias("ci_lo"),
+        F.round(F.percentile(F.col("_mean"), F.lit(1.0 - alpha / 2.0)), 4).alias(
+            "ci_hi"
+        ),
     )
