@@ -4251,6 +4251,29 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(F.desc("sample_key"), "doc_id").limit(200)
 
 
+def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (operators/similarity.py::
+    margin_mine, Artetxe & Schwenk 2019): src = first 250 embeddings,
+    tgt = 200 aligned copies (ids +1000) plus 50 unaligned decoys
+    (ids +2000). Mutual-best pairs above margin 1.05 must recover the
+    planted alignment; the oracle replays the full kNN/margin/mutual
+    pipeline in SQL (rounded-cosine ranking, decimal neighborhood sums)."""
+    from valentinus_spark.operators.similarity import margin_mine
+
+    embs = _t(spark, sf_dir, "embeddings")
+    x = embs.where("vec_id < 250").select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    aligned = embs.where("vec_id < 200").select(
+        (F.col("vec_id") + 1000).alias("tgt_id"), "embedding"
+    )
+    noise = embs.where("vec_id >= 400 AND vec_id < 450").select(
+        (F.col("vec_id") + 2000).alias("tgt_id"), "embedding"
+    )
+    y = aligned.unionByName(noise)
+    return margin_mine(x, y, k=4, threshold=1.05).orderBy("src_id")
+
+
 def q_bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap CI (operators/profile.py::poisson_bootstrap_ci,
     Chamandy et al. 2012) for mean order value per priority: 32
@@ -4460,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_tagging": q_taxonomy_tagging,  # added r5 — r6 window candidate
         "trailing_anomaly": q_trailing_anomaly,  # added r5 — r6 window candidate
         "bootstrap_ci_orders": q_bootstrap_ci_orders,  # added r5 — r6 window candidate
+        "margin_mining": q_margin_mining,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4665,6 +4689,62 @@ def oracle_sql() -> dict[str, str]:
         "abtt_planted": """
             SELECT true AS mean_recovered, true AS contrast_recovered,
                    true AS bias_dominated_raw, true AS unit_norm
+        """,
+        # full margin-mining replica: rounded-cosine kNN ranking, decimal
+        # neighborhood sums, mutual-argmax windows
+        "margin_mining": """
+            WITH x AS (
+                SELECT vec_id AS sid, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 250
+            ),
+            y AS (
+                SELECT vec_id + 1000 AS tid, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 200
+                UNION ALL
+                SELECT vec_id + 2000 AS tid, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id >= 400 AND vec_id < 450
+            ),
+            allpairs AS (
+                SELECT x.sid, y.tid,
+                       ROUND(list_cosine_similarity(x.v, y.v), 4) AS c
+                FROM x CROSS JOIN y
+            ),
+            fwd AS (
+                SELECT sid, tid, c FROM (
+                    SELECT sid, tid, c,
+                           row_number() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS rk
+                    FROM allpairs)
+                WHERE rk <= 4
+            ),
+            bwd AS (
+                SELECT sid, tid, c FROM (
+                    SELECT sid, tid, c,
+                           row_number() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rk
+                    FROM allpairs)
+                WHERE rk <= 4
+            ),
+            ax AS (SELECT sid, CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / 8.0 AS a
+                   FROM fwd GROUP BY sid),
+            ay AS (SELECT tid, CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / 8.0 AS a
+                   FROM bwd GROUP BY tid),
+            cands AS (
+                SELECT DISTINCT sid, tid, c
+                FROM (SELECT * FROM fwd UNION ALL SELECT * FROM bwd)
+            ),
+            m AS (
+                SELECT cands.sid, cands.tid, cands.c,
+                       ROUND(cands.c / (ax.a + ay.a), 4) AS margin
+                FROM cands JOIN ax USING (sid) JOIN ay USING (tid)
+            ),
+            r AS (
+                SELECT sid, tid, c, margin,
+                       row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS rx,
+                       row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid) AS ry
+                FROM m
+            )
+            SELECT sid AS src_id, tid AS tgt_id, c AS cosine, margin
+            FROM r WHERE rx = 1 AND ry = 1 AND margin > 1.05
+            ORDER BY src_id
         """,
         # identical rows frame (20 PRECEDING..1 PRECEDING), DECIMAL sums,
         # and pinned variance/z double expression

@@ -588,3 +588,31 @@ def test_remove_top_components_abtt(spark):
     clean_bg = pairwise_cos(cleaned, 0, 7)
     assert clean_pair > 0.95
     assert clean_bg < 0.6, "abtt must break the bias-induced similarity"
+
+
+def test_margin_mine_recovers_planted_alignment(spark):
+    """Source vectors, target = copies of the first half + orthogonal
+    decoys: mutual-best margin pairs must be exactly the planted identity
+    alignment (cosine 1.0, margin > 1), never a decoy."""
+    import numpy as np
+
+    from valentinus_spark.operators.similarity import margin_mine
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 16)).astype("float32")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(12)],
+        "src_id long, embedding array<float>",
+    )
+    tgt_rows = [(100 + i, [float(x) for x in base[i]]) for i in range(8)]
+    decoys = rng.normal(size=(4, 16)).astype("float32")
+    decoys /= np.linalg.norm(decoys, axis=1, keepdims=True)
+    tgt_rows += [(200 + j, [float(x) for x in decoys[j]]) for j in range(4)]
+    tgt = spark.createDataFrame(tgt_rows, "tgt_id long, embedding array<float>")
+    got = {r["src_id"]: r for r in margin_mine(src, tgt, k=3, threshold=1.05).collect()}
+    assert set(got) == set(range(8))
+    for i in range(8):
+        assert got[i]["tgt_id"] == 100 + i
+        assert got[i]["cosine"] == 1.0
+        assert got[i]["margin"] > 1.05

@@ -1062,3 +1062,95 @@ def remove_top_components(
 
         corpus = corpus.withColumn(out, l2_normalize(out))
     return corpus
+
+
+def margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    src_id: str = "src_id",
+    src_vec: str = "embedding",
+    tgt_id: str = "tgt_id",
+    tgt_vec: str = "embedding",
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER bitext-mining criterion): score candidate pairs by
+    ``margin(x,y) = cos(x,y) / (Σ_{z∈NNk(x)} cos(x,z)/2k +
+    Σ_{z∈NNk(y)} cos(y,z)/2k)`` — raw cosine is uncalibrated across
+    hubness regions, the ratio-to-local-neighborhood margin is what made
+    mined bitext usable — and keep MUTUAL best pairs (x is y's argmax and
+    vice versa, the paper's "intersect" strategy) above ``threshold``.
+
+    The same operator mines aligned pairs across any two embedded
+    corpora: translations, near-duplicate modalities, code↔doc pairs.
+
+    Output: (``src_id``, ``tgt_id``, ``cosine``, ``margin``), margin
+    rounded to 4. Cosines are rounded to 4 (the proven cross-engine
+    cosine precision — see the cosine_topk oracle family) and
+    neighborhood sums
+    accumulate in DECIMAL, so margins are accumulation-order-free and
+    the mutual-argmax (margin desc, id asc) replays identically in SQL.
+
+    Scale shape: candidate generation here is two brute-force kNN joins
+    (each: one corpus scan with the other side broadcast — exact, fine to
+    ~10⁴ rows on the broadcast side). At 100 TB swap the candidate stage
+    for the bucketed paths (ivf_centroids/pq_encode produce (qid, id)
+    candidates with identical downstream margin/mutual logic); the
+    margin + mutual-best stages are two aggregates and two windows over
+    the candidate set, linear in candidates at any scale.
+
+    The kNN ranking orders by the ROUNDED cosine (unlike
+    :func:`brute_force_knn_join`, which ranks raw similarity) so the k-set
+    itself — not just the scores — is reproducible at ties across
+    engines and partitionings."""
+
+    def _knn(corpus, cid, cvec, queries, qid):
+        scored = (
+            ensure_parallelism(corpus)
+            .crossJoin(F.broadcast(queries))
+            .withColumn(
+                "_cos", F.round(cosine_similarity(F.col(cvec), F.col("_qv")), 4)
+            )
+        )
+        w = Window.partitionBy(qid).orderBy(F.desc("_cos"), F.asc(cid))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select(qid, cid, "_cos")
+        )
+
+    fwd = _knn(
+        tgt, tgt_id, tgt_vec,
+        src.select(F.col(src_id).alias("_x"), F.col(src_vec).alias("_qv")), "_x",
+    ).select("_x", F.col(tgt_id).alias("_y"), "_cos")
+    bwd = _knn(
+        src, src_id, src_vec,
+        tgt.select(F.col(tgt_id).alias("_y"), F.col(tgt_vec).alias("_qv")), "_y",
+    ).select(F.col(src_id).alias("_x"), "_y", "_cos")
+    denom = float(2 * k)
+    ax = fwd.groupBy("_x").agg(
+        (F.sum(F.col("_cos").cast("decimal(18,6)")).cast("double") / denom).alias("_ax")
+    )
+    ay = bwd.groupBy("_y").agg(
+        (F.sum(F.col("_cos").cast("decimal(18,6)")).cast("double") / denom).alias("_ay")
+    )
+    cands = fwd.unionByName(bwd).distinct()
+    scored = (
+        cands.join(ax, "_x")
+        .join(ay, "_y")
+        .withColumn("margin", F.round(F.col("_cos") / (F.col("_ax") + F.col("_ay")), 4))
+    )
+    wx = Window.partitionBy("_x").orderBy(F.desc("margin"), F.asc("_y"))
+    wy = Window.partitionBy("_y").orderBy(F.desc("margin"), F.asc("_x"))
+    return (
+        scored.withColumn("_rx", F.row_number().over(wx))
+        .withColumn("_ry", F.row_number().over(wy))
+        .filter((F.col("_rx") == 1) & (F.col("_ry") == 1) & (F.col("margin") > threshold))
+        .select(
+            F.col("_x").alias(src_id),
+            F.col("_y").alias(tgt_id),
+            F.col("_cos").alias("cosine"),
+            "margin",
+        )
+    )
