@@ -137,6 +137,13 @@ BENCH_QUERIES = [
     "table_changes_cdf",
     "token_budget_sample",
     "abtt_planted",
+    "dsir_selection",
+    "link_prediction_aa",
+    "vocab_oov_rates",
+    "taxonomy_tagging",
+    "trailing_anomaly",
+    "bootstrap_ci_orders",
+    "margin_mining",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -163,6 +170,7 @@ BENCH_FAMILIES = {
         "ann_lsh_topk", "ivf_ann_topk", "collection_e2e",
         "embedding_element_stats", "hard_negatives", "pca_planted",
         "embedding_drift", "kcenter_planted", "abtt_planted",
+        "margin_mining",
     ],
     "dedup": [
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
@@ -176,7 +184,8 @@ BENCH_FAMILIES = {
         "phrase_search", "token_positions", "corpus_pipeline",
         "sequence_packing", "data_expectations", "corpus_balance_sample",
         "train_split_counts", "pmi_collocations", "quality_calibration",
-        "token_budget_sample",
+        "token_budget_sample", "dsir_selection", "vocab_oov_rates",
+        "taxonomy_tagging",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -193,13 +202,14 @@ BENCH_FAMILIES = {
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",
         "events_rollup_merge", "events_sliding_window", "stream_components",
+        "trailing_anomaly",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
         "zorder_bucket_stats", "scd2_apply", "robust_outliers",
-        "winsorize_stats",
+        "winsorize_stats", "bootstrap_ci_orders",
     ],
-    "graph": ["pagerank_copurchase", "lpa_communities"],
+    "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa"],
     "media": ["media_content_stats", "media_headers"],
     "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan",
             "versioned_delete", "table_changes_cdf"],

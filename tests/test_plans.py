@@ -387,3 +387,58 @@ def test_r5_curation_ops_plan_shapes(spark):
     ):
         plan = plan_of(entry.queries()[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Bucketed co-located join: two tables bucketBy'd on the same key
+    into the warehouse join WITHOUT any Exchange on either side (the
+    SortMergeJoin reads pre-bucketed files directly). This is the
+    pre-partitioning story SCALE.md tells for repeated big-big joins —
+    pay the shuffle once at write time, never again at read time."""
+    spark.sql("DROP TABLE IF EXISTS _bj_orders")
+    spark.sql("DROP TABLE IF EXISTS _bj_lineitem")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    # broadcast would hide the property under test (AQE broadcasts the
+    # small side at test scale): force the shuffle-join path so the
+    # assertion is about bucketing, not size
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("_bj_orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("_bj_lineitem")
+        joined = (
+            spark.table("_bj_orders")
+            .join(
+                spark.table("_bj_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = plan_of(joined)
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in join_section, join_section
+        # correctness: same result as the unbucketed join
+        expected = (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS _bj_orders")
+        spark.sql("DROP TABLE IF EXISTS _bj_lineitem")
