@@ -4251,6 +4251,58 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(F.desc("sample_key"), "doc_id").limit(200)
 
 
+def q_dp_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP released counts (operators/validate.py::dp_group_counts):
+    customers per (segment, 2k-balance band) through the two-sided
+    geometric mechanism at ε=1. The oracle replays the sha-seeded
+    inverse-CDF noise exactly — mechanism verified end-to-end, not just
+    'counts are close'."""
+    from valentinus_spark.operators.validate import dp_group_counts
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 2000) * 2000).cast("long").alias("bal_band"),
+    )
+    return dp_group_counts(
+        cust, ["c_mktsegment", "bal_band"], epsilon=1.0
+    ).orderBy("c_mktsegment", "bal_band")
+
+
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI feature-drift panel (operators/profile.py::psi_drift): order
+    totalprice distribution, early years (≤1997, the reference) vs late
+    years (≥1999, the current) over the reference's exact deciles.
+    Oracle recomputes the same quantile cuts, strict-greater binning,
+    and smoothed log terms."""
+    from valentinus_spark.operators.profile import psi_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.where(F.year("o_orderdate") <= 1997)
+    cur = orders.where(F.year("o_orderdate") >= 1999)
+    return psi_drift(ref, cur, "o_totalprice", n_bins=10)
+
+
+def q_roc_auc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected ROC-AUC (operators/quality.py::roc_auc) on a planted
+    classifier: score = hash-derived uniform + 0.3 lift on positives
+    (label = doc_id % 5 == 0), per language. The Mann-Whitney
+    tie-correction is exercised for real — the 1000-step score grid
+    collides constantly. Oracle replays the per-distinct-score
+    cumulative arithmetic."""
+    from valentinus_spark.operators.quality import roc_auc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 5 == 0).alias("label"),
+        (
+            ((F.col("doc_id") * 2654435761) % 1000) / 1000.0
+            + F.when(F.col("doc_id") % 5 == 0, 0.3).otherwise(0.0)
+        ).alias("score"),
+    )
+    return roc_auc(docs, "score", "label", group_col="lang").orderBy("lang")
+
+
 def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based parallel-pair mining (operators/similarity.py::
     margin_mine, Artetxe & Schwenk 2019): src = first 250 embeddings,
@@ -4484,6 +4536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_anomaly": q_trailing_anomaly,  # added r5 — r6 window candidate
         "bootstrap_ci_orders": q_bootstrap_ci_orders,  # added r5 — r6 window candidate
         "margin_mining": q_margin_mining,  # added r5 — r6 window candidate
+        "dp_segment_counts": q_dp_segment_counts,  # added r5 — r6 window candidate
+        "psi_price_drift": q_psi_price_drift,  # added r5 — r6 window candidate
+        "roc_auc_planted": q_roc_auc_planted,  # added r5 — r6 window candidate
         "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
         "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
         "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
@@ -4689,6 +4744,92 @@ def oracle_sql() -> dict[str, str]:
         "abtt_planted": """
             SELECT true AS mean_recovered, true AS contrast_recovered,
                    true AS bias_dominated_raw, true AS unit_norm
+        """,
+        # exact mechanism replay: same sha-seeded uniforms, same
+        # floor(ln(u)/-eps) geometric inversion, same clamp
+        "dp_segment_counts": """
+            WITH g AS (
+                SELECT c_mktsegment,
+                       CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT) AS bal_band,
+                       count(*) AS n
+                FROM customer GROUP BY 1, 2
+            ),
+            noised AS (
+                SELECT c_mktsegment, bal_band,
+                       n + CAST(floor(ln((('0x' || substr(sha256('dp-v1:a:' || c_mktsegment || chr(31) || bal_band::VARCHAR), 1, 8))::UBIGINT + 0.5) / 4294967296.0) / -1.0) AS BIGINT)
+                         - CAST(floor(ln((('0x' || substr(sha256('dp-v1:b:' || c_mktsegment || chr(31) || bal_band::VARCHAR), 1, 8))::UBIGINT + 0.5) / 4294967296.0) / -1.0) AS BIGINT)
+                         AS dp
+                FROM g
+            )
+            SELECT c_mktsegment, bal_band, GREATEST(dp, 0) AS dp_count
+            FROM noised ORDER BY 1, 2
+        """,
+        # same decile cuts (quantile_cont == Spark exact percentile),
+        # strict-greater binning, add-1 smoothing, 6dp log terms
+        "psi_price_drift": """
+            WITH ref AS (
+                SELECT o_totalprice AS v FROM orders WHERE year(o_orderdate) <= 1997
+            ),
+            cur AS (
+                SELECT o_totalprice AS v FROM orders WHERE year(o_orderdate) >= 1999
+            ),
+            cuts AS (
+                SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]::DOUBLE[]) AS c
+                FROM ref
+            ),
+            rb AS (
+                SELECT len(list_filter(cuts.c, x -> ref.v > x)) AS bin, count(*) AS n_ref
+                FROM ref CROSS JOIN cuts GROUP BY 1
+            ),
+            cb AS (
+                SELECT len(list_filter(cuts.c, x -> cur.v > x)) AS bin, count(*) AS n_cur
+                FROM cur CROSS JOIN cuts GROUP BY 1
+            ),
+            j AS (
+                SELECT COALESCE(rb.bin, cb.bin) AS bin,
+                       COALESCE(n_ref, 0) AS n_ref,
+                       COALESCE(n_cur, 0) AS n_cur
+                FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+            ),
+            t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+            SELECT bin, n_ref, n_cur,
+                   ROUND((n_ref + 1.0) / (t.tr + 10.0), 6) AS p_ref,
+                   ROUND((n_cur + 1.0) / (t.tc + 10.0), 6) AS p_cur,
+                   ROUND(((n_cur + 1.0) / (t.tc + 10.0) - (n_ref + 1.0) / (t.tr + 10.0))
+                         * ln(((n_cur + 1.0) / (t.tc + 10.0)) / ((n_ref + 1.0) / (t.tr + 10.0))), 6) AS psi_term
+            FROM j CROSS JOIN t ORDER BY bin
+        """,
+        # tie-corrected Mann-Whitney AUC from per-distinct-score counts
+        "roc_auc_planted": """
+            WITH scored AS (
+                SELECT lang,
+                       ROUND(((doc_id * 2654435761) % 1000) / 1000.0
+                             + CASE WHEN doc_id % 5 = 0 THEN 0.3 ELSE 0.0 END, 4) AS s,
+                       (doc_id % 5 = 0) AS y
+                FROM documents
+            ),
+            per_score AS (
+                SELECT lang, s,
+                       sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+                       sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+                FROM scored GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT lang, s, np, nn,
+                       COALESCE(sum(nn) OVER (
+                           PARTITION BY lang ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS below
+                FROM per_score
+            )
+            SELECT lang,
+                   CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn) AS BIGINT) AS n_neg,
+                   ROUND(CAST(sum(np * (2 * below + nn)) AS DOUBLE)
+                         / (2.0 * sum(np) * sum(nn)), 6) AS auc
+            FROM cum GROUP BY lang
+            HAVING sum(np) > 0 AND sum(nn) > 0
+            ORDER BY lang
         """,
         # full margin-mining replica: rounded-cosine kNN ranking, decimal
         # neighborhood sums, mutual-argmax windows

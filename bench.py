@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "trailing_anomaly",
     "bootstrap_ci_orders",
     "margin_mining",
+    "dp_segment_counts",
+    "psi_price_drift",
+    "roc_auc_planted",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -185,7 +188,7 @@ BENCH_FAMILIES = {
         "sequence_packing", "data_expectations", "corpus_balance_sample",
         "train_split_counts", "pmi_collocations", "quality_calibration",
         "token_budget_sample", "dsir_selection", "vocab_oov_rates",
-        "taxonomy_tagging",
+        "taxonomy_tagging", "roc_auc_planted",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -197,7 +200,8 @@ BENCH_FAMILIES = {
         "user_event_pivot", "part_unpivot", "order_grouping_sets",
         "quarterly_revenue_trend", "customer_value_tiles", "lineitem_stats",
         "customer_rolling_30d", "asof_join_clicks", "association_rules",
-        "markov_transitions", "resample_ffill",
+        "markov_transitions", "resample_ffill", "dp_segment_counts",
+        "psi_price_drift",
     ],
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",

@@ -224,3 +224,21 @@ def test_poisson_cdf_constants_are_the_poisson1_cdf(spark):
     assert abs(POISSON1_CDF[0] - math.exp(-1)) < 1e-15
     assert abs((POISSON1_CDF[2] - POISSON1_CDF[1]) - math.exp(-1) / 2) < 1e-15
     assert 1.0 - POISSON1_CDF[-1] < 1.1e-5
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
+    """Identical distributions → every psi_term ~0 (only smoothing
+    noise); a shifted current distribution → clearly positive PSI with
+    mass moved to the top bins."""
+    from valentinus_spark.operators.profile import psi_drift
+
+    ref = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    same = psi_drift(ref, ref, "v", n_bins=10).collect()
+    assert len(same) == 10
+    assert sum(abs(r["psi_term"]) for r in same) < 1e-6
+    cur = spark.createDataFrame([(float(i) + 800,) for i in range(1000)], "v double")
+    moved = psi_drift(ref, cur, "v", n_bins=10).collect()
+    psi = sum(r["psi_term"] for r in moved)
+    assert psi > 0.25  # "action" territory
+    top = [r for r in moved if r["bin"] == 9][0]
+    assert top["n_cur"] > top["n_ref"]

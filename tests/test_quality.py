@@ -314,3 +314,41 @@ def test_linear_quality_score_custom_weights_and_unknown_raise(spark):
     assert row["kept"] == (row["quality_score"] >= 0.9)
     with pytest.raises(ValueError, match="unknown feature"):
         linear_quality_score(df, weights={"nope": 1.0})
+
+
+def test_roc_auc_hand_values_and_ties(spark):
+    """Perfect separation → 1.0; reversed → 0.0; all-tied scores → 0.5
+    exactly (the tie correction, not an approximation)."""
+    from valentinus_spark.operators.quality import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.2, False), (0.1, False)],
+        "s double, y boolean",
+    )
+    assert roc_auc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    reverse = spark.createDataFrame(
+        [(0.1, True), (0.2, True), (0.8, False), (0.9, False)],
+        "s double, y boolean",
+    )
+    assert roc_auc(reverse, "s", "y").collect()[0]["auc"] == 0.0
+    tied = spark.createDataFrame(
+        [(0.5, True), (0.5, True), (0.5, False), (0.5, False)],
+        "s double, y boolean",
+    )
+    assert roc_auc(tied, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_roc_auc_matches_pair_counting(spark):
+    """AUC equals brute-force pair counting (wins + half-ties) on a
+    random-ish planted set with collisions."""
+    from valentinus_spark.operators.quality import roc_auc
+
+    rows = [((i * 37) % 10 / 10.0 + (0.15 if i % 3 == 0 else 0.0), i % 3 == 0)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = roc_auc(df, "s", "y").collect()[0]
+    pos = [round(s, 4) for s, y in rows if y]
+    neg = [round(s, 4) for s, y in rows if not y]
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    assert got["auc"] == round(wins / (len(pos) * len(neg)), 6)
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)

@@ -141,3 +141,36 @@ def test_l_diversity_stats_planted(spark):
     assert r["violating_groups"] == 2
     assert r["rows_at_risk"] == 18
     assert r["min_diversity"] == 1
+
+
+def test_dp_group_counts_mechanism_properties(spark):
+    """Deterministic replay (same salt → same release), bounded noise in
+    practice at eps=1, clamping never emits negatives, and a different
+    salt draws different noise."""
+    from valentinus_spark.operators.validate import dp_group_counts
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(400)], "id long, g string"
+    )
+    a = {r["g"]: r["dp_count"] for r in dp_group_counts(df, ["g"]).collect()}
+    b = {r["g"]: r["dp_count"] for r in dp_group_counts(df, ["g"]).collect()}
+    assert a == b
+    assert all(v >= 0 for v in a.values())
+    # true count is 100 per group; geometric noise at eps=1 is tiny
+    assert all(abs(v - 100) < 30 for v in a.values())
+    c = {r["g"]: r["dp_count"] for r in dp_group_counts(df, ["g"], salt="dp-v2").collect()}
+    assert c != a  # fresh salt, fresh noise draw
+
+
+def test_dp_group_counts_small_group_hidden(spark):
+    """A group of size 1 must not be recoverable exactly across salts:
+    over several independent releases the noisy counts vary (the signal
+    an attacker would need is drowned)."""
+    from valentinus_spark.operators.validate import dp_group_counts
+
+    df = spark.createDataFrame([(1, "only")], "id long, g string")
+    vals = {
+        dp_group_counts(df, ["g"], salt=f"s{i}").collect()[0]["dp_count"]
+        for i in range(8)
+    }
+    assert len(vals) > 1

@@ -671,3 +671,74 @@ def poisson_bootstrap_ci(
             "ci_hi"
         ),
     )
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of one numeric column — the standard "did my feature
+    drift" monitor (rule of thumb: <0.1 stable, 0.1–0.25 shifting, >0.25
+    action): ``PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref)`` over the
+    reference's equal-frequency bins. Complements
+    :func:`embedding_drift` (vector panels) with the scalar-feature path.
+
+    Bins are the reference's exact quantile cuts (interpolation is
+    engine-portable); proportions are add-1-smoothed so empty bins stay
+    finite. Returns one row per bin: (``bin``, ``n_ref``, ``n_cur``,
+    ``p_ref``, ``p_cur``, ``psi_term`` rounded to 6) — sum psi_term for
+    the index, inspect rows for WHERE the shift lives.
+
+    Scale shape: one percentile aggregate on the reference (exact
+    percentile buffers values — swap to approx at 10⁹+ rows, same cuts
+    contract), then each side is a single scan binned by broadcast cut
+    literals into an n_bins-sized aggregate. Nothing corpus-sized
+    shuffles."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts_row = reference.agg(
+        F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(q) for q in qs])).alias("c")
+    ).first()
+    cuts = [float(x) for x in cuts_row["c"]]
+
+    def _binned(side: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = reduce(
+            lambda acc, c: acc + F.when(v > F.lit(c), 1).otherwise(0),
+            cuts,
+            F.lit(0),
+        )
+        return (
+            side.where(v.isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    ref = _binned(reference, "n_ref")
+    cur = _binned(current, "n_cur")
+    # n_bins-sized frames: the full-outer + window-total arithmetic is
+    # post-aggregate, never corpus-sized
+    joined = (
+        ref.join(cur, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    everything = Window.partitionBy()
+    bl = float(n_bins)
+    p_ref = (F.col("n_ref") + 1.0) / (F.sum("n_ref").over(everything) + bl)
+    p_cur = (F.col("n_cur") + 1.0) / (F.sum("n_cur").over(everything) + bl)
+    return joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    ).orderBy("bin")

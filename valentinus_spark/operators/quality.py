@@ -18,7 +18,7 @@ row. Per-row cost is O(G log G) for the sort, G = n-grams per document.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from valentinus_spark.functions.text import (
@@ -501,4 +501,67 @@ def calibration_curve(
             F.abs(F.col("mean_score") - F.col("positive_rate")).alias("abs_gap"),
         )
         .orderBy("bin")
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney U statistic — the quality-gate
+    metric for any classifier used in curation (lang-id, quality, PII):
+    ``AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)``, computed
+    tie-correctly from per-distinct-score counts:
+    ``AUC = Σ_s n⁺(s) · (N⁻_below(s) + n⁻(s)/2) / (P·N)``.
+
+    Scores are rounded to ``score_decimals`` first — classifier scores
+    are ~uniformly informative past 4 decimals, and the rounding bounds
+    the distinct-score table (≤ 10^decimals rows) that the cumulative
+    window runs over, which is what keeps this scale-safe: the ONLY
+    unpartitioned work is a window over that bounded table, never over
+    rows. Counts stay integer until the final division.
+
+    Output per group: (``n_pos``, ``n_neg``, ``auc`` rounded to 6)."""
+    keys = [group_col] if group_col else []
+    s = F.round(F.col(score_col).cast("double"), score_decimals)
+    lab = F.col(label_col).cast("boolean")
+    per_score = (
+        df.select(*keys, s.alias("_s"), lab.alias("_y"))
+        .groupBy(*keys, "_s")
+        .agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_np"),
+            F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("_nn"),
+        )
+    )
+    w = (
+        Window.partitionBy(*keys).orderBy("_s")
+        if keys
+        else Window.partitionBy(F.lit(1)).orderBy("_s")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    stats = per_score.withColumn(
+        "_below", F.coalesce(F.sum("_nn").over(w), F.lit(0))
+    )
+    # Σ n⁺·(2·below + n⁻) stays integer; halve once at the end
+    num = F.sum(F.col("_np") * (2 * F.col("_below") + F.col("_nn")))
+    return (
+        stats.groupBy(*keys)
+        .agg(
+            F.sum("_np").alias("n_pos"),
+            F.sum("_nn").alias("n_neg"),
+            num.alias("_num2"),
+        )
+        .where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            *keys,
+            "n_pos",
+            "n_neg",
+            F.round(
+                F.col("_num2")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("auc"),
+        )
     )

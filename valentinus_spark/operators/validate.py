@@ -168,3 +168,50 @@ def l_diversity_stats(
         .alias("rows_at_risk"),
         F.min("n_sensitive").cast("long").alias("min_diversity"),
     )
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp-v1",
+    clamp_nonneg: bool = True,
+) -> DataFrame:
+    """ε-differentially-private group counts via the two-sided geometric
+    mechanism (Ghosh/Roughgarden/Sundararajan 2009 — the discrete,
+    utility-optimal Laplace): ``dp_count = count + (G₁ − G₂)`` with
+    ``G ~ Geom(1−e^(−ε))`` sampled by inversion, ``G = floor(ln(u)/−ε)``.
+    The release-side counterpart of the k-anonymity/l-diversity audits:
+    publish aggregate counts whose noise provably hides any single row.
+
+    Noise uniforms derive from sha256(salt‖group key), which makes the
+    release REPLAYABLE (same mechanism, same noise — the property every
+    other seeded sampler in this repo has, and what lets the oracle
+    verify the mechanism end-to-end). For a real privacy deployment the
+    salt must be a SECRET: a public salt lets anyone recompute the noise
+    (the ε accounting is per-release either way — this operator
+    implements the mechanism; key management is the caller's).
+
+    Output: (group_cols…, ``dp_count``), clamped at 0 by default
+    (post-processing never degrades DP). One shuffle: the group count
+    itself; noise is per-GROUP arithmetic on the aggregated table.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+
+    def _geom(tag: str) -> Column:
+        h32 = F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit(f"{salt}:{tag}:"), key), 256), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+        return F.floor(F.log(u) / F.lit(-epsilon)).cast("long")
+
+    noisy = counts.withColumn("_dp", F.col("_n") + _geom("a") - _geom("b"))
+    out = F.greatest(F.col("_dp"), F.lit(0)) if clamp_nonneg else F.col("_dp")
+    return noisy.select(*group_cols, out.alias("dp_count"))
