@@ -4470,17 +4470,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "incremental_neardup": q_incremental_neardup,
         "rp_ann_topk": q_rp_ann_topk,
-        # (b) 32 longest-unchecked veterans — all last driver-checked in
-        # round 2 (oldest hard signal in the ledger). Includes the four
-        # bench-drift suspects (pricing_summary, brand_revenue,
-        # customer_rank_window, events_sessionize — VERDICT r4 perf #5)
-        # and collection_e2e, upgraded this round from no_oracle to a
-        # full hash oracle (deterministic hash embedder).
+        # (b) the 30 queries added during round 5 itself — every one
+        # dev_compare-green at 3 SFs but, being new, never driver-hashed.
+        # Rotating them in (instead of the r2-checked veterans, each of
+        # which already has a hash-green driver row on record) means the
+        # r5 window retires the ENTIRE never-checked set: after this
+        # round every registry query has at least one driver row.
+        "pmi_collocations": q_pmi_collocations,
+        "incremental_components": q_incremental_components,
+        "media_headers": q_media_headers,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "stream_components": q_stream_components,
+        "association_rules": q_association_rules,
+        "markov_transitions": q_markov_transitions,
+        "pca_planted": q_pca_planted,
+        "resample_ffill": q_resample_ffill,
+        "winsorize_stats": q_winsorize_stats,
+        "embedding_drift": q_embedding_drift,
+        "kcenter_planted": q_kcenter_planted,
+        "versioned_delete": q_versioned_delete,
+        "table_changes_cdf": q_table_changes_cdf,
+        "token_budget_sample": q_token_budget_sample,
+        "abtt_planted": q_abtt_planted,
+        "dsir_selection": q_dsir_selection,
+        "link_prediction_aa": q_link_prediction_aa,
+        "vocab_oov_rates": q_vocab_oov_rates,
+        "taxonomy_tagging": q_taxonomy_tagging,
+        "trailing_anomaly": q_trailing_anomaly,
+        "bootstrap_ci_orders": q_bootstrap_ci_orders,
+        "margin_mining": q_margin_mining,
+        "dp_segment_counts": q_dp_segment_counts,
+        "psi_price_drift": q_psi_price_drift,
+        "roc_auc_planted": q_roc_auc_planted,
+        "robust_outliers": q_robust_outliers,
+        "quality_calibration": q_quality_calibration,
+        "hard_negatives": q_hard_negatives,
+        "lpa_communities": q_lpa_communities,
+        # (c) two high-value re-checks fill the window: collection_e2e's
+        # oracle was upgraded this round from no_oracle to a full hash
+        # oracle (deterministic hash embedder) — the upgraded oracle has
+        # never been driver-validated — and the flagship headline query
+        # (last driver-checked round 2) must not go perpetually stale.
+        "collection_e2e": q_collection_e2e,
+        "flagship_filtered_cosine_topk": q_flagship,
+        # ==== past the window: driver-green queries (see COVERAGE.md
+        # ledger for each one's last-checked round); all stay in the
+        # full local dev_compare sweep every round. r6 window plan:
+        # any new r5/r6 additions first, then the round-2 veterans
+        # below (media_content_stats … regional_supply cohort), which
+        # are the longest-unchecked once the never-checked set is gone.
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "flagship_filtered_cosine_topk": q_flagship,
         "metadata_filter_eq": q_filter_eq,
         "metadata_filter_range": q_filter_range,
         "metadata_filter_in": q_filter_in,
@@ -4507,42 +4549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersect": q_segment_intersect,
         "customer_rank_window": q_customer_rank,
         "regional_supply": q_regional_supply,
-        "collection_e2e": q_collection_e2e,
-        # ==== past the window: driver-green queries (see COVERAGE.md
-        # ledger for each one's last-checked round); all stay in the
-        # full local dev_compare sweep every round. r6 window plan:
-        # any new r5 additions first, then the remaining round-2/3
-        # veterans not re-checked above (events_sessionize cohort).
-        "pmi_collocations": q_pmi_collocations,  # added r5 — r6 window candidate
-        "incremental_components": q_incremental_components,  # added r5 — r6 window candidate
-        "media_headers": q_media_headers,  # added r5 — r6 window candidate
-        "dedup_paragraphs": q_dedup_paragraphs,  # added r5 — r6 window candidate
-        "stream_components": q_stream_components,  # added r5 — r6 window candidate
-        "association_rules": q_association_rules,  # added r5 — r6 window candidate
-        "markov_transitions": q_markov_transitions,  # added r5 — r6 window candidate
-        "pca_planted": q_pca_planted,  # added r5 — r6 window candidate
-        "resample_ffill": q_resample_ffill,  # added r5 — r6 window candidate
-        "winsorize_stats": q_winsorize_stats,  # added r5 — r6 window candidate
-        "embedding_drift": q_embedding_drift,  # added r5 — r6 window candidate
-        "kcenter_planted": q_kcenter_planted,  # added r5 — r6 window candidate
-        "versioned_delete": q_versioned_delete,  # added r5 — r6 window candidate
-        "table_changes_cdf": q_table_changes_cdf,  # added r5 — r6 window candidate
-        "token_budget_sample": q_token_budget_sample,  # added r5 — r6 window candidate
-        "abtt_planted": q_abtt_planted,  # added r5 — r6 window candidate
-        "dsir_selection": q_dsir_selection,  # added r5 — r6 window candidate
-        "link_prediction_aa": q_link_prediction_aa,  # added r5 — r6 window candidate
-        "vocab_oov_rates": q_vocab_oov_rates,  # added r5 — r6 window candidate
-        "taxonomy_tagging": q_taxonomy_tagging,  # added r5 — r6 window candidate
-        "trailing_anomaly": q_trailing_anomaly,  # added r5 — r6 window candidate
-        "bootstrap_ci_orders": q_bootstrap_ci_orders,  # added r5 — r6 window candidate
-        "margin_mining": q_margin_mining,  # added r5 — r6 window candidate
-        "dp_segment_counts": q_dp_segment_counts,  # added r5 — r6 window candidate
-        "psi_price_drift": q_psi_price_drift,  # added r5 — r6 window candidate
-        "roc_auc_planted": q_roc_auc_planted,  # added r5 — r6 window candidate
-        "robust_outliers": q_robust_outliers,  # added r5 — r6 window candidate
-        "quality_calibration": q_quality_calibration,  # added r5 — r6 window candidate
-        "hard_negatives": q_hard_negatives,  # added r5 — r6 window candidate
-        "lpa_communities": q_lpa_communities,  # added r5 — r6 window candidate
         "orc_roundtrip": q_orc_roundtrip,
         "length_bucket_batches": q_length_bucket_batches,
         "cm_join_size": q_cm_join_size,

@@ -109,6 +109,27 @@ R5_BACKLOG = [
     "bigram_logprob", "incremental_neardup", "rp_ann_topk",
 ]
 
+# The 30 queries added during round 5 itself — dev_compare-green but
+# never driver-hashed; they occupy window slots 18-47 so the r5 window
+# retires the ENTIRE never-checked set (18 backlog + these 30 = all 48
+# registry queries without a driver row entering this round).
+R5_NEW = [
+    "pmi_collocations", "incremental_components", "media_headers",
+    "dedup_paragraphs", "stream_components", "association_rules",
+    "markov_transitions", "pca_planted", "resample_ffill",
+    "winsorize_stats", "embedding_drift", "kcenter_planted",
+    "versioned_delete", "table_changes_cdf", "token_budget_sample",
+    "abtt_planted", "dsir_selection", "link_prediction_aa",
+    "vocab_oov_rates", "taxonomy_tagging", "trailing_anomaly",
+    "bootstrap_ci_orders", "margin_mining", "dp_segment_counts",
+    "psi_price_drift", "roc_auc_planted", "robust_outliers",
+    "quality_calibration", "hard_negatives", "lpa_communities",
+]
+
+# Slots 48-49: collection_e2e's upgraded hash oracle has never been
+# driver-validated; the flagship headline query must not go stale.
+R5_TAIL = ["collection_e2e", "flagship_filtered_cosine_topk"]
+
 # Rows-only by design: non-deterministic internals make an exact SQL
 # oracle impossible; each has an in-registry planted-oracle twin gating
 # its recall/semantics (rp_ann_planted, ivf_ann_planted).
@@ -116,11 +137,11 @@ ROWS_ONLY = {"rp_ann_topk", "ivf_ann_topk"}
 
 
 def test_driver_window_composition():
-    """Pin the registry's window contract (the r2 judge found failures
-    had slid OUT of the driver's 50-entry window unnoticed): the r5
-    backlog must be exactly the window head, every other window entry
-    must be oracle-backed, and no undocumented rows-only query may
-    occupy a window slot an oracle-backed sibling could use."""
+    """Pin the registry's FULL 50-entry window (the r2 judge found
+    failures had slid OUT of the driver's window unnoticed): backlog
+    head, then the 30 r5 additions, then the two re-check slots —
+    together retiring every never-driver-checked query. Every window
+    entry must be oracle-backed unless documented rows-only."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entrymod
 
@@ -128,9 +149,9 @@ def test_driver_window_composition():
     oracles = entrymod.oracle_sql()
     window = qs[:50]
     assert len(qs) == len(set(qs)), "duplicate registry keys"
-    assert window[: len(R5_BACKLOG)] == R5_BACKLOG, (
-        "r5 backlog is not the window head — a registry edit re-deferred "
-        "a never-driver-checked query"
+    assert window == R5_BACKLOG + R5_NEW + R5_TAIL, (
+        "r5 window drifted — a registry edit re-deferred a "
+        "never-driver-checked query or evicted a re-check slot"
     )
     missing = [q for q in window if q not in oracles and q not in ROWS_ONLY]
     assert not missing, f"window entries without oracles: {missing}"
