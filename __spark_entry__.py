@@ -40,7 +40,12 @@ from valentinus_spark.operators.dedup import (
 )
 from valentinus_spark.operators.dedup import deduplicate
 from valentinus_spark.operators.similarity import brute_force_knn_join
-from valentinus_spark.operators.text_search import bm25_topk
+from valentinus_spark.operators.text_search import (
+    bm25_topk,
+    ql_topk,
+    rrf_fuse,
+    winnow_overlap_pairs,
+)
 from valentinus_spark.functions.text import lang_id
 from valentinus_spark.streaming.pipeline import stream_events_windowed
 
@@ -4436,6 +4441,53 @@ def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(copurchase_edges(li), k=100, max_degree=50)
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-winnowing overlap pairs (operators/text_search.py::
+    winnow_overlap_pairs, the MOSS algorithm): docs sharing ≥2 distinct
+    selected fingerprints, with Jaccard overlap over fingerprint sets.
+    The portable 60-bit hash makes every stage — k-gram hashing, the
+    rightmost-min window selection, position dedupe, the df-capped
+    inverted-index join — replayable in the DuckDB oracle, so the whole
+    winnowing pipeline is hash-checked (production default stays
+    xxhash64). Substring-level near-dup detection: catches partial
+    containment that whole-document MinHash dilutes away."""
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=8,
+        window=4,
+        min_shared=8,
+        max_df=20,
+        hash_fn="sha256",
+    ).select("id_a", "id_b", "n_shared", "overlap")
+
+
+def q_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-10 (operators/text_search.py::
+    ql_topk, Zhai-Lafferty smoothing, μ=300) for the same term bag as
+    bm25_search — the language-modeling retrieval family beside the
+    probabilistic one. Scores round to 4dp inside the ranking so the
+    top-k boundary is engine-portable."""
+    return ql_topk(
+        _t(spark, sf_dir, "documents"), terms=["data", "query", "stream"], k=10
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/text_search.py::rrf_fuse,
+    k0=60) of the BM25 top-20 and the query-likelihood top-20 for one
+    term bag — the standard lexical⊕LM hybrid-retrieval combiner (no
+    score calibration; ranks only). Both input rankings order by
+    4dp-rounded scores with doc_id tiebreaks, so the rank assignment —
+    and therefore the fused scores — replay exactly in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["data", "query", "stream"]
+    a = bm25_topk(docs, terms=terms, k=20).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+    b = ql_topk(docs, terms=terms, k=20)
+    return rrf_fuse([a, b], k0=60, topk=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4519,6 +4571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any new r5/r6 additions first, then the round-2 veterans
         # below (media_content_stats … regional_supply cohort), which
         # are the longest-unchecked once the never-checked set is gone.
+        "winnow_pairs": q_winnow_pairs,  # added r5 (post-rotation) — r6 window candidate
+        "ql_search": q_ql_search,  # added r5 (post-rotation) — r6 window candidate
+        "rrf_fusion": q_rrf_fusion,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7180,6 +7235,143 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        # full winnowing replay: k-gram 60-bit hashes, per-window minima
+        # (the selected fingerprint VALUE set is invariant to the
+        # rightmost-tie choice, so the pair join needs no positions —
+        # positional selection is pinned by the pytest python oracle),
+        # df-capped inverted-index join, Jaccard overlap
+        "winnow_pairs": """
+            WITH d AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN length(s) >= 8 THEN
+                           list_transform(range(1, length(s) - 8 + 2),
+                               i -> ('0x' || substr(sha256(substr(s, i, 8)), 1, 15))::UBIGINT::BIGINT)
+                       ELSE [] END AS h
+                FROM d
+            ),
+            win AS (
+                SELECT doc_id, h, least(4, len(h)) AS w FROM g WHERE len(h) >= 1
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(h) - w + 2),
+                           j -> list_min(h[j : j + w - 1]))) AS fp
+                FROM win
+            ),
+            sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS nfp FROM fps GROUP BY doc_id),
+            dfreq AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp),
+            idx AS (
+                SELECT fps.doc_id, fps.fp FROM fps
+                JOIN dfreq USING (fp) WHERE dfreq.df BETWEEN 2 AND 20
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+                FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+                HAVING COUNT(*) >= 8
+            )
+            SELECT id_a, id_b, n_shared,
+                   ROUND(n_shared::DOUBLE / (sa.nfp + sb.nfp - n_shared), 4) AS overlap
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = pairs.id_a
+            JOIN sizes sb ON sb.doc_id = pairs.id_b
+        """,
+        "ql_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            corpus AS (SELECT SUM(len(w))::BIGINT AS ctot FROM toks),
+            postings AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks),
+            cf AS (
+                SELECT term, COUNT(*)::BIGINT AS cf FROM postings
+                WHERE term IN ('data', 'query', 'stream') GROUP BY term
+            ),
+            tf AS (
+                SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM postings
+                WHERE term IN ('data', 'query', 'stream') GROUP BY doc_id, dl, term
+            ),
+            cand AS (SELECT DISTINCT doc_id, dl FROM tf),
+            qt AS (SELECT unnest(['data', 'query', 'stream']) AS term),
+            scored AS (
+                SELECT c.doc_id,
+                       ln((COALESCE(tf.tf, 0) + 300.0 * COALESCE(cf.cf, 0) / corpus.ctot)
+                          / (c.dl + 300.0)) AS ts
+                FROM cand c
+                CROSS JOIN qt
+                LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = qt.term
+                LEFT JOIN cf ON cf.term = qt.term
+                CROSS JOIN corpus
+            )
+            SELECT doc_id, ROUND(SUM(ts), 4) AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "rrf_fusion": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            lens AS (SELECT doc_id, len(w) AS dl FROM toks),
+            stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+            postings AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks),
+            tf AS (
+                SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM postings
+                WHERE term IN ('data', 'query', 'stream') GROUP BY doc_id, dl, term
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            bm_scored AS (
+                SELECT tf.doc_id,
+                       ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS term_score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+            ),
+            bm AS (
+                SELECT doc_id, ROUND(SUM(term_score), 4) AS score
+                FROM bm_scored GROUP BY doc_id
+                ORDER BY score DESC, doc_id ASC LIMIT 20
+            ),
+            corpus AS (SELECT SUM(len(w))::BIGINT AS ctot FROM toks),
+            cf AS (
+                SELECT term, COUNT(*)::BIGINT AS cf FROM postings
+                WHERE term IN ('data', 'query', 'stream') GROUP BY term
+            ),
+            cand AS (SELECT DISTINCT doc_id, dl FROM tf),
+            qt AS (SELECT unnest(['data', 'query', 'stream']) AS term),
+            ql_scored AS (
+                SELECT c.doc_id,
+                       ln((COALESCE(tf.tf, 0) + 300.0 * COALESCE(cf.cf, 0) / corpus.ctot)
+                          / (c.dl + 300.0)) AS ts
+                FROM cand c
+                CROSS JOIN qt
+                LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = qt.term
+                LEFT JOIN cf ON cf.term = qt.term
+                CROSS JOIN corpus
+            ),
+            ql AS (
+                SELECT doc_id, ROUND(SUM(ts), 4) AS score
+                FROM ql_scored GROUP BY doc_id
+                ORDER BY score DESC, doc_id ASC LIMIT 20
+            ),
+            ranked AS (
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm
+                UNION ALL
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM ql
+            )
+            SELECT doc_id, ROUND(SUM(1.0 / (60 + r)), 6) AS rrf_score,
+                   COUNT(*)::BIGINT AS n_lists
+            FROM ranked GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id ASC
             LIMIT 10
         """,
         "lang_id_heuristic": """

@@ -162,3 +162,156 @@ def test_taxonomy_tags_counts_and_multi_topic(spark):
     assert got[(3, "fruit")] == (3, 2)  # lowercased matching
     assert got[(3, "tech")] == (2, 1)
     assert not any(d == 2 for d, _ in got)
+
+
+def _py_winnow(text, k, w):
+    """Independent Python winnowing oracle (rightmost-min, xxhash64-free:
+    uses the portable 60-bit sha hash to match hash_fn='sha256')."""
+    import hashlib
+    import re
+
+    s = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(s) < k:
+        return set()
+    grams = [
+        int(hashlib.sha256(s[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(s) - k + 1)
+    ]
+    wlen = min(w, len(grams))
+    out = set()
+    for j in range(len(grams) - wlen + 1):
+        sl = grams[j : j + wlen]
+        mn = min(sl)
+        # rightmost minimum
+        rpos = wlen - 1 - sl[::-1].index(mn)
+        out.add((j + rpos + 1, mn))  # 1-based gram position
+    return out
+
+
+def test_winnow_fingerprints_match_python_oracle(spark):
+    from valentinus_spark.operators.text_search import winnow_fingerprints
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack   my box with five dozen LIQUOR jugs"),
+        (3, "short"),        # < k: no fingerprints
+        (4, "tiny doc ok"),  # >= k but < k+w-1: single-window fallback
+        (5, "aaaaaaaaaaaaaaaaaaaa"),  # degenerate equal-hash runs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(df, k=8, window=4, hash_fn="sha256").collect()
+    }
+    want = set()
+    for did, text in docs:
+        for pos, fp in _py_winnow(text, 8, 4):
+            want.add((did, pos, fp))
+    assert got == want
+
+
+def test_winnow_guarantee_shared_substring_detected(spark):
+    # winnowing guarantee: a shared substring of length >= w + k - 1
+    # produces >= 1 shared fingerprint value
+    from valentinus_spark.operators.text_search import winnow_overlap_pairs
+
+    shared = "this exact sentence appears verbatim in both documents"
+    docs = [
+        (1, "intro text alpha. " + shared + " trailing words one"),
+        (2, "completely different opening. " + shared + " and another tail"),
+        (3, "nothing in common with the others at all, truly disjoint words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = winnow_overlap_pairs(
+        df, k=8, window=4, min_shared=1, max_df=10, hash_fn="sha256"
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+    row = [r for r in pairs if (r.id_a, r.id_b) == (1, 2)][0]
+    assert row.n_shared >= 1 and 0 < row.overlap <= 1
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    from valentinus_spark.operators.text_search import winnow_overlap_pairs
+
+    # the same boilerplate in EVERY doc; max_df below corpus size drops
+    # its fingerprints before the join. (Subtlety: a boilerplate gram can
+    # be SELECTED as a window min in only a subset of docs — end-of-doc
+    # context differs — so a handful of low-df stragglers may survive;
+    # the cap's job is killing the bulk, asserted via n_shared.)
+    bp = "standard license header text common to all files here"
+    docs = [(i, bp + f" unique body {i} " + "x" * i) for i in range(1, 6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = winnow_overlap_pairs(
+        df, k=8, window=4, min_shared=1, max_df=10, hash_fn="sha256"
+    ).collect()
+    capped = winnow_overlap_pairs(
+        df, k=8, window=4, min_shared=1, max_df=4, hash_fn="sha256"
+    ).collect()
+    # without the cap every pair shares the whole boilerplate fingerprint set
+    assert max(r.n_shared for r in uncapped) >= 5
+    assert len(uncapped) == 10  # all C(5,2) pairs
+    # with the cap only straggler selections remain
+    assert capped == [] or max(r.n_shared for r in capped) <= 2
+
+
+def _py_ql(corpus, terms, mu):
+    import math
+    import re
+
+    toks = {d: re.sub(r"\s+", " ", t.lower()).strip().split(" ") for d, t in corpus}
+    ctot = sum(len(v) for v in toks.values())
+    cf = {
+        t: sum(v.count(t) for v in toks.values()) for t in terms
+    }
+    out = {}
+    for d, v in toks.items():
+        if not any(t in v for t in terms):
+            continue
+        s = 0.0
+        for t in terms:
+            s += math.log((v.count(t) + mu * cf[t] / ctot) / (len(v) + mu))
+        out[d] = round(s, 4)
+    return out
+
+
+def test_ql_topk_matches_python_oracle(spark):
+    from valentinus_spark.operators.text_search import ql_topk
+
+    docs = [
+        (1, "data query stream data data"),
+        (2, "stream of words about query planning"),
+        (3, "nothing relevant here at all"),
+        (4, "data data data data data"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in ql_topk(df, ["data", "query"], k=10).collect()}
+    want = _py_ql(docs, ["data", "query"], 300.0)
+    assert got == want
+
+
+def test_rrf_fuse_combines_rankings(spark):
+    from valentinus_spark.operators.text_search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (2, 0.5), (4, 0.1)], "doc_id long, score double"
+    )
+    rows = {r.doc_id: r for r in rrf_fuse([a, b], k0=60, topk=10).collect()}
+    # doc 2: rank 2 in both lists
+    assert rows[2].rrf_score == round(1 / 62 + 1 / 62, 6)
+    assert rows[2].n_lists == 2
+    # doc 1: rank 1 in list a only
+    assert rows[1].rrf_score == round(1 / 61, 6)
+    assert rows[1].n_lists == 1
+    assert rows[3].rrf_score == round(1 / 63 + 1 / 61, 6)
+    order = [
+        r.doc_id
+        for r in sorted(rows.values(), key=lambda r: (-r.rrf_score, r.doc_id))
+    ]
+    # 1/(k0+r) is convex, so (rank 3, rank 1) edges out (rank 2, rank 2);
+    # both two-list docs beat every single-list doc
+    assert order[:2] == [3, 2]

@@ -19,7 +19,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from valentinus_spark.functions.text import normalize_text, word_tokens
+from valentinus_spark.functions.text import normalize_text, sha_hash60, word_tokens
 from valentinus_spark.functions.util import ensure_parallelism
 
 
@@ -228,4 +228,272 @@ def taxonomy_tags(
             F.count(F.lit(1)).alias("n_hits"),
             F.countDistinct("_tok").alias("n_keywords"),
         )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Positional winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every character k-gram of the normalized
+    text, slide a window of ``window`` consecutive hashes, and in each
+    window select the RIGHTMOST minimal hash. Deduplicating selections by
+    position yields a fingerprint set with the winnowing guarantee: any
+    shared substring of length ≥ window + k − 1 contributes at least one
+    shared fingerprint — a detection guarantee the min-k sketch
+    (functions/text.py::rolling_fingerprint) cannot give, at an expected
+    density of 2/(window+1) fingerprints per character.
+
+    Documents shorter than k + window − 1 characters fall back to a
+    single window over all their k-grams (short docs still fingerprint);
+    documents shorter than k yield no rows.
+
+    Returns (``id_col``, ``pos``, ``fp``) — 1-based k-gram position of
+    each selected fingerprint and its hash value — one row per selected
+    (position, hash).
+
+    ``hash_fn="sha256"`` switches to the portable 60-bit hash so the
+    whole selection replays in the DuckDB oracle; xxhash64 stays the
+    corpus-scale default.
+
+    Scale shape: everything up to the final explode is a per-row
+    Catalyst expression over arrays sized by the document (no shuffle,
+    no UDF); the explode emits ~2·len/(window+1) rows per doc — smaller
+    than the text itself. Whole-stage codegen end to end."""
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    s = normalize_text(text_col)
+    hasher = F.xxhash64 if hash_fn == "xxhash64" else sha_hash60
+    m = F.length(s) - k + 1  # number of k-grams
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m), lambda i: hasher(F.substring(s, i, F.lit(k)))
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # repartition BEFORE the hashing select: a single-file input would
+    # otherwise compute every per-character hash in one task (the
+    # repartition boundary is a shuffle, so expressions after it run at
+    # full parallelism; before it they run at the file's parallelism)
+    out = ensure_parallelism(df).select(F.col(id_col), grams.alias("_g"))
+    wlen = F.least(F.lit(window), F.size("_g"))  # short-doc fallback window
+    nwin = F.size("_g") - wlen + 1
+
+    def _pick(j):
+        sl = F.slice(F.col("_g"), j, wlen)
+        mn = F.array_min(sl)
+        rpos = F.array_position(F.reverse(sl), mn)  # 1-based from the right
+        return F.struct(
+            (j + wlen - rpos).cast("long").alias("pos"), mn.alias("fp")
+        )
+
+    sel = F.when(
+        F.size("_g") >= 1,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), nwin), _pick)),
+    ).otherwise(F.array().cast("array<struct<pos:long,fp:long>>"))
+    return out.select(id_col, F.explode(sel).alias("_s")).select(
+        id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` distinct winnowing
+    fingerprints — the MOSS plagiarism-candidate join, here serving as
+    substring-level near-dup detection (catches partial containment that
+    whole-document MinHash dilutes away: a page quoting three paragraphs
+    of another still shares those paragraphs' fingerprints).
+
+    Returns (``id_a``, ``id_b``, ``n_shared``, ``overlap``) with
+    id_a < id_b; overlap = n_shared / |fps(a) ∪ fps(b)| (Jaccard over
+    distinct fingerprint values, rounded to 4).
+
+    Scale shape: fingerprint inverted index (one explode + distinct),
+    then fingerprints appearing in more than ``max_df`` documents are
+    dropped BEFORE the self-join (boilerplate fingerprints — headers,
+    license blocks — are the skew keys; dropping them is standard and
+    bounds the join fan-out at Σ df² ≤ max_df · Σ df). One equi-join on
+    the fingerprint value, one pair-keyed aggregate. No cartesian."""
+    # fps feeds four consumers (sizes, dfreq, both join sides); without a
+    # checkpoint the per-character hashing re-runs for each — the same
+    # multiply-consumed-frame pattern dedup.py truncates with
+    # localCheckpoint (materialize once, ~2·len/(window+1) longs per doc,
+    # far smaller than the text it came from)
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, window, hash_fn)
+        .select(F.col(id_col).alias("_id"), "fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = fps.groupBy("_id").agg(F.count(F.lit(1)).alias("_nfp"))
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    idx = fps.join(
+        dfreq.filter((F.col("_df") >= 2) & (F.col("_df") <= max_df)).select("fp"),
+        "fp",
+    )
+    a = idx.select(F.col("_id").alias("id_a"), "fp")
+    b = idx.select(F.col("_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumnRenamed("_nfp", "_na")
+        .join(sizes.withColumnRenamed("_id", "id_b"), "id_b")
+        .withColumnRenamed("_nfp", "_nb")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                4,
+            ).alias("overlap"),
+        )
+    )
+
+
+def ql_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 300.0,
+) -> DataFrame:
+    """Top-k documents by Dirichlet-smoothed query likelihood (Zhai &
+    Lafferty 2001) — the language-modeling retrieval family, scoring
+    score(d) = Σ_t log((tf_td + μ·p(t|C)) / (|d| + μ)) over query terms,
+    where p(t|C) is the term's corpus unigram probability. The natural
+    fusion partner for :func:`bm25_topk` (probabilistic vs LM ranking
+    disagree exactly where fusion helps — see :func:`rrf_fuse`).
+
+    Documents missing a query term still score it (the μ·p(t|C) mass),
+    so the candidate set is any doc containing ≥1 query term, scored
+    with per-term fallback for the absent ones.
+
+    Returns (id, score) ordered by score desc, id asc.
+
+    Scale shape: same postings skeleton as BM25 — explode restricted to
+    the q query terms, one doc-keyed shuffle for tf, a q-row corpus-prob
+    aggregate broadcast back, score, top-k via TakeOrderedAndProject.
+    One corpus scan."""
+    qterms = sorted({t.lower() for t in terms})
+    if not qterms:
+        raise ValueError("empty query")
+    toks = ensure_parallelism(df.filter(F.trim(F.col(text_col)) != "")).select(
+        F.col(id_col).alias("_id"),
+        word_tokens(normalize_text(text_col)).alias("_toks"),
+    )
+    postings = toks.select(
+        "_id", F.size("_toks").alias("_dl"), F.explode("_toks").alias("term")
+    )
+    corpus = toks.agg(F.sum(F.size("_toks")).alias("_ctot"))
+    cf = (
+        postings.filter(F.col("term").isin(qterms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_cf"))
+    )
+    # per-doc tf for query terms only
+    tf = (
+        postings.filter(F.col("term").isin(qterms))
+        .groupBy("_id", "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    # candidate docs: any doc with >= 1 query term; attach all q terms
+    # (missing ones score the smoothing-only mass)
+    cand = tf.select("_id", "_dl").distinct()
+    qdf = df.sparkSession.createDataFrame([(t,) for t in qterms], "term string")
+    full = cand.crossJoin(F.broadcast(qdf))  # |cand| × q rows, q is tiny
+    scored = (
+        full.join(tf, ["_id", "_dl", "term"], "left")
+        .join(F.broadcast(cf), "term", "left")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_term_score",
+            F.log(
+                (
+                    F.coalesce(F.col("_tf"), F.lit(0))
+                    + F.lit(mu)
+                    * F.coalesce(F.col("_cf"), F.lit(0))
+                    / F.col("_ctot")
+                )
+                / (F.col("_dl") + F.lit(mu))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(F.col("_id").alias(id_col))
+        .agg(F.round(F.sum("_term_score"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009):
+    score(d) = Σ_lists 1/(k0 + rank_list(d)), ranks 1-based within each
+    list by that list's own order. RRF is THE standard way to combine
+    lexical (BM25) and semantic (embedding) retrieval without score
+    calibration — only ranks matter, so incomparable score scales fuse
+    cleanly.
+
+    Each input DataFrame must have ``id_col`` and a ``score`` column
+    (higher = better); ties break by id ascending, matching every
+    retrieval operator in this module.
+
+    Returns (id, rrf_score, n_lists) — fused top-``topk`` by score desc,
+    id asc, with how many input lists ranked the doc.
+
+    Scale shape: inputs are top-k lists (tiny by construction), so the
+    per-list rank window and the fused aggregate are bounded by
+    Σ list sizes, not the corpus; the expensive work happened inside the
+    upstream retrievals. Window over a ~k-row frame is deliberate."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    from pyspark.sql import Window
+
+    tagged = []
+    for i, r in enumerate(rankings):
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        tagged.append(
+            r.select(
+                F.col(id_col).alias("_id"),
+                F.row_number().over(w).alias("_rank"),
+            )
+        )
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    return (
+        u.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.round(F.sum(1.0 / (F.lit(k0) + F.col("_rank"))), 6).alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(topk)
     )
