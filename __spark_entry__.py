@@ -4488,6 +4488,33 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([a, b], k0=60, topk=10)
 
 
+def q_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/profile.py::cohens_kappa) between the
+    stopword-vote language heuristic and the gold ``lang`` column —
+    chance-corrected agreement, the QA gate you run on a weak classifier
+    before letting it filter a corpus. Confusion counts, marginals, and
+    the κ fold all replay in the DuckDB oracle on top of the
+    lang_id_heuristic CTE."""
+    from valentinus_spark.operators.profile import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents").select(
+        lang_id("text").alias("lang_pred"), "lang"
+    )
+    return cohens_kappa(docs, "lang_pred", "lang")
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix (operators/profile.py::agreement_matrix) for the
+    language heuristic vs gold labels — the drill-down companion to
+    lang_kappa (WHERE does the heuristic disagree)."""
+    from valentinus_spark.operators.profile import agreement_matrix
+
+    docs = _t(spark, sf_dir, "documents").select(
+        lang_id("text").alias("lang_pred"), "lang"
+    )
+    return agreement_matrix(docs, "lang_pred", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4574,6 +4601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,  # added r5 (post-rotation) — r6 window candidate
         "ql_search": q_ql_search,  # added r5 (post-rotation) — r6 window candidate
         "rrf_fusion": q_rrf_fusion,  # added r5 (post-rotation) — r6 window candidate
+        "lang_kappa": q_lang_kappa,  # added r5 (post-rotation) — r6 window candidate
+        "lang_confusion": q_lang_confusion,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7395,6 +7424,90 @@ def oracle_sql() -> dict[str, str]:
                         WHEN v_en = greatest(v_en, v_es, v_de, v_fr) THEN 'en'
                         ELSE 'de' END AS lang_pred
             FROM votes
+        """,
+        "lang_kappa": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            votes AS (
+                SELECT doc_id,
+                       len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS v_en,
+                       len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','los','por','con'], x))) AS v_es,
+                       len(list_filter(w, x -> list_contains(['der','die','das','und','nicht','ist','ein','mit','zu','den'], x))) AS v_de,
+                       len(list_filter(w, x -> list_contains(['le','la','les','de','et','un','une','que','pour','dans'], x))) AS v_fr
+                FROM toks
+            ),
+            pred AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(v_en, v_es, v_de, v_fr) = 0 THEN 'und'
+                            WHEN v_fr = greatest(v_en, v_es, v_de, v_fr) THEN 'fr'
+                            WHEN v_es = greatest(v_en, v_es, v_de, v_fr) THEN 'es'
+                            WHEN v_en = greatest(v_en, v_es, v_de, v_fr) THEN 'en'
+                            ELSE 'de' END AS a
+                FROM votes
+            ),
+            pairs AS (
+                SELECT p.a, d.lang AS b FROM pred p JOIN documents d USING (doc_id)
+                WHERE p.a IS NOT NULL AND d.lang IS NOT NULL
+            ),
+            conf AS (SELECT a, b, COUNT(*)::BIGINT AS cn FROM pairs GROUP BY a, b),
+            tot AS (
+                SELECT SUM(cn)::BIGINT AS t,
+                       SUM(CASE WHEN a = b THEN cn ELSE 0 END)::BIGINT AS agree
+                FROM conf
+            ),
+            ma AS (SELECT a, SUM(cn)::BIGINT AS na FROM conf GROUP BY a),
+            mb AS (SELECT b, SUM(cn)::BIGINT AS nb FROM conf GROUP BY b),
+            pex AS (
+                SELECT SUM((na::DOUBLE / t) * (nb::DOUBLE / t)) AS pe
+                FROM ma JOIN mb ON ma.a = mb.b CROSS JOIN tot
+            )
+            SELECT t AS n,
+                   ROUND(agree::DOUBLE / t, 6) AS po,
+                   ROUND(pex.pe, 6) AS pe,
+                   ROUND(CASE WHEN pex.pe < 1.0
+                              THEN (agree::DOUBLE / t - pex.pe) / (1.0 - pex.pe)
+                         END, 6) AS kappa
+            FROM tot CROSS JOIN pex
+        """,
+        "lang_confusion": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            votes AS (
+                SELECT doc_id,
+                       len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS v_en,
+                       len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','los','por','con'], x))) AS v_es,
+                       len(list_filter(w, x -> list_contains(['der','die','das','und','nicht','ist','ein','mit','zu','den'], x))) AS v_de,
+                       len(list_filter(w, x -> list_contains(['le','la','les','de','et','un','une','que','pour','dans'], x))) AS v_fr
+                FROM toks
+            ),
+            pred AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(v_en, v_es, v_de, v_fr) = 0 THEN 'und'
+                            WHEN v_fr = greatest(v_en, v_es, v_de, v_fr) THEN 'fr'
+                            WHEN v_es = greatest(v_en, v_es, v_de, v_fr) THEN 'es'
+                            WHEN v_en = greatest(v_en, v_es, v_de, v_fr) THEN 'en'
+                            ELSE 'de' END AS label_a
+                FROM votes
+            ),
+            pairs AS (
+                SELECT p.label_a, d.lang AS label_b
+                FROM pred p JOIN documents d USING (doc_id)
+                WHERE p.label_a IS NOT NULL AND d.lang IS NOT NULL
+            ),
+            conf AS (
+                SELECT label_a, label_b, COUNT(*)::BIGINT AS n
+                FROM pairs GROUP BY label_a, label_b
+            )
+            SELECT label_a, label_b, n,
+                   ROUND(n::DOUBLE / (SELECT SUM(n) FROM conf), 6) AS frac
+            FROM conf
+            ORDER BY n DESC, label_a, label_b
         """,
         "props_json_agg": """
             SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -147,6 +147,11 @@ BENCH_QUERIES = [
     "dp_segment_counts",
     "psi_price_drift",
     "roc_auc_planted",
+    "winnow_pairs",
+    "ql_search",
+    "rrf_fusion",
+    "lang_kappa",
+    "lang_confusion",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -188,7 +193,8 @@ BENCH_FAMILIES = {
         "sequence_packing", "data_expectations", "corpus_balance_sample",
         "train_split_counts", "pmi_collocations", "quality_calibration",
         "token_budget_sample", "dsir_selection", "vocab_oov_rates",
-        "taxonomy_tagging", "roc_auc_planted",
+        "taxonomy_tagging", "roc_auc_planted", "winnow_pairs",
+        "ql_search", "rrf_fusion", "lang_kappa", "lang_confusion",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",

@@ -242,3 +242,42 @@ def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
     assert psi > 0.25  # "action" territory
     top = [r for r in moved if r["bin"] == 9][0]
     assert top["n_cur"] > top["n_ref"]
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from valentinus_spark.operators.profile import cohens_kappa
+
+    # classic 2-rater binary example: confusion [[20,5],[10,15]]
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    # po = 35/50 = 0.7 ; pa(y)=.5, pb(y)=.6 -> pe = .5*.6+.5*.4 = 0.5
+    assert r.n == 50 and r.po == 0.7 and r.pe == 0.5
+    assert r.kappa == round((0.7 - 0.5) / 0.5, 6)  # 0.4
+
+
+def test_cohens_kappa_null_rows_excluded_and_degenerate(spark):
+    from valentinus_spark.operators.profile import cohens_kappa
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", None), (None, "x"), ("x", "x")], "a string, b string"
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    # only the two non-null rows count; single category -> pe=1, kappa NULL
+    assert r.n == 2 and r.po == 1.0 and r.pe == 1.0 and r.kappa is None
+
+
+def test_agreement_matrix_counts_and_fracs(spark):
+    from valentinus_spark.operators.profile import agreement_matrix
+
+    rows = [("a", "a")] * 3 + [("a", "b")] * 2 + [("b", "b")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = {(r.label_a, r.label_b): (r.n, r.frac) for r in
+           agreement_matrix(df, "x", "y").collect()}
+    assert got == {
+        ("a", "a"): (3, 0.5),
+        ("a", "b"): (2, round(2 / 6, 6)),
+        ("b", "b"): (1, round(1 / 6, 6)),
+    }

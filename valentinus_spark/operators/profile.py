@@ -742,3 +742,95 @@ def psi_drift(
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     ).orderBy("bin")
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two categorical label columns —
+    chance-corrected inter-annotator agreement, the standard QA gate for
+    labeling pipelines (and for scoring a weak heuristic against gold
+    labels before trusting it to filter a corpus):
+
+        κ = (p_o − p_e) / (1 − p_e)
+
+    with p_o the observed agreement rate and p_e = Σ_c p_a(c)·p_b(c) the
+    agreement expected from each rater's marginal distribution alone.
+    Rule of thumb: <0.2 slight, 0.2–0.4 fair, 0.4–0.6 moderate, 0.6–0.8
+    substantial, >0.8 near-perfect. Rows where either label is NULL are
+    excluded (both-missing carries no agreement information).
+
+    Returns ONE row: (``n``, ``po``, ``pe``, ``kappa``), ratios rounded
+    to 6. κ is NULL when p_e = 1 (a single shared category — agreement
+    is vacuous and the statistic is undefined).
+
+    Scale shape: one pass to the per-(a,b) confusion counts (shuffle key
+    space = |categories|², tiny), then marginals and the scalar fold are
+    category-sized aggregates. No driver collect."""
+    pairs = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    ).select(F.col(rater_a).alias("_a"), F.col(rater_b).alias("_b"))
+    conf = pairs.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    # marginals from the confusion table (no second corpus pass)
+    ma = conf.groupBy("_a").agg(F.sum("_n").alias("_na"))
+    mb = conf.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+    tot = conf.agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0)).alias(
+            "_agree"
+        ),
+    )
+    pe = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("_na") / F.col("_tot")) * (F.col("_nb") / F.col("_tot"))
+            ).alias("_pe")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("_tot").alias("n"),
+            F.round(F.col("_agree") / F.col("_tot"), 6).alias("po"),
+            F.round(F.col("_pe"), 6).alias("pe"),
+            F.round(
+                F.when(
+                    F.col("_pe") < 1.0,
+                    (F.col("_agree") / F.col("_tot") - F.col("_pe"))
+                    / (1.0 - F.col("_pe")),
+                ),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
+def agreement_matrix(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Confusion matrix between two label columns: (``label_a``,
+    ``label_b``, ``n``, ``frac``) rows, frac of the non-null total,
+    ordered by count desc then labels — the drill-down companion to
+    :func:`cohens_kappa` (WHERE do the raters disagree). One
+    confusion-table aggregate plus a broadcast total."""
+    pairs = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    ).select(F.col(rater_a).alias("label_a"), F.col(rater_b).alias("label_b"))
+    conf = pairs.groupBy("label_a", "label_b").agg(F.count(F.lit(1)).alias("n"))
+    tot = conf.agg(F.sum("n").alias("_tot"))
+    return (
+        conf.crossJoin(F.broadcast(tot))
+        .select(
+            "label_a",
+            "label_b",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("frac"),
+        )
+        .orderBy(F.desc("n"), "label_a", "label_b")
+    )
