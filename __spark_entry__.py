@@ -4515,6 +4515,20 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agreement_matrix(docs, "lang_pred", "lang")
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs TF-IDF cosine join at θ=0.9 (operators/setsim.py::
+    cosine_similarity_join, Bayardo et al. WWW'07): candidates from the
+    lossless suffix-norm prefix filter, then exact dot-product verify.
+    The oracle brute-forces the FULL token equi-join cosine — so every
+    driver run re-proves the prefix filter drops no qualifying pair
+    (same pairing the Jaccard setsim_join uses)."""
+    from valentinus_spark.operators.setsim import cosine_similarity_join
+
+    return cosine_similarity_join(
+        _t(spark, sf_dir, "documents"), threshold=0.9
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4603,6 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,  # added r5 (post-rotation) — r6 window candidate
         "lang_kappa": q_lang_kappa,  # added r5 (post-rotation) — r6 window candidate
         "lang_confusion": q_lang_confusion,  # added r5 (post-rotation) — r6 window candidate
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7471,6 +7486,35 @@ def oracle_sql() -> dict[str, str]:
                               THEN (agree::DOUBLE / t - pex.pe) / (1.0 - pex.pe)
                          END, 6) AS kappa
             FROM tot CROSS JOIN pex
+        """,
+        # brute-force cosine twin: joins on ALL shared tokens (no prefix
+        # filter), so a hash match re-proves the suffix-norm pruning is
+        # lossless on the live corpus every driver run
+        "tfidf_cosine_pairs": """
+            WITH base AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents WHERE trim(text) <> ''
+            ),
+            tfc AS (SELECT doc_id, tok, COUNT(*)::DOUBLE AS tf FROM base GROUP BY doc_id, tok),
+            nn AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS nd FROM tfc),
+            dfreq AS (SELECT tok, COUNT(*)::DOUBLE AS dfc FROM tfc GROUP BY tok),
+            wts AS (
+                SELECT t.doc_id, t.tok, t.tf * ln((nn.nd + 1) / (d.dfc + 1)) AS w
+                FROM tfc t JOIN dfreq d USING (tok) CROSS JOIN nn
+            ),
+            norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM wts GROUP BY doc_id),
+            u AS (
+                SELECT w.doc_id, w.tok, w.w / n.nrm AS u
+                FROM wts w JOIN norms n USING (doc_id) WHERE n.nrm > 0
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.u * b.u) AS cos
+                FROM u a JOIN u b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b, ROUND(cos, 4) AS cosine
+            FROM pairs WHERE ROUND(cos, 6) >= 0.9
         """,
         "lang_confusion": """
             WITH toks AS (

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "lang_kappa",
     "lang_confusion",
+    "tfidf_cosine_pairs",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -186,6 +187,7 @@ BENCH_FAMILIES = {
         "dedup_clusters_star", "incremental_dedup", "incremental_neardup",
         "semantic_dedup", "setsim_join", "entity_linkage",
         "name_edit_distance", "dedup_paragraphs", "incremental_components",
+        "tfidf_cosine_pairs",
     ],
     "text": [
         "text_stats", "bm25_search", "lang_id_heuristic", "quality_kept",

@@ -231,3 +231,71 @@ def test_setsim_hot_token_skew_stays_out_of_prefixes(spark):
         for r in set_similarity_join(df, "doc_id", "text", threshold=0.8).collect()
     }
     assert got == expected and len(expected) >= 20
+
+
+def _py_cosine_pairs(corpus, threshold):
+    """Brute-force tf-idf cosine oracle (weighting mirrors the operator:
+    w = tf * ln((N+1)/(df+1)), L2-normalized)."""
+    import math
+    import re
+    from collections import Counter
+
+    toks = {
+        d: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for d, t in corpus
+        if t.strip()
+    }
+    n = len(toks)
+    dfreq = Counter()
+    for v in toks.values():
+        dfreq.update(set(v))
+    vecs = {}
+    for d, v in toks.items():
+        tf = Counter(v)
+        w = {t: c * math.log((n + 1) / (dfreq[t] + 1)) for t, c in tf.items()}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        if nrm > 0:
+            vecs[d] = {t: x / nrm for t, x in w.items()}
+    out = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            cos = sum(vecs[a][t] * vecs[b].get(t, 0.0) for t in vecs[a])
+            if round(cos, 6) >= threshold:
+                out[(a, b)] = round(cos, 4)
+    return out
+
+
+def test_cosine_join_matches_brute_force(spark):
+    from valentinus_spark.operators.setsim import cosine_similarity_join
+
+    corpus = [
+        (1, "apple banana cherry apple"),
+        (2, "apple banana cherry"),
+        (3, "apple banana cherry date elderberry"),
+        (4, "totally different words entirely here"),
+        (5, "totally different words entirely here now"),
+        (6, "the the the the common common"),   # stopword-only doc
+        (7, ""),                                # empty -> excluded
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    for th in (0.3, 0.6, 0.9):
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in cosine_similarity_join(df, threshold=th).collect()
+        }
+        assert got == _py_cosine_pairs(corpus, th), f"threshold {th}"
+
+
+def test_cosine_join_no_cartesian_and_hot_token_excluded(spark):
+    from valentinus_spark.operators.setsim import cosine_similarity_join
+
+    # a corpus-wide hot token ('common') must not drive the candidate
+    # join: idf ~ ln(1) ~ 0 puts it at the suffix end with ~0 weight
+    docs = [(i, f"common shared word{i} word{i+1} word{i+2}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = cosine_similarity_join(df, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+    assert got == _py_cosine_pairs(docs, 0.5)

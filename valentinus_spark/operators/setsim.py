@@ -231,3 +231,89 @@ def set_containment_join(
         F.col("cid").alias(corpus_id + "_c"),
         F.round("_cont", 4).alias("containment"),
     )
+
+
+def cosine_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact all-pairs TF-IDF cosine ≥ ``threshold`` (Bayardo, Ma &
+    Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search") — the
+    weighted-vector sibling of :func:`set_similarity_join`: documents as
+    L2-normalized tf·idf vectors, pairs by exact cosine.
+
+    Candidate pruning is the SUFFIX-NORM prefix filter: order each
+    document's terms rarest-first (df asc, term asc — one global order),
+    and index a term only while the remaining suffix (that term
+    included) still has L2 norm ≥ t. For unit vectors, if the first
+    shared term of a pair sits where a's suffix norm is < t, then
+    cos(a,b) = Σ_shared u_a·u_b ≤ ‖suffix_a‖·‖u_b‖ < t — so joining
+    indexed prefixes on the term is LOSSLESS, and every candidate is
+    then verified with the exact dot product. High-df terms carry
+    near-zero idf weight, sort last, and thus almost never enter a
+    prefix: the stopword f²/2 blowup is structurally excluded, same as
+    PPJoin's rare-first prefix.
+
+    Weighting: w = tf · ln((N+1)/(df+1)) (the module's tfidf
+    convention), L2-normalized per doc; all-zero-weight docs (every
+    term corpus-wide) drop out. Returns (``id_a``, ``id_b``,
+    ``cosine``) with id_a < id_b, cosine rounded to 4; the threshold
+    compares against the 6dp-rounded dot product so the boundary is
+    engine-portable.
+
+    Scale shape: tf counts (one doc-keyed shuffle), df + corpus size
+    (broadcast-sized aggs), per-doc norm and suffix-norm windows
+    (partitioned by doc — parallel, no global sort), prefix equi-join on
+    the term, pair-keyed verify join. No cartesian, no UDF."""
+    from valentinus_spark.functions.util import ensure_parallelism
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    base = ensure_parallelism(df.filter(F.trim(F.col(text_col)) != "")).select(
+        F.col(id_col).alias("_sid"),
+        F.explode(word_tokens(normalize_text(text_col))).alias("_tok"),
+    )
+    tfc = base.groupBy("_sid", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    n = tfc.agg(F.countDistinct("_sid").alias("_n"))
+    dfreq = tfc.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    wts = (
+        tfc.join(F.broadcast(dfreq), "_tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_w", F.col("_tf") * F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0))
+        )
+    )
+    wdoc = Window.partitionBy("_sid")
+    unit = (
+        wts.withColumn("_nrm", F.sqrt(F.sum(F.col("_w") * F.col("_w")).over(wdoc)))
+        .where(F.col("_nrm") > 0)
+        .select("_sid", "_tok", "_df", (F.col("_w") / F.col("_nrm")).alias("_u"))
+    )
+    # suffix norm INCLUDING the current term, in the rare-first order
+    wsuf = (
+        Window.partitionBy("_sid")
+        .orderBy(F.asc("_df"), F.asc("_tok"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prefix = unit.withColumn(
+        "_suf", F.sqrt(F.sum(F.col("_u") * F.col("_u")).over(wsuf))
+    ).where(F.col("_suf") >= F.lit(threshold) - F.lit(1e-9))
+    cands = (
+        prefix.select(F.col("_tok"), F.col("_sid").alias("id_a"))
+        .join(prefix.select(F.col("_tok"), F.col("_sid").alias("id_b")), "_tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pa = unit.select(F.col("_sid").alias("id_a"), "_tok", F.col("_u").alias("_ua"))
+    pb = unit.select(F.col("_sid").alias("id_b"), "_tok", F.col("_u").alias("_ub"))
+    return (
+        cands.join(pa, "id_a")
+        .join(pb, ["id_b", "_tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_ua") * F.col("_ub")).alias("_cos"))
+        .where(F.round("_cos", 6) >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
+    )
