@@ -4529,6 +4529,23 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/contamination.py::
+    semantic_contamination): every corpus vector's max cosine against
+    the label-0 "benchmark" set, threshold 0.99. The benchmark is
+    deliberately LEFT IN the corpus, so the 50 label-0 vectors
+    self-match at 1.0 and flag as the planted leak while the
+    well-separated other labels (max ≈ 0.49 here) stay clean — the
+    semantic companion to the verbatim n-gram benchmark_contamination
+    screen."""
+    from valentinus_spark.operators.contamination import semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb, emb.filter(F.col("label") == 0), threshold=0.99
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4618,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_kappa": q_lang_kappa,  # added r5 (post-rotation) — r6 window candidate
         "lang_confusion": q_lang_confusion,  # added r5 (post-rotation) — r6 window candidate
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,  # added r5 (post-rotation) — r6 window candidate
+        "semantic_contamination": q_semantic_contamination,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7486,6 +7504,21 @@ def oracle_sql() -> dict[str, str]:
                               THEN (agree::DOUBLE / t - pex.pe) / (1.0 - pex.pe)
                          END, 6) AS kappa
             FROM tot CROSS JOIN pex
+        """,
+        "semantic_contamination": """
+            WITH c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            b AS (
+                SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE label = 0
+            ),
+            m AS (
+                SELECT c.vec_id,
+                       ROUND(MAX(list_cosine_similarity(c.v, b.v)), 4) AS max_cosine
+                FROM c CROSS JOIN b GROUP BY c.vec_id
+            )
+            SELECT vec_id, max_cosine, max_cosine >= 0.99 AS contaminated
+            FROM m ORDER BY vec_id
         """,
         # brute-force cosine twin: joins on ALL shared tokens (no prefix
         # filter), so a hash match re-proves the suffix-norm pruning is

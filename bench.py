@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "lang_kappa",
     "lang_confusion",
     "tfidf_cosine_pairs",
+    "semantic_contamination",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -179,7 +180,7 @@ BENCH_FAMILIES = {
         "ann_lsh_topk", "ivf_ann_topk", "collection_e2e",
         "embedding_element_stats", "hard_negatives", "pca_planted",
         "embedding_drift", "kcenter_planted", "abtt_planted",
-        "margin_mining",
+        "margin_mining", "semantic_contamination",
     ],
     "dedup": [
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",

@@ -185,3 +185,35 @@ def test_late_finalize_append_matches_batch_frontier(spark, tmp_path):
     )
     assert got == want
     assert len(got) < batch.count()  # tail windows withheld as open
+
+
+def test_semantic_contamination_flags_planted_leak(spark):
+    from valentinus_spark.operators.contamination import semantic_contamination
+
+    # benchmark = 2 unit vectors; corpus = them (leaked) + orthogonal + near-dup
+    rows = [
+        (1, [1.0, 0.0, 0.0]),     # leaked verbatim
+        (2, [0.0, 1.0, 0.0]),     # leaked verbatim
+        (3, [0.0, 0.0, 1.0]),     # orthogonal -> clean
+        (4, [0.999, 0.04, 0.0]),  # paraphrase-close to #1 -> flagged
+        (5, [0.7, 0.7, 0.0]),     # mid similarity -> clean at 0.99
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = corpus.filter("vec_id in (1, 2)")
+    got = {r.vec_id: (r.max_cosine, r.contaminated)
+           for r in semantic_contamination(corpus, bench, threshold=0.99).collect()}
+    assert got[1] == (1.0, True) and got[2] == (1.0, True)
+    assert got[3][0] == 0.0 and not got[3][1]
+    import math
+    exp4 = round(0.999 / math.sqrt(0.999**2 + 0.04**2), 4)
+    assert got[4] == (exp4, exp4 >= 0.99)
+    assert got[5][0] == round(0.7 / math.sqrt(0.98), 4) and not got[5][1]
+
+
+def test_semantic_contamination_threshold_validation(spark):
+    import pytest
+    from valentinus_spark.operators.contamination import semantic_contamination
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        semantic_contamination(df, df, threshold=0.0)

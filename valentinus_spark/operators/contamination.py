@@ -72,3 +72,54 @@ def benchmark_contamination(
             F.col("n_contaminated") / F.col("n_shingles").cast("double"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space decontamination: per corpus vector, the maximum
+    cosine similarity against the benchmark set, and whether it crosses
+    ``threshold`` — the semantic companion to the verbatim n-gram screen
+    (:func:`benchmark_contamination`). Verbatim screens miss paraphrased
+    or reformatted eval leakage; near-identical embeddings catch it
+    (SemDeDup-style reasoning applied to train/eval separation).
+
+    Returns (``id_col``, ``max_cosine`` rounded 4, ``contaminated``).
+
+    Scale shape: the benchmark side is SMALL by definition (eval suites,
+    not corpora), so it broadcasts; the corpus scans once through a
+    broadcast nested-loop join — n·m cosine evaluations, m bounded —
+    then a corpus-keyed max. The 100 TB side never shuffles. For
+    benchmark sets too big to broadcast, pre-bucket both sides with the
+    IVF/LSH machinery in operators/similarity.py instead."""
+    from valentinus_spark.functions.util import ensure_parallelism
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    b = benchmark.select(F.col(vec_col).cast("array<double>").alias("_bv"))
+    dot = F.aggregate(
+        F.zip_with("_cv", "_bv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    cos = dot / (nrm(F.col("_cv")) * nrm(F.col("_bv")))
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select("_cid", cos.alias("_cos"))
+        .groupBy(F.col("_cid").alias(id_col))
+        .agg(F.round(F.max("_cos"), 4).alias("max_cosine"))
+        .withColumn("contaminated", F.col("max_cosine") >= threshold)
+    )

@@ -619,9 +619,14 @@ def poisson_bootstrap_ci(
         raise ValueError(f"replicas must be >= 2, got {replicas}")
     if not (0.0 < alpha < 1.0):
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    from valentinus_spark.functions.util import ensure_parallelism
+
     keys = [group_col] if group_col else []
     rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("_rep")
-    base = df.select(*keys, F.col(id_col).alias("_id"),
+    # repartition BEFORE the replica explode: a single-file input would
+    # otherwise run the full rows x replicas hash/weight computation in
+    # ONE task (measured 7.8s -> ~1s at sf0.1; same cliff as shingling)
+    base = ensure_parallelism(df).select(*keys, F.col(id_col).alias("_id"),
                      F.col(value_col).cast("decimal(18,6)").alias("_v"), rep)
     h32 = F.conv(
         F.substring(
