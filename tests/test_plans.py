@@ -442,3 +442,45 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS _bj_orders")
         spark.sql("DROP TABLE IF EXISTS _bj_lineitem")
+
+
+def test_winnow_pairs_no_cartesian_and_parallel_hashing(spark):
+    """The winnowing pair join must be a fingerprint equi-join (never a
+    cartesian), and the per-character hashing must run AFTER the
+    repartition boundary — a single-file input otherwise hashes on one
+    core (the measured 13s->4s cliff)."""
+    from valentinus_spark.operators.text_search import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(winnow_overlap_pairs(docs, k=8, window=4))
+    assert "CartesianProduct" not in plan
+    fps_plan = plan_of(winnow_fingerprints(docs, k=8, window=4))
+    # hashing select (sha2/xxhash over the gram transform) sits above the
+    # round-robin exchange, not in the single-split scan stage
+    assert "Exchange RoundRobinPartitioning" in fps_plan.replace("\n", " ") or \
+        "REPARTITION_BY_NUM" in fps_plan
+
+
+def test_ql_and_rrf_topk_take_ordered(spark):
+    from valentinus_spark.operators.text_search import ql_topk, rrf_fuse
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ql = ql_topk(docs, ["data", "query"], k=10)
+    assert "TakeOrderedAndProject" in plan_of(ql)
+    fused = rrf_fuse([ql, ql.limit(5)], topk=10)
+    assert "TakeOrderedAndProject" in plan_of(fused)
+
+
+def test_semantic_contamination_broadcasts_benchmark(spark):
+    """The benchmark side must broadcast (BroadcastNestedLoopJoin over
+    the small side) — the corpus side must never shuffle for the join."""
+    from valentinus_spark.operators.contamination import semantic_contamination
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semantic_contamination(emb, emb.filter(F.col("label") == 0))
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
