@@ -4516,16 +4516,21 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs TF-IDF cosine join at θ=0.9 (operators/setsim.py::
-    cosine_similarity_join, Bayardo et al. WWW'07): candidates from the
-    lossless suffix-norm prefix filter, then exact dot-product verify.
-    The oracle brute-forces the FULL token equi-join cosine — so every
-    driver run re-proves the prefix filter drops no qualifying pair
-    (same pairing the Jaccard setsim_join uses)."""
+    """All-pairs TF-IDF cosine join at θ=0.9 over word-trigram features
+    (operators/setsim.py::cosine_similarity_join, Bayardo et al.
+    WWW'07): candidates from the lossless suffix-norm prefix filter,
+    then exact dot-product verify over per-doc sparse-vector maps.
+    Trigram features (shingle_n=3, same granularity as the n-gram
+    Jaccard dedup) keep the prefix discriminative on this
+    template-heavy corpus — unigram prefixes admit 10.6M candidates at
+    sf0.1 vs 49k for trigrams, for the same 100% recall. The oracle
+    brute-forces the FULL feature equi-join cosine — so every driver
+    run re-proves the prefix filter drops no qualifying pair (same
+    pairing the Jaccard setsim_join uses)."""
     from valentinus_spark.operators.setsim import cosine_similarity_join
 
     return cosine_similarity_join(
-        _t(spark, sf_dir, "documents"), threshold=0.9
+        _t(spark, sf_dir, "documents"), threshold=0.9, shingle_n=3
     )
 
 
@@ -7524,10 +7529,20 @@ def oracle_sql() -> dict[str, str]:
         # filter), so a hash match re-proves the suffix-norm pruning is
         # lossless on the live corpus every driver run
         "tfidf_cosine_pairs": """
-            WITH base AS (
+            WITH toks0 AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
                 FROM documents WHERE trim(text) <> ''
+            ),
+            base AS (
+                -- word-trigram shingles; docs with <= 3 tokens collapse to
+                -- one whole-doc shingle (mirrors shingles_from_tokens)
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                                   ELSE list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                              END) AS tok
+                FROM toks0
             ),
             tfc AS (SELECT doc_id, tok, COUNT(*)::DOUBLE AS tf FROM base GROUP BY doc_id, tok),
             nn AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS nd FROM tfc),

@@ -299,3 +299,57 @@ def test_cosine_join_no_cartesian_and_hot_token_excluded(spark):
     assert "CartesianProduct" not in plan
     got = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
     assert got == _py_cosine_pairs(docs, 0.5)
+
+
+def test_cosine_join_shingle_mode_matches_brute_force(spark):
+    """Trigram-feature mode: same brute-force oracle over the shingle
+    feature space (word order now matters — swapped docs diverge)."""
+    from valentinus_spark.operators.setsim import cosine_similarity_join
+
+    corpus = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "epsilon delta gamma beta alpha"),   # reversed: unigram-identical to 1
+        (4, "unrelated words over here friend"),
+        (5, "tiny doc"),                         # < n tokens -> whole-doc shingle
+        (6, "tiny doc"),                         # exact dup of 5 -> cosine 1.0
+    ]
+
+    def shingle(text, n=3):
+        import re
+        w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if len(w) <= n:
+            return [" ".join(w)]
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    shingled = [(d, shingle(t)) for d, t in corpus]
+    import math
+    from collections import Counter
+    toks = {d: s for d, s in shingled}
+    n_docs = len(toks)
+    dfreq = Counter()
+    for v in toks.values():
+        dfreq.update(set(v))
+    vecs = {}
+    for d, v in toks.items():
+        tf = Counter(v)
+        w = {t: c * math.log((n_docs + 1) / (dfreq[t] + 1)) for t, c in tf.items()}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        if nrm > 0:
+            vecs[d] = {t: x / nrm for t, x in w.items()}
+    want = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            cos = sum(vecs[a][t] * vecs[b].get(t, 0.0) for t in vecs[a])
+            if round(cos, 6) >= 0.3:
+                want[(a, b)] = round(cos, 4)
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_similarity_join(df, threshold=0.3, shingle_n=3).collect()
+    }
+    assert got == want
+    assert got[(5, 6)] == 1.0           # exact dup via whole-doc shingle
+    assert (1, 3) not in got or got[(1, 3)] < got[(1, 2)]  # reversal penalized
