@@ -4495,9 +4495,12 @@ def q_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     before letting it filter a corpus. Confusion counts, marginals, and
     the κ fold all replay in the DuckDB oracle on top of the
     lang_id_heuristic CTE."""
+    from valentinus_spark.functions.util import ensure_parallelism
     from valentinus_spark.operators.profile import cohens_kappa
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # repartition before the per-row lang_id regex battery — a
+    # single-file documents input otherwise scores on one core
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
         lang_id("text").alias("lang_pred"), "lang"
     )
     return cohens_kappa(docs, "lang_pred", "lang")
@@ -4507,9 +4510,10 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix (operators/profile.py::agreement_matrix) for the
     language heuristic vs gold labels — the drill-down companion to
     lang_kappa (WHERE does the heuristic disagree)."""
+    from valentinus_spark.functions.util import ensure_parallelism
     from valentinus_spark.operators.profile import agreement_matrix
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
         lang_id("text").alias("lang_pred"), "lang"
     )
     return agreement_matrix(docs, "lang_pred", "lang")
