@@ -4555,6 +4555,23 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (operators/
+    mixture.py::neyman_allocation): a 1000-row labeling budget split
+    across order priorities ∝ N_h·σ_h of the order value. The value
+    column is pre-cast to DECIMAL(18,2) so per-stratum (Σx, Σx²) are
+    accumulation-order-free and the σ/weight/largest-remainder chain
+    replays bit-identically in the DuckDB oracle."""
+    from valentinus_spark.operators.mixture import neyman_allocation
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("decimal(18,2)").alias("_v")
+    )
+    return neyman_allocation(
+        orders, stratum_col="o_orderpriority", value_col="_v", total_n=1000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4645,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,  # added r5 (post-rotation) — r6 window candidate
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,  # added r5 (post-rotation) — r6 window candidate
         "semantic_contamination": q_semantic_contamination,  # added r5 (post-rotation) — r6 window candidate
+        "neyman_allocation": q_neyman_allocation,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7513,6 +7531,53 @@ def oracle_sql() -> dict[str, str]:
                               THEN (agree::DOUBLE / t - pex.pe) / (1.0 - pex.pe)
                          END, 6) AS kappa
             FROM tot CROSS JOIN pex
+        """,
+        "neyman_allocation": """
+            WITH stats AS (
+                SELECT o_orderpriority AS s, COUNT(*)::BIGINT AS n_rows,
+                       SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS sx,
+                       SUM(o_totalprice::DECIMAL(18,2) * o_totalprice::DECIMAL(18,2))::DOUBLE AS sxx
+                FROM orders GROUP BY 1
+            ),
+            sd AS (
+                SELECT s, n_rows,
+                       sqrt(greatest(sxx / n_rows - (sx / n_rows) * (sx / n_rows), 0.0)) AS sd
+                FROM stats
+            ),
+            tot AS (SELECT SUM(n_rows * sd) AS t FROM sd),
+            wtd AS (
+                SELECT s, n_rows, sd,
+                       CASE WHEN t > 0 THEN n_rows * sd / t ELSE 0.0 END AS w,
+                       ROUND(CASE WHEN t > 0 THEN n_rows * sd / t ELSE 0.0 END * 1000.0, 6) AS ex
+                FROM sd CROSS JOIN tot
+            ),
+            fl AS (
+                SELECT *, FLOOR(ex)::BIGINT AS flr, ROUND(ex - FLOOR(ex), 6) AS frac
+                FROM wtd
+            ),
+            rk AS (
+                SELECT *, row_number() OVER (ORDER BY frac DESC, s ASC) AS rk,
+                       (1000 - SUM(flr) OVER ()) AS deficit
+                FROM fl
+            ),
+            a1 AS (
+                SELECT *,
+                       LEAST(flr + CASE WHEN rk <= deficit THEN 1 ELSE 0 END, n_rows) AS alloc1,
+                       (flr + CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS alloc0
+                FROM rk
+            ),
+            a2 AS (
+                SELECT *, SUM(alloc0 - alloc1) OVER () AS surplus,
+                       n_rows - alloc1 AS room,
+                       COALESCE(SUM(n_rows - alloc1) OVER (
+                           ORDER BY frac DESC, s ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS room_before
+                FROM a1
+            )
+            SELECT s AS o_orderpriority, n_rows,
+                   ROUND(sd, 6) AS stddev, ROUND(w, 6) AS weight,
+                   (alloc1 + GREATEST(LEAST(surplus - room_before, room), 0))::BIGINT AS alloc
+            FROM a2 ORDER BY o_orderpriority
         """,
         "semantic_contamination": """
             WITH c AS (

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "lang_confusion",
     "tfidf_cosine_pairs",
     "semantic_contamination",
+    "neyman_allocation",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -210,7 +211,7 @@ BENCH_FAMILIES = {
         "quarterly_revenue_trend", "customer_value_tiles", "lineitem_stats",
         "customer_rolling_30d", "asof_join_clicks", "association_rules",
         "markov_transitions", "resample_ffill", "dp_segment_counts",
-        "psi_price_drift",
+        "psi_price_drift", "neyman_allocation",
     ],
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",

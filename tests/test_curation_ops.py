@@ -327,3 +327,46 @@ def test_gumbel_sample_key_replays_sha_arithmetic(spark):
         )
         u = (h32 + 0.5) / 4294967296.0
         assert got[doc_id] == round(logw - math.log(-math.log(u)), 4)
+
+
+def test_neyman_allocation_hand_computed(spark):
+    from valentinus_spark.operators.mixture import neyman_allocation
+
+    # stratum a: N=4, values 0/0/10/10 -> sd=5;  b: N=2, constant -> sd=0
+    # c: N=2, values 0/6 -> sd=3
+    rows = (
+        [("a", 0.0), ("a", 0.0), ("a", 10.0), ("a", 10.0)]
+        + [("b", 7.0), ("b", 7.0)]
+        + [("c", 0.0), ("c", 6.0)]
+    )
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {r.s: r for r in neyman_allocation(df, "s", "v", total_n=4).collect()}
+    # weights: a = 4*5 = 20, b = 0, c = 2*3 = 6 -> total 26
+    assert got["a"].stddev == 5.0 and got["b"].stddev == 0.0 and got["c"].stddev == 3.0
+    assert got["a"].weight == round(20 / 26, 6)
+    assert got["b"].weight == 0.0
+    # exact: a = 4*20/26 = 3.076923 -> floor 3; c = 4*6/26 = 0.923077 -> floor 0
+    # deficit = 4 - 3 = 1 -> goes to c (largest fraction). b gets nothing.
+    assert got["a"].alloc == 3 and got["c"].alloc == 1 and got["b"].alloc == 0
+
+
+def test_neyman_allocation_clamps_to_stratum_size(spark):
+    from valentinus_spark.operators.mixture import neyman_allocation
+
+    # high-variance tiny stratum: Neyman wants more than it has rows;
+    # clamp and re-spread the surplus to the stratum with room
+    rows = [("tiny", 0.0), ("tiny", 1000.0)] + [("big", float(i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {r.s: r for r in neyman_allocation(df, "s", "v", total_n=30).collect()}
+    assert got["tiny"].alloc == 2          # clamped at N_h
+    assert got["big"].alloc == 28          # surplus re-spread
+    assert got["tiny"].alloc + got["big"].alloc == 30
+
+
+def test_neyman_allocation_validation(spark):
+    import pytest
+    from valentinus_spark.operators.mixture import neyman_allocation
+
+    df = spark.createDataFrame([("a", 1.0)], "s string, v double")
+    with pytest.raises(ValueError):
+        neyman_allocation(df, "s", "v", total_n=0)

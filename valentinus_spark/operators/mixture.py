@@ -273,3 +273,121 @@ def gumbel_sample_key(
     ).cast("long")
     u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
     return F.round(lw - F.log(-F.log(u)), 4)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): split a
+    total sample budget across strata ∝ N_h·σ_h — the allocation that
+    minimizes the variance of the stratified mean estimator for a fixed
+    budget. The survey-sampling complement to the share-capped
+    temperature mixture: use THIS when the goal is estimating a metric
+    (labeling-budget allocation, eval-set sizing, QA sampling), not
+    shaping a training distribution.
+
+    σ_h is the population standard deviation of ``value_col`` within the
+    stratum. Integer allocations use the largest-remainder method with
+    deterministic tie-breaks (fraction desc, stratum asc), clamped to
+    the stratum size, with any clamp surplus waterfilled into the
+    remaining strata's room — Σ alloc == min(total_n, Σ N_h) exactly. A
+    zero-variance stratum draws nothing beyond what the floor gives it
+    (one observation determines it; σ_h = 0 ⇒ weight 0).
+
+    Returns one row per stratum: (``stratum_col``, ``n_rows``,
+    ``stddev`` rounded 6, ``weight`` rounded 6, ``alloc``).
+
+    Scale shape: one map-side-combined aggregate to per-stratum
+    (count, Σx, Σx²) — strata-sized output — then every subsequent step
+    (weights, floors, remainder ranks) runs on the strata table. The
+    corpus is scanned once; no row-level sampling happens here (feed
+    ``alloc`` into stratified_keep / corpus quota sampling for the
+    draw)."""
+    if total_n < 1:
+        raise ValueError(f"total_n must be >= 1, got {total_n}")
+    # sums keep the input column's type: feed a DECIMAL value column for
+    # cross-engine-exact sums (the driver query does); double inputs get
+    # the usual last-ulp partial-sum nondeterminism
+    stats = (
+        df.groupBy(F.col(stratum_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(value_col)).cast("double").alias("_sx"),
+            F.sum(F.col(value_col) * F.col(value_col)).cast("double").alias("_sxx"),
+        )
+        .withColumn(
+            "_var",
+            F.greatest(
+                F.col("_sxx") / F.col("n_rows")
+                - (F.col("_sx") / F.col("n_rows")) * (F.col("_sx") / F.col("n_rows")),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("_sd", F.sqrt(F.col("_var")))
+    )
+    tot = stats.agg(F.sum(F.col("n_rows") * F.col("_sd")).alias("_tot"))
+    weighted = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_w",
+            F.when(F.col("_tot") > 0, F.col("n_rows") * F.col("_sd") / F.col("_tot"))
+            .otherwise(F.lit(0.0)),
+        )
+        # 6dp pre-round before floor: keeps the integer boundary immune
+        # to last-ulp engine drift (same guard the waterfill oracle uses)
+        .withColumn("_exact", F.round(F.col("_w") * F.lit(float(total_n)), 6))
+        .withColumn("_floor", F.floor(F.col("_exact")).cast("long"))
+        .withColumn("_frac", F.round(F.col("_exact") - F.col("_floor"), 6))
+    )
+    # largest-remainder top-up: rank strata by fraction desc (stratum asc
+    # ties), give +1 to the first (total_n - Σfloor) of them; then clamp
+    # to the stratum size. Clamp surplus is re-spread one more rank pass
+    # — beyond-pathological cases (surplus after both passes) stay
+    # clamped, keeping alloc ≤ n_rows invariant.
+    wrank = Window.orderBy(F.desc("_frac"), F.asc("_s"))
+    wall = Window.partitionBy()
+    first = (
+        weighted.withColumn("_rk", F.row_number().over(wrank))
+        .withColumn("_deficit", F.lit(total_n) - F.sum("_floor").over(wall))
+        .withColumn(
+            "_alloc0",
+            F.col("_floor")
+            + F.when(F.col("_rk") <= F.col("_deficit"), 1).otherwise(0),
+        )
+        .withColumn("_alloc1", F.least(F.col("_alloc0"), F.col("n_rows")))
+    )
+    # surplus re-spread is a waterfill over remaining room: walk strata
+    # in (fraction desc, stratum asc) order and pour the surplus into
+    # each stratum up to its room — extra_h = clamp(surplus − Σ room
+    # before h, 0, room_h), so Σ extra = min(surplus, Σ room) and the
+    # alloc ≤ n_rows invariant holds exactly
+    wbefore = Window.orderBy(F.desc("_frac"), F.asc("_s")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    second = (
+        first.withColumn("_surplus", F.sum(F.col("_alloc0") - F.col("_alloc1")).over(wall))
+        .withColumn("_room", F.col("n_rows") - F.col("_alloc1"))
+        .withColumn(
+            "_room_before", F.coalesce(F.sum("_room").over(wbefore), F.lit(0))
+        )
+        .withColumn(
+            "alloc",
+            F.col("_alloc1")
+            + F.greatest(
+                F.least(
+                    F.col("_surplus") - F.col("_room_before"), F.col("_room")
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return second.select(
+        F.col("_s").alias(stratum_col),
+        "n_rows",
+        F.round("_sd", 6).alias("stddev"),
+        F.round("_w", 6).alias("weight"),
+        "alloc",
+    ).orderBy(stratum_col)
