@@ -481,3 +481,81 @@ def test_dedup_paragraphs_fuzz_invariants(spark, docs):
         assert r["n_paras"] == len(paras)
         assert r["n_kept"] == len(expect)
         assert r["clean_text"] == "\n\n".join(expect)
+
+
+# ---------------------------------------------------------------------------
+# winnowing: python-oracle equality + the detection guarantee, fuzzed
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow_fps(text, k, w):
+    import hashlib
+    import re
+
+    s = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(s) < k:
+        return set()
+    grams = [
+        int(hashlib.sha256(s[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(s) - k + 1)
+    ]
+    wl = min(w, len(grams))
+    out = set()
+    for j in range(len(grams) - wl + 1):
+        sl = grams[j : j + wl]
+        mn = min(sl)
+        out.add((j + (wl - 1 - sl[::-1].index(mn)) + 1, mn))
+    return out
+
+
+winnow_text = st.text(
+    alphabet=st.sampled_from("abcdef \t\n"), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(winnow_text, min_size=1, max_size=6),
+    k=st.integers(min_value=2, max_value=6),
+    w=st.integers(min_value=1, max_value=5),
+)
+def test_winnow_fingerprints_fuzz_matches_python(spark, texts, k, w):
+    from valentinus_spark.operators.text_search import winnow_fingerprints
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(
+            df, k=k, window=w, hash_fn="sha256"
+        ).collect()
+    }
+    want = {
+        (i, p, f) for i, t in rows for p, f in _py_winnow_fps(t, k, w)
+    }
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    prefix_a=winnow_text,
+    prefix_b=winnow_text,
+    shared=st.text(alphabet=st.sampled_from("ghijkl"), min_size=12, max_size=24),
+)
+def test_winnow_guarantee_fuzz(spark, prefix_a, prefix_b, shared):
+    """Any substring of length >= window + k - 1 shared verbatim by two
+    docs must yield >= 1 shared fingerprint VALUE (Schleimer et al. §2,
+    the winnowing guarantee) — fuzzed over arbitrary flanking text.
+    k=4, window=4: shared block of >= 7 normalized chars suffices; the
+    generated block is >= 12 distinct-alphabet chars, margin included,
+    and normalization cannot shrink it (no whitespace in the block)."""
+    from valentinus_spark.operators.text_search import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, prefix_a + " " + shared), (2, prefix_b + " " + shared)],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=4, window=4, hash_fn="sha256").collect()
+    a = {r.fp for r in fps if r.doc_id == 1}
+    b = {r.fp for r in fps if r.doc_id == 2}
+    assert a & b, "winnowing guarantee violated: shared block left no common fingerprint"
