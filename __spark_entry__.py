@@ -4572,6 +4572,18 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram cross-entropy per document (operators/
+    quality.py::trigram_logprob, Jelinek-Mercer λ=(0.6,0.3,0.1)) — the
+    LM-ladder rung above bigram_logprob: catches locally-plausible
+    word pairs in implausible order (spun/stitched spam). All counts,
+    the three-way interpolation, and the log2 fold replay in the
+    DuckDB oracle."""
+    from valentinus_spark.operators.quality import trigram_logprob
+
+    return trigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4663,6 +4675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,  # added r5 (post-rotation) — r6 window candidate
         "semantic_contamination": q_semantic_contamination,  # added r5 (post-rotation) — r6 window candidate
         "neyman_allocation": q_neyman_allocation,  # added r5 (post-rotation) — r6 window candidate
+        "trigram_logprob": q_trigram_logprob,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7531,6 +7544,54 @@ def oracle_sql() -> dict[str, str]:
                               THEN (agree::DOUBLE / t - pex.pe) / (1.0 - pex.pe)
                          END, 6) AS kappa
             FROM tot CROSS JOIN pex
+        """,
+        "trigram_logprob": """
+            -- MATERIALIZED CTEs: without them DuckDB's optimizer
+            -- re-expands the inlined position stream per join and the
+            -- 5-way plan enumeration hangs (measured: >100s vs 0.1s)
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            t3 AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
+            g AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                           i -> {ctx: w[i] || ' ' || w[i+1],
+                                 t: w[i] || ' ' || w[i+1] || ' ' || w[i+2],
+                                 bg: w[i+1] || ' ' || w[i+2],
+                                 w2: w[i+1], w3: w[i+2]}), recursive := true)
+                FROM t3
+            ),
+            c3 AS MATERIALIZED (SELECT ctx, t, COUNT(*)::DOUBLE AS c3 FROM g GROUP BY 1, 2),
+            cctx AS MATERIALIZED (SELECT ctx, SUM(c3) AS cctx FROM c3 GROUP BY 1),
+            bg_all AS MATERIALIZED (
+                SELECT unnest(list_transform(range(1, len(w)),
+                           i -> {bg: w[i] || ' ' || w[i+1], w1: w[i]}), recursive := true)
+                FROM t3
+            ),
+            cb AS MATERIALIZED (SELECT bg, COUNT(*)::DOUBLE AS cb FROM bg_all GROUP BY 1),
+            cw AS MATERIALIZED (SELECT w1 AS w2, COUNT(*)::DOUBLE AS cw FROM bg_all GROUP BY 1),
+            uni AS MATERIALIZED (SELECT unnest(w) AS tok FROM t3),
+            c1 AS MATERIALIZED (SELECT tok AS w3, COUNT(*)::DOUBLE AS c1 FROM uni GROUP BY 1),
+            ntot AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM uni),
+            scored AS (
+                SELECT g.doc_id,
+                       0.6 * c3.c3 / cctx.cctx
+                       + 0.3 * cb.cb / cw.cw
+                       + 0.1 * c1.c1 / ntot.n AS p
+                FROM g
+                JOIN c3 ON c3.ctx = g.ctx AND c3.t = g.t
+                JOIN cctx ON cctx.ctx = g.ctx
+                JOIN cb ON cb.bg = g.bg
+                JOIN cw ON cw.w2 = g.w2
+                JOIN c1 ON c1.w3 = g.w3
+                CROSS JOIN ntot
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
+                   ROUND(-AVG(log2(p)), 4) AS trigram_ce
+            FROM scored GROUP BY doc_id
         """,
         "neyman_allocation": """
             WITH stats AS (

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "tfidf_cosine_pairs",
     "semantic_contamination",
     "neyman_allocation",
+    "trigram_logprob",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -199,6 +200,7 @@ BENCH_FAMILIES = {
         "token_budget_sample", "dsir_selection", "vocab_oov_rates",
         "taxonomy_tagging", "roc_auc_planted", "winnow_pairs",
         "ql_search", "rrf_fusion", "lang_kappa", "lang_confusion",
+        "trigram_logprob",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",

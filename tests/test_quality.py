@@ -352,3 +352,66 @@ def test_roc_auc_matches_pair_counting(spark):
     wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
     assert got["auc"] == round(wins / (len(pos) * len(neg)), 6)
     assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+
+
+def test_trigram_logprob_matches_python(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from valentinus_spark.operators.quality import trigram_logprob
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat again today"),
+        (3, "mat the on sat cat the"),   # scrambled: same unigrams as 1
+        (4, "hi there"),                 # < 3 tokens -> excluded
+    ]
+
+    toks = {
+        d: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for d, t in corpus
+        if len(t.split()) >= 3
+    }
+    tgc, ctxc, bgc, w2c, unic = Counter(), Counter(), Counter(), Counter(), Counter()
+    for v in toks.values():
+        for i in range(len(v) - 2):
+            tgc[(v[i], v[i + 1], v[i + 2])] += 1
+            ctxc[(v[i], v[i + 1])] += 1
+        for i in range(len(v) - 1):
+            bgc[(v[i], v[i + 1])] += 1
+            w2c[v[i]] += 1
+        unic.update(v)
+    n = sum(unic.values())
+
+    def score(v):
+        lps = []
+        for i in range(len(v) - 2):
+            w1, w2, w3 = v[i], v[i + 1], v[i + 2]
+            p = (
+                0.6 * tgc[(w1, w2, w3)] / ctxc[(w1, w2)]
+                + 0.3 * bgc[(w2, w3)] / w2c[w2]
+                + 0.1 * unic[w3] / n
+            )
+            lps.append(math.log2(p))
+        return len(lps), round(-sum(lps) / len(lps), 4)
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.n_trigrams, r.trigram_ce)
+           for r in trigram_logprob(df).collect()}
+    want = {d: score(v) for d, v in toks.items()}
+    assert got == want
+    # the fluency signal: scrambled doc scores higher CE than fluent one
+    assert got[3][1] > got[1][1]
+
+
+def test_trigram_logprob_lambda_validation(spark):
+    import pytest
+
+    from valentinus_spark.operators.quality import trigram_logprob
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        trigram_logprob(df, lambdas=(0.5, 0.5, 0.5))
+    with pytest.raises(ValueError):
+        trigram_logprob(df, lambdas=(1.0, 0.0, 0.0))

@@ -565,3 +565,123 @@ def roc_auc(
             ).alias("auc"),
         )
     )
+
+
+def trigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """Per-document cross-entropy against an interpolated trigram LM
+    (Jelinek-Mercer deleted interpolation — the classical n-gram
+    smoothing):
+
+        p(w3 | w1 w2) = λ3·c(w1w2w3)/c(w1w2·) + λ2·c(w2w3)/c(w2·)
+                        + λ1·c(w3)/N
+
+    scored as -avg(log2 p) over the document's trigram positions. The
+    next rung of the LM ladder after :func:`bigram_logprob`: a doc of
+    locally-plausible word pairs in an implausible order (spun/stitched
+    text, the classic SEO-spam signature) passes the bigram screen but
+    scores poorly here, while interpolation keeps rare-but-legitimate
+    trigrams from being over-penalized the way a raw trigram MLE would.
+
+    Output: (id_col, ``n_trigrams``, ``trigram_ce`` rounded 4), docs
+    with ≥ 3 tokens only. λs must be positive and sum to 1.
+
+    Plan: row-local trigram extraction (transform over the token array,
+    no shuffle), ONE hash-aggregate to trigram counts (map-side
+    combined; context counts derive from the checkpointed trigram table,
+    bigram/unigram counts from their own streams), then a scoring join
+    per n-gram order — all keyed on the n-gram string, all vocab-sized
+    tables against the corpus-sized position stream."""
+    l3, l2, l1 = lambdas
+    if min(lambdas) <= 0 or abs(l1 + l2 + l3 - 1.0) > 1e-9:
+        raise ValueError(f"lambdas must be positive and sum to 1, got {lambdas}")
+    # toks feeds four consumers (trigram, bigram, unigram streams and
+    # the token total) — checkpoint so tokenization runs once
+    toks = (
+        ensure_parallelism(df.filter(F.trim(F.col(text_col)) != ""))
+        .select(id_col, word_tokens(normalize_text(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= 3)
+        .localCheckpoint()
+    )
+    tg = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - 3),
+                lambda i: F.struct(
+                    F.concat_ws(
+                        " ", F.element_at("_toks", i + 1), F.element_at("_toks", i + 2)
+                    ).alias("ctx"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at("_toks", i + 1),
+                        F.element_at("_toks", i + 2),
+                        F.element_at("_toks", i + 3),
+                    ).alias("t"),
+                    F.concat_ws(
+                        " ", F.element_at("_toks", i + 2), F.element_at("_toks", i + 3)
+                    ).alias("bg"),
+                    F.element_at("_toks", i + 2).alias("w2"),
+                    F.element_at("_toks", i + 3).alias("w3"),
+                ),
+            )
+        ).alias("_p"),
+    ).select(
+        id_col,
+        F.col("_p.ctx").alias("_ctx"),
+        F.col("_p.t").alias("_t"),
+        F.col("_p.bg").alias("_bg"),
+        F.col("_p.w2").alias("_w2"),
+        F.col("_p.w3").alias("_w3"),
+    )
+    c3 = tg.groupBy("_ctx", "_t").agg(F.count(F.lit(1)).alias("_c3")).localCheckpoint()
+    cctx = c3.groupBy("_ctx").agg(F.sum("_c3").alias("_cctx"))
+    # bigram/unigram models from their own full streams (n-1 / n
+    # positions per doc), not the trigram-truncated ones
+    bg_all = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - 2),
+                lambda i: F.struct(
+                    F.concat_ws(
+                        " ", F.element_at("_toks", i + 1), F.element_at("_toks", i + 2)
+                    ).alias("bg"),
+                    F.element_at("_toks", i + 1).alias("w1"),
+                ),
+            )
+        ).alias("_q")
+    ).select(F.col("_q.bg").alias("_bg"), F.col("_q.w1").alias("_w1"))
+    cb = bg_all.groupBy("_bg").agg(F.count(F.lit(1)).alias("_cb")).localCheckpoint()
+    uni = toks.select(F.explode("_toks").alias("_w"))
+    c1 = uni.groupBy("_w").agg(F.count(F.lit(1)).alias("_c1")).localCheckpoint()
+    ntot = uni.agg(F.count(F.lit(1)).alias("_n"))
+    # context count for the bigram term: c(w2 ·) = occurrences of w2 as
+    # a bigram LEFT word (so the bigram ratio is a proper conditional)
+    cw = bg_all.groupBy(F.col("_w1").alias("_w2")).agg(
+        F.count(F.lit(1)).alias("_cw")
+    )
+    scored = (
+        tg.join(c3, ["_ctx", "_t"])
+        .join(cctx, "_ctx")
+        .join(cb, "_bg")
+        .join(cw, "_w2")
+        .join(c1.withColumnRenamed("_w", "_w3"), "_w3")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "_p",
+            F.lit(l3) * F.col("_c3") / F.col("_cctx")
+            + F.lit(l2) * F.col("_cb") / F.col("_cw")
+            + F.lit(l1) * F.col("_c1") / F.col("_n"),
+        )
+    )
+    return (
+        scored.groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(-F.avg(F.log2("_p")), 4).alias("trigram_ce"),
+        )
+    )
