@@ -4584,6 +4584,101 @@ def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def _bt_oracle_sql(iters: int = 10) -> str:
+    """Unrolled Bradley-Terry MM replay (same chained-CTE discipline as
+    the LPA oracle): each round is the synchronous Hunter-2004 update
+    over the pair-count table, θ re-rounded to 9 decimals so the two
+    engines' per-item sum orders cannot drift. CTEs are MATERIALIZED —
+    each round references the previous θ table twice (θ_i and θ_j), and
+    DuckDB's optimizer re-expands inlined chains into a hanging plan
+    (the trigram_logprob lesson)."""
+    parts = ["""
+        WITH li AS MATERIALIZED (
+            SELECT l_orderkey, p_brand, l_quantity
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        judged AS (
+            SELECT a.p_brand AS w, b.p_brand AS l
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_quantity > b.l_quantity
+            WHERE a.p_brand <> b.p_brand
+        ),
+        ordered AS MATERIALIZED (
+            SELECT w, l, COUNT(*)::BIGINT AS n FROM judged GROUP BY 1, 2
+        ),
+        sym AS MATERIALIZED (
+            SELECT i, j, SUM(n)::BIGINT AS nij FROM (
+                SELECT w AS i, l AS j, n FROM ordered
+                UNION ALL
+                SELECT l AS i, w AS j, n FROM ordered
+            ) GROUP BY 1, 2
+        ),
+        wins AS MATERIALIZED (
+            SELECT items.item, COALESCE(wsum.n, 0)::BIGINT AS wins
+            FROM (SELECT DISTINCT i AS item FROM sym) items
+            LEFT JOIN (SELECT w, SUM(n)::BIGINT AS n FROM ordered GROUP BY 1) wsum
+              ON wsum.w = items.item
+        ),
+        t0 AS MATERIALIZED (SELECT item, 1.0 AS th FROM wins)"""]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+        d{r} AS MATERIALIZED (
+            SELECT s.i AS item,
+                   SUM(s.nij / greatest(ti.th + tj.th, 1e-12)) AS d
+            FROM sym s
+            JOIN t{r - 1} ti ON ti.item = s.i
+            JOIN t{r - 1} tj ON tj.item = s.j
+            GROUP BY 1
+        ),
+        r{r} AS MATERIALIZED (
+            SELECT w.item, w.wins / d{r}.d AS t
+            FROM wins w JOIN d{r} ON d{r}.item = w.item
+        ),
+        t{r} AS MATERIALIZED (
+            SELECT item, ROUND(t / (SELECT SUM(t) FROM r{r}), 9) AS th FROM r{r}
+        )""")
+    parts.append(f"""
+        SELECT w.item, ROUND(t.th, 6) AS theta, w.wins, nc.n_comparisons,
+               row_number() OVER (ORDER BY t.th DESC, w.item ASC) AS rank
+        FROM t{iters} t
+        JOIN wins w USING (item)
+        JOIN (SELECT i AS item, SUM(nij)::BIGINT AS n_comparisons
+              FROM sym GROUP BY 1) nc USING (item)
+        ORDER BY rank""")
+    return "".join(parts)
+
+
+def q_bt_brand_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ranking (operators/preference.py::
+    bt_ranking, Hunter-2004 MM, 10 synchronous rounds) over implicit
+    brand preferences: within each order, the higher-quantity line's
+    brand "beats" the lower's — the pairwise-judgment aggregation an
+    RLHF / human-eval pipeline runs, here driven from relational data.
+    The entire fit (pair counts, wins, every MM round with its
+    9-decimal resync) replays in the unrolled DuckDB oracle."""
+    from valentinus_spark.operators.preference import bt_ranking
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lines = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select("l_orderkey", "p_brand", "l_quantity")
+    a, b = lines.alias("a"), lines.alias("b")
+    prefs = (
+        a.join(b, "l_orderkey")
+        .where(
+            (F.col("a.l_quantity") > F.col("b.l_quantity"))
+            & (F.col("a.p_brand") != F.col("b.p_brand"))
+        )
+        .select(
+            F.col("a.p_brand").alias("winner"), F.col("b.p_brand").alias("loser")
+        )
+    )
+    return bt_ranking(prefs, iters=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4676,6 +4771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination": q_semantic_contamination,  # added r5 (post-rotation) — r6 window candidate
         "neyman_allocation": q_neyman_allocation,  # added r5 (post-rotation) — r6 window candidate
         "trigram_logprob": q_trigram_logprob,  # added r5 (post-rotation) — r6 window candidate
+        "bt_brand_ranking": q_bt_brand_ranking,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7545,6 +7641,7 @@ def oracle_sql() -> dict[str, str]:
                          END, 6) AS kappa
             FROM tot CROSS JOIN pex
         """,
+        "bt_brand_ranking": _bt_oracle_sql(iters=10),
         "trigram_logprob": """
             -- MATERIALIZED CTEs: without them DuckDB's optimizer
             -- re-expands the inlined position stream per join and the

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "semantic_contamination",
     "neyman_allocation",
     "trigram_logprob",
+    "bt_brand_ranking",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -213,7 +214,7 @@ BENCH_FAMILIES = {
         "quarterly_revenue_trend", "customer_value_tiles", "lineitem_stats",
         "customer_rolling_30d", "asof_join_clicks", "association_rules",
         "markov_transitions", "resample_ffill", "dp_segment_counts",
-        "psi_price_drift", "neyman_allocation",
+        "psi_price_drift", "neyman_allocation", "bt_brand_ranking",
     ],
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",

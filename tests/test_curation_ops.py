@@ -370,3 +370,68 @@ def test_neyman_allocation_validation(spark):
     df = spark.createDataFrame([("a", 1.0)], "s string, v double")
     with pytest.raises(ValueError):
         neyman_allocation(df, "s", "v", total_n=0)
+
+
+def _py_bt(prefs, iters=10):
+    """Python MM replay mirroring bt_ranking exactly (incl. the 9dp
+    per-round resync and sum-to-1 normalization)."""
+    from collections import Counter
+
+    ordered = Counter((w, l) for w, l in prefs if w != l)
+    sym = Counter()
+    for (w, l), n in ordered.items():
+        sym[(w, l)] += n
+        sym[(l, w)] += n
+    items = sorted({i for i, _ in sym})
+    wins = {i: 0 for i in items}
+    for (w, _), n in ordered.items():
+        wins[w] += n
+    theta = {i: 1.0 for i in items}
+    for _ in range(iters):
+        new = {}
+        for i in items:
+            d = sum(
+                n / max(theta[i] + theta[j], 1e-12)
+                for (a, j), n in sym.items()
+                if a == i
+            )
+            new[i] = wins[i] / d
+        tot = sum(new.values())
+        theta = {i: round(v / tot, 9) for i, v in new.items()}
+    ranked = sorted(items, key=lambda i: (-theta[i], i))
+    return {
+        i: (round(theta[i], 6), wins[i], sum(n for (a, _), n in sym.items() if a == i),
+            ranked.index(i) + 1)
+        for i in items
+    }
+
+
+def test_bt_ranking_matches_python_mm(spark):
+    from valentinus_spark.operators.preference import bt_ranking
+
+    prefs = (
+        [("a", "b")] * 8 + [("b", "a")] * 2 + [("b", "c")] * 7 + [("c", "b")] * 3
+        + [("a", "c")] * 9 + [("c", "a")] * 1 + [("d", "d")] * 5   # self-pairs dropped
+        + [("c", "e")] * 4                                          # e never wins
+    )
+    df = spark.createDataFrame(prefs, "winner string, loser string")
+    got = {
+        r.item: (r.theta, r.wins, r.n_comparisons, r.rank)
+        for r in bt_ranking(df, iters=10).collect()
+    }
+    want = _py_bt([p for p in prefs], iters=10)
+    assert got == want
+    # planted structure: a > b > c > e; zero-win item pins to theta 0
+    assert [i for i, v in sorted(got.items(), key=lambda kv: kv[1][3])] == [
+        "a", "b", "c", "e"
+    ]
+    assert got["e"][0] == 0.0
+
+
+def test_bt_ranking_validation(spark):
+    import pytest
+    from valentinus_spark.operators.preference import bt_ranking
+
+    df = spark.createDataFrame([("a", "b")], "winner string, loser string")
+    with pytest.raises(ValueError):
+        bt_ranking(df, iters=0)
