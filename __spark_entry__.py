@@ -4584,6 +4584,28 @@ def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-span localization (operators/text_search.py::
+    winnow_shared_spans): for every winnow_pairs pair, the character
+    spans each side's shared fingerprints merge into (gaps-and-islands,
+    20-char tolerance) — the MOSS report step after pair detection. The
+    oracle replays the POSITIONAL winnowing selection (rightmost-min),
+    the df-capped pair join, and the island windows — so unlike
+    winnow_pairs (whose value-set result is tie-invariant), this query
+    hash-checks the position logic itself in the driver gate."""
+    from valentinus_spark.operators.text_search import winnow_shared_spans
+
+    return winnow_shared_spans(
+        _t(spark, sf_dir, "documents"),
+        k=8,
+        window=4,
+        min_shared=8,
+        max_df=20,
+        gap=20,
+        hash_fn="sha256",
+    )
+
+
 def _bt_oracle_sql(iters: int = 10) -> str:
     """Unrolled Bradley-Terry MM replay (same chained-CTE discipline as
     the LPA oracle): each round is the synchronous Hunter-2004 update
@@ -4772,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,  # added r5 (post-rotation) — r6 window candidate
         "trigram_logprob": q_trigram_logprob,  # added r5 (post-rotation) — r6 window candidate
         "bt_brand_ranking": q_bt_brand_ranking,  # added r5 (post-rotation) — r6 window candidate
+        "winnow_spans": q_winnow_spans,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7642,6 +7665,65 @@ def oracle_sql() -> dict[str, str]:
             FROM tot CROSS JOIN pex
         """,
         "bt_brand_ranking": _bt_oracle_sql(iters=10),
+        "winnow_spans": """
+            WITH d AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN length(s) >= 8 THEN
+                           list_transform(range(1, length(s) - 8 + 2),
+                               i -> ('0x' || substr(sha256(substr(s, i, 8)), 1, 15))::UBIGINT::BIGINT)
+                       ELSE [] END AS h
+                FROM d
+            ),
+            win AS (
+                SELECT doc_id, h, least(4, len(h)) AS w FROM g WHERE len(h) >= 1
+            ),
+            selraw AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(h) - w + 2),
+                           j -> {pos: (j + w - list_position(list_reverse(h[j : j + w - 1]),
+                                                             list_min(h[j : j + w - 1])))::BIGINT,
+                                 fp: list_min(h[j : j + w - 1])}), recursive := true)
+                FROM win
+            ),
+            fps AS MATERIALIZED (SELECT DISTINCT doc_id, pos, fp FROM selraw),
+            dfps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM fps),
+            keep AS (SELECT fp FROM dfps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 20),
+            idx AS MATERIALIZED (SELECT dfps.doc_id, dfps.fp FROM dfps JOIN keep USING (fp)),
+            pairs AS MATERIALIZED (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING COUNT(*) >= 8
+            ),
+            shared AS MATERIALIZED (
+                SELECT p.id_a, p.id_b, ia.fp
+                FROM pairs p
+                JOIN idx ia ON ia.doc_id = p.id_a
+                JOIN idx ib ON ib.doc_id = p.id_b AND ib.fp = ia.fp
+            ),
+            sides AS MATERIALIZED (
+                SELECT DISTINCT id_a, id_b, 'a' AS side, f.pos AS p
+                FROM shared s JOIN fps f ON f.doc_id = s.id_a AND f.fp = s.fp
+                UNION
+                SELECT DISTINCT id_a, id_b, 'b' AS side, f.pos AS p
+                FROM shared s JOIN fps f ON f.doc_id = s.id_b AND f.fp = s.fp
+            ),
+            lagged AS (
+                SELECT *, lag(p) OVER (PARTITION BY id_a, id_b, side ORDER BY p) AS prev
+                FROM sides
+            ),
+            isl AS (
+                SELECT *, SUM(CASE WHEN prev IS NULL OR p - prev > 20 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id_a, id_b, side ORDER BY p) AS grp
+                FROM lagged
+            )
+            SELECT id_a, id_b, side, MIN(p) AS span_start,
+                   MAX(p) + 7 AS span_end, COUNT(*)::BIGINT AS n_fps
+            FROM isl GROUP BY id_a, id_b, side, grp
+        """,
         "trigram_logprob": """
             -- MATERIALIZED CTEs: without them DuckDB's optimizer
             -- re-expands the inlined position stream per join and the

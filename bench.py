@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "neyman_allocation",
     "trigram_logprob",
     "bt_brand_ranking",
+    "winnow_spans",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -201,7 +202,7 @@ BENCH_FAMILIES = {
         "token_budget_sample", "dsir_selection", "vocab_oov_rates",
         "taxonomy_tagging", "roc_auc_planted", "winnow_pairs",
         "ql_search", "rrf_fusion", "lang_kappa", "lang_confusion",
-        "trigram_logprob",
+        "trigram_logprob", "winnow_spans",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",

@@ -315,3 +315,52 @@ def test_rrf_fuse_combines_rankings(spark):
     # 1/(k0+r) is convex, so (rank 3, rank 1) edges out (rank 2, rank 2);
     # both two-list docs beat every single-list doc
     assert order[:2] == [3, 2]
+
+
+def test_winnow_shared_spans_matches_python(spark):
+    from collections import defaultdict
+
+    from valentinus_spark.operators.text_search import winnow_shared_spans
+
+    shared_block = "this exact sentence appears verbatim in both documents and runs on"
+    docs = [
+        (1, "intro alpha. " + shared_block + " tail one"),
+        (2, "different opening entirely. " + shared_block + " closing words"),
+        (3, "nothing in common at all with those two above"),
+    ]
+    k, w, gap, max_df = 8, 4, 20, 10
+    fps = {d: _py_winnow(t, k, w) for d, t in docs}
+    dfreq = defaultdict(set)
+    for d, s in fps.items():
+        for _, f in s:
+            dfreq[f].add(d)
+    keep = {f for f, ds in dfreq.items() if 2 <= len(ds) <= max_df}
+    import itertools
+    want = set()
+    for a, b in itertools.combinations(sorted(fps), 2):
+        sh = ({f for _, f in fps[a]} & {f for _, f in fps[b]}) & keep
+        if len(sh) < 1:
+            continue
+        for side, doc in (("a", a), ("b", b)):
+            ps = sorted({p for p, f in fps[doc] if f in sh})
+            start, prev, n = ps[0], ps[0], 1
+            for p in ps[1:]:
+                if p - prev > gap:
+                    want.add((a, b, side, start, prev + k - 1, n))
+                    start, n = p, 0
+                prev = p
+                n += 1
+            want.add((a, b, side, start, prev + k - 1, n))
+    got = {
+        (r.id_a, r.id_b, r.side, r.span_start, r.span_end, r.n_fps)
+        for r in winnow_shared_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            k=k, window=w, min_shared=1, max_df=max_df, gap=gap, hash_fn="sha256",
+        ).collect()
+    }
+    assert got == want
+    # both sides cover the shared block with the same fingerprint count
+    a_spans = [t for t in got if t[2] == "a"]
+    b_spans = [t for t in got if t[2] == "b"]
+    assert len(a_spans) == len(b_spans) == 1
+    assert a_spans[0][5] == b_spans[0][5]

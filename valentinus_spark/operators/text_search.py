@@ -497,3 +497,103 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def winnow_shared_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    gap: int = 20,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Localize WHERE two documents overlap: for every pair that
+    :func:`winnow_overlap_pairs` would surface, merge the positions of
+    their shared fingerprints into character spans (gaps-and-islands
+    with a ``gap``-char tolerance) — the step after pair detection that
+    a reviewer actually reads ("these 2 docs share paragraphs 3-5"),
+    and the MOSS report format. Spans are per SIDE: one row per
+    (pair, side, island), ``span_start``/``span_end`` as 1-based
+    character offsets into the normalized text (a selected k-gram at
+    position p covers chars [p, p+k-1], so islands extend k-1 past
+    their last fingerprint).
+
+    Returns (``id_a``, ``id_b``, ``side`` 'a'|'b', ``span_start``,
+    ``span_end``, ``n_fps``) ordered within pair by side, start.
+
+    Scale shape: the pair join is the df-capped fingerprint inverted
+    index (same bound as winnow_overlap_pairs); islands are one
+    lag+cumsum window partitioned by (pair, side) — parallel across
+    pairs, tiny frames within."""
+    from pyspark.sql import Window
+
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, window, hash_fn)
+        .select(F.col(id_col).alias("_id"), "pos", "fp")
+        .localCheckpoint()
+    )
+    dfps = fps.select("_id", "fp").distinct()
+    dfreq = dfps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    keep = dfreq.filter(
+        (F.col("_df") >= 2) & (F.col("_df") <= max_df)
+    ).select("fp")
+    idx = dfps.join(keep, "fp")
+    pairs = (
+        idx.select(F.col("_id").alias("id_a"), "fp")
+        .join(idx.select(F.col("_id").alias("id_b"), "fp"), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+        .filter(F.col("_n_shared") >= min_shared)
+        .select("id_a", "id_b")
+    )
+    # shared fp VALUES per pair -> that fp's positions on each side
+    shared = (
+        pairs.join(idx.select(F.col("_id").alias("id_a"), "fp"), "id_a")
+        .join(idx.select(F.col("_id").alias("id_b"), F.col("fp").alias("fp")), ["id_b", "fp"])
+    )
+    sides = (
+        shared.join(
+            fps.select(F.col("_id").alias("id_a"), "fp", F.col("pos").alias("_p")),
+            ["id_a", "fp"],
+        )
+        .select("id_a", "id_b", F.lit("a").alias("side"), F.col("_p"))
+        .unionByName(
+            shared.join(
+                fps.select(F.col("_id").alias("id_b"), "fp", F.col("pos").alias("_p")),
+                ["id_b", "fp"],
+            ).select("id_a", "id_b", F.lit("b").alias("side"), F.col("_p"))
+        )
+        .distinct()
+    )
+    wseq = Window.partitionBy("id_a", "id_b", "side").orderBy("_p")
+    islands = (
+        sides.withColumn("_prev", F.lag("_p").over(wseq))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("_p") - F.col("_prev") > F.lit(gap)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(
+                wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        islands.groupBy("id_a", "id_b", "side", "_isl")
+        .agg(
+            F.min("_p").alias("span_start"),
+            (F.max("_p") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_fps"),
+        )
+        .drop("_isl")
+        .orderBy("id_a", "id_b", "side", "span_start")
+    )
