@@ -4701,6 +4701,114 @@ def q_bt_brand_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_ranking(prefs, iters=10)
 
 
+def q_rouge_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 clipped-overlap triage (operators/evaluation.py::
+    rouge_n_pairs, Lin 2004) over consecutive document pairs (doc i vs
+    i+1 for even i) — the dedup-adjacent "how much do these two docs
+    share" metric a curation pipeline runs on candidate pairs from a
+    blocked generator. Clipped multiset counts, both totals, and the
+    P/R/F1 fold all replay in DuckDB."""
+    from valentinus_spark.operators.evaluation import rouge_n_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(F.col("a.doc_id") % 2 == 0)
+        .select(
+            F.col("a.doc_id").alias("pair_id"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.text").alias("text_b"),
+        )
+    )
+    return rouge_n_pairs(pairs, "pair_id", "text_a", "text_b", n=1).orderBy(
+        "pair_id"
+    )
+
+
+def q_fleiss_lang_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (operators/evaluation.py::fleiss_kappa, Fleiss
+    1971) over a 3-rater synthetic labeling panel: rater r agrees with
+    the gold ``lang`` when ((doc_id % 101)*31 + r*97) % 10 < 7, else
+    votes a hash-picked category — small-modulus integer arithmetic so
+    the panel replays exactly in the DuckDB oracle (no engine hash
+    dependence). The per-item agreement fold, chance marginals, and κ
+    all replay in SQL."""
+    from valentinus_spark.operators.evaluation import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    raters = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"),
+    )
+    cats = F.array(F.lit("en"), F.lit("es"), F.lit("de"), F.lit("fr"))
+    label = F.when(
+        ((F.col("doc_id") % 101) * 31 + F.col("r") * 97) % 10 < 7,
+        F.col("lang"),
+    ).otherwise(cats[((F.col("doc_id") + F.col("r")) % 4).cast("int")])
+    return fleiss_kappa(raters.select("doc_id", label.alias("label")), "doc_id", "label")
+
+
+def q_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 retrieval evaluation (operators/evaluation.py::
+    ndcg_at_k) for five fixed query terms: the ranker's score is the
+    term frequency over the whole document; graded relevance is judged
+    from the 200-char prefix (tf≥3 → 2, tf≥1 → 1, else 0) — a separate
+    signal, so the metric is non-trivial. Window ranks, the 2^rel−1
+    gain, and the DCG/IDCG folds all replay in DuckDB."""
+    from valentinus_spark.operators.evaluation import ndcg_at_k
+    from valentinus_spark.functions.text import normalize_text, word_tokens
+
+    terms = ["join", "hash", "scan", "batch", "vector"]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        word_tokens(normalize_text("text")).alias("_w"),
+        word_tokens(normalize_text(F.substring("text", 1, 200))).alias("_wp"),
+    )
+    tdf = spark.createDataFrame([(t,) for t in terms], ["term"])
+    scored = docs.crossJoin(F.broadcast(tdf)).select(
+        "term",
+        "doc_id",
+        F.size(F.filter("_w", lambda x: x == F.col("term"))).alias("score"),
+        F.size(F.filter("_wp", lambda x: x == F.col("term"))).alias("_tfp"),
+    )
+    judged = scored.where(F.col("score") > 0).select(
+        "term",
+        "doc_id",
+        "score",
+        F.when(F.col("_tfp") >= 3, F.lit(2))
+        .when(F.col("_tfp") >= 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("rel"),
+    )
+    return ndcg_at_k(judged, "term", "doc_id", "score", "rel", k=10)
+
+
+def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information audit (operators/evaluation.py::
+    mutual_information) between ``source`` and ``lang`` on documents —
+    is language predictable from source (then stratifying a sample on
+    both double-counts one signal)? Entropies, MI, and NMI in bits,
+    fully replayed in the DuckDB oracle."""
+    from valentinus_spark.operators.evaluation import mutual_information
+
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    return mutual_information(docs, "source", "lang")
+
+
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + FK grade (operators/quality.py::
+    flesch_readability) per document — surface-readability bucketing for
+    curation. Deterministic regex counting (sentence runs, whitespace
+    words, vowel-group syllables with floor 1) so every count and both
+    scores replay exactly in DuckDB."""
+    from valentinus_spark.operators.quality import flesch_readability
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return flesch_readability(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -4795,6 +4903,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_logprob": q_trigram_logprob,  # added r5 (post-rotation) — r6 window candidate
         "bt_brand_ranking": q_bt_brand_ranking,  # added r5 (post-rotation) — r6 window candidate
         "winnow_spans": q_winnow_spans,  # added r5 (post-rotation) — r6 window candidate
+        "rouge_pair_overlap": q_rouge_pair_overlap,  # added r5 (post-rotation) — r6 window candidate
+        "fleiss_lang_raters": q_fleiss_lang_raters,  # added r5 (post-rotation) — r6 window candidate
+        "ndcg_retrieval": q_ndcg_retrieval,  # added r5 (post-rotation) — r6 window candidate
+        "field_mutual_info": q_field_mutual_info,  # added r5 (post-rotation) — r6 window candidate
+        "doc_readability": q_doc_readability,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7723,6 +7836,176 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, side, MIN(p) AS span_start,
                    MAX(p) + 7 AS span_end, COUNT(*)::BIGINT AS n_fps
             FROM isl GROUP BY id_a, id_b, side, grp
+        """,
+        "rouge_pair_overlap": """
+            WITH p AS (
+                SELECT a.doc_id AS pair_id, a.text AS ta, b.text AS tb
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 2 = 0
+            ),
+            ga AS (
+                SELECT pair_id,
+                       unnest(list_filter(string_split_regex(trim(regexp_replace(lower(ta), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS g
+                FROM p
+            ),
+            gb AS (
+                SELECT pair_id,
+                       unnest(list_filter(string_split_regex(trim(regexp_replace(lower(tb), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS g
+                FROM p
+            ),
+            ca AS (SELECT pair_id, g, COUNT(*)::BIGINT AS ca FROM ga GROUP BY pair_id, g),
+            cb AS (SELECT pair_id, g, COUNT(*)::BIGINT AS cb FROM gb GROUP BY pair_id, g),
+            m AS (
+                SELECT COALESCE(ca.pair_id, cb.pair_id) AS pair_id,
+                       COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+                FROM ca FULL OUTER JOIN cb
+                  ON ca.pair_id = cb.pair_id AND ca.g = cb.g
+            ),
+            s AS (
+                SELECT pair_id,
+                       SUM(LEAST(ca, cb))::BIGINT AS overlap,
+                       SUM(ca)::BIGINT AS n_a,
+                       SUM(cb)::BIGINT AS n_b
+                FROM m GROUP BY pair_id
+            )
+            SELECT k.pair_id,
+                   COALESCE(overlap, 0) AS overlap,
+                   COALESCE(n_a, 0) AS n_a,
+                   COALESCE(n_b, 0) AS n_b,
+                   ROUND(CASE WHEN COALESCE(n_a, 0) > 0 THEN overlap::DOUBLE / n_a END, 6) AS "precision",
+                   ROUND(CASE WHEN COALESCE(n_b, 0) > 0 THEN overlap::DOUBLE / n_b END, 6) AS recall,
+                   ROUND(CASE WHEN COALESCE(n_a, 0) > 0 AND COALESCE(n_b, 0) > 0 THEN
+                              CASE WHEN (overlap::DOUBLE / n_a + overlap::DOUBLE / n_b) > 0
+                                   THEN 2.0 * (overlap::DOUBLE / n_a) * (overlap::DOUBLE / n_b)
+                                        / (overlap::DOUBLE / n_a + overlap::DOUBLE / n_b)
+                                   ELSE 0.0 END
+                         END, 6) AS f1
+            FROM (SELECT DISTINCT pair_id FROM p) k LEFT JOIN s USING (pair_id)
+            ORDER BY pair_id
+        """,
+        "fleiss_lang_raters": """
+            WITH raters AS (
+                SELECT doc_id, lang, unnest([0, 1, 2]) AS r FROM documents
+            ),
+            lab AS (
+                SELECT doc_id,
+                       CASE WHEN ((doc_id % 101) * 31 + r * 97) % 10 < 7 THEN lang
+                            ELSE (['en', 'es', 'de', 'fr'])[((doc_id + r) % 4) + 1]
+                       END AS label
+                FROM raters
+            ),
+            nij AS (SELECT doc_id AS i, label AS c, COUNT(*)::BIGINT AS n FROM lab GROUP BY i, c),
+            per_item AS (
+                SELECT i, SUM(n)::BIGINT AS m, SUM(n * (n - 1))::BIGINT AS pairs
+                FROM nij GROUP BY i
+            ),
+            mm AS (SELECT MAX(m) AS mmax FROM per_item),
+            kept AS (SELECT per_item.* FROM per_item, mm WHERE m = mmax),
+            drp AS (SELECT COUNT(*)::BIGINT AS ndrop FROM per_item, mm WHERE m <> mmax),
+            pbar AS (
+                SELECT COUNT(*)::BIGINT AS n_items,
+                       MAX(m) AS n_raters,
+                       AVG(pairs::DOUBLE / (m * (m - 1))) AS p_bar
+                FROM kept
+            ),
+            pj AS (
+                SELECT SUM(POWER(nc::DOUBLE / (n_items * n_raters), 2)) AS pe
+                FROM (SELECT c, SUM(n)::BIGINT AS nc
+                      FROM nij JOIN kept ON nij.i = kept.i GROUP BY c), pbar
+            )
+            SELECT n_items, n_raters, ndrop AS n_dropped,
+                   ROUND(p_bar, 6) AS p_bar,
+                   ROUND(pe, 6) AS p_e,
+                   ROUND(CASE WHEN pe < 1.0 THEN (p_bar - pe) / (1.0 - pe) END, 6) AS kappa
+            FROM pbar, pj, drp
+        """,
+        "ndcg_retrieval": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS w,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(substr(text, 1, 200)), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS wp
+                FROM documents
+            ),
+            terms AS (SELECT unnest(['join', 'hash', 'scan', 'batch', 'vector']) AS term),
+            scored AS (
+                SELECT term, doc_id,
+                       len(list_filter(w, x -> x = term))::BIGINT AS score,
+                       len(list_filter(wp, x -> x = term)) AS tfp
+                FROM docs CROSS JOIN terms
+            ),
+            judged AS (
+                SELECT term, doc_id, score,
+                       CASE WHEN tfp >= 3 THEN 2 WHEN tfp >= 1 THEN 1 ELSE 0 END AS rel
+                FROM scored WHERE score > 0
+            ),
+            ranked AS (
+                SELECT term,
+                       POWER(2.0, rel) - 1.0 AS gain,
+                       ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS r,
+                       ROW_NUMBER() OVER (PARTITION BY term ORDER BY rel DESC, doc_id ASC) AS ri
+                FROM judged
+            ),
+            agg AS (
+                SELECT term, COUNT(*)::BIGINT AS n_judged,
+                       SUM(CASE WHEN r <= 10 THEN gain / log2(r + 1.0) ELSE 0.0 END) AS dcg,
+                       SUM(CASE WHEN ri <= 10 THEN gain / log2(ri + 1.0) ELSE 0.0 END) AS idcg
+                FROM ranked GROUP BY term
+            )
+            SELECT term, n_judged,
+                   ROUND(dcg, 6) AS dcg,
+                   ROUND(idcg, 6) AS idcg,
+                   ROUND(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+            FROM agg ORDER BY term
+        """,
+        "field_mutual_info": """
+            WITH pairs AS (
+                SELECT source AS a, lang AS b FROM documents
+                WHERE source IS NOT NULL AND lang IS NOT NULL
+            ),
+            joint AS (SELECT a, b, COUNT(*)::BIGINT AS n FROM pairs GROUP BY a, b),
+            tot AS (SELECT SUM(n)::BIGINT AS t FROM joint),
+            ha AS (
+                SELECT -SUM((na::DOUBLE / t) * log2(na::DOUBLE / t)) AS h
+                FROM (SELECT a, SUM(n)::BIGINT AS na FROM joint GROUP BY a), tot
+            ),
+            hb AS (
+                SELECT -SUM((nb::DOUBLE / t) * log2(nb::DOUBLE / t)) AS h
+                FROM (SELECT b, SUM(n)::BIGINT AS nb FROM joint GROUP BY b), tot
+            ),
+            hab AS (
+                SELECT -SUM((n::DOUBLE / t) * log2(n::DOUBLE / t)) AS h
+                FROM joint, tot
+            )
+            SELECT t AS n,
+                   ROUND(ha.h, 6) AS h_a,
+                   ROUND(hb.h, 6) AS h_b,
+                   ROUND(hab.h, 6) AS h_ab,
+                   ROUND(GREATEST(0.0, ha.h + hb.h - hab.h), 6) AS mi,
+                   ROUND(CASE WHEN ha.h > 0 AND hb.h > 0
+                              THEN GREATEST(0.0, ha.h + hb.h - hab.h) / SQRT(ha.h * hb.h)
+                         END, 6) AS nmi
+            FROM tot, ha, hb, hab
+        """,
+        "doc_readability": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS w,
+                       GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sentences
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       len(w)::BIGINT AS n_words,
+                       n_sentences,
+                       list_sum(list_transform(w, x -> GREATEST(1, len(regexp_extract_all(x, '[aeiouy]+')))))::BIGINT AS n_syllables
+                FROM t WHERE len(w) > 0
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   ROUND(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                                 - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS fre,
+                   ROUND(0.39 * (n_words::DOUBLE / n_sentences)
+                         + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 4) AS fk_grade
+            FROM c ORDER BY doc_id
         """,
         "trigram_logprob": """
             -- MATERIALIZED CTEs: without them DuckDB's optimizer

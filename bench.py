@@ -158,6 +158,11 @@ BENCH_QUERIES = [
     "trigram_logprob",
     "bt_brand_ranking",
     "winnow_spans",
+    "rouge_pair_overlap",
+    "fleiss_lang_raters",
+    "ndcg_retrieval",
+    "field_mutual_info",
+    "doc_readability",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -202,7 +207,9 @@ BENCH_FAMILIES = {
         "token_budget_sample", "dsir_selection", "vocab_oov_rates",
         "taxonomy_tagging", "roc_auc_planted", "winnow_pairs",
         "ql_search", "rrf_fusion", "lang_kappa", "lang_confusion",
-        "trigram_logprob", "winnow_spans",
+        "trigram_logprob", "winnow_spans", "rouge_pair_overlap",
+        "fleiss_lang_raters", "ndcg_retrieval", "field_mutual_info",
+        "doc_readability",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",

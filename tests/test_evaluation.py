@@ -1,0 +1,213 @@
+"""Hand-computed oracles for the evaluation operators
+(operators/evaluation.py, quality.py::flesch_readability).
+
+Each test pins the statistic against an independently-derived value —
+arithmetic done by hand or with a tiny pure-Python replica in the test —
+so a Catalyst-expression regression cannot hide behind a matching
+implementation bug.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from valentinus_spark.operators import (
+    fleiss_kappa,
+    flesch_readability,
+    mutual_information,
+    ndcg_at_k,
+    rouge_n_pairs,
+)
+
+
+# ---------------------------------------------------------------- ROUGE
+
+
+def test_rouge1_hand_example(spark):
+    # candidate: "the cat the cat sat"  (grams: the×2, cat×2, sat×1)
+    # reference: "the cat sat on the mat" (the×2, cat×1, sat×1, on, mat)
+    # clipped overlap: the min(2,2)=2, cat min(2,1)=1, sat 1  → 4
+    df = spark.createDataFrame(
+        [(1, "the cat the cat sat", "the cat sat on the mat")],
+        ["pid", "a", "b"],
+    )
+    row = rouge_n_pairs(df, "pid", "a", "b", n=1).collect()[0]
+    assert row.overlap == 4 and row.n_a == 5 and row.n_b == 6
+    assert row.precision == pytest.approx(4 / 5)
+    assert row.recall == pytest.approx(4 / 6, abs=1e-6)
+    p, r = 4 / 5, 4 / 6
+    assert row.f1 == pytest.approx(2 * p * r / (p + r), abs=1e-6)
+
+
+def test_rouge2_and_identity(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "a b c d"), (2, "a b c d", "x y z")],
+        ["pid", "a", "b"],
+    )
+    out = {r.pid: r for r in rouge_n_pairs(df, "pid", "a", "b", n=2).collect()}
+    assert out[1].f1 == pytest.approx(1.0)  # identical → perfect ROUGE-2
+    assert out[2].overlap == 0 and out[2].f1 == 0.0
+
+
+def test_rouge_empty_sides_preserved(spark):
+    # both-empty pair must still appear, with NULL ratios (0/0)
+    df = spark.createDataFrame(
+        [(1, "", ""), (2, "a b", "")], ["pid", "a", "b"]
+    )
+    out = {r.pid: r for r in rouge_n_pairs(df, "pid", "a", "b", n=1).collect()}
+    assert out[1].overlap == 0 and out[1].precision is None and out[1].f1 is None
+    # one-sided empty: precision defined (0/2), recall NULL
+    assert out[2].precision == 0.0 and out[2].recall is None
+
+
+# ---------------------------------------------------------------- Fleiss
+
+
+def test_fleiss_textbook_perfect_and_random(spark):
+    # perfect agreement: every item's raters unanimous → kappa = 1
+    rows = [(i, r, "yes" if i % 2 else "no") for i in range(10) for r in range(3)]
+    df = spark.createDataFrame(rows, ["item", "rater", "label"])
+    out = fleiss_kappa(df, "item", "label").collect()[0]
+    assert out.n_items == 10 and out.n_raters == 3 and out.n_dropped == 0
+    assert out.p_bar == pytest.approx(1.0) and out.kappa == pytest.approx(1.0)
+
+
+def test_fleiss_hand_computed(spark):
+    # 2 items, 2 raters each. item1: (A,A) item2: (A,B)
+    # P_1 = (2·1)/(2·1) = 1 ; P_2 = 0 ; P̄ = 0.5
+    # p_A = 3/4, p_B = 1/4 → P_e = 9/16 + 1/16 = 0.625
+    # κ = (0.5 − 0.625)/(1 − 0.625) = −1/3
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "A"), (2, "B")], ["item", "label"]
+    )
+    out = fleiss_kappa(df, "item", "label").collect()[0]
+    assert out.p_bar == pytest.approx(0.5)
+    assert out.p_e == pytest.approx(0.625)
+    assert out.kappa == pytest.approx(-1 / 3, abs=1e-6)
+
+
+def test_fleiss_incomplete_items_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "A")], ["item", "label"]  # item2: 1 rating
+    )
+    out = fleiss_kappa(df, "item", "label").collect()[0]
+    assert out.n_items == 1 and out.n_dropped == 1
+    # single category among kept → P_e = 1 → kappa undefined
+    assert out.kappa is None
+
+
+# ---------------------------------------------------------------- nDCG
+
+
+def _ndcg_py(pairs, k):
+    # pairs: list of (doc, score, rel)
+    by_score = sorted(pairs, key=lambda t: (-t[1], t[0]))
+    by_rel = sorted(pairs, key=lambda t: (-t[2], t[0]))
+    dcg = sum(
+        (2 ** rel - 1) / math.log2(i + 2)
+        for i, (_, _, rel) in enumerate(by_score[:k])
+    )
+    idcg = sum(
+        (2 ** rel - 1) / math.log2(i + 2)
+        for i, (_, _, rel) in enumerate(by_rel[:k])
+    )
+    return dcg, idcg
+
+
+def test_ndcg_matches_python_replica(spark):
+    pairs = [
+        ("d1", 0.9, 3), ("d2", 0.8, 0), ("d3", 0.7, 2),
+        ("d4", 0.6, 3), ("d5", 0.5, 1),
+    ]
+    df = spark.createDataFrame(
+        [("q",) + p for p in pairs], ["q", "doc", "score", "rel"]
+    )
+    out = ndcg_at_k(df, "q", "doc", "score", "rel", k=3).collect()[0]
+    dcg, idcg = _ndcg_py(pairs, 3)
+    assert out.dcg == pytest.approx(dcg, abs=1e-6)
+    assert out.idcg == pytest.approx(idcg, abs=1e-6)
+    assert out.ndcg == pytest.approx(dcg / idcg, abs=1e-6)
+
+
+def test_ndcg_perfect_ranking_is_one_and_zero_rel_null(spark):
+    df = spark.createDataFrame(
+        [("q1", "a", 2.0, 2), ("q1", "b", 1.0, 1), ("q2", "c", 5.0, 0)],
+        ["q", "doc", "score", "rel"],
+    )
+    out = {r.q: r for r in ndcg_at_k(df, "q", "doc", "score", "rel").collect()}
+    assert out["q1"].ndcg == pytest.approx(1.0)
+    assert out["q2"].ndcg is None  # IDCG = 0: no relevant docs
+
+
+def test_ndcg_tiebreak_deterministic(spark):
+    # equal scores → doc ascending decides rank; rel (2 then 0) vs (0 then 2)
+    df = spark.createDataFrame(
+        [("q", "a", 1.0, 0), ("q", "b", 1.0, 2)], ["q", "doc", "score", "rel"]
+    )
+    out = ndcg_at_k(df, "q", "doc", "score", "rel", k=2).collect()[0]
+    # DCG = 0/log2(2) + 3/log2(3); IDCG = 3/log2(2) = 3
+    assert out.dcg == pytest.approx(3 / math.log2(3), abs=1e-6)
+    assert out.ndcg == pytest.approx(3 / math.log2(3) / 3, abs=1e-6)
+
+
+# ------------------------------------------------- mutual information
+
+
+def test_mi_identical_columns(spark):
+    # A == B → MI = H(A) = H(B) = H(AB), NMI = 1
+    df = spark.createDataFrame(
+        [("x", "x")] * 2 + [("y", "y")] * 2, ["a", "b"]
+    )
+    out = mutual_information(df, "a", "b").collect()[0]
+    assert out.h_a == pytest.approx(1.0)
+    assert out.mi == pytest.approx(1.0)
+    assert out.nmi == pytest.approx(1.0)
+
+
+def test_mi_independent_columns(spark):
+    # uniform independent 2×2 → MI = 0, H(AB) = 2 bits
+    rows = [(a, b) for a in "xy" for b in "uv"]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = mutual_information(df, "a", "b").collect()[0]
+    assert out.h_ab == pytest.approx(2.0)
+    assert out.mi == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mi_constant_column_nmi_null(spark):
+    df = spark.createDataFrame([("k", "u"), ("k", "v")], ["a", "b"])
+    out = mutual_information(df, "a", "b").collect()[0]
+    assert out.h_a == 0.0 and out.mi == 0.0 and out.nmi is None
+
+
+# ------------------------------------------------------------- Flesch
+
+
+def test_flesch_hand_example(spark):
+    # "The cat sat. It ran fast!"  → 2 sentences, 6 words
+    # syllables (vowel-group runs, floor 1): the=1 cat=1 sat=1 it=1
+    # ran=1 fast=1 → 6 → wps=3, spw=1
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran fast!")], ["doc_id", "text"]
+    )
+    out = flesch_readability(df).collect()[0]
+    assert out.n_words == 6 and out.n_sentences == 2 and out.n_syllables == 6
+    assert out.fre == pytest.approx(206.835 - 1.015 * 3 - 84.6 * 1, abs=1e-3)
+    assert out.fk_grade == pytest.approx(0.39 * 3 + 11.8 * 1 - 15.59, abs=1e-3)
+
+
+def test_flesch_vowelless_floor_and_empty_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "xkcd 7 tv"), (2, "")], ["doc_id", "text"]
+    )
+    rows = flesch_readability(df).collect()
+    assert len(rows) == 1  # empty doc has no words → dropped
+    assert rows[0].n_syllables == 3  # floor of 1 per vowel-less token
+
+
+def test_flesch_multisyllable(spark):
+    # "beautiful examination" → beau-ti-ful? vowel groups: eau,i,u =3;
+    # examination: e,a,i,a,io = 5 → 8 syllables, 1 sentence (floor), 2 words
+    df = spark.createDataFrame([(1, "beautiful examination")], ["doc_id", "text"])
+    out = flesch_readability(df).collect()[0]
+    assert out.n_syllables == 8 and out.n_sentences == 1

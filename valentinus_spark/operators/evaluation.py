@@ -1,0 +1,340 @@
+"""Evaluation metrics for corpus and retrieval QA — the measurement side
+of a training-data pipeline (the reference, kn0sys/valentinus, has no
+evaluation surface; this is part of the mandated LLM-pipeline extension,
+SURVEY.md §2.4):
+
+* :func:`rouge_n_pairs` — clipped n-gram overlap (ROUGE-n
+  precision/recall/F1, Lin 2004) between paired texts: dedup triage,
+  summary-vs-source leakage checks, paraphrase mining QA.
+* :func:`fleiss_kappa` — chance-corrected agreement for MANY raters
+  (Fleiss 1971), the multi-annotator generalization of Cohen's κ
+  (operators/profile.py::cohens_kappa handles the 2-rater case).
+* :func:`ndcg_at_k` — graded retrieval quality (Järvelin & Kekäläinen
+  2002) per query over any (query, doc, score, relevance) frame: the
+  standard gate before trusting a ranker (BM25, QL, fused) to mine
+  hard negatives or build eval sets.
+* :func:`mutual_information` — entropy / MI / NMI between two
+  categorical columns: metadata redundancy audits (is ``lang``
+  predictable from ``source``? then stratifying on both double-counts).
+
+All four are pure Catalyst — counts, joins, window ranks, and log
+arithmetic; no UDFs, no driver collect — and each is exactly replayable
+in ANSI SQL (driver oracles: rouge_pair_overlap, fleiss_lang_raters,
+ndcg_retrieval, field_mutual_info).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from valentinus_spark.functions.text import (
+    normalize_text,
+    shingles_from_tokens,
+    word_tokens,
+)
+
+__all__ = [
+    "rouge_n_pairs",
+    "fleiss_kappa",
+    "ndcg_at_k",
+    "mutual_information",
+]
+
+
+def _gram_counts(
+    df: DataFrame, pair_col: str, text_col: str, n: int, out: str
+) -> DataFrame:
+    """(pair, gram) → multiset count for one side of the pair frame."""
+    toks = df.select(
+        F.col(pair_col).alias("_pid"),
+        word_tokens(normalize_text(text_col)).alias("_toks"),
+    )
+    grams = toks.select(
+        "_pid",
+        F.explode(
+            F.when(F.size("_toks") == 0, F.array().cast("array<string>")).otherwise(
+                shingles_from_tokens("_toks", n)
+            )
+        ).alias("_g"),
+    )
+    return grams.groupBy("_pid", "_g").agg(F.count(F.lit(1)).alias(out))
+
+
+def rouge_n_pairs(
+    pairs: DataFrame,
+    pair_col: str,
+    text_a: str,
+    text_b: str,
+    n: int = 1,
+) -> DataFrame:
+    """ROUGE-n (Lin 2004) per text pair: clipped n-gram overlap.
+
+    For each row of ``pairs`` (a candidate/reference text pair keyed by
+    ``pair_col``), tokenize both sides (lowercase, whitespace), form word
+    n-grams, and count the CLIPPED overlap — per distinct gram,
+    ``min(count_a, count_b)`` — the multiset intersection that stops a
+    candidate from farming credit by repeating one reference gram.
+
+        recall    = overlap / total_grams_b   (ROUGE-n proper)
+        precision = overlap / total_grams_a
+        f1        = harmonic mean (0 when both sides are empty)
+
+    Returns one row per pair: (``pair_col``, ``overlap``, ``n_a``,
+    ``n_b``, ``precision``, ``recall``, ``f1``), ratios rounded to 6,
+    NULL ratio when its denominator is 0.
+
+    Scale shape: two (pair, gram) aggregates + one full outer join on the
+    same key, so every shuffle is on (pair, gram) — cardinality
+    Σ doc_len, linear in corpus size, no all-pairs anything. The join is
+    co-partitioned with the aggregates (same key), so AQE typically
+    collapses it to one exchange per side. 100 TB: pairs arrive from an
+    upstream blocked/banded candidate generator (dedup.py, linkage.py);
+    this operator is linear in the candidate-pair text volume.
+    """
+    ca = _gram_counts(pairs, pair_col, text_a, n, "_ca")
+    cb = _gram_counts(pairs, pair_col, text_b, n, "_cb")
+    merged = ca.join(cb, ["_pid", "_g"], "full_outer").select(
+        "_pid",
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    per_pair = merged.groupBy("_pid").agg(
+        F.sum(F.least("_ca", "_cb")).alias("overlap"),
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+    )
+    # pairs whose BOTH sides were empty produce no gram rows at all —
+    # restore them with 0/0/0 so the output keys match the input keys
+    keys = pairs.select(F.col(pair_col).alias("_pid")).distinct()
+    per_pair = keys.join(per_pair, "_pid", "left").select(
+        "_pid",
+        F.coalesce("overlap", F.lit(0)).alias("overlap"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    prec = F.when(F.col("n_a") > 0, F.col("overlap") / F.col("n_a"))
+    rec = F.when(F.col("n_b") > 0, F.col("overlap") / F.col("n_b"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2.0 * prec * rec / (prec + rec),
+    ).otherwise(F.when(prec.isNotNull() & rec.isNotNull(), F.lit(0.0)))
+    return per_pair.select(
+        F.col("_pid").alias(pair_col),
+        "overlap",
+        "n_a",
+        "n_b",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971): chance-corrected agreement among m
+    raters who each assign one of k categories to every item — the
+    multi-annotator QA statistic for labeling fleets (Cohen's κ,
+    operators/profile.py, covers exactly two raters).
+
+    ``ratings`` holds one row per (item, rater) assignment; rater
+    identity is irrelevant to the statistic, only the per-item category
+    counts n_ij matter. With m ratings per item:
+
+        P_i  = Σ_j n_ij(n_ij − 1) / (m(m − 1))     per-item agreement
+        P̄   = mean_i P_i                            observed
+        P_e  = Σ_j p_j²  with p_j = Σ_i n_ij / (N·m) chance
+        κ    = (P̄ − P_e) / (1 − P_e)
+
+    Items with fewer ratings than the max (incomplete panels) are
+    EXCLUDED — Fleiss' formula requires constant m; the output reports
+    how many were dropped so silent data loss is visible. NULL rows are
+    excluded first. Returns ONE row: (``n_items``, ``n_raters``,
+    ``n_dropped``, ``p_bar``, ``p_e``, ``kappa``), κ NULL when P_e = 1
+    (single shared category — undefined, same convention as cohens_kappa).
+
+    Scale shape: one (item, category) count aggregate (shuffle key =
+    items × k), one per-item fold, then category-sized and scalar
+    aggregates. No driver collect, no UDFs.
+    """
+    r = ratings.filter(
+        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(F.col(item_col).alias("_i"), F.col(category_col).alias("_c"))
+    nij = r.groupBy("_i", "_c").agg(F.count(F.lit(1)).alias("_n"))
+    per_item = nij.groupBy("_i").agg(
+        F.sum("_n").alias("_m"),
+        F.sum(F.col("_n") * (F.col("_n") - 1)).alias("_pairs"),
+    )
+    mstats = per_item.agg(F.max("_m").alias("_mmax"))
+    complete = per_item.crossJoin(F.broadcast(mstats))
+    kept = complete.filter(F.col("_m") == F.col("_mmax"))
+    dropped = complete.filter(F.col("_m") != F.col("_mmax")).agg(
+        F.count(F.lit(1)).alias("_ndrop")
+    )
+    pbar = kept.agg(
+        F.count(F.lit(1)).alias("_nitems"),
+        F.first("_mmax").alias("_m"),
+        F.avg(
+            F.col("_pairs") / (F.col("_mmax") * (F.col("_mmax") - 1))
+        ).alias("_pbar"),
+    )
+    # chance agreement over the KEPT items only (consistent marginals)
+    kept_items = kept.select("_i")
+    pj = (
+        nij.join(kept_items, "_i")
+        .groupBy("_c")
+        .agg(F.sum("_n").alias("_nc"))
+        .crossJoin(F.broadcast(pbar.select("_nitems", "_m")))
+        .agg(
+            F.sum(
+                F.pow(F.col("_nc") / (F.col("_nitems") * F.col("_m")), 2)
+            ).alias("_pe")
+        )
+    )
+    return (
+        pbar.crossJoin(F.broadcast(pj))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            F.col("_nitems").alias("n_items"),
+            F.col("_m").alias("n_raters"),
+            F.coalesce("_ndrop", F.lit(0)).alias("n_dropped"),
+            F.round("_pbar", 6).alias("p_bar"),
+            F.round("_pe", 6).alias("p_e"),
+            F.round(
+                F.when(
+                    F.col("_pe") < 1.0,
+                    (F.col("_pbar") - F.col("_pe")) / (1.0 - F.col("_pe")),
+                ),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
+def ndcg_at_k(
+    scored: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k (Järvelin & Kekäläinen 2002) per query, exponential gain:
+
+        DCG@k  = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1)   by score rank
+        IDCG@k = the same sum with relevance sorted descending
+        nDCG   = DCG / IDCG  (NULL when IDCG = 0 — no relevant docs)
+
+    ``scored`` has one row per (query, doc) with the ranker's score and
+    the graded relevance judgment. Ranking ties break on ``doc_col``
+    ascending so the metric is deterministic and SQL-replayable. Returns
+    one row per query: (``query_col``, ``n_judged``, ``dcg``, ``idcg``,
+    ``ndcg``), rounded to 6, ordered by query.
+
+    Scale shape: two window ranks partitioned by query (one shuffle on
+    the query key — both windows share it, Catalyst reuses the exchange)
+    then a per-query aggregate. Queries are the partition key, so skew =
+    max docs judged per query; rank truncation at k keeps the fold tiny.
+    No UDFs, no collect.
+    """
+    w_score = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(doc_col)
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.desc(rel_col), F.asc(doc_col)
+    )
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1.0
+    ranked = scored.select(
+        F.col(query_col).alias("_q"),
+        gain.alias("_gain"),
+        F.row_number().over(w_score).alias("_r"),
+        F.row_number().over(w_ideal).alias("_ri"),
+    )
+    agg = ranked.groupBy("_q").agg(
+        F.count(F.lit(1)).alias("n_judged"),
+        F.sum(
+            F.when(
+                F.col("_r") <= k, F.col("_gain") / F.log2(F.col("_r") + 1.0)
+            ).otherwise(0.0)
+        ).alias("_dcg"),
+        F.sum(
+            F.when(
+                F.col("_ri") <= k, F.col("_gain") / F.log2(F.col("_ri") + 1.0)
+            ).otherwise(0.0)
+        ).alias("_idcg"),
+    )
+    return agg.select(
+        F.col("_q").alias(query_col),
+        "n_judged",
+        F.round("_dcg", 6).alias("dcg"),
+        F.round("_idcg", 6).alias("idcg"),
+        F.round(
+            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")), 6
+        ).alias("ndcg"),
+    ).orderBy(query_col)
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Shannon entropy / mutual information / NMI between two categorical
+    columns, in bits — the metadata-redundancy audit: MI ≈ H(A) means B
+    determines A (stratifying a sample on both double-counts one signal);
+    MI ≈ 0 means the fields are independent knobs.
+
+        H(A)   = −Σ p(a) log2 p(a)          (likewise H(B), H(A,B))
+        MI     = H(A) + H(B) − H(A,B)
+        NMI    = MI / sqrt(H(A)·H(B))        (NULL if either H = 0)
+
+    Rows with a NULL in either column are excluded. Returns ONE row:
+    (``n``, ``h_a``, ``h_b``, ``h_ab``, ``mi``, ``nmi``), bits, rounded
+    to 6. MI is clamped at 0 (it can round a hair negative through
+    floating point on independent columns).
+
+    Scale shape: one (a, b) joint-count aggregate — the only
+    corpus-sized shuffle, key space |A|×|B| — with both marginals
+    derived from the joint table (no second corpus pass), then
+    category-sized folds. Same skeleton as cohens_kappa.
+    """
+    pairs = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    joint = pairs.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    tot = joint.agg(F.sum("_n").alias("_tot"))
+
+    def _entropy(counts: DataFrame) -> DataFrame:
+        p = F.col("_n") / F.col("_tot")
+        return counts.crossJoin(F.broadcast(tot)).agg(
+            (-F.sum(p * F.log2(p))).alias("_h")
+        )
+
+    ha = _entropy(joint.groupBy("_a").agg(F.sum("_n").alias("_n")))
+    hb = _entropy(joint.groupBy("_b").agg(F.sum("_n").alias("_n")))
+    hab = _entropy(joint)
+    mi = F.greatest(
+        F.lit(0.0), F.col("_ha") + F.col("_hb") - F.col("_hab")
+    )
+    return (
+        tot.crossJoin(F.broadcast(ha.select(F.col("_h").alias("_ha"))))
+        .crossJoin(F.broadcast(hb.select(F.col("_h").alias("_hb"))))
+        .crossJoin(F.broadcast(hab.select(F.col("_h").alias("_hab"))))
+        .select(
+            F.col("_tot").alias("n"),
+            F.round("_ha", 6).alias("h_a"),
+            F.round("_hb", 6).alias("h_b"),
+            F.round("_hab", 6).alias("h_ab"),
+            F.round(mi, 6).alias("mi"),
+            F.round(
+                F.when(
+                    (F.col("_ha") > 0) & (F.col("_hb") > 0),
+                    mi / F.sqrt(F.col("_ha") * F.col("_hb")),
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -685,3 +685,62 @@ def trigram_logprob(
             F.round(-F.avg(F.log2("_p")), 4).alias("trigram_ce"),
         )
     )
+
+
+def flesch_readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade (Flesch 1948, Kincaid
+    1975) per document — the classic surface-readability score, used in
+    corpus curation to bucket documents by audience level and to flag
+    boilerplate (very high FRE) or OCR soup (very low / negative FRE):
+
+        FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+        FKG = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    Counting is a deterministic heuristic, fully SQL-replayable:
+    sentences = runs of ``[.!?]`` (min 1); words = whitespace tokens
+    (after normalize); syllables per word = vowel-group runs
+    ``[aeiouy]+`` with a floor of 1 so vowel-less tokens ("7", "xkcd")
+    still count one. English-centric by construction — meaningful for
+    lang='en' buckets, a rough proxy elsewhere.
+
+    Returns (``id_col``, ``n_words``, ``n_sentences``, ``n_syllables``,
+    ``fre``, ``fk_grade``) per document with n_words > 0; scores rounded
+    to 4.
+
+    Scale shape: narrow map over the corpus — regexp counts and one
+    aggregate-over-token-array per row, zero shuffles, whole-stage
+    codegen end to end. Embarrassingly parallel at any scale.
+    """
+    t = df.select(
+        F.col(id_col),
+        word_tokens(normalize_text(text_col)).alias("_toks"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+        ).alias("n_sentences"),
+    )
+    syl_per_tok = lambda w: F.greatest(  # noqa: E731
+        F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
+    )
+    t = t.select(
+        id_col,
+        F.size("_toks").alias("n_words"),
+        "n_sentences",
+        F.aggregate(
+            "_toks", F.lit(0), lambda acc, w: acc + syl_per_tok(F.lower(w))
+        ).alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return t.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("fre"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    )
