@@ -4797,6 +4797,41 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py::degree_assortativity,
+    Newman 2002) of the part co-purchase graph — the one-number
+    structural fingerprint next to pagerank_copurchase/kcore. All moment
+    sums are exact BIGINTs; only the final Pearson formula is float, so
+    the DuckDB oracle replays it bit-stable."""
+    from valentinus_spark.operators.graph import copurchase_edges, degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    return degree_assortativity(copurchase_edges(li))
+
+
+def q_event_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay popularity (operators/rollup.py::
+    decayed_popularity, half-life 7 days) of event types, value-weighted
+    against the corpus max event date — freshness-weighted ranking with
+    the accumulation pinned (integer day ages, 12-decimal weights,
+    DECIMAL daily sums) so the fold replays exactly in DuckDB."""
+    from valentinus_spark.operators.rollup import decayed_popularity
+
+    ev = _events(spark, sf_dir)
+    return decayed_popularity(ev, "event_type", "ts", "value", half_life_days=7)
+
+
+def q_source_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percent-rank normalization (operators/profile.py::
+    rank_normalize) of document length — the cross-source calibration
+    step before one global threshold (a 0.9 means top-decile WITHIN its
+    source everywhere). Integer rank arithmetic, exact in both engines."""
+    from valentinus_spark.operators.profile import rank_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return rank_normalize(docs, "source", "n_chars").orderBy("doc_id")
+
+
 def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch Reading Ease + FK grade (operators/quality.py::
     flesch_readability) per document — surface-readability bucketing for
@@ -4908,6 +4943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_retrieval": q_ndcg_retrieval,  # added r5 (post-rotation) — r6 window candidate
         "field_mutual_info": q_field_mutual_info,  # added r5 (post-rotation) — r6 window candidate
         "doc_readability": q_doc_readability,  # added r5 (post-rotation) — r6 window candidate
+        "graph_assortativity": q_graph_assortativity,  # added r5 (post-rotation) — r6 window candidate
+        "event_decayed_popularity": q_event_decayed_popularity,  # added r5 (post-rotation) — r6 window candidate
+        "source_rank_normalize": q_source_rank_normalize,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7985,6 +8023,63 @@ def oracle_sql() -> dict[str, str]:
                               THEN GREATEST(0.0, ha.h + hb.h - hab.h) / SQRT(ha.h * hb.h)
                          END, 6) AS nmi
             FROM tot, ha, hb, hab
+        """,
+        "graph_assortativity": """
+            WITH edges AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a
+                JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey <> b.l_partkey
+            ),
+            deg AS (SELECT src AS node, COUNT(*)::BIGINT AS d FROM edges GROUP BY src),
+            samples AS (
+                SELECT dx.d AS x, dy.d AS y
+                FROM edges e
+                JOIN deg dx ON dx.node = e.src
+                JOIN deg dy ON dy.node = e.dst
+            ),
+            m AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                       SUM(x * y)::BIGINT AS sxy,
+                       SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy
+                FROM samples
+            )
+            SELECT n AS n_edges,
+                   ROUND(CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0
+                               AND (n::DOUBLE * syy - sy::DOUBLE * sy) > 0
+                              THEN (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                                   / SQRT((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                                          * (n::DOUBLE * syy - sy::DOUBLE * sy))
+                         END, 6) AS r
+            FROM m
+        """,
+        "event_decayed_popularity": """
+            WITH base AS (
+                SELECT event_type AS k, CAST(ts AS DATE) AS d,
+                       CAST(value AS DECIMAL(28,2)) AS v
+                FROM events
+            ),
+            ref AS (SELECT MAX(d) AS refd FROM base),
+            daily AS (
+                SELECT k, d, COUNT(*)::BIGINT AS n, SUM(v) AS sv
+                FROM base GROUP BY k, d
+            ),
+            aged AS (
+                SELECT k, n, sv, datediff('day', d, refd)::BIGINT AS age
+                FROM daily, ref
+            )
+            SELECT k AS event_type,
+                   SUM(n)::BIGINT AS n_events,
+                   ROUND(SUM(sv::DOUBLE * ROUND(EXP(-(LN(2.0) / 7) * age), 12)), 4) AS decayed_score
+            FROM aged GROUP BY k
+            ORDER BY decayed_score DESC, event_type
+        """,
+        "source_rank_normalize": """
+            SELECT doc_id, source, n_chars,
+                   ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
+            FROM documents
+            ORDER BY doc_id
         """,
         "doc_readability": """
             WITH t AS (

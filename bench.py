@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "ndcg_retrieval",
     "field_mutual_info",
     "doc_readability",
+    "graph_assortativity",
+    "event_decayed_popularity",
+    "source_rank_normalize",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -209,7 +212,7 @@ BENCH_FAMILIES = {
         "ql_search", "rrf_fusion", "lang_kappa", "lang_confusion",
         "trigram_logprob", "winnow_spans", "rouge_pair_overlap",
         "fleiss_lang_raters", "ndcg_retrieval", "field_mutual_info",
-        "doc_readability",
+        "doc_readability", "source_rank_normalize",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -227,14 +230,15 @@ BENCH_FAMILIES = {
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",
         "events_rollup_merge", "events_sliding_window", "stream_components",
-        "trailing_anomaly",
+        "trailing_anomaly", "event_decayed_popularity",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
         "zorder_bucket_stats", "scd2_apply", "robust_outliers",
         "winsorize_stats", "bootstrap_ci_orders",
     ],
-    "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa"],
+    "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa",
+              "graph_assortativity"],
     "media": ["media_content_stats", "media_headers"],
     "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan",
             "versioned_delete", "table_changes_cdf"],

@@ -1,0 +1,95 @@
+"""Hand-computed oracles for degree_assortativity (graph.py),
+decayed_popularity (rollup.py), and rank_normalize (profile.py)."""
+
+import datetime
+
+import pytest
+
+from valentinus_spark.operators import (
+    decayed_popularity,
+    degree_assortativity,
+    rank_normalize,
+)
+
+
+def _sym(spark, und):
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # K_{1,3}: hub-leaf graphs are maximally disassortative
+    out = degree_assortativity(
+        _sym(spark, [(0, 1), (0, 2), (0, 3)])
+    ).collect()[0]
+    assert out.n_edges == 6
+    assert out.r == pytest.approx(-1.0)
+
+
+def test_assortativity_triangle_with_pendant(spark):
+    # triangle a-b-c + pendant c-d; degrees a2 b2 c3 d1
+    # hand fold: n=8 Σx=Σy=18 Σxy=38 Σxx=Σyy=44 → r = -20/28
+    out = degree_assortativity(
+        _sym(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    ).collect()[0]
+    assert out.r == pytest.approx(-20 / 28, abs=1e-6)
+
+
+def test_assortativity_regular_graph_null(spark):
+    # 4-cycle: every degree 2 → zero variance → undefined
+    out = degree_assortativity(
+        _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    ).collect()[0]
+    assert out.r is None
+
+
+def test_decayed_popularity_hand_example(spark):
+    d = datetime.datetime
+    rows = [
+        # key a: 10.0 today (w=1), 8.0 seven days old (w=0.5) → 14.0
+        ("a", d(2024, 1, 15, 12, 0), 10.0),
+        ("a", d(2024, 1, 8, 3, 0), 8.0),
+        # key b: 4.0 fourteen days old (w=0.25) → 1.0
+        ("b", d(2024, 1, 1, 23, 59), 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = {
+        r.k: r
+        for r in decayed_popularity(
+            df, "k", "ts", "value", half_life_days=7
+        ).collect()
+    }
+    assert out["a"].n_events == 2 and out["a"].decayed_score == pytest.approx(14.0)
+    assert out["b"].decayed_score == pytest.approx(1.0)
+
+
+def test_decayed_popularity_count_mode_and_order(spark):
+    d = datetime.datetime
+    rows = [("a", d(2024, 1, 15)), ("a", d(2024, 1, 15)), ("b", d(2024, 1, 8))]
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    out = decayed_popularity(df, "k", "ts", None, half_life_days=7).collect()
+    # ordered by score desc: a=2.0 first, b=0.5 second
+    assert [r.k for r in out] == ["a", "b"]
+    assert out[0].decayed_score == pytest.approx(2.0)
+    assert out[1].decayed_score == pytest.approx(0.5)
+
+
+def test_rank_normalize_within_group(spark):
+    df = spark.createDataFrame(
+        [("s1", 10), ("s1", 20), ("s1", 30), ("s1", 40), ("s2", 999)],
+        ["src", "score"],
+    )
+    out = rank_normalize(df, "src", "score")
+    got = {(r.src, r.score): r.pct_rank for r in out.collect()}
+    assert got[("s1", 10)] == 0.0
+    assert got[("s1", 20)] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[("s1", 40)] == 1.0
+    assert got[("s2", 999)] == 0.0  # single-row group
+
+
+def test_rank_normalize_ties_share_min_rank(spark):
+    df = spark.createDataFrame(
+        [("g", 5), ("g", 5), ("g", 9)], ["src", "score"]
+    )
+    ranks = sorted(r.pct_rank for r in rank_normalize(df, "src", "score").collect())
+    assert ranks == [0.0, 0.0, 1.0]

@@ -355,3 +355,56 @@ def adamic_adar(
         .orderBy(F.desc("aa_score"), "node_a", "node_b")
         .limit(k)
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation between the degrees at the two ends of each edge —
+    positive for hub-to-hub graphs (social), negative for hub-to-leaf
+    (web, co-purchase catalogs). The one-number structural fingerprint
+    to record alongside PageRank/k-core when profiling a graph build.
+
+    ``edges`` is a symmetric (src, dst) list (both directions present,
+    as :func:`copurchase_edges` emits); each directed row contributes
+    one (deg_src, deg_dst) sample, which is exactly Newman's
+    edge-endpoint formulation on an undirected graph. Returns ONE row:
+    (``n_edges``, ``r``), r rounded to 6 and NULL when either endpoint
+    degree is constant (zero variance — correlation undefined).
+
+    Scale shape: one degree aggregate (node-keyed shuffle), two
+    degree-attach joins co-partitioned on the node key, then a scalar
+    sum fold. All moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    exact BIGINTs — the Pearson fold touches doubles only in the final
+    scalar formula, so the statistic is deterministic at any partition
+    count (no float-sum ordering drift).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).select(
+        F.col("src").alias("_node"), "_d"
+    )
+    ds = deg.select(F.col("_node").alias("src"), F.col("_d").alias("_dx"))
+    dd = deg.select(F.col("_node").alias("dst"), F.col("_d").alias("_dy"))
+    samples = edges.join(ds, "src").join(dd, "dst")
+    m = samples.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dx").alias("_sx"),
+        F.sum("_dy").alias("_sy"),
+        F.sum(F.col("_dx") * F.col("_dy")).alias("_sxy"),
+        F.sum(F.col("_dx") * F.col("_dx")).alias("_sxx"),
+        F.sum(F.col("_dy") * F.col("_dy")).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return m.select(
+        F.col("_n").alias("n_edges"),
+        F.round(
+            F.when(
+                (varx > 0) & (vary > 0),
+                (n * sxy - sx * sy) / F.sqrt(varx * vary),
+            ),
+            6,
+        ).alias("r"),
+    )

@@ -839,3 +839,30 @@ def agreement_matrix(
         )
         .orderBy(F.desc("n"), "label_a", "label_b")
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Per-group percent-rank normalization of a score column:
+
+        pct = (rank − 1) / (n_group − 1)    ∈ [0, 1]
+
+    — the cross-source calibration step before applying ONE global
+    threshold to scores whose raw scales differ per source (a quality
+    classifier trained per domain, length distributions per crawl): a
+    0.9 means "top decile WITHIN its group" everywhere. Ties share the
+    minimum rank (SQL PERCENT_RANK semantics, identical across
+    engines); single-row groups get 0.0. Appends ``out_col`` (rounded
+    to 6) to the input columns.
+
+    Scale shape: one window pass partitioned by the group key — the
+    per-group sort is the inherent cost of ranking; skewed groups pay
+    an in-partition sort, nothing shuffles twice. The arithmetic is
+    integer rank over integer count: exact, no float-ordering drift.
+    """
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))

@@ -209,3 +209,67 @@ def trailing_anomaly(
         .withColumn("trail_z", z_guarded)
         .withColumn("is_anomaly", F.abs(F.col("trail_z")) > F.lit(threshold))
     )
+
+
+def decayed_popularity(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Exponential time-decay popularity: per key,
+
+        score = Σ_events value · 2^(−age_days / half_life)
+
+    — the freshness-weighted aggregate behind trending-content ranking
+    and recency-weighted sampling (yesterday's signal counts double
+    last week's at half_life=7). ``value_col=None`` scores pure event
+    counts. The reference time is the corpus max event DATE
+    (data-derived, so the metric is reproducible from the table alone).
+
+    Determinism contract: age buckets are integer DAYS (datediff —
+    exact), the per-day decay weight is rounded to 12 decimals before
+    use, and per-day value sums accumulate in DECIMAL(28,2) — so the
+    only float work is ≤ max_age terms per key in the final fold, and
+    the result replays bit-stable in ANSI SQL (same pin-the-
+    accumulation pattern as pagerank's 9-decimal rounds).
+
+    Returns (``key_col``, ``n_events``, ``decayed_score``) rounded to
+    4, ordered by score desc then key.
+
+    Scale shape: ONE (key, day) aggregate — map-side combined, key
+    space |keys| × retention-days — then a key-sized fold; the
+    reference date is a broadcast single-row aggregate. No windows, no
+    per-event float math surviving the shuffle.
+    """
+    val = F.lit(1).cast("decimal(28,2)") if value_col is None else F.col(
+        value_col
+    ).cast("decimal(28,2)")
+    base = events.select(
+        F.col(key_col).alias("_k"), F.to_date(ts_col).alias("_d"), val.alias("_v")
+    )
+    ref = base.agg(F.max("_d").alias("_ref"))
+    daily = base.groupBy("_k", "_d").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_sv")
+    )
+    aged = daily.crossJoin(F.broadcast(ref)).select(
+        "_k",
+        "_n",
+        "_sv",
+        F.datediff(F.col("_ref"), F.col("_d")).alias("_age"),
+    )
+    w = F.round(
+        F.exp(-(F.log(F.lit(2.0)) / half_life_days) * F.col("_age")), 12
+    )
+    return (
+        aged.groupBy("_k")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.round(F.sum(F.col("_sv").cast("double") * w), 4).alias(
+                "decayed_score"
+            ),
+        )
+        .select(F.col("_k").alias(key_col), "n_events", "decayed_score")
+        .orderBy(F.desc("decayed_score"), key_col)
+    )
