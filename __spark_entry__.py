@@ -4670,6 +4670,78 @@ def _bt_oracle_sql(iters: int = 10) -> str:
     return "".join(parts)
 
 
+def _elo_oracle_sql(years=range(1995, 2002), k: float = 16.0) -> str:
+    """Unrolled batched-Elo replay (same chained MATERIALIZED-CTE
+    discipline as _bt_oracle_sql): one delta/rating CTE pair per yearly
+    round, each round scoring that year's match counts against the
+    previous round's ratings and re-pinning to 9 decimals — the exact
+    synchronous update operators/preference.py::elo_ratings runs."""
+    parts = ["""
+        WITH li AS MATERIALIZED (
+            SELECT l.l_orderkey, p.p_brand, l.l_quantity,
+                   year(o.o_orderdate) AS yr
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        judged AS (
+            SELECT a.p_brand AS w, b.p_brand AS lo, a.yr
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_quantity > b.l_quantity
+            WHERE a.p_brand <> b.p_brand AND a.yr BETWEEN 1995 AND 2001
+        ),
+        counts AS MATERIALIZED (
+            SELECT yr, w, lo, COUNT(*)::BIGINT AS n FROM judged GROUP BY 1, 2, 3
+        ),
+        players AS MATERIALIZED (
+            SELECT DISTINCT item FROM (
+                SELECT w AS item FROM counts UNION ALL SELECT lo FROM counts
+            )
+        ),
+        e0 AS MATERIALIZED (SELECT item, 1500.0 AS rt FROM players)"""]
+    for i, y in enumerate(years, start=1):
+        parts.append(f""",
+        g{i} AS MATERIALIZED (
+            SELECT item, SUM(d) AS dsum FROM (
+                SELECT c.w AS item,
+                       {k} * c.n * (1.0 - 1.0 / (1.0 + POWER(10.0, (tl.rt - tw.rt) / 400.0))) AS d
+                FROM counts c
+                JOIN e{i - 1} tw ON tw.item = c.w
+                JOIN e{i - 1} tl ON tl.item = c.lo
+                WHERE c.yr = {y}
+                UNION ALL
+                SELECT c.lo,
+                       -{k} * c.n * (1.0 - 1.0 / (1.0 + POWER(10.0, (tl.rt - tw.rt) / 400.0)))
+                FROM counts c
+                JOIN e{i - 1} tw ON tw.item = c.w
+                JOIN e{i - 1} tl ON tl.item = c.lo
+                WHERE c.yr = {y}
+            ) GROUP BY item
+        ),
+        e{i} AS MATERIALIZED (
+            SELECT p.item, ROUND(p.rt + COALESCE(g{i}.dsum, 0.0), 9) AS rt
+            FROM e{i - 1} p LEFT JOIN g{i} ON g{i}.item = p.item
+        )""")
+    last = len(list(years))
+    parts.append(f""",
+        wl AS (
+            SELECT p.item,
+                   COALESCE(wn.n, 0)::BIGINT AS wins,
+                   COALESCE(ls.n, 0)::BIGINT AS losses
+            FROM players p
+            LEFT JOIN (SELECT w, SUM(n)::BIGINT AS n FROM counts GROUP BY 1) wn
+              ON wn.w = p.item
+            LEFT JOIN (SELECT lo, SUM(n)::BIGINT AS n FROM counts GROUP BY 1) ls
+              ON ls.lo = p.item
+        )
+        SELECT e.item, ROUND(e.rt, 4) AS rating, wl.wins, wl.losses,
+               (wl.wins + wl.losses)::BIGINT AS n_matches,
+               row_number() OVER (ORDER BY ROUND(e.rt, 4) DESC, e.item ASC) AS rank
+        FROM e{last} e JOIN wl USING (item)
+        ORDER BY rank""")
+    return "".join(parts)
+
+
 def q_bt_brand_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strength ranking (operators/preference.py::
     bt_ranking, Hunter-2004 MM, 10 synchronous rounds) over implicit
@@ -4795,6 +4867,80 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("source", "lang")
     return mutual_information(docs, "source", "lang")
+
+
+def q_krippendorff_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (operators/evaluation.py::krippendorff_alpha)
+    over the SAME 3-rater synthetic panel as fleiss_lang_raters but with
+    deterministic MISSING ratings (rater r skips doc when
+    ((doc_id % 101)*37 + r*53) % 10 < 2 — ~20% holes, uneven m per
+    item), exercising exactly the capability Fleiss lacks. All integer
+    arithmetic; the D_o/D_e folds replay in DuckDB."""
+    from valentinus_spark.operators.evaluation import krippendorff_alpha
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    raters = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"),
+    ).where(((F.col("doc_id") % 101) * 37 + F.col("r") * 53) % 10 >= 2)
+    cats = F.array(F.lit("en"), F.lit("es"), F.lit("de"), F.lit("fr"))
+    label = F.when(
+        ((F.col("doc_id") % 101) * 31 + F.col("r") * 97) % 10 < 7,
+        F.col("lang"),
+    ).otherwise(cats[((F.col("doc_id") + F.col("r")) % 4).cast("int")])
+    return krippendorff_alpha(
+        raters.select("doc_id", label.alias("label")), "doc_id", "label"
+    )
+
+
+def q_source_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity panel (operators/quality.py::lexical_diversity)
+    per source: TTR, hapax fraction, Yule's K from the token frequency
+    spectrum — the template-vs-natural-text dashboard. Exact BIGINT
+    spectrum sums; only the final ratios are float, replayed in DuckDB."""
+    from valentinus_spark.operators.quality import lexical_diversity
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return lexical_diversity(docs, "source")
+
+
+def q_elo_brand_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched Elo ratings (operators/preference.py::elo_ratings, K=16,
+    7 yearly rounds 1995-2001) over the same implicit brand preferences
+    as bt_brand_ranking — the drift-tracking cousin of Bradley-Terry
+    (arena-leaderboard style). Every round's synchronous update (round-
+    start ratings, 9-decimal re-pin) replays in the unrolled DuckDB
+    oracle, same chained-CTE discipline as the BT/LPA/pagerank replays."""
+    from valentinus_spark.operators.preference import elo_ratings
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    lines = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("l_orderkey", "p_brand", "l_quantity", "yr")
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    matches = (
+        a.join(b, "l_orderkey")
+        .where(
+            (F.col("a.l_quantity") > F.col("b.l_quantity"))
+            & (F.col("a.p_brand") != F.col("b.p_brand"))
+            & F.col("a.yr").between(1995, 2001)
+        )
+        .select(
+            F.col("a.p_brand").alias("winner"),
+            F.col("b.p_brand").alias("loser"),
+            F.col("a.yr").alias("round"),
+        )
+    )
+    return elo_ratings(matches, k_factor=16.0, initial=1500.0)
 
 
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4946,6 +5092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,  # added r5 (post-rotation) — r6 window candidate
         "event_decayed_popularity": q_event_decayed_popularity,  # added r5 (post-rotation) — r6 window candidate
         "source_rank_normalize": q_source_rank_normalize,  # added r5 (post-rotation) — r6 window candidate
+        "krippendorff_lang": q_krippendorff_lang,  # added r5 (post-rotation) — r6 window candidate
+        "source_lexical_diversity": q_source_lexical_diversity,  # added r5 (post-rotation) — r6 window candidate
+        "elo_brand_ratings": q_elo_brand_ratings,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8074,6 +8223,73 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(sv::DOUBLE * ROUND(EXP(-(LN(2.0) / 7) * age), 12)), 4) AS decayed_score
             FROM aged GROUP BY k
             ORDER BY decayed_score DESC, event_type
+        """,
+        "elo_brand_ratings": _elo_oracle_sql(),
+        "krippendorff_lang": """
+            WITH raters AS (
+                SELECT doc_id, lang, unnest([0, 1, 2]) AS r FROM documents
+            ),
+            lab AS (
+                SELECT doc_id,
+                       CASE WHEN ((doc_id % 101) * 31 + r * 97) % 10 < 7 THEN lang
+                            ELSE (['en', 'es', 'de', 'fr'])[((doc_id + r) % 4) + 1]
+                       END AS label
+                FROM raters
+                WHERE ((doc_id % 101) * 37 + r * 53) % 10 >= 2
+            ),
+            nuc AS (SELECT doc_id AS i, label AS c, COUNT(*)::BIGINT AS n FROM lab GROUP BY i, c),
+            per_item AS (
+                SELECT i, SUM(n)::BIGINT AS m, SUM(n * n)::BIGINT AS sq
+                FROM nuc GROUP BY i
+            ),
+            pairable AS (SELECT * FROM per_item WHERE m >= 2),
+            drp AS (SELECT COUNT(*)::BIGINT AS ndrop FROM per_item WHERE m < 2),
+            dop AS (
+                SELECT COUNT(*)::BIGINT AS n_items,
+                       SUM(m)::BIGINT AS n_values,
+                       SUM((m * m - sq)::DOUBLE / (m - 1)) AS dosum
+                FROM pairable
+            ),
+            nc AS (
+                SELECT c, SUM(n)::BIGINT AS ncv
+                FROM nuc JOIN pairable ON nuc.i = pairable.i
+                GROUP BY c
+            ),
+            dep AS (
+                SELECT SUM((ncv * (n_values - ncv))::DOUBLE) AS desum
+                FROM nc, dop
+            )
+            SELECT n_items, n_values, ndrop AS n_dropped,
+                   ROUND(dosum / n_values, 6) AS d_o,
+                   ROUND(desum / (n_values::DOUBLE * (n_values - 1.0)), 6) AS d_e,
+                   ROUND(CASE WHEN desum / (n_values::DOUBLE * (n_values - 1.0)) > 0
+                              THEN 1.0 - (dosum / n_values)
+                                   / (desum / (n_values::DOUBLE * (n_values - 1.0)))
+                         END, 6) AS alpha
+            FROM dop, dep, drp
+        """,
+        "source_lexical_diversity": """
+            WITH toks AS (
+                SELECT source AS g,
+                       unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS t
+                FROM documents
+            ),
+            freq AS (SELECT g, t, COUNT(*)::BIGINT AS f FROM toks GROUP BY g, t),
+            agg AS (
+                SELECT g,
+                       SUM(f)::BIGINT AS n_tokens,
+                       COUNT(*)::BIGINT AS vocab,
+                       SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+                       SUM(f * f)::BIGINT AS sf2
+                FROM freq GROUP BY g
+            )
+            SELECT g AS source, n_tokens, vocab,
+                   ROUND(vocab::DOUBLE / n_tokens, 6) AS ttr,
+                   ROUND(hapax::DOUBLE / vocab, 6) AS hapax_frac,
+                   ROUND(CASE WHEN n_tokens >= 2
+                              THEN 1e4 * (sf2 - n_tokens)::DOUBLE / (n_tokens::DOUBLE * n_tokens)
+                         END, 6) AS yule_k
+            FROM agg ORDER BY source
         """,
         "source_rank_normalize": """
             SELECT doc_id, source, n_chars,

@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "event_decayed_popularity",
     "source_rank_normalize",
+    "krippendorff_lang",
+    "source_lexical_diversity",
+    "elo_brand_ratings",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -213,6 +216,7 @@ BENCH_FAMILIES = {
         "trigram_logprob", "winnow_spans", "rouge_pair_overlap",
         "fleiss_lang_raters", "ndcg_retrieval", "field_mutual_info",
         "doc_readability", "source_rank_normalize",
+        "krippendorff_lang", "source_lexical_diversity",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -226,6 +230,7 @@ BENCH_FAMILIES = {
         "customer_rolling_30d", "asof_join_clicks", "association_rules",
         "markov_transitions", "resample_ffill", "dp_segment_counts",
         "psi_price_drift", "neyman_allocation", "bt_brand_ranking",
+        "elo_brand_ratings",
     ],
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",

@@ -211,3 +211,125 @@ def test_flesch_multisyllable(spark):
     df = spark.createDataFrame([(1, "beautiful examination")], ["doc_id", "text"])
     out = flesch_readability(df).collect()[0]
     assert out.n_syllables == 8 and out.n_sentences == 1
+
+
+# -------------------------------------------------- Krippendorff alpha
+
+
+def test_krippendorff_perfect_and_chance(spark):
+    from valentinus_spark.operators import krippendorff_alpha
+
+    # u1 [A,A], u2 [B,B] → D_o = 0 → alpha = 1
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "B"), (2, "B")], ["item", "label"]
+    )
+    out = krippendorff_alpha(df, "item", "label").collect()[0]
+    assert out.alpha == pytest.approx(1.0) and out.n_values == 4
+
+    # u1 [A,A], u2 [A,B] → D_o = 0.5, D_e = 0.5 → alpha = 0
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "A"), (2, "B")], ["item", "label"]
+    )
+    out = krippendorff_alpha(df, "item", "label").collect()[0]
+    assert out.alpha == pytest.approx(0.0)
+
+
+def test_krippendorff_hand_computed_mixed(spark):
+    from valentinus_spark.operators import krippendorff_alpha
+
+    # u1 [A,A], u2 [B,B], u3 [A,B]:
+    # D_o = (1/6)(0+0+2) = 1/3 ; D_e = (3·3+3·3)/(6·5) = 0.6
+    # alpha = 1 − (1/3)/0.6 = 4/9
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "A"), (3, "B")],
+        ["item", "label"],
+    )
+    out = krippendorff_alpha(df, "item", "label").collect()[0]
+    assert out.d_o == pytest.approx(1 / 3, abs=1e-6)
+    assert out.d_e == pytest.approx(0.6)
+    assert out.alpha == pytest.approx(4 / 9, abs=1e-6)
+
+
+def test_krippendorff_single_rating_dropped_and_de_zero(spark):
+    from valentinus_spark.operators import krippendorff_alpha
+
+    # u2 has one rating → dropped; kept units share one category → D_e=0
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "B")], ["item", "label"]
+    )
+    out = krippendorff_alpha(df, "item", "label").collect()[0]
+    assert out.n_dropped == 1 and out.n_items == 1
+    assert out.alpha is None
+
+
+# ---------------------------------------------------------------- Elo
+
+
+def test_elo_single_round_even_match(spark):
+    from valentinus_spark.operators import elo_ratings
+
+    df = spark.createDataFrame([("A", "B", 1)], ["winner", "loser", "round"])
+    out = {r.item: r for r in elo_ratings(df).collect()}
+    # equal ratings → E = 0.5 → winner +8, loser −8 at K=16
+    assert out["A"].rating == pytest.approx(1508.0)
+    assert out["B"].rating == pytest.approx(1492.0)
+    assert out["A"].rank == 1 and out["A"].wins == 1 and out["A"].losses == 0
+
+
+def test_elo_two_rounds_matches_python_replica(spark):
+    from valentinus_spark.operators import elo_ratings
+
+    df = spark.createDataFrame(
+        [("A", "B", 1), ("B", "A", 2)], ["winner", "loser", "round"]
+    )
+    out = {r.item: r for r in elo_ratings(df).collect()}
+    # after r1: A=1508, B=1492. r2: B beats A.
+    eb = 1.0 / (1.0 + 10 ** ((1508.0 - 1492.0) / 400.0))
+    db = 16.0 * (1.0 - eb)
+    assert out["B"].rating == pytest.approx(round(1492.0 + db, 4), abs=1e-4)
+    assert out["A"].rating == pytest.approx(round(1508.0 - db, 4), abs=1e-4)
+    assert out["A"].n_matches == 2
+
+
+def test_elo_round_start_ratings_synchronous(spark):
+    from valentinus_spark.operators import elo_ratings
+
+    # two matches in the SAME round both score against 1500-everywhere:
+    # A beats B, B beats C → B gains +8 and loses 8 in one round → 1500
+    df = spark.createDataFrame(
+        [("A", "B", 1), ("B", "C", 1)], ["winner", "loser", "round"]
+    )
+    out = {r.item: r for r in elo_ratings(df).collect()}
+    assert out["B"].rating == pytest.approx(1500.0)
+    assert out["A"].rating == pytest.approx(1508.0)
+    assert out["C"].rating == pytest.approx(1492.0)
+
+
+# -------------------------------------------------- lexical diversity
+
+
+def test_lexical_diversity_hand_example(spark):
+    from valentinus_spark.operators import lexical_diversity
+
+    # "a a b c": N=4 V=3 hapax=2 Σf²=6 → K = 1e4·(6−4)/16 = 1250
+    df = spark.createDataFrame([("g", "a a b c")], ["src", "text"])
+    out = lexical_diversity(df, "src").collect()[0]
+    assert out.n_tokens == 4 and out.vocab == 3
+    assert out.ttr == pytest.approx(0.75)
+    assert out.hapax_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert out.yule_k == pytest.approx(1250.0)
+
+
+def test_lexical_diversity_groups_and_degenerate(spark):
+    from valentinus_spark.operators import lexical_diversity
+
+    df = spark.createDataFrame(
+        [("g1", "x x x x"), ("g2", "w")], ["src", "text"]
+    )
+    out = {r.src: r for r in lexical_diversity(df, "src").collect()}
+    # g1: pure repetition → TTR 0.25, hapax 0, K = 1e4·(16−4)/16 = 7500
+    assert out["g1"].ttr == pytest.approx(0.25)
+    assert out["g1"].hapax_frac == 0.0
+    assert out["g1"].yule_k == pytest.approx(7500.0)
+    # g2: single token → yule_k NULL
+    assert out["g2"].yule_k is None

@@ -13,6 +13,8 @@ SURVEY.md §2.4):
   2002) per query over any (query, doc, score, relevance) frame: the
   standard gate before trusting a ranker (BM25, QL, fused) to mine
   hard negatives or build eval sets.
+* :func:`krippendorff_alpha` — agreement under MISSING ratings
+  (Krippendorff 2004): uneven annotator coverage, the common case.
 * :func:`mutual_information` — entropy / MI / NMI between two
   categorical columns: metadata redundancy audits (is ``lang``
   predictable from ``source``? then stratifying on both double-counts).
@@ -37,6 +39,7 @@ from valentinus_spark.functions.text import (
 __all__ = [
     "rouge_n_pairs",
     "fleiss_kappa",
+    "krippendorff_alpha",
     "ndcg_at_k",
     "mutual_information",
 ]
@@ -336,5 +339,85 @@ def mutual_information(
                 ),
                 6,
             ).alias("nmi"),
+        )
+    )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal data) — chance-corrected agreement
+    that, unlike Fleiss' kappa, handles MISSING ratings: every item with
+    ≥ 2 ratings contributes, weighted by its own pairable count, so a
+    labeling fleet with uneven coverage still gets one unbiased
+    reliability number (Krippendorff 2004, the content-analysis
+    standard; α ≥ 0.8 = reliable, ≥ 0.667 = tentative).
+
+    With n_uc the count of category c on unit u, m_u = Σ_c n_uc, and
+    n = Σ_{m_u ≥ 2} m_u pairable values:
+
+        D_o = (1/n)      Σ_u (1/(m_u−1)) Σ_c n_uc (m_u − n_uc)
+        D_e = (1/(n(n−1))) Σ_c n_c (n − n_c)       (n_c over pairable units)
+        α   = 1 − D_o / D_e
+
+    Units with a single rating are excluded (nothing to pair) and
+    counted in ``n_dropped``. Returns ONE row: (``n_items``,
+    ``n_values``, ``n_dropped``, ``d_o``, ``d_e``, ``alpha``), rounded
+    to 6; α NULL when D_e = 0 (one shared category — undefined).
+
+    Scale shape: one (item, category) count shuffle (the only
+    corpus-sized exchange), one per-item disagreement fold, and
+    category-sized marginal aggregates — identical skeleton to
+    :func:`fleiss_kappa`, without the constant-panel requirement.
+    """
+    r = ratings.filter(
+        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(F.col(item_col).alias("_i"), F.col(category_col).alias("_c"))
+    nuc = r.groupBy("_i", "_c").agg(F.count(F.lit(1)).alias("_n"))
+    per_item = nuc.groupBy("_i").agg(
+        F.sum("_n").alias("_m"),
+        # Σ_c n_uc(m_u − n_uc) needs m_u; fold it in a second pass below
+        F.sum(F.col("_n") * F.col("_n")).alias("_sq"),
+    )
+    pairable = per_item.filter(F.col("_m") >= 2)
+    dropped = per_item.filter(F.col("_m") < 2).agg(
+        F.count(F.lit(1)).alias("_ndrop")
+    )
+    # Σ_c n_uc(m_u − n_uc) = m_u² − Σ_c n_uc² — no join back to nuc needed
+    do_parts = pairable.agg(
+        F.count(F.lit(1)).alias("_nitems"),
+        F.sum("_m").alias("_nvals"),
+        F.sum(
+            (F.col("_m") * F.col("_m") - F.col("_sq")).cast("double")
+            / (F.col("_m") - 1)
+        ).alias("_dosum"),
+    )
+    nc = (
+        nuc.join(pairable.select("_i"), "_i")
+        .groupBy("_c")
+        .agg(F.sum("_n").alias("_nc"))
+    )
+    de_parts = nc.crossJoin(F.broadcast(do_parts.select("_nvals"))).agg(
+        F.sum((F.col("_nc") * (F.col("_nvals") - F.col("_nc"))).cast("double")).alias(
+            "_desum"
+        )
+    )
+    n = F.col("_nvals").cast("double")
+    d_o = F.col("_dosum") / n
+    d_e = F.col("_desum") / (n * (n - 1.0))
+    return (
+        do_parts.crossJoin(F.broadcast(de_parts))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            F.col("_nitems").alias("n_items"),
+            F.col("_nvals").alias("n_values"),
+            F.coalesce("_ndrop", F.lit(0)).alias("n_dropped"),
+            F.round(d_o, 6).alias("d_o"),
+            F.round(d_e, 6).alias("d_e"),
+            F.round(
+                F.when(d_e > 0, 1.0 - d_o / d_e), 6
+            ).alias("alpha"),
         )
     )

@@ -150,3 +150,128 @@ def bt_ranking(
         "n_comparisons",
         "rank",
     ).orderBy("rank")
+
+
+def elo_ratings(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    round_col: str = "round",
+    k_factor: float = 16.0,
+    initial: float = 1500.0,
+) -> DataFrame:
+    """Batched Elo ratings over ORDERED match rounds — the sequential
+    cousin of :func:`bt_ranking` (Bradley-Terry fits one static
+    strength; Elo tracks drift across time, the standard for arena-style
+    model leaderboards). Within a round every match is scored against
+    the ratings AT ROUND START (synchronous batch update):
+
+        E_w = 1 / (1 + 10^((R_l − R_w)/400))
+        ΔR_w += K·(1 − E_w),  ΔR_l += K·(0 − (1 − E_w))
+
+    then R ← round(R + ΔR, 9) — the 9-decimal per-round pin that makes
+    the whole trajectory bit-replayable in an unrolled SQL oracle (same
+    discipline as bt_ranking / pagerank / LPA). Synchronous batching is
+    what makes Elo distributable at all: per-match sequential Elo is
+    inherently serial, while per-round deltas are one join + one
+    aggregate.
+
+    ``round_col`` must be a coarse, calendar-bounded key (year, month,
+    week): the driver collects the DISTINCT round values (bounded by
+    contract — decades of weeks is still O(10³)) and unrolls one Spark
+    stage batch per round; the match/ratings tables stay distributed.
+
+    Returns (``item``, ``rating`` rounded 4, ``wins``, ``losses``,
+    ``n_matches``, ``rank``), rank 1 = highest rating, ties broken by
+    item ascending.
+
+    Scale shape: one pass to per-round match lists; per round, two
+    broadcast joins of the k-item rating table against that round's
+    matches and one item-keyed delta aggregate, localCheckpointed so
+    lineage stays flat over many rounds. Judgment volume is scanned
+    once; loop cost is rounds × O(matches_in_round).
+    """
+    w = F.col(winner_col).cast("string")
+    l = F.col(loser_col).cast("string")
+    m = matches.filter(w.isNotNull() & l.isNotNull() & (w != l)).select(
+        w.alias("_w"), l.alias("_l"), F.col(round_col).alias("_r")
+    )
+    # (round, winner, loser) counts — bounded by k² per round
+    counts = (
+        m.groupBy("_r", "_w", "_l")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    rounds = [row[0] for row in counts.select("_r").distinct().orderBy("_r").collect()]
+    players = (
+        counts.select(F.col("_w").alias("_item"))
+        .unionByName(counts.select(F.col("_l").alias("_item")))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    rating = players.select("_item", F.lit(float(initial)).alias("_rt"))
+    for r in rounds:
+        mr = counts.filter(F.col("_r") == F.lit(r))
+        scored = mr.join(
+            F.broadcast(rating.select(F.col("_item").alias("_w"), F.col("_rt").alias("_rw"))),
+            "_w",
+        ).join(
+            F.broadcast(rating.select(F.col("_item").alias("_l"), F.col("_rt").alias("_rl"))),
+            "_l",
+        )
+        ew = 1.0 / (
+            1.0 + F.pow(F.lit(10.0), (F.col("_rl") - F.col("_rw")) / 400.0)
+        )
+        deltas = scored.select(
+            F.col("_w").alias("_item"),
+            (F.lit(float(k_factor)) * F.col("_n") * (1.0 - ew)).alias("_d"),
+        ).unionByName(
+            scored.select(
+                F.col("_l").alias("_item"),
+                (-F.lit(float(k_factor)) * F.col("_n") * (1.0 - ew)).alias("_d"),
+            )
+        )
+        delta = deltas.groupBy("_item").agg(F.sum("_d").alias("_dsum"))
+        rating = (
+            rating.join(delta, "_item", "left")
+            .select(
+                "_item",
+                F.round(
+                    F.col("_rt") + F.coalesce("_dsum", F.lit(0.0)), 9
+                ).alias("_rt"),
+            )
+            .coalesce(1)
+            .localCheckpoint()
+        )
+    wl = (
+        players.join(
+            counts.groupBy(F.col("_w").alias("_item")).agg(F.sum("_n").alias("wins")),
+            "_item",
+            "left",
+        )
+        .join(
+            counts.groupBy(F.col("_l").alias("_item")).agg(F.sum("_n").alias("losses")),
+            "_item",
+            "left",
+        )
+        .select(
+            "_item",
+            F.coalesce("wins", F.lit(0)).alias("wins"),
+            F.coalesce("losses", F.lit(0)).alias("losses"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    out = rating.join(wl, "_item").select(
+        F.col("_item").alias("item"),
+        F.round("_rt", 4).alias("rating"),
+        "wins",
+        "losses",
+        (F.col("wins") + F.col("losses")).alias("n_matches"),
+    )
+    return out.withColumn(
+        "rank",
+        F.row_number().over(_W.orderBy(F.desc("rating"), F.asc("item"))),
+    ).orderBy("rank")

@@ -744,3 +744,58 @@ def flesch_readability(
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("fre"),
         F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical-diversity panel from the token frequency
+    spectrum — the corpus-health dashboard row that separates rich
+    natural text from template spam before any model-based scoring:
+
+    * ``ttr``        type-token ratio V/N (collapses on boilerplate)
+    * ``hapax_frac`` fraction of vocabulary seen exactly once
+      (crawl dirt and OCR noise push it UP, templates push it DOWN)
+    * ``yule_k``     Yule's characteristic K = 10⁴·(Σ_f f²·V_f − N)/N²
+      — repetition measure that, unlike TTR, is ~invariant to sample
+      size (Yule 1944), so groups of different volume compare fairly.
+
+    Returns one row per group: (``group_col``, ``n_tokens``, ``vocab``,
+    ``ttr``, ``hapax_frac``, ``yule_k``), ratios rounded to 6; groups
+    with < 2 tokens get NULL yule_k (N² denominator degenerate at 0/1).
+
+    Scale shape: one (group, token) count aggregate — map-side
+    combined, the only corpus-sized shuffle — then a group-sized fold.
+    Σf² and all spectrum sums are exact BIGINTs; floats appear only in
+    the final per-group ratios. Same skeleton as source_token_kl.
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(word_tokens(normalize_text(text_col))).alias("_t"),
+    )
+    freq = toks.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_f"))
+    agg = freq.groupBy("_g").agg(
+        F.sum("_f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("_f") == 1, 1).otherwise(0)).alias("_hapax"),
+        F.sum(F.col("_f") * F.col("_f")).alias("_sf2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        "vocab",
+        F.round(F.col("vocab") / n, 6).alias("ttr"),
+        F.round(F.col("_hapax") / F.col("vocab").cast("double"), 6).alias(
+            "hapax_frac"
+        ),
+        F.round(
+            F.when(
+                F.col("n_tokens") >= 2,
+                1e4 * (F.col("_sf2") - F.col("n_tokens")).cast("double") / (n * n),
+            ),
+            6,
+        ).alias("yule_k"),
+    ).orderBy(group_col)
