@@ -484,3 +484,88 @@ def test_semantic_contamination_broadcasts_benchmark(spark):
     plan = plan_of(out)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rouge_pairs_grams_equi_joined(spark):
+    """rouge_n_pairs joins gram counts on the (pair, gram) key — never a
+    cartesian — and the clipped fold is a plain aggregate over that
+    join (no window, no driver collect)."""
+    from valentinus_spark.operators.evaluation import rouge_n_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.select(F.col("doc_id").alias("pid"), F.col("text").alias("ta"))
+    b = docs.select((F.col("doc_id") + 1).alias("pid"), F.col("text").alias("tb"))
+    pairs = a.join(b, "pid").select("pid", "ta", "tb")
+    plan = plan_of(rouge_n_pairs(pairs, "pid", "ta", "tb", n=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ndcg_windows_share_one_exchange(spark):
+    """Both window ranks (by score, by relevance) partition on the query
+    key — Catalyst must plan ONE shuffle for the query key, not two."""
+    from valentinus_spark.operators.evaluation import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [("q", i, float(i % 7), i % 3) for i in range(100)],
+        ["q", "doc", "score", "rel"],
+    )
+    plan = plan_of(ndcg_at_k(df, "q", "doc", "score", "rel"))
+    # hashpartitioning on the query key appears in exactly one Exchange
+    q_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_q" in ln
+    ]
+    assert len(q_exchanges) <= 1, plan
+
+
+def test_elo_rating_joins_are_broadcast(spark):
+    """Each Elo round joins the k-item rating table into the round's
+    match counts as a BROADCAST join (the rating table is k rows) —
+    a shuffle join per round would pay rounds x full exchanges."""
+    from valentinus_spark.operators.preference import elo_ratings
+
+    df = spark.createDataFrame(
+        [("A", "B", 1), ("B", "C", 1), ("C", "A", 2)],
+        ["winner", "loser", "round"],
+    )
+    plan = plan_of(elo_ratings(df))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assortativity_single_scan_moment_fold(spark):
+    """degree_assortativity's moment fold is one aggregate over the
+    degree-attached edges — no window, no cartesian; degree attach is
+    an equi-join on the node key."""
+    from valentinus_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], ["src", "dst"]
+    )
+    plan = plan_of(degree_assortativity(edges))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_decayed_popularity_single_corpus_shuffle(spark):
+    """decayed_popularity's only corpus-sized exchange is the (key, day)
+    aggregate; the reference date attaches as a broadcast single-row
+    frame (BroadcastNestedLoopJoin over 1 row is the cheap pattern)."""
+    import datetime
+
+    from valentinus_spark.operators.rollup import decayed_popularity
+
+    df = spark.createDataFrame(
+        [("k%d" % (i % 5), datetime.datetime(2024, 1, 1 + i % 28), float(i))
+         for i in range(500)],
+        ["k", "ts", "value"],
+    )
+    plan = plan_of(decayed_popularity(df, "k", "ts", "value"))
+    assert "CartesianProduct" not in plan
+    # corpus-keyed hash exchanges: the (key, day) partial agg + final
+    # key agg — no third corpus shuffle
+    corpus_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(corpus_exchanges) <= 2, plan

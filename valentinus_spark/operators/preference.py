@@ -245,14 +245,25 @@ def elo_ratings(
             .coalesce(1)
             .localCheckpoint()
         )
+    # final assembly: every frame here is k-item-sized — broadcast the
+    # win/loss aggregates so the assembly is exchange-free on the
+    # checkpointed rating table
     wl = (
         players.join(
-            counts.groupBy(F.col("_w").alias("_item")).agg(F.sum("_n").alias("wins")),
+            F.broadcast(
+                counts.groupBy(F.col("_w").alias("_item")).agg(
+                    F.sum("_n").alias("wins")
+                )
+            ),
             "_item",
             "left",
         )
         .join(
-            counts.groupBy(F.col("_l").alias("_item")).agg(F.sum("_n").alias("losses")),
+            F.broadcast(
+                counts.groupBy(F.col("_l").alias("_item")).agg(
+                    F.sum("_n").alias("losses")
+                )
+            ),
             "_item",
             "left",
         )
@@ -264,7 +275,7 @@ def elo_ratings(
     )
     from pyspark.sql import Window as _W
 
-    out = rating.join(wl, "_item").select(
+    out = rating.join(F.broadcast(wl), "_item").select(
         F.col("_item").alias("item"),
         F.round("_rt", 4).alias("rating"),
         "wins",
