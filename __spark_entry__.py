@@ -4869,6 +4869,40 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (operators/
+    quality.py::char_entropy) — the tokenizer-free garbage detector
+    (base64 ≈ 6 bits, natural text ≈ 4-4.5, spam ≈ 0). Exact integer
+    char counts; the log fold replays in DuckDB."""
+    from valentinus_spark.operators.quality import char_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy(docs).orderBy("doc_id")
+
+
+def q_source_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth fit per source (operators/
+    quality.py::heaps_law): β ≈ 0 = saturated template source (stop
+    crawling it), β → 1 = near-random strings. Doc order, cumulative
+    token/vocab counts, and the OLS fold all replay in DuckDB."""
+    from valentinus_spark.operators.quality import heaps_law
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    return heaps_law(docs, "source")
+
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram novelty (operators/dedup.py::ngram_novelty):
+    fraction of a doc's distinct word trigrams appearing in no other
+    document — the information-added score, inverse of the near-dup
+    family. Inverted-index skeleton (gram-keyed df count + join back),
+    fully replayed in DuckDB."""
+    from valentinus_spark.operators.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_novelty(docs, n=3)
+
+
 def q_krippendorff_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Krippendorff's alpha (operators/evaluation.py::krippendorff_alpha)
     over the SAME 3-rater synthetic panel as fleiss_lang_raters but with
@@ -5095,6 +5129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_lang": q_krippendorff_lang,  # added r5 (post-rotation) — r6 window candidate
         "source_lexical_diversity": q_source_lexical_diversity,  # added r5 (post-rotation) — r6 window candidate
         "elo_brand_ratings": q_elo_brand_ratings,  # added r5 (post-rotation) — r6 window candidate
+        "doc_char_entropy": q_doc_char_entropy,  # added r5 (post-rotation) — r6 window candidate
+        "source_heaps_law": q_source_heaps_law,  # added r5 (post-rotation) — r6 window candidate
+        "doc_ngram_novelty": q_doc_ngram_novelty,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8225,6 +8262,96 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "doc_char_entropy": """
+            WITH chars AS (
+                SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+                FROM documents
+            ),
+            counts AS (
+                SELECT doc_id, ch, COUNT(*)::BIGINT AS c
+                FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       SUM(c)::BIGINT AS n_chars,
+                       COUNT(*)::BIGINT AS distinct_chars,
+                       SUM(c::DOUBLE * log2(c::DOUBLE)) AS clogc
+                FROM counts GROUP BY doc_id
+            )
+            SELECT doc_id, n_chars, distinct_chars,
+                   ROUND(log2(n_chars::DOUBLE) - clogc / n_chars, 4) AS entropy
+            FROM per_doc WHERE n_chars > 0 ORDER BY doc_id
+        """,
+        "source_heaps_law": """
+            WITH toks AS (
+                SELECT source AS g, doc_id AS id,
+                       unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS t
+                FROM documents
+            ),
+            doc_n AS (
+                SELECT g, id, COUNT(*)::BIGINT AS dn,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) AS r
+                FROM toks GROUP BY g, id
+            ),
+            first_seen AS (
+                SELECT toks.g, toks.t, MIN(doc_n.r) AS fr
+                FROM toks JOIN doc_n ON toks.g = doc_n.g AND toks.id = doc_n.id
+                GROUP BY toks.g, toks.t
+            ),
+            new_vocab AS (
+                SELECT g, fr AS r, COUNT(*)::BIGINT AS nv FROM first_seen GROUP BY g, fr
+            ),
+            pts AS (
+                SELECT d.g,
+                       SUM(d.dn) OVER (PARTITION BY d.g ORDER BY d.r)::BIGINT AS ncum,
+                       SUM(COALESCE(v.nv, 0)) OVER (PARTITION BY d.g ORDER BY d.r)::BIGINT AS vcum
+                FROM doc_n d LEFT JOIN new_vocab v ON v.g = d.g AND v.r = d.r
+            ),
+            logs AS (
+                SELECT g, log10(ncum::DOUBLE) AS x, log10(vcum::DOUBLE) AS y,
+                       ncum, vcum
+                FROM pts WHERE ncum > 0
+            ),
+            ols AS (
+                SELECT g,
+                       COUNT(*)::BIGINT AS n_docs,
+                       MAX(ncum)::BIGINT AS n_tokens,
+                       MAX(vcum)::BIGINT AS vocab,
+                       AVG(x) AS mx, AVG(y) AS my,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM logs GROUP BY g
+            )
+            SELECT g AS source, n_docs, n_tokens, vocab,
+                   ROUND(CASE WHEN n_docs >= 2 AND (sxx - n_docs * mx * mx) > 1e-12
+                              THEN (sxy - n_docs * mx * my) / (sxx - n_docs * mx * mx)
+                         END, 6) AS beta,
+                   ROUND(CASE WHEN n_docs >= 2 AND (sxx - n_docs * mx * mx) > 1e-12
+                              THEN POWER(10.0, my - ((sxy - n_docs * mx * my) / (sxx - n_docs * mx * mx)) * mx)
+                         END, 6) AS k
+            FROM ols ORDER BY source
+        """,
+        "doc_ngram_novelty": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(w) = 0 THEN []
+                                   WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                                   ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' '))
+                              END) AS g
+                FROM words
+            ),
+            dfreq AS (SELECT g, COUNT(*)::BIGINT AS df FROM grams GROUP BY g)
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_grams,
+                   SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS novel_grams,
+                   ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS novelty
+            FROM grams JOIN dfreq USING (g)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "krippendorff_lang": """
             WITH raters AS (
                 SELECT doc_id, lang, unnest([0, 1, 2]) AS r FROM documents

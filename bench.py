@@ -169,6 +169,9 @@ BENCH_QUERIES = [
     "krippendorff_lang",
     "source_lexical_diversity",
     "elo_brand_ratings",
+    "doc_char_entropy",
+    "source_heaps_law",
+    "doc_ngram_novelty",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -203,7 +206,7 @@ BENCH_FAMILIES = {
         "dedup_clusters_star", "incremental_dedup", "incremental_neardup",
         "semantic_dedup", "setsim_join", "entity_linkage",
         "name_edit_distance", "dedup_paragraphs", "incremental_components",
-        "tfidf_cosine_pairs",
+        "tfidf_cosine_pairs", "doc_ngram_novelty",
     ],
     "text": [
         "text_stats", "bm25_search", "lang_id_heuristic", "quality_kept",
@@ -217,6 +220,7 @@ BENCH_FAMILIES = {
         "fleiss_lang_raters", "ndcg_retrieval", "field_mutual_info",
         "doc_readability", "source_rank_normalize",
         "krippendorff_lang", "source_lexical_diversity",
+        "doc_char_entropy", "source_heaps_law",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",

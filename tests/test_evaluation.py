@@ -333,3 +333,120 @@ def test_lexical_diversity_groups_and_degenerate(spark):
     assert out["g1"].yule_k == pytest.approx(7500.0)
     # g2: single token → yule_k NULL
     assert out["g2"].yule_k is None
+
+
+# --------------------------------------------------------- char entropy
+
+
+def test_char_entropy_hand_examples(spark):
+    from valentinus_spark.operators import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert out[1].entropy == pytest.approx(0.0)  # single char
+    assert out[2].entropy == pytest.approx(1.0)  # uniform 2
+    assert out[3].entropy == pytest.approx(2.0)  # uniform 4
+    assert 4 not in out  # empty doc dropped
+    assert out[3].distinct_chars == 4 and out[3].n_chars == 4
+
+
+def test_char_entropy_weighted(spark):
+    from valentinus_spark.operators import char_entropy
+
+    # "aab": p=[2/3, 1/3] → H = log2(3) − (2·1)/3 = 0.918295...
+    df = spark.createDataFrame([(1, "aab")], ["doc_id", "text"])
+    out = char_entropy(df).collect()[0]
+    assert out.entropy == pytest.approx(
+        math.log2(3) - 2 / 3, abs=1e-4
+    )
+
+
+# --------------------------------------------------------- Heaps' law
+
+
+def test_heaps_law_saturating_vs_growing(spark):
+    from valentinus_spark.operators import heaps_law
+
+    # saturating: same 2 tokens forever → V flat → beta ≈ 0
+    sat = [("s", i, "x y") for i in range(8)]
+    # growing: all-new tokens each doc → V = N → beta = 1
+    grow = [("g", i, f"t{2*i} t{2*i+1}") for i in range(8)]
+    df = spark.createDataFrame(sat + grow, ["src", "doc_id", "text"])
+    out = {r.src: r for r in heaps_law(df, "src").collect()}
+    assert out["s"].beta == pytest.approx(0.0, abs=1e-6)
+    assert out["g"].beta == pytest.approx(1.0, abs=1e-6)
+    assert out["g"].k == pytest.approx(1.0, abs=1e-4)
+    assert out["s"].vocab == 2 and out["s"].n_tokens == 16
+
+
+def test_heaps_law_single_doc_null(spark):
+    from valentinus_spark.operators import heaps_law
+
+    df = spark.createDataFrame([("s", 1, "a b c")], ["src", "doc_id", "text"])
+    out = heaps_law(df, "src").collect()[0]
+    assert out.beta is None and out.n_docs == 1
+
+
+def test_heaps_law_matches_python_ols(spark):
+    from valentinus_spark.operators import heaps_law
+
+    docs = [
+        ("s", 0, "a b c d"),
+        ("s", 1, "a b e f g"),
+        ("s", 2, "a c e h"),
+        ("s", 3, "i j a b c d e"),
+    ]
+    df = spark.createDataFrame(docs, ["src", "doc_id", "text"])
+    out = heaps_law(df, "src").collect()[0]
+    # python replica
+    seen, N, V, xs, ys = set(), 0, 0, [], []
+    for _, _, text in docs:
+        toks = text.split()
+        N += len(toks)
+        for t in toks:
+            if t not in seen:
+                seen.add(t)
+                V += 1
+        xs.append(math.log10(N))
+        ys.append(math.log10(V))
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    beta = (sum(x * y for x, y in zip(xs, ys)) - n * mx * my) / (
+        sum(x * x for x in xs) - n * mx * mx
+    )
+    assert out.beta == pytest.approx(beta, abs=1e-6)
+    assert out.k == pytest.approx(10 ** (my - beta * mx), abs=1e-4)
+
+
+# ------------------------------------------------------ n-gram novelty
+
+
+def test_ngram_novelty_unique_vs_shared(spark):
+    from valentinus_spark.operators import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares grams with doc 2
+            (2, "the quick brown fox sleeps"),
+            (3, "entirely different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+    # doc3's grams appear nowhere else → novelty 1
+    assert out[3].novelty == pytest.approx(1.0)
+    # docs 1/2 share "the quick brown" and "quick brown fox" (2 of 3)
+    assert out[1].n_grams == 3 and out[1].novel_grams == 1
+    assert out[1].novelty == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_ngram_novelty_exact_dup_zero(spark):
+    from valentinus_spark.operators import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in ngram_novelty(df, n=2).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
