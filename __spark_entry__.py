@@ -4869,6 +4869,18 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bursty terms (operators/quality.py::term_burstiness,
+    Church & Gale dispersion): variance-to-mean of per-doc term counts
+    with exact zero handling (absences contribute nothing to Σc/Σc², so
+    no doc×vocab expansion). The boilerplate-candidate list. All moment
+    sums exact BIGINTs; the fold replays in DuckDB."""
+    from valentinus_spark.operators.quality import term_burstiness
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return term_burstiness(docs, min_df=5, topk=50)
+
+
 def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-distribution Shannon entropy (operators/
     quality.py::char_entropy) — the tokenizer-free garbage detector
@@ -5132,6 +5144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_entropy": q_doc_char_entropy,  # added r5 (post-rotation) — r6 window candidate
         "source_heaps_law": q_source_heaps_law,  # added r5 (post-rotation) — r6 window candidate
         "doc_ngram_novelty": q_doc_ngram_novelty,  # added r5 (post-rotation) — r6 window candidate
+        "term_burstiness": q_term_burstiness,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8262,6 +8275,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "term_burstiness": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS t
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, t, COUNT(*)::BIGINT AS c FROM toks GROUP BY doc_id, t),
+            per_term AS (
+                SELECT t, COUNT(*)::BIGINT AS df, SUM(c)::BIGINT AS total_tf,
+                       SUM(c * c)::BIGINT AS sc2
+                FROM tf GROUP BY t
+            ),
+            d AS (SELECT COUNT(*)::BIGINT AS nd FROM documents)
+            SELECT t AS term, df, total_tf,
+                   ROUND(total_tf::DOUBLE / nd, 6) AS mean_tf,
+                   ROUND(((sc2 - nd * (total_tf::DOUBLE / nd) * (total_tf::DOUBLE / nd)) / (nd - 1.0))
+                         / (total_tf::DOUBLE / nd), 6) AS vmr
+            FROM per_term, d
+            WHERE df >= 5 AND nd >= 2
+            ORDER BY ROUND(((sc2 - nd * (total_tf::DOUBLE / nd) * (total_tf::DOUBLE / nd)) / (nd - 1.0))
+                     / (total_tf::DOUBLE / nd), 6) DESC, term
+            LIMIT 50
+        """,
         "doc_char_entropy": """
             WITH chars AS (
                 SELECT doc_id, unnest(string_split_regex(text, '')) AS ch

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "doc_char_entropy",
     "source_heaps_law",
     "doc_ngram_novelty",
+    "term_burstiness",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -220,7 +221,7 @@ BENCH_FAMILIES = {
         "fleiss_lang_raters", "ndcg_retrieval", "field_mutual_info",
         "doc_readability", "source_rank_normalize",
         "krippendorff_lang", "source_lexical_diversity",
-        "doc_char_entropy", "source_heaps_law",
+        "doc_char_entropy", "source_heaps_law", "term_burstiness",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",

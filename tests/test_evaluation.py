@@ -450,3 +450,43 @@ def test_ngram_novelty_exact_dup_zero(spark):
     )
     out = {r.doc_id: r for r in ngram_novelty(df, n=2).collect()}
     assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+
+
+# ----------------------------------------------------- term burstiness
+
+
+def test_term_burstiness_hand_computed(spark):
+    from valentinus_spark.operators import term_burstiness
+
+    # D=3. x: df=1 Σc=4 Σc²=16 → μ=4/3 var=16/3 vmr=4
+    #      y: df=2 Σc=2 Σc²=2  → μ=2/3 var=1/3  vmr=0.5
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "y"), (3, "y")], ["doc_id", "text"]
+    )
+    out = term_burstiness(df, min_df=1, topk=10).collect()
+    assert [r.term for r in out] == ["x", "y"]
+    assert out[0].vmr == pytest.approx(4.0)
+    assert out[0].df == 1 and out[0].total_tf == 4
+    assert out[1].vmr == pytest.approx(0.5)
+    assert out[1].mean_tf == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_term_burstiness_min_df_filter(spark):
+    from valentinus_spark.operators import term_burstiness
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b"), (3, "b c")], ["doc_id", "text"]
+    )
+    out = term_burstiness(df, min_df=2, topk=10).collect()
+    assert {r.term for r in out} == {"b"}  # a (df=1), c (df=1) filtered
+
+
+def test_term_burstiness_uniform_term_low_vmr(spark):
+    from valentinus_spark.operators import term_burstiness
+
+    # same count in every doc → var = 0 → vmr = 0
+    df = spark.createDataFrame(
+        [(i, "the quick") for i in range(6)], ["doc_id", "text"]
+    )
+    out = {r.term: r for r in term_burstiness(df, min_df=1).collect()}
+    assert out["the"].vmr == pytest.approx(0.0)

@@ -569,3 +569,40 @@ def test_decayed_popularity_single_corpus_shuffle(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(corpus_exchanges) <= 2, plan
+
+
+def test_char_entropy_zero_shuffle(spark):
+    """char_entropy is a pure narrow map (run-length fold over the
+    sorted char array) — the plan must contain NO hash-partitioning
+    exchange (only the round-robin parallelism spread) and no join."""
+    from valentinus_spark.operators.quality import char_entropy
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(char_entropy(docs))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_ngram_novelty_gram_equi_join_no_pairs(spark):
+    """ngram_novelty joins the df table back on the GRAM key — never a
+    cartesian or a doc-pair join — and repartitions before shingling
+    (single-file cliff)."""
+    from valentinus_spark.operators.dedup import ngram_novelty
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(ngram_novelty(docs, n=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    flat = plan.replace("\n", " ")
+    assert "Exchange RoundRobinPartitioning" in flat or "REPARTITION_BY_NUM" in flat
+
+
+def test_heaps_law_windows_on_group_key(spark):
+    """heaps_law's cumulative sums must window on the group key (one
+    group-keyed sort per window family), with no cartesian anywhere."""
+    from valentinus_spark.operators.quality import heaps_law
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(heaps_law(docs, "source"))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

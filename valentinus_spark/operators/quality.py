@@ -970,3 +970,60 @@ def heaps_law(
             6,
         ).alias("k"),
     ).orderBy(group_col)
+
+
+def term_burstiness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """Term burstiness: the variance-to-mean ratio (index of dispersion)
+    of each term's per-document count, over ALL documents (absences
+    count as zeros). VMR ≈ 1 is Poisson scatter (function words); VMR ≫
+    1 is a BURSTY term — concentrated in few docs at high counts, the
+    signature of topical vocabulary, but also of template blocks and
+    spam keywords when paired with high df. Church & Gale (1995)
+    adaptation used in corpus linguistics; in a curation pipeline the
+    high-VMR/high-df corner is the boilerplate candidate list.
+
+    Zeros are handled exactly WITHOUT materializing doc×vocab rows:
+    with D docs, per-term Σc and Σc² over docs-containing equal the
+    full-population sums (absent docs contribute 0), so
+
+        μ = Σc / D,   s² = (Σc² − D·μ²) / (D − 1),   vmr = s²/μ
+
+    Returns the ``topk`` highest-VMR terms with document frequency ≥
+    ``min_df``: (``term``, ``df``, ``total_tf``, ``mean_tf``, ``vmr``),
+    rounded to 6, ties broken by term ascending.
+
+    Scale shape: one (doc, term) count aggregate, one term-keyed fold
+    (all moment sums exact BIGINTs), a broadcast single-row D, and a
+    top-k TakeOrderedAndProject. Never a doc×vocab expansion.
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_tokens(normalize_text(text_col))).alias("_t"),
+    )
+    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    per_term = tf.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("_c").alias("total_tf"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_sc2"),
+    )
+    ndocs = df.select(F.count(F.lit(1)).alias("_D"))
+    mu = F.col("total_tf").cast("double") / F.col("_D")
+    var = (F.col("_sc2") - F.col("_D") * mu * mu) / (F.col("_D") - 1.0)
+    scored = (
+        per_term.crossJoin(F.broadcast(ndocs))
+        .filter((F.col("df") >= min_df) & (F.col("_D") >= 2))
+        .select(
+            F.col("_t").alias("term"),
+            "df",
+            "total_tf",
+            F.round(mu, 6).alias("mean_tf"),
+            F.round(var / mu, 6).alias("vmr"),
+        )
+    )
+    return scored.orderBy(F.desc("vmr"), "term").limit(topk)
