@@ -4869,6 +4869,39 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test (operators/validate.py::ks_test) between the
+    click and view event-value distributions — the bin-free drift gate
+    next to psi_price_drift. Distinct-value counts, the ECDF sweep, and
+    the asymptotic p all replay in DuckDB."""
+    from valentinus_spark.operators.validate import ks_test
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return ks_test(ev, "event_type", "value", "click", "view")
+
+
+def q_w1_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein distance (operators/validate.py::
+    wasserstein_1d) between the click and view event-value
+    distributions — the transport-weighted member of the drift panel
+    (PSI binned, KS sup, W1 exact mass-distance). Replays in DuckDB."""
+    from valentinus_spark.operators.validate import wasserstein_1d
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return wasserstein_1d(ev, "event_type", "value", "click", "view")
+
+
+def q_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test + Cramér's V (operators/
+    validate.py::chi_squared) between source and lang — the
+    significance companion to field_mutual_info on the same joint
+    table, zero-cells folded algebraically. Replays in DuckDB."""
+    from valentinus_spark.operators.validate import chi_squared
+
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    return chi_squared(docs, "source", "lang")
+
+
 def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 bursty terms (operators/quality.py::term_burstiness,
     Church & Gale dispersion): variance-to-mean of per-doc term counts
@@ -5145,6 +5178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_heaps_law": q_source_heaps_law,  # added r5 (post-rotation) — r6 window candidate
         "doc_ngram_novelty": q_doc_ngram_novelty,  # added r5 (post-rotation) — r6 window candidate
         "term_burstiness": q_term_burstiness,  # added r5 (post-rotation) — r6 window candidate
+        "ks_value_drift": q_ks_value_drift,  # added r5 (post-rotation) — r6 window candidate
+        "w1_value_drift": q_w1_value_drift,  # added r5 (post-rotation) — r6 window candidate
+        "chi2_source_lang": q_chi2_source_lang,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8275,6 +8311,82 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "ks_value_drift": """
+            WITH vals AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+                FROM events
+                WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+            ),
+            per_val AS (
+                SELECT v, SUM(ia)::BIGINT AS ca, SUM(1 - ia)::BIGINT AS cb
+                FROM vals GROUP BY v
+            ),
+            tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM per_val),
+            cum AS (
+                SELECT SUM(ca) OVER (ORDER BY v)::BIGINT AS cuma,
+                       SUM(cb) OVER (ORDER BY v)::BIGINT AS cumb
+                FROM per_val
+            ),
+            d AS (
+                SELECT MAX(ABS(cuma::DOUBLE / na - cumb::DOUBLE / nb)) AS dd
+                FROM cum, tot
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   ROUND(CASE WHEN na > 0 AND nb > 0 THEN dd END, 6) AS d_stat,
+                   ROUND(CASE WHEN na > 0 AND nb > 0 THEN
+                              LEAST(1.0, 2.0 * EXP(-2.0 * dd * dd * (na::DOUBLE * nb / (na + nb))))
+                         END, 6) AS p_value
+            FROM d, tot
+        """,
+        "w1_value_drift": """
+            WITH vals AS (
+                SELECT CAST(value AS DOUBLE) AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+                FROM events
+                WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+            ),
+            per_val AS (
+                SELECT v, SUM(ia)::BIGINT AS ca, SUM(1 - ia)::BIGINT AS cb
+                FROM vals GROUP BY v
+            ),
+            tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM per_val),
+            cum AS (
+                SELECT v,
+                       SUM(ca) OVER (ORDER BY v)::BIGINT AS cuma,
+                       SUM(cb) OVER (ORDER BY v)::BIGINT AS cumb,
+                       LEAD(v) OVER (ORDER BY v) AS nx
+                FROM per_val
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   ROUND(SUM(CASE WHEN nx IS NOT NULL
+                                  THEN ABS(cuma::DOUBLE / na - cumb::DOUBLE / nb) * (nx - v)
+                                  ELSE 0.0 END), 6) AS w1
+            FROM cum, tot GROUP BY na, nb
+        """,
+        "chi2_source_lang": """
+            WITH pairs AS (
+                SELECT source AS a, lang AS b FROM documents
+                WHERE source IS NOT NULL AND lang IS NOT NULL
+            ),
+            joint AS (SELECT a, b, COUNT(*)::BIGINT AS n FROM pairs GROUP BY a, b),
+            ma AS (SELECT a, SUM(n)::BIGINT AS na FROM joint GROUP BY a),
+            mb AS (SELECT b, SUM(n)::BIGINT AS nb FROM joint GROUP BY b),
+            tot AS (SELECT SUM(n)::BIGINT AS t FROM joint),
+            ka AS (SELECT COUNT(*)::BIGINT AS ka FROM ma),
+            kb AS (SELECT COUNT(*)::BIGINT AS kb FROM mb),
+            s AS (
+                SELECT SUM(n::DOUBLE * n / (na::DOUBLE * nb)) AS sv
+                FROM joint JOIN ma USING (a) JOIN mb USING (b)
+            )
+            SELECT t AS n,
+                   ((ka - 1) * (kb - 1))::BIGINT AS dof,
+                   ROUND(t * (sv - 1.0), 6) AS chi2,
+                   ROUND(CASE WHEN LEAST(ka, kb) - 1 > 0
+                              THEN SQRT(GREATEST(t * (sv - 1.0), 0.0) / (t * (LEAST(ka, kb) - 1)))
+                         END, 6) AS cramers_v
+            FROM tot, ka, kb, s
+        """,
         "term_burstiness": """
             WITH toks AS (
                 SELECT doc_id,

@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     "source_heaps_law",
     "doc_ngram_novelty",
     "term_burstiness",
+    "ks_value_drift",
+    "w1_value_drift",
+    "chi2_source_lang",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -222,6 +225,7 @@ BENCH_FAMILIES = {
         "doc_readability", "source_rank_normalize",
         "krippendorff_lang", "source_lexical_diversity",
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
+        "chi2_source_lang",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -241,6 +245,7 @@ BENCH_FAMILIES = {
         "events_windowed", "events_sessionize", "events_windowed_stream",
         "events_rollup_merge", "events_sliding_window", "stream_components",
         "trailing_anomaly", "event_decayed_popularity",
+        "ks_value_drift", "w1_value_drift",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

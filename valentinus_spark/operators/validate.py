@@ -215,3 +215,205 @@ def dp_group_counts(
     noisy = counts.withColumn("_dp", F.col("_n") + _geom("a") - _geom("b"))
     out = F.greatest(F.col("_dp"), F.lit(0)) if clamp_nonneg else F.col("_dp")
     return noisy.select(*group_cols, out.alias("dp_count"))
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the ``value_col``
+    distributions of two groups — the standard "did this feed's
+    distribution shift" gate, sharper than binned PSI because it needs
+    no bin design:
+
+        D = sup_x |F_a(x) − F_b(x)|
+        p ≈ 2·exp(−2 D² n_a n_b / (n_a + n_b))   (asymptotic, 1-term)
+
+    Returns ONE row: (``n_a``, ``n_b``, ``d_stat``, ``p_value``),
+    rounded to 6. NULL D when either group is empty.
+
+    Scale shape: the corpus first collapses to DISTINCT-VALUE counts
+    per group (one map-side-combined aggregate — the only corpus-sized
+    shuffle); the ECDF sweep is ONE ordered window over the distinct-
+    value table, which is bounded by the value domain, not the row
+    count. For unbounded continuous domains at extreme scale, quantize
+    first (quantile_discretize) — the ordered sweep is inherent to
+    exact KS. Cumulative counts are exact BIGINTs; floats appear only
+    in the final |Fa−Fb| comparison.
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(
+        F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("_v"),
+        F.when(F.col(group_col) == F.lit(group_a), 1).otherwise(0).alias("_ia"),
+    )
+    per_val = vals.groupBy("_v").agg(
+        F.sum("_ia").alias("_ca"),
+        F.sum(1 - F.col("_ia")).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_val.select(
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+    )
+    tot = per_val.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("_cuma").cast("double") / F.col("_na")
+                - F.col("_cumb").cast("double") / F.col("_nb")
+            )
+        ).alias("_d"),
+        F.first("_na").alias("n_a"),
+        F.first("_nb").alias("n_b"),
+    )
+    nab = F.col("n_a").cast("double") * F.col("n_b") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round(F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("_d")), 6).alias(
+            "d_stat"
+        ),
+        F.round(
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.least(
+                    F.lit(1.0),
+                    2.0 * F.exp(-2.0 * F.col("_d") * F.col("_d") * nab),
+                ),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def chi_squared(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-squared independence test between two categorical
+    columns, plus Cramér's V effect size — the significance companion
+    to evaluation.mutual_information (MI says how MUCH information is
+    shared; χ² says whether the association beats sampling noise):
+
+        χ² = Σ_cells (o − e)²/e  with e = n_a·n_b/n
+           = n · (Σ_observed o²/(n_a·n_b) − 1)     ← zero-cells exact,
+        V  = sqrt(χ² / (n · (min(|A|,|B|) − 1)))     no |A|×|B| expansion
+
+    Returns ONE row: (``n``, ``dof``, ``chi2``, ``cramers_v``), rounded
+    to 6; NULL V when either column is constant (dof factor 0).
+
+    Scale shape: identical skeleton to mutual_information — one (a, b)
+    joint-count aggregate, marginals derived from it, category-sized
+    folds. The o=0 cells are folded algebraically (Σ_all o²/e − n), so
+    the plan never materializes the full contingency rectangle.
+    """
+    pairs = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    joint = pairs.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    ma = joint.groupBy("_a").agg(F.sum("_n").alias("_na"))
+    mb = joint.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+    tot = joint.agg(F.sum("_n").alias("_tot"))
+    ka = ma.agg(F.count(F.lit(1)).alias("_ka"))
+    kb = mb.agg(F.count(F.lit(1)).alias("_kb"))
+    terms = (
+        joint.join(ma, "_a")
+        .join(mb, "_b")
+        .agg(
+            F.sum(
+                F.col("_n").cast("double") * F.col("_n")
+                / (F.col("_na").cast("double") * F.col("_nb"))
+            ).alias("_s")
+        )
+    )
+    out = (
+        tot.crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(kb))
+    )
+    chi2 = F.col("_tot") * (F.col("_s") - 1.0)
+    mink = F.least(F.col("_ka"), F.col("_kb")) - 1
+    return out.select(
+        F.col("_tot").alias("n"),
+        ((F.col("_ka") - 1) * (F.col("_kb") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.when(mink > 0, F.sqrt(F.greatest(chi2, F.lit(0.0)) / (F.col("_tot") * mink))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    groups' value distributions: W₁ = ∫|F_a(x) − F_b(x)| dx — the
+    drift metric that, unlike KS's sup norm, weights HOW FAR the mass
+    moved (a 1% tail excursion to 100× the median dominates W₁ but
+    barely moves D). Pairs with psi_drift (binned) and ks_test (sup)
+    as the exact-transport member of the drift panel.
+
+    Returns ONE row: (``n_a``, ``n_b``, ``w1``) rounded to 6 — the sum
+    of |F_a − F_b|·Δx over consecutive distinct values.
+
+    Scale shape: same skeleton as ks_test — corpus collapses to
+    distinct-value counts (one shuffle), then one ordered window over
+    the distinct-value table (lead(x) supplies Δx). Exact integer
+    cumulative counts; quantize unbounded domains first at extreme
+    scale.
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(
+        F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.when(F.col(group_col) == F.lit(group_a), 1).otherwise(0).alias("_ia"),
+    )
+    per_val = vals.groupBy("_v").agg(
+        F.sum("_ia").alias("_ca"),
+        F.sum(1 - F.col("_ia")).alias("_cb"),
+    )
+    wo = Window.orderBy("_v")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_val.select(
+        "_v",
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.lead("_v").over(wo).alias("_nx"),
+    )
+    tot = per_val.agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("_na").alias("n_a"),
+            F.first("_nb").alias("n_b"),
+            F.sum(
+                F.when(
+                    F.col("_nx").isNotNull(),
+                    F.abs(
+                        F.col("_cuma").cast("double") / F.col("_na")
+                        - F.col("_cumb").cast("double") / F.col("_nb")
+                    )
+                    * (F.col("_nx") - F.col("_v")),
+                ).otherwise(0.0)
+            ).alias("_w1"),
+        )
+        .select("n_a", "n_b", F.round("_w1", 6).alias("w1"))
+    )
