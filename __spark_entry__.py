@@ -4869,6 +4869,25 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ + Kendall τ-b (operators/evaluation.py::
+    rank_correlation) between char-length and word-count rankings per
+    source — do the two cheap length scorers order documents the same
+    way? Average ranks, the Pearson-on-ranks fold, and the τ-b pair
+    enumeration all replay in DuckDB."""
+    from valentinus_spark.operators.evaluation import rank_correlation
+    from valentinus_spark.functions.text import normalize_text, word_tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("double").alias("len_score"),
+        F.size(word_tokens(normalize_text("text"))).cast("double").alias(
+            "word_score"
+        ),
+    )
+    return rank_correlation(docs, "source", "len_score", "word_score")
+
+
 def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS test (operators/validate.py::ks_test) between the
     click and view event-value distributions — the bin-free drift gate
@@ -5181,6 +5200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_value_drift": q_ks_value_drift,  # added r5 (post-rotation) — r6 window candidate
         "w1_value_drift": q_w1_value_drift,  # added r5 (post-rotation) — r6 window candidate
         "chi2_source_lang": q_chi2_source_lang,  # added r5 (post-rotation) — r6 window candidate
+        "rank_agreement": q_rank_agreement,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8311,6 +8331,59 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "rank_agreement": """
+            WITH scored AS (
+                SELECT source AS g,
+                       CAST(n_chars AS DOUBLE) AS sa,
+                       CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS DOUBLE) AS sb
+                FROM documents
+            ),
+            ranked AS (
+                SELECT g, sa, sb,
+                       RANK() OVER (PARTITION BY g ORDER BY sa)
+                         + (COUNT(*) OVER (PARTITION BY g, sa) - 1) / 2.0 AS ra,
+                       RANK() OVER (PARTITION BY g ORDER BY sb)
+                         + (COUNT(*) OVER (PARTITION BY g, sb) - 1) / 2.0 AS rb
+                FROM scored
+            ),
+            mom AS (
+                SELECT g, COUNT(*)::BIGINT AS n,
+                       SUM(ra) AS sra, SUM(rb) AS srb,
+                       SUM(ra * rb) AS srab, SUM(ra * ra) AS sraa,
+                       SUM(rb * rb) AS srbb
+                FROM ranked GROUP BY g
+            ),
+            rho AS (
+                SELECT g, n,
+                       ROUND(CASE WHEN (sraa - sra * sra / n) > 1e-12
+                                   AND (srbb - srb * srb / n) > 1e-12
+                                  THEN (srab - sra * srb / n)
+                                       / SQRT((sraa - sra * sra / n) * (srbb - srb * srb / n))
+                             END, 6) AS spearman_rho
+                FROM mom
+            ),
+            pairs AS (
+                SELECT l.g,
+                       CASE WHEN l.sa <> r.sa AND l.sb <> r.sb
+                            THEN SIGN((l.sa - r.sa) * (l.sb - r.sb)) ELSE 0.0 END AS s,
+                       CASE WHEN l.sa = r.sa THEN 1 ELSE 0 END AS tie_a,
+                       CASE WHEN l.sb = r.sb THEN 1 ELSE 0 END AS tie_b
+                FROM ranked l JOIN ranked r
+                  ON l.g = r.g
+                 AND (l.ra < r.ra OR (l.ra = r.ra AND l.rb < r.rb))
+            ),
+            tau AS (
+                SELECT g,
+                       ROUND(CASE WHEN (COUNT(*) - SUM(tie_a)) * (COUNT(*) - SUM(tie_b)) > 0
+                                  THEN SUM(s) / SQRT((COUNT(*) - SUM(tie_a))::DOUBLE
+                                                     * (COUNT(*) - SUM(tie_b))::DOUBLE)
+                             END, 6) AS kendall_tau
+                FROM pairs GROUP BY g
+            )
+            SELECT rho.g AS source, n, spearman_rho, kendall_tau
+            FROM rho LEFT JOIN tau ON rho.g = tau.g
+            ORDER BY source
+        """,
         "ks_value_drift": """
             WITH vals AS (
                 SELECT value AS v,

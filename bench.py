@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "ks_value_drift",
     "w1_value_drift",
     "chi2_source_lang",
+    "rank_agreement",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -225,7 +226,7 @@ BENCH_FAMILIES = {
         "doc_readability", "source_rank_normalize",
         "krippendorff_lang", "source_lexical_diversity",
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
-        "chi2_source_lang",
+        "chi2_source_lang", "rank_agreement",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",

@@ -490,3 +490,79 @@ def test_term_burstiness_uniform_term_low_vmr(spark):
     )
     out = {r.term: r for r in term_burstiness(df, min_df=1).collect()}
     assert out["the"].vmr == pytest.approx(0.0)
+
+
+# ----------------------------------------------------- rank correlation
+
+
+def test_rank_correlation_perfect_and_reversed(spark):
+    from valentinus_spark.operators import rank_correlation
+
+    rows = [("g", i, float(i), float(i)) for i in range(6)] + [
+        ("h", i, float(i), float(-i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["g", "item", "sa", "sb"])
+    out = {r.g: r for r in rank_correlation(df, "g", "sa", "sb").collect()}
+    assert out["g"].spearman_rho == pytest.approx(1.0)
+    assert out["g"].kendall_tau == pytest.approx(1.0)
+    assert out["h"].spearman_rho == pytest.approx(-1.0)
+    assert out["h"].kendall_tau == pytest.approx(-1.0)
+
+
+def test_rank_correlation_matches_scipy_style_replica(spark):
+    from valentinus_spark.operators import rank_correlation
+
+    sa = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    sb = [2.0, 7.0, 1.0, 8.0, 2.0, 8.0]
+    df = spark.createDataFrame(
+        [("g", i, a, b) for i, (a, b) in enumerate(zip(sa, sb))],
+        ["g", "item", "sa", "sb"],
+    )
+    out = rank_correlation(df, "g", "sa", "sb").collect()[0]
+
+    # python replica: average ranks + pearson; tau-b pair counts
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        ranks = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            r = (i + j) / 2.0 + 1.0
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    ra, rb = avg_ranks(sa), avg_ranks(sb)
+    n = len(sa)
+    mx, my = sum(ra) / n, sum(rb) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(ra, rb))
+    va = sum((x - mx) ** 2 for x in ra)
+    vb = sum((y - my) ** 2 for y in rb)
+    rho = cov / math.sqrt(va * vb)
+    s = ta = tb = npairs = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            npairs += 1
+            da, db = sa[i] - sa[j], sb[i] - sb[j]
+            if da == 0:
+                ta += 1
+            if db == 0:
+                tb += 1
+            if da != 0 and db != 0:
+                s += (1 if da * db > 0 else -1)
+    tau = s / math.sqrt((npairs - ta) * (npairs - tb))
+    assert out.spearman_rho == pytest.approx(rho, abs=1e-6)
+    assert out.kendall_tau == pytest.approx(tau, abs=1e-6)
+
+
+def test_rank_correlation_constant_score_null(spark):
+    from valentinus_spark.operators import rank_correlation
+
+    df = spark.createDataFrame(
+        [("g", i, 1.0, float(i)) for i in range(4)], ["g", "item", "sa", "sb"]
+    )
+    out = rank_correlation(df, "g", "sa", "sb").collect()[0]
+    assert out.spearman_rho is None and out.kendall_tau is None

@@ -19,10 +19,13 @@ SURVEY.md §2.4):
   categorical columns: metadata redundancy audits (is ``lang``
   predictable from ``source``? then stratifying on both double-counts).
 
-All four are pure Catalyst — counts, joins, window ranks, and log
+* :func:`rank_correlation` — Spearman ρ + Kendall τ-b between two
+  scorers: the do-the-rankers-agree audit before fusion (rrf_fuse).
+
+All of these are pure Catalyst — counts, joins, window ranks, and log
 arithmetic; no UDFs, no driver collect — and each is exactly replayable
 in ANSI SQL (driver oracles: rouge_pair_overlap, fleiss_lang_raters,
-ndcg_retrieval, field_mutual_info).
+krippendorff_lang, ndcg_retrieval, field_mutual_info, rank_agreement).
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ __all__ = [
     "krippendorff_alpha",
     "ndcg_at_k",
     "mutual_information",
+    "rank_correlation",
 ]
 
 
@@ -420,4 +424,98 @@ def krippendorff_alpha(
                 F.when(d_e > 0, 1.0 - d_o / d_e), 6
             ).alias("alpha"),
         )
+    )
+
+
+def rank_correlation(
+    scored: DataFrame,
+    group_col: str,
+    score_a: str,
+    score_b: str,
+) -> DataFrame:
+    """Rank agreement between two scorers, per group: Spearman's ρ
+    (Pearson over average ranks — the tie-correct form) and Kendall's
+    τ-b (concordant-vs-discordant pairs with tie normalization) — the
+    do-two-rankers-agree audit run before fusing them (rrf_fuse) or
+    replacing an expensive scorer with a cheap one.
+
+    ``scored`` has one row per (group, item) with both scores. Returns
+    one row per group: (``group_col``, ``n``, ``spearman_rho``,
+    ``kendall_tau``), rounded to 6 — NULL when either score is constant
+    within the group (zero rank variance / all pairs tied).
+
+    Scale shape: ρ costs two group-keyed window rank passes (shared
+    exchange) and a group-sized moment fold — linear. τ enumerates
+    within-group pairs (one self-equi-join on the group key): Σ|g|²
+    work, intended for BOUNDED groups — top-k ranking lists, eval
+    suites — exactly where rank agreement is asked for; gate upstream
+    if a group can be corpus-sized (same contract as bounded-panel
+    linkage blocks).
+    """
+    w_a = Window.partitionBy(group_col).orderBy(score_a)
+    w_b = Window.partitionBy(group_col).orderBy(score_b)
+    # average ranks (tie-correct): rank + (count_of_equal − 1)/2
+    ranked = scored.select(
+        F.col(group_col).alias("_g"),
+        F.col(score_a).alias("_sa"),
+        F.col(score_b).alias("_sb"),
+        (
+            F.rank().over(w_a)
+            + (F.count(F.lit(1)).over(w_a.rangeBetween(0, 0)) - 1) / 2.0
+        ).alias("_ra"),
+        (
+            F.rank().over(w_b)
+            + (F.count(F.lit(1)).over(w_b.rangeBetween(0, 0)) - 1) / 2.0
+        ).alias("_rb"),
+    )
+    mom = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_ra").alias("_sra"),
+        F.sum("_rb").alias("_srb"),
+        F.sum(F.col("_ra") * F.col("_rb")).alias("_srab"),
+        F.sum(F.col("_ra") * F.col("_ra")).alias("_sraa"),
+        F.sum(F.col("_rb") * F.col("_rb")).alias("_srbb"),
+    )
+    nn = F.col("n").cast("double")
+    cov = F.col("_srab") - F.col("_sra") * F.col("_srb") / nn
+    va = F.col("_sraa") - F.col("_sra") * F.col("_sra") / nn
+    vb = F.col("_srbb") - F.col("_srb") * F.col("_srb") / nn
+    rho = mom.select(
+        "_g",
+        "n",
+        F.round(
+            F.when((va > 1e-12) & (vb > 1e-12), cov / F.sqrt(va * vb)), 6
+        ).alias("spearman_rho"),
+    )
+    # Kendall tau-b over within-group pairs
+    l, r = ranked.alias("l"), ranked.alias("r")
+    pairs = l.join(r, F.col("l._g") == F.col("r._g")).where(
+        (F.col("l._ra") < F.col("r._ra"))
+        | ((F.col("l._ra") == F.col("r._ra")) & (F.col("l._rb") < F.col("r._rb")))
+    )
+    sgn = F.signum(
+        (F.col("l._sa") - F.col("r._sa")) * (F.col("l._sb") - F.col("r._sb"))
+    )
+    tie_a = (F.col("l._sa") == F.col("r._sa")).cast("int")
+    tie_b = (F.col("l._sb") == F.col("r._sb")).cast("int")
+    tau = pairs.groupBy(F.col("l._g").alias("_g")).agg(
+        F.sum(F.when((tie_a == 0) & (tie_b == 0), sgn).otherwise(0.0)).alias("_s"),
+        F.count(F.lit(1)).alias("_npairs"),
+        F.sum(tie_a).alias("_ta"),
+        F.sum(tie_b).alias("_tb"),
+    )
+    denom = F.sqrt(
+        (F.col("_npairs") - F.col("_ta")).cast("double")
+        * (F.col("_npairs") - F.col("_tb")).cast("double")
+    )
+    tau = tau.select(
+        "_g",
+        F.round(F.when(denom > 0, F.col("_s") / denom), 6).alias("kendall_tau"),
+    )
+    return (
+        rho.join(tau, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col), "n", "spearman_rho", "kendall_tau"
+        )
+        .orderBy(group_col)
     )
