@@ -4869,6 +4869,43 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (operators/graph.py::
+    clustering_coefficient) of the part co-purchase graph — transitivity
+    = 3Δ/wedges, completing the one-row structural fingerprint next to
+    graph_assortativity and triangle_copurchase. Oracle: naive triangle
+    join + exact wedge sum."""
+    from valentinus_spark.operators.graph import (
+        clustering_coefficient,
+        copurchase_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return clustering_coefficient(copurchase_edges(li))
+
+
+def q_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile (operators/profile.py::
+    benford_profile) of order totals — string-based digit extraction on
+    round-to-cents integers (exact on both engines, unlike float log10
+    at power-of-ten boundaries). 9-row panel with per-digit χ² terms."""
+    from valentinus_spark.operators.profile import benford_profile
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    return benford_profile(orders, "o_totalprice", decimals=2)
+
+
+def q_source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini of document lengths (operators/profile.py::
+    gini_coefficient) — does one giant doc dominate a source's byte
+    budget? Exact BIGINT rank-weighted sums; only the final ratio is
+    float."""
+    from valentinus_spark.operators.profile import gini_coefficient
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return gini_coefficient(docs, "source", "n_chars")
+
+
 def q_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman ρ + Kendall τ-b (operators/evaluation.py::
     rank_correlation) between char-length and word-count rankings per
@@ -5201,6 +5238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_value_drift": q_w1_value_drift,  # added r5 (post-rotation) — r6 window candidate
         "chi2_source_lang": q_chi2_source_lang,  # added r5 (post-rotation) — r6 window candidate
         "rank_agreement": q_rank_agreement,  # added r5 (post-rotation) — r6 window candidate
+        "graph_transitivity": q_graph_transitivity,  # added r5 (post-rotation) — r6 window candidate
+        "benford_order_totals": q_benford_order_totals,  # added r5 (post-rotation) — r6 window candidate
+        "source_length_gini": q_source_length_gini,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8331,6 +8371,71 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "graph_transitivity": """
+            WITH raw AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ),
+            e AS (
+                SELECT DISTINCT LEAST(x.p, y.p) AS a, GREATEST(x.p, y.p) AS b
+                FROM raw x JOIN raw y ON x.o = y.o AND x.p != y.p
+            ),
+            v AS (
+                SELECT COUNT(*)::BIGINT AS n_vertices
+                FROM (SELECT a AS w FROM e UNION SELECT b FROM e)
+            ),
+            m AS (SELECT COUNT(*)::BIGINT AS n_edges FROM e),
+            t AS (
+                SELECT COUNT(*)::BIGINT AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            deg AS (
+                SELECT w, COUNT(*)::BIGINT AS d FROM (
+                    SELECT a AS w FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY w
+            ),
+            wd AS (SELECT (SUM(d * (d - 1)) / 2)::BIGINT AS n_wedges FROM deg)
+            SELECT n_vertices, n_edges, n_triangles, n_wedges,
+                   ROUND(CASE WHEN n_wedges > 0
+                              THEN 3.0 * n_triangles / n_wedges END, 6) AS transitivity
+            FROM v, m, t, wd
+        """,
+        "benford_order_totals": """
+            WITH digits AS (
+                SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+                FROM orders WHERE o_totalprice > 0
+            ),
+            counts AS (
+                SELECT digit, COUNT(*)::BIGINT AS n FROM digits
+                WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+            ),
+            tot AS (SELECT SUM(n)::BIGINT AS t FROM counts)
+            SELECT digit, n,
+                   ROUND(n::DOUBLE / t, 6) AS observed_frac,
+                   ROUND(log10(1.0 + 1.0 / digit), 6) AS expected_frac,
+                   ROUND(t * (n::DOUBLE / t - log10(1.0 + 1.0 / digit))
+                           * (n::DOUBLE / t - log10(1.0 + 1.0 / digit))
+                           / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+            FROM counts, tot ORDER BY digit
+        """,
+        "source_length_gini": """
+            WITH ranked AS (
+                SELECT source AS g, n_chars AS x,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS i
+                FROM documents WHERE n_chars >= 0
+            ),
+            agg AS (
+                SELECT g, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS total,
+                       SUM(i * x)::BIGINT AS ix
+                FROM ranked GROUP BY g
+            )
+            SELECT g AS source, n, total,
+                   ROUND(CASE WHEN total > 0
+                              THEN (2.0 * ix - (n + 1.0) * total) / (n::DOUBLE * total)
+                         END, 6) AS gini
+            FROM agg ORDER BY source
+        """,
         "rank_agreement": """
             WITH scored AS (
                 SELECT source AS g,

@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "w1_value_drift",
     "chi2_source_lang",
     "rank_agreement",
+    "graph_transitivity",
+    "benford_order_totals",
+    "source_length_gini",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -226,7 +229,7 @@ BENCH_FAMILIES = {
         "doc_readability", "source_rank_normalize",
         "krippendorff_lang", "source_lexical_diversity",
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
-        "chi2_source_lang", "rank_agreement",
+        "chi2_source_lang", "rank_agreement", "source_length_gini",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -240,7 +243,7 @@ BENCH_FAMILIES = {
         "customer_rolling_30d", "asof_join_clicks", "association_rules",
         "markov_transitions", "resample_ffill", "dp_segment_counts",
         "psi_price_drift", "neyman_allocation", "bt_brand_ranking",
-        "elo_brand_ratings",
+        "elo_brand_ratings", "benford_order_totals",
     ],
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",
@@ -254,7 +257,7 @@ BENCH_FAMILIES = {
         "winsorize_stats", "bootstrap_ci_orders",
     ],
     "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa",
-              "graph_assortativity"],
+              "graph_assortativity", "graph_transitivity"],
     "media": ["media_content_stats", "media_headers"],
     "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan",
             "versioned_delete", "table_changes_cdf"],

@@ -93,3 +93,75 @@ def test_rank_normalize_ties_share_min_rank(spark):
     )
     ranks = sorted(r.pct_rank for r in rank_normalize(df, "src", "score").collect())
     assert ranks == [0.0, 0.0, 1.0]
+
+
+def test_clustering_coefficient_triangle_and_star(spark):
+    from valentinus_spark.operators import clustering_coefficient
+
+    # triangle: 1 triangle, 3 wedges → C = 1
+    out = clustering_coefficient(
+        _sym(spark, [(1, 2), (2, 3), (3, 1)])
+    ).collect()[0]
+    assert out.n_triangles == 1 and out.n_wedges == 3
+    assert out.transitivity == pytest.approx(1.0)
+    # star: 0 triangles, 3 wedges → C = 0
+    out = clustering_coefficient(
+        _sym(spark, [(0, 1), (0, 2), (0, 3)])
+    ).collect()[0]
+    assert out.n_triangles == 0 and out.transitivity == pytest.approx(0.0)
+
+
+def test_clustering_coefficient_triangle_with_pendant(spark):
+    from valentinus_spark.operators import clustering_coefficient
+
+    # triangle a-b-c + pendant c-d: 1 triangle;
+    # wedges: deg(2,2,3,1) → 1+1+3+0 = 5 → C = 3/5
+    out = clustering_coefficient(
+        _sym(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    ).collect()[0]
+    assert out.n_wedges == 5
+    assert out.transitivity == pytest.approx(0.6)
+
+
+def test_benford_uniform_digits(spark):
+    from valentinus_spark.operators import benford_profile
+    import math
+
+    # values 1..9 once each → observed 1/9 per digit
+    df = spark.createDataFrame([(float(d),) for d in range(1, 10)], ["v"])
+    out = {r.digit: r for r in benford_profile(df, "v").collect()}
+    assert len(out) == 9
+    assert out[1].observed_frac == pytest.approx(1 / 9, abs=1e-6)
+    assert out[1].expected_frac == pytest.approx(math.log10(2), abs=1e-6)
+    # chi2 term: n·(o−e)²/e with n=9
+    e = math.log10(2)
+    assert out[1].chi2_term == pytest.approx(9 * (1 / 9 - e) ** 2 / e, abs=1e-4)
+
+
+def test_benford_digit_extraction_and_filters(spark):
+    from valentinus_spark.operators import benford_profile
+
+    # 0.25 → 25 cents → digit 2; 999.99 → 99999 → 9; 0 and -5 dropped
+    df = spark.createDataFrame(
+        [(0.25,), (999.99,), (0.0,), (-5.0,)], ["v"]
+    )
+    out = {r.digit: r.n for r in benford_profile(df, "v").collect()}
+    assert out == {2: 1, 9: 1}
+
+
+def test_gini_extremes_and_hand_value(spark):
+    from valentinus_spark.operators import gini_coefficient
+
+    rows = (
+        [("eq", 5)] * 4
+        + [("one", 0), ("one", 0), ("one", 0), ("one", 12)]
+        + [("mix", 1), ("mix", 2), ("mix", 3), ("mix", 4)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = {r.g: r for r in gini_coefficient(df, "g", "x").collect()}
+    assert out["eq"].gini == pytest.approx(0.0)
+    # all mass in one of 4 rows: G = (n−1)/n = 0.75
+    assert out["one"].gini == pytest.approx(0.75)
+    # sorted 1,2,3,4: G = (2·(1+4+9+16) − 5·10)/(4·10) = 10/40
+    assert out["mix"].gini == pytest.approx(0.25)
+    assert out["mix"].total == 10

@@ -408,3 +408,54 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             6,
         ).alias("r"),
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Global clustering coefficient (transitivity): C = 3·triangles /
+    wedges — what fraction of open two-paths close. With
+    :func:`degree_assortativity` and :func:`triangle_count` it
+    completes the one-row structural fingerprint of a graph build
+    (C ≈ 0 bipartite-ish/random, C ≫ random = community structure).
+
+    Returns ONE row: (``n_vertices``, ``n_edges``, ``n_triangles``,
+    ``n_wedges``, ``transitivity``), rounded to 6; NULL when the graph
+    has no wedges.
+
+    Scale shape: rides :func:`triangle_count`'s degree-oriented counter
+    (O(m^1.5) worst case, skew-proof) plus one degree aggregate for the
+    wedge sum Σ d(d−1)/2 — exact BIGINT arithmetic until the final
+    ratio.
+    """
+    tri = triangle_count(edges)
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wedges))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"),
+                ),
+                6,
+            ).alias("transitivity"),
+        )
+    )

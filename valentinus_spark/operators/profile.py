@@ -866,3 +866,94 @@ def rank_normalize(
     """
     w = Window.partitionBy(group_col).orderBy(score_col)
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """Benford's-law first-digit profile of a positive numeric column —
+    the classic synthetic-data / fabrication detector: organically
+    grown magnitudes follow P(d) = log10(1 + 1/d); uniform generators,
+    truncation bugs, and hand-typed numbers don't. Returns one row per
+    leading digit 1-9: (``digit``, ``n``, ``observed_frac``,
+    ``expected_frac``, ``chi2_term``), fractions rounded to 6, ordered
+    by digit — Σ chi2_term is the test statistic (8 dof).
+
+    Digit extraction is STRING-based on the value scaled to integer
+    units (``decimals`` fixed-point digits, round-then-cast) — exact
+    and engine-portable, where float log10 at power-of-ten boundaries
+    is famously not (log10(1000) = 2.9999… in some libms).
+
+    Scale shape: one map + a 9-key aggregate; the total arrives as a
+    broadcast single-row frame. Trivially parallel.
+    """
+    scale = 10 ** decimals
+    units = F.round(F.col(value_col) * scale, 0).cast("bigint")
+    digit = F.substring(units.cast("string"), 1, 1).cast("int")
+    digits = df.filter(F.col(value_col) > 0).select(digit.alias("digit"))
+    counts = digits.filter(F.col("digit").between(1, 9)).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("_tot"))
+    obs = F.col("n").cast("double") / F.col("_tot")
+    exp_ = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_frac"),
+            F.round(exp_, 6).alias("expected_frac"),
+            F.round(
+                F.col("_tot") * (obs - exp_) * (obs - exp_) / exp_, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value column — the
+    inequality fingerprint: G = 0 everyone equal, G → 1 one row holds
+    everything. In curation: Gini of per-source doc lengths or token
+    counts flags sources where a few giant documents dominate the
+    byte budget (sampling and packing both care).
+
+        G = (2 Σ_i i·x_(i) − (n+1) Σx) / (n Σx)    (x sorted ascending)
+
+    Ties take arbitrary order — Σ i·x is tie-invariant since tied x are
+    equal. Returns (``group_col``, ``n``, ``total``, ``gini``) rounded
+    to 6; NULL when the group total is 0.
+
+    Scale shape: one group-keyed window (row_number over the in-group
+    sort — the inherent cost of an order statistic) and a group-sized
+    fold; Σ i·x accumulates as exact BIGINT for integer inputs.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    ranked = df.filter(F.col(value_col) >= 0).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_x"),
+        F.row_number().over(w).alias("_i"),
+    )
+    agg = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("total"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_ix"),
+    )
+    nn = F.col("n").cast("double")
+    g = (
+        2.0 * F.col("_ix").cast("double")
+        - (nn + 1.0) * F.col("total").cast("double")
+    ) / (nn * F.col("total").cast("double"))
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "total",
+        F.round(F.when(F.col("total") > 0, g), 6).alias("gini"),
+    ).orderBy(group_col)
