@@ -2731,6 +2731,70 @@ def _bpe_oracle_sql() -> str:
     """
 
 
+def _bpe_roundtrip_oracle_sql() -> str:
+    """Roundtrip companion to _bpe_oracle_sql: replay the merges for
+    n_subwords, then strip the delimiters to recover the decoded letter
+    stream and compare it against the raw regexp letter stream — the
+    independently-recomputed losslessness proof."""
+    seq = "array_to_string(toks, chr(30))"
+    for a, b in _BPE_MERGES:
+        pat = f"chr(31) || '{a}' || chr(31) || chr(31) || '{b}' || chr(31)"
+        rep = f"chr(31) || '{a}{b}' || chr(31)"
+        seq = f"replace({seq}, {pat}, {rep})"
+    return f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(lower(text), '[a-z]+'),
+                           w -> regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+                       ) AS toks,
+                       array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '') AS letters
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, letters, replace({seq}, chr(30), '') AS seq FROM w
+            )
+            SELECT doc_id,
+                   ((length(seq) - length(replace(seq, chr(31), ''))) // 2)::BIGINT AS n_subwords,
+                   length(letters)::BIGINT AS n_letters,
+                   replace(seq, chr(31), '') = letters AS ok
+            FROM s ORDER BY doc_id
+    """
+
+
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE decode losslessness gate (operators/tokenizer.py::bpe_decode):
+    encode every document with the fixed merge table, decode by subword
+    concatenation, and assert the letter stream matches the raw regexp
+    matches — per doc (n_subwords, n_letters, ok). The oracle replays
+    the merges in SQL and recomputes the comparison independently."""
+    from valentinus_spark.operators.tokenizer import bpe_decode, bpe_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(16)
+    enc = bpe_decode(bpe_encode(docs, _BPE_MERGES))
+    letters = F.array_join(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0), ""
+    )
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_subwords"),
+        F.length(letters).cast("bigint").alias("n_letters"),
+        (F.col("decoded") == letters).alias("ok"),
+    ).orderBy("doc_id")
+
+
+def q_event_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit (operators/validate.py::sequence_gaps) over
+    event ids with every 97th id deterministically withheld — each
+    missing run reported once as (gap_start, gap_end, n_missing). The
+    ingest-completeness check; the withholding and the lead-window gap
+    detection both replay in DuckDB."""
+    from valentinus_spark.operators.validate import sequence_gaps
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 97 != 0)
+    return sequence_gaps(ev, "event_id")
+
+
 def q_unigram_encode_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM Viterbi encode gate (operators/tokenizer.py::
     unigram_encode): each doc contributes a word CONSTRUCTED from three
@@ -5241,6 +5305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_transitivity": q_graph_transitivity,  # added r5 (post-rotation) — r6 window candidate
         "benford_order_totals": q_benford_order_totals,  # added r5 (post-rotation) — r6 window candidate
         "source_length_gini": q_source_length_gini,  # added r5 (post-rotation) — r6 window candidate
+        "bpe_roundtrip": q_bpe_roundtrip,  # added r5 (post-rotation) — r6 window candidate
+        "event_id_gaps": q_event_id_gaps,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -5464,6 +5530,19 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "bpe_encode_fixed": _bpe_oracle_sql(),
+        "bpe_roundtrip": _bpe_roundtrip_oracle_sql(),
+        "event_id_gaps": """
+            WITH ids AS (
+                SELECT DISTINCT event_id AS id FROM events
+                WHERE event_id % 97 <> 0 AND event_id IS NOT NULL
+            ),
+            nx AS (SELECT id, LEAD(id) OVER (ORDER BY id) AS nxt FROM ids)
+            SELECT (id + 1)::BIGINT AS gap_start,
+                   (nxt - 1)::BIGINT AS gap_end,
+                   (nxt - id - 1)::BIGINT AS n_missing
+            FROM nx WHERE nxt > id + 1
+            ORDER BY gap_start
+        """,
         "lpa_communities": _lpa_oracle_sql(rounds=3),
         "bootstrap_ci_orders": _poisson_boot_oracle_sql(),
         # planted gate: expected booleans follow from the +8 offset

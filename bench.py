@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "graph_transitivity",
     "benford_order_totals",
     "source_length_gini",
+    "bpe_roundtrip",
+    "event_id_gaps",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -230,6 +232,7 @@ BENCH_FAMILIES = {
         "krippendorff_lang", "source_lexical_diversity",
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
         "chi2_source_lang", "rank_agreement", "source_length_gini",
+        "bpe_roundtrip",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -249,7 +252,7 @@ BENCH_FAMILIES = {
         "events_windowed", "events_sessionize", "events_windowed_stream",
         "events_rollup_merge", "events_sliding_window", "stream_components",
         "trailing_anomaly", "event_decayed_popularity",
-        "ks_value_drift", "w1_value_drift",
+        "ks_value_drift", "w1_value_drift", "event_id_gaps",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

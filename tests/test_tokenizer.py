@@ -238,3 +238,31 @@ def test_vocab_coverage_hand_counts(spark):
     assert g2["n_tokens"] == 4 and g2["covered_tokens"] == 1
     assert g2["n_types"] == 3 and g2["oov_types"] == 2
     assert g2["oov_rate"] == 0.75
+
+
+def test_bpe_decode_roundtrip_identity(spark):
+    from valentinus_spark.operators.tokenizer import bpe_decode, bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, World! lower UPPER"), (2, "abab abab cd")],
+        ["doc_id", "text"],
+    )
+    merges = [("a", "b"), ("ab", "ab"), ("l", "o")]
+    enc = bpe_encode(docs, merges)
+    dec = bpe_decode(enc)
+    import re
+    from pyspark.sql import functions as F
+
+    rows = dec.select("doc_id", "decoded").collect()
+    src = {1: "Hello, World! lower UPPER", 2: "abab abab cd"}
+    for r in rows:
+        expected = "".join(re.findall("[a-zA-Z]+", src[r.doc_id].lower()))
+        assert r.decoded == expected
+
+
+def test_bpe_decode_custom_cols(spark):
+    from valentinus_spark.operators.tokenizer import bpe_decode
+
+    df = spark.createDataFrame([(["ab", "cd", "e"],)], ["toks"])
+    out = bpe_decode(df, "toks", "joined").collect()[0]
+    assert out.joined == "abcde"

@@ -174,3 +174,22 @@ def test_dp_group_counts_small_group_hidden(spark):
         for i in range(8)
     }
     assert len(vals) > 1
+
+
+def test_sequence_gaps_detects_ranges(spark):
+    from valentinus_spark.operators import sequence_gaps
+
+    ids = [0, 1, 2, 5, 6, 10]  # gaps: 3-4 (2 missing), 7-9 (3 missing)
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    out = sequence_gaps(df, "id").collect()
+    assert [(r.gap_start, r.gap_end, r.n_missing) for r in out] == [
+        (3, 4, 2),
+        (7, 9, 3),
+    ]
+
+
+def test_sequence_gaps_contiguous_and_dupes(spark):
+    from valentinus_spark.operators import sequence_gaps
+
+    df = spark.createDataFrame([(i % 5,) for i in range(15)], ["id"])
+    assert sequence_gaps(df, "id").count() == 0

@@ -369,3 +369,25 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def bpe_decode(
+    df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    out_col: str = "decoded",
+) -> DataFrame:
+    """Inverse of :func:`bpe_encode`: BPE merges only ever CONCATENATE
+    adjacent symbols, so decoding is exact concatenation of the subword
+    strings — ``out_col`` = the original matched-letter stream. The
+    word boundaries themselves are not recoverable from the subword
+    stream alone (encode tokenizes per word, then flattens), so decode
+    restores the LETTER stream: the roundtrip identity is
+
+        array_join(bpe_tokens, '') == concat(regexp matches of text)
+
+    which the bpe_roundtrip driver query asserts corpus-wide — the
+    lossless-ness proof every tokenizer deployment should gate on.
+
+    Scale shape: one row-local array_join — zero shuffles, trivially
+    parallel."""
+    return df.withColumn(out_col, F.array_join(F.col(tokens_col), ""))
