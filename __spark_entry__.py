@@ -4933,6 +4933,50 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation (operators/funnel.py::rfm_segments)
+    over orders — recency/frequency/monetary scores with deterministic
+    customer-key tie-breaks and exact DECIMAL monetary sums, so all
+    three NTILE assignments replay in DuckDB."""
+    from valentinus_spark.operators.funnel import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return rfm_segments(orders, n_tiles=5)
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (operators/funnel.py::attribution):
+    purchase values credited to the user's preceding 7-day touchpoints
+    under first/last/linear models simultaneously, per channel.
+    DECIMAL(28,10) credits keep the sums partition-order-exact; the
+    whole credit assignment replays in DuckDB."""
+    from valentinus_spark.operators.funnel import attribution
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    return attribution(ev, conversion_type="purchase", window_days=7)
+
+
+def q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn survival (operators/funnel.py::kaplan_meier,
+    3-day censoring horizon) over user event lifetimes — the
+    right-censoring-correct churn curve. Exact integer risk sets; the
+    exp(Σ ln) survival fold replays in DuckDB in the same ascending
+    order."""
+    from valentinus_spark.operators.funnel import kaplan_meier
+
+    # deterministic 1-in-29 event subsample: the dense fixture keeps
+    # every user active to the corpus edge (zero churn, vacuous curve);
+    # the sparsified stream yields a real mixed churned/censored cohort
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") % 29 == 0)
+        .select("user_id", "ts")
+    )
+    return kaplan_meier(ev, churn_horizon_days=3)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5307,6 +5351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_length_gini": q_source_length_gini,  # added r5 (post-rotation) — r6 window candidate
         "bpe_roundtrip": q_bpe_roundtrip,  # added r5 (post-rotation) — r6 window candidate
         "event_id_gaps": q_event_id_gaps,  # added r5 (post-rotation) — r6 window candidate
+        "customer_rfm": q_customer_rfm,  # added r5 (post-rotation) — r6 window candidate
+        "touch_attribution": q_touch_attribution,  # added r5 (post-rotation) — r6 window candidate
+        "user_survival": q_user_survival,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8450,6 +8497,102 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "customer_rfm": """
+            WITH base AS (
+                SELECT o_custkey AS c,
+                       MAX(CAST(o_orderdate AS DATE)) AS lastd,
+                       COUNT(*)::BIGINT AS frequency,
+                       SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS monetary
+                FROM orders GROUP BY o_custkey
+            ),
+            ref AS (SELECT MAX(lastd) AS refd FROM base),
+            b2 AS (
+                SELECT c, datediff('day', lastd, refd)::BIGINT AS recency_days,
+                       frequency, ROUND(monetary::DOUBLE, 2) AS monetary
+                FROM base, ref
+            ),
+            scored AS (
+                SELECT c, recency_days, frequency, monetary,
+                       NTILE(5) OVER (ORDER BY recency_days DESC, c ASC) AS r_score,
+                       NTILE(5) OVER (ORDER BY frequency ASC, c ASC) AS f_score,
+                       NTILE(5) OVER (ORDER BY monetary ASC, c ASC) AS m_score
+                FROM b2
+            )
+            SELECT c AS o_custkey, recency_days, frequency, monetary,
+                   r_score, f_score, m_score,
+                   r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm
+            FROM scored ORDER BY o_custkey
+        """,
+        "touch_attribution": """
+            WITH conv AS (
+                SELECT user_id AS u, ts AS cts, value AS cv FROM events
+                WHERE event_type = 'purchase'
+            ),
+            touch AS (
+                SELECT user_id AS u, ts AS tts, event_type AS channel FROM events
+                WHERE event_type <> 'purchase'
+            ),
+            joined AS (
+                SELECT t.channel, c.u, c.cts, c.cv, t.tts
+                FROM conv c JOIN touch t ON c.u = t.u
+                WHERE t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY
+            ),
+            marked AS (
+                SELECT channel, cv,
+                       tts = MAX(tts) OVER (PARTITION BY u, cts) AS is_last,
+                       tts = MIN(tts) OVER (PARTITION BY u, cts) AS is_first,
+                       COUNT(*) OVER (PARTITION BY u, cts) AS k
+                FROM joined
+            ),
+            credited AS (
+                SELECT channel,
+                       CAST(CASE WHEN is_first THEN cv ELSE 0.0 END AS DECIMAL(28,10)) AS fc,
+                       CAST(CASE WHEN is_last THEN cv ELSE 0.0 END AS DECIMAL(28,10)) AS lc,
+                       CAST(cv / k AS DECIMAL(28,10)) AS lin
+                FROM marked
+            )
+            SELECT channel, COUNT(*)::BIGINT AS n_touches,
+                   ROUND(SUM(fc)::DOUBLE, 4) AS first_touch,
+                   ROUND(SUM(lc)::DOUBLE, 4) AS last_touch,
+                   ROUND(SUM(lin)::DOUBLE, 4) AS linear
+            FROM credited GROUP BY channel ORDER BY channel
+        """,
+        "user_survival": """
+            WITH spans AS (
+                SELECT user_id,
+                       MIN(CAST(ts AS DATE)) AS firstd,
+                       MAX(CAST(ts AS DATE)) AS lastd
+                FROM events WHERE event_id % 29 = 0 GROUP BY user_id
+            ),
+            edge AS (SELECT MAX(lastd) AS edged FROM spans),
+            per_user AS (
+                SELECT datediff('day', firstd, lastd)::BIGINT AS t,
+                       CASE WHEN datediff('day', lastd, edged) > 3 THEN 1 ELSE 0 END AS churned
+                FROM spans, edge
+            ),
+            per_t AS (
+                SELECT t, COUNT(*)::BIGINT AS exits, SUM(churned)::BIGINT AS d
+                FROM per_user GROUP BY t
+            ),
+            n AS (SELECT COUNT(*)::BIGINT AS total FROM per_user),
+            cum AS (
+                SELECT t, d,
+                       (SUM(exits) OVER (ORDER BY t) - exits)::BIGINT AS before
+                FROM per_t
+            ),
+            risk AS (
+                SELECT t, d, (total - before)::BIGINT AS nrisk FROM cum, n
+            )
+            SELECT t AS t_days, nrisk AS n_risk, d AS n_churned,
+                   ROUND(CASE WHEN SUM(CASE WHEN d >= nrisk THEN 1 ELSE 0 END)
+                                   OVER (ORDER BY t) > 0
+                              THEN 0.0
+                              ELSE EXP(SUM(CASE WHEN d < nrisk
+                                                THEN LN(1.0 - d::DOUBLE / nrisk)
+                                                ELSE 0.0 END) OVER (ORDER BY t))
+                         END, 6) AS survival
+            FROM risk WHERE d > 0 ORDER BY t_days
+        """,
         "graph_transitivity": """
             WITH raw AS (
                 SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

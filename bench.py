@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     "source_length_gini",
     "bpe_roundtrip",
     "event_id_gaps",
+    "customer_rfm",
+    "touch_attribution",
+    "user_survival",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -246,13 +249,14 @@ BENCH_FAMILIES = {
         "customer_rolling_30d", "asof_join_clicks", "association_rules",
         "markov_transitions", "resample_ffill", "dp_segment_counts",
         "psi_price_drift", "neyman_allocation", "bt_brand_ranking",
-        "elo_brand_ratings", "benford_order_totals",
+        "elo_brand_ratings", "benford_order_totals", "customer_rfm",
     ],
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",
         "events_rollup_merge", "events_sliding_window", "stream_components",
         "trailing_anomaly", "event_decayed_popularity",
         "ks_value_drift", "w1_value_drift", "event_id_gaps",
+        "touch_attribution", "user_survival",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

@@ -1,0 +1,133 @@
+"""Hand-computed oracles for the events-analytics operators
+(funnel.py: rfm_segments, attribution, kaplan_meier)."""
+
+import datetime as dt
+
+import pytest
+
+from valentinus_spark.operators import attribution, kaplan_meier, rfm_segments
+
+
+def test_rfm_hand_computed(spark):
+    d = dt.datetime
+    rows = [
+        # cust 1: recent, frequent, big
+        (1, d(2024, 1, 30), 100.0), (1, d(2024, 1, 29), 100.0),
+        # cust 2: old, single, small
+        (2, d(2024, 1, 1), 10.0),
+        # cust 3: middle
+        (3, d(2024, 1, 15), 50.0),
+    ]
+    df = spark.createDataFrame(rows, ["o_custkey", "o_orderdate", "o_totalprice"])
+    out = {r.o_custkey: r for r in rfm_segments(df, n_tiles=3).collect()}
+    assert out[1].recency_days == 0 and out[2].recency_days == 29
+    assert out[1].frequency == 2 and float(out[1].monetary) == 200.0
+    # orientation: higher = better on every axis
+    assert out[1].r_score == 3 and out[2].r_score == 1
+    assert out[1].f_score == 3 and out[1].m_score == 3
+    assert out[1].rfm == "333" and out[2].rfm == "111"
+
+
+def test_rfm_ntile_tie_break_deterministic(spark):
+    d = dt.datetime
+    rows = [(c, d(2024, 1, 10), 10.0) for c in range(1, 5)]
+    df = spark.createDataFrame(rows, ["o_custkey", "o_orderdate", "o_totalprice"])
+    out = rfm_segments(df, n_tiles=2).collect()
+    # all identical → tie-break by custkey: 1,2 → tile 1; 3,4 → tile 2
+    scores = {r.o_custkey: r.r_score for r in out}
+    assert scores == {1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_attribution_models_hand_computed(spark):
+    d = dt.datetime
+    rows = [
+        # user 1: click then view then purchase(90) — both touches in window
+        (1, d(2024, 1, 10, 9), "click", 0.0),
+        (1, d(2024, 1, 10, 10), "view", 0.0),
+        (1, d(2024, 1, 10, 11), "purchase", 90.0),
+        # user 2: touch OUTSIDE the 7d window, then purchase — unattributed
+        (2, d(2024, 1, 1), "click", 0.0),
+        (2, d(2024, 1, 20), "purchase", 50.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    out = {r.channel: r for r in attribution(df, window_days=7).collect()}
+    # first touch: click gets 90; last touch: view gets 90; linear: 45/45
+    assert out["click"].first_touch == pytest.approx(90.0)
+    assert out["click"].last_touch == pytest.approx(0.0)
+    assert out["view"].last_touch == pytest.approx(90.0)
+    assert out["click"].linear == pytest.approx(45.0)
+    assert out["view"].linear == pytest.approx(45.0)
+    # user 2's purchase attributed nowhere
+    assert sum(r.linear for r in out.values()) == pytest.approx(90.0)
+
+
+def test_attribution_window_boundary(spark):
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 3), "click", 0.0),     # exactly 7 days before: kept
+        (1, d(2024, 1, 10), "purchase", 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    out = attribution(df, window_days=7).collect()
+    assert len(out) == 1 and out[0].linear == pytest.approx(10.0)
+
+
+def test_kaplan_meier_hand_computed(spark):
+    d = dt.datetime
+    # corpus edge = Jan 30. horizon 3 days.
+    # u1: Jan 1..Jan 5  (t=4, last well before edge → churned)
+    # u2: Jan 1..Jan 5  (t=4, churned)
+    # u3: Jan 1..Jan 29 (t=28, last within 3d of edge → censored)
+    # u4: Jan 10..Jan 30 (t=20, censored — defines the edge)
+    rows = []
+    for u, (a, b) in enumerate(
+        [(d(2024, 1, 1), d(2024, 1, 5)), (d(2024, 1, 1), d(2024, 1, 5)),
+         (d(2024, 1, 1), d(2024, 1, 29)), (d(2024, 1, 10), d(2024, 1, 30))],
+        start=1,
+    ):
+        rows += [(u, a), (u, b)]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = kaplan_meier(df, churn_horizon_days=3).collect()
+    # only churn time t=4: n_risk=4, d=2 → S = 1 − 2/4 = 0.5
+    assert len(out) == 1
+    assert out[0].t_days == 4 and out[0].n_risk == 4 and out[0].n_churned == 2
+    assert out[0].survival == pytest.approx(0.5)
+
+
+def test_kaplan_meier_two_steps_product(spark):
+    d = dt.datetime
+    # all churned, durations 1,1,2 with edge defined by extra censored
+    # user at t=25 (last event at corpus edge).
+    rows = [
+        (1, d(2024, 1, 1)), (1, d(2024, 1, 2)),
+        (2, d(2024, 1, 1)), (2, d(2024, 1, 2)),
+        (3, d(2024, 1, 1)), (3, d(2024, 1, 3)),
+        (4, d(2024, 1, 5)), (4, d(2024, 1, 30)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.t_days: r for r in kaplan_meier(df, churn_horizon_days=3).collect()}
+    # t=1: n=4 d=2 → 0.5 ; t=2: n=2 d=1 → 0.5·(1−1/2) = 0.25
+    assert out[1].survival == pytest.approx(0.5)
+    assert out[2].n_risk == 2
+    assert out[2].survival == pytest.approx(0.25)
+
+
+def test_kaplan_meier_total_churn_pins_zero(spark):
+    d = dt.datetime
+    # everyone churns at t=1 except the edge-defining censored user —
+    # then THAT user churns too at a later corpus edge? simplest: two
+    # users churn at t=1, edge user churns at t=2 (no censored left):
+    # t=2 step has d == n_risk → survival pins to exactly 0
+    rows = [
+        (1, d(2024, 1, 1)), (1, d(2024, 1, 2)),
+        (2, d(2024, 1, 1)), (2, d(2024, 1, 2)),
+        (3, d(2024, 1, 1)), (3, d(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    # edge = Jan 3; horizon 0 → users 1,2 churn (t=1); user 3 last event
+    # AT the edge → censored... use horizon -1? horizon must make user 3
+    # churn: datediff(edge, last)=0 > -1 → churned at t=2.
+    out = {r.t_days: r for r in kaplan_meier(df, churn_horizon_days=-1).collect()}
+    assert out[1].survival == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2].n_risk == 1 and out[2].n_churned == 1
+    assert out[2].survival == 0.0

@@ -176,3 +176,236 @@ def markov_transitions(
         )
         .orderBy("prev_state", "state")
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the classic behavioral customer segmentation: score 5-5-5 is the
+    recent-frequent-big spender, 1-1-1 is churned-and-gone. Reference
+    date is the corpus max order date (data-derived, reproducible).
+
+    Per customer: ``recency_days`` (days since last order),
+    ``frequency`` (order count), ``monetary`` (exact DECIMAL amount
+    sum), then NTILE(``n_tiles``) scores oriented so HIGHER = better
+    (most recent / most frequent / biggest spend = n_tiles), ties
+    broken by customer key so the tiling is deterministic and
+    SQL-replayable. Returns (customer, recency_days, frequency,
+    monetary, r_score, f_score, m_score, ``rfm``) ordered by customer.
+
+    Scale shape: one customer-keyed aggregate (map-side combined), then
+    three global NTILE windows over the CUSTOMER-sized frame (not the
+    order stream) — the inherent cost of exact global quantile
+    assignment; swap NTILE for quantile_discretize's approximate cuts
+    if the customer dimension itself is extreme.
+    """
+    base = orders.groupBy(F.col(customer_col).alias("_c")).agg(
+        F.max(F.to_date(date_col)).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(28,2)")).alias("monetary"),
+    )
+    ref = base.agg(F.max("_last").alias("_ref"))
+    base = base.crossJoin(F.broadcast(ref)).select(
+        "_c",
+        F.datediff("_ref", "_last").alias("recency_days"),
+        "frequency",
+        # sums accumulate in exact DECIMAL; the output column is a
+        # rounded DOUBLE (values ≪ 2^53, so the cast is lossless)
+        F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), F.asc("_c"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("_c"))
+    w_m = Window.orderBy(F.asc("monetary"), F.asc("_c"))
+    scored = base.select(
+        F.col("_c").alias(customer_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(w_r).alias("r_score"),
+        F.ntile(n_tiles).over(w_f).alias("f_score"),
+        F.ntile(n_tiles).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    ).orderBy(customer_col)
+
+
+def attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+) -> DataFrame:
+    """Multi-touch attribution: credit each conversion's value to the
+    user's preceding touchpoints inside the lookback window, under the
+    three standard models at once — ``first_touch`` (discovery),
+    ``last_touch`` (closer), ``linear`` (equal split) — per touch
+    channel. Conversions with no in-window touch are excluded (report
+    them via the funnel operators). Ties on touch time break by a
+    deterministic struct order so all three models are SQL-replayable.
+
+    Returns one row per channel: (``channel``, ``n_touches``,
+    ``first_touch``, ``last_touch``, ``linear``) rounded to 4, ordered
+    by channel.
+
+    Scale shape: one self-equi-join on the USER key (touch × conversion
+    candidates materialize per user only — the bounded-session shape),
+    a per-conversion window to mark first/last and count touches, then
+    a channel-sized aggregate. Credits are cast to DECIMAL(28,10)
+    before summing so the totals are partition-order-exact.
+    """
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+        F.col(value_col).alias("_v"),
+    )
+    conv = base.filter(F.col("_ty") == conversion_type).select(
+        "_u",
+        F.col("_ts").alias("_cts"),
+        F.col("_v").alias("_cv"),
+    )
+    touch = base.filter(F.col("_ty") != conversion_type).select(
+        "_u", F.col("_ts").alias("_tts"), F.col("_ty").alias("channel")
+    )
+    joined = conv.join(touch, "_u").where(
+        (F.col("_tts") < F.col("_cts"))
+        & (F.col("_tts") >= F.col("_cts") - F.expr(f"INTERVAL {window_days} DAYS"))
+    )
+    w = Window.partitionBy("_u", "_cts")
+    marked = joined.select(
+        "channel",
+        "_cv",
+        (F.col("_tts") == F.max("_tts").over(w)).alias("_is_last"),
+        (F.col("_tts") == F.min("_tts").over(w)).alias("_is_first"),
+        F.count(F.lit(1)).over(w).alias("_k"),
+    )
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    credited = marked.select(
+        "channel",
+        dec(F.when(F.col("_is_first"), F.col("_cv")).otherwise(0.0)).alias("_first"),
+        dec(F.when(F.col("_is_last"), F.col("_cv")).otherwise(0.0)).alias("_last"),
+        dec(F.col("_cv") / F.col("_k")).alias("_lin"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("_first").cast("double"), 4).alias("first_touch"),
+            F.round(F.sum("_last").cast("double"), 4).alias("last_touch"),
+            F.round(F.sum("_lin").cast("double"), 4).alias("linear"),
+        )
+        .orderBy("channel")
+    )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_horizon_days: int = 3,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes — the
+    right-censoring-correct churn estimate (a naive churn rate
+    undercounts users who are still active at the observation edge).
+    A user's duration is days between first and last event; the user
+    CHURNED if their last event predates the corpus edge by more than
+    ``churn_horizon_days`` (otherwise censored: still alive when
+    observation ended).
+
+        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+    with d_i churn events at duration t_i and n_i the at-risk count
+    (duration ≥ t_i, censored included until their own exit). Returns
+    one row per churn-event time: (``t_days``, ``n_risk``,
+    ``n_churned``, ``survival``) rounded to 6, ordered by t_days.
+
+    Scale shape: one user-keyed aggregate (first/last event), one
+    duration-keyed count aggregate, then a single ordered window over
+    the DISTINCT-DURATION table (bounded by the observation span in
+    days, not by users). The survival product folds as exp(Σ ln) —
+    both engines accumulate in the same ascending order.
+    """
+    from pyspark.sql import Window
+
+    spans = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(F.to_date(ts_col)).alias("_first"),
+        F.max(F.to_date(ts_col)).alias("_last"),
+    )
+    edge = spans.agg(F.max("_last").alias("_edge"))
+    per_user = spans.crossJoin(F.broadcast(edge)).select(
+        F.datediff("_last", "_first").alias("_t"),
+        (
+            F.datediff("_edge", "_last") > churn_horizon_days
+        ).cast("int").alias("_churned"),
+    )
+    per_t = per_user.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_exits"),
+        F.sum("_churned").alias("_d"),
+    )
+    wo = Window.orderBy("_t")
+    cum = per_t.select(
+        "_t",
+        "_d",
+        (
+            F.sum("_exits").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("_exits")
+        ).alias("_before"),
+    ).crossJoin(F.broadcast(per_user.agg(F.count(F.lit(1)).alias("_n"))))
+    risk = cum.select(
+        "_t",
+        "_d",
+        (F.col("_n") - F.col("_before")).alias("_nrisk"),
+    )
+    # when the whole remaining risk set churns at once (d == n) the
+    # factor is 0 and S pins to 0 from that step on — fold it as an
+    # explicit zero flag rather than ln(0) (Spark NULLs it, DuckDB
+    # raises, and both would poison the running sum)
+    cumw = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    surv = risk.filter(F.col("_d") > 0).select(
+        "_t",
+        "_nrisk",
+        "_d",
+        F.when(
+            F.sum(
+                (F.col("_d") >= F.col("_nrisk")).cast("int")
+            ).over(cumw)
+            > 0,
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.exp(
+                F.sum(
+                    F.when(
+                        F.col("_d") < F.col("_nrisk"),
+                        F.log(
+                            1.0 - F.col("_d").cast("double") / F.col("_nrisk")
+                        ),
+                    ).otherwise(F.lit(0.0))
+                ).over(cumw)
+            )
+        )
+        .alias("_s"),
+    )
+    return surv.select(
+        F.col("_t").alias("t_days"),
+        F.col("_nrisk").alias("n_risk"),
+        F.col("_d").alias("n_churned"),
+        F.round("_s", 6).alias("survival"),
+    ).orderBy("t_days")
