@@ -4933,6 +4933,18 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline (operators/rollup.py::
+    seasonal_naive_eval): predict each event type's last-7-days daily
+    counts as copy-last-week and score MAE/RMSE/sMAPE — the baseline
+    any volume forecaster must beat. Dense zero-filled day spine,
+    exact integer counts; the error fold replays in DuckDB."""
+    from valentinus_spark.operators.rollup import seasonal_naive_eval
+
+    ev = _events(spark, sf_dir).select("event_type", "ts")
+    return seasonal_naive_eval(ev, "event_type", season=7, holdout_days=7)
+
+
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quintile segmentation (operators/funnel.py::rfm_segments)
     over orders — recency/frequency/monetary scores with deterministic
@@ -5354,6 +5366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": q_customer_rfm,  # added r5 (post-rotation) — r6 window candidate
         "touch_attribution": q_touch_attribution,  # added r5 (post-rotation) — r6 window candidate
         "user_survival": q_user_survival,  # added r5 (post-rotation) — r6 window candidate
+        "seasonal_naive_eval": q_seasonal_naive_eval,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8497,6 +8510,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "seasonal_naive_eval": """
+            WITH base AS (
+                SELECT event_type AS k, CAST(ts AS DATE) AS d FROM events
+            ),
+            daily AS (SELECT k, d, COUNT(*)::BIGINT AS n FROM base GROUP BY k, d),
+            bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM base),
+            keys AS (SELECT DISTINCT k FROM daily),
+            spine AS (
+                SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d, hi
+                FROM keys, bounds
+            ),
+            dense AS (
+                SELECT s.k, s.d, s.hi, COALESCE(daily.n, 0) AS n
+                FROM spine s LEFT JOIN daily ON s.k = daily.k AND s.d = daily.d
+            ),
+            scored AS (
+                SELECT k, d, hi, n,
+                       LAG(n, 7) OVER (PARTITION BY k ORDER BY d) AS pred
+                FROM dense
+            ),
+            f AS (
+                SELECT * FROM scored
+                WHERE pred IS NOT NULL AND datediff('day', d, hi) < 7
+            )
+            SELECT k AS event_type,
+                   COUNT(*)::BIGINT AS n_scored,
+                   ROUND(AVG(ABS(n - pred)::DOUBLE), 6) AS mae,
+                   ROUND(SQRT(AVG(((n - pred)::DOUBLE) * ((n - pred)::DOUBLE))), 6) AS rmse,
+                   ROUND(AVG(CASE WHEN n + pred > 0
+                                  THEN 2.0 * ABS(n - pred)::DOUBLE / (n + pred)
+                                  ELSE 0.0 END), 6) AS smape
+            FROM f GROUP BY k ORDER BY k
+        """,
         "customer_rfm": """
             WITH base AS (
                 SELECT o_custkey AS c,

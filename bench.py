@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "customer_rfm",
     "touch_attribution",
     "user_survival",
+    "seasonal_naive_eval",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -256,7 +257,7 @@ BENCH_FAMILIES = {
         "events_rollup_merge", "events_sliding_window", "stream_components",
         "trailing_anomaly", "event_decayed_popularity",
         "ks_value_drift", "w1_value_drift", "event_id_gaps",
-        "touch_attribution", "user_survival",
+        "touch_attribution", "user_survival", "seasonal_naive_eval",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

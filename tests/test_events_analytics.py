@@ -131,3 +131,37 @@ def test_kaplan_meier_total_churn_pins_zero(spark):
     assert out[1].survival == pytest.approx(1 / 3, abs=1e-6)
     assert out[2].n_risk == 1 and out[2].n_churned == 1
     assert out[2].survival == 0.0
+
+
+def test_seasonal_naive_eval_perfect_weekly(spark):
+    from valentinus_spark.operators import seasonal_naive_eval
+
+    d = dt.datetime
+    # key 'a': exactly weekly-periodic daily counts over 21 days →
+    # last-7 holdout predicted perfectly → all errors 0
+    rows = []
+    for day in range(21):
+        count = [3, 1, 2, 5, 4, 1, 2][day % 7]
+        for i in range(count):
+            rows.append(("a", d(2024, 1, 1 + day, 8 + i)))
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    out = seasonal_naive_eval(df, "k", season=7, holdout_days=7).collect()[0]
+    assert out.n_scored == 7
+    assert out.mae == 0.0 and out.rmse == 0.0 and out.smape == 0.0
+
+
+def test_seasonal_naive_eval_hand_errors_and_zero_fill(spark):
+    from valentinus_spark.operators import seasonal_naive_eval
+
+    d = dt.datetime
+    # key 'b': day0=2 events, day7=1 event. The spine spans day0..day7
+    # (it ends at the LAST event date — no zero-fill into the future),
+    # days 1-6 zero-filled. Only day7 has a 7-day lag:
+    #   pred = day0 = 2, actual = 1 → |e| = 1, smape = 2·1/3
+    rows = [("b", d(2024, 1, 1, 9)), ("b", d(2024, 1, 1, 10)), ("b", d(2024, 1, 8, 9))]
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    out = seasonal_naive_eval(df, "k", season=7, holdout_days=7).collect()[0]
+    assert out.n_scored == 1
+    assert out.mae == pytest.approx(1.0)
+    assert out.rmse == pytest.approx(1.0)
+    assert out.smape == pytest.approx(2 / 3, abs=1e-6)

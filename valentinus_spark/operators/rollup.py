@@ -273,3 +273,75 @@ def decayed_popularity(
         .select(F.col("_k").alias(key_col), "n_events", "decayed_score")
         .orderBy(F.desc("decayed_score"), key_col)
     )
+
+
+def seasonal_naive_eval(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    season: int = 7,
+    holdout_days: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast baseline + error report: predict each of
+    the last ``holdout_days`` daily counts per key as the count
+    ``season`` days earlier, and score MAE / RMSE / sMAPE against the
+    actuals. This is THE baseline any fancy traffic/volume forecaster
+    must beat — if a model can't beat copy-last-week, ship copy-last-
+    week. Run it per ingest feed to catch weekly-seasonality breaks
+    (a feed whose sMAPE jumps stopped being week-shaped).
+
+    Missing days count 0 on both sides (a silent feed is data, not
+    absence of data). Returns one row per key: (``key_col``,
+    ``n_scored``, ``mae``, ``rmse``, ``smape``) rounded to 6, ordered
+    by key; sMAPE terms with both sides 0 contribute 0.
+
+    Scale shape: one (key, day) count aggregate (map-side combined,
+    the only corpus-sized shuffle); the dense day grid is a
+    broadcast-joined sequence spine (keys × days rows, tiny), the lag
+    is one group-keyed window over that spine, and the error fold is
+    key-sized. Exact integer counts end to end; floats only in the
+    final error ratios.
+    """
+    from pyspark.sql import Window
+
+    base = events.select(
+        F.col(key_col).alias("_k"), F.to_date(ts_col).alias("_d")
+    )
+    daily = base.groupBy("_k", "_d").agg(F.count(F.lit(1)).alias("_n"))
+    bounds = base.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    # dense (key, day) spine so missing days are explicit zeros
+    keys = daily.select("_k").distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        "_k", F.explode(F.sequence("_lo", "_hi")).alias("_d"), "_hi"
+    )
+    dense = spine.join(daily, ["_k", "_d"], "left").select(
+        "_k",
+        "_d",
+        "_hi",
+        F.coalesce("_n", F.lit(0)).alias("_n"),
+    )
+    w = Window.partitionBy("_k").orderBy("_d")
+    scored = dense.select(
+        "_k",
+        "_d",
+        "_hi",
+        "_n",
+        F.lag("_n", season).over(w).alias("_pred"),
+    ).filter(
+        F.col("_pred").isNotNull()
+        & (F.datediff("_hi", "_d") < holdout_days)
+    )
+    err = F.col("_n").cast("double") - F.col("_pred").cast("double")
+    denom = (F.col("_n") + F.col("_pred")).cast("double")
+    smape_term = F.when(denom > 0, 2.0 * F.abs(err) / denom).otherwise(0.0)
+    return (
+        scored.groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.avg(F.abs(err)), 6).alias("mae"),
+            F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+            F.round(F.avg(smape_term), 6).alias("smape"),
+        )
+        .select(F.col("_k").alias(key_col), "n_scored", "mae", "rmse", "smape")
+        .orderBy(key_col)
+    )
