@@ -4933,6 +4933,67 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def _ab_user_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-user experiment frame: deterministic arm assignment
+    (operators/experiment.py::ab_assign — small-modulus arithmetic, no
+    engine hash), conversion flag, and DECIMAL-exact revenue / view
+    totals cast to doubles."""
+    from valentinus_spark.operators.experiment import ab_assign
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("success"),
+        F.sum(F.when(F.col("event_type") == "purchase", dec).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double").alias("revenue"),
+        F.sum(F.when(F.col("event_type") == "view", dec).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double").alias("views"),
+    ).select(
+        ab_assign(F.col("user_id")).alias("arm"),
+        "success",
+        "revenue",
+        "views",
+    )
+
+
+def q_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (operators/experiment.py) on per-user
+    conversion between deterministically assigned arms — pooled SE,
+    A&S-polynomial normal p-value; the whole readout (assignment,
+    counts, z, p) replays in DuckDB."""
+    from valentinus_spark.operators.experiment import two_proportion_test
+
+    return two_proportion_test(_ab_user_frame(spark, sf_dir), "arm", "success")
+
+
+def q_ab_revenue_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test (operators/experiment.py) on per-user revenue
+    between arms — DECIMAL-exact moment sums, Welch-Satterthwaite dof,
+    normal-approx p. Replays in DuckDB."""
+    from valentinus_spark.operators.experiment import welch_means_test
+
+    return welch_means_test(_ab_user_frame(spark, sf_dir), "arm", "revenue")
+
+
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch χ² (operators/experiment.py) on the arm
+    assignment — the gate that invalidates every downstream p-value
+    when logging or assignment is broken. Replays in DuckDB."""
+    from valentinus_spark.operators.experiment import srm_check
+
+    return srm_check(_ab_user_frame(spark, sf_dir), "arm")
+
+
+def q_ab_revenue_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (operators/experiment.py, Deng 2013):
+    per-user revenue adjusted by view-value covariate — pooled θ,
+    per-arm adjusted means, ρ² variance reduction, all DECIMAL-exact
+    until the scalar folds. Replays in DuckDB."""
+    from valentinus_spark.operators.experiment import cuped_adjust
+
+    return cuped_adjust(_ab_user_frame(spark, sf_dir), "arm", "revenue", "views")
+
+
 def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast baseline (operators/rollup.py::
     seasonal_naive_eval): predict each event type's last-7-days daily
@@ -5367,6 +5428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": q_touch_attribution,  # added r5 (post-rotation) — r6 window candidate
         "user_survival": q_user_survival,  # added r5 (post-rotation) — r6 window candidate
         "seasonal_naive_eval": q_seasonal_naive_eval,  # added r5 (post-rotation) — r6 window candidate
+        "ab_conversion_test": q_ab_conversion_test,  # added r5 (post-rotation) — r6 window candidate
+        "ab_revenue_welch": q_ab_revenue_welch,  # added r5 (post-rotation) — r6 window candidate
+        "ab_srm_check": q_ab_srm_check,  # added r5 (post-rotation) — r6 window candidate
+        "ab_revenue_cuped": q_ab_revenue_cuped,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8510,6 +8575,157 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "ab_conversion_test": """
+            WITH users AS (
+                SELECT ((user_id % 1000003) * 31) % 2 AS arm,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS success
+                FROM events GROUP BY user_id
+            ),
+            agg AS (
+                SELECT arm, COUNT(*)::BIGINT AS n, SUM(success)::BIGINT AS s
+                FROM users GROUP BY arm
+            ),
+            j AS (
+                SELECT a.n AS n_a, a.s AS sa, b.n AS n_b, b.s AS sb
+                FROM (SELECT * FROM agg WHERE arm = 0) a,
+                     (SELECT * FROM agg WHERE arm = 1) b
+            ),
+            stats AS (
+                SELECT n_a, n_b,
+                       sa::DOUBLE / n_a AS pa, sb::DOUBLE / n_b AS pb,
+                       (sa + sb)::DOUBLE / (n_a + n_b) AS pool
+                FROM j
+            ),
+            zc AS (
+                SELECT n_a, n_b, pa, pb,
+                       CASE WHEN pool > 0 AND pool < 1
+                            THEN (pb - pa) / SQRT(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b))
+                       END AS z
+                FROM stats
+            ),
+            pv AS (
+                SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM zc
+            )
+            SELECT n_a, n_b,
+                   ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+                   ROUND(pb - pa, 6) AS lift,
+                   ROUND(z, 6) AS z,
+                   ROUND(CASE WHEN z IS NOT NULL THEN LEAST(1.0,
+                       2.0 * EXP(-z * z / 2.0) / 2.5066282746310002
+                           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429)))))
+                   ) END, 6) AS p_value
+            FROM pv
+        """,
+        "ab_revenue_welch": """
+            WITH users AS (
+                SELECT ((user_id % 1000003) * 31) % 2 AS arm,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN CAST(value AS DECIMAL(18,2))
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS revenue
+                FROM events GROUP BY user_id
+            ),
+            agg AS (
+                SELECT arm, COUNT(*)::BIGINT AS n,
+                       CAST(SUM(CAST(revenue AS DECIMAL(38,8))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(CAST(revenue AS DECIMAL(19,4)) * CAST(revenue AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss
+                FROM users GROUP BY arm
+            ),
+            j AS (
+                SELECT a.n AS n_a, a.s AS sa, a.ss AS ssa,
+                       b.n AS n_b, b.s AS sb, b.ss AS ssb
+                FROM (SELECT * FROM agg WHERE arm = 0) a,
+                     (SELECT * FROM agg WHERE arm = 1) b
+            ),
+            stats AS (
+                SELECT n_a, n_b,
+                       sa / n_a AS ma, sb / n_b AS mb,
+                       (ssa - n_a * (sa / n_a) * (sa / n_a)) / (n_a - 1.0) / n_a AS sa2,
+                       (ssb - n_b * (sb / n_b) * (sb / n_b)) / (n_b - 1.0) / n_b AS sb2
+                FROM j
+            ),
+            tc AS (
+                SELECT n_a, n_b, ma, mb, sa2, sb2,
+                       CASE WHEN n_a >= 2 AND n_b >= 2 AND sa2 + sb2 > 0
+                            THEN (mb - ma) / SQRT(sa2 + sb2) END AS t,
+                       CASE WHEN n_a >= 2 AND n_b >= 2 AND sa2 + sb2 > 0
+                            THEN ((sa2 + sb2) * (sa2 + sb2))
+                                 / (sa2 * sa2 / (n_a - 1.0) + sb2 * sb2 / (n_b - 1.0))
+                       END AS dof
+                FROM stats
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(t)) AS tt FROM tc)
+            SELECT n_a, n_b,
+                   ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+                   ROUND(mb - ma, 6) AS diff,
+                   ROUND(t, 6) AS t, ROUND(dof, 6) AS dof,
+                   ROUND(CASE WHEN t IS NOT NULL THEN LEAST(1.0,
+                       2.0 * EXP(-t * t / 2.0) / 2.5066282746310002
+                           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429)))))
+                   ) END, 6) AS p_value
+            FROM pv
+        """,
+        "ab_srm_check": """
+            WITH users AS (
+                SELECT ((user_id % 1000003) * 31) % 2 AS arm
+                FROM events GROUP BY user_id
+            ),
+            counts AS (SELECT arm, COUNT(*)::BIGINT AS n FROM users GROUP BY arm),
+            tot AS (SELECT SUM(n)::BIGINT AS t, COUNT(*)::BIGINT AS k FROM counts)
+            SELECT arm, n,
+                   ROUND(t::DOUBLE / k, 6) AS expected_n,
+                   ROUND((n::DOUBLE - t::DOUBLE / k) * (n::DOUBLE - t::DOUBLE / k) / (t::DOUBLE / k), 6) AS chi2_term
+            FROM counts, tot ORDER BY arm
+        """,
+        "ab_revenue_cuped": """
+            WITH users AS (
+                SELECT ((user_id % 1000003) * 31) % 2 AS arm,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN CAST(value AS DECIMAL(18,2))
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y,
+                       CAST(SUM(CASE WHEN event_type = 'view'
+                                     THEN CAST(value AS DECIMAL(18,2))
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS x
+                FROM events GROUP BY user_id
+            ),
+            agg AS (
+                SELECT arm, COUNT(*)::BIGINT AS n,
+                       SUM(CAST(CAST(y AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sy,
+                       SUM(CAST(CAST(x AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sx,
+                       SUM(CAST(CAST(y AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxy,
+                       SUM(CAST(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxx,
+                       SUM(CAST(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS syy
+                FROM users GROUP BY arm
+            ),
+            pool AS (
+                SELECT SUM(n)::BIGINT AS nn,
+                       CAST(SUM(sy) AS DOUBLE) AS gsy, CAST(SUM(sx) AS DOUBLE) AS gsx,
+                       CAST(SUM(sxy) AS DOUBLE) AS gsxy, CAST(SUM(sxx) AS DOUBLE) AS gsxx,
+                       CAST(SUM(syy) AS DOUBLE) AS gsyy
+                FROM agg
+            ),
+            scal AS (
+                SELECT nn, gsx / nn AS mx,
+                       (gsxx / nn - (gsx / nn) * (gsx / nn)) AS varx,
+                       (gsyy / nn - (gsy / nn) * (gsy / nn)) AS vary,
+                       (gsxy / nn - (gsx / nn) * (gsy / nn)) AS covxy
+                FROM pool
+            ),
+            th AS (
+                SELECT mx,
+                       CASE WHEN varx > 0 THEN covxy / varx END AS theta,
+                       CASE WHEN varx > 0 AND vary > 0
+                            THEN covxy * covxy / (varx * vary) END AS vr
+                FROM scal
+            )
+            SELECT arm, n,
+                   ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_raw,
+                   ROUND(CASE WHEN theta IS NOT NULL
+                              THEN CAST(sy AS DOUBLE) / n - theta * (CAST(sx AS DOUBLE) / n - mx)
+                              ELSE CAST(sy AS DOUBLE) / n END, 6) AS mean_adj,
+                   ROUND(theta, 6) AS theta,
+                   ROUND(vr, 6) AS var_reduction
+            FROM agg, th ORDER BY arm
+        """,
         "seasonal_naive_eval": """
             WITH base AS (
                 SELECT event_type AS k, CAST(ts AS DATE) AS d FROM events

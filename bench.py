@@ -186,6 +186,10 @@ BENCH_QUERIES = [
     "touch_attribution",
     "user_survival",
     "seasonal_naive_eval",
+    "ab_conversion_test",
+    "ab_revenue_welch",
+    "ab_srm_check",
+    "ab_revenue_cuped",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -258,6 +262,8 @@ BENCH_FAMILIES = {
         "trailing_anomaly", "event_decayed_popularity",
         "ks_value_drift", "w1_value_drift", "event_id_gaps",
         "touch_attribution", "user_survival", "seasonal_naive_eval",
+        "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
+        "ab_revenue_cuped",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

@@ -1,0 +1,101 @@
+"""Hand-computed / scipy-replica oracles for the experimentation
+operators (operators/experiment.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from valentinus_spark.operators import (
+    ab_assign,
+    cuped_adjust,
+    srm_check,
+    two_proportion_test,
+    welch_means_test,
+)
+
+
+def _norm_sf(z):
+    # exact normal survival for test reference
+    return 0.5 * math.erfc(z / math.sqrt(2))
+
+
+def test_two_proportion_hand_computed(spark):
+    # arm0: 40/100 convert; arm1: 50/100 convert
+    rows = [(0, 1)] * 40 + [(0, 0)] * 60 + [(1, 1)] * 50 + [(1, 0)] * 50
+    df = spark.createDataFrame(rows, ["arm", "success"])
+    out = two_proportion_test(df, "arm", "success").collect()[0]
+    assert out.n_a == 100 and out.p_a == pytest.approx(0.4)
+    assert out.lift == pytest.approx(0.1)
+    pool = 90 / 200
+    se = math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    z = 0.1 / se
+    assert out.z == pytest.approx(z, abs=1e-4)
+    # A&S polynomial is within 7.5e-8 of the exact CDF
+    assert out.p_value == pytest.approx(2 * _norm_sf(z), abs=1e-5)
+
+
+def test_two_proportion_degenerate_null(spark):
+    rows = [(0, 1)] * 5 + [(1, 1)] * 5  # everyone converts → pooled 1.0
+    df = spark.createDataFrame(rows, ["arm", "success"])
+    out = two_proportion_test(df, "arm", "success").collect()[0]
+    assert out.z is None and out.p_value is None
+
+
+def test_welch_matches_python_replica(spark):
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.5, 3.5, 4.5, 6.5]
+    rows = [(0, v) for v in a] + [(1, v) for v in b]
+    df = spark.createDataFrame(rows, ["arm", "v"])
+    out = welch_means_test(df, "arm", "v").collect()[0]
+    import statistics
+
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / len(a) + vb / len(b)
+    t = (mb - ma) / math.sqrt(se2)
+    dof = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert out.mean_a == pytest.approx(ma) and out.mean_b == pytest.approx(mb)
+    assert out.t == pytest.approx(t, abs=1e-5)
+    assert out.dof == pytest.approx(dof, abs=1e-4)
+
+
+def test_srm_check_uniform_and_skewed(spark):
+    df = spark.createDataFrame([(0,)] * 55 + [(1,)] * 45, ["arm"])
+    out = {r.arm: r for r in srm_check(df, "arm").collect()}
+    assert out[0].expected_n == pytest.approx(50.0)
+    assert out[0].chi2_term == pytest.approx(25 / 50)
+    assert out[1].chi2_term == pytest.approx(25 / 50)
+    # explicit 90/10 split expectation
+    out = {r.arm: r for r in srm_check(df, "arm", expected=[0.9, 0.1]).collect()}
+    assert out[0].expected_n == pytest.approx(90.0)
+    assert out[1].chi2_term == pytest.approx((45 - 10) ** 2 / 10)
+
+
+def test_cuped_perfect_covariate(spark):
+    # Y = 2X exactly → theta = 2, var_reduction = 1, adjusted means equal
+    rows = [(i % 2, float(2 * i), float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["arm", "y", "x"])
+    out = {r.arm: r for r in cuped_adjust(df, "arm", "y", "x").collect()}
+    assert out[0].theta == pytest.approx(2.0)
+    assert out[0].var_reduction == pytest.approx(1.0)
+    # adjustment removes the assignment-correlated covariate imbalance
+    assert out[0].mean_adj == pytest.approx(out[1].mean_adj, abs=1e-6)
+
+
+def test_cuped_uninformative_covariate(spark):
+    # constant X → var(X)=0 → theta NULL, adjusted == raw
+    rows = [(i % 2, float(i), 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["arm", "y", "x"])
+    out = cuped_adjust(df, "arm", "y", "x").collect()[0]
+    assert out.theta is None and out.mean_adj == out.mean_raw
+
+
+def test_ab_assign_deterministic_split(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["uid"])
+    out = df.select(ab_assign(F.col("uid")).alias("arm")).groupBy("arm").count()
+    counts = {r.arm: r["count"] for r in out.collect()}
+    assert set(counts) == {0, 1}
+    assert abs(counts[0] - counts[1]) < 100  # roughly balanced

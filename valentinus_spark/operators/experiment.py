@@ -1,0 +1,280 @@
+"""Experimentation analytics: A/B assignment, proportion and mean
+tests, sample-ratio-mismatch, and CUPED variance reduction — the
+online-experiment readout stack, built engine-portable (every fold,
+including the normal CDF, is an explicit arithmetic formula that
+replays identically in ANSI SQL; no SciPy).
+
+The reference has no experimentation surface (SURVEY.md §2.4 extension
+family, like funnel/retention). Scale shapes are uniform: one
+unit-keyed aggregate collapses the event stream to per-unit rows, then
+arm-sized moment folds — the corpus is scanned once per readout.
+
+Normal CDF: Abramowitz & Stegun 26.2.17 (|err| < 7.5e-8). Both engines
+evaluate the same polynomial, so p-values agree bit-for-bit at the
+6-decimal rounding regardless of the approximation error itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ab_assign",
+    "two_proportion_test",
+    "welch_means_test",
+    "srm_check",
+    "cuped_adjust",
+]
+
+
+def ab_assign(unit: Column, n_arms: int = 2, salt: int = 0) -> Column:
+    """Deterministic arm assignment from a unit id: small-modulus
+    integer arithmetic (no engine hash dependence), replayable in any
+    SQL dialect: ``((unit % 1000003) * 31 + salt) % n_arms``."""
+    return ((unit % 1000003) * 31 + salt) % n_arms
+
+
+def _phi_upper(z: Column) -> Column:
+    """P(Z > z) for z ≥ 0 — A&S 26.2.17 polynomial (|err| < 7.5e-8)."""
+    t = 1.0 / (1.0 + 0.2316419 * z)
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    pdf = F.exp(-z * z / 2.0) / 2.5066282746310002  # sqrt(2*pi)
+    return pdf * poly
+
+
+def two_sided_p(z: Column) -> Column:
+    """Two-sided normal p-value 2·P(Z > |z|), engine-portable. NULL z
+    stays NULL (Spark's ``least`` skips NULLs, which would otherwise
+    turn an undefined statistic into p = 1.0)."""
+    return F.when(
+        z.isNotNull(), F.least(F.lit(1.0), 2.0 * _phi_upper(F.abs(z)))
+    )
+
+
+def two_proportion_test(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled SE) between arms 0 and 1 — the
+    conversion-rate readout. ``success_col`` is 0/1 per unit. Returns
+    ONE row: (``n_a``, ``n_b``, ``p_a``, ``p_b``, ``lift``, ``z``,
+    ``p_value``), rounded to 6; z/p NULL when either arm is empty or
+    the pooled rate is degenerate (0 or 1 — no variance).
+
+    Scale shape: one arm-keyed count/sum aggregate (2 rows out), then
+    scalar arithmetic. The corpus is scanned once.
+    """
+    agg = df.filter(F.col(arm_col).isin([0, 1])).groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(success_col).cast("bigint")).alias("_s"),
+    )
+    a = agg.filter(F.col(arm_col) == 0).select(
+        F.col("_n").alias("n_a"), F.col("_s").alias("_sa")
+    )
+    b = agg.filter(F.col(arm_col) == 1).select(
+        F.col("_n").alias("n_b"), F.col("_s").alias("_sb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    pa = F.col("_sa").cast("double") / F.col("n_a")
+    pb = F.col("_sb").cast("double") / F.col("n_b")
+    pool = (F.col("_sa") + F.col("_sb")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z = F.when((pool > 0) & (pool < 1), (pb - pa) / se)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(pb - pa, 6).alias("lift"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+    )
+
+
+def welch_means_test(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between arms 0 and 1 on a
+    continuous metric — the revenue-per-user readout. Returns ONE row:
+    (``n_a``, ``n_b``, ``mean_a``, ``mean_b``, ``diff``, ``t``,
+    ``dof``, ``p_value``) rounded to 6 — dof via Welch-Satterthwaite;
+    the p-value uses the NORMAL approximation (stated, accurate for
+    the n ≫ 30 regime experiments run in). t/p NULL when either arm
+    has < 2 units or both variances are 0.
+
+    Determinism: value sums and sum-of-squares accumulate in
+    DECIMAL(38,8) — exact regardless of partition order — and only the
+    final scalar formula is float.
+    """
+    v = F.col(value_col).cast("decimal(38,8)")
+    agg = df.filter(F.col(arm_col).isin([0, 1])).groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v).alias("_s"),
+        F.sum((F.col(value_col).cast("decimal(19,4)") * F.col(value_col).cast("decimal(19,4)")).cast("decimal(38,8)")).alias("_ss"),
+    )
+    a = agg.filter(F.col(arm_col) == 0).select(
+        F.col("_n").alias("n_a"),
+        F.col("_s").cast("double").alias("_sa"),
+        F.col("_ss").cast("double").alias("_ssa"),
+    )
+    b = agg.filter(F.col(arm_col) == 1).select(
+        F.col("_n").alias("n_b"),
+        F.col("_s").cast("double").alias("_sb"),
+        F.col("_ss").cast("double").alias("_ssb"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("_sa") / na, F.col("_sb") / nb
+    va = (F.col("_ssa") - na * ma * ma) / (na - 1.0)
+    vb = (F.col("_ssb") - nb * mb * mb) / (nb - 1.0)
+    sa2, sb2 = va / na, vb / nb
+    se2 = sa2 + sb2
+    t = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0),
+        (mb - ma) / F.sqrt(se2),
+    )
+    dof = F.when(
+        t.isNotNull() & (sa2 + sb2 > 0) & ((sa2 > 0) | (sb2 > 0)),
+        (se2 * se2)
+        / (
+            F.when(F.col("n_a") > 1, sa2 * sa2 / (na - 1.0)).otherwise(0.0)
+            + F.when(F.col("n_b") > 1, sb2 * sb2 / (nb - 1.0)).otherwise(0.0)
+        ),
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(mb - ma, 6).alias("diff"),
+        F.round(t, 6).alias("t"),
+        F.round(dof, 6).alias("dof"),
+        F.round(two_sided_p(t), 6).alias("p_value"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: list[float] | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch check: χ² of observed arm counts against
+    the intended split (default: uniform over observed arms) — the
+    first gate on any experiment readout; an SRM means the assignment
+    or logging is broken and every downstream p-value is garbage.
+    Returns one row per arm (``arm``, ``n``, ``expected_n``,
+    ``chi2_term``) plus exact counts so the 1-dof total is Σ terms;
+    rounded to 6, ordered by arm.
+
+    Scale shape: one arm-keyed count (k rows) + broadcast total.
+    """
+    counts = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("_k")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    if expected is None:
+        exp_n = F.col("_tot").cast("double") / F.col("_k")
+    else:
+        m = F.create_map(
+            *[x for i, w in enumerate(expected) for x in (F.lit(i), F.lit(float(w)))]
+        )
+        exp_n = F.col("_tot").cast("double") * m[F.col("arm")]
+    d = F.col("n").cast("double") - exp_n
+    return j.select(
+        "arm",
+        "n",
+        F.round(exp_n, 6).alias("expected_n"),
+        F.round(d * d / exp_n, 6).alias("chi2_term"),
+    ).orderBy("arm")
+
+
+def cuped_adjust(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED (Deng et al. 2013): variance-reduced treatment-effect
+    readout using a pre-experiment covariate X:
+
+        θ  = cov(X, Y) / var(X)          (pooled, both arms)
+        Y' = Y − θ·(X − mean(X))
+
+    Per arm: raw and adjusted means, plus the variance-reduction
+    fraction 1 − var(Y')/var(Y) = ρ² — how much experiment runtime the
+    covariate buys. Returns one row per arm: (``arm``, ``n``,
+    ``mean_raw``, ``mean_adj``, ``theta``, ``var_reduction``), rounded
+    to 6; θ NULL (and adjusted = raw) when var(X) = 0.
+
+    Determinism: all sums and cross-products accumulate in
+    DECIMAL(38,8); floats appear only in the final scalar folds.
+
+    Scale shape: one arm-keyed moment aggregate (Σy, Σx, Σxy, Σx², Σy²
+    per arm — 2 rows), pooled scalars from those two rows, then
+    per-arm arithmetic. One corpus scan.
+    """
+    dec = lambda c: F.col(c).cast("decimal(19,4)")  # noqa: E731
+    big = lambda e: e.cast("decimal(38,8)")  # noqa: E731
+    agg = df.filter(F.col(arm_col).isin([0, 1])).groupBy(
+        F.col(arm_col).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(big(dec(metric_col))).alias("_sy"),
+        F.sum(big(dec(covariate_col))).alias("_sx"),
+        F.sum(big(dec(metric_col) * dec(covariate_col))).alias("_sxy"),
+        F.sum(big(dec(covariate_col) * dec(covariate_col))).alias("_sxx"),
+        F.sum(big(dec(metric_col) * dec(metric_col))).alias("_syy"),
+    )
+    pool = agg.agg(
+        F.sum("n").alias("_N"),
+        F.sum("_sy").cast("double").alias("_Sy"),
+        F.sum("_sx").cast("double").alias("_Sx"),
+        F.sum("_sxy").cast("double").alias("_Sxy"),
+        F.sum("_sxx").cast("double").alias("_Sxx"),
+        F.sum("_syy").cast("double").alias("_Syy"),
+    )
+    nn = F.col("_N").cast("double")
+    mx = F.col("_Sx") / nn
+    my = F.col("_Sy") / nn
+    varx = F.col("_Sxx") / nn - mx * mx
+    vary = F.col("_Syy") / nn - my * my
+    covxy = F.col("_Sxy") / nn - mx * my
+    theta = F.when(varx > 0, covxy / varx)
+    var_red = F.when(
+        theta.isNotNull() & (vary > 0), covxy * covxy / (varx * vary)
+    )
+    pooled = pool.select(
+        mx.alias("_mx"),
+        theta.alias("_theta"),
+        var_red.alias("_vr"),
+    )
+    j = agg.crossJoin(F.broadcast(pooled))
+    n_arm = F.col("n").cast("double")
+    mean_raw = F.col("_sy").cast("double") / n_arm
+    mean_x = F.col("_sx").cast("double") / n_arm
+    mean_adj = F.when(
+        F.col("_theta").isNotNull(),
+        mean_raw - F.col("_theta") * (mean_x - F.col("_mx")),
+    ).otherwise(mean_raw)
+    return j.select(
+        "arm",
+        "n",
+        F.round(mean_raw, 6).alias("mean_raw"),
+        F.round(mean_adj, 6).alias("mean_adj"),
+        F.round("_theta", 6).alias("theta"),
+        F.round("_vr", 6).alias("var_reduction"),
+    ).orderBy("arm")
