@@ -4933,6 +4933,24 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_doc_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup (operators/hierarchy.py::subtree_rollup) over the
+    synthetic binary document tree (parent = (doc_id−1)//2): per node,
+    subtree count and n_chars sum, computed via the O(log depth)
+    pointer-doubling ancestor closure. The DuckDB oracle recomputes the
+    closure with a recursive CTE — any doubling defect (missed split,
+    duplicate path) diverges the sums."""
+    from valentinus_spark.operators.hierarchy import subtree_rollup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    edges = docs.filter(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("child"),
+        ((F.col("doc_id") - 1) / 2).cast("bigint").alias("parent"),
+    )
+    vals = docs.select(F.col("doc_id").alias("node"), F.col("n_chars").alias("value"))
+    return subtree_rollup(edges, vals, max_depth=64)
+
+
 def _ab_user_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared per-user experiment frame: deterministic arm assignment
     (operators/experiment.py::ab_assign — small-modulus arithmetic, no
@@ -5432,6 +5450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_revenue_welch": q_ab_revenue_welch,  # added r5 (post-rotation) — r6 window candidate
         "ab_srm_check": q_ab_srm_check,  # added r5 (post-rotation) — r6 window candidate
         "ab_revenue_cuped": q_ab_revenue_cuped,  # added r5 (post-rotation) — r6 window candidate
+        "doc_tree_rollup": q_doc_tree_rollup,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8575,6 +8594,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "doc_tree_rollup": """
+            WITH RECURSIVE edges AS (
+                SELECT doc_id AS child, (doc_id - 1) // 2 AS parent
+                FROM documents WHERE doc_id >= 1
+            ),
+            anc AS (
+                SELECT child AS node, parent AS anc FROM edges
+                UNION ALL
+                SELECT a.node, e.parent
+                FROM anc a JOIN edges e ON e.child = a.anc
+            ),
+            v AS (SELECT doc_id AS node, n_chars AS val FROM documents),
+            da AS (
+                SELECT anc, COUNT(*)::BIGINT AS dn,
+                       SUM(CAST(val AS DECIMAL(38,6))) AS dv
+                FROM anc JOIN v ON v.node = anc.node GROUP BY anc
+            )
+            SELECT v.node, (COALESCE(dn, 0) + 1)::BIGINT AS subtree_n,
+                   ROUND(CAST(COALESCE(dv, CAST(0 AS DECIMAL(38,6)))
+                              + CAST(val AS DECIMAL(38,6)) AS DOUBLE), 6) AS subtree_sum
+            FROM v LEFT JOIN da ON da.anc = v.node
+            ORDER BY v.node
+        """,
         "ab_conversion_test": """
             WITH users AS (
                 SELECT ((user_id % 1000003) * 31) % 2 AS arm,
