@@ -4933,6 +4933,28 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_customer_supplier_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar radius join (operators/range_join.py::radius_join) between
+    synthetic customer and supplier coordinates (deterministic key
+    arithmetic on a 500×500 grid, radius 6) — the spatial-join shape
+    with NO cross product: grid-cell equi-join + exact distance verify.
+    The DuckDB oracle brute-forces the full cross product, so any
+    neighborhood-completeness defect (missed cell offset) diverges."""
+    from valentinus_spark.operators.range_join import radius_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 500).cast("double").alias("x"),
+        ((F.col("c_custkey") * 59) % 500).cast("double").alias("y"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 41) % 500).cast("double").alias("x"),
+        ((F.col("s_suppkey") * 73) % 500).cast("double").alias("y"),
+    )
+    return radius_join(cust, supp, 6.0, ["c_custkey"], ["s_suppkey"])
+
+
 def q_doc_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subtree rollup (operators/hierarchy.py::subtree_rollup) over the
     synthetic binary document tree (parent = (doc_id−1)//2): per node,
@@ -5451,6 +5473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_srm_check": q_ab_srm_check,  # added r5 (post-rotation) — r6 window candidate
         "ab_revenue_cuped": q_ab_revenue_cuped,  # added r5 (post-rotation) — r6 window candidate
         "doc_tree_rollup": q_doc_tree_rollup,  # added r5 (post-rotation) — r6 window candidate
+        "customer_supplier_radius": q_customer_supplier_radius,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8594,6 +8617,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "customer_supplier_radius": """
+            WITH c AS (
+                SELECT c_custkey,
+                       CAST((c_custkey * 37) % 500 AS DOUBLE) AS x,
+                       CAST((c_custkey * 59) % 500 AS DOUBLE) AS y
+                FROM customer
+            ),
+            s AS (
+                SELECT s_suppkey,
+                       CAST((s_suppkey * 41) % 500 AS DOUBLE) AS x,
+                       CAST((s_suppkey * 73) % 500 AS DOUBLE) AS y
+                FROM supplier
+            )
+            SELECT c_custkey, s_suppkey,
+                   ROUND(SQRT((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)), 6) AS dist
+            FROM c CROSS JOIN s
+            WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 36.0
+            ORDER BY c_custkey, s_suppkey
+        """,
         "doc_tree_rollup": """
             WITH RECURSIVE edges AS (
                 SELECT doc_id AS child, (doc_id - 1) // 2 AS parent

@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "ab_srm_check",
     "ab_revenue_cuped",
     "doc_tree_rollup",
+    "customer_supplier_radius",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -256,7 +257,7 @@ BENCH_FAMILIES = {
         "markov_transitions", "resample_ffill", "dp_segment_counts",
         "psi_price_drift", "neyman_allocation", "bt_brand_ranking",
         "elo_brand_ratings", "benford_order_totals", "customer_rfm",
-        "doc_tree_rollup",
+        "doc_tree_rollup", "customer_supplier_radius",
     ],
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",

@@ -200,3 +200,47 @@ def test_release_manifest_checksum_semantics(spark):
     # duplicate rows do NOT cancel: union doubles counts, changes checksum...
     doubled = release_manifest(df.union(df), "doc_id", "text", 4).collect()
     assert sum(r["n_rows"] for r in doubled) == 200
+
+
+def test_radius_join_matches_brute_force(spark):
+    from valentinus_spark.operators import radius_join
+    import math, random
+
+    rng = random.Random(7)
+    pa = [(i, rng.uniform(0, 50), rng.uniform(0, 50)) for i in range(80)]
+    pb = [(j, rng.uniform(0, 50), rng.uniform(0, 50)) for j in range(60)]
+    a = spark.createDataFrame(pa, ["aid", "x", "y"])
+    b = spark.createDataFrame(pb, ["bid", "x", "y"])
+    r = 4.0
+    got = {(row.aid, row.bid) for row in radius_join(a, b, r, ["aid"], ["bid"]).collect()}
+    want = {
+        (i, j)
+        for i, xa, ya in pa
+        for j, xb, yb in pb
+        if math.hypot(xa - xb, ya - yb) <= r
+    }
+    assert got == want and len(want) > 10  # non-trivial fixture
+
+
+def test_radius_join_boundary_and_dist(spark):
+    from valentinus_spark.operators import radius_join
+    import pytest as pt
+
+    a = spark.createDataFrame([(1, 0.0, 0.0)], ["aid", "x", "y"])
+    b = spark.createDataFrame(
+        [(1, 3.0, 4.0), (2, 3.1, 4.0)], ["bid", "x", "y"]
+    )
+    out = radius_join(a, b, 5.0, ["aid"], ["bid"]).collect()
+    # (3,4) at exactly dist 5 kept; (3.1,4) at 5.06… dropped
+    assert len(out) == 1 and out[0].bid == 1
+    assert out[0].dist == pt.approx(5.0)
+
+
+def test_radius_join_no_cartesian_plan(spark):
+    from valentinus_spark.operators import radius_join
+
+    a = spark.createDataFrame([(i, float(i), float(i)) for i in range(50)], ["aid", "x", "y"])
+    b = spark.createDataFrame([(i, float(i), 0.0) for i in range(50)], ["bid", "x", "y"])
+    plan = radius_join(a, b, 2.0, ["aid"], ["bid"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -136,3 +136,71 @@ def interval_overlap_join(
         )
     )
     return joined.drop("_bucket")
+
+
+def radius_join(
+    a: DataFrame,
+    b: DataFrame,
+    radius: float,
+    a_keys: list[str],
+    b_keys: list[str],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Planar radius (spatial) join: all (a, b) pairs within Euclidean
+    ``radius`` — the store-near-customer / sensor-near-incident shape —
+    WITHOUT a cross product: points bucket into radius-sized grid
+    cells, each a-point probes its 3×3 cell neighborhood (every
+    within-radius pair provably shares that neighborhood since
+    |Δx|,|Δy| ≤ r), and the exact distance check runs only on
+    neighborhood candidates.
+
+    Both inputs need ``x_col``/``y_col``; ``a_keys``/``b_keys`` name
+    the identity columns carried through. Returns a-keys + b-keys +
+    ``dist`` (rounded 6), one row per qualifying pair, ordered by the
+    keys.
+
+    Scale shape: ONE equi-join on the (cell_x, cell_y) key after a 9×
+    map-side explode of the probe side — candidates are bounded by
+    9·density·r² per point instead of |a|·|b|. A pathological hot cell
+    (everything at one location) degrades toward density²; salt or
+    pre-aggregate coincident points upstream if the data has such an
+    atom. No trig — squared-distance filter then one sqrt, so the
+    join is engine-exact for grid-valued coordinates.
+    """
+    cell = lambda c: F.floor(F.col(c) / radius)  # noqa: E731
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    pa = a.select(
+        *a_keys,
+        F.col(x_col).alias("_ax"),
+        F.col(y_col).alias("_ay"),
+        (cell(x_col)).alias("_cx0"),
+        (cell(y_col)).alias("_cy0"),
+    ).select(
+        *a_keys, "_ax", "_ay",
+        F.explode(offs).alias("_o"),
+        "_cx0", "_cy0",
+    ).select(
+        *a_keys, "_ax", "_ay",
+        (F.col("_cx0") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_cy0") + F.col("_o.dy")).alias("_cy"),
+    )
+    pb = b.select(
+        *b_keys,
+        F.col(x_col).alias("_bx"),
+        F.col(y_col).alias("_by"),
+        cell(x_col).alias("_cx"),
+        cell(y_col).alias("_cy"),
+    )
+    d2 = (F.col("_ax") - F.col("_bx")) ** 2 + (F.col("_ay") - F.col("_by")) ** 2
+    return (
+        pa.join(pb, ["_cx", "_cy"])
+        .filter(d2 <= F.lit(float(radius)) ** 2)
+        .select(
+            *a_keys,
+            *b_keys,
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+        .orderBy(*a_keys, *b_keys)
+    )
