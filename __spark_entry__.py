@@ -4933,6 +4933,53 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_decayed_popularity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_decayed_popularity: a real micro-batch
+    stream maintains the (key, day) count/value state (update-mode
+    memory sink, availableNow), the last emitted row per (key, day)
+    carries that bucket's final state, and the SAME decay fold
+    (operators/rollup.py::decayed_popularity_from_daily) runs over the
+    recovered state — so the batch oracle gates the stream end-to-end
+    (incremental day-bucket maintenance proven lossless)."""
+    import tempfile
+
+    from valentinus_spark.operators.rollup import decayed_popularity_from_daily
+
+    stream = _events_stream(spark, sf_dir)
+    name = "decayed_pop_stream_result"
+    agg = (
+        stream.select(
+            "event_type",
+            "ts",
+            F.col("value").cast("decimal(28,2)").alias("_v"),
+        )
+        .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_sv"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="vs_ckpt_decay_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    wlast = Window.partitionBy("event_type", "w").orderBy(F.desc("_n"))
+    daily = (
+        sink.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("event_type").alias("_k"),
+            F.to_date(F.col("w.start")).alias("_d"),
+            "_n",
+            "_sv",
+        )
+    )
+    return decayed_popularity_from_daily(daily, "event_type", half_life_days=7)
+
+
 def q_customer_supplier_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar radius join (operators/range_join.py::radius_join) between
     synthetic customer and supplier coordinates (deterministic key
@@ -5474,6 +5521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_revenue_cuped": q_ab_revenue_cuped,  # added r5 (post-rotation) — r6 window candidate
         "doc_tree_rollup": q_doc_tree_rollup,  # added r5 (post-rotation) — r6 window candidate
         "customer_supplier_radius": q_customer_supplier_radius,  # added r5 (post-rotation) — r6 window candidate
+        "decayed_popularity_stream": q_decayed_popularity_stream,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8617,6 +8665,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY decayed_score DESC, event_type
         """,
         "elo_brand_ratings": _elo_oracle_sql(),
+        "decayed_popularity_stream": """
+            WITH base AS (
+                SELECT event_type AS k, CAST(ts AS DATE) AS d,
+                       CAST(value AS DECIMAL(28,2)) AS v
+                FROM events
+            ),
+            ref AS (SELECT MAX(d) AS refd FROM base),
+            daily AS (
+                SELECT k, d, COUNT(*)::BIGINT AS n, SUM(v) AS sv
+                FROM base GROUP BY k, d
+            ),
+            aged AS (
+                SELECT k, n, sv, datediff('day', d, refd)::BIGINT AS age
+                FROM daily, ref
+            )
+            SELECT k AS event_type,
+                   SUM(n)::BIGINT AS n_events,
+                   ROUND(SUM(sv::DOUBLE * ROUND(EXP(-(LN(2.0) / 7) * age), 12)), 4) AS decayed_score
+            FROM aged GROUP BY k
+            ORDER BY decayed_score DESC, event_type
+        """,
         "customer_supplier_radius": """
             WITH c AS (
                 SELECT c_custkey,

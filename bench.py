@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "ab_revenue_cuped",
     "doc_tree_rollup",
     "customer_supplier_radius",
+    "decayed_popularity_stream",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -266,7 +267,7 @@ BENCH_FAMILIES = {
         "ks_value_drift", "w1_value_drift", "event_id_gaps",
         "touch_attribution", "user_survival", "seasonal_naive_eval",
         "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
-        "ab_revenue_cuped",
+        "ab_revenue_cuped", "decayed_popularity_stream",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

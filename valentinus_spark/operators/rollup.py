@@ -249,10 +249,23 @@ def decayed_popularity(
     base = events.select(
         F.col(key_col).alias("_k"), F.to_date(ts_col).alias("_d"), val.alias("_v")
     )
-    ref = base.agg(F.max("_d").alias("_ref"))
     daily = base.groupBy("_k", "_d").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_sv")
     )
+    return decayed_popularity_from_daily(daily, key_col, half_life_days)
+
+
+def decayed_popularity_from_daily(
+    daily: DataFrame,
+    key_col: str,
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Decay fold over an ALREADY-MATERIALIZED (``_k``, ``_d``, ``_n``,
+    ``_sv``) daily table — the shared tail of :func:`decayed_popularity`
+    and its streaming twin (streaming maintains the daily table as
+    incremental state; the fold runs identically over either source, so
+    the batch oracle gates the stream)."""
+    ref = daily.agg(F.max("_d").alias("_ref"))
     aged = daily.crossJoin(F.broadcast(ref)).select(
         "_k",
         "_n",
