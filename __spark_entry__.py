@@ -4933,6 +4933,29 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_event_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/experiment.py::did_estimate)
+    on event values: arms from deterministic user assignment, periods
+    split at the data-derived corpus midpoint date — the 2×2 causal
+    readout with DECIMAL-exact cell moments and the A&S normal p,
+    fully replayed in DuckDB."""
+    from valentinus_spark.operators.experiment import ab_assign, did_estimate
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    ev = ev.withColumn("_d", F.to_date("ts"))
+    bounds = ev.agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
+    )
+    framed = ev.crossJoin(F.broadcast(bounds)).select(
+        ab_assign(F.col("user_id")).alias("arm"),
+        (
+            F.datediff("_d", "_lo") * 2 > F.datediff("_hi", "_lo")
+        ).cast("int").alias("period"),
+        "value",
+    )
+    return did_estimate(framed, "arm", "period", "value")
+
+
 def q_decayed_popularity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of event_decayed_popularity: a real micro-batch
     stream maintains the (key, day) count/value state (update-mode
@@ -5522,6 +5545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tree_rollup": q_doc_tree_rollup,  # added r5 (post-rotation) — r6 window candidate
         "customer_supplier_radius": q_customer_supplier_radius,  # added r5 (post-rotation) — r6 window candidate
         "decayed_popularity_stream": q_decayed_popularity_stream,  # added r5 (post-rotation) — r6 window candidate
+        "event_did": q_event_did,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8727,6 +8751,70 @@ def oracle_sql() -> dict[str, str]:
                               + CAST(val AS DECIMAL(38,6)) AS DOUBLE), 6) AS subtree_sum
             FROM v LEFT JOIN da ON da.anc = v.node
             ORDER BY v.node
+        """,
+        "event_did": """
+            WITH ev AS (
+                SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+            ),
+            bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+            framed AS (
+                SELECT ((user_id % 1000003) * 31) % 2 AS arm,
+                       CASE WHEN datediff('day', lo, d) * 2 > datediff('day', lo, hi)
+                            THEN 1 ELSE 0 END AS period,
+                       value
+                FROM ev, bounds
+            ),
+            agg AS (
+                SELECT arm, period, COUNT(*)::BIGINT AS n,
+                       CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss
+                FROM framed GROUP BY arm, period
+            ),
+            cells AS (
+                SELECT
+                    MAX(CASE WHEN arm = 0 AND period = 0 THEN n END) AS n00,
+                    MAX(CASE WHEN arm = 0 AND period = 0 THEN s END) AS s00,
+                    MAX(CASE WHEN arm = 0 AND period = 0 THEN ss END) AS ss00,
+                    MAX(CASE WHEN arm = 0 AND period = 1 THEN n END) AS n01,
+                    MAX(CASE WHEN arm = 0 AND period = 1 THEN s END) AS s01,
+                    MAX(CASE WHEN arm = 0 AND period = 1 THEN ss END) AS ss01,
+                    MAX(CASE WHEN arm = 1 AND period = 0 THEN n END) AS n10,
+                    MAX(CASE WHEN arm = 1 AND period = 0 THEN s END) AS s10,
+                    MAX(CASE WHEN arm = 1 AND period = 0 THEN ss END) AS ss10,
+                    MAX(CASE WHEN arm = 1 AND period = 1 THEN n END) AS n11,
+                    MAX(CASE WHEN arm = 1 AND period = 1 THEN s END) AS s11,
+                    MAX(CASE WHEN arm = 1 AND period = 1 THEN ss END) AS ss11
+                FROM agg
+            ),
+            calc AS (
+                SELECT
+                    s00 / n00 AS m00, s01 / n01 AS m01,
+                    s10 / n10 AS m10, s11 / n11 AS m11,
+                    (n00 IS NOT NULL AND n00 >= 2 AND n01 IS NOT NULL AND n01 >= 2
+                     AND n10 IS NOT NULL AND n10 >= 2 AND n11 IS NOT NULL AND n11 >= 2) AS ok,
+                    (ss00 - n00 * (s00/n00) * (s00/n00)) / (n00 - 1.0) / n00
+                    + (ss01 - n01 * (s01/n01) * (s01/n01)) / (n01 - 1.0) / n01
+                    + (ss10 - n10 * (s10/n10) * (s10/n10)) / (n10 - 1.0) / n10
+                    + (ss11 - n11 * (s11/n11) * (s11/n11)) / (n11 - 1.0) / n11 AS var_sum
+                FROM cells
+            ),
+            zc AS (
+                SELECT m00, m01, m10, m11,
+                       (m11 - m10) - (m01 - m00) AS did,
+                       CASE WHEN ok THEN SQRT(var_sum) END AS se,
+                       CASE WHEN ok AND SQRT(var_sum) > 0
+                            THEN ((m11 - m10) - (m01 - m00)) / SQRT(var_sum) END AS z
+                FROM calc
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM zc)
+            SELECT ROUND(m00, 6) AS mean_c_pre, ROUND(m01, 6) AS mean_c_post,
+                   ROUND(m10, 6) AS mean_t_pre, ROUND(m11, 6) AS mean_t_post,
+                   ROUND(did, 6) AS did, ROUND(se, 6) AS se, ROUND(z, 6) AS z,
+                   ROUND(CASE WHEN z IS NOT NULL THEN LEAST(1.0,
+                       2.0 * EXP(-z * z / 2.0) / 2.5066282746310002
+                           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429)))))
+                   ) END, 6) AS p_value
+            FROM pv
         """,
         "ab_conversion_test": """
             WITH users AS (

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "doc_tree_rollup",
     "customer_supplier_radius",
     "decayed_popularity_stream",
+    "event_did",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -267,7 +268,7 @@ BENCH_FAMILIES = {
         "ks_value_drift", "w1_value_drift", "event_id_gaps",
         "touch_attribution", "user_survival", "seasonal_naive_eval",
         "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
-        "ab_revenue_cuped", "decayed_popularity_stream",
+        "ab_revenue_cuped", "decayed_popularity_stream", "event_did",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

@@ -99,3 +99,36 @@ def test_ab_assign_deterministic_split(spark):
     counts = {r.arm: r["count"] for r in out.collect()}
     assert set(counts) == {0, 1}
     assert abs(counts[0] - counts[1]) < 100  # roughly balanced
+
+
+def test_did_hand_computed(spark):
+    from valentinus_spark.operators import did_estimate
+
+    # control: pre mean 10, post mean 12 (trend +2)
+    # treated: pre mean 20, post mean 25 (trend +5) → DiD = 3
+    rows = (
+        [(0, 0, 10.0 + d) for d in (-1.0, 0.0, 1.0)]
+        + [(0, 1, 12.0 + d) for d in (-1.0, 0.0, 1.0)]
+        + [(1, 0, 20.0 + d) for d in (-1.0, 0.0, 1.0)]
+        + [(1, 1, 25.0 + d) for d in (-1.0, 0.0, 1.0)]
+    )
+    df = spark.createDataFrame(rows, ["arm", "period", "v"])
+    out = did_estimate(df, "arm", "period", "v").collect()[0]
+    assert out.mean_c_pre == pytest.approx(10.0)
+    assert out.mean_t_post == pytest.approx(25.0)
+    assert out.did == pytest.approx(3.0)
+    # each cell: var=1, n=3 → se = sqrt(4/3); z = 3/se
+    se = math.sqrt(4 / 3)
+    assert out.se == pytest.approx(se, abs=1e-5)
+    assert out.z == pytest.approx(3 / se, abs=1e-4)
+
+
+def test_did_small_cell_null_inference(spark):
+    from valentinus_spark.operators import did_estimate
+
+    rows = [(0, 0, 1.0), (0, 1, 2.0), (0, 1, 3.0), (1, 0, 4.0),
+            (1, 0, 5.0), (1, 1, 6.0), (1, 1, 7.0)]  # cell (0,0) has n=1
+    df = spark.createDataFrame(rows, ["arm", "period", "v"])
+    out = did_estimate(df, "arm", "period", "v").collect()[0]
+    assert out.se is None and out.z is None and out.p_value is None
+    assert out.did is not None  # point estimate still defined

@@ -25,6 +25,7 @@ __all__ = [
     "welch_means_test",
     "srm_check",
     "cuped_adjust",
+    "did_estimate",
 ]
 
 
@@ -278,3 +279,81 @@ def cuped_adjust(
         F.round("_theta", 6).alias("theta"),
         F.round("_vr", 6).alias("var_reduction"),
     ).orderBy("arm")
+
+
+def did_estimate(
+    df: DataFrame,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences: the 2×2 causal readout when
+    randomization wasn't available — (treated post − treated pre) −
+    (control post − control pre) removes both the group baseline and
+    the common time trend (parallel-trends assumption, state it in the
+    writeup). ``arm_col`` ∈ {0 control, 1 treated}; ``period_col`` ∈
+    {0 pre, 1 post}.
+
+    Returns ONE row: the four cell means (``mean_c_pre``,
+    ``mean_c_post``, ``mean_t_pre``, ``mean_t_post``), ``did``, a
+    large-sample ``se`` (√Σ cell var/n), ``z`` and normal ``p_value``,
+    rounded to 6 — NULL inference when any cell has < 2 rows.
+
+    Determinism: cell sums and squares accumulate in DECIMAL(38,8);
+    only the 4-cell scalar fold is float. Scale shape: one
+    (arm, period) aggregate — 4 rows out of any corpus — then scalar
+    arithmetic.
+    """
+    dec = F.col(value_col).cast("decimal(19,4)")
+    agg = (
+        df.filter(F.col(arm_col).isin([0, 1]) & F.col(period_col).isin([0, 1]))
+        .groupBy(
+            F.col(arm_col).alias("_a"), F.col(period_col).alias("_p")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec.cast("decimal(38,8)")).cast("double").alias("_s"),
+            F.sum((dec * dec).cast("decimal(38,8)")).cast("double").alias("_ss"),
+        )
+    )
+    cell = agg.select(
+        F.concat(F.col("_a").cast("string"), F.col("_p").cast("string")).alias(
+            "_c"
+        ),
+        "_n",
+        "_s",
+        "_ss",
+    )
+    pivot = cell.groupBy().pivot("_c", ["00", "01", "10", "11"]).agg(
+        F.first("_n").alias("n"), F.first("_s").alias("s"), F.first("_ss").alias("ss")
+    )
+
+    def mean(c):
+        return F.col(f"{c}_s") / F.col(f"{c}_n")
+
+    def var_over_n(c):
+        n = F.col(f"{c}_n").cast("double")
+        m = mean(c)
+        return (F.col(f"{c}_ss") - n * m * m) / (n - 1.0) / n
+
+    ok = (
+        F.col("00_n").isNotNull() & (F.col("00_n") >= 2)
+        & F.col("01_n").isNotNull() & (F.col("01_n") >= 2)
+        & F.col("10_n").isNotNull() & (F.col("10_n") >= 2)
+        & F.col("11_n").isNotNull() & (F.col("11_n") >= 2)
+    )
+    did = (mean("11") - mean("10")) - (mean("01") - mean("00"))
+    se = F.sqrt(
+        var_over_n("00") + var_over_n("01") + var_over_n("10") + var_over_n("11")
+    )
+    z = F.when(ok & (se > 0), did / se)
+    return pivot.select(
+        F.round(mean("00"), 6).alias("mean_c_pre"),
+        F.round(mean("01"), 6).alias("mean_c_post"),
+        F.round(mean("10"), 6).alias("mean_t_pre"),
+        F.round(mean("11"), 6).alias("mean_t_post"),
+        F.round(did, 6).alias("did"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+    )
