@@ -4933,6 +4933,17 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_mwu_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (operators/experiment.py::mann_whitney_u) between
+    click and view event values — the heavy-tail-robust companion to
+    ks/w1 on the same pair. Distinct-value average ranks, tie-corrected
+    variance, A&S normal p — all replayed in DuckDB."""
+    from valentinus_spark.operators.experiment import mann_whitney_u
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return mann_whitney_u(ev, "event_type", "value", "click", "view")
+
+
 def q_event_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences (operators/experiment.py::did_estimate)
     on event values: arms from deterministic user assignment, periods
@@ -5546,6 +5557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_supplier_radius": q_customer_supplier_radius,  # added r5 (post-rotation) — r6 window candidate
         "decayed_popularity_stream": q_decayed_popularity_stream,  # added r5 (post-rotation) — r6 window candidate
         "event_did": q_event_did,  # added r5 (post-rotation) — r6 window candidate
+        "mwu_value_test": q_mwu_value_test,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8751,6 +8763,51 @@ def oracle_sql() -> dict[str, str]:
                               + CAST(val AS DECIMAL(38,6)) AS DOUBLE), 6) AS subtree_sum
             FROM v LEFT JOIN da ON da.anc = v.node
             ORDER BY v.node
+        """,
+        "mwu_value_test": """
+            WITH vals AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+                FROM events
+                WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+            ),
+            per_val AS (
+                SELECT v, SUM(ia)::BIGINT AS ca, SUM(1 - ia)::BIGINT AS cb
+                FROM vals GROUP BY v
+            ),
+            ranked AS (
+                SELECT cb, (ca + cb) AS t,
+                       (SUM(ca + cb) OVER (ORDER BY v) - (ca + cb)) AS before
+                FROM per_val
+            ),
+            agg AS (
+                SELECT SUM(cb * (before + (t + 1) / 2.0)) AS rb,
+                       SUM(t * t * t - t)::BIGINT AS ties,
+                       SUM(t - cb)::BIGINT AS n_a,
+                       SUM(cb)::BIGINT AS n_b
+                FROM ranked
+            ),
+            calc AS (
+                SELECT n_a, n_b,
+                       rb - n_b * (n_b + 1.0) / 2.0 AS u,
+                       n_a::DOUBLE * n_b / 12.0
+                       * ((n_a + n_b + 1.0) - ties::DOUBLE
+                          / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1.0))) AS var
+                FROM agg
+            ),
+            zc AS (
+                SELECT n_a, n_b, u,
+                       CASE WHEN n_a > 0 AND n_b > 0 AND var > 0
+                            THEN (u - n_a::DOUBLE * n_b / 2.0) / SQRT(var) END AS z
+                FROM calc
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM zc)
+            SELECT n_a, n_b, ROUND(u, 6) AS u, ROUND(z, 6) AS z,
+                   ROUND(CASE WHEN z IS NOT NULL THEN LEAST(1.0,
+                       2.0 * EXP(-z * z / 2.0) / 2.5066282746310002
+                           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429)))))
+                   ) END, 6) AS p_value
+            FROM pv
         """,
         "event_did": """
             WITH ev AS (

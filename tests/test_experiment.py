@@ -132,3 +132,48 @@ def test_did_small_cell_null_inference(spark):
     out = did_estimate(df, "arm", "period", "v").collect()[0]
     assert out.se is None and out.z is None and out.p_value is None
     assert out.did is not None  # point estimate still defined
+
+
+def test_mann_whitney_matches_scipy_formula(spark):
+    from valentinus_spark.operators import mann_whitney_u
+
+    a = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b = [3.0, 5.0, 6.0, 7.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    # python replica with average ranks and tie correction
+    pooled = sorted(a + b)
+    import collections
+
+    counts = collections.Counter(pooled)
+    ranks = {}
+    pos = 0
+    for v in sorted(counts):
+        t = counts[v]
+        ranks[v] = pos + (t + 1) / 2.0
+        pos += t
+    rb = sum(ranks[v] for v in b)
+    nb, na = len(b), len(a)
+    u = rb - nb * (nb + 1) / 2.0
+    n = na + nb
+    ties = sum(t**3 - t for t in counts.values())
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+    assert out.u == pytest.approx(u)
+    assert out.z == pytest.approx(z, abs=1e-5)
+    assert out.p_value == pytest.approx(2 * _norm_sf(abs(z)), abs=1e-5)
+
+
+def test_mann_whitney_identical_groups_and_all_ties(spark):
+    from valentinus_spark.operators import mann_whitney_u
+
+    rows = [("a", float(i)) for i in range(6)] + [("b", float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert out.u == pytest.approx(18.0)  # = n_a*n_b/2, perfectly mixed
+    assert abs(out.z) < 1e-9 or out.z == 0.0
+    # all values equal → zero variance → NULL inference
+    df2 = spark.createDataFrame([("a", 1.0)] * 4 + [("b", 1.0)] * 4, ["g", "v"])
+    out2 = mann_whitney_u(df2, "g", "v", "a", "b").collect()[0]
+    assert out2.z is None and out2.p_value is None

@@ -26,6 +26,7 @@ __all__ = [
     "srm_check",
     "cuped_adjust",
     "did_estimate",
+    "mann_whitney_u",
 ]
 
 
@@ -354,6 +355,79 @@ def did_estimate(
         F.round(mean("11"), 6).alias("mean_t_post"),
         F.round(did, 6).alias("did"),
         F.round(F.when(ok, se), 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two groups — the
+    nonparametric alternative to Welch when the metric is heavy-tailed
+    (revenue with whales): compares rank sums, so one outlier moves the
+    statistic by one rank, not by its magnitude. Normal approximation
+    with the tie-corrected variance; no continuity correction
+    (documented choice — keeps both engines' arithmetic identical).
+
+    Returns ONE row: (``n_a``, ``n_b``, ``u``, ``z``, ``p_value``),
+    rounded to 6 — U is the B-side statistic (U > n_a·n_b/2 means B
+    ranks higher); z/p NULL when a group is empty or all values tie.
+
+    Scale shape: identical to ks_test — the corpus collapses to
+    DISTINCT-VALUE counts per group (one map-side-combined shuffle),
+    average ranks come from ONE ordered window over the distinct-value
+    table, and the rank sum / tie spectrum are exact arithmetic over
+    that table (average ranks live on the .5 grid, so sums are exact
+    in double far beyond any realistic N).
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(
+        F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("_v"),
+        F.when(F.col(group_col) == F.lit(group_a), 1).otherwise(0).alias("_ia"),
+    )
+    per_val = vals.groupBy("_v").agg(
+        F.sum("_ia").alias("_ca"),
+        F.sum(1 - F.col("_ia")).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt = F.col("_ca") + F.col("_cb")
+    ranked = per_val.select(
+        "_cb",
+        cnt.alias("_t"),
+        (F.sum(cnt).over(w) - cnt).alias("_before"),
+    )
+    # average rank of every element at this value: before + (t+1)/2
+    avg_rank = F.col("_before") + (F.col("_t") + 1) / 2.0
+    agg = ranked.agg(
+        F.sum(F.col("_cb") * avg_rank).alias("_rb"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_ties"),
+        F.sum(F.col("_t") - F.col("_cb")).alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    u = F.col("_rb") - nb * (nb + 1.0) / 2.0
+    mu = na * nb / 2.0
+    var = (
+        na * nb / 12.0
+        * ((nn + 1.0) - F.col("_ties").cast("double") / (nn * (nn - 1.0)))
+    )
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+        (u - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u"),
         F.round(z, 6).alias("z"),
         F.round(two_sided_p(z), 6).alias("p_value"),
     )
