@@ -9252,7 +9252,7 @@ def oracle_sql() -> dict[str, str]:
             pairs AS (
                 SELECT l.g,
                        CASE WHEN l.sa <> r.sa AND l.sb <> r.sb
-                            THEN SIGN((l.sa - r.sa) * (l.sb - r.sb)) ELSE 0.0 END AS s,
+                            THEN SIGN(l.sa - r.sa) * SIGN(l.sb - r.sb) ELSE 0.0 END AS s,
                        CASE WHEN l.sa = r.sa THEN 1 ELSE 0 END AS tie_a,
                        CASE WHEN l.sb = r.sb THEN 1 ELSE 0 END AS tie_b
                 FROM ranked l JOIN ranked r

@@ -493,8 +493,11 @@ def rank_correlation(
         (F.col("l._ra") < F.col("r._ra"))
         | ((F.col("l._ra") == F.col("r._ra")) & (F.col("l._rb") < F.col("r._rb")))
     )
-    sgn = F.signum(
-        (F.col("l._sa") - F.col("r._sa")) * (F.col("l._sb") - F.col("r._sb"))
+    # signum(da)*signum(db), NOT signum(da*db): the product of two tiny
+    # differences underflows to 0.0 and silently miscounts the pair as
+    # neither concordant nor discordant (hypothesis-found)
+    sgn = F.signum(F.col("l._sa") - F.col("r._sa")) * F.signum(
+        F.col("l._sb") - F.col("r._sb")
     )
     tie_a = (F.col("l._sa") == F.col("r._sa")).cast("int")
     tie_b = (F.col("l._sb") == F.col("r._sb")).cast("int")
