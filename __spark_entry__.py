@@ -4933,6 +4933,35 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_source_en_share_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH-FDR-corrected segment scan (operators/experiment.py::bh_fdr):
+    per source, a one-vs-rest two-proportion z on the English share,
+    then Benjamini-Hochberg across the 20-test battery — the
+    multiple-comparisons discipline a per-segment dashboard needs. The
+    battery arithmetic, the A&S p-values, and the step-up fold all
+    replay in DuckDB."""
+    from valentinus_spark.operators.experiment import bh_fdr, two_sided_p
+
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("_s"),
+    )
+    tot = per.agg(F.sum("_n").alias("_gn"), F.sum("_s").alias("_gs"))
+    j = per.crossJoin(F.broadcast(tot))
+    ni = F.col("_n").cast("double")
+    nr = (F.col("_gn") - F.col("_n")).cast("double")
+    pi = F.col("_s") / ni
+    pr = (F.col("_gs") - F.col("_s")) / nr
+    pool = F.col("_gs").cast("double") / F.col("_gn")
+    z = F.when(
+        (pool > 0) & (pool < 1) & (nr > 0),
+        (pi - pr) / F.sqrt(pool * (1.0 - pool) * (1.0 / ni + 1.0 / nr)),
+    )
+    battery = j.select(F.col("source"), two_sided_p(z).alias("p"))
+    return bh_fdr(battery, "source", "p", alpha=0.05)
+
+
 def q_mwu_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (operators/experiment.py::mann_whitney_u) between
     click and view event values — the heavy-tail-robust companion to
@@ -5558,6 +5587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_popularity_stream": q_decayed_popularity_stream,  # added r5 (post-rotation) — r6 window candidate
         "event_did": q_event_did,  # added r5 (post-rotation) — r6 window candidate
         "mwu_value_test": q_mwu_value_test,  # added r5 (post-rotation) — r6 window candidate
+        "source_en_share_fdr": q_source_en_share_fdr,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8763,6 +8793,53 @@ def oracle_sql() -> dict[str, str]:
                               + CAST(val AS DECIMAL(38,6)) AS DOUBLE), 6) AS subtree_sum
             FROM v LEFT JOIN da ON da.anc = v.node
             ORDER BY v.node
+        """,
+        "source_en_share_fdr": """
+            WITH per AS (
+                SELECT source, COUNT(*)::BIGINT AS n,
+                       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS s
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT SUM(n)::BIGINT AS nn, SUM(s)::BIGINT AS ss FROM per),
+            zc AS (
+                SELECT source,
+                       CASE WHEN ss::DOUBLE / nn > 0 AND ss::DOUBLE / nn < 1 AND nn > n
+                            THEN (s::DOUBLE / n - (ss - s)::DOUBLE / (nn - n))
+                                 / SQRT((ss::DOUBLE / nn) * (1.0 - ss::DOUBLE / nn)
+                                        * (1.0 / n + 1.0 / (nn - n)))
+                       END AS z
+                FROM per, tot
+            ),
+            pv AS (
+                SELECT source,
+                       CASE WHEN z IS NOT NULL THEN LEAST(1.0,
+                           2.0 * EXP(-z * z / 2.0) / 2.5066282746310002
+                               * ((1.0 / (1.0 + 0.2316419 * ABS(z)))
+                                  * (0.319381530 + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                                     * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                                        * (1.781477937 + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                                           * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * ABS(z))) * 1.330274429)))))
+                       ) END AS p
+                FROM zc
+            ),
+            ranked AS (
+                SELECT source, p,
+                       ROW_NUMBER() OVER (ORDER BY p, source) AS rank,
+                       COUNT(*) OVER () AS m
+                FROM pv WHERE p IS NOT NULL
+            ),
+            ks AS (
+                SELECT MAX(CASE WHEN p <= rank * 0.05 / m THEN rank ELSE 0 END) OVER () AS kstar,
+                       source, p, rank, m,
+                       MIN(p * m / rank) OVER (ORDER BY rank DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qmin
+                FROM ranked
+            )
+            SELECT source, ROUND(p, 6) AS p_value, rank::BIGINT AS rank,
+                   ROUND(rank * 0.05 / m, 6) AS bh_threshold,
+                   rank <= kstar AS reject,
+                   ROUND(LEAST(1.0, qmin), 6) AS q_value
+            FROM ks ORDER BY rank
         """,
         "mwu_value_test": """
             WITH vals AS (

@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "decayed_popularity_stream",
     "event_did",
     "mwu_value_test",
+    "source_en_share_fdr",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -270,7 +271,7 @@ BENCH_FAMILIES = {
         "touch_attribution", "user_survival", "seasonal_naive_eval",
         "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
         "ab_revenue_cuped", "decayed_popularity_stream", "event_did",
-        "mwu_value_test",
+        "mwu_value_test", "source_en_share_fdr",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

@@ -177,3 +177,33 @@ def test_mann_whitney_identical_groups_and_all_ties(spark):
     df2 = spark.createDataFrame([("a", 1.0)] * 4 + [("b", 1.0)] * 4, ["g", "v"])
     out2 = mann_whitney_u(df2, "g", "v", "a", "b").collect()[0]
     assert out2.z is None and out2.p_value is None
+
+
+def test_bh_fdr_textbook(spark):
+    from valentinus_spark.operators import bh_fdr
+
+    # classic example: m=5, alpha=0.25 — thresholds .05,.10,.15,.20,.25
+    ps = [("t1", 0.01), ("t2", 0.04), ("t3", 0.16), ("t4", 0.18), ("t5", 0.9)]
+    df = spark.createDataFrame(ps, ["test", "p"])
+    out = {r.test: r for r in bh_fdr(df, "test", "p", alpha=0.25).collect()}
+    # k* = 4 (p_(4)=0.18 ≤ 0.20) → reject t1..t4 including t3 whose own
+    # threshold fails (the step-up property)
+    assert out["t1"].reject and out["t2"].reject
+    assert out["t3"].reject and out["t4"].reject
+    assert not out["t5"].reject
+    # q-values: monotone running min of p*m/rank from the bottom
+    assert out["t5"].q_value == pytest.approx(0.9)
+    assert out["t4"].q_value == pytest.approx(min(0.18 * 5 / 4, 0.9), abs=1e-6)
+    assert out["t1"].q_value == pytest.approx(0.05)
+
+
+def test_bh_fdr_none_rejected_and_null_excluded(spark):
+    from valentinus_spark.operators import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.8), ("b", 0.9), ("c", None)], ["test", "p"]
+    )
+    out = bh_fdr(df, "test", "p", alpha=0.05).collect()
+    assert len(out) == 2  # NULL p excluded from m
+    assert not any(r.reject for r in out)
+    assert all(r.q_value <= 1.0 for r in out)

@@ -27,6 +27,7 @@ __all__ = [
     "cuped_adjust",
     "did_estimate",
     "mann_whitney_u",
+    "bh_fdr",
 ]
 
 
@@ -431,3 +432,60 @@ def mann_whitney_u(
         F.round(z, 6).alias("z"),
         F.round(two_sided_p(z), 6).alias("p_value"),
     )
+
+
+def bh_fdr(
+    tests: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a battery of tests — the
+    multiple-comparisons gate for metric dashboards and per-segment
+    scans (20 segments at α=.05 expect one fake winner; BH bounds the
+    FALSE-DISCOVERY RATE instead of nuking power like Bonferroni):
+
+        reject all tests with rank ≤ k*,  k* = max{k : p_(k) ≤ k·α/m}
+
+    Returns one row per test: (``test_col``, ``p_value``, ``rank``,
+    ``bh_threshold``, ``reject``, ``q_value``) ordered by rank —
+    q_value is the step-up adjusted p (monotone running min of
+    p·m/rank from the largest rank down), the quantity to report.
+    NULL p-values are excluded (they carry no evidence and would
+    corrupt m).
+
+    Scale shape: one ordered window over the TEST battery (m rows — a
+    dashboard, not a corpus; the corpus-sized work happened inside
+    each upstream test). Ties in p break by test name so the ranking
+    is engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    t = tests.filter(F.col(p_col).isNotNull()).select(
+        F.col(test_col).alias("_t"), F.col(p_col).alias("_p")
+    )
+    wo = Window.orderBy("_p", "_t")
+    m = Window.partitionBy()
+    ranked = t.select(
+        "_t",
+        "_p",
+        F.row_number().over(wo).alias("rank"),
+        F.count(F.lit(1)).over(m).alias("_m"),
+    )
+    thr = F.col("rank") * alpha / F.col("_m")
+    # k* = max rank whose p ≤ threshold; reject everything at rank ≤ k*
+    kstar = F.max(F.when(F.col("_p") <= thr, F.col("rank")).otherwise(0)).over(m)
+    qraw = F.col("_p") * F.col("_m") / F.col("rank")
+    qmin = F.min(qraw).over(
+        Window.orderBy(F.desc("rank")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return ranked.select(
+        F.col("_t").alias(test_col),
+        F.round("_p", 6).alias("p_value"),
+        "rank",
+        F.round(thr, 6).alias("bh_threshold"),
+        (F.col("rank") <= kstar).alias("reject"),
+        F.round(F.least(F.lit(1.0), qmin), 6).alias("q_value"),
+    ).orderBy("rank")
