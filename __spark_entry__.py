@@ -4933,6 +4933,33 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_user_purchase_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (operators/experiment.py::mcnemar_test):
+    did each user purchase in the pre vs post half of the corpus —
+    the paired before/after readout that doesn't double-count stable
+    users. Period split at the data-derived midpoint; fully replayed
+    in DuckDB."""
+    from valentinus_spark.operators.experiment import mcnemar_test
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    ev = ev.withColumn("_d", F.to_date("ts"))
+    bounds = ev.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    framed = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        (F.datediff("_d", "_lo") * 2 > F.datediff("_hi", "_lo")).alias("_post"),
+        (F.col("event_type") == "purchase").alias("_buy"),
+    )
+    paired = framed.groupBy("user_id").agg(
+        F.max(F.when(~F.col("_post") & F.col("_buy"), 1).otherwise(0)).alias(
+            "before"
+        ),
+        F.max(F.when(F.col("_post") & F.col("_buy"), 1).otherwise(0)).alias(
+            "after"
+        ),
+    )
+    return mcnemar_test(paired, "before", "after")
+
+
 def q_source_en_share_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BH-FDR-corrected segment scan (operators/experiment.py::bh_fdr):
     per source, a one-vs-rest two-proportion z on the English share,
@@ -5588,6 +5615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_did": q_event_did,  # added r5 (post-rotation) — r6 window candidate
         "mwu_value_test": q_mwu_value_test,  # added r5 (post-rotation) — r6 window candidate
         "source_en_share_fdr": q_source_en_share_fdr,  # added r5 (post-rotation) — r6 window candidate
+        "user_purchase_mcnemar": q_user_purchase_mcnemar,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8793,6 +8821,42 @@ def oracle_sql() -> dict[str, str]:
                               + CAST(val AS DECIMAL(38,6)) AS DOUBLE), 6) AS subtree_sum
             FROM v LEFT JOIN da ON da.anc = v.node
             ORDER BY v.node
+        """,
+        "user_purchase_mcnemar": """
+            WITH ev AS (
+                SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events
+            ),
+            bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+            paired AS (
+                SELECT user_id,
+                       MAX(CASE WHEN NOT (datediff('day', lo, d) * 2 > datediff('day', lo, hi))
+                                 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS bf,
+                       MAX(CASE WHEN (datediff('day', lo, d) * 2 > datediff('day', lo, hi))
+                                 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS af
+                FROM ev, bounds GROUP BY user_id
+            ),
+            agg AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       SUM((1 - bf) * (1 - af))::BIGINT AS n_00,
+                       SUM((1 - bf) * af)::BIGINT AS n_01,
+                       SUM(bf * (1 - af))::BIGINT AS n_10,
+                       SUM(bf * af)::BIGINT AS n_11
+                FROM paired
+            ),
+            zc AS (
+                SELECT *, CASE WHEN n_01 + n_10 > 0
+                               THEN (n_01 - n_10)::DOUBLE / SQRT((n_01 + n_10)::DOUBLE)
+                          END AS z
+                FROM agg
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM zc)
+            SELECT n, n_00, n_01, n_10, n_11,
+                   ROUND(CASE WHEN n_01 + n_10 > 0 THEN z * z END, 6) AS chi2,
+                   ROUND(CASE WHEN z IS NOT NULL THEN LEAST(1.0,
+                       2.0 * EXP(-z * z / 2.0) / 2.5066282746310002
+                           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429)))))
+                   ) END, 6) AS p_value
+            FROM pv
         """,
         "source_en_share_fdr": """
             WITH per AS (

@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "event_did",
     "mwu_value_test",
     "source_en_share_fdr",
+    "user_purchase_mcnemar",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -271,7 +272,7 @@ BENCH_FAMILIES = {
         "touch_attribution", "user_survival", "seasonal_naive_eval",
         "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
         "ab_revenue_cuped", "decayed_popularity_stream", "event_did",
-        "mwu_value_test", "source_en_share_fdr",
+        "mwu_value_test", "source_en_share_fdr", "user_purchase_mcnemar",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

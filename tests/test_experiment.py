@@ -207,3 +207,25 @@ def test_bh_fdr_none_rejected_and_null_excluded(spark):
     assert len(out) == 2  # NULL p excluded from m
     assert not any(r.reject for r in out)
     assert all(r.q_value <= 1.0 for r in out)
+
+
+def test_mcnemar_hand_computed(spark):
+    from valentinus_spark.operators import mcnemar_test
+
+    # 10 stable-0, 5 stable-1, b=6 (1→0), c=2 (0→1)
+    rows = [(0, 0)] * 10 + [(1, 1)] * 5 + [(1, 0)] * 6 + [(0, 1)] * 2
+    df = spark.createDataFrame(rows, ["before", "after"])
+    out = mcnemar_test(df, "before", "after").collect()[0]
+    assert out.n == 23 and out.n_10 == 6 and out.n_01 == 2
+    # chi2 = (6−2)²/8 = 2 ; z = (2−6)/sqrt(8)
+    assert out.chi2 == pytest.approx(2.0)
+    z = (2 - 6) / math.sqrt(8)
+    assert out.p_value == pytest.approx(2 * _norm_sf(abs(z)), abs=1e-5)
+
+
+def test_mcnemar_no_flips_null(spark):
+    from valentinus_spark.operators import mcnemar_test
+
+    df = spark.createDataFrame([(0, 0)] * 4 + [(1, 1)] * 4, ["before", "after"])
+    out = mcnemar_test(df, "before", "after").collect()[0]
+    assert out.chi2 is None and out.p_value is None

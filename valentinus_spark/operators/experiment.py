@@ -28,6 +28,7 @@ __all__ = [
     "did_estimate",
     "mann_whitney_u",
     "bh_fdr",
+    "mcnemar_test",
 ]
 
 
@@ -489,3 +490,48 @@ def bh_fdr(
         (F.col("rank") <= kstar).alias("reject"),
         F.round(F.least(F.lit(1.0), qmin), 6).alias("q_value"),
     ).orderBy("rank")
+
+
+def mcnemar_test(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes (same units before and
+    after a change): only the discordant cells carry information —
+    b = 1→0 flips, c = 0→1 flips, χ² = (b−c)²/(b+c), 1 dof — the
+    correct readout for launch-to-same-users rollouts where a
+    two-sample test double-counts the stable population. Normal
+    p-value from z = (c−b)/√(b+c) via the shared A&S polynomial; no
+    continuity correction (documented, keeps engines identical).
+
+    Returns ONE row: (``n``, ``n_00``, ``n_01``, ``n_10``, ``n_11``,
+    ``chi2``, ``p_value``), rounded to 6; inference NULL when b+c = 0
+    (no flips — nothing to test).
+
+    Scale shape: one 4-cell aggregate over the paired-unit frame, then
+    scalar arithmetic. One scan.
+    """
+    b = F.col(before_col).cast("int")
+    a = F.col(after_col).cast("int")
+    agg = df.filter(b.isin([0, 1]) & a.isin([0, 1])).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((1 - b) * (1 - a))).alias("n_00"),
+        F.sum(((1 - b) * a)).alias("n_01"),
+        F.sum((b * (1 - a))).alias("n_10"),
+        F.sum((b * a)).alias("n_11"),
+    )
+    disc = (F.col("n_01") + F.col("n_10")).cast("double")
+    z = F.when(
+        disc > 0,
+        (F.col("n_01") - F.col("n_10")).cast("double") / F.sqrt(disc),
+    )
+    return agg.select(
+        "n",
+        "n_00",
+        "n_01",
+        "n_10",
+        "n_11",
+        F.round(F.when(disc > 0, z * z), 6).alias("chi2"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+    )
