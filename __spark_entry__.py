@@ -4933,6 +4933,36 @@ def q_field_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(docs, "source", "lang")
 
 
+def q_user_value_paired_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test (operators/experiment.py::paired_t_test) on each
+    user's pre- vs post-midpoint total event value — the within-subject
+    continuous companion to user_purchase_mcnemar. DECIMAL-exact
+    difference moments; fully replayed in DuckDB."""
+    from valentinus_spark.operators.experiment import paired_t_test
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    ev = ev.withColumn("_d", F.to_date("ts"))
+    bounds = ev.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    dec = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    paired = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_post", F.datediff("_d", "_lo") * 2 > F.datediff("_hi", "_lo")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(~F.col("_post"), dec).otherwise(zero))
+            .cast("double")
+            .alias("before"),
+            F.sum(F.when(F.col("_post"), dec).otherwise(zero))
+            .cast("double")
+            .alias("after"),
+        )
+    )
+    return paired_t_test(paired, "before", "after")
+
+
 def q_user_purchase_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's paired test (operators/experiment.py::mcnemar_test):
     did each user purchase in the pre vs post half of the corpus —
@@ -5616,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_value_test": q_mwu_value_test,  # added r5 (post-rotation) — r6 window candidate
         "source_en_share_fdr": q_source_en_share_fdr,  # added r5 (post-rotation) — r6 window candidate
         "user_purchase_mcnemar": q_user_purchase_mcnemar,  # added r5 (post-rotation) — r6 window candidate
+        "user_value_paired_t": q_user_value_paired_t,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8821,6 +8852,46 @@ def oracle_sql() -> dict[str, str]:
                               + CAST(val AS DECIMAL(38,6)) AS DOUBLE), 6) AS subtree_sum
             FROM v LEFT JOIN da ON da.anc = v.node
             ORDER BY v.node
+        """,
+        "user_value_paired_t": """
+            WITH ev AS (
+                SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+            ),
+            bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+            paired AS (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN NOT (datediff('day', lo, d) * 2 > datediff('day', lo, hi))
+                                     THEN CAST(value AS DECIMAL(18,2))
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS bf,
+                       CAST(SUM(CASE WHEN (datediff('day', lo, d) * 2 > datediff('day', lo, hi))
+                                     THEN CAST(value AS DECIMAL(18,2))
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS af
+                FROM ev, bounds GROUP BY user_id
+            ),
+            agg AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       CAST(SUM(CAST(bf AS DECIMAL(38,8))) AS DOUBLE) AS sb,
+                       CAST(SUM(CAST(af AS DECIMAL(38,8))) AS DOUBLE) AS sa,
+                       CAST(SUM(CAST(CAST(af AS DECIMAL(19,4)) - CAST(bf AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sd,
+                       CAST(SUM(CAST((CAST(af AS DECIMAL(19,4)) - CAST(bf AS DECIMAL(19,4)))
+                                     * (CAST(af AS DECIMAL(19,4)) - CAST(bf AS DECIMAL(19,4))) AS DECIMAL(38,8))) AS DOUBLE) AS sdd
+                FROM paired
+            ),
+            tc AS (
+                SELECT n, sb / n AS mb, sa / n AS ma, sd / n AS md,
+                       CASE WHEN n >= 2 AND (sdd - n * (sd/n) * (sd/n)) / (n - 1.0) > 0
+                            THEN (sd / n) / SQRT(((sdd - n * (sd/n) * (sd/n)) / (n - 1.0)) / n)
+                       END AS t
+                FROM agg
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(t)) AS tt FROM tc)
+            SELECT n, ROUND(mb, 6) AS mean_before, ROUND(ma, 6) AS mean_after,
+                   ROUND(md, 6) AS mean_diff, ROUND(t, 6) AS t,
+                   ROUND(CASE WHEN t IS NOT NULL THEN LEAST(1.0,
+                       2.0 * EXP(-t * t / 2.0) / 2.5066282746310002
+                           * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429)))))
+                   ) END, 6) AS p_value
+            FROM pv
         """,
         "user_purchase_mcnemar": """
             WITH ev AS (

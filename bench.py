@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "mwu_value_test",
     "source_en_share_fdr",
     "user_purchase_mcnemar",
+    "user_value_paired_t",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -273,6 +274,7 @@ BENCH_FAMILIES = {
         "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
         "ab_revenue_cuped", "decayed_popularity_stream", "event_did",
         "mwu_value_test", "source_en_share_fdr", "user_purchase_mcnemar",
+        "user_value_paired_t",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

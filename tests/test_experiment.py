@@ -229,3 +229,28 @@ def test_mcnemar_no_flips_null(spark):
     df = spark.createDataFrame([(0, 0)] * 4 + [(1, 1)] * 4, ["before", "after"])
     out = mcnemar_test(df, "before", "after").collect()[0]
     assert out.chi2 is None and out.p_value is None
+
+
+def test_paired_t_matches_python_replica(spark):
+    from valentinus_spark.operators import paired_t_test
+    import statistics
+
+    before = [10.0, 12.0, 9.0, 14.0, 11.0]
+    after = [12.0, 13.0, 9.5, 17.0, 12.0]
+    df = spark.createDataFrame(list(zip(before, after)), ["b", "a"])
+    out = paired_t_test(df, "b", "a").collect()[0]
+    diffs = [a - b for b, a in zip(before, after)]
+    md = statistics.mean(diffs)
+    t = md / (statistics.stdev(diffs) / math.sqrt(len(diffs)))
+    assert out.mean_diff == pytest.approx(md)
+    assert out.t == pytest.approx(t, abs=1e-5)
+    assert out.p_value == pytest.approx(2 * _norm_sf(abs(t)), abs=1e-5)
+
+
+def test_paired_t_constant_diff_null(spark):
+    from valentinus_spark.operators import paired_t_test
+
+    df = spark.createDataFrame([(1.0, 2.0)] * 5, ["b", "a"])
+    out = paired_t_test(df, "b", "a").collect()[0]
+    assert out.mean_diff == pytest.approx(1.0)
+    assert out.t is None and out.p_value is None

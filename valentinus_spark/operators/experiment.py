@@ -29,6 +29,7 @@ __all__ = [
     "mann_whitney_u",
     "bh_fdr",
     "mcnemar_test",
+    "paired_t_test",
 ]
 
 
@@ -534,4 +535,51 @@ def mcnemar_test(
         "n_11",
         F.round(F.when(disc > 0, z * z), 6).alias("chi2"),
         F.round(two_sided_p(z), 6).alias("p_value"),
+    )
+
+
+def paired_t_test(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """Paired t-test on continuous before/after metrics (same units) —
+    the within-subject companion to :func:`mcnemar_test`: testing the
+    per-unit DIFFERENCES removes all between-unit variance, which is
+    why paired designs need far fewer units than two-sample ones.
+
+        d_i = after_i − before_i,   t = mean(d) / (sd(d)/√n)
+
+    Normal-approximation p (shared A&S polynomial; accurate in the
+    n ≫ 30 regime, stated). Returns ONE row: (``n``, ``mean_before``,
+    ``mean_after``, ``mean_diff``, ``t``, ``p_value``) rounded to 6 —
+    inference NULL when n < 2 or the differences are constant.
+
+    Determinism: difference sums and squares accumulate in
+    DECIMAL(38,8); only the final scalar fold is float. One scan.
+    """
+    d = (
+        F.col(after_col).cast("decimal(19,4)")
+        - F.col(before_col).cast("decimal(19,4)")
+    )
+    agg = df.filter(
+        F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(before_col).cast("decimal(38,8)")).cast("double").alias("_sb"),
+        F.sum(F.col(after_col).cast("decimal(38,8)")).cast("double").alias("_sa"),
+        F.sum(d.cast("decimal(38,8)")).cast("double").alias("_sd"),
+        F.sum((d * d).cast("decimal(38,8)")).cast("double").alias("_sdd"),
+    )
+    nn = F.col("n").cast("double")
+    md = F.col("_sd") / nn
+    var = (F.col("_sdd") - nn * md * md) / (nn - 1.0)
+    t = F.when((F.col("n") >= 2) & (var > 0), md / F.sqrt(var / nn))
+    return agg.select(
+        "n",
+        F.round(F.col("_sb") / nn, 6).alias("mean_before"),
+        F.round(F.col("_sa") / nn, 6).alias("mean_after"),
+        F.round(md, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t"),
+        F.round(two_sided_p(t), 6).alias("p_value"),
     )
