@@ -5523,12 +5523,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder. When adding a query, insert it BEFORE the stable-core
     # marker below and demote the oldest unchanged entries past it.
     return {
-        # ==== DRIVER WINDOW (first 50) — r5 rotation ====
-        # (a) the 18-query backlog named in VERDICT r4 "What's missing"
-        # #1: the 13 r4 additions plus the 5 r4 deferrals — every one
-        # dev_compare-green at sf0.001/0.01/0.1 but never driver-hashed.
-        # rp_ann_topk stays rows-only by design (non-deterministic
-        # projection basis); its planted twin rp_ann_planted is the gate.
+        # ==== DRIVER WINDOW (first 50) — r6 rotation ====
+        # The 51 queries added during round 5 post-rotation had never
+        # had a driver CORRECTNESS row entering round 6 (COVERAGE.md
+        # ledger "never" rows). 51 candidates for 50 slots: all rotate
+        # in except w1_value_drift, the named HOLDOVER (its sibling
+        # ks_value_drift — same value-drift CTE shape over the same
+        # event pair — IS in the window, so the unique-coverage loss is
+        # minimal); w1_value_drift sits at position 51 and is the first
+        # slot of the r7 window. Every window entry is
+        # dev_compare-green at sf0.001/0.01/0.1.
+        "winnow_pairs": q_winnow_pairs,
+        "ql_search": q_ql_search,
+        "rrf_fusion": q_rrf_fusion,
+        "lang_kappa": q_lang_kappa,
+        "lang_confusion": q_lang_confusion,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "semantic_contamination": q_semantic_contamination,
+        "neyman_allocation": q_neyman_allocation,
+        "trigram_logprob": q_trigram_logprob,
+        "bt_brand_ranking": q_bt_brand_ranking,
+        "winnow_spans": q_winnow_spans,
+        "rouge_pair_overlap": q_rouge_pair_overlap,
+        "fleiss_lang_raters": q_fleiss_lang_raters,
+        "ndcg_retrieval": q_ndcg_retrieval,
+        "field_mutual_info": q_field_mutual_info,
+        "doc_readability": q_doc_readability,
+        "graph_assortativity": q_graph_assortativity,
+        "event_decayed_popularity": q_event_decayed_popularity,
+        "source_rank_normalize": q_source_rank_normalize,
+        "krippendorff_lang": q_krippendorff_lang,
+        "source_lexical_diversity": q_source_lexical_diversity,
+        "elo_brand_ratings": q_elo_brand_ratings,
+        "doc_char_entropy": q_doc_char_entropy,
+        "source_heaps_law": q_source_heaps_law,
+        "doc_ngram_novelty": q_doc_ngram_novelty,
+        "term_burstiness": q_term_burstiness,
+        "ks_value_drift": q_ks_value_drift,
+        "chi2_source_lang": q_chi2_source_lang,
+        "rank_agreement": q_rank_agreement,
+        "graph_transitivity": q_graph_transitivity,
+        "benford_order_totals": q_benford_order_totals,
+        "source_length_gini": q_source_length_gini,
+        "bpe_roundtrip": q_bpe_roundtrip,
+        "event_id_gaps": q_event_id_gaps,
+        "customer_rfm": q_customer_rfm,
+        "touch_attribution": q_touch_attribution,
+        "user_survival": q_user_survival,
+        "seasonal_naive_eval": q_seasonal_naive_eval,
+        "ab_conversion_test": q_ab_conversion_test,
+        "ab_revenue_welch": q_ab_revenue_welch,
+        "ab_srm_check": q_ab_srm_check,
+        "ab_revenue_cuped": q_ab_revenue_cuped,
+        "doc_tree_rollup": q_doc_tree_rollup,
+        "customer_supplier_radius": q_customer_supplier_radius,
+        "decayed_popularity_stream": q_decayed_popularity_stream,
+        "event_did": q_event_did,
+        "mwu_value_test": q_mwu_value_test,
+        "source_en_share_fdr": q_source_en_share_fdr,
+        "user_purchase_mcnemar": q_user_purchase_mcnemar,
+        "user_value_paired_t": q_user_value_paired_t,
+        # ==== past the window ====
+        # position 51: the named r6 holdover — FIRST slot of the r7
+        # window (see COVERAGE.md "r6 holdover").
+        "w1_value_drift": q_w1_value_drift,
+        # the r5 window (all 50 driver-checked green in
+        # CORRECTNESS_r05.json), demoted in original order; then every
+        # earlier cohort unchanged (see COVERAGE.md ledger for each
+        # one's last-checked round). All stay in the full local
+        # dev_compare sweep every round. r7 window plan: w1_value_drift
+        # first, any new r6 additions next, then the round-2 veterans
+        # (media_content_stats … regional_supply cohort), which are the
+        # longest-unchecked.
         "warc_ingest": q_warc_ingest,
         "epoch_shuffle_manifest": q_epoch_shuffle,
         "mixture_weights_plan": q_mixture_weights,
@@ -5547,12 +5613,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "incremental_neardup": q_incremental_neardup,
         "rp_ann_topk": q_rp_ann_topk,
-        # (b) the 30 queries added during round 5 itself — every one
-        # dev_compare-green at 3 SFs but, being new, never driver-hashed.
-        # Rotating them in (instead of the r2-checked veterans, each of
-        # which already has a hash-green driver row on record) means the
-        # r5 window retires the ENTIRE never-checked set: after this
-        # round every registry query has at least one driver row.
         "pmi_collocations": q_pmi_collocations,
         "incremental_components": q_incremental_components,
         "media_headers": q_media_headers,
@@ -5583,70 +5643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "hard_negatives": q_hard_negatives,
         "lpa_communities": q_lpa_communities,
-        # (c) two high-value re-checks fill the window: collection_e2e's
-        # oracle was upgraded this round from no_oracle to a full hash
-        # oracle (deterministic hash embedder) — the upgraded oracle has
-        # never been driver-validated — and the flagship headline query
-        # (last driver-checked round 2) must not go perpetually stale.
         "collection_e2e": q_collection_e2e,
         "flagship_filtered_cosine_topk": q_flagship,
-        # ==== past the window: driver-green queries (see COVERAGE.md
-        # ledger for each one's last-checked round); all stay in the
-        # full local dev_compare sweep every round. r6 window plan:
-        # any new r5/r6 additions first, then the round-2 veterans
-        # below (media_content_stats … regional_supply cohort), which
-        # are the longest-unchecked once the never-checked set is gone.
-        "winnow_pairs": q_winnow_pairs,  # added r5 (post-rotation) — r6 window candidate
-        "ql_search": q_ql_search,  # added r5 (post-rotation) — r6 window candidate
-        "rrf_fusion": q_rrf_fusion,  # added r5 (post-rotation) — r6 window candidate
-        "lang_kappa": q_lang_kappa,  # added r5 (post-rotation) — r6 window candidate
-        "lang_confusion": q_lang_confusion,  # added r5 (post-rotation) — r6 window candidate
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,  # added r5 (post-rotation) — r6 window candidate
-        "semantic_contamination": q_semantic_contamination,  # added r5 (post-rotation) — r6 window candidate
-        "neyman_allocation": q_neyman_allocation,  # added r5 (post-rotation) — r6 window candidate
-        "trigram_logprob": q_trigram_logprob,  # added r5 (post-rotation) — r6 window candidate
-        "bt_brand_ranking": q_bt_brand_ranking,  # added r5 (post-rotation) — r6 window candidate
-        "winnow_spans": q_winnow_spans,  # added r5 (post-rotation) — r6 window candidate
-        "rouge_pair_overlap": q_rouge_pair_overlap,  # added r5 (post-rotation) — r6 window candidate
-        "fleiss_lang_raters": q_fleiss_lang_raters,  # added r5 (post-rotation) — r6 window candidate
-        "ndcg_retrieval": q_ndcg_retrieval,  # added r5 (post-rotation) — r6 window candidate
-        "field_mutual_info": q_field_mutual_info,  # added r5 (post-rotation) — r6 window candidate
-        "doc_readability": q_doc_readability,  # added r5 (post-rotation) — r6 window candidate
-        "graph_assortativity": q_graph_assortativity,  # added r5 (post-rotation) — r6 window candidate
-        "event_decayed_popularity": q_event_decayed_popularity,  # added r5 (post-rotation) — r6 window candidate
-        "source_rank_normalize": q_source_rank_normalize,  # added r5 (post-rotation) — r6 window candidate
-        "krippendorff_lang": q_krippendorff_lang,  # added r5 (post-rotation) — r6 window candidate
-        "source_lexical_diversity": q_source_lexical_diversity,  # added r5 (post-rotation) — r6 window candidate
-        "elo_brand_ratings": q_elo_brand_ratings,  # added r5 (post-rotation) — r6 window candidate
-        "doc_char_entropy": q_doc_char_entropy,  # added r5 (post-rotation) — r6 window candidate
-        "source_heaps_law": q_source_heaps_law,  # added r5 (post-rotation) — r6 window candidate
-        "doc_ngram_novelty": q_doc_ngram_novelty,  # added r5 (post-rotation) — r6 window candidate
-        "term_burstiness": q_term_burstiness,  # added r5 (post-rotation) — r6 window candidate
-        "ks_value_drift": q_ks_value_drift,  # added r5 (post-rotation) — r6 window candidate
-        "w1_value_drift": q_w1_value_drift,  # added r5 (post-rotation) — r6 window candidate
-        "chi2_source_lang": q_chi2_source_lang,  # added r5 (post-rotation) — r6 window candidate
-        "rank_agreement": q_rank_agreement,  # added r5 (post-rotation) — r6 window candidate
-        "graph_transitivity": q_graph_transitivity,  # added r5 (post-rotation) — r6 window candidate
-        "benford_order_totals": q_benford_order_totals,  # added r5 (post-rotation) — r6 window candidate
-        "source_length_gini": q_source_length_gini,  # added r5 (post-rotation) — r6 window candidate
-        "bpe_roundtrip": q_bpe_roundtrip,  # added r5 (post-rotation) — r6 window candidate
-        "event_id_gaps": q_event_id_gaps,  # added r5 (post-rotation) — r6 window candidate
-        "customer_rfm": q_customer_rfm,  # added r5 (post-rotation) — r6 window candidate
-        "touch_attribution": q_touch_attribution,  # added r5 (post-rotation) — r6 window candidate
-        "user_survival": q_user_survival,  # added r5 (post-rotation) — r6 window candidate
-        "seasonal_naive_eval": q_seasonal_naive_eval,  # added r5 (post-rotation) — r6 window candidate
-        "ab_conversion_test": q_ab_conversion_test,  # added r5 (post-rotation) — r6 window candidate
-        "ab_revenue_welch": q_ab_revenue_welch,  # added r5 (post-rotation) — r6 window candidate
-        "ab_srm_check": q_ab_srm_check,  # added r5 (post-rotation) — r6 window candidate
-        "ab_revenue_cuped": q_ab_revenue_cuped,  # added r5 (post-rotation) — r6 window candidate
-        "doc_tree_rollup": q_doc_tree_rollup,  # added r5 (post-rotation) — r6 window candidate
-        "customer_supplier_radius": q_customer_supplier_radius,  # added r5 (post-rotation) — r6 window candidate
-        "decayed_popularity_stream": q_decayed_popularity_stream,  # added r5 (post-rotation) — r6 window candidate
-        "event_did": q_event_did,  # added r5 (post-rotation) — r6 window candidate
-        "mwu_value_test": q_mwu_value_test,  # added r5 (post-rotation) — r6 window candidate
-        "source_en_share_fdr": q_source_en_share_fdr,  # added r5 (post-rotation) — r6 window candidate
-        "user_purchase_mcnemar": q_user_purchase_mcnemar,  # added r5 (post-rotation) — r6 window candidate
-        "user_value_paired_t": q_user_value_paired_t,  # added r5 (post-rotation) — r6 window candidate
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -9027,7 +9025,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
             framed AS (
-                SELECT ((user_id % 1000003) * 31) % 2 AS arm,
+                SELECT (('0x' || substr(sha256('ab-v1:' || user_id::VARCHAR), 1, 8))::UBIGINT % 2)::BIGINT AS arm,
                        CASE WHEN datediff('day', lo, d) * 2 > datediff('day', lo, hi)
                             THEN 1 ELSE 0 END AS period,
                        value
@@ -9087,7 +9085,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ab_conversion_test": """
             WITH users AS (
-                SELECT ((user_id % 1000003) * 31) % 2 AS arm,
+                SELECT (('0x' || substr(sha256('ab-v1:' || user_id::VARCHAR), 1, 8))::UBIGINT % 2)::BIGINT AS arm,
                        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS success
                 FROM events GROUP BY user_id
             ),
@@ -9128,7 +9126,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ab_revenue_welch": """
             WITH users AS (
-                SELECT ((user_id % 1000003) * 31) % 2 AS arm,
+                SELECT (('0x' || substr(sha256('ab-v1:' || user_id::VARCHAR), 1, 8))::UBIGINT % 2)::BIGINT AS arm,
                        CAST(SUM(CASE WHEN event_type = 'purchase'
                                      THEN CAST(value AS DECIMAL(18,2))
                                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS revenue
@@ -9176,7 +9174,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ab_srm_check": """
             WITH users AS (
-                SELECT ((user_id % 1000003) * 31) % 2 AS arm
+                SELECT (('0x' || substr(sha256('ab-v1:' || user_id::VARCHAR), 1, 8))::UBIGINT % 2)::BIGINT AS arm
                 FROM events GROUP BY user_id
             ),
             counts AS (SELECT arm, COUNT(*)::BIGINT AS n FROM users GROUP BY arm),
@@ -9188,7 +9186,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ab_revenue_cuped": """
             WITH users AS (
-                SELECT ((user_id % 1000003) * 31) % 2 AS arm,
+                SELECT (('0x' || substr(sha256('ab-v1:' || user_id::VARCHAR), 1, 8))::UBIGINT % 2)::BIGINT AS arm,
                        CAST(SUM(CASE WHEN event_type = 'purchase'
                                      THEN CAST(value AS DECIMAL(18,2))
                                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y,
@@ -9400,17 +9398,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
                 FROM orders WHERE o_totalprice > 0
             ),
-            counts AS (
+            obs AS (
                 SELECT digit, COUNT(*)::BIGINT AS n FROM digits
                 WHERE digit BETWEEN 1 AND 9 GROUP BY digit
             ),
+            -- constant 1-9 spine: unseen digits keep n = 0 so their
+            -- chi2 terms are present (mirrors benford_profile's spine)
+            counts AS (
+                SELECT s.digit, COALESCE(o.n, 0)::BIGINT AS n
+                FROM (SELECT r::INTEGER AS digit FROM range(1, 10) t(r)) s
+                LEFT JOIN obs o USING (digit)
+            ),
             tot AS (SELECT SUM(n)::BIGINT AS t FROM counts)
             SELECT digit, n,
-                   ROUND(n::DOUBLE / t, 6) AS observed_frac,
-                   ROUND(log10(1.0 + 1.0 / digit), 6) AS expected_frac,
-                   ROUND(t * (n::DOUBLE / t - log10(1.0 + 1.0 / digit))
-                           * (n::DOUBLE / t - log10(1.0 + 1.0 / digit))
-                           / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+                   ROUND(CASE WHEN t > 0 THEN n::DOUBLE / t END, 6) AS observed_frac,
+                   ROUND(CASE WHEN t > 0 THEN log10(1.0 + 1.0 / digit) END, 6) AS expected_frac,
+                   ROUND(CASE WHEN t > 0 THEN
+                       t * (n::DOUBLE / t - log10(1.0 + 1.0 / digit))
+                         * (n::DOUBLE / t - log10(1.0 + 1.0 / digit))
+                         / log10(1.0 + 1.0 / digit) END, 6) AS chi2_term
             FROM counts, tot ORDER BY digit
         """,
         "source_length_gini": """

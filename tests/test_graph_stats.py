@@ -140,13 +140,32 @@ def test_benford_uniform_digits(spark):
 
 def test_benford_digit_extraction_and_filters(spark):
     from valentinus_spark.operators import benford_profile
+    import math
 
-    # 0.25 → 25 cents → digit 2; 999.99 → 99999 → 9; 0 and -5 dropped
+    # 0.25 → 25 cents → digit 2; 999.99 → 99999 → 9; 0 and -5 dropped.
+    # The digit spine keeps all nine rows: unseen digits carry n = 0
+    # and still contribute their full chi² term N·p_d.
     df = spark.createDataFrame(
         [(0.25,), (999.99,), (0.0,), (-5.0,)], ["v"]
     )
-    out = {r.digit: r.n for r in benford_profile(df, "v").collect()}
-    assert out == {2: 1, 9: 1}
+    rows = {r.digit: r for r in benford_profile(df, "v").collect()}
+    assert {d: r.n for d, r in rows.items()} == {
+        1: 0, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1
+    }
+    # zero-count digit's chi2 term is N·p_d, not silently dropped
+    e1 = math.log10(2)
+    assert rows[1].chi2_term == pytest.approx(2 * e1, abs=1e-4)
+    assert rows[1].observed_frac == 0.0
+
+
+def test_benford_empty_input_keeps_spine_with_null_stats(spark):
+    from valentinus_spark.operators import benford_profile
+
+    df = spark.createDataFrame([(0.0,), (-1.0,)], ["v"])
+    rows = benford_profile(df, "v").collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert all(r.n == 0 for r in rows)
+    assert all(r.observed_frac is None and r.chi2_term is None for r in rows)
 
 
 def test_gini_extremes_and_hand_value(spark):

@@ -85,11 +85,14 @@ def rouge_n_pairs(
 
         recall    = overlap / total_grams_b   (ROUGE-n proper)
         precision = overlap / total_grams_a
-        f1        = harmonic mean (0 when both sides are empty)
+        f1        = harmonic mean — NULL when either side is empty
+                    (prec/rec undefined), 0 when both sides are
+                    non-empty with zero overlap
 
     Returns one row per pair: (``pair_col``, ``overlap``, ``n_a``,
     ``n_b``, ``precision``, ``recall``, ``f1``), ratios rounded to 6,
-    NULL ratio when its denominator is 0.
+    NULL ratio when its denominator is 0. The DuckDB oracle replays
+    the same NULL convention.
 
     Scale shape: two (pair, gram) aggregates + one full outer join on the
     same key, so every shuffle is on (pair, gram) — cardinality

@@ -33,11 +33,28 @@ __all__ = [
 ]
 
 
-def ab_assign(unit: Column, n_arms: int = 2, salt: int = 0) -> Column:
-    """Deterministic arm assignment from a unit id: small-modulus
-    integer arithmetic (no engine hash dependence), replayable in any
-    SQL dialect: ``((unit % 1000003) * 31 + salt) % n_arms``."""
-    return ((unit % 1000003) * 31 + salt) % n_arms
+def ab_assign(unit: Column, n_arms: int = 2, salt: str = "ab-v1") -> Column:
+    """Deterministic arm assignment from a unit id via the same
+    sha256-derived bucketing the repo's seeded samplers use (see
+    functions/text.py::stable_split): the first 8 hex chars of
+    ``sha256(salt || ':' || unit)`` as an integer, reduced mod
+    ``n_arms``. Engine-portable (DuckDB replay:
+    ``(('0x' || substr(sha256(salt || ':' || unit::VARCHAR), 1, 8))::UBIGINT
+    % n_arms)::BIGINT``) and free of arithmetic structure — the prior
+    small-modulus mixer ``((unit % 1000003) * 31 + salt) % 2``
+    degenerated to id PARITY for n_arms=2 (31 and 1000003 are odd), so
+    any even/odd pattern in id allocation leaked into the arms. Change
+    ``salt`` to draw a fresh independent assignment."""
+    bucket = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(salt), F.lit(":"), unit.cast("string")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (bucket % n_arms).cast("bigint")
 
 
 def _phi_upper(z: Column) -> Column:
@@ -71,25 +88,28 @@ def two_proportion_test(
     ``p_value``), rounded to 6; z/p NULL when either arm is empty or
     the pooled rate is degenerate (0 or 1 — no variance).
 
-    Scale shape: one arm-keyed count/sum aggregate (2 rows out), then
-    scalar arithmetic. The corpus is scanned once.
+    Scale shape: one conditional-sum aggregate over the whole frame
+    (no per-arm subframes — a single agg emits its one row even when an
+    arm, or the entire input, is empty, where the previous
+    per-arm-frame crossJoin returned ZERO rows and broke the one-row
+    contract). The corpus is scanned once.
     """
-    agg = df.filter(F.col(arm_col).isin([0, 1])).groupBy(arm_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col(success_col).cast("bigint")).alias("_s"),
+    arm = F.col(arm_col)
+    s = F.col(success_col).cast("bigint")
+    agg = df.filter(arm.isin([0, 1])).agg(
+        F.count(F.when(arm == 0, F.lit(1))).alias("n_a"),
+        F.count(F.when(arm == 1, F.lit(1))).alias("n_b"),
+        F.sum(F.when(arm == 0, s)).alias("_sa"),
+        F.sum(F.when(arm == 1, s)).alias("_sb"),
     )
-    a = agg.filter(F.col(arm_col) == 0).select(
-        F.col("_n").alias("n_a"), F.col("_s").alias("_sa")
+    j = agg
+    pa = F.when(F.col("n_a") > 0, F.col("_sa").cast("double") / F.col("n_a"))
+    pb = F.when(F.col("n_b") > 0, F.col("_sb").cast("double") / F.col("n_b"))
+    pool = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("_sa") + F.col("_sb")).cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double"),
     )
-    b = agg.filter(F.col(arm_col) == 1).select(
-        F.col("_n").alias("n_b"), F.col("_s").alias("_sb")
-    )
-    j = a.crossJoin(F.broadcast(b))
-    pa = F.col("_sa").cast("double") / F.col("n_a")
-    pb = F.col("_sb").cast("double") / F.col("n_b")
-    pool = (F.col("_sa") + F.col("_sb")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
-    ).cast("double")
     se = F.sqrt(
         pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
     )
@@ -122,27 +142,31 @@ def welch_means_test(
     DECIMAL(38,8) — exact regardless of partition order — and only the
     final scalar formula is float.
     """
+    arm = F.col(arm_col)
     v = F.col(value_col).cast("decimal(38,8)")
-    agg = df.filter(F.col(arm_col).isin([0, 1])).groupBy(arm_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(v).alias("_s"),
-        F.sum((F.col(value_col).cast("decimal(19,4)") * F.col(value_col).cast("decimal(19,4)")).cast("decimal(38,8)")).alias("_ss"),
+    vv = (
+        F.col(value_col).cast("decimal(19,4)")
+        * F.col(value_col).cast("decimal(19,4)")
+    ).cast("decimal(38,8)")
+    # One conditional-sum aggregate over the whole frame: a single agg
+    # emits its one row even when an arm (or the entire input) is empty,
+    # where the previous per-arm-frame crossJoin returned ZERO rows and
+    # broke the one-row contract.
+    j = df.filter(arm.isin([0, 1])).agg(
+        F.count(F.when(arm == 0, F.lit(1))).alias("n_a"),
+        F.count(F.when(arm == 1, F.lit(1))).alias("n_b"),
+        F.sum(F.when(arm == 0, v)).cast("double").alias("_sa"),
+        F.sum(F.when(arm == 0, vv)).cast("double").alias("_ssa"),
+        F.sum(F.when(arm == 1, v)).cast("double").alias("_sb"),
+        F.sum(F.when(arm == 1, vv)).cast("double").alias("_ssb"),
     )
-    a = agg.filter(F.col(arm_col) == 0).select(
-        F.col("_n").alias("n_a"),
-        F.col("_s").cast("double").alias("_sa"),
-        F.col("_ss").cast("double").alias("_ssa"),
-    )
-    b = agg.filter(F.col(arm_col) == 1).select(
-        F.col("_n").alias("n_b"),
-        F.col("_s").cast("double").alias("_sb"),
-        F.col("_ss").cast("double").alias("_ssb"),
-    )
-    j = a.crossJoin(F.broadcast(b))
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    ma, mb = F.col("_sa") / na, F.col("_sb") / nb
-    va = (F.col("_ssa") - na * ma * ma) / (na - 1.0)
-    vb = (F.col("_ssb") - nb * mb * mb) / (nb - 1.0)
+    ma = F.when(F.col("n_a") > 0, F.col("_sa") / na)
+    mb = F.when(F.col("n_b") > 0, F.col("_sb") / nb)
+    # variances guarded on n >= 2 (ANSI mode: x/0 raises, and CaseWhen
+    # evaluates branches lazily, so the guard is also the safety)
+    va = F.when(F.col("n_a") >= 2, (F.col("_ssa") - na * ma * ma) / (na - 1.0))
+    vb = F.when(F.col("n_b") >= 2, (F.col("_ssb") - nb * mb * mb) / (nb - 1.0))
     sa2, sb2 = va / na, vb / nb
     se2 = sa2 + sb2
     t = F.when(
@@ -150,7 +174,7 @@ def welch_means_test(
         (mb - ma) / F.sqrt(se2),
     )
     dof = F.when(
-        t.isNotNull() & (sa2 + sb2 > 0) & ((sa2 > 0) | (sb2 > 0)),
+        t.isNotNull() & (se2 > 0) & ((sa2 > 0) | (sb2 > 0)),
         (se2 * se2)
         / (
             F.when(F.col("n_a") > 1, sa2 * sa2 / (na - 1.0)).otherwise(0.0)

@@ -877,9 +877,14 @@ def benford_profile(
     the classic synthetic-data / fabrication detector: organically
     grown magnitudes follow P(d) = log10(1 + 1/d); uniform generators,
     truncation bugs, and hand-typed numbers don't. Returns one row per
-    leading digit 1-9: (``digit``, ``n``, ``observed_frac``,
-    ``expected_frac``, ``chi2_term``), fractions rounded to 6, ordered
-    by digit — Σ chi2_term is the test statistic (8 dof).
+    leading digit 1-9 — ALWAYS all nine, via a constant digit spine, so
+    a digit with zero occurrences still contributes its full chi² term
+    N·p_d (dropping it understated the statistic exactly on the
+    degenerate/fabricated inputs this detector targets): (``digit``,
+    ``n``, ``observed_frac``, ``expected_frac``, ``chi2_term``),
+    fractions rounded to 6, ordered by digit — Σ chi2_term is the test
+    statistic (8 dof). The frac/chi2 columns are NULL when the input
+    has no positive values (no distribution to test).
 
     Digit extraction is STRING-based on the value scaled to integer
     units (``decimals`` fixed-point digits, round-then-cast) — exact
@@ -893,12 +898,19 @@ def benford_profile(
     units = F.round(F.col(value_col) * scale, 0).cast("bigint")
     digit = F.substring(units.cast("string"), 1, 1).cast("int")
     digits = df.filter(F.col(value_col) > 0).select(digit.alias("digit"))
-    counts = digits.filter(F.col("digit").between(1, 9)).groupBy("digit").agg(
+    observed = digits.filter(F.col("digit").between(1, 9)).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # Constant 1-9 spine left-joined to the observed counts: unseen
+    # digits keep n = 0 so every chi2 term is present (9-row join of
+    # 9-row frames — free).
+    spine = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    counts = spine.join(observed, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n")
+    )
     tot = counts.agg(F.sum("n").alias("_tot"))
-    obs = F.col("n").cast("double") / F.col("_tot")
-    exp_ = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs = F.when(F.col("_tot") > 0, F.col("n").cast("double") / F.col("_tot"))
+    exp_ = F.when(F.col("_tot") > 0, F.log10(1.0 + 1.0 / F.col("digit")))
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
