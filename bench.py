@@ -339,6 +339,30 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Modes (the default, no args, is the driver's full-suite run):
+    #   --solo [path]   bench ONLY the headline-24 in this fresh JVM and
+    #                   write the result as a first-class artifact
+    #                   (default BENCH_SOLO.json) — the apples-to-apples
+    #                   number vs BASELINE.md's 34.1 s, free of the
+    #                   single-JVM suite pressure documented since r2.
+    #   --only a,b,c    bench ONLY the named queries (isolated re-runs
+    #                   for suite-pressure triage); prints the JSON line,
+    #                   writes no artifact.
+    args = sys.argv[1:]
+    solo_path = None
+    bench_queries = BENCH_QUERIES
+    write_detail = True
+    if args and args[0] == "--solo":
+        bench_queries = HEADLINE_24
+        solo_path = args[1] if len(args) > 1 else "BENCH_SOLO.json"
+        write_detail = False
+    elif args and args[0] == "--only":
+        names = args[1].split(",")
+        unknown = [n for n in names if n not in set(BENCH_QUERIES)]
+        assert not unknown, f"not in BENCH_QUERIES: {unknown}"
+        bench_queries = names
+        write_detail = False
+
     spark = get_spark("valentinus-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Warm-up outside the timed region: codegen, MLlib (class loading +
@@ -389,7 +413,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn = qs[name]
         best, n = float("inf"), 0
         try:
@@ -413,16 +437,32 @@ def main() -> None:
 
     # full per-query record for the judge (the stdout line only carries
     # the headline-24 + subtotals; this file is the complete evidence)
-    try:
-        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-        with open(detail_path, "w") as f:
+    if write_detail:
+        try:
+            detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+            with open(detail_path, "w") as f:
+                json.dump(
+                    {"sf": sf, "reps": reps, "queries": timings,
+                     "total": round(sum(t for t in timings.values() if t > 0), 2)},
+                    f, indent=1, sort_keys=True,
+                )
+        except OSError as exc:
+            print(f"# BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
+
+    if solo_path is not None:
+        ok = {k: v for k, v in timings.items() if v > 0}
+        with open(solo_path, "w") as f:
             json.dump(
-                {"sf": sf, "reps": reps, "queries": timings,
-                 "total": round(sum(t for t in timings.values() if t > 0), 2)},
+                {"metric": "headline24_solo_total_runtime",
+                 "value": round(sum(ok.values()), 2), "unit": "sec",
+                 "queries": timings, "sf": sf, "reps": reps,
+                 "n_err": len(timings) - len(ok),
+                 "note": "headline-24 benched ALONE in a fresh JVM — the "
+                         "BASELINE.md-comparable number (full-suite runs "
+                         "carry documented single-JVM suite pressure)"},
                 f, indent=1, sort_keys=True,
             )
-    except OSError as exc:
-        print(f"# BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
+        print(f"# solo artifact written: {solo_path}", file=sys.stderr)
 
     print(build_bench_line(timings, sf))
 

@@ -352,6 +352,16 @@ def test_drifted_headline_queries_plan_fingerprint(spark):
         "customer_rank_window": (4, 4),
         "events_sessionize": (2, 0),
         "pricing_summary": (2, 0),
+        # r5 bench >2x-vs-baseline suspects — isolated re-bench (r6,
+        # min-of-3, quiet box) recovered both to UNDER baseline
+        # (dedup_minhash 1.54s vs 1.98 baseline, events_windowed 0.25s
+        # vs 0.43), confirming suite pressure; fingerprints pinned so a
+        # future slowdown with an unchanged fingerprint is again
+        # attributable to pressure, not plan drift (counts are in
+        # plan_of("formatted") units — tree + detail section — like
+        # every other row here; physically 6/3 and 1/0 Exchanges)
+        "dedup_minhash": (12, 6),
+        "events_windowed": (2, 0),
     }
     for name, (want_shuffle, want_bcast) in expected.items():
         plan = plan_of(entry.queries()[name](spark, SF_DIR))
