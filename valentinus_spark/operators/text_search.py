@@ -527,7 +527,14 @@ def winnow_shared_spans(
     Scale shape: the pair join is the df-capped fingerprint inverted
     index (same bound as winnow_overlap_pairs); islands are one
     lag+cumsum window partitioned by (pair, side) — parallel across
-    pairs, tiny frames within."""
+    pairs, tiny frames within. The two reused frames are materialized
+    once: the df-capped index (``idx``) feeds both sides of the
+    candidate join instead of re-deriving distinct+df-filter per use,
+    and the candidate (pair, fp) join itself is built ONCE — the
+    qualifying pairs AND the shared-fp list are both derived from it
+    (a count-filter and a semi-join), where the original plan ran the
+    index self-join a second time to rediscover the shared fps
+    (27 pre-AQE Exchanges → 14, measured in PLANS.md)."""
     from pyspark.sql import Window
 
     fps = (
@@ -540,21 +547,26 @@ def winnow_shared_spans(
     keep = dfreq.filter(
         (F.col("_df") >= 2) & (F.col("_df") <= max_df)
     ).select("fp")
-    idx = dfps.join(keep, "fp")
-    pairs = (
+    # materialized: reused by both candidate-join sides (bounded by the
+    # fingerprint count — strictly smaller than the checkpointed fps)
+    idx = dfps.join(keep, "fp").localCheckpoint()
+    # candidate (pair, fp) rows — size bounded by Σ_fp df²/2 ≤
+    # max_df/2 · |index| (the documented df-cap bound); built once,
+    # consumed twice below
+    cand = (
         idx.select(F.col("_id").alias("id_a"), "fp")
         .join(idx.select(F.col("_id").alias("id_b"), "fp"), "fp")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .localCheckpoint()
+    )
+    pairs = (
+        cand.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_n_shared"))
         .filter(F.col("_n_shared") >= min_shared)
         .select("id_a", "id_b")
     )
-    # shared fp VALUES per pair -> that fp's positions on each side
-    shared = (
-        pairs.join(idx.select(F.col("_id").alias("id_a"), "fp"), "id_a")
-        .join(idx.select(F.col("_id").alias("id_b"), F.col("fp").alias("fp")), ["id_b", "fp"])
-    )
+    # shared fp VALUES per pair = the candidate rows of qualifying pairs
+    shared = cand.join(pairs, ["id_a", "id_b"], "left_semi")
     sides = (
         shared.join(
             fps.select(F.col("_id").alias("id_a"), "fp", F.col("pos").alias("_p")),

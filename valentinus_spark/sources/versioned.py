@@ -132,6 +132,15 @@ def commit_version(
         new_fields = {**prev_fields, **new_fields}
     version = (prev if prev is not None else 0) + 1
     commit_dir = os.path.join(path, _DATA, f"commit-{version:06d}")
+    if os.path.exists(commit_dir):
+        # orphan from a commit that crashed AFTER the data write but
+        # BEFORE the manifest publish (manifest-last invariant: no
+        # reader ever saw these files). Without this, the mode="error"
+        # write below would fail the RETRIED commit forever on "path
+        # already exists" — the crash-injection test pins the recovery.
+        import shutil
+
+        shutil.rmtree(commit_dir)
     df.write.mode("error").parquet(commit_dir)
     new_files = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
     files: list[str] = []
