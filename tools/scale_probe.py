@@ -79,10 +79,41 @@ def _probe_dedup_paragraphs_full(spark, sf_dir):
     return out.select(F.sum("n_kept").alias("k"), F.sum("n_paras").alias("n"))
 
 
+def _probe_warc_scaled_shards(spark, sf_dir):
+    """warc roundtrip with the shard count scaling WITH the data
+    (constant per-file bytes — the cluster shape), instead of the
+    registry query's fixed n_files=4 that funnels 10× bytes through
+    4-way parallelism (VERDICT r5 item 8: the 0.61 exponent measured
+    there is an n_files artifact, not the family's scaling)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.sources.warc import read_warc, write_warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("http://s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/d"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    n_rows = docs.count()
+    n_files = max(4, n_rows // 1250)  # sf0.1 (5k docs) -> 4; sf1 -> 40
+    path = tempfile.mkdtemp(prefix="vs_warc_probe_")
+    write_warc(docs, path, n_files=n_files, compression="member")
+    back = read_warc(spark, path, record_types=["response"])
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).alias("bytes"),
+    )
+
+
 EXTRA_PROBES = {
     "kcore_copurchase": _probe_kcore_copurchase,
     "pq_ann_embeddings": _probe_pq_ann_embeddings,
     "dedup_paragraphs_full": _probe_dedup_paragraphs_full,
+    "warc_scaled_shards": _probe_warc_scaled_shards,
 }
 
 
