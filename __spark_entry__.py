@@ -5257,6 +5257,30 @@ def q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(ev, churn_horizon_days=3)
 
 
+def q_hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py::hits, Kleinberg
+    1999) on the directed customer→part purchase graph (orders ⋈
+    lineitem; part ids offset by 1e7 so the two id spaces cannot
+    collide): hub customers touch many authoritative parts, authority
+    parts are bought by strong hubs. 4 L1-normalized rounds with
+    DECIMAL(20,9)-exact per-node sums and normalization totals — the
+    oracle unrolls every round as chained CTEs and must match
+    bit-for-bit. Top 50 authorities (ties by node) keep the output
+    bounded."""
+    from valentinus_spark.operators.graph import hits
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    out = hits(edges, iterations=4)
+    return out.orderBy(F.col("auth").desc(), F.col("node").asc()).limit(50)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5587,6 +5611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position 51: the named r6 holdover — FIRST slot of the r7
         # window (see COVERAGE.md "r6 holdover").
         "w1_value_drift": q_w1_value_drift,
+        # ---- new r6 additions (r7 window candidates, after the holdover) ----
+        "hits_purchase_graph": q_hits_purchase_graph,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -5864,9 +5890,66 @@ _REPETITION_STATS_CTE = """
 """
 
 
+
+def _hits_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled chained-CTE replay (every CTE MATERIALIZED — DuckDB
+    inlines plain CTEs, and 4 unrolled rounds referencing each other
+    inline exponentially, exhausting file handles on the base scans) of operators/graph.py::hits on the
+    customer->part purchase graph (q_hits_purchase_graph): per round,
+    DECIMAL(20,9)-exact per-node sums and normalization totals over the
+    previous round's 9-dp scores, float only in the normalize division
+    — bit-for-bit the Spark arithmetic (same unroll style as the
+    bt_brand_ranking MM oracle)."""
+    ctes = [
+        """edges AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS src, l_partkey + 10000000 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "h0 AS MATERIALIZED (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 9) AS hub FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""a{k}r AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(CAST(h.hub AS DECIMAL(20,9))) AS a
+            FROM h{k - 1} h JOIN edges e ON e.src = h.node GROUP BY e.dst
+        )""")
+        ctes.append(f"a{k}t AS MATERIALIZED (SELECT SUM(a) AS t FROM a{k}r)")
+        ctes.append(f"""a{k} AS MATERIALIZED (
+            SELECT n.node,
+                   ROUND(CASE WHEN (SELECT t FROM a{k}t) > 0
+                         THEN CAST(COALESCE(r.a, 0) AS DOUBLE)
+                              / CAST((SELECT t FROM a{k}t) AS DOUBLE)
+                         ELSE 0.0 END, 9) AS auth
+            FROM nodes n LEFT JOIN a{k}r r ON r.node = n.node
+        )""")
+        ctes.append(f"""h{k}r AS MATERIALIZED (
+            SELECT e.src AS node, SUM(CAST(a.auth AS DECIMAL(20,9))) AS h
+            FROM a{k} a JOIN edges e ON e.dst = a.node GROUP BY e.src
+        )""")
+        ctes.append(f"h{k}t AS MATERIALIZED (SELECT SUM(h) AS t FROM h{k}r)")
+        ctes.append(f"""h{k} AS MATERIALIZED (
+            SELECT n.node,
+                   ROUND(CASE WHEN (SELECT t FROM h{k}t) > 0
+                         THEN CAST(COALESCE(r.h, 0) AS DOUBLE)
+                              / CAST((SELECT t FROM h{k}t) AS DOUBLE)
+                         ELSE 0.0 END, 9) AS hub
+            FROM nodes n LEFT JOIN h{k}r r ON r.node = n.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT h.node AS node, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS auth
+        FROM h{rounds} h JOIN a{rounds} a ON a.node = h.node
+        ORDER BY ROUND(a.auth, 6) DESC, h.node ASC
+        LIMIT 50
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
+        "hits_purchase_graph": _hits_oracle_sql(),
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "bpe_roundtrip": _bpe_roundtrip_oracle_sql(),
         "event_id_gaps": """

@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "source_en_share_fdr",
     "user_purchase_mcnemar",
     "user_value_paired_t",
+    # round-6 operators
+    "hits_purchase_graph",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -282,7 +284,8 @@ BENCH_FAMILIES = {
         "winsorize_stats", "bootstrap_ci_orders",
     ],
     "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa",
-              "graph_assortativity", "graph_transitivity"],
+              "graph_assortativity", "graph_transitivity",
+              "hits_purchase_graph"],
     "media": ["media_content_stats", "media_headers"],
     "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan",
             "versioned_delete", "table_changes_cdf"],

@@ -165,3 +165,42 @@ def test_adamic_adar_hub_cut_drops_high_degree_centers(spark):
     )
     assert adamic_adar(e, k=100, max_degree=3).count() == 0
     assert adamic_adar(e, k=100).count() == 10
+
+
+def test_hits_hand_computed_star(spark):
+    """Directed star: 1->3, 2->3, 3->4. Hand-replay of 1 L1-normalized
+    iteration from uniform 0.25: auth_raw = {3: 0.5, 4: 0.25} -> auth =
+    {3: 2/3, 4: 1/3}; hub_raw = {1: 2/3, 2: 2/3, 3: 1/3} -> hub =
+    {1: 0.4, 2: 0.4, 3: 0.2}."""
+    from valentinus_spark.operators import hits
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    out = {r.node: r for r in hits(edges, iterations=1).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3].auth == pytest.approx(2 / 3, abs=1e-6)
+    assert out[4].auth == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1].auth == 0.0 and out[2].auth == 0.0
+    assert out[1].hub == pytest.approx(0.4, abs=1e-6)
+    assert out[2].hub == pytest.approx(0.4, abs=1e-6)
+    assert out[3].hub == pytest.approx(0.2, abs=1e-6)
+    assert out[4].hub == 0.0
+
+
+def test_hits_converges_to_principal_structure(spark):
+    """Bipartite 2-hub/3-authority block plus a weak appendix: after a
+    few rounds the block's authorities dominate and the appendix decays
+    — the qualitative fixed point HITS exists to find. Also pins the
+    invariant that both score vectors stay L1-normalized (sum to ~1)."""
+    from valentinus_spark.operators import hits
+
+    block = [(h, a) for h in (1, 2) for a in (10, 11, 12)]
+    appendix = [(3, 13)]
+    edges = spark.createDataFrame(block + appendix, ["src", "dst"])
+    out = {r.node: r for r in hits(edges, iterations=6).collect()}
+    assert sum(r.hub for r in out.values()) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.auth for r in out.values()) == pytest.approx(1.0, abs=1e-4)
+    assert out[10].auth > 5 * out[13].auth
+    assert out[1].hub > 5 * out[3].hub
+    assert out[10].auth == pytest.approx(out[11].auth, abs=1e-6)

@@ -459,3 +459,122 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) on a
+    DIRECTED edge list — the complementary centrality to
+    :func:`pagerank` for bipartite-ish behavior graphs (buyers → items,
+    crawlers → hosts): a good HUB points at many good authorities, a
+    good AUTHORITY is pointed at by many good hubs.
+
+        auth_t(v) = Σ_{u→v} hub_{t-1}(u)     then L1-normalize
+        hub_t(u)  = Σ_{u→v} auth_t(v)        then L1-normalize
+
+    L1 (sum) normalization instead of the textbook L2 — a documented
+    choice: the fixed point's RANKING is identical and it keeps the
+    arithmetic engine-portable (no sqrt in the loop). Returns
+    (``node``, ``hub``, ``auth``) over ALL nodes (union of both edge
+    endpoints; a node with no out-edges has hub 0, no in-edges auth 0),
+    rounded to 6, ordered by node.
+
+    Cross-engine determinism goes one step beyond pagerank's 9-dp
+    rounding: the per-node sums AND the global normalization totals
+    accumulate in DECIMAL(20,9) over the previous round's 9-dp-rounded
+    scores — EXACT regardless of partition/merge order — and only the
+    final normalize division is float. The DuckDB oracle replays every
+    round bit-for-bit.
+
+    Scale shape: same as pagerank — ``iterations`` × (two edge joins +
+    two node aggregations), every shuffle keyed on a node id, lineage
+    cut per round by localCheckpoint; the normalization total is a
+    single-row broadcast. 100 TB: co-partition the checkpointed edge
+    list by src once (bucketed write) and both per-round joins stay
+    exchange-free on the edge side.
+    """
+    e = (
+        ensure_parallelism(edges.select(src, dst))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+    # F.round (HALF_UP) on the IEEE double 1/n — Python round() would
+    # banker's-round and could diverge from the SQL oracle's ROUND
+    hub = nodes.withColumn("hub", F.round(F.lit(1.0 / n), 9))
+    auth = nodes.withColumn("auth", F.round(F.lit(1.0 / n), 9))
+    dec = "decimal(20,9)"
+    # same broadcast gate as pagerank: node-sized score tables ship to
+    # the edge join while they fit; above it, co-partitioned shuffle
+    # joins are the right plan anyway
+    hint = F.broadcast if n <= 2_000_000 else (lambda df: df)
+    for _ in range(iterations):
+        araw = (
+            hint(hub)
+            .join(e, hub["node"] == e[src])
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("hub").cast(dec)).alias("_a"))
+        )
+        atot = araw.agg(F.sum("_a").alias("_t"))
+        auth = (
+            nodes.join(hint(araw), "node", "left")
+            .crossJoin(F.broadcast(atot))
+            .select(
+                "node",
+                F.round(
+                    F.when(
+                        F.col("_t") > 0,
+                        F.coalesce(F.col("_a"), F.lit(0).cast(dec)).cast("double")
+                        / F.col("_t").cast("double"),
+                    ).otherwise(0.0),
+                    9,
+                ).alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        hraw = (
+            hint(auth)
+            .join(e, auth["node"] == e[dst])
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum(F.col("auth").cast(dec)).alias("_h"))
+        )
+        htot = hraw.agg(F.sum("_h").alias("_t"))
+        hub = (
+            nodes.join(hint(hraw), "node", "left")
+            .crossJoin(F.broadcast(htot))
+            .select(
+                "node",
+                F.round(
+                    F.when(
+                        F.col("_t") > 0,
+                        F.coalesce(F.col("_h"), F.lit(0).cast(dec)).cast("double")
+                        / F.col("_t").cast("double"),
+                    ).otherwise(0.0),
+                    9,
+                ).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+        .orderBy("node")
+    )
