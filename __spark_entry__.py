@@ -1170,6 +1170,22 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (operators/validate.py::
+    t_closeness_stats, Li et al. ICDE 2007): per market segment, the
+    ordered-EMD distance between the segment's account-balance-band
+    distribution and the global one — the skewness-attack complement to
+    k_anonymity_audit / l_diversity_audit. Deviations pinned at 12 dp
+    and EMD accumulated in DECIMAL(26,12); the full spine/cumsum replays
+    in DuckDB."""
+    from valentinus_spark.operators.validate import t_closeness_stats
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("int")
+    )
+    return t_closeness_stats(cust, ["c_mktsegment"], "bal_band", t=0.05)
+
+
 def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity release audit (operators/validate.py::
     l_diversity_stats): the homogeneity-attack complement to
@@ -5613,6 +5629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_value_drift": q_w1_value_drift,
         # ---- new r6 additions (r7 window candidates, after the holdover) ----
         "hits_purchase_graph": q_hits_purchase_graph,  # added r6 — r7 window candidate
+        "t_closeness_audit": q_t_closeness_audit,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -5950,6 +5967,44 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "t_closeness_audit": """
+            WITH cells AS MATERIALIZED (
+                SELECT c_mktsegment AS g, CAST(FLOOR(c_acctbal / 1000) AS INTEGER) AS v,
+                       COUNT(*)::BIGINT AS c
+                FROM customer GROUP BY 1, 2
+            ),
+            groups AS MATERIALIZED (SELECT g, SUM(c)::BIGINT AS n FROM cells GROUP BY g),
+            gdist AS MATERIALIZED (SELECT v, SUM(c)::BIGINT AS gc FROM cells GROUP BY v),
+            tot AS (SELECT SUM(gc)::BIGINT AS nn, COUNT(*)::BIGINT AS m FROM gdist),
+            spine AS (
+                SELECT gr.g, gr.n, gl.v, gl.gc, t.nn, t.m
+                FROM groups gr CROSS JOIN gdist gl CROSS JOIN tot t
+            ),
+            filled AS (
+                SELECT s.g, s.n, s.m, s.v,
+                       CAST(ROUND(COALESCE(c.c, 0)::DOUBLE / s.n
+                                  - s.gc::DOUBLE / s.nn, 12) AS DECIMAL(26,12)) AS r
+                FROM spine s LEFT JOIN cells c ON c.g = s.g AND c.v = s.v
+            ),
+            cum AS (
+                SELECT g, n, m,
+                       SUM(r) OVER (PARTITION BY g ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS i
+                FROM filled
+            ),
+            emd AS (
+                SELECT g, ROUND(CAST(SUM(ABS(cumr)) AS DOUBLE)
+                                / CAST(MAX(m) - 1 AS DOUBLE), 6) AS emd
+                FROM cum WHERE i < m GROUP BY g
+            )
+            SELECT gr.g AS c_mktsegment, gr.n,
+                   COALESCE(e.emd, 0.0) AS emd,
+                   COALESCE(e.emd, 0.0) > 0.05 AS exceeds_t
+            FROM groups gr LEFT JOIN emd e ON e.g = gr.g
+            ORDER BY 1
+        """,
+
         "bpe_encode_fixed": _bpe_oracle_sql(),
         "bpe_roundtrip": _bpe_roundtrip_oracle_sql(),
         "event_id_gaps": """

@@ -193,3 +193,33 @@ def test_sequence_gaps_contiguous_and_dupes(spark):
 
     df = spark.createDataFrame([(i % 5,) for i in range(15)], ["id"])
     assert sequence_gaps(df, "id").count() == 0
+
+
+def test_t_closeness_hand_computed_emd(spark):
+    """Two groups over the ordered spine {1,2,3}, exact fractions:
+    A = [1,1,2] -> EMD 17/42; B = [2,3,3,3] -> EMD 17/56 (global q =
+    (2/7, 2/7, 3/7)). A's missing value 3 must participate at p = 0."""
+    from valentinus_spark.operators import t_closeness_stats
+
+    rows = [("A", 1), ("A", 1), ("A", 2), ("B", 2), ("B", 3), ("B", 3), ("B", 3)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r for r in t_closeness_stats(df, ["g"], "v", t=0.35).collect()}
+    assert out["A"].n == 3 and out["B"].n == 4
+    assert out["A"].emd == pytest.approx(17 / 42, abs=1e-6)
+    assert out["B"].emd == pytest.approx(17 / 56, abs=1e-6)
+    assert out["A"].exceeds_t and not out["B"].exceeds_t
+
+
+def test_t_closeness_constant_sensitive_and_identical_dist(spark):
+    from valentinus_spark.operators import t_closeness_stats
+
+    # constant sensitive column: m = 1 -> emd 0 for every group
+    df = spark.createDataFrame([("A", 7)] * 3 + [("B", 7)] * 2, ["g", "v"])
+    out = t_closeness_stats(df, ["g"], "v").collect()
+    assert all(r.emd == 0.0 and not r.exceeds_t for r in out)
+    # group distribution == global distribution -> emd 0
+    df2 = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 1), ("B", 2)], ["g", "v"]
+    )
+    out2 = t_closeness_stats(df2, ["g"], "v").collect()
+    assert all(r.emd == pytest.approx(0.0, abs=1e-9) for r in out2)

@@ -455,3 +455,104 @@ def sequence_gaps(
         )
         .orderBy("gap_start")
     )
+
+
+def t_closeness_stats(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """Per-group t-closeness audit (Li, Li & Venkatasubramanian, ICDE
+    2007) — the third rung of the release-privacy ladder after
+    :func:`k_anonymity_stats` and :func:`l_diversity_stats`: a group can
+    be k-anonymous AND l-diverse yet still leak when its sensitive
+    distribution is far from the table's (skewness attack: "everyone in
+    this zip is in the top salary band"). For an ORDERED sensitive
+    attribute, distance = the normalized Earth Mover's Distance with
+    ordered ground distance:
+
+        EMD(P, Q) = (1 / (m-1)) · Σ_{i=1..m-1} | Σ_{j<=i} (p_j - q_j) |
+
+    over the GLOBAL ordered value spine v_1..v_m (a group's missing
+    value participates with p = 0 — dropping it understates exactly the
+    skew this audit hunts). Returns one row per quasi-identifier group:
+    (*quasi_cols, ``n``, ``emd``, ``exceeds_t``), emd rounded to 6,
+    ordered by group; m = 1 (constant sensitive column) gives emd 0.
+
+    Cross-engine determinism: per-cell deviations p - q round to 12 dp
+    and the running EMD sum accumulates in DECIMAL(26,12) — window sums
+    of raw doubles differ between engines in the last ulp (segment-tree
+    vs sequential association), which a .xx5 rounding then amplifies.
+
+    Scale shape: one (quasi, sensitive) shuffle with map-side combine,
+    a broadcast m-row global spine crossed with the G-row group list
+    (G×m cells — audit granularity, not row granularity), and one
+    group-keyed ordered window over m cells per group. Row data never
+    reaches the driver.
+    """
+    from pyspark.sql import Window
+
+    sens = F.col(sensitive_col)
+    cells = df.groupBy(*quasi_cols, sens.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    groups = cells.groupBy(*quasi_cols).agg(F.sum("_c").alias("n"))
+    glob = cells.groupBy("_v").agg(F.sum("_c").alias("_gc"))
+    tot = glob.agg(F.sum("_gc").alias("_N"), F.count(F.lit(1)).alias("_m"))
+    # dense spine: every (group, value) cell exists, absent ones at c=0
+    spine = groups.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+    filled = spine.join(cells, [*quasi_cols, "_v"], "left").select(
+        *quasi_cols,
+        "n",
+        "_v",
+        "_m",
+        F.round(
+            F.coalesce(F.col("_c"), F.lit(0)).cast("double") / F.col("n")
+            - F.col("_gc").cast("double") / F.col("_N"),
+            12,
+        )
+        .cast("decimal(26,12)")
+        .alias("_r"),
+    )
+    w = Window.partitionBy(*quasi_cols).orderBy("_v")
+    cum = filled.select(
+        *quasi_cols,
+        "n",
+        "_m",
+        "_v",
+        F.sum("_r")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cum"),
+        F.row_number().over(w).alias("_i"),
+    )
+    emd = (
+        # the last cumulative term is ~0 by construction and excluded
+        # (Σ over i = 1..m-1)
+        cum.filter(F.col("_i") < F.col("_m"))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("_m").alias("_m"),
+            F.sum(F.abs(F.col("_cum"))).alias("_s"),
+        )
+        .select(
+            *quasi_cols,
+            "n",
+            F.round(
+                F.col("_s").cast("double") / (F.col("_m") - 1).cast("double"), 6
+            ).alias("emd"),
+        )
+    )
+    # m = 1: the filter above leaves no rows — restore those groups at 0
+    out = groups.join(emd.drop("n"), quasi_cols, "left").select(
+        *quasi_cols,
+        "n",
+        F.coalesce(F.col("emd"), F.lit(0.0)).alias("emd"),
+    )
+    return out.select(
+        *quasi_cols,
+        "n",
+        "emd",
+        (F.col("emd") > t).alias("exceeds_t"),
+    ).orderBy(*quasi_cols)
