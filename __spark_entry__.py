@@ -5297,6 +5297,17 @@ def q_hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("auth").desc(), F.col("node").asc()).limit(50)
 
 
+def q_event_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile (operators/rollup.py::acf_profile) of the
+    daily event volume at lags 1..10 — the seasonality fingerprint that
+    justifies seasonal_naive_eval's season choice. Dense zero-filled day
+    spine, 6-dp-pinned deviations, exact DECIMAL numerator/denominator;
+    the whole fold replays in DuckDB."""
+    from valentinus_spark.operators.rollup import acf_profile
+
+    return acf_profile(_events(spark, sf_dir).select("ts"), max_lag=10)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5630,6 +5641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new r6 additions (r7 window candidates, after the holdover) ----
         "hits_purchase_graph": q_hits_purchase_graph,  # added r6 — r7 window candidate
         "t_closeness_audit": q_t_closeness_audit,  # added r6 — r7 window candidate
+        "event_acf": q_event_acf,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -5967,6 +5979,43 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "event_acf": """
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS n
+                FROM events GROUP BY 1
+            ),
+            bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+            spine AS (
+                SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+                FROM bounds
+            ),
+            dense AS MATERIALIZED (
+                SELECT s.d, COALESCE(dd.n, 0)::BIGINT AS x
+                FROM spine s LEFT JOIN daily dd ON dd.d = s.d
+            ),
+            stats AS (SELECT SUM(x)::BIGINT AS s, COUNT(*)::BIGINT AS cnt FROM dense),
+            dev AS MATERIALIZED (
+                SELECT d, CAST(ROUND(x::DOUBLE - (SELECT s FROM stats)::DOUBLE
+                                     / (SELECT cnt FROM stats)::DOUBLE, 6)
+                          AS DECIMAL(18,6)) AS e
+                FROM dense
+            ),
+            den AS (SELECT SUM(e * e) AS den FROM dev),
+            lags AS (SELECT r::INTEGER AS lag FROM range(1, 11) t(r)),
+            pairs AS MATERIALIZED (
+                SELECT l.lag, COUNT(*)::BIGINT AS n_pairs, SUM(a.e * b.e) AS num
+                FROM lags l
+                JOIN dev b ON TRUE
+                JOIN dev a ON a.d = b.d + l.lag
+                GROUP BY l.lag
+            )
+            SELECT l.lag, COALESCE(p.n_pairs, 0)::BIGINT AS n_pairs,
+                   ROUND(CASE WHEN (SELECT den FROM den) > 0 AND p.num IS NOT NULL
+                         THEN CAST(p.num AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE)
+                         END, 6) AS acf
+            FROM lags l LEFT JOIN pairs p USING (lag) ORDER BY lag
+        """,
+
         "t_closeness_audit": """
             WITH cells AS MATERIALIZED (
                 SELECT c_mktsegment AS g, CAST(FLOOR(c_acctbal / 1000) AS INTEGER) AS v,

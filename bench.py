@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "user_value_paired_t",
     # round-6 operators
     "hits_purchase_graph",
+    "event_acf",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -271,7 +272,7 @@ BENCH_FAMILIES = {
         "events_windowed", "events_sessionize", "events_windowed_stream",
         "events_rollup_merge", "events_sliding_window", "stream_components",
         "trailing_anomaly", "event_decayed_popularity",
-        "ks_value_drift", "w1_value_drift", "event_id_gaps",
+        "ks_value_drift", "w1_value_drift", "event_id_gaps", "event_acf",
         "touch_attribution", "user_survival", "seasonal_naive_eval",
         "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
         "ab_revenue_cuped", "decayed_popularity_stream", "event_did",

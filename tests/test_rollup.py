@@ -1,6 +1,7 @@
 """Time rollup (operators/rollup.py): merged rollup+tail must equal the
 direct aggregation over all raw rows (partials are mergeable monoids)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from valentinus_spark.operators.rollup import build_time_rollup, merged_rollup
@@ -192,3 +193,36 @@ def test_trailing_anomaly_constant_series_never_divides_by_zero(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = trailing_anomaly(ev).collect()
     assert all(r["trail_z"] == 0.0 and not r["is_anomaly"] for r in out)
+
+
+def test_acf_hand_computed_period_two(spark):
+    """Daily counts [2,4,2,4,2,4]: mean 3, deviations ±1, denom 6.
+    lag1 products sum to -5 -> acf -5/6; lag2 -> 4/6."""
+    from valentinus_spark.operators import acf_profile
+
+    rows = []
+    for day, cnt in enumerate([2, 4, 2, 4, 2, 4]):
+        for i in range(cnt):
+            rows.append((f"2024-01-{day + 1:02d} 0{i}:00:00",))
+    df = spark.createDataFrame(rows, ["s"]).select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    out = {r.lag: r for r in acf_profile(df, max_lag=3).collect()}
+    assert out[1].n_pairs == 5 and out[2].n_pairs == 4
+    assert out[1].acf == pytest.approx(-5 / 6, abs=1e-6)
+    assert out[2].acf == pytest.approx(4 / 6, abs=1e-6)
+    assert out[3].acf == pytest.approx(-3 / 6, abs=1e-6)
+
+
+def test_acf_constant_series_and_long_lag_null(spark):
+    from valentinus_spark.operators import acf_profile
+
+    rows = [(f"2024-02-0{d} 00:00:00",) for d in range(1, 5)]
+    df = spark.createDataFrame(rows, ["s"]).select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    out = {r.lag: r for r in acf_profile(df, max_lag=6).collect()}
+    # constant series (1/day): zero variance -> NULL acf at every lag
+    assert all(out[k].acf is None for k in out)
+    # lags past the series length have zero pairs
+    assert out[5].n_pairs == 0 and out[6].n_pairs == 0

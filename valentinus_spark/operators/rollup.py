@@ -358,3 +358,95 @@ def seasonal_naive_eval(
         .select(F.col("_k").alias(key_col), "n_scored", "mae", "rmse", "smape")
         .orderBy(key_col)
     )
+
+
+def acf_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of the DAILY event volume at lags
+    1..``max_lag`` — the seasonality fingerprint behind
+    :func:`seasonal_naive_eval`'s season choice and
+    :func:`trailing_anomaly`'s window choice (a 7-day spike in the ACF
+    says the series is week-shaped; a flat ACF says trailing means are
+    safe):
+
+        r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+
+    over the dense zero-filled day spine (missing days are real zeros,
+    same stance as seasonal_naive_eval). Returns one row per lag:
+    (``lag``, ``n_pairs``, ``acf``) rounded to 6, ordered by lag; acf
+    NULL when the series is constant (zero variance) or shorter than
+    the lag.
+
+    Cross-engine determinism: x̄ is an exact-integer-sum / count double
+    (identical in any engine); deviations round to 6 dp and the
+    numerator/denominator accumulate as exact DECIMAL products — no
+    float-sum order anywhere.
+
+    Scale shape: ONE corpus-sized aggregate (daily counts, map-side
+    combined); everything after runs on the day-spine (thousands of
+    rows for years of data) — the lag alignment is a broadcast-sized
+    equi-join of the spine against itself shifted by each lag, keyed on
+    date, no window over raw data.
+    """
+    base = events.select(F.to_date(ts_col).alias("_d"))
+    daily = base.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
+    bounds = base.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    spine = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("_d"))
+    dense = spine.join(daily, "_d", "left").select(
+        "_d", F.coalesce("_n", F.lit(0)).cast("bigint").alias("_x")
+    )
+    stats = dense.agg(
+        F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_cnt")
+    )
+    # 18,6 keeps the product within Spark's 38-precision cap
+    # (24,6 squared would exceed it and silently lose exactness)
+    dec = "decimal(18,6)"
+    dev = dense.crossJoin(F.broadcast(stats)).select(
+        "_d",
+        F.round(
+            F.col("_x").cast("double")
+            - F.col("_s").cast("double") / F.col("_cnt").cast("double"),
+            6,
+        )
+        .cast(dec)
+        .alias("_e"),
+        "_cnt",
+    )
+    denom = dev.agg(
+        F.sum(F.col("_e") * F.col("_e")).alias("_den"),
+        F.first("_cnt").alias("_cnt"),
+    )
+    lags = dev.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = lags.crossJoin(dev.select(F.col("_d").alias("_dl"), F.col("_e").alias("_el")))
+    pairs = (
+        dev.join(
+            shifted,
+            F.expr("date_add(_dl, lag)") == F.col("_d"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("_e") * F.col("_el")).alias("_num"),
+        )
+    )
+    return (
+        lags.join(pairs, "lag", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.round(
+                F.when(
+                    (F.col("_den") > 0) & F.col("_num").isNotNull(),
+                    F.col("_num").cast("double") / F.col("_den").cast("double"),
+                ),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
