@@ -5308,6 +5308,19 @@ def q_event_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_profile(_events(spark, sf_dir).select("ts"), max_lag=10)
 
 
+def q_hll_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day from persisted daily HLL
+    registers (operators/sketches.py::hll_rolling_distinct) — the
+    N-day-actives metric with ONE corpus scan and register-merge
+    windows, never a history rescan. Oracle recomputes every day's
+    window registers cell-for-cell from the raw input: equality proves
+    the sliding merge is lossless."""
+    from valentinus_spark.operators.sketches import hll_rolling_distinct
+
+    ev = _events(spark, sf_dir).select("ts", "user_id")
+    return hll_rolling_distinct(ev, "ts", "user_id", window_days=7, p=6)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5642,6 +5655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_purchase_graph": q_hits_purchase_graph,  # added r6 — r7 window candidate
         "t_closeness_audit": q_t_closeness_audit,  # added r6 — r7 window candidate
         "event_acf": q_event_acf,  # added r6 — r7 window candidate
+        "hll_rolling_actives": q_hll_rolling_actives,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -5979,6 +5993,54 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "hll_rolling_actives": """
+            WITH h AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS d,
+                       ('0x' || substr(sha256(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+                FROM events
+            ),
+            r AS MATERIALIZED (
+                SELECT d, h >> 54 AS idx,
+                       MAX(CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+                                ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1)))
+                           END) AS rho
+                FROM h GROUP BY 1, 2
+            ),
+            bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM h),
+            contrib AS (
+                SELECT r.d + t.i::INTEGER AS day, idx, rho
+                FROM r JOIN range(0, 7) t(i) ON TRUE
+                WHERE r.d + t.i::INTEGER <= (SELECT hi FROM bounds)
+            ),
+            merged AS MATERIALIZED (
+                SELECT day, idx, MAX(rho) AS rho FROM contrib GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT day, COUNT(*) AS m_seen,
+                       SUM(1::BIGINT << (55 - rho)) AS s
+                FROM merged GROUP BY 1
+            ),
+            spine AS (
+                SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                FROM bounds
+            ),
+            filled AS (
+                SELECT sp.day, COALESCE(a.m_seen, 0) AS m_seen, COALESCE(a.s, 0) AS s
+                FROM spine sp LEFT JOIN agg a ON a.day = sp.day
+            ),
+            est AS (
+                SELECT day, m_seen, 64 - m_seen AS v,
+                       1.0462993238608057e+20 /
+                           (s + (64 - m_seen) * (1::BIGINT << 55))::DOUBLE AS raw
+                FROM filled
+            )
+            SELECT day, m_seen::BIGINT AS m_seen,
+                   ROUND(CASE WHEN raw <= 160.0 AND v > 0
+                              THEN 64.0 * ln(64.0 / v)
+                              ELSE raw END, 4) AS est_distinct
+            FROM est ORDER BY day
+        """,
+
         "event_acf": """
             WITH daily AS MATERIALIZED (
                 SELECT CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS n

@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     # round-6 operators
     "hits_purchase_graph",
     "event_acf",
+    "hll_rolling_actives",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -282,7 +283,7 @@ BENCH_FAMILIES = {
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
         "zorder_bucket_stats", "scd2_apply", "robust_outliers",
-        "winsorize_stats", "bootstrap_ci_orders",
+        "winsorize_stats", "bootstrap_ci_orders", "hll_rolling_actives",
     ],
     "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa",
               "graph_assortativity", "graph_transitivity",

@@ -263,3 +263,55 @@ def test_heavy_hitters_exact_output_and_partition_invariance(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         heavy_hitters(df, "k", phi=1.5)
+
+
+def test_hll_rolling_distinct_matches_window_recompute(spark):
+    """The register-merge rolling estimate must EQUAL re-running the
+    one-shot sketch over each window's raw rows (merge losslessness on
+    the sliding window), and low-cardinality windows are exact via the
+    linear-counting branch."""
+    from valentinus_spark.operators.sketches import (
+        hll_registers,
+        hll_estimate,
+        hll_rolling_distinct,
+    )
+
+    rows = []
+    for day in range(1, 11):
+        for u in range(day * 3):  # users 0..3d-1 active on day d
+            rows.append((f"2024-03-{day:02d} 12:00:00", u))
+    df = spark.createDataFrame(rows, ["s", "user_id"]).select(
+        F.col("s").cast("timestamp").alias("ts"), "user_id"
+    )
+    out = {str(r.day): r for r in hll_rolling_distinct(df, "ts", "user_id", window_days=3, p=6).collect()}
+    assert len(out) == 10
+    import datetime
+
+    for day in range(1, 11):
+        lo = max(1, day - 2)
+        window = df.filter(
+            (F.to_date("ts") >= F.lit(datetime.date(2024, 3, lo)))
+            & (F.to_date("ts") <= F.lit(datetime.date(2024, 3, day)))
+        )
+        oneshot = hll_estimate(
+            hll_registers(window.select("user_id"), "user_id", None, p=6), p=6
+        ).collect()[0]
+        got = out[f"2024-03-{day:02d}"]
+        assert got.est_distinct == oneshot.est_distinct, f"day {day}"
+        assert got.m_seen == oneshot.m_seen
+
+
+def test_hll_rolling_distinct_empty_window_and_gap_days(spark):
+    from valentinus_spark.operators.sketches import hll_rolling_distinct
+
+    # activity on day 1 and day 8 only, window 2: days 4..7 see nothing
+    rows = [("2024-04-01 00:00:00", 1), ("2024-04-08 00:00:00", 2)]
+    df = spark.createDataFrame(rows, ["s", "user_id"]).select(
+        F.col("s").cast("timestamp").alias("ts"), "user_id"
+    )
+    out = {str(r.day): r for r in hll_rolling_distinct(df, "ts", "user_id", window_days=2, p=6).collect()}
+    assert len(out) == 8  # dense spine
+    assert out["2024-04-01"].est_distinct > 0
+    assert out["2024-04-02"].est_distinct > 0  # day-1 users still in window
+    assert out["2024-04-03"].est_distinct == 0.0 and out["2024-04-03"].m_seen == 0
+    assert out["2024-04-08"].est_distinct > 0

@@ -510,3 +510,65 @@ def heavy_hitters(
     )
     return exact
 
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    p: int = 6,
+) -> DataFrame:
+    """Rolling ``window_days``-day distinct count per day from persisted
+    DAILY HLL registers — the N-day-active-users metric computed the way
+    a 100 TB pipeline must: the raw corpus is scanned ONCE (one daily
+    register aggregate); every day's rolling window is then a register
+    MERGE (max per cell — the lossless HLL union of
+    :func:`hll_merge_estimate`), never a rescan of N days of history.
+    An exact rolling distinct would need per-day user SETS (unbounded
+    state, N-fold rescan or giant dedup shuffle); register state is
+    days × 2^p rows forever.
+
+    Returns one row per day of the dense [min_day, max_day] spine:
+    (``day``, ``m_seen``, ``est_distinct``) — the estimate of distinct
+    ``value_col`` over days [day-window_days+1, day] — rounded to 4,
+    ordered by day; days whose whole window is empty estimate 0.
+
+    Scale shape: one corpus aggregate, then an explode of the register
+    table by window_days (days × 2^p × N rows — sketch-sized) and a
+    (day, idx) max-merge. Same exact-integer harmonic sum as
+    :func:`hll_estimate`, so the DuckDB oracle replays it cell-exact.
+    """
+    ev = df.select(F.to_date(ts_col).alias("_d"), value_col)
+    regs = hll_registers(ev, value_col, ["_d"], p)
+    bounds = ev.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    # day d's registers contribute to windows ending on d .. d+N-1
+    contrib = (
+        regs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("_d"),
+                    F.least(F.date_add("_d", window_days - 1), F.col("_hi")),
+                )
+            ).alias("day"),
+            "idx",
+            "rho",
+        )
+    )
+    merged = contrib.groupBy("day", "idx").agg(F.max("rho").alias("rho"))
+    est = hll_estimate(merged, p, ["day"])
+    spine = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("day")
+    )
+    m = 1 << p
+    return (
+        spine.join(est, "day", "left")
+        .select(
+            "day",
+            F.coalesce("m_seen", F.lit(0)).cast("bigint").alias("m_seen"),
+            # empty window: linear counting with V = m gives m·ln(1) = 0
+            F.coalesce("est_distinct", F.lit(0.0)).alias("est_distinct"),
+        )
+        .orderBy("day")
+    )
