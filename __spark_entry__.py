@@ -5321,6 +5321,35 @@ def q_hll_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rolling_distinct(ev, "ts", "user_id", window_days=7, p=6)
 
 
+def q_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom file-skipping round trip (operators/layout.py::
+    file_bloom_manifest/bloom_pruned_read): lineitem hash-spread over 16
+    files by l_suppkey (every file's [min,max] covers the probe, so
+    min/max skipping is useless — the point-lookup case Bloom stats
+    exist for), per-file Bloom manifest, point probe l_suppkey = 42
+    through the pruned read, then aggregate. Oracle = the same
+    aggregate over the FULL table: hash-match proves pruning lost no
+    rows. Skip effectiveness is pinned in tests/test_layout_zorder.py."""
+    import tempfile
+
+    from valentinus_spark.operators.layout import (
+        bloom_pruned_read,
+        file_bloom_manifest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="vs_bloomskip_")
+    li.repartition(16, "l_suppkey").write.mode("overwrite").parquet(path)
+    man = file_bloom_manifest(spark, path, "l_suppkey", k=4, m=4096)
+    pr = bloom_pruned_read(spark, path, man, "l_suppkey", 42, k=4, m=4096)
+    return pr.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5656,6 +5685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness_audit": q_t_closeness_audit,  # added r6 — r7 window candidate
         "event_acf": q_event_acf,  # added r6 — r7 window candidate
         "hll_rolling_actives": q_hll_rolling_actives,  # added r6 — r7 window candidate
+        "bloom_pruned_lookup": q_bloom_pruned_lookup,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -5993,6 +6023,13 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "bloom_pruned_lookup": """
+            SELECT l_partkey, COUNT(*)::BIGINT AS n_rows,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem WHERE l_suppkey = 42
+            GROUP BY l_partkey
+        """,
+
         "hll_rolling_actives": """
             WITH h AS MATERIALIZED (
                 SELECT CAST(ts AS DATE) AS d,

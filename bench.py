@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "hits_purchase_graph",
     "event_acf",
     "hll_rolling_actives",
+    "bloom_pruned_lookup",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -290,7 +291,7 @@ BENCH_FAMILIES = {
               "hits_purchase_graph"],
     "media": ["media_content_stats", "media_headers"],
     "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan",
-            "versioned_delete", "table_changes_cdf"],
+            "versioned_delete", "table_changes_cdf", "bloom_pruned_lookup"],
 }
 _fam_all = [q for qs in BENCH_FAMILIES.values() for q in qs]
 assert sorted(_fam_all) == sorted(BENCH_QUERIES), (

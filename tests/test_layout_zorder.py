@@ -138,3 +138,48 @@ def test_pruned_read_empty_range(spark, zordered_dir):
     man = file_minmax_manifest(spark, zordered_dir, ["a", "b"])
     assert prune_files(man, "a", 1000, 2000) == []
     assert pruned_read(spark, zordered_dir, man, "a", 1000, 2000).count() == 0
+
+
+def test_bloom_manifest_prunes_point_lookup_losslessly(spark, tmp_path):
+    """Files written key-disjoint: the Bloom manifest must (a) never
+    skip a file that holds the probe value (lossless), (b) actually
+    skip files for a value confined to one file (effective) — the case
+    min/max skipping cannot help when every file's range covers the
+    probe."""
+    from valentinus_spark.operators import (
+        bloom_prune_files,
+        bloom_pruned_read,
+        file_bloom_manifest,
+    )
+
+    path = str(tmp_path / "btbl")
+    # keys 0..79 spread so each file holds an interleaved (not
+    # contiguous) key set: every file's [min,max] covers most probes,
+    # making min/max skipping useless — exactly bloom's case
+    df = spark.range(0, 800).select(
+        (F.col("id") % 80).alias("k"), F.col("id").alias("payload")
+    )
+    df.repartition(8, "k").write.mode("overwrite").parquet(path)
+    man = file_bloom_manifest(spark, path, "k", k=4, m=4096).localCheckpoint()
+    n_files = spark.read.parquet(path).select(
+        F.input_file_name()
+    ).distinct().count()
+
+    for probe in (0, 7, 79):
+        files = bloom_prune_files(spark, man, probe, k=4, m=4096)
+        assert 1 <= len(files) < n_files, (
+            f"probe {probe}: kept {len(files)}/{n_files} files"
+        )
+        got = sorted(
+            r.payload
+            for r in bloom_pruned_read(spark, path, man, "k", probe).collect()
+        )
+        want = sorted(
+            r.payload
+            for r in spark.read.parquet(path).filter(F.col("k") == probe).collect()
+        )
+        assert got == want and len(got) == 10
+
+    # absent value: every file may be skipped (no false negatives needed)
+    got = bloom_pruned_read(spark, path, man, "k", 999).collect()
+    assert got == []

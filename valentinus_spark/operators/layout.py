@@ -210,3 +210,70 @@ def compact_small_files(
         shaped = df.repartition(target_files)
     shaped.write.mode("overwrite").parquet(dst_path)
     return spark.read.parquet(dst_path)
+
+
+def file_bloom_manifest(
+    spark, path: str, col: str, k: int = 4, m: int = 4096
+) -> DataFrame:
+    """Per-FILE Bloom filter manifest of a parquet directory — the
+    point-lookup complement to :func:`file_minmax_manifest`: min/max
+    skips RANGE misses, but a point probe whose value falls inside a
+    file's [min, max] without being present still reads the file; its
+    Bloom bits say "definitely absent" and skip it (Delta/Iceberg carry
+    exactly this pair of stats per file). One row per (file, set bit),
+    ≤ m rows per file regardless of file size; the same portable sha
+    hashing as sketches.bloom_build, so the manifest replays in DuckDB.
+
+    Plan: one scan fanning each value into k positions + a distinct
+    keyed on (file, bit) — map-side combinable, aligned with files.
+    """
+    from valentinus_spark.operators.sketches import _sha_slice
+
+    df = spark.read.parquet(path)
+    cells = F.array(*[(_sha_slice(col, j) % m) for j in range(k)])
+    return (
+        df.select(F.input_file_name().alias("file"), F.explode(cells).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_prune_files(
+    spark, manifest: DataFrame, value, k: int = 4, m: int = 4096
+) -> list[str]:
+    """File names whose Bloom filter might contain ``value`` (ALL k bit
+    positions set — no false negatives, so pruning is lossless; false
+    positives only cost a wasted read). Planner-side lookup over the
+    (files × bits)-sized manifest, no data scan."""
+    probe = spark.createDataFrame([(str(value),)], ["_v"])
+    from valentinus_spark.operators.sketches import _sha_slice
+
+    cells = (
+        probe.select(
+            F.explode(
+                F.array(*[(_sha_slice("_v", j) % m) for j in range(k)])
+            ).alias("bit")
+        )
+        .distinct()  # hash slices may collide onto one bit
+        .localCheckpoint()
+    )
+    nbits = cells.count()
+    files = (
+        manifest.join(F.broadcast(cells), "bit", "semi")
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("_h"))
+        .filter(F.col("_h") == nbits)
+    )
+    return [r["file"] for r in files.select("file").collect()]
+
+
+def bloom_pruned_read(
+    spark, path: str, manifest: DataFrame, col: str, value, k: int = 4, m: int = 4096
+) -> DataFrame:
+    """Read only the files whose Bloom might contain ``col = value``
+    and re-apply the exact predicate (skipping is a superset prefilter,
+    the residual equality keeps semantics exact — same contract as
+    :func:`pruned_read`)."""
+    files = bloom_prune_files(spark, manifest, value, k, m)
+    if not files:
+        return spark.read.parquet(path).filter(F.col(col) == value).limit(0)
+    return spark.read.parquet(*files).filter(F.col(col) == value)
