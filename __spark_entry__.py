@@ -5350,6 +5350,18 @@ def q_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank keywords (operators/text_search.py::
+    textrank_keywords, Mihalcea & Tarau 2004): window-2 co-occurrence
+    graph over stopword-filtered tokens, 8 pagerank rounds (9-dp
+    pinning), top-30 by rounded rank. The oracle rebuilds the same
+    graph and replays the recursion in a recursive CTE."""
+    from valentinus_spark.operators.text_search import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return textrank_keywords(docs, topk=30, iterations=8)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5686,6 +5698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_acf": q_event_acf,  # added r6 — r7 window candidate
         "hll_rolling_actives": q_hll_rolling_actives,  # added r6 — r7 window candidate
         "bloom_pruned_lookup": q_bloom_pruned_lookup,  # added r6 — r7 window candidate
+        "textrank_keywords": q_textrank_keywords,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -6019,10 +6032,70 @@ def _hits_oracle_sql(rounds: int = 4) -> str:
     )
 
 
+
+def _textrank_oracle_sql(rounds: int = 8) -> str:
+    """Replay of q_textrank_keywords: same tokenization as the
+    repetition CTE (lower + whitespace collapse + split), same stopword
+    list (_STOPWORDS_SQL), window-2 symmetric distinct edges, and the
+    pagerank recursion UNROLLED as chained MATERIALIZED CTEs — NOT a
+    recursive CTE: DuckDB 1.0.0 re-evaluates the non-recursive CTE
+    chain inside WITH RECURSIVE and silently DROPS the DISTINCT/UNION
+    dedup when the chain contains an unnest (measured: deg('agg') = 550
+    raw adjacency rows instead of 28 distinct edges), corrupting every
+    rank. Plain chained CTEs evaluate the dedup correctly."""
+    ctes = [
+        f"""toks AS MATERIALIZED (
+            SELECT list_filter(
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     t -> t <> '' AND NOT list_contains({_STOPWORDS_SQL}, t)) AS w
+            FROM documents
+        )""",
+        """rawp AS MATERIALIZED (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> struct_pack(a := w[i], b := w[i + 1]))) AS p
+            FROM toks WHERE len(w) >= 2
+        )""",
+        """pairs AS MATERIALIZED (
+            SELECT DISTINCT p.a AS src, p.b AS dst FROM rawp WHERE p.a <> p.b
+        )""",
+        """edges AS MATERIALIZED (
+            SELECT src, dst FROM pairs
+            UNION
+            SELECT dst AS src, src AS dst FROM pairs
+        )""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""r{k} AS MATERIALIZED (
+            SELECT n.node,
+                   ROUND(0.15 / (SELECT n FROM nn)
+                         + 0.85 * COALESCE(c.s, 0), 9) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.rank / dg.d) AS s
+                FROM r{k - 1} p
+                JOIN edges e ON e.src = p.node
+                JOIN deg dg ON dg.src = p.node
+                GROUP BY e.dst
+            ) c ON c.node = n.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT node AS word, ROUND(rank, 6) AS rank
+        FROM r{rounds}
+        ORDER BY ROUND(rank, 6) DESC, word ASC
+        LIMIT 30
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "textrank_keywords": _textrank_oracle_sql(),
         "bloom_pruned_lookup": """
             SELECT l_partkey, COUNT(*)::BIGINT AS n_rows,
                    ROUND(SUM(l_quantity), 2) AS sum_qty

@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "event_acf",
     "hll_rolling_actives",
     "bloom_pruned_lookup",
+    "textrank_keywords",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -253,7 +254,7 @@ BENCH_FAMILIES = {
         "krippendorff_lang", "source_lexical_diversity",
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
         "chi2_source_lang", "rank_agreement", "source_length_gini",
-        "bpe_roundtrip",
+        "bpe_roundtrip", "textrank_keywords",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",

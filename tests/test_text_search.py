@@ -1,5 +1,6 @@
 """BM25 keyword-search tests vs a pure-python oracle."""
 
+import pytest
 import math
 
 from valentinus_spark.operators.text_search import bm25_topk
@@ -364,3 +365,53 @@ def test_winnow_shared_spans_matches_python(spark):
     b_spans = [t for t in got if t[2] == "b"]
     assert len(a_spans) == len(b_spans) == 1
     assert a_spans[0][5] == b_spans[0][5]
+
+
+def test_textrank_keywords_structure_and_python_oracle(spark):
+    """Window-2 co-occurrence graph + pagerank, replayed in python on a
+    tiny corpus: the rank values must match a literal numpy power
+    iteration with the same teleport/damping/per-round 9-dp rounding,
+    and stopwords must never appear as keywords."""
+    from valentinus_spark.operators import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the spark engine runs the spark planner"),
+            (2, "engine planner engine"),
+            (3, "a catalyst planner optimizes the spark engine"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textrank_keywords(docs, topk=10, iterations=8).collect()
+    words = [r.word for r in out]
+    assert "the" not in words and "a" not in words
+    assert set(words) <= {"spark", "engine", "runs", "planner", "catalyst", "optimizes"}
+
+    # python replay: filtered sequences per doc -> window-2 sym edges
+    seqs = [
+        ["spark", "engine", "runs", "spark", "planner"],
+        ["engine", "planner", "engine"],
+        ["catalyst", "planner", "optimizes", "spark", "engine"],
+    ]
+    edges = set()
+    for s in seqs:
+        for x, y in zip(s, s[1:]):
+            if x != y:
+                edges.add((x, y))
+                edges.add((y, x))
+    nodes = sorted({n for e in edges for n in e})
+    out_deg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    n = len(nodes)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(8):
+        contrib = {u: 0.0 for u in nodes}
+        for a, b in edges:
+            contrib[b] += rank[a] / out_deg[a]
+        rank = {
+            u: round(0.15 / n + 0.85 * contrib[u], 9) for u in nodes
+        }
+    got = {r.word: r.rank for r in out}
+    for w in got:
+        assert got[w] == pytest.approx(round(rank[w], 6), abs=2e-6), w
+    # hub word 'engine' (degree 4) must outrank leaf 'runs'
+    assert got["engine"] > got["runs"]

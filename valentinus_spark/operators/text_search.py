@@ -609,3 +609,64 @@ def winnow_shared_spans(
         .drop("_isl")
         .orderBy("id_a", "id_b", "side", "span_start")
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    topk: int = 30,
+    iterations: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau, EMNLP 2004):
+    build the word co-occurrence graph — an undirected edge between
+    consecutive non-stopword tokens (window 2 over the stopword-filtered
+    sequence; unweighted, the paper's base variant) — and run PageRank
+    over it: keywords are words that co-occur with many other
+    well-connected words, a graph recursion TF-IDF's counting cannot
+    express. Returns the top ``topk`` rows (``word``, ``rank``), rank
+    rounded to 6, ordered by rank desc then word.
+
+    Reuses :func:`valentinus_spark.operators.graph.pagerank` (9-dp
+    per-round pinning) over :func:`symmetric_edges`, so the whole
+    recursion replays in the DuckDB oracle's recursive CTE.
+
+    Scale shape: tokenization and pair extraction are row-local; the
+    edge list is DISTINCT (vocabulary² bounded, in practice ~linear in
+    corpus bytes with a long tail), and the rank loop is
+    iterations × (join + agg) on the vocabulary-sized node set — the
+    graph is corpus-SUMMARY-sized, not corpus-sized.
+    """
+    from valentinus_spark.functions.text import ENGLISH_STOPWORDS
+    from valentinus_spark.operators.graph import pagerank, symmetric_edges
+
+    stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    toks = docs.select(
+        F.filter(
+            word_tokens(normalize_text(text_col)),
+            lambda t: (t != "") & ~F.array_contains(stop, t),
+        ).alias("_w")
+    ).filter(F.size("_w") >= 2)
+    n = F.size("_w")
+    pairs = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_w", 1, n - 1).alias("a"),
+                    F.slice(F.col("_w"), 2, n - 1).alias("b"),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.a").alias("src"), F.col("_p.b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    ranks = pagerank(
+        symmetric_edges(pairs), iterations=iterations, damping=damping
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("word"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("word").asc())
+        .limit(topk)
+    )
