@@ -5362,6 +5362,21 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(docs, topk=30, iterations=8)
 
 
+def q_ab_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential monitoring (operators/experiment.py::
+    msprt_test, Johari et al. KDD 2017): day-granular mSPRT over event
+    values between sha-assigned arms — the p-value a dashboard can
+    refresh daily without inflating false positives (the peeking
+    problem the fixed-n ab_* tests have). DECIMAL-exact cumulative
+    sums, 9-dp-pinned log-LR; full replay in DuckDB."""
+    from valentinus_spark.operators.experiment import ab_assign, msprt_test
+
+    ev = _events(spark, sf_dir).select(
+        "ts", ab_assign(F.col("user_id")).alias("arm"), "value"
+    )
+    return msprt_test(ev, "ts", "arm", "value", tau=0.5)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5699,6 +5714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rolling_actives": q_hll_rolling_actives,  # added r6 — r7 window candidate
         "bloom_pruned_lookup": q_bloom_pruned_lookup,  # added r6 — r7 window candidate
         "textrank_keywords": q_textrank_keywords,  # added r6 — r7 window candidate
+        "ab_msprt_monitor": q_ab_msprt_monitor,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -6095,6 +6111,59 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "ab_msprt_monitor": """
+            WITH ev AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS day,
+                       (('0x' || substr(sha256('ab-v1:' || user_id::VARCHAR), 1, 8))::UBIGINT % 2)::BIGINT AS arm,
+                       value
+                FROM events
+            ),
+            stats AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss
+                FROM ev
+            ),
+            sig AS (SELECT ROUND((ss - n * (s / n) * (s / n)) / (n - 1.0), 9) AS s2 FROM stats),
+            daily AS MATERIALIZED (
+                SELECT day,
+                       COUNT(CASE WHEN arm = 0 THEN 1 END)::BIGINT AS na,
+                       COUNT(CASE WHEN arm = 1 THEN 1 END)::BIGINT AS nb,
+                       SUM(CASE WHEN arm = 0 THEN CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8)) END) AS sa,
+                       SUM(CASE WHEN arm = 1 THEN CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8)) END) AS sb
+                FROM ev GROUP BY day
+            ),
+            cum AS (
+                SELECT day,
+                       SUM(na) OVER w AS n_a, SUM(nb) OVER w AS n_b,
+                       SUM(COALESCE(sa, 0)) OVER w AS csa,
+                       SUM(COALESCE(sb, 0)) OVER w AS csb
+                FROM daily
+                WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            calc AS (
+                SELECT day, n_a, n_b,
+                       CASE WHEN n_a > 0 AND n_b > 0
+                            THEN CAST(csb AS DOUBLE) / n_b - CAST(csa AS DOUBLE) / n_a END AS y,
+                       CASE WHEN n_a > 0 AND n_b > 0
+                            THEN (SELECT s2 FROM sig) * (1.0 / n_a + 1.0 / n_b) END AS v
+                FROM cum
+            ),
+            llr AS (
+                SELECT day, n_a, n_b, ROUND(y, 6) AS mean_diff,
+                       CASE WHEN v > 0
+                            THEN ROUND(0.5 * ln(v / (v + 0.25))
+                                       + y * y * 0.25 / (2 * v * (v + 0.25)), 9) END AS l
+                FROM calc
+            )
+            SELECT day, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, mean_diff,
+                   ROUND(l, 6) AS log_lr,
+                   ROUND(CASE WHEN l IS NOT NULL THEN LEAST(1.0,
+                       EXP(-MAX(l) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   ) END, 6) AS p_always_valid
+            FROM llr ORDER BY day
+        """,
+
         "textrank_keywords": _textrank_oracle_sql(),
         "bloom_pruned_lookup": """
             SELECT l_partkey, COUNT(*)::BIGINT AS n_rows,

@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "hll_rolling_actives",
     "bloom_pruned_lookup",
     "textrank_keywords",
+    "ab_msprt_monitor",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -278,7 +279,7 @@ BENCH_FAMILIES = {
         "ks_value_drift", "w1_value_drift", "event_id_gaps", "event_acf",
         "touch_attribution", "user_survival", "seasonal_naive_eval",
         "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
-        "ab_revenue_cuped", "decayed_popularity_stream", "event_did",
+        "ab_revenue_cuped", "ab_msprt_monitor", "decayed_popularity_stream", "event_did",
         "mwu_value_test", "source_en_share_fdr", "user_purchase_mcnemar",
         "user_value_paired_t",
     ],

@@ -304,3 +304,57 @@ def test_paired_t_constant_diff_null(spark):
     out = paired_t_test(df, "b", "a").collect()[0]
     assert out.mean_diff == pytest.approx(1.0)
     assert out.t is None and out.p_value is None
+
+
+def test_msprt_matches_python_replica_and_monotone(spark):
+    import datetime
+
+    from valentinus_spark.operators import msprt_test
+
+    # arm 1 shifted by +2 from day 3 on: p must fall and never rise
+    rows = []
+    for day in range(1, 9):
+        d = f"2024-05-{day:02d} 00:00:00"
+        for i in range(10):
+            rows.append((d, 0, 10.0 + (i % 3)))
+            rows.append((d, 1, 10.0 + (i % 3) + (2.0 if day >= 3 else 0.0)))
+    df = spark.createDataFrame(rows, ["s", "arm", "v"]).select(
+        F.col("s").cast("timestamp").alias("ts"), "arm", "v"
+    )
+    out = msprt_test(df, "ts", "arm", "v", tau=0.5).collect()
+    ps = [r.p_always_valid for r in out]
+    assert all(ps[i + 1] <= ps[i] + 1e-9 for i in range(len(ps) - 1)), ps
+    assert ps[-1] < 0.05 < ps[0]
+
+    # python replica of the last day's log_lr
+    import statistics
+
+    vals = [v for (_, _, v) in rows]
+    sigma2 = round(statistics.variance(vals), 9)
+    a = [v for (_, arm, v) in rows if arm == 0]
+    b = [v for (_, arm, v) in rows if arm == 1]
+    na, nb = len(a), len(b)
+    y = sum(b) / nb - sum(a) / na
+    vv = sigma2 * (1 / na + 1 / nb)
+    tau2 = 0.25
+    import math
+
+    llr = round(0.5 * math.log(vv / (vv + tau2)) + y * y * tau2 / (2 * vv * (vv + tau2)), 9)
+    assert out[-1].log_lr == pytest.approx(round(llr, 6), abs=2e-6)
+    assert out[-1].n_a == na and out[-1].n_b == nb
+
+
+def test_msprt_null_effect_keeps_high_p(spark):
+    from valentinus_spark.operators import msprt_test
+
+    rows = []
+    for day in range(1, 7):
+        d = f"2024-06-{day:02d} 00:00:00"
+        for i in range(20):
+            rows.append((d, i % 2, float(i % 5)))
+    df = spark.createDataFrame(rows, ["s", "arm", "v"]).select(
+        F.col("s").cast("timestamp").alias("ts"), "arm", "v"
+    )
+    out = msprt_test(df, "ts", "arm", "v", tau=0.5).collect()
+    # identical arms: the mixture LR stays <= 1, p pegged at 1
+    assert all(r.p_always_valid == 1.0 for r in out)

@@ -29,6 +29,7 @@ __all__ = [
     "mann_whitney_u",
     "bh_fdr",
     "mcnemar_test",
+    "msprt_test",
     "paired_t_test",
 ]
 
@@ -607,3 +608,124 @@ def paired_t_test(
         F.round(t, 6).alias("t"),
         F.round(two_sided_p(t), 6).alias("p_value"),
     )
+
+
+def msprt_test(
+    df: DataFrame,
+    ts_col: str,
+    arm_col: str,
+    value_col: str,
+    tau: float = 0.5,
+    sigma2: float | None = None,
+) -> DataFrame:
+    """Mixture Sequential Probability Ratio Test (mSPRT — Johari, Koomen,
+    Pekelis & Walsh, KDD 2017 "Peeking at A/B tests"): the always-valid
+    p-value that stays correct no matter how often the dashboard is
+    refreshed mid-experiment — the fixed-n tests above (two_proportion /
+    welch) inflate false positives badly under continuous monitoring.
+
+    Two-sample normal mixture form, day-granular monitoring: with
+    cumulative arm means x̄_a, x̄_b through day d, Y = x̄_b − x̄_a,
+    V = σ²(1/n_a + 1/n_b), and mixture variance τ²:
+
+        ln Λ_d = ½·ln(V/(V+τ²)) + Y²τ² / (2·V·(V+τ²))
+        p_d    = min(1, exp(−max_{k≤d} ln Λ_k))      (non-increasing)
+
+    σ² defaults to the pooled population variance of ``value_col`` over
+    the whole frame (a documented plug-in; pass a known ``sigma2`` for
+    the textbook known-variance form). Returns one row per day:
+    (``day``, ``n_a``, ``n_b``, ``mean_diff``, ``log_lr``,
+    ``p_always_valid``), rounded to 6, ordered by day; inference NULL
+    until both arms have data.
+
+    Determinism: daily sums accumulate in DECIMAL(38,8) and the
+    cumulative window sums stay DECIMAL (exact, association-free); ln Λ
+    is rounded to 9 dp before the running max so the one libm-dependent
+    step (exp) sees identical inputs in both engines.
+
+    Scale shape: one (day, arm) aggregate over the corpus; everything
+    after runs on the day series (a window over #days rows — monitoring
+    granularity, not row granularity).
+    """
+    from pyspark.sql import Window
+
+    arm = F.col(arm_col)
+    dec = F.col(value_col).cast("decimal(19,4)").cast("decimal(38,8)")
+    daily = (
+        df.filter(arm.isin([0, 1]))
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(
+            F.count(F.when(arm == 0, F.lit(1))).alias("_na"),
+            F.count(F.when(arm == 1, F.lit(1))).alias("_nb"),
+            F.sum(F.when(arm == 0, dec)).alias("_sa"),
+            F.sum(F.when(arm == 1, dec)).alias("_sb"),
+        )
+    )
+    if sigma2 is None:
+        dd = F.col(value_col).cast("decimal(19,4)")
+        stats = df.filter(arm.isin([0, 1])).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dd.cast("decimal(38,8)")).cast("double").alias("_s"),
+            F.sum((dd * dd).cast("decimal(38,8)")).cast("double").alias("_ss"),
+        )
+        # round INSIDE Spark (HALF_UP, same as SQL ROUND) — Python's
+        # banker's round() could diverge from the oracle at a boundary
+        r = stats.select(
+            F.when(
+                F.col("_n") > 1,
+                F.round(
+                    (
+                        F.col("_ss")
+                        - F.col("_n") * (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n"))
+                    )
+                    / (F.col("_n") - 1.0),
+                    9,
+                ),
+            ).alias("_s2")
+        ).collect()[0]
+        sigma2 = float(r["_s2"]) if r["_s2"] is not None else 1.0
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zero = F.lit(0).cast("decimal(38,8)")
+    cum = daily.select(
+        "day",
+        F.sum("_na").over(w).alias("n_a"),
+        F.sum("_nb").over(w).alias("n_b"),
+        F.sum(F.coalesce("_sa", zero)).over(w).alias("_csa"),
+        F.sum(F.coalesce("_sb", zero)).over(w).alias("_csb"),
+    )
+    tau2 = float(tau) * float(tau)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    y = F.col("_csb").cast("double") / nb - F.col("_csa").cast("double") / na
+    v = F.lit(float(sigma2)) * (1.0 / na + 1.0 / nb)
+    log_lr = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (v > 0),
+        F.round(
+            0.5 * F.log(v / (v + F.lit(tau2)))
+            + y * y * F.lit(tau2) / (2.0 * v * (v + F.lit(tau2))),
+            9,
+        ),
+    )
+    scored = cum.select(
+        "day",
+        "n_a",
+        "n_b",
+        F.round(F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), y), 6).alias(
+            "mean_diff"
+        ),
+        log_lr.alias("_llr"),
+    )
+    wmax = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return scored.select(
+        "day",
+        "n_a",
+        "n_b",
+        "mean_diff",
+        F.round("_llr", 6).alias("log_lr"),
+        F.round(
+            F.when(
+                F.col("_llr").isNotNull(),
+                F.least(F.lit(1.0), F.exp(-F.max("_llr").over(wmax))),
+            ),
+            6,
+        ).alias("p_always_valid"),
+    ).orderBy("day")
