@@ -5377,6 +5377,36 @@ def q_ab_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msprt_test(ev, "ts", "arm", "value", tau=0.5)
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths (operators/funnel.py::session_paths): 30-min
+    gap sessionization (the events_sessionize rule), first-5-step
+    '>'-joined event-type sequences, top-25 by session count — the
+    k-step flow view over markov_transitions' one-step matrix. The
+    (ts, event_id) tie-break makes paths engine-deterministic; full
+    replay in DuckDB."""
+    from valentinus_spark.operators.funnel import session_paths
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    return session_paths(ev)
+
+
+def q_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-fidelity sweep (operators/similarity.py::
+    matryoshka_fidelity, Kusupati et al. 2022): mean top-10 overlap of
+    the 8/16/32-dim prefix-cosine rankings vs the full 64-dim ranking
+    over 5 probe vectors — the measurement that sizes a prefix-truncated
+    ANN index (4x storage at 16 dims IF overlap holds). One corpus scan
+    scores every (dim, query); 4-dp rounding + id tie-breaks make the
+    top-k cut engine-exact, so the whole sweep replays in DuckDB."""
+    from valentinus_spark.operators.similarity import matryoshka_fidelity
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return matryoshka_fidelity(embs, queries, [8, 16, 32], k=10)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5715,6 +5745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_lookup": q_bloom_pruned_lookup,  # added r6 — r7 window candidate
         "textrank_keywords": q_textrank_keywords,  # added r6 — r7 window candidate
         "ab_msprt_monitor": q_ab_msprt_monitor,  # added r6 — r7 window candidate
+        "session_paths": q_session_paths,  # added r6 — r7 window candidate
+        "matryoshka_fidelity": q_matryoshka_fidelity,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -6111,6 +6143,71 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "matryoshka_fidelity": """
+            WITH q AS MATERIALIZED (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+                FROM embeddings WHERE vec_id < 5
+            ),
+            dims AS (SELECT UNNEST([8, 16, 32, 64]) AS dim),
+            scored AS (
+                SELECT d.dim, q.qid, e.vec_id,
+                       ROUND(list_cosine_similarity(
+                           (e.embedding::DOUBLE[])[1:d.dim], (q.qvec)[1:d.dim]), 4) AS s
+                FROM embeddings e, q, dims d
+            ),
+            ranked AS (
+                SELECT dim, qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY dim, qid
+                                          ORDER BY s DESC, vec_id ASC) AS r
+                FROM scored
+            ),
+            top AS MATERIALIZED (SELECT dim, qid, vec_id FROM ranked WHERE r <= 10),
+            fullt AS (SELECT qid, vec_id FROM top WHERE dim = 64),
+            m AS (
+                SELECT t.dim, COUNT(*)::BIGINT AS matched
+                FROM top t SEMI JOIN fullt f
+                  ON t.qid = f.qid AND t.vec_id = f.vec_id
+                GROUP BY t.dim
+            )
+            SELECT dim, 10 AS k,
+                   (SELECT COUNT(*) FROM q)::BIGINT AS n_queries,
+                   ROUND(matched::DOUBLE / ((SELECT COUNT(*) FROM q) * 10), 6) AS mean_overlap
+            FROM m ORDER BY dim
+        """,
+
+        "session_paths": """
+            WITH lagd AS (
+                SELECT user_id, event_id, event_type, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                FROM events
+            ),
+            flag AS (
+                SELECT *, CASE WHEN pts IS NULL
+                                 OR date_diff('second', pts, ts) > 1800
+                               THEN 1 ELSE 0 END AS ns
+                FROM lagd
+            ),
+            sess AS (
+                SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM flag
+            ),
+            stepped AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                             ORDER BY ts, event_id) AS st
+                FROM sess
+            ),
+            paths AS (
+                SELECT user_id, sid,
+                       string_agg(event_type, '>' ORDER BY st) AS path
+                FROM stepped WHERE st <= 5 GROUP BY user_id, sid
+            )
+            SELECT path, COUNT(*)::BIGINT AS n_sessions
+            FROM paths GROUP BY path
+            ORDER BY n_sessions DESC, path ASC
+            LIMIT 25
+        """,
+
         "ab_msprt_monitor": """
             WITH ev AS MATERIALIZED (
                 SELECT CAST(ts AS DATE) AS day,

@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "bloom_pruned_lookup",
     "textrank_keywords",
     "ab_msprt_monitor",
+    "session_paths",
+    "matryoshka_fidelity",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -231,7 +233,7 @@ BENCH_FAMILIES = {
         "ann_lsh_topk", "ivf_ann_topk", "collection_e2e",
         "embedding_element_stats", "hard_negatives", "pca_planted",
         "embedding_drift", "kcenter_planted", "abtt_planted",
-        "margin_mining", "semantic_contamination",
+        "margin_mining", "semantic_contamination", "matryoshka_fidelity",
     ],
     "dedup": [
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
@@ -277,6 +279,7 @@ BENCH_FAMILIES = {
         "events_rollup_merge", "events_sliding_window", "stream_components",
         "trailing_anomaly", "event_decayed_popularity",
         "ks_value_drift", "w1_value_drift", "event_id_gaps", "event_acf",
+        "session_paths",
         "touch_attribution", "user_survival", "seasonal_naive_eval",
         "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
         "ab_revenue_cuped", "ab_msprt_monitor", "decayed_popularity_stream", "event_did",

@@ -226,3 +226,40 @@ def test_acf_constant_series_and_long_lag_null(spark):
     assert all(out[k].acf is None for k in out)
     # lags past the series length have zero pairs
     assert out[5].n_pairs == 0 and out[6].n_pairs == 0
+
+
+def test_session_paths_hand_computed(spark):
+    """User 1: one session view>click>purchase (events 10 min apart),
+    then a 2-hour gap starts a new session view>view. User 2: single
+    view. Top paths count sessions, not events; ties order by path."""
+    from valentinus_spark.operators import session_paths
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:10:00", "click"),
+        (3, 1, "2024-01-01 10:20:00", "purchase"),
+        (4, 1, "2024-01-01 13:00:00", "view"),
+        (5, 1, "2024-01-01 13:05:00", "view"),
+        (6, 2, "2024-01-01 09:00:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "s", "event_type"]).select(
+        "event_id", "user_id", F.col("s").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = {r.path: r.n_sessions for r in session_paths(df).collect()}
+    assert out == {"view>click>purchase": 1, "view>view": 1, "view": 1}
+
+
+def test_session_paths_truncation_and_tiebreak(spark):
+    from valentinus_spark.operators import session_paths
+
+    # 7 events in one session, max_steps=3 keeps the first three; two
+    # same-timestamp events order by event_id (a < b deterministic)
+    rows = [(i, 1, "2024-01-01 10:00:00", t) for i, t in
+            [(1, "a"), (2, "b")]] + [
+        (i, 1, f"2024-01-01 10:{i:02d}:00", "c") for i in range(3, 8)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "s", "event_type"]).select(
+        "event_id", "user_id", F.col("s").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = session_paths(df, max_steps=3).collect()
+    assert len(out) == 1 and out[0].path == "a>b>c" and out[0].n_sessions == 1

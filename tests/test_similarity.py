@@ -616,3 +616,51 @@ def test_margin_mine_recovers_planted_alignment(spark):
         assert got[i]["tgt_id"] == 100 + i
         assert got[i]["cosine"] == 1.0
         assert got[i]["margin"] > 1.05
+
+
+def test_matryoshka_fidelity_planted_prefix_structure(spark):
+    """Corpus where the FIRST 4 dims carry all signal: truncating to 4
+    dims must preserve the full ranking (overlap 1.0); truncating to a
+    noise-only prefix cannot (construction puts disagreeing info in
+    dims 5-8). The full-length row is always overlap 1.0."""
+    import numpy as np
+
+    from valentinus_spark.operators import matryoshka_fidelity
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        head = rng.rand(4) * 10.0  # dominant prefix
+        tail = rng.rand(4) * 0.01  # negligible tail
+        rows.append((i, [float(x) for x in np.concatenate([head, tail])]))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(100 + j, rows[j][1]) for j in range(3)], ["qid", "qvec"]
+    )
+    out = {r.dim: r for r in matryoshka_fidelity(corpus, queries, [4], k=5).collect()}
+    assert set(out) == {4, 8}
+    assert out[8].mean_overlap == 1.0  # full vs full
+    assert out[4].mean_overlap >= 0.8  # dominant prefix preserves ranking
+    assert out[4].k == 5 and out[4].n_queries == 3
+
+
+def test_matryoshka_fidelity_degrades_for_tail_signal(spark):
+    """Mirror corpus: the signal lives in the TAIL dims, so a head-only
+    truncation must lose ranking fidelity (overlap well below 1)."""
+    import numpy as np
+
+    from valentinus_spark.operators import matryoshka_fidelity
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(60):
+        head = rng.rand(4) * 0.01
+        tail = rng.rand(4) * 10.0
+        rows.append((i, [float(x) for x in np.concatenate([head, tail])]))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(100 + j, rows[j][1]) for j in range(3)], ["qid", "qvec"]
+    )
+    out = {r.dim: r for r in matryoshka_fidelity(corpus, queries, [4], k=5).collect()}
+    assert out[4].mean_overlap < 0.8
+    assert out[8].mean_overlap == 1.0

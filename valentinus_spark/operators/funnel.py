@@ -409,3 +409,81 @@ def kaplan_meier(
         F.col("_d").alias("n_churned"),
         F.round("_s", 6).alias("survival"),
     ).orderBy("t_days")
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+    max_steps: int = 5,
+    topk: int = 25,
+) -> DataFrame:
+    """Top user-session paths (the Sankey / flow-analysis input): events
+    sessionize on a ``gap_minutes`` inactivity gap (same rule as the
+    events_sessionize query), each session becomes the '>'-joined
+    sequence of its first ``max_steps`` event types, and paths are
+    ranked by how many sessions follow them — the k-step generalization
+    of :func:`markov_transitions`' single-step matrix.
+
+    Returns the top ``topk`` rows (``path``, ``n_sessions``) by count
+    desc then path asc. Within-session order is (ts, ``order_col``) —
+    the unique tie-break makes the paths engine-deterministic when
+    events share a timestamp.
+
+    Scale shape: two user-keyed window passes (sessionize + step rank,
+    both on the same partitioning — one shuffle) and one path-keyed
+    count with map-side combine. No driver data, no cross-user state.
+    """
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    gap = gap_minutes * 60
+    flagged = events.select(
+        user_col,
+        ts_col,
+        order_col,
+        type_col,
+        F.when(
+            F.lag(ts_col).over(w_user).isNull()
+            | (
+                F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w_user)
+                > gap
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("_ns"),
+    )
+    sess = flagged.withColumn(
+        "_sid",
+        F.sum("_ns").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_sess = Window.partitionBy(user_col, "_sid").orderBy(ts_col, order_col)
+    stepped = sess.withColumn("_st", F.row_number().over(w_sess)).filter(
+        F.col("_st") <= max_steps
+    )
+    paths = (
+        stepped.groupBy(user_col, "_sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_st"), F.col(type_col).alias("_t")))
+                    ),
+                    lambda x: x["_t"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(topk)
+    )

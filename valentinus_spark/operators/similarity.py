@@ -1163,3 +1163,77 @@ def margin_mine(
             "margin",
         )
     )
+
+
+def matryoshka_fidelity(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: Sequence[int],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "qid",
+    corpus_vec: str = "embedding",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Truncation-fidelity sweep for Matryoshka-style embeddings
+    (Kusupati et al. 2022, arXiv:2205.13147): for each prefix length in
+    ``dims``, the mean top-``k`` overlap between the truncated-cosine
+    ranking and the full-vector ranking — the measurement that decides
+    how many dimensions the ANN index actually needs (storing 16 of 64
+    dims is a 4× shuffle/index saving IF overlap stays high).
+
+    Returns one row per dim (the full length is included as the
+    overlap-1.0 sanity row): (``dim``, ``k``, ``n_queries``,
+    ``mean_overlap``), rounded to 6, ordered by dim.
+
+    Determinism: similarities round to 4 dp before ranking with id
+    tie-breaks (the ann_brute_topk convention), so both engines cut the
+    same top-k boundary. Scale shape: ONE corpus scan scores all dims ×
+    queries (broadcast query vectors and dim list — corpus rows never
+    duplicate across the shuffle; the per-(dim, query) top-k heaps are
+    WindowGroupLimit map-side), then set-overlap joins on (qid, id).
+    """
+    from pyspark.sql import Window
+
+    full_dim = corpus.select(F.size(corpus_vec).alias("_d")).first()["_d"]
+    all_dims = sorted(set(list(dims) + [full_dim]))
+    dims_df = corpus.sparkSession.createDataFrame(
+        [(int(d),) for d in all_dims], "dim int"
+    )
+    scored = (
+        ensure_parallelism(corpus)
+        .crossJoin(F.broadcast(queries.select(query_id, query_vec)))
+        .crossJoin(F.broadcast(dims_df))
+        .select(
+            "dim",
+            query_id,
+            corpus_id,
+            F.round(
+                cosine_similarity(
+                    F.slice(corpus_vec, F.lit(1), F.col("dim")),
+                    F.slice(query_vec, F.lit(1), F.col("dim")),
+                ),
+                4,
+            ).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("dim", query_id).orderBy(F.desc("_s"), F.asc(corpus_id))
+    top = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("dim", query_id, corpus_id)
+        .localCheckpoint()
+    )
+    full = top.filter(F.col("dim") == full_dim).select(query_id, corpus_id)
+    nq = queries.count()
+    matched = (
+        top.join(full, [query_id, corpus_id], "semi")
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    return matched.select(
+        "dim",
+        F.lit(k).alias("k"),
+        F.lit(nq).cast("bigint").alias("n_queries"),
+        F.round(F.col("_m").cast("double") / float(nq * k), 6).alias("mean_overlap"),
+    ).orderBy("dim")
