@@ -5407,6 +5407,27 @@ def q_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_fidelity(embs, queries, [8, 16, 32], k=10)
 
 
+def q_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py::personalized_pagerank,
+    Haveliwala 2002) seeded at part 1 over the co-purchase graph —
+    related-item recommendations where global pagerank gives popularity.
+    8 rounds, 9-dp pinning; top-20 by rounded rank. Oracle = the same
+    recursion as pagerank_copurchase's recursive CTE with the seed
+    teleport."""
+    from valentinus_spark.operators.graph import (
+        copurchase_edges,
+        personalized_pagerank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ranks = personalized_pagerank(copurchase_edges(li), seeds=[1], iterations=8)
+    return (
+        ranks.select(F.col("node").alias("part"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("part").asc())
+        .limit(20)
+    )
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5747,6 +5768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_msprt_monitor": q_ab_msprt_monitor,  # added r6 — r7 window candidate
         "session_paths": q_session_paths,  # added r6 — r7 window candidate
         "matryoshka_fidelity": q_matryoshka_fidelity,  # added r6 — r7 window candidate
+        "ppr_related_parts": q_ppr_related_parts,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -6143,6 +6165,36 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "ppr_related_parts": """
+            WITH RECURSIVE
+            edges AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a
+                JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey <> b.l_partkey
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+            pr AS (
+                SELECT 0 AS it, node,
+                       CAST(CASE WHEN node = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS rank
+                FROM nodes
+                UNION ALL
+                SELECT p.it + 1, e.dst AS node,
+                       ROUND(CASE WHEN e.dst = 1 THEN 0.15 ELSE 0.0 END
+                             + 0.85 * SUM(p.rank / dg.d), 9) AS rank
+                FROM pr p
+                JOIN edges e ON e.src = p.node
+                JOIN deg dg ON dg.src = p.node
+                WHERE p.it < 8
+                GROUP BY p.it, e.dst
+            )
+            SELECT node AS part, ROUND(rank, 6) AS rank
+            FROM pr WHERE it = 8
+            ORDER BY ROUND(rank, 6) DESC, part ASC
+            LIMIT 20
+        """,
+
         "matryoshka_fidelity": """
             WITH q AS MATERIALIZED (
                 SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec

@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "ab_msprt_monitor",
     "session_paths",
     "matryoshka_fidelity",
+    "ppr_related_parts",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -293,7 +294,7 @@ BENCH_FAMILIES = {
     ],
     "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa",
               "graph_assortativity", "graph_transitivity",
-              "hits_purchase_graph"],
+              "hits_purchase_graph", "ppr_related_parts"],
     "media": ["media_content_stats", "media_headers"],
     "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan",
             "versioned_delete", "table_changes_cdf", "bloom_pruned_lookup"],

@@ -204,3 +204,44 @@ def test_hits_converges_to_principal_structure(spark):
     assert out[10].auth > 5 * out[13].auth
     assert out[1].hub > 5 * out[3].hub
     assert out[10].auth == pytest.approx(out[11].auth, abs=1e-6)
+
+
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    """Two triangles joined by one bridge edge: seeding in triangle A
+    must rank A's members above B's (global pagerank would tie them by
+    symmetry), and ranks still sum to ~1."""
+    from valentinus_spark.operators import personalized_pagerank, symmetric_edges
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+        ["src", "dst"],
+    )
+    edges = symmetric_edges(pairs)
+    out = {r.node: r.rank for r in personalized_pagerank(edges, seeds=[1]).collect()}
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
+    assert out[1] > out[2] > out[5]
+    assert out[2] == pytest.approx(out[3] * 1.0, rel=0.5)  # same side
+    assert min(out[1], out[2], out[3]) > max(out[5], out[6])
+
+
+def test_personalized_pagerank_python_replica(spark):
+    from valentinus_spark.operators import personalized_pagerank, symmetric_edges
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    edges = symmetric_edges(pairs)
+    got = {r.node: r.rank for r in personalized_pagerank(edges, seeds=[1, 4], iterations=6).collect()}
+
+    es = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+    nodes = [1, 2, 3, 4]
+    deg = {u: sum(1 for a, _ in es if a == u) for u in nodes}
+    rank = {u: (0.5 if u in (1, 4) else 0.0) for u in nodes}
+    for _ in range(6):
+        c = {u: 0.0 for u in nodes}
+        for a, b in es:
+            c[b] += rank[a] / deg[a]
+        rank = {
+            u: round((0.075 if u in (1, 4) else 0.0) + 0.85 * c[u], 9)
+            for u in nodes
+        }
+    for u in nodes:
+        assert got[u] == pytest.approx(rank[u], abs=1e-8), u
