@@ -5428,6 +5428,26 @@ def q_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN distance outliers (operators/similarity.py::
+    knn_distance_outliers, Ramaswamy et al. 2000) over the embeddings
+    table with two planted far-out vectors (ids 0 and 1 scaled 50×):
+    the planted OOD rows must surface at the top with their exact
+    5-NN distances — the density-free OOD detector for embedding
+    corpora. 4-dp rounding + id tie-breaks; full n² replay in DuckDB."""
+    from valentinus_spark.operators.similarity import knn_distance_outliers
+
+    embs = _t(spark, sf_dir, "embeddings")
+    planted = embs.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") < 2,
+            F.transform("embedding", lambda x: (x * 50.0).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    return knn_distance_outliers(planted, k=5, topn=20)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5769,6 +5789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,  # added r6 — r7 window candidate
         "matryoshka_fidelity": q_matryoshka_fidelity,  # added r6 — r7 window candidate
         "ppr_related_parts": q_ppr_related_parts,  # added r6 — r7 window candidate
+        "embedding_knn_outliers": q_embedding_knn_outliers,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -6165,6 +6186,33 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "embedding_knn_outliers": """
+            WITH p AS MATERIALIZED (
+                SELECT vec_id,
+                       -- mirror Spark's (x * 50.0).cast("float") narrowing
+                       -- before widening to DOUBLE for the distance
+                       CASE WHEN vec_id < 2
+                            THEN list_transform(embedding,
+                                   x -> CAST(CAST(x * 50.0 AS FLOAT) AS DOUBLE))
+                            ELSE embedding::DOUBLE[] END AS v
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT a.vec_id AS ida, b.vec_id AS idb,
+                       ROUND(list_distance(a.v, b.v), 4) AS d
+                FROM p a JOIN p b ON a.vec_id <> b.vec_id
+            ),
+            ranked AS (
+                SELECT ida, d,
+                       ROW_NUMBER() OVER (PARTITION BY ida ORDER BY d ASC, idb ASC) AS r
+                FROM scored
+            )
+            SELECT ida AS vec_id, d AS kth_dist
+            FROM ranked WHERE r = 5
+            ORDER BY kth_dist DESC, vec_id ASC
+            LIMIT 20
+        """,
+
         "ppr_related_parts": """
             WITH RECURSIVE
             edges AS (

@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "session_paths",
     "matryoshka_fidelity",
     "ppr_related_parts",
+    "embedding_knn_outliers",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -235,6 +236,7 @@ BENCH_FAMILIES = {
         "embedding_element_stats", "hard_negatives", "pca_planted",
         "embedding_drift", "kcenter_planted", "abtt_planted",
         "margin_mining", "semantic_contamination", "matryoshka_fidelity",
+        "embedding_knn_outliers",
     ],
     "dedup": [
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",

@@ -664,3 +664,34 @@ def test_matryoshka_fidelity_degrades_for_tail_signal(spark):
     out = {r.dim: r for r in matryoshka_fidelity(corpus, queries, [4], k=5).collect()}
     assert out[4].mean_overlap < 0.8
     assert out[8].mean_overlap == 1.0
+
+
+def test_knn_distance_outliers_planted(spark):
+    """A tight 30-point cluster plus two planted far points: the far
+    points must rank 1-2 with much larger k-th distances, and the
+    k-th-distance values must match a numpy replay."""
+    import numpy as np
+
+    from valentinus_spark.operators import knn_distance_outliers
+
+    rng = np.random.RandomState(3)
+    pts = [(i, [float(x) for x in rng.rand(8) * 0.5]) for i in range(30)]
+    pts.append((100, [50.0] * 8))
+    pts.append((101, [-40.0] * 8))
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    out = knn_distance_outliers(df, k=3, topn=5).collect()
+    assert [r.vec_id for r in out[:2]] == [100, 101]
+    assert out[0].kth_dist > 10 * out[2].kth_dist
+
+    X = {i: np.array(v) for i, v in pts}
+    import math
+
+    def kth(i, k=3):
+        ds = sorted(
+            round(float(np.linalg.norm(X[i] - X[j])), 4)
+            for j in X if j != i
+        )
+        return ds[k - 1]
+
+    for r in out:
+        assert r.kth_dist == pytest.approx(kth(r.vec_id), abs=1e-4), r.vec_id

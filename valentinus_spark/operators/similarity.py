@@ -1237,3 +1237,52 @@ def matryoshka_fidelity(
         F.lit(nq).cast("bigint").alias("n_queries"),
         F.round(F.col("_m").cast("double") / float(nq * k), 6).alias("mean_overlap"),
     ).orderBy("dim")
+
+
+def knn_distance_outliers(
+    corpus: DataFrame,
+    k: int = 5,
+    topn: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN distance outliers (Ramaswamy, Rastogi & Shim, SIGMOD 2000):
+    score every vector by the L2 distance to its ``k``-th nearest
+    neighbor and surface the ``topn`` largest — the classic
+    non-parametric OOD detector for embedding corpora (mojibake blobs,
+    wrong-language shards, and decoder glitches land far from ANY
+    neighborhood, where density-based scores need no cluster model).
+
+    Returns (``id_col``, ``kth_dist``) — distances rounded to 4, top-n
+    by distance desc then id asc (the rounded-rank convention, so both
+    engines cut the same boundary).
+
+    Scale shape: the exact form is the corpus self-join (n² scored
+    pairs — correct at audit scale and for the driver oracle). At
+    100 TB substitute the candidate generator: run the SAME per-id
+    k-th-distance window over ``embedding_neardup_pairs_lsh``/IVF
+    bucket candidates, where a missing true neighbor only INFLATES an
+    outlier score (no false negatives for the outlier direction —
+    outliers have no near neighbors to miss).
+    """
+    from valentinus_spark.functions.vector import l2_distance
+
+    a = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = corpus.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    scored = (
+        a.join(F.broadcast(b), F.col("_ida") != F.col("_idb"))
+        .select(
+            "_ida",
+            "_idb",
+            F.round(l2_distance(F.col("_va"), F.col("_vb")), 4).alias("_d"),
+        )
+    )
+    w = Window.partitionBy("_ida").orderBy(F.asc("_d"), F.asc("_idb"))
+    kth = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == k)
+        .select(F.col("_ida").alias(id_col), F.col("_d").alias("kth_dist"))
+    )
+    return kth.orderBy(F.col("kth_dist").desc(), F.col(id_col).asc()).limit(topn)
