@@ -5448,6 +5448,31 @@ def q_embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_distance_outliers(planted, k=5, topn=20)
 
 
+def q_substring_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index substring search (operators/text_search.py::
+    substring_search — the pg_trgm plan): docs containing 'stream'
+    found via trigram-posting candidate pruning + exact contains
+    verify. Oracle = the naive full-scan contains — equality proves the
+    index prune is lossless."""
+    from valentinus_spark.operators.text_search import substring_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_search(docs, "stream")
+
+
+def q_event_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point monitor (operators/rollup.py::
+    cusum_changepoint, Page 1954) over the daily mean event value —
+    catches slow drifts no single-day z-score flags. Retrospective form
+    (full-series μ/σ); DECIMAL-pinned daily means and the bit-exact
+    sequential fold replayed in a DuckDB recursive CTE (safe here: the
+    day series comes from a plain GROUP BY, not an unnest chain)."""
+    from valentinus_spark.operators.rollup import cusum_changepoint
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    return cusum_changepoint(ev, k=0.5, h=5.0)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5790,6 +5815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_fidelity": q_matryoshka_fidelity,  # added r6 — r7 window candidate
         "ppr_related_parts": q_ppr_related_parts,  # added r6 — r7 window candidate
         "embedding_knn_outliers": q_embedding_knn_outliers,  # added r6 — r7 window candidate
+        "substring_index_search": q_substring_index_search,  # added r6 — r7 window candidate
+        "event_value_cusum": q_event_value_cusum,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -6186,6 +6213,55 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "event_value_cusum": """
+            WITH RECURSIVE daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS day,
+                       ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+                             / COUNT(*), 9) AS x
+                FROM events GROUP BY 1
+            ),
+            stats AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       CAST(SUM(x::DECIMAL(20,9)) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(x::DECIMAL(20,9) * x::DECIMAL(20,9) AS DECIMAL(38,18))) AS DOUBLE) AS ss
+                FROM daily
+            ),
+            ms AS (
+                SELECT ROUND(s / n, 9) AS mu,
+                       ROUND(SQRT(ss / n - (s / n) * (s / n)), 9) AS sig
+                FROM stats
+            ),
+            zs AS MATERIALIZED (
+                SELECT day,
+                       CAST(CASE WHEN (SELECT sig FROM ms) > 0
+                            THEN ROUND((x - (SELECT mu FROM ms)) / (SELECT sig FROM ms), 9)
+                            ELSE 0.0 END AS DOUBLE) AS z,
+                       ROW_NUMBER() OVER (ORDER BY day) AS rn
+                FROM daily
+            ),
+            rec AS (
+                SELECT rn, day, z,
+                       CAST(GREATEST(0.0, z - 0.5) AS DOUBLE) AS sp,
+                       CAST(GREATEST(0.0, -z - 0.5) AS DOUBLE) AS sm
+                FROM zs WHERE rn = 1
+                UNION ALL
+                SELECT d.rn, d.day, d.z,
+                       CAST(GREATEST(0.0, r.sp + d.z - 0.5) AS DOUBLE),
+                       CAST(GREATEST(0.0, r.sm - d.z - 0.5) AS DOUBLE)
+                FROM rec r JOIN zs d ON d.rn = r.rn + 1
+            )
+            SELECT day, z,
+                   ROUND(sp, 6) AS cusum_pos, ROUND(sm, 6) AS cusum_neg,
+                   (ROUND(sp, 6) > 5.0 OR ROUND(sm, 6) > 5.0) AS alarm
+            FROM rec ORDER BY day
+        """,
+
+        "substring_index_search": """
+            SELECT doc_id FROM documents
+            WHERE contains(lower(text), 'stream')
+            ORDER BY doc_id
+        """,
+
         "embedding_knn_outliers": """
             WITH p AS MATERIALIZED (
                 SELECT vec_id,

@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "matryoshka_fidelity",
     "ppr_related_parts",
     "embedding_knn_outliers",
+    "substring_index_search",
+    "event_value_cusum",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -260,7 +262,7 @@ BENCH_FAMILIES = {
         "krippendorff_lang", "source_lexical_diversity",
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
         "chi2_source_lang", "rank_agreement", "source_length_gini",
-        "bpe_roundtrip", "textrank_keywords",
+        "bpe_roundtrip", "textrank_keywords", "substring_index_search",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -282,7 +284,7 @@ BENCH_FAMILIES = {
         "events_rollup_merge", "events_sliding_window", "stream_components",
         "trailing_anomaly", "event_decayed_popularity",
         "ks_value_drift", "w1_value_drift", "event_id_gaps", "event_acf",
-        "session_paths",
+        "session_paths", "event_value_cusum",
         "touch_attribution", "user_survival", "seasonal_naive_eval",
         "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
         "ab_revenue_cuped", "ab_msprt_monitor", "decayed_popularity_stream", "event_did",

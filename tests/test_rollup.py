@@ -263,3 +263,43 @@ def test_session_paths_truncation_and_tiebreak(spark):
     )
     out = session_paths(df, max_steps=3).collect()
     assert len(out) == 1 and out[0].path == "a>b>c" and out[0].n_sessions == 1
+
+
+def test_cusum_detects_planted_mean_shift(spark):
+    """20 days at mean 10, then 10 days at mean 13: CUSUM+ must cross
+    h on the shifted segment while no single day is extreme; the
+    pre-shift segment must stay quiet. Values replayed in python."""
+    from valentinus_spark.operators import cusum_changepoint
+
+    rows = []
+    for day in range(1, 31):
+        base = 10.0 if day <= 20 else 13.0
+        wobble = 0.3 * (day % 3)  # baseline variance so sigma > 0
+        for i in range(4):
+            rows.append((f"2024-07-{day:02d} 0{i}:00:00", base + wobble + (i - 1.5)))
+    df = spark.createDataFrame(rows, ["s", "value"]).select(
+        F.col("s").cast("timestamp").alias("ts"), "value"
+    )
+    out = cusum_changepoint(df, k=0.5, h=3.0, baseline_days=20).collect()
+    assert len(out) == 30
+    assert not any(r.alarm for r in out[:20])
+    assert any(r.alarm for r in out[20:])
+    # python replay of the fold over the emitted z series
+    sp = sm = 0.0
+    for r in out:
+        sp = max(0.0, sp + r.z - 0.5)
+        sm = max(0.0, sm - r.z - 0.5)
+        assert r.cusum_pos == pytest.approx(round(sp, 6), abs=1e-9)
+        assert r.cusum_neg == pytest.approx(round(sm, 6), abs=1e-9)
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    from valentinus_spark.operators import cusum_changepoint
+
+    rows = [(f"2024-08-{d:02d} 00:00:00", 5.0) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, ["s", "value"]).select(
+        F.col("s").cast("timestamp").alias("ts"), "value"
+    )
+    out = cusum_changepoint(df).collect()
+    assert all(r.z == 0.0 and not r.alarm for r in out)
+    assert all(r.cusum_pos == 0.0 and r.cusum_neg == 0.0 for r in out)

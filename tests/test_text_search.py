@@ -415,3 +415,40 @@ def test_textrank_keywords_structure_and_python_oracle(spark):
         assert got[w] == pytest.approx(round(rank[w], 6), abs=2e-6), w
     # hub word 'engine' (degree 4) must outrank leaf 'runs'
     assert got["engine"] > got["runs"]
+
+
+def test_substring_search_matches_naive_contains(spark):
+    from valentinus_spark.operators import build_trigram_index, substring_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The Quick Brown Fox"),
+            (2, "quickest route home"),
+            (3, "slow and steady"),
+            (4, "QUICKLY now"),
+            (5, "qu"),  # shorter than the pattern
+        ],
+        ["doc_id", "text"],
+    )
+    got = [r.doc_id for r in substring_search(docs, "Quick").collect()]
+    assert got == [1, 2, 4]  # case-insensitive contains
+    # prebuilt index path gives the same answer
+    idx = build_trigram_index(docs)
+    got2 = [r.doc_id for r in substring_search(docs, "quick", index=idx).collect()]
+    assert got2 == [1, 2, 4]
+    # trigram prune is a SUPERSET filter: a doc holding all trigrams
+    # but not the contiguous pattern must be rejected by the verify
+    docs2 = spark.createDataFrame(
+        [(1, "abc def cde bcd"), (2, "abcde")], ["doc_id", "text"]
+    )
+    assert [r.doc_id for r in substring_search(docs2, "abcde").collect()] == [2]
+
+
+def test_substring_search_short_pattern_fallback(spark):
+    from valentinus_spark.operators import substring_search
+
+    docs = spark.createDataFrame(
+        [(1, "xy and more"), (2, "no match"), (3, "XYlophone")],
+        ["doc_id", "text"],
+    )
+    assert [r.doc_id for r in substring_search(docs, "xy").collect()] == [1, 3]

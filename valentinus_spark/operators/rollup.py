@@ -450,3 +450,102 @@ def acf_profile(
         )
         .orderBy("lag")
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 0.5,
+    h: float = 5.0,
+    baseline_days: int | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point monitor (Page 1954) over the DAILY
+    mean of ``value_col`` — the classic sequential detector for slow
+    mean drifts that per-day z-score alarms (trailing_anomaly) miss
+    because no single day is extreme:
+
+        z_d  = (x_d − μ) / σ            (standardized daily mean)
+        S⁺_d = max(0, S⁺_{d−1} + z_d − k)
+        S⁻_d = max(0, S⁻_{d−1} − z_d − k)     alarm when either > h
+
+    k is the slack (in σ units; detects shifts > 2k), h the decision
+    interval. μ/σ come from the first ``baseline_days`` days (the
+    textbook in-control reference period) or, when None, the whole
+    series — the retrospective form, where a shifted tail also pulls μ
+    and the PRE-shift segment drifts the opposite CUSUM side (expected;
+    use a baseline for prospective monitoring). Returns one row per
+    day: (``day``, ``z``, ``cusum_pos``, ``cusum_neg``, ``alarm``),
+    values rounded to 6, ordered by day.
+
+    The recurrence is inherently sequential, so the fold runs as ONE
+    Arrow-batched applyInPandas over the DAY SERIES — bounded by
+    #days (monitoring granularity), never corpus rows; everything
+    corpus-sized is the one (day) aggregate before it. Determinism:
+    daily means and μ/σ are DECIMAL-summed and 9-dp-pinned, and the
+    float recurrence performs the identical IEEE op sequence in both
+    engines, so the DuckDB recursive-CTE replay is bit-for-bit.
+    """
+    import pandas as pd
+
+    dec = F.col(value_col).cast("decimal(19,4)").cast("decimal(38,8)")
+    daily = events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.round(
+            F.sum(dec).cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("_x")
+    )
+    ref = daily
+    if baseline_days is not None:
+        lo = daily.agg(F.min("day").alias("_lo"))
+        ref = daily.crossJoin(F.broadcast(lo)).filter(
+            F.datediff("day", "_lo") < baseline_days
+        )
+    xs = F.col("_x").cast("decimal(20,9)")
+    stats = ref.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xs).cast("double").alias("_s"),
+        F.sum((xs * xs).cast("decimal(38,18)")).cast("double").alias("_ss"),
+    )
+    mu = F.round(F.col("_s") / F.col("_n"), 9)
+    sig = F.round(
+        F.sqrt(F.col("_ss") / F.col("_n") - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n"))),
+        9,
+    )
+    zs = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            F.when(sig > 0, F.round((F.col("_x") - mu) / sig, 9))
+            .otherwise(0.0)
+            .alias("z"),
+        )
+    )
+    kk, hh = float(k), float(h)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        sp = sm = 0.0
+        pos, neg = [], []
+        for z in pdf["z"]:
+            sp = max(0.0, sp + z - kk)
+            sm = max(0.0, sm - z - kk)
+            pos.append(sp)
+            neg.append(sm)
+        pdf["cusum_pos"] = pos
+        pdf["cusum_neg"] = neg
+        return pdf[["day", "z", "cusum_pos", "cusum_neg"]]
+
+    folded = (
+        zs.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(fold, schema="day date, z double, cusum_pos double, cusum_neg double")
+    )
+    return folded.select(
+        "day",
+        "z",
+        F.round("cusum_pos", 6).alias("cusum_pos"),
+        F.round("cusum_neg", 6).alias("cusum_neg"),
+        (
+            (F.round("cusum_pos", 6) > hh) | (F.round("cusum_neg", 6) > hh)
+        ).alias("alarm"),
+    ).orderBy("day")

@@ -670,3 +670,73 @@ def textrank_keywords(
         .orderBy(F.col("rank").desc(), F.col("word").asc())
         .limit(topk)
     )
+
+
+def build_trigram_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-trigram index: (trigram, doc_id), distinct — the
+    pg_trgm shape that turns arbitrary SUBSTRING search (LIKE
+    '%needle%', which no B-tree/prefix index can serve) into an
+    index-join candidate prune. Row-local extraction over the
+    lowercased text; at corpus scale persist it bucketed BY TRIGRAM
+    (sources/tables.py::write_bucketed) so a search reads only its
+    pattern's posting lists."""
+    t = F.lower(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
+            lambda i: F.substring(t, i, F.lit(3)),
+        )
+    )
+    return (
+        ensure_parallelism(df)
+        .filter(F.length(t) >= 3)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("trigram"))
+    )
+
+
+def substring_search(
+    df: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Documents whose text CONTAINS ``pattern`` (case-insensitive plain
+    substring), served by the trigram index: a doc can only contain the
+    pattern if it contains EVERY trigram of the pattern, so the index
+    join prunes candidates before the exact ``contains`` verify —
+    lossless by construction (the verify re-applies the real
+    predicate). Patterns shorter than 3 chars fall back to the full
+    scan (no trigram to prune on). Returns (``doc_id``) ordered.
+
+    Scale shape: the index filter pushes the pattern's trigrams to the
+    (trigram-bucketed) index scan; candidates are bounded by the
+    RAREST trigram's posting list; only candidates' text is read for
+    the verify — the pg_trgm plan, distributed.
+    """
+    pat = pattern.lower()
+    needles = sorted({pat[i : i + 3] for i in range(len(pat) - 2)})
+    verify = F.contains(F.lower(F.col(text_col)), F.lit(pat))
+    if not needles:
+        return (
+            df.filter(verify)
+            .select(F.col(id_col).alias("doc_id"))
+            .orderBy("doc_id")
+        )
+    idx = index if index is not None else build_trigram_index(df, id_col, text_col)
+    cand = (
+        idx.filter(F.col("trigram").isin(needles))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == len(needles))
+        .select("doc_id")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(cand, "doc_id", "semi")
+        .filter(verify)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
