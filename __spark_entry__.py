@@ -5473,6 +5473,46 @@ def q_event_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(ev, k=0.5, h=5.0)
 
 
+def q_compression_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate (operators/quality.py::
+    compression_ratio — the Dolma/RefinedWeb whole-document
+    repetitiveness signal) on a planted corpus: even doc_ids < 200 get
+    highly repetitive text (ratio ≈ 0.03), odd ids get sha256-hex
+    high-entropy text (ratio ≈ 0.6) — the flagged set under the 0.2
+    threshold must be EXACTLY the even ids, independent of zlib's
+    precise byte counts. Arrow-batched mapInPandas (zlib has no
+    Catalyst equivalent — the media-decoder posture)."""
+    from valentinus_spark.operators.quality import compression_ratio
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    planted = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.repeat(F.lit("spam token "), 60),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.sha2(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":{i}")),
+                        256,
+                    )
+                    for i in range(4)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+    scored = compression_ratio(planted)
+    return (
+        scored.filter(F.col("compression_ratio") < 0.2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5817,6 +5857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_outliers": q_embedding_knn_outliers,  # added r6 — r7 window candidate
         "substring_index_search": q_substring_index_search,  # added r6 — r7 window candidate
         "event_value_cusum": q_event_value_cusum,  # added r6 — r7 window candidate
+        "compression_quality_flags": q_compression_quality_flags,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -6213,6 +6254,13 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        # planting arithmetic: even ids carry the repetitive payload
+        "compression_quality_flags": """
+            SELECT doc_id FROM documents
+            WHERE doc_id < 200 AND doc_id % 2 = 0
+            ORDER BY doc_id
+        """,
+
         "event_value_cusum": """
             WITH RECURSIVE daily AS MATERIALIZED (
                 SELECT CAST(ts AS DATE) AS day,

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "embedding_knn_outliers",
     "substring_index_search",
     "event_value_cusum",
+    "compression_quality_flags",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -254,7 +255,8 @@ BENCH_FAMILIES = {
         "sequence_packing", "data_expectations", "corpus_balance_sample",
         "train_split_counts", "pmi_collocations", "quality_calibration",
         "token_budget_sample", "dsir_selection", "vocab_oov_rates",
-        "taxonomy_tagging", "roc_auc_planted", "winnow_pairs",
+        "taxonomy_tagging", "roc_auc_planted", "compression_quality_flags",
+        "winnow_pairs",
         "ql_search", "rrf_fusion", "lang_kappa", "lang_confusion",
         "trigram_logprob", "winnow_spans", "rouge_pair_overlap",
         "fleiss_lang_raters", "ndcg_retrieval", "field_mutual_info",

@@ -415,3 +415,25 @@ def test_trigram_logprob_lambda_validation(spark):
         trigram_logprob(df, lambdas=(0.5, 0.5, 0.5))
     with pytest.raises(ValueError):
         trigram_logprob(df, lambdas=(1.0, 0.0, 0.0))
+
+
+def test_compression_ratio_separates_repetitive_from_prose(spark):
+    """Repetitive text compresses far below varied text; ratios match a
+    direct python zlib replay; empty text gets NULL."""
+    import zlib
+
+    from valentinus_spark.operators import compression_ratio
+
+    prose = "the quick brown fox jumps over a lazy dog near riverbanks 123"
+    spam = "buy now " * 50
+    df = spark.createDataFrame(
+        [(1, prose * 5), (2, spam), (3, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert out[2].compression_ratio < 0.2 < out[1].compression_ratio
+    assert out[3].compression_ratio is None and out[3].n_bytes == 0
+    for i, t in ((1, prose * 5), (2, spam)):
+        raw = t.encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert out[i].compression_ratio == want
+        assert out[i].n_bytes == len(raw)
