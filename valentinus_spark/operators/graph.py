@@ -141,7 +141,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # only what lands in one stage). Two localCheckpoints make the plan
     # read each O(m) table once — the plan you'd want at 100 TB, not the
     # one the optimizer happens to rescue.
-    e = (
+    e = _canonical_edges(edges)
+    return _triangle_count_from(e)
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge frame (a < b, distinct, no loops),
+    localCheckpointed — shared by triangle_count and
+    clustering_coefficient so the upstream edge EXPANSION (e.g. the
+    co-purchase self-join) materializes once, not once per consumer."""
+    return (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -149,6 +158,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+
+
+def _triangle_count_from(e: DataFrame) -> DataFrame:
     deg = (
         e.select(F.col("a").alias("v"))
         .union(e.select(F.col("b").alias("v")))
@@ -426,14 +438,8 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     wedge sum Σ d(d−1)/2 — exact BIGINT arithmetic until the final
     ratio.
     """
-    tri = triangle_count(edges)
-    e = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    e = _canonical_edges(edges)
+    tri = _triangle_count_from(e)
     deg = (
         e.select(F.col("a").alias("v"))
         .union(e.select(F.col("b").alias("v")))
