@@ -5513,6 +5513,46 @@ def q_compression_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rolling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of hll_rolling_actives: two pinned micro-batches
+    maintain the (day, idx, rho) register state via foreachBatch
+    union+max (streaming/pipeline.py::stream_hll_registers grouped by
+    day), then the SAME rolling 7-day merge
+    (operators/sketches.py::hll_rolling_from_registers) runs over the
+    recovered state — sharing hll_rolling_actives' oracle verbatim, so
+    equality proves the incremental register maintenance feeds the
+    rolling-actives readout losslessly (the N-day-actives dashboard
+    that never rescans history, maintained by a stream)."""
+    import tempfile
+
+    from valentinus_spark.operators.sketches import hll_rolling_from_registers
+    from valentinus_spark.streaming.pipeline import (
+        stream_hll_registers,
+        write_ordered_batches,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.to_date("ts").alias("day"), "user_id"
+    )
+    feed = tempfile.mkdtemp(prefix="vs_hllroll_feed_")
+    write_ordered_batches(
+        ev, [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1], feed
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    state = tempfile.mkdtemp(prefix="vs_hllroll_state_") + "/regs"
+    q = stream_hll_registers(
+        stream, state, tempfile.mkdtemp(prefix="vs_hllroll_ckpt_"),
+        value_col="user_id", group_cols=["day"], p=6,
+    )
+    q.awaitTermination(300)
+    regs = spark.read.parquet(state)
+    return hll_rolling_from_registers(regs, window_days=7, p=6, day_col="day")
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5858,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_index_search": q_substring_index_search,  # added r6 — r7 window candidate
         "event_value_cusum": q_event_value_cusum,  # added r6 — r7 window candidate
         "compression_quality_flags": q_compression_quality_flags,  # added r6 — r7 window candidate
+        "hll_rolling_stream": q_hll_rolling_stream,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -6494,6 +6535,53 @@ def oracle_sql() -> dict[str, str]:
         """,
 
         "hll_rolling_actives": """
+            WITH h AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS d,
+                       ('0x' || substr(sha256(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+                FROM events
+            ),
+            r AS MATERIALIZED (
+                SELECT d, h >> 54 AS idx,
+                       MAX(CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+                                ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1)))
+                           END) AS rho
+                FROM h GROUP BY 1, 2
+            ),
+            bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM h),
+            contrib AS (
+                SELECT r.d + t.i::INTEGER AS day, idx, rho
+                FROM r JOIN range(0, 7) t(i) ON TRUE
+                WHERE r.d + t.i::INTEGER <= (SELECT hi FROM bounds)
+            ),
+            merged AS MATERIALIZED (
+                SELECT day, idx, MAX(rho) AS rho FROM contrib GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT day, COUNT(*) AS m_seen,
+                       SUM(1::BIGINT << (55 - rho)) AS s
+                FROM merged GROUP BY 1
+            ),
+            spine AS (
+                SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                FROM bounds
+            ),
+            filled AS (
+                SELECT sp.day, COALESCE(a.m_seen, 0) AS m_seen, COALESCE(a.s, 0) AS s
+                FROM spine sp LEFT JOIN agg a ON a.day = sp.day
+            ),
+            est AS (
+                SELECT day, m_seen, 64 - m_seen AS v,
+                       1.0462993238608057e+20 /
+                           (s + (64 - m_seen) * (1::BIGINT << 55))::DOUBLE AS raw
+                FROM filled
+            )
+            SELECT day, m_seen::BIGINT AS m_seen,
+                   ROUND(CASE WHEN raw <= 160.0 AND v > 0
+                              THEN 64.0 * ln(64.0 / v)
+                              ELSE raw END, 4) AS est_distinct
+            FROM est ORDER BY day
+        """,
+        "hll_rolling_stream": """
             WITH h AS MATERIALIZED (
                 SELECT CAST(ts AS DATE) AS d,
                        ('0x' || substr(sha256(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h

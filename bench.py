@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "substring_index_search",
     "event_value_cusum",
     "compression_quality_flags",
+    "hll_rolling_stream",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -297,6 +298,7 @@ BENCH_FAMILIES = {
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
         "zorder_bucket_stats", "scd2_apply", "robust_outliers",
         "winsorize_stats", "bootstrap_ci_orders", "hll_rolling_actives",
+        "hll_rolling_stream",
     ],
     "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa",
               "graph_assortativity", "graph_transitivity",

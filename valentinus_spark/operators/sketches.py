@@ -541,7 +541,23 @@ def hll_rolling_distinct(
     """
     ev = df.select(F.to_date(ts_col).alias("_d"), value_col)
     regs = hll_registers(ev, value_col, ["_d"], p)
-    bounds = ev.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    return hll_rolling_from_registers(regs, window_days, p, day_col="_d")
+
+
+def hll_rolling_from_registers(
+    regs: DataFrame,
+    window_days: int = 7,
+    p: int = 6,
+    day_col: str = "day",
+) -> DataFrame:
+    """The rolling-merge tail of :func:`hll_rolling_distinct`, exposed
+    so a PERSISTED daily register table — including one maintained
+    incrementally by ``streaming.pipeline.stream_hll_registers`` with a
+    day group — feeds the same window merge without touching raw
+    events: the streaming-actives path is batch-register path +
+    this, and their equality is the losslessness gate."""
+    regs = regs.select(F.col(day_col).alias("_d"), "idx", "rho")
+    bounds = regs.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
     # day d's registers contribute to windows ending on d .. d+N-1
     contrib = (
         regs.crossJoin(F.broadcast(bounds))
