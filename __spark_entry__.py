@@ -10471,7 +10471,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM doc_n d LEFT JOIN new_vocab v ON v.g = d.g AND v.r = d.r
             ),
             logs AS (
-                SELECT g, log10(ncum::DOUBLE) AS x, log10(vcum::DOUBLE) AS y,
+                -- 12-dp DECIMAL pinning mirrors quality.py::heaps_law:
+                -- exact order-free OLS sums (raw double sums flipped
+                -- the sign of a ~0 slope between engines)
+                SELECT g,
+                       CAST(ROUND(log10(ncum::DOUBLE), 12) AS DECIMAL(16,12)) AS x,
+                       CAST(ROUND(log10(vcum::DOUBLE), 12) AS DECIMAL(16,12)) AS y,
                        ncum, vcum
                 FROM pts WHERE ncum > 0
             ),
@@ -10480,8 +10485,10 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*)::BIGINT AS n_docs,
                        MAX(ncum)::BIGINT AS n_tokens,
                        MAX(vcum)::BIGINT AS vocab,
-                       AVG(x) AS mx, AVG(y) AS my,
-                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                       CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mx,
+                       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS my,
+                       CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                       CAST(SUM(x * x) AS DOUBLE) AS sxx
                 FROM logs GROUP BY g
             )
             SELECT g AS source, n_docs, n_tokens, vocab,

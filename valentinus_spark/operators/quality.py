@@ -938,8 +938,16 @@ def heaps_law(
         .filter(F.col("_N") > 0)
         .select(
             "_g",
-            F.log10(F.col("_N").cast("double")).alias("_x"),
-            F.log10(F.col("_V").cast("double")).alias("_y"),
+            # 12-dp-pinned logs cast to DECIMAL so every OLS sum below
+            # is EXACT (order-free): raw double sums let partition
+            # order flip the SIGN of a ~0 slope (a '0' vs '-0' driver
+            # hash mismatch caught by the r6 full sweep)
+            F.round(F.log10(F.col("_N").cast("double")), 12)
+            .cast("decimal(16,12)")
+            .alias("_x"),
+            F.round(F.log10(F.col("_V").cast("double")), 12)
+            .cast("decimal(16,12)")
+            .alias("_y"),
             F.col("_N").alias("_n_cum"),
             F.col("_V").alias("_v_cum"),
         )
@@ -948,12 +956,19 @@ def heaps_law(
         F.count(F.lit(1)).alias("n_docs"),
         F.max("_n_cum").alias("n_tokens"),
         F.max("_v_cum").alias("vocab"),
-        F.avg("_x").alias("_mx"),
-        F.avg("_y").alias("_my"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxyd"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxxd"),
     )
     n = F.col("n_docs").cast("double")
+    ols = ols.select(
+        "*",
+        (F.col("_sx").cast("double") / n).alias("_mx"),
+        (F.col("_sy").cast("double") / n).alias("_my"),
+        F.col("_sxyd").cast("double").alias("_sxy"),
+        F.col("_sxxd").cast("double").alias("_sxx"),
+    )
     varx = F.col("_sxx") - n * F.col("_mx") * F.col("_mx")
     beta = F.when(
         (F.col("n_docs") >= 2) & (varx > 1e-12),
