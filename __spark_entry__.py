@@ -5553,6 +5553,26 @@ def q_hll_rolling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rolling_from_registers(regs, window_days=7, p=6, day_col="day")
 
 
+def q_rank_rbo_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (operators/evaluation.py::rbo_overlap,
+    Webber et al. 2010) between the char-length and word-count document
+    rankings — the TOP-WEIGHTED companion to rank_agreement's
+    Spearman/Kendall (only the head matters for curation rankings).
+    Truncated RBO@50, p=0.9; exact per-depth intersection counts and
+    12-dp DECIMAL terms replay in DuckDB."""
+    from valentinus_spark.functions.text import normalize_text, word_tokens
+    from valentinus_spark.operators.evaluation import rbo_overlap
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("len_score"),
+        F.size(
+            F.filter(word_tokens(normalize_text("text")), lambda t: t != "")
+        ).cast("double").alias("tok_score"),
+    )
+    return rbo_overlap(docs, "doc_id", "len_score", "tok_score", k=50, p=0.9)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5899,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_cusum": q_event_value_cusum,  # added r6 — r7 window candidate
         "compression_quality_flags": q_compression_quality_flags,  # added r6 — r7 window candidate
         "hll_rolling_stream": q_hll_rolling_stream,  # added r6 — r7 window candidate
+        "rank_rbo_top50": q_rank_rbo_top50,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -6295,6 +6316,45 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "rank_rbo_top50": """
+            WITH scored AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(n_chars AS DOUBLE) AS sa,
+                       CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS DOUBLE) AS sb
+                FROM documents
+            ),
+            ra AS (
+                SELECT doc_id, r FROM (
+                    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(sa, 6) DESC, doc_id) AS r
+                    FROM scored
+                ) WHERE r <= 50
+            ),
+            rb AS (
+                SELECT doc_id, r FROM (
+                    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(sb, 6) DESC, doc_id) AS r
+                    FROM scored
+                ) WHERE r <= 50
+            ),
+            entered AS (
+                SELECT GREATEST(a.r, b.r) AS m
+                FROM ra a JOIN rb b ON a.doc_id = b.doc_id
+            ),
+            spine AS (SELECT r::INTEGER AS d FROM range(1, 51) t(r)),
+            cum AS (
+                SELECT d, COUNT(m)::BIGINT AS c
+                FROM spine LEFT JOIN entered ON m <= d GROUP BY d
+            )
+            SELECT 50 AS k, 0.9::DOUBLE AS p,
+                   -- (1.0 - 0.9) as IEEE DOUBLE subtraction, matching the
+                   -- Spark side's python-float 1.0 - p (DECIMAL literal
+                   -- arithmetic would give exactly 0.1 and drift)
+                   ROUND((1.0::DOUBLE - 0.9::DOUBLE)
+                         * CAST(SUM(CAST(ROUND(POWER(0.9::DOUBLE, d - 1)
+                                               * c::DOUBLE / d::DOUBLE, 12)
+                                         AS DECIMAL(16,12))) AS DOUBLE), 6) AS rbo
+            FROM cum
+        """,
+
         # planting arithmetic: even ids carry the repetitive payload
         "compression_quality_flags": """
             SELECT doc_id FROM documents

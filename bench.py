@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "event_value_cusum",
     "compression_quality_flags",
     "hll_rolling_stream",
+    "rank_rbo_top50",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -264,7 +265,7 @@ BENCH_FAMILIES = {
         "doc_readability", "source_rank_normalize",
         "krippendorff_lang", "source_lexical_diversity",
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
-        "chi2_source_lang", "rank_agreement", "source_length_gini",
+        "chi2_source_lang", "rank_agreement", "rank_rbo_top50", "source_length_gini",
         "bpe_roundtrip", "textrank_keywords", "substring_index_search",
     ],
     "rel": [

@@ -435,3 +435,61 @@ def test_bt_ranking_validation(spark):
     df = spark.createDataFrame([("a", "b")], "winner string, loser string")
     with pytest.raises(ValueError):
         bt_ranking(df, iters=0)
+
+
+def test_rbo_overlap_identical_and_disjoint(spark):
+    """Identical rankings give RBO 1 (truncated form: Σ(1-p)p^(d-1) over
+    d<=k ≈ 1-p^k); disjoint heads give 0; a head swap costs more than a
+    tail swap (the top-weighting Spearman lacks)."""
+    import pytest
+
+    from valentinus_spark.operators import rbo_overlap
+
+    rows = [(i, float(100 - i), float(100 - i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["id", "sa", "sb"])
+    out = rbo_overlap(df, "id", "sa", "sb", k=20, p=0.9).collect()[0]
+    assert out.rbo == pytest.approx(1 - 0.9**20, abs=1e-6)
+
+    # completely reversed scores -> heads disjoint until depth ~n/2
+    rows2 = [(i, float(100 - i), float(i)) for i in range(1, 21)]
+    df2 = spark.createDataFrame(rows2, ["id", "sa", "sb"])
+    low = rbo_overlap(df2, "id", "sa", "sb", k=10, p=0.9).collect()[0].rbo
+    assert low < 0.1
+
+    # swap ranks 1<->2 vs swap ranks 9<->10: head swap hurts more
+    def swapped(a, b):
+        sb = {i: float(100 - i) for i in range(1, 21)}
+        sb[a], sb[b] = sb[b], sb[a]
+        d = spark.createDataFrame(
+            [(i, float(100 - i), sb[i]) for i in range(1, 21)], ["id", "sa", "sb"]
+        )
+        return rbo_overlap(d, "id", "sa", "sb", k=20, p=0.9).collect()[0].rbo
+
+    assert swapped(1, 2) < swapped(9, 10)
+
+
+def test_rbo_matches_python_replica(spark):
+    import pytest
+
+    from valentinus_spark.operators import rbo_overlap
+
+    import random
+
+    rng = random.Random(5)
+    ids = list(range(30))
+    sa = {i: float(v) for i, v in zip(ids, rng.sample(range(1000), 30))}
+    sb = {i: float(v) for i, v in zip(ids, rng.sample(range(1000), 30))}
+    df = spark.createDataFrame(
+        [(i, sa[i], sb[i]) for i in ids], ["id", "sa", "sb"]
+    )
+    k, p = 15, 0.85
+    got = rbo_overlap(df, "id", "sa", "sb", k=k, p=p).collect()[0].rbo
+
+    ra = [i for i, _ in sorted(sa.items(), key=lambda kv: (-kv[1], kv[0]))][:k]
+    rb = [i for i, _ in sorted(sb.items(), key=lambda kv: (-kv[1], kv[0]))][:k]
+    total = 0.0
+    for d in range(1, k + 1):
+        ov = len(set(ra[:d]) & set(rb[:d]))
+        total += round(p ** (d - 1) * ov / d, 12)
+    want = round((1 - p) * total, 6)
+    assert got == pytest.approx(want, abs=1e-6)

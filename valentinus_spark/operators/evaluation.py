@@ -40,6 +40,7 @@ from valentinus_spark.functions.text import (
 )
 
 __all__ = [
+    "rbo_overlap",
     "rouge_n_pairs",
     "fleiss_kappa",
     "krippendorff_alpha",
@@ -524,4 +525,76 @@ def rank_correlation(
             F.col("_g").alias(group_col), "n", "spearman_rho", "kendall_tau"
         )
         .orderBy(group_col)
+    )
+
+
+def rbo_overlap(
+    df: DataFrame,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    k: int = 50,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    the two rankings ``score_a`` and ``score_b`` induce over the same
+    items — the TOP-WEIGHTED agreement measure :func:`rank_correlation`
+    is not: Spearman/Kendall weight a swap at rank 999 like one at rank
+    1, but for retrieval/curation rankings only the head matters.
+    Truncated prefix form (documented; no tail extrapolation):
+
+        RBO@k = (1-p) · Σ_{d=1..k} p^{d-1} · |top_d(A) ∩ top_d(B)| / d
+
+    p sets how fast depth weight decays (0.9 → ~the top 10 carry 86% of
+    the weight). Returns ONE row: (``k``, ``p``, ``rbo``) rounded to 6;
+    1.0 = identical prefixes, → 0 = disjoint heads.
+
+    Determinism: both rankings order by the 6-dp-rounded score with id
+    tie-breaks (the house convention); an item enters the intersection
+    at depth max(rank_a, rank_b), so the per-depth overlap counts are
+    exact integers, and the weighted terms are 12-dp-pinned DECIMALs —
+    no float-sum order anywhere.
+
+    Scale shape: two TakeOrderedAndProject top-k heaps over one corpus
+    scan each, then arithmetic on ≤ k rows (a join of two k-row
+    frames + a k-row spine). The corpus never shuffles.
+    """
+    wa = Window.orderBy(F.desc(F.round(F.col(score_a), 6)), F.asc(id_col))
+    wb = Window.orderBy(F.desc(F.round(F.col(score_b), 6)), F.asc(id_col))
+    ra = (
+        df.select(id_col, score_a)
+        .withColumn("_ra", F.row_number().over(wa))
+        .filter(F.col("_ra") <= k)
+        .select(id_col, "_ra")
+    )
+    rb = (
+        df.select(id_col, score_b)
+        .withColumn("_rb", F.row_number().over(wb))
+        .filter(F.col("_rb") <= k)
+        .select(id_col, "_rb")
+    )
+    entered = ra.join(rb, id_col).select(
+        F.greatest("_ra", "_rb").alias("_m")
+    )
+    spine = df.sparkSession.range(1, k + 1).select(F.col("id").cast("int").alias("_d"))
+    # c_d = #items whose BOTH ranks are <= d  (exact integer)
+    cum = (
+        spine.join(entered, F.col("_m") <= F.col("_d"), "left")
+        .groupBy("_d")
+        .agg(F.count("_m").alias("_c"))
+    )
+    term = (
+        F.round(
+            F.pow(F.lit(float(p)), F.col("_d") - 1)
+            * F.col("_c").cast("double")
+            / F.col("_d").cast("double"),
+            12,
+        )
+    ).cast("decimal(16,12)")
+    return cum.agg(
+        F.lit(k).alias("k"),
+        F.lit(float(p)).alias("p"),
+        F.round(
+            F.lit(1.0 - float(p)) * F.sum(term).cast("double"), 6
+        ).alias("rbo"),
     )
