@@ -5573,6 +5573,18 @@ def q_rank_rbo_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rbo_overlap(docs, "doc_id", "len_score", "tok_score", k=50, p=0.9)
 
 
+def q_source_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index (operators/profile.py::tail_index, Hill 1975) of
+    doc lengths per source — the heavy-tail fingerprint that tells
+    packing/sampling whether a few giant documents dominate a source's
+    byte budget (α ≲ 2 = yes). 12-dp DECIMAL log-ratio sums; full
+    order-statistic replay in DuckDB."""
+    from valentinus_spark.operators.profile import tail_index
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return tail_index(docs, "source", "n_chars", tail_frac=0.05)
+
+
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (operators/graph.py::
     clustering_coefficient) of the part co-purchase graph — transitivity
@@ -5920,6 +5932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_quality_flags": q_compression_quality_flags,  # added r6 — r7 window candidate
         "hll_rolling_stream": q_hll_rolling_stream,  # added r6 — r7 window candidate
         "rank_rbo_top50": q_rank_rbo_top50,  # added r6 — r7 window candidate
+        "source_tail_index": q_source_tail_index,  # added r6 — r7 window candidate
         # the r5 window (all 50 driver-checked green in
         # CORRECTNESS_r05.json), demoted in original order; then every
         # earlier cohort unchanged (see COVERAGE.md ledger for each
@@ -6316,6 +6329,43 @@ def oracle_sql() -> dict[str, str]:
     qv = QUERY_VEC_SQL
     sql = {
         "hits_purchase_graph": _hits_oracle_sql(),
+        "source_tail_index": """
+            WITH ranked AS MATERIALIZED (
+                SELECT source AS g, CAST(n_chars AS DOUBLE) AS x,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY CAST(n_chars AS DOUBLE) DESC) AS r
+                FROM documents WHERE n_chars > 0
+            ),
+            sizes AS (SELECT g, COUNT(*)::BIGINT AS n FROM ranked GROUP BY g),
+            sized AS MATERIALIZED (
+                SELECT g, n,
+                       LEAST(GREATEST(10, CAST(FLOOR(0.05 * n) AS INTEGER)),
+                             CAST(n - 1 AS INTEGER)) AS m
+                FROM sizes
+            ),
+            thresh AS MATERIALIZED (
+                SELECT r.g, r.x AS xmin
+                FROM ranked r JOIN sized s ON s.g = r.g AND r.r = s.m + 1
+            ),
+            tail AS (
+                SELECT r.g,
+                       CASE WHEN t.xmin > 0
+                            THEN CAST(ROUND(ln(r.x / t.xmin), 12) AS DECIMAL(16,12))
+                       END AS lr
+                FROM ranked r
+                JOIN sized s ON s.g = r.g AND r.r <= s.m
+                JOIN thresh t ON t.g = r.g
+            ),
+            agg AS (SELECT g, SUM(lr) AS s FROM tail GROUP BY g)
+            SELECT s2.g AS source, s2.n, s2.m, t.xmin AS x_min,
+                   ROUND(CASE WHEN s2.n > 10 AND a.s IS NOT NULL AND a.s > 0
+                         THEN CAST(s2.m AS DOUBLE) / CAST(a.s AS DOUBLE) END, 6) AS alpha
+            FROM sized s2
+            LEFT JOIN agg a ON a.g = s2.g
+            LEFT JOIN thresh t ON t.g = s2.g
+            ORDER BY source
+        """,
+
         "rank_rbo_top50": """
             WITH scored AS MATERIALIZED (
                 SELECT doc_id,

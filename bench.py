@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "compression_quality_flags",
     "hll_rolling_stream",
     "rank_rbo_top50",
+    "source_tail_index",
 ]
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
@@ -299,7 +300,7 @@ BENCH_FAMILIES = {
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
         "zorder_bucket_stats", "scd2_apply", "robust_outliers",
         "winsorize_stats", "bootstrap_ci_orders", "hll_rolling_actives",
-        "hll_rolling_stream",
+        "hll_rolling_stream", "source_tail_index",
     ],
     "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa",
               "graph_assortativity", "graph_transitivity",

@@ -281,3 +281,38 @@ def test_agreement_matrix_counts_and_fracs(spark):
         ("a", "b"): (2, round(2 / 6, 6)),
         ("b", "b"): (1, round(1 / 6, 6)),
     }
+
+
+def test_tail_index_recovers_planted_pareto_alpha(spark):
+    """Exact Pareto order statistics x_i = (n/i)^(1/alpha): the Hill
+    estimator over the top m must recover alpha closely for a planted
+    alpha = 2, and a light-tailed (constant-ish) group returns a much
+    larger alpha. Python replica pins the exact value."""
+    import math
+
+    import pytest
+
+    from valentinus_spark.operators import tail_index
+
+    n, alpha = 400, 2.0
+    heavy = [("h", (n / i) ** (1.0 / alpha)) for i in range(1, n + 1)]
+    light = [("l", 100.0 + i * 0.001) for i in range(1, n + 1)]
+    df = spark.createDataFrame(heavy + light, ["g", "x"])
+    out = {r.g: r for r in tail_index(df, "g", "x", tail_frac=0.05).collect()}
+    assert out["h"].n == n and out["h"].m == 20
+    assert out["h"].alpha == pytest.approx(2.0, rel=0.15)
+    assert out["l"].alpha > 20 * out["h"].alpha
+
+    # python replica of the exact fold for the heavy group
+    xs = sorted((x for _, x in heavy), reverse=True)
+    m = 20
+    s = sum(round(math.log(xs[i] / xs[m]), 12) for i in range(m))
+    assert out["h"].alpha == pytest.approx(round(m / s, 6), abs=1e-6)
+
+
+def test_tail_index_small_group_null(spark):
+    from valentinus_spark.operators import tail_index
+
+    df = spark.createDataFrame([("a", float(i)) for i in range(1, 9)], ["g", "x"])
+    out = tail_index(df, "g", "x").collect()[0]
+    assert out.alpha is None  # n <= min_tail

@@ -969,3 +969,90 @@ def gini_coefficient(
         "total",
         F.round(F.when(F.col("total") > 0, g), 6).alias("gini"),
     ).orderBy(group_col)
+
+
+def tail_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tail_frac: float = 0.05,
+    min_tail: int = 10,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index per group (Hill 1975)
+    over a positive value column — the heavy-tail fingerprint
+    :func:`zipf_profile` gives for term frequencies, here for corpus
+    SIZE distributions (doc lengths, per-user event counts): α ≲ 2
+    means a few giant rows dominate the byte budget (packing,
+    sampling, and shuffle sizing all care); α large = light tail.
+
+        1/α̂ = (1/m) Σ_{i=1..m} ln( X_(i) / X_(m+1) )
+
+    over the m largest values, threshold X_(m+1); m = max(``min_tail``,
+    ⌊tail_frac·n⌋), capped at n−1. Returns one row per group:
+    (``group_col``, ``n``, ``m``, ``x_min``, ``alpha``), alpha rounded
+    to 6, ordered by group; NULL when the group is too small
+    (n ≤ min_tail), the threshold is 0, or all tail values tie.
+
+    Determinism: the log ratios round to 12 dp and sum as exact
+    DECIMAL(16,12) (the heaps_law lesson — raw double sums let
+    partition order flip near-zero results); ties at the threshold
+    take the value, not the rank, so engines can't disagree on which
+    duplicates land in the tail.
+
+    Scale shape: one per-group window rank (the inherent cost of order
+    statistics) + a tail-sized fold; groups process in parallel.
+    """
+    from pyspark.sql import Window
+
+    ranked = (
+        df.filter(F.col(value_col) > 0)
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        .withColumn("_r", F.row_number().over(Window.partitionBy("_g").orderBy(F.desc("_x"))))
+    )
+    sizes = ranked.groupBy("_g").agg(F.count(F.lit(1)).alias("n"))
+    m_expr = F.least(
+        F.greatest(F.lit(min_tail), F.floor(F.lit(float(tail_frac)) * F.col("n")).cast("int")),
+        (F.col("n") - 1).cast("int"),
+    )
+    sized = sizes.select("_g", "n", m_expr.alias("m"))
+    j = ranked.join(F.broadcast(sized), "_g")
+    thresh = j.filter(F.col("_r") == F.col("m") + 1).select(
+        "_g", F.col("_x").alias("_xmin")
+    )
+    tail = (
+        j.filter(F.col("_r") <= F.col("m"))
+        .join(F.broadcast(thresh), "_g")
+        .select(
+            "_g",
+            F.when(
+                F.col("_xmin") > 0,
+                F.round(F.log(F.col("_x") / F.col("_xmin")), 12).cast(
+                    "decimal(16,12)"
+                ),
+            ).alias("_lr"),
+        )
+    )
+    agg = tail.groupBy("_g").agg(F.sum("_lr").alias("_s"))
+    out = (
+        sized.join(agg, "_g", "left")
+        .join(thresh, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "n",
+            "m",
+            F.col("_xmin").alias("x_min"),
+            F.round(
+                F.when(
+                    (F.col("n") > min_tail)
+                    & (F.col("_s").isNotNull())
+                    & (F.col("_s") > 0),
+                    F.col("m").cast("double") / F.col("_s").cast("double"),
+                ),
+                6,
+            ).alias("alpha"),
+        )
+    )
+    return out.orderBy(group_col)
