@@ -5851,146 +5851,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder. When adding a query, insert it BEFORE the stable-core
     # marker below and demote the oldest unchanged entries past it.
     return {
-        # ==== DRIVER WINDOW (first 50) — r6 rotation ====
-        # The 51 queries added during round 5 post-rotation had never
-        # had a driver CORRECTNESS row entering round 6 (COVERAGE.md
-        # ledger "never" rows). 51 candidates for 50 slots: all rotate
-        # in except w1_value_drift, the named HOLDOVER (its sibling
-        # ks_value_drift — same value-drift CTE shape over the same
-        # event pair — IS in the window, so the unique-coverage loss is
-        # minimal); w1_value_drift sits at position 51 and is the first
-        # slot of the r7 window. Every window entry is
-        # dev_compare-green at sf0.001/0.01/0.1.
-        "winnow_pairs": q_winnow_pairs,
-        "ql_search": q_ql_search,
-        "rrf_fusion": q_rrf_fusion,
-        "lang_kappa": q_lang_kappa,
-        "lang_confusion": q_lang_confusion,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "semantic_contamination": q_semantic_contamination,
-        "neyman_allocation": q_neyman_allocation,
-        "trigram_logprob": q_trigram_logprob,
-        "bt_brand_ranking": q_bt_brand_ranking,
-        "winnow_spans": q_winnow_spans,
-        "rouge_pair_overlap": q_rouge_pair_overlap,
-        "fleiss_lang_raters": q_fleiss_lang_raters,
-        "ndcg_retrieval": q_ndcg_retrieval,
-        "field_mutual_info": q_field_mutual_info,
-        "doc_readability": q_doc_readability,
-        "graph_assortativity": q_graph_assortativity,
-        "event_decayed_popularity": q_event_decayed_popularity,
-        "source_rank_normalize": q_source_rank_normalize,
-        "krippendorff_lang": q_krippendorff_lang,
-        "source_lexical_diversity": q_source_lexical_diversity,
-        "elo_brand_ratings": q_elo_brand_ratings,
-        "doc_char_entropy": q_doc_char_entropy,
-        "source_heaps_law": q_source_heaps_law,
-        "doc_ngram_novelty": q_doc_ngram_novelty,
-        "term_burstiness": q_term_burstiness,
-        "ks_value_drift": q_ks_value_drift,
-        "chi2_source_lang": q_chi2_source_lang,
-        "rank_agreement": q_rank_agreement,
-        "graph_transitivity": q_graph_transitivity,
-        "benford_order_totals": q_benford_order_totals,
-        "source_length_gini": q_source_length_gini,
-        "bpe_roundtrip": q_bpe_roundtrip,
-        "event_id_gaps": q_event_id_gaps,
-        "customer_rfm": q_customer_rfm,
-        "touch_attribution": q_touch_attribution,
-        "user_survival": q_user_survival,
-        "seasonal_naive_eval": q_seasonal_naive_eval,
-        "ab_conversion_test": q_ab_conversion_test,
-        "ab_revenue_welch": q_ab_revenue_welch,
-        "ab_srm_check": q_ab_srm_check,
-        "ab_revenue_cuped": q_ab_revenue_cuped,
-        "doc_tree_rollup": q_doc_tree_rollup,
-        "customer_supplier_radius": q_customer_supplier_radius,
-        "decayed_popularity_stream": q_decayed_popularity_stream,
-        "event_did": q_event_did,
-        "mwu_value_test": q_mwu_value_test,
-        "source_en_share_fdr": q_source_en_share_fdr,
-        "user_purchase_mcnemar": q_user_purchase_mcnemar,
-        "user_value_paired_t": q_user_value_paired_t,
-        # ==== past the window ====
-        # position 51: the named r6 holdover — FIRST slot of the r7
-        # window (see COVERAGE.md "r6 holdover").
+        # ==== DRIVER WINDOW (first 50) — r7 rotation ====
+        # Composition per the r6 VERDICT "Next round" #1: (1) the named
+        # r6 holdover w1_value_drift at the head; (2) the 17 queries
+        # added during round 6 post-rotation (never driver-checked);
+        # (3) the 32 STALEST veterans — last driver-green in round 2
+        # (most first checked in round 1) and refactored since (quality
+        # -gate pushdown, minhash banding, media header rewrites).
+        # Every window entry is dev_compare-green at sf0.001/0.01/0.1.
         "w1_value_drift": q_w1_value_drift,
-        # ---- new r6 additions (r7 window candidates, after the holdover) ----
-        "hits_purchase_graph": q_hits_purchase_graph,  # added r6 — r7 window candidate
-        "t_closeness_audit": q_t_closeness_audit,  # added r6 — r7 window candidate
-        "event_acf": q_event_acf,  # added r6 — r7 window candidate
-        "hll_rolling_actives": q_hll_rolling_actives,  # added r6 — r7 window candidate
-        "bloom_pruned_lookup": q_bloom_pruned_lookup,  # added r6 — r7 window candidate
-        "textrank_keywords": q_textrank_keywords,  # added r6 — r7 window candidate
-        "ab_msprt_monitor": q_ab_msprt_monitor,  # added r6 — r7 window candidate
-        "session_paths": q_session_paths,  # added r6 — r7 window candidate
-        "matryoshka_fidelity": q_matryoshka_fidelity,  # added r6 — r7 window candidate
-        "ppr_related_parts": q_ppr_related_parts,  # added r6 — r7 window candidate
-        "embedding_knn_outliers": q_embedding_knn_outliers,  # added r6 — r7 window candidate
-        "substring_index_search": q_substring_index_search,  # added r6 — r7 window candidate
-        "event_value_cusum": q_event_value_cusum,  # added r6 — r7 window candidate
-        "compression_quality_flags": q_compression_quality_flags,  # added r6 — r7 window candidate
-        "hll_rolling_stream": q_hll_rolling_stream,  # added r6 — r7 window candidate
-        "rank_rbo_top50": q_rank_rbo_top50,  # added r6 — r7 window candidate
-        "source_tail_index": q_source_tail_index,  # added r6 — r7 window candidate
-        # the r5 window (all 50 driver-checked green in
-        # CORRECTNESS_r05.json), demoted in original order; then every
-        # earlier cohort unchanged (see COVERAGE.md ledger for each
-        # one's last-checked round). All stay in the full local
-        # dev_compare sweep every round. r7 window plan: w1_value_drift
-        # first, any new r6 additions next, then the round-2 veterans
-        # (media_content_stats … regional_supply cohort), which are the
-        # longest-unchecked.
-        "warc_ingest": q_warc_ingest,
-        "epoch_shuffle_manifest": q_epoch_shuffle,
-        "mixture_weights_plan": q_mixture_weights,
-        "cm_freq_stream": q_cm_freq_stream,
-        "mojibake_profile": q_mojibake_profile,
-        "l_diversity_audit": q_l_diversity_audit,
-        "pq_ann_planted": q_pq_ann_planted,
-        "merge_into_versioned": q_merge_into_versioned,
-        "stream_left_outer_join": q_stream_left_outer_join,
-        "kcore_planted": q_kcore_planted,
-        "histogram_quantiles": q_histogram_quantiles,
-        "heavy_hitters": q_heavy_hitters,
-        "unigram_encode_planted": q_unigram_encode_planted,
-        "events_sliding_window": q_events_sliding_window,
-        "name_edit_distance": q_name_edit_distance,
-        "bigram_logprob": q_bigram_logprob,
-        "incremental_neardup": q_incremental_neardup,
-        "rp_ann_topk": q_rp_ann_topk,
-        "pmi_collocations": q_pmi_collocations,
-        "incremental_components": q_incremental_components,
-        "media_headers": q_media_headers,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "stream_components": q_stream_components,
-        "association_rules": q_association_rules,
-        "markov_transitions": q_markov_transitions,
-        "pca_planted": q_pca_planted,
-        "resample_ffill": q_resample_ffill,
-        "winsorize_stats": q_winsorize_stats,
-        "embedding_drift": q_embedding_drift,
-        "kcenter_planted": q_kcenter_planted,
-        "versioned_delete": q_versioned_delete,
-        "table_changes_cdf": q_table_changes_cdf,
-        "token_budget_sample": q_token_budget_sample,
-        "abtt_planted": q_abtt_planted,
-        "dsir_selection": q_dsir_selection,
-        "link_prediction_aa": q_link_prediction_aa,
-        "vocab_oov_rates": q_vocab_oov_rates,
-        "taxonomy_tagging": q_taxonomy_tagging,
-        "trailing_anomaly": q_trailing_anomaly,
-        "bootstrap_ci_orders": q_bootstrap_ci_orders,
-        "margin_mining": q_margin_mining,
-        "dp_segment_counts": q_dp_segment_counts,
-        "psi_price_drift": q_psi_price_drift,
-        "roc_auc_planted": q_roc_auc_planted,
-        "robust_outliers": q_robust_outliers,
-        "quality_calibration": q_quality_calibration,
-        "hard_negatives": q_hard_negatives,
-        "lpa_communities": q_lpa_communities,
-        "collection_e2e": q_collection_e2e,
-        "flagship_filtered_cosine_topk": q_flagship,
+        # -- the 17 r6-era additions, never driver-checked --
+        "hits_purchase_graph": q_hits_purchase_graph,
+        "t_closeness_audit": q_t_closeness_audit,
+        "event_acf": q_event_acf,
+        "hll_rolling_actives": q_hll_rolling_actives,
+        "bloom_pruned_lookup": q_bloom_pruned_lookup,
+        "textrank_keywords": q_textrank_keywords,
+        "ab_msprt_monitor": q_ab_msprt_monitor,
+        "session_paths": q_session_paths,
+        "matryoshka_fidelity": q_matryoshka_fidelity,
+        "ppr_related_parts": q_ppr_related_parts,
+        "embedding_knn_outliers": q_embedding_knn_outliers,
+        "substring_index_search": q_substring_index_search,
+        "event_value_cusum": q_event_value_cusum,
+        "compression_quality_flags": q_compression_quality_flags,
+        "hll_rolling_stream": q_hll_rolling_stream,
+        "rank_rbo_top50": q_rank_rbo_top50,
+        "source_tail_index": q_source_tail_index,
+        # -- 32 stalest veterans (driver-green r2, code refactored since) --
         "media_content_stats": q_media_content_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -6021,6 +5909,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersect": q_segment_intersect,
         "customer_rank_window": q_customer_rank,
         "regional_supply": q_regional_supply,
+        "events_windowed_stream": q_events_windowed_stream,
+        "asof_join_clicks": q_asof_clicks,
+        # ==== past the window ====
+        # r8 window head: the 13 remaining round-2-stale rows (the
+        # round-2 cohort had 45 rows; 32 fit in the r7 window above).
+        "range_join_incidents": q_range_join_incidents,
+        "customers_no_big_order": q_customers_no_big_order,
+        "order_cube": q_order_cube,
+        "event_value_quantiles": q_event_value_quantiles,
+        "ivf_ann_topk": q_ivf_ann,
+        "orders_heavy_semi": q_orders_heavy_semi,
+        "customer_moving_sum": q_customer_moving_sum,
+        "brand_supplier_breadth": q_brand_supplier_breadth,
+        "user_totals_stateful_stream": q_user_totals_stateful_stream,
+        "salted_part_join": q_salted_part_join,
+        "events_rollup_merge": q_events_rollup_merge,
+        "small_qty_revenue": q_small_qty_revenue,
+        "segment_except": q_segment_except,
+        # round-3 cohort (last driver-green r3), original order
+        "nation_order_coverage": q_nation_order_coverage,
+        "train_split_counts": q_train_split,
+        "corpus_balance_sample": q_corpus_balance_sample,
+        "setsim_join": q_setsim_join,
+        "value_histogram": q_value_histogram,
+        "time_travel": q_time_travel,
+        "containment_probe": q_containment_probe,
+        "versioned_stream_ingest": q_versioned_stream_ingest,
+        "entity_linkage": q_entity_linkage,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "key_skew_profile": q_key_skew_profile,
+        "late_window_finalize": q_late_window_finalize,
+        "ivf_ann_planted": q_ivf_ann_planted,
+        "rp_ann_planted": q_rp_ann_planted,
+        "approx_distinct_hll": q_approx_distinct_hll,
+        "c4_line_clean": q_c4_line_clean,
+        "triangle_copurchase": q_triangle_copurchase,
+        "scd2_apply": q_scd2_apply,
+        "phrase_search": q_phrase_search,
+        "semantic_dedup": q_semantic_dedup,
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "bloom_membership": q_bloom_membership,
+        "corpus_pipeline": q_corpus_pipeline,
+        "data_expectations": q_data_expectations,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_dhash_planted": q_media_dhash_planted,
+        "audio_fp_planted": q_audio_fp_planted,
+        "video_frame_manifest": q_video_frame_manifest,
+        "hll_daily_rollup": q_hll_daily_rollup,
+        "embedding_quantize_stats": q_embedding_quantize_stats,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "bpe_encode_fixed": q_bpe_encode_fixed,
+        "url_normalize_planted": q_url_normalize_planted,
+        "html_extract_planted": q_html_extract_planted,
+        "dedup_canonical_keep": q_dedup_canonical_keep,
+        "exact_quantiles": q_exact_quantiles,
+        "group_split_leakage": q_group_split_leakage,
+        "crawl_pipeline": q_crawl_pipeline,
+        "zipf_profile": q_zipf_profile,
+        "dedup_span_removal": q_dedup_span_removal,
+        "hll_users_stream": q_hll_users_stream,
+        "contrastive_triplets": q_contrastive_triplets,
+        "kmv_audience_overlap": q_kmv_audience_overlap,
+        "quantile_bins": q_quantile_bins,
+        "robots_rules_planted": q_robots_rules_planted,
+        # round-4 cohort (last driver-green r4), original order
         "orc_roundtrip": q_orc_roundtrip,
         "length_bucket_batches": q_length_bucket_batches,
         "cm_join_size": q_cm_join_size,
@@ -6071,68 +6026,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "label_cluster_stats": q_label_cluster_stats,
         "asof_next_click": q_asof_next_click,
-        "nation_order_coverage": q_nation_order_coverage,
-        "train_split_counts": q_train_split,
-        "corpus_balance_sample": q_corpus_balance_sample,
-        "setsim_join": q_setsim_join,
-        "value_histogram": q_value_histogram,
-        "time_travel": q_time_travel,
-        "containment_probe": q_containment_probe,
-        "versioned_stream_ingest": q_versioned_stream_ingest,
-        "entity_linkage": q_entity_linkage,
-        "compaction_roundtrip": q_compaction_roundtrip,
-        "key_skew_profile": q_key_skew_profile,
-        "late_window_finalize": q_late_window_finalize,
-        "ivf_ann_planted": q_ivf_ann_planted,
-        "rp_ann_planted": q_rp_ann_planted,
-        "approx_distinct_hll": q_approx_distinct_hll,
-        "c4_line_clean": q_c4_line_clean,
-        "triangle_copurchase": q_triangle_copurchase,
-        "scd2_apply": q_scd2_apply,
-        "phrase_search": q_phrase_search,
-        "semantic_dedup": q_semantic_dedup,
-        "pagerank_copurchase": q_pagerank_copurchase,
-        "bloom_membership": q_bloom_membership,
-        "corpus_pipeline": q_corpus_pipeline,
-        "data_expectations": q_data_expectations,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "doc_fingerprint": q_doc_fingerprint,
-        "media_dhash_planted": q_media_dhash_planted,
-        "audio_fp_planted": q_audio_fp_planted,
-        "video_frame_manifest": q_video_frame_manifest,
-        "hll_daily_rollup": q_hll_daily_rollup,
-        "embedding_quantize_stats": q_embedding_quantize_stats,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "bpe_encode_fixed": q_bpe_encode_fixed,
-        "url_normalize_planted": q_url_normalize_planted,
-        "html_extract_planted": q_html_extract_planted,
-        "dedup_canonical_keep": q_dedup_canonical_keep,
-        "exact_quantiles": q_exact_quantiles,
-        "group_split_leakage": q_group_split_leakage,
-        "crawl_pipeline": q_crawl_pipeline,
-        "zipf_profile": q_zipf_profile,
-        "dedup_span_removal": q_dedup_span_removal,
-        "hll_users_stream": q_hll_users_stream,
-        "contrastive_triplets": q_contrastive_triplets,
-        "kmv_audience_overlap": q_kmv_audience_overlap,
-        "quantile_bins": q_quantile_bins,
-        "robots_rules_planted": q_robots_rules_planted,
-        "events_windowed_stream": q_events_windowed_stream,
-        "asof_join_clicks": q_asof_clicks,
-        "range_join_incidents": q_range_join_incidents,
-        "customers_no_big_order": q_customers_no_big_order,
-        "order_cube": q_order_cube,
-        "event_value_quantiles": q_event_value_quantiles,
-        "ivf_ann_topk": q_ivf_ann,
-        "orders_heavy_semi": q_orders_heavy_semi,
-        "customer_moving_sum": q_customer_moving_sum,
-        "brand_supplier_breadth": q_brand_supplier_breadth,
-        "user_totals_stateful_stream": q_user_totals_stateful_stream,
-        "salted_part_join": q_salted_part_join,
-        "events_rollup_merge": q_events_rollup_merge,
-        "small_qty_revenue": q_small_qty_revenue,
-        "segment_except": q_segment_except,
+        # round-5 cohort (last driver-green r5), original order
+        "warc_ingest": q_warc_ingest,
+        "epoch_shuffle_manifest": q_epoch_shuffle,
+        "mixture_weights_plan": q_mixture_weights,
+        "cm_freq_stream": q_cm_freq_stream,
+        "mojibake_profile": q_mojibake_profile,
+        "l_diversity_audit": q_l_diversity_audit,
+        "pq_ann_planted": q_pq_ann_planted,
+        "merge_into_versioned": q_merge_into_versioned,
+        "stream_left_outer_join": q_stream_left_outer_join,
+        "kcore_planted": q_kcore_planted,
+        "histogram_quantiles": q_histogram_quantiles,
+        "heavy_hitters": q_heavy_hitters,
+        "unigram_encode_planted": q_unigram_encode_planted,
+        "events_sliding_window": q_events_sliding_window,
+        "name_edit_distance": q_name_edit_distance,
+        "bigram_logprob": q_bigram_logprob,
+        "incremental_neardup": q_incremental_neardup,
+        "rp_ann_topk": q_rp_ann_topk,
+        "pmi_collocations": q_pmi_collocations,
+        "incremental_components": q_incremental_components,
+        "media_headers": q_media_headers,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "stream_components": q_stream_components,
+        "association_rules": q_association_rules,
+        "markov_transitions": q_markov_transitions,
+        "pca_planted": q_pca_planted,
+        "resample_ffill": q_resample_ffill,
+        "winsorize_stats": q_winsorize_stats,
+        "embedding_drift": q_embedding_drift,
+        "kcenter_planted": q_kcenter_planted,
+        "versioned_delete": q_versioned_delete,
+        "table_changes_cdf": q_table_changes_cdf,
+        "token_budget_sample": q_token_budget_sample,
+        "abtt_planted": q_abtt_planted,
+        "dsir_selection": q_dsir_selection,
+        "link_prediction_aa": q_link_prediction_aa,
+        "vocab_oov_rates": q_vocab_oov_rates,
+        "taxonomy_tagging": q_taxonomy_tagging,
+        "trailing_anomaly": q_trailing_anomaly,
+        "bootstrap_ci_orders": q_bootstrap_ci_orders,
+        "margin_mining": q_margin_mining,
+        "dp_segment_counts": q_dp_segment_counts,
+        "psi_price_drift": q_psi_price_drift,
+        "roc_auc_planted": q_roc_auc_planted,
+        "robust_outliers": q_robust_outliers,
+        "quality_calibration": q_quality_calibration,
+        "hard_negatives": q_hard_negatives,
+        "lpa_communities": q_lpa_communities,
+        "collection_e2e": q_collection_e2e,
+        "flagship_filtered_cosine_topk": q_flagship,
+        # round-6 window (all 50 hash-green in CORRECTNESS_r06.json)
+        "winnow_pairs": q_winnow_pairs,
+        "ql_search": q_ql_search,
+        "rrf_fusion": q_rrf_fusion,
+        "lang_kappa": q_lang_kappa,
+        "lang_confusion": q_lang_confusion,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "semantic_contamination": q_semantic_contamination,
+        "neyman_allocation": q_neyman_allocation,
+        "trigram_logprob": q_trigram_logprob,
+        "bt_brand_ranking": q_bt_brand_ranking,
+        "winnow_spans": q_winnow_spans,
+        "rouge_pair_overlap": q_rouge_pair_overlap,
+        "fleiss_lang_raters": q_fleiss_lang_raters,
+        "ndcg_retrieval": q_ndcg_retrieval,
+        "field_mutual_info": q_field_mutual_info,
+        "doc_readability": q_doc_readability,
+        "graph_assortativity": q_graph_assortativity,
+        "event_decayed_popularity": q_event_decayed_popularity,
+        "source_rank_normalize": q_source_rank_normalize,
+        "krippendorff_lang": q_krippendorff_lang,
+        "source_lexical_diversity": q_source_lexical_diversity,
+        "elo_brand_ratings": q_elo_brand_ratings,
+        "doc_char_entropy": q_doc_char_entropy,
+        "source_heaps_law": q_source_heaps_law,
+        "doc_ngram_novelty": q_doc_ngram_novelty,
+        "term_burstiness": q_term_burstiness,
+        "ks_value_drift": q_ks_value_drift,
+        "chi2_source_lang": q_chi2_source_lang,
+        "rank_agreement": q_rank_agreement,
+        "graph_transitivity": q_graph_transitivity,
+        "benford_order_totals": q_benford_order_totals,
+        "source_length_gini": q_source_length_gini,
+        "bpe_roundtrip": q_bpe_roundtrip,
+        "event_id_gaps": q_event_id_gaps,
+        "customer_rfm": q_customer_rfm,
+        "touch_attribution": q_touch_attribution,
+        "user_survival": q_user_survival,
+        "seasonal_naive_eval": q_seasonal_naive_eval,
+        "ab_conversion_test": q_ab_conversion_test,
+        "ab_revenue_welch": q_ab_revenue_welch,
+        "ab_srm_check": q_ab_srm_check,
+        "ab_revenue_cuped": q_ab_revenue_cuped,
+        "doc_tree_rollup": q_doc_tree_rollup,
+        "customer_supplier_radius": q_customer_supplier_radius,
+        "decayed_popularity_stream": q_decayed_popularity_stream,
+        "event_did": q_event_did,
+        "mwu_value_test": q_mwu_value_test,
+        "source_en_share_fdr": q_source_en_share_fdr,
+        "user_purchase_mcnemar": q_user_purchase_mcnemar,
+        "user_value_paired_t": q_user_value_paired_t,
     }
 
 
@@ -6481,9 +6476,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT ida, d,
                        ROW_NUMBER() OVER (PARTITION BY ida ORDER BY d ASC, idb ASC) AS r
                 FROM scored
+            ),
+            -- undersized-corpus fallback mirror: keep the max rank <= k
+            -- per id (equals k whenever the corpus has > k rows)
+            capped AS (
+                SELECT ida, d, r, MAX(r) OVER (PARTITION BY ida) AS mx
+                FROM ranked WHERE r <= 5
             )
             SELECT ida AS vec_id, d AS kth_dist
-            FROM ranked WHERE r = 5
+            FROM capped WHERE r = mx
             ORDER BY kth_dist DESC, vec_id ASC
             LIMIT 20
         """,
@@ -6546,7 +6547,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT dim, 10 AS k,
                    (SELECT COUNT(*) FROM q)::BIGINT AS n_queries,
-                   ROUND(matched::DOUBLE / ((SELECT COUNT(*) FROM q) * 10), 6) AS mean_overlap
+                   -- denominator = actual full-dim top rows (equals
+                   -- nq*k whenever the corpus has >= k rows)
+                   ROUND(matched::DOUBLE / (SELECT COUNT(*) FROM fullt), 6) AS mean_overlap
             FROM m ORDER BY dim
         """,
 

@@ -96,37 +96,46 @@ def test_all_committed_oracles_bind_clean(sf_dir):
     assert not dirty, f"uncast oracle columns (cast to BIGINT/DOUBLE): {dirty}"
 
 
-# The r5 VERDICT's "What's missing #1" backlog: the 51 queries added
-# during round 5 post-rotation, none of which had a driver CORRECTNESS
-# row entering round 6 (COVERAGE.md ledger "never" rows). 51 candidates
-# for 50 slots — every one rotates in EXCEPT the named holdover. The r6
-# window contract (VERDICT r5 "Next round" #1) is that these occupy the
-# window HEAD so a registry edit cannot silently re-defer them.
-R6_WINDOW = [
-    "winnow_pairs", "ql_search", "rrf_fusion", "lang_kappa",
-    "lang_confusion", "tfidf_cosine_pairs", "semantic_contamination",
-    "neyman_allocation", "trigram_logprob", "bt_brand_ranking",
-    "winnow_spans", "rouge_pair_overlap", "fleiss_lang_raters",
-    "ndcg_retrieval", "field_mutual_info", "doc_readability",
-    "graph_assortativity", "event_decayed_popularity",
-    "source_rank_normalize", "krippendorff_lang",
-    "source_lexical_diversity", "elo_brand_ratings", "doc_char_entropy",
-    "source_heaps_law", "doc_ngram_novelty", "term_burstiness",
-    "ks_value_drift", "chi2_source_lang", "rank_agreement",
-    "graph_transitivity", "benford_order_totals", "source_length_gini",
-    "bpe_roundtrip", "event_id_gaps", "customer_rfm",
-    "touch_attribution", "user_survival", "seasonal_naive_eval",
-    "ab_conversion_test", "ab_revenue_welch", "ab_srm_check",
-    "ab_revenue_cuped", "doc_tree_rollup", "customer_supplier_radius",
-    "decayed_popularity_stream", "event_did", "mwu_value_test",
-    "source_en_share_fdr", "user_purchase_mcnemar", "user_value_paired_t",
+# The r6 VERDICT's "Next round" #1 window: head = the named r6
+# holdover w1_value_drift; then the 17 queries added during round 6
+# post-rotation (never driver-checked); then the 32 STALEST veterans
+# (last driver-green in round 2, most first checked in round 1, code
+# refactored since). 18 + 32 = 50 — no holdover this round. The window
+# contract is that these occupy the registry HEAD so an edit cannot
+# silently re-defer a never/stale-checked query.
+R7_WINDOW = [
+    "w1_value_drift",
+    # 17 r6-era additions, never driver-checked
+    "hits_purchase_graph", "t_closeness_audit", "event_acf",
+    "hll_rolling_actives", "bloom_pruned_lookup", "textrank_keywords",
+    "ab_msprt_monitor", "session_paths", "matryoshka_fidelity",
+    "ppr_related_parts", "embedding_knn_outliers",
+    "substring_index_search", "event_value_cusum",
+    "compression_quality_flags", "hll_rolling_stream", "rank_rbo_top50",
+    "source_tail_index",
+    # 32 stalest veterans (driver-green r2)
+    "media_content_stats", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_clusters_star", "metadata_filter_eq", "metadata_filter_range",
+    "metadata_filter_in", "cosine_topk", "dot_topk_compat", "nearest_l2",
+    "ann_brute_topk", "dedup_exact", "neardup_embedding",
+    "neardup_embedding_lsh", "ann_lsh_topk", "text_stats",
+    "lang_profile", "pricing_summary", "top_revenue_orders",
+    "brand_revenue", "events_windowed", "events_sessionize",
+    "dedup_keep", "bm25_search", "lang_id_heuristic", "props_json_agg",
+    "revenue_rollup", "segment_intersect", "customer_rank_window",
+    "regional_supply", "events_windowed_stream", "asof_join_clicks",
 ]
 
-# The one r6 holdover (51 never-checked candidates, 50 slots): pinned
-# at position 51 — the FIRST slot of the r7 window. Chosen because its
-# sibling ks_value_drift (same value-drift CTE shape, same event pair)
-# IS in the window, minimizing unique-coverage loss.
-R6_HOLDOVER = "w1_value_drift"
+# The r8 window head: the 13 round-2-stale rows that did not fit in the
+# r7 window (the round-2 cohort had 45 rows for 32 slots). Pinned at
+# positions 51-63 so they cannot be silently re-deferred next rotation.
+R8_HEAD = [
+    "range_join_incidents", "customers_no_big_order", "order_cube",
+    "event_value_quantiles", "ivf_ann_topk", "orders_heavy_semi",
+    "customer_moving_sum", "brand_supplier_breadth",
+    "user_totals_stateful_stream", "salted_part_join",
+    "events_rollup_merge", "small_qty_revenue", "segment_except",
+]
 
 # Rows-only by design: non-deterministic internals make an exact SQL
 # oracle impossible; each has an in-registry planted-oracle twin gating
@@ -136,10 +145,11 @@ ROWS_ONLY = {"rp_ann_topk", "ivf_ann_topk"}
 
 def test_driver_window_composition():
     """Pin the registry's FULL 50-entry window (the r2 judge found
-    failures had slid OUT of the driver's window unnoticed): the 50
-    rotated-in never-driver-checked r5 additions, with the one named
-    holdover pinned at position 51 as the r7 window head. Every window
-    entry must be oracle-backed unless documented rows-only."""
+    failures had slid OUT of the driver's window unnoticed): the r6
+    holdover + the 17 never-checked r6 additions + the 32 stalest
+    round-2 veterans, with the 13 round-2 leftovers pinned at positions
+    51-63 as the r8 window head. Every window entry must be
+    oracle-backed unless documented rows-only."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entrymod
 
@@ -147,13 +157,13 @@ def test_driver_window_composition():
     oracles = entrymod.oracle_sql()
     window = qs[:50]
     assert len(qs) == len(set(qs)), "duplicate registry keys"
-    assert window == R6_WINDOW, (
-        "r6 window drifted — a registry edit re-deferred a "
-        "never-driver-checked query"
+    assert window == R7_WINDOW, (
+        "r7 window drifted — a registry edit re-deferred a "
+        "never/stale-driver-checked query"
     )
-    assert qs[50] == R6_HOLDOVER, (
-        "the r6 holdover must sit at position 51 (first slot of the "
-        "r7 window)"
+    assert qs[50:63] == R8_HEAD, (
+        "the 13 round-2-stale leftovers must sit at positions 51-63 "
+        "(head of the r8 window)"
     )
     missing = [q for q in window if q not in oracles and q not in ROWS_ONLY]
     assert not missing, f"window entries without oracles: {missing}"

@@ -437,3 +437,19 @@ def test_compression_ratio_separates_repetitive_from_prose(spark):
         want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
         assert out[i].compression_ratio == want
         assert out[i].n_bytes == len(raw)
+
+
+def test_compression_ratio_respects_id_col_name_and_type(spark):
+    """ADVICE r6: the output id field must carry the caller's id column
+    NAME and TYPE (the schema was hardcoded 'doc_id long', so a string
+    or renamed id column hit an Arrow cast error)."""
+    from valentinus_spark.operators import compression_ratio
+
+    df = spark.createDataFrame(
+        [("u-1", "hello world " * 10), ("u-2", "abc")], ["url", "text"]
+    )
+    out = compression_ratio(df, id_col="url")
+    assert out.schema["url"].dataType.typeName() == "string"
+    rows = {r.url: r for r in out.collect()}
+    assert set(rows) == {"u-1", "u-2"}
+    assert rows["u-1"].compression_ratio < rows["u-2"].compression_ratio

@@ -695,3 +695,39 @@ def test_knn_distance_outliers_planted(spark):
 
     for r in out:
         assert r.kth_dist == pytest.approx(kth(r.vec_id), abs=1e-4), r.vec_id
+
+
+def test_knn_distance_outliers_undersized_corpus_falls_back(spark):
+    """ADVICE r6: a corpus with n <= k rows must fall back to each
+    vector's (n-1)-th neighbor distance instead of silently returning
+    an empty frame (row_number never reached k)."""
+    import numpy as np
+
+    from valentinus_spark.operators import knn_distance_outliers
+
+    pts = [(0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, [6.0, 8.0])]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    out = {r.vec_id: r.kth_dist for r in knn_distance_outliers(df, k=5, topn=10).collect()}
+    # every vector survives with its farthest (2nd of 2) neighbor distance
+    assert set(out) == {0, 1, 2}
+    X = {i: np.array(v) for i, v in pts}
+    for i in X:
+        want = max(round(float(np.linalg.norm(X[i] - X[j])), 4) for j in X if j != i)
+        assert out[i] == pytest.approx(want, abs=1e-4)
+
+
+def test_matryoshka_fidelity_undersized_corpus_full_dim_is_one(spark):
+    """ADVICE r6: with fewer corpus rows than k the full-dimension
+    sanity row must still report mean_overlap == 1.0 (denominator is
+    the actual top-list size, not nq*k)."""
+    import numpy as np
+
+    from valentinus_spark.operators import matryoshka_fidelity
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.rand(8)]) for i in range(4)]  # 4 < k=10
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame([(100, rows[0][1])], ["qid", "qvec"])
+    out = {r.dim: r for r in matryoshka_fidelity(corpus, queries, [4], k=10).collect()}
+    assert out[8].mean_overlap == 1.0
+    assert 0.0 <= out[4].mean_overlap <= 1.0

@@ -145,9 +145,12 @@ def welch_means_test(
     """
     arm = F.col(arm_col)
     v = F.col(value_col).cast("decimal(38,8)")
+    # (17,4)^2 = (35,8) — exact under Spark's 38-digit cap; (19,4)^2
+    # would be adjusted to (38,7), truncating the 8th decimal digit the
+    # oracle's native DECIMAL(38,8) product keeps.
     vv = (
-        F.col(value_col).cast("decimal(19,4)")
-        * F.col(value_col).cast("decimal(19,4)")
+        F.col(value_col).cast("decimal(17,4)")
+        * F.col(value_col).cast("decimal(17,4)")
     ).cast("decimal(38,8)")
     # One conditional-sum aggregate over the whole frame: a single agg
     # emits its one row even when an arm (or the entire input) is empty,
@@ -257,7 +260,10 @@ def cuped_adjust(
     per arm — 2 rows), pooled scalars from those two rows, then
     per-arm arithmetic. One corpus scan.
     """
-    dec = lambda c: F.col(c).cast("decimal(19,4)")  # noqa: E731
+    # (17,4) operands keep every product (35,8) — exact under Spark's
+    # 38-digit cap (a (19,4) product is adjusted to (38,7), truncating
+    # the 8th decimal digit the oracle's DECIMAL(38,8) products keep).
+    dec = lambda c: F.col(c).cast("decimal(17,4)")  # noqa: E731
     big = lambda e: e.cast("decimal(38,8)")  # noqa: E731
     agg = df.filter(F.col(arm_col).isin([0, 1])).groupBy(
         F.col(arm_col).alias("arm")
@@ -333,7 +339,8 @@ def did_estimate(
     (arm, period) aggregate — 4 rows out of any corpus — then scalar
     arithmetic.
     """
-    dec = F.col(value_col).cast("decimal(19,4)")
+    # (17,4)^2 = (35,8) — exact under Spark's 38-digit cap (see msprt).
+    dec = F.col(value_col).cast("decimal(17,4)")
     agg = (
         df.filter(F.col(arm_col).isin([0, 1]) & F.col(period_col).isin([0, 1]))
         .groupBy(
@@ -583,9 +590,11 @@ def paired_t_test(
     Determinism: difference sums and squares accumulate in
     DECIMAL(38,8); only the final scalar fold is float. One scan.
     """
+    # (17,4) operands: d is (18,4), so d*d = (37,8) — exact under
+    # Spark's 38-digit cap ((20,4)^2 would lose scale to the adjuster).
     d = (
-        F.col(after_col).cast("decimal(19,4)")
-        - F.col(before_col).cast("decimal(19,4)")
+        F.col(after_col).cast("decimal(17,4)")
+        - F.col(before_col).cast("decimal(17,4)")
     )
     agg = df.filter(
         F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
@@ -662,7 +671,11 @@ def msprt_test(
         )
     )
     if sigma2 is None:
-        dd = F.col(value_col).cast("decimal(19,4)")
+        # (17,4)^2 = (35,8) stays under Spark's 38-digit cap, so the
+        # square is EXACT; (19,4)^2 would be adjusted to (38,7),
+        # truncating the 8th decimal digit the DuckDB oracle's native
+        # DECIMAL(38,8) product keeps (e.g. 0.0003^2 = 9e-8).
+        dd = F.col(value_col).cast("decimal(17,4)")
         stats = df.filter(arm.isin([0, 1])).agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(dd.cast("decimal(38,8)")).cast("double").alias("_s"),

@@ -1069,6 +1069,7 @@ def compression_ratio(
     this catches document-scale repetition their n-gram windows miss.
     """
     import pandas as pd
+    from pyspark.sql.types import StructType, StructField, LongType, DoubleType
 
     def score(it):
         import zlib
@@ -1079,7 +1080,7 @@ def compression_ratio(
             comp = raw.map(lambda b: len(zlib.compress(b, level)))
             out = pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_bytes": n.astype("int64"),
                     "compression_ratio": [
                         round(c / nb, 6) if nb > 0 else None
@@ -1089,6 +1090,14 @@ def compression_ratio(
             )
             yield out
 
-    return df.select(id_col, text_col).mapInPandas(
-        score, schema="doc_id long, n_bytes long, compression_ratio double"
+    # Output id field keeps the caller's name AND type (a string or
+    # renamed id column previously hit an Arrow cast error against the
+    # hardcoded 'doc_id long').
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("n_bytes", LongType(), True),
+            StructField("compression_ratio", DoubleType(), True),
+        ]
     )
+    return df.select(id_col, text_col).mapInPandas(score, schema=out_schema)

@@ -500,7 +500,10 @@ def cusum_changepoint(
         ref = daily.crossJoin(F.broadcast(lo)).filter(
             F.datediff("day", "_lo") < baseline_days
         )
-    xs = F.col("_x").cast("decimal(20,9)")
+    # (18,9)^2 = (37,18) stays under Spark's 38-digit cap, so the square
+    # is EXACT; (20,9)^2 would be adjusted to (38,15), truncating three
+    # decimal digits the oracle's native DECIMAL(38,18) product keeps.
+    xs = F.col("_x").cast("decimal(18,9)")
     stats = ref.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(xs).cast("double").alias("_s"),

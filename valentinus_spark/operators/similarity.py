@@ -1226,6 +1226,10 @@ def matryoshka_fidelity(
     )
     full = top.filter(F.col("dim") == full_dim).select(query_id, corpus_id)
     nq = queries.count()
+    # Denominator = the ACTUAL number of full-dimension top rows, not
+    # nq*k: when the corpus has fewer than k rows the full-dim sanity
+    # row must still report overlap 1.0 (nq*k would under-report).
+    denom = full.count()
     matched = (
         top.join(full, [query_id, corpus_id], "semi")
         .groupBy("dim")
@@ -1235,7 +1239,7 @@ def matryoshka_fidelity(
         "dim",
         F.lit(k).alias("k"),
         F.lit(nq).cast("bigint").alias("n_queries"),
-        F.round(F.col("_m").cast("double") / float(nq * k), 6).alias("mean_overlap"),
+        F.round(F.col("_m").cast("double") / float(denom), 6).alias("mean_overlap"),
     ).orderBy("dim")
 
 
@@ -1255,7 +1259,9 @@ def knn_distance_outliers(
 
     Returns (``id_col``, ``kth_dist``) — distances rounded to 4, top-n
     by distance desc then id asc (the rounded-rank convention, so both
-    engines cut the same boundary).
+    engines cut the same boundary). Corpora with n <= k rows fall back
+    to each vector's (n-1)-th (i.e. farthest available) neighbor
+    distance rather than silently returning an empty result.
 
     Scale shape: the exact form is the corpus self-join (n² scored
     pairs — correct at audit scale and for the driver oracle). At
@@ -1280,9 +1286,14 @@ def knn_distance_outliers(
         )
     )
     w = Window.partitionBy("_ida").orderBy(F.asc("_d"), F.asc("_idb"))
+    # Undersized corpora (n <= k): fall back to the (n-1)-th neighbor
+    # distance instead of silently dropping every vector (row_number
+    # never reaches k when a vector has fewer than k neighbors).
     kth = (
         scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == k)
+        .filter(F.col("_r") <= k)
+        .withColumn("_mx", F.max("_r").over(Window.partitionBy("_ida")))
+        .filter(F.col("_r") == F.col("_mx"))
         .select(F.col("_ida").alias(id_col), F.col("_d").alias("kth_dist"))
     )
     return kth.orderBy(F.col("kth_dist").desc(), F.col(id_col).asc()).limit(topn)
