@@ -31,12 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from valentinus_spark.session import get_spark
 
-# the round-1 comparable set (53) + the banded/bucketed scale paths and
-# iterative operators added since (7). Every operator family is
-# represented; the full 90+ registry is correctness-gated separately by
-# the driver's oracle compare — benching all of them would overflow the
-# driver's stdout tail and double the round's bench wall-clock for no
-# added signal.
+# Every registry query that runs a real computation over the sf tables
+# (232 of 260 as of round 7). The 28 exclusions are the three UNBENCHED
+# families below (streaming lifecycles, storage round-trips, planted
+# tiny fixtures) — each with a one-line justification, and the partition
+# BENCH_QUERIES + UNBENCHED == queries() is asserted at import. The
+# stdout JSON line stays bounded regardless (per-query timings only for
+# HEADLINE_24; everything else is family subtotals + BENCH_DETAIL.json).
 BENCH_QUERIES = [
     "flagship_filtered_cosine_topk",
     "cosine_topk",
@@ -215,7 +216,109 @@ BENCH_QUERIES = [
     "hll_rolling_stream",
     "rank_rbo_top50",
     "source_tail_index",
+    # round-7: the previously-unbenched plain tail (VERDICT r6 item 7) —
+    # every registry query that runs a real computation over the sf
+    # tables is now benched; the only exclusions are the three
+    # documented UNBENCHED families below (machine-enforced partition).
+    "t_closeness_audit",
+    "metadata_filter_eq",
+    "metadata_filter_range",
+    "metadata_filter_in",
+    "dot_topk_compat",
+    "lang_profile",
+    "segment_intersect",
+    "value_histogram",
+    "containment_probe",
+    "key_skew_profile",
+    "approx_distinct_hll",
+    "c4_line_clean",
+    "triangle_copurchase",
+    "doc_fingerprint",
+    "video_frame_manifest",
+    "hll_daily_rollup",
+    "embedding_quantize_stats",
+    "bpe_encode_fixed",
+    "dedup_canonical_keep",
+    "exact_quantiles",
+    "group_split_leakage",
+    "zipf_profile",
+    "dedup_span_removal",
+    "contrastive_triplets",
+    "kmv_audience_overlap",
+    "quantile_bins",
+    "length_bucket_batches",
+    "cm_join_size",
+    "corpus_sample_quota",
+    "events_debounce",
+    "table_profile",
+    "release_manifest",
+    "sample_quantiles",
+    "cdc_apply",
+    "k_anonymity_audit",
+    "weighted_sample_topk",
+    "doc_chunks",
+    "benchmark_contamination",
+    "repetition_profile",
+    "quality_score_linear",
+    "bpe_pair_counts",
+    "tfidf_keywords",
+    "dup_span_coverage",
+    "unigram_logprob",
+    "source_token_kl",
+    "interval_overlap",
+    "shard_manifest",
+    "length_trimmed",
+    "corpus_diff",
+    "mixture_resample",
+    "source_overlap",
+    "event_funnel",
+    "cohort_retention",
+    "label_cluster_stats",
+    "asof_next_click",
+    "l_diversity_audit",
+    "histogram_quantiles",
+    "heavy_hitters",
+    "bigram_logprob",
+    "rp_ann_topk",
 ]
+
+# The documented non-benched registry tail (VERDICT r6 item 7): three
+# families whose wall-clock would measure fixed harness cost, not
+# operator throughput. The partition BENCH_QUERIES + UNBENCHED ==
+# queries() is asserted in main() (and tests/test_bench_line.py), so a
+# new registry query must either be benched or explicitly justified
+# here — silent exclusion is impossible.
+UNBENCHED = {
+    # readStream->writeStream lifecycles against temp checkpoint/output
+    # dirs: per-trigger setup/teardown dominates at bench SFs; each has
+    # a benched batch/rolling twin measuring the same operator (e.g.
+    # events_session_window -> events_sessionize, hll_users_stream ->
+    # hll_rolling_stream, stream_stream_join -> asof_join_clicks).
+    "streaming_lifecycle": [
+        "user_totals_stateful_stream", "versioned_stream_ingest",
+        "late_window_finalize", "hll_users_stream", "stream_stream_join",
+        "events_session_window", "events_stream_enriched",
+        "cm_freq_stream", "stream_left_outer_join",
+    ],
+    # write-then-read storage round-trips into temp dirs: they time tmpfs
+    # I/O + commit protocol, not query execution (the read-side operators
+    # they exercise are benched via their table-scan twins).
+    "storage_roundtrip": [
+        "time_travel", "compaction_roundtrip", "jsonl_roundtrip",
+        "orc_roundtrip", "minmax_pruned_agg", "merge_into_versioned",
+    ],
+    # planted tiny-fixture correctness gates (constructed inputs of
+    # dozens-to-hundreds of rows measuring SEMANTICS — recall gates,
+    # parser conformance): wall-clock is all fixed overhead and does not
+    # change with sf, so benching them would add noise rows, not signal.
+    "planted_fixture": [
+        "ivf_ann_planted", "rp_ann_planted", "media_dhash_planted",
+        "audio_fp_planted", "url_normalize_planted",
+        "html_extract_planted", "crawl_pipeline", "robots_rules_planted",
+        "pii_scrub_stats", "mojibake_profile", "pq_ann_planted",
+        "kcore_planted", "unigram_encode_planted",
+    ],
+}
 
 # The 24-query BASELINE.md headline table (34.1 s at sf0.1) — the only
 # per-query timings that go on the stdout JSON line. Everything else is
@@ -243,6 +346,16 @@ BENCH_FAMILIES = {
         "embedding_drift", "kcenter_planted", "abtt_planted",
         "margin_mining", "semantic_contamination", "matryoshka_fidelity",
         "embedding_knn_outliers",
+    
+        # round-7 bench-tail additions
+        "metadata_filter_eq",
+        "metadata_filter_range",
+        "metadata_filter_in",
+        "dot_topk_compat",
+        "embedding_quantize_stats",
+        "contrastive_triplets",
+        "label_cluster_stats",
+        "rp_ann_topk",
     ],
     "dedup": [
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
@@ -251,6 +364,17 @@ BENCH_FAMILIES = {
         "semantic_dedup", "setsim_join", "entity_linkage",
         "name_edit_distance", "dedup_paragraphs", "incremental_components",
         "tfidf_cosine_pairs", "doc_ngram_novelty",
+    
+        # round-7 bench-tail additions
+        "containment_probe",
+        "doc_fingerprint",
+        "dedup_canonical_keep",
+        "group_split_leakage",
+        "dedup_span_removal",
+        "dup_span_coverage",
+        "corpus_diff",
+        "source_overlap",
+        "benchmark_contamination",
     ],
     "text": [
         "text_stats", "bm25_search", "lang_id_heuristic", "quality_kept",
@@ -268,6 +392,24 @@ BENCH_FAMILIES = {
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
         "chi2_source_lang", "rank_agreement", "rank_rbo_top50", "source_length_gini",
         "bpe_roundtrip", "textrank_keywords", "substring_index_search",
+    
+        # round-7 bench-tail additions
+        "lang_profile",
+        "c4_line_clean",
+        "bpe_encode_fixed",
+        "zipf_profile",
+        "length_bucket_batches",
+        "corpus_sample_quota",
+        "doc_chunks",
+        "repetition_profile",
+        "quality_score_linear",
+        "bpe_pair_counts",
+        "tfidf_keywords",
+        "unigram_logprob",
+        "source_token_kl",
+        "length_trimmed",
+        "mixture_resample",
+        "bigram_logprob",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -283,6 +425,22 @@ BENCH_FAMILIES = {
         "psi_price_drift", "neyman_allocation", "bt_brand_ranking",
         "elo_brand_ratings", "benford_order_totals", "customer_rfm",
         "doc_tree_rollup", "customer_supplier_radius",
+    
+        # round-7 bench-tail additions
+        "t_closeness_audit",
+        "segment_intersect",
+        "value_histogram",
+        "key_skew_profile",
+        "exact_quantiles",
+        "quantile_bins",
+        "table_profile",
+        "sample_quantiles",
+        "k_anonymity_audit",
+        "weighted_sample_topk",
+        "interval_overlap",
+        "asof_next_click",
+        "l_diversity_audit",
+        "histogram_quantiles",
     ],
     "stream": [
         "events_windowed", "events_sessionize", "events_windowed_stream",
@@ -295,23 +453,57 @@ BENCH_FAMILIES = {
         "ab_revenue_cuped", "ab_msprt_monitor", "decayed_popularity_stream", "event_did",
         "mwu_value_test", "source_en_share_fdr", "user_purchase_mcnemar",
         "user_value_paired_t",
+    
+        # round-7 bench-tail additions
+        "events_debounce",
+        "event_funnel",
+        "cohort_retention",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
         "zorder_bucket_stats", "scd2_apply", "robust_outliers",
         "winsorize_stats", "bootstrap_ci_orders", "hll_rolling_actives",
         "hll_rolling_stream", "source_tail_index",
+    
+        # round-7 bench-tail additions
+        "approx_distinct_hll",
+        "hll_daily_rollup",
+        "kmv_audience_overlap",
+        "cm_join_size",
+        "heavy_hitters",
     ],
     "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa",
               "graph_assortativity", "graph_transitivity",
-              "hits_purchase_graph", "ppr_related_parts"],
-    "media": ["media_content_stats", "media_headers"],
+              "hits_purchase_graph", "ppr_related_parts",
+        # round-7 bench-tail additions
+        "triangle_copurchase",
+    ],
+    "media": ["media_content_stats", "media_headers",
+        # round-7 bench-tail additions
+        "video_frame_manifest",
+    ],
     "src": ["warc_ingest", "epoch_shuffle_manifest", "mixture_weights_plan",
-            "versioned_delete", "table_changes_cdf", "bloom_pruned_lookup"],
+            "versioned_delete", "table_changes_cdf", "bloom_pruned_lookup",
+        # round-7 bench-tail additions
+        "release_manifest",
+        "cdc_apply",
+        "shard_manifest",
+    ],
 }
 _fam_all = [q for qs in BENCH_FAMILIES.values() for q in qs]
 assert sorted(_fam_all) == sorted(BENCH_QUERIES), (
     set(_fam_all) ^ set(BENCH_QUERIES)
+)
+# machine-enforced registry partition (VERDICT r6 item 7): every
+# queries() entry is either benched or in a justified UNBENCHED family —
+# a new registry query that is neither fails at import, so silent
+# exclusion from the bench is impossible.
+_unbenched_all = [q for qs in UNBENCHED.values() for q in qs]
+assert not set(_unbenched_all) & set(BENCH_QUERIES), (
+    set(_unbenched_all) & set(BENCH_QUERIES)
+)
+assert sorted(BENCH_QUERIES + _unbenched_all) == sorted(entrymod.queries()), (
+    set(BENCH_QUERIES + _unbenched_all) ^ set(entrymod.queries())
 )
 
 

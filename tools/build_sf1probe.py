@@ -17,6 +17,18 @@ OUTPUT shape — naive replication would silently change the problem:
   direction for pagerank.
 - embeddings: base + strong deterministic jitter (0.6 relative norm),
   so replicas stay in-distribution without being trivial near-dups.
+- orders (fixture v2, round 7): orderkeys offset IN LOCKSTEP with
+  lineitem (same k*1e6) and custkeys offset per replica, so
+  orders-joining workloads (hits_purchase_graph's customer->part
+  edges, elo's order-year join) see a TRUE 10x edge set — with orders
+  symlinked, replica lineitems silently dropped out of the join and
+  the r6 hits probe measured a fixture artifact (-0.09 exponent), not
+  the operator (VERDICT r6 item 4).
+- events (fixture v2, round 7): event_id/user_id offset per replica,
+  same timestamps — 10x events-per-day and 10x distinct users, the
+  growth direction for the rolling-HLL / CMS register-maintenance
+  probes (VERDICT r6 item 5). Earlier SCALE.md rows that read events
+  at "sf1" were documented fixed-cost checks, now superseded.
 
 Usage: python tools/build_sf1probe.py [out_dir]   (default .sf1probe)
 """
@@ -100,7 +112,33 @@ def main() -> None:
         f"{out}/embeddings.parquet",
     )
 
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "events"):
+    # fixture v2: orders scale in lockstep with lineitem (same k*1e6
+    # orderkey offset; custkeys offset so cust->part edges are genuinely
+    # new per replica), events scale with fresh event/user ids.
+    for t in ("orders", "events"):
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.islink(dst):
+            os.unlink(dst)
+    con.execute(f"""
+    COPY (
+      SELECT o_orderkey + k * 1000000 AS o_orderkey,
+             o_custkey + k * 1000000 AS o_custkey,
+             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM read_parquet('{src}/orders.parquet')
+      CROSS JOIN range(10) t(k)
+    ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT event_id + k * 1000000 AS event_id, ts,
+             user_id + k * 1000000 AS user_id,
+             event_type, value, props
+      FROM read_parquet('{src}/events.parquet')
+      CROSS JOIN range(10) t(k)
+    ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(f"{src}/{t}.parquet", dst)

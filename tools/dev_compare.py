@@ -2,7 +2,16 @@
 entry on Spark and its oracle_sql() on DuckDB at the given sf dir, compare
 row count, column names, and order-insensitive values.
 
-Usage: python tools/dev_compare.py [sf_dir] [query ...]
+Usage: python tools/dev_compare.py [--cpus N] [sf_dir] [query ...]
+
+``--cpus N`` is the PARALLELISM ORDER-SHAKER (part of the per-round gate
+since r7): it pins local[N] + spark.sql.shuffle.partitions=N, changing
+partition count and therefore float-accumulation order. Run the sweep
+once at an odd N (e.g. 7) in addition to the default 32 — round 6's
+ad-hoc 7-way sweep caught heaps_law summing raw doubles whose ~0 slope
+flipped sign ("0" vs "-0" hash mismatch) only under a different
+partition order. A query that is green at 32 but red at 7 has an
+order-unstable float fold: DECIMAL-pin its sums (see SNIPPETS.md).
 """
 
 from __future__ import annotations
@@ -68,8 +77,18 @@ def main():
     import __spark_entry__ as entrymod
     from valentinus_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    if "--cpus" in argv:
+        i = argv.index("--cpus")
+        cpus = argv[i + 1]
+        del argv[i : i + 2]
+        # must land before get_spark() builds the session
+        import os
+
+        os.environ["SPARK_GRAFT_CPUS"] = str(int(cpus))
+        print(f"order-shaker: local[{cpus}], shuffle.partitions={cpus}")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("dev-compare")
     spark.sparkContext.setLogLevel("WARN")

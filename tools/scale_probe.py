@@ -109,11 +109,39 @@ def _probe_warc_scaled_shards(spark, sf_dir):
     )
 
 
+def _probe_transitivity_scaled_edges(spark, sf_dir):
+    """clustering_coefficient on a TRUE 10x-edge co-purchase graph
+    (VERDICT r6 item 4): the registry query's edges collapse under
+    DISTINCT at sf1 (replica orders carry the same part sets), so only
+    the k²-per-order fan-out grows, not the wedge join. Offsetting the
+    part space per replica (disjoint copies: 10x nodes AND 10x edges —
+    the corpus-growth direction) scales the wedge/triangle work itself.
+    At sf0.1 all orderkeys are < 1e6, so k=0 and the graph is the base
+    graph unchanged."""
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.operators.graph import (
+        clustering_coefficient,
+        copurchase_edges,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        (
+            F.col("l_partkey")
+            + (F.col("l_orderkey") / F.lit(1_000_000)).cast("bigint")
+            * F.lit(10_000_000)
+        ).alias("l_partkey"),
+    )
+    return clustering_coefficient(copurchase_edges(li))
+
+
 EXTRA_PROBES = {
     "kcore_copurchase": _probe_kcore_copurchase,
     "pq_ann_embeddings": _probe_pq_ann_embeddings,
     "dedup_paragraphs_full": _probe_dedup_paragraphs_full,
     "warc_scaled_shards": _probe_warc_scaled_shards,
+    "transitivity_scaled_edges": _probe_transitivity_scaled_edges,
 }
 
 
