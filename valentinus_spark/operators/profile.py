@@ -1056,3 +1056,107 @@ def tail_index(
         )
     )
     return out.orderBy(group_col)
+
+
+def burrows_delta(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance (Burrows 2002; Evert et al.
+    2017) between groups (sources/authors): z-score each group's
+    relative frequency of the ``top_n`` corpus-wide most frequent
+    tokens, then Delta(a,b) = mean |z_a − z_b| over those tokens — the
+    standard authorship / style-drift measure. In a training-data
+    pipeline it flags a source whose register shifted (scraper started
+    pulling a different site section) and clusters sources by style
+    before mixture planning. No reference equivalent (SURVEY.md §2.4).
+
+    Returns one row per unordered group pair (a < b lexicographically):
+    (``group_a``, ``group_b``, ``delta``) rounded to 6, ordered by
+    (group_a, group_b).
+
+    Determinism: relative frequencies are 9-dp-pinned; per-token
+    mean/std across groups use exact DECIMAL sums — (18,9)² = (37,18)
+    stays under the 38-digit cap — and the final |z| differences
+    accumulate as DECIMAL(18,6) (z is 6-dp-pinned, so differences are
+    exact), making the mean independent of partition order. The top_n
+    cut orders by (count DESC, token ASC) so both engines pick the
+    identical token set.
+
+    Scale shape: one corpus-sized (group, token) count aggregate
+    (map-side combined); everything after is (groups × top_n) rows —
+    the z-matrix and the pair join are dashboard-sized.
+    """
+    from valentinus_spark.functions.text import normalize_text, word_tokens
+
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(word_tokens(normalize_text(text_col))).alias("_t"),
+    )
+    freq = toks.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_f"))
+    top = (
+        freq.groupBy("_t")
+        .agg(F.sum("_f").alias("_tot"))
+        .orderBy(F.desc("_tot"), F.asc("_t"))
+        .limit(top_n)
+        .select("_t")
+    )
+    gtot = freq.groupBy("_g").agg(F.sum("_f").alias("_gn"))
+    # dense group × top-token spine: a missing (group, token) is
+    # relative frequency 0, not an absent row
+    spine = gtot.crossJoin(F.broadcast(top))
+    rel = (
+        spine.join(freq, ["_g", "_t"], "left")
+        .select(
+            "_g",
+            "_t",
+            F.round(
+                F.coalesce(F.col("_f"), F.lit(0)).cast("double")
+                / F.col("_gn").cast("double"),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("_r"),
+        )
+    )
+    stats = rel.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_gc"),
+        F.sum("_r").cast("double").alias("_s1"),
+        F.sum((F.col("_r") * F.col("_r")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("_s2"),
+    )
+    gc = F.col("_gc").cast("double")
+    mean = F.col("_s1") / gc
+    std = F.sqrt(F.col("_s2") / gc - mean * mean)
+    z = rel.join(F.broadcast(stats), "_t").select(
+        "_g",
+        "_t",
+        F.when(
+            std > 0, F.round((F.col("_r").cast("double") - mean) / std, 6)
+        )
+        .otherwise(0.0)
+        .alias("_z"),
+    )
+    a = z.select(
+        F.col("_g").alias("group_a"), "_t", F.col("_z").alias("_za")
+    )
+    b = z.select(
+        F.col("_g").alias("group_b"), "_t", F.col("_z").alias("_zb")
+    )
+    pairs = a.join(b, "_t").filter(F.col("group_a") < F.col("group_b"))
+    return (
+        pairs.groupBy("group_a", "group_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("_za") - F.col("_zb")).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("delta")
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -1101,3 +1101,55 @@ def compression_ratio(
         ]
     )
     return df.select(id_col, text_col).mapInPandas(score, schema=out_schema)
+
+
+def good_turing_vocab(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing unseen-mass + Chao1 vocabulary-richness estimate per
+    group (Good 1953; Chao 1984, bias-corrected form) from the token
+    frequency spectrum — the "how much vocabulary haven't we crawled
+    yet" panel: P₀ = N₁/N estimates the probability the NEXT token is
+    unseen (high → the source is far from exhausted; near 0 → more
+    crawl budget buys repetition), and Chao1 lower-bounds the group's
+    total vocabulary:
+
+        chao1 = V + N₁(N₁ − 1) / (2(N₂ + 1))
+
+    Returns one row per group: (``group_col``, ``n_tokens``, ``vocab``,
+    ``n1``, ``n2``, ``p_unseen``, ``chao1``) — ratios rounded to 6,
+    groups with 0 tokens dropped (no spectrum).
+
+    Determinism: the whole spectrum (N, V, N₁, N₂) is exact BIGINT
+    counting; the only floats are the two final ratios. Scale shape:
+    one (group, token) count aggregate — map-side combined, the only
+    corpus-sized shuffle — then a group-sized fold (the
+    lexical_diversity skeleton).
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(word_tokens(normalize_text(text_col))).alias("_t"),
+    )
+    freq = toks.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_f"))
+    agg = freq.groupBy("_g").agg(
+        F.sum("_f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("_f") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("_f") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    n1 = F.col("n1").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        F.round(n1 / F.col("n_tokens").cast("double"), 6).alias("p_unseen"),
+        F.round(
+            F.col("vocab").cast("double")
+            + n1 * (n1 - 1.0) / (2.0 * (F.col("n2").cast("double") + 1.0)),
+            6,
+        ).alias("chao1"),
+    ).orderBy(group_col)

@@ -552,3 +552,338 @@ def cusum_changepoint(
             (F.round("cusum_pos", 6) > hh) | (F.round("cusum_neg", 6) > hh)
         ).alias("alarm"),
     ).orderBy("day")
+
+
+def _daily_mean(events: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """(day, _x) daily means of ``value_col`` with the cusum discipline:
+    DECIMAL(38,8)-exact daily sums (order-free), one double division,
+    9-dp pin — the shared deterministic input for every day-series
+    monitor below."""
+    dec = F.col(value_col).cast("decimal(19,4)").cast("decimal(38,8)")
+    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.round(
+            F.sum(dec).cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("_x")
+    )
+
+
+def mann_kendall_trend(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test (Mann 1945, Kendall 1975) over
+    the daily mean of ``value_col`` — the standard non-parametric "is
+    this series drifting" gate (no normality or linearity assumption;
+    robust to the heavy-tailed event values a z-test chokes on). The
+    reference engine has no statistics at all (SURVEY.md §2.4) — this is
+    training-pipeline monitoring surface next to cusum_changepoint.
+
+        S    = Σ_{i<j} sign(x_j − x_i)           (exact integer)
+        varS = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie-corrected)
+        z    = (S∓1)/√varS,  p = 2·(1−Φ(|z|)),  τ = S / (n(n−1)/2)
+
+    Returns ONE row: (``n_days``, ``s_stat``, ``var_s``, ``z``,
+    ``p_value``, ``tau``) — z/p NULL when n < 2 or varS = 0.
+
+    Determinism: sign comparisons run on DECIMAL(18,9) copies of the
+    9-dp-pinned daily means (exact, no float subtraction), S and the
+    tie term are integers, and the only floats are the final √/Φ —
+    replayed by the identical A&S 26.2.17 polynomial in the oracle.
+
+    Scale shape: the corpus-sized work is the one daily-mean aggregate;
+    the pair join is day-granularity (n² over #days — monitoring
+    cadence, ~130k pairs for a year of minutes-level data).
+    """
+    from valentinus_spark.operators.experiment import two_sided_p
+
+    d = _daily_mean(events, ts_col, value_col).select(
+        "day", F.col("_x").cast("decimal(18,9)").alias("_v")
+    )
+    a = d.select(F.col("day").alias("_da"), F.col("_v").alias("_va"))
+    b = d.select(F.col("day").alias("_db"), F.col("_v").alias("_vb"))
+    s = (
+        a.join(b, F.col("_da") < F.col("_db"))
+        .agg(
+            F.sum(
+                F.when(F.col("_vb") > F.col("_va"), 1)
+                .when(F.col("_vb") < F.col("_va"), -1)
+                .otherwise(0)
+            ).alias("s_stat"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .select(F.coalesce("s_stat", F.lit(0)).alias("s_stat"), "n_pairs")
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        d.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+                ),
+                F.lit(0),
+            ).alias("_tie")
+        )
+    )
+    j = nn.crossJoin(s).crossJoin(ties)
+    n = F.col("n_days").cast("double")
+    var_s = (
+        n * (n - 1.0) * (2.0 * n + 5.0) - F.col("_tie").cast("double")
+    ) / 18.0
+    ss = F.col("s_stat").cast("double")
+    z = F.when(
+        (F.col("n_days") >= 2) & (var_s > 0),
+        F.when(ss > 0, (ss - 1.0) / F.sqrt(var_s))
+        .when(ss < 0, (ss + 1.0) / F.sqrt(var_s))
+        .otherwise(0.0),
+    )
+    tau = F.when(
+        F.col("n_days") >= 2,
+        ss / (n * (n - 1.0) / 2.0),
+    )
+    return j.select(
+        "n_days",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+        F.round(tau, 6).alias("tau"),
+    )
+
+
+def theil_sen_trend(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil-Sen slope estimator (Theil 1950, Sen 1968) over the daily
+    mean series — the robust companion to mann_kendall_trend: the
+    MEDIAN of all pairwise slopes tolerates up to ~29% outlier days
+    where OLS (event_did-style fits) is dragged by a single bad feed
+    day. Returns ONE row: (``n_days``, ``n_pairs``, ``slope``,
+    ``intercept``) rounded to 6 — slope per day, intercept the median
+    of (x_i − slope·t_i) (t = days since the first day), the standard
+    robust-line pairing.
+
+    Determinism: pairwise slopes are (exact DECIMAL difference of the
+    9-dp daily means) / (exact integer day gap), 9-dp-pinned; the
+    median picks rank ⌊(c+1)/2⌋ and ⌊c/2⌋+1 of the ROUNDED slopes
+    (ordered slope, then day pair — both engines cut the same ranks)
+    and averages them, so odd counts are exact and even counts share
+    one IEEE add/divide. Residual median mirrors the same convention.
+
+    Scale shape: identical to mann_kendall_trend — one corpus-sized
+    daily aggregate, then day-granularity pair work.
+    """
+    from pyspark.sql import Window
+
+    d0 = _daily_mean(events, ts_col, value_col)
+    lo = d0.agg(F.min("day").alias("_lo"))
+    d = d0.crossJoin(F.broadcast(lo)).select(
+        F.datediff("day", "_lo").cast("long").alias("_t"),
+        F.col("_x").cast("decimal(18,9)").alias("_v"),
+    )
+    a = d.select(F.col("_t").alias("_ta"), F.col("_v").alias("_va"))
+    b = d.select(F.col("_t").alias("_tb"), F.col("_v").alias("_vb"))
+    slopes = (
+        a.join(b, F.col("_ta") < F.col("_tb"))
+        .select(
+            "_ta",
+            "_tb",
+            F.round(
+                (F.col("_vb") - F.col("_va")).cast("double")
+                / (F.col("_tb") - F.col("_ta")).cast("double"),
+                9,
+            ).alias("_s"),
+        )
+    )
+    w = Window.orderBy("_s", "_ta", "_tb")
+    ranked = slopes.withColumn("_rn", F.row_number().over(w))
+    cnt = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    med = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(
+            (F.col("_rn") == (F.col("n_pairs") + 1) / 2)
+            | (F.col("_rn") == F.col("n_pairs") / 2 + 1)
+        )
+        .agg(
+            F.round(F.avg("_s"), 9).alias("slope"),
+            F.max("n_pairs").alias("n_pairs"),
+        )
+    )
+    resid = d.crossJoin(F.broadcast(med)).select(
+        "n_pairs",
+        "slope",
+        F.round(
+            F.col("_v").cast("double") - F.col("slope") * F.col("_t").cast("double"),
+            9,
+        ).alias("_r"),
+        F.col("_t"),
+    )
+    wr = Window.orderBy("_r", "_t")
+    nn = d.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        resid.withColumn("_rn", F.row_number().over(wr))
+        .crossJoin(F.broadcast(nn))
+        .filter(
+            (F.col("_rn") == (F.col("n_days") + 1) / 2)
+            | (F.col("_rn") == F.col("n_days") / 2 + 1)
+        )
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.round(F.max("slope"), 6).alias("slope"),
+            F.round(F.avg("_r"), 6).alias("intercept"),
+        )
+    )
+
+
+def page_hinkley(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    delta: float = 0.005,
+    lam: float = 3.0,
+) -> DataFrame:
+    """Page-Hinkley drift monitor (Page 1954; the streaming-ML standard
+    per Gama et al. 2014) over the daily mean series — the
+    running-mean-referenced cousin of cusum_changepoint: it needs NO
+    precomputed μ/σ (the reference mean updates online), which is the
+    form a forward-only monitor over an unbounded stream actually runs.
+
+        mean_t = (x_1 + … + x_t) / t
+        m⁺_t   = m⁺_{t−1} + (x_t − mean_t − δ);  PH⁺_t = m⁺_t − min_{i≤t} m⁺_i
+        m⁻_t   = m⁻_{t−1} + (x_t − mean_t + δ);  PH⁻_t = max_{i≤t} m⁻_i − m⁻_t
+
+    Alarm when either PH exceeds ``lam``. Returns one row per day:
+    (``day``, ``x``, ``ph_inc``, ``ph_dec``, ``alarm``), PH values
+    rounded to 6, ordered by day.
+
+    Determinism: daily means are DECIMAL-summed and 9-dp-pinned
+    (``_daily_mean``); the fold itself performs the identical IEEE op
+    sequence in day order in both engines (same discipline as
+    cusum_changepoint — no intra-fold rounding, outputs rounded once at
+    the end), so a DuckDB recursive-CTE replay is bit-for-bit.
+
+    Scale shape: one corpus-sized daily aggregate; the inherently
+    sequential fold runs as ONE Arrow-batched applyInPandas over the
+    DAY SERIES (#days rows — monitoring granularity, not row
+    granularity).
+    """
+    import pandas as pd
+
+    daily = _daily_mean(events, ts_col, value_col)
+    dd, ll = float(delta), float(lam)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = 0.0
+        m_inc = m_dec = 0.0
+        min_inc = max_dec = 0.0
+        inc, dec = [], []
+        for t, x in enumerate(pdf["_x"], start=1):
+            s += x
+            mean = s / t
+            m_inc += x - mean - dd
+            m_dec += x - mean + dd
+            min_inc = min(min_inc, m_inc)
+            max_dec = max(max_dec, m_dec)
+            inc.append(m_inc - min_inc)
+            dec.append(max_dec - m_dec)
+        pdf["ph_inc"] = inc
+        pdf["ph_dec"] = dec
+        return pdf[["day", "_x", "ph_inc", "ph_dec"]]
+
+    folded = (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            fold, schema="day date, _x double, ph_inc double, ph_dec double"
+        )
+    )
+    return folded.select(
+        "day",
+        F.col("_x").alias("x"),
+        F.round("ph_inc", 6).alias("ph_inc"),
+        F.round("ph_dec", 6).alias("ph_dec"),
+        (
+            (F.round("ph_inc", 6) > ll) | (F.round("ph_dec", 6) > ll)
+        ).alias("alarm"),
+    ).orderBy("day")
+
+
+def holt_linear_forecast(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957) over the
+    daily mean series, evaluated one-step-ahead — the level+trend
+    baseline that sits between seasonal_naive_eval (pure copy) and a
+    real forecaster: if a model can't beat Holt, ship Holt.
+
+        f_t = l_{t−1} + b_{t−1}                     (one-step forecast)
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        l_1 = x_1,  b_1 = x_2 − x_1   (standard two-point init)
+
+    Returns one row per day from the second day on: (``day``, ``x``,
+    ``forecast``, ``abs_err``) rounded to 6, ordered by day (the first
+    forecastable day scores x_2 against f_2 = x_1 + b_1 = x_2 only when
+    the init is exact — kept, as the textbook does, so the output is a
+    pure function of the series). Fewer than 2 days → empty result.
+
+    Determinism: 9-dp daily means in, identical IEEE fold order both
+    engines (cusum/page_hinkley discipline — no intra-fold rounding),
+    outputs rounded once; replayed in a DuckDB recursive CTE carrying
+    (l, b).
+
+    Scale shape: one corpus-sized daily aggregate + a day-series
+    applyInPandas fold, same as page_hinkley.
+    """
+    import pandas as pd
+
+    daily = _daily_mean(events, ts_col, value_col)
+    aa, bb = float(alpha), float(beta)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pdf.iloc[0:0].assign(forecast=[], abs_err=[])[
+                ["day", "_x", "forecast", "abs_err"]
+            ]
+        xs = list(pdf["_x"])
+        level = xs[0]
+        trend = xs[1] - xs[0]
+        days, vals, fcs, errs = [], [], [], []
+        for t in range(1, len(xs)):
+            f = level + trend
+            x = xs[t]
+            new_level = aa * x + (1.0 - aa) * (level + trend)
+            trend = bb * (new_level - level) + (1.0 - bb) * trend
+            level = new_level
+            days.append(pdf["day"].iloc[t])
+            vals.append(x)
+            fcs.append(f)
+            errs.append(abs(x - f))
+        return pd.DataFrame(
+            {"day": days, "_x": vals, "forecast": fcs, "abs_err": errs}
+        )
+
+    folded = (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            fold, schema="day date, _x double, forecast double, abs_err double"
+        )
+    )
+    return folded.select(
+        "day",
+        F.col("_x").alias("x"),
+        F.round("forecast", 6).alias("forecast"),
+        F.round("abs_err", 6).alias("abs_err"),
+    ).orderBy("day")

@@ -588,3 +588,56 @@ def hll_rolling_from_registers(
         )
         .orderBy("day")
     )
+
+
+def hll_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Audience overlap from HyperLogLog registers via inclusion-
+    exclusion (Flajolet et al. 2007 unions are lossless; the
+    intersection estimate is the standard |A|+|B|−|A∪B| — noisier than
+    the KMV/theta route in :func:`kmv_overlap`, but computable from
+    ALREADY-PERSISTED per-segment HLL registers with no access to the
+    raw sets, which is how overlap dashboards actually run: registers
+    are maintained per day/segment, raw ids are long gone).
+
+    Returns ONE row: (``est_a``, ``est_b``, ``est_union``,
+    ``est_intersection``, ``est_jaccard``) — estimates rounded to 4
+    (jaccard to 6), intersection clamped at 0 (inclusion-exclusion can
+    go slightly negative for near-disjoint sets).
+
+    Determinism: registers and estimates are the engine-portable
+    :func:`hll_registers`/:func:`hll_estimate` arithmetic (exact
+    integer harmonic sums), and the inclusion-exclusion runs on the
+    already-4-dp-rounded estimates — every number replays in SQL.
+
+    Scale shape: two register builds (ONE shuffle each, ≤ 2^p rows) +
+    a register merge; the overlap arithmetic is three single-row
+    frames. At 100 TB: persist the registers, run only the merge.
+    """
+    ra = hll_registers(df_a, value_col, p=p)
+    rb = hll_registers(df_b, value_col, p=p)
+    ea = hll_estimate(ra, p).select(F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(rb, p).select(F.col("est_distinct").alias("est_b"))
+    eu = hll_merge_estimate(ra, rb, p).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    j = ea.crossJoin(eb).crossJoin(eu)
+    inter = F.greatest(
+        F.lit(0.0), F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4)
+    )
+    return j.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.round(
+            F.when(F.col("est_union") > 0, inter / F.col("est_union")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("est_jaccard"),
+    )
