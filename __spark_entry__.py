@@ -5841,6 +5841,106 @@ def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flesch_readability(docs).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# round-7 additions: day-series trend/drift monitors, stylometry,
+# vocabulary richness, HLL set algebra
+# ---------------------------------------------------------------------------
+
+
+def q_event_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test (operators/rollup.py::
+    mann_kendall_trend, Mann 1945) over the daily mean event value —
+    the non-parametric "is this metric drifting" gate next to
+    cusum/page-hinkley. Exact-integer S and tie spectrum on
+    DECIMAL(18,9) daily means; the oracle replays the A&S 26.2.17
+    normal CDF polynomial verbatim."""
+    from valentinus_spark.operators.rollup import mann_kendall_trend
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    return mann_kendall_trend(ev)
+
+
+def q_event_trend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope (operators/rollup.py::theil_sen_trend,
+    Sen 1968) of the daily mean event value — the median-of-pairwise-
+    slopes line that tolerates ~29% outlier days. Median convention
+    (ranks floor((c+1)/2) and floor(c/2)+1 of 9-dp-rounded slopes,
+    ordered with day-pair tie-breaks) is mirrored in the oracle."""
+    from valentinus_spark.operators.rollup import theil_sen_trend
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    return theil_sen_trend(ev)
+
+
+def q_event_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift monitor (operators/rollup.py::page_hinkley,
+    Page 1954) over the daily mean event value — the running-mean
+    referenced sequential detector (no precomputed mu/sigma, the
+    forward-only form). The fold's IEEE op sequence replays in a
+    DuckDB recursive CTE carrying (s, m_inc, m_dec, min_inc,
+    max_dec)."""
+    from valentinus_spark.operators.rollup import page_hinkley
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    return page_hinkley(ev, delta=0.005, lam=3.0)
+
+
+def q_event_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend one-step-ahead forecast (operators/rollup.py::
+    holt_linear_forecast, Holt 1957) of the daily mean event value —
+    the level+trend baseline between seasonal-naive and a real
+    forecaster. Smoothing constants (and their 1-x complements) are
+    inlined into the oracle at full double precision so the recursion
+    is bit-for-bit."""
+    from valentinus_spark.operators.rollup import holt_linear_forecast
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    return holt_linear_forecast(ev, alpha=0.3, beta=0.1)
+
+
+def q_source_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distances (operators/profile.py::
+    burrows_delta, Burrows 2002) between the 5 document sources over
+    the top-50 corpus tokens — style-drift / register clustering for
+    mixture planning. DECIMAL-exact frequency moments and
+    DECIMAL-accumulated |z| sums make the pair matrix order-free."""
+    from valentinus_spark.operators.profile import burrows_delta
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return burrows_delta(docs, "source", top_n=50)
+
+
+def q_source_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass + bias-corrected Chao1 vocabulary
+    estimate per source (operators/quality.py::good_turing_vocab, Good
+    1953; Chao 1984) — the "how much vocabulary is left to crawl"
+    panel. Exact BIGINT frequency spectrum; floats only in the two
+    final ratios."""
+    from valentinus_spark.operators.quality import good_turing_vocab
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return good_turing_vocab(docs, "source")
+
+
+def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL audience overlap (operators/sketches.py::hll_overlap,
+    inclusion-exclusion over mergeable registers) between click
+    user-days and purchase user-days — the persisted-sketch overlap
+    readout (raw ids long gone at 100 TB; kmv_audience_overlap is the
+    raw-sketch twin). p=10 registers replayed bit-for-bit in SQL."""
+    from valentinus_spark.operators.sketches import hll_overlap
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id", "ts")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.to_date("ts").cast("string"),
+    ).alias("_k")
+    a = ev.filter(F.col("event_type") == "click").select(key)
+    b = ev.filter(F.col("event_type") == "purchase").select(key)
+    return hll_overlap(a, b, "_k", p=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -5927,6 +6027,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_merge": q_events_rollup_merge,
         "small_qty_revenue": q_small_qty_revenue,
         "segment_except": q_segment_except,
+        # ---- new r7 additions (r8 window candidates, after the 13
+        # round-2 leftovers above) ----
+        "event_trend_mk": q_event_trend_mk,
+        "event_trend_theil": q_event_trend_theil,
+        "event_page_hinkley": q_event_page_hinkley,
+        "event_holt_forecast": q_event_holt_forecast,
+        "source_stylometry": q_source_stylometry,
+        "source_good_turing": q_source_good_turing,
+        "hll_user_overlap": q_hll_user_overlap,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -11869,4 +11978,279 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         """
     )
+    sql["event_trend_mk"] = """
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS day,
+                       ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+                             / COUNT(*), 9) AS x
+                FROM events GROUP BY 1
+            ),
+            d AS (SELECT day, CAST(x AS DECIMAL(18,9)) AS v FROM daily),
+            s AS (
+                SELECT COALESCE(SUM(CASE WHEN b.v > a.v THEN 1
+                                         WHEN b.v < a.v THEN -1
+                                         ELSE 0 END), 0)::BIGINT AS s_stat
+                FROM d a JOIN d b ON a.day < b.day
+            ),
+            nn AS (SELECT COUNT(*)::BIGINT AS n_days FROM d),
+            ties AS (
+                SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie
+                FROM (SELECT COUNT(*)::BIGINT AS t FROM d GROUP BY v)
+            ),
+            calc AS (
+                SELECT n_days, s_stat,
+                       (n_days::DOUBLE * (n_days::DOUBLE - 1.0)
+                        * (2.0 * n_days::DOUBLE + 5.0) - tie::DOUBLE) / 18.0 AS var_s
+                FROM nn, s, ties
+            ),
+            zc AS (
+                SELECT *, CASE WHEN n_days >= 2 AND var_s > 0 THEN
+                            CASE WHEN s_stat > 0 THEN (s_stat::DOUBLE - 1.0) / SQRT(var_s)
+                                 WHEN s_stat < 0 THEN (s_stat::DOUBLE + 1.0) / SQRT(var_s)
+                                 ELSE 0.0 END END AS z
+                FROM calc
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM zc)
+            SELECT n_days, s_stat, ROUND(var_s, 6) AS var_s, ROUND(z, 6) AS z,
+                   ROUND(CASE WHEN z IS NOT NULL THEN LEAST(1.0, 2.0 * EXP(-z * z / 2.0) / 2.5066282746310002 * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429)))))) END, 6) AS p_value,
+                   ROUND(CASE WHEN n_days >= 2 THEN s_stat::DOUBLE
+                              / (n_days::DOUBLE * (n_days::DOUBLE - 1.0) / 2.0) END, 6) AS tau
+            FROM pv
+        """
+    sql["event_trend_theil"] = """
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS day,
+                       ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+                             / COUNT(*), 9) AS x
+                FROM events GROUP BY 1
+            ),
+            lo AS (SELECT MIN(day) AS lo FROM daily),
+            d AS (SELECT date_diff('day', (SELECT lo FROM lo), day)::BIGINT AS t,
+                         CAST(x AS DECIMAL(18,9)) AS v
+                  FROM daily),
+            slopes AS (
+                SELECT a.t AS ta, b.t AS tb,
+                       ROUND(CAST(b.v - a.v AS DOUBLE) / (b.t - a.t)::DOUBLE, 9) AS s
+                FROM d a JOIN d b ON a.t < b.t
+            ),
+            cnt AS (SELECT COUNT(*)::BIGINT AS n_pairs FROM slopes),
+            ranked AS (
+                SELECT s, ROW_NUMBER() OVER (ORDER BY s, ta, tb) AS rn FROM slopes
+            ),
+            med AS (
+                SELECT ROUND(AVG(s), 9) AS slope, MAX(n_pairs) AS n_pairs
+                FROM ranked, cnt
+                WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+            ),
+            resid AS (
+                SELECT m.n_pairs, m.slope,
+                       ROUND(CAST(d.v AS DOUBLE) - m.slope * d.t::DOUBLE, 9) AS r,
+                       d.t
+                FROM d, med m
+            ),
+            nn AS (SELECT COUNT(*)::BIGINT AS n_days FROM d),
+            rranked AS (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY r, t) AS rn FROM resid
+            )
+            SELECT MAX(n_days) AS n_days, MAX(n_pairs) AS n_pairs,
+                   ROUND(MAX(slope), 6) AS slope, ROUND(AVG(r), 6) AS intercept
+            FROM rranked, nn
+            WHERE rn = (n_days + 1) // 2 OR rn = n_days // 2 + 1
+        """
+    sql["event_page_hinkley"] = """
+            WITH RECURSIVE daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS day,
+                       ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+                             / COUNT(*), 9) AS x
+                FROM events GROUP BY 1
+            ),
+            zs AS MATERIALIZED (
+                SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+            ),
+            rec AS (
+                SELECT rn, day, x,
+                       CAST(x AS DOUBLE) AS s,
+                       CAST(x - x / 1 - 0.005 AS DOUBLE) AS m_inc,
+                       CAST(x - x / 1 + 0.005 AS DOUBLE) AS m_dec,
+                       CAST(LEAST(0.0, x - x / 1 - 0.005) AS DOUBLE) AS min_inc,
+                       CAST(GREATEST(0.0, x - x / 1 + 0.005) AS DOUBLE) AS max_dec
+                FROM zs WHERE rn = 1
+                UNION ALL
+                SELECT d.rn, d.day, d.x,
+                       r.s + d.x,
+                       r.m_inc + (d.x - (r.s + d.x) / d.rn - 0.005),
+                       r.m_dec + (d.x - (r.s + d.x) / d.rn + 0.005),
+                       LEAST(r.min_inc, r.m_inc + (d.x - (r.s + d.x) / d.rn - 0.005)),
+                       GREATEST(r.max_dec, r.m_dec + (d.x - (r.s + d.x) / d.rn + 0.005))
+                FROM rec r JOIN zs d ON d.rn = r.rn + 1
+            )
+            SELECT day, x,
+                   ROUND(m_inc - min_inc, 6) AS ph_inc,
+                   ROUND(max_dec - m_dec, 6) AS ph_dec,
+                   (ROUND(m_inc - min_inc, 6) > 3.0
+                    OR ROUND(max_dec - m_dec, 6) > 3.0) AS alarm
+            FROM rec ORDER BY day
+        """
+    sql["event_holt_forecast"] = """
+            WITH RECURSIVE daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS day,
+                       ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+                             / COUNT(*), 9) AS x
+                FROM events GROUP BY 1
+            ),
+            zs AS MATERIALIZED (
+                SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+            ),
+            rec AS (
+                SELECT d2.rn, d2.day, d2.x,
+                       CAST(d1.x + (d2.x - d1.x) AS DOUBLE) AS forecast,
+                       CAST(0.3 * d2.x + 0.7 * (d1.x + (d2.x - d1.x)) AS DOUBLE) AS lv,
+                       CAST(0.1 * ((0.3 * d2.x + 0.7 * (d1.x + (d2.x - d1.x))) - d1.x)
+                            + 0.9 * (d2.x - d1.x) AS DOUBLE) AS tr
+                FROM zs d1, zs d2 WHERE d1.rn = 1 AND d2.rn = 2
+                UNION ALL
+                SELECT d.rn, d.day, d.x,
+                       r.lv + r.tr,
+                       0.3 * d.x + 0.7 * (r.lv + r.tr),
+                       0.1 * ((0.3 * d.x + 0.7 * (r.lv + r.tr)) - r.lv)
+                           + 0.9 * r.tr
+                FROM rec r JOIN zs d ON d.rn = r.rn + 1
+            )
+            SELECT day, x, ROUND(forecast, 6) AS forecast,
+                   ROUND(ABS(x - forecast), 6) AS abs_err
+            FROM rec ORDER BY day
+        """
+    sql["source_stylometry"] = """
+            WITH toks AS (
+                SELECT source, unnest(
+                    CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                         THEN []::VARCHAR[]
+                         ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                    END) AS t
+                FROM documents
+            ),
+            freq AS (SELECT source, t, COUNT(*)::BIGINT AS f FROM toks GROUP BY 1, 2),
+            top AS (
+                SELECT t FROM (SELECT t, SUM(f)::BIGINT AS tot FROM freq GROUP BY t)
+                ORDER BY tot DESC, t ASC LIMIT 50
+            ),
+            gtot AS (SELECT source, SUM(f)::BIGINT AS gn FROM freq GROUP BY source),
+            rel AS (
+                SELECT g.source, tt.t,
+                       CAST(ROUND(COALESCE(f.f, 0)::DOUBLE / g.gn, 9) AS DECIMAL(18,9)) AS r
+                FROM gtot g CROSS JOIN top tt
+                LEFT JOIN freq f ON f.source = g.source AND f.t = tt.t
+            ),
+            stats AS (
+                SELECT t, COUNT(*)::BIGINT AS gc,
+                       CAST(SUM(r) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS s2
+                FROM rel GROUP BY t
+            ),
+            z AS (
+                SELECT rel.source, rel.t,
+                       CASE WHEN s2 / gc - (s1 / gc) * (s1 / gc) > 0
+                            THEN ROUND((CAST(r AS DOUBLE) - s1 / gc)
+                                       / SQRT(s2 / gc - (s1 / gc) * (s1 / gc)), 6)
+                            ELSE 0.0 END AS z
+                FROM rel JOIN stats ON stats.t = rel.t
+            )
+            SELECT a.source AS group_a, b.source AS group_b,
+                   ROUND(CAST(SUM(CAST(ABS(a.z - b.z) AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS delta
+            FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    sql["source_good_turing"] = """
+            WITH toks AS (
+                SELECT source, unnest(
+                    CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                         THEN []::VARCHAR[]
+                         ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                    END) AS t
+                FROM documents
+            ),
+            freq AS (SELECT source, t, COUNT(*)::BIGINT AS f FROM toks GROUP BY 1, 2),
+            agg AS (
+                SELECT source, SUM(f)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS vocab,
+                       SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                       SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+                FROM freq GROUP BY source
+            )
+            SELECT source, n_tokens, vocab, n1, n2,
+                   ROUND(n1::DOUBLE / n_tokens::DOUBLE, 6) AS p_unseen,
+                   ROUND(vocab::DOUBLE + n1::DOUBLE * (n1::DOUBLE - 1.0)
+                         / (2.0 * (n2::DOUBLE + 1.0)), 6) AS chao1
+            FROM agg ORDER BY source
+        """
+    sql["hll_user_overlap"] = """
+            WITH h_a AS (
+                SELECT ('0x' || substr(sha256(user_id::VARCHAR || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+                FROM events WHERE event_type = 'click'
+            ),
+            r_a AS (
+                SELECT h >> 50 AS idx,
+                       MAX(CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                                ELSE 51 - length(bin(h & ((1::BIGINT << 50) - 1)))
+                           END) AS rho
+                FROM h_a GROUP BY 1
+            ),
+            h_b AS (
+                SELECT ('0x' || substr(sha256(user_id::VARCHAR || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+                FROM events WHERE event_type = 'purchase'
+            ),
+            r_b AS (
+                SELECT h >> 50 AS idx,
+                       MAX(CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                                ELSE 51 - length(bin(h & ((1::BIGINT << 50) - 1)))
+                           END) AS rho
+                FROM h_b GROUP BY 1
+            ),
+            r_u AS (
+                SELECT idx, MAX(rho) AS rho
+                FROM (SELECT * FROM r_a UNION ALL SELECT * FROM r_b)
+                GROUP BY idx
+            ),
+            ests AS (
+                SELECT (
+                SELECT ROUND(CASE WHEN raw <= 2560.0 AND v > 0
+                             THEN 1024.0 * ln(1024.0 / v)
+                             ELSE raw END, 4)
+                FROM (
+                    SELECT 1024 - COUNT(*) AS v,
+                           1.7013287633207432e+21 / (SUM(1::BIGINT << (51 - rho))
+                               + (1024 - COUNT(*)) * (1::BIGINT << 51))::DOUBLE AS raw
+                    FROM r_a
+                )
+            ) AS est_a,
+                       (
+                SELECT ROUND(CASE WHEN raw <= 2560.0 AND v > 0
+                             THEN 1024.0 * ln(1024.0 / v)
+                             ELSE raw END, 4)
+                FROM (
+                    SELECT 1024 - COUNT(*) AS v,
+                           1.7013287633207432e+21 / (SUM(1::BIGINT << (51 - rho))
+                               + (1024 - COUNT(*)) * (1::BIGINT << 51))::DOUBLE AS raw
+                    FROM r_b
+                )
+            ) AS est_b,
+                       (
+                SELECT ROUND(CASE WHEN raw <= 2560.0 AND v > 0
+                             THEN 1024.0 * ln(1024.0 / v)
+                             ELSE raw END, 4)
+                FROM (
+                    SELECT 1024 - COUNT(*) AS v,
+                           1.7013287633207432e+21 / (SUM(1::BIGINT << (51 - rho))
+                               + (1024 - COUNT(*)) * (1::BIGINT << 51))::DOUBLE AS raw
+                    FROM r_u
+                )
+            ) AS est_union
+            )
+            SELECT est_a, est_b, est_union,
+                   GREATEST(0.0, ROUND(est_a + est_b - est_union, 4)) AS est_intersection,
+                   ROUND(CASE WHEN est_union > 0
+                              THEN GREATEST(0.0, ROUND(est_a + est_b - est_union, 4)) / est_union
+                              ELSE 0.0 END, 6) AS est_jaccard
+            FROM ests
+        """
     return sql

@@ -32,7 +32,7 @@ import __spark_entry__ as entrymod
 from valentinus_spark.session import get_spark
 
 # Every registry query that runs a real computation over the sf tables
-# (232 of 260 as of round 7). The 28 exclusions are the three UNBENCHED
+# (239 of 267 as of round 7). The 28 exclusions are the three UNBENCHED
 # families below (streaming lifecycles, storage round-trips, planted
 # tiny fixtures) — each with a one-line justification, and the partition
 # BENCH_QUERIES + UNBENCHED == queries() is asserted at import. The
@@ -280,6 +280,14 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "bigram_logprob",
     "rp_ann_topk",
+    # round-7 operators
+    "event_trend_mk",
+    "event_trend_theil",
+    "event_page_hinkley",
+    "event_holt_forecast",
+    "source_stylometry",
+    "source_good_turing",
+    "hll_user_overlap",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -410,6 +418,8 @@ BENCH_FAMILIES = {
         "length_trimmed",
         "mixture_resample",
         "bigram_logprob",
+        "source_stylometry",
+        "source_good_turing",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -458,6 +468,11 @@ BENCH_FAMILIES = {
         "events_debounce",
         "event_funnel",
         "cohort_retention",
+        # round-7 day-series monitors
+        "event_trend_mk",
+        "event_trend_theil",
+        "event_page_hinkley",
+        "event_holt_forecast",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
@@ -471,6 +486,7 @@ BENCH_FAMILIES = {
         "kmv_audience_overlap",
         "cm_join_size",
         "heavy_hitters",
+        "hll_user_overlap",
     ],
     "graph": ["pagerank_copurchase", "lpa_communities", "link_prediction_aa",
               "graph_assortativity", "graph_transitivity",

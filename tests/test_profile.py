@@ -316,3 +316,42 @@ def test_tail_index_small_group_null(spark):
     df = spark.createDataFrame([("a", float(i)) for i in range(1, 9)], ["g", "x"])
     out = tail_index(df, "g", "x").collect()[0]
     assert out.alpha is None  # n <= min_tail
+
+
+def test_burrows_delta_separates_planted_styles(spark):
+    """Three 'authors': A and B share a function-word style, C inverts
+    it — Delta(A,B) must be far below Delta(A,C) and Delta(B,C); the
+    pair matrix is symmetric-complete (a < b) and self-pairs absent."""
+    from valentinus_spark.operators import burrows_delta
+
+    def doc(style, n=40):
+        if style == "the-heavy":
+            return ("the cat sat on the mat and the dog " * n)
+        return ("quantum flux interacts with neutrino beams rapidly " * n)
+
+    rows = []
+    for i in range(6):
+        rows.append((f"A", doc("the-heavy")))
+        rows.append((f"B", doc("the-heavy")))
+        rows.append((f"C", doc("tech")))
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {(r.group_a, r.group_b): r.delta for r in burrows_delta(df, "source", top_n=20).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert out[("A", "B")] < out[("A", "C")]
+    assert out[("A", "B")] < out[("B", "C")]
+    assert all(d >= 0 for d in out.values())
+
+
+def test_burrows_delta_zero_for_identical_groups(spark):
+    """Two groups with identical token distributions: every z-score
+    pair coincides, Delta = 0."""
+    from valentinus_spark.operators import burrows_delta
+
+    txt = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [("X", txt), ("Y", txt), ("Z", "totally different words here now")],
+        ["source", "text"],
+    )
+    out = {(r.group_a, r.group_b): r.delta for r in burrows_delta(df, "source", top_n=10).collect()}
+    assert out[("X", "Y")] == pytest.approx(0.0, abs=1e-6)
+    assert out[("X", "Z")] > 0.1

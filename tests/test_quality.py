@@ -453,3 +453,25 @@ def test_compression_ratio_respects_id_col_name_and_type(spark):
     rows = {r.url: r for r in out.collect()}
     assert set(rows) == {"u-1", "u-2"}
     assert rows["u-1"].compression_ratio < rows["u-2"].compression_ratio
+
+
+def test_good_turing_vocab_exact_spectrum(spark):
+    """Hand-computable spectrum: 'a a a b b c d' -> N=7, V=4, N1=2
+    (c, d), N2=1 (b), P0 = 2/7, chao1 = 4 + 2*1/(2*2) = 4.5."""
+    from valentinus_spark.operators import good_turing_vocab
+
+    df = spark.createDataFrame([("s1", "a a a b b c d")], ["source", "text"])
+    r = good_turing_vocab(df, "source").collect()[0]
+    assert (r.n_tokens, r.vocab, r.n1, r.n2) == (7, 4, 2, 1)
+    assert r.p_unseen == pytest.approx(2 / 7, abs=1e-6)
+    assert r.chao1 == pytest.approx(4 + 2 * 1 / (2 * 2), abs=1e-6)
+
+
+def test_good_turing_no_singletons_means_no_unseen_mass(spark):
+    """Every token repeated: N1 = 0 -> P0 = 0 and chao1 = V (the
+    vocabulary looks exhausted)."""
+    from valentinus_spark.operators import good_turing_vocab
+
+    df = spark.createDataFrame([("s", "x x y y z z")], ["source", "text"])
+    r = good_turing_vocab(df, "source").collect()[0]
+    assert r.n1 == 0 and r.p_unseen == 0.0 and r.chao1 == float(r.vocab)

@@ -303,3 +303,169 @@ def test_cusum_constant_series_never_alarms(spark):
     out = cusum_changepoint(df).collect()
     assert all(r.z == 0.0 and not r.alarm for r in out)
     assert all(r.cusum_pos == 0.0 and r.cusum_neg == 0.0 for r in out)
+
+
+def test_mann_kendall_planted_monotone_and_flat(spark):
+    """A strictly increasing daily series must give S = n(n-1)/2,
+    tau = 1, small p; a constant series gives S = 0 with var 0 and NULL
+    inference (all pairs tie)."""
+    import datetime
+
+    from valentinus_spark.operators import mann_kendall_trend
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=d), float(d + 1))
+        for d in range(10)
+    ]
+    ev = spark.createDataFrame(rows, ["ts", "value"])
+    r = mann_kendall_trend(ev).collect()[0]
+    assert r.n_days == 10 and r.s_stat == 45 and r.tau == 1.0
+    assert r.p_value is not None and r.p_value < 0.01
+
+    flat = spark.createDataFrame(
+        [(base + datetime.timedelta(days=d), 5.0) for d in range(10)],
+        ["ts", "value"],
+    )
+    rf = mann_kendall_trend(flat).collect()[0]
+    assert rf.s_stat == 0 and rf.var_s == 0.0 and rf.z is None
+
+
+def test_mann_kendall_matches_scipy_style_replica(spark):
+    """S, var (with ties), z against a direct python replay on a mixed
+    series with duplicate daily means."""
+    import datetime
+    import math
+
+    from valentinus_spark.operators import mann_kendall_trend
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    base = datetime.datetime(2024, 3, 1)
+    ev = spark.createDataFrame(
+        [(base + datetime.timedelta(days=d), x) for d, x in enumerate(xs)],
+        ["ts", "value"],
+    )
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values())
+    var = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    r = mann_kendall_trend(ev).collect()[0]
+    assert r.s_stat == s
+    assert r.var_s == pytest.approx(var, abs=1e-6)
+    assert r.z == pytest.approx(z, abs=1e-6)
+    assert r.tau == pytest.approx(s / (n * (n - 1) / 2), abs=1e-6)
+
+
+def test_theil_sen_recovers_planted_line_with_outliers(spark):
+    """y = 2t + 1 with two wildly corrupted days: the median slope must
+    stay 2.0 and the intercept 1.0 (OLS would be dragged far off)."""
+    import datetime
+
+    from valentinus_spark.operators import theil_sen_trend
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(15):
+        y = 2.0 * d + 1.0
+        if d in (4, 11):
+            y += 500.0  # corrupted feed days
+        rows.append((base + datetime.timedelta(days=d), y))
+    r = theil_sen_trend(spark.createDataFrame(rows, ["ts", "value"])).collect()[0]
+    assert r.n_days == 15 and r.n_pairs == 105
+    assert r.slope == pytest.approx(2.0, abs=1e-6)
+    assert r.intercept == pytest.approx(1.0, abs=1.0)  # medians shift slightly with outliers
+
+
+def test_theil_sen_even_pair_count_uses_both_middles(spark):
+    """4 days -> 6 pairs (even): the slope must be the MEAN of the two
+    middle slopes, not just the upper one (the floor-rank convention)."""
+    import datetime
+
+    from valentinus_spark.operators import theil_sen_trend
+
+    base = datetime.datetime(2024, 1, 1)
+    xs = [0.0, 1.0, 3.0, 6.0]
+    rows = [(base + datetime.timedelta(days=d), x) for d, x in enumerate(xs)]
+    slopes = sorted(
+        (xs[j] - xs[i]) / (j - i)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    )
+    want = (slopes[2] + slopes[3]) / 2.0
+    r = theil_sen_trend(spark.createDataFrame(rows, ["ts", "value"])).collect()[0]
+    assert r.slope == pytest.approx(want, abs=1e-6)
+
+
+def test_page_hinkley_flags_planted_mean_shift(spark):
+    """30 flat days then 10 days shifted +5: PH+ must alarm after the
+    shift and never before; the decrease side stays quiet."""
+    import datetime
+
+    from valentinus_spark.operators import page_hinkley
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=d), 10.0) for d in range(30)]
+    rows += [
+        (base + datetime.timedelta(days=30 + d), 15.0) for d in range(10)
+    ]
+    out = page_hinkley(
+        spark.createDataFrame(rows, ["ts", "value"]), delta=0.1, lam=3.0
+    ).collect()
+    by_day = {r.day.day + (r.day.month - 1) * 31: r for r in out}
+    pre = [r for r in out if r.day < datetime.date(2024, 1, 31)]
+    post = [r for r in out if r.day >= datetime.date(2024, 2, 2)]
+    assert not any(r.alarm for r in pre)
+    assert any(r.alarm for r in post)
+    assert all(r.ph_dec < 3.0 for r in out)  # no downward drift
+
+
+def test_holt_forecast_exact_on_linear_series(spark):
+    """On an exactly linear series Holt's level+trend is exact: every
+    one-step forecast equals the actual (abs_err 0)."""
+    import datetime
+
+    from valentinus_spark.operators import holt_linear_forecast
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=d), 3.0 + 2.0 * d) for d in range(12)
+    ]
+    out = holt_linear_forecast(
+        spark.createDataFrame(rows, ["ts", "value"]), alpha=0.3, beta=0.1
+    ).collect()
+    assert len(out) == 11
+    assert all(r.abs_err == pytest.approx(0.0, abs=1e-6) for r in out)
+    assert out[3].forecast == pytest.approx(3.0 + 2.0 * 4, abs=1e-6)
+
+
+def test_holt_forecast_matches_python_replica(spark):
+    """Bit-level replay of the fold on a noisy series."""
+    import datetime
+
+    from valentinus_spark.operators import holt_linear_forecast
+
+    xs = [5.0, 7.0, 6.5, 9.0, 8.0, 12.0, 11.5, 13.0]
+    base = datetime.datetime(2024, 5, 1)
+    rows = [(base + datetime.timedelta(days=d), x) for d, x in enumerate(xs)]
+    aa, bb = 0.3, 0.1
+    level, trend = xs[0], xs[1] - xs[0]
+    want = []
+    for t in range(1, len(xs)):
+        f = level + trend
+        x = xs[t]
+        nl = aa * x + (1.0 - aa) * (level + trend)
+        trend = bb * (nl - level) + (1.0 - bb) * trend
+        level = nl
+        want.append((round(f, 6), round(abs(x - f), 6)))
+    out = holt_linear_forecast(
+        spark.createDataFrame(rows, ["ts", "value"]), alpha=aa, beta=bb
+    ).collect()
+    got = [(r.forecast, r.abs_err) for r in out]
+    assert got == [(pytest.approx(a, abs=1e-9), pytest.approx(b, abs=1e-9)) for a, b in want]

@@ -315,3 +315,38 @@ def test_hll_rolling_distinct_empty_window_and_gap_days(spark):
     assert out["2024-04-02"].est_distinct > 0  # day-1 users still in window
     assert out["2024-04-03"].est_distinct == 0.0 and out["2024-04-03"].m_seen == 0
     assert out["2024-04-08"].est_distinct > 0
+
+
+def test_hll_overlap_disjoint_and_identical_sets(spark):
+    """Identical sets -> intersection ~ |A|, jaccard ~ 1; disjoint sets
+    -> intersection ~ 0 (clamped), jaccard ~ 0. p=10 keeps the sketch
+    error ~3%, and the estimates must equal hll_distinct's on the same
+    data (shared register arithmetic)."""
+    from valentinus_spark.operators import hll_distinct, hll_overlap
+
+    a = spark.range(0, 2000).selectExpr("concat('u', id) AS k")
+    same = spark.range(0, 2000).selectExpr("concat('u', id) AS k")
+    disj = spark.range(10000, 12000).selectExpr("concat('u', id) AS k")
+
+    r_same = hll_overlap(a, same, "k", p=10).collect()[0]
+    assert r_same.est_a == r_same.est_b == r_same.est_union
+    assert r_same.est_jaccard == pytest.approx(1.0, abs=1e-6)
+    base = hll_distinct(a, "k", p=10).collect()[0].est_distinct
+    assert r_same.est_a == base
+
+    r_disj = hll_overlap(a, disj, "k", p=10).collect()[0]
+    assert r_disj.est_jaccard < 0.1
+    assert r_disj.est_intersection >= 0.0  # clamp holds
+    assert r_disj.est_union > r_disj.est_a
+
+
+def test_hll_overlap_half_overlap_estimate(spark):
+    """A = [0,2000), B = [1000,3000): true jaccard 1/3 — the p=10
+    estimate must land within ~15% relative."""
+    from valentinus_spark.operators import hll_overlap
+
+    a = spark.range(0, 2000).selectExpr("concat('u', id) AS k")
+    b = spark.range(1000, 3000).selectExpr("concat('u', id) AS k")
+    r = hll_overlap(a, b, "k", p=10).collect()[0]
+    assert r.est_jaccard == pytest.approx(1 / 3, rel=0.15)
+    assert r.est_intersection == pytest.approx(1000, rel=0.15)

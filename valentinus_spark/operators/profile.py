@@ -1130,12 +1130,17 @@ def burrows_delta(
     )
     gc = F.col("_gc").cast("double")
     mean = F.col("_s1") / gc
-    std = F.sqrt(F.col("_s2") / gc - mean * mean)
+    # guard on the VARIANCE (not the std): float error can push an
+    # all-equal token's variance to -1e-18, where Spark's sqrt yields
+    # NaN silently but DuckDB's raises — branching before the sqrt
+    # keeps both engines on the same path
+    var = F.col("_s2") / gc - mean * mean
     z = rel.join(F.broadcast(stats), "_t").select(
         "_g",
         "_t",
         F.when(
-            std > 0, F.round((F.col("_r").cast("double") - mean) / std, 6)
+            var > 0,
+            F.round((F.col("_r").cast("double") - mean) / F.sqrt(var), 6),
         )
         .otherwise(0.0)
         .alias("_z"),

@@ -705,8 +705,8 @@ def theil_sen_trend(
     med = (
         ranked.crossJoin(F.broadcast(cnt))
         .filter(
-            (F.col("_rn") == (F.col("n_pairs") + 1) / 2)
-            | (F.col("_rn") == F.col("n_pairs") / 2 + 1)
+            (F.col("_rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("_rn") == F.floor(F.col("n_pairs") / 2) + 1)
         )
         .agg(
             F.round(F.avg("_s"), 9).alias("slope"),
@@ -728,8 +728,8 @@ def theil_sen_trend(
         resid.withColumn("_rn", F.row_number().over(wr))
         .crossJoin(F.broadcast(nn))
         .filter(
-            (F.col("_rn") == (F.col("n_days") + 1) / 2)
-            | (F.col("_rn") == F.col("n_days") / 2 + 1)
+            (F.col("_rn") == F.floor((F.col("n_days") + 1) / 2))
+            | (F.col("_rn") == F.floor(F.col("n_days") / 2) + 1)
         )
         .agg(
             F.max("n_days").alias("n_days"),
