@@ -5941,6 +5941,71 @@ def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_overlap(a, b, "_k", p=10)
 
 
+def q_event_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (operators/rollup.py::ewma_chart, Roberts
+    1959) over the daily mean event value — time-varying warm-up
+    control limits; the power term is carried as a product chain so
+    the recursive-CTE oracle replays bit-for-bit (libm pow is not
+    portable, multiplication is)."""
+    from valentinus_spark.operators.rollup import ewma_chart
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    return ewma_chart(ev, lam=0.2, L=3.0)
+
+
+def q_event_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (operators/rollup.py::
+    seasonal_decompose, period 7) of the daily mean event value —
+    trend / weekday-seasonal / remainder panels. Centered-MA window
+    sums are DECIMAL-pinned on both engines (window association
+    differs in the last ulp)."""
+    from valentinus_spark.operators.rollup import seasonal_decompose
+
+    ev = _events(spark, sf_dir).select("ts", "value")
+    return seasonal_decompose(ev, period=7)
+
+
+def q_value_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA (operators/experiment.py::
+    kruskal_wallis, 1952) of event values across the 5 event types —
+    the k-group mann_whitney_u. Exact .5-grid average ranks, BIGINT tie
+    spectrum, DECIMAL-summed per-group terms."""
+    from valentinus_spark.operators.experiment import kruskal_wallis
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return kruskal_wallis(ev, "event_type", "value")
+
+
+def q_user_type_cochran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (operators/experiment.py::cochran_q, 1950) on the
+    first day's user x event-type incidence matrix — do the 5 event
+    types differ in per-user hit rate, paired within user (the
+    k-treatment McNemar). Restricted to day one so the matrix is
+    sparse (over the full range every user hits every type and the
+    discordance denominator collapses to 0 by construction)."""
+    from valentinus_spark.operators.experiment import cochran_q
+
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("_day"), "user_id", "event_type"
+    )
+    lo = ev.agg(F.min("_day").alias("_lo"))
+    day1 = ev.crossJoin(F.broadcast(lo)).filter(F.col("_day") == F.col("_lo"))
+    return cochran_q(day1, "user_id", "event_type")
+
+
+def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (operators/text_search.py::
+    rake_keywords, Rose et al. 2010) over the documents corpus —
+    stopword-delimited phrase runs, degree/frequency word scores,
+    DECIMAL-summed phrase scores. The shuffle-light companion to
+    textrank_keywords (same tokenization + stopword list, so the two
+    keyword sets are directly comparable)."""
+    from valentinus_spark.operators.text_search import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return rake_keywords(docs, topk=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6036,6 +6101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stylometry": q_source_stylometry,
         "source_good_turing": q_source_good_turing,
         "hll_user_overlap": q_hll_user_overlap,
+        "event_ewma_chart": q_event_ewma_chart,
+        "event_seasonal_decompose": q_event_seasonal_decompose,
+        "value_kruskal": q_value_kruskal,
+        "user_type_cochran": q_user_type_cochran,
+        "doc_rake_keywords": q_doc_rake_keywords,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -12253,4 +12323,211 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS est_jaccard
             FROM ests
         """
+    sql["event_ewma_chart"] = """
+            WITH RECURSIVE daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS day,
+                       ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+                             / COUNT(*), 9) AS x
+                FROM events GROUP BY 1
+            ),
+            stats AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       CAST(SUM(x::DECIMAL(20,9)) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(x::DECIMAL(18,9) * x::DECIMAL(18,9) AS DECIMAL(38,18))) AS DOUBLE) AS ss
+                FROM daily
+            ),
+            ms AS (
+                SELECT ROUND(s / n, 9) AS mu,
+                       ROUND(SQRT(ss / n - (s / n) * (s / n)), 9) AS sig
+                FROM stats
+            ),
+            zs AS MATERIALIZED (
+                SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+            ),
+            rec AS (
+                SELECT rn, day, x,
+                       CAST(0.2 * x + 0.8 * (SELECT mu FROM ms) AS DOUBLE) AS e,
+                       CAST(0.6400000000000001 AS DOUBLE) AS p
+                FROM zs WHERE rn = 1
+                UNION ALL
+                SELECT d.rn, d.day, d.x,
+                       0.2 * d.x + 0.8 * r.e,
+                       r.p * 0.6400000000000001
+                FROM rec r JOIN zs d ON d.rn = r.rn + 1
+            )
+            SELECT day, x,
+                   ROUND(e, 6) AS ewma,
+                   ROUND((SELECT mu FROM ms)
+                         - 3.0 * (SELECT sig FROM ms) * SQRT(0.11111111111111112 * (1.0 - p)), 6) AS lcl,
+                   ROUND((SELECT mu FROM ms)
+                         + 3.0 * (SELECT sig FROM ms) * SQRT(0.11111111111111112 * (1.0 - p)), 6) AS ucl,
+                   (ROUND(e, 6) > ROUND((SELECT mu FROM ms)
+                         + 3.0 * (SELECT sig FROM ms) * SQRT(0.11111111111111112 * (1.0 - p)), 6)
+                    OR ROUND(e, 6) < ROUND((SELECT mu FROM ms)
+                         - 3.0 * (SELECT sig FROM ms) * SQRT(0.11111111111111112 * (1.0 - p)), 6)) AS alarm
+            FROM rec ORDER BY day
+        """
+    sql["event_seasonal_decompose"] = """
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS day,
+                       ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+                             / COUNT(*), 9) AS x
+                FROM events GROUP BY 1
+            ),
+            base AS (
+                SELECT day, x,
+                       (ROW_NUMBER() OVER (ORDER BY day) - 1) % 7 AS slot,
+                       CAST(SUM(CAST(x AS DECIMAL(18,9))) OVER
+                            (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS wsum,
+                       COUNT(*) OVER
+                            (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+                FROM daily
+            ),
+            detr AS (
+                SELECT day, x, slot,
+                       CASE WHEN wn = 7 THEN ROUND(wsum / 7.0, 9) END AS trend,
+                       CASE WHEN wn = 7 THEN ROUND(x - ROUND(wsum / 7.0, 9), 9) END AS d
+                FROM base
+            ),
+            slots AS (
+                SELECT slot,
+                       ROUND(CAST(SUM(CAST(d AS DECIMAL(18,9))) AS DOUBLE)
+                             / COUNT(*), 9) AS sw
+                FROM detr WHERE d IS NOT NULL GROUP BY slot
+            ),
+            grand AS (
+                SELECT ROUND(CAST(SUM(CAST(sw AS DECIMAL(18,9))) AS DOUBLE)
+                             / COUNT(*), 9) AS g
+                FROM slots
+            ),
+            seas AS (
+                SELECT slot, ROUND(sw - (SELECT g FROM grand), 9) AS s FROM slots
+            )
+            SELECT detr.day, detr.x,
+                   ROUND(detr.trend, 6) AS trend,
+                   ROUND(seas.s, 6) AS seasonal,
+                   ROUND(detr.d - seas.s, 6) AS remainder
+            FROM detr LEFT JOIN seas ON seas.slot = detr.slot
+            ORDER BY detr.day
+        """
+    sql["value_kruskal"] = """
+            WITH per AS (
+                SELECT value AS v, event_type AS g, COUNT(*)::BIGINT AS c
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT v, SUM(c)::BIGINT AS t FROM per GROUP BY v),
+            rv AS (
+                SELECT v, t,
+                       CAST(SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t AS BIGINT) AS bef
+                FROM tot
+            ),
+            joined AS (
+                SELECT per.g, per.c,
+                       per.c * (rv.bef::DOUBLE + (rv.t + 1) / 2.0) AS r
+                FROM per JOIN rv ON rv.v = per.v
+            ),
+            groups AS (
+                SELECT g, SUM(c)::BIGINT AS ng, SUM(r) AS rg FROM joined GROUP BY g
+            ),
+            gagg AS (
+                SELECT COUNT(*)::BIGINT AS k, SUM(ng)::BIGINT AS n,
+                       CAST(SUM(CAST(ROUND(rg * rg / ng::DOUBLE, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+                FROM groups
+            ),
+            ties AS (
+                SELECT COALESCE(SUM(t * t * t - t), 0)::BIGINT AS tie FROM rv
+            ),
+            calc AS (
+                SELECT n, k,
+                       12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * s - 3.0 * (n::DOUBLE + 1.0) AS h,
+                       1.0 - tie::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) AS div
+                FROM gagg, ties
+            )
+            SELECT n, k, ROUND(h, 6) AS h,
+                   ROUND(CASE WHEN div > 0 THEN h / div END, 6) AS h_tied,
+                   k - 1 AS dof
+            FROM calc
+        """
+    sql["user_type_cochran"] = """
+            WITH inc AS (
+                SELECT DISTINCT user_id AS s, event_type AS t
+                FROM events
+                WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+                  AND user_id IS NOT NULL AND event_type IS NOT NULL
+            ),
+            kk AS (SELECT COUNT(DISTINCT t)::BIGINT AS k FROM inc),
+            cols AS (SELECT t, COUNT(*)::BIGINT AS cj FROM inc GROUP BY t),
+            rws AS (SELECT s, COUNT(*)::BIGINT AS ri FROM inc GROUP BY s),
+            ragg AS (
+                SELECT COUNT(*)::BIGINT AS n_subjects, SUM(ri)::BIGINT AS sr,
+                       SUM(ri * ri)::BIGINT AS sr2
+                FROM rws
+            ),
+            num AS (
+                SELECT CAST(SUM(CAST(ROUND(
+                           (cj::DOUBLE - sr::DOUBLE / k::DOUBLE)
+                           * (cj::DOUBLE - sr::DOUBLE / k::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS num
+                FROM cols, kk, ragg
+            )
+            SELECT n_subjects, k,
+                   ROUND(CASE WHEN k::DOUBLE * sr::DOUBLE - sr2::DOUBLE > 0
+                              THEN k::DOUBLE * (k::DOUBLE - 1.0) * num
+                                   / (k::DOUBLE * sr::DOUBLE - sr2::DOUBLE) END, 6) AS q,
+                   k - 1 AS dof
+            FROM ragg, kk, num
+        """
+    sql["doc_rake_keywords"] = """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                       END AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) + 1),
+                              i -> struct_pack(i := i, t := w[i]))) AS p
+                FROM toks WHERE len(w) > 0
+            ),
+            flagged AS (
+                SELECT doc_id, p.i AS i, p.t AS t,
+                       (p.t = '' OR list_contains({STOP}, p.t)) AS stop
+                FROM pos
+            ),
+            runs AS (
+                SELECT doc_id, i, t,
+                       SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER
+                           (PARTITION BY doc_id ORDER BY i)::BIGINT AS rid
+                FROM flagged
+                QUALIFY NOT stop
+            ),
+            ph AS MATERIALIZED (
+                SELECT doc_id, rid,
+                       string_agg(t, ' ' ORDER BY i) AS phrase,
+                       COUNT(*)::BIGINT AS plen
+                FROM runs GROUP BY 1, 2
+            ),
+            words AS (
+                SELECT doc_id, rid, phrase, plen, unnest(string_split(phrase, ' ')) AS w
+                FROM ph
+            ),
+            wstats AS (
+                SELECT w, COUNT(*)::BIGINT AS freq, SUM(plen)::BIGINT AS deg
+                FROM words GROUP BY w
+            ),
+            occ AS (
+                SELECT doc_id, rid, phrase,
+                       CAST(SUM(CAST(ROUND(deg::DOUBLE / freq::DOUBLE, 9) AS DECIMAL(18,9))) AS DOUBLE) AS raw
+                FROM words JOIN wstats USING (w)
+                GROUP BY 1, 2, 3
+            )
+            SELECT phrase, ROUND(MAX(raw), 6) AS score, COUNT(*)::BIGINT AS n_occ
+            FROM occ GROUP BY phrase
+            ORDER BY score DESC, phrase ASC
+            LIMIT 30
+        """.replace("{STOP}", _STOPWORDS_SQL)
     return sql

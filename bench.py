@@ -32,7 +32,7 @@ import __spark_entry__ as entrymod
 from valentinus_spark.session import get_spark
 
 # Every registry query that runs a real computation over the sf tables
-# (239 of 267 as of round 7). The 28 exclusions are the three UNBENCHED
+# (244 of 272 as of round 7). The 28 exclusions are the three UNBENCHED
 # families below (streaming lifecycles, storage round-trips, planted
 # tiny fixtures) — each with a one-line justification, and the partition
 # BENCH_QUERIES + UNBENCHED == queries() is asserted at import. The
@@ -288,6 +288,11 @@ BENCH_QUERIES = [
     "source_stylometry",
     "source_good_turing",
     "hll_user_overlap",
+    "event_ewma_chart",
+    "event_seasonal_decompose",
+    "value_kruskal",
+    "user_type_cochran",
+    "doc_rake_keywords",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -420,6 +425,7 @@ BENCH_FAMILIES = {
         "bigram_logprob",
         "source_stylometry",
         "source_good_turing",
+        "doc_rake_keywords",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -473,6 +479,10 @@ BENCH_FAMILIES = {
         "event_trend_theil",
         "event_page_hinkley",
         "event_holt_forecast",
+        "event_ewma_chart",
+        "event_seasonal_decompose",
+        "value_kruskal",
+        "user_type_cochran",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

@@ -358,3 +358,76 @@ def test_msprt_null_effect_keeps_high_p(spark):
     out = msprt_test(df, "ts", "arm", "v", tau=0.5).collect()
     # identical arms: the mixture LR stays <= 1, p pegged at 1
     assert all(r.p_always_valid == 1.0 for r in out)
+
+
+def test_kruskal_wallis_matches_replica_and_detects_shift(spark):
+    """No-ties replica: H computed directly from ranks; a clearly
+    shifted third group must push H far above the k-1 chi2 mean."""
+    from valentinus_spark.operators import kruskal_wallis
+
+    ga = [1.1, 2.3, 3.7, 5.2, 8.1]
+    gb = [2.2, 4.4, 6.6, 7.7, 9.9]
+    gc = [50.0, 51.0, 52.0, 53.0, 54.0]
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb] + [("c", v) for v in gc]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    allv = sorted(v for _, v in rows)
+    ranks = {v: i + 1 for i, v in enumerate(allv)}
+    n = len(allv)
+    s = sum(
+        (sum(ranks[v] for v in g)) ** 2 / len(g) for g in (ga, gb, gc)
+    )
+    want_h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    r = kruskal_wallis(df, "grp", "v").collect()[0]
+    assert (r.n, r.k, r.dof) == (15, 3, 2)
+    assert r.h == pytest.approx(want_h, abs=1e-6)
+    assert r.h_tied == pytest.approx(want_h, abs=1e-6)  # no ties
+    assert r.h > 9  # far beyond chi2_2 critical ~5.99
+
+
+def test_kruskal_wallis_all_equal_values_null(spark):
+    """Every value identical: the tie divisor is 0, h_tied must be
+    NULL rather than dividing by zero."""
+    from valentinus_spark.operators import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)], ["grp", "v"]
+    )
+    r = kruskal_wallis(df, "grp", "v").collect()[0]
+    assert r.h_tied is None
+
+
+def test_cochran_q_textbook_example(spark):
+    """Classic 3-treatment incidence matrix with known Q: subjects'
+    hit sets chosen so Q is hand-computable."""
+    from valentinus_spark.operators import cochran_q
+
+    # subject: treatments hit
+    hits = {
+        1: ["A", "B"],
+        2: ["A"],
+        3: ["A", "B", "C"],
+        4: ["A"],
+        5: ["A", "B"],
+        6: ["B"],
+        7: ["A"],
+    }
+    rows = [(s, t) for s, ts in hits.items() for t in ts]
+    df = spark.createDataFrame(rows, ["subj", "treat"])
+    r = cochran_q(df, "subj", "treat").collect()[0]
+    cj = {"A": 6, "B": 4, "C": 1}
+    ri = {s: len(ts) for s, ts in hits.items()}
+    k, nn = 3, sum(ri.values())
+    num = sum((c - nn / k) ** 2 for c in cj.values())
+    den = k * nn - sum(v * v for v in ri.values())
+    want = k * (k - 1) * num / den
+    assert (r.n_subjects, r.k, r.dof) == (7, 3, 2)
+    assert r.q == pytest.approx(want, abs=1e-6)
+
+
+def test_cochran_q_degenerate_denominator_null(spark):
+    """Every subject hits every treatment: no discordance, q NULL."""
+    from valentinus_spark.operators import cochran_q
+
+    rows = [(s, t) for s in (1, 2, 3) for t in ("A", "B")]
+    r = cochran_q(spark.createDataFrame(rows, ["subj", "treat"]), "subj", "treat").collect()[0]
+    assert r.q is None

@@ -469,3 +469,63 @@ def test_holt_forecast_matches_python_replica(spark):
     ).collect()
     got = [(r.forecast, r.abs_err) for r in out]
     assert got == [(pytest.approx(a, abs=1e-9), pytest.approx(b, abs=1e-9)) for a, b in want]
+
+
+def test_ewma_chart_flags_shift_and_warms_up(spark):
+    """Flat 25 days then +4 shift: limits widen monotonically toward
+    the asymptote during warm-up, no alarms pre-shift, alarm fires
+    post-shift; EWMA values match a python replica."""
+    import datetime
+    import math
+
+    from valentinus_spark.operators import ewma_chart
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=d), 10.0 + (d % 2) * 0.2) for d in range(25)]
+    rows += [(base + datetime.timedelta(days=25 + d), 14.0) for d in range(8)]
+    out = ewma_chart(
+        spark.createDataFrame(rows, ["ts", "value"]), lam=0.2, L=3.0
+    ).collect()
+    widths = [r.ucl - r.lcl for r in out]
+    assert all(widths[i] <= widths[i + 1] + 1e-9 for i in range(10))
+    pre = [r for r in out if r.day < datetime.date(2024, 1, 26)]
+    post = [r for r in out if r.day >= datetime.date(2024, 1, 28)]
+    assert not any(r.alarm for r in pre)
+    assert any(r.alarm for r in post)
+    # replica of the fold on the 9-dp daily means
+    xs = [round(x, 9) for _, x in rows]
+    mu = round(sum(xs) / len(xs), 9)
+    var = sum(x * x for x in xs) / len(xs) - (sum(xs) / len(xs)) ** 2
+    e = mu
+    for i, x in enumerate(xs):
+        e = 0.2 * x + 0.8 * e
+        assert out[i].ewma == pytest.approx(e, abs=1e-5)
+
+
+def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
+    """x = 0.5*t + weekly pattern: the recovered seasonal component
+    must match the re-centered pattern and the remainder must be ~0
+    (classical decomposition is exact for linear trend + pure
+    seasonality)."""
+    import datetime
+
+    from valentinus_spark.operators import seasonal_decompose
+
+    pattern = [3.0, -1.0, 0.0, 2.0, -2.0, -1.5, -0.5]
+    mean_p = sum(pattern) / 7.0
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=d), 0.5 * d + pattern[d % 7])
+        for d in range(35)
+    ]
+    out = seasonal_decompose(
+        spark.createDataFrame(rows, ["ts", "value"]), period=7
+    ).collect()
+    assert len(out) == 35
+    assert out[0].trend is None and out[2].trend is None
+    assert out[3].trend is not None and out[-4].trend is not None
+    for r in out:
+        d = (r.day - datetime.date(2024, 1, 1)).days
+        assert r.seasonal == pytest.approx(pattern[d % 7] - mean_p, abs=1e-4)
+        if r.remainder is not None:
+            assert r.remainder == pytest.approx(0.0, abs=1e-4)

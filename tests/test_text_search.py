@@ -452,3 +452,44 @@ def test_substring_search_short_pattern_fallback(spark):
         ["doc_id", "text"],
     )
     assert [r.doc_id for r in substring_search(docs, "xy").collect()] == [1, 3]
+
+
+def test_rake_keywords_scores_match_hand_computation(spark):
+    """Single doc with two stopword-delimited phrases; deg/freq and
+    phrase sums computed by hand. 'the' splits phrases; 'linear
+    diophantine equations' (len 3) outranks 'strict inequations'
+    (len 2) because its words carry higher degree."""
+    from valentinus_spark.operators import rake_keywords
+
+    text = "linear diophantine equations and strict inequations"
+    # 'and' is a stopword -> phrases: [linear diophantine equations],
+    # [strict inequations]; each word freq 1, deg = own phrase len.
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = {r.phrase: r for r in rake_keywords(df, topk=10).collect()}
+    assert set(out) == {"linear diophantine equations", "strict inequations"}
+    assert out["linear diophantine equations"].score == pytest.approx(9.0, abs=1e-6)
+    assert out["strict inequations"].score == pytest.approx(4.0, abs=1e-6)
+    assert out["linear diophantine equations"].n_occ == 1
+
+
+def test_rake_keywords_degree_credit_and_occurrence_count(spark):
+    """A word shared across a long and a short phrase gains degree
+    from both (deg/freq > own-phrase length share); repeated phrases
+    count occurrences without double-scoring."""
+    from valentinus_spark.operators import rake_keywords
+
+    docs = [
+        (1, "machine learning systems and machine learning"),
+        (2, "machine learning"),
+    ]
+    out = {r.phrase: r for r in rake_keywords(
+        spark.createDataFrame(docs, ["doc_id", "text"]), topk=10
+    ).collect()}
+    # phrases: 'machine learning systems' (1x), 'machine learning' (2x)
+    assert out["machine learning"].n_occ == 2
+    # machine: freq 3, deg = 3+2+2 = 7 -> 7/3; learning same; systems 3/1
+    w = 7.0 / 3.0
+    assert out["machine learning"].score == pytest.approx(round(w, 9) * 2, abs=1e-5)
+    assert out["machine learning systems"].score == pytest.approx(
+        round(w, 9) * 2 + 3.0, abs=1e-5
+    )

@@ -742,3 +742,153 @@ def msprt_test(
             6,
         ).alias("p_always_valid"),
     ).orderBy("day")
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis one-way rank ANOVA (Kruskal & Wallis 1952) — the
+    k-group generalization of mann_whitney_u: are the value
+    distributions of k segments shifted relative to each other, with no
+    normality assumption. Returns ONE row: (``n``, ``k``, ``h``,
+    ``h_tied``, ``dof``) — H, the tie-corrected H' (divide by
+    1 − Σ(t³−t)/(N³−N)), and dof = k−1; compare H' against a χ²_{k−1}
+    table (the statistic-only convention of chi_squared — no igamma
+    dependency). h_tied NULL when the tie divisor is 0 (all values
+    equal).
+
+    Determinism: mann_whitney_u's distinct-value skeleton — ONE
+    map-side-combined (value, group) count aggregate, one ordered
+    window for average ranks (exact .5-grid), exact BIGINT tie
+    spectrum; the k per-group terms R²/n are 9-dp-pinned and
+    DECIMAL-summed so the k-row fold is partition-order-free.
+
+    Scale shape: one corpus-sized aggregate; everything after runs on
+    |distinct values| and k rows.
+    """
+    from pyspark.sql import Window
+
+    per = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"), F.col(group_col).alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = per.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked_vals = tot.select(
+        "_v",
+        "_t",
+        (F.sum("_t").over(w) - F.col("_t")).alias("_before"),
+    )
+    avg_rank = F.col("_before") + (F.col("_t") + 1) / 2.0
+    joined = per.join(ranked_vals, "_v").select(
+        "_g", "_c", (F.col("_c") * avg_rank).alias("_r")
+    )
+    groups = joined.groupBy("_g").agg(
+        F.sum("_c").alias("_ng"), F.sum("_r").alias("_rg")
+    )
+    gagg = groups.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        F.sum(
+            F.round(
+                F.col("_rg") * F.col("_rg") / F.col("_ng").cast("double"), 9
+            ).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("_s"),
+    )
+    ties = ranked_vals.agg(
+        F.coalesce(
+            F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")),
+            F.lit(0),
+        ).alias("_ties")
+    )
+    j = gagg.crossJoin(ties)
+    nn = F.col("n").cast("double")
+    h = 12.0 / (nn * (nn + 1.0)) * F.col("_s") - 3.0 * (nn + 1.0)
+    div = 1.0 - F.col("_ties").cast("double") / (nn * nn * nn - nn)
+    return j.select(
+        "n",
+        "k",
+        F.round(h, 6).alias("h"),
+        F.round(F.when(div > 0, h / div), 6).alias("h_tied"),
+        (F.col("k") - 1).alias("dof"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) over a binary subject × treatment
+    incidence matrix: do the k treatments (event types, feature flags,
+    labeling passes) differ in their per-subject hit rate, paired
+    within subject — the k-treatment generalization of McNemar. A
+    subject "hits" a treatment when at least one (subject, treatment)
+    row exists; subjects with no rows at all are (necessarily) absent.
+
+        Q = k(k−1) Σ_j (C_j − N/k)² / (k·ΣR_i − ΣR_i²)
+
+    with C_j the treatment totals, R_i the subject totals, N = ΣR_i.
+    Returns ONE row: (``n_subjects``, ``k``, ``q``, ``dof``) — Q
+    compared against χ²_{k−1}; NULL q when the denominator is 0 (every
+    subject hit all or none of the treatments — no discordance).
+
+    Determinism: everything except the final division is exact BIGINT
+    counting (the k numerator terms are 9-dp-pinned and DECIMAL-summed).
+    Scale shape: one (subject, treatment) distinct aggregate — map-side
+    combined — then subject-sized and k-sized folds.
+    """
+    inc = (
+        df.filter(
+            F.col(subject_col).isNotNull() & F.col(treatment_col).isNotNull()
+        )
+        .select(
+            F.col(subject_col).alias("_s"), F.col(treatment_col).alias("_t")
+        )
+        .distinct()
+    )
+    k_df = inc.select("_t").distinct().agg(F.count(F.lit(1)).alias("k"))
+    cols = inc.groupBy("_t").agg(F.count(F.lit(1)).alias("_cj"))
+    rows = inc.groupBy("_s").agg(F.count(F.lit(1)).alias("_ri"))
+    row_agg = rows.agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("_ri").alias("_sr"),
+        F.sum(F.col("_ri") * F.col("_ri")).alias("_sr2"),
+    )
+    j0 = k_df.crossJoin(row_agg)
+    num = (
+        cols.crossJoin(F.broadcast(j0))
+        .select(
+            F.round(
+                (
+                    F.col("_cj").cast("double")
+                    - F.col("_sr").cast("double") / F.col("k").cast("double")
+                )
+                * (
+                    F.col("_cj").cast("double")
+                    - F.col("_sr").cast("double") / F.col("k").cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("_term")
+        )
+        .agg(F.sum("_term").cast("double").alias("_num"))
+    )
+    j = j0.crossJoin(num)
+    kk = F.col("k").cast("double")
+    denom = kk * F.col("_sr").cast("double") - F.col("_sr2").cast("double")
+    q = F.when(
+        denom > 0, kk * (kk - 1.0) * F.col("_num") / denom
+    )
+    return j.select(
+        "n_subjects",
+        "k",
+        F.round(q, 6).alias("q"),
+        (F.col("k") - 1).alias("dof"),
+    )

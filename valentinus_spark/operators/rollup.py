@@ -887,3 +887,198 @@ def holt_linear_forecast(
         F.round("forecast", 6).alias("forecast"),
         F.round("abs_err", 6).alias("abs_err"),
     ).orderBy("day")
+
+
+def ewma_chart(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lam: float = 0.2,
+    L: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959; the SPC standard for small
+    sustained shifts) over the daily mean series: exponentially
+    weighted mean vs time-varying control limits
+
+        e_t   = λ·x_t + (1−λ)·e_{t−1},   e_0 = μ
+        UCL_t = μ + L·σ·√(λ/(2−λ)·(1 − (1−λ)^{2t}))
+
+    — the limits widen toward their asymptote as the EWMA "warms up",
+    which is what makes the chart valid from day 1 (a fixed-limit
+    z-chart over-alarms early). μ/σ are the retrospective full-series
+    moments (cusum_changepoint's convention). Returns one row per day:
+    (``day``, ``x``, ``ewma``, ``lcl``, ``ucl``, ``alarm``), rounded
+    to 6, ordered by day.
+
+    Determinism: daily means DECIMAL-summed and 9-dp-pinned; μ/σ 9-dp;
+    the fold carries (e, p) where p_t = p_{t−1}·(1−λ)² — the power term
+    as pure multiplication, NOT libm pow, so the recursion replays
+    bit-for-bit (pow(0.8, 2t) is not guaranteed identically rounded
+    across libms; a product chain is). λ-derived constants are
+    computed once in Python and inlined into the oracle at full
+    precision.
+
+    Scale shape: one corpus-sized daily aggregate + a day-series
+    applyInPandas fold (the cusum shape).
+    """
+    import pandas as pd
+
+    daily = _daily_mean(events, ts_col, value_col)
+    # retrospective mu/sigma, cusum discipline
+    xs_dec = F.col("_x").cast("decimal(20,9)")
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xs_dec).cast("double").alias("_s"),
+        F.sum((xs_dec.cast("decimal(18,9)") * xs_dec.cast("decimal(18,9)")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("_ss"),
+    )
+    ms = stats.select(
+        F.round(F.col("_s") / F.col("_n"), 9).alias("_mu"),
+        F.round(
+            F.sqrt(F.col("_ss") / F.col("_n") - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n"))),
+            9,
+        ).alias("_sig"),
+    )
+    ll = float(lam)
+    oml = 1.0 - ll
+    oml2 = oml * oml
+    lfac = ll / (2.0 - ll)
+    big_l = float(L)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        mu = float(pdf["_mu"].iloc[0])
+        sig = float(pdf["_sig"].iloc[0])
+        e, p = mu, 1.0
+        ew, up, lo = [], [], []
+        for x in pdf["_x"]:
+            e = ll * x + oml * e
+            p = p * oml2
+            # math.sqrt, not **0.5: pow(x, 0.5) is not guaranteed
+            # correctly rounded by every libm; sqrt is (IEEE 754), so
+            # SQL SQRT replays it exactly
+            half = big_l * sig * math.sqrt(lfac * (1.0 - p))
+            ew.append(e)
+            up.append(mu + half)
+            lo.append(mu - half)
+        pdf["ewma"] = ew
+        pdf["ucl"] = up
+        pdf["lcl"] = lo
+        return pdf[["day", "_x", "ewma", "lcl", "ucl"]]
+
+    folded = (
+        daily.crossJoin(F.broadcast(ms))
+        .withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            fold,
+            schema="day date, _x double, ewma double, lcl double, ucl double",
+        )
+    )
+    return folded.select(
+        "day",
+        F.col("_x").alias("x"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round("lcl", 6).alias("lcl"),
+        F.round("ucl", 6).alias("ucl"),
+        (
+            (F.round("ewma", 6) > F.round("ucl", 6))
+            | (F.round("ewma", 6) < F.round("lcl", 6))
+        ).alias("alarm"),
+    ).orderBy("day")
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method every STL variant starts from) of the daily mean series:
+
+        trend_t    = centered MA over ``period`` rows (NULL at edges)
+        seasonal_w = mean of (x − trend) per weekday slot, re-centered
+                     to sum to zero
+        remainder  = x − trend − seasonal
+
+    — the three-panel view that separates "traffic is growing" from
+    "it's just Saturday" from "something actually happened". Returns
+    one row per day: (``day``, ``x``, ``trend``, ``seasonal``,
+    ``remainder``) rounded to 6 (trend/remainder NULL on the first/last
+    ⌊period/2⌋ rows), ordered by day.
+
+    Seasonal slots index by (row position mod period) over the
+    day-ordered series, so a gap day shifts phase rather than breaking
+    the decomposition (events tables have dense days; for sparse
+    series resample first — resample_ffill).
+
+    Determinism: the centered-MA window sums DECIMAL(18,9) values
+    (window association differs between engines in the last ulp), slot
+    means and the re-centering grand mean are DECIMAL-summed, and every
+    intermediate is 9-dp-pinned before the final 6-dp rounding.
+
+    Scale shape: one corpus-sized daily aggregate; the MA window, slot
+    means, and output all run on the day series.
+    """
+    from pyspark.sql import Window
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    half = period // 2
+    daily = _daily_mean(events, ts_col, value_col)
+    w_ord = Window.orderBy("day")
+    wma = w_ord.rowsBetween(-half, period - half - 1)
+    base = daily.select(
+        "day",
+        "_x",
+        ((F.row_number().over(w_ord) - 1) % period).alias("_slot"),
+        F.sum(F.col("_x").cast("decimal(18,9)")).over(wma).alias("_wsum"),
+        F.count(F.lit(1)).over(wma).alias("_wn"),
+    ).select(
+        "day",
+        "_x",
+        "_slot",
+        F.when(
+            F.col("_wn") == period,
+            F.round(F.col("_wsum").cast("double") / float(period), 9),
+        ).alias("_trend"),
+    )
+    detr = base.withColumn(
+        "_d",
+        F.when(
+            F.col("_trend").isNotNull(),
+            F.round(F.col("_x") - F.col("_trend"), 9),
+        ),
+    )
+    slots = detr.filter(F.col("_d").isNotNull()).groupBy("_slot").agg(
+        F.round(
+            F.sum(F.col("_d").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("_sw")
+    )
+    grand = slots.agg(
+        F.round(
+            F.sum(F.col("_sw").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("_grand")
+    )
+    seas = slots.crossJoin(F.broadcast(grand)).select(
+        "_slot", F.round(F.col("_sw") - F.col("_grand"), 9).alias("_seas")
+    )
+    return (
+        detr.join(F.broadcast(seas), "_slot", "left")
+        .select(
+            "day",
+            F.col("_x").alias("x"),
+            F.round("_trend", 6).alias("trend"),
+            F.round("_seas", 6).alias("seasonal"),
+            F.round(F.col("_d") - F.col("_seas"), 6).alias("remainder"),
+        )
+        .orderBy("day")
+    )

@@ -740,3 +740,83 @@ def substring_search(
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 30,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the shuffle-light
+    companion to :func:`textrank_keywords`: candidate phrases are the
+    maximal stopword-free token runs (stopwords act as DELIMITERS
+    rather than being dropped, so multi-word phrases survive intact),
+    each word scores degree/frequency (degree = Σ length of the
+    phrases it appears in — co-occurrence credit), and a phrase scores
+    the sum of its words' scores. Returns the top ``topk`` rows
+    (``phrase``, ``score``, ``n_occ``), score rounded to 6, ordered by
+    score desc then phrase.
+
+    Determinism: degree and frequency are exact BIGINTs; per-word
+    scores are 9-dp-pinned and the per-phrase sum accumulates
+    DECIMAL(18,9) (order-free); the top-k cut orders by the ROUNDED
+    score with a phrase tie-break.
+
+    Scale shape: tokenization/run-splitting is one window cumsum
+    partitioned by document (row-local after the per-doc sort); word
+    stats are one map-side-combined aggregate over phrase words; the
+    scoring join broadcasts the vocabulary-sized stats table.
+    """
+    from pyspark.sql import Window
+
+    from valentinus_spark.functions.text import ENGLISH_STOPWORDS
+
+    stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(word_tokens(normalize_text(text_col))).alias("_i", "_t"),
+    ).withColumn(
+        "_stop", (F.col("_t") == "") | F.array_contains(stop, F.col("_t"))
+    )
+    w = Window.partitionBy("_id").orderBy("_i")
+    runs = tok.withColumn(
+        "_rid", F.sum(F.col("_stop").cast("int")).over(w)
+    ).filter(~F.col("_stop"))
+    ph = runs.groupBy("_id", "_rid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_t"))),
+                lambda s: s["_t"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("_len"),
+    )
+    words = ph.select(
+        "_id", "_rid", "phrase", "_len", F.explode(F.split("phrase", " ")).alias("_w")
+    )
+    wstats = words.groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_freq"), F.sum("_len").alias("_deg")
+    )
+    wscore = F.round(
+        F.col("_deg").cast("double") / F.col("_freq").cast("double"), 9
+    )
+    occ = (
+        words.join(F.broadcast(wstats.withColumn("_ws", wscore)), "_w")
+        .groupBy("_id", "_rid", "phrase")
+        .agg(
+            F.sum(F.col("_ws").cast("decimal(18,9)"))
+            .cast("double")
+            .alias("_raw")
+        )
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(
+            F.round(F.max("_raw"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(topk)
+    )
