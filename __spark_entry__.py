@@ -6006,6 +6006,77 @@ def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(docs, topk=30)
 
 
+def q_order_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test (operators/experiment.py::
+    jonckheere_terpstra, 1954) of order totals across the 5 priority
+    tiers in their natural order — the monotone-shift alternative
+    Kruskal-Wallis ignores. Exact pair counting via per-group
+    distinct-value grids; no-tie variance stated in the docstring."""
+    from valentinus_spark.operators.experiment import jonckheere_terpstra
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    return jonckheere_terpstra(orders, "o_orderpriority", "o_totalprice")
+
+
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (operators/quality.py::
+    js_divergence, Lin 1991) between source unigram distributions over
+    the top-500 corpus tokens — the symmetric, bounded companion to
+    source_token_kl for mixture planning. 12-dp-pinned DECIMAL-summed
+    terms."""
+    from valentinus_spark.operators.quality import js_divergence
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return js_divergence(docs, "source", top_v=500)
+
+
+def q_doc_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation (operators/text_search.py::
+    texttiling_boundaries, Hearst 1997): 20-token block-comparison gap
+    similarities, depth scores, and Hearst-cutoff boundaries over the
+    documents corpus — the semantic chunker next to the fixed-length
+    doc_chunks."""
+    from valentinus_spark.operators.text_search import texttiling_boundaries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return texttiling_boundaries(docs, block_tokens=20)
+
+
+def q_orders_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (copybook-style) interchange round-trip (sources/
+    fixed_width.py): write orders as fixed-width lines, read them back
+    through the typed column slicer, and aggregate — equality with the
+    direct-aggregate oracle proves the format round-trips losslessly
+    (Spark's double->string->double cast is value-preserving)."""
+    import tempfile
+
+    from valentinus_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    specs = [
+        ("o_orderkey", 1, 12, "bigint"),
+        ("o_orderpriority", 13, 16, "string"),
+        ("o_totalprice", 29, 24, "double"),
+    ]
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="vs_fixedwidth_")
+    write_fixed_width(orders, path, specs, n_files=4)
+    back = read_fixed_width(spark, path, specs)
+    dec = F.col("o_totalprice").cast("decimal(19,4)").cast("decimal(38,8)")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(dec).cast("double"), 4).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6106,6 +6177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_kruskal": q_value_kruskal,
         "user_type_cochran": q_user_type_cochran,
         "doc_rake_keywords": q_doc_rake_keywords,
+        "order_priority_trend": q_order_priority_trend,
+        "source_js_divergence": q_source_js_divergence,
+        "doc_texttiling": q_doc_texttiling,
+        "orders_fixed_width": q_orders_fixed_width,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -12530,4 +12605,168 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, phrase ASC
             LIMIT 30
         """.replace("{STOP}", _STOPWORDS_SQL)
+    sql["order_priority_trend"] = """
+            WITH per AS (
+                SELECT o_totalprice AS v, o_orderpriority AS g, COUNT(*)::BIGINT AS c
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            ranks AS (
+                SELECT g, ROW_NUMBER() OVER (ORDER BY g) - 1 AS go
+                FROM (SELECT DISTINCT g FROM per)
+            ),
+            vals AS (SELECT DISTINCT v FROM per),
+            dense AS (
+                SELECT r.g, r.go, vals.v, COALESCE(per.c, 0)::BIGINT AS c
+                FROM vals CROSS JOIN ranks r
+                LEFT JOIN per ON per.g = r.g AND per.v = vals.v
+            ),
+            cum AS (
+                SELECT g, go, v, c,
+                       CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) - c AS BIGINT) AS below
+                FROM dense
+            ),
+            jstat AS (
+                SELECT COALESCE(SUM(hi.c::DOUBLE * (lo.below::DOUBLE + 0.5 * lo.c::DOUBLE)), 0.0) AS j_stat
+                FROM cum hi JOIN cum lo ON lo.go < hi.go AND lo.v = hi.v
+            ),
+            gstats AS (SELECT g, SUM(c)::BIGINT AS ng FROM cum GROUP BY g),
+            moments AS (
+                SELECT COUNT(*)::BIGINT AS k, SUM(ng)::BIGINT AS n,
+                       SUM(ng * ng)::BIGINT AS sn2,
+                       SUM(ng * ng * (2 * ng + 3))::BIGINT AS sn23
+                FROM gstats
+            ),
+            calc AS (
+                SELECT n, k, j_stat,
+                       (n::DOUBLE * n::DOUBLE - sn2::DOUBLE) / 4.0 AS mean_j,
+                       (n::DOUBLE * n::DOUBLE * (2.0 * n::DOUBLE + 3.0) - sn23::DOUBLE) / 72.0 AS var_j
+                FROM moments, jstat
+            ),
+            zc AS (
+                SELECT *, CASE WHEN var_j > 0 THEN (j_stat - mean_j) / SQRT(var_j) END AS z
+                FROM calc
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM zc)
+            SELECT n, k, ROUND(j_stat, 6) AS j_stat, ROUND(mean_j, 6) AS mean_j,
+                   ROUND(z, 6) AS z,
+                   ROUND(CASE WHEN z IS NOT NULL THEN LEAST(1.0, 2.0 * EXP(-z * z / 2.0) / 2.5066282746310002 * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429)))))) END, 6) AS p_value
+            FROM pv
+        """
+    sql["source_js_divergence"] = """
+            WITH toks AS (
+                SELECT source, unnest(
+                    CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                         THEN []::VARCHAR[]
+                         ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                    END) AS t
+                FROM documents
+            ),
+            freq AS (SELECT source, t, COUNT(*)::BIGINT AS f FROM toks GROUP BY 1, 2),
+            top AS (
+                SELECT t FROM (SELECT t, SUM(f)::BIGINT AS tot FROM freq GROUP BY t)
+                ORDER BY tot DESC, t ASC LIMIT 500
+            ),
+            gtot AS (SELECT source, SUM(f)::BIGINT AS gn FROM freq GROUP BY source),
+            rel AS (
+                SELECT g.source, tt.t,
+                       ROUND(COALESCE(f.f, 0)::DOUBLE / g.gn, 9) AS r
+                FROM gtot g CROSS JOIN top tt
+                LEFT JOIN freq f ON f.source = g.source AND f.t = tt.t
+            ),
+            pairs AS (
+                SELECT a.source AS group_a, b.source AS group_b,
+                       CAST(ROUND((
+                           CASE WHEN a.r > 0
+                                THEN a.r * (LN(a.r / ((a.r + b.r) / 2.0)) / 0.6931471805599453)
+                                ELSE 0.0 END
+                         + CASE WHEN b.r > 0
+                                THEN b.r * (LN(b.r / ((a.r + b.r) / 2.0)) / 0.6931471805599453)
+                                ELSE 0.0 END
+                       ) / 2.0, 12) AS DECIMAL(18,12)) AS j
+                FROM rel a JOIN rel b ON a.t = b.t AND a.source < b.source
+            )
+            SELECT group_a, group_b,
+                   ROUND(CAST(SUM(j) AS DOUBLE), 6) AS js_bits
+            FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    sql["doc_texttiling"] = """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                       END AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) + 1),
+                              i -> struct_pack(i := i, t := w[i]))) AS p
+                FROM toks WHERE len(w) > 0
+            ),
+            blk AS (
+                SELECT doc_id, ((p.i - 1) // 20)::INT AS b, p.t AS t FROM pos
+            ),
+            counts AS MATERIALIZED (
+                SELECT doc_id, b, t, COUNT(*)::BIGINT AS c FROM blk GROUP BY 1, 2, 3
+            ),
+            nblocks AS (SELECT doc_id, MAX(b) + 1 AS nb FROM counts GROUP BY doc_id),
+            norms AS (SELECT doc_id, b, SUM(c * c)::BIGINT AS n2 FROM counts GROUP BY 1, 2),
+            dots AS (
+                SELECT a.doc_id, a.b AS g, SUM(a.c * b.c)::BIGINT AS dot
+                FROM counts a JOIN counts b
+                  ON a.doc_id = b.doc_id AND b.b = a.b + 1 AND a.t = b.t
+                GROUP BY 1, 2
+            ),
+            gaps AS (
+                SELECT doc_id, unnest(range(0, nb - 1)) AS g
+                FROM nblocks WHERE nb >= 2
+            ),
+            -- floor-based HALF_UP rounding mirrors the Spark side: native
+            -- ROUND diverges between the engines on the same double
+            sims AS (
+                SELECT gaps.doc_id, gaps.g,
+                       FLOOR(COALESCE(dots.dot, 0)::DOUBLE
+                             / (SQRT(na.n2::DOUBLE) * SQRT(nb2.n2::DOUBLE))
+                             * 1000000.0 + 0.5) / 1000000.0 AS s
+                FROM gaps
+                LEFT JOIN dots ON dots.doc_id = gaps.doc_id AND dots.g = gaps.g
+                JOIN norms na ON na.doc_id = gaps.doc_id AND na.b = gaps.g
+                JOIN norms nb2 ON nb2.doc_id = gaps.doc_id AND nb2.b = gaps.g + 1
+            ),
+            depth AS MATERIALIZED (
+                SELECT doc_id, g, s,
+                       FLOOR((GREATEST(0.0, COALESCE(LAG(s) OVER w, s) - s)
+                              + GREATEST(0.0, COALESCE(LEAD(s) OVER w, s) - s))
+                             * 1000000.0 + 0.5) / 1000000.0 AS d
+                FROM sims
+                WINDOW w AS (PARTITION BY doc_id ORDER BY g)
+            ),
+            stats AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS gc,
+                       CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(CAST(d AS DECIMAL(18,6)) * CAST(d AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DOUBLE) AS s2
+                FROM depth GROUP BY doc_id
+            ),
+            cut AS (
+                SELECT doc_id,
+                       FLOOR((s1 / gc - (CASE WHEN s2 / gc - (s1 / gc) * (s1 / gc) > 0
+                                              THEN SQRT(s2 / gc - (s1 / gc) * (s1 / gc))
+                                              ELSE 0.0 END) / 2.0)
+                             * 1000000.0 + 0.5) / 1000000.0 AS cut
+                FROM stats
+            )
+            SELECT depth.doc_id, depth.g AS gap,
+                   depth.s AS sim, depth.d AS depth,
+                   (depth.d > 0 AND depth.d > cut.cut) AS is_boundary
+            FROM depth JOIN cut ON cut.doc_id = depth.doc_id
+            ORDER BY depth.doc_id, gap
+        """
+    sql["orders_fixed_width"] = """
+            SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+                   ROUND(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE), 4) AS total_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
     return sql

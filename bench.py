@@ -32,7 +32,7 @@ import __spark_entry__ as entrymod
 from valentinus_spark.session import get_spark
 
 # Every registry query that runs a real computation over the sf tables
-# (244 of 272 as of round 7). The 28 exclusions are the three UNBENCHED
+# (247 of 276 as of round 7). The 28 exclusions are the three UNBENCHED
 # families below (streaming lifecycles, storage round-trips, planted
 # tiny fixtures) — each with a one-line justification, and the partition
 # BENCH_QUERIES + UNBENCHED == queries() is asserted at import. The
@@ -293,6 +293,9 @@ BENCH_QUERIES = [
     "value_kruskal",
     "user_type_cochran",
     "doc_rake_keywords",
+    "order_priority_trend",
+    "source_js_divergence",
+    "doc_texttiling",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -319,6 +322,7 @@ UNBENCHED = {
     "storage_roundtrip": [
         "time_travel", "compaction_roundtrip", "jsonl_roundtrip",
         "orc_roundtrip", "minmax_pruned_agg", "merge_into_versioned",
+        "orders_fixed_width",
     ],
     # planted tiny-fixture correctness gates (constructed inputs of
     # dozens-to-hundreds of rows measuring SEMANTICS — recall gates,
@@ -426,6 +430,8 @@ BENCH_FAMILIES = {
         "source_stylometry",
         "source_good_turing",
         "doc_rake_keywords",
+        "source_js_divergence",
+        "doc_texttiling",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -483,6 +489,7 @@ BENCH_FAMILIES = {
         "event_seasonal_decompose",
         "value_kruskal",
         "user_type_cochran",
+        "order_priority_trend",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

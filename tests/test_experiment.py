@@ -431,3 +431,34 @@ def test_cochran_q_degenerate_denominator_null(spark):
     rows = [(s, t) for s in (1, 2, 3) for t in ("A", "B")]
     r = cochran_q(spark.createDataFrame(rows, ["subj", "treat"]), "subj", "treat").collect()[0]
     assert r.q is None
+
+
+def test_jonckheere_planted_ordered_shift(spark):
+    """Three ordered groups with a clean monotone shift: J must equal
+    the hand count (all cross-pairs concordant -> J = sum of n_g*n_h),
+    z large positive; reversing the order flips the sign."""
+    from valentinus_spark.operators import jonckheere_terpstra
+
+    rows = (
+        [("lo", v) for v in (1.0, 2.0, 3.0)]
+        + [("mid", v) for v in (10.0, 11.0, 12.0)]
+        + [("hi", v) for v in (20.0, 21.0, 22.0)]
+    )
+    df = spark.createDataFrame(rows, ["tier", "v"])
+    r = jonckheere_terpstra(df, "tier", "v", group_order=["lo", "mid", "hi"]).collect()[0]
+    assert r.j_stat == 27.0  # 3*3 per ordered pair, 3 pairs, all concordant
+    assert r.mean_j == pytest.approx((81 - 27) / 4, abs=1e-9)
+    assert r.z is not None and r.z > 2.5
+    rr = jonckheere_terpstra(df, "tier", "v", group_order=["hi", "mid", "lo"]).collect()[0]
+    assert rr.j_stat == 0.0 and rr.z < -2.5
+
+
+def test_jonckheere_ties_half_credit(spark):
+    """Equal values across ordered groups earn exactly half credit."""
+    from valentinus_spark.operators import jonckheere_terpstra
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0)], ["g", "v"]
+    )
+    r = jonckheere_terpstra(df, "g", "v", group_order=["a", "b"]).collect()[0]
+    assert r.j_stat == pytest.approx(1.0, abs=1e-9)  # 2 tied pairs x 0.5

@@ -475,3 +475,25 @@ def test_good_turing_no_singletons_means_no_unseen_mass(spark):
     df = spark.createDataFrame([("s", "x x y y z z")], ["source", "text"])
     r = good_turing_vocab(df, "source").collect()[0]
     assert r.n1 == 0 and r.p_unseen == 0.0 and r.chao1 == float(r.vocab)
+
+
+def test_js_divergence_bounds_and_symmetry_inputs(spark):
+    """Identical distributions -> 0; disjoint vocabularies -> 1 bit
+    (the JS maximum); a mixed pair lands strictly between."""
+    from valentinus_spark.operators import js_divergence
+
+    df = spark.createDataFrame(
+        [
+            ("A", "x y z x y z"),
+            ("B", "x y z x y z"),
+            ("C", "p q r p q r"),
+            ("D", "x y p q x y"),
+        ],
+        ["source", "text"],
+    )
+    out = {(r.group_a, r.group_b): r.js_bits for r in js_divergence(df, "source", top_v=10).collect()}
+    assert out[("A", "B")] == pytest.approx(0.0, abs=1e-6)
+    assert out[("A", "C")] == pytest.approx(1.0, abs=1e-6)
+    assert 0.0 < out[("A", "D")] < 1.0
+    # pair matrix covers all 6 unordered pairs
+    assert len(out) == 6

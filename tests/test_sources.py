@@ -162,3 +162,36 @@ def test_write_jsonl_roundtrip_sharded_sorted(spark, tmp_path):
     )
     got = {int(r["id"]): r["document"] for r in back.collect()}
     assert got == {i: t for i, t, _ in rows}
+
+
+def test_fixed_width_roundtrip_and_overflow(spark, tmp_path):
+    """Typed round-trip through fixed-width lines: strings left-pad,
+    numerics right-pad, values survive exactly; an over-wide value
+    raises instead of truncating."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.sources import read_fixed_width, write_fixed_width
+
+    specs = [
+        ("id", 1, 6, "bigint"),
+        ("name", 7, 10, "string"),
+        ("price", 17, 12, "double"),
+    ]
+    df = spark.createDataFrame(
+        [(1, "alpha", 12.5), (22, "beta", 0.125), (333, "c", 104850.5)],
+        ["id", "name", "price"],
+    )
+    path = str(tmp_path / "fw")
+    write_fixed_width(df, path, specs, n_files=1)
+    back = read_fixed_width(spark, path, specs)
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].name == "alpha" and rows[1].price == 12.5
+    assert rows[22].price == 0.125 and rows[333].price == 104850.5
+    # raw line layout: id right-aligned in 6, name left-aligned in 10
+    raw = sorted(r.value for r in spark.read.text(path).collect())
+    assert raw[0].startswith("     1alpha     ")
+
+    wide = spark.createDataFrame([(1, "waytoolongname", 1.0)], ["id", "name", "price"])
+    with pytest.raises(Exception, match="fixed-width overflow"):
+        write_fixed_width(wide, str(tmp_path / "fw2"), specs)

@@ -493,3 +493,31 @@ def test_rake_keywords_degree_credit_and_occurrence_count(spark):
     assert out["machine learning systems"].score == pytest.approx(
         round(w, 9) * 2 + 3.0, abs=1e-5
     )
+
+
+def test_texttiling_detects_planted_topic_shift(spark):
+    """A document whose first half repeats topic-A vocabulary and
+    second half topic-B: the gap at the switch must have the LOWEST
+    similarity and be flagged as a boundary; within-topic gaps are
+    not."""
+    from valentinus_spark.operators import texttiling_boundaries
+
+    a = "apple banana cherry fruit orchard harvest sweet ripe juice tree "
+    b = "engine piston torque valve cylinder exhaust turbo shaft gear oil "
+    text = a * 8 + b * 8  # 80 tokens per topic, block=20 -> 8 blocks
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = texttiling_boundaries(df, block_tokens=20).collect()
+    assert len(out) == 7  # 8 blocks -> 7 gaps
+    sims = {r.gap: r.sim for r in out}
+    # the topic switch sits between blocks 3 and 4 (gap 3)
+    assert sims[3] == min(sims.values())
+    flags = {r.gap: r.is_boundary for r in out}
+    assert flags[3]
+    assert not flags[0] and not flags[6]
+
+
+def test_texttiling_short_docs_produce_no_rows(spark):
+    from valentinus_spark.operators import texttiling_boundaries
+
+    df = spark.createDataFrame([(1, "only a few tokens here")], ["doc_id", "text"])
+    assert texttiling_boundaries(df, block_tokens=20).count() == 0

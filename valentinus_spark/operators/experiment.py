@@ -777,11 +777,14 @@ def kruskal_wallis(
     )
     tot = per.groupBy("_v").agg(F.sum("_c").alias("_t"))
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ranked_vals feeds the rank join AND the tie spectrum — checkpoint
+    # so the corpus aggregate + ordered window run once (|distinct
+    # values| rows)
     ranked_vals = tot.select(
         "_v",
         "_t",
         (F.sum("_t").over(w) - F.col("_t")).alias("_before"),
-    )
+    ).localCheckpoint()
     avg_rank = F.col("_before") + (F.col("_t") + 1) / 2.0
     joined = per.join(ranked_vals, "_v").select(
         "_g", "_c", (F.col("_c") * avg_rank).alias("_r")
@@ -843,6 +846,9 @@ def cochran_q(
     Scale shape: one (subject, treatment) distinct aggregate — map-side
     combined — then subject-sized and k-sized folds.
     """
+    # the incidence frame feeds three consumers (k, column totals, row
+    # totals) — localCheckpoint so the corpus-sized DISTINCT runs once;
+    # inc is subjects × treatments at most
     inc = (
         df.filter(
             F.col(subject_col).isNotNull() & F.col(treatment_col).isNotNull()
@@ -851,6 +857,7 @@ def cochran_q(
             F.col(subject_col).alias("_s"), F.col(treatment_col).alias("_t")
         )
         .distinct()
+        .localCheckpoint()
     )
     k_df = inc.select("_t").distinct().agg(F.count(F.lit(1)).alias("k"))
     cols = inc.groupBy("_t").agg(F.count(F.lit(1)).alias("_cj"))
@@ -891,4 +898,131 @@ def cochran_q(
         "k",
         F.round(q, 6).alias("q"),
         (F.col("k") - 1).alias("dof"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_order: list | None = None,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test (Jonckheere
+    1954; Terpstra 1952): when the k groups carry a natural ORDER
+    (priority tiers, dose levels, seniority bands), JT tests for a
+    monotone shift ACROSS that order — strictly more powerful there
+    than Kruskal-Wallis, which ignores the ordering.
+
+        J = Σ_{g<h ordered} [ #{x_g < x_h} + ½·#{x_g = x_h} ]
+        E[J] = (N² − Σ n_g²)/4
+        Var  = [N²(2N+3) − Σ n_g²(2n_g+3)]/72   (no-tie form, stated)
+
+    ``group_order`` lists the groups smallest-first; None orders them
+    by their natural sort. Returns ONE row: (``n``, ``k``, ``j_stat``,
+    ``mean_j``, ``z``, ``p_value``) — j_stat exact on the ½ grid, z/p
+    NULL when Var = 0 (fewer than two non-empty groups).
+
+    Determinism: pair counts come from per-group distinct-value count
+    tables with windowed cumulative counts — exact integers plus a ½
+    grid, no per-row rank shuffle; z/p are the one final float formula
+    (A&S Φ polynomial, engine-portable).
+
+    Scale shape: one corpus-sized (group, value) count aggregate; the
+    cumulative window and the ordered-pair join run on
+    |distinct values| × k rows (corpus-summary-sized).
+    """
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    per = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"), F.col(group_col).alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    if group_order is not None:
+        rank_expr = None
+        for i, g in enumerate(group_order):
+            rank_expr = (
+                F.when(F.col("_g") == F.lit(g), F.lit(i))
+                if rank_expr is None
+                else rank_expr.when(F.col("_g") == F.lit(g), F.lit(i))
+            )
+        per = per.withColumn("_go", rank_expr).filter(F.col("_go").isNotNull())
+    else:
+        ranks = (
+            per.select("_g")
+            .distinct()
+            .withColumn(
+                "_go",
+                F.row_number().over(Window.orderBy("_g")) - 1,
+            )
+        )
+        per = per.join(F.broadcast(ranks), "_g")
+    # dense (group, value) spine so cumulative-below counts exist for
+    # every value any group carries
+    vals = per.select("_v").distinct()
+    grps = per.select("_g", "_go").distinct()
+    spine = vals.crossJoin(F.broadcast(grps))
+    dense = spine.join(per, ["_g", "_go", "_v"], "left").select(
+        "_g",
+        "_go",
+        "_v",
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    cum = dense.select(
+        "_g",
+        "_go",
+        "_v",
+        "_c",
+        (F.sum("_c").over(w) - F.col("_c")).alias("_below"),
+    ).localCheckpoint()
+    lo = cum.select(
+        F.col("_go").alias("_oa"),
+        F.col("_v").alias("_va"),
+        F.col("_c").alias("_ca"),
+        F.col("_below").alias("_belowa"),
+    )
+    hi = cum.select(
+        F.col("_go").alias("_ob"),
+        F.col("_v").alias("_vb"),
+        F.col("_c").alias("_cb"),
+    )
+    j_agg = (
+        hi.join(lo, (F.col("_oa") < F.col("_ob")) & (F.col("_va") == F.col("_vb")))
+        .agg(
+            F.sum(
+                F.col("_cb").cast("double")
+                * (
+                    F.col("_belowa").cast("double")
+                    + 0.5 * F.col("_ca").cast("double")
+                )
+            ).alias("_j")
+        )
+        .select(F.coalesce("_j", F.lit(0.0)).alias("j_stat"))
+    )
+    gstats = cum.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    moments = gstats.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        F.sum(F.col("_ng") * F.col("_ng")).alias("_sn2"),
+        F.sum(
+            F.col("_ng") * F.col("_ng") * (2 * F.col("_ng") + 3)
+        ).alias("_sn23"),
+    )
+    j = moments.crossJoin(j_agg)
+    nn = F.col("n").cast("double")
+    mean_j = (nn * nn - F.col("_sn2").cast("double")) / 4.0
+    var_j = (
+        nn * nn * (2.0 * nn + 3.0) - F.col("_sn23").cast("double")
+    ) / 72.0
+    z = F.when(var_j > 0, (F.col("j_stat") - mean_j) / F.sqrt(var_j))
+    return j.select(
+        "n",
+        "k",
+        F.round("j_stat", 6).alias("j_stat"),
+        F.round(mean_j, 6).alias("mean_j"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
     )

@@ -1095,7 +1095,15 @@ def burrows_delta(
         F.col(group_col).alias("_g"),
         F.explode(word_tokens(normalize_text(text_col))).alias("_t"),
     )
-    freq = toks.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_f"))
+    # freq feeds three consumers (top-n cut, group totals, the rel
+    # spine) — localCheckpoint so the corpus-sized tokenize+aggregate
+    # runs ONCE instead of per consumer (the winnow_spans lesson);
+    # freq itself is corpus-SUMMARY-sized (groups × vocab)
+    freq = (
+        toks.groupBy("_g", "_t")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .localCheckpoint()
+    )
     top = (
         freq.groupBy("_t")
         .agg(F.sum("_f").alias("_tot"))

@@ -1153,3 +1153,83 @@ def good_turing_vocab(
             6,
         ).alias("chao1"),
     ).orderBy(group_col)
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_v: int = 5000,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (Lin 1991) between groups'
+    unigram distributions over the ``top_v`` corpus-wide most frequent
+    tokens — the SYMMETRIC, bounded ([0, 1] in bits) companion to
+    source_token_kl: mixture planning wants a distance (d(a,b) =
+    d(b,a), finite even when supports differ), which KL is not.
+
+        JS(p, q) = ½·Σ p·log2(p/m) + ½·Σ q·log2(q/m),  m = (p+q)/2
+
+    Returns one row per unordered group pair (a < b): (``group_a``,
+    ``group_b``, ``js_bits``) rounded to 6, ordered by (a, b).
+
+    Determinism: relative frequencies are 9-dp-pinned; each token's JS
+    term is rounded to 12 dp and DECIMAL-accumulated, so the pair sums
+    are independent of partition order (the one libm lean, log2, is
+    absorbed by the 12-dp pin). Zero-probability terms contribute 0 by
+    construction (0·log 0 = 0).
+
+    Scale shape: one corpus-sized (group, token) count aggregate
+    (shared, localCheckpointed); the pair join runs on groups × top_v
+    rows — dashboard-sized, like burrows_delta.
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(word_tokens(normalize_text(text_col))).alias("_t"),
+    )
+    freq = (
+        toks.groupBy("_g", "_t")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .localCheckpoint()
+    )
+    top = (
+        freq.groupBy("_t")
+        .agg(F.sum("_f").alias("_tot"))
+        .orderBy(F.desc("_tot"), F.asc("_t"))
+        .limit(top_v)
+        .select("_t")
+    )
+    gtot = freq.groupBy("_g").agg(F.sum("_f").alias("_gn"))
+    spine = gtot.crossJoin(F.broadcast(top))
+    rel = (
+        spine.join(freq, ["_g", "_t"], "left")
+        .select(
+            "_g",
+            "_t",
+            F.round(
+                F.coalesce(F.col("_f"), F.lit(0)).cast("double")
+                / F.col("_gn").cast("double"),
+                9,
+            ).alias("_r"),
+        )
+        .localCheckpoint()
+    )
+    a = rel.select(F.col("_g").alias("group_a"), "_t", F.col("_r").alias("_p"))
+    b = rel.select(F.col("_g").alias("group_b"), "_t", F.col("_r").alias("_q"))
+    ln2 = 0.6931471805599453
+    p, q = F.col("_p"), F.col("_q")
+    m = (p + q) / 2.0
+    term = (
+        F.when(p > 0, p * (F.log(p / m) / ln2)).otherwise(0.0)
+        + F.when(q > 0, q * (F.log(q / m) / ln2)).otherwise(0.0)
+    ) / 2.0
+    pairs = a.join(b, "_t").filter(F.col("group_a") < F.col("group_b"))
+    return (
+        pairs.select(
+            "group_a",
+            "group_b",
+            F.round(term, 12).cast("decimal(18,12)").alias("_j"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.round(F.sum("_j").cast("double"), 6).alias("js_bits"))
+        .orderBy("group_a", "group_b")
+    )

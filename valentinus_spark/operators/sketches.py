@@ -618,8 +618,10 @@ def hll_overlap(
     a register merge; the overlap arithmetic is three single-row
     frames. At 100 TB: persist the registers, run only the merge.
     """
-    ra = hll_registers(df_a, value_col, p=p)
-    rb = hll_registers(df_b, value_col, p=p)
+    # each register set feeds its own estimate AND the union merge —
+    # localCheckpoint so each corpus scan runs once (≤ 2^p rows each)
+    ra = hll_registers(df_a, value_col, p=p).localCheckpoint()
+    rb = hll_registers(df_b, value_col, p=p).localCheckpoint()
     ea = hll_estimate(ra, p).select(F.col("est_distinct").alias("est_a"))
     eb = hll_estimate(rb, p).select(F.col("est_distinct").alias("est_b"))
     eu = hll_merge_estimate(ra, rb, p).select(

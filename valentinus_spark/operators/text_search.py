@@ -820,3 +820,143 @@ def rake_keywords(
         .orderBy(F.desc("score"), F.asc("phrase"))
         .limit(topk)
     )
+
+
+def texttiling_boundaries(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 20,
+) -> DataFrame:
+    """TextTiling topic segmentation (Hearst 1997, the block-comparison
+    form): split each document into ``block_tokens``-token pseudo-
+    sentences, score every gap by the cosine similarity of the
+    adjacent blocks' term-count vectors, convert to DEPTH scores
+    (how far the gap sits below its neighboring similarity peaks), and
+    mark boundaries where depth exceeds Hearst's cutoff
+    (mean − std/2 of the document's depths). The semantic chunker for
+    RAG/context-window pipelines — unlike fixed-length doc_chunks it
+    cuts where the vocabulary actually shifts.
+
+    Returns one row per gap: (``id_col``, ``gap``, ``sim``, ``depth``,
+    ``is_boundary``) — gap g sits between blocks g and g+1 (0-based),
+    sim/depth rounded to 6, ordered by (id, gap). Documents with < 2
+    blocks produce no rows.
+
+    Determinism: block term counts are exact BIGINTs; cosine =
+    dot/(||a||·||b||) is one pinned double expression rounded to 9
+    before the depth window; per-doc depth mean/std use DECIMAL sums
+    of the 9-dp depths ((18,9)² = (37,18) exact); the boundary compare
+    runs on 9-dp-rounded cutoffs.
+
+    Scale shape: tokenize+explode is one corpus scan; block vectors
+    aggregate on (doc, block, token) with map-side combine; the gap
+    join is (doc, token)-keyed between ADJACENT blocks only (no
+    all-pairs); depth/cutoff are per-doc windows over gap counts
+    (document-length-bounded, not corpus-bounded).
+    """
+    from pyspark.sql import Window
+
+    def _r6(c):
+        # floor-based HALF_UP 6-dp rounding (values here are >= 0):
+        # both engines execute the identical (x*1e6 + 0.5 -> floor ->
+        # /1e6) op sequence, where native ROUND diverges between
+        # Spark's exact-decimal rounding and DuckDB's multiply trick on
+        # the very same double (observed at sim = 0.5204165).
+        return F.floor(c * 1000000.0 + 0.5) / 1000000.0
+
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(word_tokens(normalize_text(text_col))).alias("_i", "_t"),
+    ).select(
+        "_id", (F.col("_i") / block_tokens).cast("int").alias("_b"), "_t"
+    )
+    counts = tok.groupBy("_id", "_b", "_t").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    nblocks = counts.groupBy("_id").agg((F.max("_b") + 1).alias("_nb"))
+    norms = counts.groupBy("_id", "_b").agg(
+        F.sum(F.col("_c") * F.col("_c")).alias("_n2")
+    )
+    a = counts.select("_id", F.col("_b").alias("_g"), "_t", F.col("_c").alias("_ca"))
+    b = counts.select(
+        "_id", (F.col("_b") - 1).alias("_g"), "_t", F.col("_c").alias("_cb")
+    )
+    dots = (
+        a.join(b, ["_id", "_g", "_t"])
+        .groupBy("_id", "_g")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    na = norms.select("_id", F.col("_b").alias("_g"), F.col("_n2").alias("_na"))
+    nb = norms.select(
+        "_id", (F.col("_b") - 1).alias("_g"), F.col("_n2").alias("_nb2")
+    )
+    # dense gap spine: adjacent blocks sharing NO token still form a
+    # gap (sim 0) — derive gaps from the block count, not from dots
+    gaps = nblocks.filter(F.col("_nb") >= 2).select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.col("_nb") - 2)).alias("_g"),
+    )
+    sims = (
+        gaps.join(dots, ["_id", "_g"], "left")
+        .join(na, ["_id", "_g"])
+        .join(nb, ["_id", "_g"])
+        .select(
+            "_id",
+            "_g",
+            _r6(
+                F.coalesce(F.col("_dot"), F.lit(0)).cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb2").cast("double"))
+                )
+            ).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy("_g")
+    depth = sims.select(
+        "_id",
+        "_g",
+        "_s",
+        _r6(
+            F.greatest(
+                F.lit(0.0),
+                F.coalesce(F.lag("_s").over(w), F.col("_s")) - F.col("_s"),
+            )
+            + F.greatest(
+                F.lit(0.0),
+                F.coalesce(F.lead("_s").over(w), F.col("_s")) - F.col("_s"),
+            )
+        ).alias("_d"),
+    )
+    dd = F.col("_d").cast("decimal(18,6)")
+    stats = depth.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_gc"),
+        F.sum(dd).cast("double").alias("_s1"),
+        F.sum((dd * dd).cast("decimal(38,12)")).cast("double").alias("_s2"),
+    )
+    gc = F.col("_gc").cast("double")
+    mean = F.col("_s1") / gc
+    var = F.col("_s2") / gc - mean * mean
+    cut = stats.select(
+        "_id",
+        _r6(
+            mean - F.when(var > 0, F.sqrt(var)).otherwise(0.0) / 2.0
+        ).alias("_cut"),
+    )
+    return (
+        depth.join(F.broadcast(cut), "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias("gap"),
+            F.col("_s").alias("sim"),
+            F.col("_d").alias("depth"),
+            # depth > 0 guard: with near-uniform depths Hearst's cutoff
+            # (mean - std/2) can go negative, which would flag every
+            # flat gap; a zero-depth gap is never a boundary
+            ((F.col("_d") > 0) & (F.col("_d") > F.col("_cut"))).alias(
+                "is_boundary"
+            ),
+        )
+        .orderBy(id_col, "gap")
+    )

@@ -1,5 +1,6 @@
 from valentinus_spark.sources.csv_ingest import read_review_csv
 from valentinus_spark.sources.warc import encode_warc, parse_warc_bytes, read_warc, write_warc
+from valentinus_spark.sources.fixed_width import read_fixed_width, write_fixed_width
 from valentinus_spark.sources.formats import read_orc, write_orc
 from valentinus_spark.sources.jsonl import read_documents_jsonl
 from valentinus_spark.sources.tables import write_bucketed
@@ -23,7 +24,9 @@ __all__ = [
     "read_review_csv",
     "read_documents_jsonl",
     "write_bucketed",
+    "read_fixed_width",
     "read_orc",
+    "write_fixed_width",
     "write_orc",
     "commit_version",
     "compact_commit",
