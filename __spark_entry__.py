@@ -6077,6 +6077,76 @@ def q_orders_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_value_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (operators/experiment.py::
+    wilcoxon_signed_rank, 1945) on each user's pre- vs post-midpoint
+    total event value — the non-parametric twin of
+    user_value_paired_t (same paired frame, no normality assumption).
+    Exact half-grid rank sums on the DECIMAL difference grid."""
+    from valentinus_spark.operators.experiment import wilcoxon_signed_rank
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    ev = ev.withColumn("_d", F.to_date("ts"))
+    bounds = ev.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    dec = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    paired = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_post", F.datediff("_d", "_lo") * 2 > F.datediff("_hi", "_lo")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(~F.col("_post"), dec).otherwise(zero))
+            .cast("double")
+            .alias("before"),
+            F.sum(F.when(F.col("_post"), dec).otherwise(zero))
+            .cast("double")
+            .alias("after"),
+        )
+    )
+    return wilcoxon_signed_rank(paired, "before", "after")
+
+
+def q_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality test (operators/experiment.py::
+    levene_test, median-centered) of event values across the 5 event
+    types — the variance-drift companion to value_kruskal (which only
+    sees location shifts). Exact grid medians, DECIMAL ANOVA moments,
+    statistic-only (F vs tables)."""
+    from valentinus_spark.operators.experiment import levene_test
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return levene_test(ev, "event_type", "value")
+
+
+def q_user_type_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (operators/evaluation.py::cronbach_alpha, 1951)
+    treating the 5 event types as a 5-item instrument scored by each
+    user's total value per type — the internal-consistency reliability
+    readout of the agreement family for continuous scores. Listwise
+    deletion: only users with all 5 items count."""
+    from valentinus_spark.operators.evaluation import cronbach_alpha
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("score")
+    )
+    return cronbach_alpha(per, "user_id", "event_type", "score")
+
+
+def q_source_lang_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman language concentration per source
+    (operators/profile.py::hhi_concentration) — "is this source a
+    language monoculture", the membership-concentration companion to
+    source_length_gini's value inequality. Exact integer arithmetic up
+    to the final divisions."""
+    from valentinus_spark.operators.profile import hhi_concentration
+
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    return hhi_concentration(docs, "source", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6181,6 +6251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_js_divergence": q_source_js_divergence,
         "doc_texttiling": q_doc_texttiling,
         "orders_fixed_width": q_orders_fixed_width,
+        "user_value_wilcoxon": q_user_value_wilcoxon,
+        "value_levene": q_value_levene,
+        "user_type_cronbach": q_user_type_cronbach,
+        "source_lang_hhi": q_source_lang_hhi,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -12768,5 +12842,164 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
                    ROUND(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE), 4) AS total_price
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    sql["user_value_wilcoxon"] = """
+            WITH paired AS MATERIALIZED (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN (CAST(ts AS DATE) - (SELECT MIN(CAST(ts AS DATE)) FROM events)) * 2
+                                          <= ((SELECT MAX(CAST(ts AS DATE)) FROM events) - (SELECT MIN(CAST(ts AS DATE)) FROM events))
+                                     THEN CAST(value AS DECIMAL(18,2))
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS bf,
+                       CAST(SUM(CASE WHEN (CAST(ts AS DATE) - (SELECT MIN(CAST(ts AS DATE)) FROM events)) * 2
+                                          > ((SELECT MAX(CAST(ts AS DATE)) FROM events) - (SELECT MIN(CAST(ts AS DATE)) FROM events))
+                                     THEN CAST(value AS DECIMAL(18,2))
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS af
+                FROM events GROUP BY user_id
+            ),
+            d AS (
+                SELECT CAST(af AS DECIMAL(17,4)) - CAST(bf AS DECIMAL(17,4)) AS d
+                FROM paired WHERE bf IS NOT NULL AND af IS NOT NULL
+            ),
+            np AS (SELECT COUNT(*)::BIGINT AS n_pairs FROM d),
+            nz AS (
+                SELECT ABS(d) AS a, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+                FROM d WHERE d <> 0
+            ),
+            per AS (
+                SELECT a, COUNT(*)::BIGINT AS t, SUM(pos)::BIGINT AS npos
+                FROM nz GROUP BY a
+            ),
+            ranked AS (
+                SELECT t, npos,
+                       CAST(SUM(t) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING) - t AS BIGINT) AS bef
+                FROM per
+            ),
+            agg AS (
+                SELECT COALESCE(SUM(t), 0)::BIGINT AS n_nonzero,
+                       COALESCE(SUM(npos * (bef::DOUBLE + (t + 1) / 2.0)), 0.0) AS w_plus,
+                       COALESCE(SUM(t * t * t - t), 0)::BIGINT AS ties
+                FROM ranked
+            ),
+            calc AS (
+                SELECT n_pairs, n_nonzero, w_plus, ties,
+                       n_nonzero::DOUBLE * (n_nonzero::DOUBLE + 1.0) / 2.0 AS total,
+                       n_nonzero::DOUBLE * (n_nonzero::DOUBLE + 1.0) / 4.0 AS mean_w,
+                       n_nonzero::DOUBLE * (n_nonzero::DOUBLE + 1.0) * (2.0 * n_nonzero::DOUBLE + 1.0) / 24.0
+                           - ties::DOUBLE / 48.0 AS var_w
+                FROM np, agg
+            ),
+            zc AS (
+                SELECT *, CASE WHEN var_w > 0 THEN (w_plus - mean_w) / SQRT(var_w) END AS z
+                FROM calc
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM zc)
+            SELECT n_pairs, n_nonzero,
+                   ROUND(w_plus, 6) AS w_plus,
+                   ROUND(total - w_plus, 6) AS w_minus,
+                   ROUND(z, 6) AS z,
+                   ROUND(CASE WHEN z IS NOT NULL THEN LEAST(1.0, 2.0 * EXP(-z * z / 2.0) / 2.5066282746310002 * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429)))))) END, 6) AS p_value
+            FROM pv
+        """
+    sql["value_levene"] = """
+            WITH vals AS MATERIALIZED (
+                SELECT event_type AS g, CAST(value AS DECIMAL(17,4)) AS v
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            per AS (SELECT g, v, COUNT(*)::BIGINT AS c FROM vals GROUP BY 1, 2),
+            cum AS (
+                SELECT g, v, c,
+                       CAST(SUM(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+                       CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS ng
+                FROM per
+            ),
+            med AS (
+                SELECT g,
+                       (MIN(CASE WHEN cm >= (ng + 1) // 2 THEN v END)
+                        + MIN(CASE WHEN cm >= ng // 2 + 1 THEN v END))::DOUBLE / 2.0 AS m
+                FROM cum GROUP BY g
+            ),
+            dev AS (
+                SELECT vals.g, ROUND(ABS(vals.v::DOUBLE - med.m), 9) AS z
+                FROM vals JOIN med ON med.g = vals.g
+            ),
+            gstats AS (
+                SELECT g, COUNT(*)::BIGINT AS ng,
+                       CAST(SUM(CAST(z AS DECIMAL(18,9))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(CAST(z AS DECIMAL(18,9)) * CAST(z AS DECIMAL(18,9)) AS DECIMAL(38,18))) AS DOUBLE) AS s2
+                FROM dev GROUP BY g
+            ),
+            tot AS (
+                SELECT COUNT(*)::BIGINT AS k, SUM(ng)::BIGINT AS n,
+                       CAST(SUM(CAST(s1 AS DECIMAL(28,9))) AS DOUBLE) AS S,
+                       CAST(SUM(CAST(ROUND(s1 * s1 / ng::DOUBLE, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sb,
+                       CAST(SUM(CAST(s2 AS DECIMAL(38,18))) AS DOUBLE) AS ss
+                FROM gstats
+            )
+            SELECT n, k,
+                   ROUND(CASE WHEN k >= 2 AND ss - sb > 0
+                              THEN ((sb - S * S / n::DOUBLE) / (k::DOUBLE - 1.0))
+                                   / ((ss - sb) / (n::DOUBLE - k::DOUBLE)) END, 6) AS f_stat,
+                   k - 1 AS dof_between,
+                   n - k AS dof_within
+            FROM tot
+        """
+    sql["user_type_cronbach"] = """
+            WITH per AS MATERIALIZED (
+                SELECT user_id AS s, event_type AS i,
+                       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(17,4)) AS v
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            ktot AS (SELECT COUNT(DISTINCT i)::BIGINT AS kt FROM per),
+            counts AS (
+                SELECT s, COUNT(*)::BIGINT AS ni, CAST(SUM(v) AS DECIMAL(17,4)) AS tot
+                FROM per GROUP BY s
+            ),
+            complete AS (SELECT s, tot FROM counts, ktot WHERE ni = kt),
+            kept AS (SELECT per.* FROM per SEMI JOIN complete ON per.s = complete.s),
+            item_var AS (
+                SELECT COUNT(*)::BIGINT AS k,
+                       CAST(SUM(CAST(vr AS DECIMAL(28,9))) AS DOUBLE) AS sv
+                FROM (
+                    SELECT ROUND(CAST(SUM(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*)
+                                 - (CAST(SUM(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*))
+                                   * (CAST(SUM(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*)), 9) AS vr
+                    FROM kept GROUP BY i
+                )
+            ),
+            tot_var AS (
+                SELECT COUNT(*)::BIGINT AS n_subjects,
+                       CAST(SUM(CAST(tot AS DECIMAL(38,8))) AS DOUBLE) AS t1,
+                       CAST(SUM(CAST(tot * tot AS DECIMAL(38,8))) AS DOUBLE) AS t2
+                FROM complete
+            )
+            SELECT n_subjects, k,
+                   ROUND(CASE WHEN k >= 2
+                                   AND ROUND(t2 / n_subjects - (t1 / n_subjects) * (t1 / n_subjects), 9) > 0
+                              THEN k::DOUBLE / (k::DOUBLE - 1.0)
+                                   * (1.0 - sv / ROUND(t2 / n_subjects - (t1 / n_subjects) * (t1 / n_subjects), 9)) END, 6) AS alpha
+            FROM tot_var, item_var
+        """
+    sql["source_lang_hhi"] = """
+            WITH per AS (
+                SELECT source AS g, lang AS c, COUNT(*)::BIGINT AS n
+                FROM documents
+                WHERE source IS NOT NULL AND lang IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT g, SUM(n)::BIGINT AS n, COUNT(*)::BIGINT AS n_categories,
+                       SUM(n * n)::BIGINT AS s2
+                FROM per GROUP BY g
+            )
+            SELECT g AS source, n, n_categories,
+                   ROUND(s2::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS hhi,
+                   ROUND(CASE WHEN n_categories >= 2
+                              THEN (s2::DOUBLE / (n::DOUBLE * n::DOUBLE) - 1.0 / n_categories::DOUBLE)
+                                   / (1.0 - 1.0 / n_categories::DOUBLE) END, 6) AS hhi_normalized,
+                   ROUND(1.0 / (s2::DOUBLE / (n::DOUBLE * n::DOUBLE)), 6) AS effective_categories
+            FROM agg ORDER BY source
         """
     return sql

@@ -32,7 +32,7 @@ import __spark_entry__ as entrymod
 from valentinus_spark.session import get_spark
 
 # Every registry query that runs a real computation over the sf tables
-# (247 of 276 as of round 7). The 28 exclusions are the three UNBENCHED
+# (251 of 280 as of round 7). The 28 exclusions are the three UNBENCHED
 # families below (streaming lifecycles, storage round-trips, planted
 # tiny fixtures) — each with a one-line justification, and the partition
 # BENCH_QUERIES + UNBENCHED == queries() is asserted at import. The
@@ -296,6 +296,10 @@ BENCH_QUERIES = [
     "order_priority_trend",
     "source_js_divergence",
     "doc_texttiling",
+    "user_value_wilcoxon",
+    "value_levene",
+    "user_type_cronbach",
+    "source_lang_hhi",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -432,6 +436,7 @@ BENCH_FAMILIES = {
         "doc_rake_keywords",
         "source_js_divergence",
         "doc_texttiling",
+        "source_lang_hhi",
     ],
     "rel": [
         "pricing_summary", "top_revenue_orders", "brand_revenue",
@@ -490,6 +495,9 @@ BENCH_FAMILIES = {
         "value_kruskal",
         "user_type_cochran",
         "order_priority_trend",
+        "user_value_wilcoxon",
+        "value_levene",
+        "user_type_cronbach",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

@@ -566,3 +566,31 @@ def test_rank_correlation_constant_score_null(spark):
     )
     out = rank_correlation(df, "g", "sa", "sb").collect()[0]
     assert out.spearman_rho is None and out.kendall_tau is None
+
+
+def test_cronbach_alpha_consistent_vs_noise_items(spark):
+    """Items that all track the same construct (score + small offsets)
+    give alpha near 1; unrelated alternating items give low/negative
+    alpha; incomplete subjects are listwise-dropped."""
+    from valentinus_spark.operators import cronbach_alpha
+
+    rows = []
+    for s in range(12):
+        base = float(s)
+        for i, off in (("i1", 0.0), ("i2", 0.5), ("i3", 1.0)):
+            rows.append((s, i, base + off))
+    rows.append((99, "i1", 5.0))  # incomplete subject -> dropped
+    df = spark.createDataFrame(rows, ["subj", "item", "score"])
+    r = cronbach_alpha(df, "subj", "item", "score").collect()[0]
+    assert r.n_subjects == 12 and r.k == 3
+    assert r.alpha == pytest.approx(1.0, abs=1e-6)  # perfectly parallel items
+
+    noisy = []
+    for s in range(12):
+        noisy.append((s, "i1", float(s % 2)))
+        noisy.append((s, "i2", float((s + 1) % 2)))
+    rn = cronbach_alpha(
+        spark.createDataFrame(noisy, ["subj", "item", "score"]),
+        "subj", "item", "score",
+    ).collect()[0]
+    assert rn.alpha is None or rn.alpha < 0.2  # anti-correlated items

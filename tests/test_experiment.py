@@ -462,3 +462,49 @@ def test_jonckheere_ties_half_credit(spark):
     )
     r = jonckheere_terpstra(df, "g", "v", group_order=["a", "b"]).collect()[0]
     assert r.j_stat == pytest.approx(1.0, abs=1e-9)  # 2 tied pairs x 0.5
+
+
+def test_wilcoxon_signed_rank_replica_no_ties(spark):
+    """Classic small-sample hand computation: d ranks by |d|, W+ is
+    the sum of positive-d ranks; python replay."""
+    from valentinus_spark.operators import wilcoxon_signed_rank
+
+    pairs = [(10.0, 12.5), (8.0, 7.0), (5.0, 9.0), (6.0, 6.5),
+             (11.0, 10.8), (3.0, 8.0), (9.0, 9.0)]  # one zero diff drops
+    df = spark.createDataFrame(pairs, ["before", "after"])
+    ds = [round(a - b, 4) for b, a in pairs if a != b]
+    order = sorted(range(len(ds)), key=lambda i: abs(ds[i]))
+    ranks = {order[i]: i + 1 for i in range(len(ds))}
+    w_plus = sum(r for i, r in ranks.items() if ds[i] > 0)
+    r = wilcoxon_signed_rank(df, "before", "after").collect()[0]
+    assert r.n_pairs == 7 and r.n_nonzero == 6
+    assert r.w_plus == pytest.approx(w_plus, abs=1e-9)
+    assert r.w_plus + r.w_minus == pytest.approx(6 * 7 / 2, abs=1e-9)
+
+
+def test_wilcoxon_all_zero_diffs_null(spark):
+    from valentinus_spark.operators import wilcoxon_signed_rank
+
+    df = spark.createDataFrame([(5.0, 5.0), (7.0, 7.0)], ["before", "after"])
+    r = wilcoxon_signed_rank(df, "before", "after").collect()[0]
+    assert r.n_nonzero == 0 and r.z is None
+
+
+def test_levene_detects_planted_variance_difference(spark):
+    """Two groups with equal medians but 10x spread difference: F must
+    be large; equal-spread groups give F near 0."""
+    from valentinus_spark.operators import levene_test
+
+    tight = [("a", 10.0 + d) for d in (-0.1, -0.05, 0.0, 0.05, 0.1) * 4]
+    wide = [("b", 10.0 + d) for d in (-5.0, -2.5, 0.0, 2.5, 5.0) * 4]
+    r = levene_test(
+        spark.createDataFrame(tight + wide, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert (r.n, r.k, r.dof_between, r.dof_within) == (40, 2, 1, 38)
+    assert r.f_stat > 10
+
+    same = [("a", v) for _, v in wide] + [("b", v) for _, v in wide]
+    r2 = levene_test(
+        spark.createDataFrame(same, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert r2.f_stat == pytest.approx(0.0, abs=1e-6)

@@ -355,3 +355,20 @@ def test_burrows_delta_zero_for_identical_groups(spark):
     out = {(r.group_a, r.group_b): r.delta for r in burrows_delta(df, "source", top_n=10).collect()}
     assert out[("X", "Y")] == pytest.approx(0.0, abs=1e-6)
     assert out[("X", "Z")] > 0.1
+
+
+def test_hhi_concentration_bounds(spark):
+    """Monoculture -> hhi 1; uniform over 4 categories -> 0.25 with
+    normalized 0 and effective count 4."""
+    from valentinus_spark.operators import hhi_concentration
+
+    rows = [("mono", "en")] * 8 + [
+        ("uni", c) for c in ("en", "de", "fr", "es") * 2
+    ]
+    out = {r.source: r for r in hhi_concentration(
+        spark.createDataFrame(rows, ["source", "lang"]), "source", "lang"
+    ).collect()}
+    assert out["mono"].hhi == 1.0 and out["mono"].hhi_normalized is None
+    assert out["uni"].hhi == pytest.approx(0.25, abs=1e-9)
+    assert out["uni"].hhi_normalized == pytest.approx(0.0, abs=1e-9)
+    assert out["uni"].effective_categories == pytest.approx(4.0, abs=1e-6)

@@ -598,3 +598,86 @@ def rbo_overlap(
             F.lit(1.0 - float(p)) * F.sum(term).cast("double"), 6
         ).alias("rbo"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Cronbach's alpha (Cronbach 1951) — internal-consistency
+    reliability of a k-item instrument over subjects: do the k rubric
+    dimensions / labeling passes measure one underlying construct?
+    The annotation-pipeline twin of the agreement family (kappa,
+    Krippendorff) for CONTINUOUS item scores:
+
+        α = k/(k−1) · (1 − Σ var(item_j) / var(Σ_j item_j))
+
+    computed over subjects with a COMPLETE item row (listwise
+    deletion, the standard). Returns ONE row: (``n_subjects``, ``k``,
+    ``alpha``) rounded to 6 — NULL when k < 2 or the total-score
+    variance is 0 (no between-subject spread to be reliable about).
+
+    Determinism: per-item and total-score moments accumulate in
+    DECIMAL ((17,4) operands, (35,8)-exact squares — the msprt
+    discipline); population variances; the k-item variance sum is
+    9-dp-pinned and DECIMAL-accumulated.
+
+    Scale shape: one (subject, item) aggregate to the score matrix,
+    one subject-keyed row-sum aggregate, item-sized + one-row folds.
+    """
+    base = df.filter(
+        F.col(subject_col).isNotNull()
+        & F.col(item_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        F.col(subject_col).alias("_s"),
+        F.col(item_col).alias("_i"),
+        F.col(score_col).cast("decimal(17,4)").alias("_v"),
+    )
+    k_total = base.select("_i").distinct().count()
+    counts = base.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_ni"),
+        F.sum("_v").cast("decimal(17,4)").alias("_tot"),
+    )
+    complete = counts.filter(F.col("_ni") == k_total).select("_s", "_tot")
+    kept = base.join(F.broadcast(complete.select("_s")), "_s")
+    sq = lambda c: (c * c).cast("decimal(38,8)")  # noqa: E731
+    item_var = (
+        kept.groupBy("_i")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast("decimal(38,8)")).cast("double").alias("_s1"),
+            F.sum(sq(F.col("_v"))).cast("double").alias("_s2"),
+        )
+        .select(
+            F.round(
+                F.col("_s2") / F.col("_n")
+                - (F.col("_s1") / F.col("_n")) * (F.col("_s1") / F.col("_n")),
+                9,
+            ).alias("_var")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("_var").cast("decimal(28,9)")).cast("double").alias("_sv"),
+        )
+    )
+    tot_var = complete.agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum(F.col("_tot").cast("decimal(38,8)")).cast("double").alias("_t1"),
+        F.sum(sq(F.col("_tot"))).cast("double").alias("_t2"),
+    )
+    j = tot_var.crossJoin(item_var)
+    nn = F.col("n_subjects").cast("double")
+    vt = F.round(
+        F.col("_t2") / nn - (F.col("_t1") / nn) * (F.col("_t1") / nn), 9
+    )
+    kk = F.col("k").cast("double")
+    alpha = F.when(
+        (F.col("k") >= 2) & (vt > 0),
+        kk / (kk - 1.0) * (1.0 - F.col("_sv") / vt),
+    )
+    return j.select(
+        "n_subjects", "k", F.round(alpha, 6).alias("alpha")
+    )

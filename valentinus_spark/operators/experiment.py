@@ -1026,3 +1026,188 @@ def jonckheere_terpstra(
         F.round(z, 6).alias("z"),
         F.round(two_sided_p(z), 6).alias("p_value"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) on paired
+    before/after values — the non-parametric companion to
+    paired_t_test (completes the grid: mann_whitney_u for independent
+    pairs, kruskal_wallis for k groups, jonckheere_terpstra for
+    ordered groups, this for within-subject pairs). Zero differences
+    drop (the standard convention); |d| ranks use average ranks; the
+    normal approximation carries the tie correction:
+
+        W⁺ = Σ ranks of positive d,   E[W⁺] = n(n+1)/4
+        Var = n(n+1)(2n+1)/24 − Σ(t³−t)/48
+
+    Returns ONE row: (``n_pairs``, ``n_nonzero``, ``w_plus``,
+    ``w_minus``, ``z``, ``p_value``) — W on the exact ½ grid, z/p NULL
+    when Var = 0 (all |d| tie into one group of everything).
+
+    Determinism: differences are computed on DECIMAL(17,4) operands
+    (exact), |d| grouping and the rank window run on the decimal grid
+    (mann_whitney_u's distinct-value skeleton — exact ½-grid rank
+    sums, BIGINT tie spectrum), and only the final z/Φ is float.
+
+    Scale shape: one unit-keyed scan to differences, one
+    map-side-combined |d| count aggregate, one ordered window over
+    |distinct |d|| rows.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        F.col(after_col).cast("decimal(17,4)")
+        - F.col(before_col).cast("decimal(17,4)")
+    )
+    diffs = df.filter(
+        F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
+    ).select(d.alias("_d"))
+    n_pairs = diffs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    nz = diffs.filter(F.col("_d") != 0).select(
+        F.abs(F.col("_d")).alias("_a"),
+        F.when(F.col("_d") > 0, 1).otherwise(0).alias("_pos"),
+    )
+    per = nz.groupBy("_a").agg(
+        F.count(F.lit(1)).alias("_t"), F.sum("_pos").alias("_np")
+    )
+    w = Window.orderBy("_a").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per.select(
+        "_t",
+        "_np",
+        (F.sum("_t").over(w) - F.col("_t")).alias("_before"),
+    )
+    avg_rank = F.col("_before") + (F.col("_t") + 1) / 2.0
+    agg = ranked.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).alias("n_nonzero"),
+        F.coalesce(F.sum(F.col("_np") * avg_rank), F.lit(0.0)).alias("w_plus"),
+        F.coalesce(
+            F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")),
+            F.lit(0),
+        ).alias("_ties"),
+    )
+    j = n_pairs.crossJoin(agg)
+    nn = F.col("n_nonzero").cast("double")
+    total = nn * (nn + 1.0) / 2.0
+    mean_w = nn * (nn + 1.0) / 4.0
+    var_w = (
+        nn * (nn + 1.0) * (2.0 * nn + 1.0) / 24.0
+        - F.col("_ties").cast("double") / 48.0
+    )
+    z = F.when(var_w > 0, (F.col("w_plus") - mean_w) / F.sqrt(var_w))
+    return j.select(
+        "n_pairs",
+        "n_nonzero",
+        F.round("w_plus", 6).alias("w_plus"),
+        F.round(total - F.col("w_plus"), 6).alias("w_minus"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe / Levene variance-equality test (Levene 1960;
+    Brown & Forsythe 1974 median-centered form — the robust variant):
+    one-way ANOVA F on the absolute deviations from each group's
+    MEDIAN. The pre-flight for every equal-variance assumption (pooled
+    t, ANOVA) and a drift detector for variance changes the mean tests
+    miss. Returns ONE row: (``n``, ``k``, ``f_stat``, ``dof_between``,
+    ``dof_within``) — the statistic-only convention (compare against
+    F tables; no incomplete-beta dependency), f_stat NULL when any
+    variance term degenerates (k < 2 or zero within-group spread).
+
+    Determinism: group medians follow the repo's exact-median
+    convention (floor-rank lower/upper middles of the 4-dp value grid);
+    deviations are exact decimal differences; the ANOVA moments are
+    9-dp-pinned DECIMAL sums.
+
+    Scale shape: one (group, value) count aggregate drives the median
+    (no per-row rank shuffle), one deviation scan, k-sized moment fold.
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+    )
+    per = vals.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    wg = Window.partitionBy("_g").orderBy("_v")
+    cum = per.select(
+        "_g",
+        "_v",
+        "_c",
+        F.sum("_c").over(wg).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("_g")).alias("_ng"),
+    )
+    # exact median on the value grid: lower middle = floor((n+1)/2),
+    # upper middle = floor(n/2)+1 (the theil_sen convention) — the
+    # value whose cumulative count covers each rank
+    lo_rank = F.floor((F.col("_ng") + 1) / 2)
+    hi_rank = F.floor(F.col("_ng") / 2) + 1
+    med = (
+        cum.select(
+            "_g",
+            F.min(
+                F.when(F.col("_cum") >= lo_rank, F.col("_v"))
+            ).over(Window.partitionBy("_g")).alias("_mlo"),
+            F.min(
+                F.when(F.col("_cum") >= hi_rank, F.col("_v"))
+            ).over(Window.partitionBy("_g")).alias("_mhi"),
+        )
+        .groupBy("_g")
+        .agg(
+            (
+                (F.max("_mlo") + F.max("_mhi")).cast("double") / 2.0
+            ).alias("_med")
+        )
+    )
+    dev = vals.join(F.broadcast(med), "_g").select(
+        "_g",
+        F.round(
+            F.abs(F.col("_v").cast("double") - F.col("_med")), 9
+        ).alias("_z"),
+    )
+    zz = F.col("_z").cast("decimal(18,9)")
+    gstats = dev.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(zz).cast("double").alias("_s1"),
+        F.sum((zz * zz).cast("decimal(38,18)")).cast("double").alias("_s2"),
+    )
+    tot = gstats.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        F.sum(F.col("_s1").cast("decimal(28,9)")).cast("double").alias("_S"),
+        F.sum(
+            F.round(
+                F.col("_s1") * F.col("_s1") / F.col("_ng").cast("double"), 9
+            ).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("_sb"),
+        F.sum(F.col("_s2").cast("decimal(38,18)")).cast("double").alias("_ss"),
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    grand = F.col("_S") * F.col("_S") / nn
+    ss_between = F.col("_sb") - grand
+    ss_within = F.col("_ss") - F.col("_sb")
+    f = F.when(
+        (F.col("k") >= 2) & (ss_within > 0),
+        (ss_between / (kk - 1.0)) / (ss_within / (nn - kk)),
+    )
+    return tot.select(
+        "n",
+        "k",
+        F.round(f, 6).alias("f_stat"),
+        (F.col("k") - 1).alias("dof_between"),
+        (F.col("n") - F.col("k")).alias("dof_within"),
+    )

@@ -1173,3 +1173,53 @@ def burrows_delta(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: Σ share²
+    over the categories inside each group (1/k for a uniform spread,
+    1.0 for a monoculture), plus the normalized form
+    (HHI − 1/k)/(1 − 1/k) and the effective category count 1/HHI —
+    the one-number "is this source dominated by a single domain /
+    language / template" panel next to gini_coefficient (which ranks
+    VALUE inequality; HHI ranks MEMBERSHIP concentration).
+
+    Returns one row per group: (``group_col``, ``n``, ``n_categories``,
+    ``hhi``, ``hhi_normalized``, ``effective_categories``) rounded to
+    6, ordered by group; hhi_normalized NULL for single-category
+    groups (the normalizer degenerates).
+
+    Determinism: HHI = Σ c² / n² is exact integer arithmetic up to one
+    final division. Scale shape: one (group, category) count aggregate
+    — map-side combined — then a group-sized fold.
+    """
+    per = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("_g"), F.col(category_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    agg = per.groupBy("_g").agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_s2"),
+    )
+    nn = F.col("n").cast("double")
+    hhi = F.col("_s2").cast("double") / (nn * nn)
+    kk = F.col("n_categories").cast("double")
+    norm = F.when(
+        F.col("n_categories") >= 2, (hhi - 1.0 / kk) / (1.0 - 1.0 / kk)
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "n_categories",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(norm, 6).alias("hhi_normalized"),
+        F.round(1.0 / hhi, 6).alias("effective_categories"),
+    ).orderBy(group_col)
