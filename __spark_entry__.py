@@ -6147,6 +6147,83 @@ def q_source_lang_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hhi_concentration(docs, "source", "lang")
 
 
+def q_daily_revenue_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (operators/experiment.py::runs_test,
+    1940) on the daily order-revenue series vs its median — "is daily
+    revenue i.i.d. around its median, or does it trend/oscillate?"
+    The sequence-order drift check the location (MWU) and spread
+    (Levene) tests cannot see. Runs over the bounded daily spine."""
+    from valentinus_spark.operators.experiment import runs_test
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return runs_test(daily, "o_orderdate", "revenue")
+
+
+def q_user_value_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test (operators/experiment.py::sign_test) on each
+    user's pre- vs post-midpoint total event value — the
+    assumption-free floor under user_value_paired_t (normality) and
+    user_value_wilcoxon (symmetry): only the SIGN of each user's
+    change counts. Same paired frame as both, so the three agree on
+    n_pairs."""
+    from valentinus_spark.operators.experiment import sign_test
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    ev = ev.withColumn("_d", F.to_date("ts"))
+    bounds = ev.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    dec = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    paired = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_post", F.datediff("_d", "_lo") * 2 > F.datediff("_hi", "_lo")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(~F.col("_post"), dec).otherwise(zero))
+            .cast("double")
+            .alias("before"),
+            F.sum(F.when(F.col("_post"), dec).otherwise(zero))
+            .cast("double")
+            .alias("after"),
+        )
+    )
+    return sign_test(paired, "before", "after")
+
+
+def q_value_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (operators/experiment.py::moods_median_test)
+    of event values across the 5 event types — the outlier-immune
+    member of the k-group location family (kruskal ranks everything;
+    Mood only asks which side of the grand median each value falls).
+    2×k integer contingency table, exact grid median."""
+    from valentinus_spark.operators.experiment import moods_median_test
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return moods_median_test(ev, "event_type", "value")
+
+
+def q_user_type_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (operators/experiment.py::friedman_test, 1937)
+    ranking the 5 event types WITHIN each user by total value — the
+    within-subject k-treatment companion to value_kruskal (which
+    ignores that values from the same user are paired). Same
+    user×type score frame as user_type_cronbach; listwise complete
+    users only."""
+    from valentinus_spark.operators.experiment import friedman_test
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("score")
+    )
+    return friedman_test(per, "user_id", "event_type", "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6255,6 +6332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_levene": q_value_levene,
         "user_type_cronbach": q_user_type_cronbach,
         "source_lang_hhi": q_source_lang_hhi,
+        "daily_revenue_runs": q_daily_revenue_runs,
+        "user_value_sign_test": q_user_value_sign_test,
+        "value_mood_median": q_value_mood_median,
+        "user_type_friedman": q_user_type_friedman,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -13001,5 +13082,202 @@ def oracle_sql() -> dict[str, str]:
                                    / (1.0 - 1.0 / n_categories::DOUBLE) END, 6) AS hhi_normalized,
                    ROUND(1.0 / (s2::DOUBLE / (n::DOUBLE * n::DOUBLE)), 6) AS effective_categories
             FROM agg ORDER BY source
+        """
+    sql["daily_revenue_runs"] = """
+            WITH daily AS MATERIALIZED (
+                SELECT o_orderdate AS d,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+                FROM orders GROUP BY o_orderdate
+            ),
+            vals AS (
+                SELECT d, CAST(rev AS DECIMAL(17,4)) AS v
+                FROM daily WHERE rev IS NOT NULL AND d IS NOT NULL
+            ),
+            per AS (SELECT v, COUNT(*)::BIGINT AS c FROM vals GROUP BY v),
+            cum AS (
+                SELECT v,
+                       CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+                       CAST(SUM(c) OVER () AS BIGINT) AS n
+                FROM per
+            ),
+            med AS (
+                SELECT (MIN(CASE WHEN cm >= (n + 1) // 2 THEN v END)
+                        + MIN(CASE WHEN cm >= n // 2 + 1 THEN v END))::DOUBLE / 2.0 AS m
+                FROM cum
+            ),
+            signed AS (
+                SELECT d, CASE WHEN v::DOUBLE > m THEN 1 ELSE 0 END AS s
+                FROM vals, med WHERE v::DOUBLE <> m
+            ),
+            marked AS (
+                SELECT s,
+                       CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                                 OR LAG(s) OVER (ORDER BY d) <> s
+                            THEN 1 ELSE 0 END AS nr
+                FROM signed
+            ),
+            agg AS (
+                SELECT COALESCE(SUM(s), 0)::BIGINT AS n_above,
+                       COALESCE(SUM(1 - s), 0)::BIGINT AS n_below,
+                       COALESCE(SUM(nr), 0)::BIGINT AS runs
+                FROM marked
+            ),
+            calc AS (
+                SELECT n_above, n_below, runs,
+                       n_above::DOUBLE AS n1, n_below::DOUBLE AS n2,
+                       n_above::DOUBLE + n_below::DOUBLE AS nd
+                FROM agg
+            ),
+            zc AS (
+                SELECT n_above, n_below, runs,
+                       CASE WHEN n_above > 0 AND n_below > 0
+                                 AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - nd) / (nd * nd * (nd - 1.0)) > 0
+                            THEN (runs::DOUBLE - (1.0 + 2.0 * n1 * n2 / nd))
+                                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - nd) / (nd * nd * (nd - 1.0)))
+                       END AS z
+                FROM calc
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM zc)
+            SELECT n_above, n_below, runs,
+                   ROUND(z, 6) AS z,
+                   ROUND(CASE WHEN z IS NOT NULL THEN LEAST(1.0, 2.0 * ((EXP(-ABS(z) * ABS(z) / 2.0) / 2.5066282746310002) * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))))) END, 6) AS p_value
+            FROM pv
+        """
+    sql["user_value_sign_test"] = """
+            WITH paired AS MATERIALIZED (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN (CAST(ts AS DATE) - (SELECT MIN(CAST(ts AS DATE)) FROM events)) * 2
+                                          <= ((SELECT MAX(CAST(ts AS DATE)) FROM events) - (SELECT MIN(CAST(ts AS DATE)) FROM events))
+                                     THEN CAST(value AS DECIMAL(18,2))
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS bf,
+                       CAST(SUM(CASE WHEN (CAST(ts AS DATE) - (SELECT MIN(CAST(ts AS DATE)) FROM events)) * 2
+                                          > ((SELECT MAX(CAST(ts AS DATE)) FROM events) - (SELECT MIN(CAST(ts AS DATE)) FROM events))
+                                     THEN CAST(value AS DECIMAL(18,2))
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS af
+                FROM events GROUP BY user_id
+            ),
+            d AS (
+                SELECT CAST(af AS DECIMAL(17,4)) - CAST(bf AS DECIMAL(17,4)) AS d
+                FROM paired WHERE bf IS NOT NULL AND af IS NOT NULL
+            ),
+            agg AS (
+                SELECT COUNT(*)::BIGINT AS n_pairs,
+                       COALESCE(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END), 0)::BIGINT AS s_plus,
+                       COALESCE(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END), 0)::BIGINT AS s_minus
+                FROM d
+            ),
+            zc AS (
+                SELECT n_pairs, s_plus + s_minus AS n_nonzero, s_plus, s_minus,
+                       CASE WHEN (s_plus + s_minus)::DOUBLE > 0
+                            THEN (s_plus::DOUBLE - (s_plus + s_minus)::DOUBLE / 2.0)
+                                 / SQRT((s_plus + s_minus)::DOUBLE / 4.0)
+                       END AS z
+                FROM agg
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM zc)
+            SELECT n_pairs, n_nonzero, s_plus, s_minus,
+                   ROUND(z, 6) AS z,
+                   ROUND(CASE WHEN z IS NOT NULL THEN LEAST(1.0, 2.0 * ((EXP(-ABS(z) * ABS(z) / 2.0) / 2.5066282746310002) * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))))) END, 6) AS p_value
+            FROM pv
+        """
+    sql["value_mood_median"] = """
+            WITH vals AS MATERIALIZED (
+                SELECT event_type AS g, CAST(value AS DECIMAL(17,4)) AS v
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            per AS (SELECT v, COUNT(*)::BIGINT AS c FROM vals GROUP BY v),
+            cum AS (
+                SELECT v,
+                       CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+                       CAST(SUM(c) OVER () AS BIGINT) AS n
+                FROM per
+            ),
+            med AS (
+                SELECT (MIN(CASE WHEN cm >= (n + 1) // 2 THEN v END)
+                        + MIN(CASE WHEN cm >= n // 2 + 1 THEN v END))::DOUBLE / 2.0 AS m
+                FROM cum
+            ),
+            tbl AS (
+                SELECT g,
+                       SUM(CASE WHEN v::DOUBLE > m THEN 1 ELSE 0 END)::BIGINT AS a,
+                       SUM(CASE WHEN v::DOUBLE < m THEN 1 ELSE 0 END)::BIGINT AS b
+                FROM vals, med
+                WHERE v::DOUBLE <> m
+                GROUP BY g
+            ),
+            cells AS (
+                SELECT g, a, b,
+                       CAST(SUM(a) OVER () AS BIGINT) AS ta,
+                       CAST(SUM(b) OVER () AS BIGINT) AS tb,
+                       CAST(SUM(a) OVER () + SUM(b) OVER () AS BIGINT) AS nn
+                FROM tbl
+            ),
+            terms AS (
+                SELECT g, a, b, ta, tb, nn,
+                       (a + b)::DOUBLE * ta::DOUBLE / nn::DOUBLE AS ea,
+                       (a + b)::DOUBLE * tb::DOUBLE / nn::DOUBLE AS eb,
+                       (ta > 0 AND tb > 0 AND (a + b) > 0) AS ok
+                FROM cells
+            ),
+            agg AS (
+                SELECT SUM(a + b)::BIGINT AS n,
+                       COUNT(*)::BIGINT AS k,
+                       MIN(CASE WHEN ok THEN 1 ELSE 0 END) AS okk,
+                       CAST(SUM(CASE WHEN ok THEN CAST(ROUND((a::DOUBLE - ea) * (a::DOUBLE - ea) / ea + (b::DOUBLE - eb) * (b::DOUBLE - eb) / eb, 12) AS DECIMAL(28,12)) END) AS DOUBLE) AS chi2
+                FROM terms
+            )
+            SELECT n, k,
+                   ROUND(CASE WHEN okk = 1 AND k >= 2 THEN chi2 END, 6) AS chi2,
+                   k - 1 AS dof
+            FROM agg
+        """
+    sql["user_type_friedman"] = """
+            WITH scored AS MATERIALIZED (
+                SELECT user_id AS b, event_type AS t,
+                       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(17,4)) AS v
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY user_id, event_type
+            ),
+            kt AS (SELECT COUNT(DISTINCT t)::BIGINT AS k_total FROM scored),
+            sizes AS (
+                SELECT b, COUNT(*)::BIGINT AS nb, COUNT(DISTINCT t)::BIGINT AS ktb
+                FROM scored GROUP BY b
+            ),
+            complete AS (
+                SELECT b FROM sizes, kt WHERE ktb = k_total AND nb = k_total
+            ),
+            ranked AS (
+                SELECT s.b, s.t,
+                       (2 * RANK() OVER (PARTITION BY s.b ORDER BY s.v)
+                        + COUNT(*) OVER (PARTITION BY s.b, s.v) - 1)::DOUBLE / 2.0 AS r
+                FROM scored s JOIN complete c ON s.b = c.b
+            ),
+            per_t AS (
+                SELECT t, SUM(r) AS rj, SUM(r * r) AS rsq, COUNT(*)::BIGINT AS nj
+                FROM ranked GROUP BY t
+            ),
+            agg AS (
+                SELECT COUNT(*)::BIGINT AS k,
+                       COALESCE(MIN(nj), 0)::BIGINT AS n_blocks,
+                       SUM(rj * rj) AS sum_rj2,
+                       SUM(rsq) AS sum_r2
+                FROM per_t
+            ),
+            calc AS (
+                SELECT n_blocks, k,
+                       n_blocks::DOUBLE AS nn, k::DOUBLE AS kk,
+                       sum_rj2, sum_r2
+                FROM agg
+            )
+            SELECT n_blocks, k,
+                   ROUND(CASE WHEN n_blocks > 0 AND k >= 2
+                                   AND sum_r2 - nn * kk * (kk + 1.0) * (kk + 1.0) / 4.0 > 0
+                              THEN (kk - 1.0) * (sum_rj2 - nn * nn * kk * (kk + 1.0) * (kk + 1.0) / 4.0)
+                                   / (sum_r2 - nn * kk * (kk + 1.0) * (kk + 1.0) / 4.0)
+                         END, 6) AS chi2,
+                   k - 1 AS dof
+            FROM calc
         """
     return sql

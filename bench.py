@@ -300,6 +300,10 @@ BENCH_QUERIES = [
     "value_levene",
     "user_type_cronbach",
     "source_lang_hhi",
+    "daily_revenue_runs",
+    "user_value_sign_test",
+    "value_mood_median",
+    "user_type_friedman",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -498,6 +502,10 @@ BENCH_FAMILIES = {
         "user_value_wilcoxon",
         "value_levene",
         "user_type_cronbach",
+        "daily_revenue_runs",
+        "user_value_sign_test",
+        "value_mood_median",
+        "user_type_friedman",
     ],
     "sketch": [
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",

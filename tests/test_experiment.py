@@ -508,3 +508,139 @@ def test_levene_detects_planted_variance_difference(spark):
         spark.createDataFrame(same, ["g", "v"]), "g", "v"
     ).collect()[0]
     assert r2.f_stat == pytest.approx(0.0, abs=1e-6)
+
+
+def test_runs_test_alternating_vs_blocked(spark):
+    """A strictly alternating sequence maximizes runs (z >> 0); a
+    blocked half/half sequence minimizes them (z << 0). Exact run
+    counts hand-checked."""
+    from valentinus_spark.operators import runs_test
+
+    alt = [(i, 1.0 if i % 2 else 9.0) for i in range(20)]
+    r = runs_test(
+        spark.createDataFrame(alt, ["t", "v"]), "t", "v"
+    ).collect()[0]
+    assert (r.n_above, r.n_below, r.runs) == (10, 10, 20)
+    assert r.z > 3
+
+    blocked = [(i, 9.0 if i < 10 else 1.0) for i in range(20)]
+    r2 = runs_test(
+        spark.createDataFrame(blocked, ["t", "v"]), "t", "v"
+    ).collect()[0]
+    assert (r2.n_above, r2.n_below, r2.runs) == (10, 10, 2)
+    assert r2.z < -3
+
+
+def test_runs_test_median_values_drop_and_degenerate_null(spark):
+    from valentinus_spark.operators import runs_test
+
+    # median of {1,5,5,5,9} = 5: the three 5s drop, leaving 1 above/1 below
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 5.0), (3, 5.0), (4, 5.0), (5, 9.0)], ["t", "v"]
+    )
+    r = runs_test(df, "t", "v").collect()[0]
+    assert (r.n_above, r.n_below, r.runs) == (1, 1, 2)
+
+    # all-equal sequence: both sides empty -> z NULL
+    same = spark.createDataFrame([(i, 4.0) for i in range(6)], ["t", "v"])
+    r2 = runs_test(same, "t", "v").collect()[0]
+    assert r2.n_above == 0 and r2.n_below == 0 and r2.z is None
+
+
+def test_sign_test_counts_and_z(spark):
+    """8 positive, 2 negative, 1 zero (drops): S+=8, n=10,
+    z = (8-5)/sqrt(2.5)."""
+    import math
+
+    from valentinus_spark.operators import sign_test
+
+    pairs = (
+        [(0.0, 1.0)] * 8 + [(1.0, 0.0)] * 2 + [(3.0, 3.0)]
+    )
+    r = sign_test(
+        spark.createDataFrame(pairs, ["before", "after"]), "before", "after"
+    ).collect()[0]
+    assert (r.n_pairs, r.n_nonzero, r.s_plus, r.s_minus) == (11, 10, 8, 2)
+    assert r.z == pytest.approx(3.0 / math.sqrt(2.5), abs=1e-6)
+
+    allzero = spark.createDataFrame([(1.0, 1.0)] * 3, ["before", "after"])
+    r2 = sign_test(allzero, "before", "after").collect()[0]
+    assert r2.n_nonzero == 0 and r2.z is None
+
+
+def test_moods_median_hand_table(spark):
+    """Group a all-below, group b all-above the grand median: maximal
+    association, chi2 = n (for a balanced 2x2 table with empty
+    off-diagonals chi2 equals the total count)."""
+    from valentinus_spark.operators import moods_median_test
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        ("b", float(v)) for v in range(11, 21)
+    ]
+    r = moods_median_test(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert (r.n, r.k, r.dof) == (20, 2, 1)
+    assert r.chi2 == pytest.approx(20.0, abs=1e-6)
+
+    # no association: same distribution in both groups -> chi2 = 0
+    same = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(10)
+    ]
+    r2 = moods_median_test(
+        spark.createDataFrame(same, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert r2.chi2 == pytest.approx(0.0, abs=1e-6)
+
+
+def test_moods_median_group_on_median_nulls(spark):
+    """A group whose every value sits ON the grand median has an empty
+    margin -> chi2 NULL per contract."""
+    from valentinus_spark.operators import moods_median_test
+
+    rows = [("a", 5.0)] * 5 + [("b", 1.0), ("b", 9.0), ("b", 5.0)]
+    r = moods_median_test(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert r.chi2 is None
+
+
+def test_friedman_textbook_no_ties(spark):
+    """Conover's classic shape: 3 treatments, 4 blocks, untied ranks.
+    chi2_F = 12/(n k (k+1)) * sum Rj^2 - 3 n (k+1); python replay."""
+    from valentinus_spark.operators import friedman_test
+
+    # blocks rank treatments consistently: t3 > t2 > t1 everywhere
+    data = []
+    for b in range(4):
+        data += [(b, "t1", 1.0 + b), (b, "t2", 2.0 + b), (b, "t3", 3.0 + b)]
+    r = friedman_test(
+        spark.createDataFrame(data, ["b", "t", "v"]), "b", "t", "v"
+    ).collect()[0]
+    assert (r.n_blocks, r.k, r.dof) == (4, 3, 2)
+    # perfectly consistent ranking: Rj = (4, 8, 12), chi2 = 8.0
+    n, k = 4, 3
+    chi2 = 12.0 / (n * k * (k + 1)) * (16 + 64 + 144) - 3 * n * (k + 1)
+    assert r.chi2 == pytest.approx(chi2, abs=1e-6)
+    assert r.chi2 == pytest.approx(8.0, abs=1e-6)
+
+
+def test_friedman_incomplete_blocks_drop_and_all_tied_null(spark):
+    from valentinus_spark.operators import friedman_test
+
+    data = [
+        (0, "t1", 1.0), (0, "t2", 2.0), (1, "t1", 2.0), (1, "t2", 1.0),
+        (2, "t1", 5.0),  # incomplete block: drops
+    ]
+    r = friedman_test(
+        spark.createDataFrame(data, ["b", "t", "v"]), "b", "t", "v"
+    ).collect()[0]
+    assert (r.n_blocks, r.k) == (2, 2)
+    # reversed preferences cancel: Rj = (3, 3), chi2 = 0
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+
+    tied = [(b, t, 7.0) for b in range(3) for t in ("t1", "t2")]
+    r2 = friedman_test(
+        spark.createDataFrame(tied, ["b", "t", "v"]), "b", "t", "v"
+    ).collect()[0]
+    assert r2.chi2 is None  # all ranks tied -> zero denominator

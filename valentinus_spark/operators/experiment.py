@@ -1211,3 +1211,368 @@ def levene_test(
         (F.col("k") - 1).alias("dof_between"),
         (F.col("n") - F.col("k")).alias("dof_within"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940) for randomness of a sequence
+    around its median — "is this series trending/oscillating or
+    i.i.d.?", the sequence-order companion to the location
+    (mann_whitney_u) and spread (levene_test) drift tests, which are
+    order-blind. Values are dichotomized against the exact grand
+    median (values ON the median drop, the standard convention); a
+    run is a maximal block of same-side values in ``order_col``
+    order:
+
+        E[R] = 1 + 2·n1·n2/n,
+        Var  = 2·n1·n2·(2·n1·n2 − n) / (n²·(n−1)),  n = n1+n2
+
+    Returns ONE row: (``n_above``, ``n_below``, ``runs``, ``z``,
+    ``p_value``), z/p NULL when either side is empty (Var = 0).
+
+    Determinism: the median follows the repo's exact-median
+    convention (floor-rank middles on the DECIMAL(17,4) value grid);
+    run counting is pure integer work on the ordered spine; only the
+    final z/Φ is float.
+
+    Scale shape: intended for BOUNDED sequences (a daily/hourly
+    aggregate spine, not raw rows) — the run count is inherently
+    sequential, so the ordered window runs on the small aggregated
+    frame. One (value, count) aggregate drives the median without a
+    per-row rank shuffle.
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+    )
+    per = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per.select(
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    )
+    lo_rank = F.floor((F.col("_n") + 1) / 2)
+    hi_rank = F.floor(F.col("_n") / 2) + 1
+    med = cum.agg(
+        (
+            (
+                F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v")))
+                + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v")))
+            ).cast("double")
+            / 2.0
+        ).alias("_med")
+    )
+    signed = (
+        vals.crossJoin(F.broadcast(med))
+        .filter(F.col("_v").cast("double") != F.col("_med"))
+        .select(
+            "_o",
+            F.when(F.col("_v").cast("double") > F.col("_med"), 1)
+            .otherwise(0)
+            .alias("_s"),
+        )
+    )
+    wo = Window.orderBy("_o")
+    runs = signed.select(
+        "_s",
+        F.when(
+            F.lag("_s").over(wo).isNull()
+            | (F.lag("_s").over(wo) != F.col("_s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_run"),
+    )
+    agg = runs.agg(
+        F.coalesce(F.sum("_s"), F.lit(0)).alias("n_above"),
+        F.coalesce(F.sum(1 - F.col("_s")), F.lit(0)).alias("n_below"),
+        F.coalesce(F.sum("_new_run"), F.lit(0)).alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    mean_r = 1.0 + 2.0 * n1 * n2 / n
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    )
+    z = F.when(
+        (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var_r > 0),
+        (F.col("runs").cast("double") - mean_r) / F.sqrt(var_r),
+    )
+    return agg.select(
+        "n_above",
+        "n_below",
+        "runs",
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+    )
+
+
+def sign_test(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """Paired sign test — the assumption-free floor of the paired
+    family (paired_t_test needs normality, wilcoxon_signed_rank needs
+    symmetric differences; the sign test needs nothing but a sign).
+    Zero differences drop (the standard convention); the normal
+    approximation to Binomial(n, ½) gives
+
+        z = (S⁺ − n/2) / sqrt(n/4)
+
+    (no continuity correction — documented so the oracle replays the
+    identical formula). Returns ONE row: (``n_pairs``, ``n_nonzero``,
+    ``s_plus``, ``s_minus``, ``z``, ``p_value``); z/p NULL when every
+    difference is zero.
+
+    Determinism: differences are exact DECIMAL(17,4); everything up
+    to z is integer counting.
+
+    Scale shape: one conditional-count aggregate over the paired
+    frame — a single map-side-combined scan, no shuffle beyond the
+    one-row agg.
+    """
+    d = (
+        F.col(after_col).cast("decimal(17,4)")
+        - F.col(before_col).cast("decimal(17,4)")
+    )
+    diffs = df.filter(
+        F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
+    ).select(d.alias("_d"))
+    agg = diffs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)), F.lit(0)
+        ).alias("s_plus"),
+        F.coalesce(
+            F.sum(F.when(F.col("_d") < 0, 1).otherwise(0)), F.lit(0)
+        ).alias("s_minus"),
+    )
+    nn = (F.col("s_plus") + F.col("s_minus")).cast("double")
+    z = F.when(
+        nn > 0,
+        (F.col("s_plus").cast("double") - nn / 2.0) / F.sqrt(nn / 4.0),
+    )
+    return agg.select(
+        "n_pairs",
+        (F.col("s_plus") + F.col("s_minus")).alias("n_nonzero"),
+        "s_plus",
+        "s_minus",
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+    )
+
+
+def moods_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mood's median test — k-group location test on the 2×k
+    above/below-the-grand-median contingency table. The blunt,
+    outlier-immune sibling of kruskal_wallis (only the side of the
+    median matters, not the rank), useful when heavy tails make even
+    rank statistics unstable. Values ON the grand median drop (the
+    convention that keeps the table exactly 2×k). Pearson χ² on the
+    table:
+
+        χ² = Σ_cells (O − E)² / E,   E = row_total·col_total / n
+
+    Returns ONE row: (``n``, ``k``, ``chi2``, ``dof``); chi2 NULL
+    when any group margin or side margin is empty (some E = 0).
+
+    Determinism: the grand median follows the repo's exact-median
+    convention on the DECIMAL(17,4) grid; O/E come from BIGINT
+    margins; each cell's χ² term is rounded to 12 dp and summed as
+    DECIMAL so group iteration order cannot wiggle the total.
+
+    Scale shape: one (value, count) aggregate for the median, one
+    (group → above/below counts) aggregate, k-row fold. Two scans,
+    both map-side combined.
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+    )
+    per = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per.select(
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    )
+    lo_rank = F.floor((F.col("_n") + 1) / 2)
+    hi_rank = F.floor(F.col("_n") / 2) + 1
+    med = cum.agg(
+        (
+            (
+                F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v")))
+                + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v")))
+            ).cast("double")
+            / 2.0
+        ).alias("_med")
+    )
+    tbl = (
+        vals.crossJoin(F.broadcast(med))
+        .filter(F.col("_v").cast("double") != F.col("_med"))
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.when(F.col("_v").cast("double") > F.col("_med"), 1).otherwise(0)
+            ).alias("_a"),
+            F.sum(
+                F.when(F.col("_v").cast("double") < F.col("_med"), 1).otherwise(0)
+            ).alias("_b"),
+        )
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells = tbl.select(
+        "_g",
+        "_a",
+        "_b",
+        F.sum("_a").over(wt).alias("_ta"),
+        F.sum("_b").over(wt).alias("_tb"),
+        (F.sum("_a").over(wt) + F.sum("_b").over(wt)).alias("_nn"),
+    )
+    ea = (
+        (F.col("_a") + F.col("_b")).cast("double")
+        * F.col("_ta").cast("double")
+        / F.col("_nn").cast("double")
+    )
+    eb = (
+        (F.col("_a") + F.col("_b")).cast("double")
+        * F.col("_tb").cast("double")
+        / F.col("_nn").cast("double")
+    )
+    term = F.round(
+        (F.col("_a").cast("double") - ea) * (F.col("_a").cast("double") - ea) / ea
+        + (F.col("_b").cast("double") - eb) * (F.col("_b").cast("double") - eb) / eb,
+        12,
+    ).cast("decimal(28,12)")
+    ok = (
+        (F.col("_ta") > 0)
+        & (F.col("_tb") > 0)
+        & ((F.col("_a") + F.col("_b")) > 0)
+    )
+    agg = cells.agg(
+        F.sum(F.col("_a") + F.col("_b")).alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.min(F.when(ok, 1).otherwise(0)).alias("_ok"),
+        F.sum(F.when(ok, term)).cast("double").alias("_chi2"),
+    )
+    return agg.select(
+        "n",
+        "k",
+        F.round(
+            F.when((F.col("_ok") == 1) & (F.col("k") >= 2), F.col("_chi2")), 6
+        ).alias("chi2"),
+        (F.col("k") - 1).alias("dof"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test (1937) — the within-block k-treatment rank test:
+    kruskal_wallis controls for nothing, paired tests handle k = 2;
+    Friedman ranks the k treatments INSIDE each block (subject) and
+    asks whether the rank totals diverge. Blocks missing any
+    treatment drop (listwise, the cronbach_alpha convention). The
+    tie-corrected general form (reduces to the textbook 1937
+    statistic when ranks are untied):
+
+        χ² = (k−1)·[Σ_j R_j² − n²k(k+1)²/4] / [Σ_ij r_ij² − nk(k+1)²/4]
+
+    Returns ONE row: (``n_blocks``, ``k``, ``chi2``, ``dof``); chi2
+    NULL when no complete blocks, k < 2, or every block ranks all
+    treatments identically (denominator 0).
+
+    Determinism: within-block average ranks live on the exact ½ grid
+    (DECIMAL(12,1)); R_j sums, rank squares (DECIMAL exact), and all
+    margins are exact; only the final ratio is float.
+
+    Scale shape: one (block, value)-grouped rank window partitioned
+    BY BLOCK (parallel across blocks, k rows each), one treatment agg,
+    k-row fold. No global ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_t"),
+        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+    )
+    k_total = vals.select("_t").distinct().count()
+    sizes = vals.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.countDistinct("_t").alias("_kt"),
+    )
+    complete = sizes.filter(
+        (F.col("_kt") == F.lit(k_total)) & (F.col("_nb") == F.lit(k_total))
+    ).select("_b")
+    rows = vals.join(complete, "_b")
+    wb = Window.partitionBy("_b").orderBy("_v")
+    # average rank on the exact ½ grid: (2·(rank-1) + t + 1)/2 where
+    # rank is the first position of the tie group and t its size
+    ranked = rows.select(
+        "_b",
+        "_t",
+        (
+            (
+                (F.rank().over(wb) * 2 + F.count(F.lit(1)).over(
+                    Window.partitionBy("_b", "_v")
+                ) - 1).cast("decimal(12,1)")
+            )
+            / 2
+        ).alias("_r"),
+    )
+    per_t = ranked.groupBy("_t").agg(
+        F.sum("_r").cast("decimal(18,1)").alias("_rj"),
+        F.sum((F.col("_r") * F.col("_r")).cast("decimal(24,2)")).alias("_rsq"),
+        F.count(F.lit(1)).alias("_nj"),
+    )
+    agg = per_t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.min("_nj"), F.lit(0)).alias("n_blocks"),
+        F.sum(
+            (F.col("_rj") * F.col("_rj")).cast("decimal(38,2)")
+        ).cast("double").alias("_sum_rj2"),
+        F.sum(F.col("_rsq")).cast("double").alias("_sum_r2"),
+    )
+    nn = F.col("n_blocks").cast("double")
+    kk = F.col("k").cast("double")
+    num = (kk - 1.0) * (
+        F.col("_sum_rj2") - nn * nn * kk * (kk + 1.0) * (kk + 1.0) / 4.0
+    )
+    den = F.col("_sum_r2") - nn * kk * (kk + 1.0) * (kk + 1.0) / 4.0
+    chi2 = F.when((F.col("n_blocks") > 0) & (F.col("k") >= 2) & (den > 0), num / den)
+    return agg.select(
+        "n_blocks",
+        "k",
+        F.round(chi2, 6).alias("chi2"),
+        (F.col("k") - 1).alias("dof"),
+    )
