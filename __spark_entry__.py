@@ -6224,6 +6224,94 @@ def q_user_type_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return friedman_test(per, "user_id", "event_type", "score")
 
 
+def q_source_lang_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (operators/evaluation.py::
+    adjusted_rand_index, Hubert & Arabie 1985) between the ``source``
+    and ``lang`` partitions of documents — the pair-counting,
+    chance-corrected twin of field_mutual_info's NMI on the same two
+    columns (the two disagree exactly when cluster-size skew
+    matters). Exact BIGINT pair counts, one float ratio."""
+    from valentinus_spark.operators.evaluation import adjusted_rand_index
+
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    return adjusted_rand_index(docs, "source", "lang")
+
+
+def q_pr_auc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision per language (operators/evaluation.py::
+    average_precision) on the SAME planted classifier as
+    roc_auc_planted (hash-uniform score + 0.3 lift on doc_id%5==0
+    positives, 4-dp score grid) — the class-imbalance-honest PR-curve
+    reading next to the ROC one; doc_id tie-break makes AP exact under
+    the grid's heavy ties."""
+    from valentinus_spark.operators.evaluation import average_precision
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 5 == 0).cast("int").alias("label"),
+        F.round(
+            ((F.col("doc_id") * 2654435761) % 1000) / 1000.0
+            + F.when(F.col("doc_id") % 5 == 0, 0.3).otherwise(0.0),
+            4,
+        ).alias("score"),
+    )
+    return average_precision(docs, "score", "label", "doc_id", group_col="lang")
+
+
+def q_map_mrr_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 + MRR (operators/evaluation.py::map_mrr) for the five
+    fixed query terms of the ndcg_retrieval fixture, binarizing its
+    graded prefix-judged relevance (rel ≥ 1 → relevant) — the
+    binary-relevance scorecard next to the graded nDCG on an
+    identical ranking, so the two metrics are directly comparable."""
+    from valentinus_spark.operators.evaluation import map_mrr
+    from valentinus_spark.functions.text import normalize_text, word_tokens
+
+    terms = ["join", "hash", "scan", "batch", "vector"]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        word_tokens(normalize_text("text")).alias("_w"),
+        word_tokens(normalize_text(F.substring("text", 1, 200))).alias("_wp"),
+    )
+    tdf = spark.createDataFrame([(t,) for t in terms], ["term"])
+    scored = docs.crossJoin(F.broadcast(tdf)).select(
+        "term",
+        "doc_id",
+        F.size(F.filter("_w", lambda x: x == F.col("term"))).alias("score"),
+        F.size(F.filter("_wp", lambda x: x == F.col("term"))).alias("_tfp"),
+    )
+    judged = scored.where(F.col("score") > 0).select(
+        "term",
+        "doc_id",
+        "score",
+        F.when(F.col("_tfp") >= 3, F.lit(2))
+        .when(F.col("_tfp") >= 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("rel"),
+    )
+    return map_mrr(judged, "term", "doc_id", "score", "rel", k=10)
+
+
+def q_score_brier_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + log loss (operators/evaluation.py::
+    brier_log_loss) of a planted probabilistic classifier over
+    documents: p = hash-uniform·0.5 + 0.4 lift on positives
+    (doc_id%5==0) else +0.05 — proper-scoring-rule companions to the
+    binned quality_calibration readout. 12-dp DECIMAL-pinned term
+    sums."""
+    from valentinus_spark.operators.evaluation import brier_log_loss
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5 == 0).cast("int").alias("label"),
+        (
+            ((F.col("doc_id") * 2654435761) % 1000) / 1000.0 * 0.5
+            + F.when(F.col("doc_id") % 5 == 0, 0.4).otherwise(0.05)
+        ).alias("prob"),
+    )
+    return brier_log_loss(docs, "prob", "label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6336,6 +6424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_sign_test": q_user_value_sign_test,
         "value_mood_median": q_value_mood_median,
         "user_type_friedman": q_user_type_friedman,
+        "source_lang_ari": q_source_lang_ari,
+        "pr_auc_planted": q_pr_auc_planted,
+        "map_mrr_retrieval": q_map_mrr_retrieval,
+        "score_brier_logloss": q_score_brier_logloss,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -13279,5 +13371,134 @@ def oracle_sql() -> dict[str, str]:
                          END, 6) AS chi2,
                    k - 1 AS dof
             FROM calc
+        """
+    sql["source_lang_ari"] = """
+            WITH base AS (
+                SELECT source AS a, lang AS b FROM documents
+                WHERE source IS NOT NULL AND lang IS NOT NULL
+            ),
+            cells AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM base GROUP BY a, b),
+            cs AS (
+                SELECT SUM(c)::BIGINT AS n,
+                       COALESCE(SUM((c * (c - 1)) // 2), 0)::BIGINT AS sij
+                FROM cells
+            ),
+            ma AS (
+                SELECT COUNT(*)::BIGINT AS clusters_a,
+                       COALESCE(SUM((ca * (ca - 1)) // 2), 0)::BIGINT AS sa
+                FROM (SELECT a, SUM(c)::BIGINT AS ca FROM cells GROUP BY a)
+            ),
+            mb AS (
+                SELECT COUNT(*)::BIGINT AS clusters_b,
+                       COALESCE(SUM((cb * (cb - 1)) // 2), 0)::BIGINT AS sb
+                FROM (SELECT b, SUM(c)::BIGINT AS cb FROM cells GROUP BY b)
+            ),
+            calc AS (
+                SELECT n, clusters_a, clusters_b, sij, sa, sb,
+                       ((n * (n - 1)) // 2)::DOUBLE AS tot,
+                       (sa::DECIMAL(19,0) * sb::DECIMAL(19,0))::DECIMAL(38,0)::DOUBLE
+                           / ((n * (n - 1)) // 2)::DOUBLE AS expected,
+                       (sa::DOUBLE + sb::DOUBLE) / 2.0 AS half
+                FROM cs, ma, mb
+            )
+            SELECT n, clusters_a, clusters_b,
+                   ROUND(CASE WHEN n >= 2 AND half - expected <> 0.0
+                              THEN (sij::DOUBLE - expected) / (half - expected)
+                         END, 6) AS ari
+            FROM calc
+        """
+    sql["pr_auc_planted"] = """
+            WITH scored AS (
+                SELECT lang AS g, doc_id AS id,
+                       CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS y,
+                       ROUND(((doc_id * 2654435761) % 1000) / 1000.0
+                             + CASE WHEN doc_id % 5 = 0 THEN 0.3 ELSE 0.0 END, 4) AS s
+                FROM documents
+            ),
+            ranked AS (
+                SELECT g, y,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY s DESC, id ASC) AS k,
+                       CAST(SUM(y) OVER (PARTITION BY g ORDER BY s DESC, id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+                FROM scored
+            ),
+            agg AS (
+                SELECT g, COUNT(*)::BIGINT AS n,
+                       COALESCE(SUM(y), 0)::BIGINT AS n_pos,
+                       CAST(SUM(CASE WHEN y = 1
+                                     THEN CAST(ROUND(cp::DOUBLE / k::DOUBLE, 12) AS DECIMAL(28,12))
+                                END) AS DOUBLE) AS ap_sum
+                FROM ranked GROUP BY g
+            )
+            SELECT g AS lang, n, n_pos,
+                   ROUND(CASE WHEN n_pos > 0 THEN ap_sum / n_pos::DOUBLE END, 6)
+                       AS average_precision
+            FROM agg ORDER BY lang
+        """
+    sql["map_mrr_retrieval"] = """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS w,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(substr(text, 1, 200)), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS wp
+                FROM documents
+            ),
+            terms AS (SELECT unnest(['join', 'hash', 'scan', 'batch', 'vector']) AS term),
+            scored AS (
+                SELECT term, doc_id,
+                       len(list_filter(w, x -> x = term))::BIGINT AS score,
+                       len(list_filter(wp, x -> x = term)) AS tfp
+                FROM docs CROSS JOIN terms
+            ),
+            judged AS (
+                SELECT term, doc_id, score,
+                       CASE WHEN tfp >= 3 THEN 1 WHEN tfp >= 1 THEN 1 ELSE 0 END AS r
+                FROM scored WHERE score > 0
+            ),
+            ranked AS (
+                SELECT term, r,
+                       ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS k,
+                       CAST(SUM(r) OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cr
+                FROM judged
+            ),
+            agg AS (
+                SELECT term AS query, COUNT(*)::BIGINT AS n_judged,
+                       COALESCE(SUM(r), 0)::BIGINT AS n_rel,
+                       CAST(SUM(CASE WHEN r = 1 AND k <= 10
+                                     THEN CAST(ROUND(cr::DOUBLE / k::DOUBLE, 12) AS DECIMAL(28,12))
+                                END) AS DOUBLE) AS ap_sum,
+                       MIN(CASE WHEN r = 1 THEN k END) AS first_rel
+                FROM ranked GROUP BY term
+            )
+            SELECT query, n_judged, n_rel,
+                   ROUND(CASE WHEN n_rel > 0
+                              THEN COALESCE(ap_sum, 0.0) / LEAST(n_rel, 10)::DOUBLE
+                         END, 6) AS ap_at_k,
+                   ROUND(CASE WHEN n_rel > 0 THEN 1.0 / first_rel::DOUBLE END, 6) AS rr
+            FROM agg ORDER BY query
+        """
+    sql["score_brier_logloss"] = """
+            WITH scored AS (
+                SELECT CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS y,
+                       ((doc_id * 2654435761) % 1000) / 1000.0 * 0.5
+                           + CASE WHEN doc_id % 5 = 0 THEN 0.4 ELSE 0.05 END AS p0
+                FROM documents
+            ),
+            clamped AS (
+                SELECT y,
+                       LEAST(0.999999999999999, GREATEST(1e-15, p0)) AS p
+                FROM scored
+            ),
+            agg AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       COALESCE(SUM(y), 0)::BIGINT AS n_pos,
+                       CAST(SUM(CAST(ROUND((p - y::DOUBLE) * (p - y::DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) AS bs,
+                       CAST(SUM(CAST(ROUND(-(y::DOUBLE * LN(p) + (1.0 - y::DOUBLE) * LN(1.0 - p)), 12) AS DECIMAL(28,12))) AS DOUBLE) AS ls
+                FROM clamped
+            )
+            SELECT n, n_pos,
+                   ROUND(CASE WHEN n > 0 THEN bs / n::DOUBLE END, 6) AS brier,
+                   ROUND(CASE WHEN n > 0 THEN ls / n::DOUBLE END, 6) AS log_loss
+            FROM agg
         """
     return sql

@@ -304,6 +304,10 @@ BENCH_QUERIES = [
     "user_value_sign_test",
     "value_mood_median",
     "user_type_friedman",
+    "source_lang_ari",
+    "pr_auc_planted",
+    "map_mrr_retrieval",
+    "score_brier_logloss",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -417,6 +421,8 @@ BENCH_FAMILIES = {
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
         "chi2_source_lang", "rank_agreement", "rank_rbo_top50", "source_length_gini",
         "bpe_roundtrip", "textrank_keywords", "substring_index_search",
+        "source_lang_ari", "pr_auc_planted", "map_mrr_retrieval",
+        "score_brier_logloss",
     
         # round-7 bench-tail additions
         "lang_profile",

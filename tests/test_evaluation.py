@@ -594,3 +594,131 @@ def test_cronbach_alpha_consistent_vs_noise_items(spark):
         "subj", "item", "score",
     ).collect()[0]
     assert rn.alpha is None or rn.alpha < 0.2  # anti-correlated items
+
+
+def test_adjusted_rand_index_perfect_and_independent(spark):
+    """Identical partitions -> ARI = 1; a partition vs itself relabeled
+    is still 1 (ARI is label-invariant)."""
+    from valentinus_spark.operators import adjusted_rand_index
+
+    rows = [(i, f"c{i % 3}", f"k{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    r = adjusted_rand_index(df, "a", "b").collect()[0]
+    assert (r.n, r.clusters_a, r.clusters_b) == (30, 3, 3)
+    assert r.ari == pytest.approx(1.0, abs=1e-9)
+
+
+def test_adjusted_rand_index_sklearn_replica(spark):
+    """Hand-checked contingency: a=[0,0,1,1,1,1], b=[0,1,1,1,2,2] ->
+    sklearn.metrics.adjusted_rand_score = 0.0 (this split lands exactly
+    at chance)."""
+    from valentinus_spark.operators import adjusted_rand_index
+
+    a = [0, 0, 1, 1, 1, 1]
+    b = [0, 1, 1, 1, 2, 2]
+    df = spark.createDataFrame(
+        [(i, str(a[i]), str(b[i])) for i in range(6)], ["id", "a", "b"]
+    )
+    r = adjusted_rand_index(df, "a", "b").collect()[0]
+    # replicate the formula in python
+    from collections import Counter
+
+    cells = Counter(zip(a, b))
+    sij = sum(c * (c - 1) // 2 for c in cells.values())
+    sa = sum(c * (c - 1) // 2 for c in Counter(a).values())
+    sb = sum(c * (c - 1) // 2 for c in Counter(b).values())
+    tot = 6 * 5 // 2
+    exp = sa * sb / tot
+    ari = (sij - exp) / ((sa + sb) / 2 - exp)
+    assert r.ari == pytest.approx(round(ari, 6), abs=1e-9)
+
+
+def test_adjusted_rand_degenerate_null(spark):
+    """Both partitions one single cluster: denominator 0 -> NULL."""
+    from valentinus_spark.operators import adjusted_rand_index
+
+    df = spark.createDataFrame([(i, "x", "y") for i in range(5)], ["id", "a", "b"])
+    assert adjusted_rand_index(df, "a", "b").collect()[0].ari is None
+
+
+def test_average_precision_hand_ranking(spark):
+    """Ranking [+,-,+,-,+]: AP = (1/1 + 2/3 + 3/5)/3."""
+    from valentinus_spark.operators import average_precision
+
+    rows = [  # id breaks no ties here; scores strictly decreasing
+        (1, 0.9, 1), (2, 0.8, 0), (3, 0.7, 1), (4, 0.6, 0), (5, 0.5, 1),
+    ]
+    df = spark.createDataFrame(rows, ["id", "score", "label"])
+    r = average_precision(df, "score", "label", "id").collect()[0]
+    assert (r.n, r.n_pos) == (5, 3)
+    assert r.average_precision == pytest.approx((1 + 2 / 3 + 3 / 5) / 3, abs=1e-6)
+
+
+def test_average_precision_tie_break_and_no_pos(spark):
+    """All scores tie -> ranking is id order; no positives -> NULL."""
+    from valentinus_spark.operators import average_precision
+
+    rows = [(1, 0.5, 0), (2, 0.5, 1), (3, 0.5, 0), (4, 0.5, 1)]
+    df = spark.createDataFrame(rows, ["id", "score", "label"])
+    r = average_precision(df, "score", "label", "id").collect()[0]
+    assert r.average_precision == pytest.approx((1 / 2 + 2 / 4) / 2, abs=1e-6)
+
+    neg = spark.createDataFrame([(1, 0.5, 0)], ["id", "score", "label"])
+    assert (
+        average_precision(neg, "score", "label", "id")
+        .collect()[0]
+        .average_precision
+        is None
+    )
+
+
+def test_map_mrr_two_queries(spark):
+    """q1: first rel at rank 2 of 3 -> RR 0.5, AP@10 = (1/2 + 2/3)/2;
+    q2: no relevant -> NULLs."""
+    from valentinus_spark.operators import map_mrr
+
+    rows = [
+        ("q1", 1, 0.9, 0), ("q1", 2, 0.8, 1), ("q1", 3, 0.7, 1),
+        ("q2", 4, 0.9, 0), ("q2", 5, 0.8, 0),
+    ]
+    df = spark.createDataFrame(rows, ["q", "id", "score", "rel"])
+    out = {r.query: r for r in map_mrr(df, "q", "id", "score", "rel", k=10).collect()}
+    assert out["q1"].rr == pytest.approx(0.5, abs=1e-9)
+    assert out["q1"].ap_at_k == pytest.approx((1 / 2 + 2 / 3) / 2, abs=1e-6)
+    assert out["q2"].ap_at_k is None and out["q2"].rr is None
+
+
+def test_map_mrr_cutoff_denominator(spark):
+    """3 relevant docs but k=2: AP@2 divides by min(n_rel, k) = 2."""
+    from valentinus_spark.operators import map_mrr
+
+    rows = [("q", i, 1.0 - i / 10.0, 1 if i < 3 else 0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["q", "id", "score", "rel"])
+    r = map_mrr(df, "q", "id", "score", "rel", k=2).collect()[0]
+    assert r.n_rel == 3
+    assert r.ap_at_k == pytest.approx((1.0 + 1.0) / 2, abs=1e-9)
+
+
+def test_brier_log_loss_hand_values(spark):
+    """Two rows: p=.8/y=1, p=.4/y=0 -> Brier=(0.04+0.16)/2,
+    LL=-(ln .8 + ln .6)/2."""
+    import math
+
+    from valentinus_spark.operators import brier_log_loss
+
+    df = spark.createDataFrame([(0.8, 1), (0.4, 0)], ["p", "y"])
+    r = brier_log_loss(df, "p", "y").collect()[0]
+    assert (r.n, r.n_pos) == (2, 1)
+    assert r.brier == pytest.approx((0.04 + 0.16) / 2, abs=1e-6)
+    assert r.log_loss == pytest.approx(-(math.log(0.8) + math.log(0.6)) / 2, abs=1e-6)
+
+
+def test_brier_log_loss_clamps_hard_scores(spark):
+    """p=0 on a positive would be -inf log loss; the 1e-15 clamp keeps
+    it finite (~34.5)."""
+    from valentinus_spark.operators import brier_log_loss
+
+    df = spark.createDataFrame([(0.0, 1)], ["p", "y"])
+    r = brier_log_loss(df, "p", "y").collect()[0]
+    assert r.brier == pytest.approx(1.0, abs=1e-9)
+    assert 30 < r.log_loss < 40

@@ -681,3 +681,296 @@ def cronbach_alpha(
     return j.select(
         "n_subjects", "k", F.round(alpha, 6).alias("alpha")
     )
+
+
+def adjusted_rand_index(
+    df: DataFrame,
+    labels_a_col: str,
+    labels_b_col: str,
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between two
+    partitions of the same items — the PAIR-COUNTING agreement
+    companion to mutual_information's NMI (which is information-
+    theoretic; ARI is chance-corrected at the pair level, so the two
+    disagree exactly when cluster size skew matters). The standard
+    readout for "did my clustering/sharding recover the known
+    grouping":
+
+        ARI = (Σ_ij C(n_ij,2) − E) / (½[Σ_i C(a_i,2) + Σ_j C(b_j,2)] − E),
+        E = Σ_i C(a_i,2)·Σ_j C(b_j,2) / C(n,2)
+
+    Returns ONE row: (``n``, ``clusters_a``, ``clusters_b``, ``ari``)
+    rounded to 6 — ARI NULL when the denominator is 0 (both
+    partitions all-singletons or one single cluster: agreement is
+    undefined, not 1).
+
+    Determinism: every C(·,2) is exact BIGINT; the Σa·Σb product is
+    carried as DECIMAL(38,0) (BIGINT would overflow past ~3B pairs);
+    only the final ratio is float.
+
+    Scale shape: one (a,b)-cell count aggregate (the contingency
+    table — at most |A|·|B| rows), two margin folds, one-row combine.
+    The corpus is scanned once.
+    """
+    base = df.filter(
+        F.col(labels_a_col).isNotNull() & F.col(labels_b_col).isNotNull()
+    ).select(
+        F.col(labels_a_col).alias("_a"), F.col(labels_b_col).alias("_b")
+    )
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    pairs2 = lambda c: (c * (c - 1)) / 2  # noqa: E731  exact: c(c-1) is even
+    cell_sum = cells.agg(
+        F.sum("_c").alias("n"),
+        F.coalesce(
+            F.sum(F.floor(pairs2(F.col("_c")))), F.lit(0)
+        ).alias("_sij"),
+    )
+    ma = (
+        cells.groupBy("_a")
+        .agg(F.sum("_c").alias("_ca"))
+        .agg(
+            F.count(F.lit(1)).alias("clusters_a"),
+            F.coalesce(
+                F.sum(F.floor(pairs2(F.col("_ca")))), F.lit(0)
+            ).alias("_sa"),
+        )
+    )
+    mb = (
+        cells.groupBy("_b")
+        .agg(F.sum("_c").alias("_cb"))
+        .agg(
+            F.count(F.lit(1)).alias("clusters_b"),
+            F.coalesce(
+                F.sum(F.floor(pairs2(F.col("_cb")))), F.lit(0)
+            ).alias("_sb"),
+        )
+    )
+    j = cell_sum.crossJoin(ma).crossJoin(mb)
+    tot = F.floor((F.col("n") * (F.col("n") - 1)) / 2).cast("double")
+    expected = (
+        (
+            F.col("_sa").cast("decimal(19,0)")
+            * F.col("_sb").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").cast("double")
+        / tot
+    )
+    half = (F.col("_sa").cast("double") + F.col("_sb").cast("double")) / 2.0
+    den = half - expected
+    ari = F.when(
+        (F.col("n") >= 2) & (den != 0.0),
+        (F.col("_sij").cast("double") - expected) / den,
+    )
+    return j.select(
+        "n",
+        "clusters_a",
+        "clusters_b",
+        F.round(ari, 6).alias("ari"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Average precision — the area under the precision-recall curve
+    by the standard step interpolation (AP = mean of precision@k over
+    the positive ranks). The class-imbalance-honest twin of roc_auc:
+    AUC stays high when negatives dominate; AP collapses, which is
+    what a rare-defect quality filter actually feels. Ranking is by
+    ``score`` DESC with ``id_col`` ASC as the deterministic tie-break
+    (documented: with heavy score ties AP is only defined relative to
+    a tie order, so the oracle replays the identical one).
+
+    Returns per group (or ONE row): (``n``, ``n_pos``,
+    ``average_precision``) rounded to 6 — NULL when there are no
+    positives.
+
+    Determinism: ranks and cumulative-positive counts are exact
+    BIGINT; each precision@k term is rounded to 12 dp and accumulated
+    in DECIMAL so partition order cannot wiggle the sum; one float
+    division at the end.
+
+    Scale shape: one rank window per group (Spark compiles the
+    per-group ordered window to a shuffle on the group key — for a
+    single global group this is a bounded single-pass sort, intended
+    for evaluation sets, not raw corpora), one aggregate.
+    """
+    from pyspark.sql import Window
+
+    gcol = group_col if group_col is not None else None
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *([F.col(gcol).alias("_g")] if gcol else [F.lit("all").alias("_g")]),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("_g").orderBy(F.desc("_s"), F.asc("_id"))
+    ranked = base.select(
+        "_g",
+        "_y",
+        F.row_number().over(w).alias("_k"),
+        F.sum("_y").over(
+            Window.partitionBy("_g")
+            .orderBy(F.desc("_s"), F.asc("_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cp"),
+    )
+    term = F.round(
+        F.col("_cp").cast("double") / F.col("_k").cast("double"), 12
+    ).cast("decimal(28,12)")
+    agg = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("_y"), F.lit(0)).alias("n_pos"),
+        F.sum(F.when(F.col("_y") == 1, term)).cast("double").alias("_ap_sum"),
+    )
+    ap = F.when(
+        F.col("n_pos") > 0,
+        F.col("_ap_sum") / F.col("n_pos").cast("double"),
+    )
+    out = agg.select(
+        F.col("_g").alias(gcol if gcol else "group"),
+        "n",
+        "n_pos",
+        F.round(ap, 6).alias("average_precision"),
+    )
+    return out.orderBy(gcol if gcol else "group")
+
+
+def map_mrr(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """MAP@k and MRR — the binary-relevance retrieval scorecard next
+    to ndcg_at_k's graded one: AP@k averages precision at each
+    relevant hit inside the cutoff, RR is 1/rank of the FIRST
+    relevant hit (rank counted on the full ranking, the standard).
+    Ranking is by ``score`` DESC, ``id_col`` ASC (deterministic
+    tie-break, same convention as average_precision). ``rel_col`` > 0
+    means relevant.
+
+    Returns per query: (``query``, ``n_judged``, ``n_rel``,
+    ``ap_at_k``, ``rr``) rounded to 6 — ap/rr NULL when the query has
+    no relevant documents. (Mean across queries is a trivial AVG over
+    this frame; returning per-query rows keeps the oracle comparison
+    sharp.)
+
+    Determinism: ranks/counts exact; AP terms 12-dp DECIMAL-
+    accumulated; RR is a single exact division.
+
+    Scale shape: one rank window per query (shuffle on the query
+    key — queries evaluate in parallel), one aggregate.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("_q"),
+        F.col(score_col).cast("double").alias("_s"),
+        (F.col(rel_col) > 0).cast("int").alias("_r"),
+        F.col(id_col).alias("_id"),
+    )
+    order = [F.desc("_s"), F.asc("_id")]
+    w = Window.partitionBy("_q").orderBy(*order)
+    ranked = base.select(
+        "_q",
+        "_r",
+        F.row_number().over(w).alias("_k"),
+        F.sum("_r").over(
+            Window.partitionBy("_q")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cr"),
+    )
+    term = F.round(
+        F.col("_cr").cast("double") / F.col("_k").cast("double"), 12
+    ).cast("decimal(28,12)")
+    agg = ranked.groupBy("_q").agg(
+        F.count(F.lit(1)).alias("n_judged"),
+        F.coalesce(F.sum("_r"), F.lit(0)).alias("n_rel"),
+        F.sum(
+            F.when((F.col("_r") == 1) & (F.col("_k") <= k), term)
+        ).cast("double").alias("_ap_sum"),
+        F.min(F.when(F.col("_r") == 1, F.col("_k"))).alias("_first"),
+        F.sum(
+            F.when((F.col("_r") == 1) & (F.col("_k") <= k), 1).otherwise(0)
+        ).alias("_rel_in_k"),
+    )
+    denom = F.least(F.col("n_rel"), F.lit(k)).cast("double")
+    ap = F.when(
+        F.col("n_rel") > 0,
+        F.coalesce(F.col("_ap_sum"), F.lit(0.0)) / denom,
+    )
+    rr = F.when(
+        F.col("n_rel") > 0, 1.0 / F.col("_first").cast("double")
+    )
+    return agg.select(
+        F.col("_q").alias("query"),
+        "n_judged",
+        "n_rel",
+        F.round(ap, 6).alias("ap_at_k"),
+        F.round(rr, 6).alias("rr"),
+    ).orderBy("query")
+
+
+def brier_log_loss(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Brier score (1950) + log loss — the two proper scoring rules
+    for probabilistic classifiers, the single-number companions to
+    the binned quality_calibration readout (a model can have perfect
+    calibration bins and still be useless; Brier/log-loss price
+    sharpness too):
+
+        Brier = mean (p − y)²,   LogLoss = −mean [y·ln p + (1−y)·ln(1−p)]
+
+    Probabilities are clamped to [1e-15, 1−1e-15] before the logs
+    (the sklearn convention) so planted hard 0/1 scores stay finite.
+    Returns ONE row: (``n``, ``n_pos``, ``brier``, ``log_loss``)
+    rounded to 6.
+
+    Determinism: each row's squared error and log term is rounded to
+    12 dp and accumulated in DECIMAL — float-sum order cannot move
+    the mean; ln on identical doubles agrees across engines (the
+    js_divergence precedent).
+
+    Scale shape: one map-side-combined aggregate; the corpus is
+    scanned once.
+    """
+    eps = 1e-15
+    p = F.least(
+        F.lit(1.0 - eps), F.greatest(F.lit(eps), F.col(prob_col).cast("double"))
+    )
+    y = F.col(label_col).cast("int")
+    yd = y.cast("double")
+    sq = F.round((p - yd) * (p - yd), 12).cast("decimal(28,12)")
+    ll = F.round(
+        -(yd * F.log(p) + (1.0 - yd) * F.log(1.0 - p)), 12
+    ).cast("decimal(28,12)")
+    base = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(y), F.lit(0)).alias("n_pos"),
+        F.sum(sq).cast("double").alias("_bs"),
+        F.sum(ll).cast("double").alias("_ls"),
+    )
+    nn = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        "n_pos",
+        F.round(F.when(F.col("n") > 0, F.col("_bs") / nn), 6).alias("brier"),
+        F.round(F.when(F.col("n") > 0, F.col("_ls") / nn), 6).alias("log_loss"),
+    )
