@@ -6312,6 +6312,59 @@ def q_score_brier_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brier_log_loss(docs, "prob", "label")
 
 
+def q_parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (operators/skyline.py::skyline_2d) over parts:
+    cheapest-for-its-size frontier on (p_retailprice ↓, p_size ↑). The
+    engine runs the sort-based plan (one groupBy collapse + one bounded
+    running-min window — no n² self-join); the oracle intentionally
+    uses the quadratic NOT-EXISTS dominance formulation over the
+    collapsed candidates, so the window plan's equivalence to textbook
+    dominance is re-proven on every driver run."""
+    from valentinus_spark.operators.skyline import skyline_2d
+
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return skyline_2d(
+        parts, "p_retailprice", "p_size", keep_cols=["p_partkey"]
+    )
+
+
+def q_ams_f2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F₂ sketch (operators/sketches.py::ams_f2_estimate, AMS 1996)
+    of the orders self-join size on o_custkey — the unbiased
+    median-of-means twin of cm_join_size's Count-Min upper bound, on
+    the same portable sha sign hashes. The exact F₂ is recomputed from
+    raw keys in the same query, so estimate AND truth are both
+    hash-checked."""
+    from valentinus_spark.operators.sketches import ams_f2_estimate
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return ams_f2_estimate(orders, "o_custkey", n_means=8, per_mean=8)
+
+
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands longest consecutive-day streak per user
+    (operators/funnel.py::activity_streaks) — top 25 users by streak.
+    The date−row_number island anchor, per-island fold, and
+    deterministic (streak DESC, user ASC) top-n all replay in DuckDB."""
+    from valentinus_spark.operators.funnel import activity_streaks
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return activity_streaks(ev, top_n=25)
+
+
+def q_event_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic (operators/rollup.py::ljung_box,
+    1978) over the first 10 lags of the daily event volume — the
+    one-number "is there ANY autocorrelation" summary composed
+    directly from event_acf's r_k values (same spine, same 6-dp grid);
+    12-dp DECIMAL-pinned term sums."""
+    from valentinus_spark.operators.rollup import ljung_box
+
+    return ljung_box(_events(spark, sf_dir).select("ts"), max_lag=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6428,6 +6481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_auc_planted": q_pr_auc_planted,
         "map_mrr_retrieval": q_map_mrr_retrieval,
         "score_brier_logloss": q_score_brier_logloss,
+        "parts_pareto_frontier": q_parts_pareto_frontier,
+        "ams_f2_orders": q_ams_f2_orders,
+        "user_activity_streaks": q_user_activity_streaks,
+        "event_ljung_box": q_event_ljung_box,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -13500,5 +13557,112 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n > 0 THEN bs / n::DOUBLE END, 6) AS brier,
                    ROUND(CASE WHEN n > 0 THEN ls / n::DOUBLE END, 6) AS log_loss
             FROM agg
+        """
+    # independent quadratic NOT-EXISTS dominance formulation (the engine
+    # runs the sort-based window plan; p_size's bounded domain keeps the
+    # candidate set tiny, so the pairwise check is cheap at any sf)
+    sql["parts_pareto_frontier"] = """
+            WITH base AS (
+                SELECT p_partkey, p_size, p_retailprice FROM part
+                WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+            ),
+            cand AS (
+                SELECT p_size AS s, MIN(p_retailprice) AS pr
+                FROM base GROUP BY p_size
+            ),
+            frontier AS (
+                SELECT c.s, c.pr FROM cand c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM cand d
+                    WHERE d.pr <= c.pr AND d.s >= c.s
+                          AND (d.pr < c.pr OR d.s > c.s)
+                )
+            )
+            SELECT b.p_partkey, b.p_size, b.p_retailprice
+            FROM base b JOIN frontier f
+              ON b.p_size = f.s AND b.p_retailprice = f.pr
+            ORDER BY b.p_size DESC, b.p_partkey
+        """
+    sql["ams_f2_orders"] = """
+            WITH keys AS MATERIALIZED (
+                SELECT o_custkey::VARCHAR AS k FROM orders
+                WHERE o_custkey IS NOT NULL
+            ),
+            signs AS (
+                SELECT j,
+                       SUM(CASE WHEN (('0x' || substr(sha256((j // 4)::VARCHAR || ':' || k),
+                                                      (1 + 15 * (j % 4))::INT, 15))::UBIGINT::BIGINT)
+                                     >= 576460752303423488
+                                THEN 1 ELSE -1 END)::BIGINT AS z
+                FROM keys CROSS JOIN range(64) t(j)
+                GROUP BY j
+            ),
+            nr AS (SELECT COUNT(*)::BIGINT AS n_rows FROM keys),
+            means AS (
+                SELECT j // 8 AS g,
+                       CAST(SUM(z::DECIMAL(19,0) * z::DECIMAL(19,0)) AS DECIMAL(38,6)) / 8 AS m
+                FROM signs GROUP BY 1
+            ),
+            med AS (
+                SELECT (lo + hi)::DOUBLE / 2.0 AS est FROM (
+                    SELECT MIN(CASE WHEN rn >= 4 THEN m END) AS lo,
+                           MIN(CASE WHEN rn >= 5 THEN m END) AS hi
+                    FROM (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means)
+                )
+            ),
+            exact AS (
+                SELECT CAST(SUM(c::DECIMAL(19,0) * c::DECIMAL(19,0)) AS DOUBLE) AS f2
+                FROM (SELECT COUNT(*)::BIGINT AS c FROM keys GROUP BY k)
+            )
+            SELECT n_rows, 64 AS n_estimators,
+                   ROUND(est, 4) AS f2_estimate,
+                   ROUND(f2, 4) AS f2_exact,
+                   ROUND(CASE WHEN f2 > 0 THEN ABS(est - f2) / f2 END, 6) AS rel_error
+            FROM nr, med, exact
+        """
+    sql["user_activity_streaks"] = """
+            WITH days AS MATERIALIZED (
+                SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            isl AS (
+                SELECT u, d,
+                       d - (ROW_NUMBER() OVER (PARTITION BY u ORDER BY d))::INT AS anchor
+                FROM days
+            ),
+            per AS (
+                SELECT u, anchor, COUNT(*)::BIGINT AS len, MIN(d) AS start
+                FROM isl GROUP BY u, anchor
+            ),
+            tagged AS (
+                SELECT *, MAX(len) OVER (PARTITION BY u) AS maxlen FROM per
+            ),
+            pu AS (
+                SELECT u,
+                       SUM(len)::BIGINT AS active_days,
+                       COUNT(*)::BIGINT AS n_streaks,
+                       MAX(len)::BIGINT AS longest_streak,
+                       MIN(CASE WHEN len = maxlen THEN start END) AS streak_start
+                FROM tagged GROUP BY u
+            )
+            SELECT u AS "user", active_days, n_streaks, longest_streak, streak_start
+            FROM pu ORDER BY longest_streak DESC, "user" ASC LIMIT 25
+        """
+    sql["event_ljung_box"] = f"""
+            SELECT n_days, max_lag,
+                   ROUND(CASE WHEN any_null = 0 AND min_pairs > 0
+                              THEN n_days::DOUBLE * (n_days::DOUBLE + 2.0) * s
+                         END, 6) AS q_stat,
+                   max_lag AS dof
+            FROM (
+                SELECT MAX(CASE WHEN n_pairs > 0 THEN n_pairs + lag END)::BIGINT AS n_days,
+                       COUNT(*)::BIGINT AS max_lag,
+                       MIN(CASE WHEN acf IS NULL THEN 1 ELSE 0 END) AS any_null,
+                       MIN(n_pairs)::BIGINT AS min_pairs,
+                       CAST(SUM(CASE WHEN acf IS NOT NULL
+                                     THEN CAST(ROUND(acf * acf / n_pairs::DOUBLE, 12) AS DECIMAL(28,12))
+                                END) AS DOUBLE) AS s
+                FROM ({sql["event_acf"]}) a
+            ) t
         """
     return sql

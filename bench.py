@@ -308,6 +308,10 @@ BENCH_QUERIES = [
     "pr_auc_planted",
     "map_mrr_retrieval",
     "score_brier_logloss",
+    "parts_pareto_frontier",
+    "ams_f2_orders",
+    "user_activity_streaks",
+    "event_ljung_box",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -512,8 +516,12 @@ BENCH_FAMILIES = {
         "user_value_sign_test",
         "value_mood_median",
         "user_type_friedman",
+        "parts_pareto_frontier",
+        "user_activity_streaks",
+        "event_ljung_box",
     ],
     "sketch": [
+        "ams_f2_orders",
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
         "zorder_bucket_stats", "scd2_apply", "robust_outliers",
         "winsorize_stats", "bootstrap_ci_orders", "hll_rolling_actives",

@@ -165,3 +165,39 @@ def test_seasonal_naive_eval_hand_errors_and_zero_fill(spark):
     assert out.mae == pytest.approx(1.0)
     assert out.rmse == pytest.approx(1.0)
     assert out.smape == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_activity_streaks_hand_islands(spark):
+    """User a: days 1-3 + 5-6 (streaks 3,2); user b: one 4-day run;
+    duplicate same-day events collapse."""
+    import datetime
+
+    from valentinus_spark.operators import activity_streaks
+
+    d = lambda i: datetime.datetime(2024, 1, i)  # noqa: E731
+    rows = (
+        [("a", d(1)), ("a", d(2)), ("a", d(2)), ("a", d(3)),
+         ("a", d(5)), ("a", d(6))]
+        + [("b", d(10)), ("b", d(11)), ("b", d(12)), ("b", d(13))]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.user: r for r in activity_streaks(df, top_n=10).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.active_days, a.n_streaks, a.longest_streak) == (5, 2, 3)
+    assert a.streak_start == datetime.date(2024, 1, 1)
+    assert (b.active_days, b.n_streaks, b.longest_streak) == (4, 1, 4)
+    assert b.streak_start == datetime.date(2024, 1, 10)
+
+
+def test_activity_streaks_tie_breaks_earliest_start(spark):
+    """Two equal-length streaks: streak_start reports the earliest."""
+    import datetime
+
+    from valentinus_spark.operators import activity_streaks
+
+    d = lambda i: datetime.datetime(2024, 2, i)  # noqa: E731
+    rows = [("u", d(1)), ("u", d(2)), ("u", d(10)), ("u", d(11))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    r = activity_streaks(df, top_n=5).collect()[0]
+    assert r.longest_streak == 2 and r.n_streaks == 2
+    assert r.streak_start == datetime.date(2024, 2, 1)

@@ -529,3 +529,40 @@ def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
         assert r.seasonal == pytest.approx(pattern[d % 7] - mean_p, abs=1e-4)
         if r.remainder is not None:
             assert r.remainder == pytest.approx(0.0, abs=1e-4)
+
+
+def test_ljung_box_white_noise_small_seasonal_large(spark):
+    """A strongly weekly series must blow up Q; Q composes acf_profile
+    exactly (python replay from the acf rows)."""
+    import datetime
+
+    from valentinus_spark.operators import acf_profile, ljung_box
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(120):
+        n = 20 if d % 7 == 0 else 2
+        rows += [(base + datetime.timedelta(days=d),)] * n
+    df = spark.createDataFrame(rows, ["ts"])
+    r = ljung_box(df, max_lag=10).collect()[0]
+    assert (r.n_days, r.max_lag, r.dof) == (120, 10, 10)
+
+    acf = {a.lag: a for a in acf_profile(df, max_lag=10).collect()}
+    q = 120 * 122 * sum(
+        round(acf[k].acf * acf[k].acf / acf[k].n_pairs, 12)
+        for k in range(1, 11)
+    )
+    assert r.q_stat == pytest.approx(round(q, 6), abs=1e-4)
+    assert r.q_stat > 100  # weekly structure is unmissable
+
+
+def test_ljung_box_constant_series_null(spark):
+    import datetime
+
+    from valentinus_spark.operators import ljung_box
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=d),) for d in range(30)]
+    df = spark.createDataFrame(rows, ["ts"])
+    r = ljung_box(df, max_lag=5).collect()[0]
+    assert r.q_stat is None  # constant daily volume -> acf undefined

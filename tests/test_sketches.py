@@ -350,3 +350,31 @@ def test_hll_overlap_half_overlap_estimate(spark):
     r = hll_overlap(a, b, "k", p=10).collect()[0]
     assert r.est_jaccard == pytest.approx(1 / 3, rel=0.15)
     assert r.est_intersection == pytest.approx(1000, rel=0.15)
+
+
+def test_ams_f2_exact_on_planted_and_unbiased_scale(spark):
+    """F2 exact = sum of squared key counts; the sketch estimate must
+    land within a loose relative band (deterministic hashes -> the
+    value is fixed, the band just guards hash-quality regressions)."""
+    from valentinus_spark.operators import ams_f2_estimate
+
+    rows = [(k,) for k in range(100) for _ in range(1 + k % 4)]
+    df = spark.createDataFrame(rows, ["k"])
+    r = ams_f2_estimate(df, "k").collect()[0]
+    exact = sum((1 + k % 4) ** 2 for k in range(100))
+    assert r.f2_exact == pytest.approx(exact, abs=1e-6)
+    assert r.n_estimators == 64
+    assert r.n_rows == len(rows)
+    assert r.rel_error is not None and r.rel_error < 0.5
+
+
+def test_ams_f2_single_key_degenerate(spark):
+    """All rows one key: F2 = n^2 and every estimator's Z = ±n, so the
+    estimate is EXACTLY n^2 (sign squares away)."""
+    from valentinus_spark.operators import ams_f2_estimate
+
+    df = spark.createDataFrame([("x",)] * 50, ["k"])
+    r = ams_f2_estimate(df, "k").collect()[0]
+    assert r.f2_exact == pytest.approx(2500.0, abs=1e-9)
+    assert r.f2_estimate == pytest.approx(2500.0, abs=1e-9)
+    assert r.rel_error == pytest.approx(0.0, abs=1e-9)

@@ -487,3 +487,68 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(topk)
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    top_n: int = 25,
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands readout (an "island" is a maximal run of
+    consecutive active days; ``date − dense_rank`` is constant inside
+    one island, so islands fall out of one GROUP BY). The engagement
+    twin of :func:`cohort_retention`: retention asks "did they come
+    back eventually", streaks ask "did they come back EVERY day".
+
+    Returns the ``top_n`` users by (longest streak DESC, user ASC —
+    deterministic): (``user``, ``active_days``, ``n_streaks``,
+    ``longest_streak``, ``streak_start``) where streak_start is the
+    first day of the (earliest, if tied) longest streak.
+
+    Determinism: pure integer/date arithmetic; ordering tie-broken by
+    start date then user id.
+
+    Scale shape: one distinct-day aggregate, one per-user ordered
+    window (users process in parallel — no global window), one island
+    GROUP BY, one top-n (TakeOrdered, k-row heaps per partition).
+    """
+    from pyspark.sql import Window
+
+    days = (
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_d"))
+        .distinct()
+    )
+    w = Window.partitionBy("_u").orderBy("_d")
+    islands = days.select(
+        "_u",
+        "_d",
+        F.date_sub("_d", F.row_number().over(w)).alias("_anchor"),
+    )
+    per_island = islands.groupBy("_u", "_anchor").agg(
+        F.count(F.lit(1)).alias("_len"), F.min("_d").alias("_start")
+    )
+    tagged = per_island.withColumn(
+        "_maxlen", F.max("_len").over(Window.partitionBy("_u"))
+    )
+    per_user = tagged.groupBy("_u").agg(
+        F.sum("_len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("_len").alias("longest_streak"),
+        F.min(
+            F.when(F.col("_len") == F.col("_maxlen"), F.col("_start"))
+        ).alias("streak_start"),
+    )
+    return (
+        per_user.select(
+            F.col("_u").alias("user"),
+            "active_days",
+            "n_streaks",
+            "longest_streak",
+            "streak_start",
+        )
+        .orderBy(F.desc("longest_streak"), F.asc("user"))
+        .limit(top_n)
+    )

@@ -1082,3 +1082,54 @@ def seasonal_decompose(
         )
         .orderBy("day")
     )
+
+
+def ljung_box(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 10,
+) -> DataFrame:
+    """Ljung-Box portmanteau test (1978) — "is there ANY
+    autocorrelation in the first m lags", the one-number summary of
+    :func:`acf_profile` (which it composes directly — same spine,
+    same r_k):
+
+        Q = n(n+2) Σ_{k=1..m} r_k² / (n−k)
+
+    Q ~ χ²(m) under the white-noise null; a seasonal or trending daily
+    series sends Q far past the table value. Returns ONE row:
+    (``n_days``, ``max_lag``, ``q_stat``, ``dof``) — q NULL when the
+    series is constant (acf undefined) or shorter than max_lag+1.
+
+    Determinism: r_k are acf_profile's 6-dp-rounded values (exact
+    DECIMAL numerators/denominator inside); each r_k²/(n−k) term is
+    12-dp-rounded and DECIMAL-summed, so lag order cannot move Q; the
+    final n(n+2)·Σ product is one float multiply.
+
+    Scale shape: inherits acf_profile's — one corpus aggregate, then
+    day-spine-sized joins; the Q fold is max_lag rows.
+    """
+    acf = acf_profile(events, ts_col=ts_col, max_lag=max_lag)
+    term = F.round(
+        F.col("acf") * F.col("acf") / F.col("n_pairs").cast("double"), 12
+    ).cast("decimal(28,12)")
+    agg = acf.agg(
+        F.max(
+            F.when(F.col("n_pairs") > 0, F.col("n_pairs") + F.col("lag"))
+        ).alias("n_days"),
+        F.count(F.lit(1)).alias("max_lag"),
+        F.min(F.when(F.col("acf").isNull(), 1).otherwise(0)).alias("_any_null"),
+        F.min("n_pairs").alias("_min_pairs"),
+        F.sum(F.when(F.col("acf").isNotNull(), term)).cast("double").alias("_s"),
+    )
+    nn = F.col("n_days").cast("double")
+    q = F.when(
+        (F.col("_any_null") == 0) & (F.col("_min_pairs") > 0),
+        nn * (nn + 2.0) * F.col("_s"),
+    )
+    return agg.select(
+        "n_days",
+        "max_lag",
+        F.round(q, 6).alias("q_stat"),
+        F.col("max_lag").alias("dof"),
+    )

@@ -643,3 +643,101 @@ def hll_overlap(
             6,
         ).alias("est_jaccard"),
     )
+
+
+def ams_f2_estimate(
+    df: DataFrame,
+    key_col: str,
+    n_means: int = 8,
+    per_mean: int = 8,
+) -> DataFrame:
+    """AMS second-moment (F₂) sketch (Alon-Matias-Szegedy 1996) — the
+    join-size planner's other half: F₂ = Σ_k c_k² is EXACTLY the
+    self-join size on ``key_col``, and the per-key-pair generalization
+    is what :func:`cm_join_size` upper-bounds with Count-Min. AMS is
+    unbiased where CM only overestimates. Each estimator keeps ONE
+    counter Z_j = Σ_rows ±1(key); Z_j² is unbiased for F₂; variance
+    drops by averaging ``per_mean`` estimators and the median of
+    ``n_means`` group means gives exponential concentration
+    (median-of-means).
+
+    Returns ONE row: (``n_rows``, ``n_estimators``, ``f2_estimate``,
+    ``f2_exact``, ``rel_error``) — the exact F₂ is recomputed from the
+    raw keys every run, so the sketch's losslessness claim is
+    re-proven, not assumed (the hll_daily_rollup convention).
+
+    Determinism: the ±1 signs come from the engine-portable sha256
+    hash (top bit of estimator j's 15-hex slice); counters and Z²
+    sums are exact BIGINT/DECIMAL; the median of means follows the
+    repo's exact-median convention (average of the two middles on the
+    decimal grid).
+
+    Scale shape: ONE pass over the corpus emitting ``n_means ×
+    per_mean`` conditional sums (map-side combined into a single
+    64-counter row per partition — no shuffle of raw rows); the exact
+    F₂ is one hash-agg. At 100 TB the sketch column of a sharded
+    corpus is 64 BIGINTs per shard, mergeable by addition.
+    """
+    total = n_means * per_mean
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("_k")
+    )
+    # sign_j(key) from the CM-sketch hash family: top bit of slice j
+    sums = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(
+                F.when(
+                    _sha_slice("_k", j) >= F.lit(1 << 59).cast("long"), 1
+                ).otherwise(-1)
+            ).alias(f"_z{j}")
+            for j in range(total)
+        ],
+    )
+    # group means of Z^2 (exact integers -> decimal mean on the 1/per_mean grid)
+    mean_cols = []
+    for g in range(n_means):
+        zsq = None
+        for j in range(g * per_mean, (g + 1) * per_mean):
+            t = (
+                F.col(f"_z{j}").cast("decimal(19,0)")
+                * F.col(f"_z{j}").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+            zsq = t if zsq is None else (zsq + t)
+        mean_cols.append(
+            (zsq.cast("decimal(38,6)") / per_mean).alias(f"_m{g}")
+        )
+    means = sums.select("n_rows", *mean_cols)
+    # exact median of the n_means group means (tiny, fixed-size row):
+    # sort the means as an array and average the two middles
+    arr = F.array_sort(F.array(*[F.col(f"_m{g}") for g in range(n_means)]))
+    lo = arr.getItem((n_means - 1) // 2)
+    hi = arr.getItem(n_means // 2)
+    est = ((lo + hi).cast("double") / 2.0).alias("_est")
+    sk = means.select("n_rows", est)
+    exact = (
+        base.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.sum(
+                (
+                    F.col("_c").cast("decimal(19,0)")
+                    * F.col("_c").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).cast("double").alias("_f2")
+        )
+    )
+    j = sk.crossJoin(F.broadcast(exact))
+    return j.select(
+        "n_rows",
+        F.lit(total).alias("n_estimators"),
+        F.round("_est", 4).alias("f2_estimate"),
+        F.round("_f2", 4).alias("f2_exact"),
+        F.round(
+            F.when(
+                F.col("_f2") > 0,
+                F.abs(F.col("_est") - F.col("_f2")) / F.col("_f2"),
+            ),
+            6,
+        ).alias("rel_error"),
+    )
