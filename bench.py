@@ -312,6 +312,9 @@ BENCH_QUERIES = [
     "ams_f2_orders",
     "user_activity_streaks",
     "event_ljung_box",
+    "copurchase_jaccard_links",
+    "source_tv_distance",
+    "priority_page_trend",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -426,7 +429,7 @@ BENCH_FAMILIES = {
         "chi2_source_lang", "rank_agreement", "rank_rbo_top50", "source_length_gini",
         "bpe_roundtrip", "textrank_keywords", "substring_index_search",
         "source_lang_ari", "pr_auc_planted", "map_mrr_retrieval",
-        "score_brier_logloss",
+        "score_brier_logloss", "source_tv_distance",
     
         # round-7 bench-tail additions
         "lang_profile",
@@ -519,6 +522,7 @@ BENCH_FAMILIES = {
         "parts_pareto_frontier",
         "user_activity_streaks",
         "event_ljung_box",
+        "priority_page_trend",
     ],
     "sketch": [
         "ams_f2_orders",
@@ -540,6 +544,7 @@ BENCH_FAMILIES = {
               "hits_purchase_graph", "ppr_related_parts",
         # round-7 bench-tail additions
         "triangle_copurchase",
+        "copurchase_jaccard_links",
     ],
     "media": ["media_content_stats", "media_headers",
         # round-7 bench-tail additions

@@ -644,3 +644,32 @@ def test_friedman_incomplete_blocks_drop_and_all_tied_null(spark):
         spark.createDataFrame(tied, ["b", "t", "v"]), "b", "t", "v"
     ).collect()[0]
     assert r2.chi2 is None  # all ranks tied -> zero denominator
+
+
+def test_page_trend_perfect_order(spark):
+    """Blocks always rank treatments in hypothesized order: L maximal
+    = n * sum(j * j) (each R_j = n*j), z strongly positive."""
+    from valentinus_spark.operators import page_trend_test
+
+    data = []
+    for b in range(6):
+        data += [(b, j, float(j * 10 + b)) for j in (1, 2, 3)]
+    r = page_trend_test(
+        spark.createDataFrame(data, ["b", "j", "v"]), "b", "j", "v"
+    ).collect()[0]
+    assert (r.n_blocks, r.k) == (6, 3)
+    assert r.l_stat == pytest.approx(6 * (1 + 4 + 9), abs=1e-9)
+    assert r.z > 2
+
+
+def test_page_trend_reversed_order_negative(spark):
+    from valentinus_spark.operators import page_trend_test
+
+    data = []
+    for b in range(6):
+        data += [(b, j, float(-j * 10 + b)) for j in (1, 2, 3)]
+    r = page_trend_test(
+        spark.createDataFrame(data, ["b", "j", "v"]), "b", "j", "v"
+    ).collect()[0]
+    assert r.l_stat == pytest.approx(6 * (3 + 4 + 3), abs=1e-9)  # R_j reversed
+    assert r.z < -2

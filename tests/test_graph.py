@@ -245,3 +245,40 @@ def test_personalized_pagerank_python_replica(spark):
         }
     for u in nodes:
         assert got[u] == pytest.approx(rank[u], abs=1e-8), u
+
+
+def test_jaccard_link_prediction_hand_graph(spark):
+    """Path graph 1-2-3 plus 1-4, 3-4: candidates (1,3) share {2,4} of
+    union {2,4}∪{2,4} -> J=1.0 ... hand-enumerated on a 4-node graph."""
+    from valentinus_spark.operators import jaccard_link_prediction
+
+    und = [(1, 2), (2, 3), (1, 4), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {
+        (r.node_a, r.node_b): r
+        for r in jaccard_link_prediction(df, k=10).collect()
+    }
+    # non-adjacent pairs: (1,3) N={2,4}/{2,4} J=1; (2,4) N={1,3}/{1,3} J=1
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)].common_neighbors == 2
+    assert out[(1, 3)].jaccard == pytest.approx(1.0, abs=1e-9)
+    assert out[(2, 4)].jaccard == pytest.approx(1.0, abs=1e-9)
+
+
+def test_jaccard_vs_adamic_adar_ordering_difference(spark):
+    """A fraction-heavy pair must beat a hub-mediated pair on Jaccard.
+    Star hub h connects a,b plus 6 others; c,d share their only two
+    neighbors x,y. Jaccard ranks (c,d)=1.0 over (a,b)=1/... ."""
+    from valentinus_spark.operators import jaccard_link_prediction
+
+    und = [("h", n) for n in ["a", "b", "o1", "o2", "o3", "o4", "o5", "o6"]]
+    und += [("c", "x"), ("c", "y"), ("d", "x"), ("d", "y")]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = jaccard_link_prediction(df, k=50).collect()
+    scores = {(r.node_a, r.node_b): r.jaccard for r in rows}
+    assert scores[("c", "d")] == pytest.approx(1.0, abs=1e-9)
+    assert scores[("a", "b")] == pytest.approx(1.0, abs=1e-9)  # deg=1 each: {h}/{h}
+    # a vs c share nothing -> absent
+    assert ("a", "c") not in scores

@@ -497,3 +497,52 @@ def test_js_divergence_bounds_and_symmetry_inputs(spark):
     assert 0.0 < out[("A", "D")] < 1.0
     # pair matrix covers all 6 unordered pairs
     assert len(out) == 6
+
+
+def test_source_tv_distance_identical_and_disjoint(spark):
+    """Two groups with identical token distributions -> TV = 0 for
+    both; fully disjoint vocabularies -> TV = 1 - group share."""
+    from valentinus_spark.operators import source_tv_distance
+
+    same = [("a", "x y z"), ("b", "x y z")]
+    out = {
+        r.source: r.tv_distance
+        for r in source_tv_distance(
+            spark.createDataFrame(same, ["source", "text"])
+        ).collect()
+    }
+    assert out["a"] == pytest.approx(0.0, abs=1e-9)
+    assert out["b"] == pytest.approx(0.0, abs=1e-9)
+
+    # a = {x,y}, b = {p,q}: p_a puts 1/2 on each of x,y; corpus puts 1/4
+    # TV(a, corpus) = 1/2*(|1/2-1/4|*2 + 1/4*2) = 1/2
+    disj = [("a", "x y"), ("b", "p q")]
+    out2 = {
+        r.source: r.tv_distance
+        for r in source_tv_distance(
+            spark.createDataFrame(disj, ["source", "text"])
+        ).collect()
+    }
+    assert out2["a"] == pytest.approx(0.5, abs=1e-9)
+    assert out2["b"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_source_tv_distance_python_replica(spark):
+    """Exact python replay on a small mixed corpus."""
+    from collections import Counter
+
+    from valentinus_spark.operators import source_tv_distance
+
+    rows = [("a", "x x y z"), ("a", "x w"), ("b", "y y z z q")]
+    cnt_g = {"a": Counter("x x y z x w".split()), "b": Counter("y y z z q".split())}
+    corpus = Counter("x x y z x w y y z z q".split())
+    ct = sum(corpus.values())
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {r.source: r for r in source_tv_distance(df).collect()}
+    for g, cg in cnt_g.items():
+        gt = sum(cg.values())
+        tv = 0.5 * sum(
+            abs(cg.get(w, 0) / gt - c / ct) for w, c in corpus.items()
+        )
+        assert out[g].n_tokens == gt
+        assert out[g].tv_distance == pytest.approx(round(tv, 6), abs=1e-6)

@@ -1576,3 +1576,92 @@ def friedman_test(
         F.round(chi2, 6).alias("chi2"),
         (F.col("k") - 1).alias("dof"),
     )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_rank_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's trend test (1963) — the ORDERED-alternatives member of
+    the within-block family: friedman_test asks "do the k treatments
+    differ at all"; Page asks "do they increase in THIS hypothesized
+    order" (``treatment_rank_col`` = 1..k), which buys real power when
+    the direction is known (dose levels, priority tiers, model sizes):
+
+        L = Σ_j j·R_j,   E[L] = n·k·(k+1)²/4,
+        Var = n·k²·(k+1)·(k²−1)/144
+
+    Within-block average ranks and listwise-complete blocks follow the
+    friedman_test conventions exactly (same rank grid — the two
+    statistics are computed from the same matrix). The classical
+    no-tie variance is used (the standard practice; ties make z
+    slightly conservative — documented, deterministic). Returns ONE
+    row: (``n_blocks``, ``k``, ``l_stat``, ``z``, ``p_value``); z/p
+    NULL when no complete blocks or k < 2.
+
+    Scale shape: identical to friedman_test — per-block rank windows
+    (parallel across blocks), one treatment fold, one-row combine.
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_rank_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_rank_col).cast("int").alias("_j"),
+        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+    )
+    k_total = vals.select("_j").distinct().count()
+    sizes = vals.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.countDistinct("_j").alias("_kt"),
+    )
+    complete = sizes.filter(
+        (F.col("_kt") == F.lit(k_total)) & (F.col("_nb") == F.lit(k_total))
+    ).select("_b")
+    rows = vals.join(complete, "_b")
+    wb = Window.partitionBy("_b").orderBy("_v")
+    ranked = rows.select(
+        "_b",
+        "_j",
+        (
+            (
+                (F.rank().over(wb) * 2 + F.count(F.lit(1)).over(
+                    Window.partitionBy("_b", "_v")
+                ) - 1).cast("decimal(12,1)")
+            )
+            / 2
+        ).alias("_r"),
+    )
+    per_j = ranked.groupBy("_j").agg(
+        F.sum("_r").cast("decimal(18,1)").alias("_rj"),
+        F.count(F.lit(1)).alias("_nj"),
+    )
+    agg = per_j.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.min("_nj"), F.lit(0)).alias("n_blocks"),
+        F.sum(
+            (F.col("_j").cast("decimal(19,1)") * F.col("_rj")).cast(
+                "decimal(38,1)"
+            )
+        ).cast("double").alias("_l"),
+    )
+    nn = F.col("n_blocks").cast("double")
+    kk = F.col("k").cast("double")
+    mean_l = nn * kk * (kk + 1.0) * (kk + 1.0) / 4.0
+    var_l = nn * kk * kk * (kk + 1.0) * (kk * kk - 1.0) / 144.0
+    z = F.when(
+        (F.col("n_blocks") > 0) & (F.col("k") >= 2) & (var_l > 0),
+        (F.col("_l") - mean_l) / F.sqrt(var_l),
+    )
+    return agg.select(
+        "n_blocks",
+        "k",
+        F.round(F.col("_l"), 6).alias("l_stat"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+    )

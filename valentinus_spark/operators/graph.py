@@ -644,3 +644,87 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    k: int = 100,
+    max_degree: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link prediction by neighborhood Jaccard — :func:`adamic_adar`'s
+    normalized sibling on the same symmetric edge list: the top-k
+    NON-adjacent pairs by
+
+        J(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+               = common / (deg a + deg b − common)
+
+    AA rewards sharing OBSCURE neighbors; Jaccard rewards sharing a
+    large FRACTION of the neighborhood — a low-degree pair with 3 of 4
+    friends shared outranks a hub pair with 30 of 3000. Recording both
+    is the standard link-prediction baseline panel (Liben-Nowell &
+    Kleinberg 2003).
+
+    Output: (``node_a``, ``node_b``, ``common_neighbors``,
+    ``jaccard``), node_a < node_b, jaccard rounded to 6, ordered
+    (jaccard DESC, a, b), limited to k. Counts are exact BIGINTs; the
+    single ratio is the only float — deterministic at any parallelism.
+
+    Scale shape: same wedge enumeration as adamic_adar — one
+    self-equi-join on the center node with the same ``max_degree`` hub
+    cut bounding fan-out to ≤ max_degree × edges (a hub center
+    contributes deg² candidate pairs but tiny Jaccard mass); the
+    denominator degrees arrive by two node-keyed broadcast-sized
+    joins; existing-edge exclusion is a left-anti join; top-k is
+    TakeOrderedAndProject.
+    """
+    e = ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    full_deg = e.groupBy(F.col(src).alias("_node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    centers = e.groupBy(F.col(dst).alias("_z")).agg(
+        F.count(F.lit(1)).alias("_zdeg")
+    )
+    # deg-1 centers cannot be COMMON neighbors; hubs are cut pre-join
+    centers = centers.filter(F.col("_zdeg") >= 2)
+    if max_degree is not None:
+        centers = centers.filter(F.col("_zdeg") <= max_degree)
+    star = e.join(centers, F.col(dst) == F.col("_z")).select(
+        F.col(src).alias("_n"), "_z"
+    )
+    other = star.select(F.col("_n").alias("_m"), "_z")
+    wedges = star.join(other, "_z").filter(F.col("_n") < F.col("_m"))
+    pairs = wedges.groupBy("_n", "_m").agg(
+        F.count(F.lit(1)).alias("common_neighbors")
+    )
+    da = full_deg.select(F.col("_node").alias("_n"), F.col("_deg").alias("_da"))
+    db = full_deg.select(F.col("_node").alias("_m"), F.col("_deg").alias("_db"))
+    scored = (
+        pairs.join(da, "_n")
+        .join(db, "_m")
+        .select(
+            "_n",
+            "_m",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("_da") + F.col("_db") - F.col("common_neighbors")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    adjacent = e.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
+    return (
+        scored.join(adjacent, ["_n", "_m"], "left_anti")
+        .select(
+            F.col("_n").alias("node_a"),
+            F.col("_m").alias("node_b"),
+            "common_neighbors",
+            "jaccard",
+        )
+        .orderBy(F.desc("jaccard"), "node_a", "node_b")
+        .limit(k)
+    )

@@ -1233,3 +1233,69 @@ def js_divergence(
         .agg(F.round(F.sum("_j").cast("double"), 6).alias("js_bits"))
         .orderBy("group_a", "group_b")
     )
+
+
+def source_tv_distance(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group total-variation distance from the whole-corpus token
+    distribution: TV(p_g, p) = ½ Σ_w |p_g(w) − p(w)| — the bounded
+    [0,1] companion to :func:`source_token_kl` (KL explodes on rare-
+    word mismatch and is asymmetric; TV is the fraction of probability
+    mass you would have to move, the number a mixture-rebalancing
+    decision actually wants) and to js_divergence (which this bounds:
+    JS ≤ TV·ln2... the panel reads together).
+
+    Output: (group_col, ``n_tokens``, ``tv_distance``) rounded to 6,
+    one row per group, ordered by group.
+
+    Determinism: EXACT integer arithmetic throughout — each present
+    word contributes |c_gw·C − c_w·G| (DECIMAL(38,0) cross products of
+    BIGINT counts; G = group total, C = corpus total) and the words
+    ABSENT from the group contribute G·(C − Σ_present c_w) in one
+    closed-form correction, so no per-absent-word rows materialize.
+    The single float is the final ½·num/(G·C) division.
+
+    Scale shape: identical to source_token_kl — one exploded-token
+    scan into a checkpointed (group, token) count table, vocab-sized
+    join, group-sized fold. No float-sum anywhere.
+    """
+    toks = _token_rows(df, group_col, text_col)
+    g_counts = (
+        toks.groupBy(group_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_gc"))
+        .localCheckpoint()
+    )
+    c_counts = g_counts.groupBy("_tok").agg(F.sum("_gc").alias("_cc"))
+    c_total = c_counts.agg(F.sum("_cc").alias("_ct"))
+    g_totals = g_counts.groupBy(group_col).agg(F.sum("_gc").alias("_gt"))
+    joined = (
+        g_counts.join(c_counts, "_tok")
+        .join(F.broadcast(g_totals), group_col)
+        .crossJoin(F.broadcast(c_total))
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    cross = (d19("_gc") * d19("_ct")).cast("decimal(38,0)") - (
+        d19("_cc") * d19("_gt")
+    ).cast("decimal(38,0)")
+    agg = joined.groupBy(group_col).agg(
+        F.max("_gt").alias("n_tokens"),
+        F.max("_ct").alias("_ct"),
+        F.sum(F.abs(cross)).alias("_num_present"),
+        F.sum("_cc").alias("_cc_present"),
+    )
+    num = F.col("_num_present") + (
+        d19("n_tokens") * (d19("_ct") - d19("_cc_present"))
+    ).cast("decimal(38,0)")
+    tv = (
+        F.lit(0.5)
+        * num.cast("double")
+        / (F.col("n_tokens").cast("double") * F.col("_ct").cast("double"))
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        F.round(tv, 6).alias("tv_distance"),
+    ).orderBy(group_col)
