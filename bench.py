@@ -315,6 +315,8 @@ BENCH_QUERIES = [
     "copurchase_jaccard_links",
     "source_tv_distance",
     "priority_page_trend",
+    "bloom_semijoin_revenue",
+    "bfs_planted",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -526,6 +528,7 @@ BENCH_FAMILIES = {
     ],
     "sketch": [
         "ams_f2_orders",
+        "bloom_semijoin_revenue",
         "approx_distinct_kmv", "count_min_freq", "bloom_membership",
         "zorder_bucket_stats", "scd2_apply", "robust_outliers",
         "winsorize_stats", "bootstrap_ci_orders", "hll_rolling_actives",
@@ -545,6 +548,7 @@ BENCH_FAMILIES = {
         # round-7 bench-tail additions
         "triangle_copurchase",
         "copurchase_jaccard_links",
+        "bfs_planted",
     ],
     "media": ["media_content_stats", "media_headers",
         # round-7 bench-tail additions

@@ -282,3 +282,41 @@ def test_jaccard_vs_adamic_adar_ordering_difference(spark):
     assert scores[("a", "b")] == pytest.approx(1.0, abs=1e-9)  # deg=1 each: {h}/{h}
     # a vs c share nothing -> absent
     assert ("a", "c") not in scores
+
+
+def test_bfs_distances_ring_with_tail(spark):
+    """Ring 1..8 + tail 9-10 off node 5, source 1: ring distances are
+    min(k-1, 9-k); tail = dist(5)+1, +2."""
+    from valentinus_spark.operators import bfs_distances
+
+    und = [(i, i + 1) for i in range(1, 8)] + [(8, 1), (5, 9), (9, 10)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.dist for r in bfs_distances(df, [1]).collect()}
+    want = {k: min(k - 1, 9 - k) for k in range(1, 9)}
+    want[9] = want[5] + 1
+    want[10] = want[5] + 2
+    assert got == want
+
+
+def test_bfs_distances_multi_source_and_unreachable(spark):
+    """Two sources: every node takes the nearer one; a disconnected
+    component never appears."""
+    from valentinus_spark.operators import bfs_distances
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (100, 101)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.dist for r in bfs_distances(df, [1, 5]).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+    assert 100 not in got and 101 not in got
+
+
+def test_bfs_distances_max_iters_truncates(spark):
+    from valentinus_spark.operators import bfs_distances
+
+    und = [(i, i + 1) for i in range(1, 10)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.dist for r in bfs_distances(df, [1], max_iters=3).collect()}
+    assert max(got.values()) == 3 and set(got) == {1, 2, 3, 4}

@@ -378,3 +378,31 @@ def test_ams_f2_single_key_degenerate(spark):
     assert r.f2_exact == pytest.approx(2500.0, abs=1e-9)
     assert r.f2_estimate == pytest.approx(2500.0, abs=1e-9)
     assert r.rel_error == pytest.approx(0.0, abs=1e-9)
+
+
+def test_bloom_semijoin_row_identical_to_plain_semijoin(spark):
+    """The bloom prefilter must not change the result set — plain
+    semi-join equivalence on overlapping key domains (FPs removed by
+    the exact join, no FNs by Bloom guarantee)."""
+    from valentinus_spark.operators import bloom_semijoin
+
+    fact = spark.createDataFrame(
+        [(k % 50, k) for k in range(500)], ["key", "payload"]
+    )
+    dim = spark.createDataFrame([(k,) for k in range(0, 50, 7)], ["dkey"])
+    got = sorted(
+        (r.key, r.payload)
+        for r in bloom_semijoin(fact, dim, "key", "dkey", m=256).collect()
+    )
+    want = sorted(
+        (k % 50, k) for k in range(500) if (k % 50) % 7 == 0 and k % 50 < 50
+    )
+    assert got == want
+
+
+def test_bloom_semijoin_empty_dim(spark):
+    from valentinus_spark.operators import bloom_semijoin
+
+    fact = spark.createDataFrame([(1, 1)], ["key", "payload"])
+    dim = spark.createDataFrame([], "dkey INT")
+    assert bloom_semijoin(fact, dim, "key", "dkey").count() == 0

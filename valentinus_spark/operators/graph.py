@@ -728,3 +728,56 @@ def jaccard_link_prediction(
         .orderBy(F.desc("jaccard"), "node_a", "node_b")
         .limit(k)
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source_ids,
+    max_iters: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS over a SYMMETRIC edge list: shortest hop count
+    from the nearest source to every reachable node — the primitive
+    under closeness/eccentricity readouts and "how far is everything
+    from the seed set" audits (e.g. how many hops from any trusted
+    domain is each crawled host). Unreachable nodes are absent from
+    the output (distance ∞), the standard sparse convention.
+
+    Returns (``node``, ``dist``), dist in 0..max_iters.
+
+    Algorithm: level-synchronous frontier expansion — the loop the
+    pagerank/PPR/HITS family already uses, with the same discipline:
+    per round ONE keyed equi-join (frontier × edges), a left-anti
+    against the settled set, per-round ``localCheckpoint`` lineage
+    truncation, and an O(1)-row driver emptiness check to stop early.
+    ``max_iters`` bounds the worst case (graph diameter).
+
+    Scale shape: each round shuffles only the FRONTIER joined to its
+    incident edges, not the whole graph; the settled set stays
+    partitioned on the node key across rounds. Determinism: distances
+    are exact integers (min over arrival rounds is level-synchronous,
+    so first arrival IS the shortest); no floats anywhere.
+    """
+    e = ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(int(s),) for s in source_ids], ["node"]
+    ).distinct()
+    settled = frontier.select("node", F.lit(0).alias("dist")).localCheckpoint()
+    frontier = settled.select("node")
+    for it in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(
+            nxt.select("node", F.lit(it).alias("dist"))
+        ).localCheckpoint()
+        frontier = nxt
+    return settled.orderBy("dist", "node")
