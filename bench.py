@@ -317,6 +317,10 @@ BENCH_QUERIES = [
     "priority_page_trend",
     "bloom_semijoin_revenue",
     "bfs_planted",
+    "ktruss_planted",
+    "doc_fog_smog",
+    "crawl_capture_recapture",
+    "source_mean_shrinkage",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -431,7 +435,8 @@ BENCH_FAMILIES = {
         "chi2_source_lang", "rank_agreement", "rank_rbo_top50", "source_length_gini",
         "bpe_roundtrip", "textrank_keywords", "substring_index_search",
         "source_lang_ari", "pr_auc_planted", "map_mrr_retrieval",
-        "score_brier_logloss", "source_tv_distance",
+        "score_brier_logloss", "source_tv_distance", "doc_fog_smog",
+        "crawl_capture_recapture", "source_mean_shrinkage",
     
         # round-7 bench-tail additions
         "lang_profile",
@@ -549,6 +554,7 @@ BENCH_FAMILIES = {
         "triangle_copurchase",
         "copurchase_jaccard_links",
         "bfs_planted",
+        "ktruss_planted",
     ],
     "media": ["media_content_stats", "media_headers",
         # round-7 bench-tail additions

@@ -320,3 +320,35 @@ def test_bfs_distances_max_iters_truncates(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.node: r.dist for r in bfs_distances(df, [1], max_iters=3).collect()}
     assert max(got.values()) == 3 and set(got) == {1, 2, 3, 4}
+
+
+def test_k_truss_clique_survives_trees_vanish(spark):
+    """5-clique + hanging chains: 4-truss = exactly the clique (every
+    clique edge sits in 3 triangles >= k-2=2; chain edges in 0)."""
+    from itertools import combinations
+
+    from valentinus_spark.operators import k_truss
+
+    clique = list(combinations(range(1, 6), 2))
+    chains = [(5, 10), (10, 11), (11, 12), (3, 20), (20, 21)]
+    und = clique + chains
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.node_a, r.node_b): r.support for r in k_truss(df, k=4).collect()}
+    assert set(got) == set(clique)
+    assert all(s == 3 for s in got.values())
+
+
+def test_k_truss_cascading_peel(spark):
+    """Triangle fan where removing weak edges cascades: two triangles
+    sharing an edge — 4-truss needs every edge in >=2 triangles; only
+    the shared edge has 2, so after the outer edges (1 triangle each)
+    drop, everything unravels -> empty."""
+    from valentinus_spark.operators import k_truss
+
+    und = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert k_truss(df, k=4).count() == 0
+    # but 3-truss (support >= 1) keeps all five edges
+    assert k_truss(df, k=3).count() == 5

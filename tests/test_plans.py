@@ -667,3 +667,73 @@ def test_r6_operator_plan_shapes(spark):
     w = Window.partitionBy("dim", "qid").orderBy(F.desc("_s"), F.asc("vec_id"))
     top = scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= 5)
     assert "WindowGroupLimit" in plan_of(top), "matryoshka top-k heap not map-side"
+
+
+def test_r7_session2_operator_plan_shapes(spark):
+    """Plan pins for the round-7 second-wave operators: no cartesian
+    products anywhere; the skyline collapse keeps a map-side partial
+    min; bloom_semijoin's dim side and frontier joins broadcast."""
+    import __spark_entry__ as entry
+
+    for name in (
+        "daily_revenue_runs",
+        "user_value_sign_test",
+        "value_mood_median",
+        "user_type_friedman",
+        "source_lang_ari",
+        "pr_auc_planted",
+        "score_brier_logloss",
+        "parts_pareto_frontier",
+        "user_activity_streaks",
+        "event_ljung_box",
+        "source_tv_distance",
+        "priority_page_trend",
+    ):
+        plan = plan_of(entry.queries()[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_skyline_collapse_is_partial_min_no_selfjoin(spark):
+    """The 2-D skyline must be the sort-based plan: a map-side-combined
+    min per axis value (partial_min) and NO join at all in the
+    frontier derivation (the quadratic formulation would show a join)."""
+    from valentinus_spark.operators import skyline_2d
+
+    parts = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_size", "p_retailprice"
+    )
+    plan = plan_of(skyline_2d(parts, "p_retailprice", "p_size"), execute=True)
+    assert "partial_min" in plan  # groupBy collapse combines map-side
+    assert "Join" not in plan  # no dominance self-join anywhere
+
+
+def test_bloom_semijoin_broadcasts_filter_and_dim(spark):
+    """Every join in the bloom-prefiltered semi-join must broadcast
+    (bloom bits, positive keys, true dim keys are all bounded); the
+    fact table is never shuffled."""
+    from valentinus_spark.operators import bloom_semijoin
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_partkey")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    plan = plan_of(
+        bloom_semijoin(li, part, "l_partkey", "p_partkey", m=1 << 16),
+        execute=True,
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "fact side got shuffled for a join"
+
+
+def test_jaccard_linkpred_hub_cut_before_wedge_join(spark):
+    """The degree cap must filter CENTERS before the wedge self-join
+    fans out (a Filter on the center degree below the join), and the
+    top-k must be TakeOrdered, not a global sort."""
+    from valentinus_spark.operators import jaccard_link_prediction
+
+    und = [(i, (i * 7) % 50) for i in range(200) if i != (i * 7) % 50]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    plan = plan_of(jaccard_link_prediction(df, k=10, max_degree=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

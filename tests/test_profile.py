@@ -372,3 +372,59 @@ def test_hhi_concentration_bounds(spark):
     assert out["uni"].hhi == pytest.approx(0.25, abs=1e-9)
     assert out["uni"].hhi_normalized == pytest.approx(0.0, abs=1e-9)
     assert out["uni"].effective_categories == pytest.approx(4.0, abs=1e-6)
+
+
+def test_capture_recapture_chapman_hand(spark):
+    """n1=40, n2=30, overlap=12: Chapman = 41*31/13 - 1."""
+    from valentinus_spark.operators import capture_recapture
+
+    a = spark.createDataFrame([(i,) for i in range(40)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(28, 58)], ["k"])
+    r = capture_recapture(a, b, "k").collect()[0]
+    assert (r.n_a, r.n_b, r.m_overlap) == (40, 30, 12)
+    assert r.chapman_estimate == pytest.approx(41 * 31 / 13 - 1, abs=1e-4)
+    assert r.lincoln_petersen == pytest.approx(40 * 30 / 12, abs=1e-4)
+
+
+def test_capture_recapture_zero_overlap_finite(spark):
+    from valentinus_spark.operators import capture_recapture
+
+    a = spark.createDataFrame([(1,), (2,)], ["k"])
+    b = spark.createDataFrame([(3,)], ["k"])
+    r = capture_recapture(a, b, "k").collect()[0]
+    assert r.chapman_estimate == pytest.approx(3 * 2 / 1 - 1, abs=1e-4)
+    assert r.lincoln_petersen is None
+
+
+def test_james_stein_shrinks_toward_grand_mean(spark):
+    """Noisy per-group means with a common true center: every shrunk
+    mean must lie strictly between its raw mean and the grand mean,
+    same weight ordering as group size (bigger n -> less shrinkage)."""
+    from valentinus_spark.operators import james_stein_means
+
+    rows = []
+    centers = {"a": 10.0, "b": 11.0, "c": 9.0, "d": 10.5, "e": 9.5}
+    sizes = {"a": 4, "b": 8, "c": 16, "d": 32, "e": 64}
+    for gi, (g, c) in enumerate(sorted(centers.items())):
+        for i in range(sizes[g]):
+            rows.append((g, c + ((i * 7 + gi) % 5 - 2) * 0.8))
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r for r in james_stein_means(df, "g", "v").collect()}
+    grand = sum(r.raw_mean for r in out.values()) / 5
+    for g, r in out.items():
+        assert 0 <= r.shrink_weight <= 1
+        lo, hi = sorted((r.raw_mean, grand))
+        assert lo - 1e-9 <= r.shrunk_mean <= hi + 1e-9
+    assert out["a"].shrink_weight <= out["e"].shrink_weight + 1e-9
+
+
+def test_james_stein_k_below_4_identity(spark):
+    from valentinus_spark.operators import james_stein_means
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0)]
+    out = {r.g: r for r in james_stein_means(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()}
+    for r in out.values():
+        assert r.shrink_weight == pytest.approx(1.0, abs=1e-9)
+        assert r.shrunk_mean == pytest.approx(r.raw_mean, abs=1e-9)

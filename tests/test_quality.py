@@ -546,3 +546,31 @@ def test_source_tv_distance_python_replica(spark):
         )
         assert out[g].n_tokens == gt
         assert out[g].tv_distance == pytest.approx(round(tv, 6), abs=1e-6)
+
+
+def test_fog_smog_hand_counts(spark):
+    """'the cat sat. elephantine considerations notwithstanding!' ->
+    sentences=2; hand syllable groups; python replay of both grades."""
+    import math
+
+    from valentinus_spark.operators import fog_smog_readability
+
+    text = "the cat sat. elephantine considerations notwithstanding!"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = fog_smog_readability(df).collect()[0]
+    # tokens: the(1) cat(1) sat.(1) elephantine(4: e,e,a,i+e groups)
+    # considerations(5) notwithstanding!(4) -> complex = 3
+    assert (r.n_words, r.n_sentences, r.n_complex) == (6, 2, 3)
+    fog = 0.4 * (6 / 2 + 100 * 3 / 6)
+    smog = 1.0430 * math.sqrt(3 * 30 / 2) + 3.1291
+    assert r.fog == pytest.approx(fog, abs=1e-4)
+    assert r.smog == pytest.approx(smog, abs=1e-4)
+
+
+def test_fog_smog_empty_doc_dropped(spark):
+    from valentinus_spark.operators import fog_smog_readability
+
+    df = spark.createDataFrame([(1, "   "), (2, "a b.")], ["doc_id", "text"])
+    rows = fog_smog_readability(df).collect()
+    assert [r.doc_id for r in rows] == [2]
+    assert rows[0].n_complex == 0

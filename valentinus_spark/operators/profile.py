@@ -1223,3 +1223,155 @@ def hhi_concentration(
         F.round(norm, 6).alias("hhi_normalized"),
         F.round(1.0 / hhi, 6).alias("effective_categories"),
     ).orderBy(group_col)
+
+
+def capture_recapture(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Chapman capture-recapture estimator (1951) of an unseen
+    population size from two overlapping samples:
+
+        N̂ = (n₁+1)(n₂+1)/(m+1) − 1,   m = |A ∩ B|
+
+    The crawl-ops question it answers: "two independent crawls caught
+    n₁ and n₂ pages with m in common — how big is the site/corpus we
+    are sampling from?" (also: dedup-universe estimation from two
+    shards' key overlap). Chapman's +1 correction keeps the estimate
+    finite at m = 0 and unbiased-ish at small m — the raw
+    Lincoln-Petersen n₁n₂/m is reported alongside (NULL when m = 0).
+
+    Returns ONE row: (``n_a``, ``n_b``, ``m_overlap``,
+    ``chapman_estimate``, ``lincoln_petersen``) — estimates rounded
+    to 4. Keys are deduplicated inside each sample (capture lists are
+    sets by definition).
+
+    Determinism: exact BIGINT counts; two float divisions.
+
+    Scale shape: two distinct aggregates + one semi-join on the key —
+    all map-side combined; no raw-row shuffle beyond the key sets.
+    """
+    a = sample_a.select(F.col(key_col).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    ).distinct()
+    b = sample_b.select(F.col(key_col).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    ).distinct()
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    m = a.join(b, "_k", "semi").agg(F.count(F.lit(1)).alias("m_overlap"))
+    j = na.crossJoin(nb).crossJoin(m)
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    mm = F.col("m_overlap").cast("double")
+    chapman = (n1 + 1.0) * (n2 + 1.0) / (mm + 1.0) - 1.0
+    lp = F.when(F.col("m_overlap") > 0, n1 * n2 / mm)
+    return j.select(
+        "n_a",
+        "n_b",
+        "m_overlap",
+        F.round(chapman, 4).alias("chapman_estimate"),
+        F.round(lp, 4).alias("lincoln_petersen"),
+    )
+
+
+def james_stein_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Positive-part James-Stein shrinkage (1961) of per-group means
+    toward the grand mean — the winner's-curse guard for "which
+    source/segment has the best average" readouts: with many groups,
+    the top raw mean is mostly noise, and JS dominates it uniformly
+    for k ≥ 4. Unequal group sizes use the standard per-group
+    variance-of-the-mean extension:
+
+        θ̂_i = x̄ + (1 − (k−3)·v_i / S)₊ · (x̄_i − x̄),
+        v_i = s²_pooled/n_i,   S = Σ_j (x̄_j − x̄)²
+
+    with s²_pooled the within-group pooled variance and x̄ the
+    unweighted mean of group means (the exchangeability prior over
+    GROUPS, not rows). Returns per group: (``group_col``, ``n``,
+    ``raw_mean``, ``shrunk_mean``, ``shrink_weight``) rounded to 6,
+    ordered by group — shrink_weight = 0 means fully pooled, 1 means
+    no shrinkage; everything NULL-guarded when k < 4 or S = 0 (then
+    shrunk = raw, weight = 1, the identity fallback).
+
+    Determinism: group moments accumulate in DECIMAL (the cronbach
+    (17,4)/(38,8) discipline); per-group means/variances are rounded
+    to 9 dp before the k-sized folds; S itself is a 9-dp-pinned
+    DECIMAL sum.
+
+    Scale shape: one (group) moment aggregate over the corpus
+    (map-side combined), then k-row folds and one broadcast join back.
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+    )
+    sq = lambda c: (c * c).cast("decimal(38,8)")  # noqa: E731
+    g = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast("decimal(38,8)")).cast("double").alias("_s1"),
+        F.sum(sq(F.col("_v"))).cast("double").alias("_s2"),
+    )
+    mean_i = F.round(F.col("_s1") / F.col("_n").cast("double"), 9)
+    # within-group sum of squared deviations (computational form, 9dp)
+    ssw_i = F.round(
+        F.col("_s2")
+        - F.col("_s1") * F.col("_s1") / F.col("_n").cast("double"),
+        9,
+    )
+    g2 = g.select(
+        "_g", "_n", mean_i.alias("_m"), ssw_i.alias("_ssw")
+    )
+    tot = g2.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_ntot"),
+        F.sum(F.col("_m").cast("decimal(28,9)")).cast("double").alias("_sm"),
+        F.sum(F.col("_ssw").cast("decimal(28,9)")).cast("double").alias("_ssw_tot"),
+    )
+    withg = g2.crossJoin(F.broadcast(tot))
+    grand = F.round(F.col("_sm") / F.col("_k").cast("double"), 9)
+    j2 = withg.select(
+        "_g",
+        "_n",
+        "_m",
+        "_k",
+        grand.alias("_grand"),
+        F.round(
+            F.when(
+                F.col("_ntot") > F.col("_k"),
+                F.col("_ssw_tot")
+                / (F.col("_ntot") - F.col("_k")).cast("double"),
+            ),
+            9,
+        ).alias("_s2pool"),
+    )
+    dev = F.round(
+        (F.col("_m") - F.col("_grand")) * (F.col("_m") - F.col("_grand")), 9
+    )
+    s_tot = j2.groupBy().agg(
+        F.sum(dev.cast("decimal(28,9)")).cast("double").alias("_S")
+    )
+    j3 = j2.crossJoin(F.broadcast(s_tot))
+    vi = F.col("_s2pool") / F.col("_n").cast("double")
+    w_raw = F.when(
+        (F.col("_k") >= 4) & (F.col("_S") > 0) & F.col("_s2pool").isNotNull(),
+        F.greatest(
+            F.lit(0.0),
+            1.0 - (F.col("_k").cast("double") - 3.0) * vi / F.col("_S"),
+        ),
+    ).otherwise(F.lit(1.0))
+    shrunk = F.col("_grand") + w_raw * (F.col("_m") - F.col("_grand"))
+    return j3.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        F.round(F.col("_m"), 6).alias("raw_mean"),
+        F.round(shrunk, 6).alias("shrunk_mean"),
+        F.round(w_raw, 6).alias("shrink_weight"),
+    ).orderBy(group_col)
