@@ -6572,6 +6572,89 @@ def q_source_mean_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return james_stein_means(docs, "source", "n_chars")
 
 
+def q_media_phash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash image dedup (operators/media_dedup.py::
+    image_phash + phash_bits) on the SAME 60 planted images and banded
+    Hamming ≤6 join as media_dhash_planted — pHash drops the DC term so
+    the fixture's brightness-shifted re-encodes collide by
+    construction; the expected pair set is the same doc_id%20
+    arithmetic. dHash and pHash fail differently (local vs global
+    structure), which is why the panel carries both."""
+    from valentinus_spark.operators.media_dedup import (
+        dhash_near_pairs,
+        image_phash,
+    )
+
+    media = _planted_media(spark, sf_dir, "image")
+    hashed = image_phash(media, on_error="raise")
+    return dhash_near_pairs(
+        hashed, max_bits=6, n_bands=8, hash_col="phash"
+    ).select("id_a", "id_b")
+
+
+def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/pipeline.py::stream_dedup_exact,
+    dropDuplicatesWithinWatermark): the documents table replayed as two
+    pinned micro-batches — batch 1 the originals, batch 2 a re-id'd
+    copy of every 5th document — so every batch-2 row must be caught by
+    digest STATE from batch 1 (cross-batch dedup, the part a naive
+    per-batch distinct gets wrong). Event-time watermark bounds the
+    digest state (the year-long-pipeline survival property). Output is
+    the order-invariant global count triple; the oracle recomputes kept
+    = COUNT(DISTINCT normalized text) over the same planted feed."""
+    import tempfile
+
+    from valentinus_spark.streaming.pipeline import (
+        stream_dedup_exact,
+        write_ordered_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    feed_df = (
+        docs.unionByName(dups)
+        .withColumn("_b", F.when(F.col("doc_id") >= 1000000, 1).otherwise(0))
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 3600),
+        )
+    )
+    feed = tempfile.mkdtemp(prefix="vs_dedupstream_feed_")
+    write_ordered_batches(
+        feed_df.select("doc_id", "text", "ts"),
+        [feed_df["_b"] == 0, feed_df["_b"] == 1],
+        feed,
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    deduped = stream_dedup_exact(
+        stream, text_col="text", ts_col="ts", watermark="2 hours"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("vs_dedup_stream_out")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="vs_dedupstream_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.table("vs_dedup_stream_out")
+    n_in = feed_df.count()
+    return kept.agg(
+        F.lit(n_in).cast("long").alias("n_input"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.lit(n_in).cast("long") - F.count(F.lit(1))).alias("n_dropped"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6701,6 +6784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fog_smog": q_doc_fog_smog,
         "crawl_capture_recapture": q_crawl_capture_recapture,
         "source_mean_shrinkage": q_source_mean_shrinkage,
+        "media_phash_planted": q_media_phash_planted,
+        "stream_dedup_docs": q_stream_dedup_docs,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -14142,5 +14227,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(grand + w * (m - grand), 6) AS shrunk_mean,
                    ROUND(w, 6) AS shrink_weight
             FROM j3 ORDER BY source
+        """
+    # same planted-pair arithmetic as media_dhash_planted: pHash must
+    # recover the same-scene pairs through a DIFFERENT perceptual hash
+    sql["media_phash_planted"] = """
+            WITH m AS (
+                SELECT 'm' || lpad(doc_id::VARCHAR, 3, '0') AS mid,
+                       doc_id % 20 AS base
+                FROM documents WHERE doc_id < 60
+            )
+            SELECT a.mid AS id_a, b.mid AS id_b
+            FROM m a JOIN m b ON a.base = b.base AND a.mid < b.mid
+        """
+    sql["stream_dedup_docs"] = """
+            WITH feed AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            norm AS (
+                SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM feed
+            )
+            SELECT (SELECT COUNT(*) FROM feed)::BIGINT AS n_input,
+                   COUNT(DISTINCT t)::BIGINT AS n_kept,
+                   ((SELECT COUNT(*) FROM feed) - COUNT(DISTINCT t))::BIGINT AS n_dropped
+            FROM norm
         """
     return sql

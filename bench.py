@@ -321,6 +321,8 @@ BENCH_QUERIES = [
     "doc_fog_smog",
     "crawl_capture_recapture",
     "source_mean_shrinkage",
+    "media_phash_planted",
+    "stream_dedup_docs",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -494,6 +496,7 @@ BENCH_FAMILIES = {
         "histogram_quantiles",
     ],
     "stream": [
+        "stream_dedup_docs",
         "events_windowed", "events_sessionize", "events_windowed_stream",
         "events_rollup_merge", "events_sliding_window", "stream_components",
         "trailing_anomaly", "event_decayed_popularity",
@@ -556,7 +559,7 @@ BENCH_FAMILIES = {
         "bfs_planted",
         "ktruss_planted",
     ],
-    "media": ["media_content_stats", "media_headers",
+    "media": ["media_phash_planted", "media_content_stats", "media_headers",
         # round-7 bench-tail additions
         "video_frame_manifest",
     ],

@@ -213,3 +213,46 @@ def test_planted_media_queries_recover_exact_pair_sets(spark):
         for fn in range(0, 4 + d % 5, 2)
     }
     assert frames == expected_frames
+
+
+def test_phash_brightness_shift_invariant_and_structure_sensitive():
+    """pHash drops the DC term, so a global +40 brightness shift (no
+    clipping) leaves the hash IDENTICAL; a structurally different image
+    must be far in Hamming distance."""
+    import numpy as np
+
+    from valentinus_spark.operators.media_dedup import phash_bits
+
+    rng = np.random.RandomState(7)
+    base = (rng.rand(64, 64) * 150 + 30).astype(np.uint8)
+    shifted = np.clip(base.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    other = (rng.rand(64, 64) * 150 + 30).astype(np.uint8)
+
+    h_base = phash_bits(base)
+    h_shift = phash_bits(shifted)
+    h_other = phash_bits(other)
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h_base, h_shift) <= 2  # brightness shift ~invariant
+    assert ham(h_base, h_other) >= 15  # different content far away
+
+
+def test_image_phash_pipeline_on_planted_bmp(spark):
+    """Real decode -> phash over tiny synthetic BMPs; same-content
+    re-encodes collide, distinct content does not."""
+    import numpy as np
+
+    from valentinus_spark.imaging import encode_bmp
+    from valentinus_spark.operators.media_dedup import image_phash
+
+    rng = np.random.RandomState(3)
+    img_a = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    img_b = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    rows = [
+        ("a1", bytearray(encode_bmp(img_a))),
+        ("a2", bytearray(encode_bmp(img_a))),
+        ("b1", bytearray(encode_bmp(img_b))),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "content"])
+    got = {r.media_id: r.phash for r in image_phash(df, on_error="raise").collect()}
+    assert got["a1"] == got["a2"]
+    assert got["a1"] != got["b1"]

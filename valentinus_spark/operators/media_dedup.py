@@ -240,3 +240,102 @@ def audio_fingerprint(df: DataFrame, on_error: str = "null") -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(run, schema=_AHASH_SCHEMA)
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("phash", LongType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def phash_bits(arr: np.ndarray, hash_size: int = 8, img_size: int = 32) -> int:
+    """uint8 (h, w[, c]) image → pHash (DCT perceptual hash) as an int
+    of hash_size²−1 bits. Luma (BT.601) → ``img_size``² area-average
+    downscale (the dhash grid, deterministic) → 2-D DCT-II by explicit
+    basis matmul → keep the top-left hash_size×hash_size LOW
+    frequencies, drop the DC term, threshold at their exact median.
+    Dropping DC makes the hash invariant to GLOBAL brightness shifts
+    by construction (dHash is only locally so) — the two hashes fail
+    differently, which is why the panel carries both. Coefficients are
+    rounded to 6 dp before the median compare so a last-ulp BLAS
+    difference can never flip a bit."""
+    if arr.ndim == 3:
+        a = arr[:, :, :3].astype(np.float64)
+        luma = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    else:
+        luma = arr.astype(np.float64)
+    h, w = luma.shape
+    n = img_size
+    ys = (np.arange(n + 1) * h) // n
+    xs = (np.arange(n + 1) * w) // n
+    grid = np.empty((n, n))
+    for i in range(n):
+        for j in range(n):
+            cell = luma[
+                ys[i] : max(ys[i + 1], ys[i] + 1),
+                xs[j] : max(xs[j + 1], xs[j] + 1),
+            ]
+            grid[i, j] = cell.mean()
+    k = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    basis = np.cos(np.pi * (m + 0.5) * k / n)  # DCT-II, unnormalized
+    coef = basis @ grid @ basis.T
+    low = coef[:hash_size, :hash_size].reshape(-1)[1:]  # drop DC
+    low = np.round(low, 6)
+    med = float(np.median(low))
+    out = 0
+    for v in low:
+        out = (out << 1) | int(v > med)
+    return out & 0x7FFFFFFFFFFFFFFF
+
+
+def image_phash(df: DataFrame, on_error: str = "null") -> DataFrame:
+    """(media_id, content) → (media_id, phash, decode_error) — the
+    DCT-perceptual twin of :func:`image_dhash`, same Arrow-batched
+    single decode pass over the stdlib codecs, same quarantine
+    posture. Feed the result to :func:`dhash_near_pairs` with
+    ``hash_col='phash'`` (the banded Hamming join is hash-agnostic)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from valentinus_spark.imaging import (
+            decode_bmp,
+            decode_gif,
+            decode_png,
+            is_bmp,
+            is_gif,
+            is_png,
+        )
+        from valentinus_spark.jpeg import decode_jpeg, is_jpeg
+
+        def decode(payload: bytes) -> np.ndarray:
+            if is_png(payload):
+                return decode_png(payload)
+            if is_bmp(payload):
+                return decode_bmp(payload)
+            if is_gif(payload):
+                return decode_gif(payload)
+            if is_jpeg(payload):
+                return decode_jpeg(payload)
+            raise NotImplementedError("unsupported image container for phash")
+
+        for pdf in batches:
+            hashes, errs = [], []
+            for payload in pdf["content"]:
+                try:
+                    hashes.append(phash_bits(decode(payload)))
+                    errs.append(None)
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise
+                    hashes.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes, "decode_error": errs}
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=_PHASH_SCHEMA)
