@@ -6655,6 +6655,33 @@ def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (operators/rollup.py::
+    seasonal_mann_kendall, Hirsch & Slack 1984) over daily mean event
+    value with day-of-week seasons — event_trend_mk deconfounded from
+    the weekly cycle (only same-weekday days compare). Same 9-dp daily
+    means, integer S per season, summed tie-corrected variances."""
+    from valentinus_spark.operators.rollup import seasonal_mann_kendall
+
+    return seasonal_mann_kendall(
+        _events(spark, sf_dir).select("ts", "value")
+    )
+
+
+def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (operators/profile.py::
+    quantile_normalize, Bolstad 2003) of per-source document lengths
+    onto the corpus reference distribution — each source's lengths
+    mapped to the corpus value at the same midrank quantile, the
+    cross-source comparability transform. EXACT BIGINT
+    cross-multiplied threshold mapping on the value grid; normalized
+    means converging across sources is the readout."""
+    from valentinus_spark.operators.profile import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return quantile_normalize(docs, "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6786,6 +6813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mean_shrinkage": q_source_mean_shrinkage,
         "media_phash_planted": q_media_phash_planted,
         "stream_dedup_docs": q_stream_dedup_docs,
+        "event_seasonal_mk": q_event_seasonal_mk,
+        "source_quantile_normalize": q_source_quantile_normalize,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -14254,5 +14283,94 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT t)::BIGINT AS n_kept,
                    ((SELECT COUNT(*) FROM feed) - COUNT(DISTINCT t))::BIGINT AS n_dropped
             FROM norm
+        """
+    sql["event_seasonal_mk"] = """
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS day,
+                       ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+                             / COUNT(*), 9) AS x
+                FROM events GROUP BY 1
+            ),
+            d AS (
+                SELECT day, CAST(x AS DECIMAL(18,9)) AS v,
+                       dayofweek(day) AS g
+                FROM daily
+            ),
+            s AS (
+                SELECT COALESCE(SUM(CASE WHEN b.v > a.v THEN 1
+                                         WHEN b.v < a.v THEN -1
+                                         ELSE 0 END), 0)::BIGINT AS s_stat
+                FROM d a JOIN d b ON a.g = b.g AND a.day < b.day
+            ),
+            counts AS (SELECT g, COUNT(*)::BIGINT AS ng FROM d GROUP BY g),
+            ties AS (
+                SELECT g, COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie
+                FROM (SELECT g, COUNT(*)::BIGINT AS t FROM d GROUP BY g, v)
+                GROUP BY g
+            ),
+            pers AS (
+                SELECT c.g, ng, tie,
+                       ROUND((ng::DOUBLE * (ng::DOUBLE - 1.0)
+                              * (2.0 * ng::DOUBLE + 5.0) - tie::DOUBLE) / 18.0, 9) AS var_g
+                FROM counts c JOIN ties USING (g)
+            ),
+            tot AS (
+                SELECT SUM(ng)::BIGINT AS n_days,
+                       COUNT(*)::BIGINT AS n_seasons,
+                       CAST(SUM(CAST(var_g AS DECIMAL(28,9))) AS DOUBLE) AS var
+                FROM pers
+            ),
+            zc AS (
+                SELECT n_days, n_seasons, s_stat, var,
+                       CASE WHEN var > 0 THEN
+                            CASE WHEN s_stat > 0 THEN (s_stat::DOUBLE - 1.0) / SQRT(var)
+                                 WHEN s_stat < 0 THEN (s_stat::DOUBLE + 1.0) / SQRT(var)
+                                 ELSE 0.0 END END AS z
+                FROM tot, s
+            ),
+            pv AS (SELECT *, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM zc)
+            SELECT n_days, n_seasons, s_stat,
+                   ROUND(var, 6) AS var_s,
+                   ROUND(z, 6) AS z,
+                   ROUND(CASE WHEN z IS NOT NULL THEN LEAST(1.0, 2.0 * ((EXP(-ABS(z) * ABS(z) / 2.0) / 2.5066282746310002) * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))))) END, 6) AS p_value
+            FROM pv
+        """
+    sql["source_quantile_normalize"] = """
+            WITH vals AS MATERIALIZED (
+                SELECT source AS g, CAST(n_chars AS DECIMAL(17,4)) AS v
+                FROM documents
+                WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            gc AS (SELECT g, v, COUNT(*)::BIGINT AS c FROM vals GROUP BY g, v),
+            ggrid AS (
+                SELECT g, v, c,
+                       CAST(SUM(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS bef,
+                       CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS ng
+                FROM gc
+            ),
+            cgrid AS (
+                SELECT v AS cv,
+                       CAST(SUM(cc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum,
+                       CAST(SUM(cc) OVER () AS BIGINT) AS n
+                FROM (SELECT v, SUM(c)::BIGINT AS cc FROM gc GROUP BY v)
+            ),
+            mapped AS (
+                SELECT g, v, c, ng, MIN(cv) AS vnorm
+                FROM ggrid JOIN cgrid
+                  ON ccum * ng * 2 >= (bef * 2 + c + 1) * n
+                GROUP BY g, v, c, ng
+            ),
+            agg AS (
+                SELECT g, MAX(ng)::BIGINT AS n,
+                       CAST(SUM(CAST(v * c AS DECIMAL(38,4))) AS DOUBLE)
+                           / MAX(ng)::DOUBLE AS mraw,
+                       CAST(SUM(CAST(vnorm * c AS DECIMAL(38,4))) AS DOUBLE)
+                           / MAX(ng)::DOUBLE AS mnorm
+                FROM mapped GROUP BY g
+            )
+            SELECT g AS source, n,
+                   ROUND(mraw, 6) AS mean_raw,
+                   ROUND(mnorm, 6) AS mean_normalized
+            FROM agg ORDER BY source
         """
     return sql

@@ -323,6 +323,8 @@ BENCH_QUERIES = [
     "source_mean_shrinkage",
     "media_phash_planted",
     "stream_dedup_docs",
+    "event_seasonal_mk",
+    "source_quantile_normalize",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -439,6 +441,7 @@ BENCH_FAMILIES = {
         "source_lang_ari", "pr_auc_planted", "map_mrr_retrieval",
         "score_brier_logloss", "source_tv_distance", "doc_fog_smog",
         "crawl_capture_recapture", "source_mean_shrinkage",
+        "source_quantile_normalize",
     
         # round-7 bench-tail additions
         "lang_profile",
@@ -533,6 +536,7 @@ BENCH_FAMILIES = {
         "user_activity_streaks",
         "event_ljung_box",
         "priority_page_trend",
+        "event_seasonal_mk",
     ],
     "sketch": [
         "ams_f2_orders",

@@ -428,3 +428,34 @@ def test_james_stein_k_below_4_identity(spark):
     for r in out.values():
         assert r.shrink_weight == pytest.approx(1.0, abs=1e-9)
         assert r.shrunk_mean == pytest.approx(r.raw_mean, abs=1e-9)
+
+
+def test_quantile_normalize_identical_groups_identity(spark):
+    """Two groups with the corpus's own distribution: every value maps
+    to itself (its midrank hits its own corpus position), so
+    mean_normalized == mean_raw."""
+    from valentinus_spark.operators import quantile_normalize
+
+    rows = [(g, float(v)) for g in ("a", "b") for v in range(1, 11)]
+    out = {r.g: r for r in quantile_normalize(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()}
+    for r in out.values():
+        assert r.mean_normalized == pytest.approx(r.mean_raw, abs=1e-6)
+
+
+def test_quantile_normalize_shifted_group_lands_on_corpus_scale(spark):
+    """Group b = group a + 100: after normalization both estimate the
+    corpus scale from the same quantile positions -> equal normalized
+    means, strictly between the two raw means."""
+    from valentinus_spark.operators import quantile_normalize
+
+    a = [("a", float(v)) for v in range(1, 21)]
+    b = [("b", float(v + 100)) for v in range(1, 21)]
+    out = {r.g: r for r in quantile_normalize(
+        spark.createDataFrame(a + b, ["g", "v"]), "g", "v"
+    ).collect()}
+    assert out["a"].mean_normalized == pytest.approx(
+        out["b"].mean_normalized, abs=1e-6
+    )
+    assert out["a"].mean_raw < out["a"].mean_normalized < out["b"].mean_raw

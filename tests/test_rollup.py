@@ -566,3 +566,54 @@ def test_ljung_box_constant_series_null(spark):
     df = spark.createDataFrame(rows, ["ts"])
     r = ljung_box(df, max_lag=5).collect()[0]
     assert r.q_stat is None  # constant daily volume -> acf undefined
+
+
+def test_seasonal_mk_weekly_cycle_no_trend(spark):
+    """A pure weekly cycle (no trend): seasonal MK compares only
+    same-weekday days, which are all EQUAL here -> S = 0 and the tie
+    correction zeroes the variance (z NULL by contract). Adding tiny
+    trendless jitter keeps S small and p insignificant."""
+    import datetime
+
+    from valentinus_spark.operators import seasonal_mann_kendall
+
+    base = datetime.datetime(2024, 1, 1)
+    cyc = [10.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    rows = [
+        (base + datetime.timedelta(days=d), cyc[d % 7]) for d in range(70)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    r = seasonal_mann_kendall(df).collect()[0]
+    assert (r.n_days, r.n_seasons) == (70, 7)
+    assert r.s_stat == 0
+    assert r.z is None  # all within-season values tie -> Var = 0
+
+    jit = [
+        (
+            base + datetime.timedelta(days=d),
+            cyc[d % 7] + 0.01 * ((d * 13) % 7 - 3),
+        )
+        for d in range(70)
+    ]
+    r2 = seasonal_mann_kendall(
+        spark.createDataFrame(jit, ["ts", "value"])
+    ).collect()[0]
+    assert r2.p_value is None or r2.p_value > 0.05
+
+
+def test_seasonal_mk_detects_trend_under_cycle(spark):
+    """Weekly cycle + monotone drift: within each weekday the series
+    strictly increases, so S = sum over seasons of (n_g choose 2)."""
+    import datetime
+
+    from valentinus_spark.operators import seasonal_mann_kendall
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(70):
+        v = [10.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0][d % 7] + 0.1 * d
+        rows.append((base + datetime.timedelta(days=d), v))
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    r = seasonal_mann_kendall(df).collect()[0]
+    assert r.s_stat == 7 * (10 * 9 // 2)
+    assert r.z > 3 and r.p_value < 0.01

@@ -1375,3 +1375,97 @@ def james_stein_means(
         F.round(shrunk, 6).alias("shrunk_mean"),
         F.round(w_raw, 6).alias("shrink_weight"),
     ).orderBy(group_col)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization of a per-group value distribution onto
+    the whole-corpus reference distribution (the microarray-era
+    standard, Bolstad 2003, applied to corpus curation): each group
+    value maps to the corpus value at the SAME quantile, so
+    cross-group comparisons ("is source A's doc length p50 above
+    source B's?") happen on one common scale regardless of each
+    group's marginal shape.
+
+    Mapping rule (exact, no interpolation): a group value with
+    midrank fraction p maps to the smallest corpus value whose
+    cumulative count fraction ≥ p. The comparison is done by BIGINT
+    cross-multiplication — ``2·C_cum·n_g ≥ (2·cum_before + c + 1)·N``
+    — so the mapping is EXACT rational arithmetic end to end.
+
+    Returns per group: (``group_col``, ``n``, ``mean_raw``,
+    ``mean_normalized``) rounded to 6, ordered by group —
+    mean_normalized converging across groups is the "one common
+    scale" sanity readout (each group's normalized mean estimates the
+    corpus mean from that group's quantile positions).
+
+    Scale shape: one (group, value) count aggregate (the only
+    corpus-sized shuffle), per-group cumulative windows on the VALUE
+    GRID (|group|×|distinct values| rows), and a grid×grid mapping
+    join (both sides corpus-summary-sized — thousands of rows for
+    bounded domains like lengths/scores, independent of corpus rows).
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+    )
+    gc = vals.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    wg = Window.partitionBy("_g").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ggrid = gc.select(
+        "_g",
+        "_v",
+        "_c",
+        (F.sum("_c").over(wg) - F.col("_c")).alias("_before"),
+        F.sum("_c").over(Window.partitionBy("_g")).alias("_ng"),
+    )
+    cgrid = gc.groupBy("_v").agg(F.sum("_c").alias("_cc"))
+    wc = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cgrid = cgrid.select(
+        F.col("_v").alias("_cv"),
+        F.sum("_cc").over(wc).alias("_ccum"),
+        F.sum("_cc").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    # exact rational threshold: corpus cumfrac >= group midrank fraction
+    cond = (
+        F.col("_ccum") * F.col("_ng") * 2
+        >= (F.col("_before") * 2 + F.col("_c") + 1) * F.col("_n")
+    )
+    mapped = (
+        ggrid.join(cgrid, cond)
+        .groupBy("_g", "_v", "_c", "_ng")
+        .agg(F.min("_cv").alias("_vnorm"))
+    )
+    agg = mapped.groupBy("_g").agg(
+        F.max("_ng").alias("n"),
+        (
+            F.sum((F.col("_v") * F.col("_c")).cast("decimal(38,4)"))
+            .cast("double")
+            / F.max("_ng").cast("double")
+        ).alias("_mraw"),
+        (
+            F.sum((F.col("_vnorm") * F.col("_c")).cast("decimal(38,4)"))
+            .cast("double")
+            / F.max("_ng").cast("double")
+        ).alias("_mnorm"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.round("_mraw", 6).alias("mean_raw"),
+        F.round("_mnorm", 6).alias("mean_normalized"),
+    ).orderBy(group_col)

@@ -1133,3 +1133,106 @@ def ljung_box(
         F.round(q, 6).alias("q_stat"),
         F.col("max_lag").alias("dof"),
     )
+
+
+def seasonal_mann_kendall(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_col_fn=None,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) over the
+    daily mean of ``value_col`` — :func:`mann_kendall_trend` restricted
+    to WITHIN-season pair comparisons (default seasons: day-of-week),
+    so a strong weekly cycle cannot masquerade as (or mask) a trend:
+    Mondays are only compared with later Mondays, etc.
+
+        S = Σ_g S_g,   Var = Σ_g varS_g (tie-corrected per season),
+        z = (S∓1)/√Var
+
+    Returns ONE row: (``n_days``, ``n_seasons``, ``s_stat``, ``var_s``,
+    ``z``, ``p_value``) — z/p NULL when Var = 0.
+
+    Determinism: the mann_kendall discipline per season — sign
+    comparisons on DECIMAL(18,9) copies of 9-dp-pinned daily means,
+    integer S and tie terms, floats only in the final √/Φ.
+
+    Scale shape: same as mann_kendall_trend with the pair join keyed on
+    the season (pairs = Σ_g (n_g choose 2) ≈ n²/2k instead of n²/2 —
+    CHEAPER than the unrestricted test); corpus-sized work is the one
+    daily-mean aggregate.
+    """
+    from valentinus_spark.operators.experiment import two_sided_p
+
+    d = _daily_mean(events, ts_col, value_col).select(
+        "day", F.col("_x").cast("decimal(18,9)").alias("_v")
+    )
+    season = (
+        period_col_fn(F.col("day"))
+        if period_col_fn is not None
+        else F.dayofweek(F.col("day"))
+    )
+    d = d.select("day", "_v", season.alias("_g"))
+    a = d.select(
+        F.col("_g"), F.col("day").alias("_da"), F.col("_v").alias("_va")
+    )
+    b = d.select(
+        F.col("_g").alias("_gb"),
+        F.col("day").alias("_db"),
+        F.col("_v").alias("_vb"),
+    )
+    s = (
+        a.join(b, (F.col("_g") == F.col("_gb")) & (F.col("_da") < F.col("_db")))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_vb") > F.col("_va"), 1)
+                    .when(F.col("_vb") < F.col("_va"), -1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("s_stat")
+        )
+    )
+    counts = d.groupBy("_g").agg(F.count(F.lit(1)).alias("_ng"))
+    ties = (
+        d.groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("_g")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+                ),
+                F.lit(0),
+            ).alias("_tie")
+        )
+    )
+    pers = counts.join(ties, "_g")
+    ng = F.col("_ng").cast("double")
+    var_g = F.round(
+        (ng * (ng - 1.0) * (2.0 * ng + 5.0) - F.col("_tie").cast("double"))
+        / 18.0,
+        9,
+    )
+    tot = pers.agg(
+        F.sum("_ng").alias("n_days"),
+        F.count(F.lit(1)).alias("n_seasons"),
+        F.sum(var_g.cast("decimal(28,9)")).cast("double").alias("_var"),
+    )
+    j = tot.crossJoin(s)
+    ss = F.col("s_stat").cast("double")
+    z = F.when(
+        F.col("_var") > 0,
+        F.when(ss > 0, (ss - 1.0) / F.sqrt(F.col("_var")))
+        .when(ss < 0, (ss + 1.0) / F.sqrt(F.col("_var")))
+        .otherwise(0.0),
+    )
+    return j.select(
+        "n_days",
+        "n_seasons",
+        "s_stat",
+        F.round(F.col("_var"), 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+    )
