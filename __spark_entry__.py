@@ -6682,6 +6682,20 @@ def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(docs, "source", "n_chars")
 
 
+def q_event_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters one-step forecast (operators/rollup.py::
+    holt_winters_forecast, Winters 1960, period 7) over daily mean
+    event value — the seasonal top of the forecasting ladder above
+    seasonal_naive_eval and event_holt_forecast. Sum-free simple init,
+    identical IEEE fold order in the pandas fold and a DuckDB
+    recursive CTE that carries the 7-slot seasonal state as a LIST."""
+    from valentinus_spark.operators.rollup import holt_winters_forecast
+
+    return holt_winters_forecast(
+        _events(spark, sf_dir).select("ts", "value"), period=7
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6815,6 +6829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_docs": q_stream_dedup_docs,
         "event_seasonal_mk": q_event_seasonal_mk,
         "source_quantile_normalize": q_source_quantile_normalize,
+        "event_holt_winters": q_event_holt_winters,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -14372,5 +14387,46 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(mraw, 6) AS mean_raw,
                    ROUND(mnorm, 6) AS mean_normalized
             FROM agg ORDER BY source
+        """
+    # Holt-Winters: python-computed smoothing constants inlined by repr
+    # (the holt/ewma convention); the 7-slot seasonal state rides the
+    # recursion as a DOUBLE[] list, updated by slice-concat
+    _hw_a, _hw_b, _hw_g = 0.3, 0.1, 0.2
+    _hw_ca, _hw_cb, _hw_cg = repr(1.0 - _hw_a), repr(1.0 - _hw_b), repr(1.0 - _hw_g)
+    _hw_ph = "((d.rn - 1) % 7 + 1)"
+    _hw_newl = (
+        f"{_hw_a} * (d.x - r.seas[{_hw_ph}]) + {_hw_ca} * (r.lv + r.tr)"
+    )
+    sql["event_holt_winters"] = f"""
+            WITH RECURSIVE daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS day,
+                       ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+                             / COUNT(*), 9) AS x
+                FROM events GROUP BY 1
+            ),
+            zs AS MATERIALIZED (
+                SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+            ),
+            rec AS (
+                SELECT z.rn, z.day, z.x,
+                       CAST(NULL AS DOUBLE) AS forecast,
+                       z.x AS lv,
+                       (z.x - (SELECT x FROM zs WHERE rn = 1)) / 6.0 AS tr,
+                       (SELECT list(x - (SELECT x FROM zs WHERE rn = 7) ORDER BY rn)
+                        FROM zs WHERE rn <= 7) AS seas
+                FROM zs z WHERE z.rn = 7
+                UNION ALL
+                SELECT d.rn, d.day, d.x,
+                       r.lv + r.tr + r.seas[{_hw_ph}],
+                       {_hw_newl},
+                       {_hw_b} * (({_hw_newl}) - r.lv) + {_hw_cb} * r.tr,
+                       r.seas[1:{_hw_ph} - 1]
+                           || [{_hw_g} * (d.x - ({_hw_newl})) + {_hw_cg} * r.seas[{_hw_ph}]]
+                           || r.seas[{_hw_ph} + 1:7]
+                FROM rec r JOIN zs d ON d.rn = r.rn + 1
+            )
+            SELECT day, x, ROUND(forecast, 6) AS forecast,
+                   ROUND(ABS(x - forecast), 6) AS abs_err
+            FROM rec WHERE forecast IS NOT NULL ORDER BY day
         """
     return sql

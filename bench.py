@@ -325,6 +325,7 @@ BENCH_QUERIES = [
     "stream_dedup_docs",
     "event_seasonal_mk",
     "source_quantile_normalize",
+    "event_holt_winters",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -537,6 +538,7 @@ BENCH_FAMILIES = {
         "event_ljung_box",
         "priority_page_trend",
         "event_seasonal_mk",
+        "event_holt_winters",
     ],
     "sketch": [
         "ams_f2_orders",

@@ -617,3 +617,62 @@ def test_seasonal_mk_detects_trend_under_cycle(spark):
     r = seasonal_mann_kendall(df).collect()[0]
     assert r.s_stat == 7 * (10 * 9 // 2)
     assert r.z > 3 and r.p_value < 0.01
+
+
+def test_holt_winters_perfect_weekly_series_zero_error(spark):
+    """A perfectly periodic series: the simple init nails level=x_7,
+    trend=0, seasonals exact, so EVERY one-step forecast is exact
+    (abs_err == 0 throughout)."""
+    import datetime
+
+    from valentinus_spark.operators import holt_winters_forecast
+
+    base = datetime.datetime(2024, 1, 1)
+    cyc = [10.0, 2.0, 3.0, 4.0, 5.0, 6.0, 10.0]  # x_7 = x_1 -> trend 0
+    rows = [
+        (base + datetime.timedelta(days=d), cyc[d % 7]) for d in range(35)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = holt_winters_forecast(df, period=7).collect()
+    assert len(out) == 28  # forecasts start at day 8
+    assert all(r.abs_err == pytest.approx(0.0, abs=1e-9) for r in out)
+
+
+def test_holt_winters_python_replica(spark):
+    """Bit-replay of the fold on an arbitrary series."""
+    import datetime
+
+    from valentinus_spark.operators import holt_winters_forecast
+
+    base = datetime.datetime(2024, 3, 1)
+    xs = [5.0, 8.0, 6.0, 9.0, 7.0, 11.0, 6.5, 7.2, 9.9, 6.1, 10.4, 8.8]
+    rows = [(base + datetime.timedelta(days=d), xs[d]) for d in range(len(xs))]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = holt_winters_forecast(df, period=7).collect()
+
+    m, aa, bb, gg = 7, 0.3, 0.1, 0.2
+    level = xs[m - 1]
+    trend = (xs[m - 1] - xs[0]) / (m - 1.0)
+    seas = [xs[j] - level for j in range(m)]
+    want = []
+    for t in range(m, len(xs)):
+        ph = t % m
+        f = level + trend + seas[ph]
+        x = xs[t]
+        nl = aa * (x - seas[ph]) + 0.7 * (level + trend)
+        nt = bb * (nl - level) + 0.9 * trend
+        seas[ph] = gg * (x - nl) + 0.8 * seas[ph]
+        level, trend = nl, nt
+        want.append(round(f, 6))
+    assert [r.forecast for r in out] == pytest.approx(want, abs=1e-9)
+
+
+def test_holt_winters_too_short_empty(spark):
+    import datetime
+
+    from valentinus_spark.operators import holt_winters_forecast
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=d), float(d)) for d in range(7)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    assert holt_winters_forecast(df, period=7).count() == 0

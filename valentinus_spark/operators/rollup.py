@@ -1236,3 +1236,87 @@ def seasonal_mann_kendall(
         F.round(z, 6).alias("z"),
         F.round(two_sided_p(z), 6).alias("p_value"),
     )
+
+
+def holt_winters_forecast(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing (Winters
+    1960) over the daily mean series, one-step-ahead — the seasonal
+    completion of the forecasting ladder: seasonal_naive (copy) →
+    holt_linear (level+trend) → THIS (level+trend+seasonal state):
+
+        f_t = l_{t−1} + b_{t−1} + s_{t−p}
+        l_t = α(x_t − s_{t−p}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)·s_{t−p}
+
+    Init (sum-free so the fold is bit-replayable without controlling
+    any aggregate's accumulation order): l = x_p, b = (x_p − x_1)/(p−1),
+    s_j = x_j − l for the first period — the "simple" init, documented
+    so the oracle carries the identical recursion. Forecasts start at
+    day p+1; fewer than p+1 days → empty result.
+
+    Determinism: 9-dp daily means in, identical IEEE op order in the
+    pandas fold and the DuckDB recursive CTE (which carries the
+    seasonal state as a LIST column), Python-computed smoothing
+    constants inlined into the SQL by repr (the holt/ewma convention);
+    outputs rounded once at the end.
+
+    Scale shape: one corpus-sized daily aggregate + a day-series
+    applyInPandas fold (bounded by the spine), same as
+    holt_linear_forecast.
+    """
+    import pandas as pd
+
+    daily = _daily_mean(events, ts_col, value_col)
+    aa, bb, gg = float(alpha), float(beta), float(gamma)
+    ca, cb, cg = 1.0 - aa, 1.0 - bb, 1.0 - gg
+    m = int(period)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) < m + 1:
+            return pdf.iloc[0:0].assign(forecast=[], abs_err=[])[
+                ["day", "_x", "forecast", "abs_err"]
+            ]
+        xs = list(pdf["_x"])
+        level = xs[m - 1]
+        trend = (xs[m - 1] - xs[0]) / (m - 1.0)
+        seas = [xs[j] - level for j in range(m)]
+        days, vals, fcs, errs = [], [], [], []
+        for t in range(m, len(xs)):
+            ph = t % m
+            f = level + trend + seas[ph]
+            x = xs[t]
+            new_level = aa * (x - seas[ph]) + ca * (level + trend)
+            new_trend = bb * (new_level - level) + cb * trend
+            seas[ph] = gg * (x - new_level) + cg * seas[ph]
+            level, trend = new_level, new_trend
+            days.append(pdf["day"].iloc[t])
+            vals.append(x)
+            fcs.append(f)
+            errs.append(abs(x - f))
+        return pd.DataFrame(
+            {"day": days, "_x": vals, "forecast": fcs, "abs_err": errs}
+        )
+
+    folded = (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            fold, schema="day date, _x double, forecast double, abs_err double"
+        )
+    )
+    return folded.select(
+        "day",
+        F.col("_x").alias("x"),
+        F.round("forecast", 6).alias("forecast"),
+        F.round("abs_err", 6).alias("abs_err"),
+    ).orderBy("day")
