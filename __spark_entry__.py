@@ -6696,6 +6696,85 @@ def q_event_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_length_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T + Atkinson(ε=1) inequality of document lengths per
+    source (operators/profile.py::theil_atkinson_inequality) — the
+    decomposable/welfare members of the inequality panel next to
+    source_length_gini (top-, bottom-, and middle-sensitive indices
+    read together). 12-dp DECIMAL-pinned ln-term sums."""
+    from valentinus_spark.operators.profile import theil_atkinson_inequality
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return theil_atkinson_inequality(docs, "source", "n_chars")
+
+
+def q_event_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (operators/profile.py::permutation_entropy,
+    Bandt & Pompe 2002, order 3) of the daily event volume — the
+    model-free complexity gauge completing the monitoring panel
+    (ACF/Ljung-Box see linear structure; ordinal patterns see any
+    monotone one). Exact Lehmer-coded patterns on the zero-filled day
+    spine."""
+    from valentinus_spark.operators.profile import permutation_entropy
+
+    return permutation_entropy(_events(spark, sf_dir).select("ts"))
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned co-located join: orders and customer written as
+    8-bucket tables on the join key (sorted within buckets), then
+    sort-merge-joined bucket-to-bucket — the layout investment that
+    removes BOTH shuffles from every future join on that key (at
+    100 TB, bucketing the fact table once pays for itself on the
+    second join). The merge hint pins SMJ so the demo can't silently
+    broadcast; tests/test_plans.py asserts the bucketed join plan has
+    NO Exchange. Output (revenue per market segment, DECIMAL sums)
+    matches a plain-join oracle — the layout cannot change the
+    answer."""
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # external tables at a fresh temp path per run: bucketing metadata
+    # lives in the (session-scoped) catalog, data in the temp dir — no
+    # managed-location collisions across sessions
+    base = tempfile.mkdtemp(prefix="vs_bucketed_")
+    spark.sql("DROP TABLE IF EXISTS vs_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS vs_bkt_customer")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/orders")
+        .mode("overwrite")
+        .saveAsTable("vs_bkt_orders")
+    )
+    (
+        cust.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/customer")
+        .mode("overwrite")
+        .saveAsTable("vs_bkt_customer")
+    )
+    bo = spark.table("vs_bkt_orders")
+    bc = spark.table("vs_bkt_customer")
+    joined = bo.hint("merge").join(
+        bc, bo["o_custkey"] == bc["c_custkey"]
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6830,6 +6909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_seasonal_mk": q_event_seasonal_mk,
         "source_quantile_normalize": q_source_quantile_normalize,
         "event_holt_winters": q_event_holt_winters,
+        "source_length_theil": q_source_length_theil,
+        "event_perm_entropy": q_event_perm_entropy,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -14428,5 +14510,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, x, ROUND(forecast, 6) AS forecast,
                    ROUND(ABS(x - forecast), 6) AS abs_err
             FROM rec WHERE forecast IS NOT NULL ORDER BY day
+        """
+    sql["source_length_theil"] = """
+            WITH vals AS MATERIALIZED (
+                SELECT source AS g, CAST(n_chars AS DECIMAL(17,4)) AS v
+                FROM documents
+                WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            ),
+            grid AS (SELECT g, v, COUNT(*)::BIGINT AS c FROM vals GROUP BY g, v),
+            pos AS (SELECT * FROM grid WHERE v > 0),
+            stats AS (
+                SELECT g, SUM(c)::BIGINT AS n,
+                       CAST(SUM(CAST(v * c AS DECIMAL(38,4))) AS DOUBLE) AS s
+                FROM pos GROUP BY g
+            ),
+            dropped AS (
+                SELECT g, SUM(CASE WHEN v <= 0 THEN c ELSE 0 END)::BIGINT AS n_dropped
+                FROM grid GROUP BY g
+            ),
+            terms AS (
+                SELECT p.g, n,
+                       s / n::DOUBLE AS mu,
+                       CAST(ROUND(c::DOUBLE * ((v::DOUBLE / (s / n::DOUBLE)) * LN(v::DOUBLE / (s / n::DOUBLE))), 12) AS DECIMAL(28,12)) AS tterm,
+                       CAST(ROUND(c::DOUBLE * LN(v::DOUBLE), 12) AS DECIMAL(28,12)) AS lterm
+                FROM pos p JOIN stats ON p.g = stats.g
+            ),
+            agg AS (
+                SELECT g, MAX(n)::BIGINT AS n, MAX(mu) AS mu,
+                       CAST(SUM(tterm) AS DOUBLE) AS tsum,
+                       CAST(SUM(lterm) AS DOUBLE) AS lsum
+                FROM terms GROUP BY g
+            )
+            SELECT a.g AS source, n,
+                   COALESCE(d.n_dropped, 0)::BIGINT AS n_dropped,
+                   ROUND(CASE WHEN n > 0 THEN tsum / n::DOUBLE END, 6) AS theil_t,
+                   ROUND(CASE WHEN n > 0 THEN 1.0 - EXP(lsum / n::DOUBLE - LN(mu)) END, 6) AS atkinson_1
+            FROM agg a LEFT JOIN dropped d ON a.g = d.g
+            ORDER BY source
+        """
+    sql["event_perm_entropy"] = """
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS n
+                FROM events GROUP BY 1
+            ),
+            bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+            spine AS (
+                SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+                FROM bounds
+            ),
+            dense AS MATERIALIZED (
+                SELECT s.d, COALESCE(dd.n, 0)::BIGINT AS x
+                FROM spine s LEFT JOIN daily dd ON dd.d = s.d
+            ),
+            tri AS (
+                SELECT x,
+                       LEAD(x, 1) OVER (ORDER BY d) AS y,
+                       LEAD(x, 2) OVER (ORDER BY d) AS z
+                FROM dense
+            ),
+            pats AS (
+                SELECT ((CASE WHEN y < x THEN 1 ELSE 0 END) + (CASE WHEN z < x THEN 1 ELSE 0 END)) * 9
+                       + ((CASE WHEN x <= y THEN 1 ELSE 0 END) + (CASE WHEN z < y THEN 1 ELSE 0 END)) * 3
+                       + ((CASE WHEN x <= z THEN 1 ELSE 0 END) + (CASE WHEN y <= z THEN 1 ELSE 0 END)) AS p
+                FROM tri WHERE z IS NOT NULL
+            ),
+            counts AS (SELECT p, COUNT(*)::BIGINT AS c FROM pats GROUP BY p),
+            tot AS (
+                SELECT COALESCE(SUM(c), 0)::BIGINT AS n_windows,
+                       COUNT(*)::BIGINT AS n_patterns
+                FROM counts
+            ),
+            hs AS (
+                SELECT MAX(n_windows)::BIGINT AS n_windows,
+                       MAX(n_patterns)::BIGINT AS n_patterns,
+                       CAST(SUM(CAST(ROUND(-((c::DOUBLE / n_windows::DOUBLE) * LN(c::DOUBLE / n_windows::DOUBLE)), 12) AS DECIMAL(28,12))) AS DOUBLE) AS h
+                FROM counts, tot
+            ),
+            nd AS (SELECT COUNT(*)::BIGINT AS n_days FROM dense)
+            SELECT n_days,
+                   COALESCE(n_windows, 0)::BIGINT AS n_windows,
+                   COALESCE(n_patterns, 0)::BIGINT AS n_patterns,
+                   ROUND(CASE WHEN n_windows > 0 THEN h / 1.791759469228055 END, 6) AS perm_entropy
+            FROM nd, hs
+        """
+    sql["bucketed_join_revenue"] = """
+            SELECT c_mktsegment,
+                   COUNT(*)::BIGINT AS n_orders,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """
     return sql

@@ -326,6 +326,9 @@ BENCH_QUERIES = [
     "event_seasonal_mk",
     "source_quantile_normalize",
     "event_holt_winters",
+    "source_length_theil",
+    "event_perm_entropy",
+    "bucketed_join_revenue",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -442,7 +445,7 @@ BENCH_FAMILIES = {
         "source_lang_ari", "pr_auc_planted", "map_mrr_retrieval",
         "score_brier_logloss", "source_tv_distance", "doc_fog_smog",
         "crawl_capture_recapture", "source_mean_shrinkage",
-        "source_quantile_normalize",
+        "source_quantile_normalize", "source_length_theil",
     
         # round-7 bench-tail additions
         "lang_profile",
@@ -539,6 +542,8 @@ BENCH_FAMILIES = {
         "priority_page_trend",
         "event_seasonal_mk",
         "event_holt_winters",
+        "event_perm_entropy",
+        "bucketed_join_revenue",
     ],
     "sketch": [
         "ams_f2_orders",

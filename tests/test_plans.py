@@ -737,3 +737,23 @@ def test_jaccard_linkpred_hub_cut_before_wedge_join(spark):
     plan = plan_of(jaccard_link_prediction(df, k=10, max_degree=20))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    """The bucketed-table sort-merge join must have NO Exchange on
+    either side — that is the entire point of paying for the bucketed
+    layout once."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["bucketed_join_revenue"](spark, SF_DIR)
+    plan = plan_of(df, execute=True)
+    assert "SortMergeJoin" in plan, "merge hint lost"
+    assert plan.count("Bucketed: true") == 2, "bucketed scan not used"
+    # in the formatted tree (root-first), the join's CHILDREN print
+    # below it — the segment from the SortMergeJoin line down to the
+    # detail sections must contain no Exchange (the only allowed ones
+    # are the post-join groupBy/orderBy exchanges, printed ABOVE)
+    tree = plan.split("\n\n")[0].splitlines()
+    smj = next(i for i, ln in enumerate(tree) if "SortMergeJoin" in ln)
+    below = "\n".join(tree[smj:])
+    assert "Exchange" not in below, f"bucketed join shuffled:\n{below}"

@@ -459,3 +459,63 @@ def test_quantile_normalize_shifted_group_lands_on_corpus_scale(spark):
         out["b"].mean_normalized, abs=1e-6
     )
     assert out["a"].mean_raw < out["a"].mean_normalized < out["b"].mean_raw
+
+
+def test_theil_atkinson_equal_values_zero(spark):
+    """Perfect equality: both indices exactly 0."""
+    from valentinus_spark.operators import theil_atkinson_inequality
+
+    df = spark.createDataFrame([("a", 7.0)] * 10, ["g", "v"])
+    r = theil_atkinson_inequality(df, "g", "v").collect()[0]
+    assert r.theil_t == pytest.approx(0.0, abs=1e-9)
+    assert r.atkinson_1 == pytest.approx(0.0, abs=1e-9)
+    assert (r.n, r.n_dropped) == (10, 0)
+
+
+def test_theil_atkinson_python_replica_and_drops(spark):
+    import math
+
+    from valentinus_spark.operators import theil_atkinson_inequality
+
+    xs = [1.0, 2.0, 4.0, 8.0, 15.0]
+    rows = [("a", x) for x in xs] + [("a", 0.0)]  # zero drops
+    r = theil_atkinson_inequality(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    mu = sum(xs) / len(xs)
+    theil = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+    atk = 1.0 - math.exp(sum(math.log(x) for x in xs) / len(xs) - math.log(mu))
+    assert r.n_dropped == 1
+    assert r.theil_t == pytest.approx(theil, abs=1e-6)
+    assert r.atkinson_1 == pytest.approx(atk, abs=1e-6)
+
+
+def test_permutation_entropy_monotone_vs_alternating(spark):
+    """A strictly increasing daily volume has ONE ordinal pattern ->
+    H = 0; a 2-period alternation has two patterns in equal shares ->
+    H = ln2/ln6."""
+    import datetime
+    import math
+
+    from valentinus_spark.operators import permutation_entropy
+
+    base = datetime.datetime(2024, 1, 1)
+    inc = []
+    for d in range(20):
+        inc += [(base + datetime.timedelta(days=d),)] * (d + 1)
+    r = permutation_entropy(
+        spark.createDataFrame(inc, ["ts"])
+    ).collect()[0]
+    assert (r.n_days, r.n_windows, r.n_patterns) == (20, 18, 1)
+    assert r.perm_entropy == pytest.approx(0.0, abs=1e-9)
+
+    alt = []
+    for d in range(22):  # 20 windows -> the two patterns split 10/10
+        alt += [(base + datetime.timedelta(days=d),)] * (5 if d % 2 else 1)
+    r2 = permutation_entropy(
+        spark.createDataFrame(alt, ["ts"])
+    ).collect()[0]
+    assert (r2.n_windows, r2.n_patterns) == (20, 2)
+    assert r2.perm_entropy == pytest.approx(
+        math.log(2) / math.log(6), abs=1e-6
+    )

@@ -1469,3 +1469,171 @@ def quantile_normalize(
         F.round("_mraw", 6).alias("mean_raw"),
         F.round("_mnorm", 6).alias("mean_normalized"),
     ).orderBy(group_col)
+
+
+def theil_atkinson_inequality(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-T index (1967) + Atkinson index (ε=1, 1970) of value
+    inequality per group — the decomposable / welfare-weighted
+    members of the inequality panel next to gini_coefficient (Gini
+    weights the middle, Theil the top, Atkinson-1 the bottom; reading
+    all three tells you WHERE a source's length inequality lives):
+
+        T = (1/N) Σ (x_i/μ)·ln(x_i/μ)
+        A₁ = 1 − geomean(x)/μ = 1 − exp[(1/N) Σ ln(x_i) − ln μ]
+
+    Zero/negative values drop (both indices need x > 0 — documented;
+    ``n_dropped`` reports how many). Returns per group: (group_col,
+    ``n``, ``n_dropped``, ``theil_t``, ``atkinson_1``) rounded to 6,
+    ordered by group; NULL indices when n = 0 after the drop.
+
+    Determinism: μ is an exact DECIMAL-sum / count double; each ln
+    term is 12-dp-rounded and DECIMAL-accumulated (the brier/js
+    convention), so partition order cannot move either index.
+
+    Scale shape: one pre-aggregate on the (group, value) grid (values
+    repeat heavily in length-like columns), then grid-sized folds —
+    the corpus is scanned once.
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+    )
+    grid = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    pos = grid.filter(F.col("_v") > 0)
+    stats = pos.groupBy("_g").agg(
+        F.sum("_c").alias("n"),
+        F.sum((F.col("_v") * F.col("_c")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("_s"),
+    )
+    dropped = grid.groupBy("_g").agg(
+        F.sum(F.when(F.col("_v") <= 0, F.col("_c")).otherwise(0)).alias(
+            "n_dropped"
+        )
+    )
+    withmu = pos.join(F.broadcast(stats), "_g").select(
+        "_g",
+        "_v",
+        "_c",
+        (F.col("_s") / F.col("n").cast("double")).alias("_mu"),
+        "n",
+    )
+    x = F.col("_v").cast("double")
+    theil_term = F.round(
+        F.col("_c").cast("double") * ((x / F.col("_mu")) * F.log(x / F.col("_mu"))),
+        12,
+    ).cast("decimal(28,12)")
+    ln_term = F.round(
+        F.col("_c").cast("double") * F.log(x), 12
+    ).cast("decimal(28,12)")
+    agg = withmu.groupBy("_g").agg(
+        F.max("n").alias("n"),
+        F.max("_mu").alias("_mu"),
+        F.sum(theil_term).cast("double").alias("_tsum"),
+        F.sum(ln_term).cast("double").alias("_lsum"),
+    )
+    nn = F.col("n").cast("double")
+    theil = F.when(F.col("n") > 0, F.col("_tsum") / nn)
+    atkinson = F.when(
+        F.col("n") > 0,
+        1.0 - F.exp(F.col("_lsum") / nn - F.log(F.col("_mu"))),
+    )
+    out = agg.join(F.broadcast(dropped), "_g", "left").select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.round(theil, 6).alias("theil_t"),
+        F.round(atkinson, 6).alias("atkinson_1"),
+    )
+    return out.orderBy(group_col)
+
+
+def permutation_entropy(
+    events: DataFrame,
+    ts_col: str = "ts",
+    order: int = 3,
+) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002) of the daily event
+    volume at embedding order m — the model-free complexity gauge of
+    the monitoring panel: ~1 for noise-like series, low for
+    regular/periodic ones, and robust to monotone transforms because
+    only ORDINAL patterns of m consecutive days count:
+
+        H = −Σ_π p(π)·ln p(π) / ln(m!)   over the m! ordinal patterns
+
+    Ties inside a window break by position (the standard convention).
+    Returns ONE row: (``n_days``, ``n_windows``, ``n_patterns``,
+    ``perm_entropy``) rounded to 6 — NULL when fewer than m days.
+
+    Determinism: patterns are exact integer encodings (Lehmer-style
+    rank concatenation) over the zero-filled day spine; counts are
+    BIGINT; each −p·ln p term is 12-dp DECIMAL-pinned; one final
+    division by ln(m!).
+
+    Scale shape: one corpus-sized daily aggregate; the lead() windows
+    and pattern counting run on the bounded day spine.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if order != 3:
+        raise ValueError("permutation_entropy currently supports order=3")
+    base = events.select(F.to_date(ts_col).alias("_d"))
+    daily = base.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
+    bounds = base.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    spine = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("_d"))
+    dense = spine.join(daily, "_d", "left").select(
+        "_d", F.coalesce("_n", F.lit(0)).cast("bigint").alias("_x")
+    )
+    w = Window.orderBy("_d")
+    tri = dense.select(
+        "_x",
+        F.lead("_x", 1).over(w).alias("_y"),
+        F.lead("_x", 2).over(w).alias("_z"),
+    ).filter(F.col("_z").isNotNull())
+    # ordinal pattern of (x, y, z) with positional tie-break: rank of
+    # each element among the three (strictly-less count + earlier-equal
+    # count) concatenated in base 3 — 6 distinct codes for order 3
+    xx, yy, zz = F.col("_x"), F.col("_y"), F.col("_z")
+    rx = (
+        F.when(yy < xx, 1).otherwise(0) + F.when(zz < xx, 1).otherwise(0)
+    )
+    ry = (
+        F.when(xx <= yy, 1).otherwise(0) + F.when(zz < yy, 1).otherwise(0)
+    )
+    rz = (
+        F.when(xx <= zz, 1).otherwise(0) + F.when(yy <= zz, 1).otherwise(0)
+    )
+    pat = rx * 9 + ry * 3 + rz
+    counts = tri.groupBy(pat.alias("_p")).agg(F.count(F.lit(1)).alias("_c"))
+    tot = counts.agg(
+        F.sum("_c").alias("n_windows"),
+        F.count(F.lit(1)).alias("n_patterns"),
+    )
+    withtot = counts.crossJoin(F.broadcast(tot))
+    p = F.col("_c").cast("double") / F.col("n_windows").cast("double")
+    term = F.round(-(p * F.log(p)), 12).cast("decimal(28,12)")
+    hsum = withtot.agg(
+        F.max("n_windows").alias("n_windows"),
+        F.max("n_patterns").alias("n_patterns"),
+        F.sum(term).cast("double").alias("_h"),
+    )
+    ndays = dense.agg(F.count(F.lit(1)).alias("n_days"))
+    j = ndays.crossJoin(hsum)
+    h = F.when(
+        F.col("n_windows") > 0,
+        F.col("_h") / float(math.log(math.factorial(order))),
+    )
+    return j.select(
+        "n_days",
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("n_patterns", F.lit(0)).alias("n_patterns"),
+        F.round(h, 6).alias("perm_entropy"),
+    )
