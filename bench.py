@@ -329,6 +329,8 @@ BENCH_QUERIES = [
     "source_length_theil",
     "event_perm_entropy",
     "bucketed_join_revenue",
+    "dpp_partitioned_join",
+    "schema_evolution_read",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -544,6 +546,8 @@ BENCH_FAMILIES = {
         "event_holt_winters",
         "event_perm_entropy",
         "bucketed_join_revenue",
+        "dpp_partitioned_join",
+        "schema_evolution_read",
     ],
     "sketch": [
         "ams_f2_orders",

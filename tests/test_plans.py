@@ -757,3 +757,16 @@ def test_bucketed_join_no_exchange(spark):
     smj = next(i for i, ln in enumerate(tree) if "SortMergeJoin" in ln)
     below = "\n".join(tree[smj:])
     assert "Exchange" not in below, f"bucketed join shuffled:\n{below}"
+
+
+def test_dpp_partitioned_join_dynamic_pruning(spark):
+    """The partitioned fact scan must carry a dynamicpruning expression
+    in its PartitionFilters — the dim's broadcast is reused as a
+    runtime partition filter (2 of 7 year directories read)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["dpp_partitioned_join"](spark, SF_DIR)
+    plan = plan_of(df, execute=True)
+    assert "dynamicpruning" in plan, "dynamic partition pruning not applied"
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "dynamicpruning" in pf, "pruning not on the partition filter"
