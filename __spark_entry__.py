@@ -6860,6 +6860,22 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval calibration (operators/rollup.py::
+    conformal_interval_eval, α=0.1) over the Holt one-step forecast
+    errors — the distribution-free coverage guarantee on top of the
+    forecasting ladder: first-half days calibrate q̂ (exact order
+    statistic), second-half days report empirical coverage of
+    forecast ± q̂. A coverage collapse below 1−α is the drift alarm."""
+    from valentinus_spark.operators.rollup import (
+        conformal_interval_eval,
+        holt_linear_forecast,
+    )
+
+    scored = holt_linear_forecast(_events(spark, sf_dir).select("ts", "value"))
+    return conformal_interval_eval(scored, "day", "abs_err", alpha=0.1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -6999,6 +7015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "dpp_partitioned_join": q_dpp_partitioned_join,
         "schema_evolution_read": q_schema_evolution_read,
+        "forecast_conformal": q_forecast_conformal,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -14708,5 +14725,41 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_legacy,
                    ROUND(CAST(SUM(CAST(COALESCE(quality, 0.0) AS DECIMAL(18,2))) AS DOUBLE), 2) AS quality_sum
             FROM merged GROUP BY source ORDER BY source
+        """
+    sql["forecast_conformal"] = f"""
+            WITH hw AS MATERIALIZED ({sql["event_holt_forecast"]}),
+            ranked AS (
+                SELECT abs_err AS e, ROW_NUMBER() OVER (ORDER BY day) AS rn
+                FROM hw WHERE abs_err IS NOT NULL AND day IS NOT NULL
+            ),
+            tot AS (SELECT COUNT(*)::BIGINT AS t FROM ranked),
+            params AS (
+                SELECT t, (t // 2)::BIGINT AS n_cal,
+                       CAST(CEIL(((t // 2) + 1) * 0.9) AS BIGINT) AS k
+                FROM tot
+            ),
+            cal AS (
+                SELECT e, ROW_NUMBER() OVER (ORDER BY e, rn) AS er
+                FROM ranked, params WHERE rn <= n_cal
+            ),
+            q AS (
+                SELECT MAX(CASE WHEN er = (SELECT k FROM params) THEN e END) AS q_hat
+                FROM cal
+            ),
+            test AS (SELECT e FROM ranked, params WHERE rn > n_cal),
+            cov AS (
+                SELECT COUNT(*)::BIGINT AS n_test,
+                       COALESCE(SUM(CASE WHEN (SELECT q_hat FROM q) IS NOT NULL
+                                              AND e <= (SELECT q_hat FROM q)
+                                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_covered
+                FROM test
+            )
+            SELECT (SELECT n_cal FROM params) AS n_cal,
+                   n_test,
+                   ROUND((SELECT q_hat FROM q), 6) AS q_hat,
+                   n_covered,
+                   ROUND(CASE WHEN n_test > 0 AND (SELECT q_hat FROM q) IS NOT NULL
+                              THEN n_covered::DOUBLE / n_test::DOUBLE END, 6) AS coverage
+            FROM cov
         """
     return sql

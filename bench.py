@@ -331,6 +331,7 @@ BENCH_QUERIES = [
     "bucketed_join_revenue",
     "dpp_partitioned_join",
     "schema_evolution_read",
+    "forecast_conformal",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -548,6 +549,7 @@ BENCH_FAMILIES = {
         "bucketed_join_revenue",
         "dpp_partitioned_join",
         "schema_evolution_read",
+        "forecast_conformal",
     ],
     "sketch": [
         "ams_f2_orders",

@@ -676,3 +676,41 @@ def test_holt_winters_too_short_empty(spark):
     rows = [(base + datetime.timedelta(days=d), float(d)) for d in range(7)]
     df = spark.createDataFrame(rows, ["ts", "value"])
     assert holt_winters_forecast(df, period=7).count() == 0
+
+
+def test_conformal_interval_coverage_on_exchangeable_errors(spark):
+    """Errors drawn from the same fixed cycle in both halves: q_hat is
+    the 90% calibration order statistic and test coverage lands at the
+    exact fraction of test errors <= q_hat (python replay)."""
+    import datetime
+    import math
+
+    from valentinus_spark.operators import conformal_interval_eval
+
+    base = datetime.date(2024, 1, 1)
+    errs = [round(0.1 * ((i * 7) % 10 + 1), 6) for i in range(40)]
+    rows = [
+        (base + datetime.timedelta(days=i), errs[i]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["day", "abs_err"])
+    r = conformal_interval_eval(df, "day", "abs_err", alpha=0.1).collect()[0]
+    n_cal = 20
+    k = math.ceil((n_cal + 1) * 0.9)
+    q = sorted(errs[:n_cal])[k - 1]
+    cov = sum(1 for e in errs[n_cal:] if e <= q) / 20
+    assert (r.n_cal, r.n_test) == (20, 20)
+    assert r.q_hat == pytest.approx(q, abs=1e-9)
+    assert r.coverage == pytest.approx(round(cov, 6), abs=1e-9)
+
+
+def test_conformal_interval_alpha_too_small_null(spark):
+    """alpha so small the rank exceeds n_cal: q_hat undefined -> NULLs."""
+    import datetime
+
+    from valentinus_spark.operators import conformal_interval_eval
+
+    base = datetime.date(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=i), 1.0) for i in range(6)]
+    df = spark.createDataFrame(rows, ["day", "abs_err"])
+    r = conformal_interval_eval(df, "day", "abs_err", alpha=0.01).collect()[0]
+    assert r.q_hat is None and r.coverage is None

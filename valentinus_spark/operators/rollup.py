@@ -1320,3 +1320,88 @@ def holt_winters_forecast(
         F.round("forecast", 6).alias("forecast"),
         F.round("abs_err", 6).alias("abs_err"),
     ).orderBy("day")
+
+
+def conformal_interval_eval(
+    scored: DataFrame,
+    order_col: str = "day",
+    err_col: str = "abs_err",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal one-step interval calibration (Vovk 2005;
+    Papadopoulos 2002) over a forecaster's absolute errors: the first
+    half of the series (by ``order_col``) is the calibration set, the
+    second half the test set; the interval half-width is the standard
+    conformal quantile
+
+        q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration |error|
+
+    and the readout is empirical test coverage of ``forecast ± q̂`` —
+    the distribution-free guarantee says coverage ≥ 1−α up to
+    exchangeability drift, so a coverage collapse IS the drift alarm.
+    Returns ONE row: (``n_cal``, ``n_test``, ``q_hat``, ``n_covered``,
+    ``coverage``) — q/coverage NULL when either split is empty or the
+    rank exceeds n_cal (α too small for the calibration size).
+
+    Determinism: the split is an exact row_number threshold; q̂ is an
+    exact order statistic on the (already-rounded) error grid; coverage
+    is an integer ratio.
+
+    Scale shape: the input is a forecaster's day-spine output — one
+    bounded ordered window + two one-row aggregates.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    base = scored.filter(
+        F.col(err_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(F.col(order_col).alias("_o"), F.col(err_col).alias("_e"))
+    w = Window.orderBy("_o")
+    tot = base.count()
+    n_cal = tot // 2
+    ranked = base.select(
+        "_e", F.row_number().over(w).alias("_rn")
+    )
+    cal = ranked.filter(F.col("_rn") <= n_cal)
+    test = ranked.filter(F.col("_rn") > n_cal)
+    k = int(math.ceil((n_cal + 1) * (1.0 - float(alpha)))) if n_cal else 0
+    we = Window.orderBy("_e", "_rn")
+    qdf = (
+        cal.select("_e", F.row_number().over(we).alias("_er"))
+        .filter(F.col("_er") == k)
+        .select(F.col("_e").alias("q_hat"))
+    )
+    stats = test.agg(F.count(F.lit(1)).alias("n_test"))
+    j = stats.crossJoin(
+        qdf.agg(F.max("q_hat").alias("q_hat"))
+    )
+    covered = (
+        test.crossJoin(F.broadcast(qdf.agg(F.max("q_hat").alias("_q"))))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_q").isNotNull() & (F.col("_e") <= F.col("_q")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_covered")
+        )
+    )
+    out = j.crossJoin(covered)
+    return out.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(F.col("q_hat"), 6).alias("q_hat"),
+        F.col("n_covered").cast("long").alias("n_covered"),
+        F.round(
+            F.when(
+                (F.col("n_test") > 0) & F.col("q_hat").isNotNull(),
+                F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double"),
+            ),
+            6,
+        ).alias("coverage"),
+    )
