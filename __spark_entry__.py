@@ -6876,6 +6876,19 @@ def q_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_interval_eval(scored, "day", "abs_err", alpha=0.1)
 
 
+def q_dp_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP median of event values via the exponential mechanism
+    (operators/validate.py::dp_median, McSherry & Talwar 2007, ε=1) —
+    the order-statistic release completing the privacy family next to
+    dp_segment_counts' geometric counts. Candidate weights are
+    12-dp DECIMAL-cumsummed; the sha-seeded draw makes the release
+    replayable, so the oracle verifies the MECHANISM end-to-end."""
+    from valentinus_spark.operators.validate import dp_median
+
+    ev = _events(spark, sf_dir).select("value")
+    return dp_median(ev, "value", epsilon=1.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -7016,6 +7029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_partitioned_join": q_dpp_partitioned_join,
         "schema_evolution_read": q_schema_evolution_read,
         "forecast_conformal": q_forecast_conformal,
+        "dp_value_median": q_dp_value_median,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -14761,5 +14775,49 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n_test > 0 AND (SELECT q_hat FROM q) IS NOT NULL
                               THEN n_covered::DOUBLE / n_test::DOUBLE END, 6) AS coverage
             FROM cov
+        """
+    import hashlib as _hl
+
+    _dpm_u0 = repr(
+        (int(_hl.sha256(b"dpmed-v1").hexdigest()[:8], 16) + 0.5) / 4294967296.0
+    )
+    sql["dp_value_median"] = f"""
+            WITH vals AS MATERIALIZED (
+                SELECT CAST(value AS DECIMAL(17,4)) AS v FROM events
+                WHERE value IS NOT NULL
+            ),
+            grid AS (SELECT v, COUNT(*)::BIGINT AS c FROM vals GROUP BY v),
+            cum AS (
+                SELECT v, c,
+                       CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS below,
+                       CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+                       CAST(SUM(c) OVER () AS BIGINT) AS n
+                FROM grid
+            ),
+            scored AS (
+                SELECT v, cm, n,
+                       CAST(ROUND(EXP(CAST(1.0 AS DOUBLE) * (-ABS(below::DOUBLE - n::DOUBLE / 2.0)) / 2.0), 12) AS DECIMAL(28,12)) AS w
+                FROM cum
+            ),
+            cw AS (
+                SELECT v, cm, n,
+                       SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS wcum,
+                       SUM(w) OVER () AS wtot
+                FROM scored
+            ),
+            med AS (
+                SELECT (MIN(CASE WHEN cm >= (n + 1) // 2 THEN v END)
+                        + MIN(CASE WHEN cm >= n // 2 + 1 THEN v END))::DOUBLE / 2.0 AS true_median,
+                       MAX(n)::BIGINT AS n
+                FROM cw
+            ),
+            pick AS (
+                SELECT MIN(v)::DOUBLE AS dp_median FROM cw
+                WHERE wcum::DOUBLE >= {_dpm_u0} * wtot::DOUBLE
+            )
+            SELECT n, ROUND(true_median, 6) AS true_median,
+                   ROUND(dp_median, 6) AS dp_median,
+                   CAST(1.0 AS DOUBLE) AS epsilon
+            FROM med, pick
         """
     return sql

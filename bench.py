@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "dpp_partitioned_join",
     "schema_evolution_read",
     "forecast_conformal",
+    "dp_value_median",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -550,6 +551,7 @@ BENCH_FAMILIES = {
         "dpp_partitioned_join",
         "schema_evolution_read",
         "forecast_conformal",
+        "dp_value_median",
     ],
     "sketch": [
         "ams_f2_orders",

@@ -493,3 +493,33 @@ def test_rbo_matches_python_replica(spark):
         total += round(p ** (d - 1) * ov / d, 12)
     want = round((1 - p) * total, 6)
     assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_dp_median_lands_near_true_median(spark):
+    """With eps=2 on a 1..100 grid the mechanism concentrates hard
+    around the median; the replayable draw must land within a few grid
+    steps. Exact true median asserted."""
+    from valentinus_spark.operators import dp_median
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], ["v"])
+    r = dp_median(df, "v", epsilon=2.0).collect()[0]
+    assert r.n == 100
+    assert r.true_median == pytest.approx(50.5, abs=1e-9)
+    assert abs(r.dp_median - 50.5) < 10
+    assert r.epsilon == pytest.approx(2.0)
+
+
+def test_dp_median_is_replayable_and_eps_sensitive(spark):
+    """Same salt -> identical release on rerun; different salt may move
+    it (the draw is the only nondeterminism and it is seeded)."""
+    from valentinus_spark.operators import dp_median
+
+    df = spark.createDataFrame([(float(v % 17),) for v in range(200)], ["v"])
+    a = dp_median(df, "v", epsilon=1.0).collect()[0]
+    b = dp_median(df, "v", epsilon=1.0).collect()[0]
+    assert a.dp_median == b.dp_median
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dp_median(df, "v", epsilon=0.0)

@@ -556,3 +556,98 @@ def t_closeness_stats(
         "emd",
         (F.col("emd") > t).alias("exceeds_t"),
     ).orderBy(*quasi_cols)
+
+
+def dp_median(
+    df: DataFrame,
+    value_col: str,
+    epsilon: float = 1.0,
+    salt: str = "dpmed-v1",
+) -> DataFrame:
+    """ε-DP median via the exponential mechanism (McSherry & Talwar
+    2007) — the DP release for ORDER statistics, where the geometric
+    mechanism of :func:`dp_group_counts` does not apply (a median's
+    sensitivity to one row is unbounded in value space; the
+    exponential mechanism scores CANDIDATES instead):
+
+        u(v) = −| #(x < v) − n/2 |        (sensitivity 1)
+        P(v) ∝ exp(ε·u(v)/2)
+
+    over the distinct-value candidate grid. The selection "draw" is a
+    single sha256(salt)-derived uniform, making the release replayable
+    (the dp_group_counts convention — for a real deployment the salt
+    must be secret; the mechanism and its ε-accounting are what this
+    operator implements). Returns ONE row: (``n``, ``true_median``,
+    ``dp_median``, ``epsilon``) — the true median is computed
+    alongside so the release's utility is visible to the auditor
+    holding the raw data.
+
+    Determinism: ranks are exact BIGINTs on the DECIMAL(17,4) value
+    grid; each candidate weight is 12-dp-rounded and DECIMAL-cumsummed
+    (no float-order drift); selection is the smallest candidate whose
+    cumulative weight crosses u₀·total.
+
+    Scale shape: one (value, count) aggregate (the only corpus-sized
+    shuffle), then candidate-grid-sized windows — same skeleton as the
+    exact-median operators.
+    """
+    import hashlib
+
+    from pyspark.sql import Window
+
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    u0 = (
+        int(hashlib.sha256(salt.encode()).hexdigest()[:8], 16) + 0.5
+    ) / 4294967296.0
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("decimal(17,4)").alias("_v")
+    )
+    grid = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = grid.select(
+        "_v",
+        "_c",
+        (F.sum("_c").over(w) - F.col("_c")).alias("_below"),
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    util = -F.abs(
+        F.col("_below").cast("double") - F.col("_n").cast("double") / 2.0
+    )
+    wgt = F.round(
+        F.exp(F.lit(float(epsilon)) * util / 2.0), 12
+    ).cast("decimal(28,12)")
+    scored = cum.select(
+        "_v", "_cum", "_n",
+        wgt.alias("_w"),
+    ).select(
+        "_v",
+        "_cum",
+        "_n",
+        F.sum("_w").over(w).alias("_wcum"),
+        F.sum("_w").over(wall).alias("_wtot"),
+    )
+    # true grid median (floor-rank middles convention)
+    lo_rank = F.floor((F.col("_n") + 1) / 2)
+    hi_rank = F.floor(F.col("_n") / 2) + 1
+    med = scored.agg(
+        (
+            (
+                F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v")))
+                + F.min(F.when(F.col("_cum") >= hi_rank, F.col("_v")))
+            ).cast("double")
+            / 2.0
+        ).alias("true_median"),
+        F.max("_n").alias("n"),
+    )
+    pick = scored.filter(
+        F.col("_wcum").cast("double") >= F.lit(u0) * F.col("_wtot").cast("double")
+    ).agg(F.min("_v").cast("double").alias("dp_median"))
+    return med.crossJoin(pick).select(
+        "n",
+        F.round("true_median", 6).alias("true_median"),
+        F.round("dp_median", 6).alias("dp_median"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )
