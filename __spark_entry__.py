@@ -6889,6 +6889,91 @@ def q_dp_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_median(ev, "value", epsilon=1.0)
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange (sources/xml_records.py) — the legacy-feed /
+    encyclopedia-dump shape: documents written as 4 range-sharded XML
+    shards (stdlib-escaped element text), parsed back with xml.etree
+    (real parsing, not regex), then checksummed. Hash match = the
+    escape/parse chain is lossless, same contract as jsonl_roundtrip
+    (which shares this oracle's checksum)."""
+    import tempfile
+
+    from valentinus_spark.functions.text import sha_hash60
+    from valentinus_spark.sources.xml_records import (
+        read_xml_records,
+        write_xml_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        "lang",
+        F.col("n_chars").cast("string").alias("n_chars"),
+    )
+    path = tempfile.mkdtemp(prefix="vs_xml_")
+    write_xml_records(
+        docs,
+        path,
+        fields=["doc_id", "text", "lang", "n_chars"],
+        sort_cols=["doc_id"],
+    )
+    back = read_xml_records(
+        spark,
+        path,
+        fields=["doc_id", "text", "lang", "n_chars"],
+        schema="doc_id bigint, n_chars bigint",
+    )
+    row_h = sha_hash60(
+        F.concat_ws(
+            "\x1f",
+            F.col("doc_id"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("n_chars"),
+        )
+    )
+    return back.select(row_h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("content_xor"),
+    )
+
+
+def q_lineitem_simpsons_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen (operators/experiment.py::
+    simpsons_paradox_screen): discount-vs-quantity correlation within
+    each lineitem return flag next to the pooled correlation, with the
+    sign-reversal flag — the composition-artifact gate to clear before
+    acting on any pooled metric. DECIMAL-exact moment sums; pooled
+    moments are exact sums OF the group moments."""
+    from valentinus_spark.operators.experiment import simpsons_paradox_screen
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_discount", "l_quantity"
+    )
+    return simpsons_paradox_screen(li, "l_returnflag", "l_discount", "l_quantity")
+
+
+def q_grouped_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped k-fold assignment (functions/text.py::kfold_assign, k=5)
+    keyed on SOURCE — every document of a source lands in the same
+    fold (the leakage rule group_split_leakage audits), reproducibly
+    and with no shuffle. Output is the per-fold balance sheet
+    (documents + whole groups per fold); the oracle recomputes the
+    sha-mod-k assignment, so fold membership itself is hash-checked."""
+    from valentinus_spark.functions.text import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = docs.select("source", kfold_assign(F.col("source"), k=5))
+    return (
+        tagged.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+        )
+        .orderBy("fold")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -7030,6 +7115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_read": q_schema_evolution_read,
         "forecast_conformal": q_forecast_conformal,
         "dp_value_median": q_dp_value_median,
+        "xml_roundtrip": q_xml_roundtrip,
+        "lineitem_simpsons_screen": q_lineitem_simpsons_screen,
+        "grouped_kfold_balance": q_grouped_kfold_balance,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -14819,5 +14907,72 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(dp_median, 6) AS dp_median,
                    CAST(1.0 AS DOUBLE) AS epsilon
             FROM med, pick
+        """
+    # losslessness proof shared with jsonl_roundtrip: checksum computed
+    # from the ORIGINAL table — any escape/parse loss breaks the XOR
+    sql["xml_roundtrip"] = """
+            SELECT count(*) AS n_rows,
+                   bit_xor(('0x' || substr(sha256(
+                       doc_id::VARCHAR || chr(31) || text || chr(31) ||
+                       lang || chr(31) || n_chars::VARCHAR), 1, 15))::UBIGINT::BIGINT) AS content_xor
+            FROM documents
+        """
+    sql["lineitem_simpsons_screen"] = """
+            WITH base AS MATERIALIZED (
+                SELECT l_returnflag AS g,
+                       CAST(l_discount AS DECIMAL(17,4)) AS x,
+                       CAST(l_quantity AS DECIMAL(17,4)) AS y
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+                      AND l_quantity IS NOT NULL
+            ),
+            g AS (
+                SELECT g, COUNT(*)::BIGINT AS n,
+                       SUM(CAST(x AS DECIMAL(38,8))) AS sx,
+                       SUM(CAST(y AS DECIMAL(38,8))) AS sy,
+                       SUM(CAST(x * y AS DECIMAL(38,8))) AS sxy,
+                       SUM(CAST(x * x AS DECIMAL(38,8))) AS sxx,
+                       SUM(CAST(y * y AS DECIMAL(38,8))) AS syy
+                FROM base GROUP BY g
+            ),
+            pooled AS (
+                SELECT SUM(n)::BIGINT AS pn,
+                       SUM(sx) AS px, SUM(sy) AS py,
+                       SUM(sxy) AS pxy, SUM(sxx) AS pxx, SUM(syy) AS pyy
+                FROM g
+            ),
+            pc AS (
+                SELECT ROUND(CASE WHEN pxx::DOUBLE - px::DOUBLE * px::DOUBLE / pn::DOUBLE > 0
+                                       AND pyy::DOUBLE - py::DOUBLE * py::DOUBLE / pn::DOUBLE > 0
+                                  THEN (pxy::DOUBLE - px::DOUBLE * py::DOUBLE / pn::DOUBLE)
+                                       / SQRT((pxx::DOUBLE - px::DOUBLE * px::DOUBLE / pn::DOUBLE)
+                                              * (pyy::DOUBLE - py::DOUBLE * py::DOUBLE / pn::DOUBLE))
+                             END, 6) AS pooled_corr
+                FROM pooled
+            ),
+            gc AS (
+                SELECT g, n,
+                       ROUND(CASE WHEN sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE > 0
+                                       AND syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE > 0
+                                  THEN (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+                                       / SQRT((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+                                              * (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE))
+                             END, 6) AS corr
+                FROM g
+            )
+            SELECT g AS l_returnflag, n, corr, pooled_corr,
+                   CASE WHEN corr IS NOT NULL AND pooled_corr IS NOT NULL
+                        THEN corr * pooled_corr < 0 END AS sign_reversed
+            FROM gc, pc ORDER BY l_returnflag
+        """
+    sql["grouped_kfold_balance"] = """
+            WITH tagged AS (
+                SELECT source,
+                       (('0x' || substr(sha256('cv-v1' || source), 1, 8))::UBIGINT % 5)::INT AS fold
+                FROM documents
+            )
+            SELECT fold, COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT source)::BIGINT AS n_groups
+            FROM tagged GROUP BY fold ORDER BY fold
         """
     return sql

@@ -316,23 +316,18 @@ BENCH_QUERIES = [
     "source_tv_distance",
     "priority_page_trend",
     "bloom_semijoin_revenue",
-    "bfs_planted",
-    "ktruss_planted",
     "doc_fog_smog",
     "crawl_capture_recapture",
     "source_mean_shrinkage",
-    "media_phash_planted",
-    "stream_dedup_docs",
     "event_seasonal_mk",
     "source_quantile_normalize",
     "event_holt_winters",
     "source_length_theil",
     "event_perm_entropy",
-    "bucketed_join_revenue",
-    "dpp_partitioned_join",
-    "schema_evolution_read",
     "forecast_conformal",
     "dp_value_median",
+    "lineitem_simpsons_screen",
+    "grouped_kfold_balance",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -348,6 +343,7 @@ UNBENCHED = {
     # events_session_window -> events_sessionize, hll_users_stream ->
     # hll_rolling_stream, stream_stream_join -> asof_join_clicks).
     "streaming_lifecycle": [
+        "stream_dedup_docs",
         "user_totals_stateful_stream", "versioned_stream_ingest",
         "late_window_finalize", "hll_users_stream", "stream_stream_join",
         "events_session_window", "events_stream_enriched",
@@ -359,7 +355,8 @@ UNBENCHED = {
     "storage_roundtrip": [
         "time_travel", "compaction_roundtrip", "jsonl_roundtrip",
         "orc_roundtrip", "minmax_pruned_agg", "merge_into_versioned",
-        "orders_fixed_width",
+        "orders_fixed_width", "xml_roundtrip", "bucketed_join_revenue",
+        "dpp_partitioned_join", "schema_evolution_read",
     ],
     # planted tiny-fixture correctness gates (constructed inputs of
     # dozens-to-hundreds of rows measuring SEMANTICS — recall gates,
@@ -371,6 +368,7 @@ UNBENCHED = {
         "html_extract_planted", "crawl_pipeline", "robots_rules_planted",
         "pii_scrub_stats", "mojibake_profile", "pq_ann_planted",
         "kcore_planted", "unigram_encode_planted",
+        "bfs_planted", "ktruss_planted", "media_phash_planted",
     ],
 }
 
@@ -507,7 +505,6 @@ BENCH_FAMILIES = {
         "histogram_quantiles",
     ],
     "stream": [
-        "stream_dedup_docs",
         "events_windowed", "events_sessionize", "events_windowed_stream",
         "events_rollup_merge", "events_sliding_window", "stream_components",
         "trailing_anomaly", "event_decayed_popularity",
@@ -547,11 +544,10 @@ BENCH_FAMILIES = {
         "event_seasonal_mk",
         "event_holt_winters",
         "event_perm_entropy",
-        "bucketed_join_revenue",
-        "dpp_partitioned_join",
-        "schema_evolution_read",
         "forecast_conformal",
         "dp_value_median",
+        "lineitem_simpsons_screen",
+        "grouped_kfold_balance",
     ],
     "sketch": [
         "ams_f2_orders",
@@ -575,10 +571,8 @@ BENCH_FAMILIES = {
         # round-7 bench-tail additions
         "triangle_copurchase",
         "copurchase_jaccard_links",
-        "bfs_planted",
-        "ktruss_planted",
     ],
-    "media": ["media_phash_planted", "media_content_stats", "media_headers",
+    "media": ["media_content_stats", "media_headers",
         # round-7 bench-tail additions
         "video_frame_manifest",
     ],

@@ -673,3 +673,33 @@ def test_page_trend_reversed_order_negative(spark):
     ).collect()[0]
     assert r.l_stat == pytest.approx(6 * (3 + 4 + 3), abs=1e-9)  # R_j reversed
     assert r.z < -2
+
+
+def test_simpsons_paradox_planted_reversal(spark):
+    """Classic planted reversal: within both groups y DECREASES in x,
+    but group b sits at higher x AND higher y, so pooled correlation is
+    positive -> both groups flag sign_reversed."""
+    from valentinus_spark.operators import simpsons_paradox_screen
+
+    rows = []
+    for i in range(20):
+        rows.append(("a", float(i), 10.0 - 0.5 * i))          # x 0..19
+        rows.append(("b", 100.0 + i, 200.0 - 0.5 * i))        # x 100..119
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r.g: r for r in simpsons_paradox_screen(df, "g", "x", "y").collect()}
+    assert out["a"].corr < 0 and out["b"].corr < 0
+    assert out["a"].pooled_corr > 0
+    assert out["a"].sign_reversed and out["b"].sign_reversed
+
+
+def test_simpsons_screen_degenerate_group_null(spark):
+    from valentinus_spark.operators import simpsons_paradox_screen
+
+    rows = [("a", 1.0, float(i)) for i in range(5)] + [
+        ("b", float(i), float(i)) for i in range(5)
+    ]
+    out = {r.g: r for r in simpsons_paradox_screen(
+        spark.createDataFrame(rows, ["g", "x", "y"]), "g", "x", "y"
+    ).collect()}
+    assert out["a"].corr is None and out["a"].sign_reversed is None
+    assert out["b"].corr == pytest.approx(1.0, abs=1e-6)

@@ -471,3 +471,21 @@ def weighted_sample_key(
     u = (bucket + F.lit(1).cast("long")).cast("double") / F.lit(float(2**32))
     w = _c(weight_col).cast("double")
     return F.when(w > 0, F.log(u) / w).otherwise(F.lit(None).cast("double"))
+
+
+def kfold_assign(col: Column | str, k: int = 5, salt: str = "cv-v1") -> Column:
+    """Deterministic k-fold assignment from a key column: fold =
+    sha256(salt‖key) mod k. Pass the GROUP key (author, site, session)
+    instead of the row id and the fold is automatically grouped —
+    every row of a group lands in the same fold, which is the leakage
+    rule group_split_leakage audits. Same guarantees as
+    :func:`stable_split`: reproducible, growth-stable, per-row pure
+    expression (no shuffle)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    bucket = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(salt), _c(col).cast("string")), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (bucket % k).cast("int").alias("fold")

@@ -1665,3 +1665,98 @@ def page_trend_test(
         F.round(z, 6).alias("z"),
         F.round(two_sided_p(z), 6).alias("p_value"),
     )
+
+
+def simpsons_paradox_screen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Simpson's-paradox screen: the Pearson correlation of (x, y)
+    WITHIN each group next to the POOLED correlation, flagging sign
+    reversals — the aggregation trap every per-segment metric readout
+    should clear before anyone acts on the pooled number (a positive
+    pooled trend built from all-negative segments is a composition
+    artifact, not a finding).
+
+    Returns one row per group: (``group_col``, ``n``, ``corr``,
+    ``pooled_corr``, ``sign_reversed``) rounded to 6 — corr NULL when
+    either variance is degenerate within the group, sign_reversed
+    NULL when either correlation is NULL, true when the group's sign
+    contradicts a non-zero pooled sign.
+
+    Determinism: all five moment sums (Σx, Σy, Σxy, Σx², Σy²)
+    accumulate as exact DECIMALs per group ((17,4) operands, (35,8)
+    products — the msprt discipline); the pooled moments are exact
+    sums OF the group moments; correlations are one pinned double
+    formula each.
+
+    Scale shape: ONE corpus-sized moment aggregate (map-side
+    combined), a group-sized fold for the pooled row, broadcast join
+    back. The corpus is scanned once.
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("decimal(17,4)").alias("_x"),
+        F.col(y_col).cast("decimal(17,4)").alias("_y"),
+    )
+    p = lambda a, b: (a * b).cast("decimal(38,8)")  # noqa: E731
+    g = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_x").cast("decimal(38,8)")).alias("_sx"),
+        F.sum(F.col("_y").cast("decimal(38,8)")).alias("_sy"),
+        F.sum(p(F.col("_x"), F.col("_y"))).alias("_sxy"),
+        F.sum(p(F.col("_x"), F.col("_x"))).alias("_sxx"),
+        F.sum(p(F.col("_y"), F.col("_y"))).alias("_syy"),
+    )
+
+    def corr_of(n, sx, sy, sxy, sxx, syy):
+        nn = n.cast("double")
+        cov = sxy.cast("double") - sx.cast("double") * sy.cast("double") / nn
+        vx = sxx.cast("double") - sx.cast("double") * sx.cast("double") / nn
+        vy = syy.cast("double") - sy.cast("double") * sy.cast("double") / nn
+        return F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+
+    pooled = g.agg(
+        F.sum("n").alias("pn"),
+        F.sum("_sx").alias("px"),
+        F.sum("_sy").alias("py"),
+        F.sum("_sxy").alias("pxy"),
+        F.sum("_sxx").alias("pxx"),
+        F.sum("_syy").alias("pyy"),
+    ).select(
+        F.round(
+            corr_of(
+                F.col("pn"), F.col("px"), F.col("py"),
+                F.col("pxy"), F.col("pxx"), F.col("pyy"),
+            ),
+            6,
+        ).alias("pooled_corr")
+    )
+    out = g.select(
+        "_g",
+        "n",
+        F.round(
+            corr_of(
+                F.col("n"), F.col("_sx"), F.col("_sy"),
+                F.col("_sxy"), F.col("_sxx"), F.col("_syy"),
+            ),
+            6,
+        ).alias("corr"),
+    ).crossJoin(F.broadcast(pooled))
+    reversed_ = F.when(
+        F.col("corr").isNotNull() & F.col("pooled_corr").isNotNull(),
+        (F.col("corr") * F.col("pooled_corr") < 0),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "corr",
+        "pooled_corr",
+        reversed_.alias("sign_reversed"),
+    ).orderBy(group_col)
