@@ -6974,6 +6974,33 @@ def q_grouped_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson panel (operators/profile.py::correlation_matrix)
+    over four lineitem numerics in ONE corpus scan — the
+    feature-redundancy first look. DECIMAL-exact moment block, one
+    pinned double formula per pair."""
+    from valentinus_spark.operators.profile import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_source_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe-Colaresi-Quinn log-odds with Dirichlet prior (operators/
+    quality.py::fightin_words, 2008): each source's 5 most distinctive
+    terms vs the rest of the corpus, z-scored — the statistically
+    honest keyword-diff (prior shrinks rare-word noise that raw TF-IDF
+    over-rewards). Exact counts, per-row z formula, heap top-k."""
+    from valentinus_spark.operators.quality import fightin_words
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return fightin_words(docs, "source", "text", alpha=0.01, top_k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -7118,6 +7145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip": q_xml_roundtrip,
         "lineitem_simpsons_screen": q_lineitem_simpsons_screen,
         "grouped_kfold_balance": q_grouped_kfold_balance,
+        "lineitem_corr_matrix": q_lineitem_corr_matrix,
+        "source_fightin_words": q_source_fightin_words,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -14974,5 +15003,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT fold, COUNT(*)::BIGINT AS n_docs,
                    COUNT(DISTINCT source)::BIGINT AS n_groups
             FROM tagged GROUP BY fold ORDER BY fold
+        """
+    sql["lineitem_corr_matrix"] = """
+            WITH base AS MATERIALIZED (
+                -- DECIMAL(19,4): same values as Spark's (17,4) operands,
+                -- but int128-backed so duckdb's c*c cannot overflow int64
+                SELECT CAST(l_quantity AS DECIMAL(19,4)) AS c0,
+                       CAST(l_extendedprice AS DECIMAL(19,4)) AS c1,
+                       CAST(l_discount AS DECIMAL(19,4)) AS c2,
+                       CAST(l_tax AS DECIMAL(19,4)) AS c3
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                      AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ),
+            m AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       SUM(CAST(c0 AS DECIMAL(38,8))) AS s0,
+                       SUM(CAST(c1 AS DECIMAL(38,8))) AS s1,
+                       SUM(CAST(c2 AS DECIMAL(38,8))) AS s2,
+                       SUM(CAST(c3 AS DECIMAL(38,8))) AS s3,
+                       SUM(CAST(c0 * c0 AS DECIMAL(38,8))) AS p00,
+                       SUM(CAST(c0 * c1 AS DECIMAL(38,8))) AS p01,
+                       SUM(CAST(c0 * c2 AS DECIMAL(38,8))) AS p02,
+                       SUM(CAST(c0 * c3 AS DECIMAL(38,8))) AS p03,
+                       SUM(CAST(c1 * c1 AS DECIMAL(38,8))) AS p11,
+                       SUM(CAST(c1 * c2 AS DECIMAL(38,8))) AS p12,
+                       SUM(CAST(c1 * c3 AS DECIMAL(38,8))) AS p13,
+                       SUM(CAST(c2 * c2 AS DECIMAL(38,8))) AS p22,
+                       SUM(CAST(c2 * c3 AS DECIMAL(38,8))) AS p23,
+                       SUM(CAST(c3 * c3 AS DECIMAL(38,8))) AS p33
+                FROM base
+            ),
+            pairs AS (
+                SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+                       p01::DOUBLE - s0::DOUBLE * s1::DOUBLE / n::DOUBLE AS cov,
+                       p00::DOUBLE - s0::DOUBLE * s0::DOUBLE / n::DOUBLE AS vi,
+                       p11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS vj FROM m
+                UNION ALL
+                SELECT 'l_quantity', 'l_discount', n,
+                       p02::DOUBLE - s0::DOUBLE * s2::DOUBLE / n::DOUBLE,
+                       p00::DOUBLE - s0::DOUBLE * s0::DOUBLE / n::DOUBLE,
+                       p22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE FROM m
+                UNION ALL
+                SELECT 'l_quantity', 'l_tax', n,
+                       p03::DOUBLE - s0::DOUBLE * s3::DOUBLE / n::DOUBLE,
+                       p00::DOUBLE - s0::DOUBLE * s0::DOUBLE / n::DOUBLE,
+                       p33::DOUBLE - s3::DOUBLE * s3::DOUBLE / n::DOUBLE FROM m
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_discount', n,
+                       p12::DOUBLE - s1::DOUBLE * s2::DOUBLE / n::DOUBLE,
+                       p11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE,
+                       p22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE FROM m
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_tax', n,
+                       p13::DOUBLE - s1::DOUBLE * s3::DOUBLE / n::DOUBLE,
+                       p11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE,
+                       p33::DOUBLE - s3::DOUBLE * s3::DOUBLE / n::DOUBLE FROM m
+                UNION ALL
+                SELECT 'l_discount', 'l_tax', n,
+                       p23::DOUBLE - s2::DOUBLE * s3::DOUBLE / n::DOUBLE,
+                       p22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE,
+                       p33::DOUBLE - s3::DOUBLE * s3::DOUBLE / n::DOUBLE FROM m
+            )
+            SELECT col_a, col_b, n,
+                   ROUND(CASE WHEN vi > 0 AND vj > 0
+                              THEN cov / SQRT(vi * vj) END, 6) AS corr
+            FROM pairs ORDER BY col_a, col_b
+        """
+    sql["source_fightin_words"] = """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents WHERE trim(text) != ''
+            ),
+            gc AS (SELECT source, tok, COUNT(*)::BIGINT AS gcnt FROM toks GROUP BY 1, 2),
+            cc AS (SELECT tok, SUM(gcnt)::BIGINT AS ccnt FROM gc GROUP BY 1),
+            gt AS (SELECT source, SUM(gcnt)::BIGINT AS gtot FROM gc GROUP BY 1),
+            ct AS (SELECT SUM(ccnt)::BIGINT AS ctot FROM cc),
+            scored AS (
+                SELECT gc.source, gc.tok AS term, gcnt AS count,
+                       ROUND((LN((gcnt::DOUBLE + CAST(0.01 AS DOUBLE) * ccnt::DOUBLE)
+                                 / (gtot::DOUBLE + CAST(0.01 AS DOUBLE) * ctot::DOUBLE - gcnt::DOUBLE - CAST(0.01 AS DOUBLE) * ccnt::DOUBLE))
+                              - LN((ccnt::DOUBLE - gcnt::DOUBLE + CAST(0.01 AS DOUBLE) * ccnt::DOUBLE)
+                                   / (ctot::DOUBLE - gtot::DOUBLE + CAST(0.01 AS DOUBLE) * ctot::DOUBLE - ccnt::DOUBLE + gcnt::DOUBLE - CAST(0.01 AS DOUBLE) * ccnt::DOUBLE)))
+                             / SQRT(1.0 / (gcnt::DOUBLE + CAST(0.01 AS DOUBLE) * ccnt::DOUBLE)
+                                    + 1.0 / (ccnt::DOUBLE - gcnt::DOUBLE + CAST(0.01 AS DOUBLE) * ccnt::DOUBLE)), 6) AS z_score
+                FROM gc JOIN cc USING (tok) JOIN gt USING (source) CROSS JOIN ct
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY z_score DESC, term ASC) AS rn
+                FROM scored
+            )
+            SELECT source, term, count, z_score
+            FROM ranked WHERE rn <= 5
+            ORDER BY source, z_score DESC, term
         """
     return sql

@@ -328,6 +328,8 @@ BENCH_QUERIES = [
     "dp_value_median",
     "lineitem_simpsons_screen",
     "grouped_kfold_balance",
+    "lineitem_corr_matrix",
+    "source_fightin_words",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -444,6 +446,7 @@ BENCH_FAMILIES = {
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
         "chi2_source_lang", "rank_agreement", "rank_rbo_top50", "source_length_gini",
         "bpe_roundtrip", "textrank_keywords", "substring_index_search",
+        "source_fightin_words",
         "source_lang_ari", "pr_auc_planted", "map_mrr_retrieval",
         "score_brier_logloss", "source_tv_distance", "doc_fog_smog",
         "crawl_capture_recapture", "source_mean_shrinkage",
@@ -548,6 +551,7 @@ BENCH_FAMILIES = {
         "dp_value_median",
         "lineitem_simpsons_screen",
         "grouped_kfold_balance",
+        "lineitem_corr_matrix",
     ],
     "sketch": [
         "ams_f2_orders",

@@ -519,3 +519,19 @@ def test_permutation_entropy_monotone_vs_alternating(spark):
     assert r2.perm_entropy == pytest.approx(
         math.log(2) / math.log(6), abs=1e-6
     )
+
+
+def test_correlation_matrix_known_structure(spark):
+    """y = 2x exactly -> corr 1; z anti-correlates; constant w -> NULL."""
+    from valentinus_spark.operators import correlation_matrix
+
+    rows = [(float(i), 2.0 * i, 10.0 - i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["x", "y", "z", "w"])
+    out = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert out[("x", "y")] == pytest.approx(1.0, abs=1e-6)
+    assert out[("x", "z")] == pytest.approx(-1.0, abs=1e-6)
+    assert out[("x", "w")] is None
+    assert len(out) == 6

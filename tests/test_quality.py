@@ -574,3 +574,21 @@ def test_fog_smog_empty_doc_dropped(spark):
     rows = fog_smog_readability(df).collect()
     assert [r.doc_id for r in rows] == [2]
     assert rows[0].n_complex == 0
+
+
+def test_fightin_words_separates_planted_vocab(spark):
+    """Group a over-uses 'alpha', group b over-uses 'beta' on a shared
+    background: each group's top distinctive term is its planted one,
+    with positive z."""
+    from valentinus_spark.operators import fightin_words
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = (
+        [("a", f"{shared} alpha alpha alpha")] * 10
+        + [("b", f"{shared} beta beta beta")] * 10
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = fightin_words(df, "source", "text", top_k=1).collect()
+    top = {r.source: (r.term, r.z_score) for r in out}
+    assert top["a"][0] == "alpha" and top["a"][1] > 2
+    assert top["b"][0] == "beta" and top["b"][1] > 2

@@ -1637,3 +1637,73 @@ def permutation_entropy(
         F.coalesce("n_patterns", F.lit(0)).alias("n_patterns"),
         F.round(h, 6).alias("perm_entropy"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Pairwise Pearson correlation panel over numeric columns in ONE
+    corpus scan — the first look at any new table's numeric structure
+    (which features are redundant, which move together), and the input
+    a feature-pruning pass actually wants:
+
+        r_xy = (Σxy − ΣxΣy/n) / √[(Σx²−(Σx)²/n)(Σy²−(Σy)²/n)]
+
+    Returns one row per unordered pair: (``col_a``, ``col_b``, ``n``,
+    ``corr``) rounded to 6, ordered by (col_a, col_b) — corr NULL when
+    either variance is degenerate. Rows with a NULL in ANY panel
+    column drop (listwise — one shared n keeps the matrix consistent).
+
+    Determinism: every moment (Σx, Σx², Σxy for all pairs)
+    accumulates as exact DECIMAL in a single aggregate; each r is one
+    pinned double formula.
+
+    Scale shape: ONE map-side-combined aggregate emitting
+    k + k(k+1)/2 sums; everything after is a k²-sized local fold. The
+    corpus is scanned once regardless of pair count.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least 2 columns")
+    cond = None
+    for c in cols:
+        cnd = F.col(c).isNotNull()
+        cond = cnd if cond is None else (cond & cnd)
+    base = df.filter(cond).select(
+        *[F.col(c).cast("decimal(17,4)").alias(f"_c{i}") for i, c in enumerate(cols)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(cols)):
+        aggs.append(
+            F.sum(F.col(f"_c{i}").cast("decimal(38,8)")).alias(f"_s{i}")
+        )
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(
+                    (F.col(f"_c{i}") * F.col(f"_c{j}")).cast("decimal(38,8)")
+                ).alias(f"_p{i}_{j}")
+            )
+    m = base.agg(*aggs)
+    rows = []
+    nn = F.col("n").cast("double")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            si = F.col(f"_s{i}").cast("double")
+            sj = F.col(f"_s{j}").cast("double")
+            cov = F.col(f"_p{i}_{j}").cast("double") - si * sj / nn
+            vi = F.col(f"_p{i}_{i}").cast("double") - si * si / nn
+            vj = F.col(f"_p{j}_{j}").cast("double") - sj * sj / nn
+            r = F.when((vi > 0) & (vj > 0), cov / F.sqrt(vi * vj))
+            rows.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    F.col("n").alias("n"),
+                    F.round(r, 6).alias("corr"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*rows)).alias("_r"))
+        .select("_r.col_a", "_r.col_b", "_r.n", "_r.corr")
+        .orderBy("col_a", "col_b")
+    )
