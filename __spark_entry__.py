@@ -7001,6 +7001,30 @@ def q_source_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fightin_words(docs, "source", "text", alpha=0.01, top_k=5)
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × age cumulative LTV (operators/funnel.py::cohort_ltv,
+    offsets 0..14) over event values — the revenue twin of
+    cohort_retention: what has a cohort member been worth by day k.
+    Dense offset spine (quiet days carry the running value), DECIMAL
+    cumulative sums."""
+    from valentinus_spark.operators.funnel import cohort_ltv
+
+    ev = _events(spark, sf_dir).select("user_id", "ts_us", "value")
+    return cohort_ltv(ev, max_offset=14)
+
+
+def q_revenue_decile_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve revenue deciles (operators/profile.py::
+    decile_concentration): customers ranked by total order value into
+    10 exact NTILE buckets with per-tile and cumulative revenue shares
+    — the actionable table behind source_length_gini's one number.
+    DECIMAL tile sums; deterministic (value DESC, key ASC) tiling."""
+    from valentinus_spark.operators.profile import decile_concentration
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return decile_concentration(orders, "o_custkey", "o_totalprice", n_tiles=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -7147,6 +7171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_kfold_balance": q_grouped_kfold_balance,
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
         "source_fightin_words": q_source_fightin_words,
+        "cohort_ltv": q_cohort_ltv,
+        "revenue_decile_curve": q_revenue_decile_curve,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -15097,5 +15123,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, term, count, z_score
             FROM ranked WHERE rn <= 5
             ORDER BY source, z_score DESC, term
+        """
+    sql["cohort_ltv"] = """
+            WITH base AS MATERIALIZED (
+                SELECT user_id,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(value AS DECIMAL(18,2)) AS v
+                FROM events
+            ),
+            first AS (
+                SELECT user_id, MIN(day) AS cohort_day FROM base GROUP BY 1
+            ),
+            sizes AS (
+                SELECT cohort_day, COUNT(*)::BIGINT AS cohort_size
+                FROM first GROUP BY 1
+            ),
+            daily AS (
+                SELECT f.cohort_day, b.day - f.cohort_day AS day_offset,
+                       CAST(SUM(v) AS DECIMAL(28,2)) AS dv
+                FROM base b JOIN first f USING (user_id)
+                WHERE b.day - f.cohort_day <= 14
+                GROUP BY 1, 2
+            ),
+            spine AS (
+                SELECT cohort_day, cohort_size, UNNEST(range(0, 15)) AS day_offset
+                FROM sizes
+            ),
+            dense AS (
+                SELECT s.cohort_day, s.day_offset, s.cohort_size,
+                       COALESCE(d.dv, CAST(0 AS DECIMAL(28,2))) AS dv
+                FROM spine s LEFT JOIN daily d
+                  ON s.cohort_day = d.cohort_day AND s.day_offset = d.day_offset
+            ),
+            cum AS (
+                SELECT cohort_day, day_offset, cohort_size,
+                       CAST(SUM(dv) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                                          ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS c
+                FROM dense
+            )
+            SELECT cohort_day, day_offset, cohort_size,
+                   ROUND(c::DOUBLE, 2) AS cum_value,
+                   ROUND(c::DOUBLE / cohort_size::DOUBLE, 6) AS ltv_per_user
+            FROM cum ORDER BY cohort_day, day_offset
+        """
+    sql["revenue_decile_curve"] = """
+            WITH per AS MATERIALIZED (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS v
+                FROM orders WHERE o_custkey IS NOT NULL
+                GROUP BY o_custkey
+            ),
+            tiled AS (
+                SELECT NTILE(10) OVER (ORDER BY v DESC, o_custkey ASC) AS tile, v
+                FROM per
+            ),
+            agg AS (
+                SELECT tile, COUNT(*)::BIGINT AS n_units,
+                       CAST(SUM(v) AS DECIMAL(38,2)) AS tv
+                FROM tiled GROUP BY tile
+            ),
+            tot AS (SELECT CAST(SUM(tv) AS DECIMAL(38,2)) AS t FROM agg),
+            cum AS (
+                SELECT tile, n_units, tv,
+                       CAST(SUM(tv) OVER (ORDER BY tile ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS ctv
+                FROM agg
+            )
+            SELECT tile, n_units,
+                   ROUND(tv::DOUBLE, 2) AS tile_value,
+                   ROUND(CASE WHEN t <> 0 THEN tv::DOUBLE / t::DOUBLE END, 6) AS value_share,
+                   ROUND(CASE WHEN t <> 0 THEN ctv::DOUBLE / t::DOUBLE END, 6) AS cum_share
+            FROM cum, tot ORDER BY tile
         """
     return sql

@@ -330,6 +330,8 @@ BENCH_QUERIES = [
     "grouped_kfold_balance",
     "lineitem_corr_matrix",
     "source_fightin_words",
+    "cohort_ltv",
+    "revenue_decile_curve",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -552,6 +554,8 @@ BENCH_FAMILIES = {
         "lineitem_simpsons_screen",
         "grouped_kfold_balance",
         "lineitem_corr_matrix",
+        "cohort_ltv",
+        "revenue_decile_curve",
     ],
     "sketch": [
         "ams_f2_orders",

@@ -201,3 +201,40 @@ def test_activity_streaks_tie_breaks_earliest_start(spark):
     r = activity_streaks(df, top_n=5).collect()[0]
     assert r.longest_streak == 2 and r.n_streaks == 2
     assert r.streak_start == datetime.date(2024, 2, 1)
+
+
+def test_cohort_ltv_dense_spine_and_cumulative(spark):
+    """Two users in one cohort, values on days 0 and 2 only: the dense
+    spine carries day 1 forward; ltv divides by cohort size."""
+    from valentinus_spark.operators import cohort_ltv
+
+    day = 86_400_000_000
+    rows = [
+        (1, 0 * day, 10.0), (2, 0 * day + 5, 20.0),
+        (1, 2 * day, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    out = {
+        (r.cohort_day, r.day_offset): r
+        for r in cohort_ltv(df, max_offset=3).collect()
+    }
+    assert out[(0, 0)].cum_value == 30.0 and out[(0, 0)].cohort_size == 2
+    assert out[(0, 1)].cum_value == 30.0  # quiet day carries forward
+    assert out[(0, 2)].cum_value == 36.0
+    assert out[(0, 2)].ltv_per_user == 18.0
+    assert len(out) == 4  # offsets 0..3 for one cohort
+
+
+def test_revenue_decile_curve_concentration(spark):
+    """One whale among 20 units: tile 1 holds the whale; shares sum to
+    1; cum_share is monotone."""
+    from valentinus_spark.operators import decile_concentration
+
+    rows = [(0, 1000.0)] + [(i, 10.0) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "u long, v double")
+    out = decile_concentration(df, "u", "v", n_tiles=10).collect()
+    assert len(out) == 10 and all(r.n_units == 2 for r in out)
+    assert out[0].value_share > 0.8
+    assert out[-1].cum_share == pytest.approx(1.0, abs=1e-6)
+    shares = [r.cum_share for r in out]
+    assert shares == sorted(shares)

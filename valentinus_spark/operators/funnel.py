@@ -552,3 +552,90 @@ def activity_streaks(
         .orderBy(F.desc("longest_streak"), F.asc("user"))
         .limit(top_n)
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    day_us: int = 86_400_000_000,
+    max_offset: int = 30,
+) -> DataFrame:
+    """Cohort × age cumulative lifetime value: users grouped by first
+    active day; each later age reports the cohort's CUMULATIVE value
+    per cohort member so far — the revenue twin of
+    :func:`cohort_retention` (retention asks "did they come back";
+    LTV asks "what have they been worth by day k", the number an
+    acquisition-spend decision compares against CAC). Output:
+    (``cohort_day``, ``day_offset``, ``cohort_size``, ``cum_value``,
+    ``ltv_per_user``) for offsets 0..max_offset, cumulative over a
+    DENSE offset spine (quiet days carry the running value forward),
+    values rounded to 2/6.
+
+    Determinism: day indexes by integer division (the
+    cohort_retention convention); daily sums and the running
+    cumulative accumulate in DECIMAL; one division per row.
+
+    Scale shape: one (user-day aggregated) corpus scan, a user-keyed
+    cohort join, a (cohort, offset) aggregate, then a cumulative
+    window over the COHORT-SIZED dense spine (cohorts × offsets rows).
+    """
+    from pyspark.sql import Window
+
+    base = ensure_parallelism(events).select(
+        user_col,
+        F.expr(f"{ts_col} div {day_us}").alias("_day"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    )
+    first = base.groupBy(user_col).agg(F.min("_day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    daily = (
+        base.join(first, user_col)
+        .select(
+            "cohort_day",
+            (F.col("_day") - F.col("cohort_day")).alias("day_offset"),
+            "_v",
+        )
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.sum("_v").cast("decimal(28,2)").alias("_dv"))
+    )
+    spine = sizes.select(
+        "cohort_day",
+        "cohort_size",
+        F.explode(F.sequence(F.lit(0), F.lit(int(max_offset)))).alias(
+            "day_offset"
+        ),
+    )
+    dense = spine.join(daily, ["cohort_day", "day_offset"], "left").select(
+        "cohort_day",
+        "day_offset",
+        "cohort_size",
+        F.coalesce(
+            F.col("_dv"), F.lit(0).cast("decimal(28,2)")
+        ).alias("_dv"),
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = dense.select(
+        "cohort_day",
+        "day_offset",
+        "cohort_size",
+        F.sum("_dv").over(w).cast("decimal(38,2)").alias("_cum"),
+    )
+    return out.select(
+        "cohort_day",
+        "day_offset",
+        "cohort_size",
+        F.round(F.col("_cum").cast("double"), 2).alias("cum_value"),
+        F.round(
+            F.col("_cum").cast("double") / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("ltv_per_user"),
+    ).orderBy("cohort_day", "day_offset")

@@ -1707,3 +1707,75 @@ def correlation_matrix(
         .select("_r.col_a", "_r.col_b", "_r.n", "_r.corr")
         .orderBy("col_a", "col_b")
     )
+
+
+def decile_concentration(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Lorenz-curve deciles: units ranked by total value, bucketed into
+    ``n_tiles`` equal-count tiles, each reporting its share of the
+    total — "the top decile of users is X % of revenue", the
+    actionable readout behind :func:`gini_coefficient`'s one number
+    (same curve, kept as a table). Tiles are exact NTILE buckets on
+    (value DESC, unit ASC) — deterministic under ties.
+
+    Output per tile: (``tile``, ``n_units``, ``tile_value``,
+    ``value_share``, ``cum_share``) with tile 1 = top; shares rounded
+    to 6.
+
+    Determinism: per-unit totals and tile sums accumulate in DECIMAL;
+    NTILE over an exact total ordering; the cumulative share is a
+    DECIMAL running sum divided once.
+
+    Scale shape: one unit-keyed aggregate (the corpus shuffle), one
+    ordered window over UNITS (the unavoidable rank — units, not raw
+    rows), tile-sized folds.
+    """
+    from pyspark.sql import Window
+
+    per = (
+        df.filter(F.col(unit_col).isNotNull())
+        .groupBy(unit_col)
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("_v")
+        )
+    )
+    w = Window.orderBy(F.desc("_v"), F.asc(unit_col))
+    tiled = per.select(
+        F.ntile(n_tiles).over(w).alias("tile"),
+        "_v",
+    )
+    agg = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("_v").cast("decimal(38,2)").alias("_tv"),
+    )
+    tot = agg.agg(F.sum("_tv").cast("decimal(38,2)").alias("_tot"))
+    wc = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = agg.crossJoin(F.broadcast(tot)).select(
+        "tile",
+        "n_units",
+        F.round(F.col("_tv").cast("double"), 2).alias("tile_value"),
+        F.round(
+            F.when(
+                F.col("_tot") != 0,
+                F.col("_tv").cast("double") / F.col("_tot").cast("double"),
+            ),
+            6,
+        ).alias("value_share"),
+        F.round(
+            F.when(
+                F.col("_tot") != 0,
+                F.sum("_tv").over(wc).cast("double")
+                / F.col("_tot").cast("double"),
+            ),
+            6,
+        ).alias("cum_share"),
+    )
+    return out.orderBy("tile")
