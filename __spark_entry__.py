@@ -7025,6 +7025,22 @@ def q_revenue_decile_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decile_concentration(orders, "o_custkey", "o_totalprice", n_tiles=10)
 
 
+def q_bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified BM25F top-10 (operators/text_search.py::bm25f_topk,
+    Robertson-Zaragoza-Taylor 2004) for the bm25_search term bag over
+    title/body pseudo-fields (first 120 chars = title at weight 2,
+    per-field length normalization) — the field-weighted ranking next
+    to the flat BM25 row, so the two orderings are directly
+    comparable. 9-dp DECIMAL per-term score sums."""
+    from valentinus_spark.operators.text_search import bm25f_topk
+
+    return bm25f_topk(
+        _t(spark, sf_dir, "documents"),
+        terms=["data", "query", "stream"],
+        k=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -7173,6 +7189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_fightin_words": q_source_fightin_words,
         "cohort_ltv": q_cohort_ltv,
         "revenue_decile_curve": q_revenue_decile_curve,
+        "bm25f_search": q_bm25f_search,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -15193,5 +15210,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN t <> 0 THEN tv::DOUBLE / t::DOUBLE END, 6) AS value_share,
                    ROUND(CASE WHEN t <> 0 THEN ctv::DOUBLE / t::DOUBLE END, 6) AS cum_share
             FROM cum, tot ORDER BY tile
+        """
+    sql["bm25f_search"] = """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(substr(text, 1, 120)), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS wt,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(substr(text, 121, 1073741824)), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS wb
+                FROM documents WHERE trim(text) <> ''
+            ),
+            lens AS (SELECT doc_id, len(wt)::BIGINT AS dlt, len(wb)::BIGINT AS dlb FROM toks),
+            stats AS (
+                SELECT COUNT(*)::BIGINT AS n_docs,
+                       AVG(dlt) AS avgt, AVG(dlb) AS avgb
+                FROM lens
+            ),
+            terms AS (SELECT unnest(['data', 'query', 'stream']) AS term),
+            tf AS (
+                SELECT t.doc_id, terms.term, l.dlt, l.dlb,
+                       len(list_filter(wt, x -> x = terms.term))::BIGINT AS tft,
+                       len(list_filter(wb, x -> x = terms.term))::BIGINT AS tfb
+                FROM toks t JOIN lens l USING (doc_id) CROSS JOIN terms
+            ),
+            hits AS (SELECT * FROM tf WHERE tft > 0 OR tfb > 0),
+            dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM hits GROUP BY term),
+            scored AS (
+                SELECT h.doc_id,
+                       CAST(ROUND(
+                           LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * (2.0 * h.tft::DOUBLE / (CASE WHEN s.avgt > 0 THEN (1.0 - 0.75) + 0.75 * h.dlt::DOUBLE / s.avgt ELSE 1.0 END)
+                              + h.tfb::DOUBLE / (CASE WHEN s.avgb > 0 THEN (1.0 - 0.75) + 0.75 * h.dlb::DOUBLE / s.avgb ELSE 1.0 END))
+                           / (1.2 + (2.0 * h.tft::DOUBLE / (CASE WHEN s.avgt > 0 THEN (1.0 - 0.75) + 0.75 * h.dlt::DOUBLE / s.avgt ELSE 1.0 END)
+                                     + h.tfb::DOUBLE / (CASE WHEN s.avgb > 0 THEN (1.0 - 0.75) + 0.75 * h.dlb::DOUBLE / s.avgb ELSE 1.0 END))), 9)
+                       AS DECIMAL(28,9)) AS ts
+                FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s
+            )
+            SELECT doc_id, ROUND(CAST(SUM(ts) AS DOUBLE), 6) AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
         """
     return sql

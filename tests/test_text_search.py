@@ -521,3 +521,39 @@ def test_texttiling_short_docs_produce_no_rows(spark):
 
     df = spark.createDataFrame([(1, "only a few tokens here")], ["doc_id", "text"])
     assert texttiling_boundaries(df, block_tokens=20).count() == 0
+
+
+def test_bm25f_title_hits_outrank_body_hits(spark):
+    """Same tf, but one doc's hits are in the title (first 120 chars):
+    the title doc must outrank the body doc at weight 2."""
+    from valentinus_spark.operators.text_search import bm25f_topk
+
+    pad = "filler words here " * 10  # pushes later text past 120 chars
+    rows = [
+        (1, "data data relevant title " + pad + " nothing else"),
+        (2, pad + " data data buried deep in the body text"),
+        (3, pad + " completely unrelated content"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25f_topk(df, terms=["data"], k=3)
+    rows_out = out.collect()
+    assert rows_out[0].doc_id == 1
+    assert rows_out[0].score > rows_out[1].score
+    assert all(r.doc_id != 3 for r in rows_out)
+
+
+def test_bm25f_matches_flat_bm25_when_weight_one_single_field(spark):
+    """With title_chars=0 every token is body: bm25f degenerates to a
+    single-field BM25 and must produce the same ranking as bm25_topk."""
+    from valentinus_spark.operators.text_search import bm25_topk, bm25f_topk
+
+    rows = [(i, f"data point {'data ' * (i % 4)} end") for i in range(1, 12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flat = [r.doc_id for r in bm25_topk(df, terms=["data"], k=5).collect()]
+    f = [
+        r.doc_id
+        for r in bm25f_topk(
+            df, terms=["data"], k=5, title_chars=0, title_weight=2.0
+        ).collect()
+    ]
+    assert f == flat

@@ -960,3 +960,104 @@ def texttiling_boundaries(
         )
         .orderBy(id_col, "gap")
     )
+
+
+def bm25f_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    title_chars: int = 120,
+    title_weight: float = 2.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k by simplified BM25F (Robertson-Zaragoza-Taylor 2004) over
+    two pseudo-fields — title (the first ``title_chars`` characters)
+    and body — the field-weighted upgrade of :func:`bm25_topk`: a hit
+    in the title is worth ``title_weight``× a body hit, with PER-FIELD
+    length normalization (the part naive field-concatenation-with-
+    boosts gets wrong):
+
+        x̃(d,t) = Σ_f w_f · tf_f / B_f,
+        B_f = (1 − b) + b·len_f/avglen_f,
+        score = Σ_t idf(t) · x̃ / (k1 + x̃)
+
+    idf is document-level (a doc counts once however many fields hit).
+    Returns (id, score) ordered (score DESC, id ASC), limited to k.
+
+    Determinism: the two-field x̃ is an explicit two-term expression
+    (fixed order); per-term scores are 9-dp-rounded and
+    DECIMAL-summed per doc, so term iteration order cannot reorder
+    the ranking; ties break on id.
+
+    Scale shape: same as bm25_topk — one tokenize scan per field
+    carried in a single projection, postings filtered to the query
+    terms BEFORE any shuffle, broadcast df/avg stats, top-k heap.
+    """
+    tl = F.substring(F.col(text_col), 1, title_chars)
+    bd = F.substring(F.col(text_col), title_chars + 1, 1 << 30)
+    toks = ensure_parallelism(
+        df.filter(F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(id_col).alias("_id"),
+        word_tokens(normalize_text(tl)).alias("_tt"),
+        word_tokens(normalize_text(bd)).alias("_tb"),
+    )
+    lens = toks.select(
+        "_id", F.size("_tt").alias("_dlt"), F.size("_tb").alias("_dlb")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("_dlt").alias("_avgt"),
+        F.avg("_dlb").alias("_avgb"),
+    )
+    tset = list(terms)
+    base = toks.select(
+        "_id",
+        F.size("_tt").alias("_dlt"),
+        F.size("_tb").alias("_dlb"),
+        F.filter("_tt", lambda x: x.isin(tset)).alias("_ht"),
+        F.filter("_tb", lambda x: x.isin(tset)).alias("_hb"),
+    ).filter((F.size("_ht") > 0) | (F.size("_hb") > 0))
+    tdf = base.sparkSession.createDataFrame([(t,) for t in tset], ["term"])
+    tf = base.join(F.broadcast(tdf)).select(
+        "_id",
+        "term",
+        "_dlt",
+        "_dlb",
+        F.size(F.filter("_ht", lambda x: x == F.col("term"))).alias("_tft"),
+        F.size(F.filter("_hb", lambda x: x == F.col("term"))).alias("_tfb"),
+    ).filter((F.col("_tft") > 0) | (F.col("_tfb") > 0))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    # a corpus-wide-empty field (avg length 0) would make dl/avg NaN;
+    # its tf is 0 everywhere, so pin its normalizer to 1 and the field
+    # contributes exactly 0
+    bt = F.when(
+        F.col("_avgt") > 0,
+        (1.0 - b) + b * F.col("_dlt").cast("double") / F.col("_avgt"),
+    ).otherwise(F.lit(1.0))
+    bb = F.when(
+        F.col("_avgb") > 0,
+        (1.0 - b) + b * F.col("_dlb").cast("double") / F.col("_avgb"),
+    ).otherwise(F.lit(1.0))
+    xt = (
+        F.lit(float(title_weight)) * F.col("_tft").cast("double") / bt
+        + F.col("_tfb").cast("double") / bb
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = F.round(idf * xt / (F.lit(float(k1)) + xt), 9).cast(
+        "decimal(28,9)"
+    )
+    return (
+        j.select("_id", term_score.alias("_ts"))
+        .groupBy("_id")
+        .agg(F.round(F.sum("_ts").cast("double"), 6).alias("score"))
+        .select(F.col("_id").alias(id_col), "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
