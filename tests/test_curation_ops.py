@@ -523,3 +523,32 @@ def test_dp_median_is_replayable_and_eps_sensitive(spark):
 
     with _pt.raises(ValueError):
         dp_median(df, "v", epsilon=0.0)
+
+
+def test_kfold_assign_grouped_and_stable(spark):
+    """Same key -> same fold everywhere (grouping is automatic when
+    keyed on the group column); folds stay stable when the corpus
+    grows; k<2 rejected."""
+    from valentinus_spark.functions.text import kfold_assign
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(100)], ["id", "g"]
+    )
+    tagged = df.select("g", kfold_assign(F.col("g"), k=5)).distinct()
+    # each of the 7 groups maps to exactly ONE fold
+    assert tagged.count() == 7
+    folds1 = {r.g: r.fold for r in tagged.collect()}
+
+    bigger = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(500)], ["id", "g"]
+    )
+    folds2 = {
+        r.g: r.fold
+        for r in bigger.select("g", kfold_assign(F.col("g"), k=5)).distinct().collect()
+    }
+    assert folds1 == folds2  # growth-stable
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kfold_assign(F.col("g"), k=1)
