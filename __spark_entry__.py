@@ -7041,6 +7041,27 @@ def q_bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains/lift deciles (operators/evaluation.py::
+    gain_lift_chart) for the roc_auc_planted classifier — the budgeted
+    review-queue readout (top-k% captures what share of positives, at
+    what multiple of random) completing the eval family next to
+    ROC/PR/Brier/calibration. Exact NTILE tiling on the 4-dp score
+    grid with doc_id tie-break."""
+    from valentinus_spark.operators.evaluation import gain_lift_chart
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 5 == 0).cast("int").alias("label"),
+        F.round(
+            ((F.col("doc_id") * 2654435761) % 1000) / 1000.0
+            + F.when(F.col("doc_id") % 5 == 0, 0.3).otherwise(0.0),
+            4,
+        ).alias("score"),
+    )
+    return gain_lift_chart(docs, "score", "label", "doc_id", n_tiles=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate checks only the
     # FIRST 50 entries, so the dict is insertion-ordered by audit
@@ -7190,6 +7211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "revenue_decile_curve": q_revenue_decile_curve,
         "bm25f_search": q_bm25f_search,
+        "score_gain_chart": q_score_gain_chart,
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -15248,5 +15270,35 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC
             LIMIT 10
+        """
+    sql["score_gain_chart"] = """
+            WITH scored AS (
+                SELECT doc_id AS id,
+                       CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS y,
+                       ROUND(((doc_id * 2654435761) % 1000) / 1000.0
+                             + CASE WHEN doc_id % 5 = 0 THEN 0.3 ELSE 0.0 END, 4) AS s
+                FROM documents
+            ),
+            tiled AS (
+                SELECT NTILE(10) OVER (ORDER BY s DESC, id ASC) AS tile, y
+                FROM scored
+            ),
+            agg AS (
+                SELECT tile, COUNT(*)::BIGINT AS n,
+                       COALESCE(SUM(y), 0)::BIGINT AS n_pos
+                FROM tiled GROUP BY tile
+            ),
+            cum AS (
+                SELECT tile, n, n_pos,
+                       CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos,
+                       CAST(SUM(n) OVER () AS BIGINT) AS tot,
+                       CAST(SUM(n_pos) OVER (ORDER BY tile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+                FROM agg
+            )
+            SELECT tile, n, n_pos,
+                   ROUND(CASE WHEN tot_pos > 0 THEN cum_pos::DOUBLE / tot_pos::DOUBLE END, 6) AS cum_recall,
+                   ROUND(CASE WHEN tot_pos > 0
+                              THEN (n_pos::DOUBLE / n::DOUBLE) / (tot_pos::DOUBLE / tot::DOUBLE) END, 6) AS lift
+            FROM cum ORDER BY tile
         """
     return sql

@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "cohort_ltv",
     "revenue_decile_curve",
     "bm25f_search",
+    "score_gain_chart",
 ]
 
 # The documented non-benched registry tail (VERDICT r6 item 7): three
@@ -449,7 +450,7 @@ BENCH_FAMILIES = {
         "doc_char_entropy", "source_heaps_law", "term_burstiness",
         "chi2_source_lang", "rank_agreement", "rank_rbo_top50", "source_length_gini",
         "bpe_roundtrip", "textrank_keywords", "substring_index_search",
-        "source_fightin_words", "bm25f_search",
+        "source_fightin_words", "bm25f_search", "score_gain_chart",
         "source_lang_ari", "pr_auc_planted", "map_mrr_retrieval",
         "score_brier_logloss", "source_tv_distance", "doc_fog_smog",
         "crawl_capture_recapture", "source_mean_shrinkage",

@@ -722,3 +722,28 @@ def test_brier_log_loss_clamps_hard_scores(spark):
     r = brier_log_loss(df, "p", "y").collect()[0]
     assert r.brier == pytest.approx(1.0, abs=1e-9)
     assert 30 < r.log_loss < 40
+
+
+def test_gain_lift_chart_perfect_ranker(spark):
+    """Positives all score above negatives, 20% base rate, 10 tiles:
+    tiles 1-2 capture everything (lift 5), the rest are empty of
+    positives."""
+    from valentinus_spark.operators import gain_lift_chart
+
+    rows = [(i, 1 if i < 20 else 0, 100.0 - i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "label", "score"])
+    out = {r.tile: r for r in gain_lift_chart(df, "score", "label", "id").collect()}
+    assert out[1].n_pos == 10 and out[2].n_pos == 10
+    assert out[2].cum_recall == pytest.approx(1.0, abs=1e-9)
+    assert out[1].lift == pytest.approx(5.0, abs=1e-9)
+    assert out[10].n_pos == 0 and out[10].cum_recall == pytest.approx(1.0, abs=1e-9)
+
+
+def test_gain_lift_no_positives_null(spark):
+    from valentinus_spark.operators import gain_lift_chart
+
+    df = spark.createDataFrame(
+        [(i, 0, float(i)) for i in range(20)], ["id", "label", "score"]
+    )
+    out = gain_lift_chart(df, "score", "label", "id").collect()
+    assert all(r.cum_recall is None and r.lift is None for r in out)

@@ -974,3 +974,73 @@ def brier_log_loss(
         F.round(F.when(F.col("n") > 0, F.col("_bs") / nn), 6).alias("brier"),
         F.round(F.when(F.col("n") > 0, F.col("_ls") / nn), 6).alias("log_loss"),
     )
+
+
+def gain_lift_chart(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table — the THIRD classifier readout
+    next to roc_auc (ranking quality) and average_precision
+    (imbalance-honest area): "if I act on the top k % by score, what
+    fraction of all positives do I capture, and at what multiple of
+    random?" — the number a budgeted review/labeling queue actually
+    allocates by. Tiles are exact NTILE buckets on (score DESC,
+    ``id_col`` ASC — deterministic under ties).
+
+    Returns per tile: (``tile``, ``n``, ``n_pos``, ``cum_recall``,
+    ``lift``) rounded to 6 — lift = tile positive rate / overall rate,
+    NULL when the corpus has no positives.
+
+    Determinism: integer counts throughout; two divisions per row.
+
+    Scale shape: one ordered window over the scored rows (evaluation
+    sets, not raw corpora — the average_precision caveat), two
+    tile-sized folds.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.orderBy(F.desc("_s"), F.asc("_id"))
+    tiled = base.select(F.ntile(n_tiles).over(w).alias("tile"), "_y")
+    agg = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("_y"), F.lit(0)).alias("n_pos"),
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wc = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = agg.select(
+        "tile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wt).alias("_tot_pos"),
+        F.sum("n").over(wt).alias("_tot"),
+        F.sum("n_pos").over(wc).alias("_cum_pos"),
+    )
+    recall = F.when(
+        F.col("_tot_pos") > 0,
+        F.col("_cum_pos").cast("double") / F.col("_tot_pos").cast("double"),
+    )
+    lift = F.when(
+        F.col("_tot_pos") > 0,
+        (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+        / (F.col("_tot_pos").cast("double") / F.col("_tot").cast("double")),
+    )
+    return out.select(
+        "tile",
+        "n",
+        "n_pos",
+        F.round(recall, 6).alias("cum_recall"),
+        F.round(lift, 6).alias("lift"),
+    ).orderBy("tile")
