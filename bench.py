@@ -32,7 +32,7 @@ import __spark_entry__ as entrymod
 from valentinus_spark.session import get_spark
 
 # Every registry query that runs a real computation over the sf tables
-# (283 of 320 as of round 7). The 37 exclusions are the three UNBENCHED
+# (285 of 322 as of round 7). The 37 exclusions are the three UNBENCHED
 # families below (streaming lifecycles, storage round-trips, planted
 # tiny fixtures) — each with a one-line justification, and the partition
 # BENCH_QUERIES + UNBENCHED == queries() is asserted at import. The
