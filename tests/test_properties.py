@@ -559,3 +559,75 @@ def test_winnow_guarantee_fuzz(spark, prefix_a, prefix_b, shared):
     a = {r.fp for r in fps if r.doc_id == 1}
     b = {r.fp for r in fps if r.doc_id == 2}
     assert a & b, "winnowing guarantee violated: shared block left no common fingerprint"
+
+
+# ---------------------------------------------------------------------------
+# skyline window plan vs brute-force dominance (randomized)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # price grid (ties!)
+            st.integers(min_value=0, max_value=8),   # size grid
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_2d_equals_brute_force_dominance(spark, pts):
+    """The sort-based window skyline must equal quadratic NOT-EXISTS
+    dominance on arbitrary tie-heavy inputs (the driver oracle proves
+    this per-fixture; hypothesis proves it across the input space)."""
+    from valentinus_spark.operators import skyline_2d
+
+    df = spark.createDataFrame(
+        [(float(p), s) for p, s in pts], ["price", "size"]
+    )
+    got = {(r.price, r.size) for r in skyline_2d(df, "price", "size").collect()}
+    uniq = {(float(p), s) for p, s in pts}
+    want = {
+        (p, s)
+        for (p, s) in uniq
+        if not any(
+            (q[0] <= p and q[1] >= s and (q[0] < p or q[1] > s))
+            for q in uniq
+        )
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_quantile_normalize_preserves_global_multiset_rank_bounds(spark, vals):
+    """Normalized values always come from the corpus value set, and a
+    group identical to the corpus maps every value to itself."""
+    from valentinus_spark.operators import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in vals], ["g", "v"]
+    )
+    out = quantile_normalize(df, "g", "v").collect()
+    corpus = sorted(float(v) for _, v in vals)
+    lo, hi = corpus[0], corpus[-1]
+    for r in out:
+        assert lo <= r.mean_normalized <= hi + 1e-9
