@@ -631,3 +631,98 @@ def test_quantile_normalize_preserves_global_multiset_rank_bounds(spark, vals):
     lo, hi = corpus[0], corpus[-1]
     for r in out:
         assert lo <= r.mean_normalized <= hi + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# iterative graph operators vs pure-python references (randomized)
+# ---------------------------------------------------------------------------
+
+
+def _py_ktruss(edges, k):
+    """Reference k-truss: iterate support-count + prune to fixpoint."""
+    cur = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        support = {
+            e: len(adj[e[0]] & adj[e[1]]) for e in cur
+        }
+        nxt = {e for e in cur if support[e] >= k - 2}
+        if nxt == cur:
+            return {e: support[e] for e in cur}
+        cur = nxt
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    und=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(min_value=3, max_value=5),
+)
+def test_k_truss_matches_python_fixpoint(spark, und, k):
+    from valentinus_spark.operators import k_truss
+
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.node_a, r.node_b): r.support for r in k_truss(df, k=k).collect()
+    }
+    want = _py_ktruss(und, k)
+    assert got == want
+
+
+def _py_bfs(edges, sources):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = d
+                    nxt.add(m)
+        frontier = nxt
+    return dist
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    und=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_bfs_distances_match_python_bfs(spark, und):
+    from valentinus_spark.operators import bfs_distances
+
+    src = und[0][0]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.dist for r in bfs_distances(df, [src], max_iters=20).collect()}
+    assert got == _py_bfs(und, [src])
