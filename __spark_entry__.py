@@ -14097,7 +14097,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM cells
             ),
             agg AS (
-                SELECT SUM(a + b)::BIGINT AS n,
+                SELECT COALESCE(SUM(a + b), 0)::BIGINT AS n,
                        COUNT(*)::BIGINT AS k,
                        MIN(CASE WHEN ok THEN 1 ELSE 0 END) AS okk,
                        CAST(SUM(CASE WHEN ok THEN CAST(ROUND((a::DOUBLE - ea) * (a::DOUBLE - ea) / ea + (b::DOUBLE - eb) * (b::DOUBLE - eb) / eb, 12) AS DECIMAL(28,12)) END) AS DOUBLE) AS chi2

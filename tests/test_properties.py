@@ -726,3 +726,125 @@ def test_bfs_distances_match_python_bfs(spark, und):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.node: r.dist for r in bfs_distances(df, [src], max_iters=20).collect()}
     assert got == _py_bfs(und, [src])
+
+
+# ---------------------------------------------------------------------------
+# nonparametric tests vs pure-python replicas (randomized)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=2, max_size=40
+    )
+)
+def test_runs_test_counts_match_python(spark, xs):
+    from valentinus_spark.operators import runs_test
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs)], ["t", "v"]
+    )
+    r = runs_test(df, "t", "v").collect()[0]
+    sv = sorted(xs)
+    n = len(sv)
+    med = (sv[(n + 1) // 2 - 1] + sv[n // 2]) / 2.0
+    signs = [1 if v > med else 0 for v in xs if v != med]
+    runs = sum(
+        1 for i, s in enumerate(signs) if i == 0 or signs[i - 1] != s
+    )
+    assert r.n_above == sum(signs)
+    assert r.n_below == len(signs) - sum(signs)
+    assert r.runs == runs
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=4,
+        max_size=50,
+    )
+)
+def test_moods_median_margins_match_python(spark, rows):
+    from valentinus_spark.operators import moods_median_test
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], ["g", "v"]
+    )
+    r = moods_median_test(df, "g", "v").collect()[0]
+    sv = sorted(v for _, v in rows)
+    n = len(sv)
+    med = (sv[(n + 1) // 2 - 1] + sv[n // 2]) / 2.0
+    kept = [(g, v) for g, v in rows if v != med]
+    assert r.n == len(kept)
+    # k counts groups that still have at least one off-median value
+    # (all-on-median groups vanish from the 2xk table entirely)
+    if kept:
+        assert r.k == len({g for g, _ in kept})
+    # chi2 replay when well-defined
+    groups = sorted({g for g, _ in kept})
+    if kept and r.chi2 is not None:
+        ta = sum(1 for _, v in kept if v > med)
+        tb = sum(1 for _, v in kept if v < med)
+        nn = ta + tb
+        chi2 = 0.0
+        for g in groups:
+            a = sum(1 for gg, v in kept if gg == g and v > med)
+            b = sum(1 for gg, v in kept if gg == g and v < med)
+            ea = (a + b) * ta / nn
+            eb = (a + b) * tb / nn
+            chi2 += round((a - ea) ** 2 / ea + (b - eb) ** 2 / eb, 12)
+        assert r.chi2 == pytest.approx(round(chi2, 6), abs=1e-6)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=200),  # id (may repeat; dedup below)
+            st.integers(min_value=0, max_value=5),    # score grid (ties!)
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_average_precision_matches_python_with_ties(spark, rows):
+    from valentinus_spark.operators import average_precision
+
+    uniq = {}
+    for i, s, y in rows:
+        uniq[i] = (float(s), 1 if y else 0)
+    data = [(i, s, y) for i, (s, y) in uniq.items()]
+    df = spark.createDataFrame(data, ["id", "score", "label"])
+    r = average_precision(df, "score", "label", "id").collect()[0]
+    ranked = sorted(data, key=lambda t: (-t[1], t[0]))
+    cum = 0
+    terms = []
+    for k, (_, _, y) in enumerate(ranked, start=1):
+        cum += y
+        if y:
+            terms.append(round(cum / k, 12))
+    n_pos = sum(y for _, _, y in data)
+    if n_pos == 0:
+        assert r.average_precision is None
+    else:
+        assert r.average_precision == pytest.approx(
+            round(sum(terms) / n_pos, 6), abs=1e-6
+        )

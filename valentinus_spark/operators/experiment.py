@@ -1472,7 +1472,7 @@ def moods_median_test(
         & ((F.col("_a") + F.col("_b")) > 0)
     )
     agg = cells.agg(
-        F.sum(F.col("_a") + F.col("_b")).alias("n"),
+        F.coalesce(F.sum(F.col("_a") + F.col("_b")), F.lit(0)).alias("n"),
         F.count(F.lit(1)).alias("k"),
         F.min(F.when(ok, 1).otherwise(0)).alias("_ok"),
         F.sum(F.when(ok, term)).cast("double").alias("_chi2"),
