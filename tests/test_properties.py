@@ -848,3 +848,97 @@ def test_average_precision_matches_python_with_ties(spark, rows):
         assert r.average_precision == pytest.approx(
             round(sum(terms) / n_pos, 6), abs=1e-6
         )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # block
+            st.integers(min_value=0, max_value=20),  # value grid
+        ),
+        min_size=3,
+        max_size=36,
+    )
+)
+def test_friedman_matches_python_tie_corrected(spark, vals):
+    """Blocks get one value per treatment t1..t3 (from consecutive
+    triples); python replay of the tie-corrected general form."""
+    from valentinus_spark.operators import friedman_test
+
+    rows = []
+    by_block = {}
+    for i in range(0, len(vals) - 2, 3):
+        b = i // 3
+        trip = [float(vals[i][1]), float(vals[i + 1][1]), float(vals[i + 2][1])]
+        by_block[b] = trip
+        for j, v in enumerate(trip):
+            rows.append((b, f"t{j}", v))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["b", "t", "v"])
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    # python: average ranks within each block
+    import collections
+
+    rj = collections.defaultdict(float)
+    sum_r2 = 0.0
+    for trip in by_block.values():
+        order = sorted(trip)
+        for j, v in enumerate(trip):
+            lo = order.index(v) + 1
+            hi = len(order) - order[::-1].index(v)
+            rank = (lo + hi) / 2.0
+            rj[j] += rank
+            sum_r2 += rank * rank
+    n, k = len(by_block), 3
+    num = (k - 1) * (sum(x * x for x in rj.values()) - n * n * k * (k + 1) ** 2 / 4.0)
+    den = sum_r2 - n * k * (k + 1) ** 2 / 4.0
+    assert r.n_blocks == n and r.k == k
+    if den > 0:
+        assert r.chi2 == pytest.approx(round(num / den, 6), abs=1e-6)
+    else:
+        assert r.chi2 is None
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.lists(
+                st.sampled_from(["x", "y", "z", "w", "q"]),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_source_tv_distance_matches_python(spark, docs):
+    from collections import Counter
+
+    from valentinus_spark.operators import source_tv_distance
+
+    rows = [(g, " ".join(ws)) for g, ws in docs]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {r.source: r for r in source_tv_distance(df).collect()}
+    corpus = Counter(w for _, ws in docs for w in ws)
+    ct = sum(corpus.values())
+    for g in {g for g, _ in docs}:
+        cg = Counter(w for gg, ws in docs if gg == g for w in ws)
+        gt = sum(cg.values())
+        tv = 0.5 * sum(
+            abs(cg.get(w, 0) / gt - c / ct) for w, c in corpus.items()
+        )
+        assert out[g].n_tokens == gt
+        assert out[g].tv_distance == pytest.approx(round(tv, 6), abs=1e-6)
