@@ -7072,69 +7072,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder. When adding a query, insert it BEFORE the stable-core
     # marker below and demote the oldest unchanged entries past it.
     return {
-        # ==== DRIVER WINDOW (first 50) — r7 rotation ====
-        # Composition per the r6 VERDICT "Next round" #1: (1) the named
-        # r6 holdover w1_value_drift at the head; (2) the 17 queries
-        # added during round 6 post-rotation (never driver-checked);
-        # (3) the 32 STALEST veterans — last driver-green in round 2
-        # (most first checked in round 1) and refactored since (quality
-        # -gate pushdown, minhash banding, media header rewrites).
-        # Every window entry is dev_compare-green at sf0.001/0.01/0.1.
-        "w1_value_drift": q_w1_value_drift,
-        # -- the 17 r6-era additions, never driver-checked --
-        "hits_purchase_graph": q_hits_purchase_graph,
-        "t_closeness_audit": q_t_closeness_audit,
-        "event_acf": q_event_acf,
-        "hll_rolling_actives": q_hll_rolling_actives,
-        "bloom_pruned_lookup": q_bloom_pruned_lookup,
-        "textrank_keywords": q_textrank_keywords,
-        "ab_msprt_monitor": q_ab_msprt_monitor,
-        "session_paths": q_session_paths,
-        "matryoshka_fidelity": q_matryoshka_fidelity,
-        "ppr_related_parts": q_ppr_related_parts,
-        "embedding_knn_outliers": q_embedding_knn_outliers,
-        "substring_index_search": q_substring_index_search,
-        "event_value_cusum": q_event_value_cusum,
-        "compression_quality_flags": q_compression_quality_flags,
-        "hll_rolling_stream": q_hll_rolling_stream,
-        "rank_rbo_top50": q_rank_rbo_top50,
-        "source_tail_index": q_source_tail_index,
-        # -- 32 stalest veterans (driver-green r2, code refactored since) --
-        "media_content_stats": q_media_content_stats,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "metadata_filter_eq": q_filter_eq,
-        "metadata_filter_range": q_filter_range,
-        "metadata_filter_in": q_filter_in,
-        "cosine_topk": q_cosine_topk,
-        "dot_topk_compat": q_dot_topk_compat,
-        "nearest_l2": q_nearest_l2,
-        "ann_brute_topk": q_ann_topk,
-        "dedup_exact": q_dedup_exact,
-        "neardup_embedding": q_neardup_embedding,
-        "neardup_embedding_lsh": q_neardup_embedding_lsh,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "text_stats": q_text_stats,
-        "lang_profile": q_lang_profile,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "brand_revenue": q_brand_revenue,
-        "events_windowed": q_events_windowed,
-        "events_sessionize": q_events_sessionize,
-        "dedup_keep": q_dedup_keep,
-        "bm25_search": q_bm25,
-        "lang_id_heuristic": q_lang_id,
-        "props_json_agg": q_props_json,
-        "revenue_rollup": q_revenue_rollup,
-        "segment_intersect": q_segment_intersect,
-        "customer_rank_window": q_customer_rank,
-        "regional_supply": q_regional_supply,
-        "events_windowed_stream": q_events_windowed_stream,
-        "asof_join_clicks": q_asof_clicks,
-        # ==== past the window ====
-        # r8 window head: the 13 remaining round-2-stale rows (the
-        # round-2 cohort had 45 rows; 32 fit in the r7 window above).
+        # ==== DRIVER WINDOW (first 50) — r8 rotation ====
+        # Composition per the r7 VERDICT "Next round" #1: (1) the 13
+        # remaining round-2-stale rows (12 stale veterans + the
+        # rows-only ivf_ann_topk; the judge re-verified all 13
+        # oracle/recall-green at sf0.01 on 2026-08-15); (2) the first
+        # 37 r7-era additions in insertion order — never
+        # driver-checked. Every window entry is dev_compare-green at
+        # sf0.001/0.01/0.1.
+        # -- 13 round-2-stale leftovers (last driver-green r2) --
         "range_join_incidents": q_range_join_incidents,
         "customers_no_big_order": q_customers_no_big_order,
         "order_cube": q_order_cube,
@@ -7148,8 +7094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_merge": q_events_rollup_merge,
         "small_qty_revenue": q_small_qty_revenue,
         "segment_except": q_segment_except,
-        # ---- new r7 additions (r8 window candidates, after the 13
-        # round-2 leftovers above) ----
+        # -- first 37 r7-era additions, never driver-checked --
         "event_trend_mk": q_event_trend_mk,
         "event_trend_theil": q_event_trend_theil,
         "event_page_hinkley": q_event_page_hinkley,
@@ -7187,6 +7132,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_page_trend": q_priority_page_trend,
         "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
         "bfs_planted": q_bfs_planted,
+        # ==== past the window ====
+        # TWO-ROUND ROTATION PLAN (r7 verdict #2): r8 caps registry
+        # growth at <= 10 new queries so the never-checked backlog
+        # drains. The r9 window = the 25 remaining r7-era
+        # never-checked rows below (ktruss_planted .. score_gain_chart)
+        # + the r8 additions block + round-3-cohort veterans to fill
+        # 50. That retires the backlog completely in r9.
+        # -- r9 head: 25 remaining r7-era never-checked --
         "ktruss_planted": q_ktruss_planted,
         "doc_fog_smog": q_doc_fog_smog,
         "crawl_capture_recapture": q_crawl_capture_recapture,
@@ -7212,6 +7165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_decile_curve": q_revenue_decile_curve,
         "bm25f_search": q_bm25f_search,
         "score_gain_chart": q_score_gain_chart,
+        # -- r8 additions (never driver-checked; r9 window) --
         # round-3 cohort (last driver-green r3), original order
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
@@ -7413,6 +7367,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_en_share_fdr": q_source_en_share_fdr,
         "user_purchase_mcnemar": q_user_purchase_mcnemar,
         "user_value_paired_t": q_user_value_paired_t,
+        # round-7 window (all 50 hash-green in CORRECTNESS_r07.json)
+        "w1_value_drift": q_w1_value_drift,
+        "hits_purchase_graph": q_hits_purchase_graph,
+        "t_closeness_audit": q_t_closeness_audit,
+        "event_acf": q_event_acf,
+        "hll_rolling_actives": q_hll_rolling_actives,
+        "bloom_pruned_lookup": q_bloom_pruned_lookup,
+        "textrank_keywords": q_textrank_keywords,
+        "ab_msprt_monitor": q_ab_msprt_monitor,
+        "session_paths": q_session_paths,
+        "matryoshka_fidelity": q_matryoshka_fidelity,
+        "ppr_related_parts": q_ppr_related_parts,
+        "embedding_knn_outliers": q_embedding_knn_outliers,
+        "substring_index_search": q_substring_index_search,
+        "event_value_cusum": q_event_value_cusum,
+        "compression_quality_flags": q_compression_quality_flags,
+        "hll_rolling_stream": q_hll_rolling_stream,
+        "rank_rbo_top50": q_rank_rbo_top50,
+        "source_tail_index": q_source_tail_index,
+        "media_content_stats": q_media_content_stats,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "metadata_filter_eq": q_filter_eq,
+        "metadata_filter_range": q_filter_range,
+        "metadata_filter_in": q_filter_in,
+        "cosine_topk": q_cosine_topk,
+        "dot_topk_compat": q_dot_topk_compat,
+        "nearest_l2": q_nearest_l2,
+        "ann_brute_topk": q_ann_topk,
+        "dedup_exact": q_dedup_exact,
+        "neardup_embedding": q_neardup_embedding,
+        "neardup_embedding_lsh": q_neardup_embedding_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_stats": q_text_stats,
+        "lang_profile": q_lang_profile,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "brand_revenue": q_brand_revenue,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "dedup_keep": q_dedup_keep,
+        "bm25_search": q_bm25,
+        "lang_id_heuristic": q_lang_id,
+        "props_json_agg": q_props_json,
+        "revenue_rollup": q_revenue_rollup,
+        "segment_intersect": q_segment_intersect,
+        "customer_rank_window": q_customer_rank,
+        "regional_supply": q_regional_supply,
+        "events_windowed_stream": q_events_windowed_stream,
+        "asof_join_clicks": q_asof_clicks,
     }
 
 

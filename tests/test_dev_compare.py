@@ -96,45 +96,48 @@ def test_all_committed_oracles_bind_clean(sf_dir):
     assert not dirty, f"uncast oracle columns (cast to BIGINT/DOUBLE): {dirty}"
 
 
-# The r6 VERDICT's "Next round" #1 window: head = the named r6
-# holdover w1_value_drift; then the 17 queries added during round 6
-# post-rotation (never driver-checked); then the 32 STALEST veterans
-# (last driver-green in round 2, most first checked in round 1, code
-# refactored since). 18 + 32 = 50 — no holdover this round. The window
-# contract is that these occupy the registry HEAD so an edit cannot
-# silently re-defer a never/stale-checked query.
-R7_WINDOW = [
-    "w1_value_drift",
-    # 17 r6-era additions, never driver-checked
-    "hits_purchase_graph", "t_closeness_audit", "event_acf",
-    "hll_rolling_actives", "bloom_pruned_lookup", "textrank_keywords",
-    "ab_msprt_monitor", "session_paths", "matryoshka_fidelity",
-    "ppr_related_parts", "embedding_knn_outliers",
-    "substring_index_search", "event_value_cusum",
-    "compression_quality_flags", "hll_rolling_stream", "rank_rbo_top50",
-    "source_tail_index",
-    # 32 stalest veterans (driver-green r2)
-    "media_content_stats", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_clusters_star", "metadata_filter_eq", "metadata_filter_range",
-    "metadata_filter_in", "cosine_topk", "dot_topk_compat", "nearest_l2",
-    "ann_brute_topk", "dedup_exact", "neardup_embedding",
-    "neardup_embedding_lsh", "ann_lsh_topk", "text_stats",
-    "lang_profile", "pricing_summary", "top_revenue_orders",
-    "brand_revenue", "events_windowed", "events_sessionize",
-    "dedup_keep", "bm25_search", "lang_id_heuristic", "props_json_agg",
-    "revenue_rollup", "segment_intersect", "customer_rank_window",
-    "regional_supply", "events_windowed_stream", "asof_join_clicks",
-]
-
-# The r8 window head: the 13 round-2-stale rows that did not fit in the
-# r7 window (the round-2 cohort had 45 rows for 32 slots). Pinned at
-# positions 51-63 so they cannot be silently re-deferred next rotation.
-R8_HEAD = [
+# The r7 VERDICT's "Next round" #1 window: the 13 round-2-stale
+# leftovers (12 stale veterans + rows-only ivf_ann_topk, all judge
+# re-verified green at sf0.01 on 2026-08-15) + the first 37 r7-era
+# additions in insertion order (never driver-checked). 13 + 37 = 50.
+# The window contract is that these occupy the registry HEAD so an
+# edit cannot silently re-defer a never/stale-checked query.
+R8_WINDOW = [
+    # 13 round-2-stale leftovers (last driver-green r2)
     "range_join_incidents", "customers_no_big_order", "order_cube",
     "event_value_quantiles", "ivf_ann_topk", "orders_heavy_semi",
     "customer_moving_sum", "brand_supplier_breadth",
     "user_totals_stateful_stream", "salted_part_join",
     "events_rollup_merge", "small_qty_revenue", "segment_except",
+    # first 37 r7-era additions, never driver-checked
+    "event_trend_mk", "event_trend_theil", "event_page_hinkley",
+    "event_holt_forecast", "source_stylometry", "source_good_turing",
+    "hll_user_overlap", "event_ewma_chart", "event_seasonal_decompose",
+    "value_kruskal", "user_type_cochran", "doc_rake_keywords",
+    "order_priority_trend", "source_js_divergence", "doc_texttiling",
+    "orders_fixed_width", "user_value_wilcoxon", "value_levene",
+    "user_type_cronbach", "source_lang_hhi", "daily_revenue_runs",
+    "user_value_sign_test", "value_mood_median", "user_type_friedman",
+    "source_lang_ari", "pr_auc_planted", "map_mrr_retrieval",
+    "score_brier_logloss", "parts_pareto_frontier", "ams_f2_orders",
+    "user_activity_streaks", "event_ljung_box",
+    "copurchase_jaccard_links", "source_tv_distance",
+    "priority_page_trend", "bloom_semijoin_revenue", "bfs_planted",
+]
+
+# The r9 window head: the 25 remaining r7-era never-checked rows.
+# Pinned at positions 51-75 so they cannot be silently re-deferred
+# next rotation (r8 additions slot in immediately after them).
+R9_HEAD = [
+    "ktruss_planted", "doc_fog_smog", "crawl_capture_recapture",
+    "source_mean_shrinkage", "media_phash_planted", "stream_dedup_docs",
+    "event_seasonal_mk", "source_quantile_normalize",
+    "event_holt_winters", "source_length_theil", "event_perm_entropy",
+    "bucketed_join_revenue", "dpp_partitioned_join",
+    "schema_evolution_read", "forecast_conformal", "dp_value_median",
+    "xml_roundtrip", "lineitem_simpsons_screen", "grouped_kfold_balance",
+    "lineitem_corr_matrix", "source_fightin_words", "cohort_ltv",
+    "revenue_decile_curve", "bm25f_search", "score_gain_chart",
 ]
 
 # Rows-only by design: non-deterministic internals make an exact SQL
@@ -145,11 +148,11 @@ ROWS_ONLY = {"rp_ann_topk", "ivf_ann_topk"}
 
 def test_driver_window_composition():
     """Pin the registry's FULL 50-entry window (the r2 judge found
-    failures had slid OUT of the driver's window unnoticed): the r6
-    holdover + the 17 never-checked r6 additions + the 32 stalest
-    round-2 veterans, with the 13 round-2 leftovers pinned at positions
-    51-63 as the r8 window head. Every window entry must be
-    oracle-backed unless documented rows-only."""
+    failures had slid OUT of the driver's window unnoticed): the 13
+    round-2-stale leftovers + the first 37 r7-era never-checked
+    additions, with the 25 remaining r7-era never-checked rows pinned
+    at positions 51-75 as the r9 window head. Every window entry must
+    be oracle-backed unless documented rows-only."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entrymod
 
@@ -157,13 +160,13 @@ def test_driver_window_composition():
     oracles = entrymod.oracle_sql()
     window = qs[:50]
     assert len(qs) == len(set(qs)), "duplicate registry keys"
-    assert window == R7_WINDOW, (
-        "r7 window drifted — a registry edit re-deferred a "
+    assert window == R8_WINDOW, (
+        "r8 window drifted — a registry edit re-deferred a "
         "never/stale-driver-checked query"
     )
-    assert qs[50:63] == R8_HEAD, (
-        "the 13 round-2-stale leftovers must sit at positions 51-63 "
-        "(head of the r8 window)"
+    assert qs[50:75] == R9_HEAD, (
+        "the 25 remaining r7-era never-checked rows must sit at "
+        "positions 51-75 (head of the r9 window)"
     )
     missing = [q for q in window if q not in oracles and q not in ROWS_ONLY]
     assert not missing, f"window entries without oracles: {missing}"
