@@ -14320,13 +14320,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey::VARCHAR AS k FROM orders
                 WHERE o_custkey IS NOT NULL
             ),
+            digests AS MATERIALIZED (
+                SELECT sha256('ams0:' || k) AS d FROM keys
+            ),
             signs AS (
                 SELECT j,
-                       SUM(CASE WHEN (('0x' || substr(sha256((j // 4)::VARCHAR || ':' || k),
-                                                      (1 + 15 * (j % 4))::INT, 15))::UBIGINT::BIGINT)
-                                     >= 576460752303423488
+                       SUM(CASE WHEN substr(d, j::INT + 1, 1) >= '8'
                                 THEN 1 ELSE -1 END)::BIGINT AS z
-                FROM keys CROSS JOIN range(64) t(j)
+                FROM digests CROSS JOIN range(64) t(j)
                 GROUP BY j
             ),
             nr AS (SELECT COUNT(*)::BIGINT AS n_rows FROM keys),

@@ -666,10 +666,14 @@ def ams_f2_estimate(
     raw keys every run, so the sketch's losslessness claim is
     re-proven, not assumed (the hll_daily_rollup convention).
 
-    Determinism: the ±1 signs come from the engine-portable sha256
-    hash (top bit of estimator j's 15-hex slice); counters and Z²
-    sums are exact BIGINT/DECIMAL; the median of means follows the
-    repo's exact-median convention (average of the two middles on the
+    Determinism: the ±1 signs come from ONE engine-portable sha256
+    digest per row — sign_j is the top bit of hex nibble j of
+    sha256('ams:' || key), so 64 estimators cost 64 nibble probes of a
+    single digest instead of 16 digests via :func:`_sha_slice` (the
+    r7-verdict 16× hashing cut; codegen CSE shares the digest across
+    all 64 CASE branches). Counters and Z² sums are exact
+    BIGINT/DECIMAL; the median of means follows the repo's
+    exact-median convention (average of the two middles on the
     decimal grid).
 
     Scale shape: ONE pass over the corpus emitting ``n_means ×
@@ -682,17 +686,30 @@ def ams_f2_estimate(
     base = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("_k")
     )
-    # sign_j(key) from the CM-sketch hash family: top bit of slice j
-    sums = base.agg(
-        F.count(F.lit(1)).alias("n_rows"),
+    # sign_j(key) = top bit of hex nibble j of ONE per-row digest
+    # (a hex char >= '8' has its 8-bit set; string compare on the
+    # lowercase hex alphabet orders exactly like the nibble value).
+    # The digests are projected BELOW the aggregate so each is hashed
+    # exactly once per row — the 64 sign probes are substr+compare on
+    # the shared column, not 64 aggregate-side sha2 expressions. A
+    # sha256 digest carries 64 nibbles; estimator counts beyond 64
+    # roll to further salted digests (never hit by the 8x8 default).
+    n_digests = (total + 63) // 64
+    hashed = base.select(
         *[
-            F.sum(
-                F.when(
-                    _sha_slice("_k", j) >= F.lit(1 << 59).cast("long"), 1
-                ).otherwise(-1)
-            ).alias(f"_z{j}")
-            for j in range(total)
-        ],
+            F.sha2(F.concat(F.lit(f"ams{i}:"), F.col("_k")), 256).alias(f"_d{i}")
+            for i in range(n_digests)
+        ]
+    )
+
+    def _sign(j: int) -> Column:
+        return F.when(
+            F.substring(f"_d{j // 64}", (j % 64) + 1, 1) >= "8", 1
+        ).otherwise(-1)
+
+    sums = hashed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(_sign(j)).alias(f"_z{j}") for j in range(total)],
     )
     # group means of Z^2 (exact integers -> decimal mean on the 1/per_mean grid)
     mean_cols = []
