@@ -525,6 +525,37 @@ def test_dp_median_is_replayable_and_eps_sensitive(spark):
         dp_median(df, "v", epsilon=0.0)
 
 
+def test_dp_median_data_independent_grid(spark):
+    """With public grid bounds the candidate support is the uniform
+    lo..hi grid, independent of which values the data holds (r7
+    ADVICE: the default's data-derived support leaks membership).
+    eps=2 on 1..100 data with a [0, 128] 129-step integer grid must
+    release a grid point near the median — and the released value must
+    be a GRID point, not necessarily a data value."""
+    from valentinus_spark.operators import dp_median
+
+    df = spark.createDataFrame(
+        [(float(v) + 0.25,) for v in range(1, 101)], ["v"]
+    )
+    r = dp_median(
+        df, "v", epsilon=2.0, grid_lo=0.0, grid_hi=128.0, grid_steps=129
+    ).collect()[0]
+    assert r.true_median == pytest.approx(50.75, abs=1e-9)
+    # grid points are integers; data values are x.25 — support is the grid
+    assert r.dp_median == int(r.dp_median)
+    assert abs(r.dp_median - 50.75) < 10
+    # replayable with the same salt
+    r2 = dp_median(
+        df, "v", epsilon=2.0, grid_lo=0.0, grid_hi=128.0, grid_steps=129
+    ).collect()[0]
+    assert r2.dp_median == r.dp_median
+
+    with pytest.raises(ValueError):
+        dp_median(df, "v", grid_lo=0.0)  # hi missing
+    with pytest.raises(ValueError):
+        dp_median(df, "v", grid_lo=5.0, grid_hi=1.0)
+
+
 def test_kfold_assign_grouped_and_stable(spark):
     """Same key -> same fold everywhere (grouping is automatic when
     keyed on the group column); folds stay stable when the corpus

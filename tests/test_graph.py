@@ -312,6 +312,25 @@ def test_bfs_distances_multi_source_and_unreachable(spark):
     assert 100 not in got and 101 not in got
 
 
+def test_bfs_distances_string_node_ids(spark):
+    """String node ids are first-class across the graph family
+    (k_core, label_propagation are type-agnostic); the seed frontier
+    must follow the edge list's id type instead of int()-casting
+    (r7 ADVICE: graph.py bfs_distances raised ValueError on 'a')."""
+    from valentinus_spark.operators import bfs_distances
+
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.dist for r in bfs_distances(df, ["a"]).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # int seeds against an int graph still work (no behavior change)
+    und2 = [(1, 2), (2, 3)]
+    df2 = spark.createDataFrame(und2 + [(b, a) for a, b in und2], ["src", "dst"])
+    got2 = {r.node: r.dist for r in bfs_distances(df2, [1]).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 2}
+
+
 def test_bfs_distances_max_iters_truncates(spark):
     from valentinus_spark.operators import bfs_distances
 

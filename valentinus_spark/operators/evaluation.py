@@ -47,6 +47,12 @@ __all__ = [
     "ndcg_at_k",
     "mutual_information",
     "rank_correlation",
+    "cronbach_alpha",
+    "adjusted_rand_index",
+    "average_precision",
+    "map_mrr",
+    "brier_log_loss",
+    "gain_lift_chart",
 ]
 
 

@@ -761,9 +761,13 @@ def bfs_distances(
     """
     e = ensure_parallelism(edges.select(src, dst)).localCheckpoint()
     spark = edges.sparkSession
-    frontier = spark.createDataFrame(
-        [(int(s),) for s in source_ids], ["node"]
-    ).distinct()
+    # seed node-id type follows the edge list (graphs with string ids
+    # are first-class everywhere else in this family — no int() cast)
+    frontier = (
+        spark.createDataFrame([(s,) for s in source_ids], ["node"])
+        .select(F.col("node").cast(e.schema[src].dataType).alias("node"))
+        .distinct()
+    )
     settled = frontier.select("node", F.lit(0).alias("dist")).localCheckpoint()
     frontier = settled.select("node")
     for it in range(1, max_iters + 1):

@@ -563,24 +563,29 @@ def dp_median(
     value_col: str,
     epsilon: float = 1.0,
     salt: str = "dpmed-v1",
+    grid_lo: float | None = None,
+    grid_hi: float | None = None,
+    grid_steps: int = 257,
 ) -> DataFrame:
-    """ε-DP median via the exponential mechanism (McSherry & Talwar
-    2007) — the DP release for ORDER statistics, where the geometric
-    mechanism of :func:`dp_group_counts` does not apply (a median's
-    sensitivity to one row is unbounded in value space; the
-    exponential mechanism scores CANDIDATES instead):
+    """Exponential-mechanism median (McSherry & Talwar 2007) — an
+    ε-ACCOUNTING DEMONSTRATION, not a deployable private release. Two
+    gaps separate it from a real DP deployment (r7 ADVICE): (1) the
+    selection draw is a deterministic sha256(salt) uniform so the
+    release replays for the oracle gate — actual DP needs fresh
+    physical randomness; (2) without ``grid_lo``/``grid_hi`` the
+    candidate domain is the data's own distinct values, so the output
+    SUPPORT is data-dependent and itself leaks membership. Pass
+    ``grid_lo``/``grid_hi`` (+ ``grid_steps``, default 257) to score a
+    data-INDEPENDENT uniform candidate grid — with public bounds that
+    closes gap (2); the mechanism then carries the textbook guarantee
+    modulo the replayable draw:
 
         u(v) = −| #(x < v) − n/2 |        (sensitivity 1)
         P(v) ∝ exp(ε·u(v)/2)
 
-    over the distinct-value candidate grid. The selection "draw" is a
-    single sha256(salt)-derived uniform, making the release replayable
-    (the dp_group_counts convention — for a real deployment the salt
-    must be secret; the mechanism and its ε-accounting are what this
-    operator implements). Returns ONE row: (``n``, ``true_median``,
-    ``dp_median``, ``epsilon``) — the true median is computed
-    alongside so the release's utility is visible to the auditor
-    holding the raw data.
+    Returns ONE row: (``n``, ``true_median``, ``dp_median``,
+    ``epsilon``) — the true median is computed alongside so the
+    release's utility is visible to the auditor holding the raw data.
 
     Determinism: ranks are exact BIGINTs on the DECIMAL(17,4) value
     grid; each candidate weight is 12-dp-rounded and DECIMAL-cumsummed
@@ -613,26 +618,69 @@ def dp_median(
         F.sum("_c").over(w).alias("_cum"),
         F.sum("_c").over(wall).alias("_n"),
     )
+    if (grid_lo is None) != (grid_hi is None):
+        raise ValueError("grid_lo and grid_hi must be given together")
+    if grid_lo is None:
+        # demonstration default: candidates = the data's own distinct
+        # values (data-dependent support — see the docstring caveat)
+        cand = cum
+    else:
+        if grid_steps < 2 or float(grid_hi) <= float(grid_lo):
+            raise ValueError(
+                f"need grid_steps >= 2 and grid_hi > grid_lo, got "
+                f"steps={grid_steps} lo={grid_lo} hi={grid_hi}"
+            )
+        # data-INDEPENDENT uniform candidate grid over public bounds;
+        # #(x < v) per candidate via a merge of the (value, count)
+        # aggregate with the grid: candidates sort BEFORE an equal
+        # data value (desc on the flag), so the running count at a
+        # candidate row is the strictly-below mass.
+        step = (float(grid_hi) - float(grid_lo)) / (grid_steps - 1)
+        cand_vals = (
+            df.sparkSession.range(grid_steps)
+            .select(
+                (F.lit(float(grid_lo)) + F.col("id") * F.lit(step))
+                .cast("decimal(17,4)")
+                .alias("_v")
+            )
+            .distinct()
+        )
+        un = grid.select("_v", "_c", F.lit(0).alias("_cand")).unionByName(
+            cand_vals.select(
+                "_v",
+                F.lit(0).cast("long").alias("_c"),
+                F.lit(1).alias("_cand"),
+            )
+        )
+        wu = Window.orderBy("_v", F.desc("_cand")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cand = un.select(
+            "_v",
+            "_cand",
+            F.sum("_c").over(wu).alias("_below"),
+            F.sum(F.when(F.col("_cand") == 0, F.col("_c")))
+            .over(wall)
+            .alias("_n"),
+        ).filter(F.col("_cand") == 1)
     util = -F.abs(
         F.col("_below").cast("double") - F.col("_n").cast("double") / 2.0
     )
     wgt = F.round(
         F.exp(F.lit(float(epsilon)) * util / 2.0), 12
     ).cast("decimal(28,12)")
-    scored = cum.select(
-        "_v", "_cum", "_n",
+    scored = cand.select(
+        "_v",
         wgt.alias("_w"),
     ).select(
         "_v",
-        "_cum",
-        "_n",
         F.sum("_w").over(w).alias("_wcum"),
         F.sum("_w").over(wall).alias("_wtot"),
     )
     # true grid median (floor-rank middles convention)
     lo_rank = F.floor((F.col("_n") + 1) / 2)
     hi_rank = F.floor(F.col("_n") / 2) + 1
-    med = scored.agg(
+    med = cum.agg(
         (
             (
                 F.min(F.when(F.col("_cum") >= lo_rank, F.col("_v")))

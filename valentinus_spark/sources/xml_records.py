@@ -11,17 +11,29 @@ file (exactly the WARC posture — write shards at 100 MB–1 GB and the
 cluster parallelizes across them; a single giant dump file should be
 re-sharded first, which ``write_xml_records`` does on the way in).
 Field text is XML-escaped on write and parsed (not regexed) on read,
-so arbitrary document text round-trips losslessly — the driver gate
-checksums the full chain.
+so any VALID-XML text round-trips losslessly — the driver gate
+checksums the full chain. Code points XML 1.0 cannot carry at all
+(C0 controls other than tab/LF/CR, lone surrogates, U+FFFE/U+FFFF)
+are STRIPPED on write: numeric character references for them are
+equally illegal, so a document containing them has no faithful XML
+1.0 representation — the round-trip is lossless modulo that strip.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Code points with NO legal XML 1.0 representation (not even as &#x..;
+# references): C0 controls minus {tab, LF, CR}, surrogate halves, and
+# the two non-characters at the end of the BMP.
+_XML10_ILLEGAL = re.compile(
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\ud800-\\udfff\\ufffe\\uffff]"
+)
 
 
 def write_xml_records(
@@ -35,9 +47,10 @@ def write_xml_records(
 ) -> None:
     """Write ``df`` as ``n_files`` XML shards, one ``<record_tag>``
     element per row with one child element per field (text content
-    XML-escaped via the stdlib — no hand-rolled escaping). With
-    ``sort_cols`` the shards are range-partitioned so each file covers
-    a contiguous key range."""
+    XML-escaped via the stdlib — no hand-rolled escaping; code points
+    XML 1.0 forbids outright are stripped first, see
+    ``_XML10_ILLEGAL``). With ``sort_cols`` the shards are
+    range-partitioned so each file covers a contiguous key range."""
     cols = list(fields)
     shaped = (
         df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
@@ -59,7 +72,11 @@ def write_xml_records(
             for row in pdf.itertuples(index=False):
                 parts = [f"  <{record_tag}>"]
                 for c, v in zip(cols, row):
-                    val = "" if v is None else escape(str(v))
+                    val = (
+                        ""
+                        if v is None
+                        else escape(_XML10_ILLEGAL.sub("", str(v)))
+                    )
                     parts.append(f"    <{c}>{val}</{c}>")
                 parts.append(f"  </{record_tag}>")
                 chunks.append("\n".join(parts))
