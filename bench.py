@@ -611,7 +611,28 @@ assert sorted(BENCH_QUERIES + _unbenched_all) == sorted(entrymod.queries()), (
 )
 
 
-def build_bench_line(timings: dict[str, float], sf: float) -> str:
+def load_probe(spark) -> float:
+    """Fixed-cost machine-load marker (VERDICT r7 item 6): the wall time
+    of a constant CPU-bound query — 8M sha256 digests across 32
+    partitions, ~0.35 s on an idle box — that depends on nothing in this
+    repo. Recorded before and after every bench run so cross-round
+    deltas can be normalized for ambient box load (r7's headline
+    drifted 18.35->25.32 s same-code within one session). Median of 3
+    timed reps after one throwaway (JIT) rep."""
+    times = []
+    for i in range(4):
+        t0 = time.time()
+        spark.range(0, 8_000_000, 1, 32).selectExpr(
+            "count(sha2(cast(id as string), 256)) c"
+        ).collect()
+        if i:
+            times.append(time.time() - t0)
+    return round(sorted(times)[1], 3)
+
+
+def build_bench_line(
+    timings: dict[str, float], sf: float, probes: dict[str, float] | None = None
+) -> str:
     """ONE compact JSON line, guaranteed < 1500 chars regardless of how
     many queries were benched (r2's line was lost to the driver's
     ~2000-char stdout tail: BENCH_r02.json has "parsed": null).
@@ -640,6 +661,7 @@ def build_bench_line(timings: dict[str, float], sf: float) -> str:
         "n_err": len(timings) - len(ok),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
+        "load_probe": probes or {},
     }
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1500:
@@ -729,6 +751,8 @@ def main() -> None:
     # (JIT, page cache, python-worker spin-up); min is the standard
     # steady-state estimator and what a warmed cluster would see
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    probes = {"pre": load_probe(spark)}
+    print(f"# load_probe pre: {probes['pre']:.3f}s", file=sys.stderr)
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in bench_queries:
@@ -753,6 +777,9 @@ def main() -> None:
         # drain the previous query's garbage outside the next timing
         spark.sparkContext._jvm.System.gc()
 
+    probes["post"] = load_probe(spark)
+    print(f"# load_probe post: {probes['post']:.3f}s", file=sys.stderr)
+
     # full per-query record for the judge (the stdout line only carries
     # the headline-24 + subtotals; this file is the complete evidence)
     if write_detail:
@@ -761,6 +788,7 @@ def main() -> None:
             with open(detail_path, "w") as f:
                 json.dump(
                     {"sf": sf, "reps": reps, "queries": timings,
+                     "load_probe": probes,
                      "total": round(sum(t for t in timings.values() if t > 0), 2)},
                     f, indent=1, sort_keys=True,
                 )
@@ -775,6 +803,7 @@ def main() -> None:
                  "value": round(sum(ok.values()), 2), "unit": "sec",
                  "queries": timings, "sf": sf, "reps": reps,
                  "n_err": len(timings) - len(ok),
+                 "load_probe": probes,
                  "note": "headline-24 benched ALONE in a fresh JVM — the "
                          "BASELINE.md-comparable number (full-suite runs "
                          "carry documented single-JVM suite pressure)"},
@@ -782,7 +811,7 @@ def main() -> None:
             )
         print(f"# solo artifact written: {solo_path}", file=sys.stderr)
 
-    print(build_bench_line(timings, sf))
+    print(build_bench_line(timings, sf, probes))
 
 
 if __name__ == "__main__":
