@@ -942,3 +942,162 @@ def test_source_tv_distance_matches_python(spark, docs):
         )
         assert out[g].n_tokens == gt
         assert out[g].tv_distance == pytest.approx(round(tv, 6), abs=1e-6)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.integers(min_value=0, max_value=6),  # value grid (ties!)
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_kruskal_wallis_matches_python_tie_corrected(spark, rows):
+    """Pooled average ranks + tie correction replayed in python; the
+    Spark side 9-dp-pins each R_g^2/n_g term before the DECIMAL sum,
+    so the replica pins identically."""
+    from collections import Counter
+
+    from valentinus_spark.operators import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [(f"g{g}", float(v)) for g, v in rows], ["g", "v"]
+    )
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    cnt = Counter(v for _, v in rows)
+    below, rank = 0, {}
+    for v in sorted(cnt):
+        rank[v] = below + (cnt[v] + 1) / 2.0
+        below += cnt[v]
+    groups = sorted({g for g, _ in rows})
+    n = len(rows)
+    s = sum(
+        round(
+            sum(rank[v] for gg, v in rows if gg == g) ** 2
+            / sum(1 for gg, _ in rows if gg == g),
+            9,
+        )
+        for g in groups
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    ties = sum(t**3 - t for t in cnt.values())
+    div = 1.0 - ties / (n**3 - n) if n > 1 else 0.0
+    assert r.n == n and r.k == len(groups) and r.dof == len(groups) - 1
+    assert r.h == pytest.approx(round(h, 6), abs=1e-6)
+    if div > 0:
+        assert r.h_tied == pytest.approx(round(h / div, 6), abs=1e-6)
+    else:  # all values equal -> tie divisor 0 -> NULL, not a crash
+        assert r.h_tied is None
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # ordered group 0<1<2
+            st.integers(min_value=0, max_value=6),  # value grid (ties!)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_jonckheere_terpstra_matches_python_pair_count(spark, rows):
+    """J replayed as the literal ordered-pair count (< counts 1, ties
+    count 1/2); mean/variance from the stated no-tie moments. One
+    non-empty group must yield Var=0 -> z NULL."""
+    import itertools
+    import math
+
+    from valentinus_spark.operators import jonckheere_terpstra
+
+    df = spark.createDataFrame(
+        [(f"g{g}", float(v)) for g, v in rows], ["g", "v"]
+    )
+    r = jonckheere_terpstra(df, "g", "v").collect()[0]
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(f"g{g}", []).append(v)
+    names = sorted(by_g)
+    j = 0.0
+    for ga, gb in itertools.combinations(names, 2):
+        for xa in by_g[ga]:
+            for xb in by_g[gb]:
+                j += 1.0 if xa < xb else (0.5 if xa == xb else 0.0)
+    n = len(rows)
+    sn2 = sum(len(v) ** 2 for v in by_g.values())
+    sn23 = sum(len(v) ** 2 * (2 * len(v) + 3) for v in by_g.values())
+    mean_j = (n * n - sn2) / 4.0
+    var_j = (n * n * (2 * n + 3) - sn23) / 72.0
+    assert r.n == n and r.k == len(names)
+    assert r.j_stat == pytest.approx(j, abs=1e-9)
+    assert r.mean_j == pytest.approx(round(mean_j, 6), abs=1e-6)
+    if var_j > 0:
+        assert r.z == pytest.approx(
+            round((j - mean_j) / math.sqrt(var_j), 6), abs=1e-6
+        )
+    else:
+        assert r.z is None and r.p_value is None
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=20),
+        min_size=3,
+        max_size=36,
+    ),
+    partial=st.booleans(),
+)
+def test_page_trend_matches_python_and_drops_incomplete(spark, vals, partial):
+    """L = sum j*R_j from within-block average ranks replayed in
+    python; an extra INCOMPLETE block (2 of 3 treatments) must be
+    listwise-dropped and not move the statistic."""
+    import math
+
+    from valentinus_spark.operators import page_trend_test
+
+    blocks = {}
+    rows = []
+    for i in range(0, len(vals) - 2, 3):
+        b = i // 3
+        trip = [float(vals[i]), float(vals[i + 1]), float(vals[i + 2])]
+        blocks[b] = trip
+        for j, v in enumerate(trip):
+            rows.append((b, j + 1, v))
+    if partial:  # incomplete block: treatments 1,2 only
+        rows.append((9999, 1, 3.0))
+        rows.append((9999, 2, 1.0))
+    df = spark.createDataFrame(rows, ["b", "j", "v"])
+    r = page_trend_test(df, "b", "j", "v").collect()[0]
+    rj = {1: 0.0, 2: 0.0, 3: 0.0}
+    for trip in blocks.values():
+        order = sorted(trip)
+        for j, v in enumerate(trip):
+            lo = order.index(v) + 1
+            hi = len(order) - order[::-1].index(v)
+            rj[j + 1] += (lo + hi) / 2.0
+    n, k = len(blocks), 3
+    l_stat = sum(j * rjv for j, rjv in rj.items())
+    mean_l = n * k * (k + 1) ** 2 / 4.0
+    var_l = n * k * k * (k + 1) * (k * k - 1) / 144.0
+    assert r.n_blocks == n and r.k == k
+    assert r.l_stat == pytest.approx(l_stat, abs=1e-9)
+    if n > 0 and var_l > 0:
+        assert r.z == pytest.approx(
+            round((l_stat - mean_l) / math.sqrt(var_l), 6), abs=1e-6
+        )
