@@ -1101,3 +1101,168 @@ def test_page_trend_matches_python_and_drops_incomplete(spark, vals, partial):
         assert r.z == pytest.approx(
             round((l_stat - mean_l) / math.sqrt(var_l), 6), abs=1e-6
         )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # day offset
+            st.integers(min_value=0, max_value=23),  # hour (intra-day)
+            st.integers(min_value=-5, max_value=5),  # value grid (ties!)
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_mann_kendall_matches_python(spark, pts):
+    """S / var_s / z / tau replayed in python over the same 9-dp daily
+    means (integer values -> the decimal-exact daily sum and the float
+    division agree bit-for-bit)."""
+    import datetime
+    from collections import defaultdict
+
+    from valentinus_spark.operators import mann_kendall_trend
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d, h), float(v)) for d, h, v in pts
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    r = mann_kendall_trend(df, "ts", "value").collect()[0]
+    per_day = defaultdict(list)
+    for d, _, v in pts:
+        per_day[d].append(v)
+    means = [
+        round(sum(vs) / len(vs), 9) for _, vs in sorted(per_day.items())
+    ]
+    n = len(means)
+    s = sum(
+        (means[j] > means[i]) - (means[j] < means[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(means).values()
+    )
+    var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    assert r.n_days == n
+    assert r.s_stat == s
+    assert r.var_s == pytest.approx(round(var_s, 6), abs=1e-6)
+    if n >= 2:
+        assert r.tau == pytest.approx(
+            round(s / (n * (n - 1) / 2.0), 6), abs=1e-6
+        )
+    else:
+        assert r.tau is None
+    if n >= 2 and var_s > 0:
+        import math
+
+        z = (
+            0.0
+            if s == 0
+            else (s - 1) / math.sqrt(var_s)
+            if s > 0
+            else (s + 1) / math.sqrt(var_s)
+        )
+        assert r.z == pytest.approx(round(z, 6), abs=1e-6)
+    else:
+        assert r.z is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-10, max_value=10),
+        ),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda t: t[0],  # one event per day: mean = value
+    )
+)
+def test_theil_sen_matches_python(spark, pts):
+    """Median pairwise slope + median residual intercept replayed in
+    python with the operator's exact rank conventions (rounded-slope
+    order, (slope, ta, tb) tie-break, two-middles average)."""
+    import datetime
+
+    from valentinus_spark.operators import theil_sen_trend
+
+    if len({d for d, _ in pts}) < 2:
+        return
+    rows = [(datetime.datetime(2024, 1, 1 + d, 12), float(v)) for d, v in pts]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    r = theil_sen_trend(df, "ts", "value").collect()[0]
+    lo = min(d for d, _ in pts)
+    series = sorted((d - lo, float(v)) for d, v in pts)
+    slopes = sorted(
+        (round((vb - va) / (tb - ta), 9), ta, tb)
+        for i, (ta, va) in enumerate(series)
+        for tb, vb in series[i + 1 :]
+    )
+    c = len(slopes)
+    mids = [slopes[(c + 1) // 2 - 1][0], slopes[c // 2][0]]
+    slope = round(sum(mids) / 2.0, 9)
+    resid = sorted(
+        (round(v - slope * t, 9), t) for t, v in series
+    )
+    nd = len(series)
+    rmids = [resid[(nd + 1) // 2 - 1][0], resid[nd // 2][0]]
+    assert r.n_days == nd and r.n_pairs == c
+    assert r.slope == pytest.approx(round(slope, 6), abs=1e-6)
+    assert r.intercept == pytest.approx(
+        round(sum(rmids) / 2.0, 6), abs=1e-6
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-3, max_value=20),  # negatives dropped
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_gini_matches_python(spark, rows):
+    """G from the sorted-rank formula replayed in python; negative
+    values are dropped by the operator's filter, zero-total groups
+    yield NULL."""
+    from valentinus_spark.operators import gini_coefficient
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], ["g", "v"]
+    )
+    out = {r.g: r for r in gini_coefficient(df, "g", "v").collect()}
+    for g in {g for g, _ in rows}:
+        xs = sorted(v for gg, v in rows if gg == g and v >= 0)
+        if not xs:
+            assert g not in out
+            continue
+        n, tot = len(xs), sum(xs)
+        assert out[g].n == n and out[g].total == tot
+        if tot > 0:
+            gini = (
+                2.0 * sum((i + 1) * x for i, x in enumerate(xs))
+                - (n + 1) * tot
+            ) / (n * tot)
+            assert out[g].gini == pytest.approx(round(gini, 6), abs=1e-6)
+        else:
+            assert out[g].gini is None
