@@ -1266,3 +1266,147 @@ def test_gini_matches_python(spark, rows):
             assert out[g].gini == pytest.approx(round(gini, 6), abs=1e-6)
         else:
             assert out[g].gini is None
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # before
+            st.integers(min_value=0, max_value=8),  # after (zeros + ties)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_wilcoxon_signed_rank_matches_python(spark, pairs):
+    """W+/W-/z replayed in python: zero differences drop, |d| average
+    ranks on the exact half grid, tie-corrected variance."""
+    import math
+    from collections import Counter
+
+    from valentinus_spark.operators import wilcoxon_signed_rank
+
+    df = spark.createDataFrame(
+        [(float(b), float(a)) for b, a in pairs], ["before", "after"]
+    )
+    r = wilcoxon_signed_rank(df, "before", "after").collect()[0]
+    ds = [a - b for b, a in pairs if a != b]
+    cnt = Counter(abs(d) for d in ds)
+    below, rank = 0, {}
+    for v in sorted(cnt):
+        rank[v] = below + (cnt[v] + 1) / 2.0
+        below += cnt[v]
+    w_plus = sum(rank[abs(d)] for d in ds if d > 0)
+    n = len(ds)
+    ties = sum(t**3 - t for t in cnt.values())
+    var_w = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    assert r.n_pairs == len(pairs) and r.n_nonzero == n
+    assert r.w_plus == pytest.approx(w_plus, abs=1e-9)
+    assert r.w_minus == pytest.approx(n * (n + 1) / 2.0 - w_plus, abs=1e-9)
+    if var_w > 0:
+        assert r.z == pytest.approx(
+            round((w_plus - n * (n + 1) / 4.0) / math.sqrt(var_w), 6),
+            abs=1e-6,
+        )
+    else:
+        assert r.z is None
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.integers(min_value=0, max_value=8),  # integer values ->
+        ),                                          # half-grid medians
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_levene_brown_forsythe_matches_python(spark, rows):
+    """Median-centered ANOVA F replayed in python with the operator's
+    exact conventions: floor-rank two-middle medians, 9-dp-pinned
+    per-group R^2/n terms, F NULL when k<2 or zero within spread."""
+    from fractions import Fraction
+
+    from valentinus_spark.operators import levene_test
+
+    df = spark.createDataFrame(
+        [(f"g{g}", float(v)) for g, v in rows], ["g", "v"]
+    )
+    r = levene_test(df, "g", "v").collect()[0]
+    groups = sorted({g for g, _ in rows})
+    n, k = len(rows), len(groups)
+    s1s, s2s, sb_terms, ngs = [], [], [], []
+    for g in groups:
+        xs = sorted(v for gg, v in rows if gg == g)
+        ng = len(xs)
+        med = Fraction(xs[(ng + 1) // 2 - 1] + xs[ng // 2], 2)
+        zs = [abs(Fraction(v) - med) for v in xs]
+        s1, s2 = sum(zs), sum(z * z for z in zs)
+        s1s.append(s1)
+        s2s.append(s2)
+        ngs.append(ng)
+        sb_terms.append(round(float(s1) ** 2 / ng, 9))
+    S = float(sum(s1s))
+    sb = sum(sb_terms)
+    ss_between = sb - S * S / n
+    ss_within = float(sum(s2s)) - sb
+    assert r.n == n and r.k == k
+    assert r.dof_between == k - 1 and r.dof_within == n - k
+    if k >= 2 and ss_within > 0:
+        f = (ss_between / (k - 1)) / (ss_within / (n - k))
+        assert r.f_stat == pytest.approx(round(f, 6), abs=1e-5)
+    else:
+        assert r.f_stat is None
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # subject
+            st.integers(min_value=0, max_value=2),  # treatment
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cochran_q_matches_python(spark, rows):
+    """Q from the incidence matrix replayed in python (duplicates
+    collapse via distinct; all-concordant subjects -> denom 0 -> NULL)."""
+    from valentinus_spark.operators import cochran_q
+
+    df = spark.createDataFrame(
+        [(f"s{s}", f"t{t}") for s, t in rows], ["s", "t"]
+    )
+    r = cochran_q(df, "s", "t").collect()[0]
+    inc = {(s, t) for s, t in rows}
+    treatments = sorted({t for _, t in inc})
+    subjects = sorted({s for s, _ in inc})
+    k = len(treatments)
+    cj = {t: sum(1 for s2, t2 in inc if t2 == t) for t in treatments}
+    ri = {s: sum(1 for s2, t2 in inc if s2 == s) for s in subjects}
+    n_tot = sum(ri.values())
+    denom = k * n_tot - sum(v * v for v in ri.values())
+    assert r.n_subjects == len(subjects) and r.k == k and r.dof == k - 1
+    if denom > 0:
+        num = sum(round((cj[t] - n_tot / k) ** 2, 9) for t in treatments)
+        assert r.q == pytest.approx(
+            round(k * (k - 1) * num / denom, 6), abs=1e-6
+        )
+    else:
+        assert r.q is None
