@@ -1410,3 +1410,115 @@ def test_cochran_q_matches_python(spark, rows):
         )
     else:
         assert r.q is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    day_hits=st.lists(
+        st.integers(min_value=0, max_value=7),  # event day offsets
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_permutation_entropy_matches_python(spark, day_hits):
+    """Order-3 ordinal patterns over the ZERO-FILLED day spine replayed
+    in python: positional tie-break ranks, 12-dp-pinned -p*ln(p) terms,
+    /ln(6) normalization; NULL below 3 spine days."""
+    import datetime
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from valentinus_spark.operators import permutation_entropy
+
+    rows = [(datetime.datetime(2024, 3, 1 + d, 6),) for d in day_hits]
+    df = spark.createDataFrame(rows, ["ts"])
+    r = permutation_entropy(df, "ts").collect()[0]
+    lo, hi = min(day_hits), max(day_hits)
+    cnt = Counter(day_hits)
+    series = [cnt.get(d, 0) for d in range(lo, hi + 1)]
+    n_days = len(series)
+    wins = [
+        (series[i], series[i + 1], series[i + 2])
+        for i in range(n_days - 2)
+    ]
+    assert r.n_days == n_days and r.n_windows == len(wins)
+    if not wins:
+        assert r.perm_entropy is None
+        return
+    pats = Counter(
+        ((y < x) + (z < x)) * 9 + ((x <= y) + (z < y)) * 3 + ((x <= z) + (y <= z))
+        for x, y, z in wins
+    )
+    assert r.n_patterns == len(pats)
+    n = len(wins)
+    h = float(
+        sum(
+            Decimal(str(round(-(c / n) * math.log(c / n), 12)))
+            for c in pats.values()
+        )
+    ) / math.log(6)
+    assert r.perm_entropy == pytest.approx(round(h, 6), abs=1e-6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # day offset
+            st.integers(min_value=-8, max_value=8),  # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    delta=st.sampled_from([0.0, 0.005, 0.5]),
+    lam=st.sampled_from([0.5, 3.0]),
+)
+def test_page_hinkley_matches_python(spark, pts, delta, lam):
+    """The running-mean PH fold replayed in python over the same 9-dp
+    daily means — identical IEEE op order, so equality is exact up to
+    the final 6-dp rounding."""
+    import datetime
+    from collections import defaultdict
+
+    from valentinus_spark.operators import page_hinkley
+
+    rows = [
+        (datetime.datetime(2024, 5, 1 + d, 9), float(v)) for d, v in pts
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    got = {
+        str(r.day): r
+        for r in page_hinkley(df, "ts", "value", delta=delta, lam=lam).collect()
+    }
+    per_day = defaultdict(list)
+    for d, v in pts:
+        per_day[d].append(v)
+    days = sorted(per_day)
+    s = m_inc = m_dec = min_inc = max_dec = 0.0
+    for t, d in enumerate(days, start=1):
+        x = round(sum(per_day[d]) / len(per_day[d]), 9)
+        s += x
+        mean = s / t
+        m_inc += x - mean - delta
+        m_dec += x - mean + delta
+        min_inc = min(min_inc, m_inc)
+        max_dec = max(max_dec, m_dec)
+        ph_inc, ph_dec = m_inc - min_inc, max_dec - m_dec
+        key = f"2024-05-{1 + d:02d}"
+        row = got[key]
+        assert row.x == pytest.approx(x, abs=1e-12)
+        assert row.ph_inc == pytest.approx(round(ph_inc, 6), abs=1e-9)
+        assert row.ph_dec == pytest.approx(round(ph_dec, 6), abs=1e-9)
+        assert row.alarm == (
+            round(ph_inc, 6) > lam or round(ph_dec, 6) > lam
+        )
+    assert len(got) == len(days)
