@@ -1522,3 +1522,139 @@ def test_page_hinkley_matches_python(spark, pts, delta, lam):
             round(ph_inc, 6) > lam or round(ph_dec, 6) > lam
         )
     assert len(got) == len(days)
+
+
+# ---------------------------------------------------------------------------
+# portable sketches vs exact python replicas of the same hash families
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from valentinus_spark.operators.sketches import (
+    bloom_build,
+    bloom_might_contain,
+    count_min_estimate,
+    count_min_sketch,
+    hll_estimate,
+    hll_registers,
+    kmv_distinct,
+)
+
+
+def _sha60_py(v) -> int:
+    """Python replica of functions/text.py sha_hash60 (first 15 hex chars
+    of sha256 of the string form)."""
+    return int(hashlib.sha256(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _cm_slice_py(v, j: int) -> int:
+    """Python replica of sketches._sha_slice: 15-hex slice (j%4) of
+    sha256((j//4) || ':' || value)."""
+    digest = hashlib.sha256(f"{j // 4}:{v}".encode()).hexdigest()
+    off = 15 * (j % 4)
+    return int(digest[off : off + 15], 16)
+
+
+sketch_vals = st.lists(st.integers(min_value=0, max_value=999_983), min_size=1, max_size=40)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=sketch_vals, k=st.sampled_from([4, 8, 16]))
+def test_kmv_distinct_matches_python_replica(spark, vals, k):
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = kmv_distinct(df, "v", k=k).collect()[0]
+    hashes = sorted({_sha60_py(v) for v in vals})
+    n = min(k, len(hashes))
+    assert row.n_seen == n
+    if len(hashes) < k:
+        exp = float(n)  # degenerates to the exact count
+    else:
+        exp = (k - 1) / ((hashes[k - 1] + 1) / float(1 << 60))
+    assert row.est_distinct == pytest.approx(exp, abs=2e-4, rel=1e-9)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=sketch_vals,
+    probes_extra=st.lists(st.integers(min_value=1_000_000, max_value=2_000_000), max_size=5),
+    depth=st.sampled_from([2, 4]),
+    width=st.sampled_from([16, 64]),
+)
+def test_count_min_matches_python_replica(spark, vals, probes_extra, depth, width):
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sketch = count_min_sketch(df, "v", depth=depth, width=width)
+    # cell-for-cell replica of the sketch itself
+    got_cells = {(r.row, r.bucket): r.cnt for r in sketch.collect()}
+    exp_cells: dict = {}
+    for v in vals:
+        for j in range(depth):
+            cell = (j, _cm_slice_py(v, j) % width)
+            exp_cells[cell] = exp_cells.get(cell, 0) + 1
+    assert got_cells == exp_cells
+    # point estimates: == python-replica min, and >= the true count
+    probe_vals = sorted(set(vals) | set(probes_extra))
+    probes = spark.createDataFrame([(v,) for v in probe_vals], "v long")
+    got_est = {
+        r.v: r.est_count
+        for r in count_min_estimate(sketch, probes, "v", depth=depth, width=width).collect()
+    }
+    true = {v: vals.count(v) for v in probe_vals}
+    for v in probe_vals:
+        exp = min(
+            exp_cells.get((j, _cm_slice_py(v, j) % width), 0) for j in range(depth)
+        )
+        assert got_est[v] == exp
+        assert got_est[v] >= true[v]  # CM never underestimates
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=sketch_vals,
+    absent=st.lists(st.integers(min_value=1_000_000, max_value=2_000_000), max_size=6),
+    k=st.sampled_from([2, 4]),
+    m=st.sampled_from([64, 256]),
+)
+def test_bloom_filter_matches_python_replica(spark, vals, absent, k, m):
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    bloom = bloom_build(df, "v", k=k, m=m)
+    got_bits = {r.bit for r in bloom.collect()}
+    exp_bits = {_cm_slice_py(v, j) % m for v in vals for j in range(k)}
+    assert got_bits == exp_bits
+    probe_vals = sorted(set(vals) | set(absent))
+    probes = spark.createDataFrame([(v,) for v in probe_vals], "v long")
+    got = {
+        r.v: r.might_contain
+        for r in bloom_might_contain(probes, bloom, "v", k=k, m=m).collect()
+    }
+    members = set(vals)
+    for v in probe_vals:
+        exp = all(_cm_slice_py(v, j) % m in exp_bits for j in range(k))
+        assert got[v] == exp
+        if v in members:
+            assert got[v] is True  # a Bloom filter has NO false negatives
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=sketch_vals, p=st.sampled_from([4, 6]))
+def test_hll_registers_and_estimate_match_python_replica(spark, vals, p):
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    regs = hll_registers(df, "v", p=p)
+    got_regs = {r.idx: r.rho for r in regs.collect()}
+    w = 60 - p
+    exp_regs: dict = {}
+    for v in vals:
+        h = _sha60_py(v)
+        idx, rest = h >> w, h & ((1 << w) - 1)
+        rho = (w + 1) if rest == 0 else (w + 1) - rest.bit_length()
+        exp_regs[idx] = max(exp_regs.get(idx, 0), rho)
+    assert got_regs == exp_regs
+    row = hll_estimate(regs, p).collect()[0]
+    m = 1 << p
+    scale = 1 << (w + 1)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    s = sum(1 << (w + 1 - rho) for rho in exp_regs.values()) + (m - len(exp_regs)) * scale
+    raw = (alpha * m * m * scale) / s
+    v_empty = m - len(exp_regs)
+    exp = m * math.log(m / v_empty) if (raw <= 2.5 * m and v_empty > 0) else raw
+    assert row.m_seen == len(exp_regs)
+    assert row.est_distinct == pytest.approx(exp, abs=2e-4, rel=1e-9)
