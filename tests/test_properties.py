@@ -1658,3 +1658,126 @@ def test_hll_registers_and_estimate_match_python_replica(spark, vals, p):
     exp = m * math.log(m / v_empty) if (raw <= 2.5 * m and v_empty > 0) else raw
     assert row.m_seen == len(exp_regs)
     assert row.est_distinct == pytest.approx(exp, abs=2e-4, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: exact phi-heavy set, invariant to partitioning
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.sketches import heavy_hitters
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=60),
+    phi=st.sampled_from([0.1, 0.2, 0.35]),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_heavy_hitters_exact_and_partition_invariant(spark, vals, phi, parts):
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(parts)
+    got = {r.value: (r.n, r.freq) for r in heavy_hitters(df, "v", phi=phi).collect()}
+    n = len(vals)
+    exp = {
+        v: (c, round(c / n, 6))
+        for v in set(vals)
+        if (c := vals.count(v)) > phi * n
+    }
+    assert got == exp  # two-pass MG: candidates vary, the OUTPUT never does
+
+
+# ---------------------------------------------------------------------------
+# markov transitions vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.funnel import kaplan_meier, markov_transitions
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user
+            st.integers(min_value=0, max_value=5),   # ts (ties likely)
+            st.sampled_from(["a", "b", "c"]),        # state
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_markov_transitions_match_python(spark, events):
+    rows = [(u, t, s, i) for i, (u, t, s) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_type string, event_id long"
+    )
+    got = {
+        (r.prev_state, r.state): (r.n_transitions, r.p)
+        for r in markov_transitions(df).collect()
+    }
+    per_user: dict = {}
+    for u, t, s, i in rows:
+        per_user.setdefault(u, []).append((t, i, s))
+    counts: dict = {}
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    src_tot: dict = {}
+    for (a, _), c in counts.items():
+        src_tot[a] = src_tot.get(a, 0) + c
+    assert set(got) == set(counts)
+    for key, c in counts.items():
+        assert got[key][0] == c
+        assert got[key][1] == pytest.approx(c / src_tot[key[0]], abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# kaplan-meier survival vs python replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),  # first-event day offset
+            st.integers(min_value=0, max_value=10),  # extra days to last event
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    horizon=st.sampled_from([0, 1, 3]),
+)
+def test_kaplan_meier_matches_python(spark, spans, horizon):
+    rows = []
+    for u, (a, extra) in enumerate(spans):
+        rows.append((u, f"2024-03-{1 + a:02d}"))
+        rows.append((u, f"2024-03-{1 + a + extra:02d}"))
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    got = {
+        r.t_days: (r.n_risk, r.n_churned, r.survival)
+        for r in kaplan_meier(df, churn_horizon_days=horizon).collect()
+    }
+    edge = max(a + extra for a, extra in spans)
+    per_t: dict = {}
+    for a, extra in spans:
+        t, churned = extra, (edge - (a + extra)) > horizon
+        ex, d = per_t.get(t, (0, 0))
+        per_t[t] = (ex + 1, d + int(churned))
+    n = len(spans)
+    before, s, pinned = 0, 1.0, False
+    exp: dict = {}
+    for t in sorted(per_t):
+        ex, d = per_t[t]
+        n_risk = n - before
+        before += ex
+        if d == 0:
+            continue
+        if d >= n_risk:
+            pinned = True
+        else:
+            s *= 1.0 - d / n_risk
+        exp[t] = (n_risk, d, 0.0 if pinned else s)
+    assert set(got) == set(exp)
+    for t, (n_risk, d, surv) in exp.items():
+        assert got[t][0] == n_risk and got[t][1] == d
+        assert got[t][2] == pytest.approx(surv, abs=2e-6)
