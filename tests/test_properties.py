@@ -1781,3 +1781,98 @@ def test_kaplan_meier_matches_python(spark, spans, horizon):
     for t, (n_risk, d, surv) in exp.items():
         assert got[t][0] == n_risk and got[t][1] == d
         assert got[t][2] == pytest.approx(surv, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# funnel counts / cohort retention / debounce vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.funnel import (
+    cohort_retention,
+    debounce_events,
+    funnel_counts,
+)
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),      # user
+        st.sampled_from(["s1", "s2", "s3", "x"]),   # event type
+        st.integers(min_value=0, max_value=20),     # ts
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=funnel_events)
+def test_funnel_counts_match_python_min_time_chaining(spark, events):
+    df = spark.createDataFrame(events, "user_id long, event_type string, ts_us long")
+    steps = ["s1", "s2", "s3"]
+    got = {r.step_no: r.n_users for r in funnel_counts(df, steps).collect()}
+    per_user: dict = {}
+    for u, e, t in events:
+        per_user.setdefault(u, []).append((e, t))
+    exp: dict = {}
+    for u, evs in per_user.items():
+        prev_t = None
+        for i, s in enumerate(steps, start=1):
+            cand = [
+                t for e, t in evs if e == s and (prev_t is None or t > prev_t)
+            ]
+            if not cand:
+                break
+            prev_t = min(cand)
+            exp[i] = exp.get(i, 0) + 1
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=funnel_events)
+def test_cohort_retention_matches_python(spark, events):
+    day_us = 5  # tiny "day" so small ts values cross boundaries
+    df = spark.createDataFrame(events, "user_id long, event_type string, ts_us long")
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in cohort_retention(df, day_us=day_us).collect()
+    }
+    days_per_user: dict = {}
+    for u, _, t in events:
+        days_per_user.setdefault(u, set()).add(t // day_us)
+    exp: dict = {}
+    for days in days_per_user.values():
+        c = min(days)
+        for d in days:
+            key = (c, d - c)
+            exp[key] = exp.get(key, 0) + 1
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # key
+            st.integers(min_value=0, max_value=30),  # ts (unique-ified below)
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    gap=st.sampled_from([1, 3, 7]),
+)
+def test_debounce_events_match_python(spark, events, gap):
+    df = spark.createDataFrame(events, "k long, ts long")
+    got = sorted((r.k, r.ts) for r in debounce_events(df, ["k"], "ts", gap).collect())
+    per_key: dict = {}
+    for k, t in events:
+        per_key.setdefault(k, []).append(t)
+    exp = []
+    for k, ts in per_key.items():
+        ts.sort()
+        prev = None
+        for t in ts:
+            if prev is None or t - prev > gap:
+                exp.append((k, t))
+            prev = t
+    assert got == sorted(exp)
