@@ -1876,3 +1876,139 @@ def test_debounce_events_match_python(spark, events, gap):
                 exp.append((k, t))
             prev = t
     assert got == sorted(exp)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 fold / CDC merge / attribution vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.funnel import attribution
+from valentinus_spark.operators.scd import apply_cdc, scd2_apply
+
+scd_batches = st.lists(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=4),                      # key
+        st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),     # attr (nullable)
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=scd_batches)
+def test_scd2_apply_fold_matches_python(spark, batches):
+    schema = "k long, a string, effective_from long, effective_to long"
+    cur = spark.createDataFrame([], schema)
+    rows: list = []  # python twin: (k, a, ef, et)
+    for ts, batch in enumerate(batches, start=1):
+        upd = spark.createDataFrame(list(batch.items()), "k long, a string")
+        cur = scd2_apply(cur, upd, "k", ["a"], ts).localCheckpoint()
+        open_by_key = {r[0]: i for i, r in enumerate(rows) if r[3] is None}
+        for k, v in batch.items():
+            if k not in open_by_key:
+                rows.append((k, v, ts, None))
+            else:
+                i = open_by_key[k]
+                if rows[i][1] != v:  # null-safe: None == None is unchanged
+                    rows[i] = (rows[i][0], rows[i][1], rows[i][2], ts)
+                    rows.append((k, v, ts, None))
+    nkey = lambda t: tuple((x is None, x if x is not None else 0) for x in t)  # noqa: E731
+    got = sorted((tuple(r) for r in cur.collect()), key=nkey)
+    assert got == sorted(rows, key=nkey)
+
+
+cdc_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),       # key
+        st.sampled_from(["I", "U", "D"]),            # op
+        st.integers(min_value=0, max_value=5),       # seq (ties exercise op order)
+        st.sampled_from(["p", "q", "r"]),            # attr
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: (t[0], t[1], t[2]),  # (key, op, seq) unique → net row deterministic
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    snap=st.dictionaries(
+        st.integers(min_value=1, max_value=6), st.sampled_from(["a", "b"]), max_size=5
+    ),
+    changes=cdc_changes,
+)
+def test_apply_cdc_matches_python(spark, snap, changes):
+    snapshot = spark.createDataFrame(
+        list(snap.items()) or [], "k long, a string"
+    )
+    chg = spark.createDataFrame(changes or [], "k long, op string, seq long, a string")
+    got = sorted((r.k, r.a) for r in apply_cdc(snapshot, chg, "k").collect())
+    net: dict = {}
+    for k, op, seq, a in changes:
+        if k not in net or (seq, op) > (net[k][0], net[k][1]):
+            net[k] = (seq, op, a)
+    exp = {k: a for k, a in snap.items() if k not in net}
+    for k, (_, op, a) in net.items():
+        if op != "D":
+            exp[k] = a
+    assert got == sorted(exp.items())
+
+
+attr_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),                     # user
+        st.integers(min_value=1, max_value=14),                    # day of month
+        st.sampled_from(["purchase", "ad", "email", "search"]),    # type
+        st.integers(min_value=1, max_value=50),                    # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=attr_events, window_days=st.sampled_from([2, 7]))
+def test_attribution_matches_python(spark, events, window_days):
+    import datetime as dt
+
+    rows = [
+        (u, dt.date(2024, 3, d), ty, float(v)) for u, d, ty, v in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts date, event_type string, value double"
+    )
+    got = {
+        r.channel: (r.n_touches, r.first_touch, r.last_touch, r.linear)
+        for r in attribution(df, window_days=window_days).collect()
+    }
+    exp: dict = {}
+    for u, cd, cty, cv in events:
+        if cty != "purchase":
+            continue
+        touches = [
+            (td, ty)
+            for tu, td, ty, _ in events
+            if tu == u and ty != "purchase" and td < cd and td >= cd - window_days
+        ]
+        if not touches:
+            continue
+        k = len(touches)
+        tmin, tmax = min(t for t, _ in touches), max(t for t, _ in touches)
+        for td, ch in touches:
+            n, fst, lst, lin = exp.get(ch, (0, 0.0, 0.0, 0.0))
+            exp[ch] = (
+                n + 1,
+                fst + (cv if td == tmin else 0.0),
+                lst + (cv if td == tmax else 0.0),
+                lin + cv / k,
+            )
+    assert set(got) == set(exp)
+    for ch, (n, fst, lst, lin) in exp.items():
+        g = got[ch]
+        assert g[0] == n
+        assert g[1] == pytest.approx(fst, abs=1e-4)
+        assert g[2] == pytest.approx(lst, abs=1e-4)
+        assert g[3] == pytest.approx(lin, abs=1e-4)

@@ -255,8 +255,10 @@ def attribution(
     three standard models at once — ``first_touch`` (discovery),
     ``last_touch`` (closer), ``linear`` (equal split) — per touch
     channel. Conversions with no in-window touch are excluded (report
-    them via the funnel operators). Ties on touch time break by a
-    deterministic struct order so all three models are SQL-replayable.
+    them via the funnel operators). Touches TIED on the extreme time
+    each receive full first/last credit — a pure value comparison, so
+    the result is partitioner-independent and SQL-replayable (no
+    arbitrary tie winner to replay).
 
     Returns one row per channel: (``channel``, ``n_touches``,
     ``first_touch``, ``last_touch``, ``linear``) rounded to 4, ordered
