@@ -2012,3 +2012,94 @@ def test_attribution_matches_python(spark, events, window_days):
         assert g[1] == pytest.approx(fst, abs=1e-4)
         assert g[2] == pytest.approx(lst, abs=1e-4)
         assert g[3] == pytest.approx(lin, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# session paths / activity streaks vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.funnel import activity_streaks, session_paths
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=5000),   # ts seconds (ties allowed)
+            st.sampled_from(["a", "b", "c"]),           # type
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    gap_minutes=st.sampled_from([5, 30]),
+    max_steps=st.sampled_from([2, 4]),
+)
+def test_session_paths_match_python(spark, events, gap_minutes, max_steps):
+    rows = [(u, t, ty, i) for i, (u, t, ty) in enumerate(events)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string, event_id long")
+    got = {
+        r.path: r.n_sessions
+        for r in session_paths(
+            df, gap_minutes=gap_minutes, max_steps=max_steps, topk=1000
+        ).collect()
+    }
+    gap = gap_minutes * 60
+    per_user: dict = {}
+    for u, t, ty, i in rows:
+        per_user.setdefault(u, []).append((t, i, ty))
+    exp: dict = {}
+    for seq in per_user.values():
+        seq.sort()
+        sessions: list = []
+        prev_t = None
+        for t, _, ty in seq:
+            if prev_t is None or t - prev_t > gap:
+                sessions.append([])
+            sessions[-1].append(ty)
+            prev_t = t
+        for s in sessions:
+            path = ">".join(s[:max_steps])
+            exp[path] = exp.get(path, 0) + 1
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # user
+            st.integers(min_value=1, max_value=20),   # day of month (dupes fine)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_activity_streaks_match_python(spark, days):
+    import datetime as dt
+
+    rows = [(u, dt.date(2024, 4, d)) for u, d in days]
+    df = spark.createDataFrame(rows, "user_id long, ts date")
+    got = [
+        (r.user, r.active_days, r.n_streaks, r.longest_streak, r.streak_start)
+        for r in activity_streaks(df, top_n=100).collect()
+    ]
+    per_user: dict = {}
+    for u, d in days:
+        per_user.setdefault(u, set()).add(d)
+    exp = []
+    for u, ds in per_user.items():
+        sds = sorted(ds)
+        islands: list = []
+        for d in sds:
+            if islands and d == islands[-1][-1] + 1:
+                islands[-1].append(d)
+            else:
+                islands.append([d])
+        longest = max(len(i) for i in islands)
+        start = min(i[0] for i in islands if len(i) == longest)
+        exp.append(
+            (u, len(sds), len(islands), longest, dt.date(2024, 4, start))
+        )
+    exp.sort(key=lambda r: (-r[3], r[0]))
+    assert got == exp
