@@ -2103,3 +2103,76 @@ def test_activity_streaks_match_python(spark, days):
         )
     exp.sort(key=lambda r: (-r[3], r[0]))
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# hierarchy closure / subtree rollup vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.hierarchy import ancestor_closure, subtree_rollup
+
+# a parent-pointer forest: node i's parent is some node < i (or absent)
+forest = st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+    min_size=2,
+    max_size=14,
+)
+
+
+def _forest_edges(parents):
+    return [
+        (i, p % i) for i, p in enumerate(parents) if p is not None and i > 0
+    ]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(parents=forest)
+def test_ancestor_closure_matches_python(spark, parents):
+    edges = _forest_edges(parents)
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = sorted((r.node, r.anc) for r in ancestor_closure(df, max_depth=16).collect())
+    up = {c: p for c, p in edges}
+    exp = []
+    for c in up:
+        a = up[c]
+        while True:
+            exp.append((c, a))
+            if a not in up:
+                break
+            a = up[a]
+    assert got == sorted(set(exp))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    parents=forest,
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=2, max_size=14),
+)
+def test_subtree_rollup_matches_python(spark, parents, vals):
+    n = min(len(parents), len(vals))
+    parents, vals = parents[:n], vals[:n]
+    edges = _forest_edges(parents)
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, "child long, parent long")
+    vdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "node long, value double"
+    )
+    got = {
+        r.node: (r.subtree_n, r.subtree_sum) for r in subtree_rollup(edf, vdf).collect()
+    }
+    up = {c: p for c, p in edges}
+    exp = {i: (1, float(v)) for i, v in enumerate(vals)}
+    for c in range(n):
+        a = up.get(c)
+        while a is not None:
+            if a in exp:
+                cnt, s = exp[a]
+                exp[a] = (cnt + 1, s + vals[c])
+            a = up.get(a)
+    assert set(got) == set(exp)
+    for k, (cnt, s) in exp.items():
+        assert got[k][0] == cnt
+        assert got[k][1] == pytest.approx(s, abs=1e-6)
