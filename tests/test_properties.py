@@ -2176,3 +2176,52 @@ def test_subtree_rollup_matches_python(spark, parents, vals):
     for k, (cnt, s) in exp.items():
         assert got[k][0] == cnt
         assert got[k][1] == pytest.approx(s, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.collocations import pmi_collocations
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    min_count=st.sampled_from([1, 2, 3]),
+)
+def test_pmi_collocations_match_python(spark, docs, min_count):
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = {
+        (r.token_a, r.token_b): (r.pair_count, r.count_a, r.count_b, r.pmi)
+        for r in pmi_collocations(df, min_count=min_count).collect()
+    }
+    token_lists = [d.split() for d in docs if d.split()]
+    uni: dict = {}
+    for ts in token_lists:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+    total_tokens = sum(uni.values())
+    pairs: dict = {}
+    for ts in token_lists:
+        for a, b in zip(ts, ts[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    total_pairs = sum(pairs.values())
+    exp = {}
+    for (a, b), pc in pairs.items():
+        if pc >= min_count and uni[a] >= min_count and uni[b] >= min_count:
+            pmi = math.log2(
+                (pc / total_pairs) / ((uni[a] / total_tokens) * (uni[b] / total_tokens))
+            )
+            exp[(a, b)] = (pc, uni[a], uni[b], pmi)
+    assert set(got) == set(exp)
+    for k, (pc, ca, cb, pmi) in exp.items():
+        g = got[k]
+        assert g[:3] == (pc, ca, cb)
+        assert g[3] == pytest.approx(pmi, abs=1e-12)
