@@ -2225,3 +2225,62 @@ def test_pmi_collocations_match_python(spark, docs, min_count):
         g = got[k]
         assert g[:3] == (pc, ca, cb)
         assert g[3] == pytest.approx(pmi, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# association rules vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.collocations import association_rules
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),             # basket
+            st.sampled_from(["i1", "i2", "i3", "i4"]),         # item
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    min_support=st.sampled_from([1, 2]),
+)
+def test_association_rules_match_python(spark, rows, min_support):
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r.antecedent, r.consequent): (
+            r.pair_baskets, r.baskets_a, r.baskets_b, r.support, r.confidence, r.lift
+        )
+        for r in association_rules(
+            df, "basket", "item", min_support_count=min_support
+        ).collect()
+    }
+    baskets: dict = {}
+    for b, i in set(rows):
+        baskets.setdefault(b, set()).add(i)
+    item_counts: dict = {}
+    for items in baskets.values():
+        for i in items:
+            item_counts[i] = item_counts.get(i, 0) + 1
+    total = len(baskets)
+    pair_counts: dict = {}
+    for items in baskets.values():
+        for a in items:
+            for b in items:
+                if a != b:
+                    pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    exp = {}
+    for (a, b), pc in pair_counts.items():
+        ca, cb = item_counts[a], item_counts[b]
+        if pc >= min_support and ca >= min_support and cb >= min_support:
+            exp[(a, b)] = (
+                pc, ca, cb, pc / total, pc / ca, (pc / ca) / (cb / total)
+            )
+    assert set(got) == set(exp)
+    for k, (pc, ca, cb, sup, conf, lift) in exp.items():
+        g = got[k]
+        assert g[:3] == (pc, ca, cb)
+        assert g[3] == pytest.approx(sup, abs=1e-12)
+        assert g[4] == pytest.approx(conf, abs=1e-12)
+        assert g[5] == pytest.approx(lift, abs=1e-12)
