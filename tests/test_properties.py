@@ -2284,3 +2284,54 @@ def test_association_rules_match_python(spark, rows, min_support):
         assert g[3] == pytest.approx(sup, abs=1e-12)
         assert g[4] == pytest.approx(conf, abs=1e-12)
         assert g[5] == pytest.approx(lift, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# BPE encode vs python replay-in-training-order replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.tokenizer import bpe_encode, learn_bpe
+
+bpe_corpus = st.lists(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=6
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=bpe_corpus, n_merges=st.sampled_from([1, 4, 10]))
+def test_bpe_encode_equals_merge_replay(spark, docs, n_merges):
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    merges = learn_bpe(df, n_merges)
+    got = [
+        r.bpe_tokens
+        for r in bpe_encode(df, merges).orderBy("text").collect()
+    ]
+
+    def replay(word):
+        syms = list(word)
+        for a, b in merges:  # replay in training order
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    exp = []
+    for d in sorted(docs):
+        toks: list = []
+        for w in d.split():
+            toks.extend(replay(w))
+        exp.append(toks)
+    assert got == exp
+    # lossless: tokens concatenate back to the original words
+    for d, toks in zip(sorted(docs), got):
+        assert "".join(toks) == d.replace(" ", "")
