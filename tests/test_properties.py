@@ -2335,3 +2335,115 @@ def test_bpe_encode_equals_merge_replay(spark, docs, n_merges):
     # lossless: tokens concatenate back to the original words
     for d, toks in zip(sorted(docs), got):
         assert "".join(toks) == d.replace(" ", "")
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM Viterbi encode vs brute-force segmentation search
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.tokenizer import unigram_encode
+
+unigram_vocab = st.dictionaries(
+    st.text(alphabet="ab", min_size=1, max_size=3),
+    st.sampled_from([-1.0, -2.0, -2.5, -3.0, -4.5]),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vocab=unigram_vocab,
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=7), min_size=1, max_size=5
+    ),
+)
+def test_unigram_encode_matches_bruteforce_viterbi(spark, vocab, words):
+    UNK = -100.0
+    docs = [" ".join(words)]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = unigram_encode(df, vocab).collect()[0].unigram_tokens
+
+    def segmentations(w):
+        if not w:
+            yield ()
+            return
+        for i in range(1, len(w) + 1):
+            piece = w[:i]
+            if piece in vocab or i == 1:
+                for rest in segmentations(w[i:]):
+                    yield (piece,) + rest
+
+    def best_seg(w):
+        best = None
+        for seg in segmentations(w):
+            score = 0.0
+            for p in seg:  # left-to-right accumulation, same as the dp
+                score += vocab.get(p, UNK)
+            cand = (score, -len(seg), seg)
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]) or (
+                (cand[0], cand[1]) == (best[0], best[1]) and seg < best[2]
+            ):
+                best = cand
+        return list(best[2])
+
+    exp: list = []
+    for w in words:
+        exp.extend(best_seg(w))
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry MM fit vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.preference import bt_ranking
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    prefs=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C", "D"]),
+            st.sampled_from(["A", "B", "C", "D"]),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    iters=st.sampled_from([3, 10]),
+)
+def test_bt_ranking_matches_python_mm(spark, prefs, iters):
+    df = spark.createDataFrame(prefs, "winner string, loser string")
+    got = {
+        r.item: (r.theta, r.wins, r.n_comparisons)
+        for r in bt_ranking(df, iters=iters).collect()
+    }
+    ordered: dict = {}
+    for w, l in prefs:
+        ordered[(w, l)] = ordered.get((w, l), 0) + 1
+    sym: dict = {}
+    for (w, l), n in ordered.items():
+        sym[(w, l)] = sym.get((w, l), 0) + n
+        sym[(l, w)] = sym.get((l, w), 0) + n
+    items = sorted({i for i, _ in sym})
+    wins = {i: 0 for i in items}
+    for (w, _), n in ordered.items():
+        wins[w] += n
+    theta = {i: 1.0 for i in items}
+    for _ in range(iters):
+        raw = {}
+        for i in items:
+            d = sum(
+                n / max(theta[i] + theta[j], 1e-12)
+                for (a, j), n in sym.items()
+                if a == i
+            )
+            raw[i] = wins[i] / d
+        tot = sum(raw[i] for i in items)
+        theta = {i: round(raw[i] / tot, 9) for i in items}
+    ncmp = {i: sum(n for (a, _), n in sym.items() if a == i) for i in items}
+    assert set(got) == set(items)
+    for i in items:
+        assert got[i][1] == wins[i]
+        assert got[i][2] == ncmp[i]
+        assert got[i][0] == pytest.approx(theta[i], abs=2e-6)
