@@ -2447,3 +2447,53 @@ def test_bt_ranking_matches_python_mm(spark, prefs, iters):
         assert got[i][1] == wins[i]
         assert got[i][2] == ncmp[i]
         assert got[i][0] == pytest.approx(theta[i], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Elo batched ratings vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.preference import elo_ratings
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    matches=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.sampled_from(["A", "B", "C"]),
+            st.integers(min_value=1, max_value=4),  # round
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    k_factor=st.sampled_from([16.0, 32.0]),
+)
+def test_elo_ratings_match_python(spark, matches, k_factor):
+    df = spark.createDataFrame(matches, "winner string, loser string, round long")
+    got = {
+        r.item: (r.rating, r.wins, r.losses, r.n_matches)
+        for r in elo_ratings(df, k_factor=k_factor).collect()
+    }
+    counts: dict = {}
+    for w, l, r in matches:
+        counts[(r, w, l)] = counts.get((r, w, l), 0) + 1
+    items = sorted({w for _, w, _ in counts} | {l for _, _, l in counts})
+    rt = {i: 1500.0 for i in items}
+    for rnd in sorted({r for r, _, _ in counts}):
+        delta = {i: 0.0 for i in items}
+        for (r, w, l), n in counts.items():
+            if r != rnd:
+                continue
+            ew = 1.0 / (1.0 + 10.0 ** ((rt[l] - rt[w]) / 400.0))
+            delta[w] += k_factor * n * (1.0 - ew)
+            delta[l] -= k_factor * n * (1.0 - ew)
+        rt = {i: round(rt[i] + delta[i], 9) for i in items}
+    wins = {i: sum(n for (_, w, _), n in counts.items() if w == i) for i in items}
+    losses = {i: sum(n for (_, _, l), n in counts.items() if l == i) for i in items}
+    assert set(got) == set(items)
+    for i in items:
+        assert got[i][1] == wins[i]
+        assert got[i][2] == losses[i]
+        assert got[i][3] == wins[i] + losses[i]
+        assert got[i][0] == pytest.approx(round(rt[i], 4), abs=2e-4)
