@@ -2497,3 +2497,73 @@ def test_elo_ratings_match_python(spark, matches, k_factor):
         assert got[i][2] == losses[i]
         assert got[i][3] == wins[i] + losses[i]
         assert got[i][0] == pytest.approx(round(rt[i], 4), abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation vs python replica + budget invariants
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.mixture import neyman_allocation
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    total_n=st.sampled_from([1, 5, 12, 50]),
+)
+def test_neyman_allocation_matches_python(spark, rows, total_n):
+    df = spark.createDataFrame(
+        [(s, float(v)) for s, v in rows], "s string, v double"
+    )
+    got = {
+        r.s: (r.n_rows, r.stddev, r.weight, r.alloc)
+        for r in neyman_allocation(df, "s", "v", total_n).collect()
+    }
+    strata: dict = {}
+    for s, v in rows:
+        strata.setdefault(s, []).append(float(v))
+    stats = {}
+    for s, vs in strata.items():
+        n = len(vs)
+        sx, sxx = sum(vs), sum(v * v for v in vs)
+        var = max(sxx / n - (sx / n) ** 2, 0.0)
+        stats[s] = (n, math.sqrt(var))
+    tot = sum(n * sd for n, sd in stats.values())
+    w = {
+        s: (n * sd / tot if tot > 0 else 0.0) for s, (n, sd) in stats.items()
+    }
+    exact = {s: round(w[s] * float(total_n), 6) for s in stats}
+    floor = {s: int(math.floor(exact[s])) for s in stats}
+    frac = {s: round(exact[s] - floor[s], 6) for s in stats}
+    order = sorted(stats, key=lambda s: (-frac[s], s))
+    deficit = total_n - sum(floor.values())
+    alloc0 = {
+        s: floor[s] + (1 if i < deficit else 0) for i, s in enumerate(order)
+    }
+    alloc1 = {s: min(alloc0[s], stats[s][0]) for s in stats}
+    surplus = sum(alloc0[s] - alloc1[s] for s in stats)
+    alloc = {}
+    room_before = 0
+    for s in order:
+        room = stats[s][0] - alloc1[s]
+        extra = max(min(surplus - room_before, room), 0)
+        alloc[s] = alloc1[s] + extra
+        room_before += room
+    assert set(got) == set(stats)
+    total_rows = sum(n for n, _ in stats.values())
+    assert sum(a for _, _, _, a in got.values()) == min(total_n, total_rows)
+    for s in stats:
+        n, sd = stats[s]
+        g = got[s]
+        assert g[0] == n
+        assert 0 <= g[3] <= n  # never over-draws a stratum
+        assert g[1] == pytest.approx(round(sd, 6), abs=2e-6)
+        assert g[2] == pytest.approx(round(w[s], 6), abs=2e-6)
+        assert g[3] == alloc[s]
