@@ -2567,3 +2567,60 @@ def test_neyman_allocation_matches_python(spark, rows, total_n):
         assert g[1] == pytest.approx(round(sd, 6), abs=2e-6)
         assert g[2] == pytest.approx(round(w[s], 6), abs=2e-6)
         assert g[3] == alloc[s]
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture weights vs python replica (incl. cap waterfill)
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.mixture import temperature_mixture_weights
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=1, max_value=1000),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    tau=st.sampled_from([1.0, 2.0, 3.5]),
+    cap=st.sampled_from([None, 0.5, 0.9]),
+)
+def test_temperature_mixture_weights_match_python(spark, rows, tau, cap):
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    n_strata = len({s for s, _ in rows})
+    if cap is not None and cap * n_strata < 1.0 - 1e-9:
+        return  # infeasible cap — guarded by assert_true, tested elsewhere
+    got = {
+        r.source: (r.n_rows, r.n_size, r.p_raw, r.p_target, r.repeat_factor)
+        for r in temperature_mixture_weights(df, tau=tau, cap=cap).collect()
+    }
+    agg: dict = {}
+    for s, c in rows:
+        n, sz = agg.get(s, (0, 0))
+        agg[s] = (n + 1, sz + c)
+    total = sum(sz for _, sz in agg.values())
+    praw = {s: sz / total for s, (_, sz) in agg.items()}
+    scaled = {s: praw[s] ** (1.0 / tau) for s in agg}
+    tot_s = sum(scaled.values())
+    pt = {s: scaled[s] / tot_s for s in agg}
+    if cap is not None:
+        capped = {s for s in agg if pt[s] > cap}
+        cap_mass = cap * len(capped)
+        free_mass = sum(pt[s] for s in agg if s not in capped)
+        pt = {
+            s: cap if s in capped else pt[s] * (1.0 - cap_mass) / free_mass
+            for s in agg
+        }
+    assert set(got) == set(agg)
+    # targets always sum to 1 (the waterfill conserves mass)
+    assert sum(v[3] for v in got.values()) == pytest.approx(1.0, abs=1e-4)
+    for s, (n, sz) in agg.items():
+        g = got[s]
+        assert g[0] == n and g[1] == sz
+        assert g[2] == pytest.approx(praw[s], abs=2e-6)
+        assert g[3] == pytest.approx(pt[s], abs=2e-6)
+        assert g[4] == pytest.approx(pt[s] / praw[s], abs=2e-4)
