@@ -2624,3 +2624,36 @@ def test_temperature_mixture_weights_match_python(spark, rows, tau, cap):
         assert g[2] == pytest.approx(praw[s], abs=2e-6)
         assert g[3] == pytest.approx(pt[s], abs=2e-6)
         assert g[4] == pytest.approx(pt[s] / praw[s], abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# exact ROC-AUC vs brute-force pair counting
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.quality import roc_auc
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10).map(lambda v: v / 10.0),  # score
+            st.booleans(),                                                    # label
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_roc_auc_matches_bruteforce_pairs(spark, rows):
+    if not any(y for _, y in rows) or all(y for _, y in rows):
+        return  # needs both classes; the operator filters these out
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = roc_auc(df, "score", "label").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    exp = (wins + ties / 2) / (len(pos) * len(neg))
+    assert r.n_pos == len(pos) and r.n_neg == len(neg)
+    assert r.auc == pytest.approx(exp, abs=2e-6)
+    assert 0.0 <= r.auc <= 1.0
