@@ -2657,3 +2657,98 @@ def test_roc_auc_matches_bruteforce_pairs(spark, rows):
     assert r.n_pos == len(pos) and r.n_neg == len(neg)
     assert r.auc == pytest.approx(exp, abs=2e-6)
     assert 0.0 <= r.auc <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# triangle count / k-core / label propagation vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.graph import k_core, label_propagation, triangle_count
+
+rand_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _und(edges):
+    return {frozenset(e) for e in edges if e[0] != e[1]}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=rand_edges)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    und = _und(edges)
+    if not und:
+        return
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    nodes = {v for e in und for v in e}
+    tri = 0
+    ns = sorted(nodes)
+    adj = {v: set() for v in nodes}
+    for e in und:
+        a, b = tuple(e)
+        adj[a].add(b)
+        adj[b].add(a)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1:]:
+            if b not in adj[a]:
+                continue
+            for c in ns:
+                if c > b and c in adj[a] and c in adj[b]:
+                    tri += 1
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (len(nodes), len(und), tri)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=rand_edges, k=st.sampled_from([2, 3]))
+def test_k_core_matches_python_peeling(spark, edges, k):
+    und = _und(edges)
+    if not und:
+        return
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r.id: r.degree for r in k_core(df, k).collect()}
+    es = set(und)
+    while True:
+        deg: dict = {}
+        for e in es:
+            for v in e:
+                deg[v] = deg.get(v, 0) + 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            break
+        es = {e for e in es if not (e & drop)}
+    deg = {}
+    for e in es:
+        for v in e:
+            deg[v] = deg.get(v, 0) + 1
+    exp = {v: d for v, d in deg.items() if d >= k}
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=rand_edges, rounds=st.sampled_from([1, 4]))
+def test_label_propagation_matches_python(spark, edges, rounds):
+    und = _und(edges)
+    if not und:
+        return
+    sym = [(a, b) for e in und for a, b in (tuple(e), tuple(reversed(tuple(e))))]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, rounds=rounds).collect()}
+    nodes = {v for e in und for v in e}
+    labels = {v: v for v in nodes}
+    for _ in range(rounds):
+        votes: dict = {v: {} for v in nodes}
+        for s, d in sym:  # neighbor votes: src's label lands on dst
+            votes[d][labels[s]] = votes[d].get(labels[s], 0) + 1
+        for v in nodes:  # one self-vote
+            votes[v][labels[v]] = votes[v].get(labels[v], 0) + 1
+        labels = {
+            v: min(votes[v].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for v in nodes
+        }
+    assert got == labels
