@@ -2752,3 +2752,72 @@ def test_label_propagation_matches_python(spark, edges, rounds):
             for v in nodes
         }
     assert got == labels
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction / clustering coefficient vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.graph import adamic_adar, clustering_coefficient
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=rand_edges)
+def test_adamic_adar_matches_python(spark, edges):
+    und = _und(edges)
+    if not und:
+        return
+    sym = [(a, b) for e in und for a, b in (tuple(e), tuple(reversed(tuple(e))))]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        (r.node_a, r.node_b): (r.common_neighbors, r.aa_score)
+        for r in adamic_adar(df, k=1000).collect()
+    }
+    adj: dict = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    exp = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            common = {z for z in common if len(adj[z]) >= 2}
+            if not common:
+                continue
+            score = sum(round(1.0 / math.log(len(adj[z])), 6) for z in common)
+            exp[(a, b)] = (len(common), round(score, 4))
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=rand_edges)
+def test_clustering_coefficient_matches_python(spark, edges):
+    und = _und(edges)
+    if not und:
+        return
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    r = clustering_coefficient(df).collect()[0]
+    adj: dict = {}
+    for e in und:
+        a, b = tuple(e)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = (
+        sum(
+            1
+            for a in adj
+            for b in adj[a]
+            if a < b
+            for c in adj[a] & adj[b]
+            if c > b
+        )
+    )
+    wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
+    assert r.n_triangles == tri and r.n_wedges == wedges
+    if wedges:
+        assert r.transitivity == pytest.approx(3.0 * tri / wedges, abs=2e-6)
+        assert r.transitivity <= 1.0 + 1e-9
+    else:
+        assert r.transitivity is None
