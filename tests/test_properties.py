@@ -2821,3 +2821,71 @@ def test_clustering_coefficient_matches_python(spark, edges):
         assert r.transitivity <= 1.0 + 1e-9
     else:
         assert r.transitivity is None
+
+
+# ---------------------------------------------------------------------------
+# pagerank / personalized pagerank vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.graph import pagerank, personalized_pagerank
+
+
+def _pr_python(sym, iters, damping, seeds=None):
+    out: dict = {}
+    for s, d in sym:
+        out.setdefault(s, []).append(d)
+    nodes = sorted(out)
+    n = len(nodes)
+    if seeds is None:
+        rank = {v: 1.0 / n for v in nodes}
+        tele = {v: (1.0 - damping) / n for v in nodes}
+    else:
+        rank = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+        tele = {
+            v: ((1.0 - damping) / len(seeds) if v in seeds else 0.0)
+            for v in nodes
+        }
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for u in nodes:
+            share = rank[u] / len(out[u])
+            for v in out[u]:
+                contrib[v] += share
+        rank = {v: round(tele[v] + damping * contrib[v], 9) for v in nodes}
+    return rank
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=rand_edges, iters=st.sampled_from([2, 8]))
+def test_pagerank_matches_python(spark, edges, iters):
+    und = _und(edges)
+    if not und:
+        return
+    sym = [(a, b) for e in und for a, b in (tuple(e), tuple(reversed(tuple(e))))]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=iters).collect()}
+    exp = _pr_python(sym, iters, 0.85)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=rand_edges, iters=st.sampled_from([2, 8]))
+def test_personalized_pagerank_matches_python(spark, edges, iters):
+    und = _und(edges)
+    if not und:
+        return
+    sym = [(a, b) for e in und for a, b in (tuple(e), tuple(reversed(tuple(e))))]
+    nodes = sorted({v for e in und for v in e})
+    seeds = nodes[: max(1, len(nodes) // 3)]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(df, seeds, iterations=iters).collect()
+    }
+    exp = _pr_python(sym, iters, 0.85, seeds=set(seeds))
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-6)
