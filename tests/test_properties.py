@@ -2889,3 +2889,67 @@ def test_personalized_pagerank_matches_python(spark, edges, iters):
     assert set(got) == set(exp)
     for v in exp:
         assert got[v] == pytest.approx(exp[v], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities vs python replica (decimal-exact per-round sums)
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.graph import hits
+
+
+def _rhu(x: float, n: int) -> float:
+    """Replica of Spark's F.round on double: HALF_UP on the shortest
+    decimal representation (BigDecimal.valueOf semantics)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-n), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=6)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    iters=st.sampled_from([1, 4]),
+)
+def test_hits_matches_python(spark, edges, iters):
+    import decimal
+
+    dedges = sorted({e for e in edges})
+    df = spark.createDataFrame(dedges, "src long, dst long")
+    got = {r.node: (r.hub, r.auth) for r in hits(df, iterations=iters).collect()}
+    nodes = sorted({v for e in dedges for v in e})
+    n = len(nodes)
+    D = decimal.Decimal
+    hub = {v: D(repr(_rhu(1.0 / n, 9))) for v in nodes}
+    auth = {v: D(repr(_rhu(1.0 / n, 9))) for v in nodes}
+    for _ in range(iters):
+        araw = {v: D(0) for v in nodes}
+        for s, d in dedges:
+            araw[d] += hub[s]
+        atot = sum(araw.values())
+        auth = {
+            v: D(repr(_rhu(float(araw[v]) / float(atot), 9))) if atot > 0 else D(0)
+            for v in nodes
+        }
+        hraw = {v: D(0) for v in nodes}
+        for s, d in dedges:
+            hraw[s] += auth[d]
+        htot = sum(hraw.values())
+        hub = {
+            v: D(repr(_rhu(float(hraw[v]) / float(htot), 9))) if htot > 0 else D(0)
+            for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v][0] == pytest.approx(_rhu(float(hub[v]), 6), abs=2e-6)
+        assert got[v][1] == pytest.approx(_rhu(float(auth[v]), 6), abs=2e-6)
