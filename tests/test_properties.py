@@ -2953,3 +2953,144 @@ def test_hits_matches_python(spark, edges, iters):
     for v in nodes:
         assert got[v][0] == pytest.approx(_rhu(float(hub[v]), 6), abs=2e-6)
         assert got[v][1] == pytest.approx(_rhu(float(auth[v]), 6), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# adjusted Rand / Brier+log-loss / Welch t vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.evaluation import adjusted_rand_index, brier_log_loss
+from valentinus_spark.operators.experiment import welch_means_test
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=3)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_adjusted_rand_index_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "la long, lb long")
+    r = adjusted_rand_index(df, "la", "lb").collect()[0]
+    n = len(rows)
+    c2 = lambda c: c * (c - 1) // 2  # noqa: E731
+    cells: dict = {}
+    ca: dict = {}
+    cb: dict = {}
+    for a, b in rows:
+        cells[(a, b)] = cells.get((a, b), 0) + 1
+        ca[a] = ca.get(a, 0) + 1
+        cb[b] = cb.get(b, 0) + 1
+    sij = sum(c2(c) for c in cells.values())
+    sa = sum(c2(c) for c in ca.values())
+    sb = sum(c2(c) for c in cb.values())
+    assert (r.n, r.clusters_a, r.clusters_b) == (n, len(ca), len(cb))
+    if n < 2:
+        assert r.ari is None
+        return
+    expected = sa * sb / c2(n)
+    den = (sa + sb) / 2 - expected
+    if den == 0.0:
+        assert r.ari is None
+    else:
+        assert r.ari == pytest.approx((sij - expected) / den, abs=2e-6)
+        # identical partitions (up to relabeling) always score 1
+        if all(
+            (a1 == a2) == (b1 == b2)
+            for i, (a1, b1) in enumerate(rows)
+            for a2, b2 in rows[i + 1:]
+        ):
+            assert r.ari == pytest.approx(1.0, abs=1e-6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20).map(lambda v: v / 20.0),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_brier_log_loss_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "p double, y boolean")
+    r = brier_log_loss(df, "p", "y").collect()[0]
+    eps = 1e-15
+    n = len(rows)
+    bs = sum(round((min(1 - eps, max(eps, p)) - float(y)) ** 2, 12) for p, y in rows)
+    ls = sum(
+        round(
+            -(
+                float(y) * math.log(min(1 - eps, max(eps, p)))
+                + (1.0 - float(y)) * math.log(1.0 - min(1 - eps, max(eps, p)))
+            ),
+            12,
+        )
+        for p, y in rows
+    )
+    assert r.n == n and r.n_pos == sum(1 for _, y in rows if y)
+    assert r.brier == pytest.approx(bs / n, abs=2e-6)
+    assert r.log_loss == pytest.approx(ls / n, abs=2e-6)
+    assert 0.0 <= r.brier <= 1.0
+
+
+def _phi_upper_py(z: float) -> float:
+    t = 1.0 / (1.0 + 0.2316419 * z)
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    return math.exp(-z * z / 2.0) / 2.5066282746310002 * poly
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_welch_means_test_matches_python(spark, rows):
+    df = spark.createDataFrame(
+        [(a, float(v)) for a, v in rows], "arm long, value double"
+    )
+    r = welch_means_test(df, "arm", "value").collect()[0]
+    a = [float(v) for arm, v in rows if arm == 0]
+    b = [float(v) for arm, v in rows if arm == 1]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    ma = sum(a) / len(a) if a else None
+    mb = sum(b) / len(b) if b else None
+    if ma is not None:
+        assert r.mean_a == pytest.approx(ma, abs=2e-6)
+    if mb is not None:
+        assert r.mean_b == pytest.approx(mb, abs=2e-6)
+    if len(a) < 2 or len(b) < 2:
+        assert r.t is None and r.p_value is None
+        return
+    va = (sum(v * v for v in a) - len(a) * ma * ma) / (len(a) - 1)
+    vb = (sum(v * v for v in b) - len(b) * mb * mb) / (len(b) - 1)
+    sa2, sb2 = va / len(a), vb / len(b)
+    se2 = sa2 + sb2
+    if se2 <= 0:
+        assert r.t is None
+        return
+    t = (mb - ma) / math.sqrt(se2)
+    assert r.t == pytest.approx(t, abs=2e-6)
+    dof = se2 * se2 / (
+        (sa2 * sa2 / (len(a) - 1) if len(a) > 1 else 0.0)
+        + (sb2 * sb2 / (len(b) - 1) if len(b) > 1 else 0.0)
+    )
+    assert r.dof == pytest.approx(dof, abs=2e-5)
+    assert r.p_value == pytest.approx(
+        min(1.0, 2.0 * _phi_upper_py(abs(t))), abs=2e-6
+    )
