@@ -3094,3 +3094,57 @@ def test_welch_means_test_matches_python(spark, rows):
     assert r.p_value == pytest.approx(
         min(1.0, 2.0 * _phi_upper_py(abs(t))), abs=2e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.evaluation import ndcg_at_k
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    judged=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # query
+            st.integers(min_value=0, max_value=9),   # doc
+            st.integers(min_value=0, max_value=5),   # score (ties likely)
+            st.integers(min_value=0, max_value=3),   # graded relevance
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),  # one judgment per (query, doc)
+    ),
+    k=st.sampled_from([2, 5, 10]),
+)
+def test_ndcg_at_k_matches_python(spark, judged, k):
+    df = spark.createDataFrame(judged, "q long, doc long, score long, rel long")
+    got = {
+        r.q: (r.n_judged, r.dcg, r.idcg, r.ndcg)
+        for r in ndcg_at_k(df, "q", "doc", "score", "rel", k=k).collect()
+    }
+    per_q: dict = {}
+    for q, d, s, rel in judged:
+        per_q.setdefault(q, []).append((d, s, rel))
+    assert set(got) == set(per_q)
+    for q, rows in per_q.items():
+        by_score = sorted(rows, key=lambda t: (-t[1], t[0]))
+        by_ideal = sorted(rows, key=lambda t: (-t[2], t[0]))
+        dcg = sum(
+            (2.0 ** rel - 1.0) / math.log2(i + 2)
+            for i, (_, _, rel) in enumerate(by_score[:k])
+        )
+        idcg = sum(
+            (2.0 ** rel - 1.0) / math.log2(i + 2)
+            for i, (_, _, rel) in enumerate(by_ideal[:k])
+        )
+        g = got[q]
+        assert g[0] == len(rows)
+        assert g[1] == pytest.approx(dcg, abs=2e-6)
+        assert g[2] == pytest.approx(idcg, abs=2e-6)
+        if idcg > 0:
+            assert g[3] == pytest.approx(dcg / idcg, abs=2e-6)
+            assert g[3] <= 1.0 + 1e-9  # DCG never beats the ideal ordering
+        else:
+            assert g[3] is None
