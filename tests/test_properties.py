@@ -3148,3 +3148,57 @@ def test_ndcg_at_k_matches_python(spark, judged, k):
             assert g[3] <= 1.0 + 1e-9  # DCG never beats the ideal ordering
         else:
             assert g[3] is None
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.evaluation import fleiss_kappa
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ratings=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # item
+            st.integers(min_value=1, max_value=4),          # rater
+            st.sampled_from(["yes", "no", "maybe"]),        # category
+        ),
+        min_size=2,
+        max_size=16,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_fleiss_kappa_matches_python(spark, ratings):
+    df = spark.createDataFrame(ratings, "item long, rater long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    per_item: dict = {}
+    for i, _, c in ratings:
+        per_item.setdefault(i, {})
+        per_item[i][c] = per_item[i].get(c, 0) + 1
+    m = max(sum(cs.values()) for cs in per_item.values())
+    kept = {i: cs for i, cs in per_item.items() if sum(cs.values()) == m}
+    dropped = len(per_item) - len(kept)
+    assert (r.n_items, r.n_raters, r.n_dropped) == (len(kept), m, dropped)
+    if m < 2:
+        # per-item agreement is undefined at m == 1 — the operator
+        # returns NULL p_bar/kappa instead of an ANSI divide-by-zero
+        assert r.p_bar is None and r.kappa is None
+        return
+    pbar = sum(
+        sum(n * (n - 1) for n in cs.values()) / (m * (m - 1))
+        for cs in kept.values()
+    ) / len(kept)
+    nc: dict = {}
+    for cs in kept.values():
+        for c, n in cs.items():
+            nc[c] = nc.get(c, 0) + n
+    pe = sum((n / (len(kept) * m)) ** 2 for n in nc.values())
+    assert r.p_bar == pytest.approx(pbar, abs=2e-6)
+    assert r.p_e == pytest.approx(pe, abs=2e-6)
+    if pe < 1.0:
+        assert r.kappa == pytest.approx((pbar - pe) / (1.0 - pe), abs=2e-5)
+        assert r.kappa <= 1.0 + 1e-9
+    else:
+        assert r.kappa is None

@@ -191,11 +191,17 @@ def fleiss_kappa(
     dropped = complete.filter(F.col("_m") != F.col("_mmax")).agg(
         F.count(F.lit(1)).alias("_ndrop")
     )
+    # m == 1 (every kept item rated once) leaves per-item agreement
+    # undefined — m(m−1) = 0 would raise under ANSI mode, so the whole
+    # statistic goes NULL instead (same convention as the P_e = 1 case)
     pbar = kept.agg(
         F.count(F.lit(1)).alias("_nitems"),
         F.first("_mmax").alias("_m"),
         F.avg(
-            F.col("_pairs") / (F.col("_mmax") * (F.col("_mmax") - 1))
+            F.when(
+                F.col("_mmax") >= 2,
+                F.col("_pairs") / (F.col("_mmax") * (F.col("_mmax") - 1)),
+            )
         ).alias("_pbar"),
     )
     # chance agreement over the KEPT items only (consistent marginals)
