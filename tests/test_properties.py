@@ -3202,3 +3202,100 @@ def test_fleiss_kappa_matches_python(spark, ratings):
         assert r.kappa <= 1.0 + 1e-9
     else:
         assert r.kappa is None
+
+
+# ---------------------------------------------------------------------------
+# mutual information / Krippendorff's alpha vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.evaluation import krippendorff_alpha, mutual_information
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]), st.sampled_from(["p", "q"])
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_mutual_information_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    n = len(rows)
+
+    def ent(counts):
+        return -sum(c / n * math.log2(c / n) for c in counts)
+
+    ca: dict = {}
+    cb: dict = {}
+    cab: dict = {}
+    for a, b in rows:
+        ca[a] = ca.get(a, 0) + 1
+        cb[b] = cb.get(b, 0) + 1
+        cab[(a, b)] = cab.get((a, b), 0) + 1
+    ha, hb, hab = ent(ca.values()), ent(cb.values()), ent(cab.values())
+    mi = max(0.0, ha + hb - hab)
+    assert r.n == n
+    assert r.h_a == pytest.approx(ha, abs=2e-6)
+    assert r.h_b == pytest.approx(hb, abs=2e-6)
+    assert r.h_ab == pytest.approx(hab, abs=2e-6)
+    assert r.mi == pytest.approx(mi, abs=2e-6)
+    # information inequalities
+    assert r.mi <= min(ha, hb) + 1e-6
+    if ha > 0 and hb > 0:
+        assert r.nmi == pytest.approx(mi / math.sqrt(ha * hb), abs=2e-6)
+        assert -1e-9 <= r.nmi <= 1.0 + 1e-6
+    else:
+        assert r.nmi is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ratings=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),          # item
+            st.integers(min_value=1, max_value=4),          # rater
+            st.sampled_from(["a", "b", "c"]),               # category
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_krippendorff_alpha_matches_python(spark, ratings):
+    df = spark.createDataFrame(ratings, "item long, rater long, cat string")
+    r = krippendorff_alpha(df, "item", "cat").collect()[0]
+    per_item: dict = {}
+    for i, _, c in ratings:
+        per_item.setdefault(i, {})
+        per_item[i][c] = per_item[i].get(c, 0) + 1
+    pairable = {i: cs for i, cs in per_item.items() if sum(cs.values()) >= 2}
+    dropped = len(per_item) - len(pairable)
+    assert r.n_dropped == dropped
+    assert r.n_items == len(pairable)
+    if not pairable:
+        assert r.alpha is None
+        return
+    nvals = sum(sum(cs.values()) for cs in pairable.values())
+    assert r.n_values == nvals
+    dosum = sum(
+        (m * m - sum(c * c for c in cs.values())) / (m - 1)
+        for cs in pairable.values()
+        for m in [sum(cs.values())]
+    )
+    d_o = dosum / nvals
+    nc: dict = {}
+    for cs in pairable.values():
+        for c, x in cs.items():
+            nc[c] = nc.get(c, 0) + x
+    d_e = sum(x * (nvals - x) for x in nc.values()) / (nvals * (nvals - 1))
+    assert r.d_o == pytest.approx(d_o, abs=2e-6)
+    assert r.d_e == pytest.approx(d_e, abs=2e-6)
+    if d_e > 0:
+        assert r.alpha == pytest.approx(1.0 - d_o / d_e, abs=2e-5)
+        assert r.alpha <= 1.0 + 1e-9
+    else:
+        assert r.alpha is None
