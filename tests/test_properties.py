@@ -3299,3 +3299,73 @@ def test_krippendorff_alpha_matches_python(spark, ratings):
         assert r.alpha <= 1.0 + 1e-9
     else:
         assert r.alpha is None
+
+
+# ---------------------------------------------------------------------------
+# Spearman rho / Kendall tau-b vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.evaluation import rank_correlation
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # score a (ties likely)
+            st.integers(min_value=0, max_value=6),  # score b
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_rank_correlation_matches_python(spark, rows):
+    data = [("g", float(a), float(b)) for a, b in rows]
+    df = spark.createDataFrame(data, "g string, sa double, sb double")
+    r = rank_correlation(df, "g", "sa", "sb").collect()[0]
+    n = len(rows)
+
+    def avg_ranks(vals):
+        order = sorted(range(n), key=lambda i: vals[i])
+        ranks = [0.0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0  # mean of positions i+1..j
+            for t in range(i, j):
+                ranks[order[t]] = avg
+            i = j
+        return ranks
+
+    a = [x for x, _ in rows]
+    b = [y for _, y in rows]
+    ra, rb = avg_ranks(a), avg_ranks(b)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    cov = sum(x * y for x, y in zip(ra, rb)) - n * ma * mb
+    va = sum(x * x for x in ra) - n * ma * ma
+    vb = sum(y * y for y in rb) - n * mb * mb
+    assert r.n == n
+    if va > 1e-12 and vb > 1e-12:
+        assert r.spearman_rho == pytest.approx(cov / math.sqrt(va * vb), abs=2e-6)
+        assert abs(r.spearman_rho) <= 1.0 + 1e-9
+    else:
+        assert r.spearman_rho is None
+    s = n0 = n1 = n2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            da, db = a[i] - a[j], b[i] - b[j]
+            n0 += 1
+            if da == 0:
+                n1 += 1
+            if db == 0:
+                n2 += 1
+            if da != 0 and db != 0:
+                s += (1 if da * db > 0 else -1)
+    den = math.sqrt((n0 - n1) * (n0 - n2))
+    if den > 0:
+        assert r.kendall_tau == pytest.approx(s / den, abs=2e-6)
+        assert abs(r.kendall_tau) <= 1.0 + 1e-9
+    else:
+        assert r.kendall_tau is None
