@@ -3369,3 +3369,39 @@ def test_rank_correlation_matches_python(spark, rows):
         assert abs(r.kendall_tau) <= 1.0 + 1e-9
     else:
         assert r.kendall_tau is None
+
+
+# ---------------------------------------------------------------------------
+# rank-biased overlap vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.evaluation import rbo_overlap
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # score a (ties → id break)
+            st.integers(min_value=0, max_value=8),  # score b
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    k=st.sampled_from([3, 10]),
+    p=st.sampled_from([0.5, 0.9]),
+)
+def test_rbo_overlap_matches_python(spark, rows, k, p):
+    data = [(i, float(a), float(b)) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, sa double, sb double")
+    r = rbo_overlap(df, "id", "sa", "sb", k=k, p=p).collect()[0]
+    order_a = sorted(range(len(rows)), key=lambda i: (-rows[i][0], i))
+    order_b = sorted(range(len(rows)), key=lambda i: (-rows[i][1], i))
+    rbo = 0.0
+    for d in range(1, k + 1):
+        top_a, top_b = set(order_a[:d]), set(order_b[:d])
+        rbo += p ** (d - 1) * len(top_a & top_b) / d
+    rbo *= 1.0 - p
+    assert (r.k, r.p) == (k, p)
+    assert r.rbo == pytest.approx(rbo, abs=2e-6)
+    assert 0.0 <= r.rbo <= 1.0 + 1e-9
