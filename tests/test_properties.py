@@ -3405,3 +3405,65 @@ def test_rbo_overlap_matches_python(spark, rows, k, p):
     assert (r.k, r.p) == (k, p)
     assert r.rbo == pytest.approx(rbo, abs=2e-6)
     assert 0.0 <= r.rbo <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-n clipped overlap vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.evaluation import rouge_n_pairs
+
+rouge_text = st.lists(
+    st.sampled_from(["the", "cat", "sat", "mat"]), min_size=0, max_size=8
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(rouge_text, rouge_text), min_size=1, max_size=6
+    ),
+    n=st.sampled_from([1, 2]),
+)
+def test_rouge_n_matches_python(spark, pairs, n):
+    data = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(data, "pid long, ta string, tb string")
+    got = {
+        r.pid: (r.overlap, r.n_a, r.n_b, r.precision, r.recall, r.f1)
+        for r in rouge_n_pairs(df, "pid", "ta", "tb", n=n).collect()
+    }
+
+    def grams(text):
+        toks = text.split()
+        if not toks:
+            return {}
+        if len(toks) <= n:  # house shingle semantics: whole short text
+            return {" ".join(toks): 1}
+        out: dict = {}
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            out[g] = out.get(g, 0) + 1
+        return out
+
+    assert set(got) == set(range(len(pairs)))
+    for i, (a, b) in enumerate(pairs):
+        ga, gb = grams(a), grams(b)
+        na, nb = sum(ga.values()), sum(gb.values())
+        ov = sum(min(c, gb.get(g, 0)) for g, c in ga.items())
+        prec = ov / na if na > 0 else None
+        rec = ov / nb if nb > 0 else None
+        if prec is None or rec is None:
+            f1 = None
+        elif prec + rec > 0:
+            f1 = 2 * prec * rec / (prec + rec)
+        else:
+            f1 = 0.0
+        g = got[i]
+        assert g[:3] == (ov, na, nb)
+        for gv, ev in zip(g[3:], (prec, rec, f1)):
+            if ev is None:
+                assert gv is None
+            else:
+                assert gv == pytest.approx(ev, abs=2e-6)
+        if ov == na == nb and na > 0:
+            assert g[5] == pytest.approx(1.0, abs=1e-9)  # identical sides

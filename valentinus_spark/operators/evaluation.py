@@ -90,6 +90,12 @@ def rouge_n_pairs(
     ``min(count_a, count_b)`` — the multiset intersection that stops a
     candidate from farming credit by repeating one reference gram.
 
+    Short-text convention (house shingle semantics,
+    `functions/text.py shingles_from_tokens`): a non-empty side with
+    ≤ n tokens contributes ONE gram — the whole text — rather than the
+    textbook zero n-grams, so 1-token candidates keep a defined
+    precision instead of going NULL. The DuckDB oracle replays this.
+
         recall    = overlap / total_grams_b   (ROUGE-n proper)
         precision = overlap / total_grams_a
         f1        = harmonic mean — NULL when either side is empty
