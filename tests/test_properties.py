@@ -3467,3 +3467,49 @@ def test_rouge_n_matches_python(spark, pairs, n):
                 assert gv == pytest.approx(ev, abs=2e-6)
         if ov == na == nb and na > 0:
             assert g[5] == pytest.approx(1.0, abs=1e-9)  # identical sides
+
+
+# ---------------------------------------------------------------------------
+# two-sample KS test vs python replica (incl. empty-group degenerate)
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.validate import ks_test
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "other"]),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ks_test_matches_python(spark, rows):
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    a = sorted(float(v) for g, v in rows if g == "a")
+    b = sorted(float(v) for g, v in rows if g == "b")
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    if not a or not b:
+        # one side empty: D undefined — NULL, never an ANSI
+        # divide-by-zero (hypothesis-found crash)
+        assert r.d_stat is None and r.p_value is None
+        return
+    xs = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            sum(1 for v in a if v <= x) / len(a)
+            - sum(1 for v in b if v <= x) / len(b)
+        )
+        for x in xs
+    )
+    assert r.d_stat == pytest.approx(d, abs=2e-6)
+    na, nb = len(a), len(b)
+    p = min(1.0, 2.0 * math.exp(-2.0 * d * d * na * nb / (na + nb)))
+    assert r.p_value == pytest.approx(p, abs=2e-6)
+    assert 0.0 <= r.d_stat <= 1.0

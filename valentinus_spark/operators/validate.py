@@ -264,11 +264,18 @@ def ks_test(
     tot = per_val.agg(
         F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
     )
+    # guard INSIDE the max: with an empty group the ECDF division is
+    # 0/0 and ANSI mode would raise before the outer NULL-gate ever
+    # ran (hypothesis-found); both-groups-present rows are unchanged,
+    # so the oracle stays in lockstep
     d = cum.crossJoin(F.broadcast(tot)).agg(
         F.max(
-            F.abs(
-                F.col("_cuma").cast("double") / F.col("_na")
-                - F.col("_cumb").cast("double") / F.col("_nb")
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.abs(
+                    F.col("_cuma").cast("double") / F.col("_na")
+                    - F.col("_cumb").cast("double") / F.col("_nb")
+                ),
             )
         ).alias("_d"),
         F.first("_na").alias("n_a"),
