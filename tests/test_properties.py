@@ -3513,3 +3513,87 @@ def test_ks_test_matches_python(spark, rows):
     p = min(1.0, 2.0 * math.exp(-2.0 * d * d * na * nb / (na + nb)))
     assert r.p_value == pytest.approx(p, abs=2e-6)
     assert 0.0 <= r.d_stat <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# chi-squared / Wasserstein-1 vs python replicas (incl. degenerates)
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.validate import chi_squared, wasserstein_1d
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]), st.sampled_from(["p", "q"])
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_chi_squared_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_squared(df, "a", "b").collect()[0]
+    n = len(rows)
+    cab: dict = {}
+    na: dict = {}
+    nb: dict = {}
+    for a, b in rows:
+        cab[(a, b)] = cab.get((a, b), 0) + 1
+        na[a] = na.get(a, 0) + 1
+        nb[b] = nb.get(b, 0) + 1
+    chi2 = n * (
+        sum(c * c / (na[a] * nb[b]) for (a, b), c in cab.items()) - 1.0
+    )
+    # equals the textbook cell sum, zero cells included
+    chi2_cells = sum(
+        (cab.get((a, b), 0) - na[a] * nb[b] / n) ** 2 / (na[a] * nb[b] / n)
+        for a in na
+        for b in nb
+    )
+    assert abs(chi2 - chi2_cells) < 1e-6
+    assert r.n == n and r.dof == (len(na) - 1) * (len(nb) - 1)
+    assert r.chi2 == pytest.approx(chi2, abs=2e-5)
+    mink = min(len(na), len(nb)) - 1
+    if mink > 0:
+        assert r.cramers_v == pytest.approx(
+            math.sqrt(max(chi2, 0.0) / (n * mink)), abs=2e-6
+        )
+    else:
+        assert r.cramers_v is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "other"]),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_wasserstein_1d_matches_python(spark, rows):
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    r = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    a = sorted(float(v) for g, v in rows if g == "a")
+    b = sorted(float(v) for g, v in rows if g == "b")
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    if not a or not b:
+        assert r.w1 is None  # empty group: NULL, never an ANSI 0/0
+        return
+    xs = sorted(set(a) | set(b))
+    w1 = sum(
+        abs(
+            sum(1 for v in a if v <= x) / len(a)
+            - sum(1 for v in b if v <= x) / len(b)
+        )
+        * (nx - x)
+        for x, nx in zip(xs, xs[1:])
+    )
+    assert r.w1 == pytest.approx(w1, abs=2e-6)
+    assert r.w1 >= 0.0

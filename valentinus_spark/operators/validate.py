@@ -278,8 +278,10 @@ def ks_test(
                 ),
             )
         ).alias("_d"),
-        F.first("_na").alias("n_a"),
-        F.first("_nb").alias("n_b"),
+        # coalesce: with NO rows in either group the sums are NULL —
+        # report 0 counts (hypothesis-found asymmetry vs the filter)
+        F.coalesce(F.first("_na"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.first("_nb"), F.lit(0)).alias("n_b"),
     )
     nab = F.col("n_a").cast("double") * F.col("n_b") / (
         F.col("n_a") + F.col("n_b")
@@ -409,11 +411,16 @@ def wasserstein_1d(
     return (
         cum.crossJoin(F.broadcast(tot))
         .agg(
-            F.first("_na").alias("n_a"),
-            F.first("_nb").alias("n_b"),
+            F.coalesce(F.first("_na"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.first("_nb"), F.lit(0)).alias("n_b"),
+            # same empty-group guard as ks_test: the ECDF division must
+            # sit under the (na, nb > 0) gate or ANSI mode raises 0/0
+            # before the result could ever go NULL (hypothesis-found)
             F.sum(
                 F.when(
-                    F.col("_nx").isNotNull(),
+                    F.col("_nx").isNotNull()
+                    & (F.col("_na") > 0)
+                    & (F.col("_nb") > 0),
                     F.abs(
                         F.col("_cuma").cast("double") / F.col("_na")
                         - F.col("_cumb").cast("double") / F.col("_nb")
@@ -422,7 +429,14 @@ def wasserstein_1d(
                 ).otherwise(0.0)
             ).alias("_w1"),
         )
-        .select("n_a", "n_b", F.round("_w1", 6).alias("w1"))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("_w1")),
+                6,
+            ).alias("w1"),  # NULL when a group is empty (ks_test convention)
+        )
     )
 
 
