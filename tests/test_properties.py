@@ -3597,3 +3597,89 @@ def test_wasserstein_1d_matches_python(spark, rows):
     )
     assert r.w1 == pytest.approx(w1, abs=2e-6)
     assert r.w1 >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa / PSI drift vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.profile import cohens_kappa, psi_drift
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.sampled_from(["x", "y", "w"]),  # 'w'/'z' exercise disjoint cats
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cohens_kappa_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n = len(rows)
+    po = sum(1 for a, b in rows if a == b) / n
+    na: dict = {}
+    nb: dict = {}
+    for a, b in rows:
+        na[a] = na.get(a, 0) + 1
+        nb[b] = nb.get(b, 0) + 1
+    pe = sum(na.get(c, 0) / n * nb.get(c, 0) / n for c in set(na) | set(nb))
+    assert r.n == n
+    assert r.po == pytest.approx(po, abs=2e-6)
+    assert r.pe == pytest.approx(pe, abs=2e-6)  # 0, not NULL, on disjoint cats
+    if pe < 1.0:
+        assert r.kappa == pytest.approx((po - pe) / (1.0 - pe), abs=2e-5)
+        assert r.kappa <= 1.0 + 1e-9
+    else:
+        assert r.kappa is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ref=st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=30),
+    cur=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30),
+    n_bins=st.sampled_from([2, 5]),
+)
+def test_psi_drift_matches_python(spark, ref, cur, n_bins):
+    rdf = spark.createDataFrame([(float(v),) for v in ref], "v double")
+    cdf = spark.createDataFrame(
+        [(float(v),) for v in cur] or [], "v double"
+    )
+    rows = psi_drift(rdf, cdf, "v", n_bins=n_bins).collect()
+    # replicate Spark's percentile (linear interpolation on sorted values)
+    s = sorted(float(v) for v in ref)
+    cuts = []
+    for i in range(1, n_bins):
+        q = i / n_bins
+        pos = q * (len(s) - 1)
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, len(s) - 1)
+        cuts.append(s[lo] + (pos - lo) * (s[hi] - s[lo]))
+
+    def bin_of(v):
+        return sum(1 for c in cuts if v > c)
+
+    nref: dict = {}
+    ncur: dict = {}
+    for v in ref:
+        nref[bin_of(v)] = nref.get(bin_of(v), 0) + 1
+    for v in cur:
+        ncur[bin_of(v)] = ncur.get(bin_of(v), 0) + 1
+    bins = sorted(set(nref) | set(ncur))
+    assert [r.bin for r in rows] == bins
+    tr, tc = len(ref), len(cur)
+    for row in rows:
+        er, ec = nref.get(row.bin, 0), ncur.get(row.bin, 0)
+        p_ref = (er + 1.0) / (tr + n_bins)
+        p_cur = (ec + 1.0) / (tc + n_bins)
+        assert (row.n_ref, row.n_cur) == (er, ec)
+        assert row.p_ref == pytest.approx(p_ref, abs=2e-6)
+        assert row.p_cur == pytest.approx(p_cur, abs=2e-6)
+        assert row.psi_term == pytest.approx(
+            (p_cur - p_ref) * math.log(p_cur / p_ref), abs=2e-6
+        )
+        assert row.psi_term >= -1e-9  # each PSI term is non-negative

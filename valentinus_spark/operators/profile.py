@@ -708,6 +708,11 @@ def psi_drift(
     cuts_row = reference.agg(
         F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(q) for q in qs])).alias("c")
     ).first()
+    if cuts_row["c"] is None:
+        raise ValueError(
+            "psi_drift: reference has no non-null values — no quantile "
+            "cuts can be derived"
+        )
     cuts = [float(x) for x in cuts_row["c"]]
 
     def _binned(side: DataFrame, name: str) -> DataFrame:
@@ -796,17 +801,23 @@ def cohens_kappa(
             ).alias("_pe")
         )
     )
+    # raters sharing NO category: the marginal join is empty and the
+    # sum NULL, but the formula says p_e = 0 (agreement by chance is
+    # impossible) and kappa = p_o — coalesce under a rows-present gate
+    # (hypothesis-found; empty input keeps the all-NULL row)
+    pe0 = F.when(
+        F.col("_tot").isNotNull(), F.coalesce(F.col("_pe"), F.lit(0.0))
+    )
     return (
         tot.crossJoin(F.broadcast(pe))
         .select(
             F.col("_tot").alias("n"),
             F.round(F.col("_agree") / F.col("_tot"), 6).alias("po"),
-            F.round(F.col("_pe"), 6).alias("pe"),
+            F.round(pe0, 6).alias("pe"),
             F.round(
                 F.when(
-                    F.col("_pe") < 1.0,
-                    (F.col("_agree") / F.col("_tot") - F.col("_pe"))
-                    / (1.0 - F.col("_pe")),
+                    pe0 < 1.0,
+                    (F.col("_agree") / F.col("_tot") - pe0) / (1.0 - pe0),
                 ),
                 6,
             ).alias("kappa"),
