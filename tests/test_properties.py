@@ -3683,3 +3683,46 @@ def test_psi_drift_matches_python(spark, ref, cur, n_bins):
             (p_cur - p_ref) * math.log(p_cur / p_ref), abs=2e-6
         )
         assert row.psi_term >= -1e-9  # each PSI term is non-negative
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.profile import benford_profile
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=-100, max_value=99999).map(lambda v: v / 100.0),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_benford_profile_matches_python(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals] or [], "v double")
+    rows = benford_profile(df, "v", decimals=2).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))  # always all nine
+    counts = {d: 0 for d in range(1, 10)}
+    for v in vals:
+        if v <= 0:
+            continue
+        units = int(_rhu(v * 100, 0))
+        d = int(str(units)[0])
+        if 1 <= d <= 9:
+            counts[d] += 1
+    tot = sum(counts.values())
+    for r in rows:
+        assert r.n == counts[r.digit]
+        if tot == 0:
+            assert r.observed_frac is None and r.chi2_term is None
+            continue
+        obs = counts[r.digit] / tot
+        exp = math.log10(1.0 + 1.0 / r.digit)
+        assert r.observed_frac == pytest.approx(obs, abs=2e-6)
+        assert r.expected_frac == pytest.approx(exp, abs=2e-6)
+        assert r.chi2_term == pytest.approx(
+            tot * (obs - exp) ** 2 / exp, abs=2e-5
+        )
+        assert r.chi2_term >= -1e-9
