@@ -3726,3 +3726,69 @@ def test_benford_profile_matches_python(spark, vals):
             tot * (obs - exp) ** 2 / exp, abs=2e-5
         )
         assert r.chi2_term >= -1e-9
+
+
+# ---------------------------------------------------------------------------
+# capture-recapture / HHI concentration vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.profile import capture_recapture, hhi_concentration
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=25),
+    b=st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=25),
+)
+def test_capture_recapture_matches_python(spark, a, b):
+    adf = spark.createDataFrame([(v,) for v in a] or [], "k long")
+    bdf = spark.createDataFrame([(v,) for v in b] or [], "k long")
+    r = capture_recapture(adf, bdf, "k").collect()[0]
+    sa, sb = set(a), set(b)
+    m = len(sa & sb)
+    assert (r.n_a, r.n_b, r.m_overlap) == (len(sa), len(sb), m)
+    chapman = (len(sa) + 1) * (len(sb) + 1) / (m + 1) - 1
+    assert r.chapman_estimate == pytest.approx(chapman, abs=2e-4)
+    assert r.chapman_estimate >= max(len(sa), len(sb)) - 1e-9 or m > 0
+    if m > 0:
+        assert r.lincoln_petersen == pytest.approx(
+            len(sa) * len(sb) / m, abs=2e-4
+        )
+    else:
+        assert r.lincoln_petersen is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]), st.sampled_from(["a", "b", "c", "d"])
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_hhi_concentration_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "g string, cat string")
+    got = {
+        r.g: (r.n, r.n_categories, r.hhi, r.hhi_normalized, r.effective_categories)
+        for r in hhi_concentration(df, "g", "cat").collect()
+    }
+    per_g: dict = {}
+    for g, c in rows:
+        per_g.setdefault(g, {})
+        per_g[g][c] = per_g[g].get(c, 0) + 1
+    assert set(got) == set(per_g)
+    for g, cs in per_g.items():
+        n = sum(cs.values())
+        k = len(cs)
+        hhi = sum((c / n) ** 2 for c in cs.values())
+        res = got[g]
+        assert res[0] == n and res[1] == k
+        assert res[2] == pytest.approx(hhi, abs=2e-6)
+        assert 1.0 / k - 1e-9 <= res[2] <= 1.0 + 1e-9  # HHI bounds
+        if k > 1:
+            assert res[3] == pytest.approx(
+                (hhi - 1.0 / k) / (1.0 - 1.0 / k), abs=2e-5
+            )
+        assert res[4] == pytest.approx(1.0 / hhi, abs=2e-5)
