@@ -3792,3 +3792,51 @@ def test_hhi_concentration_matches_python(spark, rows):
                 (hhi - 1.0 / k) / (1.0 - 1.0 / k), abs=2e-5
             )
         assert res[4] == pytest.approx(1.0 / hhi, abs=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Theil-T / Atkinson-1 inequality vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.profile import theil_atkinson_inequality
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-2, max_value=40),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_theil_atkinson_matches_python(spark, rows):
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    got = {
+        r.g: (r.n, r.n_dropped, r.theil_t, r.atkinson_1)
+        for r in theil_atkinson_inequality(df, "g", "v").collect()
+    }
+    per_g: dict = {}
+    for g, v in rows:
+        per_g.setdefault(g, []).append(float(v))
+    assert set(got) == set(per_g)  # all-nonpositive groups still emit a row
+    for g, vs in per_g.items():
+        pos = [v for v in vs if v > 0]
+        dropped = len(vs) - len(pos)
+        res = got[g]
+        assert res[0] == len(pos) and res[1] == dropped
+        if not pos:
+            assert res[2] is None and res[3] is None
+            continue
+        mu = sum(pos) / len(pos)
+        theil = sum(v / mu * math.log(v / mu) for v in pos) / len(pos)
+        atkinson = 1.0 - math.exp(
+            sum(math.log(v) for v in pos) / len(pos) - math.log(mu)
+        )
+        assert res[2] == pytest.approx(theil, abs=2e-6)
+        assert res[3] == pytest.approx(atkinson, abs=2e-6)
+        assert res[2] >= -1e-9 and -1e-9 <= res[3] <= 1.0  # index bounds

@@ -1555,10 +1555,14 @@ def theil_atkinson_inequality(
         F.col("n") > 0,
         1.0 - F.exp(F.col("_lsum") / nn - F.log(F.col("_mu"))),
     )
-    out = agg.join(F.broadcast(dropped), "_g", "left").select(
+    # ``dropped`` is the group spine (every input group); a group whose
+    # values are ALL non-positive must still emit its (n = 0,
+    # NULL indices) row — with agg as the left side it vanished
+    # (hypothesis-found doc/behavior mismatch)
+    out = dropped.join(F.broadcast(agg), "_g", "left").select(
         F.col("_g").alias(group_col),
-        "n",
-        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "n_dropped",
         F.round(theil, 6).alias("theil_t"),
         F.round(atkinson, 6).alias("atkinson_1"),
     )
