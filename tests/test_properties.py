@@ -3840,3 +3840,85 @@ def test_theil_atkinson_matches_python(spark, rows):
         assert res[2] == pytest.approx(theil, abs=2e-6)
         assert res[3] == pytest.approx(atkinson, abs=2e-6)
         assert res[2] >= -1e-9 and -1e-9 <= res[3] <= 1.0  # index bounds
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing/Chao1 vocab + JS divergence vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.quality import good_turing_vocab, js_divergence
+
+small_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4", "w5"]), min_size=1, max_size=8).map(
+            " ".join
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=small_docs)
+def test_good_turing_vocab_matches_python(spark, docs):
+    df = spark.createDataFrame(docs, "g string, text string")
+    got = {
+        r.g: (r.n_tokens, r.vocab, r.n1, r.n2, r.p_unseen, r.chao1)
+        for r in good_turing_vocab(df, "g").collect()
+    }
+    per_g: dict = {}
+    for g, text in docs:
+        for t in text.split():
+            per_g.setdefault(g, {})
+            per_g[g][t] = per_g[g].get(t, 0) + 1
+    assert set(got) == set(per_g)
+    for g, fs in per_g.items():
+        n = sum(fs.values())
+        v = len(fs)
+        n1 = sum(1 for f in fs.values() if f == 1)
+        n2 = sum(1 for f in fs.values() if f == 2)
+        res = got[g]
+        assert res[:4] == (n, v, n1, n2)
+        assert res[4] == pytest.approx(n1 / n, abs=2e-6)
+        chao1 = v + n1 * (n1 - 1) / (2 * (n2 + 1))
+        assert res[5] == pytest.approx(chao1, abs=2e-5)
+        assert res[5] >= v - 1e-9  # Chao1 lower-bounds total vocab
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=small_docs)
+def test_js_divergence_matches_python(spark, docs):
+    groups = {g for g, _ in docs}
+    if len(groups) < 2:
+        return
+    df = spark.createDataFrame(docs, "g string, text string")
+    rows = js_divergence(df, "g").collect()
+    per_g: dict = {}
+    for g, text in docs:
+        for t in text.split():
+            per_g.setdefault(g, {})
+            per_g[g][t] = per_g[g].get(t, 0) + 1
+    vocab = sorted({t for fs in per_g.values() for t in fs})
+    gn = {g: sum(fs.values()) for g, fs in per_g.items()}
+    rel = {
+        g: {t: _rhu(per_g[g].get(t, 0) / gn[g], 9) for t in vocab}
+        for g in per_g
+    }
+    assert len(rows) == 1
+    r = rows[0]
+    ga, gb = sorted(groups)
+    assert (r.group_a, r.group_b) == (ga, gb)
+    js = 0.0
+    for t in vocab:
+        p, q = rel[ga][t], rel[gb][t]
+        m = (p + q) / 2.0
+        term = 0.0
+        if p > 0:
+            term += p * (math.log(p / m) / math.log(2))
+        if q > 0:
+            term += q * (math.log(q / m) / math.log(2))
+        js += round(term / 2.0, 12)
+    assert r.js_bits == pytest.approx(js, abs=2e-6)
+    assert -1e-9 <= r.js_bits <= 1.0 + 1e-6  # JS in bits is bounded by 1
