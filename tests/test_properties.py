@@ -3922,3 +3922,57 @@ def test_js_divergence_matches_python(spark, docs):
         js += round(term / 2.0, 12)
     assert r.js_bits == pytest.approx(js, abs=2e-6)
     assert -1e-9 <= r.js_bits <= 1.0 + 1e-6  # JS in bits is bounded by 1
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.text_search import bm25_topk
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    terms=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma"]), min_size=1, max_size=2, unique=True
+    ),
+)
+def test_bm25_topk_matches_python(spark, docs, terms):
+    k1, b = 1.2, 0.75
+    data = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = [(r.doc_id, r.score) for r in bm25_topk(df, terms, k=100).collect()]
+    toks = {i: d.split() for i, d in data}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    dfreq = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in terms
+    }
+    exp = {}
+    for i, ts in toks.items():
+        score = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            score += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(ts) / avgdl)
+            )
+        if score > 0:
+            exp[i] = score
+    assert {i for i, _ in got} == set(exp)
+    for i, s in got:
+        assert s == pytest.approx(exp[i], abs=2e-6)
+        assert s >= 0.0  # Lucene-style idf never goes negative
+    # ordering: score desc, id asc
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
