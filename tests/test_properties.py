@@ -3976,3 +3976,53 @@ def test_bm25_topk_matches_python(spark, docs, terms):
         assert s >= 0.0  # Lucene-style idf never goes negative
     # ordering: score desc, id asc
     assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+
+# ---------------------------------------------------------------------------
+# linkage candidate blocking vs python replica
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.linkage import candidate_pairs
+
+link_names = st.lists(
+    st.lists(
+        st.sampled_from(["ann", "bob", "carol", "smith", "jones"]),
+        min_size=1,
+        max_size=3,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(names=link_names, band=st.sampled_from([2, 4]))
+def test_candidate_pairs_match_python_blocking(spark, names, band):
+    data = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(data, "id long, name string")
+    got = sorted(
+        (r.id_a, r.id_b) for r in candidate_pairs(df, "id", "name", band=band).collect()
+    )
+    keys: dict = {}
+    for i, n in data:
+        norm = " ".join(n.split()).lower()
+        if not norm:
+            continue
+        toks = norm.split(" ")
+        lb = len(norm) // band
+        for scheme, tok in enumerate((toks[0], toks[-1])):
+            k = f"{tok}#{lb}"
+            if len(k) > 1:
+                keys.setdefault((scheme, k), []).append(i)
+    exp = set()
+    for ids in keys.values():
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    exp.add((x, y))
+    assert got == sorted(exp)
+    # recall witness: identical names always become candidates
+    for i, n in data:
+        for j, m2 in data:
+            if i < j and n.strip() and " ".join(n.split()).lower() == " ".join(m2.split()).lower():
+                assert (i, j) in exp and (i, j) in set(got)
