@@ -4026,3 +4026,70 @@ def test_candidate_pairs_match_python_blocking(spark, names, band):
         for j, m2 in data:
             if i < j and n.strip() and " ".join(n.split()).lower() == " ".join(m2.split()).lower():
                 assert (i, j) in exp and (i, j) in set(got)
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity / char entropy vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.quality import char_entropy, lexical_diversity
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=small_docs)
+def test_lexical_diversity_matches_python(spark, docs):
+    df = spark.createDataFrame(docs, "g string, text string")
+    got = {
+        r.g: (r.n_tokens, r.vocab, r.ttr, r.hapax_frac, r.yule_k)
+        for r in lexical_diversity(df, "g").collect()
+    }
+    per_g: dict = {}
+    for g, text in docs:
+        for t in text.split():
+            per_g.setdefault(g, {})
+            per_g[g][t] = per_g[g].get(t, 0) + 1
+    assert set(got) == set(per_g)
+    for g, fs in per_g.items():
+        n = sum(fs.values())
+        v = len(fs)
+        hapax = sum(1 for f in fs.values() if f == 1)
+        res = got[g]
+        assert res[:2] == (n, v)
+        assert res[2] == pytest.approx(v / n, abs=2e-6)
+        assert res[3] == pytest.approx(hapax / v, abs=2e-6)
+        if n >= 2:
+            yule = 1e4 * (sum(f * f for f in fs.values()) - n) / (n * n)
+            assert res[4] == pytest.approx(yule, abs=2e-5)
+        else:
+            assert res[4] is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=20), min_size=1, max_size=8
+    )
+)
+def test_char_entropy_matches_python(spark, texts):
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chars, r.distinct_chars, r.entropy)
+        for r in char_entropy(df).collect()
+    }
+    exp = {}
+    for i, t in data:
+        if not t:
+            continue  # empty docs are dropped
+        counts: dict = {}
+        for c in t:
+            counts[c] = counts.get(c, 0) + 1
+        n = len(t)
+        h = math.log2(n) - sum(c * math.log2(c) for c in counts.values()) / n
+        exp[i] = (n, len(counts), h)
+    assert set(got) == set(exp)
+    for i, (n, k, h) in exp.items():
+        assert got[i][:2] == (n, k)
+        assert got[i][2] == pytest.approx(h, abs=2e-4)
+        # 4-dp output rounding can push the value ≤ 5e-5 past log2(n)
+        assert -1e-9 <= got[i][2] <= math.log2(max(n, 2)) + 1e-4
