@@ -4093,3 +4093,139 @@ def test_char_entropy_matches_python(spark, texts):
         assert got[i][2] == pytest.approx(h, abs=2e-4)
         # 4-dp output rounding can push the value ≤ 5e-5 past log2(n)
         assert -1e-9 <= got[i][2] <= math.log2(max(n, 2)) + 1e-4
+
+
+# ---------------------------------------------------------------------------
+# A/B panel: two-proportion z, SRM chi2, McNemar, BH-FDR vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.experiment import (
+    bh_fdr,
+    mcnemar_test,
+    srm_check,
+    two_proportion_test,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1), st.booleans()),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_two_proportion_matches_python(spark, rows):
+    df = spark.createDataFrame(
+        [(a, int(s)) for a, s in rows], "arm long, success long"
+    )
+    r = two_proportion_test(df, "arm", "success").collect()[0]
+    na = sum(1 for a, _ in rows if a == 0)
+    nb = sum(1 for a, _ in rows if a == 1)
+    sa = sum(1 for a, s in rows if a == 0 and s)
+    sb = sum(1 for a, s in rows if a == 1 and s)
+    assert (r.n_a, r.n_b) == (na, nb)
+    if na == 0 or nb == 0:
+        assert r.z is None and r.p_value is None
+        return
+    pa, pb = sa / na, sb / nb
+    pool = (sa + sb) / (na + nb)
+    assert r.p_a == pytest.approx(pa, abs=2e-6)
+    assert r.p_b == pytest.approx(pb, abs=2e-6)
+    if 0 < pool < 1:
+        se = math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+        z = (pb - pa) / se
+        assert r.z == pytest.approx(z, abs=2e-5)
+        assert r.p_value == pytest.approx(
+            min(1.0, 2.0 * _phi_upper_py(abs(z))), abs=2e-6
+        )
+    else:
+        assert r.z is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    arms=st.lists(st.integers(min_value=0, max_value=2), min_size=1, max_size=30)
+)
+def test_srm_check_matches_python(spark, arms):
+    df = spark.createDataFrame([(a,) for a in arms], "arm long")
+    rows = srm_check(df, "arm").collect()
+    counts: dict = {}
+    for a in arms:
+        counts[a] = counts.get(a, 0) + 1
+    k, tot = len(counts), len(arms)
+    assert [r.arm for r in rows] == sorted(counts)
+    for r in rows:
+        exp_n = tot / k
+        assert r.n == counts[r.arm]
+        assert r.expected_n == pytest.approx(exp_n, abs=2e-6)
+        assert r.chi2_term == pytest.approx(
+            (counts[r.arm] - exp_n) ** 2 / exp_n, abs=2e-5
+        )
+    # chi2 total is 0 iff the split is exactly uniform
+    total = sum(r.chi2_term for r in rows)
+    if len({counts[a] for a in counts}) == 1:
+        assert total == pytest.approx(0.0, abs=1e-9)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1), st.integers(min_value=0, max_value=1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_mcnemar_matches_python(spark, pairs):
+    df = spark.createDataFrame(pairs, "before long, after long")
+    r = mcnemar_test(df, "before", "after").collect()[0]
+    n00 = sum(1 for b, a in pairs if (b, a) == (0, 0))
+    n01 = sum(1 for b, a in pairs if (b, a) == (0, 1))
+    n10 = sum(1 for b, a in pairs if (b, a) == (1, 0))
+    n11 = sum(1 for b, a in pairs if (b, a) == (1, 1))
+    assert (r.n, r.n_00, r.n_01, r.n_10, r.n_11) == (
+        len(pairs), n00, n01, n10, n11,
+    )
+    if n01 + n10 == 0:
+        assert r.chi2 is None and r.p_value is None
+        return
+    z = (n01 - n10) / math.sqrt(n01 + n10)
+    assert r.chi2 == pytest.approx(z * z, abs=2e-5)
+    assert r.p_value == pytest.approx(
+        min(1.0, 2.0 * _phi_upper_py(abs(z))), abs=2e-6
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ps=st.lists(
+        st.integers(min_value=0, max_value=100).map(lambda v: v / 100.0),
+        min_size=1,
+        max_size=15,
+    ),
+    alpha=st.sampled_from([0.05, 0.1]),
+)
+def test_bh_fdr_matches_python(spark, ps, alpha):
+    data = [(f"t{i:02d}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(data, "test string, p double")
+    rows = bh_fdr(df, "test", "p", alpha=alpha).collect()
+    m = len(ps)
+    order = sorted(data, key=lambda t: (t[1], t[0]))
+    kstar = max(
+        (k for k in range(1, m + 1) if order[k - 1][1] <= k * alpha / m),
+        default=0,
+    )
+    qraw = [order[k - 1][1] * m / k for k in range(1, m + 1)]
+    q = qraw[:]
+    for k in range(m - 2, -1, -1):
+        q[k] = min(q[k], q[k + 1])
+    got = {r.test: (r.rank, r.reject, r.q_value) for r in rows}
+    assert [r.test for r in rows] == [t for t, _ in order]
+    for k, (t, p) in enumerate(order, start=1):
+        g = got[t]
+        assert g[0] == k
+        assert g[1] == (k <= kstar)
+        assert g[2] == pytest.approx(min(1.0, q[k - 1]), abs=2e-6)
+    # monotone q-values in rank order
+    qs = [got[t][2] for t, _ in order]
+    assert qs == sorted(qs)
