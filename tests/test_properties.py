@@ -4229,3 +4229,70 @@ def test_bh_fdr_matches_python(spark, ps, alpha):
     # monotone q-values in rank order
     qs = [got[t][2] for t, _ in order]
     assert qs == sorted(qs)
+
+
+# ---------------------------------------------------------------------------
+# paired t / sign test vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.experiment import paired_t_test, sign_test
+
+paired_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-20, max_value=20),
+        st.integers(min_value=-20, max_value=20),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=paired_rows)
+def test_paired_t_matches_python(spark, pairs):
+    df = spark.createDataFrame(
+        [(float(b), float(a)) for b, a in pairs], "before double, after double"
+    )
+    r = paired_t_test(df, "before", "after").collect()[0]
+    n = len(pairs)
+    ds = [a - b for b, a in pairs]
+    assert r.n == n
+    assert r.mean_before == pytest.approx(sum(b for b, _ in pairs) / n, abs=2e-6)
+    assert r.mean_after == pytest.approx(sum(a for _, a in pairs) / n, abs=2e-6)
+    md = sum(ds) / n
+    assert r.mean_diff == pytest.approx(md, abs=2e-6)
+    if n < 2:
+        assert r.t is None
+        return
+    var = (sum(d * d for d in ds) - n * md * md) / (n - 1)
+    if var <= 0:
+        assert r.t is None  # constant differences: no inference
+        return
+    t = md / math.sqrt(var / n)
+    assert r.t == pytest.approx(t, abs=2e-5)
+    assert r.p_value == pytest.approx(
+        min(1.0, 2.0 * _phi_upper_py(abs(t))), abs=2e-6
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=paired_rows)
+def test_sign_test_matches_python(spark, pairs):
+    df = spark.createDataFrame(
+        [(float(b), float(a)) for b, a in pairs], "before double, after double"
+    )
+    r = sign_test(df, "before", "after").collect()[0]
+    sp = sum(1 for b, a in pairs if a > b)
+    sm = sum(1 for b, a in pairs if a < b)
+    assert (r.n_pairs, r.n_nonzero, r.s_plus, r.s_minus) == (
+        len(pairs), sp + sm, sp, sm,
+    )
+    if sp + sm == 0:
+        assert r.z is None and r.p_value is None
+        return
+    nn = sp + sm
+    z = (sp - nn / 2.0) / math.sqrt(nn / 4.0)
+    assert r.z == pytest.approx(z, abs=2e-6)
+    assert r.p_value == pytest.approx(
+        min(1.0, 2.0 * _phi_upper_py(abs(z))), abs=2e-6
+    )
