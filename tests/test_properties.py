@@ -4296,3 +4296,86 @@ def test_sign_test_matches_python(spark, pairs):
     assert r.p_value == pytest.approx(
         min(1.0, 2.0 * _phi_upper_py(abs(z))), abs=2e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# robust z-score / winsorize / quantile discretize vs python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.profile import (
+    quantile_discretize,
+    robust_zscore,
+    winsorize,
+)
+
+
+def _pct_py(vals, q):
+    """Spark F.percentile replica: linear interpolation on sorted values."""
+    s = sorted(vals)
+    pos = q * (len(s) - 1)
+    lo = int(math.floor(pos))
+    hi = min(lo + 1, len(s) - 1)
+    return s[lo] + (pos - lo) * (s[hi] - s[lo])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=30),
+    threshold=st.sampled_from([2.0, 3.5]),
+)
+def test_robust_zscore_matches_python(spark, vals, threshold):
+    data = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "id long, v double")
+    got = {
+        r.id: (r.robust_z, r.is_outlier)
+        for r in robust_zscore(df, "v", threshold=threshold).collect()
+    }
+    med = _pct_py([v for _, v in data], 0.5)
+    mad = _pct_py([abs(v - med) for _, v in data], 0.5)
+    for i, v in data:
+        z = 0.6745 * (v - med) / mad if mad > 0 else 0.0
+        assert got[i][0] == pytest.approx(z, abs=2e-6)
+        assert got[i][1] == (abs(got[i][0]) > threshold)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=30),
+    band=st.sampled_from([(0.1, 0.9), (0.25, 0.75)]),
+)
+def test_winsorize_matches_python(spark, vals, band):
+    lo, hi = band
+    data = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "id long, v double")
+    got = {r.id: r.v_wins for r in winsorize(df, "v", lo=lo, hi=hi).collect()}
+    plo = _pct_py([v for _, v in data], lo)
+    phi = _pct_py([v for _, v in data], hi)
+    for i, v in data:
+        assert got[i] == pytest.approx(min(max(v, plo), phi), abs=2e-9)
+        assert plo - 1e-9 <= got[i] <= phi + 1e-9  # clamped into the band
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=25),
+    n_bins=st.sampled_from([2, 4, 10]),
+)
+def test_quantile_discretize_matches_python(spark, vals, n_bins):
+    data = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "id long, v double")
+    got = {r.id: r.bin for r in quantile_discretize(df, "v", n_bins=n_bins).collect()}
+    # exact_quantiles uses the disc convention: smallest value whose
+    # cumulative count reaches ceil(q*n) — NOT interpolation
+    s = sorted(v for _, v in data)
+    cuts = sorted(
+        s[max(1, math.ceil(i / n_bins * len(s))) - 1] for i in range(1, n_bins)
+    )
+    for i, v in data:
+        exp = sum(1 for c in cuts if v > c)
+        assert got[i] == exp
+        assert 0 <= got[i] <= n_bins - 1
+    # equal values always land in the same bin (determinism under ties)
+    by_val: dict = {}
+    for i, v in data:
+        by_val.setdefault(v, set()).add(got[i])
+    assert all(len(bins) == 1 for bins in by_val.values())
