@@ -1984,10 +1984,13 @@ def test_attribution_matches_python(spark, events, window_days):
         r.channel: (r.n_touches, r.first_touch, r.last_touch, r.linear)
         for r in attribution(df, window_days=window_days).collect()
     }
-    exp: dict = {}
+    # same-instant conversions merge, value-summed (operator contract)
+    merged: dict = {}
     for u, cd, cty, cv in events:
-        if cty != "purchase":
-            continue
+        if cty == "purchase":
+            merged[(u, cd)] = merged.get((u, cd), 0.0) + cv
+    exp: dict = {}
+    for (u, cd), cv in merged.items():
         touches = [
             (td, ty)
             for tu, td, ty, _ in events

@@ -276,10 +276,16 @@ def attribution(
         F.col(type_col).alias("_ty"),
         F.col(value_col).alias("_v"),
     )
-    conv = base.filter(F.col("_ty") == conversion_type).select(
-        "_u",
-        F.col("_ts").alias("_cts"),
-        F.col("_v").alias("_cv"),
+    # same-instant conversions MERGE (value-summed): the credit window
+    # partitions by (_u, _cts), so two identical conversion rows would
+    # otherwise share one window and halve the linear credit
+    # (hypothesis-found). Merging keeps every model's total exact:
+    # k counts each touch once, and the summed value is what first/
+    # last/linear distribute.
+    conv = (
+        base.filter(F.col("_ty") == conversion_type)
+        .groupBy("_u", F.col("_ts").alias("_cts"))
+        .agg(F.sum("_v").alias("_cv"))
     )
     touch = base.filter(F.col("_ty") != conversion_type).select(
         "_u", F.col("_ts").alias("_tts"), F.col("_ty").alias("channel")
