@@ -4382,3 +4382,195 @@ def test_quantile_discretize_matches_python(spark, vals, n_bins):
     for i, v in data:
         by_val.setdefault(v, set()).add(got[i])
     assert all(len(bins) == 1 for bins in by_val.values())
+
+
+# ---------------------------------------------------------------------------
+# sketch merge / overlap algebra vs exact python replicas
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.operators.sketches import (
+    _hll_alpha,
+    ams_f2_estimate,
+    cm_join_size,
+    hll_merge_estimate,
+    hll_overlap,
+    kmv_hashes,
+    kmv_merge_estimate,
+    kmv_overlap,
+)
+
+
+def _kmv_est_py(hashes: set, k: int) -> tuple[int, float]:
+    """(n_seen, est_distinct) of the k-smallest-hash estimator."""
+    s = sorted(hashes)[:k]
+    if len(s) < k:
+        return len(s), float(len(s))
+    return k, (k - 1) / ((s[k - 1] + 1) / float(1 << 60))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=sketch_vals, b=sketch_vals, k=st.sampled_from([4, 8]))
+def test_kmv_merge_equals_union_sketch(spark, a, b, k):
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    merged = kmv_merge_estimate(
+        kmv_hashes(da, "v", k=k), kmv_hashes(db, "v", k=k), k=k
+    ).collect()[0]
+    n_exp, est_exp = _kmv_est_py({_sha60_py(v) for v in a + b}, k)
+    assert merged.n_seen == n_exp
+    assert merged.est_distinct == pytest.approx(est_exp, abs=2e-4, rel=1e-9)
+    # mergeability: identical to sketching the concatenated input directly
+    direct = kmv_distinct(da.union(db), "v", k=k).collect()[0]
+    assert (merged.n_seen, merged.est_distinct) == (
+        direct.n_seen,
+        direct.est_distinct,
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=sketch_vals, b=sketch_vals, k=st.sampled_from([4, 8]))
+def test_kmv_overlap_matches_theta_replica(spark, a, b, k):
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    got = kmv_overlap(kmv_hashes(da, "v", k=k), kmv_hashes(db, "v", k=k), k=k).collect()[0]
+    ha = set(sorted({_sha60_py(v) for v in a})[:k])
+    hb = set(sorted({_sha60_py(v) for v in b})[:k])
+    surv = sorted(ha | hb)[:k]
+    n_union = len(surv)
+    nboth = sum(1 for h in surv if h in ha and h in hb)
+    if n_union < k:
+        est_union = float(n_union)
+        frac = nboth / n_union
+    else:
+        est_union = (k - 1) / ((surv[k - 1] + 1) / float(1 << 60))
+        frac = nboth / k
+    assert got.n_union_seen == n_union
+    assert got.est_union == pytest.approx(est_union, abs=2e-4, rel=1e-9)
+    assert got.est_intersection == pytest.approx(est_union * frac, abs=2e-4, rel=1e-9)
+    assert got.est_jaccard == pytest.approx(frac, abs=2e-4)
+    # exact when the union fits in the sketch
+    if len(ha | hb) < k:
+        assert got.est_union == float(len(set(a) | set(b)))
+        assert got.est_intersection == float(len(set(a) & set(b)))
+
+
+def _hll_regs_py(vals, p: int) -> dict:
+    w = 60 - p
+    regs: dict = {}
+    for v in vals:
+        h = _sha60_py(v)
+        idx, rest = h >> w, h & ((1 << w) - 1)
+        rho = (w + 1) if rest == 0 else (w + 1) - rest.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+def _hll_est_py(regs: dict, p: int) -> float:
+    m, w = 1 << p, 60 - p
+    scale = 1 << (w + 1)
+    s_total = sum(1 << (w + 1 - rho) for rho in regs.values()) + (m - len(regs)) * scale
+    raw = (_hll_alpha(m) * m * m * scale) / s_total
+    v = m - len(regs)
+    if raw <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return raw
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=sketch_vals, b=sketch_vals, p=st.sampled_from([4, 6]))
+def test_hll_merge_is_lossless_union(spark, a, b, p):
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    ra, rb = hll_registers(da, "v", p=p), hll_registers(db, "v", p=p)
+    got = hll_merge_estimate(ra, rb, p).collect()[0]
+    regs = _hll_regs_py(a + b, p)
+    assert got.m_seen == len(regs)
+    assert got.est_distinct == pytest.approx(_hll_est_py(regs, p), abs=2e-4, rel=1e-9)
+    # lossless: merged estimate == sketching the concatenated input
+    direct = hll_estimate(hll_registers(da.union(db), "v", p=p), p).collect()[0]
+    assert (got.m_seen, got.est_distinct) == (direct.m_seen, direct.est_distinct)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=sketch_vals, b=sketch_vals, p=st.sampled_from([4, 6]))
+def test_hll_overlap_matches_inclusion_exclusion_replica(spark, a, b, p):
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    got = hll_overlap(da, db, "v", p=p).collect()[0]
+    ea = round(_hll_est_py(_hll_regs_py(a, p), p), 4)
+    eb = round(_hll_est_py(_hll_regs_py(b, p), p), 4)
+    eu = round(_hll_est_py(_hll_regs_py(a + b, p), p), 4)
+    inter = max(0.0, round(ea + eb - eu, 4))
+    assert got.est_a == pytest.approx(ea, abs=2e-4)
+    assert got.est_b == pytest.approx(eb, abs=2e-4)
+    assert got.est_union == pytest.approx(eu, abs=2e-4)
+    assert got.est_intersection == pytest.approx(inter, abs=2e-4)
+    assert got.est_jaccard == pytest.approx(
+        inter / eu if eu > 0 else 0.0, abs=2e-4
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=sketch_vals,
+    b=sketch_vals,
+    depth=st.sampled_from([2, 4]),
+    width=st.sampled_from([16, 64]),
+)
+def test_cm_join_size_matches_inner_product_replica(spark, a, b, depth, width):
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    got = cm_join_size(
+        count_min_sketch(da, "v", depth=depth, width=width),
+        count_min_sketch(db, "v", depth=depth, width=width),
+    ).collect()[0]
+    prods = []
+    for j in range(depth):
+        ca: dict = {}
+        cb: dict = {}
+        for v in a:
+            bkt = _cm_slice_py(v, j) % width
+            ca[bkt] = ca.get(bkt, 0) + 1
+        for v in b:
+            bkt = _cm_slice_py(v, j) % width
+            cb[bkt] = cb.get(bkt, 0) + 1
+        prods.append(sum(ca[bkt] * cb.get(bkt, 0) for bkt in ca))
+    assert got.est_join_size == min(prods)
+    # CM inner product never underestimates the true equi-join size
+    true_join = sum(a.count(v) * b.count(v) for v in set(a))
+    assert got.est_join_size >= true_join
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+    shape=st.sampled_from([(4, 4), (3, 8)]),
+)
+def test_ams_f2_matches_median_of_means_replica(spark, vals, shape):
+    from fractions import Fraction
+
+    n_means, per_mean = shape
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = ams_f2_estimate(df, "v", n_means=n_means, per_mean=per_mean).collect()[0]
+    total = n_means * per_mean
+
+    def sign(v, j):
+        digest = hashlib.sha256(f"ams{j // 64}:{v}".encode()).hexdigest()
+        return 1 if int(digest[j % 64], 16) >= 8 else -1
+
+    z = [sum(sign(v, j) for v in vals) for j in range(total)]
+    means = [
+        Fraction(sum(z[j] ** 2 for j in range(g * per_mean, (g + 1) * per_mean)), per_mean)
+        for g in range(n_means)
+    ]
+    s = sorted(means)
+    est = float((s[(n_means - 1) // 2] + s[n_means // 2]) / 2)
+    counts: dict = {}
+    for v in vals:
+        counts[v] = counts.get(v, 0) + 1
+    f2 = float(sum(c * c for c in counts.values()))
+    assert got.n_rows == len(vals)
+    assert got.n_estimators == total
+    assert got.f2_estimate == pytest.approx(est, abs=2e-4, rel=1e-9)
+    assert got.f2_exact == f2
+    assert got.rel_error == pytest.approx(abs(est - f2) / f2, abs=2e-6)
