@@ -4574,3 +4574,382 @@ def test_ams_f2_matches_median_of_means_replica(spark, vals, shape):
     assert got.f2_estimate == pytest.approx(est, abs=2e-4, rel=1e-9)
     assert got.f2_exact == f2
     assert got.rel_error == pytest.approx(abs(est - f2) / f2, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# day-series monitors / forecasters vs python replicas
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+day_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=-8, max_value=8),
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[0],  # one event per day: daily mean = value, exact
+)
+
+
+def _series_df(spark, pts):
+    rows = [
+        (_dt.datetime(2024, 1, 1) + _dt.timedelta(days=d), float(v))
+        for d, v in pts
+    ]
+    return spark.createDataFrame(rows, ["ts", "value"]), [
+        float(v) for _, v in sorted(pts)
+    ], [d for d, _ in sorted(pts)]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    season=st.sampled_from([2, 3]),
+    holdout=st.sampled_from([3, 5]),
+)
+def test_seasonal_naive_eval_matches_python(spark, events, season, holdout):
+    from valentinus_spark.operators import seasonal_naive_eval
+
+    rows = [
+        (k, _dt.datetime(2024, 1, 1) + _dt.timedelta(days=d)) for k, d in events
+    ]
+    df = spark.createDataFrame(rows, ["source", "ts"])
+    got = {
+        r.source: (r.n_scored, r.mae, r.rmse, r.smape)
+        for r in seasonal_naive_eval(
+            df, "source", "ts", season=season, holdout_days=holdout
+        ).collect()
+    }
+    lo = min(d for _, d in events)
+    hi = max(d for _, d in events)
+    exp = {}
+    for key in {k for k, _ in events}:
+        counts = {d: 0 for d in range(lo, hi + 1)}
+        for k, d in events:
+            if k == key:
+                counts[d] += 1
+        scored = [
+            (counts[d], counts[d - season])
+            for d in range(lo + season, hi + 1)
+            if (hi - d) < holdout
+        ]
+        if not scored:
+            continue
+        errs = [x - p for x, p in scored]
+        smape_terms = [
+            2.0 * abs(x - p) / (x + p) if (x + p) > 0 else 0.0 for x, p in scored
+        ]
+        exp[key] = (
+            len(scored),
+            sum(abs(e) for e in errs) / len(errs),
+            math.sqrt(sum(e * e for e in errs) / len(errs)),
+            sum(smape_terms) / len(smape_terms),
+        )
+    assert set(got) == set(exp)
+    for key, (n, mae, rmse, smape) in exp.items():
+        assert got[key][0] == n
+        assert got[key][1] == pytest.approx(mae, abs=2e-6)
+        assert got[key][2] == pytest.approx(rmse, abs=2e-6)
+        assert got[key][3] == pytest.approx(smape, abs=2e-6)
+
+
+def _acf_py(day_offsets, max_lag):
+    """(n, [ (n_pairs, acf|None) per lag 1..max_lag ]) replica of
+    acf_profile over the dense zero-filled day spine."""
+    lo, hi = min(day_offsets), max(day_offsets)
+    xs = [0] * (hi - lo + 1)
+    for d in day_offsets:
+        xs[d - lo] += 1
+    n = len(xs)
+    mean = sum(xs) / n
+    e = [round(x - mean, 6) for x in xs]
+    den = sum(v * v for v in e)
+    out = []
+    for lag in range(1, max_lag + 1):
+        if n > lag:
+            num = sum(e[t] * e[t - lag] for t in range(lag, n))
+            acf = round(num / den, 6) if den > 0 else None
+            out.append((n - lag, acf))
+        else:
+            out.append((0, None))
+    return n, out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    days=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+    max_lag=st.sampled_from([3, 5]),
+)
+def test_acf_profile_matches_python(spark, days, max_lag):
+    from valentinus_spark.operators import acf_profile
+
+    rows = [(_dt.datetime(2024, 1, 1) + _dt.timedelta(days=d),) for d in days]
+    df = spark.createDataFrame(rows, ["ts"])
+    got = acf_profile(df, "ts", max_lag=max_lag).collect()
+    _, exp = _acf_py(days, max_lag)
+    assert [r.lag for r in got] == list(range(1, max_lag + 1))
+    for r, (n_pairs, acf) in zip(got, exp):
+        assert r.n_pairs == n_pairs
+        if acf is None:
+            assert r.acf is None
+        else:
+            assert r.acf == pytest.approx(acf, abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    days=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+    max_lag=st.sampled_from([3, 6]),
+)
+def test_ljung_box_matches_python(spark, days, max_lag):
+    from valentinus_spark.operators import ljung_box
+
+    rows = [(_dt.datetime(2024, 1, 1) + _dt.timedelta(days=d),) for d in days]
+    df = spark.createDataFrame(rows, ["ts"])
+    r = ljung_box(df, "ts", max_lag=max_lag).collect()[0]
+    n, acfs = _acf_py(days, max_lag)
+    assert r.max_lag == max_lag and r.dof == max_lag
+    if any(a is None for _, a in acfs) or any(p == 0 for p, _ in acfs):
+        assert r.q_stat is None
+        return
+    assert r.n_days == n
+    q = n * (n + 2.0) * sum(
+        round(a * a / p, 12) for p, a in acfs
+    )
+    assert r.q_stat == pytest.approx(q, abs=2e-4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=-8, max_value=8),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    params=st.sampled_from([(0.5, 2.0, None), (0.25, 1.0, 3)]),
+)
+def test_cusum_changepoint_matches_python(spark, pts, params):
+    from valentinus_spark.operators import cusum_changepoint
+
+    k, h, baseline = params
+    df, xs, offs = _series_df(spark, pts)
+    got = cusum_changepoint(
+        df, "ts", "value", k=k, h=h, baseline_days=baseline
+    ).collect()
+    ref = (
+        xs
+        if baseline is None
+        else [x for d, x in zip(offs, xs) if d - offs[0] < baseline]
+    )
+    n = len(ref)
+    mean = round(sum(ref) / n, 9)
+    var = sum(v * v for v in ref) / n - (sum(ref) / n) ** 2
+    sig = round(math.sqrt(var), 9) if var > 0 else 0.0
+    sp = sm = 0.0
+    assert len(got) == len(xs)
+    for row, x in zip(got, xs):
+        z = round((x - mean) / sig, 9) if sig > 0 else 0.0
+        sp = max(0.0, sp + z - k)
+        sm = max(0.0, sm - z - k)
+        assert row.z == pytest.approx(z, abs=2e-6)
+        assert row.cusum_pos == pytest.approx(sp, abs=2e-6)
+        assert row.cusum_neg == pytest.approx(sm, abs=2e-6)
+        assert row.alarm == (round(sp, 6) > h or round(sm, 6) > h)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=day_series, lam=st.sampled_from([0.2, 0.5]))
+def test_ewma_chart_matches_python(spark, pts, lam):
+    from valentinus_spark.operators import ewma_chart
+
+    L = 3.0
+    df, xs, _ = _series_df(spark, pts)
+    got = ewma_chart(df, "ts", "value", lam=lam, L=L).collect()
+    n = len(xs)
+    mu = round(sum(xs) / n, 9)
+    var = sum(v * v for v in xs) / n - (sum(xs) / n) ** 2
+    sig = round(math.sqrt(var), 9) if var >= 0 else float("nan")
+    e, p = mu, 1.0
+    oml2 = (1.0 - lam) ** 2
+    lfac = lam / (2.0 - lam)
+    assert len(got) == n
+    for row, x in zip(got, xs):
+        e = lam * x + (1.0 - lam) * e
+        p = p * oml2
+        half = L * sig * math.sqrt(lfac * (1.0 - p))
+        assert row.x == x
+        assert row.ewma == pytest.approx(e, abs=2e-6)
+        assert row.ucl == pytest.approx(mu + half, abs=2e-6)
+        assert row.lcl == pytest.approx(mu - half, abs=2e-6)
+        assert row.alarm == (
+            round(e, 6) > round(mu + half, 6) or round(e, 6) < round(mu - half, 6)
+        )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=day_series, ab=st.sampled_from([(0.3, 0.1), (0.5, 0.3)]))
+def test_holt_linear_matches_python(spark, pts, ab):
+    from valentinus_spark.operators import holt_linear_forecast
+
+    alpha, beta = ab
+    df, xs, _ = _series_df(spark, pts)
+    got = holt_linear_forecast(df, "ts", "value", alpha=alpha, beta=beta).collect()
+    if len(xs) < 2:
+        assert got == []
+        return
+    level, trend = xs[0], xs[1] - xs[0]
+    assert len(got) == len(xs) - 1
+    for row, x in zip(got, xs[1:]):
+        f = level + trend
+        new_level = alpha * x + (1.0 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1.0 - beta) * trend
+        level = new_level
+        assert row.x == x
+        assert row.forecast == pytest.approx(f, abs=2e-6)
+        assert row.abs_err == pytest.approx(abs(x - f), abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=day_series, period=st.sampled_from([3, 4]))
+def test_holt_winters_matches_python(spark, pts, period):
+    from valentinus_spark.operators import holt_winters_forecast
+
+    aa, bb, gg = 0.3, 0.1, 0.2
+    df, xs, _ = _series_df(spark, pts)
+    got = holt_winters_forecast(
+        df, "ts", "value", period=period, alpha=aa, beta=bb, gamma=gg
+    ).collect()
+    m = period
+    if len(xs) < m + 1:
+        assert got == []
+        return
+    level = xs[m - 1]
+    trend = (xs[m - 1] - xs[0]) / (m - 1.0)
+    seas = [xs[j] - level for j in range(m)]
+    assert len(got) == len(xs) - m
+    for i, (row, x) in enumerate(zip(got, xs[m:])):
+        t = m + i
+        ph = t % m
+        f = level + trend + seas[ph]
+        new_level = aa * (x - seas[ph]) + (1.0 - aa) * (level + trend)
+        new_trend = bb * (new_level - level) + (1.0 - bb) * trend
+        seas[ph] = gg * (x - new_level) + (1.0 - gg) * seas[ph]
+        level, trend = new_level, new_trend
+        assert row.x == x
+        assert row.forecast == pytest.approx(f, abs=2e-6)
+        assert row.abs_err == pytest.approx(abs(x - f), abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=day_series, period=st.sampled_from([3, 4]))
+def test_seasonal_decompose_matches_python(spark, pts, period):
+    from valentinus_spark.operators import seasonal_decompose
+
+    df, xs, _ = _series_df(spark, pts)
+    got = seasonal_decompose(df, "ts", "value", period=period).collect()
+    n = len(xs)
+    half = period // 2
+    trend = []
+    for t in range(n):
+        lo, hi = t - half, t + (period - half - 1)
+        if lo >= 0 and hi < n:
+            trend.append(round(sum(xs[lo : hi + 1]) / period, 9))
+        else:
+            trend.append(None)
+    detr = [
+        round(x - tr, 9) if tr is not None else None for x, tr in zip(xs, trend)
+    ]
+    slot_vals: dict = {}
+    for t, d in enumerate(detr):
+        if d is not None:
+            slot_vals.setdefault(t % period, []).append(d)
+    slot_mean = {
+        s: round(sum(vs) / len(vs), 9) for s, vs in slot_vals.items()
+    }
+    if slot_mean:
+        grand = round(sum(slot_mean.values()) / len(slot_mean), 9)
+        seas = {s: round(v - grand, 9) for s, v in slot_mean.items()}
+    else:
+        seas = {}
+    assert len(got) == n
+    for t, row in enumerate(got):
+        assert row.x == xs[t]
+        if trend[t] is None:
+            assert row.trend is None and row.remainder is None
+        else:
+            assert row.trend == pytest.approx(trend[t], abs=2e-6)
+            assert row.remainder == pytest.approx(
+                detr[t] - seas[t % period], abs=2e-6
+            )
+        s = seas.get(t % period)
+        if s is None:
+            assert row.seasonal is None
+        else:
+            assert row.seasonal == pytest.approx(s, abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=2,
+        max_size=21,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_seasonal_mann_kendall_matches_python(spark, pts):
+    from collections import Counter, defaultdict
+
+    from valentinus_spark.operators import seasonal_mann_kendall
+
+    df, _, _ = _series_df(spark, pts)
+    r = seasonal_mann_kendall(df, "ts", "value").collect()[0]
+    by_season = defaultdict(list)
+    for d, v in sorted(pts):
+        day = _dt.date(2024, 1, 1) + _dt.timedelta(days=d)
+        by_season[day.weekday()].append(float(v))
+    s = 0
+    var = 0.0
+    for vs in by_season.values():
+        s += sum(
+            (vs[j] > vs[i]) - (vs[j] < vs[i])
+            for i in range(len(vs))
+            for j in range(i + 1, len(vs))
+        )
+        ng = len(vs)
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vs).values())
+        var += round((ng * (ng - 1) * (2 * ng + 5) - tie) / 18.0, 9)
+    assert r.n_days == len(pts)
+    assert r.n_seasons == len(by_season)
+    assert r.s_stat == s
+    assert r.var_s == pytest.approx(round(var, 6), abs=1e-6)
+    if var > 0:
+        z = (
+            0.0
+            if s == 0
+            else (s - 1) / math.sqrt(var)
+            if s > 0
+            else (s + 1) / math.sqrt(var)
+        )
+        assert r.z == pytest.approx(round(z, 6), abs=1e-6)
+        assert r.p_value == pytest.approx(
+            min(1.0, 2.0 * _phi_upper_py(abs(z))), abs=2e-6
+        )
+    else:
+        assert r.z is None and r.p_value is None
