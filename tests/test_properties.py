@@ -4953,3 +4953,289 @@ def test_seasonal_mann_kendall_matches_python(spark, pts):
         )
     else:
         assert r.z is None and r.p_value is None
+
+
+# ---------------------------------------------------------------------------
+# experiment readouts vs python replicas
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # "c" must be filtered out
+            st.integers(min_value=-4, max_value=4),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_mann_whitney_u_matches_python(spark, rows):
+    from collections import Counter
+
+    from valentinus_spark.operators import mann_whitney_u
+
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    a = sorted(v for g, v in rows if g == "a")
+    b = sorted(v for g, v in rows if g == "b")
+    na, nb = len(a), len(b)
+    assert (r.n_a, r.n_b) == (na, nb)
+    allv = sorted(a + b)
+    cnt = Counter(allv)
+    rank = {}
+    before = 0
+    for v in sorted(cnt):
+        rank[v] = before + (cnt[v] + 1) / 2.0
+        before += cnt[v]
+    rb = sum(rank[v] for v in b)
+    u = rb - nb * (nb + 1) / 2.0
+    if na and nb:
+        assert r.u == pytest.approx(u, abs=1e-6)
+    ties = sum(t**3 - t for t in cnt.values())
+    nn = na + nb
+    var = (
+        na * nb / 12.0 * ((nn + 1.0) - ties / (nn * (nn - 1.0)))
+        if nn > 1
+        else 0.0
+    )
+    if na and nb and var > 0:
+        z = (u - na * nb / 2.0) / math.sqrt(var)
+        assert r.z == pytest.approx(z, abs=2e-6)
+        assert r.p_value == pytest.approx(
+            min(1.0, 2.0 * _phi_upper_py(abs(z))), abs=2e-6
+        )
+    else:
+        assert r.z is None and r.p_value is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0, 1, 2]),  # arm 2 must be filtered out
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cuped_adjust_matches_python(spark, rows):
+    from valentinus_spark.operators import cuped_adjust
+
+    df = spark.createDataFrame(rows, ["arm", "y", "x"])
+    got = {
+        r.arm: r for r in cuped_adjust(df, "arm", "y", "x").collect()
+    }
+    kept = [(a, y, x) for a, y, x in rows if a in (0, 1)]
+    assert set(got) == {a for a, _, _ in kept}
+    if not kept:
+        return
+    N = len(kept)
+    sy = sum(y for _, y, _ in kept)
+    sx = sum(x for _, _, x in kept)
+    sxy = sum(y * x for _, y, x in kept)
+    sxx = sum(x * x for _, _, x in kept)
+    syy = sum(y * y for _, y, _ in kept)
+    mx, my = sx / N, sy / N
+    varx = sxx / N - mx * mx
+    vary = syy / N - my * my
+    covxy = sxy / N - mx * my
+    theta = covxy / varx if varx > 0 else None
+    vr = (
+        covxy * covxy / (varx * vary)
+        if theta is not None and vary > 0
+        else None
+    )
+    for arm in got:
+        ys = [y for a, y, _ in kept if a == arm]
+        xs = [x for a, _, x in kept if a == arm]
+        n = len(ys)
+        mean_raw = sum(ys) / n
+        if theta is not None:
+            mean_adj = mean_raw - theta * (sum(xs) / n - mx)
+        else:
+            mean_adj = mean_raw
+        row = got[arm]
+        assert row.n == n
+        assert row.mean_raw == pytest.approx(mean_raw, abs=2e-6)
+        assert row.mean_adj == pytest.approx(mean_adj, abs=2e-6)
+        if theta is None:
+            assert row.theta is None
+        else:
+            assert row.theta == pytest.approx(theta, abs=2e-6)
+        if vr is None:
+            assert row.var_reduction is None
+        else:
+            assert row.var_reduction == pytest.approx(vr, abs=2e-6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0, 1]),
+            st.sampled_from([0, 1]),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_did_estimate_matches_python(spark, rows):
+    from valentinus_spark.operators import did_estimate
+
+    df = spark.createDataFrame(rows, ["arm", "period", "v"])
+    r = did_estimate(df, "arm", "period", "v").collect()[0]
+    cells = {}
+    for a, p, v in rows:
+        cells.setdefault((a, p), []).append(v)
+
+    def mean(a, p):
+        vs = cells.get((a, p))
+        return sum(vs) / len(vs) if vs else None
+
+    def von(a, p):
+        vs = cells[(a, p)]
+        n, m = len(vs), sum(vs) / len(vs)
+        return (sum(v * v for v in vs) - n * m * m) / (n - 1.0) / n
+
+    means = {c: mean(*c) for c in [(0, 0), (0, 1), (1, 0), (1, 1)]}
+    for name, c in [
+        ("mean_c_pre", (0, 0)),
+        ("mean_c_post", (0, 1)),
+        ("mean_t_pre", (1, 0)),
+        ("mean_t_post", (1, 1)),
+    ]:
+        if means[c] is None:
+            assert getattr(r, name) is None
+        else:
+            assert getattr(r, name) == pytest.approx(means[c], abs=1e-6)
+    if all(m is not None for m in means.values()):
+        did = (means[(1, 1)] - means[(1, 0)]) - (means[(0, 1)] - means[(0, 0)])
+        assert r.did == pytest.approx(did, abs=2e-6)
+        ok = all(len(cells[c]) >= 2 for c in means)
+        if ok:
+            se = math.sqrt(sum(von(*c) for c in means))
+            assert r.se == pytest.approx(se, abs=2e-6)
+            if se > 0:
+                assert r.z == pytest.approx(did / se, abs=2e-6)
+        else:
+            assert r.se is None and r.z is None
+    else:
+        assert r.did is None and r.se is None and r.z is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.sampled_from([0, 1]),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    sigma2=st.sampled_from([None, 2.0]),
+)
+def test_msprt_matches_python(spark, rows, sigma2):
+    from valentinus_spark.operators import msprt_test
+
+    tau = 0.5
+    data = [
+        (_dt.datetime(2024, 1, 1) + _dt.timedelta(days=d), a, float(v))
+        for d, a, v in rows
+    ]
+    df = spark.createDataFrame(data, ["ts", "arm", "value"])
+    got = msprt_test(df, "ts", "arm", "value", tau=tau, sigma2=sigma2).collect()
+    if sigma2 is None:
+        vs = [v for _, _, v in rows]
+        n = len(vs)
+        if n > 1:
+            s, ss = sum(vs), sum(v * v for v in vs)
+            s2 = round((ss - n * (s / n) * (s / n)) / (n - 1.0), 9)
+        else:
+            s2 = 1.0
+    else:
+        s2 = sigma2
+    days = sorted({d for d, _, _ in rows})
+    assert [r.day for r in got] == [
+        _dt.date(2024, 1, 1) + _dt.timedelta(days=d) for d in days
+    ]
+    tau2 = tau * tau
+    cna = cnb = 0
+    csa = csb = 0.0
+    best = None
+    for row, d in zip(got, days):
+        cna += sum(1 for dd, a, _ in rows if dd == d and a == 0)
+        cnb += sum(1 for dd, a, _ in rows if dd == d and a == 1)
+        csa += sum(v for dd, a, v in rows if dd == d and a == 0)
+        csb += sum(v for dd, a, v in rows if dd == d and a == 1)
+        assert (row.n_a, row.n_b) == (cna, cnb)
+        if cna and cnb:
+            y = csb / cnb - csa / cna
+            v = s2 * (1.0 / cna + 1.0 / cnb)
+            assert row.mean_diff == pytest.approx(y, abs=2e-6)
+            if v > 0:
+                llr = round(
+                    0.5 * math.log(v / (v + tau2))
+                    + y * y * tau2 / (2.0 * v * (v + tau2)),
+                    9,
+                )
+                best = llr if best is None else max(best, llr)
+                assert row.log_lr == pytest.approx(llr, abs=2e-6)
+                assert row.p_always_valid == pytest.approx(
+                    min(1.0, math.exp(-best)), abs=2e-6
+                )
+            else:
+                assert row.log_lr is None
+        else:
+            assert row.log_lr is None and row.p_always_valid is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            st.integers(min_value=-8, max_value=8),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_james_stein_matches_python(spark, rows):
+    from valentinus_spark.operators import james_stein_means
+
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r for r in james_stein_means(df, "g", "v").collect()}
+    groups = sorted({g for g, _ in rows})
+    assert sorted(got) == groups
+    m, ssw, n = {}, {}, {}
+    for g in groups:
+        vs = [v for gg, v in rows if gg == g]
+        n[g] = len(vs)
+        s1, s2 = sum(vs), sum(v * v for v in vs)
+        m[g] = round(s1 / n[g], 9)
+        ssw[g] = round(s2 - s1 * s1 / n[g], 9)
+    k, ntot = len(groups), len(rows)
+    grand = round(sum(m.values()) / k, 9)
+    s2pool = (
+        round(sum(ssw.values()) / (ntot - k), 9) if ntot > k else None
+    )
+    S = sum(round((m[g] - grand) ** 2, 9) for g in groups)
+    for g in groups:
+        if k >= 4 and S > 0 and s2pool is not None:
+            vi = s2pool / n[g]
+            w = max(0.0, 1.0 - (k - 3.0) * vi / S)
+        else:
+            w = 1.0
+        shrunk = grand + w * (m[g] - grand)
+        row = got[g]
+        assert row.n == n[g]
+        assert row.raw_mean == pytest.approx(m[g], abs=2e-6)
+        assert row.shrunk_mean == pytest.approx(shrunk, abs=2e-6)
+        assert row.shrink_weight == pytest.approx(w, abs=2e-6)

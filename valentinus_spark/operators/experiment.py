@@ -444,8 +444,10 @@ def mann_whitney_u(
     agg = ranked.agg(
         F.sum(F.col("_cb") * avg_rank).alias("_rb"),
         F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_ties"),
-        F.sum(F.col("_t") - F.col("_cb")).alias("n_a"),
-        F.sum("_cb").alias("n_b"),
+        # both groups empty -> the empty-aggregate sums are NULL; counts
+        # report 0 (the ks_test empty-group convention), inference NULL
+        F.coalesce(F.sum(F.col("_t") - F.col("_cb")), F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).alias("n_b"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     nn = na + nb
