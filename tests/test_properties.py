@@ -5239,3 +5239,321 @@ def test_james_stein_matches_python(spark, rows):
         assert row.raw_mean == pytest.approx(m[g], abs=2e-6)
         assert row.shrunk_mean == pytest.approx(shrunk, abs=2e-6)
         assert row.shrink_weight == pytest.approx(w, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# corpus profile / readability vs python replicas
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def _norm_py(text: str) -> str:
+    return _re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def _toks_py(text: str) -> list:
+    t = _norm_py(text)
+    return t.split(" ") if t else []
+
+
+def _syl_py(w: str) -> int:
+    return max(1, len(_re.findall(r"[aeiouy]+", w.lower())))
+
+
+word_pool = ["the", "cat", "sat", "extraordinary", "7", "xyzq", "mat.", "ran!"]
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(word_pool), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=doc_strategy)
+def test_flesch_readability_matches_python(spark, docs):
+    from valentinus_spark.operators import flesch_readability
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r.doc_id: r for r in flesch_readability(df).collect()}
+    exp_ids = {i for i, d in enumerate(docs) if _toks_py(d)}
+    assert set(got) == exp_ids
+    for i in exp_ids:
+        toks = _toks_py(docs[i])
+        nw = len(toks)
+        ns = max(1, len(_re.findall(r"[.!?]+", docs[i])))
+        syl = sum(_syl_py(w) for w in toks)
+        r = got[i]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (nw, ns, syl)
+        wps, spw = nw / ns, syl / nw
+        assert r.fre == pytest.approx(206.835 - 1.015 * wps - 84.6 * spw, abs=2e-4)
+        assert r.fk_grade == pytest.approx(0.39 * wps + 11.8 * spw - 15.59, abs=2e-4)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=doc_strategy)
+def test_fog_smog_matches_python(spark, docs):
+    from valentinus_spark.operators import fog_smog_readability
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r.doc_id: r for r in fog_smog_readability(df).collect()}
+    exp_ids = {i for i, d in enumerate(docs) if _toks_py(d)}
+    assert set(got) == exp_ids
+    for i in exp_ids:
+        toks = _toks_py(docs[i])
+        nw = len(toks)
+        ns = max(1, len(_re.findall(r"[.!?]+", docs[i])))
+        nc = sum(1 for w in toks if _syl_py(w) >= 3)
+        r = got[i]
+        assert (r.n_words, r.n_sentences, r.n_complex) == (nw, ns, nc)
+        fog = 0.4 * (nw / ns + 100.0 * nc / nw)
+        smog = 1.0430 * math.sqrt(nc * 30.0 / ns) + 3.1291
+        assert r.fog == pytest.approx(fog, abs=2e-4)
+        assert r.smog == pytest.approx(smog, abs=2e-4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=doc_strategy, k=st.sampled_from([3, 100]))
+def test_zipf_profile_matches_python(spark, docs, k):
+    from collections import Counter
+
+    from valentinus_spark.operators import zipf_profile
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    r = zipf_profile(df, "text", k=k).collect()[0]
+    # word_frequencies(letters_only=True): [a-z]+ runs of the lowercased
+    # text — digits/punctuation never enter the vocabulary
+    cnt = Counter(w for d in docs for w in _re.findall(r"[a-z]+", d.lower()))
+    top = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:k]
+    n = len(top)
+    assert r.n_top == n
+    if n == 0:
+        return
+    xs = [math.log(i + 1) for i in range(n)]
+    ys = [math.log(f) for _, f in top]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    denom = n * sxx - sx * sx
+    if denom == 0:
+        assert r.slope is None and r.intercept is None
+        return
+    slope = (n * sxy - sx * sy) / denom
+    assert r.slope == pytest.approx(slope, abs=2e-4)
+    assert r.intercept == pytest.approx((sy - slope * sx) / n, abs=2e-4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(st.sampled_from(word_pool[:6]), min_size=1, max_size=8).map(
+                " ".join
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_heaps_law_matches_python(spark, groups):
+    from valentinus_spark.operators import heaps_law
+
+    rows = [(g, i, t) for i, (g, t) in enumerate(groups)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    got = {r.lang: r for r in heaps_law(df, "lang").collect()}
+    exp_langs = {g for g, t in groups if _toks_py(t)}
+    assert set(got) == exp_langs
+    for lang in exp_langs:
+        docs = [(i, _toks_py(t)) for i, (g, t) in enumerate(groups) if g == lang]
+        docs = [(i, tk) for i, tk in docs if tk]
+        docs.sort()
+        seen: set = set()
+        N = V = 0
+        xs, ys = [], []
+        for _, tk in docs:
+            N += len(tk)
+            V += len(set(tk) - seen)
+            seen |= set(tk)
+            xs.append(round(math.log10(N), 12))
+            ys.append(round(math.log10(V), 12))
+        n = len(docs)
+        r = got[lang]
+        assert (r.n_docs, r.n_tokens, r.vocab) == (n, N, V)
+        mx, my = sum(xs) / n, sum(ys) / n
+        varx = sum(x * x for x in xs) - n * mx * mx
+        if n >= 2 and varx > 1e-12:
+            beta = (sum(x * y for x, y in zip(xs, ys)) - n * mx * my) / varx
+            assert r.beta == pytest.approx(beta, abs=2e-5)
+            assert r.k == pytest.approx(10.0 ** (my - beta * mx), abs=2e-5)
+        else:
+            assert r.beta is None and r.k is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=doc_strategy)
+def test_term_burstiness_matches_python(spark, docs):
+    from collections import Counter
+
+    from valentinus_spark.operators import term_burstiness
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = [
+        (r.term, r.df, r.total_tf, r.mean_tf, r.vmr)
+        for r in term_burstiness(df, min_df=1, topk=50).collect()
+    ]
+    D = len(docs)
+    per_doc = [Counter(_toks_py(d)) for d in docs]
+    terms = sorted({t for c in per_doc for t in c})
+    exp = []
+    for t in terms:
+        cs = [c[t] for c in per_doc if t in c]
+        dfreq, tot, sc2 = len(cs), sum(cs), sum(c * c for c in cs)
+        if D < 2:
+            continue
+        mu = tot / D
+        var = (sc2 - D * mu * mu) / (D - 1.0)
+        exp.append((t, dfreq, tot, round(mu, 6), round(var / mu, 6)))
+    exp.sort(key=lambda e: (-e[4], e[0]))
+    exp = exp[:50]
+    assert [(g[0], g[1], g[2]) for g in got] == [(e[0], e[1], e[2]) for e in exp]
+    for g, e in zip(got, exp):
+        assert g[3] == pytest.approx(e[3], abs=2e-6)
+        assert g[4] == pytest.approx(e[4], abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_tail_index_matches_python_hill(spark, rows):
+    from valentinus_spark.operators import tail_index
+
+    min_tail, frac = 2, 0.25
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r.g: r
+        for r in tail_index(df, "g", "v", tail_frac=frac, min_tail=min_tail).collect()
+    }
+    assert set(got) == {g for g, _ in rows}
+    for g in got:
+        xs = sorted((float(v) for gg, v in rows if gg == g), reverse=True)
+        n = len(xs)
+        m = min(max(min_tail, int(frac * n)), n - 1)
+        r = got[g]
+        assert (r.n, r.m) == (n, m)
+        if m + 1 <= n and m >= 0:
+            xmin = xs[m]
+            assert r.x_min == xmin
+            s = sum(round(math.log(x / xmin), 12) for x in xs[:m])
+            if n > min_tail and s > 0:
+                assert r.alpha == pytest.approx(m / s, abs=2e-6)
+            else:
+                assert r.alpha is None
+        else:
+            assert r.x_min is None and r.alpha is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=-5, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_tiles=st.sampled_from([4, 10]),
+)
+def test_decile_concentration_matches_python(spark, rows, n_tiles):
+    from valentinus_spark.operators import decile_concentration
+
+    df = spark.createDataFrame(rows, ["unit", "v"])
+    got = decile_concentration(df, "unit", "v", n_tiles=n_tiles).collect()
+    totals: dict = {}
+    for u, v in rows:
+        totals[u] = totals.get(u, 0) + v
+    units = sorted(totals.items(), key=lambda t: (-t[1], t[0]))
+    nu = len(units)
+    base, rem = divmod(nu, n_tiles)
+    tiles: dict = {}
+    pos = 0
+    for t in range(1, n_tiles + 1):
+        size = base + (1 if t <= rem else 0)
+        if size == 0:
+            continue
+        tiles[t] = units[pos : pos + size]
+        pos += size
+    tot = sum(totals.values())
+    assert [r.tile for r in got] == sorted(tiles)
+    cum = 0
+    for r in got:
+        members = tiles[r.tile]
+        tv = sum(v for _, v in members)
+        cum += tv
+        assert r.n_units == len(members)
+        assert r.tile_value == pytest.approx(float(tv), abs=1e-9)
+        if tot != 0:
+            assert r.value_share == pytest.approx(tv / tot, abs=2e-6)
+            assert r.cum_share == pytest.approx(cum / tot, abs=2e-6)
+        else:
+            assert r.value_share is None and r.cum_share is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(st.sampled_from(word_pool[:6]), min_size=0, max_size=8).map(
+                " ".join
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    vocab_size=st.sampled_from([2, 4]),
+)
+def test_vocab_coverage_matches_python(spark, groups, vocab_size):
+    from collections import Counter
+
+    from valentinus_spark.operators import vocab_coverage
+
+    rows = [(g, t) for g, t in groups]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        r.lang: r
+        for r in vocab_coverage(df, vocab_size=vocab_size, group_col="lang").collect()
+    }
+    per_group: dict = {}
+    for g, t in groups:
+        if not _norm_py(t):
+            continue
+        per_group.setdefault(g, Counter()).update(_toks_py(t))
+    assert set(got) == set(per_group)
+    global_cnt = Counter()
+    for c in per_group.values():
+        global_cnt.update(c)
+    vocab = {
+        w
+        for w, _ in sorted(global_cnt.items(), key=lambda t: (-t[1], t[0]))[
+            :vocab_size
+        ]
+    }
+    for g, c in per_group.items():
+        r = got[g]
+        n_tok = sum(c.values())
+        covered = sum(v for w, v in c.items() if w in vocab)
+        assert r.n_tokens == n_tok
+        assert r.n_types == len(c)
+        assert r.covered_tokens == covered
+        assert r.oov_types == sum(1 for w in c if w not in vocab)
+        assert r.oov_rate == pytest.approx(1.0 - covered / n_tok, abs=2e-4)

@@ -373,8 +373,14 @@ def zipf_profile(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFra
     )
     n = F.col("n").cast("double")
     denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
-    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    # a 0/1-word vocabulary has zero x-variance: no fit (NULL), not an
+    # ANSI divide-by-zero (found by the property layer)
+    slope = F.when(
+        denom != 0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    )
+    intercept = F.when(
+        slope.isNotNull(), (F.col("sy") - slope * F.col("sx")) / n
+    )
     return agg.select(
         F.col("n").alias("n_top"),
         F.round(slope, 4).alias("slope"),
