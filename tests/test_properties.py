@@ -5557,3 +5557,428 @@ def test_vocab_coverage_matches_python(spark, groups, vocab_size):
         assert r.covered_tokens == covered
         assert r.oov_types == sum(1 for w in c if w not in vocab)
         assert r.oov_rate == pytest.approx(1.0 - covered / n_tok, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# ranking fusion / evaluation panels vs python replicas
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lists=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=12),
+                st.integers(min_value=0, max_value=8),
+            ),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    topk=st.sampled_from([3, 10]),
+)
+def test_rrf_fuse_matches_python(spark, lists, topk):
+    from valentinus_spark.operators import rrf_fuse
+
+    k0 = 60
+    dfs = [
+        spark.createDataFrame(rows, ["doc_id", "score"]) for rows in lists
+    ]
+    got = [
+        (r.doc_id, r.rrf_score, r.n_lists)
+        for r in rrf_fuse(dfs, "doc_id", k0=k0, topk=topk).collect()
+    ]
+    scores: dict = {}
+    nlists: dict = {}
+    for rows in lists:
+        ranked = sorted(rows, key=lambda t: (-t[1], t[0]))
+        for rank, (doc, _) in enumerate(ranked, start=1):
+            scores[doc] = scores.get(doc, 0.0) + 1.0 / (k0 + rank)
+            nlists[doc] = nlists.get(doc, 0) + 1
+    exp = sorted(
+        ((d, round(s, 6), nlists[d]) for d, s in scores.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:topk]
+    assert [(g[0], g[2]) for g in got] == [(e[0], e[2]) for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cands=st.lists(
+        st.tuples(
+            st.sampled_from([0, 1]),  # qid
+            st.tuples(
+                st.integers(min_value=-3, max_value=3),
+                st.integers(min_value=-3, max_value=3),
+                st.integers(min_value=0, max_value=3),
+            ),
+            st.integers(min_value=1, max_value=63),  # similarity numerator
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=(lambda t: (t[0], t[2]),),  # unique similarity per query
+    ),
+    k=st.sampled_from([2, 4]),
+    lam=st.sampled_from([0.5, 1.0]),
+)
+def test_mmr_rerank_is_greedy_optimal_per_step(spark, cands, k, lam):
+    """Validates the greedy invariant from the operator's own pick
+    order (tie order inside applyInPandas groups is not pinned):
+    every reported score equals the MMR formula for that pick AND is
+    the step maximum over the remaining candidates."""
+    import numpy as np
+
+    from valentinus_spark.operators import mmr_rerank
+
+    rows = [
+        (q, i, [float(a) for a in v], s / 64.0)
+        for i, (q, v, s) in enumerate(cands)
+    ]
+    df = spark.createDataFrame(rows, "qid int, id long, embedding array<float>, similarity double")
+    got = mmr_rerank(df, k=k, lam=lam).collect()
+    by_q: dict = {}
+    for q, i, v, s in rows:
+        by_q.setdefault(q, {})[i] = (np.array(v, dtype=np.float64), s)
+    out_by_q: dict = {}
+    for r in got:
+        out_by_q.setdefault(r.qid, []).append(r)
+    assert set(out_by_q) == set(by_q)
+    for q, picks in out_by_q.items():
+        picks.sort(key=lambda r: r.mmr_rank)
+        pool = by_q[q]
+        assert [p.mmr_rank for p in picks] == list(
+            range(1, min(k, len(pool)) + 1)
+        )
+        maxsim = {i: -1.0 for i in pool}
+        chosen: set = set()
+        for p in picks:
+            mmr = {}
+            for i, (v, rel) in pool.items():
+                if i in chosen:
+                    continue
+                pen = 0.0 if maxsim[i] < 0 else maxsim[i]
+                mmr[i] = lam * rel - (1 - lam) * pen
+            assert p.id in mmr
+            assert p.mmr_score == pytest.approx(mmr[p.id], abs=1e-9)
+            assert mmr[p.id] >= max(mmr.values()) - 1e-9
+            chosen.add(p.id)
+            pv = pool[p.id][0]
+            pn = np.linalg.norm(pv) or 1.0
+            for i, (v, _) in pool.items():
+                n2 = np.linalg.norm(v) or 1.0
+                maxsim[i] = max(maxsim[i], float(v @ pv / (n2 * pn)))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_rank_normalize_matches_percent_rank(spark, rows):
+    from valentinus_spark.operators import rank_normalize
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["g", "score", "id"])
+    got = {r.id: r.pct_rank for r in rank_normalize(df, "g", "score").collect()}
+    for g in {g for g, _ in rows}:
+        vals = sorted(v for gg, v in rows if gg == g)
+        n = len(vals)
+        for i, (gg, v) in enumerate(rows):
+            if gg != g:
+                continue
+            if n == 1:
+                exp = 0.0
+            else:
+                exp = vals.index(v) / (n - 1)  # ties share the min rank
+            assert got[i] == pytest.approx(exp, abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=-10, max_value=10), min_size=1, max_size=20),
+    bits=st.sampled_from([2, 4]),
+)
+def test_rank_scale_matches_percent_rank(spark, vals, bits):
+    from valentinus_spark.operators.layout import rank_scale
+
+    data = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, ["id", "v"])
+    got = {r.id: r.v_scaled for r in rank_scale(df, "v", bits=bits).collect()}
+    s = sorted(vals)
+    n = len(vals)
+    for i, v in data:
+        pr = 0.0 if n == 1 else s.index(v) / (n - 1)
+        exp = min(math.floor(pr * (1 << bits)), (1 << bits) - 1)
+        assert got[i] == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["q1", "q2"]),
+            st.integers(min_value=0, max_value=10),
+            st.sampled_from([0, 1]),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.sampled_from([3, 5]),
+)
+def test_map_mrr_matches_python(spark, rows, k):
+    from valentinus_spark.operators import map_mrr
+
+    data = [(q, i, s, r) for i, (q, s, r) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["q", "id", "score", "rel"])
+    got = {
+        r.query: r for r in map_mrr(df, "q", "id", "score", "rel", k=k).collect()
+    }
+    assert set(got) == {q for q, _, _ in rows}
+    for q in got:
+        judged = sorted(
+            ((s, i, r) for qq, i, s, r in data if qq == q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        n_rel = sum(r for _, _, r in judged)
+        row = got[q]
+        assert (row.n_judged, row.n_rel) == (len(judged), n_rel)
+        if n_rel == 0:
+            assert row.ap_at_k is None and row.rr is None
+            continue
+        cr = 0
+        ap_sum = 0.0
+        first = None
+        for rank, (_, _, rel) in enumerate(judged, start=1):
+            cr += rel
+            if rel:
+                if first is None:
+                    first = rank
+                if rank <= k:
+                    ap_sum += round(cr / rank, 12)
+        assert row.ap_at_k == pytest.approx(ap_sum / min(n_rel, k), abs=2e-6)
+        assert row.rr == pytest.approx(1.0 / first, abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # score twentieths
+            st.sampled_from([0, 1]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_bins=st.sampled_from([4, 10]),
+)
+def test_calibration_curve_matches_python(spark, rows, n_bins):
+    from valentinus_spark.operators import calibration_curve
+
+    data = [(s / 20.0, y) for s, y in rows]
+    df = spark.createDataFrame(data, "score double, label int")
+    got = {r.bin: r for r in calibration_curve(df, "score", "label", n_bins=n_bins).collect()}
+    bins: dict = {}
+    for s, y in data:
+        b = min(math.floor(s * n_bins), n_bins - 1)
+        bins.setdefault(b, []).append((s, y))
+    assert set(got) == set(bins)
+    for b, members in bins.items():
+        r = got[b]
+        ms = sum(s for s, _ in members) / len(members)
+        pr = sum(y for _, y in members) / len(members)
+        assert r.n_rows == len(members)
+        assert r.bin_lo == pytest.approx(b / n_bins, abs=1e-12)
+        assert r.bin_hi == pytest.approx((b + 1) / n_bins, abs=1e-12)
+        assert r.mean_score == pytest.approx(ms, abs=1e-9)
+        assert r.positive_rate == pytest.approx(pr, abs=1e-9)
+        assert r.abs_gap == pytest.approx(abs(ms - pr), abs=1e-9)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.sampled_from([0, 1]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_tiles=st.sampled_from([3, 5]),
+)
+def test_gain_lift_matches_python(spark, rows, n_tiles):
+    from valentinus_spark.operators import gain_lift_chart
+
+    data = [(s, y, i) for i, (s, y) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["score", "label", "id"])
+    got = gain_lift_chart(df, "score", "label", "id", n_tiles=n_tiles).collect()
+    ordered = sorted(data, key=lambda t: (-t[0], t[2]))
+    n = len(ordered)
+    base, rem = divmod(n, n_tiles)
+    tiles: dict = {}
+    pos = 0
+    for t in range(1, n_tiles + 1):
+        size = base + (1 if t <= rem else 0)
+        if size == 0:
+            continue
+        tiles[t] = ordered[pos : pos + size]
+        pos += size
+    tot_pos = sum(y for _, y, _ in data)
+    assert [r.tile for r in got] == sorted(tiles)
+    cum = 0
+    for r in got:
+        members = tiles[r.tile]
+        npos = sum(y for _, y, _ in members)
+        cum += npos
+        assert (r.n, r.n_pos) == (len(members), npos)
+        if tot_pos > 0:
+            assert r.cum_recall == pytest.approx(cum / tot_pos, abs=2e-6)
+            lift = (npos / len(members)) / (tot_pos / n)
+            assert r.lift == pytest.approx(lift, abs=2e-6)
+        else:
+            assert r.cum_recall is None and r.lift is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cells=st.dictionaries(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # subject
+            st.sampled_from(["i1", "i2", "i3"]),
+        ),
+        st.integers(min_value=0, max_value=6),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_cronbach_alpha_matches_python(spark, cells):
+    from valentinus_spark.operators import cronbach_alpha
+
+    rows = [(s, i, float(v)) for (s, i), v in cells.items()]
+    df = spark.createDataFrame(rows, ["subj", "item", "score"])
+    r = cronbach_alpha(df, "subj", "item", "score").collect()[0]
+    items = sorted({i for _, i in cells})
+    k_total = len(items)
+    subjects = sorted({s for s, _ in cells})
+    complete = [
+        s for s in subjects if all((s, i) in cells for i in items)
+    ]
+    assert r.n_subjects == len(complete)
+    k_out = k_total if complete else 0
+    assert r.k == k_out
+    if not complete:
+        assert r.alpha is None
+        return
+    item_vars = []
+    for i in items:
+        vs = [cells[(s, i)] for s in complete]
+        n = len(vs)
+        item_vars.append(
+            round(sum(v * v for v in vs) / n - (sum(vs) / n) ** 2, 9)
+        )
+    tots = [sum(cells[(s, i)] for i in items) for s in complete]
+    n = len(tots)
+    vt = round(sum(t * t for t in tots) / n - (sum(tots) / n) ** 2, 9)
+    if k_total >= 2 and vt > 0:
+        alpha = k_total / (k_total - 1.0) * (1.0 - sum(item_vars) / vt)
+        assert r.alpha == pytest.approx(alpha, abs=2e-6)
+    else:
+        assert r.alpha is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_correlation_matrix_matches_python(spark, rows):
+    from valentinus_spark.operators import correlation_matrix
+
+    df = spark.createDataFrame(rows, "x int, y int, z int")
+    cols = ["x", "y", "z"]
+    got = {
+        (r.col_a, r.col_b): r
+        for r in correlation_matrix(df, cols).collect()
+    }
+    kept = [t for t in rows if all(v is not None for v in t)]
+    n = len(kept)
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    for (ca, cb), r in got.items():
+        assert r.n == n
+        ia, ib = cols.index(ca), cols.index(cb)
+        if n == 0:
+            assert r.corr is None
+            continue
+        a = [t[ia] for t in kept]
+        b = [t[ib] for t in kept]
+        cov = sum(x * y for x, y in zip(a, b)) - sum(a) * sum(b) / n
+        va = sum(x * x for x in a) - sum(a) ** 2 / n
+        vb = sum(x * x for x in b) - sum(b) ** 2 / n
+        if va > 0 and vb > 0:
+            assert r.corr == pytest.approx(cov / math.sqrt(va * vb), abs=2e-6)
+        else:
+            assert r.corr is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_simpsons_screen_matches_python(spark, rows):
+    from valentinus_spark.operators import simpsons_paradox_screen
+
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r.g: r for r in simpsons_paradox_screen(df, "g", "x", "y").collect()}
+    assert set(got) == {g for g, _, _ in rows}
+
+    def corr(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        cov = sum(x * y for x, y in pts) - sx * sy / n
+        vx = sum(x * x for x, _ in pts) - sx * sx / n
+        vy = sum(y * y for _, y in pts) - sy * sy / n
+        return cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else None
+
+    pooled = corr([(x, y) for _, x, y in rows])
+    pooled_r = round(pooled, 6) if pooled is not None else None
+    for g, r in got.items():
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        c = corr(pts)
+        assert r.n == len(pts)
+        if c is None:
+            assert r.corr is None and r.sign_reversed is None
+        else:
+            assert r.corr == pytest.approx(c, abs=2e-6)
+            if pooled_r is None:
+                assert r.pooled_corr is None and r.sign_reversed is None
+            else:
+                assert r.pooled_corr == pytest.approx(pooled_r, abs=2e-6)
+                assert r.sign_reversed == (round(c, 6) * pooled_r < 0)
