@@ -5982,3 +5982,215 @@ def test_simpsons_screen_matches_python(spark, rows):
             else:
                 assert r.pooled_corr == pytest.approx(pooled_r, abs=2e-6)
                 assert r.sign_reversed == (round(c, 6) * pooled_r < 0)
+
+
+# ---------------------------------------------------------------------------
+# privacy / release-audit family vs python replicas
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["x", "y"])),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_k_anonymity_matches_python(spark, rows, k):
+    from collections import Counter
+
+    from valentinus_spark.operators import (
+        k_anonymity_stats,
+        k_anonymity_violations,
+    )
+
+    df = spark.createDataFrame(rows, "zip string, age int")
+    quasi = ["zip", "age"]
+    groups = Counter(rows)
+    viol = {
+        (z, a): c for (z, a), c in groups.items() if c < k
+    }
+    got_v = {
+        (r.zip, r.age): r.group_size
+        for r in k_anonymity_violations(df, quasi, k).collect()
+    }
+    assert got_v == viol
+    s = k_anonymity_stats(df, quasi, k).collect()[0]
+    assert s.n_rows == len(rows)
+    assert s.n_groups == len(groups)
+    assert s.violating_groups == len(viol)
+    assert s.rows_at_risk == sum(viol.values())
+    assert s.min_group_size == min(groups.values())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    l=st.sampled_from([2, 3]),
+)
+def test_l_diversity_matches_python(spark, rows, l):
+    from valentinus_spark.operators import l_diversity_stats
+
+    df = spark.createDataFrame(rows, ["zip", "salary"])
+    s = l_diversity_stats(df, ["zip"], "salary", l).collect()[0]
+    per_group: dict = {}
+    for z, v in rows:
+        per_group.setdefault(z, []).append(v)
+    assert s.n_rows == len(rows)
+    assert s.n_groups == len(per_group)
+    viol = {z for z, vs in per_group.items() if len(set(vs)) < l}
+    assert s.violating_groups == len(viol)
+    assert s.rows_at_risk == sum(len(per_group[z]) for z in viol)
+    assert s.min_diversity == min(len(set(vs)) for vs in per_group.values())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b"])),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    epsilon=st.sampled_from([0.5, 1.0]),
+    clamp=st.booleans(),
+)
+def test_dp_group_counts_matches_hash_replay(spark, rows, epsilon, clamp):
+    from collections import Counter
+
+    from valentinus_spark.operators import dp_group_counts
+
+    salt = "dp-v1"
+    df = spark.createDataFrame(rows, "src string, bucket int")
+    got = {
+        (r.src, r.bucket): r.dp_count
+        for r in dp_group_counts(
+            df, ["src", "bucket"], epsilon=epsilon, salt=salt, clamp_nonneg=clamp
+        ).collect()
+    }
+    counts = Counter(rows)
+    assert set(got) == set(counts)
+
+    def geom(tag, key):
+        h32 = int(
+            hashlib.sha256(f"{salt}:{tag}:{key}".encode()).hexdigest()[:8], 16
+        )
+        u = (h32 + 0.5) / 4294967296.0
+        return math.floor(math.log(u) / -epsilon)
+
+    for (src, bucket), n in counts.items():
+        # concat_ws skips NULLs entirely
+        parts = [p for p in (src, str(bucket)) if p is not None]
+        key = "\x1f".join(parts)
+        dp = n + geom("a", key) - geom("b", key)
+        if clamp:
+            dp = max(0, dp)
+        assert got[(src, bucket)] == dp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    t=st.sampled_from([0.1, 0.3]),
+)
+def test_t_closeness_matches_python_emd(spark, rows, t):
+    from collections import Counter
+
+    from valentinus_spark.operators import t_closeness_stats
+
+    df = spark.createDataFrame(rows, ["zip", "salary"])
+    got = {r.zip: r for r in t_closeness_stats(df, ["zip"], "salary", t=t).collect()}
+    per_group: dict = {}
+    for z, v in rows:
+        per_group.setdefault(z, Counter())[v] += 1
+    assert set(got) == set(per_group)
+    glob = Counter(v for _, v in rows)
+    spine = sorted(glob)
+    N, m = len(rows), len(spine)
+    for z, cnt in per_group.items():
+        n = sum(cnt.values())
+        cum = 0.0
+        s = 0.0
+        for i, v in enumerate(spine):
+            cum += round(cnt.get(v, 0) / n - glob[v] / N, 12)
+            if i < m - 1:
+                s += abs(cum)
+        emd = round(s / (m - 1), 6) if m > 1 else 0.0
+        r = got[z]
+        assert r.n == n
+        assert r.emd == pytest.approx(emd, abs=2e-6)
+        assert r.exceeds_t == (r.emd > t)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=8), min_size=0, max_size=25),
+    mode=st.sampled_from(["data", "grid"]),
+    epsilon=st.sampled_from([0.5, 2.0]),
+)
+def test_dp_median_matches_hash_replay(spark, vals, mode, epsilon):
+    from collections import Counter
+
+    from valentinus_spark.operators.validate import dp_median
+
+    salt = "dpmed-v1"
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    kwargs = {} if mode == "data" else {"grid_lo": 0.0, "grid_hi": 8.0, "grid_steps": 5}
+    r = dp_median(df, "v", epsilon=epsilon, salt=salt, **kwargs).collect()[0]
+    n = len(vals)
+    if n == 0:
+        assert r.n is None and r.true_median is None and r.dp_median is None
+        return
+    assert r.n == n
+    s = sorted(vals)
+    cnt = Counter(vals)
+    distinct = sorted(cnt)
+    # true median: floor-rank two-middles on the distinct cumulative grid
+    lo_rank = (n + 1) // 2
+    hi_rank = n // 2 + 1
+    assert r.true_median == pytest.approx(
+        (s[lo_rank - 1] + s[hi_rank - 1]) / 2.0, abs=1e-9
+    )
+    if mode == "data":
+        cands = distinct
+    else:
+        cands = [0.0, 2.0, 4.0, 6.0, 8.0]
+    u0 = (int(hashlib.sha256(salt.encode()).hexdigest()[:8], 16) + 0.5) / 4294967296.0
+    weights = []
+    for c in cands:
+        below = sum(v for k_, v in cnt.items() if k_ < c) if mode == "grid" else sum(
+            cnt[k_] for k_ in distinct if k_ < c
+        )
+        util = -abs(below - n / 2.0)
+        weights.append(round(math.exp(epsilon * util / 2.0), 12))
+    wtot = sum(weights)
+    wcum = 0.0
+    pick = None
+    for c, w in zip(cands, weights):
+        wcum += w
+        if wcum >= u0 * wtot:
+            pick = c
+            break
+    assert r.dp_median == pytest.approx(float(pick), abs=1e-9)
+    assert r.epsilon == epsilon
