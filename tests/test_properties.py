@@ -3789,7 +3789,9 @@ def test_hhi_concentration_matches_python(spark, rows):
         res = got[g]
         assert res[0] == n and res[1] == k
         assert res[2] == pytest.approx(hhi, abs=2e-6)
-        assert 1.0 / k - 1e-9 <= res[2] <= 1.0 + 1e-9  # HHI bounds
+        # HHI bounds, with slack for the operator's 6-dp rounding
+        # (hhi = 1/3 rounds DOWN to 0.333333, below the exact bound)
+        assert 1.0 / k - 1e-6 <= res[2] <= 1.0 + 1e-6
         if k > 1:
             assert res[3] == pytest.approx(
                 (hhi - 1.0 / k) / (1.0 - 1.0 / k), abs=2e-5
