@@ -6196,3 +6196,363 @@ def test_dp_median_matches_hash_replay(spark, vals, mode, epsilon):
             break
     assert r.dp_median == pytest.approx(float(pick), abs=1e-9)
     assert r.epsilon == epsilon
+
+
+# ---------------------------------------------------------------------------
+# cleaning / validation / rollup utilities vs python replicas
+# ---------------------------------------------------------------------------
+
+line_pool = [
+    "a good long sentence here.",
+    "short one",
+    "Buy NOW javascript click",
+    "three words here!",
+    'quoted line ends well"',
+    "no punct but plenty of words in it",
+    "",
+    "lorem ipsum dolor sit.",
+]
+
+
+def _wc_py(line: str) -> int:
+    norm = _re.sub(r"\s+", " ", line.strip())
+    return 0 if norm == "" else len(norm.split(" "))
+
+
+def _keep_py(line, min_words, req_punct, patterns):
+    if _wc_py(line) < min_words:
+        return False
+    if req_punct and not _re.search(r'[.!?"]\s*$', line):
+        return False
+    return not any(p.lower() in line.lower() for p in patterns)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(line_pool), min_size=1, max_size=6).map(
+            "\n".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_words=st.sampled_from([2, 4]),
+    req_punct=st.booleans(),
+)
+def test_clean_lines_matches_python(spark, docs, min_words, req_punct):
+    from valentinus_spark.operators import clean_lines
+
+    line_pats = ["javascript"]
+    doc_pats = ["lorem ipsum"]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in clean_lines(
+            df,
+            "text",
+            min_words=min_words,
+            require_terminal_punct=req_punct,
+            drop_line_patterns=line_pats,
+            drop_doc_patterns=doc_pats,
+            min_kept_lines=1,
+        ).collect()
+    }
+    for i, doc in enumerate(docs):
+        lines = doc.split("\n")
+        kept = [
+            l for l in lines if _keep_py(l, min_words, req_punct, line_pats)
+        ]
+        doc_hit = any(
+            any(p.lower() in l.lower() for l in lines) for p in doc_pats
+        )
+        if doc_hit or len(kept) < 1:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r.text == "\n".join(kept)
+        assert (r.n_lines, r.n_kept) == (len(lines), len(kept))
+        assert r.n_chars_clean == len("\n".join(kept))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(line_pool), min_size=1, max_size=6).map(
+            "\n".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_words=st.sampled_from([2, 4]),
+)
+def test_line_filter_stats_matches_python(spark, docs, min_words):
+    from valentinus_spark.operators import line_filter_stats
+
+    pats = ["javascript"]
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    r = line_filter_stats(
+        df, "text", min_words=min_words, drop_line_patterns=pats
+    ).collect()[0]
+    total = short = nopunct = blocked = 0
+    for doc in docs:
+        for l in doc.split("\n"):
+            total += 1
+            if _wc_py(l) < min_words:
+                short += 1
+            elif not _re.search(r'[.!?"]\s*$', l):
+                nopunct += 1
+            elif any(p.lower() in l.lower() for p in pats):
+                blocked += 1
+    assert (
+        r.total_lines,
+        r.dropped_short,
+        r.dropped_no_punct,
+        r.dropped_blocklist,
+    ) == (total, short, nopunct, blocked)
+    assert r.kept_lines == total - short - nopunct - blocked
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    parents=st.lists(st.integers(min_value=0, max_value=2), max_size=3),
+)
+def test_validate_primitives_match_python(spark, rows, parents):
+    from valentinus_spark.operators import (
+        check_expectations,
+        fk_violations,
+        uniqueness_violations,
+    )
+
+    df = spark.createDataFrame(rows, "v int, k int")
+    got = {
+        r.check: r.n_violations
+        for r in check_expectations(
+            df, [("v_pos", F.col("v") > 0), ("k_notnull", F.col("k").isNotNull())]
+        ).collect()
+    }
+    assert got["v_pos"] == sum(1 for v, _ in rows if not (v is not None and v > 0))
+    assert got["k_notnull"] == sum(1 for _, k in rows if k is None)
+    u = uniqueness_violations(df, ["v", "k"]).collect()[0]
+    assert u.n_violations == len(rows) - len(set(rows))
+    p = spark.createDataFrame([(x,) for x in parents], "pk int")
+    f = fk_violations(df, p, "k", "pk").collect()[0]
+    pset = set(parents)
+    assert f.n_violations == sum(1 for _, k in rows if k not in pset)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=40)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_sequence_gaps_matches_python(spark, ids):
+    from valentinus_spark.operators import sequence_gaps
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = [
+        (r.gap_start, r.gap_end, r.n_missing)
+        for r in sequence_gaps(df, "id").collect()
+    ]
+    s = sorted({i for i in ids if i is not None})
+    exp = []
+    for a, b in zip(s, s[1:]):
+        if b > a + 1:
+            exp.append((a + 1, b - 1, b - a - 1))
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_resample_ffill_matches_python(spark, events):
+    from valentinus_spark.operators import resample_ffill
+
+    interval = 10
+    df = spark.createDataFrame(events, ["k", "ts", "v"])
+    got = {
+        (r.k, r.tick_us): r.value
+        for r in resample_ffill(df, "k", "ts", "v", interval_us=interval).collect()
+    }
+    exp = {}
+    for key in {k for k, _, _ in events}:
+        obs = [(ts, v) for k, ts, v in events if k == key]
+        t0 = min(ts for ts, _ in obs) // interval
+        t1 = max(ts for ts, _ in obs) // interval
+        for tick in range(t0, t1 + 1):
+            cands = [(ts, v) for ts, v in obs if ts < (tick + 1) * interval]
+            exp[(key, tick * interval)] = max(cands)[1] if cands else None
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-8, max_value=8),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_trailing_anomaly_matches_python(spark, events):
+    from valentinus_spark.operators import trailing_anomaly
+
+    window, min_obs, thr = 3, 2, 1.5
+    data = [(u, ts, i, v) for i, (u, ts, v) in enumerate(events)]
+    df = spark.createDataFrame(data, ["user_id", "ts", "event_id", "value"])
+    got = {
+        r.event_id: (r.n_obs, r.trail_z, r.is_anomaly)
+        for r in trailing_anomaly(
+            df, "user_id", "ts", "value", "event_id",
+            window=window, min_obs=min_obs, threshold=thr,
+        ).collect()
+    }
+    for user in {u for u, _, _, _ in data}:
+        seq = sorted(
+            ((ts, i, v) for u, ts, i, v in data if u == user),
+            key=lambda t: (t[0], t[1]),
+        )
+        for pos, (_, i, v) in enumerate(seq):
+            prev = [pv for _, _, pv in seq[max(0, pos - window) : pos]]
+            n = len(prev)
+            assert got[i][0] == n
+            if n >= min_obs:
+                s, s2 = sum(prev), sum(p * p for p in prev)
+                var = (s2 - s * s / n) / (n - 1)
+                z = round((v - s / n) / math.sqrt(var), 4) if var > 1e-9 else 0.0
+            else:
+                z = 0.0
+            assert got[i][1] == pytest.approx(z, abs=2e-4)
+            assert got[i][2] == (abs(got[i][1]) > thr)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3"]),
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    use_value=st.booleans(),
+)
+def test_decayed_popularity_matches_python(spark, events, use_value):
+    from valentinus_spark.operators import decayed_popularity
+
+    hl = 2
+    rows = [
+        (k, _dt.datetime(2024, 1, 1) + _dt.timedelta(days=d), float(v))
+        for k, d, v in events
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = [
+        (r.k, r.n_events, r.decayed_score)
+        for r in decayed_popularity(
+            df, "k", "ts", "v" if use_value else None, half_life_days=hl
+        ).collect()
+    ]
+    ref = max(d for _, d, _ in events)
+    daily: dict = {}
+    for k, d, v in events:
+        key = (k, d)
+        n, sv = daily.get(key, (0, 0.0))
+        daily[key] = (n + 1, sv + (v if use_value else 1.0))
+    scores: dict = {}
+    counts: dict = {}
+    for (k, d), (n, sv) in daily.items():
+        w = round(math.exp(-(math.log(2.0) / hl) * (ref - d)), 12)
+        scores[k] = scores.get(k, 0.0) + sv * w
+        counts[k] = counts.get(k, 0) + n
+    exp = sorted(
+        ((k, counts[k], round(s, 4)) for k, s in scores.items()),
+        key=lambda t: (-t[2], t[0]),
+    )
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp]
+    for g, e in zip(got, exp):
+        assert g[2] == pytest.approx(e[2], abs=2e-4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # customer
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.integers(min_value=1, max_value=100),  # amount
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_tiles=st.sampled_from([3, 5]),
+)
+def test_rfm_segments_match_python(spark, orders, n_tiles):
+    from valentinus_spark.operators import rfm_segments
+
+    rows = [
+        (c, _dt.date(2024, 1, 1) + _dt.timedelta(days=d), float(a))
+        for c, d, a in orders
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    got = {r.o_custkey: r for r in rfm_segments(df, n_tiles=n_tiles).collect()}
+    per: dict = {}
+    for c, d, a in orders:
+        last, freq, mon = per.get(c, (-1, 0, 0.0))
+        per[c] = (max(last, d), freq + 1, mon + a)
+    ref = max(last for last, _, _ in per.values())
+    custs = sorted(per)
+    assert sorted(got) == custs
+
+    def ntile_map(order_key):
+        ranked = sorted(custs, key=order_key)
+        n = len(ranked)
+        base, rem = divmod(n, n_tiles)
+        out = {}
+        pos = 0
+        for t in range(1, n_tiles + 1):
+            size = base + (1 if t <= rem else 0)
+            for c in ranked[pos : pos + size]:
+                out[c] = t
+            pos += size
+        return out
+
+    r_map = ntile_map(lambda c: (-(ref - per[c][0]), c))
+    f_map = ntile_map(lambda c: (per[c][1], c))
+    m_map = ntile_map(lambda c: (per[c][2], c))
+    for c in custs:
+        r = got[c]
+        assert r.recency_days == ref - per[c][0]
+        assert r.frequency == per[c][1]
+        assert r.monetary == pytest.approx(per[c][2], abs=1e-9)
+        assert (r.r_score, r.f_score, r.m_score) == (r_map[c], f_map[c], m_map[c])
+        assert r.rfm == f"{r_map[c]}{f_map[c]}{m_map[c]}"

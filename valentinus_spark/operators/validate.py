@@ -35,8 +35,15 @@ def check_expectations(
     if not checks:
         raise ValueError("no checks given")
     aggs = [
-        F.sum(
-            F.when(F.coalesce(cond.cast("boolean"), F.lit(False)), 0).otherwise(1)
+        # coalesce the aggregate itself: an EMPTY table has 0 violations,
+        # not NULL (empty-aggregate sums are NULL — property-layer find)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.coalesce(cond.cast("boolean"), F.lit(False)), 0
+                ).otherwise(1)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias(name)
