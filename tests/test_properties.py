@@ -6556,3 +6556,339 @@ def test_rfm_segments_match_python(spark, orders, n_tiles):
         assert r.monetary == pytest.approx(per[c][2], abs=1e-9)
         assert (r.r_score, r.f_score, r.m_score) == (r_map[c], f_map[c], m_map[c])
         assert r.rfm == f"{r_map[c]}{f_map[c]}{m_map[c]}"
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / sharding / packing vs exact hash replays
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "code"]),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    budgets=st.tuples(
+        st.integers(min_value=0, max_value=120),
+        st.integers(min_value=0, max_value=120),
+    ),
+)
+def test_token_budget_sample_matches_hash_replay(spark, docs, budgets):
+    from valentinus_spark.operators import token_budget_sample
+
+    salt = "v1"
+    rows = [(src, i, tok) for i, (src, tok) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_tokens"])
+    bdf = spark.createDataFrame(
+        [("web", budgets[0]), ("code", budgets[1])],
+        ["source", "budget_tokens"],
+    )
+    got = {
+        r.doc_id for r in token_budget_sample(df, bdf, "source").collect()
+    }
+    exp = set()
+    for src, budget in [("web", budgets[0]), ("code", budgets[1])]:
+        members = sorted(
+            ((i, tok) for s, i, tok in rows if s == src),
+            key=lambda t: hashlib.sha256(
+                f"{salt}\x1f{t[0]}".encode()
+            ).hexdigest(),
+        )
+        cum = 0
+        for i, tok in members:
+            cum += tok
+            if cum <= budget:
+                exp.add(i)
+    assert got == exp
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(word_pool[:5]), min_size=0, max_size=6).map(
+                " ".join
+            ),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dsir_matches_python(spark, docs):
+    from valentinus_spark.operators import dsir_importance_weights
+
+    salt, B = "dsir-v1", 8
+    rows = [(i, t, tg) for i, (t, tg) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_logw)
+        for r in dsir_importance_weights(
+            df, F.col("tgt"), n_buckets=B, salt=salt
+        ).collect()
+    }
+
+    def buckets(text):
+        toks = _toks_py(text)
+        grams = list(toks)
+        grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(
+                hashlib.sha256(f"{salt}:{g}".encode()).hexdigest()[:15], 16
+            )
+            % B
+            for g in grams
+        ]
+
+    feats: dict = {}
+    for i, t, tg in rows:
+        bs = buckets(t)
+        if not bs:
+            continue
+        for b in bs:
+            feats[(i, tg, b)] = feats.get((i, tg, b), 0) + 1
+    assert set(got) == {i for (i, _, _) in feats}
+    rc: dict = {}
+    tc: dict = {}
+    for (i, tg, b), c in feats.items():
+        rc[b] = rc.get(b, 0) + c
+        if tg:
+            tc[b] = tc.get(b, 0) + c
+    R, T = sum(rc.values()), sum(tc.values())
+    lr = {
+        b: round(
+            math.log((tc.get(b, 0) + 1.0) / (T + B))
+            - math.log((rc[b] + 1.0) / (R + B)),
+            6,
+        )
+        for b in rc
+    }
+    for i in got:
+        cs = {b: c for (ii, _, b), c in feats.items() if ii == i}
+        n_grams = sum(cs.values())
+        logw = round(sum(c * lr[b] for b, c in cs.items()), 4)
+        assert got[i][0] == n_grams
+        assert got[i][1] == pytest.approx(logw, abs=2e-4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_gumbel_sample_key_matches_hash_replay(spark, rows):
+    from valentinus_spark.operators import gumbel_sample_key
+
+    salt = "dsir-g1"
+    rows = [(i, float(lw)) for i, lw in rows]
+    df = spark.createDataFrame(rows, "id long, logw double")
+    got = {
+        r.id: r.key
+        for r in df.select(
+            "id", gumbel_sample_key("logw", "id", salt=salt).alias("key")
+        ).collect()
+    }
+    for i, lw in rows:
+        h32 = int(hashlib.sha256(f"{salt}{i}".encode()).hexdigest()[:8], 16)
+        u = (h32 + 0.5) / 4294967296.0
+        assert got[i] == pytest.approx(
+            round(lw - math.log(-math.log(u)), 4), abs=2e-4
+        )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["aa", "bb", "cc"]),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    n_shards=st.sampled_from([3, 8]),
+)
+def test_shard_and_release_manifests_match_hash_replay(spark, rows, n_shards):
+    from valentinus_spark.operators import release_manifest, shard_manifest
+
+    salt = "v1"
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.withColumn("n_chars", F.length("text"))
+
+    def shard_of(i):
+        return (
+            int(hashlib.sha256(f"{salt}{i}".encode()).hexdigest()[:8], 16)
+            % n_shards
+        )
+
+    got_m = {
+        r.shard: (r.n_rows, r.total_n_chars)
+        for r in shard_manifest(df, "doc_id", n_shards, ("n_chars",), salt).collect()
+    }
+    exp_m: dict = {}
+    for i, t in rows:
+        s = shard_of(i)
+        n, c = exp_m.get(s, (0, 0))
+        exp_m[s] = (n + 1, c + len(t))
+    assert got_m == exp_m
+    got_r = {
+        r.shard: (r.n_rows, r.n_chars, r.content_xor)
+        for r in release_manifest(df, "doc_id", "text", n_shards, salt).collect()
+    }
+    exp_r: dict = {}
+    for i, t in rows:
+        s = shard_of(i)
+        h60 = int(
+            hashlib.sha256(f"{i}\x1f{t}".encode()).hexdigest()[:15], 16
+        )
+        n, c, x = exp_r.get(s, (0, 0, 0))
+        exp_r[s] = (n + 1, c + len(t), x ^ h60)
+    assert got_r == exp_r
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    epoch=st.sampled_from([0, 3]),
+    n_shards=st.sampled_from([2, 4]),
+)
+def test_epoch_shuffle_matches_hash_replay(spark, ids, epoch, n_shards):
+    from valentinus_spark.operators import epoch_shuffle
+
+    salt = "ep-v1"
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: (r.shard, r.position)
+        for r in epoch_shuffle(df, "doc_id", epoch, n_shards, salt).collect()
+    }
+    hs = {
+        i: int(
+            hashlib.sha256(f"{salt}:{epoch}:{i}".encode()).hexdigest()[:15], 16
+        )
+        for i in ids
+    }
+    exp = {}
+    for s in range(n_shards):
+        members = sorted(
+            (i for i in ids if hs[i] % n_shards == s),
+            key=lambda i: (hs[i], i),
+        )
+        for pos, i in enumerate(members):
+            exp[i] = (s, pos)
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[1],
+    ),
+    k=st.sampled_from([2, 5]),
+)
+def test_group_sample_k_matches_hash_replay(spark, rows, k):
+    from valentinus_spark.operators import group_sample_k
+
+    salt = "gsk-v1"
+    df = spark.createDataFrame(rows, ["g", "key"])
+    got = {(r.g, r.key) for r in group_sample_k(df, ["g"], "key", k, salt).collect()}
+    exp = set()
+    for g in {g for g, _ in rows}:
+        members = sorted(
+            (key for gg, key in rows if gg == g),
+            key=lambda key: (
+                int(hashlib.sha256(f"{salt}{key}".encode()).hexdigest()[:8], 16),
+                key,
+            ),
+        )
+        exp |= {(g, key) for key in members[:k]}
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.integers(min_value=0, max_value=30),
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.sampled_from([10, 16]),
+)
+def test_pack_assignments_match_python(spark, docs, budget):
+    from valentinus_spark.operators import pack_assignments
+
+    rows = [(i, tok) for i, tok in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {
+        r.doc_id: (r.token_start, r.token_end, r.pack_first, r.pack_last)
+        for r in pack_assignments(df, "doc_id", "n_tokens", budget=budget).collect()
+    }
+    cum = 0
+    for i, tok in rows:
+        start, end = cum, cum + tok
+        cum = end
+        first = start // budget
+        last = max((end - 1) // budget, first)
+        assert got[i] == (start, end, first, last)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2000),
+            st.integers(min_value=1, max_value=200),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    params=st.sampled_from([(64, 4), (50, 3)]),
+)
+def test_length_bucket_batches_match_python(spark, rows, params):
+    from valentinus_spark.operators import length_bucket_batches
+
+    width, bs = params
+    df = spark.createDataFrame(rows, ["id", "length"])
+    got = {
+        (r.bucket, r.batch_no): (r.n_rows, r.max_len, r.padding_waste)
+        for r in length_bucket_batches(df, "length", "id", width, bs).collect()
+    }
+    per_bucket: dict = {}
+    for i, ln in rows:
+        per_bucket.setdefault(ln // width, []).append((ln, i))
+    exp = {}
+    for b, members in per_bucket.items():
+        members.sort()
+        for bn in range((len(members) + bs - 1) // bs):
+            batch = members[bn * bs : (bn + 1) * bs]
+            mx = max(ln for ln, _ in batch)
+            exp[(b, bn)] = (
+                len(batch),
+                mx,
+                len(batch) * mx - sum(ln for ln, _ in batch),
+            )
+    assert got == exp
