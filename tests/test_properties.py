@@ -6892,3 +6892,215 @@ def test_length_bucket_batches_match_python(spark, rows, params):
                 len(batch) * mx - sum(ln for ln, _ in batch),
             )
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# text-search family vs python replicas
+# ---------------------------------------------------------------------------
+
+ts_pool = ["cat", "dog", "sat", "mat", "the", "on", "big"]
+ts_docs = st.lists(
+    st.lists(st.sampled_from(ts_pool), min_size=0, max_size=10).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=ts_docs, k=st.sampled_from([2, 4]))
+def test_tfidf_keywords_matches_python(spark, docs, k):
+    from collections import Counter
+
+    from valentinus_spark.operators import tfidf_keywords
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got: dict = {}
+    for r in tfidf_keywords(df, k=k).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    nonempty = {i: _toks_py(d) for i, d in enumerate(docs) if _toks_py(d)}
+    assert set(got) == set(nonempty)
+    N = len(nonempty)
+    dfreq = Counter()
+    for toks in nonempty.values():
+        dfreq.update(set(toks))
+    for i, toks in nonempty.items():
+        dl = len(toks)
+        cnt = Counter(toks)
+        scored = sorted(
+            (
+                (
+                    -round(
+                        (c / dl) * math.log((N + 1.0) / (dfreq[t] + 1.0)), 6
+                    ),
+                    t,
+                )
+                for t, c in cnt.items()
+            ),
+        )[:k]
+        exp = [(rank, t, -s) for rank, (s, t) in enumerate(scored, start=1)]
+        rows = sorted(got[i])
+        assert [(r[0], r[1]) for r in rows] == [(e[0], e[1]) for e in exp]
+        for r, e in zip(rows, exp):
+            assert r[2] == pytest.approx(e[2], abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=ts_docs,
+    phrase=st.sampled_from(["cat sat", "the cat", "dog", "cat sat on"]),
+)
+def test_phrase_search_matches_python(spark, docs, phrase):
+    from valentinus_spark.operators import phrase_search
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r.doc_id: r.n_matches for r in phrase_search(df, phrase).collect()}
+    words = phrase.split()
+    exp = {}
+    for i, d in enumerate(docs):
+        toks = _toks_py(d)
+        n = sum(
+            1
+            for j in range(len(toks) - len(words) + 1)
+            if toks[j : j + len(words)] == words
+        )
+        if n:
+            exp[i] = n
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=ts_docs)
+def test_taxonomy_tags_matches_python(spark, docs):
+    from valentinus_spark.operators import taxonomy_tags
+
+    lexicon = {"animals": ["cat", "dog"], "furniture": ["mat", "cat"]}
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.topic): (r.n_hits, r.n_keywords)
+        for r in taxonomy_tags(df, lexicon).collect()
+    }
+    exp = {}
+    for i, d in enumerate(docs):
+        toks = _toks_py(d)
+        for topic, kws in lexicon.items():
+            hits = [t for t in toks if t in kws]
+            if hits:
+                exp[(i, topic)] = (len(hits), len(set(hits)))
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=ts_docs,
+    terms=st.sampled_from([["cat"], ["cat", "dog"], ["cat", "zebra"]]),
+    k=st.sampled_from([3, 10]),
+)
+def test_ql_topk_matches_python(spark, docs, terms, k):
+    from collections import Counter
+
+    from valentinus_spark.operators import ql_topk
+
+    mu = 5.0
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = [
+        (r.doc_id, r.score) for r in ql_topk(df, terms, k=k, mu=mu).collect()
+    ]
+    qterms = sorted({t.lower() for t in terms})
+    nonempty = {i: _toks_py(d) for i, d in enumerate(docs) if _toks_py(d)}
+    ctot = sum(len(t) for t in nonempty.values())
+    cf = Counter()
+    for toks in nonempty.values():
+        for t in toks:
+            if t in qterms:
+                cf[t] += 1
+    exp = []
+    for i, toks in nonempty.items():
+        cnt = Counter(toks)
+        if not any(cnt.get(t) for t in qterms):
+            continue
+        dl = len(toks)
+        score = 0.0
+        for t in qterms:
+            tf = cnt.get(t, 0)
+            num = tf + mu * cf.get(t, 0) / ctot
+            if num > 0:
+                score += math.log(num / (dl + mu))
+        exp.append((i, round(score, 4)))
+    exp.sort(key=lambda t: (-t[1], t[0]))
+    exp = exp[:k]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], abs=2e-4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc x", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    pattern=st.sampled_from(["ab", "abc", "c xa", "xx"]),
+)
+def test_substring_search_matches_contains(spark, docs, pattern):
+    from valentinus_spark.operators import substring_search
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = [r.doc_id for r in substring_search(df, pattern).collect()]
+    exp = sorted(
+        i for i, d in enumerate(docs) if pattern.lower() in d.lower()
+    )
+    assert got == exp
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["cat", "dog", "sat", "mat", "the", "on", "and"]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    topk=st.sampled_from([5, 30]),
+)
+def test_rake_keywords_matches_python(spark, docs, topk):
+    from valentinus_spark.functions.text import ENGLISH_STOPWORDS
+    from valentinus_spark.operators import rake_keywords
+
+    stop = set(ENGLISH_STOPWORDS)
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = [
+        (r.phrase, r.score, r.n_occ) for r in rake_keywords(df, topk=topk).collect()
+    ]
+    occs = []  # (phrase, words)
+    for d in docs:
+        run: list = []
+        for t in _toks_py(d) + ["\x00stop"]:
+            if t == "" or t in stop or t == "\x00stop":
+                if run:
+                    occs.append((" ".join(run), list(run)))
+                run = []
+            else:
+                run.append(t)
+    freq: dict = {}
+    deg: dict = {}
+    for _, words in occs:
+        for w in words:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(words)
+    wscore = {w: round(deg[w] / freq[w], 9) for w in freq}
+    per_phrase: dict = {}
+    for phrase, words in occs:
+        raw = sum(wscore[w] for w in words)
+        sc, n = per_phrase.get(phrase, (-1.0, 0))
+        per_phrase[phrase] = (max(sc, raw), n + 1)
+    exp = sorted(
+        ((p, round(sc, 6), n) for p, (sc, n) in per_phrase.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:topk]
+    assert [(g[0], g[2]) for g in got] == [(e[0], e[2]) for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], abs=2e-6)
