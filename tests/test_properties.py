@@ -7104,3 +7104,323 @@ def test_rake_keywords_matches_python(spark, docs, topk):
     assert [(g[0], g[2]) for g in got] == [(e[0], e[2]) for e in exp]
     for g, e in zip(got, exp):
         assert g[1] == pytest.approx(e[1], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# skew helpers / embedding hygiene vs python replicas
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-9, max_value=9),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    salt_count=st.sampled_from([1, 4]),
+)
+def test_salted_agg_equals_plain_agg(spark, rows, salt_count):
+    from valentinus_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    got = {
+        r.k: (r.v_sum, r.w_max)
+        for r in salted_agg(
+            df, ["k"], {"v": "sum", "w": "max"}, salt_count
+        ).collect()
+    }
+    # w_count via a second call (aggs is col->agg, one per col)
+    got_c = {
+        r.k: r.w_count
+        for r in salted_agg(df, ["k"], {"w": "count"}, salt_count).collect()
+    }
+    exp = {}
+    for k in {k for k, _, _ in rows}:
+        vs = [(v, w) for kk, v, w in rows if kk == k]
+        exp[k] = (
+            sum(v for v, _ in vs),
+            max(w for _, w in vs),
+            len(vs),
+        )
+    assert set(got) == set(exp)
+    for k, (s, m, c) in exp.items():
+        assert got[k] == (s, m)
+        assert got_c[k] == c
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fact=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    dim=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    how=st.sampled_from(["inner", "left"]),
+    salt_count=st.sampled_from([1, 4]),
+)
+def test_salted_join_equals_plain_join(spark, fact, dim, how, salt_count):
+    from collections import Counter
+
+    from valentinus_spark.operators.skew import salted_join
+
+    fdf = spark.createDataFrame(fact, "k int, x int")
+    ddf = spark.createDataFrame(dim, "k int, y int")
+    got = Counter(
+        (r.k, r.x, r.y)
+        for r in salted_join(fdf, ddf, "k", salt_count, how).collect()
+    )
+    exp = Counter()
+    dmap: dict = {}
+    for k, y in dim:
+        dmap.setdefault(k, []).append(y)
+    for k, x in fact:
+        matches = dmap.get(k, [])
+        if matches:
+            for y in matches:
+                exp[(k, x, y)] += 1
+        elif how == "left":
+            exp[(k, x, None)] += 1
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    n_ids=st.sampled_from([10, 7]),
+    stride=st.sampled_from([None, 1, 3]),
+)
+def test_contrastive_triplets_match_python(spark, pairs, n_ids, stride):
+    from valentinus_spark.operators import contrastive_triplets
+
+    pairs = [(a % n_ids, b % n_ids) for a, b in pairs]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = [
+        (r.anchor, r.positive, r.negative)
+        for r in contrastive_triplets(df, n_ids, stride=stride).collect()
+    ]
+    s = stride if stride is not None else n_ids // 2 + 1
+    exp = []
+    for a, b in pairs:
+        neg = (a + s) % n_ids
+        if neg == b:
+            neg = (neg + 1) % n_ids
+        if neg == a:
+            neg = (neg + 1) % n_ids
+        if neg == b:
+            neg = (neg + 1) % n_ids
+        exp.append((a, b, neg))
+    assert sorted(got) == sorted(exp)
+    for a, b, n in got:
+        assert n != a and n != b
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    pos_pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        max_size=4,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_hard_negatives_match_python(spark, corpus, pos_pairs, k):
+    from valentinus_spark.operators import hard_negatives
+
+    n = len(corpus)
+    vecs = {i: [float(a), float(b), 1.0] for i, (a, b) in enumerate(corpus)}
+    cdf = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    anchors = spark.createDataFrame([(0,)], "anchor_id long")
+    pos = [(a % n, b % n) for a, b in pos_pairs]
+    pdf = spark.createDataFrame(pos or [(0, 0)], "id_a long, id_b long")
+    got = [
+        (r.negative_id, r.similarity, r.rank)
+        for r in hard_negatives(
+            cdf, anchors, pdf, k=k, sim_decimals=4
+        ).collect()
+    ]
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return d / (nu * nv) if nu > 0 and nv > 0 else 0.0
+
+    excl = {0}
+    for a, b in pos:
+        if a == 0:
+            excl.add(b)
+        if b == 0:
+            excl.add(a)
+    scored = sorted(
+        (
+            (-round(cos(vecs[i], vecs[0]), 4), i)
+            for i in vecs
+            if i not in excl
+        ),
+    )[:k]
+    exp = [(i, -s, rank) for rank, (s, i) in enumerate(scored, start=1)]
+    assert [(g[0], g[2]) for g in got] == [(e[0], e[2]) for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], abs=2e-4)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 4]),
+)
+def test_kcenter_coreset_matches_python_greedy(spark, pts, k):
+    from valentinus_spark.operators import kcenter_coreset
+
+    vecs = {i: [float(a), float(b)] for i, (a, b) in enumerate(pts)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r.rank, r.vec_id, r.min_dist)
+        for r in sorted(kcenter_coreset(df, k).collect(), key=lambda r: r.rank)
+    ]
+
+    def l2(u, v):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(u, v)))
+
+    sel = [(1, 0, 0.0)]
+    dist = {i: float("inf") for i in vecs if i != 0}
+    cur = 0
+    for rank in range(2, k + 1):
+        if not dist:
+            break
+        for i in dist:
+            dist[i] = min(dist[i], l2(vecs[i], vecs[cur]))
+        best = min(dist, key=lambda i: (-dist[i], i))
+        sel.append((rank, best, dist[best]))
+        cur = best
+        del dist[best]
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in sel]
+    for g, e in zip(got, sel):
+        assert g[2] == pytest.approx(e[2], abs=1e-9)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=-4, max_value=4),
+            st.integers(min_value=-4, max_value=4),
+            st.integers(min_value=-4, max_value=4),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_embedding_mean_and_abtt_match_python(spark, vecs):
+    from valentinus_spark.operators import embedding_mean, remove_top_components
+
+    rows = [(i, [float(a), float(b), float(c)]) for i, (a, b, c) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mu = embedding_mean(df)
+    n = len(rows)
+    exp_mu = [sum(v[d] for _, v in rows) / n for d in range(3)]
+    for a, b in zip(mu, exp_mu):
+        assert a == pytest.approx(b, abs=1e-9)
+    comp = [1.0, 0.0, 0.0]
+    out = {
+        r.vec_id: list(r.embedding)
+        for r in remove_top_components(
+            df, [comp], mean=mu, renormalize=False
+        ).collect()
+    }
+    for i, v in rows:
+        centered = [x - m for x, m in zip(v, mu)]
+        proj = sum(x * c for x, c in zip(centered, comp))
+        exp = [x - proj * c for x, c in zip(centered, comp)]
+        for a, b in zip(out[i], exp):
+            assert a == pytest.approx(b, abs=1e-9)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(
+        st.tuples(st.integers(min_value=-4, max_value=4), st.integers(min_value=1, max_value=4)),
+        min_size=1,
+        max_size=8,
+    ),
+    b=st.lists(
+        st.tuples(st.integers(min_value=-4, max_value=4), st.integers(min_value=1, max_value=4)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_embedding_drift_matches_python(spark, a, b):
+    from valentinus_spark.operators import embedding_drift
+
+    da = spark.createDataFrame(
+        [([float(x), float(y)],) for x, y in a], "embedding array<double>"
+    )
+    db = spark.createDataFrame(
+        [([float(x), float(y)],) for x, y in b], "embedding array<double>"
+    )
+    r = embedding_drift(da, db).collect()[0]
+    na, nb = len(a), len(b)
+    ma = [sum(v[d] for v in a) / na for d in range(2)]
+    mb = [sum(v[d] for v in b) / nb for d in range(2)]
+    va = [sum(v[d] ** 2 for v in a) / na - ma[d] ** 2 for d in range(2)]
+    vb = [sum(v[d] ** 2 for v in b) / nb - mb[d] ** 2 for d in range(2)]
+    assert (r.n_a, r.n_b) == (na, nb)
+    dot_m = sum(x * y for x, y in zip(ma, mb))
+    norm_a = math.sqrt(sum(x * x for x in ma))
+    norm_b = math.sqrt(sum(x * x for x in mb))
+    if norm_a > 0 and norm_b > 0:
+        assert r.mean_cosine == pytest.approx(dot_m / (norm_a * norm_b), abs=1e-9)
+    assert r.mean_l2_gap == pytest.approx(
+        math.sqrt(sum((x - y) ** 2 for x, y in zip(ma, mb))), abs=1e-9
+    )
+    ratios = [vb[d] / va[d] for d in range(2) if va[d] > 0]
+    if ratios:
+        assert r.var_ratio_mean == pytest.approx(
+            sum(ratios) / len(ratios), abs=1e-9
+        )
+    else:
+        assert r.var_ratio_mean is None
