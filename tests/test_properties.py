@@ -7424,3 +7424,286 @@ def test_embedding_drift_matches_python(spark, a, b):
         )
     else:
         assert r.var_ratio_mean is None
+
+
+# ---------------------------------------------------------------------------
+# dedup extras / n-gram language models vs python replicas
+# ---------------------------------------------------------------------------
+
+
+def _shingles_py(toks, n):
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(st.sampled_from(ts_pool[:5]), min_size=1, max_size=8).map(
+                " ".join
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    unit=st.sampled_from(["digest", "span"]),
+)
+def test_source_overlap_matches_python(spark, docs, unit):
+    from valentinus_spark.operators import source_overlap
+
+    df = spark.createDataFrame(docs, ["source", "text"])
+    got = {
+        (r.group_a, r.group_b): r.shared
+        for r in source_overlap(df, unit=unit, n=3).collect()
+    }
+    units: dict = {}
+    for g, t in docs:
+        if unit == "digest":
+            us = {_norm_py(t)}
+        else:
+            us = _shingles_py(_toks_py(t), 3)
+        units.setdefault(g, set()).update(us)
+    groups = sorted(units)
+    exp = {}
+    for i, a in enumerate(groups):
+        for b in groups[i + 1 :]:
+            shared = len(units[a] & units[b])
+            if shared:
+                exp[(a, b)] = shared
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    old=st.dictionaries(
+        st.integers(min_value=0, max_value=8),
+        st.sampled_from(["aa", "bb", "cc"]),
+        max_size=8,
+    ),
+    new=st.dictionaries(
+        st.integers(min_value=0, max_value=8),
+        st.sampled_from(["aa", "bb", "cc"]),
+        max_size=8,
+    ),
+)
+def test_corpus_diff_matches_python(spark, old, new):
+    from valentinus_spark.operators import corpus_diff
+
+    odf = spark.createDataFrame(
+        list(old.items()) or [(None, None)], "doc_id long, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    ndf = spark.createDataFrame(
+        list(new.items()) or [(None, None)], "doc_id long, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {r.doc_id: r.status for r in corpus_diff(odf, ndf).collect()}
+    exp = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            exp[i] = "added"
+        elif i not in new:
+            exp[i] = "removed"
+        elif _norm_py(old[i]) == _norm_py(new[i]):
+            exp[i] = "unchanged"
+        else:
+            exp[i] = "modified"
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # cluster
+            st.integers(min_value=0, max_value=5),  # quality
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cluster_canonical_matches_python(spark, rows):
+    from valentinus_spark.operators import cluster_canonical
+
+    data = [(i, c, q) for i, (c, q) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "cluster_id", "quality"])
+    got = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in cluster_canonical(
+            df, [F.col("quality").desc(), F.col("doc_id")]
+        ).collect()
+    }
+    for c in {c for _, c, _ in data}:
+        members = sorted(
+            ((i, q) for i, cc, q in data if cc == c),
+            key=lambda t: (-t[1], t[0]),
+        )
+        canon = members[0][0]
+        for i, _ in members:
+            assert got[i] == (canon, i == canon)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:5]), min_size=1, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_ngram_novelty_matches_python(spark, docs):
+    from collections import Counter
+
+    from valentinus_spark.operators import ngram_novelty
+
+    n = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.novel_grams, r.novelty)
+        for r in ngram_novelty(df, n=n).collect()
+    }
+    per_doc = {i: _shingles_py(_toks_py(d), n) for i, d in enumerate(docs)}
+    dfreq = Counter()
+    for gs in per_doc.values():
+        dfreq.update(gs)
+    assert set(got) == set(per_doc)
+    for i, gs in per_doc.items():
+        novel = sum(1 for g in gs if dfreq[g] == 1)
+        assert got[i][0] == len(gs)
+        assert got[i][1] == novel
+        assert got[i][2] == pytest.approx(novel / len(gs), abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:5]), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    top_v=st.sampled_from([None, 2]),
+)
+def test_unigram_logprob_matches_python(spark, docs, top_v):
+    from collections import Counter
+
+    from valentinus_spark.operators import unigram_logprob
+
+    oov = -20.0
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.unigram_ce)
+        for r in unigram_logprob(df, top_v=top_v, oov_logprob=oov).collect()
+    }
+    nonempty = {i: _toks_py(d) for i, d in enumerate(docs) if _toks_py(d)}
+    assert set(got) == set(nonempty)
+    corpus = Counter()
+    for toks in nonempty.values():
+        corpus.update(toks)
+    if top_v is not None:
+        kept = dict(
+            sorted(corpus.items(), key=lambda t: (-t[1], t[0]))[:top_v]
+        )
+    else:
+        kept = dict(corpus)
+    total = sum(kept.values())
+    lp = {w: math.log2(c / total) for w, c in kept.items()}
+    for i, toks in nonempty.items():
+        scores = [lp.get(t, oov) for t in toks]
+        ce = round(-sum(scores) / len(scores), 4)
+        assert got[i][0] == len(toks)
+        assert got[i][1] == pytest.approx(ce, abs=2e-4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_logprob_matches_python(spark, docs):
+    from collections import Counter
+
+    from valentinus_spark.operators import bigram_logprob
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.bigram_ce)
+        for r in bigram_logprob(df).collect()
+    }
+    kept = {i: _toks_py(d) for i, d in enumerate(docs) if len(_toks_py(d)) >= 2}
+    assert set(got) == set(kept)
+    c2 = Counter()
+    c1 = Counter()
+    for toks in kept.values():
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    for i, toks in kept.items():
+        lps = [
+            math.log2(c2[(a, b)] / c1[a]) for a, b in zip(toks, toks[1:])
+        ]
+        ce = round(-sum(lps) / len(lps), 4)
+        assert got[i][0] == len(toks) - 1
+        assert got[i][1] == pytest.approx(ce, abs=2e-4)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_trigram_logprob_matches_python(spark, docs):
+    from collections import Counter
+
+    from valentinus_spark.operators import trigram_logprob
+
+    l3, l2, l1 = 0.6, 0.3, 0.1
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_trigrams, r.trigram_ce)
+        for r in trigram_logprob(df).collect()
+    }
+    kept = {i: _toks_py(d) for i, d in enumerate(docs) if len(_toks_py(d)) >= 3}
+    assert set(got) == set(kept)
+    c3 = Counter()
+    cctx = Counter()
+    cb = Counter()
+    cw = Counter()
+    c1 = Counter()
+    ntot = 0
+    for toks in kept.values():
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            c3[(a, b, c)] += 1
+            cctx[(a, b)] += 1
+        for a, b in zip(toks, toks[1:]):
+            cb[(a, b)] += 1
+            cw[a] += 1
+        for t in toks:
+            c1[t] += 1
+            ntot += 1
+    for i, toks in kept.items():
+        lps = []
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            p = (
+                l3 * c3[(a, b, c)] / cctx[(a, b)]
+                + l2 * cb[(b, c)] / cw[b]
+                + l1 * c1[c] / ntot
+            )
+            lps.append(math.log2(p))
+        ce = round(-sum(lps) / len(lps), 4)
+        assert got[i][0] == len(toks) - 2
+        assert got[i][1] == pytest.approx(ce, abs=2e-4)
