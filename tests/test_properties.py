@@ -7707,3 +7707,211 @@ def test_trigram_logprob_matches_python(spark, docs):
         ce = round(-sum(lps) / len(lps), 4)
         assert got[i][0] == len(toks) - 2
         assert got[i][1] == pytest.approx(ce, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition gates / quality scoring / cohort LTV vs python replicas
+# ---------------------------------------------------------------------------
+
+
+def _rep_stats_py(text):
+    from collections import Counter
+
+    toks = _toks_py(text)
+    n = len(toks)
+    out = {"n_tokens": n}
+    if n == 0:
+        out.update(
+            distinct_token_ratio=0.0,
+            top_token_frac=0.0,
+            top_2gram_frac=0.0,
+            top_3gram_frac=0.0,
+            dup_5gram_frac=0.0,
+        )
+        return out
+    out["distinct_token_ratio"] = len(set(toks)) / n
+    out["top_token_frac"] = max(Counter(toks).values()) / n
+    for gn in (2, 3):
+        grams = (
+            [" ".join(toks)]
+            if n <= gn
+            else [" ".join(toks[i : i + gn]) for i in range(n - gn + 1)]
+        )
+        out[f"top_{gn}gram_frac"] = max(Counter(grams).values()) / len(grams)
+    gd = (
+        [" ".join(toks)]
+        if n <= 5
+        else [" ".join(toks[i : i + 5]) for i in range(n - 4)]
+    )
+    cnt = Counter(gd)
+    out["dup_5gram_frac"] = sum(c for c in cnt.values() if c > 1) / len(gd)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_stats_match_python(spark, docs):
+    from valentinus_spark.operators import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i, d in enumerate(docs):
+        exp = _rep_stats_py(d)
+        r = got[i]
+        assert r.n_tokens == exp["n_tokens"]
+        for key in (
+            "distinct_token_ratio",
+            "top_token_frac",
+            "top_2gram_frac",
+            "top_3gram_frac",
+            "dup_5gram_frac",
+        ):
+            assert getattr(r, key) == pytest.approx(exp[key], abs=1e-9), key
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quality_filter_consistent_with_stats_replica(spark, docs):
+    from valentinus_spark.operators import quality_filter
+    from valentinus_spark.operators.quality import DEFAULT_QUALITY_GATES
+
+    gates = dict(DEFAULT_QUALITY_GATES)
+    gates["n_tokens"] = (2, 100_000)  # small docs in play
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r.doc_id for r in quality_filter(df, gates=gates).collect()}
+    exp = set()
+    for i, d in enumerate(docs):
+        s = _rep_stats_py(d)
+        ok = True
+        for stat, (lo, hi) in gates.items():
+            v = s[stat]
+            if lo is not None and v < lo - 1e-9:
+                ok = False
+            if hi is not None and v > hi + 1e-9:
+                ok = False
+        if ok:
+            exp.add(i)
+    # gates sit on exact rational stats; 1e-9 slack only guards ==
+    boundary = {
+        i
+        for i, d in enumerate(docs)
+        if any(
+            (lo is not None and abs(_rep_stats_py(d)[st_] - lo) < 1e-9)
+            or (hi is not None and abs(_rep_stats_py(d)[st_] - hi) < 1e-9)
+            for st_, (lo, hi) in gates.items()
+        )
+    }
+    assert got - boundary == exp - boundary
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["the", "cat", "sat", "on", "a", "7.", "x;y"]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_linear_quality_score_matches_python(spark, docs):
+    from valentinus_spark.functions.text import ENGLISH_STOPWORDS
+    from valentinus_spark.operators import linear_quality_score
+    from valentinus_spark.operators.quality import (
+        DEFAULT_SCORE_BIAS,
+        DEFAULT_SCORE_WEIGHTS,
+    )
+
+    stop = set(ENGLISH_STOPWORDS)
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.quality_score, r.kept)
+        for r in linear_quality_score(df).collect()
+    }
+    for i, d in enumerate(docs):
+        t = d.strip()
+        toks = t.split() if t else []
+        n_chars = len(d)
+        n_words = len(toks)
+        n_punct = len(_re.findall(r"[\.,;:!\?'\"]", d))
+        n_digit = len(_re.findall(r"[0-9]", d))
+        n_stop = sum(1 for w in toks if w in stop)
+        feats = {
+            "avg_word_len": n_chars / n_words if n_words else 0.0,
+            "punct_ratio": n_punct / n_chars if n_chars else 0.0,
+            "digit_ratio": n_digit / n_chars if n_chars else 0.0,
+            "stopword_ratio": n_stop / n_words if n_words else 0.0,
+            "log_words": math.log1p(n_words),
+        }
+        z = DEFAULT_SCORE_BIAS + sum(
+            w * feats[k] for k, w in DEFAULT_SCORE_WEIGHTS.items()
+        )
+        score = 1.0 / (1.0 + math.exp(-z))
+        assert got[i][0] == pytest.approx(score, abs=1e-9)
+        assert got[i][1] == (got[i][0] >= 0.5)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3"]),
+            st.integers(min_value=0, max_value=6),  # day
+            st.integers(min_value=0, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    max_offset=st.sampled_from([3, 6]),
+)
+def test_cohort_ltv_matches_python(spark, events, max_offset):
+    from valentinus_spark.operators import cohort_ltv
+
+    day_us = 86_400_000_000
+    rows = [(u, d * day_us + 5, float(v)) for u, d, v in events]
+    df = spark.createDataFrame(rows, "user_id string, ts_us long, value double")
+    got = {
+        (r.cohort_day, r.day_offset): (r.cohort_size, r.cum_value, r.ltv_per_user)
+        for r in cohort_ltv(df, max_offset=max_offset).collect()
+    }
+    first = {}
+    for u, d, _ in events:
+        first[u] = min(first.get(u, d), d)
+    sizes: dict = {}
+    for u, c in first.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    daily: dict = {}
+    for u, d, v in events:
+        off = d - first[u]
+        if off <= max_offset:
+            key = (first[u], off)
+            daily[key] = daily.get(key, 0.0) + v
+    exp = {}
+    for c, size in sizes.items():
+        cum = 0.0
+        for off in range(max_offset + 1):
+            cum += daily.get((c, off), 0.0)
+            exp[(c, off)] = (size, round(cum, 2), round(cum / size, 6))
+    assert set(got) == set(exp)
+    for k, (size, cum, ltv) in exp.items():
+        assert got[k][0] == size
+        assert got[k][1] == pytest.approx(cum, abs=1e-6)
+        assert got[k][2] == pytest.approx(ltv, abs=2e-6)
