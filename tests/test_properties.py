@@ -7915,3 +7915,294 @@ def test_cohort_ltv_matches_python(spark, events, max_offset):
         assert got[k][0] == size
         assert got[k][1] == pytest.approx(cum, abs=1e-6)
         assert got[k][2] == pytest.approx(ltv, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# stylometry / span dedup / misc determinism vs python replicas
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    units=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=20, unique=True),
+    n_arms=st.sampled_from([2, 5]),
+)
+def test_ab_assign_matches_hash_replay(spark, units, n_arms):
+    from valentinus_spark.operators import ab_assign
+
+    salt = "ab-v1"
+    df = spark.createDataFrame([(u,) for u in units], "unit long")
+    got = {
+        r.unit: r.arm
+        for r in df.select(
+            "unit", ab_assign(F.col("unit"), n_arms, salt).alias("arm")
+        ).collect()
+    }
+    for u in units:
+        h = int(hashlib.sha256(f"{salt}:{u}".encode()).hexdigest()[:8], 16)
+        assert got[u] == h % n_arms
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_agreement_matrix_matches_python(spark, rows):
+    from collections import Counter
+
+    from valentinus_spark.operators import agreement_matrix
+
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {
+        (r.label_a, r.label_b): (r.n, r.frac)
+        for r in agreement_matrix(df, "a", "b").collect()
+    }
+    kept = [(a, b) for a, b in rows if a is not None and b is not None]
+    cnt = Counter(kept)
+    assert set(got) == set(cnt)
+    tot = len(kept)
+    for k, n in cnt.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(n / tot, abs=2e-6)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(st.sampled_from(ts_pool[:5]), min_size=1, max_size=10).map(
+                " ".join
+            ),
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    top_n=st.sampled_from([3, 50]),
+)
+def test_burrows_delta_matches_python(spark, docs, top_n):
+    from collections import Counter
+
+    from valentinus_spark.operators import burrows_delta
+
+    df = spark.createDataFrame(docs, ["source", "text"])
+    got = {
+        (r.group_a, r.group_b): r.delta
+        for r in burrows_delta(df, "source", top_n=top_n).collect()
+    }
+    freq: dict = {}
+    for g, t in docs:
+        for tok in _toks_py(t):
+            freq[(g, tok)] = freq.get((g, tok), 0) + 1
+    glob = Counter()
+    for (g, tok), c in freq.items():
+        glob[tok] += c
+    top = [t for t, _ in sorted(glob.items(), key=lambda x: (-x[1], x[0]))[:top_n]]
+    groups = sorted({g for g, _ in docs})
+    gtot = {g: sum(c for (gg, _), c in freq.items() if gg == g) for g in groups}
+    rel = {
+        (g, t): round(freq.get((g, t), 0) / gtot[g], 9)
+        for g in groups
+        for t in top
+    }
+    z = {}
+    for t in top:
+        vals = [rel[(g, t)] for g in groups]
+        gc = len(vals)
+        mean = sum(vals) / gc
+        var = sum(v * v for v in vals) / gc - mean * mean
+        for g in groups:
+            z[(g, t)] = (
+                round((rel[(g, t)] - mean) / math.sqrt(var), 6) if var > 0 else 0.0
+            )
+    exp = {}
+    for i, a in enumerate(groups):
+        for b in groups[i + 1 :]:
+            d = sum(abs(z[(a, t)] - z[(b, t)]) for t in top) / len(top)
+            exp[(a, b)] = round(d, 6)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=2e-5)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    qs=st.sampled_from([[0.5], [0.1, 0.5, 0.9]]),
+    k=st.sampled_from([4, 1024]),
+)
+def test_hash_sample_quantiles_match_python(spark, rows, qs, k):
+    from valentinus_spark.operators.profile import hash_sample_quantiles
+
+    salt = "hsq-v1"
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {
+        r.q: r.quantile_value
+        for r in hash_sample_quantiles(df, "v", "id", qs, k=k, salt=salt).collect()
+    }
+    sample_ids = sorted(
+        (i for i, _ in rows),
+        key=lambda i: (
+            int(hashlib.sha256(f"{salt}{i}".encode()).hexdigest()[:8], 16),
+            i,
+        ),
+    )[:k]
+    vals = {i: v for i, v in rows}
+    s = sorted(((vals[i], i) for i in sample_ids))
+    n = len(s)
+    for q in qs:
+        exp = s[math.floor(q * (n - 1))][0]
+        assert got[q] == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    band=st.sampled_from([(0.05, 0.95), (0.25, 0.75)]),
+)
+def test_relative_outlier_filter_matches_python(spark, rows, band):
+    from valentinus_spark.operators import relative_outlier_filter
+
+    lo, hi = band
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["lang", "n_chars", "id"])
+    got = {r.id for r in relative_outlier_filter(df, "lang", "n_chars", lo, hi).collect()}
+    exp = set()
+    for g in {g for g, _ in rows}:
+        vals = sorted(v for gg, v in rows if gg == g)
+        n = len(vals)
+        for i, (gg, v) in enumerate(rows):
+            if gg != g:
+                continue
+            pr = 0.0 if n == 1 else vals.index(v) / (n - 1)
+            if lo <= pr <= hi:
+                exp.add(i)
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_duplicated_span_stats_match_python(spark, docs):
+    from valentinus_spark.operators import duplicated_span_stats
+
+    n = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.shared_spans, r.shared_frac)
+        for r in duplicated_span_stats(df, n=n, max_df=None).collect()
+    }
+    per_doc = {
+        i: _shingles_py(_toks_py(d), n)
+        for i, d in enumerate(docs)
+        if _toks_py(d)
+    }
+    assert set(got) == set(per_doc)
+    dfreq: dict = {}
+    for gs in per_doc.values():
+        for g in gs:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    for i, gs in per_doc.items():
+        shared = sum(1 for g in gs if dfreq[g] > 1)
+        assert got[i][0] == len(gs)
+        assert got[i][1] == shared
+        assert got[i][2] == pytest.approx(shared / len(gs), abs=2e-4)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:3]), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_remove_duplicated_spans_matches_python(spark, docs):
+    from valentinus_spark.operators import remove_duplicated_spans
+
+    n = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_text)
+        for r in remove_duplicated_spans(df, n=n).collect()
+    }
+    toks = {i: _toks_py(d) for i, d in enumerate(docs)}
+    occs: dict = {}  # span tuple -> [(id, pos)]
+    for i, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            occs.setdefault(tuple(tk[p : p + n]), []).append((i, p))
+    covered: dict = {}
+    for span, where in occs.items():
+        if len(where) <= 1:
+            continue
+        keeper = min(where)
+        for i, p in where:
+            if (i, p) == keeper:
+                continue
+            covered.setdefault(i, set()).update(range(p, p + n))
+    assert set(got) == set(toks)
+    for i, tk in toks.items():
+        cov = covered.get(i, set())
+        kept = [w for p, w in enumerate(tk) if p not in cov]
+        assert got[i] == (len(tk), len(kept), " ".join(kept))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c.", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_compression_ratio_matches_python_zlib(spark, docs):
+    import zlib
+
+    from valentinus_spark.operators.quality import compression_ratio
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bytes, r.compression_ratio)
+        for r in compression_ratio(df).collect()
+    }
+    for i, d in enumerate(docs):
+        raw = d.encode()
+        exp_ratio = (
+            round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else None
+        )
+        assert got[i][0] == len(raw)
+        if exp_ratio is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == pytest.approx(exp_ratio, abs=1e-9)
