@@ -8206,3 +8206,273 @@ def test_compression_ratio_matches_python_zlib(spark, docs):
             assert got[i][1] is None
         else:
             assert got[i][1] == pytest.approx(exp_ratio, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# pair-generation joins (jaccard / simhash / containment / cosine / spatial)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:4]), min_size=1, max_size=10).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.7]),
+)
+def test_ngram_jaccard_pairs_match_bruteforce(spark, docs, threshold):
+    from valentinus_spark.operators import ngram_jaccard_pairs
+
+    n = 2
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, n=n, threshold=threshold, max_df=None
+        ).collect()
+    }
+    sets = {i: _shingles_py(_toks_py(d), n) for i, d in enumerate(docs)}
+    exp = {}
+    ids = sorted(sets)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= threshold:
+                exp[(a, b)] = j
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:5]), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    max_hamming=st.sampled_from([3, 8]),
+)
+def test_simhash_pairs_sha_match_bruteforce(spark, docs, max_hamming):
+    from valentinus_spark.operators import simhash_pairs
+
+    bits = 60
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            df, max_hamming=max_hamming, hash_fn="sha256"
+        ).collect()
+    }
+
+    def sim(text):
+        votes = [0] * bits
+        for t in _toks_py(text):
+            h = _sha60_py(t)
+            for b in range(bits):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(bits):
+            if votes[b] > 0:
+                out |= 1 << b
+        return out
+
+    hs = {i: sim(d) for i, d in enumerate(docs)}
+    exp = {}
+    ids = sorted(hs)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= max_hamming:
+                exp[(a, b)] = d
+    assert got == exp
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    queries=st.lists(
+        st.lists(st.sampled_from(ts_pool[:5]), min_size=1, max_size=5).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    corpus=st.lists(
+        st.lists(st.sampled_from(ts_pool[:5]), min_size=1, max_size=10).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.6, 1.0]),
+)
+def test_set_containment_join_matches_bruteforce(spark, queries, corpus, threshold):
+    from valentinus_spark.operators import set_containment_join
+
+    qdf = spark.createDataFrame(list(enumerate(queries)), "qid long, text string")
+    cdf = spark.createDataFrame(list(enumerate(corpus)), "cid long, text string")
+    got = {
+        (r.qid_q, r.cid_c): r.containment
+        for r in set_containment_join(
+            qdf, cdf, "qid", "text", "cid", "text", threshold=threshold
+        ).collect()
+    }
+    exp = {}
+    for qi, q in enumerate(queries):
+        qs = set(_toks_py(q))
+        if not qs:
+            continue
+        for ci, c in enumerate(corpus):
+            cs = set(_toks_py(c))
+            cont = len(qs & cs) / len(qs)
+            if cont >= threshold:
+                exp[(qi, ci)] = round(cont, 4)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=2e-4)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:5]), min_size=1, max_size=8).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=7,
+    )
+)
+def test_cosine_similarity_join_matches_bruteforce(spark, docs):
+    from collections import Counter
+
+    from valentinus_spark.operators.setsim import cosine_similarity_join
+
+    threshold = 0.3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_similarity_join(df, threshold=threshold).collect()
+    }
+    tfs = {i: Counter(_toks_py(d)) for i, d in enumerate(docs) if _toks_py(d)}
+    N = len(tfs)
+    dfreq = Counter()
+    for c in tfs.values():
+        dfreq.update(set(c))
+    unit = {}
+    for i, c in tfs.items():
+        w = {t: tf * math.log((N + 1.0) / (dfreq[t] + 1.0)) for t, tf in c.items()}
+        nrm = math.sqrt(sum(v * v for v in w.values()))
+        if nrm > 0:
+            unit[i] = {t: v / nrm for t, v in w.items()}
+    exp = {}
+    ids = sorted(unit)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            shared = set(unit[a]) & set(unit[b])
+            cos = sum(unit[a][t] * unit[b][t] for t in sorted(shared))
+            if round(cos, 6) >= threshold:
+                exp[(a, b)] = cos
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=2e-4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)),
+        min_size=1,
+        max_size=12,
+    ),
+    b=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)),
+        min_size=1,
+        max_size=12,
+    ),
+    radius=st.sampled_from([2.5, 5.0]),
+)
+def test_radius_join_matches_bruteforce(spark, a, b, radius):
+    from collections import Counter
+
+    from valentinus_spark.operators.range_join import radius_join
+
+    adf = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(a)], ["aid", "x", "y"]
+    )
+    bdf = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(b)], ["bid", "x", "y"]
+    )
+    got = Counter(
+        (r.aid, r.bid) for r in radius_join(adf, bdf, radius, ["aid"], ["bid"]).collect()
+    )
+    exp = Counter()
+    for i, (ax, ay) in enumerate(a):
+        for j, (bx, by) in enumerate(b):
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= radius**2:
+                exp[(i, j)] += 1
+    assert got == exp
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    queries=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    k=st.sampled_from([2, 4]),
+)
+def test_brute_force_knn_join_matches_python(spark, corpus, queries, k):
+    from valentinus_spark.operators.similarity import brute_force_knn_join
+
+    cdf = spark.createDataFrame(
+        [(i, [float(x), float(y), 1.0]) for i, (x, y) in enumerate(corpus)],
+        "id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x), float(y), 1.0]) for i, (x, y) in enumerate(queries)],
+        "qid long, qvec array<double>",
+    )
+    got: dict = {}
+    for r in brute_force_knn_join(cdf, qdf, k).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.id, r.similarity))
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return d / (nu * nv) if nu > 0 and nv > 0 else 0.0
+
+    for qi, (qx, qy) in enumerate(queries):
+        qv = [float(qx), float(qy), 1.0]
+        scored = sorted(
+            (
+                (-cos([float(x), float(y), 1.0], qv), i)
+                for i, (x, y) in enumerate(corpus)
+            ),
+        )[:k]
+        exp = [(rank, i, -s) for rank, (s, i) in enumerate(scored, start=1)]
+        rows = sorted(got[qi])
+        assert [(r[0], r[1]) for r in rows] == [(e[0], e[1]) for e in exp]
+        for r, e in zip(rows, exp):
+            assert r[2] == pytest.approx(e[2], abs=1e-9)
