@@ -8476,3 +8476,234 @@ def test_brute_force_knn_join_matches_python(spark, corpus, queries, k):
         assert [(r[0], r[1]) for r in rows] == [(e[0], e[1]) for e in exp]
         for r, e in zip(rows, exp):
             assert r[2] == pytest.approx(e[2], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# fightin' words / histogram quantiles / SCD2 time travel / incremental dedup
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.lists(st.sampled_from(ts_pool[:5]), min_size=1, max_size=8).map(
+                " ".join
+            ),
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    top_k=st.sampled_from([2, 5]),
+)
+def test_fightin_words_matches_python(spark, docs, top_k):
+    from hypothesis import assume
+
+    from valentinus_spark.operators.quality import fightin_words
+
+    # a single-distinct-token corpus degenerates the log-odds denominator
+    # to an exact 0 (ANSI divide-by-zero) - out of the operator's domain
+    assume(len({tok for _, t in docs for tok in _toks_py(t)}) >= 2)
+    alpha = 0.01
+    df = spark.createDataFrame(docs, ["source", "text"])
+    got: dict = {}
+    for r in fightin_words(df, top_k=top_k).collect():
+        got.setdefault(r.source, []).append((r.term, r["count"], r.z_score))
+    gc: dict = {}
+    for g, t in docs:
+        for tok in _toks_py(t):
+            gc[(g, tok)] = gc.get((g, tok), 0) + 1
+    cc: dict = {}
+    for (g, tok), c in gc.items():
+        cc[tok] = cc.get(tok, 0) + c
+    ct = sum(cc.values())
+    gt: dict = {}
+    for (g, tok), c in gc.items():
+        gt[g] = gt.get(g, 0) + c
+    exp: dict = {}
+    for (g, tok), c in gc.items():
+        aw = alpha * cc[tok]
+        a0 = alpha * ct
+        delta = math.log((c + aw) / (gt[g] + a0 - c - aw)) - math.log(
+            (cc[tok] - c + aw) / (ct - gt[g] + a0 - cc[tok] + c - aw)
+        )
+        var = 1.0 / (c + aw) + 1.0 / (cc[tok] - c + aw)
+        exp.setdefault(g, []).append((tok, c, round(delta / math.sqrt(var), 6)))
+    for g in exp:
+        exp[g].sort(key=lambda t: (-t[2], t[0]))
+        exp[g] = exp[g][:top_k]
+    assert set(got) == set(exp)
+    for g in exp:
+        rows = sorted(got[g], key=lambda t: (-t[2], t[0]))
+        assert [(r[0], r[1]) for r in rows] == [(e[0], e[1]) for e in exp[g]]
+        for r, e in zip(rows, exp[g]):
+            assert r[2] == pytest.approx(e[2], abs=2e-5)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+    qs=st.sampled_from([[0.5], [0.0, 0.25, 0.9, 1.0]]),
+)
+def test_histogram_quantiles_match_python(spark, vals, qs):
+    from valentinus_spark.operators import histogram_quantiles
+
+    n_bins = 4
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r.q: r.quantile_est for r in histogram_quantiles(df, "v", qs, n_bins).collect()}
+    mn, mx = float(min(vals)), float(max(vals))
+    width = (mx - mn) / n_bins
+    bins: dict = {}
+    for v in vals:
+        b = 0 if mx == mn else min(n_bins - 1, math.floor((v - mn) * n_bins / (mx - mn)))
+        bins[b] = bins.get(b, 0) + 1
+    present = sorted(bins)
+    total = len(vals)
+    exp = {}
+    for q in qs:
+        target = q * (total - 1)
+        below = 0
+        for b in present:
+            n = bins[b]
+            last = below + n == total
+            if (below <= target < below + n) or (q == 1.0 and last):
+                lo = round(mn + b * width, 6)
+                hi = round(mn + (b + 1) * width, 6)
+                frac = (target - below) / n
+                exp[q] = round(lo + (hi - lo) * frac, 6)
+                break
+            below += n
+    assert set(got) == set(exp)
+    for q in exp:
+        assert got[q] == pytest.approx(exp[q], abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key
+            st.integers(min_value=0, max_value=10),  # from day
+            st.one_of(st.none(), st.integers(min_value=0, max_value=12)),  # to day
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    at=st.integers(min_value=0, max_value=12),
+)
+def test_scd2_snapshot_at_matches_python(spark, rows, at):
+    from valentinus_spark.operators.scd import scd2_snapshot_at
+
+    base = _dt.date(2024, 1, 1)
+    data = [
+        (
+            i,
+            k,
+            base + _dt.timedelta(days=f),
+            None if t is None else base + _dt.timedelta(days=t),
+        )
+        for i, (k, f, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "row_id long, key long, effective_from date, effective_to date"
+    )
+    at_day = base + _dt.timedelta(days=at)
+    got = {r.row_id for r in scd2_snapshot_at(df, at_day).collect()}
+    exp = {
+        i
+        for i, _, f, t in data
+        if f <= at_day and (t is None or t > at_day)
+    }
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    incoming=st.lists(
+        st.lists(st.sampled_from(ts_pool[:3]), min_size=0, max_size=5).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    corpus=st.lists(
+        st.lists(st.sampled_from(ts_pool[:3]), min_size=0, max_size=5).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_incremental_dedup_matches_python(spark, incoming, corpus):
+    from valentinus_spark.operators import incremental_dedup
+
+    idf = spark.createDataFrame(
+        list(enumerate(incoming)), "doc_id long, text string"
+    )
+    cdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in incremental_dedup(idf, cdf).collect()}
+    seen = {_norm_py(t) for t in corpus}
+    winners: dict = {}
+    for i, t in enumerate(incoming):
+        d = _norm_py(t)
+        if d in seen:
+            continue
+        winners.setdefault(d, i)
+    assert got == set(winners.values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    incoming=st.lists(
+        st.lists(st.sampled_from(ts_pool[:3]), min_size=0, max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    corpus=st.lists(
+        st.lists(st.sampled_from(ts_pool[:3]), min_size=1, max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.5, 0.9]),
+)
+def test_incremental_neardup_matches_python(spark, incoming, corpus, threshold):
+    from valentinus_spark.operators import incremental_neardup
+
+    n = 3
+    idf = spark.createDataFrame(
+        list(enumerate(incoming)), "doc_id long, text string"
+    )
+    cdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id
+        for r in incremental_neardup(
+            idf, cdf, n=n, threshold=threshold, max_df=None
+        ).collect()
+    }
+    cor_sets = [
+        _shingles_py(_toks_py(t), n) for t in corpus if _toks_py(t)
+    ]
+    exp = set()
+    for i, t in enumerate(incoming):
+        toks = _toks_py(t)
+        if not toks:
+            exp.add(i)  # unshingleable rows are never matched
+            continue
+        s = _shingles_py(toks, n)
+        matched = any(
+            len(s & c) / (len(s) + len(c) - len(s & c)) >= threshold
+            for c in cor_sets
+            if len(s & c) > 0
+        )
+        if not matched:
+            exp.add(i)
+    assert got == exp
