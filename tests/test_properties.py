@@ -8707,3 +8707,157 @@ def test_incremental_neardup_matches_python(spark, incoming, corpus, threshold):
         if not matched:
             exp.add(i)
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# file-layout ops (manifests, pruning, compaction) vs on-disk truth
+# ---------------------------------------------------------------------------
+
+import shutil as _shutil
+import tempfile as _tempfile
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    band=st.tuples(
+        st.integers(min_value=0, max_value=50), st.integers(min_value=0, max_value=50)
+    ),
+)
+def test_minmax_manifest_and_pruned_read_lossless(spark, vals, band):
+    from collections import Counter
+
+    from valentinus_spark.operators.layout import (
+        file_minmax_manifest,
+        prune_files,
+        pruned_read,
+        file_stats,
+    )
+
+    lo, hi = min(band), max(band)
+    tmp = _tempfile.mkdtemp()
+    try:
+        path = f"{tmp}/t"
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "v"])
+        df.repartition(3).write.parquet(path)
+        # ground truth: which row landed in which file
+        back = spark.read.parquet(path).select(
+            F.input_file_name().alias("file"), "id", "v"
+        ).collect()
+        by_file: dict = {}
+        for r in back:
+            by_file.setdefault(r.file, []).append(r.v)
+        stats = {r.file: r.n_rows for r in file_stats(spark, path).collect()}
+        assert stats == {f: len(vs) for f, vs in by_file.items()}
+        man = file_minmax_manifest(spark, path, ["v"])
+        got_man = {r.file: (r.n_rows, r.min_v, r.max_v) for r in man.collect()}
+        assert got_man == {
+            f: (len(vs), min(vs), max(vs)) for f, vs in by_file.items()
+        }
+        kept = set(prune_files(man, "v", lo, hi))
+        # every file holding a qualifying row must survive the prune
+        for f, vs in by_file.items():
+            if any(lo <= v <= hi for v in vs):
+                assert f in kept
+        got_rows = Counter(
+            (r.id, r.v) for r in pruned_read(spark, path, man, "v", lo, hi).collect()
+        )
+        exp_rows = Counter(
+            (i, v) for i, v in enumerate(vals) if lo <= v <= hi
+        )
+        assert got_rows == exp_rows
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    probe=st.integers(min_value=0, max_value=40),
+)
+def test_bloom_manifest_and_pruned_read_lossless(spark, vals, probe):
+    from collections import Counter
+
+    from valentinus_spark.operators.layout import (
+        bloom_prune_files,
+        bloom_pruned_read,
+        file_bloom_manifest,
+    )
+
+    k, m = 3, 64
+    tmp = _tempfile.mkdtemp()
+    try:
+        path = f"{tmp}/t"
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "v"])
+        df.repartition(3).write.parquet(path)
+        back = spark.read.parquet(path).select(
+            F.input_file_name().alias("file"), "v"
+        ).collect()
+        by_file: dict = {}
+        for r in back:
+            by_file.setdefault(r.file, set()).add(r.v)
+        man = file_bloom_manifest(spark, path, "v", k=k, m=m)
+        got_bits: dict = {}
+        for r in man.collect():
+            got_bits.setdefault(r.file, set()).add(r.bit)
+        exp_bits = {
+            f: {_cm_slice_py(v, j) % m for v in vs for j in range(k)}
+            for f, vs in by_file.items()
+        }
+        assert got_bits == exp_bits
+        kept = set(bloom_prune_files(spark, man, probe, k=k, m=m))
+        probe_bits = {_cm_slice_py(probe, j) % m for j in range(k)}
+        exp_kept = {
+            f for f, bits in exp_bits.items() if probe_bits <= bits
+        }
+        assert kept == exp_kept
+        for f, vs in by_file.items():
+            if probe in vs:
+                assert f in kept  # no false negatives
+        got_rows = Counter(
+            (r.id, r.v)
+            for r in bloom_pruned_read(spark, path, man, "v", probe, k=k, m=m).collect()
+        )
+        exp_rows = Counter((i, v) for i, v in enumerate(vals) if v == probe)
+        assert got_rows == exp_rows
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    target=st.sampled_from([2, 4]),
+    sorted_mode=st.booleans(),
+)
+def test_compact_small_files_preserves_rows(spark, vals, target, sorted_mode):
+    from collections import Counter
+
+    from valentinus_spark.operators.layout import compact_small_files, file_stats
+
+    tmp = _tempfile.mkdtemp()
+    try:
+        src, dst = f"{tmp}/src", f"{tmp}/dst"
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "v"])
+        df.repartition(7).write.parquet(src)
+        out = compact_small_files(
+            spark, src, dst, target, sort_cols=["v"] if sorted_mode else None
+        )
+        got = Counter((r.id, r.v) for r in out.collect())
+        assert got == Counter((i, v) for i, v in enumerate(vals))
+        n_files = file_stats(spark, dst).count()
+        assert 1 <= n_files <= target
+        if sorted_mode:
+            # clustering restored: per-file [min,max] v-ranges come from
+            # a range partitioning, so sorted file mins are non-overlapping
+            back = spark.read.parquet(dst).select(
+                F.input_file_name().alias("file"), "v"
+            ).collect()
+            by_file: dict = {}
+            for r in back:
+                by_file.setdefault(r.file, []).append(r.v)
+            ranges = sorted((min(vs), max(vs)) for vs in by_file.values())
+            for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+                assert hi1 <= lo2
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
