@@ -8861,3 +8861,173 @@ def test_compact_small_files_preserves_rows(spark, vals, target, sorted_mode):
                 assert hi1 <= lo2
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# contamination screens / BM25F vs python replicas
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_benchmark_contamination_matches_python(spark, corpus, bench):
+    from valentinus_spark.operators.contamination import benchmark_contamination
+
+    n = 3
+    cdf = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination)
+        for r in benchmark_contamination(cdf, bdf, n=n).collect()
+    }
+
+    def sh(text):
+        toks = _toks_py(text)
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_sh = set()
+    for t in bench:
+        bench_sh |= sh(t)
+    assert set(got) == set(range(len(corpus)))
+    for i, t in enumerate(corpus):
+        s = sh(t)
+        hits = len(s & bench_sh)
+        assert got[i][0] == len(s)
+        assert got[i][1] == hits
+        assert got[i][2] == pytest.approx(hits / len(s), abs=2e-4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    bench=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    threshold=st.sampled_from([0.8, 0.95]),
+)
+def test_semantic_contamination_matches_python(spark, corpus, bench, threshold):
+    from valentinus_spark.operators.contamination import semantic_contamination
+
+    cdf = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(corpus)],
+        "vec_id long, embedding array<double>",
+    )
+    bdf = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(bench)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.max_cosine, r.contaminated)
+        for r in semantic_contamination(cdf, bdf, threshold=threshold).collect()
+    }
+
+    def cos(u, v):
+        d = u[0] * v[0] + u[1] * v[1]
+        nu = math.sqrt(u[0] ** 2 + u[1] ** 2)
+        nv = math.sqrt(v[0] ** 2 + v[1] ** 2)
+        return d / (nu * nv) if nu * nv > 0 else 0.0
+
+    for i, cv in enumerate(corpus):
+        mx = round(max(cos(cv, bv) for bv in bench), 4)
+        assert got[i][0] == pytest.approx(mx, abs=2e-4)
+        assert got[i][1] == (got[i][0] >= threshold)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:5]), min_size=0, max_size=10).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=7,
+    ),
+    terms=st.sampled_from([["cat"], ["cat", "dog"]]),
+)
+def test_bm25f_topk_matches_python(spark, docs, terms):
+    from collections import Counter
+
+    from valentinus_spark.operators import bm25f_topk
+
+    title_chars, tw, k1, b = 10, 2.0, 1.2, 0.75
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25f_topk(
+            df, terms, k=10, title_chars=title_chars, title_weight=tw
+        ).collect()
+    ]
+    fields = {}
+    for i, d in enumerate(docs):
+        if not d.strip():
+            continue
+        fields[i] = (_toks_py(d[:title_chars]), _toks_py(d[title_chars:]))
+    n_docs = len(fields)
+    if n_docs == 0:
+        assert got == []
+        return
+    avgt = sum(len(t) for t, _ in fields.values()) / n_docs
+    avgb = sum(len(bd) for _, bd in fields.values()) / n_docs
+    tset = set(terms)
+    per_doc_tf = {
+        i: (
+            Counter(w for w in t if w in tset),
+            Counter(w for w in bd if w in tset),
+        )
+        for i, (t, bd) in fields.items()
+    }
+    dfreq = Counter()
+    for i, (ct, cb) in per_doc_tf.items():
+        for term in tset:
+            if ct.get(term, 0) > 0 or cb.get(term, 0) > 0:
+                dfreq[term] += 1
+    exp = []
+    for i, (ct, cb) in per_doc_tf.items():
+        if not (sum(ct.values()) + sum(cb.values())):
+            continue
+        score = 0.0
+        for term in sorted(tset):
+            tft, tfb = ct.get(term, 0), cb.get(term, 0)
+            if tft == 0 and tfb == 0:
+                continue
+            bt = (1 - b) + b * len(fields[i][0]) / avgt if avgt > 0 else 1.0
+            bb = (1 - b) + b * len(fields[i][1]) / avgb if avgb > 0 else 1.0
+            x = tw * tft / bt + tfb / bb
+            idf = math.log((n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
+            score += round(idf * x / (k1 + x), 9)
+        exp.append((i, round(score, 6)))
+    exp.sort(key=lambda t: (-t[1], t[0]))
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], abs=2e-5)

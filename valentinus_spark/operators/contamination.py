@@ -115,7 +115,10 @@ def semantic_contamination(
             F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
-    cos = dot / (nrm(F.col("_cv")) * nrm(F.col("_bv")))
+    # zero-norm guard (the functions/vector.py cosine convention): an
+    # all-zero embedding scores 0 instead of an ANSI divide-by-zero
+    denom = nrm(F.col("_cv")) * nrm(F.col("_bv"))
+    cos = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
     return (
         c.crossJoin(F.broadcast(b))
         .select("_cid", cos.alias("_cos"))
