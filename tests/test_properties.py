@@ -9031,3 +9031,153 @@ def test_bm25f_topk_matches_python(spark, docs, terms):
     assert [g[0] for g in got] == [e[0] for e in exp]
     for g, e in zip(got, exp):
         assert g[1] == pytest.approx(e[1], abs=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# TextTiling segmentation / margin-based bitext mining vs python replicas
+# ---------------------------------------------------------------------------
+
+
+def _r6_py(x: float) -> float:
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=15).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_texttiling_matches_python(spark, docs):
+    from collections import Counter
+
+    from valentinus_spark.operators.text_search import texttiling_boundaries
+
+    bt = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got: dict = {}
+    for r in texttiling_boundaries(df, block_tokens=bt).collect():
+        got[(r.doc_id, r.gap)] = (r.sim, r.depth, r.is_boundary)
+    exp: dict = {}
+    for i, d in enumerate(docs):
+        toks = _toks_py(d)
+        if not toks:
+            continue
+        blocks: dict = {}
+        for pos, t in enumerate(toks):
+            blocks.setdefault(pos // bt, Counter())[t] += 1
+        nb = len(blocks)
+        if nb < 2:
+            continue
+        sims = []
+        for g in range(nb - 1):
+            a, b = blocks[g], blocks[g + 1]
+            dot = sum(a[t] * b[t] for t in a if t in b)
+            na = math.sqrt(sum(c * c for c in a.values()))
+            nbn = math.sqrt(sum(c * c for c in b.values()))
+            sims.append(_r6_py(dot / (na * nbn)))
+        depths = []
+        for g, s in enumerate(sims):
+            prev = sims[g - 1] if g > 0 else s
+            nxt = sims[g + 1] if g + 1 < len(sims) else s
+            depths.append(_r6_py(max(0.0, prev - s) + max(0.0, nxt - s)))
+        gc = len(depths)
+        mean = sum(depths) / gc
+        var = sum(v * v for v in depths) / gc - mean * mean
+        cut = _r6_py(mean - (math.sqrt(var) if var > 0 else 0.0) / 2.0)
+        for g, (s, dpt) in enumerate(zip(sims, depths)):
+            exp[(i, g)] = (s, dpt, dpt > 0 and dpt > cut)
+    assert set(got) == set(exp)
+    for key, (s, dpt, bd) in exp.items():
+        assert got[key][0] == pytest.approx(s, abs=2e-6)
+        assert got[key][1] == pytest.approx(dpt, abs=2e-6)
+        assert got[key][2] == bd
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    src=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    tgt=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([1.0, 1.05]),
+)
+def test_margin_mine_matches_python(spark, src, tgt, threshold):
+    from valentinus_spark.operators.similarity import margin_mine
+
+    k = 2
+    sdf = spark.createDataFrame(
+        [(i, [float(a), float(b), 1.0]) for i, (a, b) in enumerate(src)],
+        "src_id long, embedding array<double>",
+    )
+    tdf = spark.createDataFrame(
+        [(i, [float(a), float(b), 1.0]) for i, (a, b) in enumerate(tgt)],
+        "tgt_id long, embedding array<double>",
+    )
+    got = {
+        (r.src_id, r.tgt_id): (r.cosine, r.margin)
+        for r in margin_mine(sdf, tdf, k=k, threshold=threshold).collect()
+    }
+
+    sv = {i: [float(a), float(b), 1.0] for i, (a, b) in enumerate(src)}
+    tv = {i: [float(a), float(b), 1.0] for i, (a, b) in enumerate(tgt)}
+
+    def cos4(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return round(d / (nu * nv), 4)
+
+    def knn(corpus, q):
+        return sorted(
+            ((-cos4(corpus[c], q), c) for c in corpus),
+        )[:k]
+
+    fwd = set()
+    ax = {}
+    for x, qv in sv.items():
+        nn = knn(tv, qv)
+        ax[x] = sum(-s for s, _ in nn) / (2.0 * k)
+        fwd |= {(x, y, -s) for s, y in nn}
+    bwd = set()
+    ay = {}
+    for y, qv in tv.items():
+        nn = knn(sv, qv)
+        ay[y] = sum(-s for s, _ in nn) / (2.0 * k)
+        bwd |= {(x, y, -s) for s, x in nn}
+    cands = fwd | bwd
+    margins = {
+        (x, y): (c, round(c / (ax[x] + ay[y]), 4)) for x, y, c in cands
+    }
+    best_x: dict = {}
+    best_y: dict = {}
+    for (x, y), (_, m) in margins.items():
+        if x not in best_x or (-m, y) < best_x[x][0]:
+            best_x[x] = ((-m, y), y)
+        if y not in best_y or (-m, x) < best_y[y][0]:
+            best_y[y] = ((-m, x), x)
+    exp = {
+        (x, y): (c, m)
+        for (x, y), (c, m) in margins.items()
+        if best_x[x][1] == y and best_y[y][1] == x and m > threshold
+    }
+    assert set(got) == set(exp)
+    for key, (c, m) in exp.items():
+        assert got[key][0] == pytest.approx(c, abs=2e-4)
+        assert got[key][1] == pytest.approx(m, abs=2e-4)
