@@ -9181,3 +9181,151 @@ def test_margin_mine_matches_python(spark, src, tgt, threshold):
     for key, (c, m) in exp.items():
         assert got[key][0] == pytest.approx(c, abs=2e-4)
         assert got[key][1] == pytest.approx(m, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# media fingerprints vs pure-python replicas and invariances
+# ---------------------------------------------------------------------------
+
+
+def _dhash_py(pix, h, w):
+    """Pure-python dhash replica over a row-major grayscale list."""
+    gw, gh = 9, 8
+    ys = [(i * h) // gh for i in range(gh + 1)]
+    xs = [(j * w) // gw for j in range(gw + 1)]
+    grid = []
+    for i in range(gh):
+        row = []
+        for j in range(gw):
+            y1 = max(ys[i + 1], ys[i] + 1)
+            x1 = max(xs[j + 1], xs[j] + 1)
+            cells = [
+                pix[y * w + x] for y in range(ys[i], y1) for x in range(xs[j], x1)
+            ]
+            row.append(sum(cells) / len(cells))
+        grid.append(row)
+    out = 0
+    for i in range(gh):
+        for j in range(8):
+            out = (out << 1) | int(grid[i][j + 1] > grid[i][j])
+    return out & 0x7FFFFFFFFFFFFFFF
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    dims=st.tuples(
+        st.integers(min_value=9, max_value=24), st.integers(min_value=9, max_value=24)
+    ),
+    data=st.data(),
+    shift=st.integers(min_value=1, max_value=30),
+)
+def test_dhash_bits_matches_python_and_brightness_invariant(dims, data, shift):
+    import numpy as np
+
+    from valentinus_spark.operators.media_dedup import dhash_bits
+
+    h, w = dims
+    pix = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=200),
+            min_size=h * w,
+            max_size=h * w,
+        )
+    )
+    arr = np.array(pix, dtype=np.uint8).reshape(h, w)
+    got = dhash_bits(arr)
+    assert got == _dhash_py([float(p) for p in pix], h, w)
+    # neighbor comparisons are shift-invariant while unclipped
+    assert dhash_bits((arr.astype(np.int64) + shift).clip(0, 255).astype(np.uint8)) == got if max(pix) + shift <= 255 else True
+    # RGB image with equal channels == grayscale (BT.601 weights sum to 1)
+    rgb = np.stack([arr, arr, arr], axis=2)
+    assert dhash_bits(rgb) == got
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    dims=st.tuples(
+        st.integers(min_value=32, max_value=40), st.integers(min_value=32, max_value=40)
+    ),
+    data=st.data(),
+    shift=st.integers(min_value=1, max_value=40),
+)
+def test_phash_bits_brightness_invariant_and_stable(dims, data, shift):
+    import numpy as np
+
+    from valentinus_spark.operators.media_dedup import phash_bits
+
+    h, w = dims
+    pix = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=180),
+            min_size=h * w,
+            max_size=h * w,
+        )
+    )
+    arr = np.array(pix, dtype=np.uint8).reshape(h, w)
+    got = phash_bits(arr)
+    assert 0 <= got < (1 << 63)
+    # DC-term drop => exact invariance under global brightness shifts
+    shifted = (arr.astype(np.int64) + shift).clip(0, 255).astype(np.uint8)
+    if int(arr.max()) + shift <= 255:
+        assert phash_bits(shifted) == got
+    # grayscale == equal-channel RGB
+    assert phash_bits(np.stack([arr, arr, arr], axis=2)) == got
+    # determinism
+    assert phash_bits(arr.copy()) == got
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    samples=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=400
+    ),
+    gain=st.sampled_from([2.0, 10.0]),
+    rate=st.sampled_from([8000, 44100]),
+)
+def test_audio_fingerprint_gain_invariant(samples, gain, rate):
+    import numpy as np
+
+    from valentinus_spark.operators.media_dedup import audio_fingerprint_bits
+
+    s = np.array(samples, dtype=np.float64)
+    got = audio_fingerprint_bits(s, rate)
+    assert 0 <= got < (1 << 63)
+    # energy COMPARISONS are invariant under any positive gain
+    assert audio_fingerprint_bits(s * gain, rate) == got
+    assert audio_fingerprint_bits(s.copy(), rate) == got
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    hashes=st.lists(
+        st.integers(min_value=0, max_value=(1 << 63) - 1),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    flips=st.lists(st.integers(min_value=0, max_value=62), max_size=4),
+    max_bits=st.sampled_from([3, 6]),
+)
+def test_dhash_near_pairs_match_bruteforce(spark, hashes, flips, max_bits):
+    from valentinus_spark.operators.media_dedup import dhash_near_pairs
+
+    # plant one near pair: flip a few bits of the first hash
+    planted = hashes[0]
+    for b in flips:
+        planted ^= 1 << b
+    planted &= 0x7FFFFFFFFFFFFFFF
+    all_h = list(enumerate(hashes + [planted]))
+    df = spark.createDataFrame(all_h, "media_id long, dhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_near_pairs(df, max_bits=max_bits).collect()
+    }
+    exp = {}
+    for x, (a, ha) in enumerate(all_h):
+        for b_, hb in all_h[x + 1 :]:
+            d = bin(ha ^ hb).count("1")
+            if d <= max_bits:
+                exp[(a, b_)] = d
+    assert got == exp
