@@ -9329,3 +9329,130 @@ def test_dhash_near_pairs_match_bruteforce(spark, hashes, flips, max_bits):
             if d <= max_bits:
                 exp[(a, b_)] = d
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# remaining helpers: two_sided_p, decayed_popularity_from_daily,
+# hll_rolling_from_registers (closing the operator surface)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    zs=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-6, max_value=6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_two_sided_p_matches_python(spark, zs):
+    from valentinus_spark.operators import two_sided_p
+
+    df = spark.createDataFrame(
+        [(i, z) for i, z in enumerate(zs)], "id long, z double"
+    )
+    got = {
+        r.id: r.p for r in df.select("id", two_sided_p(F.col("z")).alias("p")).collect()
+    }
+    for i, z in enumerate(zs):
+        if z is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(
+                min(1.0, 2.0 * _phi_upper_py(abs(z))), abs=2e-6
+            )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    daily=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    hl=st.sampled_from([2, 7]),
+)
+def test_decayed_popularity_from_daily_matches_python(spark, daily, hl):
+    from valentinus_spark.operators import decayed_popularity_from_daily
+
+    from decimal import Decimal
+
+    rows = [
+        (k, _dt.date(2024, 1, 1) + _dt.timedelta(days=d), n, Decimal(sv))
+        for k, d, n, sv in daily
+    ]
+    df = spark.createDataFrame(rows, "_k string, _d date, _n long, _sv decimal(28,2)")
+    got = [
+        (r.k, r.n_events, r.decayed_score)
+        for r in decayed_popularity_from_daily(df, "k", half_life_days=hl).collect()
+    ]
+    ref = max(d for _, d, _, _ in daily)
+    scores: dict = {}
+    counts: dict = {}
+    for k, d, n, sv in daily:
+        w = round(math.exp(-(math.log(2.0) / hl) * (ref - d)), 12)
+        scores[k] = scores.get(k, 0.0) + sv * w
+        counts[k] = counts.get(k, 0) + n
+    exp = sorted(
+        ((k, counts[k], round(s, 4)) for k, s in scores.items()),
+        key=lambda t: (-t[2], t[0]),
+    )
+    assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp]
+    for g, e in zip(got, exp):
+        assert g[2] == pytest.approx(e[2], abs=2e-4)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    window_days=st.sampled_from([2, 3]),
+)
+def test_hll_rolling_from_registers_matches_python(spark, events, window_days):
+    from valentinus_spark.operators import hll_rolling_from_registers
+    from valentinus_spark.operators.sketches import hll_registers
+
+    p = 4
+    rows = [
+        (_dt.date(2024, 1, 1) + _dt.timedelta(days=d), v) for d, v in events
+    ]
+    df = spark.createDataFrame(rows, "day date, v long")
+    regs = hll_registers(df, "v", ["day"], p=p)
+    got = {
+        r.day: (r.m_seen, r.est_distinct)
+        for r in hll_rolling_from_registers(regs, window_days, p).collect()
+    }
+    day_offsets = sorted({d for d, _ in events})
+    span = [day_offsets[0], day_offsets[-1]]
+    assert sorted(got) == [
+        _dt.date(2024, 1, 1) + _dt.timedelta(days=d)
+        for d in range(span[0], span[1] + 1)
+    ]
+    for d in range(span[0], span[1] + 1):
+        day = _dt.date(2024, 1, 1) + _dt.timedelta(days=d)
+        vals = [
+            v
+            for dd, v in events
+            if d - window_days + 1 <= dd <= d
+        ]
+        if not vals:
+            assert got[day] == (0, 0.0)
+            continue
+        rp = _hll_regs_py(vals, p)
+        assert got[day][0] == len(rp)
+        assert got[day][1] == pytest.approx(_hll_est_py(rp, p), abs=2e-4)
