@@ -1,0 +1,130 @@
+"""Empty-input crash screen: every operator here must survive a 0-row
+frame without an ANSI divide-by-zero or a NULL-typed aggregate crash —
+the degenerate-input class the property layer kept finding one operator
+at a time (zipf_profile, mann_whitney_u, check_expectations,
+fleiss_kappa, ks_test, wasserstein_1d …). This test pins the WHOLE
+class: a new operator that divides by an empty-aggregate count fails
+here before any fixture ever exercises it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import valentinus_spark.operators as O
+from valentinus_spark.operators import (
+    dedup,
+    evaluation,
+    experiment,
+    profile,
+    rollup,
+    sketches,
+    text_search,
+    validate,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    return {
+        "docs": spark.createDataFrame([], "doc_id long, text string"),
+        "ev": spark.createDataFrame(
+            [],
+            "ts timestamp, value double, user_id string, "
+            "event_type string, event_id long",
+        ),
+        "nums": spark.createDataFrame([], "id long, v double, g string"),
+        "vecs": spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        "scored": spark.createDataFrame([], "s double, y int, id long"),
+        "xy": spark.createDataFrame([], "x int, y int"),
+        "ab": spark.createDataFrame([], "arm int, y double, x double"),
+        "dd": spark.createDataFrame([], "arm int, period int, v double"),
+        "ranked": spark.createDataFrame([], "doc_id long, score double"),
+        "judged": spark.createDataFrame([], "q string, id long, s double, r int"),
+    }
+
+
+CASES = {
+    "lexical_diversity": lambda f: O.lexical_diversity(f["docs"], "doc_id"),
+    "zipf_profile": lambda f: profile.zipf_profile(f["docs"]),
+    "heaps_law": lambda f: O.heaps_law(f["docs"], "doc_id"),
+    "term_burstiness": lambda f: O.term_burstiness(f["docs"]),
+    "flesch_readability": lambda f: O.flesch_readability(f["docs"]),
+    "fog_smog": lambda f: O.fog_smog_readability(f["docs"]),
+    "mann_kendall": lambda f: O.mann_kendall_trend(f["ev"]),
+    "seasonal_mk": lambda f: O.seasonal_mann_kendall(f["ev"]),
+    "acf_profile": lambda f: O.acf_profile(f["ev"]),
+    "ljung_box": lambda f: rollup.ljung_box(f["ev"]),
+    "cusum": lambda f: O.cusum_changepoint(f["ev"]),
+    "ewma": lambda f: O.ewma_chart(f["ev"]),
+    "holt_linear": lambda f: O.holt_linear_forecast(f["ev"]),
+    "holt_winters": lambda f: O.holt_winters_forecast(f["ev"]),
+    "seasonal_decompose": lambda f: O.seasonal_decompose(f["ev"]),
+    "msprt": lambda f: experiment.msprt_test(f["ev"], "ts", "value", "value"),
+    "mann_whitney": lambda f: experiment.mann_whitney_u(
+        f["nums"], "g", "v", "a", "b"
+    ),
+    "kmv_distinct": lambda f: sketches.kmv_distinct(f["nums"], "v"),
+    "hll_distinct": lambda f: sketches.hll_distinct(f["nums"], "v"),
+    "ams_f2": lambda f: sketches.ams_f2_estimate(f["nums"], "v"),
+    "heavy_hitters": lambda f: sketches.heavy_hitters(f["nums"], "v"),
+    "gini": lambda f: O.gini_coefficient(f["nums"], "g", "v"),
+    "benford": lambda f: O.benford_profile(f["nums"], "v"),
+    "exact_quantiles": lambda f: O.exact_quantiles(f["nums"], "v", [0.5]),
+    "james_stein": lambda f: O.james_stein_means(f["nums"], "g", "v"),
+    "correlation_matrix": lambda f: O.correlation_matrix(f["xy"], ["x", "y"]),
+    "cuped": lambda f: experiment.cuped_adjust(f["ab"], "arm", "y", "x"),
+    "did": lambda f: experiment.did_estimate(f["dd"], "arm", "period", "v"),
+    "roc_auc": lambda f: O.roc_auc(f["scored"], "s", "y"),
+    "tail_index": lambda f: profile.tail_index(f["nums"], "g", "v"),
+    "decile_concentration": lambda f: profile.decile_concentration(
+        f["nums"], "g", "v"
+    ),
+    "rrf_fuse": lambda f: text_search.rrf_fuse([f["ranked"]]),
+    "bm25": lambda f: text_search.bm25_topk(f["docs"], ["cat"]),
+    "ql": lambda f: text_search.ql_topk(f["docs"], ["cat"]),
+    "bm25f": lambda f: text_search.bm25f_topk(f["docs"], ["cat"]),
+    "tfidf_keywords": lambda f: text_search.tfidf_keywords(f["docs"]),
+    "rake": lambda f: text_search.rake_keywords(f["docs"]),
+    "texttiling": lambda f: text_search.texttiling_boundaries(f["docs"]),
+    "exact_dedup": lambda f: dedup.exact_dedup(f["docs"], text_col="text"),
+    "ngram_jaccard_pairs": lambda f: dedup.ngram_jaccard_pairs(
+        f["docs"], max_df=None
+    ),
+    "simhash_pairs": lambda f: dedup.simhash_pairs(f["docs"]),
+    "source_overlap": lambda f: dedup.source_overlap(
+        f["docs"].withColumn("source", F.lit("a"))
+    ),
+    "ngram_novelty": lambda f: dedup.ngram_novelty(f["docs"]),
+    "duplicated_span_stats": lambda f: dedup.duplicated_span_stats(f["docs"]),
+    "remove_duplicated_spans": lambda f: dedup.remove_duplicated_spans(
+        f["docs"]
+    ),
+    "k_anonymity": lambda f: validate.k_anonymity_stats(f["nums"], ["g"], 2),
+    "l_diversity": lambda f: validate.l_diversity_stats(
+        f["nums"], ["g"], "v", 2
+    ),
+    "t_closeness": lambda f: validate.t_closeness_stats(f["nums"], ["g"], "v"),
+    "dp_group_counts": lambda f: validate.dp_group_counts(f["nums"], ["g"]),
+    "dp_median": lambda f: validate.dp_median(f["nums"], "v"),
+    "check_expectations": lambda f: validate.check_expectations(
+        f["nums"], [("v_pos", F.col("v") > 0)]
+    ),
+    "sequence_gaps": lambda f: validate.sequence_gaps(f["nums"], "id"),
+    "embedding_drift": lambda f: profile.embedding_drift(f["vecs"], f["vecs"]),
+    "cronbach_alpha": lambda f: evaluation.cronbach_alpha(
+        f["nums"], "id", "g", "v"
+    ),
+    "map_mrr": lambda f: evaluation.map_mrr(f["judged"], "q", "id", "s", "r"),
+    "gain_lift": lambda f: evaluation.gain_lift_chart(
+        f["scored"], "s", "y", "id"
+    ),
+    "brier_log_loss": lambda f: evaluation.brier_log_loss(
+        f["scored"].select("s", "y"), "s", "y"
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_operator_survives_empty_input(spark, frames, name):
+    # collect() must not raise; row CONTENT on empty input is covered by
+    # each operator's own property test
+    CASES[name](frames).collect()
