@@ -128,3 +128,70 @@ def test_operator_survives_empty_input(spark, frames, name):
     # collect() must not raise; row CONTENT on empty input is covered by
     # each operator's own property test
     CASES[name](frames).collect()
+
+
+# ---------------------------------------------------------------------------
+# single-row inputs: the (n-1) / (n^3-n) denominator class
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def one_row(spark):
+    import datetime as dt
+
+    return {
+        "docs": spark.createDataFrame([(1, "cat")], "doc_id long, text string"),
+        "ev": spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 1.0, "u", "click", 1)],
+            "ts timestamp, value double, user_id string, "
+            "event_type string, event_id long",
+        ),
+        "nums": spark.createDataFrame([(1, 2.0, "a")], "id long, v double, g string"),
+        "vecs": spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        ),
+        "scored": spark.createDataFrame([(0.5, 1, 1)], "s double, y int, id long"),
+        "xy": spark.createDataFrame([(1, 2)], "x int, y int"),
+    }
+
+
+ONE_ROW_CASES = {
+    "kruskal_wallis": lambda f: experiment.kruskal_wallis(f["nums"], "g", "v"),
+    "levene": lambda f: experiment.levene_test(f["nums"], "g", "v"),
+    "mann_whitney": lambda f: experiment.mann_whitney_u(
+        f["nums"], "g", "v", "a", "b"
+    ),
+    "mann_kendall": lambda f: O.mann_kendall_trend(f["ev"]),
+    "seasonal_mk": lambda f: O.seasonal_mann_kendall(f["ev"]),
+    "acf_profile": lambda f: O.acf_profile(f["ev"]),
+    "ljung_box": lambda f: rollup.ljung_box(f["ev"]),
+    "cusum": lambda f: O.cusum_changepoint(f["ev"]),
+    "ewma": lambda f: O.ewma_chart(f["ev"]),
+    "holt_linear": lambda f: O.holt_linear_forecast(f["ev"]),
+    "holt_winters": lambda f: O.holt_winters_forecast(f["ev"]),
+    "seasonal_decompose": lambda f: O.seasonal_decompose(f["ev"]),
+    "zipf_profile": lambda f: profile.zipf_profile(f["docs"]),
+    "heaps_law": lambda f: O.heaps_law(f["docs"], "doc_id"),
+    "term_burstiness": lambda f: O.term_burstiness(f["docs"], min_df=1),
+    "james_stein": lambda f: O.james_stein_means(f["nums"], "g", "v"),
+    "correlation_matrix": lambda f: O.correlation_matrix(f["xy"], ["x", "y"]),
+    "roc_auc": lambda f: O.roc_auc(f["scored"], "s", "y"),
+    "tail_index": lambda f: profile.tail_index(f["nums"], "g", "v"),
+    "t_closeness": lambda f: validate.t_closeness_stats(f["nums"], ["g"], "v"),
+    "dp_median": lambda f: validate.dp_median(f["nums"], "v"),
+    "embedding_drift": lambda f: profile.embedding_drift(f["vecs"], f["vecs"]),
+    "cronbach_alpha": lambda f: evaluation.cronbach_alpha(
+        f["nums"], "id", "g", "v"
+    ),
+    "gain_lift": lambda f: evaluation.gain_lift_chart(
+        f["scored"], "s", "y", "id"
+    ),
+    "trailing_anomaly": lambda f: O.trailing_anomaly(f["ev"]),
+    "texttiling": lambda f: text_search.texttiling_boundaries(f["docs"]),
+    "ngram_jaccard": lambda f: dedup.ngram_jaccard_pairs(f["docs"], max_df=None),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ONE_ROW_CASES))
+def test_operator_survives_single_row(spark, one_row, name):
+    ONE_ROW_CASES[name](one_row).collect()

@@ -814,7 +814,13 @@ def kruskal_wallis(
     j = gagg.crossJoin(ties)
     nn = F.col("n").cast("double")
     h = 12.0 / (nn * (nn + 1.0)) * F.col("_s") - 3.0 * (nn + 1.0)
-    div = 1.0 - F.col("_ties").cast("double") / (nn * nn * nn - nn)
+    # n = 1 makes the tie divisor n^3 - n an exact 0 (ANSI divide-by-
+    # zero, property-layer find); the degenerate single-observation
+    # test reports NULL h_tied like the all-values-tie case
+    div = F.when(
+        nn * nn * nn - nn > 0,
+        1.0 - F.col("_ties").cast("double") / (nn * nn * nn - nn),
+    )
     return j.select(
         "n",
         "k",
