@@ -195,3 +195,74 @@ ONE_ROW_CASES = {
 @pytest.mark.parametrize("name", sorted(ONE_ROW_CASES))
 def test_operator_survives_single_row(spark, one_row, name):
     ONE_ROW_CASES[name](one_row).collect()
+
+
+# ---------------------------------------------------------------------------
+# all-NULL value columns: rows present, every measured value missing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def all_null(spark):
+    import datetime as dt
+
+    return {
+        "docs": spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, text string"
+        ),
+        "ev": spark.createDataFrame(
+            [
+                (dt.datetime(2024, 1, 1), None, "u", "click", 1),
+                (dt.datetime(2024, 1, 2), None, "u", "view", 2),
+            ],
+            "ts timestamp, value double, user_id string, "
+            "event_type string, event_id long",
+        ),
+        "nums": spark.createDataFrame(
+            [(1, None, "a"), (2, None, "b")], "id long, v double, g string"
+        ),
+    }
+
+
+ALL_NULL_CASES = {
+    "lexical_diversity": lambda f: O.lexical_diversity(f["docs"], "doc_id"),
+    "zipf_profile": lambda f: profile.zipf_profile(f["docs"]),
+    "flesch_readability": lambda f: O.flesch_readability(f["docs"]),
+    "mann_kendall": lambda f: O.mann_kendall_trend(f["ev"]),
+    "acf_profile": lambda f: O.acf_profile(f["ev"]),
+    "cusum": lambda f: O.cusum_changepoint(f["ev"]),
+    "ewma": lambda f: O.ewma_chart(f["ev"]),
+    "holt_linear": lambda f: O.holt_linear_forecast(f["ev"]),
+    "msprt": lambda f: experiment.msprt_test(f["ev"], "ts", "value", "value"),
+    "mann_whitney": lambda f: experiment.mann_whitney_u(
+        f["nums"], "g", "v", "a", "b"
+    ),
+    "kruskal_wallis": lambda f: experiment.kruskal_wallis(f["nums"], "g", "v"),
+    "kmv_distinct": lambda f: sketches.kmv_distinct(f["nums"], "v"),
+    "hll_distinct": lambda f: sketches.hll_distinct(f["nums"], "v"),
+    "ams_f2": lambda f: sketches.ams_f2_estimate(f["nums"], "v"),
+    "gini": lambda f: O.gini_coefficient(f["nums"], "g", "v"),
+    "benford": lambda f: O.benford_profile(f["nums"], "v"),
+    "exact_quantiles": lambda f: O.exact_quantiles(f["nums"], "v", [0.5]),
+    "james_stein": lambda f: O.james_stein_means(f["nums"], "g", "v"),
+    "tail_index": lambda f: profile.tail_index(f["nums"], "g", "v"),
+    "decile_concentration": lambda f: profile.decile_concentration(
+        f["nums"], "g", "v"
+    ),
+    "robust_zscore": lambda f: profile.robust_zscore(f["nums"], "v"),
+    "winsorize": lambda f: profile.winsorize(f["nums"], "v"),
+    "quantile_discretize": lambda f: profile.quantile_discretize(f["nums"], "v"),
+    "t_closeness": lambda f: validate.t_closeness_stats(f["nums"], ["g"], "v"),
+    "dp_median": lambda f: validate.dp_median(f["nums"], "v"),
+    "exact_dedup": lambda f: dedup.exact_dedup(f["docs"], text_col="text"),
+    "ngram_jaccard": lambda f: dedup.ngram_jaccard_pairs(f["docs"], max_df=None),
+    "trailing_anomaly": lambda f: O.trailing_anomaly(f["ev"]),
+    "decayed_popularity": lambda f: O.decayed_popularity(
+        f["ev"], "user_id", "ts", "value"
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_NULL_CASES))
+def test_operator_survives_all_null_values(spark, all_null, name):
+    ALL_NULL_CASES[name](all_null).collect()
