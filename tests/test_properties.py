@@ -9456,3 +9456,56 @@ def test_hll_rolling_from_registers_matches_python(spark, events, window_days):
         rp = _hll_regs_py(vals, p)
         assert got[day][0] == len(rp)
         assert got[day][1] == pytest.approx(_hll_est_py(rp, p), abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# graph fingerprints: symmetric edges + degree assortativity
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_symmetric_edges_and_assortativity_match_python(spark, pairs):
+    from valentinus_spark.operators.graph import (
+        degree_assortativity,
+        symmetric_edges,
+    )
+
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    sym = symmetric_edges(df)
+    got_edges = {(r.src, r.dst) for r in sym.collect()}
+    exp_edges = set()
+    for a, b in pairs:
+        if a != b:
+            exp_edges |= {(a, b), (b, a)}
+    assert got_edges == exp_edges
+    r = degree_assortativity(sym).collect()[0]
+    assert r.n_edges == len(exp_edges)
+    if not exp_edges:
+        assert r.r is None
+        return
+    deg: dict = {}
+    for s, _ in exp_edges:
+        deg[s] = deg.get(s, 0) + 1
+    xs = [deg[s] for s, _ in exp_edges]
+    ys = [deg[d] for _, d in exp_edges]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    varx = n * sum(x * x for x in xs) - sx * sx
+    vary = n * sum(y * y for y in ys) - sy * sy
+    if varx > 0 and vary > 0:
+        rr = (n * sum(x * y for x, y in zip(xs, ys)) - sx * sy) / math.sqrt(
+            varx * vary
+        )
+        assert r.r == pytest.approx(rr, abs=2e-6)
+    else:
+        assert r.r is None
