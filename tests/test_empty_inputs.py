@@ -266,3 +266,222 @@ ALL_NULL_CASES = {
 @pytest.mark.parametrize("name", sorted(ALL_NULL_CASES))
 def test_operator_survives_all_null_values(spark, all_null, name):
     ALL_NULL_CASES[name](all_null).collect()
+
+
+# ---------------------------------------------------------------------------
+# non-finite doubles: NaN / +-Infinity in the measured value column.
+# Spark's total order puts NaN ABOVE +Infinity and groups NaN keys as
+# equal — both unlike python — so rank/quantile/divide pipelines that
+# are green on finite fixtures can crash or mis-branch here.
+# ---------------------------------------------------------------------------
+
+NAN, INF = float("nan"), float("inf")
+
+
+@pytest.fixture(scope="module")
+def nonfinite(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1)
+    return {
+        "ev": spark.createDataFrame(
+            [
+                (d0 + dt.timedelta(days=i), v, "u%d" % (i % 3), "click", i)
+                for i, v in enumerate(
+                    [1.0, NAN, 2.0, INF, 3.0, -INF, 4.0, NAN, 5.0, 6.0]
+                )
+            ],
+            "ts timestamp, value double, user_id string, "
+            "event_type string, event_id long",
+        ),
+        "nums": spark.createDataFrame(
+            [
+                (i, v, g)
+                for i, (v, g) in enumerate(
+                    [
+                        (1.0, "a"), (NAN, "a"), (INF, "a"), (2.0, "a"),
+                        (3.0, "b"), (-INF, "b"), (NAN, "b"), (4.0, "b"),
+                    ]
+                )
+            ],
+            "id long, v double, g string",
+        ),
+        "ab": spark.createDataFrame(
+            [
+                (0, 1.0, 1.0), (0, NAN, 2.0), (0, INF, 0.5), (0, 2.0, 1.5),
+                (1, 3.0, -INF), (1, NAN, 1.0), (1, -INF, NAN), (1, 4.0, 2.0),
+            ],
+            "arm int, y double, x double",
+        ),
+        "scored": spark.createDataFrame(
+            [
+                (0.9, 1, 1), (NAN, 0, 2), (0.2, 0, 3), (INF, 1, 4),
+                (0.5, 1, 5), (-INF, 0, 6),
+            ],
+            "s double, y int, id long",
+        ),
+        "xy": spark.createDataFrame(
+            [(1.0, 2.0), (NAN, 3.0), (INF, -INF), (4.0, NAN), (5.0, 6.0)],
+            "x double, y double",
+        ),
+        "vecs": spark.createDataFrame(
+            [(1, [1.0, NAN]), (2, [INF, 0.0]), (3, [0.5, -0.5])],
+            "vec_id long, embedding array<double>",
+        ),
+    }
+
+
+NONFINITE_CASES = {
+    "mann_kendall": lambda f: O.mann_kendall_trend(f["ev"]),
+    "seasonal_mk": lambda f: O.seasonal_mann_kendall(f["ev"]),
+    "acf_profile": lambda f: O.acf_profile(f["ev"]),
+    "ljung_box": lambda f: rollup.ljung_box(f["ev"]),
+    "cusum": lambda f: O.cusum_changepoint(f["ev"]),
+    "ewma": lambda f: O.ewma_chart(f["ev"]),
+    "holt_linear": lambda f: O.holt_linear_forecast(f["ev"]),
+    "holt_winters": lambda f: O.holt_winters_forecast(f["ev"]),
+    "seasonal_decompose": lambda f: O.seasonal_decompose(f["ev"]),
+    "trailing_anomaly": lambda f: O.trailing_anomaly(f["ev"]),
+    "msprt": lambda f: experiment.msprt_test(f["ev"], "ts", "value", "value"),
+    "mann_whitney": lambda f: experiment.mann_whitney_u(
+        f["nums"], "g", "v", "a", "b"
+    ),
+    "kruskal_wallis": lambda f: experiment.kruskal_wallis(f["nums"], "g", "v"),
+    "levene": lambda f: experiment.levene_test(f["nums"], "g", "v"),
+    "welch": lambda f: experiment.welch_means_test(f["ab"], "arm", "y"),
+    "cuped": lambda f: experiment.cuped_adjust(f["ab"], "arm", "y", "x"),
+    "ks_test": lambda f: validate.ks_test(f["nums"], "g", "v", "a", "b"),
+    "wasserstein": lambda f: validate.wasserstein_1d(f["nums"], "g", "v", "a", "b"),
+    "psi_drift": lambda f: profile.psi_drift(f["nums"], f["nums"], "v"),
+    "kmv_distinct": lambda f: sketches.kmv_distinct(f["nums"], "v"),
+    "hll_distinct": lambda f: sketches.hll_distinct(f["nums"], "v"),
+    "ams_f2": lambda f: sketches.ams_f2_estimate(f["nums"], "v"),
+    "heavy_hitters": lambda f: sketches.heavy_hitters(f["nums"], "v"),
+    "gini": lambda f: O.gini_coefficient(f["nums"], "g", "v"),
+    "benford": lambda f: O.benford_profile(f["nums"], "v"),
+    "exact_quantiles": lambda f: O.exact_quantiles(f["nums"], "v", [0.5]),
+    "james_stein": lambda f: O.james_stein_means(f["nums"], "g", "v"),
+    "correlation_matrix": lambda f: O.correlation_matrix(f["xy"], ["x", "y"]),
+    "tail_index": lambda f: profile.tail_index(f["nums"], "g", "v"),
+    "decile_concentration": lambda f: profile.decile_concentration(
+        f["nums"], "g", "v"
+    ),
+    "robust_zscore": lambda f: profile.robust_zscore(f["nums"], "v"),
+    "winsorize": lambda f: profile.winsorize(f["nums"], "v"),
+    "quantile_discretize": lambda f: profile.quantile_discretize(f["nums"], "v"),
+    "t_closeness": lambda f: validate.t_closeness_stats(f["nums"], ["g"], "v"),
+    "dp_median": lambda f: validate.dp_median(f["nums"], "v"),
+    "roc_auc": lambda f: O.roc_auc(f["scored"], "s", "y"),
+    "gain_lift": lambda f: evaluation.gain_lift_chart(
+        f["scored"], "s", "y", "id"
+    ),
+    "brier_log_loss": lambda f: evaluation.brier_log_loss(
+        f["scored"].select("s", "y"), "s", "y"
+    ),
+    "embedding_drift": lambda f: profile.embedding_drift(f["vecs"], f["vecs"]),
+    "decayed_popularity": lambda f: O.decayed_popularity(
+        f["ev"], "user_id", "ts", "value"
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(NONFINITE_CASES))
+def test_operator_survives_nonfinite_values(spark, nonfinite, name):
+    NONFINITE_CASES[name](nonfinite).collect()
+
+
+# ---------------------------------------------------------------------------
+# zero-variance inputs: every value identical (and every score tied).
+# The (x - mean)/sd, MAD, pooled-variance, and quantile-cut denominators
+# all collapse to 0 here — the class behind the zipf_profile and
+# kruskal_wallis fixes, pinned for the whole family.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def constant(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1)
+    return {
+        "ev": spark.createDataFrame(
+            [
+                (d0 + dt.timedelta(days=i), 3.0, "u%d" % (i % 2), "click", i)
+                for i in range(8)
+            ],
+            "ts timestamp, value double, user_id string, "
+            "event_type string, event_id long",
+        ),
+        "nums": spark.createDataFrame(
+            [(i, 5.0, "ab"[i % 2]) for i in range(8)],
+            "id long, v double, g string",
+        ),
+        "ab": spark.createDataFrame(
+            [(i % 2, 2.0, 7.0) for i in range(8)],
+            "arm int, y double, x double",
+        ),
+        "scored": spark.createDataFrame(
+            [(0.5, i % 2, i) for i in range(6)], "s double, y int, id long"
+        ),
+        "succ": spark.createDataFrame(
+            [(i % 2, 1) for i in range(8)], "arm int, y int"
+        ),
+        "xy": spark.createDataFrame(
+            [(1.0, 2.0)] * 5, "x double, y double"
+        ),
+        "docs": spark.createDataFrame(
+            [(i, "same words here") for i in range(4)], "doc_id long, text string"
+        ),
+    }
+
+
+CONSTANT_CASES = {
+    "mann_kendall": lambda f: O.mann_kendall_trend(f["ev"]),
+    "acf_profile": lambda f: O.acf_profile(f["ev"]),
+    "ljung_box": lambda f: rollup.ljung_box(f["ev"]),
+    "cusum": lambda f: O.cusum_changepoint(f["ev"]),
+    "ewma": lambda f: O.ewma_chart(f["ev"]),
+    "holt_winters": lambda f: O.holt_winters_forecast(f["ev"]),
+    "seasonal_decompose": lambda f: O.seasonal_decompose(f["ev"]),
+    "trailing_anomaly": lambda f: O.trailing_anomaly(f["ev"]),
+    "msprt": lambda f: experiment.msprt_test(f["ev"], "ts", "value", "value"),
+    "mann_whitney": lambda f: experiment.mann_whitney_u(
+        f["nums"], "g", "v", "a", "b"
+    ),
+    "kruskal_wallis": lambda f: experiment.kruskal_wallis(f["nums"], "g", "v"),
+    "levene": lambda f: experiment.levene_test(f["nums"], "g", "v"),
+    "welch": lambda f: experiment.welch_means_test(f["ab"], "arm", "y"),
+    "cuped": lambda f: experiment.cuped_adjust(f["ab"], "arm", "y", "x"),
+    "two_prop": lambda f: experiment.two_proportion_test(f["succ"], "arm", "y"),
+    "ks_test": lambda f: validate.ks_test(f["nums"], "g", "v", "a", "b"),
+    "wasserstein": lambda f: validate.wasserstein_1d(f["nums"], "g", "v", "a", "b"),
+    "psi_drift": lambda f: profile.psi_drift(f["nums"], f["nums"], "v"),
+    "gini": lambda f: O.gini_coefficient(f["nums"], "g", "v"),
+    "benford": lambda f: O.benford_profile(f["nums"], "v"),
+    "james_stein": lambda f: O.james_stein_means(f["nums"], "g", "v"),
+    "correlation_matrix": lambda f: O.correlation_matrix(f["xy"], ["x", "y"]),
+    "tail_index": lambda f: profile.tail_index(f["nums"], "g", "v"),
+    "decile_concentration": lambda f: profile.decile_concentration(
+        f["nums"], "g", "v"
+    ),
+    "robust_zscore": lambda f: profile.robust_zscore(f["nums"], "v"),
+    "winsorize": lambda f: profile.winsorize(f["nums"], "v"),
+    "quantile_discretize": lambda f: profile.quantile_discretize(f["nums"], "v"),
+    "t_closeness": lambda f: validate.t_closeness_stats(f["nums"], ["g"], "v"),
+    "dp_median": lambda f: validate.dp_median(f["nums"], "v"),
+    "roc_auc": lambda f: O.roc_auc(f["scored"], "s", "y"),
+    "gain_lift": lambda f: evaluation.gain_lift_chart(
+        f["scored"], "s", "y", "id"
+    ),
+    "brier_log_loss": lambda f: evaluation.brier_log_loss(
+        f["scored"].select("s", "y"), "s", "y"
+    ),
+    "zipf_profile": lambda f: profile.zipf_profile(f["docs"]),
+    "lexical_diversity": lambda f: O.lexical_diversity(f["docs"], "doc_id"),
+    "texttiling": lambda f: text_search.texttiling_boundaries(f["docs"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONSTANT_CASES))
+def test_operator_survives_zero_variance(spark, constant, name):
+    CONSTANT_CASES[name](constant).collect()

@@ -3731,6 +3731,22 @@ def test_benford_profile_matches_python(spark, vals):
         assert r.chi2_term >= -1e-9
 
 
+def test_benford_profile_nonfinite_and_huge_magnitudes(spark):
+    # NaN/+Inf sort above 0 in Spark's total order, and finite values
+    # past ~9.2e16 overflow the scaled-bigint digit path — neither may
+    # crash, non-finites are excluded, huge finites keep their lead
+    # digit (via the scientific-notation string fallback)
+    vals = [
+        float("nan"), float("inf"), float("-inf"),
+        3.7e19, 9.9e307, 123.0, 0.0, -5.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = benford_profile(df, "v", decimals=2).collect()
+    counts = {r.digit: r.n for r in rows}
+    assert sum(counts.values()) == 3
+    assert counts[3] == 1 and counts[9] == 1 and counts[1] == 1
+
+
 # ---------------------------------------------------------------------------
 # capture-recapture / HHI concentration vs python replicas
 # ---------------------------------------------------------------------------

@@ -912,9 +912,18 @@ def benford_profile(
     broadcast single-row frame. Trivially parallel.
     """
     scale = 10 ** decimals
-    units = F.round(F.col(value_col) * scale, 0).cast("bigint")
-    digit = F.substring(units.cast("string"), 1, 1).cast("int")
-    digits = df.filter(F.col(value_col) > 0).select(digit.alias("digit"))
+    v = F.col(value_col)
+    # finite positives only: NaN/+Inf sort ABOVE 0 in Spark's total
+    # order, so a bare v > 0 lets them through into the ANSI bigint
+    # cast (CAST_OVERFLOW); same for finite magnitudes past ~9.2e18
+    finite_pos = (v > 0) & ~F.isnan(v) & (v < F.lit(float("inf")))
+    units = F.round(v * scale, 0).try_cast("bigint")
+    digit_units = F.substring(units.cast("string"), 1, 1).cast("int")
+    # scaled magnitude past bigint range: the double's string form is
+    # scientific ("3.7E19"), whose first char is still the lead digit
+    digit_sci = F.substring(v.cast("string"), 1, 1).try_cast("int")
+    digit = F.coalesce(digit_units, digit_sci)
+    digits = df.filter(finite_pos).select(digit.alias("digit"))
     observed = digits.filter(F.col("digit").between(1, 9)).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
     )
