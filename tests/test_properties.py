@@ -9525,3 +9525,75 @@ def test_symmetric_edges_and_assortativity_match_python(spark, pairs):
         assert r.r == pytest.approx(rr, abs=2e-6)
     else:
         assert r.r is None
+
+
+# ---------------------------------------------------------------------------
+# int8 quantize/dequantize vs python replica + roundtrip error bound
+# ---------------------------------------------------------------------------
+
+from valentinus_spark.functions.vector import (
+    dequantize_embedding,
+    quantize_embedding,
+)
+
+
+def _py_round_half_up(v: float) -> int:
+    import math as _m
+
+    return int(_m.floor(v + 0.5)) if v >= 0 else int(_m.ceil(v - 0.5))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-1e30,
+            max_value=1e30,
+            allow_nan=False,
+            allow_infinity=False,
+        ).filter(lambda v: v == 0.0 or abs(v) > 1e-30),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_quantize_roundtrip_matches_python_and_bounds_error(spark, vec):
+    df = spark.createDataFrame([(vec,)], "embedding array<double>")
+    row = df.select(
+        quantize_embedding("embedding").alias("qs")
+    ).select(
+        "qs", dequantize_embedding("qs").alias("deq")
+    ).collect()[0]
+
+    mx = max(abs(v) for v in vec)
+    scale = mx / 127.0 if mx > 0 else 1.0
+    expect_q = [_py_round_half_up(v / scale) for v in vec]
+    assert list(row.qs.q) == expect_q  # exact int8 code parity
+    assert all(-127 <= c <= 127 for c in row.qs.q)
+    assert row.qs.scale == pytest.approx(scale, rel=1e-6)
+
+    # roundtrip bound: half a quantization step plus float32 rounding
+    # of the scale and the product
+    bound = 0.5 * scale + 4e-7 * mx + 1e-37
+    for orig, back in zip(vec, row.deq):
+        assert abs(orig - back) <= bound
+
+
+def test_quantize_zero_and_subnormal_vectors(spark):
+    # all-zero: scale 1.0, exact roundtrip; sub-float32 magnitudes:
+    # scale underflows float32 toward 0 — error still bounded by the
+    # vector's own max-abs (never garbage, never a crash)
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1e-41, -5e-42])],
+        "id long, embedding array<double>",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", quantize_embedding("embedding").alias("qs")
+        )
+        .select("id", "qs", dequantize_embedding("qs").alias("deq"))
+        .collect()
+    }
+    assert list(rows[1].deq) == [0.0, 0.0]
+    for orig, back in zip([1e-41, -5e-42], rows[2].deq):
+        assert abs(orig - back) <= 1e-41
