@@ -485,3 +485,65 @@ CONSTANT_CASES = {
 @pytest.mark.parametrize("name", sorted(CONSTANT_CASES))
 def test_operator_survives_zero_variance(spark, constant, name):
     CONSTANT_CASES[name](constant).collect()
+
+
+# ---------------------------------------------------------------------------
+# simultaneous events: every event of a user at ONE instant. The
+# strictly-after / tie-break / zero-duration seams of the funnel
+# family (the class where attribution's same-instant double-credit
+# bug lived, commit 2cd758c).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def instant(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us0 = 1_700_000_000_000_000
+    rows = [
+        ("u1", "view", 1, 1.0),
+        ("u1", "click", 2, 2.0),
+        ("u1", "purchase", 3, 5.0),
+        ("u1", "view", 4, 1.0),
+        ("u1", "purchase", 5, 3.0),
+        ("u2", "view", 6, 2.0),
+    ]
+    return {
+        "ts": spark.createDataFrame(
+            [(u, t0, tp, i, v) for (u, tp, i, v) in rows],
+            "user_id string, ts timestamp, event_type string, "
+            "event_id long, value double",
+        ),
+        "us": spark.createDataFrame(
+            [(u, us0, tp, i, v) for (u, tp, i, v) in rows],
+            "user_id string, ts_us long, event_type string, "
+            "event_id long, value double",
+        ),
+    }
+
+
+def test_funnel_family_survives_same_instant(spark, instant):
+    from valentinus_spark.operators import funnel
+
+    ts, us = instant["ts"], instant["us"]
+    # strictly-after chaining: a click at the SAME instant as the
+    # first view must NOT advance the funnel
+    fc = {r.step: r.n_users for r in funnel.funnel_counts(us, ["view", "click"]).collect()}
+    assert fc["view"] == 2 and fc["click"] == 0
+    funnel.cohort_retention(us).collect()
+    # one gap-island per user regardless of gap size
+    assert (
+        funnel.debounce_events(us, ["user_id"], "ts_us", 1, order_cols=["event_id"]).count()
+        == 2
+    )
+    funnel.markov_transitions(us).collect()
+    funnel.attribution(ts).collect()
+    # one-instant corpus: everyone's last event IS the corpus edge, so
+    # all users are censored and the curve has no churn-event rows
+    # (documented "one row per churn-event time")
+    assert funnel.kaplan_meier(ts, churn_horizon_days=0).collect() == []
+    funnel.session_paths(ts).collect()
+    streaks = {r.user: r.longest_streak for r in funnel.activity_streaks(ts).collect()}
+    assert set(streaks.values()) == {1}  # one-instant history = 1-day streak
+    funnel.cohort_ltv(us).collect()

@@ -87,6 +87,13 @@ def main():
 
         os.environ["SPARK_GRAFT_CPUS"] = str(int(cpus))
         print(f"order-shaker: local[{cpus}], shuffle.partitions={cpus}")
+    if "--no-aqe" in argv:
+        argv.remove("--no-aqe")
+        # plan-space shake: static planner only (see session.get_spark)
+        import os
+
+        os.environ["SPARK_GRAFT_AQE"] = "0"
+        print("plan-shaker: spark.sql.adaptive.* disabled")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 

@@ -62,8 +62,18 @@ def funnel_counts(
     out = per_step[0]
     for s in per_step[1:]:
         out = out.union(s)
-    return out.groupBy("step_no", "step").agg(
+    counts = out.groupBy("step_no", "step").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+    # constant step spine: a step nobody reached still gets its row
+    # (n_users = 0) — the funnel's cliff must be visible, not absent
+    spine = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_no int, step string"
+    )
+    return spine.join(F.broadcast(counts), ["step_no", "step"], "left").select(
+        "step_no",
+        "step",
+        F.coalesce("n_users", F.lit(0).cast("bigint")).alias("n_users"),
     )
 
 

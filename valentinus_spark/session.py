@@ -32,11 +32,16 @@ DEFAULT_EMBED_BATCH = 100  # reference onnx.rs:17
 def get_spark(app_name: str = "valentinus-spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) the session with engine defaults applied."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_AQE=0 pins the static planner — a correctness shake
+    # (dev_compare --no-aqe): results must be identical in both plan
+    # spaces, so an operator relying on an AQE-specific physical shape
+    # (coalesced partition order, skew-split join) fails the sweep
+    aqe = "false" if os.environ.get("SPARK_GRAFT_AQE") == "0" else "true"
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
