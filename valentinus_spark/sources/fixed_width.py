@@ -2,7 +2,10 @@
 
 The one legacy feed format the CSV/JSONL/WARC/ORC source stack didn't
 cover: records are fixed-length lines, fields are (start, width)
-byte slices, numerics are right-aligned space-padded. No reference
+CHARACTER slices (Spark's substring/rpad semantics — identical to byte
+slices for the single-byte-encoded feeds this format comes from; a
+feed carrying multi-byte text must be width-specified in characters),
+numerics are right-aligned space-padded. No reference
 equivalent (/root/reference ingests CSV only — SURVEY.md S1);
 training-data pipelines meet this format in financial/industrial data
 drops.
