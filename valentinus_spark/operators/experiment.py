@@ -149,8 +149,8 @@ def welch_means_test(
     # would be adjusted to (38,7), truncating the 8th decimal digit the
     # oracle's native DECIMAL(38,8) product keeps.
     vv = (
-        F.col(value_col).cast("decimal(17,4)")
-        * F.col(value_col).cast("decimal(17,4)")
+        F.col(value_col).try_cast("decimal(17,4)")
+        * F.col(value_col).try_cast("decimal(17,4)")
     ).cast("decimal(38,8)")
     # One conditional-sum aggregate over the whole frame: a single agg
     # emits its one row even when an arm (or the entire input) is empty,
@@ -263,7 +263,7 @@ def cuped_adjust(
     # (17,4) operands keep every product (35,8) — exact under Spark's
     # 38-digit cap (a (19,4) product is adjusted to (38,7), truncating
     # the 8th decimal digit the oracle's DECIMAL(38,8) products keep).
-    dec = lambda c: F.col(c).cast("decimal(17,4)")  # noqa: E731
+    dec = lambda c: F.col(c).try_cast("decimal(17,4)")  # noqa: E731
     big = lambda e: e.cast("decimal(38,8)")  # noqa: E731
     agg = df.filter(F.col(arm_col).isin([0, 1])).groupBy(
         F.col(arm_col).alias("arm")
@@ -340,7 +340,7 @@ def did_estimate(
     arithmetic.
     """
     # (17,4)^2 = (35,8) — exact under Spark's 38-digit cap (see msprt).
-    dec = F.col(value_col).cast("decimal(17,4)")
+    dec = F.col(value_col).try_cast("decimal(17,4)")
     agg = (
         df.filter(F.col(arm_col).isin([0, 1]) & F.col(period_col).isin([0, 1]))
         .groupBy(
@@ -595,8 +595,8 @@ def paired_t_test(
     # (17,4) operands: d is (18,4), so d*d = (37,8) — exact under
     # Spark's 38-digit cap ((20,4)^2 would lose scale to the adjuster).
     d = (
-        F.col(after_col).cast("decimal(17,4)")
-        - F.col(before_col).cast("decimal(17,4)")
+        F.col(after_col).try_cast("decimal(17,4)")
+        - F.col(before_col).try_cast("decimal(17,4)")
     )
     agg = df.filter(
         F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
@@ -677,7 +677,7 @@ def msprt_test(
         # square is EXACT; (19,4)^2 would be adjusted to (38,7),
         # truncating the 8th decimal digit the DuckDB oracle's native
         # DECIMAL(38,8) product keeps (e.g. 0.0003^2 = 9e-8).
-        dd = F.col(value_col).cast("decimal(17,4)")
+        dd = F.col(value_col).try_cast("decimal(17,4)")
         stats = df.filter(arm.isin([0, 1])).agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(dd.cast("decimal(38,8)")).cast("double").alias("_s"),
@@ -800,7 +800,7 @@ def kruskal_wallis(
         F.sum(
             F.round(
                 F.col("_rg") * F.col("_rg") / F.col("_ng").cast("double"), 9
-            ).cast("decimal(28,9)")
+            ).cast("decimal(38,9)")
         )
         .cast("double")
         .alias("_s"),
@@ -890,7 +890,7 @@ def cochran_q(
                 ),
                 9,
             )
-            .cast("decimal(28,9)")
+            .cast("decimal(38,9)")
             .alias("_term")
         )
         .agg(F.sum("_term").cast("double").alias("_num"))
@@ -1068,8 +1068,8 @@ def wilcoxon_signed_rank(
     from pyspark.sql import Window
 
     d = (
-        F.col(after_col).cast("decimal(17,4)")
-        - F.col(before_col).cast("decimal(17,4)")
+        F.col(after_col).try_cast("decimal(17,4)")
+        - F.col(before_col).try_cast("decimal(17,4)")
     )
     diffs = df.filter(
         F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
@@ -1145,7 +1145,7 @@ def levene_test(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(
         F.col(group_col).alias("_g"),
-        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+        F.col(value_col).try_cast("decimal(17,4)").alias("_v"),
     )
     per = vals.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
     wg = Window.partitionBy("_g").orderBy("_v")
@@ -1184,7 +1184,9 @@ def levene_test(
             F.abs(F.col("_v").cast("double") - F.col("_med")), 9
         ).alias("_z"),
     )
-    zz = F.col("_z").cast("decimal(18,9)")
+    # try_cast: deviations inherit the ingress domain (~1e13) and
+    # can exceed this narrower grid; unrepresentable -> NULL
+    zz = F.col("_z").try_cast("decimal(18,9)")
     gstats = dev.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_ng"),
         F.sum(zz).cast("double").alias("_s1"),
@@ -1193,11 +1195,11 @@ def levene_test(
     tot = gstats.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("_ng").alias("n"),
-        F.sum(F.col("_s1").cast("decimal(28,9)")).cast("double").alias("_S"),
+        F.sum(F.col("_s1").cast("decimal(38,9)")).cast("double").alias("_S"),
         F.sum(
             F.round(
                 F.col("_s1") * F.col("_s1") / F.col("_ng").cast("double"), 9
-            ).cast("decimal(28,9)")
+            ).cast("decimal(38,9)")
         )
         .cast("double")
         .alias("_sb"),
@@ -1258,7 +1260,7 @@ def runs_test(
         F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
     ).select(
         F.col(order_col).alias("_o"),
-        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+        F.col(value_col).try_cast("decimal(17,4)").alias("_v"),
     )
     per = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1352,8 +1354,8 @@ def sign_test(
     one-row agg.
     """
     d = (
-        F.col(after_col).cast("decimal(17,4)")
-        - F.col(before_col).cast("decimal(17,4)")
+        F.col(after_col).try_cast("decimal(17,4)")
+        - F.col(before_col).try_cast("decimal(17,4)")
     )
     diffs = df.filter(
         F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
@@ -1415,7 +1417,7 @@ def moods_median_test(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(
         F.col(group_col).alias("_g"),
-        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+        F.col(value_col).try_cast("decimal(17,4)").alias("_v"),
     )
     per = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1532,7 +1534,7 @@ def friedman_test(
     ).select(
         F.col(block_col).alias("_b"),
         F.col(treatment_col).alias("_t"),
-        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+        F.col(value_col).try_cast("decimal(17,4)").alias("_v"),
     )
     k_total = vals.select("_t").distinct().count()
     sizes = vals.groupBy("_b").agg(
@@ -1559,7 +1561,7 @@ def friedman_test(
         ).alias("_r"),
     )
     per_t = ranked.groupBy("_t").agg(
-        F.sum("_r").cast("decimal(18,1)").alias("_rj"),
+        F.sum("_r").cast("decimal(38,1)").alias("_rj"),
         F.sum((F.col("_r") * F.col("_r")).cast("decimal(24,2)")).alias("_rsq"),
         F.count(F.lit(1)).alias("_nj"),
     )
@@ -1621,7 +1623,7 @@ def page_trend_test(
     ).select(
         F.col(block_col).alias("_b"),
         F.col(treatment_rank_col).cast("int").alias("_j"),
-        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+        F.col(value_col).try_cast("decimal(17,4)").alias("_v"),
     )
     k_total = vals.select("_j").distinct().count()
     sizes = vals.groupBy("_b").agg(
@@ -1646,7 +1648,7 @@ def page_trend_test(
         ).alias("_r"),
     )
     per_j = ranked.groupBy("_j").agg(
-        F.sum("_r").cast("decimal(18,1)").alias("_rj"),
+        F.sum("_r").cast("decimal(38,1)").alias("_rj"),
         F.count(F.lit(1)).alias("_nj"),
     )
     agg = per_j.agg(
@@ -1710,8 +1712,8 @@ def simpsons_paradox_screen(
         & F.col(y_col).isNotNull()
     ).select(
         F.col(group_col).alias("_g"),
-        F.col(x_col).cast("decimal(17,4)").alias("_x"),
-        F.col(y_col).cast("decimal(17,4)").alias("_y"),
+        F.col(x_col).try_cast("decimal(17,4)").alias("_x"),
+        F.col(y_col).try_cast("decimal(17,4)").alias("_y"),
     )
     p = lambda a, b: (a * b).cast("decimal(38,8)")  # noqa: E731
     g = base.groupBy("_g").agg(

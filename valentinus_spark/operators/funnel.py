@@ -604,7 +604,7 @@ def cohort_ltv(
     base = ensure_parallelism(events).select(
         user_col,
         F.expr(f"{ts_col} div {day_us}").alias("_day"),
-        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        F.col(value_col).try_cast("decimal(18,2)").alias("_v"),
     )
     first = base.groupBy(user_col).agg(F.min("_day").alias("cohort_day"))
     sizes = first.groupBy("cohort_day").agg(

@@ -633,7 +633,7 @@ def poisson_bootstrap_ci(
     # otherwise run the full rows x replicas hash/weight computation in
     # ONE task (measured 7.8s -> ~1s at sf0.1; same cliff as shingling)
     base = ensure_parallelism(df).select(*keys, F.col(id_col).alias("_id"),
-                     F.col(value_col).cast("decimal(18,6)").alias("_v"), rep)
+                     F.col(value_col).try_cast("decimal(18,6)").alias("_v"), rep)
     h32 = F.conv(
         F.substring(
             F.sha2(
@@ -1337,7 +1337,9 @@ def james_stein_means(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         F.col(group_col).alias("_g"),
-        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+        # try_cast: finite values past the (17,4) grid join NaN in the
+        # excluded-NULL class instead of an ANSI raise
+        F.col(value_col).try_cast("decimal(17,4)").alias("_v"),
     )
     sq = lambda c: (c * c).cast("decimal(38,8)")  # noqa: E731
     g = base.groupBy("_g").agg(
@@ -1358,8 +1360,11 @@ def james_stein_means(
     tot = g2.agg(
         F.count(F.lit(1)).alias("_k"),
         F.sum("_n").alias("_ntot"),
-        F.sum(F.col("_m").cast("decimal(28,9)")).cast("double").alias("_sm"),
-        F.sum(F.col("_ssw").cast("decimal(28,9)")).cast("double").alias("_ssw_tot"),
+        # try_cast: squared deviations inherit the squared ingress
+        # domain (~1e26 at the (17,4) grid edge) and can exceed this
+        # fold's (28,9) range; unrepresentable -> NULL, never a raise
+        F.sum(F.col("_m").try_cast("decimal(28,9)")).cast("double").alias("_sm"),
+        F.sum(F.col("_ssw").try_cast("decimal(28,9)")).cast("double").alias("_ssw_tot"),
     )
     withg = g2.crossJoin(F.broadcast(tot))
     grand = F.round(F.col("_sm") / F.col("_k").cast("double"), 9)
@@ -1382,7 +1387,7 @@ def james_stein_means(
         (F.col("_m") - F.col("_grand")) * (F.col("_m") - F.col("_grand")), 9
     )
     s_tot = j2.groupBy().agg(
-        F.sum(dev.cast("decimal(28,9)")).cast("double").alias("_S")
+        F.sum(dev.cast("decimal(38,9)")).cast("double").alias("_S")
     )
     j3 = j2.crossJoin(F.broadcast(s_tot))
     vi = F.col("_s2pool") / F.col("_n").cast("double")
@@ -1440,7 +1445,7 @@ def quantile_normalize(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         F.col(group_col).alias("_g"),
-        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+        F.col(value_col).try_cast("decimal(17,4)").alias("_v"),
     )
     gc = vals.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
     wg = Window.partitionBy("_g").orderBy("_v").rowsBetween(
@@ -1528,7 +1533,7 @@ def theil_atkinson_inequality(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         F.col(group_col).alias("_g"),
-        F.col(value_col).cast("decimal(17,4)").alias("_v"),
+        F.col(value_col).try_cast("decimal(17,4)").alias("_v"),
     )
     grid = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
     pos = grid.filter(F.col("_v") > 0)
@@ -1551,13 +1556,15 @@ def theil_atkinson_inequality(
         "n",
     )
     x = F.col("_v").cast("double")
+    # try_cast: x/mu ratios are unbounded (tiny mu, huge x), so the
+    # 12-dp term can exceed the (28,12) grid; unrepresentable -> NULL
     theil_term = F.round(
         F.col("_c").cast("double") * ((x / F.col("_mu")) * F.log(x / F.col("_mu"))),
         12,
-    ).cast("decimal(28,12)")
+    ).try_cast("decimal(28,12)")
     ln_term = F.round(
         F.col("_c").cast("double") * F.log(x), 12
-    ).cast("decimal(28,12)")
+    ).try_cast("decimal(28,12)")
     agg = withmu.groupBy("_g").agg(
         F.max("n").alias("n"),
         F.max("_mu").alias("_mu"),
@@ -1700,7 +1707,7 @@ def correlation_matrix(
         cnd = F.col(c).isNotNull()
         cond = cnd if cond is None else (cond & cnd)
     base = df.filter(cond).select(
-        *[F.col(c).cast("decimal(17,4)").alias(f"_c{i}") for i, c in enumerate(cols)]
+        *[F.col(c).try_cast("decimal(17,4)").alias(f"_c{i}") for i, c in enumerate(cols)]
     )
     aggs = [F.count(F.lit(1)).alias("n")]
     for i in range(len(cols)):
@@ -1770,7 +1777,7 @@ def decile_concentration(
         df.filter(F.col(unit_col).isNotNull())
         .groupBy(unit_col)
         .agg(
-            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            F.sum(F.col(value_col).try_cast("decimal(18,2)"))
             .cast("decimal(28,2)")
             .alias("_v")
         )

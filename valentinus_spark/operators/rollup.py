@@ -182,7 +182,11 @@ def trailing_anomaly(
 
     if min_obs < 2:
         raise ValueError(f"min_obs must be >= 2 (variance needs it), got {min_obs}")
-    v = F.col(value_col).cast("decimal(18,6)")
+    # try_cast: ANSI cast(double AS decimal) already NULLs NaN but
+    # RAISES on finite values past the decimal's range (|v| >= 1e12
+    # here); try_cast folds both into the same excluded-from-sums
+    # NULL class and is bit-identical for every in-range value
+    v = F.col(value_col).try_cast("decimal(18,6)")
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col, order_tiebreak)
@@ -194,7 +198,7 @@ def trailing_anomaly(
     mean_d = s.cast("double") / n
     var_d = (s2.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1)
     z = F.round(
-        (F.col(value_col).cast("decimal(18,6)").cast("double") - mean_d)
+        (F.col(value_col).try_cast("decimal(18,6)").cast("double") - mean_d)
         / F.sqrt(var_d),
         4,
     )
@@ -243,9 +247,11 @@ def decayed_popularity(
     reference date is a broadcast single-row aggregate. No windows, no
     per-event float math surviving the shuffle.
     """
+    # try_cast: out-of-range finite doubles join NaN in the
+    # excluded-NULL class instead of an ANSI raise (in-range identical)
     val = F.lit(1).cast("decimal(28,2)") if value_col is None else F.col(
         value_col
-    ).cast("decimal(28,2)")
+    ).try_cast("decimal(28,2)")
     base = events.select(
         F.col(key_col).alias("_k"), F.to_date(ts_col).alias("_d"), val.alias("_v")
     )
@@ -488,7 +494,10 @@ def cusum_changepoint(
     """
     import pandas as pd
 
-    dec = F.col(value_col).cast("decimal(19,4)").cast("decimal(38,8)")
+    # try_cast: values past the (19,4) grid (|v| >= 1e15) and NaN both
+    # quantize to NULL (excluded from the day sum) instead of an ANSI
+    # raise; in-range values are bit-identical to cast
+    dec = F.col(value_col).try_cast("decimal(19,4)").cast("decimal(38,8)")
     daily = events.groupBy(F.to_date(ts_col).alias("day")).agg(
         F.round(
             F.sum(dec).cast("double") / F.count(F.lit(1)).cast("double"), 9
@@ -503,7 +512,7 @@ def cusum_changepoint(
     # (18,9)^2 = (37,18) stays under Spark's 38-digit cap, so the square
     # is EXACT; (20,9)^2 would be adjusted to (38,15), truncating three
     # decimal digits the oracle's native DECIMAL(38,18) product keeps.
-    xs = F.col("_x").cast("decimal(18,9)")
+    xs = F.col("_x").try_cast("decimal(18,9)")
     stats = ref.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(xs).cast("double").alias("_s"),
@@ -559,7 +568,10 @@ def _daily_mean(events: DataFrame, ts_col: str, value_col: str) -> DataFrame:
     DECIMAL(38,8)-exact daily sums (order-free), one double division,
     9-dp pin — the shared deterministic input for every day-series
     monitor below."""
-    dec = F.col(value_col).cast("decimal(19,4)").cast("decimal(38,8)")
+    # try_cast: values past the (19,4) grid (|v| >= 1e15) and NaN both
+    # quantize to NULL (excluded from the day sum) instead of an ANSI
+    # raise; in-range values are bit-identical to cast
+    dec = F.col(value_col).try_cast("decimal(19,4)").cast("decimal(38,8)")
     return events.groupBy(F.to_date(ts_col).alias("day")).agg(
         F.round(
             F.sum(dec).cast("double") / F.count(F.lit(1)).cast("double"), 9
@@ -598,7 +610,7 @@ def mann_kendall_trend(
     from valentinus_spark.operators.experiment import two_sided_p
 
     d = _daily_mean(events, ts_col, value_col).select(
-        "day", F.col("_x").cast("decimal(18,9)").alias("_v")
+        "day", F.col("_x").try_cast("decimal(18,9)").alias("_v")
     )
     a = d.select(F.col("day").alias("_da"), F.col("_v").alias("_va"))
     b = d.select(F.col("day").alias("_db"), F.col("_v").alias("_vb"))
@@ -683,7 +695,7 @@ def theil_sen_trend(
     lo = d0.agg(F.min("day").alias("_lo"))
     d = d0.crossJoin(F.broadcast(lo)).select(
         F.datediff("day", "_lo").cast("long").alias("_t"),
-        F.col("_x").cast("decimal(18,9)").alias("_v"),
+        F.col("_x").try_cast("decimal(18,9)").alias("_v"),
     )
     a = d.select(F.col("_t").alias("_ta"), F.col("_v").alias("_va"))
     b = d.select(F.col("_t").alias("_tb"), F.col("_v").alias("_vb"))
@@ -925,11 +937,11 @@ def ewma_chart(
 
     daily = _daily_mean(events, ts_col, value_col)
     # retrospective mu/sigma, cusum discipline
-    xs_dec = F.col("_x").cast("decimal(20,9)")
+    xs_dec = F.col("_x").try_cast("decimal(20,9)")
     stats = daily.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(xs_dec).cast("double").alias("_s"),
-        F.sum((xs_dec.cast("decimal(18,9)") * xs_dec.cast("decimal(18,9)")).cast("decimal(38,18)"))
+        F.sum((xs_dec.try_cast("decimal(18,9)") * xs_dec.try_cast("decimal(18,9)")).cast("decimal(38,18)"))
         .cast("double")
         .alias("_ss"),
     )
@@ -1036,7 +1048,7 @@ def seasonal_decompose(
         "day",
         "_x",
         ((F.row_number().over(w_ord) - 1) % period).alias("_slot"),
-        F.sum(F.col("_x").cast("decimal(18,9)")).over(wma).alias("_wsum"),
+        F.sum(F.col("_x").try_cast("decimal(18,9)")).over(wma).alias("_wsum"),
         F.count(F.lit(1)).over(wma).alias("_wn"),
     ).select(
         "day",
@@ -1056,14 +1068,14 @@ def seasonal_decompose(
     )
     slots = detr.filter(F.col("_d").isNotNull()).groupBy("_slot").agg(
         F.round(
-            F.sum(F.col("_d").cast("decimal(18,9)")).cast("double")
+            F.sum(F.col("_d").try_cast("decimal(18,9)")).cast("double")
             / F.count(F.lit(1)).cast("double"),
             9,
         ).alias("_sw")
     )
     grand = slots.agg(
         F.round(
-            F.sum(F.col("_sw").cast("decimal(18,9)")).cast("double")
+            F.sum(F.col("_sw").try_cast("decimal(18,9)")).cast("double")
             / F.count(F.lit(1)).cast("double"),
             9,
         ).alias("_grand")
@@ -1165,7 +1177,7 @@ def seasonal_mann_kendall(
     from valentinus_spark.operators.experiment import two_sided_p
 
     d = _daily_mean(events, ts_col, value_col).select(
-        "day", F.col("_x").cast("decimal(18,9)").alias("_v")
+        "day", F.col("_x").try_cast("decimal(18,9)").alias("_v")
     )
     season = (
         period_col_fn(F.col("day"))

@@ -634,7 +634,7 @@ def dp_median(
         int(hashlib.sha256(salt.encode()).hexdigest()[:8], 16) + 0.5
     ) / 4294967296.0
     vals = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(value_col).cast("decimal(17,4)").alias("_v")
+        F.col(value_col).try_cast("decimal(17,4)").alias("_v")
     )
     grid = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
