@@ -530,7 +530,10 @@ class EmbeddingCollection:
                 compile_filters(f_where, promoted_columns=self.df.columns)
             )
             .withColumn("similarity", sim)
-            .filter(F.col("similarity") > 0)  # dot>0 keep-rule (embeddings.rs:366)
+            # dot>0 keep-rule (embeddings.rs:366); the isnan guard restores the
+            # reference's Rust semantics where NaN > 0.0 is FALSE (Spark's
+            # total order would keep NaN AND rank it above +Inf)
+            .filter((F.col("similarity") > 0) & ~F.isnan("similarity"))
             .select("id", "document", "similarity", "metadata")
         )
         if ordered:
@@ -573,7 +576,7 @@ class EmbeddingCollection:
         scored = (
             base.crossJoin(F.broadcast(queries))
             .withColumn("similarity", sim)
-            .filter(F.col("similarity") > 0)
+            .filter((F.col("similarity") > 0) & ~F.isnan("similarity"))
             .select("qid", "id", "document", "similarity", "metadata")
         )
         w = Window.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("id"))

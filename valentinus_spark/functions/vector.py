@@ -51,6 +51,32 @@ def _norm(a: Column) -> Column:
     )
 
 
+def finite_score(c: Column | str) -> Column:
+    """True when a double score is finite. Spark's float total order
+    treats NaN as GREATER than +Infinity and ``NaN > 0`` as true, so a
+    single garbage embedding (NaN/Inf components, or magnitudes whose
+    dot product overflows) would rank FIRST in every similarity-desc
+    top-k unless excluded. Both bound checks are false for NaN under
+    the same total order, so this one predicate screens NaN and ±Inf."""
+    c = F.col(c) if isinstance(c, str) else c
+    dmax = 1.7976931348623157e308
+    return (c >= F.lit(-dmax)) & (c <= F.lit(dmax))
+
+
+def finite_embedding(a: Column | str) -> Column:
+    """True when every component is finite AND the squared norm stays in
+    double range — a [1e300, ...] vector has finite components but an
+    overflowing second moment that turns Gram/covariance accumulation
+    non-finite (breeze SVD then fails to converge). One aggregate
+    covers both: any NaN/Inf component or an overflowing norm² makes
+    the sum non-finite."""
+    a = F.col(a) if isinstance(a, str) else a
+    n2 = F.aggregate(
+        a.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return finite_score(n2)
+
+
 def cosine_similarity(a: Column | str, b: Column | Sequence[float]) -> Column:
     """True cosine = dot/(|a||b|). The reference calls its raw dot "cosine"
     (embeddings.rs:334-372) — that is only cosine for pre-normalized

@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from valentinus_spark.functions.util import ensure_parallelism
-from valentinus_spark.functions.vector import cosine_similarity, dot, literal_vector
+from valentinus_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    finite_embedding,
+    finite_score,
+    literal_vector,
+)
 
 
 def brute_force_knn_join(
@@ -55,6 +61,9 @@ def brute_force_knn_join(
         ensure_parallelism(corpus)
         .crossJoin(q)
         .withColumn("similarity", score)
+        # NaN sorts ABOVE +Inf in a desc rank: a single garbage
+        # embedding would top every query's list — drop it here
+        .filter(finite_score("similarity"))
         .select(query_id, corpus_id, "similarity")
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
@@ -203,6 +212,7 @@ def bucketed_ann_topk(
     scored = (
         corp.join(q, on="_bucket")
         .withColumn("similarity", cosine_similarity(F.col(corpus_vec), F.col(query_vec)))
+        .filter(finite_score("similarity"))
         .select(query_id, corpus_id, "similarity")
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
@@ -299,6 +309,7 @@ def rp_ann_topk(
     cands = (
         corp.crossJoin(q)
         .withColumn("_rp_sim", cosine_similarity(F.col("_rp_c"), F.col("_rp_q")))
+        .filter(finite_score("_rp_sim"))
         .select(query_id, corpus_id, corpus_vec, query_vec, "_rp_sim")
         .withColumn("_rp_rank", F.row_number().over(w_pre))
         .filter(F.col("_rp_rank") <= k * mult)
@@ -308,6 +319,7 @@ def rp_ann_topk(
         cands.withColumn(
             "similarity", cosine_similarity(F.col(corpus_vec), F.col(query_vec))
         )
+        .filter(finite_score("similarity"))
         .select(query_id, corpus_id, "similarity")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -941,8 +953,15 @@ def embedding_pca(
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector
 
-    vecs = ensure_parallelism(corpus).select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+    vecs = (
+        ensure_parallelism(corpus)
+        # one garbage row (NaN/Inf components, or magnitudes whose
+        # norm² overflows) turns the Gram matrix non-finite and the
+        # whole corpus-wide SVD aborts — screen it out up front
+        .filter(finite_embedding(vec_col))
+        .select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+        )
     )
     model = PCA(k=k, inputCol="_features", outputCol="_pc").fit(vecs)
     comps = model.pc.toArray()  # dim × k
@@ -1016,7 +1035,8 @@ def embedding_mean(corpus: DataFrame, vec_col: str = "embedding") -> list[float]
     the µ of ABTT's Algorithm 1; tiny, returned driver-side for use as a
     broadcast literal."""
     rows = (
-        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
+        corpus.filter(finite_embedding(vec_col))
+        .select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
         .groupBy("i")
         .agg(F.avg("x").alias("m"))
         .orderBy("i")
