@@ -1813,7 +1813,8 @@ def test_funnel_counts_match_python_min_time_chaining(spark, events):
     per_user: dict = {}
     for u, e, t in events:
         per_user.setdefault(u, []).append((e, t))
-    exp: dict = {}
+    # zero-count steps are emitted (funnel_counts contract, 0e79346)
+    exp: dict = {i: 0 for i in range(1, len(steps) + 1)}
     for u, evs in per_user.items():
         prev_t = None
         for i, s in enumerate(steps, start=1):
@@ -1823,7 +1824,7 @@ def test_funnel_counts_match_python_min_time_chaining(spark, events):
             if not cand:
                 break
             prev_t = min(cand)
-            exp[i] = exp.get(i, 0) + 1
+            exp[i] += 1
     assert got == exp
 
 
