@@ -94,6 +94,16 @@ def huge(spark):
             [(DMAX, 1, 1), (-DMAX, 0, 2), (1e300, 1, 3), (SUBNORMAL, 0, 4)],
             "s double, y int, id long",
         ),
+        "ab": spark.createDataFrame(
+            [
+                (0, 1e300, 2.0), (0, -DMAX, 4.2e13), (0, 3.0, 1e300),
+                (1, DMAX, -1e300), (1, -7.7e12, 5.0), (1, 6.0, 7.0),
+            ],
+            "arm int, y double, x double",
+        ),
+        "tree": spark.createDataFrame(
+            [(2, 1), (3, 1), (4, 2)], "child long, parent long"
+        ),
     }
 
 
@@ -150,6 +160,18 @@ HUGE_CASES = {
     "tfidf_keywords": lambda f: text_search.tfidf_keywords(f["docs"]),
     "exact_dedup": lambda f: dedup.exact_dedup(f["docs"], text_col="text"),
     "simhash_pairs": lambda f: dedup.simhash_pairs(f["docs"]),
+    "welch": lambda f: experiment.welch_means_test(f["ab"], "arm", "y"),
+    "cuped": lambda f: experiment.cuped_adjust(f["ab"], "arm", "y", "x"),
+    "paired_t": lambda f: experiment.paired_t_test(f["ab"], "x", "y"),
+    "wilcoxon": lambda f: experiment.wilcoxon_signed_rank(f["ab"], "x", "y"),
+    "sign_test": lambda f: experiment.sign_test(f["ab"], "x", "y"),
+    "cronbach": lambda f: evaluation.cronbach_alpha(f["nums"], "id", "g", "v"),
+    "subtree_rollup": lambda f: __import__(
+        "valentinus_spark.operators.hierarchy", fromlist=["subtree_rollup"]
+    ).subtree_rollup(
+        f["tree"],
+        f["nums"].select(F.col("id").alias("node"), F.col("v").alias("value")),
+    ),
 }
 
 

@@ -652,12 +652,12 @@ def cronbach_alpha(
     ).select(
         F.col(subject_col).alias("_s"),
         F.col(item_col).alias("_i"),
-        F.col(score_col).cast("decimal(17,4)").alias("_v"),
+        F.col(score_col).try_cast("decimal(17,4)").alias("_v"),
     )
     k_total = base.select("_i").distinct().count()
     counts = base.groupBy("_s").agg(
         F.count(F.lit(1)).alias("_ni"),
-        F.sum("_v").cast("decimal(17,4)").alias("_tot"),
+        F.sum("_v").cast("decimal(38,4)").alias("_tot"),
     )
     complete = counts.filter(F.col("_ni") == k_total).select("_s", "_tot")
     kept = base.join(F.broadcast(complete.select("_s")), "_s")

@@ -144,7 +144,7 @@ def welch_means_test(
     final scalar formula is float.
     """
     arm = F.col(arm_col)
-    v = F.col(value_col).cast("decimal(38,8)")
+    v = F.col(value_col).try_cast("decimal(38,8)")
     # (17,4)^2 = (35,8) — exact under Spark's 38-digit cap; (19,4)^2
     # would be adjusted to (38,7), truncating the 8th decimal digit the
     # oracle's native DECIMAL(38,8) product keeps.
@@ -602,8 +602,8 @@ def paired_t_test(
         F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(before_col).cast("decimal(38,8)")).cast("double").alias("_sb"),
-        F.sum(F.col(after_col).cast("decimal(38,8)")).cast("double").alias("_sa"),
+        F.sum(F.col(before_col).try_cast("decimal(38,8)")).cast("double").alias("_sb"),
+        F.sum(F.col(after_col).try_cast("decimal(38,8)")).cast("double").alias("_sa"),
         F.sum(d.cast("decimal(38,8)")).cast("double").alias("_sd"),
         F.sum((d * d).cast("decimal(38,8)")).cast("double").alias("_sdd"),
     )
@@ -661,7 +661,7 @@ def msprt_test(
     from pyspark.sql import Window
 
     arm = F.col(arm_col)
-    dec = F.col(value_col).cast("decimal(19,4)").cast("decimal(38,8)")
+    dec = F.col(value_col).try_cast("decimal(19,4)").cast("decimal(38,8)")
     daily = (
         df.filter(arm.isin([0, 1]))
         .groupBy(F.to_date(ts_col).alias("day"))

@@ -83,7 +83,7 @@ def subtree_rollup(
     closure = ancestor_closure(edges, child_col, parent_col, max_depth)
     v = values.select(
         F.col(node_col).alias("_n"),
-        F.col(value_col).cast("decimal(38,6)").alias("_v"),
+        F.col(value_col).try_cast("decimal(38,6)").alias("_v"),
     )
     desc_agg = (
         closure.join(v, closure["node"] == v["_n"])
