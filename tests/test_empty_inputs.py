@@ -15,6 +15,7 @@ from valentinus_spark.operators import (
     evaluation,
     experiment,
     profile,
+    quality,
     rollup,
     sketches,
     text_search,
@@ -26,6 +27,9 @@ from valentinus_spark.operators import (
 def frames(spark):
     return {
         "docs": spark.createDataFrame([], "doc_id long, text string"),
+        "sdocs": spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        ),
         "ev": spark.createDataFrame(
             [],
             "ts timestamp, value double, user_id string, "
@@ -119,6 +123,22 @@ CASES = {
     ),
     "brier_log_loss": lambda f: evaluation.brier_log_loss(
         f["scored"].select("s", "y"), "s", "y"
+    ),
+    "repetition_stats": lambda f: quality.repetition_stats(f["sdocs"]),
+    "quality_filter": lambda f: quality.quality_filter(f["sdocs"]),
+    "unigram_logprob": lambda f: quality.unigram_logprob(f["sdocs"]),
+    "bigram_logprob": lambda f: quality.bigram_logprob(f["sdocs"]),
+    "trigram_logprob": lambda f: quality.trigram_logprob(f["sdocs"]),
+    "char_entropy": lambda f: quality.char_entropy(f["sdocs"]),
+    "compression_ratio": lambda f: quality.compression_ratio(f["sdocs"]),
+    "source_token_kl": lambda f: quality.source_token_kl(f["sdocs"]),
+    "good_turing_vocab": lambda f: quality.good_turing_vocab(
+        f["sdocs"], "source"
+    ),
+    "js_divergence": lambda f: quality.js_divergence(f["sdocs"], "source"),
+    "fightin_words": lambda f: quality.fightin_words(f["sdocs"]),
+    "source_tv_distance": lambda f: quality.source_tv_distance(
+        f["sdocs"], "source"
     ),
 }
 

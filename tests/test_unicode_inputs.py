@@ -24,7 +24,7 @@ from valentinus_spark.functions.text import (
     token_count,
     word_tokens,
 )
-from valentinus_spark.operators import dedup, profile, text_search
+from valentinus_spark.operators import dedup, profile, quality, text_search
 
 NASTY = [
     "family: \U0001f469‍\U0001f469‍\U0001f467‍\U0001f466 emoji",
@@ -99,6 +99,31 @@ SCREEN = {
 @pytest.mark.parametrize("name", sorted(SCREEN))
 def test_operator_survives_unicode(spark, udocs, name):
     SCREEN[name](udocs).collect()
+
+
+# quality-family screen over the same nasty corpus (with a source
+# column for the grouped scores): LM log-probs, entropy, compression,
+# and vocabulary estimators all tokenize/fold the same corners
+QUALITY_SCREEN = {
+    "repetition_stats": lambda d: quality.repetition_stats(d),
+    "quality_filter": lambda d: quality.quality_filter(d),
+    "unigram_logprob": lambda d: quality.unigram_logprob(d),
+    "bigram_logprob": lambda d: quality.bigram_logprob(d),
+    "trigram_logprob": lambda d: quality.trigram_logprob(d),
+    "char_entropy": lambda d: quality.char_entropy(d),
+    "compression_ratio": lambda d: quality.compression_ratio(d),
+    "source_token_kl": lambda d: quality.source_token_kl(d),
+    "good_turing_vocab": lambda d: quality.good_turing_vocab(d, "source"),
+    "js_divergence": lambda d: quality.js_divergence(d, "source"),
+    "fightin_words": lambda d: quality.fightin_words(d),
+    "source_tv_distance": lambda d: quality.source_tv_distance(d, "source"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUALITY_SCREEN))
+def test_quality_ops_survive_unicode(spark, udocs, name):
+    d = udocs.withColumn("source", (F.col("doc_id") % 2).cast("string"))
+    QUALITY_SCREEN[name](d).collect()
 
 
 def test_bpe_roundtrip_on_unicode_corpus(spark, udocs):
