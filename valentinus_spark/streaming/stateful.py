@@ -27,14 +27,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-USER_TOTALS_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
-    ]
-)
-
 _STATE_SCHEMA = StructType(
     [StructField("n_events", LongType()), StructField("sum_value", DoubleType())]
 )
@@ -56,10 +48,21 @@ def _update_user_totals(
 def stream_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running (n_events, sum_value) maintained as explicit
     state. Works on a streaming DataFrame grouped by user; each batch
-    emits updated totals for touched users."""
+    emits updated totals for touched users.
+
+    The emitted ``user_id`` keeps the INPUT column's type — a pinned
+    LongType here would silently coerce string keys through the Arrow
+    boundary (the multi-batch replay test feeds string ids)."""
+    out_schema = StructType(
+        [
+            StructField("user_id", events.schema["user_id"].dataType),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
-        outputStructType=USER_TOTALS_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
