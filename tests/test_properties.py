@@ -9598,3 +9598,688 @@ def test_quantize_zero_and_subnormal_vectors(spark):
     assert list(rows[1].deq) == [0.0, 0.0]
     for orig, back in zip([1e-41, -5e-42], rows[2].deq):
         assert abs(orig - back) <= 1e-41
+
+
+# ---------------------------------------------------------------------------
+# z-order (Morton) interleave vs python bit replica
+# ---------------------------------------------------------------------------
+
+
+def _zorder_py(vals, bits: int) -> int:
+    """Replica of layout.zorder_value: column i contributes bit b of its
+    value at output position b*n + i."""
+    out = 0
+    n = len(vals)
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            out |= ((v >> b) & 1) << (b * n + i)
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 21) - 1),
+            st.integers(min_value=0, max_value=(1 << 21) - 1),
+            st.integers(min_value=0, max_value=(1 << 21) - 1),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bits=st.sampled_from([4, 16, 21]),
+)
+def test_zorder_interleave_matches_python(spark, rows, bits):
+    from valentinus_spark.functions.vector import zorder_key
+    from valentinus_spark.operators.layout import zorder_value
+
+    mask = (1 << bits) - 1
+    rows = [(a & mask, b & mask, c & mask) for a, b, c in rows]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = df.select(
+        "x",
+        "y",
+        "z",
+        zorder_value(["x", "y", "z"], bits=bits).alias("zv"),
+        # zorder_key emits MSB-first with the LAST column in the lowest
+        # lane — reversing the column order makes the two agree bit-exactly
+        zorder_key("z", "y", "x", bits=bits).alias("zk"),
+    ).collect()
+    for r in got:
+        exp = _zorder_py((r.x, r.y, r.z), bits)
+        assert r.zv == exp
+        assert r.zk == exp
+        # coordinate-wise dominance → Morton dominance (range-prune soundness)
+        assert _zorder_py((r.x, r.y, r.z), bits) >= _zorder_py(
+            (r.x // 2, r.y // 2, r.z // 2), bits
+        )
+
+
+# ---------------------------------------------------------------------------
+# rolling_fingerprint (winnowing-style min-sketch) vs python replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc dé€\n", max_size=24), min_size=1, max_size=6
+    ),
+    n=st.sampled_from([3, 8]),
+    keep=st.sampled_from([2, 4]),
+)
+def test_rolling_fingerprint_sha_matches_python(spark, texts, n, keep):
+    from valentinus_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: list(r.fp)
+        for r in df.select(
+            "doc_id",
+            rolling_fingerprint("text", n=n, keep=keep, hash_fn="sha256").alias(
+                "fp"
+            ),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        grams = (
+            [t] if len(t) <= n else [t[j : j + n] for j in range(len(t) - n + 1)]
+        )
+        exp = sorted(_sha60_py(g) for g in grams)[:keep]
+        assert got[i] == exp
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca vs numpy eigendecomposition of the sample covariance
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-4, 4), st.integers(-4, 4), st.integers(-4, 4), st.integers(-4, 4)
+        ),
+        min_size=3,
+        max_size=9,
+    )
+)
+def test_embedding_pca_matches_numpy(spark, rows):
+    from hypothesis import assume
+
+    from valentinus_spark.operators.similarity import embedding_pca
+
+    X = np.array(rows, dtype=float)
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(rows) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    assume(evals.sum() > 1e-9)
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, ratios = embedding_pca(df, k=2)
+    exp_ratios = (evals[:2] / evals.sum()).tolist()
+    for g, e in zip(ratios, exp_ratios):
+        assert g == pytest.approx(e, abs=1e-6)
+    # eigenvectors are only identified up to sign, and only when the
+    # eigenvalue is simple — compare |cos| where the spectral gap allows
+    for j in range(2):
+        gap = min(
+            abs(evals[j] - evals[j2]) for j2 in range(len(evals)) if j2 != j
+        )
+        if gap > 1e-3 * max(evals.sum(), 1.0):
+            assert abs(float(np.dot(comps[j], evecs[:, j]))) == pytest.approx(
+                1.0, abs=1e-6
+            )
+
+
+# ---------------------------------------------------------------------------
+# knn_distance_outliers vs numpy brute force
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-6, 6), st.integers(-6, 6), st.integers(-6, 6)),
+        min_size=2,
+        max_size=10,
+    ),
+    k=st.sampled_from([1, 3]),
+    topn=st.sampled_from([4, 100]),
+)
+def test_knn_distance_outliers_match_bruteforce(spark, rows, k, topn):
+    import math
+
+    from valentinus_spark.operators.similarity import knn_distance_outliers
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r.vec_id, r.kth_dist)
+        for r in knn_distance_outliers(df, k=k, topn=topn).collect()
+    ]
+
+    kth = {}
+    for i, a in enumerate(rows):
+        ds = sorted(
+            _rhu(math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b))), 4)
+            for j, b in enumerate(rows)
+            if j != i
+        )
+        kth[i] = ds[min(k, len(ds)) - 1]
+    exp = sorted(kth.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# matryoshka truncation-fidelity sweep vs python replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.tuples(
+            st.integers(1, 5),
+            st.integers(-3, 3),
+            st.integers(-3, 3),
+            st.integers(-3, 3),
+            st.integers(-3, 3),
+            st.integers(-3, 3),
+        ),
+        min_size=3,
+        max_size=8,
+    ),
+    queries=st.lists(
+        st.tuples(
+            st.integers(1, 5),
+            st.integers(-3, 3),
+            st.integers(-3, 3),
+            st.integers(-3, 3),
+            st.integers(-3, 3),
+            st.integers(-3, 3),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    k=st.sampled_from([2, 5]),
+)
+def test_matryoshka_fidelity_matches_python(spark, corpus, queries, k):
+    import math
+
+    from valentinus_spark.operators.similarity import matryoshka_fidelity
+
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(corpus)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(queries)],
+        "qid long, qvec array<double>",
+    )
+    got = {
+        r.dim: (r.k, r.n_queries, r.mean_overlap)
+        for r in matryoshka_fidelity(
+            cdf, qdf, dims=[2, 4], k=k
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na * nb > 0 else 0.0
+
+    def topset(dim):
+        out = set()
+        for qi, q in enumerate(queries):
+            scored = sorted(
+                (
+                    (-_rhu(cos(c[:dim], q[:dim]), 4), ci)
+                    for ci, c in enumerate(corpus)
+                ),
+            )[:k]
+            out |= {(qi, ci) for _, ci in scored}
+        return out
+
+    full = topset(6)
+    denom = len(queries) * min(k, len(corpus))
+    assert len(full) == denom
+    for dim in (2, 4, 6):
+        matched = len(topset(dim) & full)
+        assert got[dim] == (k, len(queries), _rhu(matched / denom, 6))
+
+
+# ---------------------------------------------------------------------------
+# textrank keywords vs python replica (co-occurrence graph + pagerank replay)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["the", "cat", "sat", "mat", "dog", "ran", "and"]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    iters=st.sampled_from([2, 8]),
+)
+def test_textrank_keywords_matches_python(spark, docs, iters):
+    from valentinus_spark.functions.text import ENGLISH_STOPWORDS
+    from valentinus_spark.operators.text_search import textrank_keywords
+
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = {
+        r.word: r.rank
+        for r in textrank_keywords(df, iterations=iters).collect()
+    }
+
+    und = set()
+    for d in docs:
+        toks = [t for t in _toks_py(d) if t and t not in ENGLISH_STOPWORDS]
+        if len(toks) < 2:
+            continue
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                und.add((a, b))
+    sym = sorted({p for a, b in und for p in ((a, b), (b, a))})
+    if not sym:
+        assert got == {}
+        return
+    exp = {
+        w: _rhu(r, 6) for w, r in _pr_python(sym, iters, 0.85).items()
+    }
+    assert set(got) == set(exp)
+    for w in exp:
+        assert got[w] == pytest.approx(exp[w], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# jaccard link prediction vs brute-force replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=24
+    ),
+    k=st.sampled_from([3, 100]),
+)
+def test_jaccard_link_prediction_matches_bruteforce(spark, edges, k):
+    from hypothesis import assume
+
+    from valentinus_spark.operators.graph import jaccard_link_prediction
+
+    und = sorted({(a, b) for a, b in edges if a != b for a, b in [(min(a, b), max(a, b))]})
+    assume(und)
+    sym = sorted({p for a, b in und for p in ((a, b), (b, a))})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = [
+        (r.node_a, r.node_b, r.common_neighbors, r.jaccard)
+        for r in jaccard_link_prediction(df, k=k).collect()
+    ]
+
+    nbrs: dict = {}
+    for a, b in sym:
+        nbrs.setdefault(a, set()).add(b)
+    adj = set(und)
+    exp = []
+    nodes = sorted(nbrs)
+    for x, a in enumerate(nodes):
+        for b in nodes[x + 1 :]:
+            if (a, b) in adj:
+                continue
+            common = len(nbrs[a] & nbrs[b])
+            if common == 0:
+                continue
+            j = _rhu(common / (len(nbrs[a]) + len(nbrs[b]) - common), 6)
+            exp.append((a, b, common, j))
+    exp.sort(key=lambda t: (-t[3], t[0], t[1]))
+    assert got == exp[:k]
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib codec roundtrips on hypothesis-random content
+# (fixed-image roundtrips live in test_imaging/test_audio/test_video;
+# these fuzz the pixel/sample space)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(1, 6),
+    w=st.integers(1, 6),
+    c=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_random_pixels(h, w, c, data):
+    from valentinus_spark.imaging import decode_png, encode_png
+
+    raw = data.draw(st.binary(min_size=h * w * c, max_size=h * w * c))
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+    back = decode_png(encode_png(arr))
+    assert back.shape == (h, w, c)
+    assert np.array_equal(back, arr)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(h=st.integers(1, 6), w=st.integers(1, 6), data=st.data())
+def test_bmp_roundtrip_random_pixels(h, w, data):
+    from valentinus_spark.imaging import decode_bmp, encode_bmp
+
+    raw = data.draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    back = decode_bmp(encode_bmp(arr))
+    assert back.shape == (h, w, 3)
+    assert np.array_equal(back, arr)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(h=st.integers(1, 6), w=st.integers(1, 6), data=st.data())
+def test_gif_roundtrip_random_indices(h, w, data):
+    from valentinus_spark.imaging import decode_gif, encode_gif
+
+    raw = data.draw(st.binary(min_size=h * w, max_size=h * w))
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+    back = decode_gif(encode_gif(arr))
+    assert back.shape == (h, w, 4)
+    # implicit grayscale palette: entry i = (i, i, i), opaque
+    for ch in range(3):
+        assert np.array_equal(back[:, :, ch], arr)
+    assert np.all(back[:, :, 3] == 255)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ints=st.lists(
+        st.integers(min_value=-32767, max_value=32767), min_size=1, max_size=64
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_random_samples(ints, rate):
+    from valentinus_spark.audio import decode_wav, encode_wav
+
+    samples = np.array(ints, dtype=np.float64) / 32767.0
+    back, got_rate = decode_wav(encode_wav(samples, sample_rate=rate))
+    assert got_rate == rate
+    # encode writes round(s*32767) as int16; decode divides by 32768 —
+    # both steps are exact in float32, so the roundtrip is bit-precise
+    exp = (np.array(ints, dtype=np.float64) / 32768.0).astype(np.float32)
+    assert np.array_equal(back, exp)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.sampled_from([2, 4, 6]),
+    w=st.sampled_from([2, 4, 8]),
+    nframes=st.integers(1, 4),
+    data=st.data(),
+)
+def test_y4m_roundtrip_random_frames(h, w, nframes, data):
+    from valentinus_spark.video import decode_y4m, encode_y4m
+
+    frames = []
+    for _ in range(nframes):
+        raw = data.draw(st.binary(min_size=h * w, max_size=h * w))
+        frames.append(np.frombuffer(raw, dtype=np.uint8).reshape(h, w))
+    back, fps = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+    assert fps == (30, 1)
+    assert len(back) == nframes
+    for got, exp in zip(back, frames):
+        assert np.array_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# deterministic bucketing family (stable_split / stratified_keep /
+# mixture_repeat_count / weighted_sample_key / kfold_assign) vs
+# python sha256 replicas
+# ---------------------------------------------------------------------------
+
+
+def _bucket_py(salt: str, key) -> int:
+    """Replica of the family's sha256 bucket: first 8 hex chars of
+    sha256(salt || str(key)) as an int in [0, 2^32)."""
+    return int(hashlib.sha256((salt + str(key)).encode()).hexdigest()[:8], 16)
+
+
+_keys_strategy = st.lists(
+    st.one_of(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        st.text(alphabet="abç0 -", max_size=12),
+    ),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=_keys_strategy,
+    w_train=st.sampled_from([0.5, 0.8, 0.98]),
+    w_val=st.sampled_from([0.01, 0.1]),
+)
+def test_stable_split_matches_python(spark, keys, w_train, w_val):
+    from valentinus_spark.functions.text import stable_split
+
+    weights = {"train": w_train, "val": w_val, "test": 1.0 - w_train - w_val}
+    df = spark.createDataFrame([(str(k),) for k in keys], "key string")
+    got = {
+        r.key: r.split
+        for r in df.select("key", stable_split("key", weights)).collect()
+    }
+    span = 2**32
+    for k in keys:
+        b = _bucket_py("v1", str(k))
+        acc = 0.0
+        exp = "test"
+        for name, w in list(weights.items())[:-1]:
+            acc += w
+            if b < int(acc * span):
+                exp = name
+                break
+        assert got[str(k)] == exp
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=_keys_strategy,
+    rate_a=st.sampled_from([0.0, 0.25, 1.0]),
+    rate_b=st.sampled_from([0.1, 0.9]),
+)
+def test_stratified_keep_and_mixture_repeat_match_python(
+    spark, keys, rate_a, rate_b
+):
+    from valentinus_spark.functions.text import (
+        mixture_repeat_count,
+        stratified_keep,
+    )
+
+    rows = [(str(k), ["a", "b", "c"][i % 3]) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "key string, stratum string")
+    rates = {"a": rate_a, "b": rate_b}
+    factors = {"a": rate_a * 3, "b": rate_b}
+    got = {
+        r.key: (r.keep, r.n_repeat)
+        for r in df.select(
+            "key",
+            stratified_keep("key", "stratum", rates, default_rate=0.5).alias(
+                "keep"
+            ),
+            mixture_repeat_count(
+                "key", "stratum", factors, default_factor=1.5
+            ),
+        ).collect()
+    }
+    span = 2**32
+    for k, s in rows:
+        b = _bucket_py("v1", k)
+        rate = rates.get(s, 0.5)
+        factor = factors.get(s, 1.5)
+        base = math.floor(factor)
+        exp_rep = base + (1 if b < int((factor - base) * span) else 0)
+        assert got[k] == (b < int(rate * span), exp_rep)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.sampled_from([0.001, 0.5, 3.0, -1.0, 0.0]),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.sampled_from([2, 7]),
+)
+def test_weighted_sample_key_and_kfold_match_python(spark, rows, k):
+    from valentinus_spark.functions.text import kfold_assign, weighted_sample_key
+
+    df = spark.createDataFrame(rows, "key long, w double")
+    got = {
+        r.key: (r.sk, r.fold)
+        for r in df.select(
+            "key",
+            weighted_sample_key("key", "w").alias("sk"),
+            kfold_assign("key", k=k),
+        ).collect()
+    }
+    for key, w in rows:
+        u = (_bucket_py("ws-v1", key) + 1) / float(2**32)
+        exp_sk = math.log(u) / w if w > 0 else None
+        exp_fold = _bucket_py("cv-v1", key) % k
+        sk, fold = got[key]
+        assert fold == exp_fold
+        if exp_sk is None:
+            assert sk is None
+        else:
+            assert sk == pytest.approx(exp_sk, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# token_count (BPE-ish regex) and chunks_from_tokens vs python replicas
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab XY 01 .,!é \t\n", max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_token_count_matches_python_java_regex(spark, texts):
+    from valentinus_spark.functions.text import token_count
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    # Java \s is ASCII-only ([ \t\n\x0B\f\r]); python \s is unicode-aware,
+    # so the replica spells the class out (NBSP counts as a symbol)
+    pat = _re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]")
+    for i, t in enumerate(texts):
+        assert got[i] == len(pat.findall(t))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.sampled_from(["a", "bb", "ccc", "d"]), max_size=20),
+    size=st.sampled_from([1, 3, 5]),
+    data=st.data(),
+)
+def test_chunks_from_tokens_matches_python(spark, toks, size, data):
+    from valentinus_spark.functions.text import chunks_from_tokens
+
+    stride = data.draw(st.integers(min_value=1, max_value=size))
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = [
+        (c.chunk_id, c.chunk)
+        for c in df.select(
+            chunks_from_tokens("toks", size=size, stride=stride).alias("ch")
+        ).first()["ch"]
+    ]
+    k = len(toks)
+    n_chunks = 1 if k <= size else math.ceil((k - size) / stride) + 1
+    exp = [
+        (i, " ".join(toks[i * stride : i * stride + size]))
+        for i in range(n_chunks)
+    ]
+    assert got == exp
+    # every token is covered by at least one chunk
+    if toks:
+        assert (n_chunks - 1) * stride + size >= k
+
+
+# ---------------------------------------------------------------------------
+# url_host vs component-level ground truth (not a regex replay)
+# ---------------------------------------------------------------------------
+
+
+_label = st.text(alphabet="abcXYZ09-", min_size=1, max_size=8)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    scheme=st.sampled_from(["http", "https", "ftp", "s3+x.y"]),
+    labels=st.lists(_label, min_size=1, max_size=3),
+    www=st.booleans(),
+    userinfo=st.one_of(st.none(), st.sampled_from(["bob", "bob:pw"])),
+    port=st.one_of(st.none(), st.integers(1, 65535)),
+    tail=st.sampled_from(["", "/", "/p/q?x=1#f", "?q#f"]),
+)
+def test_url_host_matches_component_truth(
+    spark, scheme, labels, www, userinfo, port, tail
+):
+    from valentinus_spark.functions.web import url_host
+
+    host = ("www." if www else "") + ".".join(labels)
+    url = (
+        scheme
+        + "://"
+        + (userinfo + "@" if userinfo else "")
+        + host
+        + (f":{port}" if port else "")
+        + tail
+    )
+    exp = ".".join(labels).lower() if www else host.lower()
+    df = spark.createDataFrame([(url,)], "url string")
+    assert df.select(url_host("url").alias("h")).first()["h"] == exp
+
+
+# ---------------------------------------------------------------------------
+# resize_nearest vs independent numpy constructions
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(h=st.integers(1, 6), w=st.integers(1, 6), data=st.data())
+def test_resize_nearest_identity_upscale_downscale(h, w, data):
+    from valentinus_spark.imaging import resize_nearest
+
+    raw = data.draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(resize_nearest(arr, w, h), arr)
+    # exact 2x upscale is pixel replication
+    up = resize_nearest(arr, 2 * w, 2 * h)
+    assert np.array_equal(up, np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1))
+    # 1x1 downscale picks the top-left source pixel of the first cell
+    assert np.array_equal(resize_nearest(arr, 1, 1)[0, 0], arr[0, 0])

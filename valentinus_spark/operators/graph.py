@@ -74,6 +74,10 @@ def pagerank(
     e = ensure_parallelism(edges.select(src, dst)).localCheckpoint()
     nodes = e.select(F.col(src).alias("node")).distinct().localCheckpoint()
     n = nodes.count()
+    if n == 0:
+        # empty edge list (e.g. textrank over a corpus with no qualifying
+        # co-occurrences): no nodes to rank — same guard as hits()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     # out-degree is loop-invariant: attach it to the edge list ONCE so
     # each round pays a single (ranks ⋈ edges) join instead of two —
     # the contribution stays rank/_d (not rank * (1/_d)) so the float
