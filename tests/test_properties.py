@@ -10283,3 +10283,249 @@ def test_resize_nearest_identity_upscale_downscale(h, w, data):
     assert np.array_equal(up, np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1))
     # 1x1 downscale picks the top-left source pixel of the first cell
     assert np.array_equal(resize_nearest(arr, 1, 1)[0, 0], arr[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# BPE encode → decode letter-stream roundtrip (learned merges, random corpus)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet="abcd AB.,7 ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.sampled_from([0, 3, 10]),
+)
+def test_bpe_encode_decode_letter_stream_roundtrip(spark, docs, n_merges):
+    from valentinus_spark.operators.tokenizer import (
+        bpe_decode,
+        bpe_encode,
+        learn_bpe,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    merges = learn_bpe(df, n_merges)
+    decoded = {
+        r.doc_id: r.decoded
+        for r in bpe_decode(bpe_encode(df, merges)).collect()
+    }
+    for i, t in enumerate(docs):
+        # merges only concatenate, so decode restores the matched
+        # letter stream exactly (word boundaries are not recoverable)
+        assert decoded[i] == "".join(_re.findall("[a-zA-Z]+", t.lower()))
+
+
+# ---------------------------------------------------------------------------
+# bloom_semijoin: row-identical to the exact semi-join even when the
+# filter is tiny (heavy false-positive pressure cannot leak rows)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fact=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    dim=st.lists(st.integers(0, 40), min_size=0, max_size=10),
+    m=st.sampled_from([16, 64, 1 << 16]),
+)
+def test_bloom_semijoin_identical_to_exact_semijoin(spark, fact, dim, m):
+    from valentinus_spark.operators.sketches import bloom_semijoin
+
+    fdf = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact)], "row_id long, fk long"
+    )
+    ddf = spark.createDataFrame([(k,) for k in dim], "dk long")
+    got = sorted(
+        (r.row_id, r.fk)
+        for r in bloom_semijoin(fdf, ddf, "fk", "dk", k=2, m=m).collect()
+    )
+    exp = sorted((i, k) for i, k in enumerate(fact) if k in set(dim))
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# column_profile vs python replica (ANSI try_cast semantics included)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.sampled_from(["7", "-3.5", "junk", "", "1e2", " 4 "]),
+            ),
+            st.one_of(st.none(), st.integers(-5, 5).map(float)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_column_profile_matches_python(spark, rows):
+    from valentinus_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(rows, "s string, d double")
+    got = {
+        r.column: (r.n, r.n_null, r.n_distinct, r.min_v, r.max_v)
+        for r in column_profile(df, ["s", "d"]).collect()
+    }
+
+    def try_cast(v):
+        if v is None:
+            return None
+        try:
+            return float(v)
+        except ValueError:
+            return None
+
+    for col, vals in (
+        ("s", [try_cast(a) for a, _ in rows]),
+        ("d", [b for _, b in rows]),
+    ):
+        nn = [v for v in vals if v is not None]
+        exp = (
+            len(rows),
+            len(vals) - len(nn),
+            len(set(nn)),
+            min(nn) if nn else None,
+            max(nn) if nn else None,
+        )
+        assert got[col] == exp
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_ci vs python replica (sha weights + decimal folds)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(0, 10**6),
+            st.sampled_from([-2.5, 0.0, 1.0, 3.25, 10.125]),
+        ),
+        min_size=2,
+        max_size=14,
+        unique_by=lambda t: t[1],
+    ),
+    replicas=st.sampled_from([4, 16]),
+)
+def test_poisson_bootstrap_ci_matches_python(spark, rows, replicas):
+    import decimal
+
+    from valentinus_spark.operators.profile import POISSON1_CDF, poisson_bootstrap_ci
+
+    alpha = 0.05
+    df = spark.createDataFrame(rows, "grp string, rid long, val double")
+    got = {
+        r.grp: (r.n_replicas, r.boot_mean, r.ci_lo, r.ci_hi)
+        for r in poisson_bootstrap_ci(
+            df, "val", "rid", group_col="grp", replicas=replicas
+        ).collect()
+    }
+
+    D = decimal.Decimal
+
+    def pct(vals, p):
+        """Spark percentile: linear interpolation at rank p*(n-1)."""
+        s = sorted(vals)
+        pos = p * (len(s) - 1)
+        lo = int(math.floor(pos))
+        hi = int(math.ceil(pos))
+        return s[lo] + (pos - lo) * (s[hi] - s[lo])
+
+    for grp in {g for g, _, _ in rows}:
+        members = [(i, v) for g, i, v in rows if g == grp]
+        means = []
+        for rep in range(replicas):
+            swv = D(0)
+            sw = 0
+            for rid, val in members:
+                h32 = int(
+                    hashlib.sha256(f"boot-v1{rep}:{rid}".encode()).hexdigest()[:8],
+                    16,
+                )
+                u = (h32 + 0.5) / 4294967296.0
+                w = sum(1 for c in POISSON1_CDF if u > c)
+                swv += w * D(repr(val)).quantize(D("0.000001"))
+                sw += w
+            if sw > 0:
+                means.append(_rhu(float(swv) / sw, 6))
+        exp = (
+            len(means),
+            _rhu(float(sum(D(repr(m)) for m in means)) / len(means), 4),
+            _rhu(pct(means, alpha / 2), 4),
+            _rhu(pct(means, 1 - alpha / 2), 4),
+        )
+        assert got[grp][0] == exp[0]
+        for g, e in zip(got[grp][1:], exp[1:]):
+            assert g == pytest.approx(e, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# linkage_pairs vs brute-force blocked-levenshtein replica
+# ---------------------------------------------------------------------------
+
+
+def _lev_py(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    names=st.lists(
+        st.text(alphabet="ab c", max_size=12), min_size=1, max_size=10
+    ),
+    max_dist=st.sampled_from([2, 8]),
+)
+def test_linkage_pairs_match_bruteforce(spark, names, max_dist):
+    from valentinus_spark.operators.linkage import linkage_pairs
+
+    band = 4
+    df = spark.createDataFrame(
+        list(enumerate(names)), "rec_id long, name string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.edit_dist, r.name_sim)
+        for r in linkage_pairs(
+            df, "rec_id", "name", max_dist=max_dist, band=band
+        ).collect()
+    }
+
+    norm = {
+        i: _re.sub(r"\s+", " ", n.strip().lower())
+        for i, n in enumerate(names)
+    }
+    norm = {i: n for i, n in norm.items() if n}
+
+    def keys(n):
+        toks = n.split(" ")
+        lb = len(n) // band
+        return {f"{toks[0]}#{lb}", f"{toks[-1]}#{lb}"}
+
+    exp = {}
+    ids = sorted(norm)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            if not (keys(norm[a]) & keys(norm[b])):
+                continue
+            d = _lev_py(norm[a], norm[b])
+            if d <= max_dist:
+                exp[(a, b)] = (
+                    d,
+                    _rhu(1.0 - d / max(len(norm[a]), len(norm[b])), 4),
+                )
+    assert got == exp
