@@ -10529,3 +10529,137 @@ def test_linkage_pairs_match_bruteforce(spark, names, max_dist):
                     _rhu(1.0 - d / max(len(norm[a]), len(norm[b])), 4),
                 )
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# source-format roundtrips on hypothesis-random content (XML control-char
+# stripping, JSONL, fixed-width, WARC)
+# ---------------------------------------------------------------------------
+
+_XML10_ILLEGAL_PY = _re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f￾￿]"
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab<>&\"'\x00\x08\x0b\x1f\t\n é]]>",
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_xml_roundtrip_strips_illegal_keeps_rest(spark, tmp_path_factory, texts):
+    from valentinus_spark.sources.xml_records import (
+        read_xml_records,
+        write_xml_records,
+    )
+
+    path = str(tmp_path_factory.mktemp("xmlfuzz"))
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    write_xml_records(
+        df, path, ["doc_id", "text"], n_files=2, sort_cols=["doc_id"]
+    )
+    got = {
+        int(r.doc_id): r.text
+        for r in read_xml_records(spark, path, ["doc_id", "text"]).collect()
+    }
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        # XML-1.0-illegal code points are stripped on write; everything
+        # else (markup chars, entities, unicode, whitespace) round-trips
+        assert got[i] == _XML10_ILLEGAL_PY.sub("", t)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.text(alphabet='ab"\\\n\t é🙂', max_size=20),
+            st.sampled_from(["en", "fr"]),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    compression=st.sampled_from([None, "gzip"]),
+)
+def test_jsonl_roundtrip_random_text(spark, tmp_path_factory, docs, compression):
+    from valentinus_spark.sources.jsonl import read_documents_jsonl, write_jsonl
+
+    path = str(tmp_path_factory.mktemp("jsonlfuzz"))
+    df = spark.createDataFrame(
+        [(f"d{i}", t, lang) for i, (t, lang) in enumerate(docs)],
+        "id string, text string, lang string",
+    )
+    write_jsonl(df, path, n_files=2, compression=compression)
+    got = {
+        r.id: (r.document, r.metadata["lang"])
+        for r in read_documents_jsonl(
+            spark, path, meta_fields=["lang"]
+        ).collect()
+    }
+    assert got == {f"d{i}": (t, lang) for i, (t, lang) in enumerate(docs)}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(
+                alphabet="abXY0-", max_size=8
+            ),
+            st.integers(-999, 9999),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fixed_width_roundtrip_random_rows(spark, tmp_path_factory, rows):
+    from valentinus_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    path = str(tmp_path_factory.mktemp("fwfuzz"))
+    specs = [("name", 1, 8, "string"), ("qty", 9, 5, "int")]
+    df = spark.createDataFrame(rows, "name string, qty int")
+    write_fixed_width(df, path, specs, n_files=1)
+    got = sorted(
+        (r.name, r.qty)
+        for r in read_fixed_width(spark, path, specs).collect()
+    )
+    # read trims the pad — empty strings come back as "" after trim
+    assert got == sorted(rows)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    recs=st.lists(
+        st.tuples(st.binary(max_size=40), st.sampled_from([200, 404])),
+        min_size=1,
+        max_size=5,
+    ),
+    compression=st.sampled_from([None, "member"]),
+)
+def test_warc_roundtrip_random_payloads(recs, compression):
+    from valentinus_spark.sources.warc import encode_warc, parse_warc_bytes
+
+    records = [
+        {
+            "url": f"http://ex.com/{i}",
+            "payload": body,
+            "http_status": status,
+        }
+        for i, (body, status) in enumerate(recs)
+    ]
+    data = encode_warc(records, compression=compression)
+    back = list(parse_warc_bytes(data))
+    assert len(back) == len(recs)
+    for i, ((body, status), rec) in enumerate(zip(recs, back)):
+        assert rec["url"] == f"http://ex.com/{i}"
+        assert rec["record_type"] == "response"
+        assert rec["http_status"] == status
+        assert rec["payload"] == body
