@@ -10663,3 +10663,198 @@ def test_warc_roundtrip_random_payloads(recs, compression):
         assert rec["record_type"] == "response"
         assert rec["http_status"] == status
         assert rec["payload"] == body
+
+
+# ---------------------------------------------------------------------------
+# winnow_overlap_pairs vs brute-force replica over the fingerprint replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(winnow_text, min_size=2, max_size=6),
+    min_shared=st.sampled_from([1, 2]),
+    max_df=st.sampled_from([2, 100]),
+)
+def test_winnow_overlap_pairs_match_bruteforce(spark, texts, min_shared, max_df):
+    from valentinus_spark.operators.text_search import winnow_overlap_pairs
+
+    k, w = 4, 4
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.overlap)
+        for r in winnow_overlap_pairs(
+            df, k=k, window=w, min_shared=min_shared, max_df=max_df,
+            hash_fn="sha256",
+        ).collect()
+    }
+
+    fpsets = {
+        i: {f for _, f in _py_winnow_fps(t, k, w)} for i, t in enumerate(texts)
+    }
+    dfreq: dict = {}
+    for s in fpsets.values():
+        for f in s:
+            dfreq[f] = dfreq.get(f, 0) + 1
+    kept = {f for f, c in dfreq.items() if 2 <= c <= max_df}
+    exp = {}
+    ids = sorted(fpsets)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            shared = len(fpsets[a] & fpsets[b] & kept)
+            if shared >= min_shared:
+                exp[(a, b)] = (
+                    shared,
+                    _rhu(
+                        shared / (len(fpsets[a]) + len(fpsets[b]) - shared), 4
+                    ),
+                )
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# source_token_kl vs python replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(
+                st.sampled_from(["the", "cat", "sat", "07", "x!"]),
+                min_size=0,
+                max_size=8,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_source_token_kl_matches_python(spark, rows):
+    from valentinus_spark.operators.quality import source_token_kl
+
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.source: (r.n_tokens, r.kl_bits)
+        for r in source_token_kl(df).collect()
+    }
+
+    gc: dict = {}
+    for g, t in rows:
+        for tok in _toks_py(t):
+            if tok:
+                gc[(g, tok)] = gc.get((g, tok), 0) + 1
+    cc: dict = {}
+    for (g, tok), c in gc.items():
+        cc[tok] = cc.get(tok, 0) + c
+    ct = sum(cc.values())
+    gt: dict = {}
+    for (g, tok), c in gc.items():
+        gt[g] = gt.get(g, 0) + c
+    assert set(got) == set(gt)
+    for g in gt:
+        kl = sum(
+            (c / gt[g]) * math.log2((c / gt[g]) / (cc[tok] / ct))
+            for (gg, tok), c in gc.items()
+            if gg == g
+        )
+        assert got[g][0] == gt[g]
+        assert got[g][1] == pytest.approx(_rhu(kl, 4), abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# apply_url_rules vs RFC-9309 longest-match python replay
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    urls=st.lists(
+        st.tuples(
+            st.sampled_from(["ex.com", "www.ex.com", "a.b", "Other.C"]),
+            st.sampled_from(["", "/", "/a", "/a/b", "/ab", "/a?q=1", "/a#f"]),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    rules=st.lists(
+        st.tuples(
+            st.sampled_from(["ex.com", "a.b", "other.c"]),
+            st.sampled_from(["", "/", "/a", "/a/", "/ab"]),
+            st.booleans(),
+        ),
+        max_size=8,
+        unique=True,
+    ),
+    default_allow=st.booleans(),
+)
+def test_apply_url_rules_matches_longest_match_replay(
+    spark, urls, rules, default_allow
+):
+    from valentinus_spark.functions.web import apply_url_rules
+
+    url_strs = [f"http://{h}{p}" for h, p in urls]
+    udf_ = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(url_strs)], "uid long, url string"
+    )
+    rdf = spark.createDataFrame(
+        rules or [("zz.none", "/", True)],
+        "host string, path_prefix string, allow boolean",
+    )
+    got = {
+        r.uid: r.allow
+        for r in apply_url_rules(
+            udf_, rdf, default_allow=default_allow
+        ).collect()
+    }
+    eff_rules = rules or [("zz.none", "/", True)]
+    for i, (h, p) in enumerate(urls):
+        canon = h.lower()
+        canon = canon[4:] if canon.startswith("www.") else canon
+        path = p.split("?")[0].split("#")[0] or "/"
+        cands = [
+            (len(pfx), allow)
+            for rh, pfx, allow in eff_rules
+            if rh == canon and path.startswith(pfx)
+        ]
+        exp = max(cands)[1] if cands else default_allow
+        assert got[i] == exp
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile vs python replica (NULL key is a group; nulls-first ties)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1,
+        max_size=20,
+    ),
+    top_n=st.sampled_from([2, 10]),
+)
+def test_key_skew_profile_matches_python(spark, keys, top_n):
+    from valentinus_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = [
+        (r.key, r.n_rows, r.share, r.hotness)
+        for r in key_skew_profile(df, "k", top_n=top_n).collect()
+    ]
+    counts: dict = {}
+    for k in keys:
+        counts[k] = counts.get(k, 0) + 1
+    total = len(keys)
+    nkeys = len(counts)
+    exp = sorted(
+        (
+            (k, n, _rhu(n / total, 6), _rhu(n * nkeys / total, 4))
+            for k, n in counts.items()
+        ),
+        key=lambda t: (-t[1], t[0] is not None, t[0] or ""),
+    )[:top_n]
+    assert got == exp
