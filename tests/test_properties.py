@@ -10858,3 +10858,252 @@ def test_key_skew_profile_matches_python(spark, keys, top_n):
         key=lambda t: (-t[1], t[0] is not None, t[0] or ""),
     )[:top_n]
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# connected components (large-star/small-star, distributed path forced)
+# vs python union-find
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(pairs):
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_connected_components_star_distributed_matches_unionfind(spark, pairs):
+    from valentinus_spark.operators.dedup import connected_components_star
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    # driver_threshold=0 forces the large-star/small-star rounds — the
+    # 100 TB path, not the driver union-find shortcut
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components_star(df, driver_threshold=0).collect()
+    }
+    assert got == _uf_components(pairs)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_docs=st.integers(1, 10),
+    pairs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=12
+    ),
+    method=st.sampled_from(["star", "minlabel"]),
+)
+def test_dedup_clusters_matches_unionfind(spark, n_docs, pairs, method):
+    from valentinus_spark.operators.dedup import dedup_clusters
+
+    pairs = [(a, b) for a, b in pairs if a < n_docs and b < n_docs]
+    df = spark.createDataFrame([(i,) for i in range(n_docs)], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long") if pairs else (
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(df, pdf, method=method).collect()
+    }
+    comp = _uf_components(pairs)
+    cluster = {i: comp.get(i, i) for i in range(n_docs)}
+    sizes: dict = {}
+    for c in cluster.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert got == {i: (c, sizes[c]) for i, c in cluster.items()}
+
+
+# ---------------------------------------------------------------------------
+# minhash LSH pairs: exact precision (every emitted pair's Jaccard is
+# real and >= threshold) and the identical-document recall guarantee
+# ---------------------------------------------------------------------------
+
+
+def _py_shingle_set(text, n):
+    toks = _toks_py(text)
+    if not toks:
+        return None  # empty docs are dropped by the scan filter
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "cat", "sat", "dog", "ran", "big"]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=7,
+    ),
+    threshold=st.sampled_from([0.5, 0.8]),
+    dup_of=st.integers(0, 1),
+)
+def test_minhash_pairs_precision_and_identical_doc_recall(
+    spark, texts, threshold, dup_of
+):
+    from valentinus_spark.operators.dedup import minhash_native_pairs
+
+    # plant an exact duplicate of one existing doc
+    texts = texts + [texts[dup_of]]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_native_pairs(
+            df, threshold=threshold, hash_fn="sha256"
+        ).collect()
+    }
+    shingles = {i: _py_shingle_set(t, 3) for i, t in enumerate(texts)}
+
+    # precision 1.0: every emitted pair has a REAL Jaccard >= threshold
+    # and the reported value is the exact set Jaccard
+    for (a, b), j in got.items():
+        assert a < b
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        exact = inter / (len(sa) + len(sb) - inter)
+        assert j == pytest.approx(exact, abs=1e-12)
+        assert exact >= threshold
+
+    # recall guarantee: identical (normalized) docs share every shingle,
+    # every signature, every band — the pair MUST surface with J = 1.0
+    planted = len(texts) - 1
+    if shingles[planted] is not None:
+        key = (min(dup_of, planted), max(dup_of, planted))
+        assert got.get(key) == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# versioned table: random DML sequence (merge / delete / overwrite) vs a
+# python dict replay; snapshots and the change feed must both agree
+# ---------------------------------------------------------------------------
+
+
+_merge_updates = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda t: t[0],
+)
+
+_dml_op = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        _merge_updates,
+        st.sampled_from(["update", "ignore"]),
+        st.sampled_from(["insert", "ignore"]),
+        st.booleans(),  # use delete_col
+    ),
+    st.tuples(st.just("delete"), st.integers(0, 3)),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    initial=st.lists(
+        st.tuples(st.integers(0, 5), st.one_of(st.none(), st.integers(0, 3))),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+    ops=st.lists(_dml_op, min_size=1, max_size=4),
+)
+def test_versioned_dml_sequence_matches_dict_replay(
+    spark, tmp_path_factory, initial, ops
+):
+    from valentinus_spark.sources.versioned import (
+        commit_version,
+        delete_where,
+        merge_into,
+        read_version,
+        table_changes,
+    )
+
+    path = str(tmp_path_factory.mktemp("vseq"))
+    df0 = spark.createDataFrame(initial, "k long, v long")
+    v = commit_version(spark, path, df0, mode="overwrite")
+    state = dict(initial)
+    snapshots = {v: dict(state)}
+
+    for op in ops:
+        if op[0] == "merge":
+            _, updates, wm, wnm, use_del = op
+            udf = spark.createDataFrame(
+                updates, "k long, v long, is_del boolean"
+            )
+            v = merge_into(
+                spark,
+                path,
+                udf,
+                on=["k"],
+                when_matched=wm,
+                when_not_matched=wnm,
+                delete_col="is_del" if use_del else None,
+            )
+            for k, val, is_del in updates:
+                if k in state:
+                    if use_del and is_del:
+                        del state[k]
+                    elif wm == "update":
+                        state[k] = val if val is not None else state[k]
+                elif wnm == "insert":
+                    state[k] = val
+        else:
+            _, cutoff = op
+            v = delete_where(spark, path, f"v < {cutoff}")
+            state = {
+                k: val
+                for k, val in state.items()
+                if val is None or not (val < cutoff)
+            }
+        snapshots[v] = dict(state)
+
+    for ver, snap in snapshots.items():
+        got = {
+            r.k: r.v for r in read_version(spark, path, version=ver).collect()
+        }
+        assert got == snap
+
+    versions = sorted(snapshots)
+    v_from, v_to = versions[0], versions[-1]
+    old, new = snapshots[v_from], snapshots[v_to]
+    changes = {}
+    for r in table_changes(spark, path, v_from, v_to, keys=["k"]).collect():
+        changes.setdefault(r._change_type, {})[r.k] = r.v
+    exp_ins = {k: v2 for k, v2 in new.items() if k not in old}
+    exp_del = {k: v1 for k, v1 in old.items() if k not in new}
+    exp_upd = {k for k in old.keys() & new.keys() if old[k] != new[k]}
+    assert changes.get("insert", {}) == exp_ins
+    assert changes.get("delete", {}) == exp_del
+    assert changes.get("update_preimage", {}) == {k: old[k] for k in exp_upd}
+    assert changes.get("update_postimage", {}) == {k: new[k] for k in exp_upd}
