@@ -11107,3 +11107,221 @@ def test_versioned_dml_sequence_matches_dict_replay(
     assert changes.get("delete", {}) == exp_del
     assert changes.get("update_preimage", {}) == {k: old[k] for k in exp_upd}
     assert changes.get("update_postimage", {}) == {k: new[k] for k in exp_upd}
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: exact pairs vs brute force, and the LSH scale path
+# must be row-identical to the exact operator (zero recall loss claim)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(1, 4), st.integers(-3, 3), st.integers(-3, 3)
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.5, 0.9, 0.95]),
+)
+def test_embedding_neardup_exact_and_lsh_agree_with_bruteforce(
+    spark, vecs, threshold
+):
+    from valentinus_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(df, threshold=threshold).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs_lsh(df, threshold=threshold).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    exp = {}
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            c = cos(vecs[a], vecs[b])
+            if c >= threshold:
+                exp[(a, b)] = c
+    # float-boundary pairs (cosine within 1e-9 of the threshold) may
+    # legitimately differ between the normalized-dot and direct forms
+    for key in set(exact) | set(exp):
+        if key in exact and key in exp:
+            assert exact[key] == pytest.approx(exp[key], abs=1e-9)
+        else:
+            c = cos(vecs[key[0]], vecs[key[1]])
+            assert abs(c - threshold) < 1e-9
+    # the documented LSH contract: identical pair set, identical scores
+    assert set(lsh) == set(exact)
+    for k_ in exact:
+        assert lsh[k_] == pytest.approx(exact[k_], abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# query.cosine_topk / nearest_topk vs brute force
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(-3, 3), st.integers(-3, 3), st.integers(1, 4)),
+        min_size=1,
+        max_size=10,
+    ),
+    q=st.tuples(st.integers(-3, 3), st.integers(-3, 3), st.integers(1, 4)),
+    k=st.sampled_from([1, 3]),
+    metric=st.sampled_from(["cosine", "dot"]),
+)
+def test_query_topk_matches_bruteforce(spark, vecs, q, k, metric):
+    from valentinus_spark.operators.query import cosine_topk, nearest_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, embedding array<double>",
+    )
+    qv = [float(x) for x in q]
+    got = [
+        (r.id, r.similarity)
+        for r in cosine_topk(df, qv, k, metric=metric).collect()
+    ]
+
+    def score(v):
+        d = sum(x * y for x, y in zip(v, qv))
+        if metric == "dot":
+            return d
+        den = math.sqrt(sum(x * x for x in v)) * math.sqrt(sum(x * x for x in qv))
+        return d / den if den > 0 else 0.0
+
+    scored = [(i, score(v)) for i, v in enumerate(vecs) if score(v) > 0]
+    exp = sorted(scored, key=lambda t: (-t[1], t[0]))[:k]
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (gi, gs), (_, es) in zip(got, exp):
+        assert gs == pytest.approx(es, abs=1e-12)
+
+    near = [
+        (r.id, r.distance) for r in nearest_topk(df, qv, k=k).collect()
+    ]
+    dists = [
+        (i, math.sqrt(sum((x - y) ** 2 for x, y in zip(v, qv))))
+        for i, v in enumerate(vecs)
+    ]
+    exp_near = sorted(dists, key=lambda t: (t[1], t[0]))[:k]
+    assert [i for i, _ in near] == [i for i, _ in exp_near]
+    for (_, gd), (_, ed) in zip(near, exp_near):
+        assert gd == pytest.approx(ed, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# time rollup: merged partials over any split == one-shot rollup (the
+# algebraic property that makes the materialization correct), vs replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 96),  # hours offset
+            st.sampled_from(["click", "view"]),
+            st.integers(-5, 100),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    split_at=st.integers(0, 96),
+)
+def test_time_rollup_merge_equals_oneshot_and_replica(spark, events, split_at):
+    import datetime as _dt
+
+    from valentinus_spark.operators.rollup import build_time_rollup, merged_rollup
+
+    t0 = _dt.datetime(2024, 3, 1)
+    rows = [
+        (t0 + _dt.timedelta(hours=h, minutes=h % 60), k, float(v))
+        for h, k, v in events
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    head = df.filter(F.col("ts") < t0 + _dt.timedelta(hours=split_at))
+    tail = df.filter(F.col("ts") >= t0 + _dt.timedelta(hours=split_at))
+
+    def as_map(frame):
+        return {
+            (r.bucket_start, r.key): (r.n, r.sum_value, r.min_value, r.max_value)
+            for r in frame.collect()
+        }
+
+    oneshot = as_map(build_time_rollup(df))
+    merged = as_map(merged_rollup(build_time_rollup(head), tail))
+    assert merged == oneshot
+
+    exp: dict = {}
+    for (ts, k, v) in rows:
+        b = ts.replace(minute=0, second=0)
+        cur = exp.get((b, k))
+        exp[(b, k)] = (
+            (1, v, v, v)
+            if cur is None
+            else (cur[0] + 1, cur[1] + v, min(cur[2], v), max(cur[3], v))
+        )
+    assert oneshot == exp
+
+
+# ---------------------------------------------------------------------------
+# conformal interval calibration vs python replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    errs=st.lists(
+        st.one_of(st.none(), st.integers(0, 40).map(lambda x: x / 4.0)),
+        min_size=0,
+        max_size=16,
+    ),
+    alpha=st.sampled_from([0.1, 0.5]),
+)
+def test_conformal_interval_eval_matches_python(spark, errs, alpha):
+    from valentinus_spark.operators.rollup import conformal_interval_eval
+
+    rows = [(i, e) for i, e in enumerate(errs)]
+    df = spark.createDataFrame(rows, "day long, abs_err double")
+    got = conformal_interval_eval(df, alpha=alpha).first()
+
+    vals = [e for _, e in rows if e is not None]
+    # order_col is the day index; null errors drop before the split
+    ordered = [e for _, e in sorted(rows) if e is not None]
+    tot = len(ordered)
+    n_cal = tot // 2
+    cal, test = ordered[:n_cal], ordered[n_cal:]
+    k = math.ceil((n_cal + 1) * (1 - alpha)) if n_cal else 0
+    q = sorted(cal)[k - 1] if 1 <= k <= n_cal else None
+    n_cov = sum(1 for e in test if q is not None and e <= q)
+    assert got.n_cal == n_cal
+    assert got.n_test == len(test)
+    if q is None:
+        assert got.q_hat is None
+        assert got.coverage is None
+    else:
+        assert got.q_hat == pytest.approx(_rhu(q, 6), abs=1e-9)
+        assert got.n_covered == n_cov
+        if test:
+            assert got.coverage == pytest.approx(
+                _rhu(n_cov / len(test), 6), abs=1e-9
+            )
+        else:
+            assert got.coverage is None
