@@ -11325,3 +11325,239 @@ def test_conformal_interval_eval_matches_python(spark, errs, alpha):
             )
         else:
             assert got.coverage is None
+
+
+# ---------------------------------------------------------------------------
+# PII counts / redaction vs python re replay of the shared pattern table
+# ---------------------------------------------------------------------------
+
+
+_pii_piece = st.one_of(
+    st.sampled_from(
+        [
+            "plain words here",
+            "bob.smith+x@ex-mail.co",
+            "@not.an.email",
+            "123-45-6789",
+            "1234-45-6789",
+            "10.0.255.3",
+            "999.999.999.999",
+            "+1-555-123-4567",
+            "+421-555-123-4567",
+            "555-123-4567",
+            "x",
+        ]
+    )
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pieces=st.lists(_pii_piece, min_size=1, max_size=6))
+def test_pii_counts_and_redaction_match_python(spark, pieces):
+    from valentinus_spark.functions.text import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    text = " ".join(pieces)
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        pii_counts("text").alias("c"), redact_pii("text").alias("r")
+    ).first()
+
+    exp_text = text
+    for kind, pat in PII_PATTERNS.items():
+        assert row.c[kind] == len(_re.findall(pat, text))
+        exp_text = _re.sub(pat, f"<{kind.upper()}>", exp_text)
+    assert row.r == exp_text
+    # a redacted text has no remaining matches of any kind
+    re_row = (
+        spark.createDataFrame([(row.r,)], "text string")
+        .select(pii_counts("text").alias("c"))
+        .first()
+    )
+    assert all(re_row.c[k] == 0 for k in PII_PATTERNS)
+
+
+# ---------------------------------------------------------------------------
+# html_to_text vs constructed-document ground truth
+# ---------------------------------------------------------------------------
+
+
+_html_chunk = st.one_of(
+    st.tuples(st.just("text"), st.sampled_from(["hello", "a b", "42", "x,y."])),
+    st.tuples(
+        st.just("entity"),
+        st.sampled_from(
+            [("&lt;tag&gt;", "<tag>"), ("&amp;lt;", "&lt;"), ("&quot;q&quot;", '"q"')]
+        ),
+    ),
+    st.tuples(st.just("tag"), st.sampled_from(["<br>", "<div class='x'>", "</p>"])),
+    st.tuples(
+        st.just("script"),
+        st.sampled_from(
+            [
+                "<script>var x = '<b>no</b>';</script>",
+                "<STYLE type=css>.a { color: red }</STYLE>",
+                "<!-- a <hidden> comment -->",
+            ]
+        ),
+    ),
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(chunks=st.lists(_html_chunk, min_size=0, max_size=8))
+def test_html_to_text_matches_constructed_truth(spark, chunks):
+    from valentinus_spark.functions.web import html_to_text
+
+    html = []
+    words = []
+    for kind, payload in chunks:
+        if kind == "text":
+            html.append(payload)
+            words.append(payload)
+        elif kind == "entity":
+            raw, decoded = payload
+            html.append(raw)
+            words.append(decoded)
+        else:  # tag / script / style / comment — contributes no text
+            html.append(payload)
+    doc = " ".join(html)
+    exp = _re.sub(r"\s+", " ", " ".join(words)).strip()
+    got = (
+        spark.createDataFrame([(doc,)], "html string")
+        .select(html_to_text("html").alias("t"))
+        .first()["t"]
+    )
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# versioned table: compaction is content-identical, vacuum drops exactly
+# the unreferenced versions and keeps the survivors readable
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 20), st.integers(0, 5)),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    target_files=st.sampled_from([1, 3]),
+    keep_last=st.sampled_from([1, 2]),
+)
+def test_compact_vacuum_preserve_latest_content(
+    spark, tmp_path_factory, batches, target_files, keep_last
+):
+    from valentinus_spark.sources.versioned import (
+        commit_version,
+        compact_commit,
+        list_versions,
+        read_version,
+        vacuum,
+    )
+
+    path = str(tmp_path_factory.mktemp("vcv"))
+    all_rows = []
+    for b in batches:
+        commit_version(
+            spark,
+            path,
+            spark.createDataFrame(b, "k long, v long"),
+            mode="append",
+        )
+        all_rows += b
+
+    v_compact = compact_commit(spark, path, target_files=target_files)
+    got = sorted((r.k, r.v) for r in read_version(spark, path).collect())
+    assert got == sorted(all_rows)  # compaction is content-identical
+
+    removed = vacuum(path, keep_last=keep_last)
+    vs = list_versions(path)
+    assert len(vs) == keep_last
+    assert vs[-1] == v_compact
+    # the retained latest version still reads the full content
+    got2 = sorted((r.k, r.v) for r in read_version(spark, path).collect())
+    assert got2 == sorted(all_rows)
+    import os as _os
+
+    for f in removed:
+        assert not _os.path.exists(f)
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct: deterministic estimate within the advertised error band
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(0, 10**9), min_size=1, max_size=60),
+    p=st.sampled_from([8, 12]),
+)
+def test_hll_distinct_within_error_band_and_deterministic(spark, vals, p):
+    from valentinus_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    est1 = hll_distinct(df, "v", p=p).first()["est_distinct"]
+    est2 = hll_distinct(
+        df.repartition(7), "v", p=p
+    ).first()["est_distinct"]
+    assert est1 == est2  # order/partitioning independent
+    true = len(set(vals))
+    # ~1.04/sqrt(2^p) relative error; small cardinalities use the
+    # linear-counting correction, so allow a floor of a few units
+    assert abs(est1 - true) <= max(4.0, 6 * 1.04 / math.sqrt(2**p) * true)
+
+
+# ---------------------------------------------------------------------------
+# shard_assignment vs python sha replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=_keys_strategy, n_shards=st.sampled_from([1, 7, 64]))
+def test_shard_assignment_matches_python(spark, keys, n_shards):
+    from valentinus_spark.operators.packing import shard_assignment
+
+    df = spark.createDataFrame([(str(k),) for k in keys], "key string")
+    got = {
+        r.key: r.shard
+        for r in df.select("key", shard_assignment("key", n_shards)).collect()
+    }
+    for k in keys:
+        assert got[str(k)] == _bucket_py("v1", str(k)) % n_shards
+
+
+# ---------------------------------------------------------------------------
+# JPEG: flat-color images survive the lossy roundtrip within DC accuracy
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    r=st.integers(0, 255),
+    g=st.integers(0, 255),
+    b=st.integers(0, 255),
+    subsample=st.booleans(),
+)
+def test_jpeg_flat_color_roundtrip_within_tolerance(h, w, r, g, b, subsample):
+    from valentinus_spark.jpeg import decode_jpeg, encode_jpeg
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :, 0], arr[:, :, 1], arr[:, :, 2] = r, g, b
+    back = decode_jpeg(encode_jpeg(arr, subsample=subsample))
+    assert back.shape == (h, w, 3)
+    # a flat block is pure DC — quantization error stays within a few
+    # levels per channel
+    assert int(np.max(np.abs(back.astype(int) - arr.astype(int)))) <= 6
