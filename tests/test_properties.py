@@ -11561,3 +11561,166 @@ def test_jpeg_flat_color_roundtrip_within_tolerance(h, w, r, g, b, subsample):
     # a flat block is pure DC — quantization error stays within a few
     # levels per channel
     assert int(np.max(np.abs(back.astype(int) - arr.astype(int)))) <= 6
+
+
+# ---------------------------------------------------------------------------
+# exact dedup / deduplicate vs md5 replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.sampled_from(
+            ["a doc", "A  DOC", " a doc ", "other", "", "  ", "x\ty"]
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_exact_dedup_and_deduplicate_match_md5_replica(spark, texts):
+    from valentinus_spark.operators.dedup import deduplicate, exact_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.content_hash: (r.kept_id, r.dup_count)
+        for r in exact_dedup(df).collect()
+    }
+    clusters: dict = {}
+    for i, t in enumerate(texts):
+        digest = hashlib.md5(_norm_py(t).encode()).hexdigest()
+        clusters.setdefault(digest, []).append(i)
+    assert got == {
+        d: (min(ids), len(ids)) for d, ids in clusters.items()
+    }
+    kept = sorted(r.doc_id for r in deduplicate(df).collect())
+    assert kept == sorted(min(ids) for ids in clusters.values())
+
+
+# ---------------------------------------------------------------------------
+# text_quality / lang_id / encoding_artifacts vs python replicas
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "cat", "7", "x.y,", "el", "que", "der", "und", "le", "THE"]
+            ),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_text_quality_and_lang_id_match_python(spark, texts):
+    from valentinus_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+        LANG_STOPWORDS,
+        lang_id,
+        text_quality,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.q, r.lang)
+        for r in df.select(
+            "doc_id",
+            text_quality("text").alias("q"),
+            lang_id("text").alias("lang"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.strip().split() if t.strip() else []
+        n_chars, n_words = len(t), len(toks)
+        n_punct = len(_re.findall(r"[\.,;:!\?'\"]", t))
+        n_digit = len(_re.findall(r"[0-9]", t))
+        n_stop = sum(1 for w in toks if w in ENGLISH_STOPWORDS)
+        q = got[i][0]
+        assert (q.n_chars, q.n_words) == (n_chars, n_words)
+        for gotv, num, den in (
+            (q.avg_word_len, n_chars, n_words),
+            (q.punct_ratio, n_punct, n_chars),
+            (q.digit_ratio, n_digit, n_chars),
+            (q.stopword_ratio, n_stop, n_words),
+        ):
+            if den == 0:
+                assert gotv is None
+            else:
+                assert gotv == pytest.approx(num / den, abs=1e-12)
+        # lang vote: argmax (votes, lang) over NORMALIZED tokens;
+        # struct max breaks vote ties toward the LARGER lang code
+        ntoks = _toks_py(t)
+        votes = [
+            (sum(1 for w in ntoks if w in words), lang)
+            for lang, words in LANG_STOPWORDS.items()
+        ]
+        best = max(votes)
+        assert got[i][1] == (best[1] if best[0] > 0 else "und")
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pieces=st.lists(
+        st.sampled_from(
+            [
+                "plain",
+                "\ufffd",
+                "\u00c3\u00a9",
+                "\u00e2\u0080\u0099",
+                "\u00c2\u00a0",
+                "\u0007",
+                "\u001f",
+                "ok\u0000ok",
+                "caf\u00e9",
+            ]
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_encoding_artifacts_match_python(spark, pieces):
+    from valentinus_spark.functions.text import (
+        ENCODING_ARTIFACT_PATTERNS,
+        encoding_artifacts,
+    )
+
+    text = "".join(pieces)
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(encoding_artifacts("text").alias("a"))
+        .first()["a"]
+    )
+    for kind, pat in ENCODING_ARTIFACT_PATTERNS.items():
+        assert row[kind] == len(_re.findall(pat, text)), kind
+
+
+# ---------------------------------------------------------------------------
+# trigram index vs python replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="abC d", max_size=12), min_size=1, max_size=6
+    )
+)
+def test_build_trigram_index_matches_python(spark, texts):
+    from valentinus_spark.operators.text_search import build_trigram_index
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.trigram)
+        for r in build_trigram_index(df).collect()
+    }
+    exp = set()
+    for i, t in enumerate(texts):
+        lo = t.lower()
+        if len(lo) >= 3:
+            for j in range(len(lo) - 2):
+                exp.add((i, lo[j : j + 3]))
+    assert got == exp
