@@ -11724,3 +11724,134 @@ def test_build_trigram_index_matches_python(spark, texts):
             for j in range(len(lo) - 2):
                 exp.add((i, lo[j : j + 3]))
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# copurchase_edges / build_inverted_index vs python replicas
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(1, 8)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_copurchase_edges_match_python(spark, rows):
+    from valentinus_spark.operators.graph import copurchase_edges
+
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {(r.src, r.dst) for r in copurchase_edges(df).collect()}
+    orders: dict = {}
+    for o, p in rows:
+        orders.setdefault(o, set()).add(p)
+    exp = {
+        (a, b)
+        for items in orders.values()
+        for a in items
+        for b in items
+        if a != b
+    }
+    assert got == exp
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["the", "cat", "Sat", "x,"]), min_size=0, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_build_inverted_index_matches_python(spark, texts):
+    from valentinus_spark.operators.text_search import build_inverted_index
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.term, r.doc_id, r.pos)
+        for r in build_inverted_index(df).collect()
+    }
+    exp = {
+        (tok, i, p + 1)
+        for i, t in enumerate(texts)
+        for p, tok in enumerate(_toks_py(t))
+        if tok
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# ORC roundtrip on random rows (nulls, unicode, negatives)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(10**9), 10**9),
+            st.one_of(st.none(), st.text(alphabet="ab\u00e9 $", max_size=10)),
+            st.one_of(st.none(), st.integers(-5, 5).map(float)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    sort_mode=st.booleans(),
+)
+def test_orc_roundtrip_random_rows(spark, tmp_path_factory, rows, sort_mode):
+    from valentinus_spark.sources.formats import read_orc, write_orc
+
+    path = str(tmp_path_factory.mktemp("orcfuzz")) + "/t"
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    write_orc(df, path, n_files=2, sort_cols=["k"] if sort_mode else None)
+    got = sorted(
+        ((r.k, r.s, r.v) for r in read_orc(spark, path).collect()),
+        key=lambda t: (t[0], t[1] or "", t[2] or 0.0),
+    )
+    assert got == sorted(
+        rows, key=lambda t: (t[0], t[1] or "", t[2] or 0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnow_shared_spans: pair parity with winnow_overlap_pairs + span sanity
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(winnow_text, min_size=2, max_size=5),
+    shared=st.text(alphabet=st.sampled_from("ghijkl"), min_size=0, max_size=20),
+)
+def test_winnow_shared_spans_pairs_and_bounds(spark, texts, shared):
+    from valentinus_spark.operators.text_search import (
+        winnow_overlap_pairs,
+        winnow_shared_spans,
+    )
+
+    k, w, min_shared = 4, 4, 1
+    # splice the shared block into the first two docs so pairs exist often
+    texts = [texts[0] + " " + shared, shared + " " + texts[1]] + texts[2:]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(
+            df, k=k, window=w, min_shared=min_shared, hash_fn="sha256"
+        ).collect()
+    }
+    spans = winnow_shared_spans(
+        df, k=k, window=w, min_shared=min_shared, hash_fn="sha256"
+    ).collect()
+    # the span report covers exactly the overlap-pair set
+    assert {(r.id_a, r.id_b) for r in spans} == pairs
+    norm_len = {i: len(_norm_py(t)) for i, t in enumerate(texts)}
+    for r in spans:
+        assert r.side in ("a", "b")
+        doc = r.id_a if r.side == "a" else r.id_b
+        assert 1 <= r.span_start <= r.span_end <= norm_len[doc]
+        assert r.span_end - r.span_start + 1 >= k or norm_len[doc] < k
+        assert r.n_fps >= 1
