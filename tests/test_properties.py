@@ -11855,3 +11855,145 @@ def test_winnow_shared_spans_pairs_and_bounds(spark, texts, shared):
         assert 1 <= r.span_start <= r.span_end <= norm_len[doc]
         assert r.span_end - r.span_start + 1 >= k or norm_len[doc] < k
         assert r.n_fps >= 1
+
+
+# ---------------------------------------------------------------------------
+# PQ encode vs nearest-centroid replica (hand-made codebooks, no training)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(*[st.integers(-3, 3) for _ in range(4)]),
+        min_size=1,
+        max_size=8,
+    ),
+    data=st.data(),
+)
+def test_pq_encode_matches_nearest_centroid_replica(spark, vecs, data):
+    from valentinus_spark.operators.similarity import pq_encode
+
+    # m=2 subspaces of 2 dims, k=3 centroids each
+    books = data.draw(
+        st.lists(
+            st.lists(
+                st.tuples(st.integers(-2, 2), st.integers(-2, 2)).map(
+                    lambda t: [float(t[0]), float(t[1])]
+                ),
+                min_size=3,
+                max_size=3,
+            ),
+            min_size=2,
+            max_size=2,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: list(r.pq_code) for r in pq_encode(df, books).collect()
+    }
+    for i, v in enumerate(vecs):
+        exp = []
+        for j in range(2):
+            sv = v[2 * j : 2 * j + 2]
+            dists = [
+                (sum((a - b) ** 2 for a, b in zip(sv, c)), ci)
+                for ci, c in enumerate(books[j])
+            ]
+            exp.append(min(dists)[1])
+        assert got[i] == exp
+
+
+# ---------------------------------------------------------------------------
+# random projection: seed determinism, partitioning invariance, linearity
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(*[st.integers(-4, 4) for _ in range(6)]),
+        min_size=1,
+        max_size=6,
+    ),
+    alpha=st.sampled_from([2.0, -3.0]),
+)
+def test_random_projection_deterministic_and_linear(spark, vecs, alpha):
+    from valentinus_spark.operators.similarity import random_projection
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def proj(frame):
+        return {
+            r.vec_id: list(r.rp_vec)
+            for r in random_projection(frame, out_dim=3).collect()
+        }
+
+    p1 = proj(df)
+    p2 = proj(df.repartition(5))
+    assert set(p1) == set(p2) == set(range(len(vecs)))
+    for i in p1:
+        assert len(p1[i]) == 3
+        for a, b in zip(p1[i], p2[i]):
+            assert a == pytest.approx(b, abs=1e-6)  # seed + partition invariant
+    scaled = spark.createDataFrame(
+        [(i, [alpha * x for x in v]) for i, (_, v) in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    ps = proj(scaled)
+    for i in p1:  # the map is linear: proj(alpha x) = alpha proj(x)
+        for a, b in zip(ps[i], p1[i]):
+            assert a == pytest.approx(alpha * b, rel=1e-5, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# label_cluster_stats vs python centroid/cosine replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(1, 4),
+            st.integers(-3, 3),
+            st.integers(-3, 3),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_label_cluster_stats_matches_python(spark, rows):
+    from valentinus_spark.operators.similarity import label_cluster_stats
+
+    df = spark.createDataFrame(
+        [
+            (i, lab, [float(x), float(y), float(z)])
+            for i, (lab, x, y, z) in enumerate(rows)
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    got = {
+        r.label: (r.n_vecs, r.avg_cos, r.min_cos)
+        for r in label_cluster_stats(df).collect()
+    }
+    groups: dict = {}
+    for lab, x, y, z in rows:
+        groups.setdefault(lab, []).append((float(x), float(y), float(z)))
+    for lab, members in groups.items():
+        cent = [sum(c) / len(members) for c in zip(*members)]
+        coss = []
+        for v in members:
+            d = sum(a * b for a, b in zip(v, cent))
+            na = math.sqrt(sum(a * a for a in v))
+            nb = math.sqrt(sum(b * b for b in cent))
+            coss.append(d / (na * nb) if na * nb > 0 else 0.0)
+        n, avg_c, min_c = got[lab]
+        assert n == len(members)
+        assert avg_c == pytest.approx(_rhu(sum(coss) / len(coss), 4), abs=2e-4)
+        assert min_c == pytest.approx(_rhu(min(coss), 4), abs=2e-4)
