@@ -11997,3 +11997,48 @@ def test_label_cluster_stats_matches_python(spark, rows):
         assert n == len(members)
         assert avg_c == pytest.approx(_rhu(sum(coss) / len(coss), 4), abs=2e-4)
         assert min_c == pytest.approx(_rhu(min(coss), 4), abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# probe_media_header: correct container/dims for every encoder's output,
+# ValueError on garbage — fuzzed content
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.sampled_from([2, 4, 6]),
+    w=st.sampled_from([2, 4, 8]),
+    data=st.data(),
+)
+def test_probe_media_header_identifies_all_containers(h, w, data):
+    from valentinus_spark.audio import encode_wav
+    from valentinus_spark.imaging import encode_bmp, encode_gif, encode_png
+    from valentinus_spark.jpeg import encode_jpeg
+    from valentinus_spark.multimodal import probe_media_header
+    from valentinus_spark.video import encode_y4m
+
+    raw = data.draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    rgb = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    gray = rgb[:, :, 0]
+
+    png = probe_media_header(encode_png(rgb))
+    assert (png["container"], png["width"], png["height"]) == ("png", w, h)
+    bmp = probe_media_header(encode_bmp(rgb))
+    assert (bmp["container"], bmp["width"], bmp["height"], bmp["depth"]) == (
+        "bmp", w, h, 24,
+    )
+    gif = probe_media_header(encode_gif(gray))
+    assert (gif["container"], gif["width"], gif["height"]) == ("gif", w, h)
+    jpg = probe_media_header(encode_jpeg(rgb))
+    assert (jpg["container"], jpg["width"], jpg["height"]) == ("jpeg", w, h)
+    wav = probe_media_header(encode_wav(gray.ravel() / 255.0, sample_rate=8000))
+    assert (wav["container"], wav["width"]) == ("wav", 8000)
+    y4m = probe_media_header(encode_y4m([gray]))
+    assert (y4m["container"], y4m["width"], y4m["height"]) == ("y4m", w, h)
+
+    junk = data.draw(st.binary(min_size=12, max_size=40))
+    sigs = (b"\x89PNG", b"BM", b"GIF8", b"\xff\xd8", b"RIFF", b"YUV4")
+    if not any(junk.startswith(s[:2]) for s in sigs):
+        with pytest.raises(ValueError):
+            probe_media_header(junk)
