@@ -12042,3 +12042,86 @@ def test_probe_media_header_identifies_all_containers(h, w, data):
     if not any(junk.startswith(s[:2]) for s in sigs):
         with pytest.raises(ValueError):
             probe_media_header(junk)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end collection property: save -> find -> filtered cosine_query vs
+# a full python replay (hash embedder + filter oracle + keep/order rules)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "cat", "sat", "dog", "ran", "big"]),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    metas=row_strategy,
+    spec=st.one_of(st.none(), spec_strategy),
+    query=st.lists(
+        st.sampled_from(["red", "cat", "sat", "dog"]), min_size=1, max_size=3
+    ).map(" ".join),
+    metric=st.sampled_from(["cosine", "dot"]),
+    data=st.data(),
+)
+def test_collection_e2e_query_matches_python_replay(
+    spark, tmp_path_factory, docs, metas, spec, query, metric, data
+):
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+    from valentinus_spark.session import CONF_WAREHOUSE
+
+    metas = (metas * ((len(docs) // len(metas)) + 1))[: len(docs)]
+    f_where = (
+        None if spec is None else [{k: {op: v}} for k, op, v in spec]
+    )
+    old_wh = spark.conf.get(CONF_WAREHOUSE)
+    spark.conf.set(CONF_WAREHOUSE, str(tmp_path_factory.mktemp("e2e_wh")))
+    try:
+        name = "e2eprop"
+        col = EmbeddingCollection.new(
+            spark, docs, metas, None, name, embedder=HashEmbedder(dim=16)
+        ).save()
+        found = EmbeddingCollection.find(spark, view=f"view-{name}")
+        got = [
+            (r.id, r.similarity)
+            for r in found.cosine_query(
+                query, num_results=0, f_where=f_where, metric=metric
+            ).collect()
+        ]
+    finally:
+        spark.conf.set(CONF_WAREHOUSE, old_wh)
+
+    emb = HashEmbedder(dim=16)
+    dvecs = emb.embed_texts(docs)
+    qv = emb.embed_texts([query])[0]
+
+    exp = {}
+    for i, d in enumerate(docs):
+        meta = {k: str(v) for k, v in (metas[i] or {}).items()}
+        if spec is not None and not all(
+            py_eval(meta, k, op, v) for k, op, v in spec
+        ):
+            continue
+        dv = [float(x) for x in dvecs[i]]
+        qd = [float(x) for x in qv]
+        s = sum(a * b for a, b in zip(dv, qd))
+        if metric == "cosine":
+            den = math.sqrt(sum(a * a for a in dv)) * math.sqrt(
+                sum(a * a for a in qd)
+            )
+            s = s / den if den > 0 else 0.0
+        if s > 0 and not math.isnan(s):
+            exp[f"id{i}"] = s
+
+    assert {i for i, _ in got} == set(exp)
+    for i, s in got:
+        assert s == pytest.approx(exp[i], abs=1e-6)
+    # ordered=True contract: similarity desc, id asc on ties
+    sims = [s for _, s in got]
+    assert sims == sorted(sims, reverse=True)
