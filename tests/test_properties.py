@@ -12125,3 +12125,62 @@ def test_collection_e2e_query_matches_python_replay(
     # ordered=True contract: similarity desc, id asc on ties
     sims = [s for _, s in got]
     assert sims == sorted(sims, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF bucketed ANN: exact scores, rank discipline, and the planted
+# identical-vector guarantee (same argmax bucket -> always found)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(-3, 3), st.integers(-3, 3)),
+        min_size=2,
+        max_size=10,
+    ),
+    cents=st.lists(
+        st.tuples(st.integers(-2, 2), st.integers(-2, 2), st.integers(1, 3)),
+        min_size=2,
+        max_size=4,
+    ),
+    planted=st.integers(0, 1),
+    k=st.sampled_from([2, 5]),
+    nprobe=st.sampled_from([1, 2]),
+)
+def test_bucketed_ann_exact_scores_and_planted_recall(
+    spark, corpus, cents, planted, k, nprobe
+):
+    from valentinus_spark.operators.similarity import bucketed_ann_topk
+
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+        "id long, embedding array<double>",
+    )
+    # one query = an exact copy of a corpus vector
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in corpus[planted]])],
+        "qid long, qvec array<double>",
+    )
+    centroids = [[float(x) for x in c] for c in cents]
+    rows = bucketed_ann_topk(
+        cdf, qdf, centroids, k=k, nprobe=nprobe
+    ).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return d / den if den > 0 else 0.0
+
+    qv = corpus[planted]
+    assert len(rows) <= k
+    sims = [r.similarity for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in rows:  # every returned score is the TRUE cosine
+        assert r.similarity == pytest.approx(
+            cos(corpus[r.id], qv), abs=1e-9
+        )
+    # identical vector shares the query's argmax bucket: rank 1, sim 1
+    top = [r for r in rows if r.rank == 1]
+    assert top and top[0].similarity == pytest.approx(1.0, abs=1e-9)
