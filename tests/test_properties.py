@@ -12184,3 +12184,46 @@ def test_bucketed_ann_exact_scores_and_planted_recall(
     # identical vector shares the query's argmax bucket: rank 1, sim 1
     top = [r for r in rows if r.rank == 1]
     assert top and top[0].similarity == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# MLlib MinHash LSH pairs: verified-exact Jaccard on emitted candidates
+# and the identical-document recall guarantee
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "cat", "sat", "dog", "ran", "big"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.5, 0.8]),
+    dup_of=st.integers(0, 1),
+)
+def test_minhash_mllib_pairs_precision_and_identical_doc_recall(
+    spark, texts, threshold, dup_of
+):
+    from valentinus_spark.operators.dedup import minhash_lsh_pairs
+
+    texts = texts + [texts[dup_of]]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, threshold=threshold).collect()
+    }
+    shingles = {i: _py_shingle_set(t, 3) for i, t in enumerate(texts)}
+    for (a, b), j in got.items():
+        assert a < b
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        assert j == pytest.approx(inter / (len(sa) + len(sb) - inter), abs=1e-9)
+        assert j >= threshold
+    planted = len(texts) - 1
+    key = (min(dup_of, planted), max(dup_of, planted))
+    assert got.get(key) == pytest.approx(1.0)
