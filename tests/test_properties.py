@@ -12227,3 +12227,69 @@ def test_minhash_mllib_pairs_precision_and_identical_doc_recall(
     planted = len(texts) - 1
     key = (min(dup_of, planted), max(dup_of, planted))
     assert got.get(key) == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: pair precision, planted identical-vector recall, and
+# keep-set consistency (dedup == min-id per component of its own pairs)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(-3, 3), st.integers(-3, 3)),
+        min_size=2,
+        max_size=9,
+    ),
+    cents=st.lists(
+        st.tuples(st.integers(-2, 2), st.integers(-2, 2), st.integers(1, 3)),
+        min_size=2,
+        max_size=3,
+    ),
+    threshold=st.sampled_from([0.9, 0.95]),
+    dup_of=st.integers(0, 1),
+)
+def test_semantic_dedup_precision_recall_and_keepset(
+    spark, corpus, cents, threshold, dup_of
+):
+    from valentinus_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    corpus = corpus + [corpus[dup_of]]  # planted exact duplicate
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = [[float(x) for x in c] for c in cents]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            df, centroids=centroids, threshold=threshold
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return d / den if den > 0 else 0.0
+
+    for a, b in pairs:  # precision: every pair is a true near-dup
+        assert a < b
+        assert cos(corpus[a], corpus[b]) >= threshold - 1e-9
+    planted = len(corpus) - 1  # identical vectors share any argmax cluster
+    assert (min(dup_of, planted), max(dup_of, planted)) in pairs
+
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, centroids=centroids, threshold=threshold
+        ).collect()
+    )
+    comp = _uf_components(pairs)
+    exp_kept = sorted(
+        i for i in range(len(corpus)) if comp.get(i, i) == i
+    )
+    assert kept == exp_kept
