@@ -12078,11 +12078,13 @@ def oracle_sql() -> dict[str, str]:
                        sqrt(greatest(sxx / n_rows - (sx / n_rows) * (sx / n_rows), 0.0)) AS sd
                 FROM stats
             ),
-            tot AS (SELECT SUM(n_rows * sd) AS t FROM sd),
+            tot AS (SELECT SUM(n_rows * sd) AS t, SUM(n_rows) AS tn FROM sd),
             wtd AS (
                 SELECT s, n_rows, sd,
-                       CASE WHEN t > 0 THEN n_rows * sd / t ELSE 0.0 END AS w,
-                       ROUND(CASE WHEN t > 0 THEN n_rows * sd / t ELSE 0.0 END * 1000.0, 6) AS ex
+                       CASE WHEN t > 0 THEN n_rows * sd / t
+                            ELSE n_rows::DOUBLE / tn END AS w,
+                       ROUND(CASE WHEN t > 0 THEN n_rows * sd / t
+                                  ELSE n_rows::DOUBLE / tn END * 1000.0, 6) AS ex
                 FROM sd CROSS JOIN tot
             ),
             fl AS (

@@ -2540,8 +2540,11 @@ def test_neyman_allocation_matches_python(spark, rows, total_n):
         var = max(sxx / n - (sx / n) ** 2, 0.0)
         stats[s] = (n, math.sqrt(var))
     tot = sum(n * sd for n, sd in stats.values())
+    totn = sum(n for n, _ in stats.values())
+    # all-zero-variance corpora fall back to proportional allocation
     w = {
-        s: (n * sd / tot if tot > 0 else 0.0) for s, (n, sd) in stats.items()
+        s: (n * sd / tot if tot > 0 else n / totn)
+        for s, (n, sd) in stats.items()
     }
     exact = {s: round(w[s] * float(total_n), 6) for s in stats}
     floor = {s: int(math.floor(exact[s])) for s in stats}

@@ -295,7 +295,13 @@ def neyman_allocation(
     the stratum size, with any clamp surplus waterfilled into the
     remaining strata's room — Σ alloc == min(total_n, Σ N_h) exactly. A
     zero-variance stratum draws nothing beyond what the floor gives it
-    (one observation determines it; σ_h = 0 ⇒ weight 0).
+    (one observation determines it; σ_h = 0 ⇒ weight 0). When EVERY
+    stratum has zero variance (Σ N_h·σ_h = 0) Neyman is undefined and
+    the allocation falls back to proportional (weight = N_h / Σ N_h) —
+    the standard reduction (equal σ ⇒ Neyman ≡ proportional), and the
+    only fallback that keeps weights summing to 1 so the
+    largest-remainder deficit stays ≤ the stratum count and the budget
+    identity above still holds.
 
     Returns one row per stratum: (``stratum_col``, ``n_rows``,
     ``stddev`` rounded 6, ``weight`` rounded 6, ``alloc``).
@@ -328,13 +334,16 @@ def neyman_allocation(
         )
         .withColumn("_sd", F.sqrt(F.col("_var")))
     )
-    tot = stats.agg(F.sum(F.col("n_rows") * F.col("_sd")).alias("_tot"))
+    tot = stats.agg(
+        F.sum(F.col("n_rows") * F.col("_sd")).alias("_tot"),
+        F.sum("n_rows").alias("_totn"),
+    )
     weighted = (
         stats.crossJoin(F.broadcast(tot))
         .withColumn(
             "_w",
             F.when(F.col("_tot") > 0, F.col("n_rows") * F.col("_sd") / F.col("_tot"))
-            .otherwise(F.lit(0.0)),
+            .otherwise(F.col("n_rows").cast("double") / F.col("_totn")),
         )
         # 6dp pre-round before floor: keeps the integer boundary immune
         # to last-ulp engine drift (same guard the waterfill oracle uses)

@@ -1255,12 +1255,23 @@ def matryoshka_fidelity(
         .groupBy("dim")
         .agg(F.count(F.lit(1)).alias("_m"))
     )
-    return matched.select(
-        "dim",
-        F.lit(k).alias("k"),
-        F.lit(nq).cast("bigint").alias("n_queries"),
-        F.round(F.col("_m").cast("double") / float(denom), 6).alias("mean_overlap"),
-    ).orderBy("dim")
+    # left-join back onto the dim list: a truncation whose top-k shares
+    # NOTHING with the full ranking must still report its 0.0 row (the
+    # documented one-row-per-dim contract; a groupBy of the semi-join
+    # alone silently drops it)
+    return (
+        F.broadcast(dims_df)
+        .join(matched, "dim", "left")
+        .select(
+            "dim",
+            F.lit(k).alias("k"),
+            F.lit(nq).cast("bigint").alias("n_queries"),
+            F.round(
+                F.coalesce(F.col("_m"), F.lit(0)).cast("double") / float(denom), 6
+            ).alias("mean_overlap"),
+        )
+        .orderBy("dim")
+    )
 
 
 def knn_distance_outliers(
