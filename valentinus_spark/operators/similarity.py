@@ -1258,7 +1258,16 @@ def matryoshka_fidelity(
     # left-join back onto the dim list: a truncation whose top-k shares
     # NOTHING with the full ranking must still report its 0.0 row (the
     # documented one-row-per-dim contract; a groupBy of the semi-join
-    # alone silently drops it)
+    # alone silently drops it). No full-dim rows at all (empty corpus or
+    # empty query set) keeps the pre-contract empty result rather than
+    # emitting 0/0 rows.
+    if denom == 0:
+        return matched.select(
+            "dim",
+            F.lit(k).alias("k"),
+            F.lit(nq).cast("bigint").alias("n_queries"),
+            F.lit(None).cast("double").alias("mean_overlap"),
+        )
     return (
         F.broadcast(dims_df)
         .join(matched, "dim", "left")
