@@ -12296,3 +12296,74 @@ def test_semantic_dedup_precision_recall_and_keepset(
         i for i in range(len(corpus)) if comp.get(i, i) == i
     )
     assert kept == exp_kept
+
+
+# ---------------------------------------------------------------------------
+# rank_scale: range, monotonicity, and the percent_rank replica
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=16),
+    bits=st.sampled_from([4, 16]),
+)
+def test_rank_scale_matches_percent_rank_replica(spark, vals, bits):
+    from valentinus_spark.operators.layout import rank_scale
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    got = {r.i: r.v_scaled for r in rank_scale(df, "v", bits=bits).collect()}
+    n = len(vals)
+    span = 1 << bits
+    svals = sorted(vals)
+    for i, v in enumerate(vals):
+        # percent_rank = (rank-1)/(n-1); rank = 1 + #values strictly below
+        pr = 0.0 if n == 1 else svals.index(v) / (n - 1)
+        exp = min(int(math.floor(pr * span)), span - 1)
+        assert got[i] == exp
+        assert 0 <= got[i] < span
+    # monotone: a larger value never gets a smaller scaled slot
+    for i, v in enumerate(vals):
+        for j, u in enumerate(vals):
+            if v < u:
+                assert got[i] <= got[j]
+
+
+# ---------------------------------------------------------------------------
+# finite_score / finite_embedding: NaN, +-Inf, and norm-overflow screens
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.sampled_from(
+            [0.0, 1.5, -2.0, float("nan"), float("inf"), float("-inf"),
+             1e308, 1e200, -1e154]
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_finite_guards_match_python(spark, vals):
+    from valentinus_spark.functions.vector import finite_embedding, finite_score
+
+    df = spark.createDataFrame(
+        [(i, v, vals) for i, v in enumerate(vals)],
+        "i long, s double, e array<double>",
+    )
+    got = {
+        r.i: (r.fs, r.fe)
+        for r in df.select(
+            "i",
+            finite_score("s").alias("fs"),
+            finite_embedding("e").alias("fe"),
+        ).collect()
+    }
+    n2 = 0.0
+    for v in vals:
+        n2 += v * v
+    exp_fe = math.isfinite(n2)
+    for i, v in enumerate(vals):
+        assert got[i][0] == math.isfinite(v)
+        assert got[i][1] == exp_fe
