@@ -794,6 +794,127 @@ def q_collection_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, res.schema)
 
 
+def q_federated_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-collection cosine federation (collection.py::
+    federated_cosine_query; r8 VERDICT item 3's reference-workload
+    composite): documents sharded into THREE collections by doc_id % 3,
+    one probe embedded per member (hash dim 64), per-member
+    filter→score→TakeOrdered winners union into one global top-10 with
+    provenance. Scatter-gather: only per-member winners travel. The
+    oracle replays the sha256 hash-embedder chain (the collection_e2e
+    replay) plus the shard assignment and the global (sim desc,
+    collection, id) merge order."""
+    import tempfile
+
+    from valentinus_spark.collection import CollectionCatalog, EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    catalog = CollectionCatalog(spark, warehouse=tempfile.mkdtemp(prefix="vs_fed_"))
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 3).alias("shard"),
+        F.concat(F.lit("id"), F.col("doc_id")).alias("id"),
+        F.col("text").alias("document"),
+        F.create_map(F.lit("Lang"), F.col("lang")).alias("metadata"),
+    )
+    views = []
+    for ci in range(3):
+        EmbeddingCollection.from_dataframe(
+            spark,
+            docs.filter(F.col("shard") == ci).drop("shard"),
+            f"fedshard{ci}",
+            embedder=HashEmbedder(dim=64),
+            catalog=catalog,
+        ).save()
+        views.append(f"view-fedshard{ci}")
+    res = EmbeddingCollection.federated_cosine_query(
+        spark, views, "spark query data", num_results=10,
+        f_where=[{"Lang": {"eq": "en"}}], catalog=catalog,
+    ).select("collection", "id", F.round("similarity", 4).alias("similarity"))
+    rows = res.collect()  # materialize before delete
+    for v in views:
+        EmbeddingCollection.delete(spark, v, catalog=catalog)
+    return spark.createDataFrame(rows, res.schema)
+
+
+def q_collection_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-append-safe compaction (collection.py::
+    begin_compaction/commit_compaction; r8 VERDICT item 3): a collection
+    of 'en' documents snapshots its files, a concurrent writer appends
+    the 'de' documents BETWEEN the phases, the commit rewrites only the
+    snapshot — the race that loses the append under directory-swap
+    compact(). Output = per-language doc counts + distinct ids from the
+    compacted collection: a lost append zeroes 'de', a double-applied
+    rewrite inflates 'en', duplicated rows split n_docs from n_ids."""
+    import tempfile
+
+    from valentinus_spark.collection import CollectionCatalog, EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    catalog = CollectionCatalog(spark, warehouse=tempfile.mkdtemp(prefix="vs_cmp_"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.concat(F.lit("id"), F.col("doc_id")).alias("id"),
+        F.col("text").alias("document"),
+        F.create_map(F.lit("Lang"), F.col("lang")).alias("metadata"),
+    )
+    col = EmbeddingCollection.from_dataframe(
+        spark, docs.filter(F.col("lang") == "en").drop("lang"),
+        "compactsafe", embedder=HashEmbedder(dim=16), catalog=catalog,
+    ).save()
+    plan = col.begin_compaction()
+    col.append(docs.filter(F.col("lang") == "de").drop("lang"))
+    col.commit_compaction(plan, target_files=4)
+    res = (
+        col.df.groupBy(F.element_at("metadata", "Lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("id").alias("n_ids"),
+        )
+        .orderBy("lang")
+    )
+    rows = res.collect()  # materialize before delete
+    EmbeddingCollection.delete(spark, "view-compactsafe", catalog=catalog)
+    return spark.createDataFrame(rows, res.schema)
+
+
+def q_collection_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection vacuum (collection.py::vacuum; r8 VERDICT item 3):
+    plant the three orphan classes a crashed maintenance job leaves
+    (swap-compaction dir, abandoned two-phase staging dir, PQ sidecar
+    with no catalog flag), vacuum, and return the audit joined with the
+    post-vacuum row count — wrong classification, a missed orphan, or
+    vacuumed DATA all change the output."""
+    import os as _os
+    import tempfile
+
+    from valentinus_spark.collection import CollectionCatalog, EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    catalog = CollectionCatalog(spark, warehouse=tempfile.mkdtemp(prefix="vs_vac_"))
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("id"), F.col("doc_id")).alias("id"),
+        F.col("text").alias("document"),
+        F.create_map(F.lit("Lang"), F.col("lang")).alias("metadata"),
+    )
+    col = EmbeddingCollection.from_dataframe(
+        spark, docs.filter(F.element_at("metadata", "Lang") == "en"),
+        "vacuumaudit", embedder=HashEmbedder(dim=16), catalog=catalog,
+    ).save()
+    path = catalog.resolve("view-vacuumaudit")["path"]
+    _os.makedirs(path + ".compact.tmp", exist_ok=True)
+    _os.makedirs(path + ".compact-feedface0000", exist_ok=True)
+    with open(path + "_pq_books.json", "w") as f:
+        f.write("{}")
+    audit = col.vacuum()
+    n_rows = col.df.count()
+    res = audit.select(
+        "artifact", "kind", "action", F.lit(n_rows).alias("n_rows_after")
+    ).orderBy("artifact")
+    rows = res.collect()  # materialize before delete
+    EmbeddingCollection.delete(spark, "view-vacuumaudit", catalog=catalog)
+    return spark.createDataFrame(rows, res.schema)
+
+
 def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/range_join.py): purchases attributed to
     10-minute error-incident windows of the same user — point-in-interval
@@ -7072,74 +7193,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder. When adding a query, insert it BEFORE the stable-core
     # marker below and demote the oldest unchanged entries past it.
     return {
-        # ==== DRIVER WINDOW (first 50) — r8 rotation ====
-        # Composition per the r7 VERDICT "Next round" #1: (1) the 13
-        # remaining round-2-stale rows (12 stale veterans + the
-        # rows-only ivf_ann_topk; the judge re-verified all 13
-        # oracle/recall-green at sf0.01 on 2026-08-15); (2) the first
-        # 37 r7-era additions in insertion order — never
-        # driver-checked. Every window entry is dev_compare-green at
-        # sf0.001/0.01/0.1.
-        # -- 13 round-2-stale leftovers (last driver-green r2) --
-        "range_join_incidents": q_range_join_incidents,
-        "customers_no_big_order": q_customers_no_big_order,
-        "order_cube": q_order_cube,
-        "event_value_quantiles": q_event_value_quantiles,
-        "ivf_ann_topk": q_ivf_ann,
-        "orders_heavy_semi": q_orders_heavy_semi,
-        "customer_moving_sum": q_customer_moving_sum,
-        "brand_supplier_breadth": q_brand_supplier_breadth,
-        "user_totals_stateful_stream": q_user_totals_stateful_stream,
-        "salted_part_join": q_salted_part_join,
-        "events_rollup_merge": q_events_rollup_merge,
-        "small_qty_revenue": q_small_qty_revenue,
-        "segment_except": q_segment_except,
-        # -- first 37 r7-era additions, never driver-checked --
-        "event_trend_mk": q_event_trend_mk,
-        "event_trend_theil": q_event_trend_theil,
-        "event_page_hinkley": q_event_page_hinkley,
-        "event_holt_forecast": q_event_holt_forecast,
-        "source_stylometry": q_source_stylometry,
-        "source_good_turing": q_source_good_turing,
-        "hll_user_overlap": q_hll_user_overlap,
-        "event_ewma_chart": q_event_ewma_chart,
-        "event_seasonal_decompose": q_event_seasonal_decompose,
-        "value_kruskal": q_value_kruskal,
-        "user_type_cochran": q_user_type_cochran,
-        "doc_rake_keywords": q_doc_rake_keywords,
-        "order_priority_trend": q_order_priority_trend,
-        "source_js_divergence": q_source_js_divergence,
-        "doc_texttiling": q_doc_texttiling,
-        "orders_fixed_width": q_orders_fixed_width,
-        "user_value_wilcoxon": q_user_value_wilcoxon,
-        "value_levene": q_value_levene,
-        "user_type_cronbach": q_user_type_cronbach,
-        "source_lang_hhi": q_source_lang_hhi,
-        "daily_revenue_runs": q_daily_revenue_runs,
-        "user_value_sign_test": q_user_value_sign_test,
-        "value_mood_median": q_value_mood_median,
-        "user_type_friedman": q_user_type_friedman,
-        "source_lang_ari": q_source_lang_ari,
-        "pr_auc_planted": q_pr_auc_planted,
-        "map_mrr_retrieval": q_map_mrr_retrieval,
-        "score_brier_logloss": q_score_brier_logloss,
-        "parts_pareto_frontier": q_parts_pareto_frontier,
-        "ams_f2_orders": q_ams_f2_orders,
-        "user_activity_streaks": q_user_activity_streaks,
-        "event_ljung_box": q_event_ljung_box,
-        "copurchase_jaccard_links": q_copurchase_jaccard_links,
-        "source_tv_distance": q_source_tv_distance,
-        "priority_page_trend": q_priority_page_trend,
-        "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
-        "bfs_planted": q_bfs_planted,
-        # ==== past the window ====
-        # TWO-ROUND ROTATION PLAN (r7 verdict #2): r8 caps registry
-        # growth at <= 10 new queries so the never-checked backlog
-        # drains. The r9 window = the 25 remaining r7-era
-        # never-checked rows below (ktruss_planted .. score_gain_chart)
-        # + the r8 additions block + round-3-cohort veterans to fill
-        # 50. That retires the backlog completely in r9.
-        # -- r9 head: 25 remaining r7-era never-checked --
+        # ==== DRIVER WINDOW (first 50) — r9 rotation ====
+        # Composition per the r8 VERDICT "Next round" #1: (1) the 25
+        # r7-era rows that had never had a driver CORRECTNESS row
+        # (judge re-verified all 25 oracle-green at sf0.01 on
+        # 2026-08-16, so rotation risk is nil); (2) the 25 stalest
+        # round-3 veterans in original registry order. This retires
+        # the never-checked backlog to ZERO. Every window entry is
+        # dev_compare-green at sf0.001/0.01/0.1.
+        # -- 25 r7-era rows, first driver check this round --
         "ktruss_planted": q_ktruss_planted,
         "doc_fog_smog": q_doc_fog_smog,
         "crawl_capture_recapture": q_crawl_capture_recapture,
@@ -7165,8 +7227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_decile_curve": q_revenue_decile_curve,
         "bm25f_search": q_bm25f_search,
         "score_gain_chart": q_score_gain_chart,
-        # -- r8 additions (never driver-checked; r9 window) --
-        # round-3 cohort (last driver-green r3), original order
+        # -- 25 stalest round-3 veterans (last driver-green r3) --
         "nation_order_coverage": q_nation_order_coverage,
         "train_split_counts": q_train_split,
         "corpus_balance_sample": q_corpus_balance_sample,
@@ -7192,6 +7253,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "data_expectations": q_data_expectations,
         "dedup_minhash": q_dedup_minhash,
+        # ==== past the window ====
+        # ROTATION PLAN: the r10 window = the r9 additions block below
+        # (never driver-checked — pinned here so they cannot be
+        # silently re-deferred) + the stalest remaining veterans (22
+        # round-3 rows starting at dedup_simhash, then the round-4
+        # cohort) to fill 50.
+        # -- r9 additions (never driver-checked; r10 window head) --
+        "federated_cosine_topk": q_federated_cosine_topk,
+        "collection_compact": q_collection_compact,
+        "collection_vacuum_audit": q_collection_vacuum_audit,
+        # round-3 cohort remainder (last driver-green r3)
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "media_dhash_planted": q_media_dhash_planted,
@@ -7418,6 +7490,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supply": q_regional_supply,
         "events_windowed_stream": q_events_windowed_stream,
         "asof_join_clicks": q_asof_clicks,
+        # round-8 window (all 50 green in CORRECTNESS_r08.json —
+        # freshest rows in the registry, demoted to the tail)
+        "range_join_incidents": q_range_join_incidents,
+        "customers_no_big_order": q_customers_no_big_order,
+        "order_cube": q_order_cube,
+        "event_value_quantiles": q_event_value_quantiles,
+        "ivf_ann_topk": q_ivf_ann,
+        "orders_heavy_semi": q_orders_heavy_semi,
+        "customer_moving_sum": q_customer_moving_sum,
+        "brand_supplier_breadth": q_brand_supplier_breadth,
+        "user_totals_stateful_stream": q_user_totals_stateful_stream,
+        "salted_part_join": q_salted_part_join,
+        "events_rollup_merge": q_events_rollup_merge,
+        "small_qty_revenue": q_small_qty_revenue,
+        "segment_except": q_segment_except,
+        "event_trend_mk": q_event_trend_mk,
+        "event_trend_theil": q_event_trend_theil,
+        "event_page_hinkley": q_event_page_hinkley,
+        "event_holt_forecast": q_event_holt_forecast,
+        "source_stylometry": q_source_stylometry,
+        "source_good_turing": q_source_good_turing,
+        "hll_user_overlap": q_hll_user_overlap,
+        "event_ewma_chart": q_event_ewma_chart,
+        "event_seasonal_decompose": q_event_seasonal_decompose,
+        "value_kruskal": q_value_kruskal,
+        "user_type_cochran": q_user_type_cochran,
+        "doc_rake_keywords": q_doc_rake_keywords,
+        "order_priority_trend": q_order_priority_trend,
+        "source_js_divergence": q_source_js_divergence,
+        "doc_texttiling": q_doc_texttiling,
+        "orders_fixed_width": q_orders_fixed_width,
+        "user_value_wilcoxon": q_user_value_wilcoxon,
+        "value_levene": q_value_levene,
+        "user_type_cronbach": q_user_type_cronbach,
+        "source_lang_hhi": q_source_lang_hhi,
+        "daily_revenue_runs": q_daily_revenue_runs,
+        "user_value_sign_test": q_user_value_sign_test,
+        "value_mood_median": q_value_mood_median,
+        "user_type_friedman": q_user_type_friedman,
+        "source_lang_ari": q_source_lang_ari,
+        "pr_auc_planted": q_pr_auc_planted,
+        "map_mrr_retrieval": q_map_mrr_retrieval,
+        "score_brier_logloss": q_score_brier_logloss,
+        "parts_pareto_frontier": q_parts_pareto_frontier,
+        "ams_f2_orders": q_ams_f2_orders,
+        "user_activity_streaks": q_user_activity_streaks,
+        "event_ljung_box": q_event_ljung_box,
+        "copurchase_jaccard_links": q_copurchase_jaccard_links,
+        "source_tv_distance": q_source_tv_distance,
+        "priority_page_trend": q_priority_page_trend,
+        "bloom_semijoin_revenue": q_bloom_semijoin_revenue,
+        "bfs_planted": q_bfs_planted,
     }
 
 
@@ -8951,6 +9075,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, ROUND(sim, 4) AS similarity
             FROM sims WHERE sim > 0
             ORDER BY sim DESC, id ASC LIMIT 10
+        """,
+        # federation replay: the collection_e2e hash-embedder chain +
+        # doc_id%3 shard provenance. Per-member top-10 caps are a no-op
+        # for a global top-10 (no member can exceed 10 winners), so the
+        # oracle ranks globally with the same (sim desc, collection, id)
+        # merge order the scatter-gather uses.
+        "federated_cosine_topk": """
+            WITH filt AS (
+                SELECT 'view-fedshard' || (doc_id % 3)::VARCHAR AS collection,
+                       'id' || doc_id::VARCHAR AS id, text
+                FROM documents WHERE lang = 'en'
+            ),
+            toks AS (
+                SELECT id,
+                       unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+                FROM filt
+            ),
+            h AS (
+                SELECT id,
+                       (('0x' || substr(sha256('42' || chr(31) || t), 1, 15))::UBIGINT)::BIGINT AS v
+                FROM toks WHERE t != ''
+            ),
+            sums AS (
+                SELECT id, ((v >> 1) % 64)::INT AS bucket,
+                       sum(CASE WHEN (v & 1) = 1 THEN 1.0 ELSE -1.0 END)::DOUBLE AS val
+                FROM h GROUP BY 1, 2
+            ),
+            docvec AS (
+                SELECT id, bucket,
+                       CAST(val / CAST(sqrt(sum(val * val) OVER (PARTITION BY id)) AS FLOAT) AS FLOAT) AS el
+                FROM sums
+            ),
+            qtok AS (SELECT unnest(['spark', 'query', 'data']) AS t),
+            qh AS (
+                SELECT (('0x' || substr(sha256('42' || chr(31) || t), 1, 15))::UBIGINT)::BIGINT AS v
+                FROM qtok
+            ),
+            qsums AS (
+                SELECT ((v >> 1) % 64)::INT AS bucket,
+                       sum(CASE WHEN (v & 1) = 1 THEN 1.0 ELSE -1.0 END)::DOUBLE AS val
+                FROM qh GROUP BY 1
+            ),
+            qvec AS (
+                SELECT bucket,
+                       CAST(val / CAST(sqrt(sum(val * val) OVER ()) AS FLOAT) AS FLOAT) AS el
+                FROM qsums
+            ),
+            norms AS (
+                SELECT id, sqrt(sum(el::DOUBLE * el::DOUBLE)) AS na FROM docvec GROUP BY 1
+            ),
+            qnorm AS (SELECT sqrt(sum(el::DOUBLE * el::DOUBLE)) AS nq FROM qvec),
+            dots AS (
+                SELECT d.id, sum(d.el::DOUBLE * q.el::DOUBLE) AS dp
+                FROM docvec d JOIN qvec q USING (bucket) GROUP BY 1
+            ),
+            sims AS (
+                SELECT n.id,
+                       CASE WHEN n.na * (SELECT nq FROM qnorm) > 0
+                            THEN COALESCE(dp, 0.0) / (n.na * (SELECT nq FROM qnorm))
+                            ELSE 0.0 END AS sim
+                FROM norms n LEFT JOIN dots USING (id)
+            )
+            SELECT f.collection, s.id, ROUND(s.sim, 4) AS similarity
+            FROM sims s JOIN filt f USING (id)
+            WHERE s.sim > 0
+            ORDER BY s.sim DESC, f.collection ASC, s.id ASC LIMIT 10
+        """,
+        # the compacted collection must hold exactly the pre-snapshot
+        # 'en' docs plus the concurrently-appended 'de' docs, once each
+        "collection_compact": """
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT 'id' || doc_id::VARCHAR)::BIGINT AS n_ids
+            FROM documents WHERE lang IN ('en', 'de')
+            GROUP BY lang ORDER BY lang
+        """,
+        # the three planted orphan classes, classified; n_rows_after is
+        # the intact data plane (vacuum must never touch data files)
+        "collection_vacuum_audit": """
+            WITH n AS (
+                SELECT count(*)::BIGINT AS n_rows_after
+                FROM documents WHERE lang = 'en'
+            )
+            SELECT a.artifact, a.kind, 'removed' AS action, n.n_rows_after
+            FROM (VALUES
+                ('view-vacuumaudit.compact-feedface0000', 'staged_compaction_dir'),
+                ('view-vacuumaudit.compact.tmp', 'swap_compaction_dir'),
+                ('view-vacuumaudit_pq_books.json', 'orphan_pq_sidecar')
+            ) AS a(artifact, kind) CROSS JOIN n
+            ORDER BY a.artifact
         """,
         # theta-overlap replay: both 64-hash sketches rebuilt, combined
         # threshold, survivors marked per side, same estimator constants
@@ -13303,7 +13517,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ABS(x - forecast), 6) AS abs_err
             FROM rec ORDER BY day
         """
-    sql["source_stylometry"] = """
+    sql["source_stylometry"] = r"""
             WITH toks AS (
                 SELECT source, unnest(
                     CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
@@ -13344,7 +13558,7 @@ def oracle_sql() -> dict[str, str]:
             FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
             GROUP BY 1, 2 ORDER BY 1, 2
         """
-    sql["source_good_turing"] = """
+    sql["source_good_turing"] = r"""
             WITH toks AS (
                 SELECT source, unnest(
                     CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "media_content_stats",
     "asof_join_clicks",
     "collection_e2e",
+    "federated_cosine_topk",
     "range_join_incidents",
     "customers_no_big_order",
     "order_cube",
@@ -363,6 +364,7 @@ UNBENCHED = {
         "orc_roundtrip", "minmax_pruned_agg", "merge_into_versioned",
         "orders_fixed_width", "xml_roundtrip", "bucketed_join_revenue",
         "dpp_partitioned_join", "schema_evolution_read",
+        "collection_compact", "collection_vacuum_audit",
     ],
     # planted tiny-fixture correctness gates (constructed inputs of
     # dozens-to-hundreds of rows measuring SEMANTICS — recall gates,
@@ -400,6 +402,7 @@ BENCH_FAMILIES = {
         "flagship_filtered_cosine_topk", "cosine_topk", "nearest_l2",
         "ann_brute_topk", "neardup_embedding", "neardup_embedding_lsh",
         "ann_lsh_topk", "ivf_ann_topk", "collection_e2e",
+        "federated_cosine_topk",
         "embedding_element_stats", "hard_negatives", "pca_planted",
         "embedding_drift", "kcenter_planted", "abtt_planted",
         "margin_mining", "semantic_contamination", "matryoshka_fidelity",
@@ -611,6 +614,13 @@ assert sorted(BENCH_QUERIES + _unbenched_all) == sorted(entrymod.queries()), (
 )
 
 
+# Load-probe acceptance threshold (BASELINE.md; VERDICT r8 item 7): an
+# idle box reads ~0.19-0.28 s on this probe; r8's 1.7x-loaded re-run
+# read ~0.5 s and inflated the headline 19 -> 29.6 s. Artifacts whose
+# pre OR post probe exceeds this are flagged not-comparable.
+LOAD_PROBE_MAX = 0.35
+
+
 def load_probe(spark) -> float:
     """Fixed-cost machine-load marker (VERDICT r7 item 6): the wall time
     of a constant CPU-bound query — 8M sha256 digests across 32
@@ -779,6 +789,16 @@ def main() -> None:
 
     probes["post"] = load_probe(spark)
     print(f"# load_probe post: {probes['post']:.3f}s", file=sys.stderr)
+    # acceptance rule (BASELINE.md "Load-probe acceptance"): a bench
+    # artifact is cross-round comparable only when the box was idle.
+    if max(probes.values()) > LOAD_PROBE_MAX:
+        print(
+            f"# WARNING: load_probe {probes} exceeds the {LOAD_PROBE_MAX}s "
+            "acceptance threshold (BASELINE.md) — the box is under ambient "
+            "load; timings are NOT cross-round comparable. Re-run on an "
+            "idle box before recording.",
+            file=sys.stderr,
+        )
 
     # full per-query record for the judge (the stdout line only carries
     # the headline-24 + subtotals; this file is the complete evidence)

@@ -478,3 +478,145 @@ def test_cosine_query_many_matches_single_queries(spark, fresh_warehouse):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         col.cosine_query_many([])
+
+
+def test_federated_cosine_query_matches_per_collection_merge(spark, fresh_warehouse):
+    """Scatter-gather federation: global top-k over N collections must
+    equal the hand-merged union of per-collection top-k's, carry the
+    right provenance, and embed the probe with EACH collection's own
+    embedder (different dims per member)."""
+    from valentinus_spark.collection import CollectionCatalog, EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    catalog = CollectionCatalog(spark)
+    members = {}
+    for ci, dim in [(0, 16), (1, 16), (2, 32)]:  # one member in another space
+        docs = [f"shard {ci} topic {i % 5} document {i}" for i in range(20)]
+        metas = [{"Year": 2000 + (i % 3)} for i in range(20)]
+        members[f"view-fed{ci}"] = EmbeddingCollection.new(
+            spark, docs, metas, None, f"fed{ci}", embedder=HashEmbedder(dim=dim),
+            catalog=catalog,
+        ).save()
+
+    probe, k = "topic 3 document", 7
+    got = EmbeddingCollection.federated_cosine_query(
+        spark, sorted(members), probe, num_results=k, catalog=catalog
+    ).collect()
+    assert len(got) == k
+    # provenance: each returned id must exist in the named member
+    for r in got:
+        assert r["id"] in set(members[r["collection"]].get_ids())
+    # oracle: merge per-collection top-k by (sim desc, collection, id)
+    expected = []
+    for v, col in members.items():
+        for r in col.cosine_query(probe, num_results=k).collect():
+            expected.append((-r["similarity"], v, r["id"]))
+    expected = [(v, i) for _s, v, i in sorted(expected)[:k]]
+    assert [(r["collection"], r["id"]) for r in got] == expected
+
+    # metadata filters apply inside every member
+    filt = EmbeddingCollection.federated_cosine_query(
+        spark, sorted(members), probe, num_results=20,
+        f_where=[{"Year": {"eq": 2001}}], catalog=catalog,
+    ).collect()
+    assert filt
+    for r in filt:
+        assert r["metadata"]["Year"] == "2001"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        EmbeddingCollection.federated_cosine_query(spark, [], probe)
+
+
+def test_compact_safe_preserves_concurrent_append(spark, fresh_warehouse):
+    """The two-phase compaction must not lose rows appended between
+    begin (file snapshot) and commit (rewrite+swap) — the exact race
+    the directory-swap compact() cannot survive. Content must be
+    row-identical afterwards and the appended rows queryable."""
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    col = EmbeddingCollection.new(
+        spark, [f"doc number {i}" for i in range(30)],
+        [{"Batch": 0} for _ in range(30)], None, "safecompact",
+        embedder=HashEmbedder(dim=16),
+    ).save()
+    before = {r["id"] for r in col.df.select("id").collect()}
+
+    plan = col.begin_compaction()
+    assert plan["files"]
+    # concurrent writer lands between the phases
+    col.append(spark.createDataFrame(
+        [("late1", "late doc one", {"Batch": "1"}),
+         ("late2", "late doc two", {"Batch": "1"})],
+        "id string, document string, metadata map<string,string>",
+    ))
+    col.commit_compaction(plan, target_files=2)
+
+    ids = [r["id"] for r in col.df.select("id").collect()]
+    assert sorted(ids) == sorted(before | {"late1", "late2"})
+    assert len(ids) == len(set(ids)), "compaction duplicated rows"
+    # compacted layout actually shrank the snapshot's file count
+    data_files = [
+        f for f in os.listdir(col.catalog.resolve("view-safecompact")["path"])
+        if f.endswith(".parquet")
+    ]
+    n_compacted = sum(1 for f in data_files if f.startswith("compact-"))
+    assert 0 < n_compacted <= 2
+    assert col.cosine_query("late doc two", num_results=1).first()["id"] == "late2"
+
+
+def test_compact_safe_partitioned_layout_survives(spark, fresh_warehouse):
+    """Two-phase compaction of a Hive-partitioned collection must keep
+    the partition directories (and the partition column's values)."""
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    docs = [f"doc {i}" for i in range(12)]
+    metas = [{"Lang": "en" if i % 2 else "de"} for i in range(12)]
+    col = EmbeddingCollection.new(
+        spark, docs, metas, None, "partcompact", embedder=HashEmbedder(dim=16)
+    ).save(promote_keys=["Lang"], partition_by=["md_Lang"])
+    before = {(r["id"], r["md_Lang"]) for r in col.df.select("id", "md_Lang").collect()}
+    col.compact_safe(target_files=1)
+    after = {(r["id"], r["md_Lang"]) for r in col.df.select("id", "md_Lang").collect()}
+    assert after == before
+    path = col.catalog.resolve("view-partcompact")["path"]
+    assert sorted(d for d in os.listdir(path) if d.startswith("md_Lang=")) == [
+        "md_Lang=de", "md_Lang=en",
+    ]
+
+
+def test_vacuum_removes_orphans_keeps_live_index(spark, fresh_warehouse):
+    """vacuum(): abandoned swap/staging dirs and CATALOG-ORPHANED index
+    sidecars go; live (catalog-referenced) sidecars and data stay."""
+    from valentinus_spark.collection import EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    col = EmbeddingCollection.new(
+        spark, [f"doc {i} alpha beta" for i in range(10)], None, None,
+        "vacuumable", embedder=HashEmbedder(dim=16),
+    ).save()
+    col.build_ann_index()  # LIVE sidecars — must survive
+    path = col.catalog.resolve("view-vacuumable")["path"]
+    os.makedirs(path + ".compact.tmp")
+    os.makedirs(path + ".compact-deadbeef0000")
+    open(path + "_pq_books.json", "w").write("{}")  # orphan: no pq_index flag
+
+    dry = {r["artifact"]: r for r in col.vacuum(dry_run=True).collect()}
+    assert all(r["action"] == "would_remove" for r in dry.values())
+    assert os.path.exists(path + ".compact.tmp"), "dry_run must not delete"
+
+    audit = {r["artifact"]: r["kind"] for r in col.vacuum().collect()}
+    base = os.path.basename(path)
+    assert audit == {
+        base + ".compact.tmp": "swap_compaction_dir",
+        base + ".compact-deadbeef0000": "staged_compaction_dir",
+        base + "_pq_books.json": "orphan_pq_sidecar",
+    }
+    assert not os.path.exists(path + ".compact.tmp")
+    assert not os.path.exists(path + "_pq_books.json")
+    assert os.path.exists(path + "_ann"), "live ANN sidecar must survive vacuum"
+    assert col.df.count() == 10
+    # the live index still answers queries after vacuum
+    assert col.nearest_query_approx("doc 3 alpha beta", k=1).count() == 1

@@ -96,39 +96,15 @@ def test_all_committed_oracles_bind_clean(sf_dir):
     assert not dirty, f"uncast oracle columns (cast to BIGINT/DOUBLE): {dirty}"
 
 
-# The r7 VERDICT's "Next round" #1 window: the 13 round-2-stale
-# leftovers (12 stale veterans + rows-only ivf_ann_topk, all judge
-# re-verified green at sf0.01 on 2026-08-15) + the first 37 r7-era
-# additions in insertion order (never driver-checked). 13 + 37 = 50.
-# The window contract is that these occupy the registry HEAD so an
-# edit cannot silently re-defer a never/stale-checked query.
-R8_WINDOW = [
-    # 13 round-2-stale leftovers (last driver-green r2)
-    "range_join_incidents", "customers_no_big_order", "order_cube",
-    "event_value_quantiles", "ivf_ann_topk", "orders_heavy_semi",
-    "customer_moving_sum", "brand_supplier_breadth",
-    "user_totals_stateful_stream", "salted_part_join",
-    "events_rollup_merge", "small_qty_revenue", "segment_except",
-    # first 37 r7-era additions, never driver-checked
-    "event_trend_mk", "event_trend_theil", "event_page_hinkley",
-    "event_holt_forecast", "source_stylometry", "source_good_turing",
-    "hll_user_overlap", "event_ewma_chart", "event_seasonal_decompose",
-    "value_kruskal", "user_type_cochran", "doc_rake_keywords",
-    "order_priority_trend", "source_js_divergence", "doc_texttiling",
-    "orders_fixed_width", "user_value_wilcoxon", "value_levene",
-    "user_type_cronbach", "source_lang_hhi", "daily_revenue_runs",
-    "user_value_sign_test", "value_mood_median", "user_type_friedman",
-    "source_lang_ari", "pr_auc_planted", "map_mrr_retrieval",
-    "score_brier_logloss", "parts_pareto_frontier", "ams_f2_orders",
-    "user_activity_streaks", "event_ljung_box",
-    "copurchase_jaccard_links", "source_tv_distance",
-    "priority_page_trend", "bloom_semijoin_revenue", "bfs_planted",
-]
-
-# The r9 window head: the 25 remaining r7-era never-checked rows.
-# Pinned at positions 51-75 so they cannot be silently re-deferred
-# next rotation (r8 additions slot in immediately after them).
-R9_HEAD = [
+# The r8 VERDICT's "Next round" #1 window: the 25 r7-era rows that had
+# never had a driver CORRECTNESS row (judge re-verified all 25
+# oracle-green at sf0.01 on 2026-08-16) + the 25 stalest round-3
+# veterans in original registry order. 25 + 25 = 50; after this
+# rotation the never-checked backlog is ZERO. The window contract is
+# that these occupy the registry HEAD so an edit cannot silently
+# re-defer a never/stale-checked query.
+R9_WINDOW = [
+    # 25 r7-era rows, first driver check this round
     "ktruss_planted", "doc_fog_smog", "crawl_capture_recapture",
     "source_mean_shrinkage", "media_phash_planted", "stream_dedup_docs",
     "event_seasonal_mk", "source_quantile_normalize",
@@ -138,6 +114,25 @@ R9_HEAD = [
     "xml_roundtrip", "lineitem_simpsons_screen", "grouped_kfold_balance",
     "lineitem_corr_matrix", "source_fightin_words", "cohort_ltv",
     "revenue_decile_curve", "bm25f_search", "score_gain_chart",
+    # 25 stalest round-3 veterans (last driver-green r3)
+    "nation_order_coverage", "train_split_counts",
+    "corpus_balance_sample", "setsim_join", "value_histogram",
+    "time_travel", "containment_probe", "versioned_stream_ingest",
+    "entity_linkage", "compaction_roundtrip", "key_skew_profile",
+    "late_window_finalize", "ivf_ann_planted", "rp_ann_planted",
+    "approx_distinct_hll", "c4_line_clean", "triangle_copurchase",
+    "scd2_apply", "phrase_search", "semantic_dedup",
+    "pagerank_copurchase", "bloom_membership", "corpus_pipeline",
+    "data_expectations", "dedup_minhash",
+]
+
+# The r10 window head: every r9 addition (never driver-checked) is
+# pinned immediately after position 50 so it cannot be silently
+# re-deferred next rotation; the round-3 cohort remainder follows.
+R9_ADDITIONS = [
+    # extended in registry order as each r9 operator lands (cap 25)
+    "federated_cosine_topk", "collection_compact",
+    "collection_vacuum_audit",
 ]
 
 # Rows-only by design: non-deterministic internals make an exact SQL
@@ -148,11 +143,11 @@ ROWS_ONLY = {"rp_ann_topk", "ivf_ann_topk"}
 
 def test_driver_window_composition():
     """Pin the registry's FULL 50-entry window (the r2 judge found
-    failures had slid OUT of the driver's window unnoticed): the 13
-    round-2-stale leftovers + the first 37 r7-era never-checked
-    additions, with the 25 remaining r7-era never-checked rows pinned
-    at positions 51-75 as the r9 window head. Every window entry must
-    be oracle-backed unless documented rows-only."""
+    failures had slid OUT of the driver's window unnoticed): the 25
+    r7-era never-checked rows + the 25 stalest round-3 veterans, with
+    every r9 addition pinned immediately after position 50 as the r10
+    window head. Every window entry must be oracle-backed unless
+    documented rows-only."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entrymod
 
@@ -160,16 +155,21 @@ def test_driver_window_composition():
     oracles = entrymod.oracle_sql()
     window = qs[:50]
     assert len(qs) == len(set(qs)), "duplicate registry keys"
-    assert window == R8_WINDOW, (
-        "r8 window drifted — a registry edit re-deferred a "
+    assert window == R9_WINDOW, (
+        "r9 window drifted — a registry edit re-deferred a "
         "never/stale-driver-checked query"
     )
-    assert qs[50:75] == R9_HEAD, (
-        "the 25 remaining r7-era never-checked rows must sit at "
-        "positions 51-75 (head of the r9 window)"
+    assert qs[50:50 + len(R9_ADDITIONS)] == R9_ADDITIONS, (
+        "every r9 addition (never driver-checked) must sit directly "
+        "after the window (head of the r10 window)"
     )
     missing = [q for q in window if q not in oracles and q not in ROWS_ONLY]
     assert not missing, f"window entries without oracles: {missing}"
+    # every r9 addition must itself be oracle-backed
+    missing_new = [
+        q for q in R9_ADDITIONS if q not in oracles and q not in ROWS_ONLY
+    ]
+    assert not missing_new, f"r9 additions without oracles: {missing_new}"
     # every oracle key corresponds to a registered query
     orphans = [k for k in oracles if k not in set(qs)]
     assert not orphans, f"oracles without queries: {orphans}"

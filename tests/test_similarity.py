@@ -666,6 +666,42 @@ def test_matryoshka_fidelity_degrades_for_tail_signal(spark):
     assert out[8].mean_overlap == 1.0
 
 
+def test_matryoshka_fidelity_empty_queries(spark):
+    """Degenerate input (ADVICE r8): an empty query set keeps the
+    documented pre-contract EMPTY result — still the 4-column schema,
+    zero rows (not a 0/0 row per dim)."""
+    from valentinus_spark.operators import matryoshka_fidelity
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.1]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame([], "qid long, qvec array<double>")
+    out = matryoshka_fidelity(corpus, queries, [2], k=3)
+    assert [f.name for f in out.schema.fields] == [
+        "dim", "k", "n_queries", "mean_overlap"
+    ]
+    assert dict(out.dtypes)["mean_overlap"] == "double"
+    assert out.count() == 0
+
+
+def test_matryoshka_fidelity_empty_corpus(spark):
+    """Degenerate input (ADVICE r8): an empty CORPUS used to crash
+    (first() is None -> None["_d"] TypeError before the denom==0
+    guard); it must return the same empty 4-column result."""
+    from valentinus_spark.operators import matryoshka_fidelity
+
+    corpus = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], ["qid", "qvec"]
+    )
+    out = matryoshka_fidelity(corpus, queries, [2], k=3)
+    assert [f.name for f in out.schema.fields] == [
+        "dim", "k", "n_queries", "mean_overlap"
+    ]
+    assert out.count() == 0
+
+
 def test_knn_distance_outliers_planted(spark):
     """A tight 30-point cluster plus two planted far points: the far
     points must rank 1-2 with much larger k-th distances, and the

@@ -416,6 +416,133 @@ class EmbeddingCollection:
         self.df = self.spark.read.parquet(path)
         return self
 
+    # ------------- concurrent-append-safe compaction + vacuum -------------
+
+    def begin_compaction(self) -> dict:
+        """Phase 1 of concurrent-append-safe compaction: snapshot the
+        CURRENT data files. ``compact()`` above rewrites by directory
+        swap, so an append that lands between its read and its swap is
+        silently lost; the two-phase protocol instead pins the exact
+        file list, and ``commit_compaction`` later touches ONLY those
+        files — a writer appending mid-compaction is untouched (the
+        same snapshot-isolation idea as Delta's OPTIMIZE, which
+        conflicts-checks on files, not on the whole table)."""
+        entry = self.catalog.resolve(self.view)
+        path = entry["path"]
+        files = []
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith((".", "_")):
+                    files.append(os.path.join(root, n))
+        return {"path": path, "files": sorted(files), "token": uuid.uuid4().hex[:12]}
+
+    def commit_compaction(
+        self, plan: dict, target_files: int | None = None
+    ) -> "EmbeddingCollection":
+        """Phase 2: rewrite ONLY the files snapshotted by
+        ``begin_compaction`` into ``target_files`` compacted files, move
+        them into the table, then delete just the snapshotted originals.
+        Files appended after the snapshot are never read, rewritten, or
+        deleted — they simply coexist with the compacted output. On a
+        single-node FS the per-file moves are atomic renames; an object
+        store deployment would commit the same file list through a
+        manifest/transaction log instead (the protocol is identical).
+        A crash between move and delete leaves duplicate rows visible
+        but loses nothing — re-running commit with the same plan
+        converges (delete is idempotent on missing files); ``vacuum``
+        clears an abandoned staging dir."""
+        entry = self.catalog.resolve(self.view)
+        path = entry["path"]
+        snapshot = [f for f in plan["files"] if os.path.exists(f)]
+        if not snapshot:
+            return self
+        n = target_files or self.spark.sparkContext.defaultParallelism
+        # basePath keeps Hive partition columns alive when reading leaf
+        # files of a partitioned layout directly
+        src = self.spark.read.option("basePath", path).parquet(*snapshot)
+        tmp = f"{path}.compact-{plan['token']}"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        writer = src.repartition(n).write
+        if entry.get("partition_by"):
+            writer = writer.partitionBy(*entry["partition_by"])
+        writer.parquet(tmp)
+        # move compacted part-files in (preserving partition subdirs),
+        # names prefixed with the plan token so they cannot collide with
+        # concurrent appends' part files
+        for root, _dirs, names in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            dst_dir = path if rel == "." else os.path.join(path, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in names:
+                if not fname.endswith(".parquet") or fname.startswith((".", "_")):
+                    continue
+                os.rename(
+                    os.path.join(root, fname),
+                    os.path.join(dst_dir, f"compact-{plan['token']}-{fname}"),
+                )
+        # delete ONLY the snapshotted originals (idempotent on re-run)
+        for f in snapshot:
+            if os.path.exists(f):
+                os.remove(f)
+            crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+        shutil.rmtree(tmp)
+        self.df = self.spark.read.parquet(path)
+        return self
+
+    def compact_safe(self, target_files: int | None = None) -> "EmbeddingCollection":
+        """Concurrent-append-safe compaction in one call (begin+commit).
+        Row-content-identical to ``compact()``; use this one when other
+        writers may append while the rewrite runs."""
+        return self.commit_compaction(self.begin_compaction(), target_files)
+
+    def vacuum(self, dry_run: bool = False) -> DataFrame:
+        """Remove orphaned storage artifacts of this collection and
+        return the audit as a DataFrame ``(artifact, kind, action)``.
+
+        Orphans accrue from crashed maintenance jobs: ``compact()``'s
+        swap dirs (``.compact.tmp``/``.compact.old``), abandoned
+        two-phase staging dirs (``.compact-<token>``), and ANN/PQ index
+        sidecars whose catalog flag was since dropped (an index rebuilt
+        under a different name, or a manifest restored from backup).
+        LIVE index sidecars — ones the catalog still references — are
+        never touched. Data files are never touched (duplicate-row
+        repair after a crashed commit is ``compact_safe()``'s job, not
+        vacuum's). ``dry_run=True`` audits without deleting."""
+        entry = self.catalog.resolve(self.view)
+        path = entry["path"]
+        base = os.path.dirname(path)
+        name = os.path.basename(path)
+        found: list[tuple[str, str]] = []
+        for d in sorted(os.listdir(base)):
+            full = os.path.join(base, d)
+            if d in (name + ".compact.tmp", name + ".compact.old"):
+                found.append((d, "swap_compaction_dir"))
+            elif d.startswith(name + ".compact-"):
+                found.append((d, "staged_compaction_dir"))
+            elif d in (name + "_ann", name + "_ann_model") and not entry.get(
+                "ann_index"
+            ):
+                found.append((d, "orphan_ann_sidecar"))
+            elif d in (name + "_pq", name + "_pq_books.json") and not entry.get(
+                "pq_index"
+            ):
+                found.append((d, "orphan_pq_sidecar"))
+        action = "would_remove" if dry_run else "removed"
+        if not dry_run:
+            for d, _kind in found:
+                full = os.path.join(base, d)
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+                else:
+                    os.remove(full)
+        return self.spark.createDataFrame(
+            [(d, kind, action) for d, kind in found],
+            "artifact string, kind string, action string",
+        )
+
     # ---------------- load (S4, find, embeddings.rs:545-569) --------------
 
     @classmethod
@@ -590,6 +717,62 @@ class EmbeddingCollection:
     def cosine_query_result(self, *args, **kwargs) -> CosineQueryResult:
         """cosine_query returning the reference-shaped result container."""
         return CosineQueryResult(self.cosine_query(*args, **kwargs))
+
+    @classmethod
+    def federated_cosine_query(
+        cls,
+        spark: SparkSession,
+        views: Sequence[str],
+        query_string: str,
+        num_results: int = 10,
+        per_collection: int | None = None,
+        f_where: Iterable[str | dict] | None = None,
+        metric: str = "cosine",
+        catalog: CollectionCatalog | None = None,
+    ) -> DataFrame:
+        """One query across MANY collections, merged into a global top-k
+        with per-row provenance (``collection`` column).
+
+        Reference users shard corpora into one collection per source /
+        tenant / date and query each in a loop (the reference API is
+        strictly single-collection, embeddings.rs:334); this federates
+        the loop into ONE Spark job. The query string is embedded per
+        collection with THAT collection's own embedder (federation must
+        not assume a shared vector space — a hash-dim-64 collection and
+        a MiniLM collection rank in their own spaces; cosine is
+        magnitude-normalized so the scores are comparable as similarity
+        ranks).
+
+        Plan shape: each member contributes a filter→score→TakeOrdered
+        top-``per_collection`` over its own parquet scan (all scans run
+        in one job, partition-parallel, nothing shuffles); the union of
+        C×k candidate rows (KB-sized) feeds one final TakeOrdered — the
+        classic scatter-gather federation, 100 TB-safe because only
+        per-collection winners travel."""
+        if not views:
+            raise ValueError("views must be non-empty")
+        catalog = catalog or CollectionCatalog(spark)
+        cap = per_collection or num_results
+        parts = []
+        for v in views:
+            col = cls.find(spark, view=v, catalog=catalog)
+            parts.append(
+                col.cosine_query(
+                    query_string, num_results=cap, f_where=f_where, metric=metric
+                ).select(
+                    F.lit(v).alias("collection"),
+                    "id",
+                    "document",
+                    "similarity",
+                    "metadata",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy(
+            F.desc("similarity"), F.asc("collection"), F.asc("id")
+        ).limit(num_results)
 
     # ---------------- ANN index lifecycle (SURVEY.md §7.2 step 6) ---------
 

@@ -152,21 +152,27 @@ def ivf_centroids(
         raise ValueError(f"need >= {n_centroids} vectors, got {len(X)}")
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=n_centroids, replace=False)]
-    x_sq = (X**2).sum(axis=1)
-    for _ in range(n_iter):
-        # assign to nearest centroid by L2, via ||x||²+||c||²-2x·c — the
-        # (n, C) Gram form. The naive (n, C, dim) difference tensor is
-        # 15 GB at n=1e5, C=50, dim=384 and turned centroid training
-        # into the sf1 bottleneck (r5 probe: semantic_dedup exponent
-        # 1.00 until this line); the matmul peaks at n·C doubles.
-        d2 = x_sq[:, None] + (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
-        assign = d2.argmin(axis=1)
-        for c in range(n_centroids):
-            members = X[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-            else:  # re-seed empty cluster to the point farthest from its centroid
-                cents[c] = X[d2.min(axis=1).argmax()]
+    # errstate: extreme-but-finite magnitudes (~1e200 screen inputs)
+    # overflow x² to inf — argmin/argmax still order inf correctly and
+    # the garbage rows are excluded downstream by finite_embedding, so
+    # the RuntimeWarning is noise; silence it rather than warn per batch.
+    with np.errstate(over="ignore", invalid="ignore"):
+        x_sq = (X**2).sum(axis=1)
+        for _ in range(n_iter):
+            # assign to nearest centroid by L2, via ||x||²+||c||²-2x·c —
+            # the (n, C) Gram form. The naive (n, C, dim) difference
+            # tensor is 15 GB at n=1e5, C=50, dim=384 and turned centroid
+            # training into the sf1 bottleneck (r5 probe: semantic_dedup
+            # exponent 1.00 until this line); the matmul peaks at n·C
+            # doubles.
+            d2 = x_sq[:, None] + (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+            assign = d2.argmin(axis=1)
+            for c in range(n_centroids):
+                members = X[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:  # re-seed empty cluster to the point farthest from its centroid
+                    cents[c] = X[d2.min(axis=1).argmax()]
     return [[float(x) for x in c] for c in cents]
 
 
@@ -1215,7 +1221,15 @@ def matryoshka_fidelity(
     """
     from pyspark.sql import Window
 
-    full_dim = corpus.select(F.size(corpus_vec).alias("_d")).first()["_d"]
+    _row = corpus.select(F.size(corpus_vec).alias("_d")).first()
+    if _row is None:
+        # empty corpus: keep the pre-contract empty result (there is no
+        # full-dimension ranking to compare against) — same 4-column
+        # schema as the empty-queries branch below.
+        return corpus.sparkSession.createDataFrame(
+            [], "dim int, k int, n_queries bigint, mean_overlap double"
+        )
+    full_dim = _row["_d"]
     all_dims = sorted(set(list(dims) + [full_dim]))
     dims_df = corpus.sparkSession.createDataFrame(
         [(int(d),) for d in all_dims], "dim int"
@@ -1258,9 +1272,9 @@ def matryoshka_fidelity(
     # left-join back onto the dim list: a truncation whose top-k shares
     # NOTHING with the full ranking must still report its 0.0 row (the
     # documented one-row-per-dim contract; a groupBy of the semi-join
-    # alone silently drops it). No full-dim rows at all (empty corpus or
-    # empty query set) keeps the pre-contract empty result rather than
-    # emitting 0/0 rows.
+    # alone silently drops it). An empty query set keeps the
+    # pre-contract empty result rather than emitting 0/0 rows (an empty
+    # corpus already returned empty above, before any ranking ran).
     if denom == 0:
         return matched.select(
             "dim",
@@ -1268,9 +1282,11 @@ def matryoshka_fidelity(
             F.lit(nq).cast("bigint").alias("n_queries"),
             F.lit(None).cast("double").alias("mean_overlap"),
         )
+    # broadcast the BUILD (right) side — Spark cannot broadcast the
+    # preserved side of a left-outer join, so a hint on dims_df would be
+    # silently ignored; matched is the small aggregated side anyway.
     return (
-        F.broadcast(dims_df)
-        .join(matched, "dim", "left")
+        dims_df.join(F.broadcast(matched), "dim", "left")
         .select(
             "dim",
             F.lit(k).alias("k"),
