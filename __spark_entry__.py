@@ -915,6 +915,103 @@ def q_collection_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, res.schema)
 
 
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality split (operators/quality.py::
+    perplexity_buckets; Wenzek et al. 2020 §4.3): per-language terciles
+    by interpolated trigram cross-entropy, summarized per cell. The
+    oracle wraps the shared trigram-CE replay with the same ntile cut
+    and decimal-mean aggregation."""
+    from valentinus_spark.operators.quality import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-rule ensemble (operators/quality.py::ensemble_quality_vote):
+    five Gopher/C4-family heuristics vote per document, keep = >= 4 of 5;
+    reported per source as keep rate + per-rule pass counts (the panel a
+    curation pipeline reads to see WHICH rule gates which source). Every
+    rule is an integer-count ratio, replayed exactly in the oracle."""
+    from valentinus_spark.operators.quality import ensemble_quality_vote
+
+    docs = _t(spark, sf_dir, "documents")
+    votes = ensemble_quality_vote(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    agg = [F.sum(F.col(c).cast("int")).cast("bigint").alias("n_" + c)
+           for c in ("ok_len", "ok_word_len", "ok_stopword", "ok_alpha",
+                     "ok_digit")]
+    return (
+        votes.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            *agg,
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sqrt-quota sampling (operators/similarity.py::
+    cluster_balanced_sample): vectors assign row-locally to the nearest
+    of 8 fixed centroids (the first 8 embeddings by vec_id — a
+    deterministic, SQL-replayable codebook), each cluster keeps
+    ceil(sqrt(|c|)) members by sha256 rank. The oracle replays the
+    rounded-cosine argmax, the quota, and the sha pick order."""
+    from valentinus_spark.operators.similarity import cluster_balanced_sample
+
+    embs = _t(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in embs.orderBy("vec_id").limit(8).collect()
+    ]
+    return cluster_balanced_sample(embs, cents)
+
+
+def q_semdedup_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster prototype panel (operators/similarity.py::
+    cluster_prototypes; SemDeDup-style cluster summaries): same fixed
+    8-centroid codebook as cluster_balanced_sample; per cluster the
+    most-central member (tie to lowest id), member count, and the
+    decimal-accumulated mean member-to-centroid cosine."""
+    from valentinus_spark.operators.similarity import cluster_prototypes
+
+    embs = _t(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in embs.orderBy("vec_id").limit(8).collect()
+    ]
+    return cluster_prototypes(embs, cents)
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening panel (operators/similarity.py::
+    embedding_dim_stats): mean/std/min/max per embedding dimension,
+    6dp-rounded elements accumulated in DECIMAL so the two engines'
+    sums cannot drift by association order."""
+    from valentinus_spark.operators.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source (operators/tokenizer.py::
+    tokenizer_fertility): subwords-per-word under the fixed BPE merge
+    table — the vocab-fit metric. The oracle replays the merge chain
+    (the bpe_encode_fixed replay) plus the word counts and the
+    per-source single-division ratio."""
+    from valentinus_spark.operators.tokenizer import tokenizer_fertility
+
+    return tokenizer_fertility(
+        _t(spark, sf_dir, "documents").repartition(16), _BPE_MERGES
+    )
+
+
 def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/range_join.py): purchases attributed to
     10-minute error-incident windows of the same user — point-in-interval
@@ -2865,6 +2962,41 @@ def _bpe_oracle_sql() -> str:
                        replace(trim(seq, chr(31)), chr(31) || chr(31), ' ')
                    ), 1, 15))::UBIGINT::BIGINT AS toks_h
             FROM s
+    """
+
+
+def _bpe_fertility_oracle_sql() -> str:
+    """Fertility companion to _bpe_oracle_sql: replay the merge chain
+    for per-doc subword counts, count the SAME '[a-z]+' words the
+    encoder tokenizes, then aggregate tokens-per-word per source with a
+    single integer-count division."""
+    seq = "array_to_string(toks, chr(30))"
+    for a, b in _BPE_MERGES:
+        pat = f"chr(31) || '{a}' || chr(31) || chr(31) || '{b}' || chr(31)"
+        rep = f"chr(31) || '{a}{b}' || chr(31)"
+        seq = f"replace({seq}, {pat}, {rep})"
+    return f"""
+            WITH w AS (
+                SELECT doc_id, source,
+                       list_transform(
+                           regexp_extract_all(lower(text), '[a-z]+'),
+                           w -> regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+                       ) AS toks,
+                       len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS n_w
+                FROM documents
+            ),
+            s AS (SELECT source, n_w, replace({seq}, chr(30), '') AS seq FROM w),
+            t AS (
+                SELECT source, n_w,
+                       (length(seq) - length(replace(seq, chr(31), ''))) // 2 AS n_t
+                FROM s
+            )
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   SUM(n_w)::BIGINT AS n_words,
+                   SUM(n_t)::BIGINT AS n_tokens,
+                   ROUND(CASE WHEN SUM(n_w) > 0
+                              THEN SUM(n_t)::DOUBLE / SUM(n_w) END, 6) AS fertility
+            FROM t GROUP BY source ORDER BY source
     """
 
 
@@ -7263,6 +7395,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_cosine_topk": q_federated_cosine_topk,
         "collection_compact": q_collection_compact,
         "collection_vacuum_audit": q_collection_vacuum_audit,
+        "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
+        "quality_ensemble_vote": q_quality_ensemble_vote,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "semdedup_prototypes": q_semdedup_prototypes,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # round-3 cohort remainder (last driver-green r3)
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -7732,6 +7870,57 @@ def _textrank_oracle_sql(rounds: int = 8) -> str:
         LIMIT 30
     """
     )
+
+
+# Shared trigram cross-entropy replay (MATERIALIZED CTEs: without
+# them DuckDB re-expands the inlined position stream per join and the
+# 5-way plan enumeration hangs — measured >100s vs 0.1s). Used by the
+# trigram_logprob oracle and wrapped by ccnet_perplexity_buckets.
+_TRIGRAM_CE_SQL = """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) <> ''
+            ),
+            t3 AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
+            g AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                           i -> {ctx: w[i] || ' ' || w[i+1],
+                                 t: w[i] || ' ' || w[i+1] || ' ' || w[i+2],
+                                 bg: w[i+1] || ' ' || w[i+2],
+                                 w2: w[i+1], w3: w[i+2]}), recursive := true)
+                FROM t3
+            ),
+            c3 AS MATERIALIZED (SELECT ctx, t, COUNT(*)::DOUBLE AS c3 FROM g GROUP BY 1, 2),
+            cctx AS MATERIALIZED (SELECT ctx, SUM(c3) AS cctx FROM c3 GROUP BY 1),
+            bg_all AS MATERIALIZED (
+                SELECT unnest(list_transform(range(1, len(w)),
+                           i -> {bg: w[i] || ' ' || w[i+1], w1: w[i]}), recursive := true)
+                FROM t3
+            ),
+            cb AS MATERIALIZED (SELECT bg, COUNT(*)::DOUBLE AS cb FROM bg_all GROUP BY 1),
+            cw AS MATERIALIZED (SELECT w1 AS w2, COUNT(*)::DOUBLE AS cw FROM bg_all GROUP BY 1),
+            uni AS MATERIALIZED (SELECT unnest(w) AS tok FROM t3),
+            c1 AS MATERIALIZED (SELECT tok AS w3, COUNT(*)::DOUBLE AS c1 FROM uni GROUP BY 1),
+            ntot AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM uni),
+            scored AS (
+                SELECT g.doc_id,
+                       0.6 * c3.c3 / cctx.cctx
+                       + 0.3 * cb.cb / cw.cw
+                       + 0.1 * c1.c1 / ntot.n AS p
+                FROM g
+                JOIN c3 ON c3.ctx = g.ctx AND c3.t = g.t
+                JOIN cctx ON cctx.ctx = g.ctx
+                JOIN cb ON cb.bg = g.bg
+                JOIN cw ON cw.w2 = g.w2
+                JOIN c1 ON c1.w3 = g.w3
+                CROSS JOIN ntot
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
+                   ROUND(-AVG(log2(p)), 4) AS trigram_ce
+            FROM scored GROUP BY doc_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9166,6 +9355,143 @@ def oracle_sql() -> dict[str, str]:
             ) AS a(artifact, kind) CROSS JOIN n
             ORDER BY a.artifact
         """,
+        # five integer-count-ratio rules replayed on the same normalized
+        # token stream; votes summed, keep = >= 4 of 5, per-source panel
+        "quality_ensemble_vote": f"""
+            WITH base AS (
+                SELECT doc_id, source, text,
+                       length(text)::BIGINT AS raw_len,
+                       CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                       END AS toks
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, source,
+                       (raw_len >= 50 AND raw_len <= 20000) AS ok_len,
+                       (len(toks) > 0 AND
+                        list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) >= 3.0 AND
+                        list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) <= 12.0) AS ok_word_len,
+                       (len(toks) > 0 AND
+                        len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE / len(toks) >= 0.05) AS ok_stopword,
+                       (len(toks) > 0 AND
+                        len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE / len(toks) >= 0.70) AS ok_alpha,
+                       (raw_len > 0 AND
+                        length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / raw_len <= 0.20) AS ok_digit
+                FROM base
+            ),
+            v AS (
+                SELECT *,
+                       (ok_len::INT + ok_word_len::INT + ok_stopword::INT
+                        + ok_alpha::INT + ok_digit::INT) AS votes
+                FROM r
+            )
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   SUM(CASE WHEN votes >= 4 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   SUM(ok_len::INT)::BIGINT AS n_ok_len,
+                   SUM(ok_word_len::INT)::BIGINT AS n_ok_word_len,
+                   SUM(ok_stopword::INT)::BIGINT AS n_ok_stopword,
+                   SUM(ok_alpha::INT)::BIGINT AS n_ok_alpha,
+                   SUM(ok_digit::INT)::BIGINT AS n_ok_digit,
+                   ROUND(SUM(CASE WHEN votes >= 4 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS keep_rate
+            FROM v GROUP BY source ORDER BY source
+        """,
+        # fixed codebook = first 8 embeddings by vec_id; rounded-cosine
+        # argmax with lowest-centroid ties, ceil(sqrt) quota, sha pick
+        "cluster_balanced_sample": """
+            WITH cents AS (
+                SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+                SELECT e.vec_id, c.cid,
+                       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS sim
+                FROM embeddings e CROSS JOIN cents c
+            ),
+            best AS (
+                SELECT vec_id, cid AS cluster
+                FROM scored
+                QUALIFY row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+            ),
+            sizes AS (
+                SELECT cluster, count(*)::BIGINT AS n_members,
+                       CEIL(SQRT(count(*)))::INT AS quota
+                FROM best GROUP BY 1
+            ),
+            ranked AS (
+                SELECT b.vec_id, b.cluster,
+                       row_number() OVER (
+                           PARTITION BY b.cluster
+                           ORDER BY sha256(b.vec_id::VARCHAR) ASC, b.vec_id ASC
+                       )::INT AS pick_rank
+                FROM best b
+            )
+            SELECT r.cluster, r.vec_id, r.pick_rank, s.n_members, s.quota
+            FROM ranked r JOIN sizes s USING (cluster)
+            WHERE r.pick_rank <= s.quota
+            ORDER BY r.cluster, r.pick_rank
+        """,
+        # same codebook; per-cluster most-central member (ties to lowest
+        # id) + decimal-accumulated mean member-to-centroid cosine
+        "semdedup_prototypes": """
+            WITH cents AS (
+                SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+                SELECT e.vec_id, c.cid,
+                       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS sim
+                FROM embeddings e CROSS JOIN cents c
+            ),
+            best AS (
+                SELECT vec_id, cid AS cluster, sim
+                FROM scored
+                QUALIFY row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+            ),
+            proto AS (
+                SELECT cluster, vec_id AS prototype_id, sim AS prototype_sim
+                FROM best
+                QUALIFY row_number() OVER (
+                    PARTITION BY cluster ORDER BY sim DESC, vec_id ASC) = 1
+            )
+            SELECT b.cluster, count(*)::BIGINT AS n_members,
+                   p.prototype_id, p.prototype_sim,
+                   ROUND(SUM(b.sim::DECIMAL(18,6))::DOUBLE / count(*), 6)
+                       + 0.0 AS mean_sim
+            FROM best b JOIN proto p USING (cluster)
+            GROUP BY b.cluster, p.prototype_id, p.prototype_sim
+            ORDER BY b.cluster
+        """,
+        # per-dimension panel: 6dp-rounded elements summed in DECIMAL
+        # (order-free), variance via E[x^2]-E[x]^2 on identical doubles
+        "embedding_dim_stats": """
+            WITH ex AS (
+                SELECT unnest(list_transform(range(1, len(embedding) + 1),
+                           i -> {d: i - 1,
+                                 x: CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(18,6))}),
+                       recursive := true)
+                FROM embeddings
+            ),
+            a AS (
+                SELECT d AS dim, count(*)::BIGINT AS n,
+                       SUM(x)::DOUBLE AS s,
+                       SUM(x * x)::DOUBLE AS ss,
+                       MIN(x)::DOUBLE + 0.0 AS min_x,
+                       MAX(x)::DOUBLE + 0.0 AS max_x
+                FROM ex GROUP BY 1
+            )
+            SELECT dim, n,
+                   ROUND(s / n, 6) + 0.0 AS mean,
+                   ROUND(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)), 6)
+                       + 0.0 AS std,
+                   min_x, max_x
+            FROM a ORDER BY dim
+        """,
+        "tokenizer_fertility": _bpe_fertility_oracle_sql(),
         # theta-overlap replay: both 64-hash sketches rebuilt, combined
         # threshold, survivors marked per side, same estimator constants
         "kmv_audience_overlap": """
@@ -12232,53 +12558,28 @@ def oracle_sql() -> dict[str, str]:
                          + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 4) AS fk_grade
             FROM c ORDER BY doc_id
         """,
-        "trigram_logprob": """
-            -- MATERIALIZED CTEs: without them DuckDB's optimizer
-            -- re-expands the inlined position stream per join and the
-            -- 5-way plan enumeration hangs (measured: >100s vs 0.1s)
-            WITH toks AS (
-                SELECT doc_id,
-                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-                FROM documents WHERE trim(text) <> ''
-            ),
-            t3 AS (SELECT doc_id, w FROM toks WHERE len(w) >= 3),
-            g AS MATERIALIZED (
-                SELECT doc_id,
-                       unnest(list_transform(range(1, len(w) - 1),
-                           i -> {ctx: w[i] || ' ' || w[i+1],
-                                 t: w[i] || ' ' || w[i+1] || ' ' || w[i+2],
-                                 bg: w[i+1] || ' ' || w[i+2],
-                                 w2: w[i+1], w3: w[i+2]}), recursive := true)
-                FROM t3
-            ),
-            c3 AS MATERIALIZED (SELECT ctx, t, COUNT(*)::DOUBLE AS c3 FROM g GROUP BY 1, 2),
-            cctx AS MATERIALIZED (SELECT ctx, SUM(c3) AS cctx FROM c3 GROUP BY 1),
-            bg_all AS MATERIALIZED (
-                SELECT unnest(list_transform(range(1, len(w)),
-                           i -> {bg: w[i] || ' ' || w[i+1], w1: w[i]}), recursive := true)
-                FROM t3
-            ),
-            cb AS MATERIALIZED (SELECT bg, COUNT(*)::DOUBLE AS cb FROM bg_all GROUP BY 1),
-            cw AS MATERIALIZED (SELECT w1 AS w2, COUNT(*)::DOUBLE AS cw FROM bg_all GROUP BY 1),
-            uni AS MATERIALIZED (SELECT unnest(w) AS tok FROM t3),
-            c1 AS MATERIALIZED (SELECT tok AS w3, COUNT(*)::DOUBLE AS c1 FROM uni GROUP BY 1),
-            ntot AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM uni),
-            scored AS (
-                SELECT g.doc_id,
-                       0.6 * c3.c3 / cctx.cctx
-                       + 0.3 * cb.cb / cw.cw
-                       + 0.1 * c1.c1 / ntot.n AS p
-                FROM g
-                JOIN c3 ON c3.ctx = g.ctx AND c3.t = g.t
-                JOIN cctx ON cctx.ctx = g.ctx
-                JOIN cb ON cb.bg = g.bg
-                JOIN cw ON cw.w2 = g.w2
-                JOIN c1 ON c1.w3 = g.w3
-                CROSS JOIN ntot
+        "trigram_logprob": _TRIGRAM_CE_SQL,
+        # CCNet head/middle/tail replay: the shared trigram-CE subquery,
+        # per-lang ntile(3) over (ce asc, doc_id asc), decimal-mean cells
+        "ccnet_perplexity_buckets": f"""
+            WITH ce AS ({_TRIGRAM_CE_SQL}),
+            j AS (
+                SELECT d.lang, ce.doc_id, ce.trigram_ce,
+                       ntile(3) OVER (
+                           PARTITION BY d.lang
+                           ORDER BY ce.trigram_ce ASC, ce.doc_id ASC
+                       ) AS bucket
+                FROM ce JOIN documents d USING (doc_id)
             )
-            SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
-                   ROUND(-AVG(log2(p)), 4) AS trigram_ce
-            FROM scored GROUP BY doc_id
+            SELECT lang, bucket::INT AS bucket,
+                   CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                               ELSE 'tail' END AS bucket_label,
+                   count(*)::BIGINT AS n_docs,
+                   ROUND(SUM(trigram_ce::DECIMAL(18,4))::DOUBLE / count(*), 4)
+                       + 0.0 AS mean_ce,
+                   MIN(trigram_ce) AS min_ce,
+                   MAX(trigram_ce) AS max_ce
+            FROM j GROUP BY lang, bucket ORDER BY lang, bucket
         """,
         "neyman_allocation": """
             WITH stats AS (

@@ -68,6 +68,12 @@ BENCH_QUERIES = [
     "asof_join_clicks",
     "collection_e2e",
     "federated_cosine_topk",
+    "ccnet_perplexity_buckets",
+    "quality_ensemble_vote",
+    "cluster_balanced_sample",
+    "semdedup_prototypes",
+    "embedding_dim_stats",
+    "tokenizer_fertility",
     "range_join_incidents",
     "customers_no_big_order",
     "order_cube",
@@ -402,7 +408,8 @@ BENCH_FAMILIES = {
         "flagship_filtered_cosine_topk", "cosine_topk", "nearest_l2",
         "ann_brute_topk", "neardup_embedding", "neardup_embedding_lsh",
         "ann_lsh_topk", "ivf_ann_topk", "collection_e2e",
-        "federated_cosine_topk",
+        "federated_cosine_topk", "cluster_balanced_sample",
+        "semdedup_prototypes", "embedding_dim_stats",
         "embedding_element_stats", "hard_negatives", "pca_planted",
         "embedding_drift", "kcenter_planted", "abtt_planted",
         "margin_mining", "semantic_contamination", "matryoshka_fidelity",
@@ -446,7 +453,9 @@ BENCH_FAMILIES = {
         "taxonomy_tagging", "roc_auc_planted", "compression_quality_flags",
         "winnow_pairs",
         "ql_search", "rrf_fusion", "lang_kappa", "lang_confusion",
-        "trigram_logprob", "winnow_spans", "rouge_pair_overlap",
+        "trigram_logprob", "ccnet_perplexity_buckets",
+        "quality_ensemble_vote", "tokenizer_fertility",
+        "winnow_spans", "rouge_pair_overlap",
         "fleiss_lang_raters", "ndcg_retrieval", "field_mutual_info",
         "doc_readability", "source_rank_normalize",
         "krippendorff_lang", "source_lexical_diversity",

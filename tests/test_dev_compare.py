@@ -132,7 +132,10 @@ R9_WINDOW = [
 R9_ADDITIONS = [
     # extended in registry order as each r9 operator lands (cap 25)
     "federated_cosine_topk", "collection_compact",
-    "collection_vacuum_audit",
+    "collection_vacuum_audit", "ccnet_perplexity_buckets",
+    "quality_ensemble_vote", "cluster_balanced_sample",
+    "semdedup_prototypes", "embedding_dim_stats",
+    "tokenizer_fertility",
 ]
 
 # Rows-only by design: non-deterministic internals make an exact SQL

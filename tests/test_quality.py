@@ -592,3 +592,82 @@ def test_fightin_words_separates_planted_vocab(spark):
     top = {r.source: (r.term, r.z_score) for r in out}
     assert top["a"][0] == "alpha" and top["a"][1] > 2
     assert top["b"][0] == "beta" and top["b"][1] > 2
+
+
+def test_perplexity_buckets_even_split_and_head_semantics(spark):
+    """Per-lang ntile(3): buckets split each language's docs evenly
+    (earlier buckets at most one larger); a highly repetitive doc (low
+    trigram entropy) must land in the HEAD bucket of its language."""
+    from valentinus_spark.operators.quality import perplexity_buckets
+
+    rows = []
+    # 9 'en' docs: one ultra-repetitive (low CE), others varied
+    rows.append((0, "the cat sat " * 30, "en"))
+    texts = [
+        "quick brown fox jumps over the lazy dog near a quiet river bank",
+        "many words combine into sentences that rarely repeat their order",
+        "data pipelines shuffle join aggregate and write results to disk",
+        "seven distinct phrases about completely unrelated subjects here",
+        "economic indicators rose while maritime shipping costs declined",
+        "the committee approved a proposal regarding municipal drainage",
+        "astronomers observed a transient signal from a distant galaxy",
+        "recipes call for flour butter sugar eggs and a pinch of salt",
+    ]
+    for i, t in enumerate(texts):
+        rows.append((1 + i, t + " " + t[::-1], "en"))
+    # 5 'de' docs
+    for i in range(5):
+        rows.append((100 + i, f"wort folge nummer {i} und noch mehr text dazu kommt jetzt", "de"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = perplexity_buckets(df).collect()
+    by = {(r["lang"], r["bucket"]): r for r in out}
+    en_sizes = [by[("en", b)]["n_docs"] for b in (1, 2, 3)]
+    assert sum(en_sizes) == 9 and max(en_sizes) - min(en_sizes) <= 1
+    assert by[("en", 1)]["bucket_label"] == "head"
+    assert by[("en", 3)]["bucket_label"] == "tail"
+    # the head bucket's mean entropy is the language's lowest
+    assert by[("en", 1)]["mean_ce"] < by[("en", 3)]["mean_ce"]
+    # min/max are coherent per cell
+    for r in out:
+        assert r["min_ce"] <= r["mean_ce"] <= r["max_ce"]
+
+
+def test_ensemble_quality_vote_rules_and_majority(spark):
+    """Each planted document fails exactly the intended rule; keep
+    requires >= 4 of 5 votes."""
+    from valentinus_spark.operators.quality import ensemble_quality_vote
+
+    good = ("this is a perfectly reasonable document with many common "
+            "words that the filters should accept without any trouble "
+            "because it looks like ordinary english prose")
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "too short"),                           # fails len (also stopword?) keep robust below
+        (2, good + " " + "9876543210 " * 40),       # digit-heavy -> fails digit
+        (3, ("zq " * 80).strip()),                  # 2-char tokens -> fails word_len + stopword -> drop
+        (4, good.replace("the", "xxx")),            # still mostly fine
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ensemble_quality_vote(df).collect()}
+    assert got[0]["votes"] == 5 and got[0]["keep"]
+    assert not got[1]["ok_len"]
+    assert not got[2]["ok_digit"]
+    assert not got[3]["ok_word_len"] and not got[3]["ok_stopword"]
+    assert not got[3]["keep"]  # two failures -> 3 votes < 4
+    for d in got.values():
+        assert d["votes"] == sum(
+            int(d[c]) for c in
+            ("ok_len", "ok_word_len", "ok_stopword", "ok_alpha", "ok_digit")
+        )
+
+
+def test_ensemble_quality_vote_empty_text(spark):
+    """Empty / whitespace text: every ratio rule degrades to its
+    documented zero (no division error under ANSI), keep = False."""
+    from valentinus_spark.operators.quality import ensemble_quality_vote
+
+    df = spark.createDataFrame([(0, ""), (1, "   ")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ensemble_quality_vote(df).collect()}
+    for r in got.values():
+        assert not r["keep"]
+        assert not r["ok_len"] and not r["ok_stopword"] and not r["ok_alpha"]

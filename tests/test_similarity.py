@@ -767,3 +767,97 @@ def test_matryoshka_fidelity_undersized_corpus_full_dim_is_one(spark):
     out = {r.dim: r for r in matryoshka_fidelity(corpus, queries, [4], k=10).collect()}
     assert out[8].mean_overlap == 1.0
     assert 0.0 <= out[4].mean_overlap <= 1.0
+
+
+def test_assign_to_centroids_planted(spark):
+    """Row-local nearest-centroid assignment: planted members land with
+    their own centroid; an equidistant vector ties to the LOWER index."""
+    from valentinus_spark.operators.similarity import assign_to_centroids
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (0, [10.0, 0.1, 0.0, 0.0]),   # -> centroid 0
+        (1, [0.2, 5.0, 0.0, 0.0]),    # -> centroid 1
+        (2, [1.0, 1.0, 0.0, 0.0]),    # exact tie -> lower index 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r for r in assign_to_centroids(df, cents).collect()}
+    assert got[0]["cluster"] == 0 and got[1]["cluster"] == 1
+    assert got[2]["cluster"] == 0  # tie-break to lowest centroid index
+    assert got[0]["centroid_sim"] > 0.99
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        assign_to_centroids(df, [])
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """sqrt-quota law: a 90/10 split samples ceil(sqrt(90))=10 vs
+    ceil(sqrt(10))=4 — the big cluster cannot monopolize. The pick is
+    sha-deterministic: two runs return identical rows."""
+    import math
+
+    from valentinus_spark.operators.similarity import cluster_balanced_sample
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [1.0, 0.01 * (i % 7)]) for i in range(90)]
+    rows += [(100 + i, [0.01, 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cluster_balanced_sample(df, cents).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r["cluster"], []).append(r)
+    assert len(by_c[0]) == math.ceil(math.sqrt(90)) == 10
+    assert len(by_c[1]) == math.ceil(math.sqrt(10)) == 4
+    for r in by_c[0]:
+        assert r["n_members"] == 90 and r["quota"] == 10 and r["vec_id"] < 90
+    for r in by_c[1]:
+        assert r["n_members"] == 10 and r["quota"] == 4 and r["vec_id"] >= 100
+    again = cluster_balanced_sample(df, cents).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_cluster_prototypes_planted(spark):
+    """The prototype must be the planted most-central member; mean_sim
+    reflects the cluster's cohesion (tight cluster > loose cluster)."""
+    from valentinus_spark.operators.similarity import cluster_prototypes
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        (0, [1.0, 0.001, 0.0]),  # essentially the centroid -> prototype
+        (1, [1.0, 0.3, 0.0]),
+        (2, [1.0, 0.5, 0.0]),
+        (10, [0.4, 1.0, 0.0]),   # loose cluster 1
+        (11, [0.0, 1.0, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["cluster"]: r for r in cluster_prototypes(df, cents).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_members"] == 3 and got[0]["prototype_id"] == 0
+    assert got[1]["n_members"] == 2
+    assert got[0]["mean_sim"] > got[1]["mean_sim"]
+    assert got[0]["prototype_sim"] >= got[0]["mean_sim"]
+
+
+def test_embedding_dim_stats_matches_numpy(spark):
+    """Per-dimension panel vs a numpy replica on 6dp-rounded elements."""
+    import numpy as np
+
+    from valentinus_spark.operators.similarity import embedding_dim_stats
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(scale=[0.1, 5.0, 1.0], size=(40, 3))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    got = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    X6 = np.round(X, 6)
+    for d in range(3):
+        assert got[d]["n"] == 40
+        assert got[d]["mean"] == round(float(X6[:, d].mean()), 6) + 0.0
+        assert abs(got[d]["std"] - float(X6[:, d].std())) < 1e-6
+        assert got[d]["min_x"] == round(float(X6[:, d].min()), 6)
+        assert got[d]["max_x"] == round(float(X6[:, d].max()), 6)
+    # the planted scale ordering survives: dim1 (sigma=5) widest
+    assert got[1]["std"] > got[2]["std"] > got[0]["std"]

@@ -266,3 +266,41 @@ def test_bpe_decode_custom_cols(spark):
     df = spark.createDataFrame([(["ab", "cd", "e"],)], ["toks"])
     out = bpe_decode(df, "toks", "joined").collect()[0]
     assert out.joined == "abcde"
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """Fertility on a hand-traceable corpus: with merges [(a,b),(ab,c)],
+    'abc' encodes to 1 token (fertility 1.0 for a 1-word doc), 'abcabc'
+    is ONE regex word -> 'abc'+'abc' = 2 tokens; 'xy z' is 2 words and
+    4 single-letter tokens -> fertility 2.0."""
+    from valentinus_spark.operators.tokenizer import tokenizer_fertility
+
+    merges = [("a", "b"), ("ab", "c")]
+    rows = [
+        (0, "abc", "s1"),
+        (1, "abcabc abc", "s1"),   # words: abcabc(2 toks) + abc(1 tok)
+        (2, "xy z", "s2"),        # x,y + z = 3 tokens over 2 words
+        (3, "", "s2"),            # no words, no tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r for r in tokenizer_fertility(df, merges).collect()}
+    # s1: words = 1 + 2 = 3; tokens = 1 + (2 + 1) = 4
+    assert got["s1"]["n_docs"] == 2
+    assert got["s1"]["n_words"] == 3 and got["s1"]["n_tokens"] == 4
+    assert got["s1"]["fertility"] == round(4 / 3, 6)
+    # s2: words = 2 + 0; tokens = 3 + 0
+    assert got["s2"]["n_docs"] == 2
+    assert got["s2"]["n_words"] == 2 and got["s2"]["n_tokens"] == 3
+    assert got["s2"]["fertility"] == 1.5
+
+
+def test_tokenizer_fertility_all_empty_group(spark):
+    """A group with zero words reports NULL fertility, not a crash."""
+    from valentinus_spark.operators.tokenizer import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(0, "123 456 !!!", "nums")], ["doc_id", "text", "source"]
+    )
+    r = tokenizer_fertility(df, [("a", "b")]).first()
+    assert r["n_words"] == 0 and r["n_tokens"] == 0
+    assert r["fertility"] is None

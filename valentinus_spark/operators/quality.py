@@ -1441,3 +1441,152 @@ def fightin_words(
         .drop("_rn")
         .orderBy(group_col, F.desc("z_score"), "term")
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3:
+    per-language head/middle/tail terciles by LM perplexity is the
+    quality split CCNet ships and most pretraining recipes keep): score
+    every document with :func:`trigram_logprob` cross-entropy, cut
+    per-language ``n_buckets`` equal-frequency buckets (ntile over
+    (ce asc, id asc) — lower entropy = bucket 1 = head), and summarize
+    each (language, bucket) cell.
+
+    Returns (``lang_col``, ``bucket``, ``bucket_label``, ``n_docs``,
+    ``mean_ce``, ``min_ce``, ``max_ce``) ordered by (lang, bucket);
+    labels are head/middle/tail when ``n_buckets`` is 3, ``b<k>``
+    otherwise. Mean accumulates the 4dp-rounded per-doc entropies in
+    DECIMAL (association-order-free across engines).
+
+    Scale shape: the LM scoring dominates (vocab-keyed joins, see
+    trigram_logprob); the bucketing itself is one window over DOC-level
+    rows partitioned by language, then a (lang, bucket)-keyed
+    hash-aggregate — both tiny next to the position stream."""
+    ce = trigram_logprob(df, id_col=id_col, text_col=text_col, lambdas=lambdas)
+    joined = ce.join(df.select(id_col, lang_col), id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.asc("trigram_ce"), F.asc(id_col)
+    )
+    if n_buckets == 3:
+        label = F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("bucket"),
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return (
+        joined.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(lang_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.round(
+                    F.sum(F.col("trigram_ce").cast("decimal(18,4)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("mean_ce"),
+            F.min("trigram_ce").alias("min_ce"),
+            F.max("trigram_ce").alias("max_ce"),
+        )
+        .withColumn("bucket_label", label)
+        .select(
+            lang_col, "bucket", "bucket_label", "n_docs",
+            "mean_ce", "min_ce", "max_ce",
+        )
+        .orderBy(lang_col, "bucket")
+    )
+
+
+# the five ensemble rules' thresholds (Gopher A1.1-shaped bounds over
+# characters/words; the stopword floor follows the C4/Gopher "has real
+# function words" test) — module-level so tests and oracles pin them
+ENSEMBLE_RULES = {
+    "len": (50, 20000),        # raw char length bounds
+    "word_len": (3.0, 12.0),   # mean token length bounds
+    "stopword": 0.05,          # min stopword token fraction
+    "alpha": 0.70,             # min fraction of tokens containing a letter
+    "digit": 0.20,             # max digit-char fraction of raw text
+}
+
+
+def ensemble_quality_vote(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_votes: int = 4,
+) -> DataFrame:
+    """Quality-rule ENSEMBLE vote: five independent cheap heuristics
+    (char-length bounds, mean-word-length bounds, stopword floor,
+    alphabetic-token floor, digit-fraction ceiling — the Gopher/C4 rule
+    family) each cast one keep vote; a document is kept when at least
+    ``min_votes`` agree. Single-rule filters are brittle — a legitimate
+    table-heavy page fails the digit rule, a terse FAQ fails the length
+    rule; requiring near-consensus keeps both unless several signals
+    concur (the standard reason quality pipelines ensemble their
+    filters rather than AND-ing them).
+
+    Returns one row per document: (``id_col``, ``ok_len``,
+    ``ok_word_len``, ``ok_stopword``, ``ok_alpha``, ``ok_digit``,
+    ``votes``, ``keep``). Every rule is a deterministic integer-count
+    ratio (single division), so an independent SQL replay is bit-exact.
+
+    Scale shape: entirely ROW-LOCAL (token-array folds inside the
+    projection) — one corpus scan, zero shuffles, zero Python."""
+    from valentinus_spark.functions.text import ENGLISH_STOPWORDS
+
+    lo_len, hi_len = ENSEMBLE_RULES["len"]
+    lo_wl, hi_wl = ENSEMBLE_RULES["word_len"]
+    toks = word_tokens(normalize_text(text_col))
+    n_tok = F.size(toks)
+    raw_len = F.length(F.col(text_col))
+    sum_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = F.when(
+        n_tok > 0, sum_tok_len.cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    stop_frac = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    digit_frac = F.when(
+        raw_len > 0,
+        F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast(
+            "double"
+        )
+        / raw_len,
+    ).otherwise(F.lit(0.0))
+    rules = {
+        "ok_len": (raw_len >= lo_len) & (raw_len <= hi_len),
+        "ok_word_len": (mean_wl >= lo_wl) & (mean_wl <= hi_wl),
+        "ok_stopword": stop_frac >= ENSEMBLE_RULES["stopword"],
+        "ok_alpha": alpha_frac >= ENSEMBLE_RULES["alpha"],
+        "ok_digit": digit_frac <= ENSEMBLE_RULES["digit"],
+    }
+    out = ensure_parallelism(df).select(
+        id_col, *[v.alias(k) for k, v in rules.items()]
+    )
+    votes = sum(F.col(k).cast("int") for k in rules)
+    return out.withColumn("votes", votes).withColumn(
+        "keep", F.col("votes") >= min_votes
+    )

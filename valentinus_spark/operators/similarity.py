@@ -1353,3 +1353,194 @@ def knn_distance_outliers(
         .select(F.col("_ida").alias(id_col), F.col("_d").alias("kth_dist"))
     )
     return kth.orderBy(F.col("kth_dist").desc(), F.col(id_col).asc()).limit(topn)
+
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    sim_col: str = "centroid_sim",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine, ROW-LOCALLY: the centroid
+    list broadcasts as an array literal and the argmax runs inside the
+    row's projection — no join, no shuffle, the corpus scans once
+    (bucketed_ann_topk's corpus-side assignment, factored out for the
+    cluster-curation operators below). Similarities round to
+    ``round_dp`` before the argmax with lowest-centroid-index
+    tie-breaks, so an independent replay cuts identical boundaries.
+
+    Adds ``cluster_col`` (int index into ``centroids``) and ``sim_col``
+    (the rounded cosine to the winning centroid)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    cents = F.array(*[literal_vector(c) for c in centroids])
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.round(
+                cosine_similarity(F.col(vec_col).cast("array<double>"), c),
+                round_dp,
+            ).alias("sim"),
+            (-i).alias("negi"),
+            i.alias("bucket"),
+        ),
+    )
+    # struct sort is field-order lexicographic: (sim asc, -i asc);
+    # reversed, element 0 = max sim with LOWEST index on ties
+    best = F.reverse(F.array_sort(scored))[0]
+    return corpus.withColumn(cluster_col, best["bucket"]).withColumn(
+        sim_col, best["sim"]
+    )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling: assign every vector to its
+    nearest centroid, give each cluster a ``ceil(sqrt(|c|))`` quota, and
+    keep the quota's worth of members by sha256-keyed rank — the
+    sqrt-law curation rule that keeps giant clusters (boilerplate, one
+    dominant topic) from monopolizing a sample the way proportional
+    sampling does, while never starving small clusters below one row
+    (cluster-balanced selection as in DeepCore-style coreset baselines;
+    the sqrt allocation is the classic power-law flattener).
+
+    Returns the SAMPLED rows: (``cluster``, ``id_col``, ``pick_rank``,
+    ``n_members``, ``quota``), deterministic via the sha-derived order.
+
+    Scale shape: row-local assignment (no shuffle), ONE shuffle on
+    cluster for the count + windowed pick — at 100 TB the window is
+    WindowGroupLimit (partial top-quota map-side) once the quota column
+    is available, and the sha ranking needs no data movement."""
+    assigned = assign_to_centroids(
+        ensure_parallelism(corpus).select(id_col, vec_col), centroids,
+        vec_col=vec_col,
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    quota = sizes.withColumn(
+        "quota", F.ceil(F.sqrt(F.col("n_members"))).cast("int")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.sha2(F.col(id_col).cast("string"), 256).asc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .join(F.broadcast(quota), "cluster")
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select("cluster", id_col, "pick_rank", "n_members", "quota")
+        .orderBy("cluster", "pick_rank")
+    )
+
+
+def cluster_prototypes(
+    corpus: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster prototype extraction (the SemDeDup/SemDeDup-style
+    cluster summary, Abbas et al. 2023 §3: clusters are represented by
+    their most-central member for dedup thresholds and human review):
+    for every centroid's member set, the member MOST similar to the
+    centroid (ties to the lowest id), the member count, and the mean
+    member-to-centroid cosine — the cluster-cohesion panel an embedding
+    curation pipeline reads before choosing per-cluster dedup epsilons.
+
+    Returns (``cluster``, ``n_members``, ``prototype_id``,
+    ``prototype_sim``, ``mean_sim``) ordered by cluster. Mean cosine
+    accumulates the 6dp-rounded member sims in DECIMAL, so the result
+    is association-order-free across engines.
+
+    Scale shape: row-local assignment + ONE hash-aggregate keyed on
+    cluster (max-struct and decimal sum are both map-side combinable);
+    nothing but the C-row result ever leaves the executors."""
+    assigned = assign_to_centroids(
+        ensure_parallelism(corpus).select(id_col, vec_col), centroids,
+        vec_col=vec_col,
+    )
+    best = F.max(
+        F.struct(
+            F.col("centroid_sim").alias("sim"),
+            (-F.col(id_col)).alias("negid"),
+            F.col(id_col).alias("pid"),
+        )
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            best.alias("_b"),
+            (
+                F.round(
+                    F.sum(F.col("centroid_sim").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_sim"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            F.col("_b.pid").alias("prototype_id"),
+            F.col("_b.sim").alias("prototype_sim"),
+            "mean_sim",
+        )
+        .orderBy("cluster")
+    )
+
+
+def embedding_dim_stats(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION distribution panel — the whitening/monitoring prep
+    (mean for centering, std for scaling; dead or exploding dimensions
+    show up as ~0 or outsized std, the rogue-dimension pathology that
+    dominates cosine similarity, cf. Timkey & van Schijndel, EMNLP
+    2021): one pass over the corpus, elements 6dp-rounded and summed in
+    DECIMAL (order-free across engines), variance via E[x²]−E[x]².
+
+    Returns (``dim``, ``n``, ``mean``, ``std``, ``min_x``, ``max_x``)
+    ordered by dim, all rounded to 6 (+0.0 normalizes IEEE −0.0).
+
+    Scale shape: posexplode multiplies rows by the dimension count but
+    stays map-side; the only shuffle is the dim-keyed hash-aggregate
+    (D distinct keys, decimal sums combine map-side). At 100 TB this is
+    the cheapest full-corpus statistic there is."""
+    ex = (
+        ensure_parallelism(corpus)
+        .select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "_x")
+        )
+        .select("dim", F.round("_x", 6).cast("decimal(18,6)").alias("_x6"))
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x6").cast("double").alias("_s"),
+        F.sum(F.col("_x6") * F.col("_x6")).cast("double").alias("_ss"),
+        (F.min("_x6").cast("double") + F.lit(0.0)).alias("min_x"),
+        (F.max("_x6").cast("double") + F.lit(0.0)).alias("max_x"),
+    )
+    mean = F.col("_s") / F.col("n")
+    var = F.greatest(F.col("_ss") / F.col("n") - mean * mean, F.lit(0.0))
+    return (
+        agg.select(
+            "dim",
+            "n",
+            (F.round(mean, 6) + F.lit(0.0)).alias("mean"),
+            (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("std"),
+            "min_x",
+            "max_x",
+        )
+        .orderBy("dim")
+    )

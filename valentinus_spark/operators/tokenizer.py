@@ -391,3 +391,57 @@ def bpe_decode(
     Scale shape: one row-local array_join — zero shuffles, trivially
     parallel."""
     return df.withColumn(out_col, F.array_join(F.col(tokens_col), ""))
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer FERTILITY panel (subwords per word — the standard
+    tokenizer-evaluation metric, e.g. Rust et al., ACL 2021: fertility
+    near 1 means the vocab covers the domain, high fertility means the
+    text fragments into many pieces and every downstream token budget
+    silently shrinks): encode every document with the learned BPE merge
+    table (:func:`bpe_encode`) and report, per ``group_col``, the word
+    count, subword count, and their ratio.
+
+    Returns (``group_col``, ``n_docs``, ``n_words``, ``n_tokens``,
+    ``fertility``) ordered by group; fertility is a single
+    integer-count division rounded to 6 (bit-exact across engines),
+    NULL for a group with no words.
+
+    Scale shape: bpe_encode's map-side Arrow pass dominates; word
+    counts come from the same row-local regex; ONE hash-aggregate on
+    ``group_col`` finishes it — counters combine map-side, nothing
+    corpus-sized shuffles."""
+    enc = bpe_encode(
+        df.select(group_col, id_col, text_col), merges, text_col=text_col
+    )
+    # the SAME word pattern bpe_encode tokenizes with (letters_only)
+    n_words = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    )
+    per_doc = enc.select(
+        group_col,
+        n_words.alias("_w"),
+        F.size("bpe_tokens").alias("_t"),
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_t").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.sum("_w") > 0,
+                    F.sum("_t").cast("double") / F.sum("_w"),
+                ),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy(group_col)
+    )
