@@ -12367,3 +12367,365 @@ def test_finite_guards_match_python(spark, vals):
     for i, v in enumerate(vals):
         assert got[i][0] == math.isfinite(v)
         assert got[i][1] == exp_fe
+
+
+# ---------------------------------------------------------------------------
+# multimodal byte decoders: randomized pixel/sample payload fuzz
+# (r8 VERDICT item 8 — the header-only probe was covered, these drive
+# the pixel/sample paths with random content, shapes, and corruption)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_random_pixels(h, w, c, seed):
+    from valentinus_spark.imaging import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == (h, w, c)
+    np.testing.assert_array_equal(out, img)
+
+
+def _png_filter_encode(img: np.ndarray, filters: list[int]) -> bytes:
+    """Test-side PNG encoder applying a CHOSEN filter per scanline via
+    the spec's forward formulas (T.81 §9) — independent of the product
+    decoder's unfilter loop, so decode must invert every filter type."""
+    import struct as _struct
+    import zlib as _zlib
+
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(c, dtype=np.int32), line[:-c]]) if stride > c else np.zeros(stride, dtype=np.int32)
+        upleft = np.concatenate([np.zeros(c, dtype=np.int32), prev[:-c]]) if stride > c else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = line - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, body):
+        return (_struct.pack(">I", len(body)) + ctype + body
+                + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(2, 10),
+    w=st.integers(2, 10),
+    c=st.sampled_from([1, 3, 4]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_png_decode_inverts_every_filter_combination(h, w, c, filters, seed):
+    """Randomized scanline-filter schedules built by an INDEPENDENT
+    test-side encoder: the product decoder must recover the original
+    pixels for any Sub/Up/Average/Paeth mix."""
+    from valentinus_spark.imaging import decode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = decode_png(_png_filter_encode(img, filters))
+    np.testing.assert_array_equal(out, img)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(h=st.integers(1, 10), w=st.integers(1, 11), seed=st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_random_pixels_any_padding(h, w, seed):
+    """BMP rows pad to 4-byte boundaries — random (incl. odd) widths
+    must survive the round trip exactly."""
+    from valentinus_spark.imaging import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(h=st.integers(1, 8), w=st.integers(1, 8), seed=st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_random_indices(h, w, seed):
+    """Random palette-index frames: LZW encode/decode must reproduce the
+    grayscale palette value in every RGB channel with alpha 255."""
+    from valentinus_spark.imaging import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = decode_gif(encode_gif(idx))
+    assert out.shape == (h, w, 4)
+    for ch in range(3):
+        np.testing.assert_array_equal(out[:, :, ch], idx)
+    assert (out[:, :, 3] == 255).all()
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(8, 24),
+    w=st.integers(8, 24),
+    subsample=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_roundtrip_random_smooth_error_bounded(h, w, subsample, seed):
+    """Lossy JPEG on random SMOOTH content (low-frequency, where
+    quantization error is bounded): any dims — including non-MCU-aligned
+    — must decode to the right shape with quantization-level error."""
+    from valentinus_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 216, (2, 2, 3))
+    yy = np.linspace(0, 1, h)[:, None, None]
+    xx = np.linspace(0, 1, w)[None, :, None]
+    img = (
+        base[0, 0] * (1 - yy) * (1 - xx) + base[0, 1] * (1 - yy) * xx
+        + base[1, 0] * yy * (1 - xx) + base[1, 1] * yy * xx
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsample=subsample))
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 6 and err.max() < 40
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(1, 400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_wav_roundtrip_random_samples_exact(n, rate, seed):
+    """PCM16 quantization is the ONLY loss: decode(encode(x)) must equal
+    round(clip(x)*32767)/32768 bit-for-bit, any length/rate."""
+    from valentinus_spark.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.2, 1.2, n)  # deliberately includes clipping range
+    got, got_rate = decode_wav(encode_wav(x, rate))
+    assert got_rate == rate and got.dtype == np.float32
+    expect = (
+        np.round(np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2").astype(np.float32)
+        / 32768.0
+    )
+    np.testing.assert_array_equal(got, expect)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(1, 300), seed=st.integers(0, 2**32 - 1))
+def test_wav_decode_matches_stdlib_wave_module(n, seed):
+    """Independent reference: the stdlib ``wave`` module reads the same
+    bytes; samples and rate must agree exactly."""
+    import io
+    import wave
+
+    from valentinus_spark.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    data = encode_wav(rng.uniform(-1, 1, n), 16000)
+    got, rate = decode_wav(data)
+    with wave.open(io.BytesIO(data)) as wf:
+        assert wf.getframerate() == rate == 16000
+        assert wf.getnchannels() == 1 and wf.getsampwidth() == 2
+        ref = np.frombuffer(
+            wf.readframes(wf.getnframes()), dtype="<i2"
+        ).astype(np.float32) / 32768.0
+    np.testing.assert_array_equal(got, ref)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(1, 120),
+    n_ch=st.integers(2, 4),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_wav_multichannel_downmix_matches_numpy(n, n_ch, seed):
+    """Hand-built N-channel PCM16 WAV (test-side struct writer): the
+    decoder's downmix must equal the per-frame numpy mean."""
+    import struct as _struct
+
+    from valentinus_spark.audio import decode_wav
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(-32768, 32768, (n, n_ch), dtype=np.int16)
+    raw = frames.astype("<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, n_ch, 8000, 8000 * 2 * n_ch, 2 * n_ch, 16)
+    body = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(raw)) + raw
+    data = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    got, rate = decode_wav(data)
+    assert rate == 8000
+    expect = (frames.astype(np.float32) / 32768.0).mean(axis=1)
+    np.testing.assert_allclose(got, expect, rtol=0, atol=1e-7)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    kind=st.sampled_from(["png", "gif", "bmp", "wav", "jpeg"]),
+    mode=st.sampled_from(["truncate", "bitflip"]),
+    frac=st.floats(0.02, 0.98),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_corrupt_media_bytes_raise_documented_errors(kind, mode, frac, seed):
+    """Random truncation / bit-flips anywhere in a valid payload: every
+    decoder either still returns an ndarray or raises the DOCUMENTED
+    ValueError/NotImplementedError — never a zlib/struct/numpy internal
+    (this property found and fixed zlib.error, struct.error, IndexError
+    and OverflowError leaks in the PNG/WAV/GIF/JPEG decoders)."""
+    from valentinus_spark.audio import decode_wav, encode_wav
+    from valentinus_spark.imaging import (
+        decode_bmp,
+        decode_gif,
+        decode_png,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+    from valentinus_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    enc = {
+        "png": lambda: encode_png(img),
+        "bmp": lambda: encode_bmp(img),
+        "gif": lambda: encode_gif(rng.integers(0, 256, (5, 4), dtype=np.uint8)),
+        "wav": lambda: encode_wav(rng.uniform(-1, 1, 64)),
+        "jpeg": lambda: encode_jpeg(img),
+    }[kind]()
+    dec = {"png": decode_png, "bmp": decode_bmp, "gif": decode_gif,
+           "wav": decode_wav, "jpeg": decode_jpeg}[kind]
+    i = 2 + int(frac * (len(enc) - 3))
+    if mode == "truncate":
+        payload = enc[:i]
+    else:
+        b = bytearray(enc)
+        b[i] ^= 0xFF
+        payload = bytes(b)
+    try:
+        out = dec(payload)
+    except (ValueError, NotImplementedError):
+        return  # the documented failure contract
+    # decoders may legitimately succeed (corruption in slack bytes)
+    assert out is not None
+
+
+# ---------------------------------------------------------------------------
+# metadata filter compiler: promoted-column, strict-coercion and string-in
+# paths vs the python evaluator (r8 VERDICT item 8 — the map path was
+# propertied, these drive the remaining compiler branches)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(specs=spec_strategy, rows=row_strategy)
+def test_filter_compiler_promoted_columns_match_map_path(spark, specs, rows):
+    """Promoted md_<key> columns (typed, parquet-pushable) must select
+    EXACTLY the rows the map-path predicate selects — same semantics,
+    different physical target."""
+    from pyspark.sql.types import (
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+        LongType,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()),
+         StructField("metadata", MapType(StringType(), StringType()))]
+    )
+    df = spark.createDataFrame([(i, m) for i, m in enumerate(rows)], schema)
+    # promote every key as its string column (the save(promote_keys=...)
+    # shape); numeric compare then try_casts exactly like the map path
+    for k in KEYS:
+        df = df.withColumn("md_" + k, F.element_at("metadata", k))
+    json_specs = [{k: {op: v}} for k, op, v in specs]
+    got = {
+        r["id"]
+        for r in df.filter(
+            compile_filters(json_specs, promoted_columns=df.columns)
+        ).collect()
+    }
+    expect = {
+        i for i, m in enumerate(rows)
+        if all(py_eval(m, k, op, v) for k, op, v in specs)
+    }
+    assert got == expect
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    key=st.sampled_from(KEYS),
+    op=st.sampled_from(["approx", "like", "neq", "between"]),
+    value=st.one_of(st.integers(-5, 15), st.sampled_from(["a", "b"])),
+    rows=row_strategy,
+)
+def test_filter_compiler_unknown_op_strict_raises_compat_coerces(
+    spark, key, op, value, rows
+):
+    """Unknown ops: strict=True raises JsonError (our default);
+    strict=False replays the reference's md2f.rs:25-34 coercion — eq for
+    numeric values, never-match for non-eq string ops."""
+    import pytest as _pytest
+
+    from valentinus_spark.errors import JsonError
+
+    spec = [{key: {op: value}}]
+    with _pytest.raises(JsonError):
+        compile_filters(spec)
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(rows)], "id long, metadata map<string,string>"
+    )
+    got = {
+        r["id"] for r in df.filter(compile_filters(spec, strict=False)).collect()
+    }
+    if isinstance(value, str):
+        expect = set()  # non-eq string ops never match (md2f.rs:196-199)
+    else:
+        expect = {i for i, m in enumerate(rows) if py_eval(m, key, "eq", value)}
+    assert got == expect
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    key=st.sampled_from(KEYS),
+    values=st.lists(st.sampled_from(["a", "b", "7", "-3"]), min_size=1, max_size=4),
+    rows=row_strategy,
+)
+def test_filter_compiler_string_in_matches_python(spark, key, values, rows):
+    """String in-lists (implemented for real here; documented-but-missing
+    in the reference) match exact string membership, no numeric coercion."""
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(rows)], "id long, metadata map<string,string>"
+    )
+    got = {
+        r["id"]
+        for r in df.filter(compile_filters([{key: {"in": values}}])).collect()
+    }
+    expect = {i for i, m in enumerate(rows) if m.get(key) in set(values)}
+    assert got == expect

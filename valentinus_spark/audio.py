@@ -43,6 +43,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                # truncated fmt chunk must surface as the documented
+                # ValueError, not struct.error (r9 byte-fuzz property)
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             raw = body

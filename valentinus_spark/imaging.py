@@ -51,8 +51,10 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + body + crc
         if ctype == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("truncated PNG IHDR chunk")
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
+                ">IIBBBBB", body[:13]
             )
             if depth != 8:
                 raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
@@ -67,7 +69,13 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None or not idat:
         raise ValueError("truncated PNG (missing IHDR or IDAT)")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt/truncated deflate stream must surface as the documented
+        # ValueError, not a zlib internal (found by the r9 byte-fuzz
+        # property layer)
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG data length mismatch")
@@ -323,6 +331,18 @@ def decode_gif(data: bytes) -> np.ndarray:
         raise ValueError("not a GIF payload (bad signature)")
     if len(data) < 13:
         raise ValueError("truncated GIF header")
+    try:
+        return _decode_gif(data)
+    except (IndexError, struct.error, ValueError) as e:
+        # corrupt block chains index off their buffers; surface the
+        # documented ValueError, not a struct/numpy internal (r9
+        # byte-fuzz property layer)
+        if isinstance(e, ValueError):
+            raise
+        raise ValueError(f"corrupt GIF stream: {e!r}") from e
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None

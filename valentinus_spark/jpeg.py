@@ -187,6 +187,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes → uint8 (h, w, 3) RGB (grayscale expands)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG payload (bad SOI)")
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        # corrupt/truncated segment tables or entropy streams index off
+        # the end of their buffers; surface the documented ValueError,
+        # not a numpy/struct internal (r9 byte-fuzz property layer)
+        raise ValueError(f"corrupt JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
