@@ -1012,6 +1012,134 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sweep (operators/dedup.py::
+    dedup_threshold_curve, Lee et al. ACL 2022): qualifying pair count,
+    flagged-doc count, and flagged fraction at four candidate Jaccard
+    cuts from ONE shingle self-join — the panel read before committing
+    a corpus-wide dedup threshold. max_df=None for exact all-pairs
+    oracle replay (the df-capped scale path is ngram_jaccard_pairs's,
+    audited there)."""
+    from valentinus_spark.operators.dedup import dedup_threshold_curve
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_threshold_curve(
+        docs, n=3, thresholds=(0.2, 0.4, 0.6, 0.8), max_df=None
+    )
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-line audit (operators/cleaning.py::
+    boilerplate_line_stats, CCNet/Wenzek et al. 2020 ¶paragraph-dedup
+    rationale). Line structure is synthesized exactly as c4_line_clean
+    does (newline every 5 words, replicated in the oracle); a line is
+    boilerplate in a source when ≥ max(2, ceil(5% of the source's
+    docs)) distinct documents contain it. All-integer output."""
+    from valentinus_spark.operators.cleaning import boilerplate_line_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    lined = docs.withColumn(
+        "text", F.regexp_replace("text", r"((\w+ ){4}\w+) ", "$1\n")
+    )
+    return boilerplate_line_stats(
+        lined, "source", "doc_id", "text", min_frac=0.05, min_df=2
+    )
+
+
+def q_script_mismatch_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script QC (operators/quality.py::script_profile): per-doc
+    script histogram, precedence-argmax dominant script, and the
+    lang-vs-script mismatch flag. Docs with doc_id % 7 == 3 are PLANTED
+    with Cyrillic homoglyphs (translate aeiounrst → аеіоунрст — the
+    spoofing case); the corpus's 'zh'-labeled ASCII docs exercise the
+    wrong-lang-id case with no planting at all. Counts are exact
+    integers; the codepoint-range strips and the precedence CASE chain
+    replay verbatim in DuckDB (literal character ranges, so Java regex
+    and RE2 agree by construction)."""
+    from valentinus_spark.operators.quality import script_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.translate("text", "aeiounrst", "аеіоунрст"),
+        ).otherwise(F.col("text")),
+    )
+    return script_profile(planted, "doc_id", "text", lang_col="lang")
+
+
+def q_wimbd_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIMBD corpus panel (operators/collocations.py::top_ngrams,
+    Elazar et al. ICLR 2024): top-5 word trigrams per language by raw
+    occurrence count with lexicographic tie-break — a total order, so
+    the top-k set is unique and the oracle's row_number replay lands on
+    the identical rows."""
+    from valentinus_spark.operators.collocations import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return top_ngrams(docs, "lang", "text", n=3, k=5)
+
+
+def q_collection_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE composite (collection.py::upsert): an 'en' collection
+    takes an upsert batch of (a) every doc_id % 3 == 0 'en' doc with
+    UPPERCASED text and a Rev=2 metadata marker (replacements) and
+    (b) all 'de' docs (inserts). Output = per-language doc/id counts,
+    modified-row count, and the summed document length — a lost
+    replacement zeroes n_modified, a double-apply splits n_docs from
+    n_ids, and a stale-text survivor shifts nothing visible except the
+    Rev marker (which is why n_modified is in the hash)."""
+    import tempfile
+
+    from valentinus_spark.collection import CollectionCatalog, EmbeddingCollection
+    from valentinus_spark.embed import HashEmbedder
+
+    catalog = CollectionCatalog(spark, warehouse=tempfile.mkdtemp(prefix="vs_ups_"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    en = docs.filter(F.col("lang") == "en").select(
+        F.concat(F.lit("id"), F.col("doc_id")).alias("id"),
+        F.col("text").alias("document"),
+        F.create_map(F.lit("Lang"), F.col("lang")).alias("metadata"),
+    )
+    col = EmbeddingCollection.from_dataframe(
+        spark, en, "upsertmerge", embedder=HashEmbedder(dim=16), catalog=catalog
+    ).save()
+    batch = (
+        docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0))
+        .select(
+            F.concat(F.lit("id"), F.col("doc_id")).alias("id"),
+            F.upper(F.col("text")).alias("document"),
+            F.create_map(
+                F.lit("Lang"), F.col("lang"), F.lit("Rev"), F.lit("2")
+            ).alias("metadata"),
+        )
+        .unionByName(
+            docs.filter(F.col("lang") == "de").select(
+                F.concat(F.lit("id"), F.col("doc_id")).alias("id"),
+                F.col("text").alias("document"),
+                F.create_map(F.lit("Lang"), F.col("lang")).alias("metadata"),
+            )
+        )
+    )
+    col.upsert(batch)
+    res = (
+        col.df.groupBy(F.element_at("metadata", "Lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("id").alias("n_ids"),
+            F.sum(
+                F.when(F.element_at("metadata", "Rev") == "2", 1).otherwise(0)
+            ).alias("n_modified"),
+            F.sum(F.length("document")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+    rows = res.collect()  # materialize before delete
+    EmbeddingCollection.delete(spark, "view-upsertmerge", catalog=catalog)
+    return spark.createDataFrame(rows, res.schema)
+
+
 def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/range_join.py): purchases attributed to
     10-minute error-incident windows of the same user — point-in-interval
@@ -7401,6 +7529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prototypes": q_semdedup_prototypes,
         "embedding_dim_stats": q_embedding_dim_stats,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+        "boilerplate_lines": q_boilerplate_lines,
+        "script_mismatch_planted": q_script_mismatch_planted,
+        "wimbd_top_ngrams": q_wimbd_top_ngrams,
+        "collection_upsert": q_collection_upsert,
         # round-3 cohort remainder (last driver-green r3)
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -7756,6 +7889,71 @@ _REPETITION_STATS_CTE = """
     )
 """
 
+
+
+def _script_profile_oracle_sql() -> str:
+    """DuckDB replay of operators/quality.py::script_profile over the
+    planted corpus: the same literal-codepoint character classes (built
+    with chr() so Java regex and RE2 receive identical literals), the
+    same precedence-ordered >=-chain argmax (earlier script wins count
+    ties — exactly the struct-max tie-break on the Spark side), and the
+    same lang→expected-script table for the mismatch flag."""
+    ranges = {
+        "latin": "A-Za-z" + chr(0x00C0) + "-" + chr(0x024F),
+        "cyrillic": chr(0x0400) + "-" + chr(0x04FF),
+        "greek": chr(0x0370) + "-" + chr(0x03FF),
+        "cjk": chr(0x3040) + "-" + chr(0x30FF) + chr(0x4E00) + "-" + chr(0x9FFF),
+        "arabic": chr(0x0600) + "-" + chr(0x06FF),
+        "hangul": chr(0x1100) + "-" + chr(0x11FF) + chr(0xAC00) + "-" + chr(0xD7AF),
+    }
+    names = list(ranges)
+    counts = ",\n                   ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '[{rng}]', '', 'g')) AS BIGINT) AS n_{name}"
+        for name, rng in ranges.items()
+    )
+    # precedence argmax: script i wins when its count >= every LATER
+    # script's count (earlier CASE arms already lost)
+    arms = []
+    for i, name in enumerate(names[:-1]):
+        conds = " AND ".join(
+            f"n_{name} >= n_{later}" for later in names[i + 1 :]
+        )
+        arms.append(f"WHEN {conds} THEN '{name}'")
+    allzero = " + ".join(f"n_{n}" for n in names)
+    dominant = (
+        f"CASE WHEN {allzero} = 0 THEN 'none' "
+        + " ".join(arms)
+        + f" ELSE '{names[-1]}' END"
+    )
+    latin_langs = "'en','es','de','fr','it','pt','nl','pl','tr','vi','id','sv'"
+    return f"""
+            WITH p AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 7 = 3
+                            THEN translate(text, 'aeiounrst', 'аеіоунрст')
+                            ELSE text END AS t
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, lang,
+                   {counts}
+                FROM p
+            ),
+            d AS (
+                SELECT *, {dominant} AS dominant_script FROM c
+            )
+            SELECT doc_id, lang,
+                   n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_hangul,
+                   dominant_script,
+                   CASE WHEN lang IN ({latin_langs}) THEN dominant_script != 'latin'
+                        WHEN lang = 'ru' THEN dominant_script != 'cyrillic'
+                        WHEN lang = 'el' THEN dominant_script != 'greek'
+                        WHEN lang IN ('ja', 'zh') THEN dominant_script != 'cjk'
+                        WHEN lang = 'ar' THEN dominant_script != 'arabic'
+                        WHEN lang = 'ko' THEN dominant_script != 'hangul'
+                        ELSE NULL END AS script_mismatch
+            FROM d ORDER BY doc_id
+        """
 
 
 def _hits_oracle_sql(rounds: int = 4) -> str:
@@ -9492,6 +9690,167 @@ def oracle_sql() -> dict[str, str]:
             FROM a ORDER BY dim
         """,
         "tokenizer_fertility": _bpe_fertility_oracle_sql(),
+        # one shingle self-join feeds all four threshold rows; the
+        # flagged fraction divides by the non-empty-doc count, both
+        # sides round to 6 dp AFTER the integer counts settle
+        "dedup_threshold_curve": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) != ''
+            ),
+            ndocs AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n FROM words),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w) - 3 + 2), i -> array_to_string(w[i:i+2], ' '))
+                    END)) AS shingle
+                FROM words
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) * 1.0
+                       / (sa.sz + sb.sz - COUNT(*)) AS j
+                FROM sh a JOIN sh b USING (shingle)
+                JOIN sizes sa ON a.doc_id = sa.doc_id
+                JOIN sizes sb ON b.doc_id = sb.doc_id
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2, sa.sz, sb.sz
+            ),
+            spine AS (
+                SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8]) AS DOUBLE) AS threshold
+            ),
+            hits AS (
+                SELECT s.threshold, p.id_a, p.id_b
+                FROM spine s JOIN pairs p ON p.j >= s.threshold
+            ),
+            agg AS (
+                SELECT threshold, COUNT(*)::BIGINT AS n_pairs
+                FROM hits GROUP BY 1
+            ),
+            flagged AS (
+                SELECT threshold, COUNT(DISTINCT id)::BIGINT AS n_docs_flagged
+                FROM (SELECT threshold, id_a AS id FROM hits
+                      UNION ALL SELECT threshold, id_b FROM hits)
+                GROUP BY 1
+            )
+            SELECT s.threshold,
+                   COALESCE(a.n_pairs, 0)::BIGINT AS n_pairs,
+                   COALESCE(f.n_docs_flagged, 0)::BIGINT AS n_docs_flagged,
+                   ROUND(COALESCE(f.n_docs_flagged, 0) * 1.0 / (SELECT n FROM ndocs), 6)
+                       + 0.0 AS frac_docs_flagged
+            FROM spine s
+            LEFT JOIN agg a USING (threshold)
+            LEFT JOIN flagged f USING (threshold)
+            ORDER BY threshold
+        """,
+        # line synthesis replicated from c4_line_clean's oracle; a line
+        # is boilerplate in a source when >= max(2, ceil(0.05 * source
+        # docs)) distinct docs contain its normalized form
+        "boilerplate_lines": """
+            WITH lined AS (
+                SELECT doc_id, source,
+                       regexp_replace(text, '((\\w+ ){4}\\w+) ', '\\1' || chr(10), 'g') AS text
+                FROM documents
+            ),
+            rawlines AS (
+                SELECT doc_id, source, unnest(string_split(text, chr(10))) AS raw
+                FROM lined
+            ),
+            lines AS (
+                SELECT DISTINCT source, doc_id,
+                       trim(regexp_replace(lower(raw), '\\s+', ' ', 'g')) AS line
+                FROM rawlines
+                WHERE trim(regexp_replace(lower(raw), '\\s+', ' ', 'g')) != ''
+            ),
+            gdocs AS (
+                SELECT source, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+                FROM lined GROUP BY source
+            ),
+            linedf AS (
+                SELECT source, line, COUNT(*)::BIGINT AS df
+                FROM lines GROUP BY source, line
+            ),
+            boiler AS (
+                SELECT l.source, l.line, l.df
+                FROM linedf l JOIN gdocs g USING (source)
+                WHERE l.df >= GREATEST(2, CAST(CEIL(0.05 * g.n_docs) AS BIGINT))
+            ),
+            pg AS (
+                SELECT source, COUNT(*)::BIGINT AS n_boilerplate_lines,
+                       SUM(df)::BIGINT AS boilerplate_occurrences
+                FROM boiler GROUP BY source
+            ),
+            affected AS (
+                SELECT li.source, COUNT(DISTINCT li.doc_id)::BIGINT AS n_docs_affected
+                FROM lines li SEMI JOIN boiler b
+                  ON li.source = b.source AND li.line = b.line
+                GROUP BY li.source
+            )
+            SELECT g.source, g.n_docs,
+                   COALESCE(pg.n_boilerplate_lines, 0)::BIGINT AS n_boilerplate_lines,
+                   COALESCE(a.n_docs_affected, 0)::BIGINT AS n_docs_affected,
+                   COALESCE(pg.boilerplate_occurrences, 0)::BIGINT AS boilerplate_occurrences
+            FROM gdocs g
+            LEFT JOIN pg USING (source)
+            LEFT JOIN affected a USING (source)
+            ORDER BY source
+        """,
+        "script_mismatch_planted": _script_profile_oracle_sql(),
+        "wimbd_top_ngrams": """
+            WITH words AS (
+                SELECT lang,
+                       string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE trim(text) != ''
+            ),
+            grams AS (
+                SELECT lang, array_to_string(w[i:i+2], ' ') AS ngram
+                FROM words, unnest(range(1, len(w) - 3 + 2)) t(i)
+                WHERE len(w) >= 3
+            ),
+            counted AS (
+                SELECT lang, ngram, COUNT(*)::BIGINT AS n_occurrences
+                FROM grams GROUP BY lang, ngram
+            ),
+            ranked AS (
+                SELECT lang, ngram, n_occurrences,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_occurrences DESC, ngram ASC) AS rank
+                FROM counted
+            )
+            SELECT lang, ngram, n_occurrences, rank::INT AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY lang, rank
+        """,
+        # the MERGE result replayed relationally: en survivors (ids not
+        # in the batch) + the batch itself, grouped by language
+        "collection_upsert": """
+            WITH en AS (
+                SELECT 'id' || CAST(doc_id AS VARCHAR) AS id, text AS doc,
+                       lang, 0 AS rev
+                FROM documents WHERE lang = 'en'
+            ),
+            batch AS (
+                SELECT 'id' || CAST(doc_id AS VARCHAR) AS id, upper(text) AS doc,
+                       lang, 1 AS rev
+                FROM documents WHERE lang = 'en' AND doc_id % 3 = 0
+                UNION ALL
+                SELECT 'id' || CAST(doc_id AS VARCHAR), text, lang, 0
+                FROM documents WHERE lang = 'de'
+            ),
+            final AS (
+                SELECT e.* FROM en e
+                WHERE e.id NOT IN (SELECT id FROM batch)
+                UNION ALL
+                SELECT * FROM batch
+            )
+            SELECT lang, COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT id)::BIGINT AS n_ids,
+                   SUM(rev)::BIGINT AS n_modified,
+                   SUM(length(doc))::BIGINT AS sum_chars
+            FROM final GROUP BY lang ORDER BY lang
+        """,
         # theta-overlap replay: both 64-hash sketches rebuilt, combined
         # threshold, survivors marked per side, same estimator constants
         "kmv_audience_overlap": """

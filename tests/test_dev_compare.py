@@ -136,6 +136,9 @@ R9_ADDITIONS = [
     "quality_ensemble_vote", "cluster_balanced_sample",
     "semdedup_prototypes", "embedding_dim_stats",
     "tokenizer_fertility",
+    "dedup_threshold_curve", "boilerplate_lines",
+    "script_mismatch_planted", "wimbd_top_ngrams",
+    "collection_upsert",
 ]
 
 # Rows-only by design: non-deterministic internals make an exact SQL

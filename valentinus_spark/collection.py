@@ -48,7 +48,12 @@ from pyspark.sql.types import (
 )
 
 from valentinus_spark.embed import Embedder, HashEmbedder, get_embedder
-from valentinus_spark.errors import DatabaseError, NotFoundError, ViewNameError
+from valentinus_spark.errors import (
+    BatchError,
+    DatabaseError,
+    NotFoundError,
+    ViewNameError,
+)
 from valentinus_spark.filters import compile_filters
 from valentinus_spark.functions.vector import cosine_similarity, dot, l2_distance
 from valentinus_spark.session import warehouse_dir
@@ -372,6 +377,83 @@ class EmbeddingCollection:
             entry["ann_index"] = "stale"
         if entry.get("pq_index"):
             entry["pq_index"] = "stale"  # codes table misses the new rows
+        self.catalog.add(self.view, entry)
+        return self
+
+    def upsert(self, df: DataFrame) -> "EmbeddingCollection":
+        """Keyed MERGE into a SAVED collection: incoming rows REPLACE any
+        stored row with the same ``id``; the rest insert. Embeds ONLY
+        the incoming batch — survivors keep their stored vectors (at
+        corpus scale, re-embedding 100 TB to revise 1% of it is the
+        bug this method exists to avoid). The reference's only write
+        paths are save-whole and delete-whole (embeddings.rs:285-306,
+        SURVEY §2.4 extension surface); this is the Delta/Hudi
+        copy-on-write MERGE pattern on the same Parquet layout.
+
+        Incoming ids must be unique within the batch (latest-wins would
+        be order-dependent under shuffle — strict-raise instead, the
+        same posture as the filter compiler's unknown-op handling).
+
+        Scale shape: one anti-join of the stored table against the
+        batch ids (AQE broadcasts the id set when the batch is small)
+        plus a full rewrite through a temp dir + atomic swap — the
+        copy-on-write tradeoff. A deployment with file statistics would
+        prune the rewrite to id-overlapping files; the merge semantics
+        here are identical. ANN/PQ indexes are marked stale exactly as
+        :meth:`append` does."""
+        entry = self.catalog.resolve(self.view)  # raises if never saved
+        dup = (
+            df.groupBy("id").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1)
+        )
+        if dup.limit(1).count() > 0:
+            raise BatchError("upsert batch contains duplicate ids")
+        if "metadata" not in df.columns:
+            df = df.withColumn(
+                "metadata", F.lit(None).cast(MapType(StringType(), StringType()))
+            )
+        from valentinus_spark.functions.vector import quantize_embedding
+
+        quantized = "embedding_q" in self.df.columns
+        if "embedding" not in df.columns and "embedding_q" not in df.columns:
+            df = df.withColumn("embedding", self.embedder.embed_col("document"))
+        if quantized and "embedding_q" not in df.columns:
+            df = df.withColumn("embedding_q", quantize_embedding("embedding")).drop(
+                "embedding"
+            )
+        from valentinus_spark.filters import PROMOTED_PREFIX
+
+        for pkey, ptype in (entry.get("promoted") or {}).items():
+            pcol = PROMOTED_PREFIX + pkey
+            if pcol not in df.columns:
+                df = df.withColumn(
+                    pcol, F.element_at("metadata", pkey).try_cast(ptype)
+                )
+        for col_name in self.df.columns:
+            if col_name not in df.columns:
+                df = df.withColumn(
+                    col_name, F.lit(None).cast(dict(self.df.dtypes)[col_name])
+                )
+        batch = df.select(self.df.columns)
+        survivors = self.df.join(batch.select("id"), "id", "anti")
+        merged = survivors.unionByName(batch)
+        path = entry["path"]
+        tmp = path + ".upsert.tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        writer = merged.write
+        if entry.get("partition_by"):
+            writer = writer.partitionBy(*entry["partition_by"])
+        writer.parquet(tmp)
+        old = path + ".upsert.old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        self.df = self.spark.read.parquet(path)
+        entry["n_rows"] = self.df.count()
+        if entry.get("ann_index"):
+            entry["ann_index"] = "stale"
+        if entry.get("pq_index"):
+            entry["pq_index"] = "stale"
         self.catalog.add(self.view, entry)
         return self
 

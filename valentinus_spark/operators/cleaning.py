@@ -169,3 +169,85 @@ def line_filter_stats(
         F.sum("_nopunct").alias("dropped_no_punct"),
         F.sum("_blocked").alias("dropped_blocklist"),
     )
+
+
+def boilerplate_line_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.05,
+    min_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-group boilerplate-line detection (the CCNet/jusText signal:
+    Wenzek et al. LREC 2020 dedup at the PARAGRAPH level precisely
+    because nav bars, cookie notices, and footers repeat across a
+    site's pages while article bodies don't). A normalized line is
+    boilerplate within a group when it appears in at least
+    ``max(min_df, ceil(min_frac * group_docs))`` distinct documents of
+    that group.
+
+    Returns one row per group, ordered:
+    (``group_col``, ``n_docs``, ``n_boilerplate_lines``,
+    ``n_docs_affected``, ``boilerplate_occurrences`` — the total
+    doc-line incidences a removal pass would strip). Groups with no
+    boilerplate keep their row with zeros (the audit must show clean
+    sources as clean, not silently drop them).
+
+    Scale shape: explode to (group, doc, line), distinct, then ONE
+    hash-aggregate keyed on (group, line) — partial aggregation
+    map-side, so the shuffle carries one record per distinct line per
+    mapper. The boilerplate set is joined back as a semi-join keyed on
+    the same (group, line) — AQE broadcasts it when small. No windows,
+    no driver state; line df-counting is the exact same posture as
+    exact_dedup's digest aggregate."""
+    from valentinus_spark.functions.text import normalize_text
+    from valentinus_spark.functions.util import ensure_parallelism
+
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    per_doc = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), sep)).alias("_raw"),
+        )
+        .select("_g", "_id", normalize_text("_raw").alias("_line"))
+        .filter(F.col("_line") != "")
+        .distinct()
+    )
+    gdocs = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count_distinct(id_col).alias("n_docs")
+    )
+    line_df = per_doc.groupBy("_g", "_line").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    boiler = line_df.join(gdocs, "_g").filter(
+        F.col("_df")
+        >= F.greatest(F.lit(int(min_df)), F.ceil(F.lit(float(min_frac)) * F.col("n_docs")))
+    )
+    per_group = boiler.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_boilerplate_lines"),
+        F.sum("_df").alias("boilerplate_occurrences"),
+    )
+    affected = (
+        per_doc.join(boiler.select("_g", "_line"), ["_g", "_line"], "semi")
+        .groupBy("_g")
+        .agg(F.count_distinct("_id").alias("n_docs_affected"))
+    )
+    return (
+        gdocs.join(per_group, "_g", "left")
+        .join(affected, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_docs",
+            F.coalesce("n_boilerplate_lines", F.lit(0)).alias("n_boilerplate_lines"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+            F.coalesce("boilerplate_occurrences", F.lit(0)).alias(
+                "boilerplate_occurrences"
+            ),
+        )
+        .orderBy(group_col)
+    )

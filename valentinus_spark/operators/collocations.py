@@ -198,3 +198,57 @@ def association_rules(
     if top_n > 0:
         out = out.limit(top_n)
     return out
+
+
+def top_ngrams(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """WIMBD-style most-common n-grams per group (Elazar et al. ICLR
+    2024, "What's In My Big Data?" — the summary panel every corpus
+    release ships: which phrases dominate each language/source slice;
+    boilerplate, ads, and template spam surface at the top of it).
+
+    Counts RAW n-gram occurrences (every token position, not
+    distinct-per-doc), ranks within each group by (count desc, n-gram
+    asc — a total order, so the top-k set is unique), keeps ``k`` rows
+    per group. Returns (``group_col``, ``ngram``, ``n_occurrences``,
+    ``rank``) ordered by group, rank.
+
+    Scale shape: one corpus scan exploding to (group, ngram), then a
+    map-side-combinable hash aggregate keyed on (group, ngram) — the
+    shuffle carries one record per distinct n-gram per mapper, and the
+    window that ranks the AGGREGATED counts is WindowGroupLimit-pruned
+    (Spark ≥ 3.5 pushes the rank<=k filter map-side), so the few-groups
+    skew of partitioning by group alone applies only to the already
+    vocabulary-sized aggregate, never to corpus rows."""
+    from pyspark.sql import Window
+
+    from valentinus_spark.functions.text import shingles_from_tokens
+    from valentinus_spark.functions.util import ensure_parallelism
+
+    if k < 1 or n < 1:
+        raise ValueError(f"n and k must be >= 1, got n={n} k={k}")
+    grams = (
+        ensure_parallelism(df.filter(F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(group_col).alias("_g"),
+            word_tokens(normalize_text(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .select("_g", F.explode(shingles_from_tokens("_toks", n)).alias("ngram"))
+        .groupBy("_g", "ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("_g").orderBy(
+        F.desc("n_occurrences"), F.asc("ngram")
+    )
+    return (
+        grams.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_g").alias(group_col), "ngram", "n_occurrences", "rank")
+        .orderBy(group_col, "rank")
+    )

@@ -171,6 +171,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_threshold_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    thresholds: "tuple[float, ...]" = (0.5, 0.6, 0.7, 0.8, 0.9),
+    max_df: int | None = 100_000,
+) -> DataFrame:
+    """Near-dup threshold sweep: for each candidate Jaccard threshold,
+    how many document pairs qualify, how many documents are flagged by
+    at least one qualifying pair, and the flagged fraction of the
+    corpus — the tuning panel one reads BEFORE committing a corpus-wide
+    dedup threshold (Lee et al. ACL 2022 settled on 0.8 for C4; the
+    right cut is corpus-specific and this curve is how it's chosen).
+
+    Returns one row per threshold, ordered:
+    (``threshold``, ``n_pairs``, ``n_docs_flagged``,
+    ``frac_docs_flagged`` rounded to 6 dp; zero rows for thresholds no
+    pair reaches).
+
+    Scale shape: ONE df-capped shingle self-join at ``min(thresholds)``
+    (the dominant cost, identical to :func:`ngram_jaccard_pairs`) feeds
+    every threshold row through a broadcast threshold spine — the sweep
+    costs one corpus pass, not ``len(thresholds)`` passes. Everything
+    after the pair filter is sized by qualifying pairs × thresholds,
+    orders of magnitude below the corpus; the final per-threshold
+    distinct-count shuffles only those endpoint rows."""
+    ts = sorted({float(t) for t in thresholds})
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    n_docs = (
+        df.filter(F.trim(F.col(text_col)) != "").select(id_col).distinct().count()
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame([(t,) for t in ts], "threshold double")
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=ts[0], max_df=max_df
+    )
+    hits = pairs.join(
+        F.broadcast(spine), F.col("jaccard") >= F.col("threshold"), "inner"
+    )
+    per_t = hits.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    flagged = (
+        hits.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("_id")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("_id").alias("n_docs_flagged"))
+    )
+    return (
+        spine.join(F.broadcast(per_t), "threshold", "left")
+        .join(F.broadcast(flagged), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0)).alias("n_docs_flagged"),
+            F.round(
+                F.coalesce("n_docs_flagged", F.lit(0))
+                / F.lit(n_docs).cast("double"),
+                6,
+            ).alias("frac_docs_flagged")
+            if n_docs
+            else F.lit(None).cast("double").alias("frac_docs_flagged"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
