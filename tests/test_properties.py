@@ -12729,3 +12729,205 @@ def test_filter_compiler_string_in_matches_python(spark, key, values, rows):
     }
     expect = {i for i, m in enumerate(rows) if m.get(key) in set(values)}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# r9 corpus panels vs pure-python replicas (dedup_threshold_curve,
+# boilerplate_line_stats, script_profile, top_ngrams)
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta"]
+
+doc_text = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join)
+
+
+def _py_shingles(text: str, n: int = 3) -> set:
+    toks = text.lower().split()
+    if not toks:
+        return set()
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(doc_text, min_size=1, max_size=8),
+    thresholds=st.lists(
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 1.0]), min_size=1, max_size=3
+    ),
+)
+def test_threshold_curve_matches_python(spark, texts, thresholds):
+    from valentinus_spark.operators.dedup import dedup_threshold_curve
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r.threshold: (r.n_pairs, r.n_docs_flagged, r.frac_docs_flagged)
+        for r in dedup_threshold_curve(
+            df, thresholds=tuple(thresholds), max_df=None
+        ).collect()
+    }
+    sh = {i: _py_shingles(t) for i, t in enumerate(texts) if t.strip()}
+    ids = sorted(sh)
+    n_docs = len(ids)
+    for t in sorted(set(thresholds)):
+        pairs = []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = sh[ids[x]], sh[ids[y]]
+                inter = len(a & b)
+                if inter and inter / len(a | b) >= t:
+                    pairs.append((ids[x], ids[y]))
+        flagged = {i for p in pairs for i in p}
+        exp_frac = (
+            round(len(flagged) / n_docs, 6) if n_docs else None
+        )
+        assert got[t] == (len(pairs), len(flagged), exp_frac), (
+            f"t={t}: {got[t]} vs python {(len(pairs), len(flagged), exp_frac)}"
+        )
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.lists(
+                st.sampled_from(["header line", "body text", "footer note", "x"]),
+                min_size=0,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_frac=st.sampled_from([0.3, 0.5, 0.9]),
+)
+def test_boilerplate_lines_matches_python(spark, docs, min_frac):
+    import math as _math
+
+    from valentinus_spark.operators.cleaning import boilerplate_line_stats
+
+    rows = [(i, src, "\n".join(lines)) for i, (src, lines) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_boilerplate_lines,
+            r.n_docs_affected,
+            r.boilerplate_occurrences,
+        )
+        for r in boilerplate_line_stats(df, min_frac=min_frac, min_df=2).collect()
+    }
+    # python replica
+    by_src: dict = {}
+    for i, (src, lines) in enumerate(docs):
+        by_src.setdefault(src, {})[i] = {
+            " ".join(l.lower().split()) for l in lines if l.strip()
+        }
+    exp = {}
+    for src, dd in by_src.items():
+        n_docs = len(dd)
+        gate = max(2, _math.ceil(min_frac * n_docs))
+        df_count: dict = {}
+        for ls in dd.values():
+            for l in ls:
+                df_count[l] = df_count.get(l, 0) + 1
+        boiler = {l: c for l, c in df_count.items() if c >= gate}
+        affected = sum(1 for ls in dd.values() if ls & set(boiler))
+        exp[src] = (n_docs, len(boiler), affected, sum(boiler.values()))
+    assert got == exp
+
+
+_SCRIPT_SAMPLES = {
+    "latin": "ab",
+    "cyrillic": "аб",
+    "greek": "αβ",
+    "cjk": "中文",
+    "arabic": "اب",
+    "hangul": "한글",
+}
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    mix=st.lists(
+        st.tuples(
+            st.sampled_from(sorted(_SCRIPT_SAMPLES)), st.integers(0, 4)
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    lang=st.sampled_from(["en", "ru", "zh", "xx", "ko"]),
+)
+def test_script_profile_matches_python(spark, mix, lang):
+    from valentinus_spark.operators.quality import (
+        LATIN_SCRIPT_LANGS,
+        SCRIPT_RANGES,
+        script_profile,
+    )
+
+    text = " ".join(_SCRIPT_SAMPLES[s] * k for s, k in mix)
+    df = spark.createDataFrame([(1, lang, text)], "doc_id int, lang string, text string")
+    row = script_profile(df, lang_col="lang").collect()[0]
+    # python replica over the same codepoint ranges
+    import re as _re
+
+    names = [n for n, _ in SCRIPT_RANGES]
+    counts = {
+        n: len(_re.findall(f"[{rng}]", text)) for n, rng in SCRIPT_RANGES
+    }
+    for n in names:
+        assert row[f"n_{n}"] == counts[n]
+    if sum(counts.values()) == 0:
+        exp_dom = "none"
+    else:
+        exp_dom = max(names, key=lambda n: (counts[n], -names.index(n)))
+    assert row.dominant_script == exp_dom
+    expected_script = (
+        "latin"
+        if lang in LATIN_SCRIPT_LANGS
+        else {"ru": "cyrillic", "el": "greek", "ja": "cjk", "zh": "cjk",
+              "ar": "arabic", "ko": "hangul"}.get(lang)
+    )
+    if expected_script is None:
+        assert row.script_mismatch is None
+    else:
+        assert row.script_mismatch == (exp_dom != expected_script)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["en", "de"]), doc_text),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(1, 4),
+)
+def test_top_ngrams_matches_python(spark, docs, k):
+    from collections import Counter
+
+    from valentinus_spark.operators.collocations import top_ngrams
+
+    df = spark.createDataFrame(
+        [(lang, t) for lang, t in docs], "lang string, text string"
+    )
+    got = [
+        (r.lang, r.ngram, r.n_occurrences, r.rank)
+        for r in top_ngrams(df, n=3, k=k).collect()
+    ]
+    by_lang: dict = {}
+    for lang, t in docs:
+        toks = t.lower().split()
+        if len(toks) < 3:
+            continue
+        for i in range(len(toks) - 2):
+            by_lang.setdefault(lang, Counter())[" ".join(toks[i : i + 3])] += 1
+    exp = []
+    for lang in sorted(by_lang):
+        ranked = sorted(by_lang[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        exp += [(lang, g, c, i + 1) for i, (g, c) in enumerate(ranked)]
+    assert got == exp
