@@ -217,6 +217,10 @@ def boilerplate_line_stats(
         .select("_g", "_id", normalize_text("_raw").alias("_line"))
         .filter(F.col("_line") != "")
         .distinct()
+        # materialized: consumed by BOTH the df-count and the affected-doc
+        # semi-join below — without this the explode+normalize+distinct
+        # subtree (the corpus-sized work) recomputes once per consumer
+        .localCheckpoint()
     )
     gdocs = df.groupBy(F.col(group_col).alias("_g")).agg(
         F.count_distinct(id_col).alias("n_docs")
@@ -224,9 +228,18 @@ def boilerplate_line_stats(
     line_df = per_doc.groupBy("_g", "_line").agg(
         F.count(F.lit(1)).alias("_df")
     )
-    boiler = line_df.join(gdocs, "_g").filter(
-        F.col("_df")
-        >= F.greatest(F.lit(int(min_df)), F.ceil(F.lit(float(min_frac)) * F.col("n_docs")))
+    boiler = (
+        line_df.join(gdocs, "_g")
+        .filter(
+            F.col("_df")
+            >= F.greatest(
+                F.lit(int(min_df)),
+                F.ceil(F.lit(float(min_frac)) * F.col("n_docs")),
+            )
+        )
+        # boilerplate-sized (tiny): feeds the per-group stats AND the
+        # affected semi-join
+        .localCheckpoint()
     )
     per_group = boiler.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n_boilerplate_lines"),
