@@ -1017,14 +1017,17 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_threshold_curve, Lee et al. ACL 2022): qualifying pair count,
     flagged-doc count, and flagged fraction at four candidate Jaccard
     cuts from ONE shingle self-join — the panel read before committing
-    a corpus-wide dedup threshold. max_df=None for exact all-pairs
-    oracle replay (the df-capped scale path is ngram_jaccard_pairs's,
-    audited there)."""
+    a corpus-wide dedup threshold. Runs the PRODUCTION df-capped path
+    (max_df=100): the cap prunes candidate generation only (set sizes
+    stay exact, the ngram_jaccard_pairs contract), and the oracle
+    replays the cap verbatim — a shingle's document frequency is plain
+    SQL, so the scale posture and the correctness gate use the same
+    plan."""
     from valentinus_spark.operators.dedup import dedup_threshold_curve
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup_threshold_curve(
-        docs, n=3, thresholds=(0.2, 0.4, 0.6, 0.8), max_df=None
+        docs, n=3, thresholds=(0.2, 0.4, 0.6, 0.8), max_df=100
     )
 
 
@@ -9708,11 +9711,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM words
             ),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            -- the Spark side's max_df=100 candidate cap, replayed: set
+            -- sizes above stay FULL (computed pre-filter); only the
+            -- pair-generating join is pruned to df<=100 shingles
+            kept AS (
+                SELECT shingle FROM sh
+                GROUP BY shingle HAVING COUNT(*) <= 100
+            ),
+            shk AS (SELECT sh.* FROM sh SEMI JOIN kept USING (shingle)),
             pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        COUNT(*) * 1.0
                        / (sa.sz + sb.sz - COUNT(*)) AS j
-                FROM sh a JOIN sh b USING (shingle)
+                FROM shk a JOIN shk b USING (shingle)
                 JOIN sizes sa ON a.doc_id = sa.doc_id
                 JOIN sizes sb ON b.doc_id = sb.doc_id
                 WHERE a.doc_id < b.doc_id
