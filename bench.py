@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "semdedup_prototypes",
     "embedding_dim_stats",
     "tokenizer_fertility",
+    "dedup_threshold_curve",
+    "boilerplate_lines",
+    "script_mismatch_planted",
+    "wimbd_top_ngrams",
     "range_join_incidents",
     "customers_no_big_order",
     "order_cube",
@@ -371,6 +375,7 @@ UNBENCHED = {
         "orders_fixed_width", "xml_roundtrip", "bucketed_join_revenue",
         "dpp_partitioned_join", "schema_evolution_read",
         "collection_compact", "collection_vacuum_audit",
+        "collection_upsert",
     ],
     # planted tiny-fixture correctness gates (constructed inputs of
     # dozens-to-hundreds of rows measuring SEMANTICS — recall gates,
@@ -432,6 +437,7 @@ BENCH_FAMILIES = {
         "semantic_dedup", "setsim_join", "entity_linkage",
         "name_edit_distance", "dedup_paragraphs", "incremental_components",
         "tfidf_cosine_pairs", "doc_ngram_novelty",
+        "dedup_threshold_curve",
     
         # round-7 bench-tail additions
         "containment_probe",
@@ -455,6 +461,7 @@ BENCH_FAMILIES = {
         "ql_search", "rrf_fusion", "lang_kappa", "lang_confusion",
         "trigram_logprob", "ccnet_perplexity_buckets",
         "quality_ensemble_vote", "tokenizer_fertility",
+        "boilerplate_lines", "script_mismatch_planted", "wimbd_top_ngrams",
         "winnow_spans", "rouge_pair_overlap",
         "fleiss_lang_raters", "ndcg_retrieval", "field_mutual_info",
         "doc_readability", "source_rank_normalize",
