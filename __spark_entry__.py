@@ -1143,6 +1143,69 @@ def q_collection_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, res.schema)
 
 
+def q_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated card-number audit (functions/text.py::
+    CC_CANDIDATE_PATTERN + luhn_valid): docs on a doc_id % 5 schedule
+    are planted with one Luhn-VALID PAN (4532015112830366) or one
+    single-digit-off INVALID twin (…67); the audit separates them —
+    the distinction a scrubber needs, because redacting every 13-16
+    digit run also destroys order ids and timestamps. Per-source doc /
+    candidate / valid / invalid counts, all integers; the Luhn fold
+    replays in DuckDB as list_sum over list_transform(range(...))."""
+    from valentinus_spark.functions.text import CC_CANDIDATE_PATTERN, luhn_valid
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    injected = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" 4532015112830366"))
+            .when(F.col("doc_id") % 5 == 1, F.lit(" 4532015112830367"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    gdocs = injected.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    cands = (
+        injected.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(CC_CANDIDATE_PATTERN), 0)
+            ).alias("_cand"),
+        )
+        .withColumn("_ok", luhn_valid("_cand"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("_ok"), 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).alias("n_invalid"),
+        )
+    )
+    return (
+        gdocs.join(F.broadcast(cands), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
+            F.coalesce("n_invalid", F.lit(0)).alias("n_invalid"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_source_ce_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-affinity matrix (operators/quality.py::
+    source_cross_entropy, Moore-Lewis 2010): add-one-smoothed unigram
+    cross-entropy for every ordered source pair via the telescoped
+    shared-token identity H(e,t) = ln(N_t+V) − Σ p·ln(c_t+1). DECIMAL
+    12-dp term accumulation on both engines; the diagonal is each
+    source's entropy floor."""
+    from valentinus_spark.operators.quality import source_cross_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return source_cross_entropy(docs, "source", "text")
+
+
 def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/range_join.py): purchases attributed to
     10-minute error-incident windows of the same user — point-in-interval
@@ -7537,6 +7600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mismatch_planted": q_script_mismatch_planted,
         "wimbd_top_ngrams": q_wimbd_top_ngrams,
         "collection_upsert": q_collection_upsert,
+        "pii_luhn_audit": q_pii_luhn_audit,
+        "source_ce_matrix": q_source_ce_matrix,
         # round-3 cohort remainder (last driver-green r3)
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -9809,6 +9874,83 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
         "script_mismatch_planted": _script_profile_oracle_sql(),
+        # Luhn fold replayed digit-for-digit: doubled-every-second-from-
+        # the-right with the −9 overflow rule, mod 10
+        "pii_luhn_audit": """
+            WITH inj AS (
+                SELECT source,
+                       text || CASE WHEN doc_id % 5 = 0 THEN ' 4532015112830366'
+                                    WHEN doc_id % 5 = 1 THEN ' 4532015112830367'
+                                    ELSE '' END AS t
+                FROM documents
+            ),
+            g AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM inj GROUP BY source),
+            cand AS (
+                SELECT source,
+                       unnest(regexp_extract_all(t, '\\b[0-9]{13,16}\\b')) AS c
+                FROM inj
+            ),
+            v AS (
+                SELECT source,
+                       list_sum(list_transform(range(1, length(c) + 1), i ->
+                           CASE WHEN i % 2 = 1
+                                THEN CAST(substr(reverse(c), i, 1) AS INT)
+                                ELSE CASE WHEN CAST(substr(reverse(c), i, 1) AS INT) * 2 < 10
+                                          THEN CAST(substr(reverse(c), i, 1) AS INT) * 2
+                                          ELSE CAST(substr(reverse(c), i, 1) AS INT) * 2 - 9
+                                     END
+                           END)) % 10 = 0 AS ok
+                FROM cand
+            ),
+            agg AS (
+                SELECT source, COUNT(*)::BIGINT AS n_candidates,
+                       SUM(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+                       SUM(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+                FROM v GROUP BY source
+            )
+            SELECT g.source, g.n_docs,
+                   COALESCE(a.n_candidates, 0)::BIGINT AS n_candidates,
+                   COALESCE(a.n_valid, 0)::BIGINT AS n_valid,
+                   COALESCE(a.n_invalid, 0)::BIGINT AS n_invalid
+            FROM g LEFT JOIN agg a USING (source)
+            ORDER BY source
+        """,
+        # the telescoped shared-token identity: H(e,t) = ln(N_t + V)
+        # - sum over shared tokens of p_e * ln(c_t + 1); 12-dp DECIMAL
+        # term accumulation matches the Spark fold digit for digit
+        "source_ce_matrix": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+                FROM documents WHERE trim(text) != ''
+            ),
+            cnt AS (
+                SELECT source, token, COUNT(*)::BIGINT AS c
+                FROM toks GROUP BY source, token
+            ),
+            tot AS (SELECT source, SUM(c)::BIGINT AS n FROM cnt GROUP BY source),
+            vocab AS (SELECT COUNT(DISTINCT token)::BIGINT AS v FROM cnt),
+            inner_terms AS (
+                SELECT e.source AS eval_source, t.source AS train_source,
+                       COUNT(*)::BIGINT AS n_shared_tokens,
+                       SUM(CAST(ROUND(e.c * 1.0 / te.n * ln(t.c + 1), 12)
+                                AS DECIMAL(38,12))) AS s
+                FROM cnt e
+                JOIN cnt t USING (token)
+                JOIN tot te ON te.source = e.source
+                GROUP BY 1, 2
+            )
+            SELECT a.source AS eval_source, b.source AS train_source,
+                   COALESCE(i.n_shared_tokens, 0)::BIGINT AS n_shared_tokens,
+                   ROUND(ln(b.n + (SELECT v FROM vocab))
+                         - COALESCE(CAST(i.s AS DOUBLE), 0.0), 6) + 0.0
+                       AS cross_entropy
+            FROM tot a
+            CROSS JOIN tot b
+            LEFT JOIN inner_terms i
+              ON i.eval_source = a.source AND i.train_source = b.source
+            ORDER BY eval_source, train_source
+        """,
         "wimbd_top_ngrams": """
             WITH words AS (
                 SELECT lang,

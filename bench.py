@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "boilerplate_lines",
     "script_mismatch_planted",
     "wimbd_top_ngrams",
+    "pii_luhn_audit",
+    "source_ce_matrix",
     "range_join_incidents",
     "customers_no_big_order",
     "order_cube",
@@ -462,6 +464,7 @@ BENCH_FAMILIES = {
         "trigram_logprob", "ccnet_perplexity_buckets",
         "quality_ensemble_vote", "tokenizer_fertility",
         "boilerplate_lines", "script_mismatch_planted", "wimbd_top_ngrams",
+        "pii_luhn_audit", "source_ce_matrix",
         "winnow_spans", "rouge_pair_overlap",
         "fleiss_lang_raters", "ndcg_retrieval", "field_mutual_info",
         "doc_readability", "source_rank_normalize",

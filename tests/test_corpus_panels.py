@@ -241,3 +241,101 @@ def test_upsert_marks_ann_index_stale(spark, tmp_path):
         spark.createDataFrame([("z", "new doc")], "id string, document string")
     )
     assert catalog.resolve(col.view).get("ann_index") == "stale"
+
+
+# ----------------------------------------------------------------- luhn
+
+
+def test_luhn_valid_known_vectors(spark):
+    from valentinus_spark.functions.text import luhn_valid
+
+    rows = [
+        ("4532015112830366", True),   # valid Visa test PAN
+        ("4532015112830367", False),  # single digit off
+        ("79927398713", True),        # the ISO/IEC 7812 textbook example
+        ("79927398710", False),
+        ("0", True),                  # trivial: sum 0 % 10 == 0
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = {r.s: r.v for r in df.select("s", luhn_valid("s").alias("v")).collect()}
+    for s, exp in rows:
+        assert got[s] is exp, s
+
+
+def test_luhn_valid_non_digit_and_empty_are_null(spark):
+    from valentinus_spark.functions.text import luhn_valid
+
+    df = spark.createDataFrame([("",), ("12a4",), ("4532 0151",)], "s string")
+    assert [r.v for r in df.select(luhn_valid("s").alias("v")).collect()] == [
+        None,
+        None,
+        None,
+    ]
+
+
+def test_cc_candidate_pattern_excludes_short_and_long_runs(spark):
+    from pyspark.sql import functions as F
+
+    from valentinus_spark.functions.text import CC_CANDIDATE_PATTERN
+
+    df = spark.createDataFrame(
+        [("order 123456789012 cards 4532015112830366 id 12345678901234567",)],
+        "t string",
+    )
+    out = df.select(
+        F.regexp_extract_all("t", F.lit(CC_CANDIDATE_PATTERN), 0).alias("c")
+    ).collect()[0].c
+    assert out == ["4532015112830366"]  # 12-digit and 17-digit runs excluded
+
+
+# -------------------------------------------------- source cross-entropy
+
+
+def test_source_cross_entropy_matches_python(spark):
+    import math
+
+    from valentinus_spark.operators.quality import source_cross_entropy
+
+    rows = [
+        ("a", "x x y"),
+        ("a", "y z"),
+        ("b", "x q q"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r.eval_source, r.train_source): (r.n_shared_tokens, r.cross_entropy)
+        for r in source_cross_entropy(df).collect()
+    }
+    cnt = {"a": {"x": 2, "y": 2, "z": 1}, "b": {"x": 1, "q": 2}}
+    tot = {s: sum(c.values()) for s, c in cnt.items()}
+    vocab = len({t for c in cnt.values() for t in c})  # x y z q = 4
+    for e in cnt:
+        for t in cnt:
+            shared = set(cnt[e]) & set(cnt[t])
+            s = sum(
+                round(cnt[e][w] / tot[e] * math.log(cnt[t][w] + 1), 12)
+                for w in shared
+            )
+            exp = round(math.log(tot[t] + vocab) - s, 6)
+            assert got[(e, t)][0] == len(shared)
+            assert got[(e, t)][1] == pytest.approx(exp, abs=1e-9), (e, t)
+
+
+def test_source_cross_entropy_diagonal_is_minimum_on_disjoint_domains(spark):
+    from valentinus_spark.operators.quality import source_cross_entropy
+
+    rows = [
+        ("a", "alpha beta gamma alpha beta"),
+        ("b", "delta epsilon zeta delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r.eval_source, r.train_source): r.cross_entropy
+        for r in source_cross_entropy(df).collect()
+    }
+    assert got[("a", "a")] < got[("a", "b")]
+    assert got[("b", "b")] < got[("b", "a")]
+    # disjoint pairs share nothing: pure smoothing ceiling ln(N_t + V)
+    import math
+
+    assert got[("a", "b")] == pytest.approx(math.log(5 + 6), abs=1e-6)

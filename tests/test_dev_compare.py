@@ -138,7 +138,7 @@ R9_ADDITIONS = [
     "tokenizer_fertility",
     "dedup_threshold_curve", "boilerplate_lines",
     "script_mismatch_planted", "wimbd_top_ngrams",
-    "collection_upsert",
+    "collection_upsert", "pii_luhn_audit", "source_ce_matrix",
 ]
 
 # Rows-only by design: non-deterministic internals make an exact SQL

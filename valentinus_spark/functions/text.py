@@ -387,6 +387,45 @@ def pii_counts(col: Column | str) -> Column:
     )
 
 
+# Contiguous 13-16 digit runs — the payment-card candidate shape (ISO/IEC
+# 7812 PAN lengths). Candidates are CHEAP and noisy; luhn_valid below is
+# the checksum gate that separates real card numbers from order ids and
+# timestamps (the distinction C4/CCNet-class scrubbers actually need:
+# redacting every long digit run destroys innocent data).
+CC_CANDIDATE_PATTERN = "\\b[0-9]{13,16}\\b"
+
+
+def luhn_valid(col: Column | str) -> Column:
+    """Luhn mod-10 checksum (ISO/IEC 7812) over a digit-string column:
+    true when the checksum holds, false when it doesn't, NULL for empty
+    or non-digit input. Doubling every second digit from the RIGHT
+    (subtracting 9 on overflow) and summing — the validation step that
+    turns the cheap CC_CANDIDATE_PATTERN regex into a usable
+    card-number detector.
+
+    Pure Catalyst: one ``aggregate`` fold over the reversed string's
+    positions, fully codegen'd, zero Python — replayable verbatim in
+    DuckDB as list_sum over list_transform(range(...))."""
+    s = _c(col)
+    rs = F.reverse(s)
+
+    def _term(i: Column) -> Column:
+        d = rs.substr(i, F.lit(1)).try_cast("int")
+        doubled = d * 2
+        return F.when(i % 2 == 1, d).otherwise(
+            F.when(doubled < 10, doubled).otherwise(doubled - 9)
+        )
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(s)),
+        F.lit(0).cast("int"),
+        lambda acc, i: acc + _term(i),
+    )
+    return F.when(s.rlike("^[0-9]+$"), total % 10 == 0).otherwise(
+        F.lit(None).cast("boolean")
+    )
+
+
 def redact_pii(col: Column | str) -> Column:
     """Replace every PII match with ``<KIND>`` (e.g. ``<EMAIL>``), applying
     the patterns in PII_PATTERNS order — the standard scrub step before a

@@ -1687,3 +1687,90 @@ def script_profile(
             ).otherwise(F.lit(None).cast("boolean")),
         )
     return out
+
+
+def source_cross_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-affinity matrix: unigram cross-entropy H(eval, train) for
+    every ordered source pair — how well source t's add-one-smoothed
+    unigram LM predicts source e's token stream. The panel behind
+    mixture design and data selection (Moore-Lewis 2010 cross-entropy
+    difference; DSIR and DoReMi both reduce to "which domains are
+    close" questions this matrix answers directly). The diagonal is
+    each source's within-domain entropy floor; a low off-diagonal cell
+    marks near-duplicate domains the mixture should not double-count.
+
+    With q(w|t) = (c_t(w)+1)/(N_t+V) over the GLOBAL vocabulary V and
+    p(w|e) = c_e(w)/N_e, the absent-token mass telescopes:
+
+        H(e,t) = ln(N_t + V) − Σ_{w ∈ e∩t} p(w|e)·ln(c_t(w)+1)
+
+    so ONLY shared-token terms need computing — the identity that makes
+    the matrix one vocab-sized join instead of a vocab×sources² blowup.
+
+    Returns (``eval_source``, ``train_source``, ``n_shared_tokens``,
+    ``cross_entropy`` rounded 6) ordered, one row per ordered pair
+    (pairs sharing no token get the pure-smoothing ceiling ln(N_t+V)).
+
+    Determinism: per-term products round to 12 dp and accumulate in
+    DECIMAL(38,12) — double-sum association differs between engines and
+    between shuffle layouts; the pinned-digit DECIMAL fold does not
+    (the score_brier_logloss convention). Scale shape: ONE corpus scan
+    into a map-side-combinable (source, token) count; everything after
+    is vocab-sized. The final spine cross join is |sources|², driver-
+    free and broadcast."""
+    from pyspark.sql.types import DecimalType
+
+    cnt = (
+        _token_rows(df, group_col, text_col)
+        .groupBy(F.col(group_col).alias("_g"), "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
+    tot = cnt.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    vocab = cnt.select("_tok").distinct().count()
+    ev = cnt.select(
+        F.col("_g").alias("eval_source"), "_tok", F.col("_c").alias("_ce")
+    )
+    tr = cnt.select(
+        F.col("_g").alias("train_source"), "_tok", F.col("_c").alias("_ct")
+    )
+    ev_tot = tot.select(F.col("_g").alias("eval_source"), F.col("_n").alias("_ne"))
+    inner = (
+        ev.join(tr, "_tok")
+        .join(F.broadcast(ev_tot), "eval_source")
+        .groupBy("eval_source", "train_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_tokens"),
+            F.sum(
+                F.round(
+                    F.col("_ce") / F.col("_ne") * F.log(F.col("_ct") + 1), 12
+                ).cast(DecimalType(38, 12))
+            ).alias("_s"),
+        )
+    )
+    spine = (
+        tot.select(F.col("_g").alias("eval_source"))
+        .crossJoin(
+            tot.select(
+                F.col("_g").alias("train_source"), F.col("_n").alias("_nt")
+            )
+        )
+    )
+    return (
+        spine.join(F.broadcast(inner), ["eval_source", "train_source"], "left")
+        .select(
+            "eval_source",
+            "train_source",
+            F.coalesce("n_shared_tokens", F.lit(0)).alias("n_shared_tokens"),
+            F.round(
+                F.log(F.col("_nt") + F.lit(vocab))
+                - F.coalesce(F.col("_s").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .orderBy("eval_source", "train_source")
+    )
