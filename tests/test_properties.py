@@ -12931,3 +12931,72 @@ def test_top_ngrams_matches_python(spark, docs, k):
         ranked = sorted(by_lang[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         exp += [(lang, g, c, i + 1) for i, (g, c) in enumerate(ranked)]
     assert got == exp
+
+
+def _py_luhn(s: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(s), start=1):
+        d = int(ch)
+        if i % 2 == 1:
+            total += d
+        else:
+            total += d * 2 if d * 2 < 10 else d * 2 - 9
+    return total % 10 == 0
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    nums=st.lists(
+        st.text(alphabet="0123456789", min_size=1, max_size=20),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_luhn_valid_matches_python(spark, nums):
+    from valentinus_spark.functions.text import luhn_valid
+
+    df = spark.createDataFrame([(s,) for s in nums], "s string")
+    got = {r.s: r.v for r in df.select("s", luhn_valid("s").alias("v")).collect()}
+    for s in nums:
+        assert got[s] is _py_luhn(s), s
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["sa", "sb", "sc"]), doc_text),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_source_cross_entropy_matches_python(spark, docs):
+    import math
+    from collections import Counter
+
+    from valentinus_spark.operators.quality import source_cross_entropy
+
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        (r.eval_source, r.train_source): (r.n_shared_tokens, r.cross_entropy)
+        for r in source_cross_entropy(df).collect()
+    }
+    cnt: dict = {}
+    for src, t in docs:
+        toks = t.lower().split()
+        if toks:
+            cnt.setdefault(src, Counter()).update(toks)
+    tot = {s: sum(c.values()) for s, c in cnt.items()}
+    vocab = len({w for c in cnt.values() for w in c})
+    exp_pairs = {(e, t) for e in cnt for t in cnt}
+    assert set(got) == exp_pairs
+    for e in cnt:
+        for t in cnt:
+            shared = set(cnt[e]) & set(cnt[t])
+            s = sum(
+                round(cnt[e][w] / tot[e] * math.log(cnt[t][w] + 1), 12)
+                for w in shared
+            )
+            exp = round(math.log(tot[t] + vocab) - s, 6)
+            ns, ce = got[(e, t)]
+            assert ns == len(shared)
+            assert ce == pytest.approx(exp, abs=1e-9), (e, t)
