@@ -140,6 +140,20 @@ CASES = {
     "source_tv_distance": lambda f: quality.source_tv_distance(
         f["sdocs"], "source"
     ),
+    # r9 corpus panels
+    "dedup_threshold_curve": lambda f: dedup.dedup_threshold_curve(
+        f["docs"], max_df=None
+    ),
+    "boilerplate_line_stats": lambda f: O.boilerplate_line_stats(
+        f["sdocs"], "source"
+    ),
+    "script_profile": lambda f: quality.script_profile(f["docs"]),
+    "top_ngrams": lambda f: O.top_ngrams(
+        f["sdocs"].withColumnRenamed("source", "lang"), "lang"
+    ),
+    "source_cross_entropy": lambda f: quality.source_cross_entropy(
+        f["sdocs"], "source"
+    ),
 }
 
 
@@ -209,6 +223,21 @@ ONE_ROW_CASES = {
     "trailing_anomaly": lambda f: O.trailing_anomaly(f["ev"]),
     "texttiling": lambda f: text_search.texttiling_boundaries(f["docs"]),
     "ngram_jaccard": lambda f: dedup.ngram_jaccard_pairs(f["docs"], max_df=None),
+    # r9 corpus panels: a single doc has no pairs, one source is a 1x1
+    # CE matrix, one short text exercises every short-input fallback
+    "dedup_threshold_curve": lambda f: dedup.dedup_threshold_curve(
+        f["docs"], max_df=None
+    ),
+    "boilerplate_line_stats": lambda f: O.boilerplate_line_stats(
+        f["docs"].withColumn("source", F.lit("s")), "source"
+    ),
+    "script_profile": lambda f: quality.script_profile(f["docs"]),
+    "top_ngrams": lambda f: O.top_ngrams(
+        f["docs"].withColumn("lang", F.lit("en")), "lang"
+    ),
+    "source_cross_entropy": lambda f: quality.source_cross_entropy(
+        f["docs"].withColumn("source", F.lit("s")), "source"
+    ),
 }
 
 
