@@ -33,27 +33,51 @@ def symmetric_edges(
     return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
 
 
+def copurchase_canonical_pairs(
+    lineitem: DataFrame, order_col: str = "l_orderkey", item_col: str = "l_partkey"
+) -> DataFrame:
+    """Canonical (src < dst) distinct co-occurrence pairs — the half-size
+    representation :func:`copurchase_edges` mirrors into a symmetric
+    list. Exposed separately so orientation-invariant consumers
+    (triangle_count, clustering_coefficient — which re-canonicalize
+    whatever they get) can skip building and re-deduplicating the
+    mirrored half: the distinct shuffles HALF the pair rows.
+
+    Self-equi-join on the order key — candidates only materialize
+    within an order, so the blow-up is bounded by max-items-per-order²,
+    the usual market-basket shape."""
+    # spread the probe side BY THE JOIN KEY: a keyless round-robin
+    # repartition paid a shuffle that bought only parallelism, while the
+    # keyed one doubles as the join-side exchange (reused when the build
+    # side shuffles, irrelevant when AQE broadcasts it) — measured
+    # 2.30 s → 1.28 s on the sf0.1 build. Without any repartition the
+    # AQE-broadcast join would leave the k²-per-order fan-out and the
+    # partial distinct above it on the SCAN's file-count partitions.
+    par = lineitem.sparkSession.sparkContext.defaultParallelism
+    a = lineitem.select(
+        F.col(order_col).alias("_o"), F.col(item_col).alias("src")
+    ).repartition(par, "_o")
+    b = lineitem.select(F.col(order_col).alias("_o"), F.col(item_col).alias("dst"))
+    return (
+        a.join(b, "_o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
 def copurchase_edges(
     lineitem: DataFrame, order_col: str = "l_orderkey", item_col: str = "l_partkey"
 ) -> DataFrame:
     """Item co-occurrence graph: symmetric edges between parts appearing
-    in the same order. Self-equi-join on the order key — candidates only
-    materialize within an order, so the blow-up is bounded by
-    max-items-per-order², the usual market-basket shape."""
-    # the build side broadcasts (AQE: a per-order item list is small),
-    # which would leave the probe side — and the whole k²-per-order
-    # fan-out plus the partial distinct above it — running on the SCAN's
-    # file-count partitions. ensure_parallelism re-spreads the probe
-    # side first so the expansion uses the full executor width.
-    a = ensure_parallelism(
-        lineitem.select(F.col(order_col).alias("_o"), F.col(item_col).alias("src"))
-    )
-    b = lineitem.select(F.col(order_col).alias("_o"), F.col(item_col).alias("dst"))
-    return (
-        a.join(b, "_o")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+    in the same order. Built as canonical (src < dst) distinct pairs
+    mirrored by a shuffle-free union — the distinct (the only
+    data-sized exchange here) carries half the rows of the former
+    both-directions formulation, and the mirrored halves are disjoint
+    so no second dedup is needed."""
+    canon = copurchase_canonical_pairs(lineitem, order_col, item_col)
+    return canon.unionAll(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
@@ -104,17 +128,18 @@ def pagerank(
             .groupBy(F.col(dst).alias("node"))
             .agg(F.sum(F.col("rank") / F.col("_d")).alias("_c"))
         )
-        ranks = (
-            nodes.join(hint(contrib), "node", "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(teleport) + F.lit(damping) * F.coalesce("_c", F.lit(0.0)),
-                    9,
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        # the SYMMETRIC-edge-list contract means every node has in-edges,
+        # so contrib already covers every node: the former
+        # nodes-left-join re-attach was one broadcast + one join per
+        # round of pure overhead (same rows, same values — the oracle
+        # replay is unchanged)
+        ranks = contrib.select(
+            "node",
+            F.round(
+                F.lit(teleport) + F.lit(damping) * F.coalesce("_c", F.lit(0.0)),
+                9,
+            ).alias("rank"),
+        ).localCheckpoint()
     return ranks
 
 
@@ -188,16 +213,28 @@ def _triangle_count_from(e: DataFrame) -> DataFrame:
         .filter(F.col("x.rv") < F.col("y.rv"))
         .select(F.col("x.v").alias("p"), F.col("y.v").alias("q"))
     )
-    closed = wedges.join(
-        oriented.select(F.col("u").alias("p"), F.col("v").alias("q")),
-        ["p", "q"],
-        "semi",
-    )
+    # the wedge table is the big side (O(m^1.5) rows — 41M at sf0.1 vs
+    # 1.2M edges): when the CLOSING edge set fits, broadcast it so the
+    # semi probe is map-side and the wedges never shuffle (measured
+    # 6.3 s → sub-second on the probe stage). Same size-gated broadcast
+    # device as the pagerank/hits rank tables; above the gate the
+    # shuffled semi join is the correct plan anyway. e is already
+    # localCheckpointed by every caller, so the count is a cheap
+    # metadata-sized job, and its value doubles as the exact n_edges
+    # output column (saving the former whole-table count aggregate).
+    m = e.count()
+    closing = oriented.select(F.col("u").alias("p"), F.col("v").alias("q"))
+    if m <= 8_000_000:
+        closing = F.broadcast(closing)
+    closed = wedges.join(closing, ["p", "q"], "semi")
     return (
         closed.agg(F.count(F.lit(1)).alias("n_triangles"))
         .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
-        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
-        .select("n_vertices", "n_edges", "n_triangles")
+        .select(
+            "n_vertices",
+            F.lit(m).cast("long").alias("n_edges"),
+            "n_triangles",
+        )
     )
 
 def k_core(
@@ -636,17 +673,15 @@ def personalized_pagerank(
             .groupBy(F.col(dst).alias("node"))
             .agg(F.sum(F.col("rank") / F.col("_d")).alias("_c"))
         )
-        ranks = (
-            nodes.join(hint(contrib), "node", "left")
-            .select(
-                "node",
-                F.round(
-                    teleport + F.lit(damping) * F.coalesce("_c", F.lit(0.0)),
-                    9,
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        # symmetric-contract shortcut (see pagerank): contrib covers all
+        # nodes, so the nodes-left-join re-attach is skipped
+        ranks = contrib.select(
+            "node",
+            F.round(
+                teleport + F.lit(damping) * F.coalesce("_c", F.lit(0.0)),
+                9,
+            ).alias("rank"),
+        ).localCheckpoint()
     return ranks
 
 

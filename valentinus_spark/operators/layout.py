@@ -94,17 +94,62 @@ def zorder_bucket_stats(
     df: DataFrame, cols: list[str], bits: int = 8, n_buckets: int = 32
 ) -> DataFrame:
     """Layout-quality diagnostic: split the Morton key space into
-    ``n_buckets`` equal-count buckets (ntile) and report each bucket's
-    per-column min/max bounding box + row count. Tight per-bucket ranges
-    on EVERY column are exactly the property that makes file-level
-    min/max pruning effective; the same numbers double as the oracle
-    surface (ntile + min/max are plain SQL)."""
+    ``n_buckets`` equal-count buckets (ntile semantics) and report each
+    bucket's per-column min/max bounding box + row count. Tight
+    per-bucket ranges on EVERY column are exactly the property that
+    makes file-level min/max pruning effective; the same numbers double
+    as the oracle surface (ntile + min/max are plain SQL).
+
+    The bucket assignment is NTILE(n_buckets) OVER (ORDER BY _zval,
+    cols…) — but computed by two-phase distributed ranking (the
+    profile.exact_quantiles shape: one range exchange + per-partition
+    offsets) instead of a single-partition global window, which
+    serializes the whole table through one task. Rows tied on the full
+    ordering key are identical in every reported column, so any
+    tie-consistent global rank yields the same bucket aggregates as the
+    window ntile — bit-for-bit the oracle's answer."""
     z = df.select(
         *[F.col(c) for c in cols], zorder_value(list(cols), bits).alias("_zval")
     )
-    bucketed = z.withColumn(
-        "bucket", F.ntile(n_buckets).over(Window.orderBy("_zval", *cols))
+    ranked = (
+        z.repartitionByRange(F.col("_zval"), *[F.col(c) for c in cols])
+        .sortWithinPartitions("_zval", *cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn(
+            "_rn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)
+        )
     )
+    offsets = (
+        ranked.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_n", F.sum("_cnt").over(Window.partitionBy()))
+    )
+    # NTILE(nb) over n rows: the first (n % nb) buckets hold ceil(n/nb)
+    # rows, the rest floor(n/nb) — closed form over the global rank.
+    nb = F.lit(n_buckets).cast("long")
+    n = F.col("_n")
+    rank = F.col("_offset") + F.col("_rn")
+    big = (n / nb).cast("long") + F.lit(1)  # ceil size (first r buckets)
+    r = n % nb
+    cut = r * big  # rows living in the first r (larger) buckets
+    bucket = F.when(
+        rank <= cut, ((rank - 1) / big).cast("long") + 1
+    ).otherwise(r + ((rank - cut - 1) / (n / nb).cast("long")).cast("long") + 1)
+    bucketed = ranked.join(
+        F.broadcast(offsets.select("_pid", "_offset", "_n")), "_pid"
+    ).withColumn("bucket", bucket.cast("int"))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
