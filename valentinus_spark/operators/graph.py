@@ -563,12 +563,18 @@ def hits(
     # F.round (HALF_UP) on the IEEE double 1/n — Python round() would
     # banker's-round and could diverge from the SQL oracle's ROUND
     hub = nodes.withColumn("hub", F.round(F.lit(1.0 / n), 9))
-    auth = nodes.withColumn("auth", F.round(F.lit(1.0 / n), 9))
     dec = "decimal(20,9)"
     # same broadcast gate as pagerank: node-sized score tables ship to
     # the edge join while they fit; above it, co-partitioned shuffle
     # joins are the right plan anyway
     hint = F.broadcast if n <= 2_000_000 else (lambda df: df)
+    # Inside the loop the score tables stay SPARSE: a node absent from
+    # araw/hraw has score exactly 0 and contributes nothing to any sum
+    # or normalization total, so re-attaching the full node set every
+    # round (two nodes-left-joins + two full-width checkpoints per
+    # round) was pure overhead. The zeros are materialized ONCE by the
+    # final left joins — same values, same rounding, same output rows.
+    auth = nodes.withColumn("auth", F.round(F.lit(1.0 / n), 9))
     for _ in range(iterations):
         araw = (
             hint(hub)
@@ -578,15 +584,13 @@ def hits(
         )
         atot = araw.agg(F.sum("_a").alias("_t"))
         auth = (
-            nodes.join(hint(araw), "node", "left")
-            .crossJoin(F.broadcast(atot))
+            araw.crossJoin(F.broadcast(atot))
             .select(
                 "node",
                 F.round(
                     F.when(
                         F.col("_t") > 0,
-                        F.coalesce(F.col("_a"), F.lit(0).cast(dec)).cast("double")
-                        / F.col("_t").cast("double"),
+                        F.col("_a").cast("double") / F.col("_t").cast("double"),
                     ).otherwise(0.0),
                     9,
                 ).alias("auth"),
@@ -601,15 +605,13 @@ def hits(
         )
         htot = hraw.agg(F.sum("_h").alias("_t"))
         hub = (
-            nodes.join(hint(hraw), "node", "left")
-            .crossJoin(F.broadcast(htot))
+            hraw.crossJoin(F.broadcast(htot))
             .select(
                 "node",
                 F.round(
                     F.when(
                         F.col("_t") > 0,
-                        F.coalesce(F.col("_h"), F.lit(0).cast(dec)).cast("double")
-                        / F.col("_t").cast("double"),
+                        F.col("_h").cast("double") / F.col("_t").cast("double"),
                     ).otherwise(0.0),
                     9,
                 ).alias("hub"),
@@ -617,11 +619,12 @@ def hits(
             .localCheckpoint()
         )
     return (
-        hub.join(auth, "node")
+        nodes.join(hint(hub), "node", "left")
+        .join(hint(auth), "node", "left")
         .select(
             "node",
-            F.round("hub", 6).alias("hub"),
-            F.round("auth", 6).alias("auth"),
+            F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("auth", F.lit(0.0)), 6).alias("auth"),
         )
         .orderBy("node")
     )
