@@ -396,7 +396,14 @@ def adamic_adar(
         F.count(F.lit(1)).alias("common_neighbors"),
         F.round(F.sum("_term").cast("double"), 4).alias("aa_score"),
     )
+    # existing-edge exclusion: the adjacency is the BIG side (m rows vs
+    # the hub-cut-bounded candidate pairs) — when it fits, broadcast it
+    # so the anti probe is map-side and neither side shuffles (same
+    # size-gated device as the pagerank/hits score tables; above the
+    # gate the shuffled anti join is the right plan)
     adjacent = e.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
+    if e.count() <= 8_000_000:
+        adjacent = F.broadcast(adjacent)
     return (
         pairs.join(adjacent, ["_n", "_m"], "left_anti")
         .select(
@@ -758,7 +765,10 @@ def jaccard_link_prediction(
             ).alias("jaccard"),
         )
     )
+    # same size-gated broadcast of the big adjacency side as adamic_adar
     adjacent = e.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
+    if e.count() <= 8_000_000:
+        adjacent = F.broadcast(adjacent)
     return (
         scored.join(adjacent, ["_n", "_m"], "left_anti")
         .select(
