@@ -701,50 +701,77 @@ def ams_f2_estimate(
             for i in range(n_digests)
         ]
     )
-
-    def _sign(j: int) -> Column:
-        return F.when(
-            F.substring(f"_d{j // 64}", (j % 64) + 1, 1) >= "8", 1
-        ).otherwise(-1)
-
-    sums = hashed.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[F.sum(_sign(j)).alias(f"_z{j}") for j in range(total)],
+    # The counters are aggregated ROW-WISE (explode estimator index →
+    # groupBy _j → 64-row Z table → groupBy group id → n_means-row mean
+    # table) instead of as one 64-buffer aggregate: the single-row
+    # formulation generated a janino compilation unit so large that
+    # EVERY fresh run paid ~3 s of codegen compile before touching data
+    # (the generated-code cache only helps re-executions of the same
+    # DataFrame, and the bench/driver build a fresh plan per run). The
+    # exploded rows are map-side combined into ≤ total counters per
+    # partition, so the shuffle stays sketch-sized; every decimal op
+    # below repeats the former chain exactly (decimal arithmetic is
+    # exact and commutative, so row order cannot move a bit).
+    darr = F.array(*[F.col(f"_d{i}") for i in range(n_digests)])
+    ex = hashed.select(
+        darr.alias("_ds"),
+        F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("_j"),
     )
-    # group means of Z^2 (exact integers -> decimal mean on the 1/per_mean grid)
-    mean_cols = []
-    for g in range(n_means):
-        zsq = None
-        for j in range(g * per_mean, (g + 1) * per_mean):
-            t = (
-                F.col(f"_z{j}").cast("decimal(19,0)")
-                * F.col(f"_z{j}").cast("decimal(19,0)")
-            ).cast("decimal(38,0)")
-            zsq = t if zsq is None else (zsq + t)
-        mean_cols.append(
-            (zsq.cast("decimal(38,6)") / per_mean).alias(f"_m{g}")
+    # sign_j = top bit of hex nibble (j % 64) of digest (j // 64)
+    sign = F.when(
+        F.substring(
+            F.element_at("_ds", (F.col("_j") / 64).cast("int") + 1),
+            (F.col("_j") % 64).cast("int") + 1,
+            1,
         )
-    means = sums.select("n_rows", *mean_cols)
-    # exact median of the n_means group means (tiny, fixed-size row):
+        >= "8",
+        1,
+    ).otherwise(-1)
+    zs = ex.groupBy("_j").agg(F.sum(sign).alias("_z"))
+    means = (
+        zs.groupBy((F.col("_j") / per_mean).cast("int").alias("_g"))
+        .agg(
+            F.sum(
+                (
+                    F.col("_z").cast("decimal(19,0)")
+                    * F.col("_z").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("_zsq")
+        )
+        .select((F.col("_zsq").cast("decimal(38,6)") / per_mean).alias("_m"))
+    )
+    # exact median of the n_means group means (tiny, fixed-size table):
     # sort the means as an array and average the two middles
-    arr = F.array_sort(F.array(*[F.col(f"_m{g}") for g in range(n_means)]))
-    lo = arr.getItem((n_means - 1) // 2)
-    hi = arr.getItem(n_means // 2)
-    est = ((lo + hi).cast("double") / 2.0).alias("_est")
-    sk = means.select("n_rows", est)
+    arr = F.array_sort(F.collect_list("_m"))
+    # F.get (null-safe) instead of getItem: an empty input collects an
+    # empty array, where ANSI getItem would raise INVALID_ARRAY_INDEX —
+    # the degenerate case must yield a NULL estimate like the old
+    # fixed-width array-of-NULLs did
+    sk = means.agg(arr.alias("_arr")).select(
+        (
+            (
+                F.get(F.col("_arr"), (n_means - 1) // 2)
+                + F.get(F.col("_arr"), n_means // 2)
+            ).cast("double")
+            / 2.0
+        ).alias("_est")
+    )
+    # n_rows = Σ per-key counts — same number as the former count(1),
+    # computed on the exact-F2 pass so no extra corpus scan is added
     exact = (
         base.groupBy("_k")
         .agg(F.count(F.lit(1)).alias("_c"))
         .agg(
+            F.coalesce(F.sum("_c"), F.lit(0).cast("long")).alias("n_rows"),
             F.sum(
                 (
                     F.col("_c").cast("decimal(19,0)")
                     * F.col("_c").cast("decimal(19,0)")
                 ).cast("decimal(38,0)")
-            ).cast("double").alias("_f2")
+            ).cast("double").alias("_f2"),
         )
     )
-    j = sk.crossJoin(F.broadcast(exact))
+    j = exact.crossJoin(F.broadcast(sk))
     return j.select(
         "n_rows",
         F.lit(total).alias("n_estimators"),
