@@ -27,10 +27,26 @@ def symmetric_edges(
     pairs: DataFrame, a: str = "src", b: str = "dst"
 ) -> DataFrame:
     """Undirected pair list → symmetric directed edge list (both
-    directions, deduplicated, self-loops dropped)."""
-    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+    directions, deduplicated, self-loops dropped).
+
+    Built canonical-first: orient each pair low→high, dedup THAT (half
+    the rows through the only shuffle), then mirror with a shuffle-free
+    union. The former fwd ∪ rev formulation also re-evaluated the
+    upstream pair pipeline once per union branch (textrank's tokenizer
+    ran twice); canonical-first reads it once. Same output set: the
+    symmetric closure is orientation-invariant, and null-bearing pairs
+    collapse to self-loops that the filter drops exactly as before."""
+    canon = (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("src"),
+            F.greatest(F.col(a), F.col(b)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return canon.unionAll(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
 
 def copurchase_canonical_pairs(
@@ -81,6 +97,23 @@ def copurchase_edges(
     )
 
 
+def _compact_if_small(df: DataFrame, threshold: int = 100_000):
+    """(frame, n_rows) with the frame collapsed to ONE partition when it
+    is tiny. An iterative loop over a k-row graph otherwise pays
+    #partitions tasks of pure scheduling per round (textrank's 29-node
+    co-occurrence graph inherited 64 twelve-row partitions from the
+    distinct that built it — 8 rounds × 64 near-empty tasks dominated
+    the whole query). The input must already be localCheckpointed; the
+    coalesce twin is checkpointed again, which is one narrow copy of at
+    most ``threshold`` rows. Above the gate the frame is returned
+    untouched — the wide layout is correct for real graphs (bt_ranking's
+    unconditional coalesce(1), made size-adaptive)."""
+    n = df.count()
+    if n <= threshold:
+        return df.coalesce(1).localCheckpoint(), n
+    return df, n
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 8,
@@ -95,7 +128,9 @@ def pagerank(
 
     rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u) / outdeg(u),
     each round rounded to 9 decimals (see module docstring)."""
-    e = ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    e, _ = _compact_if_small(
+        ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    )
     nodes = e.select(F.col(src).alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     if n == 0:
@@ -318,7 +353,9 @@ def label_propagation(
     truncated per round by localCheckpoint. The vote table is bounded by
     the edge count; no per-node state beyond the single current label.
     """
-    e = ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    e, _ = _compact_if_small(
+        ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    )
     labels = (
         e.select(F.col(src).alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -551,7 +588,7 @@ def hits(
     list by src once (bucketed write) and both per-round joins stay
     exchange-free on the edge side.
     """
-    e = (
+    e, _ = _compact_if_small(
         ensure_parallelism(edges.select(src, dst))
         .distinct()
         .localCheckpoint()
@@ -661,7 +698,9 @@ def personalized_pagerank(
     """
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
-    e = ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    e, _ = _compact_if_small(
+        ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    )
     nodes = e.select(F.col(src).alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
@@ -811,7 +850,9 @@ def bfs_distances(
     are exact integers (min over arrival rounds is level-synchronous,
     so first arrival IS the shortest); no floats anywhere.
     """
-    e = ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    e, _ = _compact_if_small(
+        ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    )
     spark = edges.sparkSession
     # seed node-id type follows the edge list (graphs with string ids
     # are first-class everywhere else in this family — no int() cast)
