@@ -611,7 +611,8 @@ def hits(
     # same broadcast gate as pagerank: node-sized score tables ship to
     # the edge join while they fit; above it, co-partitioned shuffle
     # joins are the right plan anyway
-    hint = F.broadcast if n <= 2_000_000 else (lambda df: df)
+    small = n <= 2_000_000
+    hint = F.broadcast if small else (lambda df: df)
     # Inside the loop the score tables stay SPARSE: a node absent from
     # araw/hraw has score exactly 0 and contributes nothing to any sum
     # or normalization total, so re-attaching the full node set every
@@ -619,6 +620,46 @@ def hits(
     # round) was pure overhead. The zeros are materialized ONCE by the
     # final left joins — same values, same rounding, same output rows.
     auth = nodes.withColumn("auth", F.round(F.lit(1.0 / n), 9))
+
+    from pyspark.sql import Window as _W
+
+    def _normalize(raw: DataFrame, val: str, out: str) -> DataFrame:
+        """L1-normalize the sparse score column. Small graphs (the same
+        n-gate as the broadcast hint — the whole table already ships to
+        every executor) fold the total in an everything-window, saving
+        one aggregate job + one replay of the contribution subtree per
+        half-round; big graphs keep the scalar-aggregate + broadcast
+        shape, where a single-partition window would be a scale-killer.
+        The total is an exact DECIMAL sum either way — same value in
+        any order, so the 9-dp per-round pin is unchanged."""
+        if small:
+            tot = F.sum(val).over(_W.partitionBy())
+            return raw.select(
+                "node",
+                F.round(
+                    F.when(
+                        tot > 0,
+                        F.col(val).cast("double") / tot.cast("double"),
+                    ).otherwise(0.0),
+                    9,
+                ).alias(out),
+            ).localCheckpoint()
+        t = raw.agg(F.sum(val).alias("_t"))
+        return (
+            raw.crossJoin(F.broadcast(t))
+            .select(
+                "node",
+                F.round(
+                    F.when(
+                        F.col("_t") > 0,
+                        F.col(val).cast("double") / F.col("_t").cast("double"),
+                    ).otherwise(0.0),
+                    9,
+                ).alias(out),
+            )
+            .localCheckpoint()
+        )
+
     for _ in range(iterations):
         araw = (
             hint(hub)
@@ -626,42 +667,14 @@ def hits(
             .groupBy(F.col(dst).alias("node"))
             .agg(F.sum(F.col("hub").cast(dec)).alias("_a"))
         )
-        atot = araw.agg(F.sum("_a").alias("_t"))
-        auth = (
-            araw.crossJoin(F.broadcast(atot))
-            .select(
-                "node",
-                F.round(
-                    F.when(
-                        F.col("_t") > 0,
-                        F.col("_a").cast("double") / F.col("_t").cast("double"),
-                    ).otherwise(0.0),
-                    9,
-                ).alias("auth"),
-            )
-            .localCheckpoint()
-        )
+        auth = _normalize(araw, "_a", "auth")
         hraw = (
             hint(auth)
             .join(e, auth["node"] == e[dst])
             .groupBy(F.col(src).alias("node"))
             .agg(F.sum(F.col("auth").cast(dec)).alias("_h"))
         )
-        htot = hraw.agg(F.sum("_h").alias("_t"))
-        hub = (
-            hraw.crossJoin(F.broadcast(htot))
-            .select(
-                "node",
-                F.round(
-                    F.when(
-                        F.col("_t") > 0,
-                        F.col("_h").cast("double") / F.col("_t").cast("double"),
-                    ).otherwise(0.0),
-                    9,
-                ).alias("hub"),
-            )
-            .localCheckpoint()
-        )
+        hub = _normalize(hraw, "_h", "hub")
     return (
         nodes.join(hint(hub), "node", "left")
         .join(hint(auth), "node", "left")
