@@ -10515,9 +10515,15 @@ def test_linkage_pairs_match_bruteforce(spark, names, max_dist):
     norm = {i: n for i, n in norm.items() if n}
 
     def keys(n):
+        # blocking is SCHEME-SCOPED (candidate_pairs joins on
+        # (_scheme, _bkey)): pass 0 compares first-token keys with
+        # first-token keys, pass 1 last with last. A bare key-set
+        # intersection would also match record A's first token against
+        # record B's LAST token — a pair the operator (and the
+        # entity_linkage oracle) deliberately does not generate.
         toks = n.split(" ")
         lb = len(n) // band
-        return {f"{toks[0]}#{lb}", f"{toks[-1]}#{lb}"}
+        return {(0, f"{toks[0]}#{lb}"), (1, f"{toks[-1]}#{lb}")}
 
     exp = {}
     ids = sorted(norm)
