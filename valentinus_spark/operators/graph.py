@@ -588,8 +588,18 @@ def hits(
     list by src once (bucketed write) and both per-round joins stay
     exchange-free on the edge side.
     """
+    # spread by the DISTINCT key instead of round-robin: the former
+    # ensure_parallelism(...)  paid a keyless repartition (plus its
+    # sort-before-repartition of every row) only to buy parallelism,
+    # and the distinct then shuffled the rows AGAIN by (src, dst). The
+    # keyed repartition doubles as the distinct's exchange (same key,
+    # same partition count → ENSURE_REQUIREMENTS elides the second
+    # one), so the edge build pays ONE shuffle — the copurchase_edges
+    # keyed-exchange device applied to the dedup instead of a join.
+    par = edges.sparkSession.sparkContext.defaultParallelism
     e, _ = _compact_if_small(
-        ensure_parallelism(edges.select(src, dst))
+        edges.select(src, dst)
+        .repartition(par, src, dst)
         .distinct()
         .localCheckpoint()
     )
