@@ -28,6 +28,35 @@ def _np_pagerank(edge_list, iterations=8, damping=0.85):
     return {v: r[idx[v]] for v in nodes}
 
 
+def test_loop_partitions_sizing(spark):
+    from valentinus_spark.operators.graph import _loop_partitions
+
+    wide = spark.range(10).repartition(64)
+    narrow = spark.range(10).repartition(2)
+    # tiny list on a wide layout floors at 4 useful tasks, not 64
+    assert _loop_partitions(10, wide) == 4
+    # a layout already below the floor passes through
+    assert _loop_partitions(10, narrow) == 2
+    # mid-size: ~300k rows per partition
+    assert _loop_partitions(1_500_000, wide) == 5
+    # at-scale row counts exceed the current layout: untouched
+    assert _loop_partitions(300_000_000, wide) == 64
+
+
+def test_compact_if_small_right_sizes_midsize_frames(spark):
+    from valentinus_spark.operators.graph import _compact_if_small
+
+    tiny = spark.range(1_000).repartition(32).localCheckpoint()
+    got, n = _compact_if_small(tiny)
+    assert n == 1_000 and got.rdd.getNumPartitions() == 1
+    assert got.count() == 1_000
+
+    mid = spark.range(150_000).repartition(64).localCheckpoint()
+    got, n = _compact_if_small(mid)
+    assert n == 150_000 and got.rdd.getNumPartitions() == 4
+    assert got.count() == 150_000
+
+
 def test_symmetric_edges_dedup_and_no_self_loops(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 1), (2, 2), (2, 3)], "src int, dst int")
     got = {(r["src"], r["dst"]) for r in symmetric_edges(pairs).collect()}

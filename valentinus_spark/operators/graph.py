@@ -97,6 +97,23 @@ def copurchase_edges(
     )
 
 
+def _loop_partitions(m: int, e: DataFrame, rows_per_part: int = 300_000) -> int:
+    """Partition count for a checkpointed loop edge list, derived from
+    its MEASURED row count (m): ~300k edge rows per partition, floored
+    at 1, capped at the list's current partition count. The rank loops
+    stream the full list every round, and each round's node aggregate
+    ships up to #partitions × #nodes partial rows — at bench scale the
+    inherited 64-partition layout (37k rows each) paid an ~8×-inflated
+    partial shuffle per round for no extra parallelism (measured flat
+    k2..k8, all faster than 64; hits' smaller list measured best at 4).
+    Floored at 4 (when that many partitions exist) so a mid-size list
+    never collapses below useful task parallelism. At 100 TB m/300k
+    far exceeds the cap so the layout passes through untouched —
+    scale-adaptive, not a local[32] constant."""
+    cur = e.rdd.getNumPartitions()
+    return max(1, min(cur, 4), min(cur, -(-m // rows_per_part)))
+
+
 def _compact_if_small(df: DataFrame, threshold: int = 100_000):
     """(frame, n_rows) with the frame collapsed to ONE partition when it
     is tiny. An iterative loop over a k-row graph otherwise pays
@@ -105,12 +122,20 @@ def _compact_if_small(df: DataFrame, threshold: int = 100_000):
     distinct that built it — 8 rounds × 64 near-empty tasks dominated
     the whole query). The input must already be localCheckpointed; the
     coalesce twin is checkpointed again, which is one narrow copy of at
-    most ``threshold`` rows. Above the gate the frame is returned
-    untouched — the wide layout is correct for real graphs (bt_ranking's
-    unconditional coalesce(1), made size-adaptive)."""
+    most ``threshold`` rows. Above the gate the frame is right-sized to
+    :func:`_loop_partitions` (and passed through untouched when already
+    at or below that count — the case for every at-scale graph);
+    bt_ranking's unconditional coalesce(1), made size-adaptive."""
     n = df.count()
     if n <= threshold:
         return df.coalesce(1).localCheckpoint(), n
+    k = _loop_partitions(n, df)
+    if k < df.rdd.getNumPartitions():
+        # same one-narrow-copy deal as the tiny path, at the measured
+        # row target instead of 1 — the loops stream this list every
+        # round, so the copy is paid once and the right-sized layout
+        # is read ``iterations`` times
+        return df.coalesce(k).localCheckpoint(), n
     return df, n
 
 
@@ -128,24 +153,29 @@ def pagerank(
 
     rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u) / outdeg(u),
     each round rounded to 9 decimals (see module docstring)."""
-    e, _ = _compact_if_small(
+    e, m = _compact_if_small(
         ensure_parallelism(edges.select(src, dst)).localCheckpoint()
     )
-    nodes = e.select(F.col(src).alias("node")).distinct().localCheckpoint()
-    n = nodes.count()
-    if n == 0:
-        # empty edge list (e.g. textrank over a corpus with no qualifying
-        # co-occurrences): no nodes to rank — same guard as hits()
-        return nodes.select("node", F.lit(0.0).alias("rank"))
     # out-degree is loop-invariant: attach it to the edge list ONCE so
     # each round pays a single (ranks ⋈ edges) join instead of two —
     # the contribution stays rank/_d (not rank * (1/_d)) so the float
     # accumulation order, and with it the oracle's 9-dp hash, is
     # unchanged. The weighted edge list is checkpointed: at scale this
     # is the structure you'd co-partition by src once and reuse for
-    # every round's join.
-    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
-    e_w = e.join(deg, src).localCheckpoint()
+    # every round's join. The node set falls out of the SAME aggregate
+    # (symmetric contract: every node occurs as src), so the former
+    # separate nodes-distinct paid a second full-edge shuffle on the
+    # same key for rows deg already has.
+    deg = (
+        e.groupBy(src).agg(F.count(F.lit(1)).alias("_d")).localCheckpoint()
+    )
+    nodes = deg.select(F.col(src).alias("node"))
+    n = deg.count()
+    if n == 0:
+        # empty edge list (e.g. textrank over a corpus with no qualifying
+        # co-occurrences): no nodes to rank — same guard as hits()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    e_w = e.join(deg, src).coalesce(_loop_partitions(m, e)).localCheckpoint()
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     # When the rank/contrib tables (n rows each) are broadcast-sized,
@@ -737,13 +767,16 @@ def personalized_pagerank(
     """
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
-    e, _ = _compact_if_small(
+    e, m = _compact_if_small(
         ensure_parallelism(edges.select(src, dst)).localCheckpoint()
     )
-    nodes = e.select(F.col(src).alias("node")).distinct().localCheckpoint()
-    n = nodes.count()
-    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
-    e_w = e.join(deg, src).localCheckpoint()
+    # deg-derived node set + right-sized e_w checkpoint — see pagerank
+    deg = (
+        e.groupBy(src).agg(F.count(F.lit(1)).alias("_d")).localCheckpoint()
+    )
+    nodes = deg.select(F.col(src).alias("node"))
+    n = deg.count()
+    e_w = e.join(deg, src).coalesce(_loop_partitions(m, e)).localCheckpoint()
     seed_arr = F.array(*[F.lit(s) for s in seeds])
     seed_mass = F.when(
         F.array_contains(seed_arr, F.col("node")), F.lit(1.0 / len(seeds))
