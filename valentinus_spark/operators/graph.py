@@ -264,13 +264,25 @@ def _canonical_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def _triangle_count_from(e: DataFrame) -> DataFrame:
-    deg = (
+def _degrees(e: DataFrame) -> DataFrame:
+    """(v, d) undirected degree table of a canonical edge frame,
+    localCheckpointed: every consumer (the orientation join's two
+    probes, n_vertices, clustering_coefficient's wedge sum) otherwise
+    re-aggregates the 2m endpoint rows per reference — the node-sized
+    materialization is the same discipline as the rank loops' score
+    tables."""
+    return (
         e.select(F.col("a").alias("v"))
         .union(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
+
+
+def _triangle_count_from(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    if deg is None:
+        deg = _degrees(e)
     er = (
         e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
@@ -302,14 +314,14 @@ def _triangle_count_from(e: DataFrame) -> DataFrame:
     if m <= 8_000_000:
         closing = F.broadcast(closing)
     closed = wedges.join(closing, ["p", "q"], "semi")
-    return (
-        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
-        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
-        .select(
-            "n_vertices",
-            F.lit(m).cast("long").alias("n_edges"),
-            "n_triangles",
-        )
+    # deg is checkpointed, so its driver-side count is a metadata-cheap
+    # job — same device as n_edges; the former crossJoin(count-agg)
+    # replayed the whole deg subtree as a second plan branch
+    n_vertices = deg.count()
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles")).select(
+        F.lit(n_vertices).cast("long").alias("n_vertices"),
+        F.lit(m).cast("long").alias("n_edges"),
+        "n_triangles",
     )
 
 def k_core(
@@ -564,13 +576,12 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     ratio.
     """
     e = _canonical_edges(edges)
-    tri = _triangle_count_from(e)
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .union(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # ONE degree table feeds the triangle counter's orientation join,
+    # its n_vertices count AND the wedge sum below — the former second
+    # identical union-aggregate re-shuffled the 2m endpoint rows for
+    # numbers the checkpointed table already holds
+    deg = _degrees(e)
+    tri = _triangle_count_from(e, deg)
     wedges = deg.agg(
         (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges")
     )
