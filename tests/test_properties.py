@@ -10066,7 +10066,14 @@ _keys_strategy = st.lists(
     ),
     min_size=1,
     max_size=12,
-    unique=True,
+    # unique by the STRING image, not the raw value: every consumer
+    # feeds str(k) into the frame and keys its python-replica dict on
+    # that string, so int 0 and text "0" are the SAME key downstream —
+    # plain unique=True let both in and the replica dict collapsed two
+    # rows with different strata into one entry (found by a fresh
+    # hypothesis draw [0, '', '0'] in the r9 round-end run; same
+    # replica-bug class as the fe29cc6 linkage fix)
+    unique_by=lambda k: str(k),
 )
 
 
