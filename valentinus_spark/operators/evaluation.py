@@ -1021,6 +1021,8 @@ def gain_lift_chart(
     """
     from pyspark.sql import Window
 
+    from valentinus_spark.operators._distrank import global_ranks, ntile_from_rank
+
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
@@ -1028,8 +1030,18 @@ def gain_lift_chart(
         F.col(label_col).cast("int").alias("_y"),
         F.col(id_col).alias("_id"),
     )
-    w = Window.orderBy(F.desc("_s"), F.asc("_id"))
-    tiled = base.select(F.ntile(n_tiles).over(w).alias("tile"), "_y")
+    # NTILE(n_tiles) OVER (ORDER BY _s DESC, _id ASC) — but via two-phase
+    # distributed ranking (the zorder_bucket_stats device) instead of a
+    # single-partition global window over the whole scored corpus; the
+    # ordering key is total (_id unique), so the closed-form bucket is
+    # bit-identical to the window ntile
+    ranked = global_ranks(base, [F.desc("_s"), F.asc("_id")])
+    tiled = ranked.select(
+        ntile_from_rank(F.col("_rank"), F.col("_n"), n_tiles)
+        .cast("int")
+        .alias("tile"),
+        "_y",
+    )
     agg = tiled.groupBy("tile").agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum("_y"), F.lit(0)).alias("n_pos"),

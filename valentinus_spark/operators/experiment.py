@@ -420,7 +420,7 @@ def mann_whitney_u(
     that table (average ranks live on the .5 grid, so sums are exact
     in double far beyond any realistic N).
     """
-    from pyspark.sql import Window
+    from valentinus_spark.operators._distrank import running_totals
 
     vals = df.filter(
         F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
@@ -432,12 +432,15 @@ def mann_whitney_u(
         F.sum("_ia").alias("_ca"),
         F.sum(1 - F.col("_ia")).alias("_cb"),
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cnt = F.col("_ca") + F.col("_cb")
-    ranked = per_val.select(
+    # rank prefix counts via the two-phase distributed device (no
+    # single-partition window over the distinct-value table)
+    ranked = running_totals(
+        per_val.select("_v", "_cb", cnt.alias("_t")), ["_v"], ["_t"]
+    ).select(
         "_cb",
-        cnt.alias("_t"),
-        (F.sum(cnt).over(w) - cnt).alias("_before"),
+        "_t",
+        (F.col("_run_t") - F.col("_t")).alias("_before"),
     )
     # average rank of every element at this value: before + (t+1)/2
     avg_rank = F.col("_before") + (F.col("_t") + 1) / 2.0
@@ -770,7 +773,7 @@ def kruskal_wallis(
     Scale shape: one corpus-sized aggregate; everything after runs on
     |distinct values| and k rows.
     """
-    from pyspark.sql import Window
+    from valentinus_spark.operators._distrank import running_totals
 
     per = (
         df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
@@ -778,14 +781,14 @@ def kruskal_wallis(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     tot = per.groupBy("_v").agg(F.sum("_c").alias("_t"))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # ranked_vals feeds the rank join AND the tie spectrum — checkpoint
-    # so the corpus aggregate + ordered window run once (|distinct
-    # values| rows)
-    ranked_vals = tot.select(
+    # so the corpus aggregate + the distributed rank pass run once
+    # (|distinct values| rows); prefix counts come from the two-phase
+    # device, not a single-partition window
+    ranked_vals = running_totals(tot, ["_v"], ["_t"]).select(
         "_v",
         "_t",
-        (F.sum("_t").over(w) - F.col("_t")).alias("_before"),
+        (F.col("_run_t") - F.col("_t")).alias("_before"),
     ).localCheckpoint()
     avg_rank = F.col("_before") + (F.col("_t") + 1) / 2.0
     joined = per.join(ranked_vals, "_v").select(
@@ -1065,7 +1068,7 @@ def wilcoxon_signed_rank(
     map-side-combined |d| count aggregate, one ordered window over
     |distinct |d|| rows.
     """
-    from pyspark.sql import Window
+    from valentinus_spark.operators._distrank import running_totals
 
     d = (
         F.col(after_col).try_cast("decimal(17,4)")
@@ -1082,11 +1085,12 @@ def wilcoxon_signed_rank(
     per = nz.groupBy("_a").agg(
         F.count(F.lit(1)).alias("_t"), F.sum("_pos").alias("_np")
     )
-    w = Window.orderBy("_a").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = per.select(
+    # rank prefix counts via the two-phase distributed device (no
+    # single-partition window over the distinct-|d| table)
+    ranked = running_totals(per, ["_a"], ["_t"]).select(
         "_t",
         "_np",
-        (F.sum("_t").over(w) - F.col("_t")).alias("_before"),
+        (F.col("_run_t") - F.col("_t")).alias("_before"),
     )
     avg_rank = F.col("_before") + (F.col("_t") + 1) / 2.0
     agg = ranked.agg(
@@ -1256,6 +1260,8 @@ def runs_test(
     """
     from pyspark.sql import Window
 
+    from valentinus_spark.operators._distrank import running_totals
+
     vals = df.filter(
         F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
     ).select(
@@ -1263,13 +1269,14 @@ def runs_test(
         F.col(value_col).try_cast("decimal(17,4)").alias("_v"),
     )
     per = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per.select(
+    # median rank sweep via the two-phase distributed device (no
+    # single-partition window over the distinct-value table); the
+    # sequential part of this test is only the RUN COUNT below, which
+    # runs on the bounded ordered spine by design
+    cum = running_totals(per, ["_v"], ["_c"], with_totals=True).select(
         "_v",
-        F.sum("_c").over(w).alias("_cum"),
-        F.sum("_c").over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("_n"),
+        F.col("_run_c").alias("_cum"),
+        F.col("_tot_c").alias("_n"),
     )
     lo_rank = F.floor((F.col("_n") + 1) / 2)
     hi_rank = F.floor(F.col("_n") / 2) + 1
@@ -1420,13 +1427,15 @@ def moods_median_test(
         F.col(value_col).try_cast("decimal(17,4)").alias("_v"),
     )
     per = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per.select(
+    # grand-median rank sweep via the two-phase distributed device (no
+    # single-partition window over the distinct-value table); the wt
+    # window below runs on the k-group contingency table, not data
+    from valentinus_spark.operators._distrank import running_totals
+
+    cum = running_totals(per, ["_v"], ["_c"], with_totals=True).select(
         "_v",
-        F.sum("_c").over(w).alias("_cum"),
-        F.sum("_c").over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("_n"),
+        F.col("_run_c").alias("_cum"),
+        F.col("_tot_c").alias("_n"),
     )
     lo_rank = F.floor((F.col("_n") + 1) / 2)
     hi_rank = F.floor(F.col("_n") / 2) + 1

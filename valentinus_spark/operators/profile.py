@@ -1459,17 +1459,15 @@ def quantile_normalize(
         F.sum("_c").over(Window.partitionBy("_g")).alias("_ng"),
     )
     cgrid = gc.groupBy("_v").agg(F.sum("_c").alias("_cc"))
-    wc = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cgrid = cgrid.select(
+    # corpus-grid cumulative counts via the two-phase distributed device
+    # (no single-partition window over the distinct-value table; the
+    # per-GROUP windows above stay partitioned by _g, i.e. distributed)
+    from valentinus_spark.operators._distrank import running_totals
+
+    cgrid = running_totals(cgrid, ["_v"], ["_cc"], with_totals=True).select(
         F.col("_v").alias("_cv"),
-        F.sum("_cc").over(wc).alias("_ccum"),
-        F.sum("_cc").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_n"),
+        F.col("_run_cc").alias("_ccum"),
+        F.col("_tot_cc").alias("_n"),
     )
     # exact rational threshold: corpus cumfrac >= group midrank fraction
     cond = (
@@ -1782,9 +1780,18 @@ def decile_concentration(
             .alias("_v")
         )
     )
-    w = Window.orderBy(F.desc("_v"), F.asc(unit_col))
-    tiled = per.select(
-        F.ntile(n_tiles).over(w).alias("tile"),
+    # NTILE over (value DESC, unit ASC) via two-phase distributed
+    # ranking (the zorder_bucket_stats device) — no single-partition
+    # window over the unit table; the ordering key is total (units are
+    # unique after the groupBy), so the closed-form bucket is
+    # bit-identical to the window ntile
+    from valentinus_spark.operators._distrank import global_ranks, ntile_from_rank
+
+    ranked = global_ranks(per, [F.desc("_v"), F.asc(unit_col)])
+    tiled = ranked.select(
+        ntile_from_rank(F.col("_rank"), F.col("_n"), n_tiles)
+        .cast("int")
+        .alias("tile"),
         "_v",
     )
     agg = tiled.groupBy("tile").agg(

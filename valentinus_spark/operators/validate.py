@@ -251,7 +251,7 @@ def ks_test(
     exact KS. Cumulative counts are exact BIGINTs; floats appear only
     in the final |Fa−Fb| comparison.
     """
-    from pyspark.sql import Window
+    from valentinus_spark.operators._distrank import running_totals
 
     vals = df.filter(
         F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
@@ -263,19 +263,23 @@ def ks_test(
         F.sum("_ia").alias("_ca"),
         F.sum(1 - F.col("_ia")).alias("_cb"),
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per_val.select(
-        F.sum("_ca").over(w).alias("_cuma"),
-        F.sum("_cb").over(w).alias("_cumb"),
-    )
-    tot = per_val.agg(
-        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    # ECDF running counts via the two-phase distributed device (no
+    # single-partition window over the distinct-value table); the grand
+    # totals ride the same broadcast offset join, replacing the former
+    # crossJoin(broadcast(agg)) branch
+    cum = running_totals(
+        per_val, ["_v"], ["_ca", "_cb"], with_totals=True
+    ).select(
+        F.col("_run_ca").alias("_cuma"),
+        F.col("_run_cb").alias("_cumb"),
+        F.col("_tot_ca").alias("_na"),
+        F.col("_tot_cb").alias("_nb"),
     )
     # guard INSIDE the max: with an empty group the ECDF division is
     # 0/0 and ANSI mode would raise before the outer NULL-gate ever
     # ran (hypothesis-found); both-groups-present rows are unchanged,
     # so the oracle stays in lockstep
-    d = cum.crossJoin(F.broadcast(tot)).agg(
+    d = cum.agg(
         F.max(
             F.when(
                 (F.col("_na") > 0) & (F.col("_nb") > 0),
@@ -394,7 +398,7 @@ def wasserstein_1d(
     cumulative counts; quantize unbounded domains first at extreme
     scale.
     """
-    from pyspark.sql import Window
+    from valentinus_spark.operators._distrank import running_totals
 
     vals = df.filter(
         F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
@@ -406,17 +410,22 @@ def wasserstein_1d(
         F.sum("_ia").alias("_ca"),
         F.sum(1 - F.col("_ia")).alias("_cb"),
     )
-    wo = Window.orderBy("_v")
-    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = per_val.select(
+    # ECDF running counts + global lead (Δx) via the two-phase
+    # distributed device — the lead is stitched across range-partition
+    # boundaries from the offset table's per-partition minima, so no
+    # single-partition window touches the distinct-value table
+    cum = running_totals(
+        per_val, ["_v"], ["_ca", "_cb"], with_totals=True, with_lead="_v"
+    ).select(
         "_v",
-        F.sum("_ca").over(w).alias("_cuma"),
-        F.sum("_cb").over(w).alias("_cumb"),
-        F.lead("_v").over(wo).alias("_nx"),
+        F.col("_run_ca").alias("_cuma"),
+        F.col("_run_cb").alias("_cumb"),
+        F.col("_lead_v").alias("_nx"),
+        F.col("_tot_ca").alias("_na"),
+        F.col("_tot_cb").alias("_nb"),
     )
-    tot = per_val.agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
     return (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .agg(
             F.coalesce(F.first("_na"), F.lit(0)).alias("n_a"),
             F.coalesce(F.first("_nb"), F.lit(0)).alias("n_b"),
@@ -626,7 +635,7 @@ def dp_median(
     """
     import hashlib
 
-    from pyspark.sql import Window
+    from valentinus_spark.operators._distrank import running_totals
 
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
@@ -637,14 +646,15 @@ def dp_median(
         F.col(value_col).try_cast("decimal(17,4)").alias("_v")
     )
     grid = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = grid.select(
+    # cumulative counts over the value grid via the two-phase
+    # distributed device (no single-partition window; the grand total
+    # rides the broadcast offset join)
+    cum = running_totals(grid, ["_v"], ["_c"], with_totals=True).select(
         "_v",
         "_c",
-        (F.sum("_c").over(w) - F.col("_c")).alias("_below"),
-        F.sum("_c").over(w).alias("_cum"),
-        F.sum("_c").over(wall).alias("_n"),
+        (F.col("_run_c") - F.col("_c")).alias("_below"),
+        F.col("_run_c").alias("_cum"),
+        F.col("_tot_c").alias("_n"),
     )
     if (grid_lo is None) != (grid_hi is None):
         raise ValueError("grid_lo and grid_hi must be given together")
@@ -680,16 +690,21 @@ def dp_median(
                 F.lit(1).alias("_cand"),
             )
         )
-        wu = Window.orderBy("_v", F.desc("_cand")).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        cand = un.select(
+        # _cdata is NULL on candidate rows: its grand total replays the
+        # former conditional wall-window exactly (NULL — not 0 — when no
+        # data rows exist); the running count can use plain _c because
+        # candidate rows contribute an exact 0 to it
+        un = un.withColumn("_cdata", F.when(F.col("_cand") == 0, F.col("_c")))
+        cand = running_totals(
+            un,
+            [F.asc("_v"), F.desc("_cand")],
+            ["_c", "_cdata"],
+            with_totals=True,
+        ).select(
             "_v",
             "_cand",
-            F.sum("_c").over(wu).alias("_below"),
-            F.sum(F.when(F.col("_cand") == 0, F.col("_c")))
-            .over(wall)
-            .alias("_n"),
+            F.col("_run_c").alias("_below"),
+            F.col("_tot_cdata").alias("_n"),
         ).filter(F.col("_cand") == 1)
     util = -F.abs(
         F.col("_below").cast("double") - F.col("_n").cast("double") / 2.0
@@ -697,13 +712,16 @@ def dp_median(
     wgt = F.round(
         F.exp(F.lit(float(epsilon)) * util / 2.0), 12
     ).cast("decimal(28,12)")
-    scored = cand.select(
-        "_v",
-        wgt.alias("_w"),
+    # cumulative DECIMAL weight over the candidate support, same device.
+    # Weight NULLness is UNIFORM per query (it depends only on _n, which
+    # is global), so the device's skip-NULL partial sums cannot diverge
+    # from the single-partition window's prefix semantics.
+    scored = running_totals(
+        cand.select("_v", wgt.alias("_w")), ["_v"], ["_w"], with_totals=True
     ).select(
         "_v",
-        F.sum("_w").over(w).alias("_wcum"),
-        F.sum("_w").over(wall).alias("_wtot"),
+        F.col("_run_w").alias("_wcum"),
+        F.col("_tot_w").alias("_wtot"),
     )
     # true grid median (floor-rank middles convention)
     lo_rank = F.floor((F.col("_n") + 1) / 2)
