@@ -9,6 +9,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from hypo_budget import hypo_examples
+
 from valentinus_spark.operators import (
     gini_coefficient,
     krippendorff_alpha,
@@ -18,7 +20,7 @@ from valentinus_spark.operators import (
 )
 
 SLOW = settings(
-    max_examples=12,
+    max_examples=hypo_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

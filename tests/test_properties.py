@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from hypo_budget import hypo_examples
 from pyspark.sql import functions as F
 
 from valentinus_spark.filters import compile_filters
@@ -80,7 +82,7 @@ def py_eval(meta: dict, key: str, op: str, value) -> bool:
     }[op]
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(30), deadline=None, suppress_health_check=list(HealthCheck))
 @given(specs=spec_strategy, rows=row_strategy)
 def test_filter_compiler_matches_python(spark, specs, rows):
     df = spark.createDataFrame(
@@ -107,7 +109,7 @@ vec_strategy = st.lists(
 )
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(25), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pairs=st.lists(st.tuples(vec_strategy, vec_strategy), min_size=1, max_size=5))
 def test_vector_algebra_matches_numpy(spark, pairs):
     # pad to a common dim per example set
@@ -147,7 +149,7 @@ events_strategy = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(left=events_strategy, right=events_strategy)
 def test_asof_join_matches_python_oracle(spark, left, right):
     from valentinus_spark.operators.asof import asof_join
@@ -173,7 +175,7 @@ def test_asof_join_matches_python_oracle(spark, left, right):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     points=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=20),
     intervals=st.lists(
@@ -211,7 +213,7 @@ def test_range_join_matches_python_oracle(spark, points, intervals, bucket_width
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     left=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(0, 25)),
@@ -252,7 +254,7 @@ def test_interval_overlap_matches_python_oracle(spark, left, right, bucket_width
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     factor=st.sampled_from([0.0, 0.25, 0.5, 1.0, 1.75, 2.0, 3.5]),
     n_rows=st.integers(50, 200),
@@ -296,7 +298,7 @@ corpus_strategy = st.lists(
 )
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=corpus_strategy, t=st.sampled_from([0.3, 0.5, 0.8, 0.9, 1.0]))
 def test_setsim_matches_brute_force_on_random_corpora(spark, docs, t):
     from valentinus_spark.operators.setsim import set_similarity_join
@@ -319,7 +321,7 @@ def test_setsim_matches_brute_force_on_random_corpora(spark, docs, t):
     assert got == want
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(
         st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=40
@@ -364,7 +366,7 @@ def _url(draw):
     return f"{scheme}://{host}{port}{path}{trail}{q}{frag}"
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(30), deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(_url(), min_size=1, max_size=24))
 def test_normalize_url_idempotent_on_random_urls(spark, urls):
     from valentinus_spark.functions.web import normalize_url
@@ -386,7 +388,7 @@ def test_normalize_url_idempotent_on_random_urls(spark, urls):
 # exact_quantiles vs sorted-list oracle on random multisets
 # ---------------------------------------------------------------------------
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
         st.integers(min_value=-50, max_value=50), min_size=1, max_size=300
@@ -420,7 +422,7 @@ _pair_strategy = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(old=_pair_strategy, delta=_pair_strategy)
 def test_incremental_components_fuzz_equals_full(spark, old, delta):
     """For ANY split of a random pair set into (history, delta), merging
@@ -453,7 +455,7 @@ _para_doc_strategy = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=_para_doc_strategy)
 def test_dedup_paragraphs_fuzz_invariants(spark, docs):
     """Random paragraph lists: after dedup (a) every doc keeps a subset
@@ -513,7 +515,7 @@ winnow_text = st.text(
 )
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(winnow_text, min_size=1, max_size=6),
     k=st.integers(min_value=2, max_value=6),
@@ -536,7 +538,7 @@ def test_winnow_fingerprints_fuzz_matches_python(spark, texts, k, w):
     assert got == want
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     prefix_a=winnow_text,
     prefix_b=winnow_text,
@@ -567,7 +569,7 @@ def test_winnow_guarantee_fuzz(spark, prefix_a, prefix_b, shared):
 
 
 @settings(
-    max_examples=25,
+    max_examples=hypo_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -604,7 +606,7 @@ def test_skyline_2d_equals_brute_force_dominance(spark, pts):
 
 
 @settings(
-    max_examples=20,
+    max_examples=hypo_examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -656,7 +658,7 @@ def _py_ktruss(edges, k):
 
 
 @settings(
-    max_examples=15,
+    max_examples=hypo_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -704,7 +706,7 @@ def _py_bfs(edges, sources):
 
 
 @settings(
-    max_examples=15,
+    max_examples=hypo_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -734,7 +736,7 @@ def test_bfs_distances_match_python_bfs(spark, und):
 
 
 @settings(
-    max_examples=15,
+    max_examples=hypo_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -763,7 +765,7 @@ def test_runs_test_counts_match_python(spark, xs):
 
 
 @settings(
-    max_examples=15,
+    max_examples=hypo_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -810,7 +812,7 @@ def test_moods_median_margins_match_python(spark, rows):
 
 
 @settings(
-    max_examples=15,
+    max_examples=hypo_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -851,7 +853,7 @@ def test_average_precision_matches_python_with_ties(spark, rows):
 
 
 @settings(
-    max_examples=12,
+    max_examples=hypo_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -906,7 +908,7 @@ def test_friedman_matches_python_tie_corrected(spark, vals):
 
 
 @settings(
-    max_examples=12,
+    max_examples=hypo_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -945,7 +947,7 @@ def test_source_tv_distance_matches_python(spark, docs):
 
 
 @settings(
-    max_examples=12,
+    max_examples=hypo_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -998,7 +1000,7 @@ def test_kruskal_wallis_matches_python_tie_corrected(spark, rows):
 
 
 @settings(
-    max_examples=12,
+    max_examples=hypo_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1051,7 +1053,7 @@ def test_jonckheere_terpstra_matches_python_pair_count(spark, rows):
 
 
 @settings(
-    max_examples=12,
+    max_examples=hypo_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1104,7 +1106,7 @@ def test_page_trend_matches_python_and_drops_incomplete(spark, vals, partial):
 
 
 @settings(
-    max_examples=10,
+    max_examples=hypo_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1176,7 +1178,7 @@ def test_mann_kendall_matches_python(spark, pts):
 
 
 @settings(
-    max_examples=10,
+    max_examples=hypo_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1227,7 +1229,7 @@ def test_theil_sen_matches_python(spark, pts):
 
 
 @settings(
-    max_examples=10,
+    max_examples=hypo_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1269,7 +1271,7 @@ def test_gini_matches_python(spark, rows):
 
 
 @settings(
-    max_examples=12,
+    max_examples=hypo_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1318,7 +1320,7 @@ def test_wilcoxon_signed_rank_matches_python(spark, pairs):
 
 
 @settings(
-    max_examples=12,
+    max_examples=hypo_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1371,7 +1373,7 @@ def test_levene_brown_forsythe_matches_python(spark, rows):
 
 
 @settings(
-    max_examples=12,
+    max_examples=hypo_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1413,7 +1415,7 @@ def test_cochran_q_matches_python(spark, rows):
 
 
 @settings(
-    max_examples=10,
+    max_examples=hypo_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1466,7 +1468,7 @@ def test_permutation_entropy_matches_python(spark, day_hits):
 
 
 @settings(
-    max_examples=10,
+    max_examples=hypo_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1558,7 +1560,7 @@ def _cm_slice_py(v, j: int) -> int:
 sketch_vals = st.lists(st.integers(min_value=0, max_value=999_983), min_size=1, max_size=40)
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(vals=sketch_vals, k=st.sampled_from([4, 8, 16]))
 def test_kmv_distinct_matches_python_replica(spark, vals, k):
     df = spark.createDataFrame([(v,) for v in vals], "v long")
@@ -1573,7 +1575,7 @@ def test_kmv_distinct_matches_python_replica(spark, vals, k):
     assert row.est_distinct == pytest.approx(exp, abs=2e-4, rel=1e-9)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=sketch_vals,
     probes_extra=st.lists(st.integers(min_value=1_000_000, max_value=2_000_000), max_size=5),
@@ -1607,7 +1609,7 @@ def test_count_min_matches_python_replica(spark, vals, probes_extra, depth, widt
         assert got_est[v] >= true[v]  # CM never underestimates
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=sketch_vals,
     absent=st.lists(st.integers(min_value=1_000_000, max_value=2_000_000), max_size=6),
@@ -1634,7 +1636,7 @@ def test_bloom_filter_matches_python_replica(spark, vals, absent, k, m):
             assert got[v] is True  # a Bloom filter has NO false negatives
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(vals=sketch_vals, p=st.sampled_from([4, 6]))
 def test_hll_registers_and_estimate_match_python_replica(spark, vals, p):
     df = spark.createDataFrame([(v,) for v in vals], "v long")
@@ -1667,7 +1669,7 @@ def test_hll_registers_and_estimate_match_python_replica(spark, vals, p):
 from valentinus_spark.operators.sketches import heavy_hitters
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=60),
     phi=st.sampled_from([0.1, 0.2, 0.35]),
@@ -1692,7 +1694,7 @@ def test_heavy_hitters_exact_and_partition_invariant(spark, vals, phi, parts):
 from valentinus_spark.operators.funnel import kaplan_meier, markov_transitions
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     events=st.lists(
         st.tuples(
@@ -1735,7 +1737,7 @@ def test_markov_transitions_match_python(spark, events):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     spans=st.lists(
         st.tuples(
@@ -1804,7 +1806,7 @@ funnel_events = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(events=funnel_events)
 def test_funnel_counts_match_python_min_time_chaining(spark, events):
     df = spark.createDataFrame(events, "user_id long, event_type string, ts_us long")
@@ -1828,7 +1830,7 @@ def test_funnel_counts_match_python_min_time_chaining(spark, events):
     assert got == exp
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(events=funnel_events)
 def test_cohort_retention_matches_python(spark, events):
     day_us = 5  # tiny "day" so small ts values cross boundaries
@@ -1849,7 +1851,7 @@ def test_cohort_retention_matches_python(spark, events):
     assert got == exp
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     events=st.lists(
         st.tuples(
@@ -1898,7 +1900,7 @@ scd_batches = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(batches=scd_batches)
 def test_scd2_apply_fold_matches_python(spark, batches):
     schema = "k long, a string, effective_from long, effective_to long"
@@ -1934,7 +1936,7 @@ cdc_changes = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     snap=st.dictionaries(
         st.integers(min_value=1, max_value=6), st.sampled_from(["a", "b"]), max_size=5
@@ -1970,7 +1972,7 @@ attr_events = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(events=attr_events, window_days=st.sampled_from([2, 7]))
 def test_attribution_matches_python(spark, events, window_days):
     import datetime as dt
@@ -2025,7 +2027,7 @@ def test_attribution_matches_python(spark, events, window_days):
 from valentinus_spark.operators.funnel import activity_streaks, session_paths
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     events=st.lists(
         st.tuples(
@@ -2068,7 +2070,7 @@ def test_session_paths_match_python(spark, events, gap_minutes, max_steps):
     assert got == exp
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     days=st.lists(
         st.tuples(
@@ -2129,7 +2131,7 @@ def _forest_edges(parents):
     ]
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(parents=forest)
 def test_ancestor_closure_matches_python(spark, parents):
     edges = _forest_edges(parents)
@@ -2149,7 +2151,7 @@ def test_ancestor_closure_matches_python(spark, parents):
     assert got == sorted(set(exp))
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     parents=forest,
     vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=2, max_size=14),
@@ -2189,7 +2191,7 @@ def test_subtree_rollup_matches_python(spark, parents, vals):
 from valentinus_spark.operators.collocations import pmi_collocations
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=0, max_size=8).map(
@@ -2238,7 +2240,7 @@ def test_pmi_collocations_match_python(spark, docs, min_count):
 from valentinus_spark.operators.collocations import association_rules
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -2305,7 +2307,7 @@ bpe_corpus = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=bpe_corpus, n_merges=st.sampled_from([1, 4, 10]))
 def test_bpe_encode_equals_merge_replay(spark, docs, n_merges):
     df = spark.createDataFrame([(d,) for d in docs], "text string")
@@ -2355,7 +2357,7 @@ unigram_vocab = st.dictionaries(
 )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vocab=unigram_vocab,
     words=st.lists(
@@ -2404,7 +2406,7 @@ def test_unigram_encode_matches_bruteforce_viterbi(spark, vocab, words):
 from valentinus_spark.operators.preference import bt_ranking
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     prefs=st.lists(
         st.tuples(
@@ -2460,7 +2462,7 @@ def test_bt_ranking_matches_python_mm(spark, prefs, iters):
 from valentinus_spark.operators.preference import elo_ratings
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     matches=st.lists(
         st.tuples(
@@ -2510,7 +2512,7 @@ def test_elo_ratings_match_python(spark, matches, k_factor):
 from valentinus_spark.operators.mixture import neyman_allocation
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -2583,7 +2585,7 @@ def test_neyman_allocation_matches_python(spark, rows, total_n):
 from valentinus_spark.operators.mixture import temperature_mixture_weights
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -2640,7 +2642,7 @@ def test_temperature_mixture_weights_match_python(spark, rows, tau, cap):
 from valentinus_spark.operators.quality import roc_auc
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -2685,7 +2687,7 @@ def _und(edges):
     return {frozenset(e) for e in edges if e[0] != e[1]}
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=rand_edges)
 def test_triangle_count_matches_bruteforce(spark, edges):
     und = _und(edges)
@@ -2711,7 +2713,7 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     assert (r.n_vertices, r.n_edges, r.n_triangles) == (len(nodes), len(und), tri)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=rand_edges, k=st.sampled_from([2, 3]))
 def test_k_core_matches_python_peeling(spark, edges, k):
     und = _und(edges)
@@ -2737,7 +2739,7 @@ def test_k_core_matches_python_peeling(spark, edges, k):
     assert got == exp
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=rand_edges, rounds=st.sampled_from([1, 4]))
 def test_label_propagation_matches_python(spark, edges, rounds):
     und = _und(edges)
@@ -2768,7 +2770,7 @@ def test_label_propagation_matches_python(spark, edges, rounds):
 from valentinus_spark.operators.graph import adamic_adar, clustering_coefficient
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=rand_edges)
 def test_adamic_adar_matches_python(spark, edges):
     und = _und(edges)
@@ -2798,7 +2800,7 @@ def test_adamic_adar_matches_python(spark, edges):
     assert got == exp
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=rand_edges)
 def test_clustering_coefficient_matches_python(spark, edges):
     und = _und(edges)
@@ -2862,7 +2864,7 @@ def _pr_python(sym, iters, damping, seeds=None):
     return rank
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=rand_edges, iters=st.sampled_from([2, 8]))
 def test_pagerank_matches_python(spark, edges, iters):
     und = _und(edges)
@@ -2878,7 +2880,7 @@ def test_pagerank_matches_python(spark, edges, iters):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=rand_edges, iters=st.sampled_from([2, 8]))
 def test_personalized_pagerank_matches_python(spark, edges, iters):
     und = _und(edges)
@@ -2917,7 +2919,7 @@ def _rhu(x: float, n: int) -> float:
     )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     edges=st.lists(
         st.tuples(
@@ -2970,7 +2972,7 @@ from valentinus_spark.operators.evaluation import adjusted_rand_index, brier_log
 from valentinus_spark.operators.experiment import welch_means_test
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3014,7 +3016,7 @@ def test_adjusted_rand_index_matches_python(spark, rows):
             assert r.ari == pytest.approx(1.0, abs=1e-6)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3056,7 +3058,7 @@ def _phi_upper_py(z: float) -> float:
     return math.exp(-z * z / 2.0) / 2.5066282746310002 * poly
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3110,7 +3112,7 @@ def test_welch_means_test_matches_python(spark, rows):
 from valentinus_spark.operators.evaluation import ndcg_at_k
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     judged=st.lists(
         st.tuples(
@@ -3164,7 +3166,7 @@ def test_ndcg_at_k_matches_python(spark, judged, k):
 from valentinus_spark.operators.evaluation import fleiss_kappa
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ratings=st.lists(
         st.tuples(
@@ -3218,7 +3220,7 @@ def test_fleiss_kappa_matches_python(spark, ratings):
 from valentinus_spark.operators.evaluation import krippendorff_alpha, mutual_information
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3259,7 +3261,7 @@ def test_mutual_information_matches_python(spark, rows):
         assert r.nmi is None
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ratings=st.lists(
         st.tuples(
@@ -3315,7 +3317,7 @@ def test_krippendorff_alpha_matches_python(spark, ratings):
 from valentinus_spark.operators.evaluation import rank_correlation
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3385,7 +3387,7 @@ def test_rank_correlation_matches_python(spark, rows):
 from valentinus_spark.operators.evaluation import rbo_overlap
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3425,7 +3427,7 @@ rouge_text = st.lists(
 ).map(" ".join)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pairs=st.lists(
         st.tuples(rouge_text, rouge_text), min_size=1, max_size=6
@@ -3483,7 +3485,7 @@ def test_rouge_n_matches_python(spark, pairs, n):
 from valentinus_spark.operators.validate import ks_test
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3529,7 +3531,7 @@ def test_ks_test_matches_python(spark, rows):
 from valentinus_spark.operators.validate import chi_squared, wasserstein_1d
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3571,7 +3573,7 @@ def test_chi_squared_matches_python(spark, rows):
         assert r.cramers_v is None
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3613,7 +3615,7 @@ def test_wasserstein_1d_matches_python(spark, rows):
 from valentinus_spark.operators.profile import cohens_kappa, psi_drift
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3645,7 +3647,7 @@ def test_cohens_kappa_matches_python(spark, rows):
         assert r.kappa is None
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ref=st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=30),
     cur=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30),
@@ -3699,7 +3701,7 @@ def test_psi_drift_matches_python(spark, ref, cur, n_bins):
 from valentinus_spark.operators.profile import benford_profile
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(
         st.integers(min_value=-100, max_value=99999).map(lambda v: v / 100.0),
@@ -3758,7 +3760,7 @@ def test_benford_profile_nonfinite_and_huge_magnitudes(spark):
 from valentinus_spark.operators.profile import capture_recapture, hhi_concentration
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     a=st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=25),
     b=st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=25),
@@ -3781,7 +3783,7 @@ def test_capture_recapture_matches_python(spark, a, b):
         assert r.lincoln_petersen is None
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3826,7 +3828,7 @@ def test_hhi_concentration_matches_python(spark, rows):
 from valentinus_spark.operators.profile import theil_atkinson_inequality
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -3885,7 +3887,7 @@ small_docs = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=small_docs)
 def test_good_turing_vocab_matches_python(spark, docs):
     df = spark.createDataFrame(docs, "g string, text string")
@@ -3912,7 +3914,7 @@ def test_good_turing_vocab_matches_python(spark, docs):
         assert res[5] >= v - 1e-9  # Chao1 lower-bounds total vocab
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=small_docs)
 def test_js_divergence_matches_python(spark, docs):
     groups = {g for g, _ in docs}
@@ -3956,7 +3958,7 @@ def test_js_divergence_matches_python(spark, docs):
 from valentinus_spark.operators.text_search import bm25_topk
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(
@@ -4020,7 +4022,7 @@ link_names = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(names=link_names, band=st.sampled_from([2, 4]))
 def test_candidate_pairs_match_python_blocking(spark, names, band):
     data = [(i, n) for i, n in enumerate(names)]
@@ -4060,7 +4062,7 @@ def test_candidate_pairs_match_python_blocking(spark, names, band):
 from valentinus_spark.operators.quality import char_entropy, lexical_diversity
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=small_docs)
 def test_lexical_diversity_matches_python(spark, docs):
     df = spark.createDataFrame(docs, "g string, text string")
@@ -4089,7 +4091,7 @@ def test_lexical_diversity_matches_python(spark, docs):
             assert res[4] is None
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
         st.text(alphabet="abcd ", min_size=0, max_size=20), min_size=1, max_size=8
@@ -4132,7 +4134,7 @@ from valentinus_spark.operators.experiment import (
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(st.integers(min_value=0, max_value=1), st.booleans()),
@@ -4168,7 +4170,7 @@ def test_two_proportion_matches_python(spark, rows):
         assert r.z is None
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     arms=st.lists(st.integers(min_value=0, max_value=2), min_size=1, max_size=30)
 )
@@ -4193,7 +4195,7 @@ def test_srm_check_matches_python(spark, arms):
         assert total == pytest.approx(0.0, abs=1e-9)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pairs=st.lists(
         st.tuples(st.integers(min_value=0, max_value=1), st.integers(min_value=0, max_value=1)),
@@ -4221,7 +4223,7 @@ def test_mcnemar_matches_python(spark, pairs):
     )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ps=st.lists(
         st.integers(min_value=0, max_value=100).map(lambda v: v / 100.0),
@@ -4272,7 +4274,7 @@ paired_rows = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pairs=paired_rows)
 def test_paired_t_matches_python(spark, pairs):
     df = spark.createDataFrame(
@@ -4300,7 +4302,7 @@ def test_paired_t_matches_python(spark, pairs):
     )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pairs=paired_rows)
 def test_sign_test_matches_python(spark, pairs):
     df = spark.createDataFrame(
@@ -4343,7 +4345,7 @@ def _pct_py(vals, q):
     return s[lo] + (pos - lo) * (s[hi] - s[lo])
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=30),
     threshold=st.sampled_from([2.0, 3.5]),
@@ -4363,7 +4365,7 @@ def test_robust_zscore_matches_python(spark, vals, threshold):
         assert got[i][1] == (abs(got[i][0]) > threshold)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=30),
     band=st.sampled_from([(0.1, 0.9), (0.25, 0.75)]),
@@ -4380,7 +4382,7 @@ def test_winsorize_matches_python(spark, vals, band):
         assert plo - 1e-9 <= got[i] <= phi + 1e-9  # clamped into the band
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=25),
     n_bins=st.sampled_from([2, 4, 10]),
@@ -4430,7 +4432,7 @@ def _kmv_est_py(hashes: set, k: int) -> tuple[int, float]:
     return k, (k - 1) / ((s[k - 1] + 1) / float(1 << 60))
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(a=sketch_vals, b=sketch_vals, k=st.sampled_from([4, 8]))
 def test_kmv_merge_equals_union_sketch(spark, a, b, k):
     da = spark.createDataFrame([(v,) for v in a], "v long")
@@ -4449,7 +4451,7 @@ def test_kmv_merge_equals_union_sketch(spark, a, b, k):
     )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(a=sketch_vals, b=sketch_vals, k=st.sampled_from([4, 8]))
 def test_kmv_overlap_matches_theta_replica(spark, a, b, k):
     da = spark.createDataFrame([(v,) for v in a], "v long")
@@ -4498,7 +4500,7 @@ def _hll_est_py(regs: dict, p: int) -> float:
     return raw
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(a=sketch_vals, b=sketch_vals, p=st.sampled_from([4, 6]))
 def test_hll_merge_is_lossless_union(spark, a, b, p):
     da = spark.createDataFrame([(v,) for v in a], "v long")
@@ -4513,7 +4515,7 @@ def test_hll_merge_is_lossless_union(spark, a, b, p):
     assert (got.m_seen, got.est_distinct) == (direct.m_seen, direct.est_distinct)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(a=sketch_vals, b=sketch_vals, p=st.sampled_from([4, 6]))
 def test_hll_overlap_matches_inclusion_exclusion_replica(spark, a, b, p):
     da = spark.createDataFrame([(v,) for v in a], "v long")
@@ -4532,7 +4534,7 @@ def test_hll_overlap_matches_inclusion_exclusion_replica(spark, a, b, p):
     )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     a=sketch_vals,
     b=sketch_vals,
@@ -4563,7 +4565,7 @@ def test_cm_join_size_matches_inner_product_replica(spark, a, b, depth, width):
     assert got.est_join_size >= true_join
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
     shape=st.sampled_from([(4, 4), (3, 8)]),
@@ -4625,7 +4627,7 @@ def _series_df(spark, pts):
     ], [d for d, _ in sorted(pts)]
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     events=st.lists(
         st.tuples(
@@ -4706,7 +4708,7 @@ def _acf_py(day_offsets, max_lag):
     return n, out
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     days=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
     max_lag=st.sampled_from([3, 5]),
@@ -4727,7 +4729,7 @@ def test_acf_profile_matches_python(spark, days, max_lag):
             assert r.acf == pytest.approx(acf, abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     days=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
     max_lag=st.sampled_from([3, 6]),
@@ -4750,7 +4752,7 @@ def test_ljung_box_matches_python(spark, days, max_lag):
     assert r.q_stat == pytest.approx(q, abs=2e-4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pts=st.lists(
         st.tuples(
@@ -4792,7 +4794,7 @@ def test_cusum_changepoint_matches_python(spark, pts, params):
         assert row.alarm == (round(sp, 6) > h or round(sm, 6) > h)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pts=day_series, lam=st.sampled_from([0.2, 0.5]))
 def test_ewma_chart_matches_python(spark, pts, lam):
     from valentinus_spark.operators import ewma_chart
@@ -4821,7 +4823,7 @@ def test_ewma_chart_matches_python(spark, pts, lam):
         )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pts=day_series, ab=st.sampled_from([(0.3, 0.1), (0.5, 0.3)]))
 def test_holt_linear_matches_python(spark, pts, ab):
     from valentinus_spark.operators import holt_linear_forecast
@@ -4844,7 +4846,7 @@ def test_holt_linear_matches_python(spark, pts, ab):
         assert row.abs_err == pytest.approx(abs(x - f), abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pts=day_series, period=st.sampled_from([3, 4]))
 def test_holt_winters_matches_python(spark, pts, period):
     from valentinus_spark.operators import holt_winters_forecast
@@ -4875,7 +4877,7 @@ def test_holt_winters_matches_python(spark, pts, period):
         assert row.abs_err == pytest.approx(abs(x - f), abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pts=day_series, period=st.sampled_from([3, 4]))
 def test_seasonal_decompose_matches_python(spark, pts, period):
     from valentinus_spark.operators import seasonal_decompose
@@ -4923,7 +4925,7 @@ def test_seasonal_decompose_matches_python(spark, pts, period):
             assert row.seasonal == pytest.approx(s, abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pts=st.lists(
         st.tuples(
@@ -4982,7 +4984,7 @@ def test_seasonal_mann_kendall_matches_python(spark, pts):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5032,7 +5034,7 @@ def test_mann_whitney_u_matches_python(spark, rows):
         assert r.z is None and r.p_value is None
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5094,7 +5096,7 @@ def test_cuped_adjust_matches_python(spark, rows):
             assert row.var_reduction == pytest.approx(vr, abs=2e-6)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5150,7 +5152,7 @@ def test_did_estimate_matches_python(spark, rows):
         assert r.did is None and r.se is None and r.z is None
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5218,7 +5220,7 @@ def test_msprt_matches_python(spark, rows, sigma2):
             assert row.log_lr is None and row.p_always_valid is None
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5291,7 +5293,7 @@ doc_strategy = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=doc_strategy)
 def test_flesch_readability_matches_python(spark, docs):
     from valentinus_spark.operators import flesch_readability
@@ -5312,7 +5314,7 @@ def test_flesch_readability_matches_python(spark, docs):
         assert r.fk_grade == pytest.approx(0.39 * wps + 11.8 * spw - 15.59, abs=2e-4)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=doc_strategy)
 def test_fog_smog_matches_python(spark, docs):
     from valentinus_spark.operators import fog_smog_readability
@@ -5334,7 +5336,7 @@ def test_fog_smog_matches_python(spark, docs):
         assert r.smog == pytest.approx(smog, abs=2e-4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=doc_strategy, k=st.sampled_from([3, 100]))
 def test_zipf_profile_matches_python(spark, docs, k):
     from collections import Counter
@@ -5365,7 +5367,7 @@ def test_zipf_profile_matches_python(spark, docs, k):
     assert r.intercept == pytest.approx((sy - slope * sx) / n, abs=2e-4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     groups=st.lists(
         st.tuples(
@@ -5412,7 +5414,7 @@ def test_heaps_law_matches_python(spark, groups):
             assert r.beta is None and r.k is None
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=doc_strategy)
 def test_term_burstiness_matches_python(spark, docs):
     from collections import Counter
@@ -5444,7 +5446,7 @@ def test_term_burstiness_matches_python(spark, docs):
         assert g[4] == pytest.approx(e[4], abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5483,7 +5485,7 @@ def test_tail_index_matches_python_hill(spark, rows):
             assert r.x_min is None and r.alpha is None
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5530,7 +5532,7 @@ def test_decile_concentration_matches_python(spark, rows, n_tiles):
             assert r.value_share is None and r.cum_share is None
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     groups=st.lists(
         st.tuples(
@@ -5586,7 +5588,7 @@ def test_vocab_coverage_matches_python(spark, groups, vocab_size):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     lists=st.lists(
         st.lists(
@@ -5630,7 +5632,7 @@ def test_rrf_fuse_matches_python(spark, lists, topk):
         assert g[1] == pytest.approx(e[1], abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     cands=st.lists(
         st.tuples(
@@ -5697,7 +5699,7 @@ def test_mmr_rerank_is_greedy_optimal_per_step(spark, cands, k, lam):
                 maxsim[i] = max(maxsim[i], float(v @ pv / (n2 * pn)))
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5727,7 +5729,7 @@ def test_rank_normalize_matches_percent_rank(spark, rows):
             assert got[i] == pytest.approx(exp, abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=-10, max_value=10), min_size=1, max_size=20),
     bits=st.sampled_from([2, 4]),
@@ -5746,7 +5748,7 @@ def test_rank_scale_matches_percent_rank(spark, vals, bits):
         assert got[i] == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5793,7 +5795,7 @@ def test_map_mrr_matches_python(spark, rows, k):
         assert row.rr == pytest.approx(1.0 / first, abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5828,7 +5830,7 @@ def test_calibration_curve_matches_python(spark, rows, n_bins):
         assert r.abs_gap == pytest.approx(abs(ms - pr), abs=1e-9)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5873,7 +5875,7 @@ def test_gain_lift_matches_python(spark, rows, n_tiles):
             assert r.cum_recall is None and r.lift is None
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     cells=st.dictionaries(
         st.tuples(
@@ -5920,7 +5922,7 @@ def test_cronbach_alpha_matches_python(spark, cells):
         assert r.alpha is None
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -5961,7 +5963,7 @@ def test_correlation_matrix_matches_python(spark, rows):
             assert r.corr is None
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -6011,7 +6013,7 @@ def test_simpsons_screen_matches_python(spark, rows):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -6050,7 +6052,7 @@ def test_k_anonymity_matches_python(spark, rows, k):
     assert s.min_group_size == min(groups.values())
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -6078,7 +6080,7 @@ def test_l_diversity_matches_python(spark, rows, l):
     assert s.min_diversity == min(len(set(vs)) for vs in per_group.values())
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -6124,7 +6126,7 @@ def test_dp_group_counts_matches_hash_replay(spark, rows, epsilon, clamp):
         assert got[(src, bucket)] == dp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -6165,7 +6167,7 @@ def test_t_closeness_matches_python_emd(spark, rows, t):
         assert r.exceeds_t == (r.emd > t)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=0, max_value=8), min_size=0, max_size=25),
     mode=st.sampled_from(["data", "grid"]),
@@ -6247,7 +6249,7 @@ def _keep_py(line, min_words, req_punct, patterns):
     return not any(p.lower() in line.lower() for p in patterns)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(line_pool), min_size=1, max_size=6).map(
@@ -6296,7 +6298,7 @@ def test_clean_lines_matches_python(spark, docs, min_words, req_punct):
         assert r.n_chars_clean == len("\n".join(kept))
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(line_pool), min_size=1, max_size=6).map(
@@ -6336,7 +6338,7 @@ def test_line_filter_stats_matches_python(spark, docs, min_words):
     assert r.kept_lines == total - short - nopunct - blocked
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -6372,7 +6374,7 @@ def test_validate_primitives_match_python(spark, rows, parents):
     assert f.n_violations == sum(1 for _, k in rows if k not in pset)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ids=st.lists(
         st.one_of(st.none(), st.integers(min_value=0, max_value=40)),
@@ -6396,7 +6398,7 @@ def test_sequence_gaps_matches_python(spark, ids):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     events=st.lists(
         st.tuples(
@@ -6428,7 +6430,7 @@ def test_resample_ffill_matches_python(spark, events):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     events=st.lists(
         st.tuples(
@@ -6472,7 +6474,7 @@ def test_trailing_anomaly_matches_python(spark, events):
             assert got[i][2] == (abs(got[i][1]) > thr)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     events=st.lists(
         st.tuples(
@@ -6521,7 +6523,7 @@ def test_decayed_popularity_matches_python(spark, events, use_value):
         assert g[2] == pytest.approx(e[2], abs=2e-4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     orders=st.lists(
         st.tuples(
@@ -6583,7 +6585,7 @@ def test_rfm_segments_match_python(spark, orders, n_tiles):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.tuples(
@@ -6627,7 +6629,7 @@ def test_token_budget_sample_matches_hash_replay(spark, docs, budgets):
     assert got == exp
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.tuples(
@@ -6696,7 +6698,7 @@ def test_dsir_matches_python(spark, docs):
         assert got[i][1] == pytest.approx(logw, abs=2e-4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -6728,7 +6730,7 @@ def test_gumbel_sample_key_matches_hash_replay(spark, rows):
         )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -6779,7 +6781,7 @@ def test_shard_and_release_manifests_match_hash_replay(spark, rows, n_shards):
     assert got_r == exp_r
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ids=st.lists(
         st.integers(min_value=0, max_value=10_000),
@@ -6816,7 +6818,7 @@ def test_epoch_shuffle_matches_hash_replay(spark, ids, epoch, n_shards):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -6848,7 +6850,7 @@ def test_group_sample_k_matches_hash_replay(spark, rows, k):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.integers(min_value=0, max_value=30),
@@ -6875,7 +6877,7 @@ def test_pack_assignments_match_python(spark, docs, budget):
         assert got[i] == (start, end, first, last)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -6926,7 +6928,7 @@ ts_docs = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=ts_docs, k=st.sampled_from([2, 4]))
 def test_tfidf_keywords_matches_python(spark, docs, k):
     from collections import Counter
@@ -6964,7 +6966,7 @@ def test_tfidf_keywords_matches_python(spark, docs, k):
             assert r[2] == pytest.approx(e[2], abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=ts_docs,
     phrase=st.sampled_from(["cat sat", "the cat", "dog", "cat sat on"]),
@@ -6988,7 +6990,7 @@ def test_phrase_search_matches_python(spark, docs, phrase):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=ts_docs)
 def test_taxonomy_tags_matches_python(spark, docs):
     from valentinus_spark.operators import taxonomy_tags
@@ -7009,7 +7011,7 @@ def test_taxonomy_tags_matches_python(spark, docs):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=ts_docs,
     terms=st.sampled_from([["cat"], ["cat", "dog"], ["cat", "zebra"]]),
@@ -7053,7 +7055,7 @@ def test_ql_topk_matches_python(spark, docs, terms, k):
         assert g[1] == pytest.approx(e[1], abs=2e-4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.text(alphabet="abc x", min_size=0, max_size=12),
@@ -7073,7 +7075,7 @@ def test_substring_search_matches_contains(spark, docs, pattern):
     assert got == exp
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(
@@ -7131,7 +7133,7 @@ def test_rake_keywords_matches_python(spark, docs, topk):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -7173,7 +7175,7 @@ def test_salted_agg_equals_plain_agg(spark, rows, salt_count):
         assert got_c[k] == c
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     fact=st.lists(
         st.tuples(
@@ -7219,7 +7221,7 @@ def test_salted_join_equals_plain_join(spark, fact, dim, how, salt_count):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pairs=st.lists(
         st.tuples(
@@ -7257,7 +7259,7 @@ def test_contrastive_triplets_match_python(spark, pairs, n_ids, stride):
         assert n != a and n != b
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     corpus=st.lists(
         st.tuples(
@@ -7319,7 +7321,7 @@ def test_hard_negatives_match_python(spark, corpus, pos_pairs, k):
         assert g[1] == pytest.approx(e[1], abs=2e-4)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pts=st.lists(
         st.tuples(
@@ -7363,7 +7365,7 @@ def test_kcenter_coreset_matches_python_greedy(spark, pts, k):
         assert g[2] == pytest.approx(e[2], abs=1e-9)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vecs=st.lists(
         st.tuples(
@@ -7400,7 +7402,7 @@ def test_embedding_mean_and_abtt_match_python(spark, vecs):
             assert a == pytest.approx(b, abs=1e-9)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     a=st.lists(
         st.tuples(st.integers(min_value=-4, max_value=4), st.integers(min_value=1, max_value=4)),
@@ -7457,7 +7459,7 @@ def _shingles_py(toks, n):
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.tuples(
@@ -7496,7 +7498,7 @@ def test_source_overlap_matches_python(spark, docs, unit):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     old=st.dictionaries(
         st.integers(min_value=0, max_value=8),
@@ -7532,7 +7534,7 @@ def test_corpus_diff_matches_python(spark, old, new):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -7564,7 +7566,7 @@ def test_cluster_canonical_matches_python(spark, rows):
             assert got[i] == (canon, i == canon)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:5]), min_size=1, max_size=8).map(
@@ -7597,7 +7599,7 @@ def test_ngram_novelty_matches_python(spark, docs):
         assert got[i][2] == pytest.approx(novel / len(gs), abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:5]), min_size=0, max_size=8).map(
@@ -7639,7 +7641,7 @@ def test_unigram_logprob_matches_python(spark, docs, top_v):
         assert got[i][1] == pytest.approx(ce, abs=2e-4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=8).map(
@@ -7676,7 +7678,7 @@ def test_bigram_logprob_matches_python(spark, docs):
         assert got[i][1] == pytest.approx(ce, abs=2e-4)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=8).map(
@@ -7768,7 +7770,7 @@ def _rep_stats_py(text):
     return out
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=12).map(
@@ -7797,7 +7799,7 @@ def test_repetition_stats_match_python(spark, docs):
             assert getattr(r, key) == pytest.approx(exp[key], abs=1e-9), key
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=12).map(
@@ -7840,7 +7842,7 @@ def test_quality_filter_consistent_with_stats_replica(spark, docs):
     assert got - boundary == exp - boundary
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(
@@ -7889,7 +7891,7 @@ def test_linear_quality_score_matches_python(spark, docs):
         assert got[i][1] == (got[i][0] >= 0.5)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     events=st.lists(
         st.tuples(
@@ -7942,7 +7944,7 @@ def test_cohort_ltv_matches_python(spark, events, max_offset):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     units=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=20, unique=True),
     n_arms=st.sampled_from([2, 5]),
@@ -7963,7 +7965,7 @@ def test_ab_assign_matches_hash_replay(spark, units, n_arms):
         assert got[u] == h % n_arms
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -7993,7 +7995,7 @@ def test_agreement_matrix_matches_python(spark, rows):
         assert got[k][1] == pytest.approx(n / tot, abs=2e-6)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.tuples(
@@ -8052,7 +8054,7 @@ def test_burrows_delta_matches_python(spark, docs, top_n):
         assert got[k] == pytest.approx(exp[k], abs=2e-5)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -8090,7 +8092,7 @@ def test_hash_sample_quantiles_match_python(spark, rows, qs, k):
         assert got[q] == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -8122,7 +8124,7 @@ def test_relative_outlier_filter_matches_python(spark, rows, band):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=12).map(
@@ -8158,7 +8160,7 @@ def test_duplicated_span_stats_match_python(spark, docs):
         assert got[i][2] == pytest.approx(shared / len(gs), abs=2e-4)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:3]), min_size=0, max_size=12).map(
@@ -8198,7 +8200,7 @@ def test_remove_duplicated_spans_matches_python(spark, docs):
         assert got[i] == (len(tk), len(kept), " ".join(kept))
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.text(alphabet="ab c.", min_size=0, max_size=40),
@@ -8233,7 +8235,7 @@ def test_compression_ratio_matches_python_zlib(spark, docs):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:4]), min_size=1, max_size=10).map(
@@ -8271,7 +8273,7 @@ def test_ngram_jaccard_pairs_match_bruteforce(spark, docs, threshold):
         assert got[k] == pytest.approx(exp[k], abs=1e-9)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:5]), min_size=0, max_size=8).map(
@@ -8317,7 +8319,7 @@ def test_simhash_pairs_sha_match_bruteforce(spark, docs, max_hamming):
     assert got == exp
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     queries=st.lists(
         st.lists(st.sampled_from(ts_pool[:5]), min_size=1, max_size=5).map(
@@ -8361,7 +8363,7 @@ def test_set_containment_join_matches_bruteforce(spark, queries, corpus, thresho
         assert got[k] == pytest.approx(exp[k], abs=2e-4)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:5]), min_size=1, max_size=8).map(
@@ -8406,7 +8408,7 @@ def test_cosine_similarity_join_matches_bruteforce(spark, docs):
         assert got[k] == pytest.approx(exp[k], abs=2e-4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     a=st.lists(
         st.tuples(st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)),
@@ -8442,7 +8444,7 @@ def test_radius_join_matches_bruteforce(spark, a, b, radius):
     assert got == exp
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     corpus=st.lists(
         st.tuples(
@@ -8503,7 +8505,7 @@ def test_brute_force_knn_join_matches_python(spark, corpus, queries, k):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.tuples(
@@ -8561,7 +8563,7 @@ def test_fightin_words_matches_python(spark, docs, top_k):
             assert r[2] == pytest.approx(e[2], abs=2e-5)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
     qs=st.sampled_from([[0.5], [0.0, 0.25, 0.9, 1.0]]),
@@ -8599,7 +8601,7 @@ def test_histogram_quantiles_match_python(spark, vals, qs):
         assert got[q] == pytest.approx(exp[q], abs=2e-6)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -8638,7 +8640,7 @@ def test_scd2_snapshot_at_matches_python(spark, rows, at):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     incoming=st.lists(
         st.lists(st.sampled_from(ts_pool[:3]), min_size=0, max_size=5).map(
@@ -8675,7 +8677,7 @@ def test_incremental_dedup_matches_python(spark, incoming, corpus):
     assert got == set(winners.values())
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     incoming=st.lists(
         st.lists(st.sampled_from(ts_pool[:3]), min_size=0, max_size=6).map(
@@ -8737,7 +8739,7 @@ import shutil as _shutil
 import tempfile as _tempfile
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
     band=st.tuples(
@@ -8790,7 +8792,7 @@ def test_minmax_manifest_and_pruned_read_lossless(spark, vals, band):
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
     probe=st.integers(min_value=0, max_value=40),
@@ -8844,7 +8846,7 @@ def test_bloom_manifest_and_pruned_read_lossless(spark, vals, probe):
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
     target=st.sampled_from([2, 4]),
@@ -8888,7 +8890,7 @@ def test_compact_small_files_preserves_rows(spark, vals, target, sorted_mode):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     corpus=st.lists(
         st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=8).map(
@@ -8936,7 +8938,7 @@ def test_benchmark_contamination_matches_python(spark, corpus, bench):
         assert got[i][2] == pytest.approx(hits / len(s), abs=2e-4)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     corpus=st.lists(
         st.tuples(
@@ -8984,7 +8986,7 @@ def test_semantic_contamination_matches_python(spark, corpus, bench, threshold):
         assert got[i][1] == (got[i][0] >= threshold)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:5]), min_size=0, max_size=10).map(
@@ -9062,7 +9064,7 @@ def _r6_py(x: float) -> float:
     return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(ts_pool[:4]), min_size=0, max_size=15).map(
@@ -9118,7 +9120,7 @@ def test_texttiling_matches_python(spark, docs):
         assert got[key][2] == bd
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     src=st.lists(
         st.tuples(
@@ -9231,7 +9233,7 @@ def _dhash_py(pix, h, w):
     return out & 0x7FFFFFFFFFFFFFFF
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     dims=st.tuples(
         st.integers(min_value=9, max_value=24), st.integers(min_value=9, max_value=24)
@@ -9262,7 +9264,7 @@ def test_dhash_bits_matches_python_and_brightness_invariant(dims, data, shift):
     assert dhash_bits(rgb) == got
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     dims=st.tuples(
         st.integers(min_value=32, max_value=40), st.integers(min_value=32, max_value=40)
@@ -9296,7 +9298,7 @@ def test_phash_bits_brightness_invariant_and_stable(dims, data, shift):
     assert phash_bits(arr.copy()) == got
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     samples=st.lists(
         st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=400
@@ -9317,7 +9319,7 @@ def test_audio_fingerprint_gain_invariant(samples, gain, rate):
     assert audio_fingerprint_bits(s.copy(), rate) == got
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     hashes=st.lists(
         st.integers(min_value=0, max_value=(1 << 63) - 1),
@@ -9357,7 +9359,7 @@ def test_dhash_near_pairs_match_bruteforce(spark, hashes, flips, max_bits):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     zs=st.lists(
         st.one_of(
@@ -9386,7 +9388,7 @@ def test_two_sided_p_matches_python(spark, zs):
             )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     daily=st.lists(
         st.tuples(
@@ -9431,7 +9433,7 @@ def test_decayed_popularity_from_daily_matches_python(spark, daily, hl):
         assert g[2] == pytest.approx(e[2], abs=2e-4)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     events=st.lists(
         st.tuples(
@@ -9483,7 +9485,7 @@ def test_hll_rolling_from_registers_matches_python(spark, events, window_days):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pairs=st.lists(
         st.tuples(
@@ -9547,7 +9549,7 @@ def _py_round_half_up(v: float) -> int:
     return int(_m.floor(v + 0.5)) if v >= 0 else int(_m.ceil(v - 0.5))
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vec=st.lists(
         st.floats(
@@ -9619,7 +9621,7 @@ def _zorder_py(vals, bits: int) -> int:
     return out
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -9663,7 +9665,7 @@ def test_zorder_interleave_matches_python(spark, rows, bits):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
         st.text(alphabet="abc dé€\n", max_size=24), min_size=1, max_size=6
@@ -9699,7 +9701,7 @@ def test_rolling_fingerprint_sha_matches_python(spark, texts, n, keep):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -9747,7 +9749,7 @@ def test_embedding_pca_matches_numpy(spark, rows):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(st.integers(-6, 6), st.integers(-6, 6), st.integers(-6, 6)),
@@ -9788,7 +9790,7 @@ def test_knn_distance_outliers_match_bruteforce(spark, rows, k, topn):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     corpus=st.lists(
         st.tuples(
@@ -9867,7 +9869,7 @@ def test_matryoshka_fidelity_matches_python(spark, corpus, queries, k):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(
@@ -9915,7 +9917,7 @@ def test_textrank_keywords_matches_python(spark, docs, iters):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=24
@@ -9962,7 +9964,7 @@ def test_jaccard_link_prediction_matches_bruteforce(spark, edges, k):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(30), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     h=st.integers(1, 6),
     w=st.integers(1, 6),
@@ -9979,7 +9981,7 @@ def test_png_roundtrip_random_pixels(h, w, c, data):
     assert np.array_equal(back, arr)
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(30), deadline=None, suppress_health_check=list(HealthCheck))
 @given(h=st.integers(1, 6), w=st.integers(1, 6), data=st.data())
 def test_bmp_roundtrip_random_pixels(h, w, data):
     from valentinus_spark.imaging import decode_bmp, encode_bmp
@@ -9991,7 +9993,7 @@ def test_bmp_roundtrip_random_pixels(h, w, data):
     assert np.array_equal(back, arr)
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(30), deadline=None, suppress_health_check=list(HealthCheck))
 @given(h=st.integers(1, 6), w=st.integers(1, 6), data=st.data())
 def test_gif_roundtrip_random_indices(h, w, data):
     from valentinus_spark.imaging import decode_gif, encode_gif
@@ -10006,7 +10008,7 @@ def test_gif_roundtrip_random_indices(h, w, data):
     assert np.all(back[:, :, 3] == 255)
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(30), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ints=st.lists(
         st.integers(min_value=-32767, max_value=32767), min_size=1, max_size=64
@@ -10025,7 +10027,7 @@ def test_wav_roundtrip_random_samples(ints, rate):
     assert np.array_equal(back, exp)
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(25), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     h=st.sampled_from([2, 4, 6]),
     w=st.sampled_from([2, 4, 8]),
@@ -10077,7 +10079,7 @@ _keys_strategy = st.lists(
 )
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     keys=_keys_strategy,
     w_train=st.sampled_from([0.5, 0.8, 0.98]),
@@ -10105,7 +10107,7 @@ def test_stable_split_matches_python(spark, keys, w_train, w_val):
         assert got[str(k)] == exp
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     keys=_keys_strategy,
     rate_a=st.sampled_from([0.0, 0.25, 1.0]),
@@ -10145,7 +10147,7 @@ def test_stratified_keep_and_mixture_repeat_match_python(
         assert got[k] == (b < int(rate * span), exp_rep)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -10187,7 +10189,7 @@ def test_weighted_sample_key_and_kfold_match_python(spark, rows, k):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
         st.text(alphabet="ab XY 01 .,!é \t\n", max_size=30),
@@ -10210,7 +10212,7 @@ def test_token_count_matches_python_java_regex(spark, texts):
         assert got[i] == len(pat.findall(t))
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     toks=st.lists(st.sampled_from(["a", "bb", "ccc", "d"]), max_size=20),
     size=st.sampled_from([1, 3, 5]),
@@ -10247,7 +10249,7 @@ def test_chunks_from_tokens_matches_python(spark, toks, size, data):
 _label = st.text(alphabet="abcXYZ09-", min_size=1, max_size=8)
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     scheme=st.sampled_from(["http", "https", "ftp", "s3+x.y"]),
     labels=st.lists(_label, min_size=1, max_size=3),
@@ -10280,7 +10282,7 @@ def test_url_host_matches_component_truth(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(25), deadline=None, suppress_health_check=list(HealthCheck))
 @given(h=st.integers(1, 6), w=st.integers(1, 6), data=st.data())
 def test_resize_nearest_identity_upscale_downscale(h, w, data):
     from valentinus_spark.imaging import resize_nearest
@@ -10300,7 +10302,7 @@ def test_resize_nearest_identity_upscale_downscale(h, w, data):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.text(alphabet="abcd AB.,7 ", min_size=0, max_size=24),
@@ -10334,7 +10336,7 @@ def test_bpe_encode_decode_letter_stream_roundtrip(spark, docs, n_merges):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     fact=st.lists(st.integers(0, 40), min_size=1, max_size=25),
     dim=st.lists(st.integers(0, 40), min_size=0, max_size=10),
@@ -10360,7 +10362,7 @@ def test_bloom_semijoin_identical_to_exact_semijoin(spark, fact, dim, m):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -10411,7 +10413,7 @@ def test_column_profile_matches_python(spark, rows):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -10494,7 +10496,7 @@ def _lev_py(a: str, b: str) -> int:
     return prev[-1]
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     names=st.lists(
         st.text(alphabet="ab c", max_size=12), min_size=1, max_size=10
@@ -10557,7 +10559,7 @@ _XML10_ILLEGAL_PY = _re.compile(
 )
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
         st.text(
@@ -10590,7 +10592,7 @@ def test_xml_roundtrip_strips_illegal_keeps_rest(spark, tmp_path_factory, texts)
         assert got[i] == _XML10_ILLEGAL_PY.sub("", t)
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.tuples(
@@ -10620,7 +10622,7 @@ def test_jsonl_roundtrip_random_text(spark, tmp_path_factory, docs, compression)
     assert got == {f"d{i}": (t, lang) for i, (t, lang) in enumerate(docs)}
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -10651,7 +10653,7 @@ def test_fixed_width_roundtrip_random_rows(spark, tmp_path_factory, rows):
     assert got == sorted(rows)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     recs=st.lists(
         st.tuples(st.binary(max_size=40), st.sampled_from([200, 404])),
@@ -10686,7 +10688,7 @@ def test_warc_roundtrip_random_payloads(recs, compression):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(winnow_text, min_size=2, max_size=6),
     min_shared=st.sampled_from([1, 2]),
@@ -10733,7 +10735,7 @@ def test_winnow_overlap_pairs_match_bruteforce(spark, texts, min_shared, max_df)
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -10785,7 +10787,7 @@ def test_source_token_kl_matches_python(spark, rows):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     urls=st.lists(
         st.tuples(
@@ -10844,7 +10846,7 @@ def test_apply_url_rules_matches_longest_match_replay(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     keys=st.lists(
         st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"])),
@@ -10903,7 +10905,7 @@ def _uf_components(pairs):
     return {v: min(members) for members in comp.values() for v in members}
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pairs=st.lists(
         st.tuples(st.integers(0, 12), st.integers(0, 12)),
@@ -10924,7 +10926,7 @@ def test_connected_components_star_distributed_matches_unionfind(spark, pairs):
     assert got == _uf_components(pairs)
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     n_docs=st.integers(1, 10),
     pairs=st.lists(
@@ -10967,7 +10969,7 @@ def _py_shingle_set(text, n):
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
         st.lists(
@@ -11044,7 +11046,7 @@ _dml_op = st.one_of(
 )
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     initial=st.lists(
         st.tuples(st.integers(0, 5), st.one_of(st.none(), st.integers(0, 3))),
@@ -11131,7 +11133,7 @@ def test_versioned_dml_sequence_matches_dict_replay(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vecs=st.lists(
         st.tuples(
@@ -11192,7 +11194,7 @@ def test_embedding_neardup_exact_and_lsh_agree_with_bruteforce(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vecs=st.lists(
         st.tuples(st.integers(-3, 3), st.integers(-3, 3), st.integers(1, 4)),
@@ -11248,7 +11250,7 @@ def test_query_topk_matches_bruteforce(spark, vecs, q, k, metric):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     events=st.lists(
         st.tuples(
@@ -11302,7 +11304,7 @@ def test_time_rollup_merge_equals_oneshot_and_replica(spark, events, split_at):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     errs=st.lists(
         st.one_of(st.none(), st.integers(0, 40).map(lambda x: x / 4.0)),
@@ -11367,7 +11369,7 @@ _pii_piece = st.one_of(
 )
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pieces=st.lists(_pii_piece, min_size=1, max_size=6))
 def test_pii_counts_and_redaction_match_python(spark, pieces):
     from valentinus_spark.functions.text import (
@@ -11423,7 +11425,7 @@ _html_chunk = st.one_of(
 )
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(chunks=st.lists(_html_chunk, min_size=0, max_size=8))
 def test_html_to_text_matches_constructed_truth(spark, chunks):
     from valentinus_spark.functions.web import html_to_text
@@ -11456,7 +11458,7 @@ def test_html_to_text_matches_constructed_truth(spark, chunks):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     batches=st.lists(
         st.lists(
@@ -11514,7 +11516,7 @@ def test_compact_vacuum_preserve_latest_content(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(0, 10**9), min_size=1, max_size=60),
     p=st.sampled_from([8, 12]),
@@ -11539,7 +11541,7 @@ def test_hll_distinct_within_error_band_and_deterministic(spark, vals, p):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(keys=_keys_strategy, n_shards=st.sampled_from([1, 7, 64]))
 def test_shard_assignment_matches_python(spark, keys, n_shards):
     from valentinus_spark.operators.packing import shard_assignment
@@ -11558,7 +11560,7 @@ def test_shard_assignment_matches_python(spark, keys, n_shards):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     h=st.integers(1, 10),
     w=st.integers(1, 10),
@@ -11584,7 +11586,7 @@ def test_jpeg_flat_color_roundtrip_within_tolerance(h, w, r, g, b, subsample):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
         st.sampled_from(
@@ -11618,7 +11620,7 @@ def test_exact_dedup_and_deduplicate_match_md5_replica(spark, texts):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
         st.lists(
@@ -11678,7 +11680,7 @@ def test_text_quality_and_lang_id_match_python(spark, texts):
         assert got[i][1] == (best[1] if best[0] > 0 else "und")
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pieces=st.lists(
         st.sampled_from(
@@ -11719,7 +11721,7 @@ def test_encoding_artifacts_match_python(spark, pieces):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
         st.text(alphabet="abC d", max_size=12), min_size=1, max_size=6
@@ -11747,7 +11749,7 @@ def test_build_trigram_index_matches_python(spark, texts):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(st.integers(1, 5), st.integers(1, 8)),
@@ -11773,7 +11775,7 @@ def test_copurchase_edges_match_python(spark, rows):
     assert got == exp
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
         st.lists(
@@ -11805,7 +11807,7 @@ def test_build_inverted_index_matches_python(spark, texts):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -11838,7 +11840,7 @@ def test_orc_roundtrip_random_rows(spark, tmp_path_factory, rows, sort_mode):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(winnow_text, min_size=2, max_size=5),
     shared=st.text(alphabet=st.sampled_from("ghijkl"), min_size=0, max_size=20),
@@ -11878,7 +11880,7 @@ def test_winnow_shared_spans_pairs_and_bounds(spark, texts, shared):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vecs=st.lists(
         st.tuples(*[st.integers(-3, 3) for _ in range(4)]),
@@ -11928,7 +11930,7 @@ def test_pq_encode_matches_nearest_centroid_replica(spark, vecs, data):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vecs=st.lists(
         st.tuples(*[st.integers(-4, 4) for _ in range(6)]),
@@ -11971,7 +11973,7 @@ def test_random_projection_deterministic_and_linear(spark, vecs, alpha):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -12021,7 +12023,7 @@ def test_label_cluster_stats_matches_python(spark, rows):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     h=st.sampled_from([2, 4, 6]),
     w=st.sampled_from([2, 4, 8]),
@@ -12066,7 +12068,7 @@ def test_probe_media_header_identifies_all_containers(h, w, data):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(
@@ -12149,7 +12151,7 @@ def test_collection_e2e_query_matches_python_replay(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(8), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     corpus=st.lists(
         st.tuples(st.integers(1, 4), st.integers(-3, 3), st.integers(-3, 3)),
@@ -12208,7 +12210,7 @@ def test_bucketed_ann_exact_scores_and_planted_recall(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
         st.lists(
@@ -12251,7 +12253,7 @@ def test_minhash_mllib_pairs_precision_and_identical_doc_recall(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     corpus=st.lists(
         st.tuples(st.integers(1, 4), st.integers(-3, 3), st.integers(-3, 3)),
@@ -12316,7 +12318,7 @@ def test_semantic_dedup_precision_recall_and_keepset(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(st.integers(-50, 50), min_size=1, max_size=16),
     bits=st.sampled_from([4, 16]),
@@ -12347,7 +12349,7 @@ def test_rank_scale_matches_percent_rank_replica(spark, vals, bits):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(
         st.sampled_from(
@@ -12389,7 +12391,7 @@ def test_finite_guards_match_python(spark, vals):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(25), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     h=st.integers(1, 12),
     w=st.integers(1, 12),
@@ -12452,7 +12454,7 @@ def _png_filter_encode(img: np.ndarray, filters: list[int]) -> bytes:
             + chunk(b"IDAT", _zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(25), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     h=st.integers(2, 10),
     w=st.integers(2, 10),
@@ -12472,7 +12474,7 @@ def test_png_decode_inverts_every_filter_combination(h, w, c, filters, seed):
     np.testing.assert_array_equal(out, img)
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(h=st.integers(1, 10), w=st.integers(1, 11), seed=st.integers(0, 2**32 - 1))
 def test_bmp_roundtrip_random_pixels_any_padding(h, w, seed):
     """BMP rows pad to 4-byte boundaries — random (incl. odd) widths
@@ -12484,7 +12486,7 @@ def test_bmp_roundtrip_random_pixels_any_padding(h, w, seed):
     np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(h=st.integers(1, 8), w=st.integers(1, 8), seed=st.integers(0, 2**32 - 1))
 def test_gif_roundtrip_random_indices(h, w, seed):
     """Random palette-index frames: LZW encode/decode must reproduce the
@@ -12500,7 +12502,7 @@ def test_gif_roundtrip_random_indices(h, w, seed):
     assert (out[:, :, 3] == 255).all()
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     h=st.integers(8, 24),
     w=st.integers(8, 24),
@@ -12527,7 +12529,7 @@ def test_jpeg_roundtrip_random_smooth_error_bounded(h, w, subsample, seed):
     assert err.mean() < 6 and err.max() < 40
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     n=st.integers(1, 400),
     rate=st.sampled_from([8000, 16000, 44100]),
@@ -12549,7 +12551,7 @@ def test_wav_roundtrip_random_samples_exact(n, rate, seed):
     np.testing.assert_array_equal(got, expect)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(n=st.integers(1, 300), seed=st.integers(0, 2**32 - 1))
 def test_wav_decode_matches_stdlib_wave_module(n, seed):
     """Independent reference: the stdlib ``wave`` module reads the same
@@ -12571,7 +12573,7 @@ def test_wav_decode_matches_stdlib_wave_module(n, seed):
     np.testing.assert_array_equal(got, ref)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     n=st.integers(1, 120),
     n_ch=st.integers(2, 4),
@@ -12597,7 +12599,7 @@ def test_wav_multichannel_downmix_matches_numpy(n, n_ch, seed):
     np.testing.assert_allclose(got, expect, rtol=0, atol=1e-7)
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(30), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     kind=st.sampled_from(["png", "gif", "bmp", "wav", "jpeg"]),
     mode=st.sampled_from(["truncate", "bitflip"]),
@@ -12654,7 +12656,7 @@ def test_corrupt_media_bytes_raise_documented_errors(kind, mode, frac, seed):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(25), deadline=None, suppress_health_check=list(HealthCheck))
 @given(specs=spec_strategy, rows=row_strategy)
 def test_filter_compiler_promoted_columns_match_map_path(spark, specs, rows):
     """Promoted md_<key> columns (typed, parquet-pushable) must select
@@ -12691,7 +12693,7 @@ def test_filter_compiler_promoted_columns_match_map_path(spark, specs, rows):
     assert got == expect
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(25), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     key=st.sampled_from(KEYS),
     op=st.sampled_from(["approx", "like", "neq", "between"]),
@@ -12724,7 +12726,7 @@ def test_filter_compiler_unknown_op_strict_raises_compat_coerces(
     assert got == expect
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(25), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     key=st.sampled_from(KEYS),
     values=st.lists(st.sampled_from(["a", "b", "7", "-3"]), min_size=1, max_size=4),
@@ -12763,7 +12765,7 @@ def _py_shingles(text: str, n: int = 3) -> set:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(doc_text, min_size=1, max_size=8),
     thresholds=st.lists(
@@ -12802,7 +12804,7 @@ def test_threshold_curve_matches_python(spark, texts, thresholds):
         )
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.tuples(
@@ -12864,7 +12866,7 @@ _SCRIPT_SAMPLES = {
 }
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(25), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     mix=st.lists(
         st.tuples(
@@ -12911,7 +12913,7 @@ def test_script_profile_matches_python(spark, mix, lang):
         assert row.script_mismatch == (exp_dom != expected_script)
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.tuples(st.sampled_from(["en", "de"]), doc_text),
@@ -12957,7 +12959,7 @@ def _py_luhn(s: str) -> bool:
     return total % 10 == 0
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(30), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     nums=st.lists(
         st.text(alphabet="0123456789", min_size=1, max_size=20),
@@ -12974,7 +12976,7 @@ def test_luhn_valid_matches_python(spark, nums):
         assert got[s] is _py_luhn(s), s
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=hypo_examples(15), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.tuples(st.sampled_from(["sa", "sb", "sc"]), doc_text),

