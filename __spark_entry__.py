@@ -316,9 +316,18 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The array column is serialized to a comma-joined string so the
     harness canonicalizer (pandas sort_values) can hash it — raw
     array<long> cells are unhashable in pandas and crash the check.
+
+    ensure_parallelism: the per-character sha256 8-gram chain is the
+    most expensive per-row expression in the registry, and the
+    single-file parquet input otherwise evaluates ALL of it on one
+    scan task (r10 stage profile: 2 one-task stages carrying ~7 s of
+    the query's ~3.4 s wall) — the same measured cliff the winnowing
+    and shingling operators already guard against.
     """
+    from valentinus_spark.functions.util import ensure_parallelism
+
     fp = rolling_fingerprint("text", n=8, keep=4, hash_fn="sha256")
-    return _t(spark, sf_dir, "documents").select(
+    return ensure_parallelism(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.array_join(F.transform(fp, lambda x: x.cast("string")), ",").alias(
             "fingerprint"

@@ -187,6 +187,20 @@ def trailing_anomaly(
     # here); try_cast folds both into the same excluded-from-sums
     # NULL class and is bit-identical for every in-range value
     v = F.col(value_col).try_cast("decimal(18,6)")
+    # pin the window exchange's width explicitly (REPARTITION_BY_NUM —
+    # AQE may not coalesce it): the per-row window arithmetic is
+    # expensive relative to the row bytes, and AQE's size-based
+    # coalescing otherwise funnels the whole pass through 2 tasks at
+    # bench scale (stage profile: ~6 s of executor time on 2 tasks).
+    # Width = max(cores, shuffle.partitions) so a real cluster's higher
+    # shuffle setting is never reduced; the exchange itself was always
+    # required by the window, only its width is pinned.
+    spark = events.sparkSession
+    par = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    events = events.repartition(par, key_col)
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col, order_tiebreak)

@@ -883,7 +883,13 @@ def texttiling_boundaries(
         # the very same double (observed at sim = 0.5204165).
         return F.floor(c * 1000000.0 + 0.5) / 1000000.0
 
-    tok = docs.select(
+    # spread the single-file scan before the per-character tokenize
+    # (the winnowing/shingling cliff), and materialize the block term
+    # counts ONCE: four consumers (nblocks, norms, both dot sides)
+    # otherwise replay the tokenize+explode+aggregate per branch —
+    # r10 stage profile showed five one-task stages of ~1.7 s each
+    # doing exactly that replay
+    tok = ensure_parallelism(docs).select(
         F.col(id_col).alias("_id"),
         F.posexplode(word_tokens(normalize_text(text_col))).alias("_i", "_t"),
     ).select(
@@ -891,7 +897,7 @@ def texttiling_boundaries(
     )
     counts = tok.groupBy("_id", "_b", "_t").agg(
         F.count(F.lit(1)).alias("_c")
-    )
+    ).localCheckpoint()
     nblocks = counts.groupBy("_id").agg((F.max("_b") + 1).alias("_nb"))
     norms = counts.groupBy("_id", "_b").agg(
         F.sum(F.col("_c") * F.col("_c")).alias("_n2")
