@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from valentinus_spark.operators._distrank import (
     global_ranks,
     ntile_from_rank,
+    running_min_exclusive,
     running_totals,
 )
 
@@ -110,6 +111,54 @@ def test_ntile_from_rank_matches_window_ntile(spark, n_tiles):
         ).collect()
     }
     assert got == ref
+
+
+def test_running_min_exclusive_matches_window(spark):
+    rng = random.Random(7)
+    # duplicate costs + a strictly improving tail exercise both filter
+    # outcomes downstream; axis values unique (the device contract)
+    base = spark.createDataFrame(
+        [(float(i), float(rng.randint(0, 40))) for i in range(500)],
+        ["mx", "best"],
+    )
+    w = Window.orderBy(F.desc("mx")).rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r["mx"]: r["p"]
+        for r in base.select(
+            "mx", F.min("best").over(w).alias("p")
+        ).collect()
+    }
+    got = {
+        r["mx"]: r["_preminbest"]
+        for r in running_min_exclusive(base, [F.desc("mx")], "best").collect()
+    }
+    assert got == ref  # incl. NULL on the globally first (largest-mx) row
+
+
+def test_rank_scale_matches_percent_rank_window(spark):
+    from valentinus_spark.operators.layout import rank_scale
+
+    rng = random.Random(31)
+    # heavy ties (41 distinct values over 600 rows) — the percent_rank
+    # tie semantics are the point of the per-distinct-value device
+    base = spark.createDataFrame(
+        [(i, float(rng.randint(0, 40))) for i in range(600)], ["id", "x"]
+    )
+    w = F.percent_rank().over(Window.orderBy(F.col("x")))
+    ref = {
+        r["id"]: r["s"]
+        for r in base.select(
+            "id",
+            F.least(
+                F.floor(w * (1 << 16)).cast("long"), F.lit((1 << 16) - 1)
+            ).alias("s"),
+        ).collect()
+    }
+    got = {r["id"]: r["x_scaled"] for r in rank_scale(base, "x").collect()}
+    assert got == ref
+    # single-row frame: percent_rank defines 0.0
+    one = spark.createDataFrame([(1, 5.0)], ["id", "x"])
+    assert rank_scale(one, "x").collect()[0]["x_scaled"] == 0
 
 
 def test_ntile_from_rank_fewer_rows_than_tiles(spark):

@@ -695,8 +695,11 @@ def test_r7_session2_operator_plan_shapes(spark):
 
 def test_skyline_collapse_is_partial_min_no_selfjoin(spark):
     """The 2-D skyline must be the sort-based plan: a map-side-combined
-    min per axis value (partial_min) and NO join at all in the
-    frontier derivation (the quadratic formulation would show a join)."""
+    min per axis value (partial_min), no dominance self-join (the
+    quadratic formulation would sort-merge or nest two data-sized
+    sides), and no data-sized single-partition window — the running
+    min comes from the distributed device, whose only join broadcasts
+    the partition-count offset table."""
     from valentinus_spark.operators import skyline_2d
 
     parts = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
@@ -704,7 +707,14 @@ def test_skyline_collapse_is_partial_min_no_selfjoin(spark):
     )
     plan = plan_of(skyline_2d(parts, "p_retailprice", "p_size"), execute=True)
     assert "partial_min" in plan  # groupBy collapse combines map-side
-    assert "Join" not in plan  # no dominance self-join anywhere
+    # no quadratic dominance join: every join present must broadcast
+    # (the device's partition-count offset table), never shuffle
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # the frontier derivation must not funnel the axis frame through one
+    # task: the only SinglePartition exchange feeds the offset-table
+    # window (partition-count rows), not the axis-value stream
+    assert plan.count("Exchange SinglePartition") <= 1
 
 
 def test_bloom_semijoin_broadcasts_filter_and_dim(spark):

@@ -121,6 +121,45 @@ def running_totals(
     return out.drop(*drop)
 
 
+def running_min_exclusive(
+    df: DataFrame, order_cols: list, min_col: str
+) -> DataFrame:
+    """Append ``_premin<min_col>`` = MIN of ``min_col`` over all rows
+    STRICTLY PRECEDING the current row in the global ``order_cols``
+    order (NULL on the globally first row — the same empty-frame
+    semantics as ``min().over(orderBy(...).rowsBetween(unboundedPreceding,
+    -1))``, which this replaces without the data-sized
+    ``Exchange SinglePartition``). MIN is associative, so splitting it
+    into a partition-local exclusive running min plus an exclusive
+    prefix-min over the per-partition minima (partition-count rows,
+    broadcast back) is exact — ``F.least`` skips NULL operands, so the
+    boundary stitch keeps the window's NULL-for-empty-frame behavior.
+    Requires rows unique on ``order_cols`` (same contract as the other
+    helpers)."""
+    part = df.repartitionByRange(*order_cols).withColumn(
+        "_dr_pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("_dr_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = part.withColumn("_dr_locmin", F.min(min_col).over(wloc))
+    woff = Window.orderBy("_dr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        part.groupBy("_dr_pid")
+        .agg(F.min(min_col).alias("_dr_pmin"))
+        .select("_dr_pid", F.min("_dr_pmin").over(woff).alias("_dr_offmin"))
+    )
+    return (
+        loc.join(F.broadcast(offs), "_dr_pid")
+        .withColumn(
+            f"_premin{min_col}", F.least("_dr_locmin", "_dr_offmin")
+        )
+        .drop("_dr_pid", "_dr_locmin", "_dr_offmin")
+    )
+
+
 def global_ranks(df: DataFrame, order_cols: list) -> DataFrame:
     """Append ``_rank`` (1-based global rank over ``order_cols``) and
     ``_n`` (total row count, on every row) without any data-sized

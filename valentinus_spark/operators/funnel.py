@@ -15,6 +15,15 @@ from pyspark.sql import functions as F
 
 from valentinus_spark.functions.util import ensure_parallelism
 
+# rfm_segments: customer frames at or below this row count run the three
+# global NTILE windows in one sort task; above it the two-phase
+# distributed-rank device takes over. MEASURED crossover, not borrowed:
+# tools/exp_rfm_crossover.py (local[32], interleaved arms) — window/device
+# seconds 0.8/3.1 at 150k, 4.4/4.4 at 1M, 8.4/6.6 at 2M, 19.3/8.0 at 4M,
+# 42.7/13.1 at 8M. The two shapes are bit-identical (total ordering), so
+# the gate affects plan shape only, never results.
+_RFM_WINDOW_ROWS = 1_000_000
+
 
 def funnel_counts(
     events: DataFrame,
@@ -209,11 +218,22 @@ def rfm_segments(
     monetary, r_score, f_score, m_score, ``rfm``) ordered by customer.
 
     Scale shape: one customer-keyed aggregate (map-side combined), then
-    three global NTILE windows over the CUSTOMER-sized frame (not the
-    order stream) — the inherent cost of exact global quantile
-    assignment; swap NTILE for quantile_discretize's approximate cuts
-    if the customer dimension itself is extreme.
+    three exact global NTILE assignments over the CUSTOMER-sized frame
+    (not the order stream). Below the measured ``_RFM_WINDOW_ROWS``
+    crossover the three global windows run as-is — at that size the
+    whole frame is one shuffle block and the single sort task is
+    cheaper than the device's fixed stage overhead (tools/
+    exp_rfm_crossover.py: window 0.8 s vs device 3.1 s at 150 k rows).
+    Above it, each tiling runs the two-phase distributed-rank device
+    (range exchange + free per-partition index + partition-count
+    offsets broadcast back, operators/_distrank.py), so no
+    customer-sized table ever serializes through one task (measured:
+    device 13.1 s vs window 42.7 s at 8 M rows, gap widening). Each
+    ordering key is total (customer tie-break), so the closed-form
+    bucket is bit-identical to the window NTILE and the gate cannot
+    change results.
     """
+    from valentinus_spark.operators._distrank import global_ranks, ntile_from_rank
     base = orders.groupBy(F.col(customer_col).alias("_c")).agg(
         F.max(F.to_date(date_col)).alias("_last"),
         F.count(F.lit(1)).alias("frequency"),
@@ -228,18 +248,61 @@ def rfm_segments(
         # rounded DOUBLE (values ≪ 2^53, so the cast is lossless)
         F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
     )
-    w_r = Window.orderBy(F.desc("recency_days"), F.asc("_c"))
-    w_f = Window.orderBy(F.asc("frequency"), F.asc("_c"))
-    w_m = Window.orderBy(F.asc("monetary"), F.asc("_c"))
-    scored = base.select(
-        F.col("_c").alias(customer_col),
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(n_tiles).over(w_r).alias("r_score"),
-        F.ntile(n_tiles).over(w_f).alias("f_score"),
-        F.ntile(n_tiles).over(w_m).alias("m_score"),
-    )
+    # one materialization of the customer-sized frame: it feeds the
+    # size gate's count, and (above the gate) each rank device
+    # references its input twice (rank branch + offset branch) — the
+    # three devices CHAINED would otherwise nest each other's plans
+    # wholesale (229-node plan, 4-5 s measured at sf0.1 vs 1.2 s)
+    base = base.localCheckpoint()
+    if base.count() <= _RFM_WINDOW_ROWS:
+        # small frame: one shuffle block through one sort task beats
+        # the device's ~4 extra stage boundaries per tiling (measured
+        # crossover ≈ 1M rows, tools/exp_rfm_crossover.py)
+        w_r = Window.orderBy(F.desc("recency_days"), F.asc("_c"))
+        w_f = Window.orderBy(F.asc("frequency"), F.asc("_c"))
+        w_m = Window.orderBy(F.asc("monetary"), F.asc("_c"))
+        scored = base.select(
+            F.col("_c").alias(customer_col),
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(n_tiles).over(w_r).alias("r_score"),
+            F.ntile(n_tiles).over(w_f).alias("f_score"),
+            F.ntile(n_tiles).over(w_m).alias("m_score"),
+        )
+    else:
+        # big frame: three INDEPENDENT narrow device pipelines off the
+        # checkpoint (their stages share no dependencies, so the
+        # scheduler overlaps them), joined back on the customer key —
+        # AQE broadcasts the tile tables at mid size and hash-joins
+        # co-partitioned at scale
+        def _tile(metric: str, order_col, out: str) -> DataFrame:
+            ranked = global_ranks(
+                base.select("_c", metric), [order_col, F.asc("_c")]
+            )
+            return ranked.select(
+                "_c",
+                ntile_from_rank(F.col("_rank"), F.col("_n"), n_tiles)
+                .cast("int")
+                .alias(out),
+            )
+
+        scored = (
+            base.join(
+                _tile("recency_days", F.desc("recency_days"), "r_score"), "_c"
+            )
+            .join(_tile("frequency", F.asc("frequency"), "f_score"), "_c")
+            .join(_tile("monetary", F.asc("monetary"), "m_score"), "_c")
+            .select(
+                F.col("_c").alias(customer_col),
+                "recency_days",
+                "frequency",
+                "monetary",
+                "r_score",
+                "f_score",
+                "m_score",
+            )
+        )
     return scored.withColumn(
         "rfm",
         F.concat_ws(

@@ -42,16 +42,48 @@ def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
 
 
 def rank_scale(df: DataFrame, col: str, bits: int = 16) -> DataFrame:
-    """Add ``<col>_scaled``: the column's dense percent_rank mapped onto
+    """Add ``<col>_scaled``: the column's percent_rank mapped onto
     [0, 2^bits): rank-based scaling makes z-ordering robust to skew and
     arbitrary ranges (a heavy-hitter value occupies one slot, not a whole
-    prefix of the key space). One global sort-shuffle per column — run it
-    in the same job as the final range partitioning."""
-    w = F.percent_rank().over(Window.orderBy(F.col(col)))
-    scaled = F.least(
-        F.floor(w * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+    prefix of the key space).
+
+    Computed per DISTINCT value with the two-phase distributed device
+    (operators/_distrank.py) instead of a global percent_rank window —
+    the window form plans as a data-sized ``Exchange SinglePartition``
+    (every row through one task). percent_rank of a row equals
+    ``(rank(first peer) - 1) / (n - 1)``, and every row with the same
+    value shares it, so: aggregate counts per distinct value, running
+    totals over the value order give each value's rank and the grand
+    total, and a value-keyed join attaches the scaled slot back to the
+    rows. Arithmetic is the same double division percent_rank performs —
+    bit-identical output (guarded 0.0 when n <= 1, as percent_rank
+    defines). NULL values group and join null-safely, ordering first —
+    the window's asc-nulls-first order — so their slot is 0, unchanged.
+    """
+    from valentinus_spark.operators._distrank import running_totals
+
+    # materialized once: the device's range exchange samples its input
+    # for boundaries, which would replay the whole per-value collapse a
+    # second time without the checkpoint
+    per_val = df.groupBy(F.col(col).alias("_rs_v")).agg(
+        F.count(F.lit(1)).alias("_rs_c")
+    ).localCheckpoint()
+    run = running_totals(per_val, ["_rs_v"], ["_rs_c"], with_totals=True)
+    pr = F.when(
+        F.col("_tot_rs_c") > 1,
+        # rank of the value's first peer = cumulative count up to and
+        # including this value, minus its own count, plus 1; percent_rank
+        # = (rank - 1) / (n - 1) in double — the window's exact formula
+        (F.col("_run_rs_c") - F.col("_rs_c")).cast("double")
+        / (F.col("_tot_rs_c") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    slots = run.select(
+        "_rs_v",
+        F.least(
+            F.floor(pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+        ).alias(f"{col}_scaled"),
     )
-    return df.withColumn(f"{col}_scaled", scaled)
+    return df.join(slots, df[col].eqNullSafe(slots["_rs_v"])).drop("_rs_v")
 
 
 def zorder_frame(

@@ -95,21 +95,24 @@ def key_skew_profile(
     choosing between plain join / AQE skew split / salted_join — a key
     with hotness ≫ 1 is the straggler-to-be.
 
-    One aggregation (map-side combinable count per key) + one tiny
-    top-n sort; the global count and distinct-key count ride the same
-    aggregate via a grand-total window over the (distinct-keys)-sized
-    intermediate, so the input is scanned once."""
-    from pyspark.sql import Window
-
+    One aggregation (map-side combinable count per key); the global
+    count and distinct-key count come from a one-row scalar aggregate
+    over that intermediate, broadcast back — NOT a grand-total window,
+    which would plan as ``Exchange SinglePartition`` over the
+    (distinct-keys)-sized frame and funnel exactly the high-cardinality
+    key this profiler exists to diagnose through one task. The totals
+    are the same sums, merely computed in the combinable aggregate."""
     per_key = df.groupBy(F.col(key).alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    w = Window.partitionBy()
-    enriched = per_key.select(
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    enriched = per_key.crossJoin(F.broadcast(totals)).select(
         "key",
         "n_rows",
-        F.sum("n_rows").over(w).alias("_total"),
-        F.count(F.lit(1)).over(w).alias("_nkeys"),
+        "_total",
+        "_nkeys",
     )
     return (
         enriched.select(

@@ -49,29 +49,30 @@ def skyline_2d(
     float folds anywhere.
 
     Scale shape: groupBy(maximize) → min(minimize) collapses the
-    corpus in one shuffle (map-side combined); the running-min window
-    orders only |distinct maximize values| rows. A 100 TB corpus with
-    a bounded axis domain (sizes, quality buckets) windows over
-    thousands of rows. The final membership join back to the corpus is
-    a broadcast of the frontier.
+    corpus in one shuffle (map-side combined); the exclusive running
+    min over the collapsed frame comes from the two-phase distributed
+    device (operators/_distrank.py) — range exchange, partition-local
+    window, partition-count prefix-min broadcast back — so even a
+    CONTINUOUS axis (prices, scores: |distinct values| ~ |rows|) never
+    serializes through one task. The final membership join back to the
+    corpus is a broadcast of the frontier.
     """
+    from valentinus_spark.operators._distrank import running_min_exclusive
+
     mn, mx = minimize_col, maximize_col
     base = df.filter(F.col(mn).isNotNull() & F.col(mx).isNotNull())
-    best = base.groupBy(mx).agg(F.min(mn).alias("_best"))
+    # materialized once: the device's range exchange samples its input
+    # for boundaries, which would replay the whole corpus collapse a
+    # second time without the checkpoint
+    best = base.groupBy(mx).agg(F.min(mn).alias("_best")).localCheckpoint()
     # running min of cost over strictly larger axis values: dominated
     # iff some larger-or-equal axis value achieves cost <= ours
     # (equality with strictly larger axis still dominates)
-    from pyspark.sql import Window
-
-    w = (
-        Window.orderBy(F.desc(mx))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     frontier = (
-        best.withColumn("_prev_best", F.min("_best").over(w))
+        running_min_exclusive(best, [F.desc(mx)], "_best")
         .filter(
-            F.col("_prev_best").isNull()
-            | (F.col("_best") < F.col("_prev_best"))
+            F.col("_premin_best").isNull()
+            | (F.col("_best") < F.col("_premin_best"))
         )
         .select(mx, F.col("_best").alias(mn))
     )
