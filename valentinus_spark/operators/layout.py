@@ -168,17 +168,14 @@ def zorder_bucket_stats(
         )
         .withColumn("_n", F.sum("_cnt").over(Window.partitionBy()))
     )
-    # NTILE(nb) over n rows: the first (n % nb) buckets hold ceil(n/nb)
-    # rows, the rest floor(n/nb) — closed form over the global rank.
-    nb = F.lit(n_buckets).cast("long")
-    n = F.col("_n")
-    rank = F.col("_offset") + F.col("_rn")
-    big = (n / nb).cast("long") + F.lit(1)  # ceil size (first r buckets)
-    r = n % nb
-    cut = r * big  # rows living in the first r (larger) buckets
-    bucket = F.when(
-        rank <= cut, ((rank - 1) / big).cast("long") + 1
-    ).otherwise(r + ((rank - cut - 1) / (n / nb).cast("long")).cast("long") + 1)
+    # NTILE(nb) over n rows via the shared closed form — exact integer
+    # arithmetic throughout (decimal floor division: no double mis-floor
+    # once n exceeds 2^53, unlike the former (n / nb).cast("long"))
+    from valentinus_spark.operators._distrank import ntile_from_rank
+
+    bucket = ntile_from_rank(
+        F.col("_offset") + F.col("_rn"), F.col("_n"), n_buckets
+    )
     bucketed = ranked.join(
         F.broadcast(offsets.select("_pid", "_offset", "_n")), "_pid"
     ).withColumn("bucket", bucket.cast("int"))
